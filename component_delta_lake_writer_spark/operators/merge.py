@@ -1,0 +1,75 @@
+"""MERGE INTO upsert as DataFrame ops (operators W12, J1, O2).
+
+Reference generates
+``MERGE INTO tgt USING src ON tgt.pk = CAST(src._ci AS T) WHEN MATCHED
+THEN UPDATE SET <all cols> WHEN NOT MATCHED THEN INSERT <all cols>``
+(src/component.py:238-260) and ships it to a warehouse. Spark-first,
+the same statement-level semantics are an anti-join + union:
+
+    result = dedup(source) ∪ (target ⟕anti dedup(source) on PK)
+
+- matched target rows are replaced wholesale (UPDATE SET all columns)
+- unmatched source rows are inserted (INSERT all columns)
+- O2: the source is pre-deduplicated by PK (Delta/SQL MERGE requires
+  unique source keys; src/component.py:249-260)
+
+Scale posture: the anti-join shuffles on the PK unless the source key
+set is broadcastable — typical upserts are small-source/large-target,
+so we hint broadcast when the source is below the threshold and let
+AQE decide otherwise. Skewed PKs are handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.errors import UserException
+
+
+def dedup_source(
+    source: DataFrame, primary_key: list[str], order_by: list[str] | None = None
+) -> DataFrame:
+    """O2 pre-dedup: one row per PK. With ``order_by``, keep the row
+    with the greatest ordering value (deterministic last-write-wins);
+    without, keep an arbitrary single row (dropDuplicates)."""
+    if order_by:
+        w = Window.partitionBy(*primary_key).orderBy(
+            *[F.col(c).desc() for c in order_by]
+        )
+        return (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return source.dropDuplicates(primary_key)
+
+
+def merge_condition(
+    target: DataFrame, source: DataFrame, primary_key: list[str]
+) -> Column:
+    """P4: conjunctive PK equality (src/component.py:244)."""
+    from functools import reduce
+    from operator import and_
+
+    return reduce(and_, [target[pk] == source[pk] for pk in primary_key])
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    primary_key: list[str],
+    order_by: list[str] | None = None,
+    broadcast_source_keys: bool = True,
+) -> DataFrame:
+    """Statement-level MERGE result as a DataFrame (caller commits it)."""
+    if not primary_key:
+        raise UserException("Upsert load mode requires a primary key.")
+    src = dedup_source(source, primary_key, order_by)
+    # align source columns to target schema (INSERT/UPDATE all columns)
+    src = src.select(*[F.col(c) for c in target.columns])
+    keys = src.select(*primary_key)
+    if broadcast_source_keys:
+        keys = F.broadcast(keys)
+    kept = target.join(keys, on=primary_key, how="left_anti")
+    return kept.unionByName(src)

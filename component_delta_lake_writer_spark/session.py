@@ -1,0 +1,71 @@
+"""SparkSession factory — the engine's single execution substrate.
+
+Replaces the reference's three engines (DuckDB conn src/component.py:367-384,
+delta-rs writer src/component.py:353-365, Databricks warehouse
+src/component.py:281-299) with one session.
+
+Resource knobs map the reference's X2 surface (threads / max_memory /
+temp_directory, src/component.py:371-384) onto ``local[n]`` /
+``spark.driver.memory`` / ``spark.local.dir``.
+
+Scale posture (100 TB design, tested on local[32]):
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switch — the knobs that keep a fixed plan viable at 1000x.
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  superseded by AQE's coalescing from a high initial number.
+- Arrow enabled for the (rare) pandas-UDF paths.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "component-delta-lake-writer-spark",
+    threads: int | None = None,
+    memory: str | None = None,
+    temp_directory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``threads``/``memory``/``temp_directory`` mirror the reference's
+    local-engine caps (src/configuration.py:53-54; defaults there are
+    threads=1, max_memory=256MB — we default to the host profile
+    instead and let callers opt into the capped profile).
+    """
+    n = threads or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if memory:
+        builder = builder.config("spark.driver.memory", memory)
+    if temp_directory:
+        builder = builder.config("spark.local.dir", temp_directory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,331 @@
+"""Managed table: Parquet data + JSON commit log — the engine's sink.
+
+Re-expresses the reference's Delta write surface (delta-spark is not a
+dependency here, so the table layer is built from scratch on Spark's
+Parquet writer + an atomic commit log):
+
+- load modes ``error | append | overwrite | upsert``
+  (reference src/component.py:64-68,90-111,227-260)
+- ``partition_by`` Hive-style layout (src/component.py:96,210-214)
+- schema evolution ``schema_mode='merge'`` (src/component.py:97,109)
+- compression / page-size writer properties (src/component.py:84-87)
+- ``batch_size`` → ``maxRecordsPerFile`` (src/configuration.py:50)
+- primary key carried as informational table metadata (OSS Delta also
+  treats PKs as unenforced; SURVEY §4 note 2)
+
+Commit protocol (single-writer, snapshot-isolated):
+each write lands data under ``<path>/_data/<commit-uuid>/`` first,
+then publishes ``<path>/_commits/<version>.json`` listing the data
+units that constitute the new snapshot (os.rename is atomic on a
+posix filesystem; on object stores this maps to conditional PUT).
+Readers resolve the latest commit and read exactly its data units —
+uncommitted data is invisible, a crashed write leaves no partial
+table (strictly stronger than the reference's per-batch commit loop,
+SURVEY §4 "micro-batched write" caution). Old versions remain
+addressable (time travel) until vacuumed.
+
+Scale posture: a snapshot is a list of data directories, so appends
+are O(1) metadata; ``optimize()`` compacts small files and collapses
+the unit list; reads of a partitioned table get partition pruning via
+Spark's partition discovery per unit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from component_delta_lake_writer_spark.errors import (
+    SchemaMismatchError,
+    TableExistsError,
+    UserException,
+)
+
+_COMMITS = "_commits"
+_DATA = "_data"
+
+
+@dataclass
+class Commit:
+    version: int
+    action: str
+    data_units: list[str]  # relative dirs under _data/, the full snapshot
+    schema_json: str
+    partition_by: list[str] = field(default_factory=list)
+    primary_key: list[str] = field(default_factory=list)
+    timestamp_ms: int = 0
+    properties: dict = field(default_factory=dict)
+
+
+class ManagedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ---------- log plumbing ----------
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, _COMMITS)
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, _DATA)
+
+    def exists(self) -> bool:
+        d = self._commits_dir
+        return os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d))
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._commits_dir):
+            return []
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self._commits_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_commit(self) -> Commit | None:
+        versions = self._versions()
+        if not versions:
+            return None
+        return self.commit_at(versions[-1])
+
+    def commit_at(self, version: int) -> Commit:
+        with open(os.path.join(self._commits_dir, f"{version:020d}.json")) as f:
+            return Commit(**json.load(f))
+
+    def _publish(self, commit: Commit) -> None:
+        os.makedirs(self._commits_dir, exist_ok=True)
+        final = os.path.join(self._commits_dir, f"{commit.version:020d}.json")
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(commit.__dict__, f)
+        if os.path.exists(final):
+            os.remove(tmp)
+            raise UserException(
+                f"Concurrent commit conflict at version {commit.version}"
+            )
+        os.rename(tmp, final)  # atomic publish
+
+    # ---------- write path ----------
+
+    def _write_unit(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        compression: str,
+        max_records_per_file: int | None,
+        page_size: int | None = 8 * 1024 * 1024,
+    ) -> str:
+        unit = uuid.uuid4().hex
+        writer = df.write.mode("overwrite").option("compression", compression)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        if page_size:
+            # reference hard-codes data_page_size_limit=8MiB (src/component.py:85)
+            writer = writer.option("parquet.page.size", str(page_size))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self._data_dir, unit))
+        return unit
+
+    @staticmethod
+    def _schema_compatible(table: T.StructType, incoming: T.StructType) -> bool:
+        tf = {f.name: f.dataType for f in table.fields}
+        return all(f.name in tf and tf[f.name] == f.dataType for f in incoming.fields)
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        primary_key: list[str] | None = None,
+        schema_mode: str | None = None,
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+        properties: dict | None = None,
+    ) -> Commit:
+        """One atomic table commit. ``mode`` per reference load modes."""
+        partition_by = partition_by or []
+        prev = self.latest_commit()
+
+        if mode == "error" and prev is not None:
+            # W1: delta-rs mode='error' semantics (src/component.py:64-68)
+            raise TableExistsError(f"Table already exists at {self.path}")
+
+        if mode == "upsert":
+            raise UserException("Use ManagedTable.upsert() for upsert mode.")
+
+        if prev is not None and mode == "append":
+            table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+            if not self._schema_compatible(table_schema, df.schema):
+                if schema_mode != "merge":
+                    raise SchemaMismatchError(
+                        "Incoming schema does not match table schema; "
+                        "pass schema_mode='merge' to evolve (W5)."
+                    )
+            if prev.partition_by and partition_by and (
+                prev.partition_by != partition_by
+            ):
+                raise UserException(
+                    f"partition_by {partition_by} != table layout {prev.partition_by}"
+                )
+            partition_by = prev.partition_by
+
+        unit = self._write_unit(df, partition_by, compression, max_records_per_file)
+
+        if mode == "overwrite" or prev is None:
+            units = [unit]
+            version = (prev.version + 1) if prev else 0
+            action = "overwrite" if mode == "overwrite" else "create"
+            schema = df.schema
+        else:  # append
+            units = prev.data_units + [unit]
+            version = prev.version + 1
+            action = "append"
+            table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+            schema = self._merge_schemas(table_schema, df.schema)
+
+        commit = Commit(
+            version=version,
+            action=action,
+            data_units=units,
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_by=partition_by,
+            primary_key=primary_key or (prev.primary_key if prev else []),
+            timestamp_ms=int(time.time() * 1000),
+            properties=properties or (prev.properties if prev else {}),
+        )
+        self._publish(commit)
+        return commit
+
+    @staticmethod
+    def _merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+        names = {f.name for f in a.fields}
+        fields = list(a.fields) + [f for f in b.fields if f.name not in names]
+        return T.StructType(fields)
+
+    # ---------- read path ----------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        commit = self.commit_at(version) if version is not None else self.latest_commit()
+        if commit is None:
+            raise UserException(f"No table at {self.path}")
+        dfs = [
+            self.spark.read.parquet(os.path.join(self._data_dir, u))
+            for u in commit.data_units
+        ]
+        df = reduce(
+            lambda x, y: x.unionByName(y, allowMissingColumns=True), dfs
+        )
+        # present columns in committed schema order
+        schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        want = [f.name for f in schema.fields]
+        have = set(df.columns)
+        return df.select(*[c for c in want if c in have])
+
+    # ---------- upsert (W12 + O2) ----------
+
+    def upsert(
+        self,
+        source: DataFrame,
+        primary_key: list[str],
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+    ) -> Commit:
+        """MERGE INTO semantics: WHEN MATCHED UPDATE all columns, WHEN
+        NOT MATCHED INSERT all columns (src/component.py:238-260), with
+        O2 pre-dedup of the source by PK (Delta merge requires unique
+        source keys; src/component.py:249-260 last-write-wins).
+
+        Copy-on-write implementation (what Delta merge does without
+        deletion vectors): new snapshot = source ∪ (target ⟕anti
+        source). At scale the anti-join broadcasts the source key set
+        when small; AQE picks the strategy otherwise.
+        """
+        if not primary_key:
+            raise UserException("Upsert load mode requires a primary key.")
+        from component_delta_lake_writer_spark.operators.merge import (
+            dedup_source,
+            merge_upsert,
+        )
+
+        if not self.exists():
+            # O2 applies to the very first batch too: MERGE requires
+            # unique source keys even when the target starts empty.
+            return self.write(
+                dedup_source(source, primary_key), mode="overwrite",
+                primary_key=primary_key, compression=compression,
+                max_records_per_file=max_records_per_file,
+            )
+
+        prev = self.latest_commit()
+        target = self.read()
+        merged = merge_upsert(target, source, primary_key)
+        unit = self._write_unit(
+            merged, prev.partition_by, compression, max_records_per_file
+        )
+        commit = Commit(
+            version=prev.version + 1,
+            action="upsert",
+            data_units=[unit],
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+        )
+        self._publish(commit)
+        return commit
+
+    # ---------- maintenance ----------
+
+    def optimize(self, target_file_rows: int | None = None) -> Commit:
+        """Compact the snapshot into one fresh data unit (the engine's
+        OPTIMIZE; keeps read amplification bounded as appends pile up)."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        df = self.read()
+        unit = self._write_unit(df, prev.partition_by, "snappy", target_file_rows)
+        commit = Commit(
+            version=prev.version + 1,
+            action="optimize",
+            data_units=[unit],
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+        )
+        self._publish(commit)
+        return commit
+
+    def vacuum(self) -> int:
+        """Delete data units unreferenced by the latest commit."""
+        prev = self.latest_commit()
+        if prev is None or not os.path.isdir(self._data_dir):
+            return 0
+        live = set(prev.data_units)
+        removed = 0
+        for unit in os.listdir(self._data_dir):
+            if unit not in live:
+                shutil.rmtree(os.path.join(self._data_dir, unit), ignore_errors=True)
+                removed += 1
+        return removed
+
+    def drop(self) -> None:
+        """W13: DROP TABLE IF EXISTS (src/component.py:147-148)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def history(self) -> list[Commit]:
+        return [self.commit_at(v) for v in self._versions()]
