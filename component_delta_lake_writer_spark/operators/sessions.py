@@ -1,0 +1,111 @@
+"""Event-stream batch operators: sessionization and as-of join.
+
+Beyond-reference extension (SURVEY §2.5/§2.7 note: the reference has
+no aggregation/window surface; these add the time-series shapes a
+pipeline over an ``events`` table needs, as pure window functions —
+one shuffle on the partition key, then codegen'd window evaluation).
+
+Timestamps are handled as exact int64 microseconds (``ts_us``, see
+tables.py) so gap arithmetic is integer-exact and oracle-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_seconds``.
+
+    Classic two-window formulation: flag session starts with lag(),
+    then running-sum the flags into session ids. Scale: one shuffle
+    on user_id; everything after is within-partition.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = gap_seconds * 1_000_000
+    flagged = df.withColumn(
+        "is_new",
+        F.when(
+            (F.col(ts_col) - F.lag(ts_col).over(w)) > gap_us, 1
+        ).otherwise(F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0)),
+    )
+    wsum = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.withColumn("session_id", F.sum("is_new").over(wsum)).drop("is_new")
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    s = sessionize(df, gap_seconds, user_col, ts_col)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_us"),
+        F.max(ts_col).alias("end_us"),
+    )
+
+
+def asof_last_event(
+    df: DataFrame,
+    match_type: str,
+    target_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """As-of join expressed within one event stream: for every
+    ``target_type`` event, the timestamp of the most recent *prior*
+    ``match_type`` event of the same user (NULL if none).
+
+    Spark-first formulation of ASOF JOIN: instead of a range join
+    (O(n·m) without interval optimization), union both sides into one
+    ordered stream and take a running MAX over a window that excludes
+    the current row — one shuffle, linear scan. The same plan shape
+    covers the general two-table as-of join after a unionByName.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    asof_ts = F.max(
+        F.when(F.col(type_col) == match_type, F.col(ts_col))
+    ).over(w)
+    return (
+        df.withColumn("asof_ts_us", asof_ts)
+        .filter(F.col(type_col) == target_type)
+        .select(id_col, user_col, ts_col, "asof_ts_us")
+    )
+
+
+def hourly_rollup(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Tumbling-hour rollup by event type (the hypertable-rollup shape):
+    date_trunc + groupBy — partial aggregation map-side, one shuffle."""
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(20,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )

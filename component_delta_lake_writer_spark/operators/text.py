@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Every helper returns a column
+or DataFrame transform so Catalyst can push/prune around it.
+
+Beyond-reference extension (SURVEY §2.6/§7 M4): the reference has no
+scalar text surface; these are the operators a 100 TB document corpus
+needs (tokenize/quality/language-ID/fingerprint), designed to run as
+narrow projections over a partitioned scan — no shuffle at all until
+an aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenizer — identical semantics to the DuckDB oracle's
+# string_split_regex(trim(x), '\s+')
+_WS = r"\s+"
+
+# BPE-ish word/number/symbol pieces (used by token_count_bpe)
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
+
+# tiny per-language marker sets for the n-gram/stopword language ID
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|is|with)\b",
+    "de": r"\b(der|und|die|das|nicht)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|los|las|y|que)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), _WS))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish piece count: letter runs + digit runs + single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    pat = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+    return hits / F.greatest(token_count(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1]-ish quality heuristic: long enough, not
+    punctuation soup, has a sane stopword share. Weights arbitrary but
+    fixed; the point is the Spark-side shape (pure column expr)."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_pen = punct_ratio(text)
+    stop = stopword_ratio(text)
+    return F.round(
+        0.5 * len_score + 0.3 * F.least(stop * 5.0, F.lit(1.0)) + 0.2 * (1.0 - punct_pen),
+        6,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker hits; deterministic tie-break by the fixed
+    language order (first strictly-greater wins)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), _WS, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. Used for
+    exact dedup; cheap, shuffle-free until the groupBy."""
+    return F.md5(normalize_text(text))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_pieces", token_count_bpe(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 6))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

@@ -1,0 +1,178 @@
+"""Write-path probes (rows-only checks — no SQL oracle can observe a
+Delta-style table write, so the driver records row count + schema).
+
+Each probe exercises one reference write operator (SURVEY §2.2)
+through ManagedTable in a scratch directory, then returns the
+read-back DataFrame (or a summary) so the result is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.errors import TableExistsError
+from component_delta_lake_writer_spark.plans.query_registry import _scratch, query
+from component_delta_lake_writer_spark.sinks import ManagedTable
+from component_delta_lake_writer_spark.tables import load_table
+
+
+def _fresh_table(spark: SparkSession, key: str, sf_dir: str) -> ManagedTable:
+    path = os.path.join(_scratch(key, sf_dir), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    return ManagedTable(spark, path)
+
+
+@query("write_error_mode")
+def write_error_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (src/component.py:64-68): mode=error writes a fresh table,
+    then refuses the second write. Returns the surviving v0 data."""
+    t = _fresh_table(spark, "write_error_mode", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="error")
+    try:
+        t.write(o, mode="error")
+        raise AssertionError("mode=error must refuse an existing table")
+    except TableExistsError:
+        pass
+    return t.read()
+
+
+@query("write_append")
+def write_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (src/component.py:100-111): two appends; read-back is the
+    union (2x rows)."""
+    t = _fresh_table(spark, "write_append", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="append")
+    t.write(o, mode="append")
+    return t.read()
+
+
+@query("write_overwrite")
+def write_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (src/component.py:90-98): overwrite truncates-and-replaces;
+    read-back is only the second dataset."""
+    t = _fresh_table(spark, "write_overwrite", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    return t.read()
+
+
+@query("partitioned_write")
+def partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (src/component.py:96,210-214): partition_by layout; read-back
+    through the partitioned snapshot with pruning available."""
+    t = _fresh_table(spark, "partitioned_write", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t.write(li, mode="overwrite", partition_by=["l_returnflag"])
+    return t.read().filter(F.col("l_returnflag") == "R")
+
+
+@query("schema_merge")
+def schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (src/component.py:97,109): schema_mode=merge widens the
+    table; read-back has the union schema with nulls backfilled."""
+    t = _fresh_table(spark, "schema_merge", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.select("o_orderkey", "o_custkey"), mode="overwrite")
+    t.write(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        mode="append",
+        schema_mode="merge",
+    )
+    return t.read()
+
+
+@query("create_table_ddl")
+def create_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9/W10 (src/component.py:207-224): typed create with PK +
+    partitioning; PK is carried as informational table metadata
+    (SURVEY §4 note 2 — OSS has no enforced PK). Returns a one-row
+    summary of the committed metadata."""
+    t = _fresh_table(spark, "create_table_ddl", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    commit = t.write(
+        o,
+        mode="overwrite",
+        partition_by=["o_orderstatus"],
+        primary_key=["o_orderkey"],
+        properties={"constraints.primary_key": "o_orderkey"},
+    )
+    return spark.createDataFrame(
+        [
+            (
+                commit.version,
+                ",".join(commit.primary_key),
+                ",".join(commit.partition_by),
+                commit.properties.get("constraints.primary_key", ""),
+                t.read().count(),
+            )
+        ],
+        "version long, primary_key string, partition_by string, pk_property string, n_rows long",
+    )
+
+
+@query("upsert_write")
+def upsert_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 through the table layer (vs. the oracle-checked merge_upsert
+    which proves the operator): upsert commit + read-back."""
+    from component_delta_lake_writer_spark.plans.query_registry import _merge_source
+
+    t = _fresh_table(spark, "upsert_write", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.upsert(_merge_source(spark, sf_dir), ["o_orderkey"])
+    return t.read()
+
+
+@query("optimize_compact")
+def optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance surface: N appends → optimize() compacts to one
+    unit → vacuum() deletes the rest. Returns a one-row summary."""
+    t = _fresh_table(spark, "optimize_compact", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    for i in range(3):
+        t.write(o.filter(F.col("o_orderkey") % 3 == i), mode="append")
+    units_before = len(t.latest_commit().data_units)
+    t.optimize()
+    removed = t.vacuum()
+    return spark.createDataFrame(
+        [(units_before, len(t.latest_commit().data_units), removed, t.read().count())],
+        "units_before int, units_after int, units_vacuumed int, n_rows long",
+    )
+
+
+@query("time_travel_read")
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation: read version 0 after later commits mutated
+    the table — count must equal the original write."""
+    t = _fresh_table(spark, "time_travel_read", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.write(o.limit(10), mode="append")
+    v0 = t.read(version=0)
+    return spark.createDataFrame(
+        [(0, v0.count(), t.read().count())],
+        "version int, v0_rows long, latest_rows long",
+    )
+
+
+@query("streaming_hourly_agg")
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 streaming: availableNow drain of the events feed through the
+    hourly rollup — must equal the batch result (same oracle as
+    events_hourly_agg)."""
+    from component_delta_lake_writer_spark.streaming import stream_hourly_rollup
+
+    return stream_hourly_rollup(spark, sf_dir)
+
+
+# the streaming result *is* SQL-checkable against the batch oracle
+from component_delta_lake_writer_spark.plans.query_registry import ORACLES as _O
+
+_O["streaming_hourly_agg"] = _O["events_hourly_agg"]

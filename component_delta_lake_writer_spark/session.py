@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
+        # unreadable: PARQUET_TYPE_ILLEGAL. Read as raw int64 ns and let
+        # tables.load_events() convert to TIMESTAMP_NTZ microseconds.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if memory:
         builder = builder.config("spark.driver.memory", memory)

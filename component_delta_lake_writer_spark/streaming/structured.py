@@ -1,0 +1,69 @@
+"""Structured Streaming surface (SURVEY §2.7 — beyond-reference M5).
+
+The reference is strictly batch; this adds the streaming spelling of
+the same rollups so an events feed can run continuously. Tested with
+``Trigger.AvailableNow`` over the static events parquet — the result
+must equal the batch rollup (and is checked against the same DuckDB
+oracle), which is exactly Structured Streaming's unification claim.
+
+Scale posture: the same plan runs on a live source (Kafka/files) by
+swapping readStream source + adding ``withWatermark`` (late data
+bounded, state eviction) — the aggregation plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.operators.sessions import hourly_rollup
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """readStream wants a directory of homogeneous files; the testdata
+    dir mixes tables, so stage a symlink to events.parquet."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = f"/tmp/cdlws_scratch/stream_events/{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def stream_hourly_rollup(
+    spark: SparkSession, sf_dir: str, with_watermark: bool = True
+) -> DataFrame:
+    """Hourly event rollup as a stream, drained with availableNow into
+    a memory sink; returns the materialized result table."""
+    src_dir = _stage_events_dir(sf_dir)
+    schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        # watermarks require TIMESTAMP (with local tz), not NTZ; the
+        # session tz is UTC so values are identical — cast back to NTZ
+        # after the aggregation for oracle-comparable output.
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    if with_watermark:
+        # 1h watermark: bounds state for late data on a live source;
+        # no-op for the availableNow drain of static files.
+        stream = stream.withWatermark("ts", "1 hour")
+    rolled = hourly_rollup(stream).withColumn(
+        "hour", F.col("hour").cast("timestamp_ntz")
+    )
+    name = f"stream_hourly_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    q = (
+        rolled.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,85 @@
+"""Differential comparator mirroring the driver's correctness gate:
+run the Spark query and the DuckDB oracle on the same sf_dir and
+compare row count + sorted-column-name schema + order-insensitive
+value multiset (exact, after canonical normalization)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"d:{v.normalize()}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, list):
+        return "l:[" + ",".join(_norm(x) for x in v) + "]"
+    return f"{type(v).__name__[0]}:{v}"
+
+
+def compare(spark_df, con, oracle_sql: str, key: str = "?") -> None:
+    scols = spark_df.columns
+    srows = spark_df.collect()
+    rel = con.sql(oracle_sql)
+    ocols = rel.columns
+    orows = rel.fetchall()
+
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in ocols
+    ), f"[{key}] column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
+    assert len(srows) == len(
+        orows
+    ), f"[{key}] row count mismatch: spark={len(srows)} oracle={len(orows)}"
+
+    s_order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    o_order = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+    s_set = sorted(
+        tuple(_norm(row[i]) for i in s_order) for row in (tuple(r) for r in srows)
+    )
+    o_set = sorted(tuple(_norm(row[i]) for i in o_order) for row in orows)
+    if s_set != o_set:
+        diffs = [
+            (a, b) for a, b in zip(s_set, o_set) if a != b
+        ][:5]
+        raise AssertionError(
+            f"[{key}] value mismatch; first diffs (spark vs oracle): {diffs}"
+        )

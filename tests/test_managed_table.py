@@ -1,0 +1,115 @@
+"""Unit tests for the ManagedTable commit-log sink (SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.errors import (
+    SchemaMismatchError,
+    TableExistsError,
+    UserException,
+)
+from component_delta_lake_writer_spark.sinks import ManagedTable
+from component_delta_lake_writer_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp_path_str():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_error_mode_refuses_existing(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    t.write(o, mode="error")
+    with pytest.raises(TableExistsError):
+        t.write(o, mode="error")
+
+
+def test_append_overwrite_versions(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    n = o.count()
+    t.write(o, mode="append")
+    t.write(o, mode="append")
+    assert t.read().count() == 2 * n
+    t.write(o, mode="overwrite")
+    assert t.read().count() == n
+    assert t.read(version=1).count() == 2 * n  # time travel
+
+
+def test_schema_merge_gate(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    t.write(o.select("o_orderkey"), mode="overwrite")
+    with pytest.raises(SchemaMismatchError):
+        t.write(o.select("o_orderkey", "o_totalprice"), mode="append")
+    t.write(
+        o.select("o_orderkey", "o_totalprice"), mode="append", schema_mode="merge"
+    )
+    assert t.read().columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_upsert_dedups_first_batch(spark, tmp_path_str):
+    """Regression: O2 pre-dedup must apply on table creation too."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders").limit(10)
+    dup = o.unionByName(o)
+    t.upsert(dup, ["o_orderkey"])
+    assert t.read().count() == 10
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    t.write(o, mode="overwrite")
+    src = o.limit(5).withColumn("o_totalprice", F.lit(-1.0)).unionByName(
+        o.limit(3).withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    )
+    t.upsert(src, ["o_orderkey"])
+    r = t.read()
+    assert r.count() == o.count() + 3
+    assert r.filter(F.col("o_totalprice") == -1.0).count() == 5
+
+
+def test_upsert_requires_pk(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    with pytest.raises(UserException):
+        t.upsert(o, [])
+
+
+def test_optimize_vacuum(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    for i in range(3):
+        t.write(o.filter(F.col("o_orderkey") % 3 == i), mode="append")
+    assert len(t.latest_commit().data_units) == 3
+    n = t.read().count()
+    t.optimize()
+    assert len(t.latest_commit().data_units) == 1
+    assert t.vacuum() == 3
+    assert t.read().count() == n
+
+
+def test_partitioned_write_prunes(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    li = load_table(spark, SF, "lineitem")
+    t.write(li, mode="overwrite", partition_by=["l_returnflag"])
+    got = t.read().filter(F.col("l_returnflag") == "R").count()
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert got == want
+    plan = (
+        t.read()
+        .filter(F.col("l_returnflag") == "R")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
