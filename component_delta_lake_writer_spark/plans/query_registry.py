@@ -827,45 +827,51 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    """Mirrors operators.dedup exactly: 16-hash signatures, 4 bands ×
+    4 rows, bucket cap MAX_BUCKET, array-intersect Jaccard verify."""
+    n_bands = 4
+    rpb = len(D.HASH_FAMILY) // n_bands
     mins = ",\n        ".join(
         f"MIN(({a}*h + {b}) % {D.MERSENNE_P}) AS m{i}"
         for i, (a, b) in enumerate(D.HASH_FAMILY)
     )
     bands = ",\n        ".join(
-        f"CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) AS b{b}"
-        for b in range(4)
+        " || '_' || ".join(f"CAST(m{b*rpb+r} AS VARCHAR)" for r in range(rpb))
+        + f" AS b{b}"
+        for b in range(n_bands)
     )
-    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    pair_selects = "\n      UNION ALL\n      ".join(
+        f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id
+      WHERE a.b{b} IN (SELECT b{b} FROM banded GROUP BY b{b}
+                       HAVING COUNT(*) BETWEEN 2 AND {D.MAX_BUCKET})"""
+        for b in range(n_bands)
+    )
     return f"""
     WITH sh AS (
       SELECT DISTINCT doc_id,
-        ('0x' || substr(md5(substr(norm, g.i::INT, 5)), 1, 8))::BIGINT AS h
-      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        ('0x' || substr(md5(array_to_string(d.t[g.i:g.i+2], ' ')), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
             FROM documents) d,
-      LATERAL (SELECT unnest(generate_series(1, greatest(length(d.norm) - 4, 1))) AS i) g
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(d.t) - 2, 1))) AS i) g
     ),
     mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     banded AS (SELECT doc_id, {bands} FROM mh),
     cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.doc_id < b.doc_id AND ({band_or})
+      SELECT DISTINCT id_a, id_b FROM (
+      {pair_selects}
+      )
     ),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, COUNT(*) AS i
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-      GROUP BY c.id_a, c.id_b
-    )
+    sets AS (SELECT doc_id, list(h) AS hs, COUNT(*) AS n FROM sh GROUP BY doc_id)
     SELECT c.id_a, c.id_b,
-      ROUND(COALESCE(i.i, 0) / (ca.n + cb.n - COALESCE(i.i, 0)), 6) AS jaccard
+      ROUND(len(list_intersect(sa.hs, sb.hs))
+            / (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
     FROM cand c
-    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN counts ca ON ca.doc_id = c.id_a
-    JOIN counts cb ON cb.doc_id = c.id_b
-    WHERE ROUND(COALESCE(i.i, 0) / (ca.n + cb.n - COALESCE(i.i, 0)), 6) >= 0.5
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE ROUND(len(list_intersect(sa.hs, sb.hs))
+            / (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs))), 6) >= 0.5
     """
 
 

@@ -54,6 +54,7 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
         # unreadable: PARQUET_TYPE_ILLEGAL. Read as raw int64 ns and let
