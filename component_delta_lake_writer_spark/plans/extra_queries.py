@@ -1,0 +1,322 @@
+"""Second wave of query keys: multi-join TPC-H-style probes, SimHash,
+bucketed ANN (generated oracle), job-runner and catalog/stateful
+rows-only probes. Same float-determinism rules as query_registry."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.operators import dedup as D
+from component_delta_lake_writer_spark.operators import similarity as SIM
+from component_delta_lake_writer_spark.plans.query_registry import (
+    _scratch,
+    query,
+)
+from component_delta_lake_writer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (beyond-reference §7 M4; exercises join ordering,
+# broadcast of dims, partial aggregation across a 3-6 table tree)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+           AS DOUBLE) AS revenue,
+      o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact
+    join, decimal-exact revenue, global top-10. Catalyst broadcasts
+    customer (small after the segment filter); lineitem never shuffles
+    until the final 10-row TakeOrdered."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_region_volume",
+    oracle="""
+    SELECT n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join tree with three broadcastable dims
+    and a same-nation supplier equi-constraint — the canonical 'did the
+    optimizer order the joins' probe."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup (operators.dedup.simhash_signatures)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents) d,
+      LATERAL (SELECT unnest(string_split(d.norm, ' ')) AS tok) t
+    ),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash FROM votes
+    """
+
+
+@query("simhash_dedup", oracle=_simhash_oracle())
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (operators.dedup.simhash_signatures): ±1
+    token votes per bit, one shuffle; near-dups are signatures at
+    small Hamming distance (bucketable by signature bands)."""
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed ANN — the scale path, with a fully generated oracle
+# ---------------------------------------------------------------------------
+
+_ANN_PLANES = 6
+_ANN_DIM = 64
+
+
+def _plane_sign(p: int, d: int) -> float:
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def _ann_oracle() -> str:
+    # per-plane deterministic ±1 signs, identical to
+    # similarity.hyperplane_sign_bucket
+    def acc(p: int, vec: str) -> str:
+        terms = " + ".join(
+            f"CAST({vec}[{d+1}] AS DOUBLE) * ({_plane_sign(p, d)})"
+            for d in range(_ANN_DIM)
+        )
+        return f"({terms})"
+
+    def bucket(vec: str) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {acc(p, vec)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(_ANN_PLANES)
+        )
+        return f"({bits})"
+
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+    ),
+    p AS (SELECT embedding AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id,
+      ROUND({dot.format(a='e.embedding', b='p.pv')}
+        / (sqrt({dot.format(a='e.embedding', b='e.embedding')})
+           * sqrt({dot.format(a='p.pv', b='p.pv')})), 6) AS cosine
+    FROM b e, p
+    WHERE e.bucket = p.pbucket AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+@query("ann_lsh_bucket_topk", oracle=_ann_oracle())
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k (operators.similarity.lsh_bucket_topk):
+    random-hyperplane buckets prune the candidate set to the probe's
+    bucket before brute-force scoring. Deterministic by construction
+    (hyperplane signs derive from md5), so even the approximate result
+    is oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.lsh_bucket_topk(
+        emb, probe, dim=_ANN_DIM, k=10, n_planes=_ANN_PLANES
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only probes: job runner (E1/E2), catalog actions (E3),
+# stateful streaming sessionization
+# ---------------------------------------------------------------------------
+
+
+@query("job_run_external")
+def job_run_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 end-to-end (runner.run_job): manifest-described CSV slices
+    → all-string staging scan → cast projection → upsert commit →
+    read-back. The reference's full data plane in one call."""
+    import json
+
+    from component_delta_lake_writer_spark.config import (
+        ColumnSpec,
+        Destination,
+        JobSpec,
+        LoadMode,
+    )
+    from component_delta_lake_writer_spark.runner import TableInput, run_job
+
+    base = _scratch("job_run_external", sf_dir)
+    os.makedirs(base, exist_ok=True)
+    slices_dir = os.path.join(base, "slices")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    o.coalesce(4).write.mode("overwrite").option("header", "false").csv(slices_dir)
+    slice_files = sorted(
+        os.path.join(slices_dir, f)
+        for f in os.listdir(slices_dir)
+        if f.endswith(".csv")
+    )
+    manifest_path = os.path.join(base, "manifest.json")
+    with open(manifest_path, "w") as f:
+        json.dump({"entries": [{"url": u} for u in slice_files]}, f)
+
+    import shutil
+
+    table_uri = os.path.join(base, "table")
+    shutil.rmtree(table_uri, ignore_errors=True)
+    spec = JobSpec(
+        destination=Destination(
+            table_uri=table_uri,
+            load_mode=LoadMode.UPSERT,
+            primary_key=["o_orderkey"],
+        )
+    )
+    tbl = TableInput(
+        manifest_path=manifest_path,
+        columns=[
+            ColumnSpec("o_orderkey", "INTEGER"),
+            ColumnSpec("o_custkey", "INTEGER"),
+            ColumnSpec("o_orderstatus", "STRING"),
+            ColumnSpec("o_totalprice", "NUMERIC", "14,2"),
+            ColumnSpec("o_orderdate", "TIMESTAMP"),
+            ColumnSpec("o_orderpriority", "STRING"),
+        ],
+    )
+    t = run_job(spark, spec, table=tbl)
+    return t.read()
+
+
+@query("catalog_actions")
+def catalog_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 metadata plane (actions.execute_action): catalog/schema/
+    table/column listings with the reference's SelectElement contract."""
+    from component_delta_lake_writer_spark.actions import execute_action
+    from component_delta_lake_writer_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    cats = execute_action(spark, "list_uc_catalogs").withColumn(
+        "kind", F.lit("catalog")
+    )
+    tabs = execute_action(spark, "list_uc_tables").withColumn("kind", F.lit("table"))
+    cols = execute_action(spark, "list_table_columns", table="orders").withColumn(
+        "kind", F.lit("column")
+    )
+    return cats.unionByName(tabs).unionByName(cols).orderBy("kind", "value")
+
+
+@query("stateful_sessionize_stream")
+def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (M5): per-user session
+    aggregation via applyInPandasWithState with an availableNow drain.
+    Non-SQL-expressible (driver records rows-only); tests assert
+    equality with the batch sessionizer."""
+    from component_delta_lake_writer_spark.streaming.stateful import (
+        stream_sessionize,
+    )
+
+    return stream_sessionize(spark, sf_dir, gap_seconds=1800)
