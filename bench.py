@@ -26,15 +26,23 @@ HEADLINE = [
     "parquet_scan",
     "agg_returnflag",
     "join_inner_pk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
     "merge_upsert",
     "window_topk_per_group",
     "sort_limit_topk",
     "events_hourly_agg",
     "sessionize_events",
     "text_quality_score",
+    "lang_id_ngram",
     "exact_dedup_docs",
     "minhash_dedup",
+    "simhash_dedup",
     "cosine_topk",
+    "ann_lsh_bucket_topk",
+    "embedding_near_dup",
+    "multimodal_meta",
+    "streaming_hourly_agg",
     "write_append",
     "upsert_write",
 ]

@@ -74,23 +74,75 @@ def cosine_topk(
     )
 
 
+def plane_signs(p: int, dim: int) -> list[float]:
+    """Plane p's ±1 components: fixed pseudo-random signs derived from
+    md5(p:d) — no stored model, identical on every executor and run."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
 def hyperplane_sign_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1).
 
-    Plane p's component for dimension d is a fixed pseudo-random ±1
-    derived from md5(p,d) — no stored model, identical on every
-    executor and every run.
+    Each plane's projection is a zip_with against a sign-array literal
+    folded sequentially — a compact expression tree (codegen stays
+    small; a naive per-element sum of 64 terms × planes blows up the
+    generated code and its compile time).
     """
     bucket = F.lit(0)
+    dvec = F.transform(vec, lambda x: x.cast("double"))
     for p in range(n_planes):
-        acc = F.lit(0.0)
-        for d in range(dim):
-            # deterministic ±1 from the md5 hex of (plane, dim)
-            h = int(__import__("hashlib").md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
-            sign = 1.0 if h % 2 == 0 else -1.0
-            acc = acc + F.element_at(vec, d + 1).cast("double") * F.lit(sign)
+        signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
+        acc = F.aggregate(
+            F.zip_with(dvec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
         bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket the vectors, score
+    only same-bucket pairs, keep cosine ≥ threshold.
+
+    The all-pairs O(n²) space is never materialized — candidates are
+    restricted to hyperplane-bucket collisions (~n²/2^planes), the
+    same pruning a 100 TB dedup run uses, where the bucket id becomes
+    a partition key."""
+    bucketed = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        hyperplane_sign_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def lsh_bucket_topk(

@@ -76,10 +76,9 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax over marker hits; deterministic tie-break by the fixed
-    language order (first strictly-greater wins)."""
-    scores = lang_scores(text)
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax over per-language score columns; deterministic tie-break
+    by the fixed language order (first strictly-greater wins)."""
     langs = list(LANG_MARKERS)
     best_lang = F.lit(langs[0])
     best_score = scores[langs[0]]
@@ -88,6 +87,15 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, scores[lang]).otherwise(best_score)
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker hits. NOTE: inlines each regex into the
+    when-chain; for hot paths project ``lang_scores`` into real columns
+    first and use ``lang_id_from_scores`` so every regex runs once
+    (the chained argmax otherwise duplicates the regexp_extract_all
+    subtrees many times in the generated code)."""
+    return lang_id_from_scores(lang_scores(text))
 
 
 def normalize_text(text: Column) -> Column:

@@ -320,3 +320,61 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_sessionize(spark, sf_dir, gap_seconds=1800)
+
+
+def _near_dup_oracle() -> str:
+    def acc(p: int, vec: str) -> str:
+        terms = " + ".join(
+            f"CAST({vec}[{d+1}] AS DOUBLE) * ({_plane_sign(p, d)})"
+            for d in range(_ANN_DIM)
+        )
+        return f"({terms})"
+
+    def bucket(vec: str) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {acc(p, vec)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(_ANN_PLANES)
+        )
+        return f"({bits})"
+
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    cos = (
+        f"ROUND({dot.format(a='a.embedding', b='b.embedding')}"
+        f" / (sqrt({dot.format(a='a.embedding', b='a.embedding')})"
+        f" * sqrt({dot.format(a='b.embedding', b='b.embedding')})), 6)"
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4
+    """
+
+
+@query("embedding_near_dup", oracle=_near_dup_oracle())
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators.similarity
+    .embedding_near_dup): hyperplane-bucketed candidate pruning +
+    exact cosine on collisions only — deterministic, oracle-checked."""
+    return SIM.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), dim=_ANN_DIM, threshold=0.4
+    )
+
+
+@query("frame_sample_plan")
+def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing (operators.multimodal
+    .frame_sample_plan): per-doc frame index explosion for a video
+    decode stage — JVM-side sequence+explode, rows-only check."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    return frame_sample_plan(
+        load_table(spark, sf_dir, "documents").limit(100), every_n=30
+    )

@@ -798,13 +798,26 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (operators.text.lang_id): marker-regex
-    argmax with first-greater-wins tie-break, grouped into a
-    (actual, predicted) confusion table."""
+    """Language-ID heuristic (operators.text): marker-regex argmax
+    with first-greater-wins tie-break, grouped into an (actual,
+    predicted) confusion table. Two-stage projection: scores first
+    (each regex evaluated once), argmax second."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "lang", TX.lang_id(F.col("text")).alias("lang_pred")
-    ).groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    scored = d.select(
+        "lang",
+        *[
+            c.alias(f"s_{lang}")
+            for lang, c in TX.lang_scores(F.col("text")).items()
+        ],
+    )
+    pred = TX.lang_id_from_scores(
+        {lang: F.col(f"s_{lang}") for lang in TX.LANG_MARKERS}
+    )
+    return (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------------
