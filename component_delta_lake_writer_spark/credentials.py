@@ -1,0 +1,85 @@
+"""Object-store credential scoping + log redaction (S5, F3).
+
+Reference behavior re-expressed:
+- S5 (src/component.py:262-273): before any S3 read the reference
+  issues ``CREATE OR REPLACE SECRET (TYPE S3, REGION…, KEY_ID…,
+  SECRET…, SESSION_TOKEN…)``. Spark-first, scoping credentials to a
+  bucket is per-bucket Hadoop configuration — set once on the session,
+  visible to every executor, no secret objects to manage.
+- provider switch (src/component.py:301-351): abs | s3 | gcs URI
+  styles map to the matching Hadoop filesystem confs.
+- F3 (src/component.py:282): the reference redacts ``CREDENTIAL (…)``
+  from logged SQL; we redact the same plus obvious key=value secrets.
+
+These set configuration only — there is no cloud connectivity in the
+test environment, so the unit tests assert the conf mapping, not I/O.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+# reference redaction: src/component.py:282 (CREDENTIAL\s\(.+\) → --SENSITIVE--)
+_REDACTIONS = [
+    (re.compile(r"CREDENTIAL\s\(.+\)", re.IGNORECASE), "--SENSITIVE--"),
+    (
+        re.compile(
+            r"(secret|token|password|key_id|access.key)(\s*[=:]\s*)[^\s,)]+",
+            re.IGNORECASE,
+        ),
+        r"\1\2--SENSITIVE--",
+    ),
+]
+
+
+def redact(text: str) -> str:
+    """F3: strip credentials from any string destined for logs."""
+    for pat, repl in _REDACTIONS:
+        text = pat.sub(repl, text)
+    return text
+
+
+def scope_s3_credentials(
+    spark: SparkSession,
+    bucket: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None = None,
+    region: str | None = None,
+    timeout_s: int = 3600,
+    max_retries: int = 2,
+) -> None:
+    """S5: per-bucket S3 credentials + the reference's hard-coded
+    timeout/retry storage options (src/component.py:302-305)."""
+    conf = spark.conf
+    base = f"spark.hadoop.fs.s3a.bucket.{bucket}"
+    conf.set(f"{base}.access.key", access_key)
+    conf.set(f"{base}.secret.key", secret_key)
+    if session_token:
+        conf.set(f"{base}.session.token", session_token)
+        conf.set(
+            f"{base}.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider",
+        )
+    if region:
+        conf.set(f"{base}.endpoint.region", region)
+    conf.set("spark.hadoop.fs.s3a.connection.timeout", str(timeout_s * 1000))
+    conf.set("spark.hadoop.fs.s3a.attempts.maximum", str(max_retries))
+
+
+def scope_azure_credentials(
+    spark: SparkSession, account: str, key: str
+) -> None:
+    """abs provider branch (src/component.py:306-317)."""
+    spark.conf.set(
+        f"spark.hadoop.fs.azure.account.key.{account}.dfs.core.windows.net", key
+    )
+
+
+def scope_gcs_credentials(spark: SparkSession, keyfile_path: str) -> None:
+    """gcs provider branch (src/component.py:318-330)."""
+    spark.conf.set(
+        "spark.hadoop.google.cloud.auth.service.account.json.keyfile", keyfile_path
+    )

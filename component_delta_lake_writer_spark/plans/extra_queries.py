@@ -378,3 +378,80 @@ def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(
         load_table(spark, sf_dir, "documents").limit(100), every_n=30
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional analytics shapes: percentiles, lead/lag, cube
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentile_prices",
+    oracle="""
+    SELECT o_orderpriority,
+      ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`
+    == DuckDB quantile_cont linear interpolation), rounded to absorb
+    last-ulp interpolation-order differences."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@query(
+    "lead_lag_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      ROUND(o_totalprice - COALESCE(lag(o_totalprice) OVER w, o_totalprice), 4)
+        AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def lead_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")), 4
+        ).alias("delta_prev"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

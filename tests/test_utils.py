@@ -1,0 +1,63 @@
+"""Tests for credential scoping (S5), redaction (F3), retry (X4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from component_delta_lake_writer_spark.credentials import (
+    redact,
+    scope_s3_credentials,
+)
+from component_delta_lake_writer_spark.http_retry import with_retries
+
+
+def test_redact_credential_clause():
+    # the reference's exact pattern: src/component.py:282
+    sql = "COPY INTO t FROM 's3://b/' WITH (CREDENTIAL (AWS_ACCESS_KEY 'AKIA123'))"
+    out = redact(sql)
+    assert "AKIA123" not in out
+    assert "--SENSITIVE--" in out
+
+
+def test_redact_key_value_secrets():
+    out = redact("secret=topsecret token: abc123 access_key=AKIA9")
+    assert "topsecret" not in out
+    assert "abc123" not in out
+    assert "AKIA9" not in out
+
+
+def test_scope_s3_credentials_sets_bucket_confs(spark):
+    scope_s3_credentials(
+        spark, "mybucket", "AK", "SK", session_token="TOK", region="eu-west-1"
+    )
+    conf = spark.conf
+    base = "spark.hadoop.fs.s3a.bucket.mybucket"
+    assert conf.get(f"{base}.access.key") == "AK"
+    assert conf.get(f"{base}.secret.key") == "SK"
+    assert conf.get(f"{base}.session.token") == "TOK"
+    # the reference's hard-coded storage options (src/component.py:302-305)
+    assert conf.get("spark.hadoop.fs.s3a.attempts.maximum") == "2"
+    assert conf.get("spark.hadoop.fs.s3a.connection.timeout") == "3600000"
+
+
+def test_with_retries_succeeds_after_failures():
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return "ok"
+
+    assert with_retries(flaky, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 3
+    assert sleeps == [1, 2]  # linear backoff: attempt+1 (X4)
+
+
+def test_with_retries_reraises_last():
+    def always_fails():
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        with_retries(always_fails, sleep=lambda s: None)
