@@ -1,0 +1,43 @@
+"""Skew-mitigation join: salting for heavy-hitter keys.
+
+AQE's skew-join split (enabled in the session factory) handles most
+runtime skew for sort-merge joins; salting is the explicit-plan tool
+for the cases AQE can't fix — e.g. a broadcast-ineligible dim joined
+on a key where one value holds 30% of the fact rows.
+
+``salted_join`` replicates each right-side row SALT times and sprays
+the left side's rows uniformly across the salt space, so the heavy
+key's rows spread over SALT tasks instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join on ``on`` with the left (large/skewed) side salted.
+
+    Correctness: every left row gets one deterministic salt (content
+    hash of the whole row — stable under task retries, which matters:
+    a nondeterministic salt feeding a shuffle can duplicate or drop
+    rows when a stage recomputes), every right row is replicated to
+    all salts — so each (key, salt) bucket joins exactly once. Result
+    equals the unsalted join.
+    """
+    left_s = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    right_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = left_s.join(right_s, [on, "__salt"], how).drop("__salt")
+    return out

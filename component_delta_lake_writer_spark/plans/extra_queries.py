@@ -455,3 +455,53 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) +
+             CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS slide_base,
+             value FROM events
+    ),
+    both_windows AS (
+      SELECT slide_base AS win_start, value FROM contrib
+      UNION ALL
+      SELECT slide_base - INTERVAL 30 MINUTE AS win_start, value FROM contrib
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4) AS sum_value
+    FROM both_windows GROUP BY win_start
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1h windows, 30min slide) via
+    ``F.window`` — each event lands in two overlapping windows. The
+    oracle derives the same assignment arithmetically (an event's two
+    window starts are its 30-min bucket and that minus 30min)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@query("dedup_cluster_resolve")
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components over MinHash near-dup pairs
+    (operators.clusters): each duplicate keeps its cluster's canonical
+    min-id representative. Genuinely iterative (label propagation to
+    fixpoint) → rows-only driver check; tests verify against a
+    driver-side union-find."""
+    from component_delta_lake_writer_spark.operators.clusters import dedup_clusters
+
+    pairs = D.minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_clusters(pairs).orderBy("id")

@@ -289,13 +289,27 @@ class ManagedTable:
 
     # ---------- maintenance ----------
 
-    def optimize(self, target_file_rows: int | None = None) -> Commit:
+    def optimize(
+        self,
+        target_file_rows: int | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> Commit:
         """Compact the snapshot into one fresh data unit (the engine's
-        OPTIMIZE; keeps read amplification bounded as appends pile up)."""
+        OPTIMIZE; keeps read amplification bounded as appends pile up).
+
+        ``cluster_by`` additionally range-partitions + sorts rows by
+        the given columns before writing (the Z-ORDER-style layout
+        play): parquet min/max column stats become tight per file, so
+        later point/range filters on those columns skip whole files —
+        the 100 TB substitute for an index."""
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
         df = self.read()
+        if cluster_by:
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         unit = self._write_unit(df, prev.partition_by, "snappy", target_file_rows)
         commit = Commit(
             version=prev.version + 1,
