@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the semantics that must hold
+for ANY input, not just the fixtures: merge upsert algebra, cast
+round-trips, and the managed-table mode laws."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+KEYS = st.integers(min_value=0, max_value=30)
+VALS = st.integers(min_value=-1000, max_value=1000)
+
+rows_strategy = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=40)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=rows_strategy, source=rows_strategy)
+def test_merge_upsert_model(spark, target, source):
+    """merge_upsert == the reference MERGE model: result keys =
+    target ∪ source keys; source wins on matched keys; exactly one
+    row per key when inputs are key-unique."""
+    from component_delta_lake_writer_spark.operators.merge import merge_upsert
+
+    # make inputs key-unique (MERGE requires unique source keys; O2
+    # dedup handles violation separately)
+    t = {k: v for k, v in target}
+    s = {k: v for k, v in source}
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in t.items()] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in s.items()] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+
+    got = {r["k"]: r["v"] for r in merge_upsert(tdf, sdf, ["k"]).collect()}
+    want = {**t, **s}
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-10**8, max_value=10**8, places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cast_matrix_roundtrip(spark, vals):
+    """string → DECIMAL(14,2) → string → DECIMAL(14,2) is the identity
+    (the staging path's typing must be lossless)."""
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string")
+    out = df.select(
+        F.col("s").cast("decimal(14,2)").cast("string").cast("decimal(14,2)").alias("d")
+    ).collect()
+    assert [str(r["d"]) for r in out] == [f"{v:.2f}" for v in vals]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(rows_strategy.filter(lambda r: len(r) > 0), min_size=1, max_size=4))
+def test_append_commits_accumulate(spark, batches):
+    """N appends == union of the batches, regardless of batch shapes
+    (the reference's first-batch-mode-rest-append loop, W8, collapses
+    to this law)."""
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, d + "/t")
+        expect = 0
+        for batch in batches:
+            df = spark.createDataFrame(batch, "k long, v long")
+            t.write(df, mode="append")
+            expect += len(batch)
+        assert t.read().count() == expect
+        # and time travel sees each prefix
+        assert t.read(version=0).count() == len(batches[0])
