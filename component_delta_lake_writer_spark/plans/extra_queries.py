@@ -505,3 +505,112 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = D.minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_clusters(pairs).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-surface breadth: NULL semantics, string functions, array ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT c.c_custkey,
+      o.o_orderkey IS NULL            AS no_order,
+      COALESCE(o.o_totalprice, -1.0)  AS price_or_default,
+      NULLIF(c.c_mktsegment, 'BUILDING') AS seg_nullified,
+      (o.o_totalprice IS NOT DISTINCT FROM NULL) AS null_safe_is_null
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderkey % 50 = 0
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity: outer-join NULL introduction, COALESCE,
+    NULLIF, null-safe comparison (Spark <=> == DuckDB IS NOT DISTINCT
+    FROM)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    j = c.join(o, o.o_custkey == c.c_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("price_or_default"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+        F.col("o_totalprice").eqNullSafe(F.lit(None).cast("double")).alias(
+            "null_safe_is_null"
+        ),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+      upper(c_name)                         AS up,
+      lower(c_mktsegment)                   AS lo,
+      substr(c_name, 1, 8)                  AS pre,
+      length(c_name)                        AS len,
+      replace(c_name, '#', '-')             AS repl,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      concat(c_mktsegment, ':', c_name)     AS joined,
+      (c_name LIKE '%1%')                   AS has_one,
+      split_part(c_name, '#', 2)            AS after_hash,
+      reverse(c_mktsegment)                 AS rev,
+      trim('  ' || c_mktsegment || ' ')     AS trimmed
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface parity across 12 functions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.length("c_name").alias("len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("joined"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+      len(embedding)                                   AS dim,
+      ROUND(CAST(embedding[1] AS DOUBLE), 6)           AS first_val,
+      ROUND(CAST(list_max(embedding) AS DOUBLE), 6)    AS max_val,
+      ROUND(CAST(list_min(embedding) AS DOUBLE), 6)    AS min_val,
+      len(list_filter(embedding, x -> x > 0))          AS n_positive,
+      ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        (a, b) -> a + b), 6)           AS total
+    FROM embeddings
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface: size/index/min/max/filter/fold over the
+    embedding column — all Catalyst higher-order functions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                dvec, F.element_at(dvec, 1) * F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("total"),
+    )
