@@ -614,3 +614,91 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("total"),
     )
+
+
+@query(
+    "csv_quoted_edge",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'plain', 'BUILDING', CAST(10.50 AS DECIMAL(10,2))),
+      (2, 'comma, inside', 'AUTO', CAST(-3.25 AS DECIMAL(10,2))),
+      (3, 'quote "q" inside', 'HOUSE', CAST(0.00 AS DECIMAL(10,2))),
+      (4, NULL, 'EMPTY', CAST(99.99 AS DECIMAL(10,2))),
+      (5, 'newline ok', NULL, NULL)
+    ) AS t(id, name, seg, amount)
+    """,
+)
+def csv_quoted_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 edge semantics: quoted fields with embedded commas and
+    escaped quotes, empty strings as NULLs, NULL numerics — the
+    header-less Keboola CSV shape (reference fixture
+    component_config/sample-config/in/tables/test.csv)."""
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.sources.csv import read_csv_typed
+
+    path = _scratch("csv_quoted_edge", sf_dir)
+    os.makedirs(path, exist_ok=True)
+    csv = (
+        '1,plain,BUILDING,10.50\n'
+        '2,"comma, inside",AUTO,-3.25\n'
+        '3,"quote ""q"" inside",HOUSE,0.00\n'
+        '4,,EMPTY,99.99\n'
+        '5,newline ok,,\n'
+    )
+    fpath = os.path.join(path, "part-000.csv")
+    with open(fpath, "w") as f:
+        f.write(csv)
+    cols = [
+        ColumnSpec("id", "INTEGER"),
+        ColumnSpec("name", "STRING"),
+        ColumnSpec("seg", "STRING"),
+        ColumnSpec("amount", "NUMERIC", "10,2"),
+    ]
+    df = read_csv_typed(spark, [fpath], cols)
+    return df.withColumn("id", F.col("id").cast("int"))
+
+
+@query(
+    "distinct_users_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation alongside a plain count (Catalyst
+    plans the distinct via Expand + two-phase agg — still one logical
+    shuffle group)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "parquet_scan_multifile",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    """,
+)
+def parquet_scan_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 exactly as the reference does it (src/component.py:79-81):
+    N separate parquet files scanned as ONE relation via the
+    multi-path reader. The files are produced here by splitting
+    lineitem three ways."""
+    from component_delta_lake_writer_spark.sources.parquet import read_parquet
+
+    base = _scratch("parquet_scan_multifile", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    paths = []
+    for i in range(3):
+        p = os.path.join(base, f"part{i}")
+        if not os.path.exists(p):
+            li.filter(F.col("l_orderkey") % 3 == i).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return read_parquet(spark, paths)

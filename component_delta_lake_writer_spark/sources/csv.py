@@ -36,6 +36,10 @@ def read_csv_typed(
         spark.read.schema(schema_for(columns))
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
+        # RFC-4180 doubled-quote escaping ("" inside a quoted field),
+        # the convention of the reference's CSV stack — Spark's default
+        # is backslash-escape, which silently mis-parses such fields.
+        .option("escape", '"')
         .csv(paths)
     )
 
@@ -55,5 +59,6 @@ def read_csv_all_string(
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
+        .option("escape", '"')  # RFC-4180, see read_csv_typed
         .csv(paths)
     )
