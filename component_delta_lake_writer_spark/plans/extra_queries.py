@@ -702,3 +702,63 @@ def parquet_scan_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.filter(F.col("l_orderkey") % 3 == i).write.mode("overwrite").parquet(p)
         paths.append(p)
     return read_parquet(spark, paths)
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(json_extract_string(j, '$.status') AS VARCHAR) AS status_rt,
+      CAST(json_extract_string(j, '$.price') AS DOUBLE)   AS price_rt
+    FROM (
+      SELECT o_orderkey,
+        to_json(struct_pack(status := o_orderstatus, price := o_totalprice)) AS j
+      FROM orders
+    )
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json/get_json_object round-trip: serialize a struct, extract
+    the fields back (values compared, not the JSON text — engines may
+    format numbers differently inside the document)."""
+    o = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.get_json_object(j, "$.status").alias("status_rt"),
+        F.get_json_object(j, "$.price").cast("double").alias("price_rt"),
+    )
+
+
+@query("stream_to_managed_table")
+def stream_to_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → table layer (streaming/sink.py): availableNow drain
+    of the events feed committed micro-batch-atomically into a
+    ManagedTable; returns the read-back (rows-only check; the batch
+    count equality is asserted in tests)."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+    from component_delta_lake_writer_spark.streaming.structured import (
+        _stage_events_dir,
+    )
+
+    src_dir = _stage_events_dir(sf_dir)
+    schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    base = _scratch("stream_to_managed_table", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "table"))
+    q = write_stream_to_table(
+        stream, t, checkpoint_dir=os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return t.read()

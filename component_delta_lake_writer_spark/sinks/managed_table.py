@@ -343,3 +343,35 @@ class ManagedTable:
 
     def history(self) -> list[Commit]:
         return [self.commit_at(v) for v in self._versions()]
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental read (change-data-feed-lite): the rows ADDED by
+        commits in (from_version, to_version]. Exact for append-only
+        history — each append commit contributes exactly its new data
+        units. A commit that rewrites the snapshot (overwrite, upsert,
+        optimize) breaks unit-level attribution; reading across one
+        raises, mirroring Delta's CDF behavior for non-CDF rewrites.
+        """
+        versions = [v for v in self._versions() if v > from_version]
+        if to_version is not None:
+            versions = [v for v in versions if v <= to_version]
+        if not versions:
+            raise UserException(
+                f"No commits after version {from_version} at {self.path}"
+            )
+        prev_units = set(self.commit_at(from_version).data_units)
+        new_units: list[str] = []
+        for v in versions:
+            c = self.commit_at(v)
+            if c.action not in ("append",):
+                raise UserException(
+                    f"read_changes crosses a '{c.action}' commit (v{c.version}); "
+                    "only append-only ranges are attributable."
+                )
+            new_units.extend(u for u in c.data_units if u not in prev_units)
+            prev_units = set(c.data_units)
+        dfs = [
+            self.spark.read.parquet(os.path.join(self._data_dir, u))
+            for u in new_units
+        ]
+        return reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True), dfs)

@@ -1,0 +1,42 @@
+"""Streaming writes into the managed table layer.
+
+The reference's batch loop (W8: arrow-batch → write_deltalake per
+batch) is, in streaming terms, a micro-batch sink. Spark-first that is
+``foreachBatch``: each micro-batch lands as ONE atomic append commit
+to a ManagedTable — the same first-batch-mode / rest-append policy the
+reference applies (src/component.py:90-111), with real transactional
+boundaries per batch instead of per 25k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from component_delta_lake_writer_spark.sinks import ManagedTable
+
+
+def write_stream_to_table(
+    stream_df: DataFrame,
+    table: ManagedTable,
+    mode: str = "append",
+    checkpoint_dir: str | None = None,
+    max_records_per_file: int | None = None,
+):
+    """Start a streaming query that commits each micro-batch to the
+    table. First batch uses ``mode`` (error/overwrite honored), later
+    batches always append — the reference's loop semantics."""
+    state = {"first": True}
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_mode = mode if state["first"] else "append"
+        state["first"] = False
+        table.write(
+            batch_df, mode=batch_mode, max_records_per_file=max_records_per_file
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

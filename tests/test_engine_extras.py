@@ -227,3 +227,74 @@ def test_commit_conflict_detected(spark, tmp_path):
     t._publish(clash)  # writer A wins version 1
     with pytest.raises(UserException, match="Concurrent commit conflict"):
         t._publish(clash)  # writer B must fail, not overwrite
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    o = load_table(spark, SF_SMALL, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="append")  # v0
+    t.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")  # v1
+    t.write(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")  # v2
+    ch = t.read_changes(0)
+    assert ch.count() == o.filter(F.col("o_orderkey") % 3 != 0).count()
+    ch1 = t.read_changes(0, to_version=1)
+    assert ch1.count() == o.filter(F.col("o_orderkey") % 3 == 1).count()
+    t.optimize()  # v3: rewrite → attribution breaks
+    with pytest.raises(UserException, match="optimize"):
+        t.read_changes(0)
+
+
+def test_streaming_sink_commits_batches(spark, tmp_path):
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    q = write_stream_to_table(
+        stream, t, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert t.read().count() == 1500
+    assert t.latest_commit().action in ("create", "append")
+    # second drain with same checkpoint: no reprocessing, no new rows
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = write_stream_to_table(
+        stream2, t, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    assert t.read().count() == 1500
+
+
+def test_empty_input_edges(spark, tmp_path):
+    """Empty frames must flow through merge, dedup, and the table
+    layer without errors (the 100 TB pipeline's 3 a.m. edge case)."""
+    from component_delta_lake_writer_spark.operators.dedup import minhash_dedup
+    from component_delta_lake_writer_spark.operators.merge import merge_upsert
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMALL, "orders")
+    empty = o.filter(F.lit(False))
+    # merge with empty source = unchanged target
+    assert merge_upsert(o, empty, ["o_orderkey"]).count() == o.count()
+    # merge into empty target = source
+    assert merge_upsert(empty, o.limit(7), ["o_orderkey"]).count() == 7
+    # empty write + read-back
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(empty, mode="overwrite")
+    assert t.read().count() == 0
+    # dedup on empty documents
+    d = load_table(spark, SF_SMALL, "documents").filter(F.lit(False))
+    assert minhash_dedup(d).count() == 0
