@@ -762,3 +762,63 @@ def stream_to_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.read()
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, t.tok AS term
+      FROM (SELECT doc_id, lang,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents) d,
+      LATERAL (SELECT unnest(string_split(d.norm, ' ')) AS tok) t
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    scored AS (
+      SELECT tf.lang, tf.term,
+        ROUND(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs
+    )
+    SELECT lang, term, tfidf, rk FROM (
+      SELECT lang, term, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: token explode → per-(lang,term) TF,
+    per-term document frequency, idf = ln(N/df), top-10 terms per
+    language. Two map-side-combinable aggregations + one broadcast
+    join (the df table is vocabulary-sized) + a per-group top-k."""
+    from component_delta_lake_writer_spark.operators.text import normalize_text
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    )
+    tok = tok.persist()
+    n_docs = tok.select("doc_id").distinct().count()
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "lang",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "tfidf", "rk")
+    )
