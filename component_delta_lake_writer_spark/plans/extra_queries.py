@@ -274,7 +274,10 @@ def job_run_external(spark: SparkSession, sf_dir: str) -> DataFrame:
             table_uri=table_uri,
             load_mode=LoadMode.UPSERT,
             primary_key=["o_orderkey"],
-        )
+        ),
+        # keep the probe's read-back value-stable across environments
+        # (_ingest_order values depend on input-split layout)
+        preserve_insertion_order=False,
     )
     tbl = TableInput(
         manifest_path=manifest_path,

@@ -41,16 +41,44 @@ class FileInput:
     paths: list[str] = field(default_factory=list)
 
 
-def plan_table_scan(spark: SparkSession, tbl: TableInput) -> DataFrame:
+def plan_table_scan(
+    spark: SparkSession, tbl: TableInput, preserve_order: bool = False
+) -> DataFrame:
     """E1 step 3 / E2 steps 1-3: slice urls (S3 scan of the manifest)
-    → all-string positional staging read → cast projection (P2)."""
+    → all-string positional staging read → cast projection (P2).
+
+    ``preserve_order`` is O1 (reference ``preserve_insertion_order``,
+    src/component.py:381-382): Spark has no implicit cross-partition
+    order — and the multi-path scan bin-packs files by SIZE, so even
+    partition indexes don't follow the slice list. The contract is
+    therefore explicit columns: ``_slice_idx`` (manifest position, via
+    one scan per slice) and ``_row_in_slice`` (monotonic id of a
+    single-file scan = byte order within that slice). Sorting by
+    (_slice_idx, _row_in_slice) reproduces CSV insertion order.
+    """
     paths = tbl.slice_paths
     if tbl.manifest_path:
         paths = [r.url for r in read_manifest_urls(spark, tbl.manifest_path).collect()]
     if not paths:
         raise UserException("Input table has no slices.")
-    staged = read_csv_all_string(spark, paths, n_columns=len(tbl.columns))
-    return cast_projection(staged, tbl.columns, positional=True)
+    if not preserve_order:
+        staged = read_csv_all_string(spark, paths, n_columns=len(tbl.columns))
+        return cast_projection(staged, tbl.columns, positional=True)
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i, p in enumerate(paths):
+        staged = read_csv_all_string(spark, [p], n_columns=len(tbl.columns))
+        typed = cast_projection(staged, tbl.columns, positional=True)
+        parts.append(
+            typed.withColumn("_slice_idx", F.lit(i)).withColumn(
+                "_row_in_slice", F.monotonically_increasing_id()
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def run_job(
@@ -65,7 +93,7 @@ def run_job(
         n_tables=1 if table else 0, n_files=len(files.paths) if files else 0
     )
     if table:
-        df = plan_table_scan(spark, table)
+        df = plan_table_scan(spark, table, preserve_order=spec.preserve_insertion_order)
     else:
         df = read_parquet(spark, files.paths)
 

@@ -298,3 +298,42 @@ def test_empty_input_edges(spark, tmp_path):
     # dedup on empty documents
     d = load_table(spark, SF_SMALL, "documents").filter(F.lit(False))
     assert minhash_dedup(d).count() == 0
+
+
+def test_preserve_insertion_order(spark, tmp_path):
+    """O1: with preserve_insertion_order, sorting the loaded table by
+    _ingest_order reproduces slice-list order then in-file row order."""
+    import json
+
+    from component_delta_lake_writer_spark.config import (
+        ColumnSpec,
+        Destination,
+        JobSpec,
+        LoadMode,
+    )
+    from component_delta_lake_writer_spark.runner import TableInput, run_job
+
+    s1 = tmp_path / "s1.csv"
+    s2 = tmp_path / "s2.csv"
+    s1.write_text("10,ten\n11,eleven\n")
+    s2.write_text("20,twenty\n21,twentyone\n")
+    manifest = tmp_path / "m.json"
+    manifest.write_text(
+        json.dumps({"entries": [{"url": str(s1)}, {"url": str(s2)}]})
+    )
+    spec = JobSpec(
+        destination=Destination(
+            table_uri=str(tmp_path / "t"), load_mode=LoadMode.OVERWRITE
+        ),
+        preserve_insertion_order=True,
+    )
+    t = run_job(
+        spark,
+        spec,
+        table=TableInput(
+            manifest_path=str(manifest),
+            columns=[ColumnSpec("id", "INTEGER"), ColumnSpec("name", "STRING")],
+        ),
+    )
+    rows = t.read().orderBy("_slice_idx", "_row_in_slice").select("id").collect()
+    assert [r["id"] for r in rows] == [10, 11, 20, 21]
