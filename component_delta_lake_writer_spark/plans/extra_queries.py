@@ -825,3 +825,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang", "term", "tfidf", "rk")
     )
+
+
+@query(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS bucket_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing (floor of a
+    single double division — identical in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 30000.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("bucket_sum"),
+    )
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) AS n,
+      ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS price_cust_corr,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4)) * CAST(o_totalprice AS DECIMAL(12,4)))
+           AS DECIMAL(38,8)) AS sum_sq,
+      ROUND(stddev_samp(o_totalprice), 3) AS stddev_r
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Determinism notes earned the hard way:
+    corr/stddev accumulate in engine-specific orders (diff ~1e-12 rel)
+    → rounded. sum(x²) is exact ONLY as decimal all the way:
+    cast-then-square (decimal×decimal) because double→decimal casts of
+    17-significant-digit products diverge (Spark rounds the shortest
+    string repr, DuckDB the binary expansion), and the OUTPUT stays
+    DECIMAL because decimal→double of a >2^53-scaled value is
+    double-rounded differently across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    d24 = F.col("o_totalprice").cast("decimal(24,4)")
+    d12 = F.col("o_totalprice").cast("decimal(12,4)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.corr(F.col("o_totalprice"), F.col("o_custkey").cast("double")), 6
+        ).alias("price_cust_corr"),
+        F.sum(d24 * d12).cast("decimal(38,8)").alias("sum_sq"),
+        F.round(F.stddev_samp(F.col("o_totalprice")), 3).alias("stddev_r"),
+    )

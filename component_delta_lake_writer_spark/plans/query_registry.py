@@ -18,6 +18,15 @@ float-valued results follow two rules that make hashes reproducible:
 Never cast DOUBLE→STRING in a checked output (Spark '1.0E7' vs
 DuckDB '10000000.0').
 
+3. Decimal boundary rules (learned from stats_agg): double→decimal
+   casts agree across engines only while the decimal digits fit the
+   double's shortest repr (Spark rounds the repr, DuckDB the binary
+   expansion — divergent at ~16+ significant digits), so square/
+   multiply IN decimal after a low-significance cast, never cast a
+   high-significance double product. And decimal→double of a value
+   whose scaled integer exceeds 2^53 is double-rounded differently —
+   keep such outputs DECIMAL.
+
 Timestamps in outputs are TIMESTAMP_NTZ (naive, µs) — identical
 collected values to DuckDB regardless of host timezone.
 """
