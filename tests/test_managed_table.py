@@ -113,3 +113,34 @@ def test_partitioned_write_prunes(spark, tmp_path_str):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_compression_codecs_applied(spark, tmp_path_str):
+    """W6: each supported codec actually lands in the parquet files
+    (read back from the column-chunk metadata, not trusted blindly)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from component_delta_lake_writer_spark.config import Compression, JobSpec, Destination
+
+    o = load_table(spark, SF, "orders").limit(100)
+    for codec, expect in [
+        (Compression.SNAPPY, "SNAPPY"),
+        (Compression.ZSTD, "ZSTD"),
+        (Compression.GZIP, "GZIP"),
+        (Compression.UNCOMPRESSED, "UNCOMPRESSED"),
+    ]:
+        spec = JobSpec(destination=Destination(compression=codec))
+        t = ManagedTable(spark, f"{tmp_path_str}/{codec.value}")
+        t.write(o, mode="overwrite", compression=spec.spark_codec())
+        unit = t.latest_commit().data_units[0]
+        files = glob.glob(os.path.join(t.path, "_data", unit, "*.parquet"))
+        assert files
+        meta = pq.ParquetFile(files[0]).metadata
+        codecs = {
+            meta.row_group(0).column(i).compression
+            for i in range(meta.num_columns)
+        }
+        assert codecs == {expect}, (codec, codecs)
