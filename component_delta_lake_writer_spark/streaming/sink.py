@@ -21,13 +21,26 @@ def write_stream_to_table(
     mode: str = "append",
     checkpoint_dir: str | None = None,
     max_records_per_file: int | None = None,
+    primary_key: list[str] | None = None,
 ):
     """Start a streaming query that commits each micro-batch to the
     table. First batch uses ``mode`` (error/overwrite honored), later
-    batches always append — the reference's loop semantics."""
+    batches always append — the reference's loop semantics.
+
+    ``mode="upsert"`` (requires ``primary_key``) turns this into a
+    CDC-style streaming merge sink: every micro-batch MERGEs into the
+    table by PK (matched rows replaced, new rows inserted), each batch
+    one atomic commit — the streaming spelling of W12.
+    """
     state = {"first": True}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "upsert":
+            table.upsert(
+                batch_df, primary_key or [],
+                max_records_per_file=max_records_per_file,
+            )
+            return
         batch_mode = mode if state["first"] else "append"
         state["first"] = False
         table.write(

@@ -337,3 +337,36 @@ def test_preserve_insertion_order(spark, tmp_path):
     )
     rows = t.read().orderBy("_slice_idx", "_row_in_slice").select("id").collect()
     assert [r["id"] for r in rows] == [10, 11, 20, 21]
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """CDC-style streaming merge: micro-batches MERGE by PK; final
+    state equals batch-merge of the same updates."""
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMALL, "orders")
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(o, mode="overwrite")
+
+    updates = o.limit(20).withColumn("o_totalprice", F.lit(-5.0)).unionByName(
+        o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    )
+    src = str(tmp_path / "updates")
+    updates.write.parquet(src)
+    stream = spark.readStream.schema(updates.schema).parquet(src)
+    q = write_stream_to_table(
+        stream,
+        t,
+        mode="upsert",
+        primary_key=["o_orderkey"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    r = t.read()
+    assert r.count() == o.count() + 5
+    assert r.filter(F.col("o_totalprice") == -5.0).count() == 20
