@@ -34,7 +34,6 @@ collected values to DuckDB regardless of host timezone.
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window

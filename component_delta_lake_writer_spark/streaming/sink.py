@@ -10,7 +10,7 @@ boundaries per batch instead of per 25k rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from component_delta_lake_writer_spark.sinks import ManagedTable
 
