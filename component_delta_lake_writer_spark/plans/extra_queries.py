@@ -882,3 +882,48 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d24 * d12).cast("decimal(38,8)").alias("sum_sq"),
         F.round(F.stddev_samp(F.col("o_totalprice")), 3).alias("stddev_r"),
     )
+
+
+@query("pipeline_clean_corpus")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline — what this engine
+    exists for at 100 TB: quality-filter → exact dedup (md5 keeper) →
+    MinHash near-dup clustering → keep one doc per cluster → per-lang
+    survival stats. Iterative CC inside → rows-only check; every
+    constituent operator is oracle-checked individually."""
+    from component_delta_lake_writer_spark.operators.clusters import dedup_clusters
+    from component_delta_lake_writer_spark.operators.text import (
+        fingerprint,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+
+    # 1. quality gate (codegen'd column expression, shuffle-free)
+    q = docs.withColumn("q", quality_score(F.col("text"))).filter(F.col("q") >= 0.3)
+
+    # 2. exact dedup: keep min doc_id per normalized-text fingerprint
+    keep_exact = (
+        q.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q1 = q.join(keep_exact, "doc_id", "left_semi")
+
+    # 3. near-dup clusters over the survivors; drop non-keepers
+    pairs = D.minhash_dedup(q1, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(~F.col("is_keeper")).select(F.col("id").alias("doc_id"))
+    cleaned = q1.join(losers, "doc_id", "left_anti")
+
+    # 4. survival report
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("q").cast("double"), 6).alias("sum_quality"),
+        )
+        .withColumn("n_total_corpus", F.lit(n_total))
+    )
