@@ -927,3 +927,242 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_total_corpus", F.lit(n_total))
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery-shape analytics (beyond-reference §7 M4): EXISTS semi-join,
+# HAVING, scalar subquery, correlated min, conditional aggregation, and a
+# pushdown-friendly filter-agg. The reference delegates all querying to
+# DuckDB/Databricks (component.py:75-82, 285-299); these prove the same
+# relational forms natively on Catalyst.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_revenue_filter",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive range filters + single global agg.
+    All four predicates reach the parquet scan as PushedFilters; the
+    agg is a two-stage partial/final with no groupBy shuffle (single
+    combine key). The scan reads only 4 of 11 lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(24,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_exists_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: shipdate > orderdate stands in for
+    commitdate < receiptdate, which the fixture lacks): correlated
+    EXISTS decorrelated to a LEFT SEMI join whose condition mixes the
+    equi key with a non-equi cross-side predicate. The date filter
+    shrinks orders before the semi probe."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))
+            ELSE CAST(0 AS DECIMAL(24,6)) END)
+        AS DOUBLE)
+      / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+        AS DOUBLE) AS promo_share,
+      COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    promo revenue share for one month. part broadcasts (2k rows);
+    both sums accumulate in DECIMAL so the ratio is order-independent;
+    a single double division of identically-rounded operands is
+    bit-deterministic (no 100× factor — its literal types as DECIMAL in
+    DuckDB but DOUBLE in Spark, changing rounding order)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,6)"
+    )
+    zero = F.lit(0).cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+      CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a big pre-aggregation, joined back
+    to orders+customer, global top-20. The lineitem agg shrinks ~7×
+    before any join; the surviving ~1% of orders then drive two
+    broadcast-able probes. Quantity sums in DECIMAL (rule: decimal
+    before SUM on doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_value_share",
+    oracle="""
+    WITH sv AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_name, CAST(sv.value AS DOUBLE) AS supp_value
+    FROM sv JOIN supplier s ON s.s_suppkey = sv.l_suppkey
+    WHERE sv.value * 1000 > (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(24,4))) * 11
+      FROM lineitem)
+    """,
+)
+def tpch_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar subquery — suppliers whose shipped value
+    exceeds 1.1% of the global total. Cross-multiplied as integers
+    (value*1000 > total*11) so the comparison stays in exact DECIMAL —
+    no fractional literal, whose type diverges between engines. The
+    1-row global agg broadcasts into the filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_extendedprice").cast("decimal(24,4)").alias("v")
+    )
+    sv = li.groupBy("l_suppkey").agg(F.sum("v").alias("value"))
+    total = li.agg((F.sum("v") * F.lit(11)).alias("threshold"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sv.join(F.broadcast(total))
+        .filter(F.col("value") * F.lit(1000) > F.col("threshold"))
+        .join(F.broadcast(s), sv.l_suppkey == s.s_suppkey)
+        .select("s_name", F.col("value").cast("double").alias("supp_value"))
+    )
+
+
+@query(
+    "correlated_min_price",
+    oracle="""
+    SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM lineitem l
+    WHERE l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+      AND l.l_partkey < 400
+    """,
+)
+def correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor: correlated MIN subquery — the cheapest lineitem
+    per part. Decorrelated to a window MIN over l_partkey + equality
+    filter (one shuffle on the correlation key, no self-join).
+    Double equality is exact: both sides are the same parquet value."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 400)
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("min_p", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_p"))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
