@@ -181,8 +181,12 @@ def jaccard_verify(
     — two joins total, per-pair cost O(|set|), no exploded
     pair×shingle blow-up.
     """
+    # Persisted: the sets relation feeds BOTH join sides (sa, sb);
+    # without it the collect_set aggregation over the full shingle
+    # stream runs twice in one plan (exchange reuse doesn't fire
+    # across the differently-aliased branches).
     sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
-    sets = sets.withColumn("n", F.size("hs"))
+    sets = sets.withColumn("n", F.size("hs")).persist()
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
     )
@@ -247,3 +251,79 @@ def simhash_signatures(
     for i in range(bits):
         sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+# Shingles with document frequency above this produce no candidate
+# pairs in ngram_jaccard_dedup: a shingle shared by B docs yields
+# B²/2 pairs, so boilerplate shingles would dominate quadratically —
+# and pairs whose ONLY shared shingles are corpus-common ones sit far
+# below any useful Jaccard threshold anyway. Rare shingles are the
+# discriminative ones (classic inverted-index blocking). Must exceed
+# the largest expected near-dup CLUSTER size: a cluster of B
+# near-identical docs pushes its shared shingles to df≈B, and capping
+# below that silently drops the whole cluster. With the MIN_SHARED
+# gate carrying the volume control, 32 costs little (≤ 496 generated
+# pairs per bucket) and keeps clusters up to 32 docs recallable.
+RARE_DF = 32
+
+
+# A pair must share at least this many rare shingles to become a
+# verification candidate. At threshold 0.5 a true near-dup shares
+# dozens of shingles, and every shared shingle of a dup pair has
+# df ≥ 2 (it occurs in both docs) — so real pairs clear this bar by
+# an order of magnitude, while the single-coincidence pairs that
+# dominate the blocking join (~99% of it) are dropped before the
+# expensive set-intersection verify.
+MIN_SHARED = 2
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    rare_df: int = RARE_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via rare-shingle blocking.
+
+    No sketching: candidates are doc pairs sharing ≥ min_shared RARE
+    shingles (document frequency in [2, rare_df]) found through the
+    inverted index, then exact set-Jaccard on the full shingle sets.
+    Deterministic recall for any pair sharing min_shared rare shingles
+    — the complement of MinHash+LSH (probabilistic recall,
+    frequency-blind). Cost: one groupBy for the index, a bounded
+    in-array pair expansion (≤ rare_df²/2 pairs per shingle), a pair
+    co-count, and the shared jaccard_verify. Candidate space is the
+    inverted-index collision set, never O(n²).
+    """
+    sh = shingles(df, text_col, id_col, k_shingle).persist()
+    # Inverted index in ONE shuffle: collect_set dedups (doc_id, h)
+    # map-side, so no separate distinct + df-count + join-back pass.
+    # Worst-case postings list = all docs (~MB) — fine to materialize
+    # then discard; buckets that survive hold ≤ rare_df ids.
+    postings = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= rare_df))
+    )
+    # ≤ rare_df²/2 pairs per bucket, generated in-array (ids sorted →
+    # id_a < id_b for free); the co-count groupBy costs the same
+    # shuffle a distinct would and feeds the min_shared gate.
+    cand = (
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(sequence(0, i - 1), "
+                    "j -> struct(ids[j] AS id_a, ids[i] AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    return jaccard_verify(cand, sh, id_col, threshold)

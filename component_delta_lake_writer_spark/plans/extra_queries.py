@@ -1166,3 +1166,54 @@ def correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_extendedprice") == F.col("min_p"))
         .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family completion: standalone n-gram Jaccard (rare-shingle
+# blocking) and winnowing rolling-hash fingerprints (build brief:
+# "document fingerprinting (rolling hash)").
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+    sh AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(array_to_string(d.t[g.i:g.i+2], ' ')), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents) d,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(d.t) - 2, 1))) AS i) g
+    )"""
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {D.RARE_DF}
+    ),
+    inv AS (SELECT s.doc_id, s.h FROM sh s JOIN rare r ON s.h = r.h),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {D.MIN_SHARED}
+    ),
+    sets AS (SELECT doc_id, list(h) AS hs, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+      ROUND(len(list_intersect(sa.hs, sb.hs))
+            / (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE ROUND(len(list_intersect(sa.hs, sb.hs))
+            / (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs))), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup (operators.dedup.ngram_jaccard_dedup):
+    rare-shingle inverted-index blocking → exact set-Jaccard verify.
+    Deterministic-recall complement of the MinHash sketch path."""
+    return D.ngram_jaccard_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
