@@ -120,3 +120,54 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003) parameters: character
+# k-gram size and window width. Guarantee: any match of length
+# ≥ WINNOW_K + WINNOW_W - 1 chars between two docs is caught by at
+# least one selected fingerprint; expected density ≈ 2/(w+1).
+WINNOW_K = 8
+WINNOW_W = 4
+# Fingerprints are taken over this prefix: plenty for near-dup
+# detection (the same bound keeps the per-row hash count — and the
+# DuckDB oracle's mirror — at ≤ max_chars k-gram hashes per doc).
+WINNOW_MAX_CHARS = 512
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
+) -> DataFrame:
+    """Distinct winnowed fingerprints per doc: (id, fp:bigint).
+
+    The rolling-hash fingerprint family from the build brief: hash
+    every char k-gram of the normalized text, slide a w-window over
+    the hash sequence, keep each window's minimum — all as one
+    Catalyst array expression per row (sequence → transform → slice →
+    array_min), no explosion until the final per-fingerprint unnest
+    and no Python. The k-gram hash is the engine's portable md5-prefix
+    (identical in the DuckDB oracle) rather than a Karp-Rabin
+    polynomial: same selection semantics, and the true rolling
+    evaluation is an implementation detail Catalyst can't express
+    cheaper anyway at k=8.
+    """
+    s = F.substring(normalize_text(F.col(text_col)), 1, max_chars)
+    df = df.select(F.col(id_col), s.alias("_s"))
+    hs = F.expr(
+        f"transform(sequence(1, greatest(length(_s) - {k - 1}, 1)), "
+        f"i -> CAST(conv(substring(md5(substring(_s, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_hs) - {w - 1}, 1)), "
+        f"j -> array_min(slice(_hs, j, {w}))))"
+    )
+    return (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), hs.alias("_hs"))
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )

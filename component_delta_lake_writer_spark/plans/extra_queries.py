@@ -1217,3 +1217,59 @@ def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_dedup(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+_WINNOW_FP_CTE = """
+    t AS (SELECT doc_id,
+            substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 512) AS s
+          FROM documents),
+    h AS (SELECT doc_id,
+            list_transform(generate_series(1, greatest(length(s) - 7, 1)),
+              i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 8))::BIGINT) AS hs
+          FROM t),
+    fp AS (SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                 j -> list_min(hs[j:j+3])))) AS fp
+           FROM h)"""
+
+
+@query(
+    "winnow_fingerprint_match",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTE},
+    post AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 32),
+    inv AS (SELECT f.doc_id, f.fp FROM fp f JOIN post p ON f.fp = p.fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def winnow_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint match (operators.text.winnow_fingerprints):
+    rolling char-8-gram hashes → per-window minima (SIGMOD'03
+    winnowing) → doc pairs sharing ≥3 selected fingerprints. Same
+    blocking shape as ngram_jaccard_dedup: postings capped at df 32,
+    in-array pair expansion, co-count gate."""
+    from component_delta_lake_writer_spark.operators.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    postings = (
+        fp.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 32))
+    )
+    return (
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(sequence(0, i - 1), "
+                    "j -> struct(ids[j] AS id_a, ids[i] AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
