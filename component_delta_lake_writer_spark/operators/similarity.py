@@ -166,3 +166,54 @@ def lsh_bucket_topk(
         F.broadcast(p), F.col("bucket") == F.col("probe_bucket")
     ).drop("probe_bucket", "bucket")
     return cosine_topk(same_bucket, probe, k, vec_col, id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors into
+    n_cells Voronoi cells, search only the nprobe cells nearest the
+    probe.
+
+    The coarse quantizer is training-free and deterministic: the
+    n_cells lowest-id vectors act as centroids (equivalent to a fixed
+    k-means init with zero Lloyd iterations — reproducible across
+    engines, no RNG). Assignment is an argmax over a broadcast
+    n_cells-row centroid table (cross join + one map-side-combinable
+    groupBy; no O(n²) and no shuffle of the vectors themselves). At
+    100 TB the cell id becomes a partition key, so probing nprobe
+    cells is a partition-pruned scan of ~nprobe/n_cells of the data —
+    the complement of lsh_bucket_topk (data-adaptive cells vs
+    data-oblivious hyperplanes).
+    """
+    cents = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    sims = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cell"), cosine(F.col("v"), F.col("cv")).alias("s")
+    )
+    # argmax(s) per vector with smallest-cell tie-break, as a hash agg
+    # (min of (-s, cell) struct) — lighter than a window sort.
+    asg = (
+        sims.groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("cell"))).alias("m"))
+        .select(F.col(id_col), F.col("m.cell").alias("cell"))
+    )
+    pv = probe.select(_as_double(F.col(vec_col)).alias("pv"))
+    pcells = (
+        cents.crossJoin(F.broadcast(pv))
+        .select("cell", cosine(F.col("cv"), F.col("pv")).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = df.join(asg, id_col).join(F.broadcast(pcells), "cell").drop("cell")
+    return cosine_topk(cand, probe, k, vec_col, id_col)

@@ -1273,3 +1273,56 @@ def winnow_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+_DOT64 = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos64(a: str, b: str) -> str:
+    return (
+        f"{_DOT64.format(a=a, b=b)} / "
+        f"(sqrt({_DOT64.format(a=a, b=a)}) * sqrt({_DOT64.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cell, embedding AS cv
+               FROM embeddings WHERE vec_id < 16),
+    sim AS (
+      SELECT e.vec_id, c.cell, {_cos64('e.embedding', 'c.cv')} AS s
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sim) WHERE rn = 1
+    ),
+    p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    pcells AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+          ROW_NUMBER() OVER (ORDER BY {_cos64('c.cv', 'p.pv')} DESC, c.cell) AS rn
+        FROM c, p) WHERE rn <= 2
+    )
+    SELECT e.vec_id, ROUND({_cos64('e.embedding', 'p.pv')}, 6) AS cosine
+    FROM embeddings e
+    JOIN asg ON asg.vec_id = e.vec_id
+    JOIN pcells ON pcells.cell = asg.cell, p
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_topk): deterministic seeded
+    coarse quantizer (16 cells), nprobe=2 cell search, exact cosine
+    within the probed cells. Complements ann_lsh_bucket_topk:
+    data-adaptive Voronoi cells vs data-oblivious hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.ivf_topk(emb, probe, k=10, n_cells=16, nprobe=2)
