@@ -38,11 +38,17 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_dedup",
     "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "winnow_fingerprint_match",
     "cosine_topk",
     "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
     "multimodal_meta",
     "streaming_hourly_agg",
+    "tpch_q6_revenue_filter",
+    "tpch_q18_large_orders",
+    "pipeline_clean_corpus",
     "write_append",
     "upsert_write",
 ]

@@ -31,6 +31,10 @@ def connected_components(
 
     ``edges`` is an undirected pair list (each pair once, any order).
     """
+    # The union reads ``edges`` twice, but within the one job that
+    # materializes ``sym`` Spark reuses the identical shuffle stages
+    # of both branches — an eager pre-persist of edges measured
+    # SLOWER (it serializes an extra full-lineage job).
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -42,32 +46,39 @@ def connected_components(
         .persist()
     )
 
+    prev = labels
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("id", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_min"))
-            .withColumnRenamed("u", "id")
+        # One shuffle per round: neighbor contributions and each
+        # vertex's own label union into a single groupBy that computes
+        # the new label AND carries the old one for the convergence
+        # flag — no separate neighbor-min aggregation or old-vs-new
+        # join (each a full extra shuffle at graph scale, and ~1s of
+        # fixed stage overhead per round on small graphs).
+        contrib = sym.join(
+            labels.select(F.col("id").alias("v"), F.col("component").alias("c")),
+            "v",
+        ).select(
+            F.col("u").alias("id"),
+            F.col("c"),
+            F.lit(None).cast("long").alias("old"),
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
+        own = labels.select(
+            "id",
+            F.col("component").alias("c"),
+            F.col("component").alias("old"),
+        )
+        merged = (
+            contrib.unionByName(own)
+            .groupBy("id")
+            .agg(F.min("c").alias("component"), F.max("old").alias("old"))
             .persist()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            merged.filter(F.col("component") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        prev.unpersist()
+        prev = merged
+        labels = merged.select("id", "component")
         if changed == 0:
             break
     sym.unpersist()

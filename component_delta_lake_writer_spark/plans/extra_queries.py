@@ -910,13 +910,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    q1 = q.join(keep_exact, "doc_id", "left_semi")
+    # q1 feeds BOTH the minhash branch (via the clustering fixpoint,
+    # which materializes it under the edge list) and the final
+    # anti-join aggregation — without persist the quality filter +
+    # exact-dedup semi-join run twice end-to-end.
+    q1 = q.join(keep_exact, "doc_id", "left_semi").persist()
 
     # 3. near-dup clusters over the survivors; drop non-keepers
     pairs = D.minhash_dedup(q1, threshold=0.5)
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(~F.col("is_keeper")).select(F.col("id").alias("doc_id"))
-    cleaned = q1.join(losers, "doc_id", "left_anti")
+    # losers ≤ |dup pairs| — always broadcastable; without the hint the
+    # anti-join plans as sort-merge against the big lineage of the
+    # clustering fixpoint.
+    cleaned = q1.join(F.broadcast(losers), "doc_id", "left_anti")
 
     # 4. survival report
     return (
