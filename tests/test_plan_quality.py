@@ -58,3 +58,39 @@ def test_whole_stage_codegen_active(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_q6_full_pushdown(spark):
+    # all range predicates reach the scan; 4 of 11 columns read
+    p = _plan(spark, "tpch_q6_revenue_filter")
+    # the plan string truncates the filter list — assert it is
+    # non-empty and range-bearing rather than matching every predicate
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+    assert "GreaterThanOrEqual(l_shipda" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None and m.group(1).count(",") + 1 == 4
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    # the correlated EXISTS must decorrelate, not re-scan per row
+    p = _plan(spark, "tpch_q4_exists_priority")
+    assert "LeftSemi" in p
+
+
+def test_q14_q18_broadcast_dims(spark):
+    for key in ["tpch_q14_promo_share", "tpch_q18_large_orders"]:
+        assert "BroadcastHashJoin" in _plan(spark, key), key
+
+
+def test_correlated_min_single_shuffle(spark):
+    # window decorrelation: one exchange (by l_partkey), no self-join
+    p = _plan(spark, "correlated_min_price")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange") <= 2  # partkey hash + AQE read
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    # the n_cells centroid table must broadcast; vectors never shuffle
+    # for assignment
+    p = _plan(spark, "ann_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
