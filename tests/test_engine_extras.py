@@ -370,3 +370,39 @@ def test_streaming_upsert_sink(spark, tmp_path):
     r = t.read()
     assert r.count() == o.count() + 5
     assert r.filter(F.col("o_totalprice") == -5.0).count() == 20
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketed by the join key → SortMergeJoin with zero
+    Exchange operators (the 100 TB co-location layout)."""
+    from component_delta_lake_writer_spark.sinks.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+    from conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    write_bucketed(o, "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = colocated_join(spark, "b_orders", "b_customer", ["o_custkey"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
