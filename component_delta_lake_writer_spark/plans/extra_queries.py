@@ -1333,3 +1333,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.ivf_topk(emb, probe, k=10, n_cells=16, nprobe=2)
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming.structured.stream_dedup_events):
+    a deterministically doubled event feed must collapse back to the
+    original set under dropDuplicatesWithinWatermark — so the oracle
+    is simply the per-type counts of the ORIGINAL events table."""
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_dedup_events,
+    )
+
+    return stream_dedup_events(spark, sf_dir)

@@ -67,3 +67,45 @@ def stream_hourly_rollup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark.
+
+    The staged source doubles every 10th event (deterministic), so the
+    stream must collapse the copies back to the original set — state
+    is bounded by the 1h watermark instead of growing forever, which
+    is what makes exactly-once dedup viable on an unbounded 100 TB/day
+    event feed (the unbounded-state dropDuplicates variant OOMs).
+    Drained with availableNow into a memory sink; returns the
+    per-event-type counts of the deduplicated stream.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src_dir = f"/tmp/cdlws_scratch/stream_dedup_src/{tag}"
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if not os.path.isdir(src_dir) or not os.listdir(src_dir):
+        doubled = batch.unionByName(batch.filter(F.col("event_id") % 10 == 0))
+        doubled.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_dedup_{tag.replace('.', '_')}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
