@@ -1352,3 +1352,28 @@ def stream_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_dedup_events(spark, sf_dir)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.user_id, COUNT(*) AS n_attributed
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id
+    """,
+)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join
+    (streaming.structured.stream_interval_join): watermarked
+    purchase⋈click attribution within 30 minutes; the batch oracle is
+    the identical interval self-join."""
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_interval_join,
+    )
+
+    return stream_interval_join(spark, sf_dir)

@@ -109,3 +109,63 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's clicks in the preceding 30 minutes.
+
+    Both sides carry watermarks and the join condition carries the
+    time interval — the pair lets Spark expire click state once the
+    purchase-side watermark passes click_ts + 30min, so state stays
+    bounded on an unbounded feed (without the interval bound a
+    stream-stream inner join buffers both sides forever). Drained with
+    availableNow into a memory sink; returns per-user join counts.
+    """
+    src_dir = _stage_events_dir(sf_dir)
+    schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    base = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    name = f"stream_ij_{tag.replace('.', '_')}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+    )
