@@ -1377,3 +1377,89 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_interval_join(spark, sf_dir)
+
+
+@query(
+    "csv_gzip_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price
+    FROM orders
+    """,
+)
+def csv_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 variant: gzip-compressed header-less CSV slices (Keboola
+    staging commonly gzips sliced exports; the reference's DuckDB
+    read_csv handles them transparently, reference component.py:75-78).
+    Spark likewise decodes .csv.gz per file — note gzip slices are
+    non-splittable, so slice count = parallelism at scale (many small
+    slices beat one big one; the multi-file scan here proves that
+    path)."""
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.sources.csv import read_csv_typed
+
+    path = _scratch("csv_gzip_scan", sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    src.repartition(4).write.mode("overwrite").option("header", "false").option(
+        "compression", "gzip"
+    ).csv(path)
+    cols = [
+        ColumnSpec("o_orderkey", "INTEGER"),
+        ColumnSpec("o_orderstatus", "STRING"),
+        ColumnSpec("price", "NUMERIC", "12,2"),
+    ]
+    return read_csv_typed(spark, path, cols)
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+           AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table tree, two selective fact filters, big
+    group-by keyed on the customer, global top-20. nation broadcasts;
+    the quarter filter prunes orders before the lineitem join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )

@@ -406,3 +406,27 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_sketch_aggregates_within_tolerance(spark):
+    """100 TB posture: distinct counts and percentiles at scale run as
+    one-pass mergeable sketches (HLL++ / KLL) — assert they land
+    within tolerance of exact answers so the sketch path is safe to
+    substitute. Exact equality is impossible cross-engine (sketch
+    impls differ), hence a test, not an oracle key."""
+    from component_delta_lake_writer_spark.tables import load_table
+    from conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+    o = load_table(spark, SF_SMALL, "orders")
+    exact_med = o.approxQuantile("o_totalprice", [0.5], 0.0)[0]
+    approx_med = o.select(
+        F.percentile_approx("o_totalprice", 0.5, 1000)
+    ).first()[0]
+    assert abs(approx_med - exact_med) / exact_med < 0.05
