@@ -85,3 +85,52 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.lit(300), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("histogram", T.ArrayType(T.DoubleType())),
+        T.StructField("entropy_bits", T.DoubleType()),
+    ]
+)
+
+
+def byte_histogram_features(
+    df: DataFrame, bins: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Codec-free feature extraction over binary payloads: normalized
+    byte histogram (256/bins-wide buckets) + Shannon entropy.
+
+    The feature-extract stage of the media pipeline, minus the codec:
+    numpy ``frombuffer`` + ``bincount`` per Arrow batch — the exact
+    shape (binary in, fixed-width float vector out, vectorized inner
+    loop) a real embedding/feature extractor uses, so swapping in a
+    decoder changes one function body, not the plan. Entropy flags
+    already-compressed/encrypted payloads (≈8 bits/byte) vs text
+    (≈4-5) — a cheap triage signal before heavyweight decode at 100 TB.
+    """
+    import numpy as np
+
+    width = 256 // bins
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists, ents = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    hists.append([0.0] * bins)
+                    ents.append(0.0)
+                    continue
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                p = counts / arr.size
+                nz = p[p > 0]
+                ents.append(float(-(nz * np.log2(nz)).sum()))
+                binned = counts.reshape(bins, width).sum(axis=1) / arr.size
+                hists.append(binned.tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "histogram": hists, "entropy_bits": ents}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(fn, FEATURES_SCHEMA)

@@ -1463,3 +1463,26 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
+
+
+@query("multimodal_byte_features")
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free media feature extraction
+    (operators.multimodal.byte_histogram_features): binary payload →
+    16-bin byte histogram + Shannon entropy via Arrow-batched numpy.
+    Byte-level blob math isn't DuckDB-SQL-expressible → rows-only here;
+    exact values unit-tested against a pure-Python reference in
+    tests/test_engine_extras.py."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = byte_histogram_features(docs)
+    return feats.select(
+        "doc_id",
+        F.round(F.col("entropy_bits"), 6).alias("entropy_bits"),
+        F.round(F.element_at("histogram", 1), 6).alias("h0"),
+        F.size("histogram").alias("n_bins"),
+    )

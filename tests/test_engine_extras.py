@@ -430,3 +430,37 @@ def test_sketch_aggregates_within_tolerance(spark):
         F.percentile_approx("o_totalprice", 0.5, 1000)
     ).first()[0]
     assert abs(approx_med - exact_med) / exact_med < 0.05
+
+
+def test_byte_histogram_matches_python_reference(spark):
+    """byte_histogram_features vs a pure-Python histogram/entropy on
+    the same payloads."""
+    import math
+    from collections import Counter
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+    from conftest import SF_SMALL
+
+    docs = attach_binary_payload(load_table(spark, SF_SMALL, "documents")).limit(50)
+    got = {
+        r["doc_id"]: r
+        for r in byte_histogram_features(docs).collect()
+    }
+    for row in docs.select("doc_id", "payload").collect():
+        data = bytes(row["payload"])
+        c = Counter(data)
+        n = len(data)
+        exp_hist = [
+            sum(c.get(b, 0) for b in range(lo, lo + 16)) / n
+            for lo in range(0, 256, 16)
+        ]
+        exp_ent = -sum(
+            (v / n) * math.log2(v / n) for v in c.values() if v
+        )
+        g = got[row["doc_id"]]
+        assert abs(g["entropy_bits"] - exp_ent) < 1e-9
+        assert all(abs(a - b) < 1e-12 for a, b in zip(g["histogram"], exp_hist))
