@@ -1486,3 +1486,46 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("histogram", 1), 6).alias("h0"),
         F.size("histogram").alias("n_bins"),
     )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common subexpressions it can (quantity range
+    1-30, brand IN-set) as pushable conjuncts below the join, keeping
+    the full disjunction as the post-join residual — the classic
+    CNF-extraction probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
