@@ -1529,3 +1529,73 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
+        PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS hour_window_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user rolling 1-hour value sum
+    — rangeBetween over epoch seconds (a rows-frame would be wrong
+    whenever event spacing varies). Decimal accumulation keeps the
+    frame sums order-independent."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ → TIMESTAMP (session tz is UTC: identical instant) →
+        # long truncates to whole epoch seconds, matching the oracle's
+        # floor(epoch(ts)).
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_window_value"),
+    )
+
+
+@query(
+    "window_ntile_deciles",
+    oracle="""
+    SELECT decile, COUNT(*) AS n,
+      CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_totalprice,
+        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    GROUP BY decile
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing over a total order (orderkey tie-break
+    makes the assignment deterministic), folded to per-decile stats.
+    The single global sort is the scale caveat — at 100 TB you'd use
+    approx percentile cut-points instead (see the sketch tests)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
