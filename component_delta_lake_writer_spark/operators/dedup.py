@@ -98,13 +98,21 @@ def shingles(
     # on few cores. Repartition to the session's parallelism first —
     # sizing to the exploded output, not the input splits.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    return df.select(
+    # Tokenization is projected to a materialized column FIRST: inlining
+    # it into the transform lambda would re-evaluate the full-document
+    # regex normalize + split once per shingle position (~|tokens|× per
+    # doc — measured 2× the whole pipeline's cost).
+    toked = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    t = F.col("_toks")
+    return toked.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-                lambda i: F.array_join(F.slice(toks, i, k), " "),
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
             )
         ).alias("shingle"),
     ).select(
@@ -172,7 +180,11 @@ def lsh_candidates(
 
 
 def jaccard_verify(
-    candidates: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    candidates: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
@@ -180,13 +192,18 @@ def jaccard_verify(
     join the two arrays, and the intersection is ``array_intersect``
     — two joins total, per-pair cost O(|set|), no exploded
     pair×shingle blow-up.
+
+    ``persist_sets``: the sets relation feeds both join sides (sa,
+    sb). When ``sh`` is an unpersisted lineage whose branches are
+    identical, ReusedExchange dedups them and caching is pure loss
+    (minhash path — measured slower cached). When ``sh`` is already
+    cached, the two aggregations still run twice over the cache, and
+    persisting the much smaller per-doc sets wins (ngram path).
     """
-    # Persisted: the sets relation feeds BOTH join sides (sa, sb);
-    # without it the collect_set aggregation over the full shingle
-    # stream runs twice in one plan (exchange reuse doesn't fire
-    # across the differently-aliased branches).
     sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
-    sets = sets.withColumn("n", F.size("hs")).persist()
+    sets = sets.withColumn("n", F.size("hs"))
+    if persist_sets:
+        sets = sets.persist()
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
     )
@@ -219,10 +236,12 @@ def minhash_dedup(
     Returns (id_a, id_b, jaccard) pairs above the threshold.
 
     The shingle stream feeds both the signature and the verify
-    branches; without persistence Spark would recompute the full
-    explode+md5 fan-out per branch, so it is persisted (memory+disk,
-    spill-safe) for the lifetime of the returned plan."""
-    sh = shingles(df, text_col, id_col, k_shingle).persist()
+    branches — deliberately NOT persisted: the branches' identical
+    scan+explode subplans are deduplicated by ReusedExchange within
+    the one materializing job, and caching the exploded stream
+    measured ~3× slower end-to-end than recompute-with-reuse (cache
+    serialization of the fan-out dominates)."""
+    sh = shingles(df, text_col, id_col, k_shingle)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sig, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -298,6 +317,10 @@ def ngram_jaccard_dedup(
     co-count, and the shared jaccard_verify. Candidate space is the
     inverted-index collision set, never O(n²).
     """
+    # Persisted here (unlike minhash_dedup): the postings (groupBy h)
+    # and verify-sets (groupBy id) aggregations differ, so ReusedExchange
+    # cannot dedup the explode+md5 fan-out beneath them — measured
+    # faster cached than recomputed twice.
     sh = shingles(df, text_col, id_col, k_shingle).persist()
     # Inverted index in ONE shuffle: collect_set dedups (doc_id, h)
     # map-side, so no separate distinct + df-count + join-back pass.
@@ -326,4 +349,4 @@ def ngram_jaccard_dedup(
         .filter(F.col("n_shared") >= min_shared)
         .select("id_a", "id_b")
     )
-    return jaccard_verify(cand, sh, id_col, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold, persist_sets=True)
