@@ -1,0 +1,73 @@
+"""Deterministic sampling: hash-Bernoulli, stratified, train/test split.
+
+Beyond-reference extension (build brief: operations a large-scale
+training-data pipeline needs). All sampling here is HASH-based, not
+RNG-based: membership is a pure function of the row id
+(md5-prefix % 100 against a per-stratum threshold), which buys three
+properties RNG sampling (``df.sample``/``sampleBy``) cannot give at
+100 TB:
+
+- reproducible across runs, engines, partitionings, and retries (a
+  task retry resamples identically — RNG + nondeterministic task
+  replay silently duplicates/drops rows, see the salted-join lesson);
+- stable under data growth: a row's membership never flips when other
+  rows arrive, so incremental pipelines can sample append-only;
+- oracle-checkable: the DuckDB twin computes the identical set.
+
+The md5-prefix hash is the engine's portable-hash idiom (same as the
+dedup family), uniform enough for sampling buckets by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(id_name: str, buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, buckets): md5-prefix of the
+    id's decimal string, mod buckets. Identical in DuckDB as
+    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % buckets."""
+    return (
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({id_name} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % buckets
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, percent: int) -> DataFrame:
+    """Keep ~percent% of rows, deterministically by id hash."""
+    return df.filter(_bucket(id_col) < percent)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, percents: dict[str, int], id_col: str
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``percents`` maps stratum
+    value → kept percentage (0-100); unlisted strata are dropped.
+    One narrow filter, no shuffle, no RNG state."""
+    b = _bucket(id_col)
+    thresh = None
+    for val, pct in sorted(percents.items()):
+        c = F.when(F.col(strata_col) == val, F.lit(pct))
+        thresh = c if thresh is None else thresh.when(
+            F.col(strata_col) == val, F.lit(pct)
+        )
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.filter(b < thresh)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_percent: int = 10
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ('test' for ~test_percent%
+    of rows, else 'train'). Membership is stable under appends and
+    retries — the property that keeps eval sets leak-free across
+    incremental training-data runs."""
+    return df.withColumn(
+        "split",
+        F.when(_bucket(id_col) < test_percent, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -1709,3 +1709,65 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_name", F.col("total").cast("double").alias("total_revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators.sampling): hash-Bernoulli — fully
+# oracle-checkable because membership is a pure function of the id.
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id
+    FROM documents
+    WHERE {_BUCKET_SQL.format(id='doc_id')} <
+      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 20
+                ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling
+    (operators.sampling.stratified_sample): keep 50% of en, 20% of
+    de/fr, drop the rest — membership is a hash of doc_id, so the
+    sample is reproducible across runs/engines/retries and stable
+    under appends (RNG sampling is none of these at 100 TB)."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(docs, "lang", {"en": 50, "de": 20, "fr": 20}, "doc_id")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id")
+    )
+
+
+@query(
+    "train_test_split_docs",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL.format(id='doc_id')} < 10
+                THEN 'test' ELSE 'train' END AS split,
+           lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split
+    (operators.sampling.train_test_split): split membership is a pure
+    function of doc_id — append-stable, leak-free across incremental
+    runs."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", 10)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
