@@ -71,3 +71,36 @@ def train_test_split(
             F.lit("train")
         ),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Sequential greedy packing: assign each doc to a bin so bins
+    hold ~``budget`` tokens, in deterministic id order — the
+    context-window packing step of a pretraining data pipeline.
+
+    bin = ceil(running_token_sum / budget) - 1 over (strata, id
+    order): pure window cumsum, no RNG, rerun-stable. A doc straddling
+    a boundary lands in the bin where it ends (docs are not split —
+    compose with chunk_documents first when they must be). With
+    ``strata_col`` the cumsum window partitions by stratum, so packing
+    parallelizes across strata instead of serializing on one global
+    ordered window (the 100 TB posture: pick strata ≫ executor count).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(token_col)).over(w)
+    # floor((cum-1)/budget) == ceil(cum/budget)-1 for cum ≥ 1; floor on
+    # both engines (a bare BIGINT cast truncates in Spark but ROUNDS in
+    # DuckDB — a real cross-engine trap on exact boundaries).
+    return df.withColumn(
+        "bin", F.floor((cum - F.lit(1)) / F.lit(budget)).cast("long")
+    )

@@ -171,3 +171,60 @@ def winnow_fingerprints(
         .select(F.col(id_col), hs.alias("_hs"))
         .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
+
+
+# Chunking defaults: ~chunk_tokens-token windows advancing by
+# (chunk_tokens - overlap) — the RAG/pretraining slicing shape.
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping ~fixed-token chunks:
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    Pure Catalyst: tokenize once (projected column — see the shingles
+    lesson), generate chunk starts with a strided sequence, slice +
+    rejoin per start, explode. Each input row fans out to
+    ceil(tokens/stride) rows with no shuffle; at 100 TB chunking
+    pipelines stay embarrassingly parallel."""
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    t = F.col("_toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        toked.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(starts, lambda s: F.slice(t, s, chunk_tokens))
+            ).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+            F.size("_chunk").alias("n_tokens"),
+        )
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, then long digit runs (7+, phone/account-shaped),
+    with typed placeholders. Order matters: emails first so their
+    digits don't half-redact. Both patterns are RE2/ICU-portable and
+    reproduced verbatim by the DuckDB oracle (with the 'g' flag)."""
+    emails = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(emails, r"[0-9]{7,}", "<NUM>")

@@ -1771,3 +1771,134 @@ def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly: chunking, PII redaction, sequence packing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        g.i - 1 AS chunk_idx,
+        len(toks[(g.i - 1) * 48 + 1 : (g.i - 1) * 48 + 64]) AS n_tokens,
+        md5(array_to_string(toks[(g.i - 1) * 48 + 1 : (g.i - 1) * 48 + 64], ' ')) AS chunk_md5
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(
+          1, CAST(ceil(greatest(len(toks) - 16, 1) / 48.0) AS BIGINT))) AS i) g
+      WHERE (g.i - 1) * 48 + 1 <= greatest(len(toks) - 16, 1)
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM c
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (operators.text.chunk_documents): 64-token
+    windows, 16-token overlap (stride 48), exploded JVM-side. Output
+    hashes the chunk text so the oracle compares content without
+    multi-KB strings in the diff."""
+    from component_delta_lake_writer_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(load_table(spark, sf_dir, "documents"))
+    return ch.select(
+        "doc_id", "chunk_idx", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+@query(
+    "redact_pii_docs",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or call ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+          AS seeded_text
+      FROM documents
+    )
+    SELECT doc_id,
+      md5(regexp_replace(
+            regexp_replace(seeded_text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5,
+      length(seeded_text)
+        - length(regexp_replace(
+            regexp_replace(seeded_text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{7,}', '<NUM>', 'g')) AS chars_removed
+    FROM seeded
+    """,
+)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.text.redact_pii): the corpus carries no
+    PII, so the probe seeds each doc with a deterministic email +
+    8-digit number derived from doc_id, then verifies the redacted
+    text byte-for-byte (md5) against the oracle running the identical
+    regexes."""
+    from component_delta_lake_writer_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call "),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("seeded_text"),
+    )
+    red = redact_pii(F.col("seeded_text"))
+    return seeded.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        (F.length("seeded_text") - F.length(red)).alias("chars_removed"),
+    )
+
+
+@query(
+    "pack_sequences_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+      FROM documents
+    ),
+    binned AS (
+      SELECT lang,
+        CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 2048.0)
+          AS BIGINT) AS bin,
+        n_tok
+      FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY lang, bin
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators.sampling.pack_sequences):
+    2048-token bins, packed in doc_id order within each lang stratum
+    (strata-parallel windows, no global sort)."""
+    from component_delta_lake_writer_spark.operators.sampling import pack_sequences
+    from component_delta_lake_writer_spark.operators.text import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    packed = pack_sequences(docs, "n_tok", "doc_id", 2048, strata_col="lang")
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+    )
