@@ -1902,3 +1902,50 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("bin_tokens"),
     )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('low',    0.0,      100000.0),
+        ('mid',    100000.0, 300000.0),
+        ('high',   300000.0, 1e18)) AS t(band, lo, hi)
+    )
+    SELECT b.band, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS band_value
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: orders banded against an interval table.
+    No equi key exists, so Spark must plan BroadcastNestedLoopJoin —
+    correct because the band table is tiny and broadcast; at 100 TB
+    the fact side still never shuffles (the only alternative, a
+    cartesian product, is what the broadcast avoids). Bands are
+    half-open [lo, hi) so every order lands in exactly one band."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 100000.0),
+            ("mid", 100000.0, 300000.0),
+            ("high", 300000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("band_value"),
+        )
+    )
