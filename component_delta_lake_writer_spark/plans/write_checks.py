@@ -176,3 +176,42 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 from component_delta_lake_writer_spark.plans.query_registry import ORACLES as _O
 
 _O["streaming_hourly_agg"] = _O["events_hourly_agg"]
+
+# The write probes' read-backs are deterministic relations of their
+# inputs — so the ORACLE predicts the read-back, upgrading the write
+# path from rows-only to full hash-checked round-trip fidelity
+# (values survive parquet encode/decode + commit-log resolution
+# byte-for-byte). Engine-internal fields (versions, unit counts) are
+# design constants and pinned as literals.
+from component_delta_lake_writer_spark.plans.query_registry import (
+    _MERGE_SRC_SQL as _SRC,
+)
+
+_O["write_error_mode"] = "SELECT * FROM orders"
+_O["write_append"] = (
+    "SELECT * FROM orders UNION ALL SELECT * FROM orders"
+)
+_O["write_overwrite"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["partitioned_write"] = "SELECT * FROM lineitem WHERE l_returnflag = 'R'"
+_O["schema_merge"] = """
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+_O["upsert_write"] = f"""
+    WITH src AS ({_SRC})
+    SELECT * FROM src
+    UNION ALL
+    SELECT t.* FROM orders t
+    WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)
+"""
+_O["time_travel_read"] = """
+    SELECT 0 AS version,
+      (SELECT COUNT(*) FROM orders) AS v0_rows,
+      (SELECT COUNT(*) FROM orders) + 10 AS latest_rows
+"""
+_O["optimize_compact"] = """
+    SELECT 3 AS units_before, 1 AS units_after, 3 AS units_vacuumed,
+      (SELECT COUNT(*) FROM orders) AS n_rows
+"""
