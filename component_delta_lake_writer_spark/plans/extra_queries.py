@@ -316,13 +316,25 @@ def catalog_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (M5): per-user session
     aggregation via applyInPandasWithState with an availableNow drain.
-    Non-SQL-expressible (driver records rows-only); tests assert
-    equality with the batch sessionizer."""
+    Checked against the SAME oracle as the batch sessionizer (plus the
+    equality test in tests/)."""
     from component_delta_lake_writer_spark.streaming.stateful import (
         stream_sessionize,
     )
 
     return stream_sessionize(spark, sf_dir, gap_seconds=1800)
+
+
+from component_delta_lake_writer_spark.plans.query_registry import ORACLES as _ORC
+
+# the stateful stream's final sessions equal the batch sessionizer's —
+# same oracle (single-file availableNow drain → one micro-batch, so the
+# update-mode memory sink holds exactly the final rows)
+_ORC["stateful_sessionize_stream"] = _ORC["sessionize_events"]
+_ORC["stream_to_managed_table"] = (
+    "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props "
+    "FROM events"
+)
 
 
 def _near_dup_oracle() -> str:
@@ -369,17 +381,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("frame_sample_plan")
+@query(
+    "frame_sample_plan",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, 300, 30)) AS frame_idx
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal fan-out plumbing (operators.multimodal
     .frame_sample_plan): per-doc frame index explosion for a video
-    decode stage — JVM-side sequence+explode, rows-only check."""
+    decode stage — JVM-side sequence+explode, full oracle (the fan-out
+    is a pure function of the doc set)."""
     from component_delta_lake_writer_spark.operators.multimodal import (
         frame_sample_plan,
     )
 
     return frame_sample_plan(
-        load_table(spark, sf_dir, "documents").limit(100), every_n=30
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100),
+        every_n=30,
     )
 
 
@@ -497,13 +517,36 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_cluster_resolve")
+def _cluster_oracle() -> str:
+    from component_delta_lake_writer_spark.plans.query_registry import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM sym),
+    reach(id, comp) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    )
+    SELECT id, MIN(comp) AS keep_id, id = MIN(comp) AS is_keeper
+    FROM reach GROUP BY id
+    """
+
+
+@query("dedup_cluster_resolve", oracle=_cluster_oracle())
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected-components over MinHash near-dup pairs
     (operators.clusters): each duplicate keeps its cluster's canonical
-    min-id representative. Genuinely iterative (label propagation to
-    fixpoint) → rows-only driver check; tests verify against a
-    driver-side union-find."""
+    min-id representative. The Spark side is a label-propagation
+    fixpoint; the oracle reaches the same fixpoint as a recursive CTE
+    (min reachable vertex = component) — full differential check, plus
+    the driver-side union-find test in tests/."""
     from component_delta_lake_writer_spark.operators.clusters import dedup_clusters
 
     pairs = D.minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.5)
@@ -742,8 +785,8 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_to_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → table layer (streaming/sink.py): availableNow drain
     of the events feed committed micro-batch-atomically into a
-    ManagedTable; returns the read-back (rows-only check; the batch
-    count equality is asserted in tests)."""
+    ManagedTable; the µs-normalized read-back is checked against the
+    full events oracle (plus the count-equality test in tests/)."""
     import shutil
 
     from component_delta_lake_writer_spark.sinks import ManagedTable
@@ -764,7 +807,17 @@ def stream_to_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, t, checkpoint_dir=os.path.join(base, "ckpt")
     )
     q.awaitTermination()
-    return t.read()
+    # read-back normalized to µs — the engine's event-time precision
+    # (DuckDB's parquet view truncates ns to µs, so the oracle can
+    # only observe µs; the table itself stores the raw ns column)
+    return t.read().select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 @query(
@@ -884,13 +937,71 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_clean_corpus")
+_QUALITY_SQL = """
+    ROUND(
+      (0.5::DOUBLE) * least(length(text) / (500.0::DOUBLE), 1.0::DOUBLE)
+      + (0.3::DOUBLE) * least(
+          (len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b'))
+           / greatest(len(string_split_regex(trim(text), '\\s+')), 1)) * (5.0::DOUBLE),
+          1.0::DOUBLE)
+      + (0.2::DOUBLE) * ((1.0::DOUBLE) -
+          len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1)),
+    6)"""
+
+
+def _pipeline_oracle() -> str:
+    """The composed pipeline, end-to-end in SQL: quality gate → exact
+    dedup → MinHash pairs (the minhash oracle retargeted at the
+    survivor set) → recursive-CTE connected components → keeper
+    anti-join → per-lang report."""
+    from component_delta_lake_writer_spark.plans.query_registry import (
+        _minhash_oracle,
+    )
+
+    pairs_sql = _minhash_oracle().replace("FROM documents", "FROM q2")
+    return f"""
+    WITH RECURSIVE
+    q1 AS (
+      SELECT doc_id, lang, text, {_QUALITY_SQL} AS q
+      FROM documents
+      WHERE {_QUALITY_SQL} >= 0.3
+    ),
+    keepx AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM q1
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    q2 AS (SELECT q1.* FROM q1 JOIN keepx USING (doc_id)),
+    pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM sym),
+    reach(id, comp) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(comp)),
+    cleaned AS (
+      SELECT * FROM q2 WHERE doc_id NOT IN (SELECT id FROM losers)
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+      CAST(SUM(CAST(q AS DECIMAL(16,6))) AS DOUBLE) AS sum_quality,
+      (SELECT COUNT(*) FROM documents) AS n_total_corpus
+    FROM cleaned GROUP BY lang
+    """
+
+
+@query("pipeline_clean_corpus", oracle=_pipeline_oracle())
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pipeline — what this engine
     exists for at 100 TB: quality-filter → exact dedup (md5 keeper) →
     MinHash near-dup clustering → keep one doc per cluster → per-lang
-    survival stats. Iterative CC inside → rows-only check; every
-    constituent operator is oracle-checked individually."""
+    survival stats. Fully oracle-checked end-to-end (the CC fixpoint
+    maps to a recursive CTE); every constituent is also checked
+    individually."""
     from component_delta_lake_writer_spark.operators.clusters import dedup_clusters
     from component_delta_lake_writer_spark.operators.text import (
         fingerprint,
@@ -930,7 +1041,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.sum("q").cast("double"), 6).alias("sum_quality"),
+            # round-6 BEFORE the decimal sum: per-doc rounded quality
+            # is cross-engine identical (proven by text_quality_score),
+            # and the decimal accumulation is order-independent — a
+            # bare double sum here would hash differently per partition
+            # layout.
+            F.sum(F.round(F.col("q"), 6).cast("decimal(16,6)"))
+            .cast("double")
+            .alias("sum_quality"),
         )
         .withColumn("n_total_corpus", F.lit(n_total))
     )
@@ -1949,3 +2067,13 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band_value"),
         )
     )
+
+
+_ORC["job_run_external"] = """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+"""

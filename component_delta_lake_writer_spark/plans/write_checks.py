@@ -215,3 +215,11 @@ _O["optimize_compact"] = """
     SELECT 3 AS units_before, 1 AS units_after, 3 AS units_vacuumed,
       (SELECT COUNT(*) FROM orders) AS n_rows
 """
+
+_O["create_table_ddl"] = """
+    SELECT CAST(0 AS BIGINT) AS version,
+      'o_orderkey' AS primary_key,
+      'o_orderstatus' AS partition_by,
+      'o_orderkey' AS pk_property,
+      (SELECT COUNT(*) FROM orders) AS n_rows
+"""
