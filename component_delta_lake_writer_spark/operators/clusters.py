@@ -39,10 +39,14 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.persist()
+    # Round 0 fused into initialization: the same groupBy that
+    # discovers the vertex set already sees every neighbor, so start
+    # from label(v) = min(v, min(neighbors)) instead of label(v) = v —
+    # one fewer propagation round (each round = a join+groupBy shuffle
+    # at graph scale, ~1.5 s of fixed stage overhead on small graphs).
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
         .persist()
     )
 

@@ -1002,6 +1002,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival stats. Fully oracle-checked end-to-end (the CC fixpoint
     maps to a recursive CTE); every constituent is also checked
     individually."""
+    from pyspark.sql import Window
+
     from component_delta_lake_writer_spark.operators.clusters import dedup_clusters
     from component_delta_lake_writer_spark.operators.text import (
         fingerprint,
@@ -1014,18 +1016,22 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1. quality gate (codegen'd column expression, shuffle-free)
     q = docs.withColumn("q", quality_score(F.col("text"))).filter(F.col("q") >= 0.3)
 
-    # 2. exact dedup: keep min doc_id per normalized-text fingerprint
-    keep_exact = (
-        q.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    # 2. exact dedup: keep min doc_id per normalized-text fingerprint.
+    # Window-min over fp = ONE shuffle; the groupBy(fp)+semi-join
+    # alternative pays a second and third shuffle (both join sides
+    # re-hash on doc_id) — at 100 TB that's a full extra pass over the
+    # corpus.
+    w = Window.partitionBy(fingerprint(F.col("text")))
     # q1 feeds BOTH the minhash branch (via the clustering fixpoint,
     # which materializes it under the edge list) and the final
     # anti-join aggregation — without persist the quality filter +
-    # exact-dedup semi-join run twice end-to-end.
-    q1 = q.join(keep_exact, "doc_id", "left_semi").persist()
+    # exact-dedup window run twice end-to-end.
+    q1 = (
+        q.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+        .persist()
+    )
 
     # 3. near-dup clusters over the survivors; drop non-keepers
     pairs = D.minhash_dedup(q1, threshold=0.5)
