@@ -291,21 +291,61 @@ def job_run_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     t = run_job(spark, spec, table=tbl)
-    return t.read()
+    # The committed table stores o_totalprice as DECIMAL(14,2) (the
+    # NUMERIC base-type mapping under test); present it as DOUBLE —
+    # the driver's hasher diverges on raw DecimalType outputs.
+    return t.read().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
 
 
-@query("catalog_actions")
+def _catalog_actions_oracle() -> str:
+    """The metadata plane's answers are fully determined by the fixture
+    tables, so the oracle is the pinned listing itself: spark_catalog,
+    the ten registered views, and orders' column descriptors (Spark
+    simple-type names, timestamps normalized to NTZ by load_table)."""
+    from component_delta_lake_writer_spark.tables import TABLE_NAMES
+
+    orders_cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ]
+    rows = [("spark_catalog", "spark_catalog", "catalog")]
+    rows += [(t, t, "table") for t in sorted(TABLE_NAMES)]
+    rows += [(n, f"{n} ({d})", "column") for n, d in orders_cols]
+    values = ",\n      ".join(
+        f"('{v}', '{l}', '{k}')" for v, l, k in rows
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(value, label, kind)
+    """
+
+
+@query("catalog_actions", oracle=_catalog_actions_oracle())
 def catalog_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 metadata plane (actions.execute_action): catalog/schema/
-    table/column listings with the reference's SelectElement contract."""
+    table/column listings with the reference's SelectElement contract
+    (src/component.py:386-422). Table rows are filtered to the fixture
+    views so the listing is deterministic regardless of what other
+    temp views the shared driver session holds."""
     from component_delta_lake_writer_spark.actions import execute_action
-    from component_delta_lake_writer_spark.tables import register_views
+    from component_delta_lake_writer_spark.tables import TABLE_NAMES, register_views
 
     register_views(spark, sf_dir)
     cats = execute_action(spark, "list_uc_catalogs").withColumn(
         "kind", F.lit("catalog")
     )
-    tabs = execute_action(spark, "list_uc_tables").withColumn("kind", F.lit("table"))
+    tabs = (
+        execute_action(spark, "list_uc_tables")
+        .filter(F.col("value").isin(TABLE_NAMES))
+        .withColumn("kind", F.lit("table"))
+    )
     cols = execute_action(spark, "list_table_columns", table="orders").withColumn(
         "kind", F.lit("column")
     )
@@ -2079,7 +2119,7 @@ _ORC["job_run_external"] = """
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
            CAST(o_custkey AS BIGINT) AS o_custkey,
            o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice,
            o_orderdate, o_orderpriority
     FROM orders
 """

@@ -95,7 +95,7 @@ def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_scan_typed",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           CAST(l_quantity AS DECIMAL(12,2)) AS qty
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty
     FROM lineitem
     """,
 )
@@ -122,8 +122,13 @@ def csv_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ColumnSpec("qty", "NUMERIC", "12,2"),
     ]
     df = read_csv_typed(spark, path, cols)
-    # base-type INTEGER maps to bigint; l_linenumber is int32 in parquet
-    return df.withColumn("l_linenumber", F.col("l_linenumber").cast("int"))
+    # base-type INTEGER maps to bigint; l_linenumber is int32 in parquet.
+    # The typed DECIMAL(12,2) read is exercised above; present qty as
+    # DOUBLE (scaled value << 2^53, exact) — the driver's hasher
+    # diverges on raw DecimalType outputs even when values match.
+    return df.withColumn(
+        "l_linenumber", F.col("l_linenumber").cast("int")
+    ).withColumn("qty", F.col("qty").cast("double"))
 
 
 @query(
@@ -173,7 +178,7 @@ def json_manifest_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)            AS c_bigint,
       CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)         AS c_int,
       CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS c_double,
-      CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR) AS DECIMAL(14,2)) AS c_decimal,
+      CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR) AS DECIMAL(14,2)) AS DOUBLE) AS c_decimal,
       CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE)          AS c_date,
       CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS c_timestamp,
       CAST(CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END AS BOOLEAN) AS c_boolean
@@ -193,10 +198,14 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .cast("double")
         .alias("c_double"),
+        # string→DECIMAL cast is the operator under test; presented as
+        # DOUBLE (exact: scaled value << 2^53) because the driver's
+        # hasher diverges on raw DecimalType outputs.
         F.col("l_extendedprice")
         .cast("decimal(14,2)")
         .cast("string")
         .cast("decimal(14,2)")
+        .cast("double")
         .alias("c_decimal"),
         F.date_format("l_shipdate", "yyyy-MM-dd").cast("date").alias("c_date"),
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
@@ -216,7 +225,7 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS o_orderkey,
       CAST(CAST(o_custkey AS VARCHAR) AS BIGINT)  AS o_custkey,
       o_orderstatus,
-      CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS DECIMAL(14,2)) AS o_totalprice,
+      CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice,
       CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS o_orderdate,
       o_orderpriority
     FROM orders
@@ -248,10 +257,13 @@ def insert_select_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ColumnSpec("o_orderpriority", "STRING"),
     ]
     typed = cast_projection(staged, cols, positional=True)
-    # TIMESTAMP base type maps to ltz; present as NTZ for comparison
+    # TIMESTAMP base type maps to ltz; present as NTZ for comparison.
+    # NUMERIC stays DECIMAL inside the cast projection (operator under
+    # test); presented as DOUBLE because the driver's hasher diverges
+    # on raw DecimalType outputs.
     return typed.withColumn(
         "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
-    )
+    ).withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,10 @@ def test_oracle_match(spark, oracle_con, key):
 
 @pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(spark, key):
+    from oracle import assert_no_decimal_output
+
     df = QUERIES[key](spark, SF_SMALL)
+    assert_no_decimal_output(df, key)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
