@@ -6,4 +6,133 @@ from component_delta_lake_writer_spark.plans.query_registry import (
 from component_delta_lake_writer_spark.plans import write_checks  # noqa: F401  (registers)
 from component_delta_lake_writer_spark.plans import extra_queries  # noqa: F401  (registers)
 
+# ---------------------------------------------------------------------------
+# Registry order.
+#
+# The verify driver consumes QUERIES in iteration order and budgets a
+# fixed number of keys per round (round 1 stopped at exactly the first
+# 50).  Keys that have never received a correctness row, plus keys whose
+# probes changed this round, are listed first so every key accumulates
+# driver evidence across rounds; keys with standing green rows from a
+# prior round come after, write-surface probes first (their engine paths
+# change most often).  Any key registered but not listed here is
+# appended at the end in registration order, so new probes are checked
+# immediately by default.
+# ---------------------------------------------------------------------------
+
+_FRONT = [
+    # -- never checked in round 1 (registry positions 50-93) --
+    "embedding_near_dup",
+    "frame_sample_plan",
+    "percentile_prices",
+    "lead_lag_orders",
+    "agg_cube",
+    "sliding_window_agg",
+    "dedup_cluster_resolve",
+    "null_semantics",
+    "string_funcs",
+    "array_ops",
+    "csv_quoted_edge",
+    "distinct_users_hourly",
+    "parquet_scan_multifile",
+    "json_roundtrip",
+    "stream_to_managed_table",
+    "tfidf_top_terms",
+    "histogram_prices",
+    "stats_agg",
+    "pipeline_clean_corpus",
+    "tpch_q6_revenue_filter",
+    "tpch_q4_exists_priority",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q11_value_share",
+    "correlated_min_price",
+    "ngram_jaccard_dedup",
+    "winnow_fingerprint_match",
+    "ann_ivf_topk",
+    "stream_dedup_events",
+    "stream_interval_join",
+    "csv_gzip_scan",
+    "tpch_q10_returned_items",
+    "multimodal_byte_features",
+    "tpch_q19_disjunctive",
+    "window_range_frame",
+    "window_ntile_deciles",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q15_top_supplier",
+    "stratified_sample_docs",
+    "train_test_split_docs",
+    "chunk_documents",
+    "redact_pii_docs",
+    "pack_sequences_docs",
+    "range_join_price_bands",
+    # -- red/err in round 1, probes fixed this round --
+    "csv_scan_typed",
+    "cast_matrix",
+    "insert_select_cast",
+    "job_run_external",
+    "catalog_actions",
+    # -- engine path rewritten this round (preserve-order scan) --
+    "row_order_preserved",
+    # -- green in round 1; write/managed-table surface first --
+    "write_error_mode",
+    "write_append",
+    "write_overwrite",
+    "partitioned_write",
+    "schema_merge",
+    "create_table_ddl",
+    "upsert_write",
+    "optimize_compact",
+    "time_travel_read",
+    "merge_upsert",
+    "streaming_hourly_agg",
+    "stateful_sessionize_stream",
+    # -- green in round 1; read/compute surface --
+    "parquet_scan",
+    "json_manifest_urls",
+    "join_inner_pk",
+    "join_anti_new_rows",
+    "join_semi",
+    "join_left_outer",
+    "agg_returnflag",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sort_limit_topk",
+    "union_all_dedup",
+    "set_intersect",
+    "set_except",
+    "date_dims",
+    "json_extract_props",
+    "events_hourly_agg",
+    "sessionize_events",
+    "asof_join_events",
+    "pivot_event_counts",
+    "text_tokenize_stats",
+    "text_quality_score",
+    "lang_id_ngram",
+    "exact_dedup_docs",
+    "minhash_dedup",
+    "cosine_topk",
+    "embedding_norms",
+    "multimodal_meta",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "simhash_dedup",
+    "ann_lsh_bucket_topk",
+]
+
+
+def _reorder() -> None:
+    ordered = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    osorted = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(osorted)
+
+
+_reorder()
+
 __all__ = ["QUERIES", "ORACLES", "query"]
