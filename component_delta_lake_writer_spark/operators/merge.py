@@ -55,20 +55,56 @@ def merge_condition(
     return reduce(and_, [target[pk] == source[pk] for pk in primary_key])
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for the optimized plan (driver-side
+    metadata only, no job). None when the stats bridge is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _broadcast_threshold_bytes(df: DataFrame) -> int:
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+            )
+        except Exception:
+            return 10 * 1024 * 1024
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
     primary_key: list[str],
     order_by: list[str] | None = None,
-    broadcast_source_keys: bool = True,
+    broadcast_source_keys: bool | None = None,
 ) -> DataFrame:
-    """Statement-level MERGE result as a DataFrame (caller commits it)."""
+    """Statement-level MERGE result as a DataFrame (caller commits it).
+
+    ``broadcast_source_keys=None`` (default) hints broadcast only when
+    Catalyst's size estimate for the source key set fits under
+    autoBroadcastJoinThreshold — a large CDC-replay source must not be
+    forced through a driver-side broadcast. True/False force the hint
+    on/off; in all cases AQE may still re-plan at runtime.
+    """
     if not primary_key:
         raise UserException("Upsert load mode requires a primary key.")
     src = dedup_source(source, primary_key, order_by)
     # align source columns to target schema (INSERT/UPDATE all columns)
     src = src.select(*[F.col(c) for c in target.columns])
     keys = src.select(*primary_key)
+    if broadcast_source_keys is None:
+        est = _plan_size_bytes(keys)
+        threshold = _broadcast_threshold_bytes(keys)
+        broadcast_source_keys = (
+            est is not None and threshold > 0 and est <= threshold
+        )
     if broadcast_source_keys:
         keys = F.broadcast(keys)
     kept = target.join(keys, on=primary_key, how="left_anti")

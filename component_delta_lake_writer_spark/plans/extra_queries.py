@@ -705,7 +705,7 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "csv_quoted_edge",
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT id, name, seg, CAST(amount AS DOUBLE) AS amount FROM (VALUES
       (1, 'plain', 'BUILDING', CAST(10.50 AS DECIMAL(10,2))),
       (2, 'comma, inside', 'AUTO', CAST(-3.25 AS DECIMAL(10,2))),
       (3, 'quote "q" inside', 'HOUSE', CAST(0.00 AS DECIMAL(10,2))),
@@ -741,7 +741,10 @@ def csv_quoted_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ColumnSpec("amount", "NUMERIC", "10,2"),
     ]
     df = read_csv_typed(spark, [fpath], cols)
-    return df.withColumn("id", F.col("id").cast("int"))
+    # DECIMAL parse under test; presented as DOUBLE (driver-hash rule)
+    return df.withColumn("id", F.col("id").cast("int")).withColumn(
+        "amount", F.col("amount").cast("double")
+    )
 
 
 @query(
@@ -949,8 +952,8 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
       COUNT(*) AS n,
       ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS price_cust_corr,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4)) * CAST(o_totalprice AS DECIMAL(12,4)))
-           AS DECIMAL(38,8)) AS sum_sq,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4)) * CAST(o_totalprice AS DECIMAL(12,4)))
+           AS DECIMAL(38,8)) AS VARCHAR) AS sum_sq,
       ROUND(stddev_samp(o_totalprice), 3) AS stddev_r
     FROM orders GROUP BY o_orderstatus
     """,
@@ -961,9 +964,11 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     → rounded. sum(x²) is exact ONLY as decimal all the way:
     cast-then-square (decimal×decimal) because double→decimal casts of
     17-significant-digit products diverge (Spark rounds the shortest
-    string repr, DuckDB the binary expansion), and the OUTPUT stays
-    DECIMAL because decimal→double of a >2^53-scaled value is
-    double-rounded differently across engines."""
+    string repr, DuckDB the binary expansion). The exact DECIMAL(38,8)
+    is presented as its STRING rendering (identical plain-notation
+    padding in both engines, verified) — decimal→double of a >2^53
+    scaled value would double-round differently, and raw DECIMAL
+    outputs fail the driver hash."""
     o = load_table(spark, sf_dir, "orders")
     d24 = F.col("o_totalprice").cast("decimal(24,4)")
     d12 = F.col("o_totalprice").cast("decimal(12,4)")
@@ -972,7 +977,7 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.corr(F.col("o_totalprice"), F.col("o_custkey").cast("double")), 6
         ).alias("price_cust_corr"),
-        F.sum(d24 * d12).cast("decimal(38,8)").alias("sum_sq"),
+        F.sum(d24 * d12).cast("decimal(38,8)").cast("string").alias("sum_sq"),
         F.round(F.stddev_samp(F.col("o_totalprice")), 3).alias("stddev_r"),
     )
 
@@ -1547,7 +1552,7 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_gzip_scan",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
     FROM orders
     """,
 )
@@ -1576,7 +1581,10 @@ def csv_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ColumnSpec("o_orderstatus", "STRING"),
         ColumnSpec("price", "NUMERIC", "12,2"),
     ]
-    return read_csv_typed(spark, path, cols)
+    # DECIMAL parse under test; presented as DOUBLE (driver-hash rule)
+    return read_csv_typed(spark, path, cols).withColumn(
+        "price", F.col("price").cast("double")
+    )
 
 
 @query(

@@ -109,12 +109,18 @@ class ManagedTable:
         tmp = final + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(commit.__dict__, f)
-        if os.path.exists(final):
-            os.remove(tmp)
+        try:
+            # os.link fails with EEXIST when the destination exists, so
+            # two racing writers cannot both claim the same version (a
+            # plain rename would silently replace); on object stores
+            # this maps to a conditional PUT (if-none-match).
+            os.link(tmp, final)
+        except FileExistsError:
             raise UserException(
                 f"Concurrent commit conflict at version {commit.version}"
-            )
-        os.rename(tmp, final)  # atomic publish
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # ---------- write path ----------
 
@@ -155,15 +161,22 @@ class ManagedTable:
         properties: dict | None = None,
     ) -> Commit:
         """One atomic table commit. ``mode`` per reference load modes."""
+        if mode == "upsert":
+            raise UserException("Use ManagedTable.upsert() for upsert mode.")
+        if mode not in ("error", "append", "overwrite"):
+            # X3: the reference raises UserException for unsupported
+            # modes (src/component.py:64-68,178-182); without this an
+            # unknown string would silently behave like append.
+            raise UserException(
+                f"Unsupported write mode {mode!r}; "
+                "expected one of error/append/overwrite/upsert."
+            )
         partition_by = partition_by or []
         prev = self.latest_commit()
 
         if mode == "error" and prev is not None:
             # W1: delta-rs mode='error' semantics (src/component.py:64-68)
             raise TableExistsError(f"Table already exists at {self.path}")
-
-        if mode == "upsert":
-            raise UserException("Use ManagedTable.upsert() for upsert mode.")
 
         if prev is not None and mode == "append":
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
@@ -172,6 +185,22 @@ class ManagedTable:
                     raise SchemaMismatchError(
                         "Incoming schema does not match table schema; "
                         "pass schema_mode='merge' to evolve (W5)."
+                    )
+                # schema_mode='merge' only ADDS columns; a type change
+                # on an existing column is rejected, matching delta-rs
+                # merge semantics — otherwise the committed schema_json
+                # would no longer describe the written data unit.
+                tf = {f.name: f.dataType for f in table_schema.fields}
+                conflicts = [
+                    f"{f.name}: table={tf[f.name].simpleString()} "
+                    f"incoming={f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                    if f.name in tf and tf[f.name] != f.dataType
+                ]
+                if conflicts:
+                    raise SchemaMismatchError(
+                        "schema_mode='merge' cannot change column types: "
+                        + "; ".join(conflicts)
                     )
             if prev.partition_by and partition_by and (
                 prev.partition_by != partition_by
@@ -241,6 +270,7 @@ class ManagedTable:
         primary_key: list[str],
         compression: str = "snappy",
         max_records_per_file: int | None = None,
+        properties: dict | None = None,
     ) -> Commit:
         """MERGE INTO semantics: WHEN MATCHED UPDATE all columns, WHEN
         NOT MATCHED INSERT all columns (src/component.py:238-260), with
@@ -266,6 +296,7 @@ class ManagedTable:
                 dedup_source(source, primary_key), mode="overwrite",
                 primary_key=primary_key, compression=compression,
                 max_records_per_file=max_records_per_file,
+                properties=properties,
             )
 
         prev = self.latest_commit()
@@ -282,7 +313,7 @@ class ManagedTable:
             partition_by=prev.partition_by,
             primary_key=primary_key,
             timestamp_ms=int(time.time() * 1000),
-            properties=prev.properties,
+            properties=properties if properties is not None else prev.properties,
         )
         self._publish(commit)
         return commit

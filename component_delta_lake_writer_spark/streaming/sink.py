@@ -31,20 +31,38 @@ def write_stream_to_table(
     CDC-style streaming merge sink: every micro-batch MERGEs into the
     table by PK (matched rows replaced, new rows inserted), each batch
     one atomic commit — the streaming spelling of W12.
+
+    Exactly-once per micro-batch: the committed batch_id is recorded in
+    the commit properties, so a replay after a crash between table
+    commit and checkpoint advance is detected and skipped. "First
+    batch" is derived from table existence, not process-local state, so
+    a restarted first batch keeps its configured mode.
     """
-    state = {"first": True}
+    _BATCH_KEY = "last_stream_batch_id"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = table.latest_commit()
+        if prev is not None:
+            last = prev.properties.get(_BATCH_KEY)
+            if last is not None and batch_id <= int(last):
+                return  # checkpoint replay of an already-committed batch
+        props = dict(prev.properties) if prev is not None else {}
+        props[_BATCH_KEY] = batch_id
         if mode == "upsert":
             table.upsert(
                 batch_df, primary_key or [],
                 max_records_per_file=max_records_per_file,
+                properties=props,
             )
             return
-        batch_mode = mode if state["first"] else "append"
-        state["first"] = False
+        # first batch = no stream-committed batch recorded yet (table
+        # may pre-exist from outside the stream; mode still applies)
+        first = prev is None or _BATCH_KEY not in prev.properties
+        batch_mode = mode if first else "append"
         table.write(
-            batch_df, mode=batch_mode, max_records_per_file=max_records_per_file
+            batch_df, mode=batch_mode,
+            max_records_per_file=max_records_per_file,
+            properties=props,
         )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(

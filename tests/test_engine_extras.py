@@ -276,6 +276,39 @@ def test_streaming_sink_commits_batches(spark, tmp_path):
     assert t.read().count() == 1500
 
 
+def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
+    """Crash between table commit and checkpoint advance replays the
+    micro-batch; the recorded batch_id in commit properties must make
+    the replay a no-op (exactly-once per batch)."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(100).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    q = write_stream_to_table(
+        spark.readStream.schema(schema).parquet(src), t,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert t.read().count() == 100
+    v = t.latest_commit().version
+    # simulate checkpoint loss → Spark replays batch 0 with the same id
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = write_stream_to_table(
+        spark.readStream.schema(schema).parquet(src), t,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert t.read().count() == 100  # no duplicate append
+    assert t.latest_commit().version == v  # replay produced no commit
+
+
 def test_empty_input_edges(spark, tmp_path):
     """Empty frames must flow through merge, dedup, and the table
     layer without errors (the 100 TB pipeline's 3 a.m. edge case)."""

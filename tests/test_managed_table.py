@@ -56,6 +56,47 @@ def test_schema_merge_gate(spark, tmp_path_str):
     assert t.read().columns == ["o_orderkey", "o_totalprice"]
 
 
+def test_schema_merge_rejects_type_change(spark, tmp_path_str):
+    """schema_mode='merge' may only ADD columns; a type change on an
+    existing column is rejected (delta-rs merge semantics)."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders")
+    t.write(o.select("o_orderkey", "o_totalprice"), mode="overwrite")
+    retyped = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("string").alias("o_totalprice")
+    )
+    with pytest.raises(SchemaMismatchError, match="cannot change column types"):
+        t.write(retyped, mode="append", schema_mode="merge")
+
+
+def test_write_rejects_unknown_mode(spark, tmp_path_str):
+    """X3: a typo'd mode must raise, not silently append."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders").limit(5)
+    with pytest.raises(UserException, match="Unsupported write mode"):
+        t.write(o, mode="apend")
+
+
+def test_publish_conflict_detected(spark, tmp_path_str):
+    """Two writers racing to the same commit version: the second must
+    fail loudly (os.link EEXIST), never silently replace the first."""
+    import os
+
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders").limit(5)
+    t.write(o, mode="overwrite")  # publishes version 0
+    first = t.latest_commit()
+    # a competing writer that read the same pre-state would also try
+    # to publish version 0 — simulate by re-publishing it directly
+    with pytest.raises(UserException, match="Concurrent commit conflict"):
+        t._publish(first)
+    # losing writer must not leave tmp litter behind
+    litter = [
+        f for f in os.listdir(t._commits_dir) if ".tmp." in f
+    ]
+    assert litter == []
+
+
 def test_upsert_dedups_first_batch(spark, tmp_path_str):
     """Regression: O2 pre-dedup must apply on table creation too."""
     t = ManagedTable(spark, tmp_path_str + "/t")
