@@ -2131,3 +2131,90 @@ _ORC["job_run_external"] = """
            o_orderdate, o_orderpriority
     FROM orders
 """
+
+
+@query("job_run_datadir")
+def job_run_datadir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keboola data-dir binding end-to-end (datadir.run_datadir_job):
+    ``config.json`` parameters + ``in/tables/*.csv.manifest`` (legacy
+    ``columns`` + ``column_metadata`` basetypes + ``primary_key``) →
+    JobSpec/TableInput → sliced all-string scan → cast projection →
+    upsert commit → read-back. Mirrors the reference's ComponentBase
+    binding (src/component.py:35-48,72,200-206; canonical fixture
+    component_config/sample-config/)."""
+    import json
+    import shutil
+
+    from component_delta_lake_writer_spark.datadir import run_datadir_job
+
+    base = _scratch("job_run_datadir", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    tdir = os.path.join(base, "in", "tables")
+    os.makedirs(tdir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    sliced = os.path.join(tdir, "orders.csv")  # sliced-table directory
+    o.coalesce(4).write.mode("overwrite").option("header", "false").csv(sliced)
+
+    def _meta(base_type: str, length: str | None = None) -> list[dict]:
+        m = [{"key": "KBC.datatype.basetype", "value": base_type}]
+        if length:
+            m.append({"key": "KBC.datatype.length", "value": length})
+        return m
+
+    with open(sliced + ".manifest", "w") as f:
+        json.dump(
+            {
+                "name": "orders",
+                "primary_key": ["o_orderkey"],
+                "columns": [
+                    "o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderdate", "o_orderpriority",
+                ],
+                "column_metadata": {
+                    "o_orderkey": _meta("INTEGER"),
+                    "o_custkey": _meta("INTEGER"),
+                    "o_orderstatus": _meta("STRING"),
+                    "o_totalprice": _meta("NUMERIC", "14,2"),
+                    "o_orderdate": _meta("TIMESTAMP"),
+                    "o_orderpriority": _meta("STRING"),
+                },
+            },
+            f,
+        )
+    with open(os.path.join(base, "config.json"), "w") as f:
+        json.dump(
+            {
+                "parameters": {
+                    "destination": {
+                        "mode": "upsert",
+                        "catalog": "main",
+                        "schema_name": "analytics",
+                        "table": "orders",
+                        "compression": "SNAPPY",
+                    },
+                    "batch_size": 25_000,
+                    # keep the read-back value-stable across input-split
+                    # layouts (same rationale as job_run_external)
+                    "preserve_insertion_order": False,
+                }
+            },
+            f,
+        )
+
+    t = run_datadir_job(spark, base)
+    # DECIMAL(14,2) committed (the NUMERIC base-type mapping under
+    # test); presented as DOUBLE per the driver-hash rule.
+    return t.read().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+
+
+_ORC["job_run_datadir"] = _ORC["job_run_external"]

@@ -32,6 +32,9 @@ class TableInput:
     manifest_path: str | None = None  # JSON manifest listing slice urls
     slice_paths: list[str] = field(default_factory=list)  # or explicit paths
     columns: list[ColumnSpec] = field(default_factory=list)
+    delimiter: str = ","  # manifest csv dialect (datadir binder)
+    enclosure: str = '"'
+    has_header: bool = False  # header row instead of manifest columns
 
 
 @dataclass
@@ -61,9 +64,19 @@ def plan_table_scan(
         paths = [r.url for r in read_manifest_urls(spark, tbl.manifest_path).collect()]
     if not paths:
         raise UserException("Input table has no slices.")
+
+    def staged_scan(ps: list[str]):
+        return read_csv_all_string(
+            spark,
+            ps,
+            n_columns=len(tbl.columns),
+            header=tbl.has_header,
+            delimiter=tbl.delimiter,
+            quote=tbl.enclosure,
+        )
+
     if not preserve_order:
-        staged = read_csv_all_string(spark, paths, n_columns=len(tbl.columns))
-        return cast_projection(staged, tbl.columns, positional=True)
+        return cast_projection(staged_scan(paths), tbl.columns, positional=True)
 
     from functools import reduce
 
@@ -71,8 +84,7 @@ def plan_table_scan(
 
     parts = []
     for i, p in enumerate(paths):
-        staged = read_csv_all_string(spark, [p], n_columns=len(tbl.columns))
-        typed = cast_projection(staged, tbl.columns, positional=True)
+        typed = cast_projection(staged_scan([p]), tbl.columns, positional=True)
         parts.append(
             typed.withColumn("_slice_idx", F.lit(i)).withColumn(
                 "_row_in_slice", F.monotonically_increasing_id()

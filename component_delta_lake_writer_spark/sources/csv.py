@@ -28,6 +28,8 @@ def read_csv_typed(
     paths: list[str] | str,
     columns: list[ColumnSpec],
     header: bool = False,
+    delimiter: str = ",",
+    quote: str = '"',
 ) -> DataFrame:
     """S1: explicit-schema CSV scan; never infers."""
     if isinstance(paths, str):
@@ -36,10 +38,12 @@ def read_csv_typed(
         spark.read.schema(schema_for(columns))
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
+        .option("sep", delimiter)
+        .option("quote", quote)
         # RFC-4180 doubled-quote escaping ("" inside a quoted field),
         # the convention of the reference's CSV stack — Spark's default
         # is backslash-escape, which silently mis-parses such fields.
-        .option("escape", '"')
+        .option("escape", quote)
         .csv(paths)
     )
 
@@ -49,6 +53,8 @@ def read_csv_all_string(
     paths: list[str] | str,
     n_columns: int,
     header: bool = False,
+    delimiter: str = ",",
+    quote: str = '"',
 ) -> DataFrame:
     """E2 staging read: positional ``_c0.._cN`` all-STRING columns."""
     if isinstance(paths, str):
@@ -59,6 +65,8 @@ def read_csv_all_string(
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
-        .option("escape", '"')  # RFC-4180, see read_csv_typed
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", quote)  # RFC-4180, see read_csv_typed
         .csv(paths)
     )
