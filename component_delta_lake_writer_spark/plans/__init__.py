@@ -23,6 +23,7 @@ from component_delta_lake_writer_spark.plans import extra_queries  # noqa: F401 
 _FRONT = [
     # -- new this round --
     "job_run_datadir",
+    "delta_log_read",
     # -- never checked in round 1 (registry positions 50-93) --
     "embedding_near_dup",
     "frame_sample_plan",

@@ -2218,3 +2218,38 @@ def job_run_datadir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORC["job_run_datadir"] = _ORC["job_run_external"]
+
+
+@query(
+    "delta_log_read",
+    oracle="SELECT * FROM orders",
+)
+def delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-interop proof: append ×2 then copy-on-write upsert, then
+    reconstruct the snapshot PURELY from ``_delta_log/`` actions
+    (add/remove replay + schemaString), never consulting ``_commits`` —
+    what an external Delta reader does with the tables the reference
+    writes via delta-rs (src/component.py:356)."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        replay_delta_log,
+    )
+    from pyspark.sql import types as T
+
+    base = _scratch("delta_log_read", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.upsert(o.filter(F.col("o_orderkey") % 3 == 2), ["o_orderkey"])
+
+    import json as _json
+
+    files, schema_str, _pcols = replay_delta_log(t.path)
+    schema = T.StructType.fromJson(_json.loads(schema_str))
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(t.path, f) for f in files]
+    )

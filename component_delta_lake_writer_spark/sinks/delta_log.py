@@ -1,0 +1,228 @@
+"""Delta-compatible transaction log emission for ManagedTable.
+
+The reference writes true Delta tables via delta-rs
+(``write_deltalake``, src/component.py:356 era — any Delta reader can
+open them). delta-spark is not a dependency in this environment, so
+ManagedTable keeps its own ``_commits`` snapshot log as the engine's
+source of truth — and ALSO emits the equivalent ``_delta_log/``
+JSON actions per the open Delta protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md) so that
+external Delta readers (delta-rs, delta-spark, DuckDB's delta
+extension) can open the same table:
+
+- ``_delta_log/{version:020d}.json`` — one file per commit, newline-
+  delimited JSON actions
+- version 0 carries ``protocol`` + ``metaData`` (schemaString is the
+  Spark schema JSON — the exact format Delta uses)
+- every commit carries ``add`` actions for new parquet files and
+  ``remove`` actions for files dropped from the snapshot (overwrite /
+  upsert copy-on-write / optimize compaction)
+- ``metaData`` is re-emitted when the schema evolves
+  (schema_mode='merge')
+- partition values are recovered from the Hive-style directory layout
+  Spark wrote (the same layout delta-rs produces for partitioned
+  tables)
+
+The TIMESTAMP_NTZ type requires the ``timestampNtz`` table feature
+(reader v3 / writer v7); the emitted protocol is upgraded exactly when
+the schema needs it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import uuid
+
+_DELTA_LOG = "_delta_log"
+
+
+def _walk_parquet(root: str, unit_dir: str) -> list[tuple[str, int, int, dict]]:
+    """All parquet files of one data unit as
+    (table-relative path, size, mtime_ms, partitionValues)."""
+    out = []
+    base = os.path.join(root, unit_dir)
+    for dirpath, _dirnames, filenames in os.walk(base):
+        rel_dir = os.path.relpath(dirpath, base)
+        pvals: dict[str, str] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pvals[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+        for fn in sorted(filenames):
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            full = os.path.join(dirpath, fn)
+            st = os.stat(full)
+            out.append(
+                (
+                    os.path.relpath(full, root),
+                    st.st_size,
+                    int(st.st_mtime * 1000),
+                    pvals,
+                )
+            )
+    return out
+
+
+def _needs_timestamp_ntz(schema_json: str) -> bool:
+    return "timestamp_ntz" in schema_json
+
+
+def _protocol_action(schema_json: str) -> dict:
+    if _needs_timestamp_ntz(schema_json):
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+        }
+    return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _metadata_action(
+    table_id: str, schema_json: str, partition_by: list[str], created_ms: int
+) -> dict:
+    return {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": partition_by,
+            "configuration": {},
+            "createdTime": created_ms,
+        }
+    }
+
+
+def write_delta_log_entry(
+    table_path: str,
+    data_dir_name: str,
+    version: int,
+    schema_json: str,
+    partition_by: list[str],
+    timestamp_ms: int,
+    new_units: list[str],
+    removed_units: list[str],
+    prev_schema_json: str | None,
+) -> str:
+    """Emit ``_delta_log/{version}.json`` for one commit. Returns the
+    written path. Idempotent per version (atomic link, first wins)."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    os.makedirs(log_dir, exist_ok=True)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(_protocol_action(schema_json))
+        actions.append(
+            _metadata_action(
+                uuid.uuid4().hex, schema_json, partition_by, timestamp_ms
+            )
+        )
+    elif prev_schema_json is not None and prev_schema_json != schema_json:
+        # schema evolution: re-emit metaData with the merged schema,
+        # keeping the table id from version 0
+        tid = _table_id(log_dir) or uuid.uuid4().hex
+        if _needs_timestamp_ntz(schema_json) and not _needs_timestamp_ntz(
+            prev_schema_json
+        ):
+            actions.append(_protocol_action(schema_json))
+        actions.append(
+            _metadata_action(tid, schema_json, partition_by, timestamp_ms)
+        )
+
+    for unit in removed_units:
+        for rel, _size, _mtime, _pvals in _walk_parquet(table_path, os.path.join(data_dir_name, unit)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": timestamp_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for unit in new_units:
+        for rel, size, mtime, pvals in _walk_parquet(table_path, os.path.join(data_dir_name, unit)):
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": mtime,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": timestamp_ms,
+                "operation": "WRITE",
+                "engineInfo": "component-delta-lake-writer-spark",
+            }
+        }
+    )
+
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, final)  # same conditional-publish as _commits
+    except FileExistsError:
+        pass  # a racing writer already published this version's entry
+    finally:
+        os.unlink(tmp)
+    return final
+
+
+def _table_id(log_dir: str) -> str | None:
+    v0 = os.path.join(log_dir, f"{0:020d}.json")
+    if not os.path.exists(v0):
+        return None
+    with open(v0) as f:
+        for line in f:
+            a = json.loads(line)
+            if "metaData" in a:
+                return a["metaData"]["id"]
+    return None
+
+
+def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]:
+    """Reconstruct the live snapshot purely from ``_delta_log/`` —
+    (live file paths relative to the table root, schemaString,
+    partitionColumns). This is what any external Delta reader does;
+    used by tests and the delta-read probe to prove the log is
+    self-describing (never consults ``_commits``)."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    versions = sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and not f.endswith(".tmp.json")
+    )
+    live: dict[str, bool] = {}
+    schema: str | None = None
+    partition_cols: list[str] = []
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    schema = a["metaData"]["schemaString"]
+                    partition_cols = a["metaData"]["partitionColumns"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = True
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    return sorted(live), schema, partition_cols

@@ -103,7 +103,7 @@ class ManagedTable:
         with open(os.path.join(self._commits_dir, f"{version:020d}.json")) as f:
             return Commit(**json.load(f))
 
-    def _publish(self, commit: Commit) -> None:
+    def _publish(self, commit: Commit, prev: Commit | None = None) -> None:
         os.makedirs(self._commits_dir, exist_ok=True)
         final = os.path.join(self._commits_dir, f"{commit.version:020d}.json")
         tmp = final + f".tmp.{uuid.uuid4().hex}"
@@ -121,6 +121,27 @@ class ManagedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # Delta interop: mirror the commit as _delta_log/ actions so
+        # external Delta readers open this table (the reference writes
+        # true Delta via delta-rs, src/component.py:356 / write_batch).
+        from component_delta_lake_writer_spark.sinks.delta_log import (
+            write_delta_log_entry,
+        )
+
+        prev_units = set(prev.data_units) if prev else set()
+        write_delta_log_entry(
+            table_path=self.path,
+            data_dir_name=_DATA,
+            version=commit.version,
+            schema_json=commit.schema_json,
+            partition_by=commit.partition_by,
+            timestamp_ms=commit.timestamp_ms,
+            new_units=[u for u in commit.data_units if u not in prev_units],
+            removed_units=(
+                [u for u in prev_units if u not in set(commit.data_units)]
+            ),
+            prev_schema_json=prev.schema_json if prev else None,
+        )
 
     # ---------- write path ----------
 
@@ -234,7 +255,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties=properties or (prev.properties if prev else {}),
         )
-        self._publish(commit)
+        self._publish(commit, prev)
         return commit
 
     @staticmethod
@@ -315,7 +336,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties=properties if properties is not None else prev.properties,
         )
-        self._publish(commit)
+        self._publish(commit, prev)
         return commit
 
     # ---------- maintenance ----------
@@ -352,7 +373,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties=prev.properties,
         )
-        self._publish(commit)
+        self._publish(commit, prev)
         return commit
 
     def vacuum(self) -> int:
