@@ -61,6 +61,25 @@ def table_exists(spark: SparkSession, table: str) -> bool:
     return spark.catalog.tableExists(table)
 
 
+def msck_repair(spark: SparkSession, table_path: str) -> DataFrame:
+    """W14: ``MSCK REPAIR TABLE … SYNC METADATA``
+    (src/component.py:113-115). The reference resyncs Unity Catalog
+    from the Delta log after an external write; here the repair
+    regenerates any ``_delta_log`` entries missing for committed
+    versions (ManagedTable.sync_metadata) and reports the count in the
+    action's (value, label) contract."""
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, table_path)
+    if not t.exists():
+        raise UserException(f"No table at {table_path}")
+    n = t.sync_metadata()
+    return spark.createDataFrame(
+        [(str(n), f"regenerated {n} delta-log entries")],
+        "value string, label string",
+    )
+
+
 ACTIONS = {
     "list_uc_catalogs": list_catalogs,
     "list_uc_schemas": list_schemas,
@@ -73,6 +92,8 @@ def execute_action(spark: SparkSession, action: str, **kwargs) -> DataFrame:
     """E3 dispatch (src/component.py:428-438 execute_action routing)."""
     if action == "list_table_columns":
         return list_table_columns(spark, kwargs["table"])
+    if action == "msck_repair":
+        return msck_repair(spark, kwargs["table_path"])
     try:
         return ACTIONS[action](spark)
     except KeyError:

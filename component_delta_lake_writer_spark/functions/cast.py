@@ -45,18 +45,25 @@ def base_type_to_spark(dtype: str, length: str | None = None) -> T.DataType:
 
 
 def cast_projection(
-    df: DataFrame, columns: list[ColumnSpec], positional: bool = True
+    df: DataFrame,
+    columns: list[ColumnSpec],
+    positional: bool = True,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """The typed view of staged data.
 
     ``positional=True`` mirrors the native path's ``_c0.._cN`` staging
     columns (src/component.py:200-204); ``False`` casts in place by
     name (the external path's typed read, src/component.py:72-78).
+    ``keep`` passes extra columns through untouched (e.g. file-metadata
+    bookkeeping for the preserve-order scan).
     """
     exprs: list[Column] = []
     for i, spec in enumerate(columns):
         src = F.col(f"_c{i}") if positional else F.col(spec.name)
         exprs.append(src.cast(base_type_to_spark(spec.dtype, spec.length)).alias(spec.name))
+    for extra in keep or []:
+        exprs.append(F.col(extra))
     return df.select(*exprs)
 
 

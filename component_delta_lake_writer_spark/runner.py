@@ -11,6 +11,7 @@ E2 becomes a projection, not a persisted object.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,10 +55,23 @@ def plan_table_scan(
     src/component.py:381-382): Spark has no implicit cross-partition
     order — and the multi-path scan bin-packs files by SIZE, so even
     partition indexes don't follow the slice list. The contract is
-    therefore explicit columns: ``_slice_idx`` (manifest position, via
-    one scan per slice) and ``_row_in_slice`` (monotonic id of a
-    single-file scan = byte order within that slice). Sorting by
-    (_slice_idx, _row_in_slice) reproduces CSV insertion order.
+    therefore explicit columns: ``_slice_idx`` (manifest position) and
+    ``_row_in_slice`` (byte-order position within the slice). Sorting
+    by (_slice_idx, _row_in_slice) reproduces CSV insertion order.
+
+    Scale design (one FileScan, not a per-slice scan loop — a
+    5,000-slice table must not become a 5,000-scan plan):
+
+    - ``_slice_idx``: the scan's hidden ``_metadata.file_path`` joined
+      against a broadcast (path → manifest position) map.
+    - ``_row_in_slice``: reconstructed WITHOUT shuffling the data.
+      ``monotonically_increasing_id`` is contiguous within a file
+      split, so row-in-slice = (rows in earlier splits of the file) +
+      (id − split's min id). Split row-counts/min-ids come from a
+      map-side-combinable aggregate whose result is tiny (one row per
+      split) and is broadcast back — the 100 TB never moves. Relies on
+      Spark's deterministic split planning (same listing + conf ⇒ same
+      splits across the two jobs), which holds for file sources.
     """
     paths = tbl.slice_paths
     if tbl.manifest_path:
@@ -78,19 +92,54 @@ def plan_table_scan(
     if not preserve_order:
         return cast_projection(staged_scan(paths), tbl.columns, positional=True)
 
-    from functools import reduce
+    import re
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    parts = []
-    for i, p in enumerate(paths):
-        typed = cast_projection(staged_scan([p]), tbl.columns, positional=True)
-        parts.append(
-            typed.withColumn("_slice_idx", F.lit(i)).withColumn(
-                "_row_in_slice", F.monotonically_increasing_id()
-            )
+    _SCHEME = r"^[a-zA-Z0-9+.\-]+:/+"
+
+    def norm(p: str) -> str:
+        # match the scheme-stripped form of _metadata.file_path
+        if re.match(_SCHEME, p):
+            return re.sub(_SCHEME, "/", p)
+        return os.path.abspath(p)
+
+    idx_map = spark.createDataFrame(
+        [(norm(p), i) for i, p in enumerate(paths)],
+        schema="__file STRING, _slice_idx INT",
+    )
+    staged = staged_scan(paths).select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME, "/"
+        ).alias("__file"),
+        F.col("_metadata.file_block_start").alias("__block"),
+        F.monotonically_increasing_id().alias("__mono"),
+    )
+    typed = cast_projection(
+        staged, tbl.columns, positional=True,
+        keep=["__file", "__block", "__mono"],
+    )
+    # one tiny row per file split; partial-aggregated map-side
+    splits = typed.groupBy("__file", "__block").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mono").alias("__m0")
+    )
+    w = Window.partitionBy("__file").orderBy("__block")
+    offsets = splits.withColumn(
+        "__off", F.sum("__n").over(w) - F.col("__n")
+    ).drop("__n")
+    return (
+        typed.join(F.broadcast(offsets), ["__file", "__block"])
+        .join(F.broadcast(idx_map), "__file")
+        .withColumn(
+            "_row_in_slice",
+            (F.col("__off") + (F.col("__mono") - F.col("__m0"))).cast("long"),
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        .select(
+            *[c.name for c in tbl.columns], "_slice_idx", "_row_in_slice"
+        )
+    )
 
 
 def run_job(

@@ -38,7 +38,6 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -267,21 +266,23 @@ class ManagedTable:
     # ---------- read path ----------
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read as ONE multi-path scan.
+
+        The committed schema is authoritative: passing it explicitly
+        makes the parquet reader fill columns absent from older data
+        units with NULL (exactly unionByName(allowMissingColumns)
+        semantics) while keeping the plan a single FileScan — after N
+        appends the read must NOT degrade into an N-scan union (plan
+        size O(1) in commit count, the 100 TB append-loop shape).
+        Type conflicts across units cannot arise: schema_mode='merge'
+        only adds columns. Partitioned units keep hive discovery per
+        provided root path."""
         commit = self.commit_at(version) if version is not None else self.latest_commit()
         if commit is None:
             raise UserException(f"No table at {self.path}")
-        dfs = [
-            self.spark.read.parquet(os.path.join(self._data_dir, u))
-            for u in commit.data_units
-        ]
-        df = reduce(
-            lambda x, y: x.unionByName(y, allowMissingColumns=True), dfs
-        )
-        # present columns in committed schema order
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        want = [f.name for f in schema.fields]
-        have = set(df.columns)
-        return df.select(*[c for c in want if c in have])
+        paths = [os.path.join(self._data_dir, u) for u in commit.data_units]
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # ---------- upsert (W12 + O2) ----------
 
@@ -393,6 +394,44 @@ class ManagedTable:
         """W13: DROP TABLE IF EXISTS (src/component.py:147-148)."""
         shutil.rmtree(self.path, ignore_errors=True)
 
+    def sync_metadata(self) -> int:
+        """W14: ``MSCK REPAIR TABLE … SYNC METADATA`` (reference
+        src/component.py:113-115 resyncs Unity Catalog from the Delta
+        log after an external write). Here the external-reader
+        metadata IS the ``_delta_log`` mirror; repair regenerates any
+        log entry missing for a committed version (e.g. a table
+        produced before the mirror existed, or a partially-copied
+        table). Returns the number of entries regenerated."""
+        from component_delta_lake_writer_spark.sinks.delta_log import (
+            write_delta_log_entry,
+        )
+
+        log_dir = os.path.join(self.path, "_delta_log")
+        repaired = 0
+        prev: Commit | None = None
+        for v in self._versions():
+            c = self.commit_at(v)
+            if not os.path.exists(os.path.join(log_dir, f"{v:020d}.json")):
+                prev_units = set(prev.data_units) if prev else set()
+                write_delta_log_entry(
+                    table_path=self.path,
+                    data_dir_name=_DATA,
+                    version=c.version,
+                    schema_json=c.schema_json,
+                    partition_by=c.partition_by,
+                    timestamp_ms=c.timestamp_ms,
+                    new_units=[
+                        u for u in c.data_units if u not in prev_units
+                    ],
+                    removed_units=[
+                        u for u in prev_units if u not in set(c.data_units)
+                    ],
+                    prev_schema_json=prev.schema_json if prev else None,
+                )
+                repaired += 1
+            prev = c
+        return repaired
+
     def history(self) -> list[Commit]:
         return [self.commit_at(v) for v in self._versions()]
 
@@ -413,6 +452,7 @@ class ManagedTable:
             )
         prev_units = set(self.commit_at(from_version).data_units)
         new_units: list[str] = []
+        last = None
         for v in versions:
             c = self.commit_at(v)
             if c.action not in ("append",):
@@ -422,8 +462,10 @@ class ManagedTable:
                 )
             new_units.extend(u for u in c.data_units if u not in prev_units)
             prev_units = set(c.data_units)
-        dfs = [
-            self.spark.read.parquet(os.path.join(self._data_dir, u))
-            for u in new_units
-        ]
-        return reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True), dfs)
+            last = c
+        # one multi-path scan under the range-end schema (older units'
+        # missing columns read as NULL), same plan shape as read()
+        schema = T.StructType.fromJson(json.loads(last.schema_json))
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self._data_dir, u) for u in new_units]
+        )

@@ -133,3 +133,23 @@ def test_delta_log_schema_evolution_reemits_metadata(spark, tmp_path_str):
     # table id is stable across metaData re-emissions
     v0_meta = next(a["metaData"] for a in _actions(t.path, 0) if "metaData" in a)
     assert metas[0]["id"] == v0_meta["id"]
+
+
+def test_msck_repair_regenerates_missing_log_entries(spark, tmp_path_str):
+    """W14 SYNC METADATA: deleting _delta_log entries (a table copied
+    without its mirror) and repairing reproduces a replayable log."""
+    import shutil
+
+    from component_delta_lake_writer_spark.actions import msck_repair
+
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    o = load_table(spark, SF, "orders").limit(100)
+    t.write(o, mode="overwrite")
+    t.write(o.withColumn("o_orderkey", F.col("o_orderkey") + 10**6), mode="append")
+    before, _, _ = replay_delta_log(t.path)
+    shutil.rmtree(os.path.join(t.path, "_delta_log"))
+    out = msck_repair(spark, t.path)
+    assert out.collect()[0]["value"] == "2"
+    after, schema_str, _ = replay_delta_log(t.path)
+    assert after == before
+    assert t.sync_metadata() == 0  # idempotent: nothing left to repair

@@ -94,3 +94,75 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     # for assignment
     p = _plan(spark, "ann_ivf_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_preserve_order_scan_is_single_filescan(tmp_path, spark):
+    """O1 at scale: a 100-slice preserve-order input must plan as ONE
+    multi-path FileScan (plus the tiny split-offset scan) — not one
+    scan node per slice, which blows up plan size as O(slices)."""
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.runner import (
+        TableInput,
+        plan_table_scan,
+    )
+
+    paths = []
+    for i in range(100):
+        p = tmp_path / f"slice_{i:03d}.csv"
+        p.write_text(f"{2 * i},a\n{2 * i + 1},b\n")
+        paths.append(str(p))
+    tbl = TableInput(
+        slice_paths=paths,
+        columns=[ColumnSpec("id", "INTEGER"), ColumnSpec("name", "STRING")],
+    )
+    df = plan_table_scan(spark, tbl, preserve_order=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_csv_scans = plan.count("FileScan csv")
+    # the data scan + the split-offset aggregate's scan of the same
+    # listing — NOT 100 per-slice scans
+    assert n_csv_scans <= 2, f"{n_csv_scans} csv scans in plan"
+    # offsets and the slice-index map ride in as broadcasts
+    assert "BroadcastHashJoin" in plan
+    # and the result still reproduces exact insertion order
+    rows = df.orderBy("_slice_idx", "_row_in_slice").select("id").collect()
+    assert [r["id"] for r in rows] == list(range(200))
+
+
+def test_managed_table_read_is_single_scan_after_appends(tmp_path, spark):
+    """After 50 appends the snapshot read must stay ONE parquet
+    FileScan (explicit committed schema over a multi-path scan), not a
+    50-scan union — plan size O(1) in commit count."""
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMALL, "orders").limit(50).cache()
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    for i in range(50):
+        t.write(o.filter(F.col("o_orderkey") % 50 == i), mode="append")
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert df.count() == 50
+    o.unpersist()
+
+
+def test_managed_table_read_nulls_for_evolved_columns(tmp_path, spark):
+    """Schema-merged tables: units written before a column existed
+    read as NULL for that column (single-scan path)."""
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMALL, "orders").limit(10)
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(o.select("o_orderkey"), mode="overwrite")
+    t.write(
+        o.select("o_orderkey", "o_totalprice").withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1000
+        ),
+        mode="append", schema_mode="merge",
+    )
+    r = t.read()
+    assert r.columns == ["o_orderkey", "o_totalprice"]
+    assert r.filter(F.col("o_totalprice").isNull()).count() == 10
