@@ -1,0 +1,180 @@
+"""Measured DuckDB envelope — the reference-default comparison profile.
+
+The reference executes locally through DuckDB (threads=1,
+max_memory=256MB, preserve_insertion_order=true by default —
+src/configuration.py:53-54,51, applied at src/component.py:371-382)
+and writes Delta via delta-rs with 25k-row batches and uncompressed
+parquet (src/component.py:82-111, configuration defaults). The
+deltalake package is not installed in this environment, so the write
+workloads measure DuckDB's COPY TO parquet with ROW_GROUP_SIZE 25000 —
+the data-plane cost of the delta-rs write minus its (small, per-commit)
+JSON log append; noted in BASELINE.md.
+
+Workloads (BASELINE.md §2):
+- csv_load_typed: the reference's external-table read path —
+  read_csv with explicit column_names+dtypes (component.py:75-78)
+  over header-less slices, materialized to parquet.
+- append_write: sf lineitem parquet → uncompressed parquet,
+  25k row groups (S2→W2 path).
+- merge_upsert: orders as target, 10% updated + 2% new source,
+  copy-on-write merge (source ∪ target-anti-source), the delta-rs
+  merge equivalent (component.py:238-260 semantics), re-materialized.
+
+Prints ONE JSON line; run with default (reference) profile and
+--threads N for the hardware-matched profile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--max-memory-mb", type=int, default=256)
+    ap.add_argument(
+        "--scale", type=int, default=1,
+        help="replicate inputs N× (key-offset union) — the compute-"
+        "bound regime where engine throughput, not per-job overhead, "
+        "is measured",
+    )
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="duckdb_envelope_")
+    con = duckdb.connect(os.path.join(work, "env.duckdb"))
+    con.execute(f"SET threads={args.threads}")
+    con.execute(f"SET max_memory='{args.max_memory_mb}MB'")
+    con.execute("SET preserve_insertion_order=true")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    def replicated(table: str, key: str) -> str:
+        """N-way key-offset union of one parquet input (--scale)."""
+        parts = [
+            f"SELECT * REPLACE ({key} + {i * 10**10} AS {key}) "
+            f"FROM read_parquet('{SF_DIR}/{table}.parquet')"
+            for i in range(args.scale)
+        ]
+        return "(" + " UNION ALL ".join(parts) + ")"
+
+    # -- csv_load_typed: export header-less slices once (not timed),
+    #    then the reference's typed read_csv → materialize
+    csv_path = os.path.join(work, "orders_slice.csv")
+    con.execute(
+        f"""
+        COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM {replicated('orders', 'o_orderkey')})
+        TO '{csv_path}' (FORMAT CSV, HEADER false)
+        """
+    )
+
+    def csv_load() -> None:
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM read_csv('{csv_path}',
+                column_names=['o_orderkey','o_custkey','o_orderstatus',
+                              'o_totalprice','o_orderdate','o_orderpriority'],
+                dtypes={{'o_orderkey':'BIGINT','o_custkey':'BIGINT',
+                        'o_orderstatus':'VARCHAR',
+                        'o_totalprice':'DECIMAL(14,2)',
+                        'o_orderdate':'TIMESTAMP',
+                        'o_orderpriority':'VARCHAR'}},
+                header=false)
+            ) TO '{work}/csv_load.parquet'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+
+    timed("csv_load_typed", csv_load)
+
+    # -- append_write: S2→W2, lineitem
+    def append_write() -> None:
+        con.execute(
+            f"""
+            COPY (SELECT * FROM {replicated('lineitem', 'l_orderkey')})
+            TO '{work}/lineitem_out.parquet'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+
+    timed("append_write", append_write)
+
+    # -- merge_upsert: copy-on-write MERGE equivalent
+    con.execute(
+        f"CREATE TABLE target AS SELECT * FROM {replicated('orders', 'o_orderkey')}"
+    )
+    con.execute(
+        """
+        CREATE TABLE source AS
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM target WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM target WHERE o_orderkey % 50 = 0
+        """
+    )
+
+    def merge_upsert() -> None:
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM source
+              UNION ALL
+              SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
+            ) TO '{work}/merged.parquet'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+
+    timed("merge_upsert", merge_upsert)
+
+    con.close()
+    shutil.rmtree(work, ignore_errors=True)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_envelope_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "profile": {
+                    "scale": args.scale,
+                    "threads": args.threads,
+                    "max_memory_mb": args.max_memory_mb,
+                    "preserve_insertion_order": True,
+                    "compression": "UNCOMPRESSED",
+                    "row_group_size": 25000,
+                },
+                "workloads": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,95 @@ HEADLINE = [
 ]
 
 
+def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
+    """The BASELINE.md §2 envelope workloads, Spark-side — the exact
+    DuckDB twins live in baseline_duckdb.py (measured numbers in
+    BASELINE_DUCKDB.json). Same shapes: typed CSV load → table write,
+    parquet append write, 10%-update / 2%-insert copy-on-write upsert;
+    uncompressed parquet, 25k rows per file. ``scale`` replicates the
+    inputs by key-offset union, identically on both engines — at sf0.1
+    ×1 the comparison is per-job-overhead-bound (Spark pays ~0.3-0.5 s
+    fixed dispatch per job, DuckDB ~0); ×10 is the compute-bound
+    regime that extrapolates to the 100 TB posture."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sources.csv import read_csv_typed
+    from component_delta_lake_writer_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_envelope_")
+    timings: dict[str, float] = {}
+
+    def replicated(table: str, key: str):
+        base = load_table(spark, sf_dir, table)
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.withColumn(key, F.col(key) + F.lit(i * 10**10))
+                for i in range(scale)
+            ],
+        )
+
+    orders = replicated("orders", "o_orderkey")
+    csv_dir = os.path.join(work, "orders_slices")
+    orders.select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    ).write.mode("overwrite").option("header", "false").csv(csv_dir)
+
+    t0 = time.perf_counter()
+    typed = read_csv_typed(
+        spark,
+        csv_dir,
+        [
+            ColumnSpec("o_orderkey", "INTEGER"),
+            ColumnSpec("o_custkey", "INTEGER"),
+            ColumnSpec("o_orderstatus", "STRING"),
+            ColumnSpec("o_totalprice", "NUMERIC", "14,2"),
+            ColumnSpec("o_orderdate", "TIMESTAMP"),
+            ColumnSpec("o_orderpriority", "STRING"),
+        ],
+    )
+    ManagedTable(spark, os.path.join(work, "csv_load")).write(
+        typed, mode="overwrite", compression="none", max_records_per_file=25_000
+    )
+    timings["csv_load_typed"] = round(time.perf_counter() - t0, 3)
+
+    li = replicated("lineitem", "l_orderkey")
+    t0 = time.perf_counter()
+    ManagedTable(spark, os.path.join(work, "li")).write(
+        li, mode="append", compression="none", max_records_per_file=25_000
+    )
+    timings["append_write"] = round(time.perf_counter() - t0, 3)
+
+    t = ManagedTable(spark, os.path.join(work, "orders_t"))
+    t.write(orders, mode="overwrite", compression="none",
+            max_records_per_file=25_000)
+    source = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10**9
+        )
+    )
+    t0 = time.perf_counter()
+    t.upsert(source, ["o_orderkey"], compression="none",
+             max_records_per_file=25_000)
+    timings["merge_upsert"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    return timings
+
+
 def main() -> None:
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
@@ -76,18 +165,35 @@ def main() -> None:
         total += dt
         print(f"# {key}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    env = _envelope(spark, SF_DIR)
+    for k, v in env.items():
+        print(f"# envelope/{k}: {v:.3f}s", file=sys.stderr)
+
+    result: dict = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "envelope_scale10": env,
+    }
+
+    # measured DuckDB twin (BASELINE.md §2): hardware-matched profile
+    # at the same ×10 replication (compute-bound regime)
+    baseline_path = Path(__file__).resolve().parent / "BASELINE_DUCKDB.json"
+    if baseline_path.exists():
+        try:
+            base = json.loads(baseline_path.read_text())
+            prof = base["profiles"]["hardware_matched_threads32_scale10"]
+            duck_total = sum(prof["workloads"].values())
+            spark_total = sum(env.values())
+            result["envelope_duckdb_scale10"] = prof["workloads"]
+            result["bench_vs_baseline"] = round(spark_total / duck_total, 2)
+        except (KeyError, ValueError, ZeroDivisionError):
+            pass
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    result["sf"] = float(sf) if sf else None
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
