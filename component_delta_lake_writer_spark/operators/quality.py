@@ -1,0 +1,188 @@
+"""Corpus-quality operators for training-data pipelines.
+
+Beyond-reference family (the reference is a writer; these are the
+quality gates a 100 TB pretraining corpus runs before the write):
+
+- ``repetition_stats``: Gopher-style repetition signals (Rae et al.
+  2021, "Scaling Language Models", §A1.1 quality heuristics) —
+  duplicate n-gram fraction and most-frequent-word mass per document.
+- ``contamination_check``: benchmark-contamination screen — flags
+  documents sharing any n-gram with a holdout/benchmark set (the
+  GPT-3-style "13-gram overlap" test, Brown et al. 2020 §C, with a
+  configurable n).
+- ``canonical_url`` / ``url_dedup``: URL canonicalization (lowercase
+  scheme+host, strip tracking params, drop trailing slash) and
+  canonical-URL grouping — the first, cheapest dedup pass of a web
+  corpus.
+
+Scale posture: everything is built-in expressions (whole-stage
+codegen); the only wide operations are partial-aggregated groupBys,
+and the contamination join broadcasts the (small) benchmark n-gram
+set. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"^(utm_[^=]*|ref|fbclid|gclid|mc_cid|mc_eid)="
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams as an array column (empty when < n tokens)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_2gram_frac: float = 0.9,
+    max_top_word_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition metrics + keep verdict per document.
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 − distinct/total word
+      n-grams — high values mean the document is template/boilerplate.
+    - ``top_word_frac``: mass of the single most frequent word.
+    - ``keep``: passes both thresholds.
+
+    One narrow expression pass for the n-gram fractions + one
+    partial-aggregated explode/groupBy for the top-word mass (grouped
+    by document id — no global shuffle of text payloads, only of
+    (id, word, count) partial aggregates).
+    """
+    toks = _tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_words"),
+        _ngrams(toks, 2).alias("__g2"),
+        _ngrams(toks, 3).alias("__g3"),
+    ).withColumns(
+        {
+            "dup_2gram_frac": F.round(
+                F.when(
+                    F.size("__g2") > 0,
+                    1 - F.size(F.array_distinct("__g2")) / F.size("__g2"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+            "dup_3gram_frac": F.round(
+                F.when(
+                    F.size("__g3") > 0,
+                    1 - F.size(F.array_distinct("__g3")) / F.size("__g3"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        }
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    out = (
+        base.drop("__toks", "__g2", "__g3")
+        .join(top, id_col)
+        .withColumn(
+            "top_word_frac",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0, F.col("__top") / F.col("n_words")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .drop("__top")
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screen: documents sharing ≥1 word
+    ``n``-gram with the benchmark set, with the count of distinct
+    shared n-grams. The benchmark n-gram set is distinct-ed and
+    BROADCAST (benchmarks are small by construction; the 100 TB corpus
+    side never shuffles — each candidate n-gram probes the broadcast
+    hash set map-side)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(_ngrams(_tokens(F.col(text_col)), n)).alias("__g")
+        )
+        .distinct()
+    )
+    cand = docs.select(
+        F.col(id_col),
+        F.explode(_ngrams(_tokens(F.col(text_col)), n)).alias("__g"),
+    )
+    return (
+        cand.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").alias("n_shared_ngrams"))
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, path without trailing
+    slash, query without tracking params (sorted for stability),
+    no fragment."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(_TRACKING),
+        )
+    )
+    q = F.concat_ws("&", kept)
+    return F.concat(
+        host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by canonical URL; emit groups with duplicates
+    (canonical form, cardinality, keeper = min id) — the keeper rule
+    matches the exact-dedup convention elsewhere in the engine."""
+    return (
+        docs.select(F.col(id_col), canonical_url(F.col(url_col)).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -24,6 +24,9 @@ _FRONT = [
     # -- new this round --
     "job_run_datadir",
     "delta_log_read",
+    "gopher_repetition_filter",
+    "contamination_ngram_check",
+    "url_dedup_canonical",
     # -- never checked in round 1 (registry positions 50-93) --
     "embedding_near_dup",
     "frame_sample_plan",

@@ -2220,6 +2220,166 @@ def job_run_datadir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC["job_run_datadir"] = _ORC["job_run_external"]
 
 
+_GOPHER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS n_words, toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1])
+    ELSE []::VARCHAR[] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(generate_series(1, len(toks)-2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE []::VARCHAR[] END AS g3
+  FROM t
+),
+topw AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+m AS (
+  SELECT g.doc_id, n_words,
+    ROUND(CASE WHEN len(g2) > 0
+      THEN 1 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0 END, 6)
+      AS dup_2gram_frac,
+    ROUND(CASE WHEN len(g3) > 0
+      THEN 1 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0 END, 6)
+      AS dup_3gram_frac,
+    ROUND(CASE WHEN n_words > 0
+      THEN topc::DOUBLE / n_words ELSE 0 END, 6) AS top_word_frac
+  FROM g JOIN topw USING (doc_id)
+)
+SELECT *, (dup_2gram_frac <= 0.9 AND top_word_frac <= 0.3) AS keep FROM m
+"""
+
+
+@query("gopher_repetition_filter", oracle=_GOPHER_ORACLE)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (operators.quality.
+    repetition_stats): duplicate 2/3-gram fractions as narrow
+    codegen'd array expressions, top-word mass via one partial-
+    aggregated explode — the repetition heuristics a pretraining
+    corpus applies before writing (Rae et al. 2021 §A1.1)."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac",
+        "top_word_frac", "keep",
+    )
+
+
+_CONTAMINATION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 5 THEN
+      list_transform(generate_series(1, len(toks)-4),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             || toks[i+3] || ' ' || toks[i+4])
+    ELSE []::VARCHAR[] END AS g5
+  FROM t
+),
+bg AS (SELECT DISTINCT unnest(g5) AS gram FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(g5) AS gram FROM g WHERE doc_id % 97 <> 0)
+SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS n_shared_ngrams
+FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+"""
+
+
+@query("contamination_ngram_check", oracle=_CONTAMINATION_ORACLE)
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (operators.quality.
+    contamination_check): every 97th doc plays the held-out benchmark;
+    candidates sharing any word 5-gram are flagged with the distinct
+    shared-gram count. The benchmark gram set is broadcast — the
+    corpus side probes it map-side, no corpus shuffle (the GPT-3
+    §C overlap test shape)."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        contamination_check,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(cand, bench, n=5)
+
+
+_URL_EXPR_SQL = """
+  'HTTPS://' || source || '.Example.COM/p/' || (doc_id % 37) ||
+  CASE doc_id % 3
+    WHEN 0 THEN '/?utm_source=feed&id=' || (doc_id % 5)
+    WHEN 1 THEN '?id=' || (doc_id % 5) || '&utm_campaign=x'
+    ELSE '' END
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+    || regexp_replace(
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+         '/+$', '')
+    || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS curl
+  FROM (
+    SELECT doc_id, url,
+      array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        x -> x <> '' AND NOT regexp_matches(
+          x, '^(utm_[^=]*|ref|fbclid|gclid|mc_cid|mc_eid)='))), '&') AS q
+    FROM u
+  )
+)
+SELECT curl, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM c GROUP BY curl HAVING COUNT(*) > 1
+"""
+
+
+@query("url_dedup_canonical", oracle=_URL_DEDUP_ORACLE)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators.quality.url_dedup): lowercase
+    scheme+host, trailing-slash strip, tracking-param removal with
+    stable param ordering — the cheapest first dedup pass of a web
+    corpus. URLs are synthesized deterministically from doc metadata
+    (the documents table carries no URL column); the identical
+    construction runs in the oracle."""
+    from component_delta_lake_writer_spark.operators.quality import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"), F.col("source"), F.lit(".Example.COM/p/"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("/?utm_source=feed&id="),
+                    (F.col("doc_id") % 5).cast("string"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("?id="), (F.col("doc_id") % 5).cast("string"),
+                    F.lit("&utm_campaign=x"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return url_dedup(docs)
+
+
 @query(
     "delta_log_read",
     oracle="SELECT * FROM orders",
