@@ -27,6 +27,11 @@ _FRONT = [
     "gopher_repetition_filter",
     "contamination_ngram_check",
     "url_dedup_canonical",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_dormant_customers",
     # -- never checked in round 1 (registry positions 50-93) --
     "embedding_near_dup",
     "frame_sample_plan",
