@@ -5,6 +5,7 @@ from component_delta_lake_writer_spark.plans.query_registry import (
 )
 from component_delta_lake_writer_spark.plans import write_checks  # noqa: F401  (registers)
 from component_delta_lake_writer_spark.plans import extra_queries  # noqa: F401  (registers)
+from component_delta_lake_writer_spark.plans import tpch_full  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Registry order.
@@ -85,6 +86,12 @@ _FRONT = [
     "catalog_actions",
     # -- engine path rewritten this round (preserve-order scan) --
     "row_order_preserved",
+    # -- new this round, wave 2: the last five TPC-H shapes --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_volume_suppliers",
     # -- green in round 1; write/managed-table surface first --
     "write_error_mode",
     "write_append",
