@@ -186,3 +186,33 @@ def url_dedup(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def mix_report(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mixing report: per group (source × language by default)
+    document and whitespace-token counts plus each group's share of
+    all corpus tokens — the table a pretraining run reads to set its
+    sampling mixture. Token share is an exact integer ratio presented
+    as a rounded double.
+
+    Scale: one partial-aggregated groupBy over ~|groups| rows, then a
+    broadcast-sized global total joined back (Spark plans the empty
+    window as a single-row cross join) — the fact table is scanned
+    once."""
+    from component_delta_lake_writer_spark.operators.text import token_count
+
+    per = docs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.withColumn(
+        "token_share",
+        F.round(F.col("n_tokens").cast("double") / total, 6),
+    )

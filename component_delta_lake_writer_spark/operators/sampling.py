@@ -104,3 +104,23 @@ def pack_sequences(
     return df.withColumn(
         "bin", F.floor((cum - F.lit(1)) / F.lit(budget)).cast("long")
     )
+
+
+def importance_sample(
+    df: DataFrame, id_col: str, rate_col: Column
+) -> DataFrame:
+    """Quality-weighted (importance) sampling: keep a row with
+    probability ``rate_col``% (an integer 1-100 column, typically a
+    CASE over a quality signal), and attach the inverse-probability
+    ``weight`` = 100/rate so downstream token/loss statistics over the
+    sample remain unbiased estimates of the full corpus — the standard
+    quality-upsampling move of a pretraining data mix.
+
+    Membership reuses the deterministic hash bucket (not RNG), so the
+    same row set survives reruns, task retries, and engine swaps, and
+    a row's membership never flips as the corpus grows."""
+    return df.withColumn("_rate", rate_col).filter(
+        _bucket(id_col) < F.col("_rate")
+    ).withColumn(
+        "weight", F.round(F.lit(100.0) / F.col("_rate"), 6)
+    ).drop("_rate")

@@ -217,3 +217,88 @@ def ivf_topk(
     )
     cand = df.join(asg, id_col).join(F.broadcast(pcells), "cell").drop("cell")
     return cosine_topk(cand, probe, k, vec_col, id_col)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic double —
+    same left-fold shape as ``dot``, so the DuckDB twin's list_reduce
+    produces bit-identical results)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    k: int = 8,
+    lloyd_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seeded Lloyd k-means over an embedding column — the semantic
+    clustering pass of a training-data pipeline (cluster-then-sample /
+    semantic dedup à la SemDeDup). Returns (pid, cid, dist2): each
+    vector's final cluster and squared distance to its centroid.
+
+    Everything is deterministic and engine-portable, so the whole
+    iteration is differential-testable against a SQL oracle:
+
+    - init: the k lowest-id vectors are the seed centroids (a fixed
+      k-means++-free init — no RNG);
+    - assignment: argmin over a broadcast k-row centroid table via a
+      min-struct hash agg (no window sort, no shuffle of the vectors:
+      the same shape as ivf_topk's coarse quantizer);
+    - update: per-dimension means via posexplode + groupBy(cid, pos),
+      summed exactly (round→decimal — the engine's idiom for
+      order-sensitive double sums) and divided once in double.
+
+    Scale: per iteration one narrow crossJoin with a broadcast k×dim
+    table + one partial-aggregated groupBy of k×dim rows — the vector
+    table is scanned once per iteration and never shuffled; only the
+    k×dim component relation moves. Lloyd iteration count is fixed
+    (pipelines run 2-5), not convergence-polled, so the driver issues
+    no per-round count jobs."""
+    pts = df.select(
+        F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("x")
+    )
+    cents = pts.filter(F.col("pid") < k).select(
+        F.col("pid").alias("cid"), F.col("x").alias("c")
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(F.broadcast(cdf)).select(
+            "pid", "x", "cid", _sqdist(F.col("x"), F.col("c")).alias("dist2")
+        )
+        # argmin by (dist2, cid): min-struct agg; x is constant per pid
+        # so first() is deterministic here.
+        return (
+            scored.groupBy("pid")
+            .agg(
+                F.min(F.struct("dist2", "cid")).alias("m"),
+                F.first("x").alias("x"),
+            )
+            .select("pid", "x", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"))
+        )
+
+    for _ in range(max(lloyd_iterations - 1, 0)):
+        asg = assign(cents)
+        comps = (
+            asg.select("cid", F.posexplode("x").alias("pos", "xj"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("xj"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = comps.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t["m"],
+            ).alias("c")
+        )
+    return assign(cents).select("pid", "cid", "dist2")

@@ -6,6 +6,7 @@ from component_delta_lake_writer_spark.plans.query_registry import (
 from component_delta_lake_writer_spark.plans import write_checks  # noqa: F401  (registers)
 from component_delta_lake_writer_spark.plans import extra_queries  # noqa: F401  (registers)
 from component_delta_lake_writer_spark.plans import tpch_full  # noqa: F401  (registers)
+from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Registry order.
@@ -92,6 +93,9 @@ _FRONT = [
     "tpch_q12_late_shipment_priority",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_excess_volume_suppliers",
+    "corpus_mix_report",
+    "importance_sample_docs",
+    "kmeans_embedding_clusters",
     # -- green in round 1; write/managed-table surface first --
     "write_error_mode",
     "write_append",

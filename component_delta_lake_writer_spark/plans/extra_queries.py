@@ -362,7 +362,11 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_sessionize,
     )
 
-    return stream_sessionize(spark, sf_dir, gap_seconds=1800)
+    # state_partitions=8: local drain of a small static feed — the
+    # per-partition state-store + Arrow-worker fixed cost dominates
+    # past that (9.6s → 1.6s at sf0.01); a live cluster deployment
+    # sizes this to state volume instead.
+    return stream_sessionize(spark, sf_dir, gap_seconds=1800, state_partitions=8)
 
 
 from component_delta_lake_writer_spark.plans.query_registry import ORACLES as _ORC
@@ -1520,7 +1524,7 @@ def stream_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup_events,
     )
 
-    return stream_dedup_events(spark, sf_dir)
+    return stream_dedup_events(spark, sf_dir, state_partitions=8)
 
 
 @query(
@@ -1545,7 +1549,7 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_interval_join,
     )
 
-    return stream_interval_join(spark, sf_dir)
+    return stream_interval_join(spark, sf_dir, state_partitions=8)
 
 
 @query(

@@ -169,7 +169,7 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_hourly_agg)."""
     from component_delta_lake_writer_spark.streaming import stream_hourly_rollup
 
-    return stream_hourly_rollup(spark, sf_dir)
+    return stream_hourly_rollup(spark, sf_dir, state_partitions=8)
 
 
 # the streaming result *is* SQL-checkable against the batch oracle

@@ -70,12 +70,21 @@ def _sessionize_group(gap_us: int):
 
 
 def stream_sessionize(
-    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+    spark: SparkSession,
+    sf_dir: str,
+    gap_seconds: int = 1800,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """availableNow drain of the events feed through the stateful
-    sessionizer; returns the materialized session table."""
+    sessionizer; returns the materialized session table.
+
+    ``state_partitions`` sizes the state store (see
+    structured.scoped_state_partitions) — each state partition costs a
+    state-store commit plus one Arrow worker per micro-batch, so local
+    drains want single digits while a real cluster wants hundreds."""
     from component_delta_lake_writer_spark.streaming.structured import (
         _stage_events_dir,
+        scoped_state_partitions,
     )
 
     src_dir = _stage_events_dir(sf_dir)
@@ -95,12 +104,13 @@ def stream_sessionize(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stream_sessions_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    q = (
-        sessions.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            sessions.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

@@ -14,11 +14,35 @@ bounded, state eviction) — the aggregation plan is unchanged.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from component_delta_lake_writer_spark.operators.sessions import hourly_rollup
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    start — for a stateful stream this fixes the number of state-store
+    partitions for the lifetime of the checkpoint, Structured
+    Streaming's standard sizing knob. Each state partition carries
+    fixed per-micro-batch cost (state-store open/commit, one Arrow
+    worker for applyInPandas* ops), so the right value is proportional
+    to expected state size and executor count: hundreds-to-thousands on
+    a 1000-executor cluster, single digits for a local drain of a small
+    feed where the fixed cost dominates. ``None`` leaves the session
+    setting untouched."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stage_events_dir(sf_dir: str) -> str:
@@ -34,7 +58,10 @@ def _stage_events_dir(sf_dir: str) -> str:
 
 
 def stream_hourly_rollup(
-    spark: SparkSession, sf_dir: str, with_watermark: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    with_watermark: bool = True,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Hourly event rollup as a stream, drained with availableNow into
     a memory sink; returns the materialized result table."""
@@ -58,18 +85,21 @@ def stream_hourly_rollup(
         "hour", F.col("hour").cast("timestamp_ntz")
     )
     name = f"stream_hourly_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    q = (
-        rolled.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            rolled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
-def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark.
 
     The staged source doubles every 10th event (deterministic), so the
@@ -96,14 +126,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     name = f"stream_dedup_{tag.replace('.', '_')}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -111,7 +142,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_interval_join(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
     """Stream-stream interval join: purchases joined to the same
     user's clicks in the preceding 30 minutes.
 
@@ -156,14 +189,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     name = f"stream_ij_{tag.replace('.', '_')}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy(F.col("p_user").alias("user_id"))

@@ -166,3 +166,36 @@ def test_managed_table_read_nulls_for_evolved_columns(tmp_path, spark):
     r = t.read()
     assert r.columns == ["o_orderkey", "o_totalprice"]
     assert r.filter(F.col("o_totalprice").isNull()).count() == 10
+
+
+def test_new_tpch_shapes_broadcast_dims(spark):
+    # Q2/Q9/Q20: dims must broadcast; the fact table must not.
+    for key in [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_type_profit",
+        "tpch_q20_excess_volume_suppliers",
+    ]:
+        assert "BroadcastHashJoin" in _plan(spark, key), key
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    p = _plan(spark, "tpch_q16_supplier_part_counts")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_kmeans_centroids_broadcast_vectors_never_shuffle(spark):
+    # The vector table joins the k-row centroid table via broadcast
+    # NLJ (cross join); the only exchanges are the k×dim component
+    # aggregations and the final argmin hash-agg — no sort-merge join
+    # of the vectors themselves.
+    p = _plan(spark, "kmeans_embedding_clusters")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mix_report_single_scan_partial_agg(spark):
+    # one scan of documents + partial aggregation before the exchange
+    p = _plan(spark, "corpus_mix_report")
+    assert p.count("Scan parquet") == 1
+    assert p.count("HashAggregate") >= 2
