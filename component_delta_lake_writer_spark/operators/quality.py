@@ -216,3 +216,93 @@ def mix_report(
         "token_share",
         F.round(F.col("n_tokens").cast("double") / total, 6),
     )
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram LM: per lowercase whitespace token, its count and
+    ``logp`` = round(log2(count/total), 4). The whole-relation total is
+    a single-partition window over the (small) vocabulary relation, not
+    over the corpus — safe at any corpus size because the aggregation
+    below it has already collapsed to |vocab| rows.
+
+    ``logp`` is rounded BEFORE any cross-row use so downstream decimal
+    sums are order-free and cross-engine exact (registry determinism
+    rule #2: Spark log2 is Math.log(x)/Math.log(2), DuckDB's is C
+    log2 — they can differ in the last ulp, which round-4 hides)."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return freq.withColumn(
+        "logp", F.round(F.log2(F.col("n") / total), 4)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram bits-per-token (a perplexity proxy, the
+    CCNet/fastText-style LM quality signal without an external model):
+    mean −log2 p(token) under the corpus's own unigram distribution.
+    Low bits/token ⇒ common-word soup; high ⇒ rare-token noise — both
+    tails are what a quality gate trims.
+
+    The model (|vocab| rows) is broadcast; the per-doc sum goes
+    through round→decimal so partition order can't perturb the hash.
+    Two shuffles total (vocab agg + per-doc agg) regardless of corpus
+    size."""
+    model = unigram_model(docs, text_col)
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    per = (
+        tok.join(F.broadcast(model), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((-F.col("logp")).cast("decimal(18,4)")).alias("_bits"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.col("_bits").cast("double") / F.col("n_tokens"), 6
+        ).alias("bits_per_token"),
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate spans (the building block of
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better": word-level here instead of suffix-array byte-level): every
+    ``n``-gram span that recurs in ≥ ``min_docs`` distinct documents,
+    with its document frequency and total occurrence count. Downstream
+    span removal / doc filtering keys off this relation.
+
+    Scale shape: the explode is the |tokens|× fan-out every shingling
+    op here pays (cf. dedup.shingle); the groupBy is map-side-combined
+    (count/count_distinct partials), so the shuffle carries one row per
+    distinct (span, doc) — boilerplate-heavy corpora collapse hard."""
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(_ngrams(_tokens(F.col(text_col)), n)).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

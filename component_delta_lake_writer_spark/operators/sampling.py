@@ -124,3 +124,63 @@ def importance_sample(
     ).withColumn(
         "weight", F.round(F.lit(100.0) / F.col("_rate"), 6)
     ).drop("_rate")
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-domain document cap (domain balancing): keep at most ``cap``
+    rows per ``group_col`` value, preferring high ``order_col`` (ties
+    broken by ``id_col`` so the kept set is a pure function of the
+    data). The standard guard against a single crawl domain dominating
+    a pretraining mix.
+
+    One shuffle on ``group_col`` (the row_number window); no global
+    sort. At 100 TB a skewed mega-domain concentrates its partition,
+    but the window is rank-then-filter — state per partition is O(1),
+    and AQE splits oversized post-shuffle partitions."""
+    from pyspark.sql.window import Window
+
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    tokens_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Greedy token-budget prefix per group: walk each group's rows in
+    ``id_col`` order and keep rows until the group's cumulative token
+    count reaches ``budget`` — how a training mix is cut to "N tokens
+    per source". A row is kept when the tokens BEFORE it are under
+    budget (so the budget is always reached, never undershot by a
+    large final document).
+
+    Deterministic (integer running sum over a total order), one
+    shuffle on ``group_col``, and incremental-friendly: appending new
+    rows with higher ids never flips membership of earlier rows."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .filter(F.col("_cum_tokens") - F.col(tokens_col) < budget)
+    )

@@ -23,6 +23,11 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 # ---------------------------------------------------------------------------
 
 _FRONT = [
+    # -- new this round, wave 4 --
+    "domain_cap_docs",
+    "token_budget_mix",
+    "unigram_logprob_quality",
+    "repeated_ngram_spans",
     # -- new this round --
     "job_run_datadir",
     "delta_log_read",

@@ -153,3 +153,152 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: domain balancing, token-budget mixing, unigram-LM quality,
+# exact-substring span detection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_cap_docs",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM ranked WHERE rn <= 15 GROUP BY source
+    """,
+)
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators.sampling.domain_cap): at most 15 docs
+    per source, preferring the longest (n_chars desc, doc_id ties) —
+    the guard against one crawl domain dominating the mix. Integer
+    aggregates only; exact at any SF."""
+    from component_delta_lake_writer_spark.operators.sampling import domain_cap
+    from component_delta_lake_writer_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(docs, "source", 15, "n_chars", "doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens FROM documents
+    ),
+    r AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, COUNT(*) AS n_kept,
+      CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+      CAST(MAX(cum) AS BIGINT) AS budget_used
+    FROM r WHERE cum - n_tokens < 800 GROUP BY source
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix cut (operators.sampling.token_budget_sample):
+    greedy 800-token prefix per source in doc_id order — "N tokens per
+    source" as a training mix is actually cut. Pure integer running
+    sums; the kept set is a function of the data alone."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from component_delta_lake_writer_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    kept = token_budget_sample(docs, "source", 800, "n_tokens", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.max("_cum_tokens").alias("budget_used"),
+    )
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    model AS (
+      SELECT tok,
+        ROUND(LOG2(CAST(n AS DOUBLE) / SUM(n) OVER ()), 4) AS logp
+      FROM freq
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      ROUND(CAST(SUM(CAST(-logp AS DECIMAL(18,4))) AS DOUBLE)
+            / COUNT(*), 6) AS bits_per_token
+    FROM tok JOIN model USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram bits-per-token (operators.quality.unigram_logprob): the
+    CCNet-style LM quality signal computed from the corpus's own
+    unigram distribution — no external model. logp is rounded to 4
+    BEFORE the per-doc decimal sum (cross-engine log2 ulp + order
+    independence, determinism rules #1/#2)."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "repeated_ngram_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 8 THEN
+          list_transform(generate_series(1, len(toks)-7),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+              || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+              || toks[i+6] || ' ' || toks[i+7])
+        ELSE []::VARCHAR[] END) AS span
+      FROM t
+    )
+    SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+      COUNT(*) AS n_occurrences
+    FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators.quality.
+    repeated_spans): word 8-grams recurring in ≥3 distinct docs with
+    document frequency + occurrence count — the word-level analogue of
+    Lee et al. 2021's suffix-array substring dedup, and the relation a
+    span-removal pass keys on. Map-side-combined counts; the shuffle
+    carries one row per distinct (span, doc)."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        repeated_spans,
+    )
+
+    return repeated_spans(
+        load_table(spark, sf_dir, "documents"), n=8, min_docs=3
+    )

@@ -84,3 +84,68 @@ def test_url_dedup_groups_and_keeper(spark):
     assert len(rows) == 1
     assert rows[0]["curl"] == "a.b/p"
     assert rows[0]["n_docs"] == 2 and rows[0]["keeper_id"] == 1
+
+
+def test_unigram_logprob_hand_checked(spark):
+    from component_delta_lake_writer_spark.operators.quality import (
+        unigram_logprob,
+    )
+
+    # corpus: 4 tokens total — "a" ×2 (p=.5 → 1 bit), "b","c" ×1 (2 bits)
+    df = _docs(spark, [(1, "a a"), (2, "b c")])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 2 and out[2]["n_tokens"] == 2
+    assert out[1]["bits_per_token"] == 1.0
+    assert out[2]["bits_per_token"] == 2.0
+
+
+def test_repeated_spans_counts(spark):
+    from component_delta_lake_writer_spark.operators.quality import (
+        repeated_spans,
+    )
+
+    boiler = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (1, boiler + " tail1"),
+            (2, boiler + " tail2"),
+            (3, "prefix " + boiler),
+            (4, "completely unrelated words that never repeat at all"),
+            (5, "short"),
+        ],
+    )
+    rows = repeated_spans(df, n=8, min_docs=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["span"] == boiler
+    assert rows[0]["n_docs"] == 3 and rows[0]["n_occurrences"] == 3
+
+
+def test_domain_cap_prefers_longest(spark):
+    from component_delta_lake_writer_spark.operators.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, "s1", 100 - i) for i in range(5)]
+        + [(10, "s2", 7), (11, "s2", 7)],
+        "doc_id long, source string, n_chars int",
+    )
+    kept = domain_cap(df, "source", 2, "n_chars", "doc_id")
+    got = sorted((r["source"], r["doc_id"]) for r in kept.collect())
+    # s1: two largest n_chars (ids 0,1); s2: n_chars tie → lowest ids
+    assert got == [("s1", 0), ("s1", 1), ("s2", 10), ("s2", 11)]
+
+
+def test_token_budget_prefix_reaches_budget(spark):
+    from component_delta_lake_writer_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", 400), (2, "s", 500), (3, "s", 1), (4, "t", 5000)],
+        "doc_id long, source string, n_tokens long",
+    )
+    kept = token_budget_sample(df, "source", 800, "n_tokens", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # s: 400 then 900 ≥ 800 stops AFTER crossing (row 2 kept, row 3 not);
+    # t: first row always kept even though it alone exceeds the budget
+    assert ids == [1, 2, 4]
