@@ -134,10 +134,18 @@ def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
             "o_orderkey", F.col("o_orderkey") + 10**9
         )
     )
+    # Materialize the source BEFORE timing — the twin of the DuckDB
+    # envelope's untimed CREATE TABLE source (and of the reference,
+    # whose merge source is an in-memory Arrow batch): the timed
+    # region must measure the merge, not a recomputation of the
+    # 10-way replication union that synthesized the source.
+    source = source.persist()
+    source.count()
     t0 = time.perf_counter()
     t.upsert(source, ["o_orderkey"], compression="none",
              max_records_per_file=25_000)
     timings["merge_upsert"] = round(time.perf_counter() - t0, 3)
+    source.unpersist()
 
     shutil.rmtree(work, ignore_errors=True)
     return timings
@@ -165,9 +173,17 @@ def main() -> None:
         total += dt
         print(f"# {key}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    env = _envelope(spark, SF_DIR)
+    # Median of 3, same methodology as the recorded DuckDB twin
+    # (BASELINE_DUCKDB.json is a median of 3 on an otherwise-idle
+    # process; the first Spark pass here lands in a JVM still carrying
+    # the suite's GC/shuffle pressure).
+    spark.catalog.clearCache()
+    runs = [_envelope(spark, SF_DIR) for _ in range(3)]
+    env = {
+        k: sorted(r[k] for r in runs)[1] for k in runs[0]
+    }
     for k, v in env.items():
-        print(f"# envelope/{k}: {v:.3f}s", file=sys.stderr)
+        print(f"# envelope/{k}: {v:.3f}s (median of 3)", file=sys.stderr)
 
     result: dict = {
         "metric": "headline_suite_seconds",
