@@ -855,11 +855,14 @@ def stream_to_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # read-back normalized to µs — the engine's event-time precision
-    # (DuckDB's parquet view truncates ns to µs, so the oracle can
-    # only observe µs; the table itself stores the raw ns column)
-    return t.read().select(
+    # (the table stores whatever physical ts the feed shipped: raw ns
+    # int64 or TIMESTAMP(MICROS); the oracle observes µs either way)
+    from component_delta_lake_writer_spark.tables import ts_us_expr
+
+    back = t.read()
+    return back.select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        ts_us_expr(dict(back.dtypes)["ts"]).alias("ts_us"),
         "user_id",
         "event_type",
         "value",

@@ -89,11 +89,13 @@ def stream_sessionize(
 
     src_dir = _stage_events_dir(sf_dir)
     schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    from component_delta_lake_writer_spark.tables import ts_us_expr
+
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .load(src_dir)
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("ts_us", ts_us_expr(schema["ts"].dataType.simpleString()))
         .select("user_id", "ts_us")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(

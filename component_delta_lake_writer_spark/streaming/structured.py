@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from component_delta_lake_writer_spark.operators.sessions import hourly_rollup
+from component_delta_lake_writer_spark.tables import ts_tz_expr, ts_us_expr
 
 
 @contextmanager
@@ -67,15 +68,16 @@ def stream_hourly_rollup(
     a memory sink; returns the materialized result table."""
     src_dir = _stage_events_dir(sf_dir)
     schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    ts_dtype = schema["ts"].dataType.simpleString()
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .load(src_dir)
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("ts_us", ts_us_expr(ts_dtype))
         # watermarks require TIMESTAMP (with local tz), not NTZ; the
         # session tz is UTC so values are identical — cast back to NTZ
         # after the aggregation for oracle-comparable output.
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", ts_tz_expr(ts_dtype))
     )
     if with_watermark:
         # 1h watermark: bounds state for late data on a live source;
@@ -121,7 +123,7 @@ def stream_dedup_events(
         spark.readStream.schema(schema)
         .format("parquet")
         .load(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", ts_tz_expr(schema["ts"].dataType.simpleString()))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -161,7 +163,7 @@ def stream_interval_join(
         spark.readStream.schema(schema)
         .format("parquet")
         .load(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", ts_tz_expr(schema["ts"].dataType.simpleString()))
     )
     clicks = (
         base.filter(F.col("event_type") == "click")

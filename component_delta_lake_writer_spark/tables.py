@@ -1,20 +1,25 @@
 """Loaders for the driver's synthetic tables (TESTDATA.md).
 
 One place to normalize physical quirks so every operator sees clean,
-oracle-comparable types:
+oracle-comparable types regardless of how the driver generated the
+parquet this round:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot read
-  natively; the session reads it as int64 ns (``nanosAsLong``) and we
-  expose both ``ts`` (TIMESTAMP_NTZ at microsecond precision — what
-  DuckDB sees after its silent ns→µs truncation) and ``ts_us``
-  (exact int64 microseconds, the safe arithmetic form).
+- ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (Spark reads
+  it as int64 ns via ``nanosAsLong``) in some rounds and as plain
+  TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ) in others. The
+  helpers below detect the physical type and expose the same logical
+  pair everywhere: ``ts`` (TIMESTAMP_NTZ at microsecond precision —
+  what DuckDB sees) and ``ts_us`` (exact int64 microseconds, the safe
+  arithmetic form).
 - all timestamps stay NTZ (naive) so collected values are identical
-  to DuckDB's regardless of driver-host timezone.
+  to DuckDB's regardless of driver-host timezone; the session tz is
+  UTC so NTZ<->TZ casts are value-preserving where a watermark needs
+  a zoned TIMESTAMP.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLE_NAMES = [
@@ -31,12 +36,44 @@ TABLE_NAMES = [
 ]
 
 
+def ts_us_expr(dtype: str, col: str = "ts") -> Column:
+    """int64 microseconds from a ts column of any shipped physical type.
+
+    ``bigint`` = raw nanos (legacy nanosAsLong read; DIV 1000 matches
+    DuckDB's silent ns->us truncation); timestamps are exact micros.
+    """
+    if dtype == "bigint":
+        return F.expr(f"{col} DIV 1000")
+    if dtype == "timestamp_ntz":
+        # session tz is UTC, so the cast re-interprets the same wall
+        # value and unix_micros returns the naive micros unchanged.
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"unsupported ts dtype {dtype!r} for column {col!r}")
+
+
+def ts_tz_expr(dtype: str, col: str = "ts") -> Column:
+    """Zoned TIMESTAMP (for watermarks) from any shipped ts type."""
+    if dtype == "bigint":
+        return F.expr(f"timestamp_micros({col} DIV 1000)")
+    if dtype in ("timestamp_ntz", "timestamp"):
+        return F.col(col).cast("timestamp")
+    raise TypeError(f"unsupported ts dtype {dtype!r} for column {col!r}")
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Expose ``ts`` as TIMESTAMP_NTZ(us) and ``ts_us`` as int64 us."""
+    dtype = dict(df.dtypes)["ts"]
+    return df.withColumn("ts_us", ts_us_expr(dtype)).withColumn(
+        "ts", ts_tz_expr(dtype).cast("timestamp_ntz")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        )
+        df = normalize_events(df)
     return df
 
 
