@@ -39,8 +39,9 @@ class LoadMode(str, Enum):
 
 class Compression(str, Enum):
     # reference component_config/configRowSchema.json:182-211, default
-    # src/configuration.py:35. BROTLI / LZ4_RAW are not supported by
-    # vanilla Spark parquet — validated out (SURVEY §4 note 4).
+    # src/configuration.py:35. BROTLI needs a native codec jar absent
+    # from vanilla Spark — validated out (SURVEY §4 note 4); LZ4_RAW
+    # is supported by this Spark's parquet writer (codec "lz4_raw").
     UNCOMPRESSED = "UNCOMPRESSED"
     SNAPPY = "SNAPPY"
     GZIP = "GZIP"
@@ -56,6 +57,7 @@ _SPARK_CODECS = {
     Compression.GZIP: "gzip",
     Compression.LZ4: "lz4",
     Compression.ZSTD: "zstd",
+    Compression.LZ4_RAW: "lz4_raw",
 }
 
 
@@ -116,6 +118,6 @@ class JobSpec:
             raise UserException(
                 f"Compression {self.destination.compression.value} is not "
                 "supported by the Spark parquet writer; use one of "
-                "UNCOMPRESSED, SNAPPY, GZIP, LZ4, ZSTD."
+                "UNCOMPRESSED, SNAPPY, GZIP, LZ4, LZ4_RAW, ZSTD."
             )
         return codec

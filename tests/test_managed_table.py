@@ -172,6 +172,9 @@ def test_compression_codecs_applied(spark, tmp_path_str):
         (Compression.ZSTD, "ZSTD"),
         (Compression.GZIP, "GZIP"),
         (Compression.UNCOMPRESSED, "UNCOMPRESSED"),
+        # parquet-mr's LZ4_RAW shows as LZ4 in pyarrow's chunk metadata
+        # mapping here; what matters is the codec round-trips.
+        (Compression.LZ4_RAW, "LZ4"),
     ]:
         spec = JobSpec(destination=Destination(compression=codec))
         t = ManagedTable(spark, f"{tmp_path_str}/{codec.value}")
