@@ -21,20 +21,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Below this many edges the pair list is resolved driver-side with a
+# union-find (a few MB at most: 2×8-byte ids × 1M ≈ 16 MB) instead of
+# O(diameter) join+groupBy shuffle rounds. Post-LSH dup-pair lists are
+# a tiny fraction of corpus size, so even a 100 TB corpus usually
+# lands under this; when it doesn't, the distributed fixpoint below
+# takes over — same result, no driver materialization.
+LOCAL_CC_MAX_EDGES = 1_000_000
+
+
+def _local_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Path-halving union-find by min id; O(E α(V))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    local_threshold: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Returns (id, component) — component = min vertex id reachable.
 
     ``edges`` is an undirected pair list (each pair once, any order).
+
+    Adaptive execution: a cheap count gates between a driver-side
+    union-find (edge list ≤ ``local_threshold`` — the common case
+    after LSH banding, where dup pairs ≪ corpus rows) and the
+    distributed min-label-propagation fixpoint (unbounded, one
+    shuffle per round). Both produce identical (id, component) rows.
     """
-    # The union reads ``edges`` twice, but within the one job that
-    # materializes ``sym`` Spark reuses the identical shuffle stages
-    # of both branches — an eager pre-persist of edges measured
-    # SLOWER (it serializes an extra full-lineage job).
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        rows = edges.select(
+            F.col(src).cast("long"), F.col(dst).cast("long")
+        ).collect()
+        edges.unpersist()
+        labels = _local_union_find([(r[0], r[1]) for r in rows])
+        spark = edges.sparkSession
+        if not labels:  # no edges — empty component table
+            return spark.createDataFrame([], "id long, component long")
+        return spark.createDataFrame(
+            list(labels.items()), "id long, component long"
+        )
+    # Distributed path: edges is already persisted by the gating
+    # count above, so the symmetrized union's two reads hit the cache.
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -86,6 +135,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels
 
 

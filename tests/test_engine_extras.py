@@ -105,6 +105,18 @@ def test_connected_components_matches_union_find(spark):
     want = {x: find(x) for x in parent}
     assert got == want
 
+    # the distributed label-propagation path (forced past the adaptive
+    # local-union-find gate) must produce identical components
+    from component_delta_lake_writer_spark.operators.clusters import (
+        connected_components,
+    )
+
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs_df, local_threshold=0).collect()
+    }
+    assert dist == want
+
 
 def test_salted_join_equals_plain_join(spark):
     from component_delta_lake_writer_spark.operators.skew import salted_join
