@@ -23,6 +23,9 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 # ---------------------------------------------------------------------------
 
 _FRONT = [
+    # -- new this round, wave 5 --
+    "jsonl_scan_typed",
+    "orc_scan",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

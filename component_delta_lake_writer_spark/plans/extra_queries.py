@@ -2703,3 +2703,83 @@ def delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).parquet(
         *[os.path.join(t.path, f) for f in files]
     )
+
+
+@query(
+    "jsonl_scan_typed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(NULL AS VARCHAR) AS _corrupt_record
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT NULL, NULL, NULL, '{not json'
+    """,
+)
+def jsonl_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: gzipped JSON-lines corpus scan with explicit
+    schema (no inference pass) + PERMISSIVE corrupt-record surfacing.
+    Fixture: orders subset serialized to 4 .json.gz slices plus one
+    injected malformed line; the oracle is the same projection off
+    parquet with the malformed row appearing only in _corrupt_record —
+    proving typed fields parse identically and bad rows are kept
+    visible, not dropped."""
+    import gzip
+
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.sources.jsonl import read_jsonl_typed
+
+    path = _scratch("jsonl_scan_typed", sf_dir)
+    src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    src.repartition(4).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(path)
+    bad = os.path.join(path, "part-bad.json.gz")
+    if not os.path.exists(bad):
+        with gzip.open(bad, "wt") as fh:
+            fh.write("{not json\n")
+    cols = [
+        ColumnSpec("o_orderkey", "INTEGER"),
+        ColumnSpec("o_orderstatus", "STRING"),
+        ColumnSpec("price", "FLOAT"),
+    ]
+    return read_jsonl_typed(spark, path, cols)
+
+
+@query(
+    "orc_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem WHERE l_quantity > 30.0 AND l_returnflag = 'A'
+    """,
+)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: native ORC scan with pushed predicates +
+    pruned projection (plan-quality test asserts the pushdown).
+    Fixture: lineitem converted to zstd ORC once per sf_dir; the probe
+    reads ONLY the ORC copy and must match the parquet oracle."""
+    from component_delta_lake_writer_spark.sources.orc import read_orc, write_orc
+
+    path = _scratch("orc_scan", sf_dir)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".orc") for f in os.listdir(path)
+    ):
+        write_orc(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_returnflag",
+                F.col("l_quantity").cast("double").alias("qty"),
+            ),
+            path,
+        )
+    return read_orc(spark, path).filter(
+        (F.col("qty") > 30.0) & (F.col("l_returnflag") == "A")
+    )

@@ -199,3 +199,22 @@ def test_mix_report_single_scan_partial_agg(spark):
     p = _plan(spark, "corpus_mix_report")
     assert p.count("Scan parquet") == 1
     assert p.count("HashAggregate") >= 2
+
+
+def test_orc_scan_pushdown_and_pruning(spark):
+    """ORC is a first-class scan: the probe's filter must reach the
+    ORC reader as pushed predicates with a pruned read schema."""
+    p = _plan(spark, "orc_scan")
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+    assert "Format: orc" in p.lower() or "orc" in p.lower()
+
+
+def test_jsonl_scan_has_no_inference_job(spark):
+    """The JSONL scan must carry the caller's schema — a scan whose
+    schema came from inference would show the full sampled layout; we
+    assert the read schema is exactly the 3 declared fields plus the
+    corrupt-record column."""
+    p = _plan(spark, "jsonl_scan_typed")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None
+    assert m.group(1).count(",") + 1 == 4
