@@ -350,3 +350,43 @@ def ngram_jaccard_dedup(
         .select("id_a", "id_b")
     )
     return jaccard_verify(cand, sh, id_col, threshold, persist_sets=True)
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING kept corpus — the daily
+    operation of a continuously-built training set (the reference's
+    append/upsert loop shape, applied to dedup state).
+
+    Two stages, both shuffling fingerprints only — document text never
+    crosses the wire past its own partition:
+
+    1. in-batch: keep the min-id doc per fingerprint (window-min, one
+       shuffle of the batch);
+    2. cross-corpus: anti-join the survivors' fingerprints against the
+       corpus's DISTINCT fingerprint set. The corpus side is reduced
+       to one 32-char column before the join, so at 100 TB the
+       exchange carries ~1% of corpus bytes; AQE picks broadcast when
+       the batch-day fingerprint set is small enough.
+
+    Returns the surviving batch rows as (doc_id, fingerprint).
+    """
+    from component_delta_lake_writer_spark.operators.text import fingerprint
+
+    from pyspark.sql import Window
+
+    b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    in_batch = (
+        b.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    seen = corpus.select(
+        fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    return in_batch.join(seen, "fingerprint", "left_anti")

@@ -26,6 +26,8 @@ _FRONT = [
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",
+    "incremental_dedup_batch",
+    "quantize_embeddings_int8",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

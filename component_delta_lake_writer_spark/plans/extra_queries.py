@@ -2783,3 +2783,64 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path).filter(
         (F.col("qty") > 30.0) & (F.col("l_returnflag") == "A")
     )
+
+
+@query(
+    "incremental_dedup_batch",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id
+      FROM fp WHERE doc_id % 3 = 0 GROUP BY 1
+    )
+    SELECT k.doc_id, k.fingerprint
+    FROM keep k
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fp c WHERE c.doc_id % 3 <> 0
+        AND c.fingerprint = k.fingerprint
+    )
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus building: today's batch (doc_id % 3 == 0)
+    exact-deduped in-batch AND against the existing kept corpus
+    (doc_id % 3 != 0). Fingerprints-only past the first shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.incremental_exact_dedup(batch, corpus)
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vd,
+             list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax
+      FROM v
+    )
+    SELECT vec_id,
+           amax / 127.0 AS scale,
+           CASE WHEN amax = 0.0
+                THEN list_transform(vd, x -> 0)
+                ELSE list_transform(
+                       vd, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))
+           END AS q
+    FROM s
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (the 4x storage cut before ANN indexing). Identical IEEE-double
+    formula on both engines — floor(x/scale + 0.5), no round()."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8(emb, vec_col="embedding", id_col="vec_id")
