@@ -28,6 +28,8 @@ _FRONT = [
     "orc_scan",
     "incremental_dedup_batch",
     "quantize_embeddings_int8",
+    "zorder_file_skip",
+    "session_window_agg",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

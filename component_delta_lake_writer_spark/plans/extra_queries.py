@@ -2844,3 +2844,78 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula on both engines — floor(x/scale + 0.5), no round()."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.quantize_int8(emb, vec_col="embedding", id_col="vec_id")
+
+
+@query(
+    "zorder_file_skip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_custkey BETWEEN 100 AND 200
+    """,
+)
+def zorder_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping play at 100 TB: OPTIMIZE ... CLUSTER BY lays
+    the table out so each file covers a tight o_custkey range (layout
+    disjointness is locked by tests/test_engine_extras.py::
+    test_optimize_cluster_by_layout); a point/range filter then skips
+    whole files via parquet min/max stats. The probe runs the full
+    write → optimize(cluster_by) → filtered-read path and must return
+    exactly the source filter's rows."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    base = _scratch("zorder_file_skip", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    t.write(src, mode="overwrite")
+    t.optimize(cluster_by=["o_custkey"], target_file_rows=2000)
+    return t.read().filter(F.col("o_custkey").between(100, 200))
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    f AS (
+      SELECT user_id, ts_us,
+        CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+             WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS last_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window operator (F.session_window, the
+    same merging-session-state machinery Structured Streaming uses)
+    against the gaps-and-islands oracle — a separate engine path from
+    the window+cumsum batch sessionizer (sessionize_events), checked
+    to produce identical sessions. Spark's session end = last event +
+    gap, so last_us = unix_micros(end) - gap."""
+    from component_delta_lake_writer_spark.tables import ts_tz_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    return (
+        ev.select("user_id", ts_tz_expr(dict(ev.dtypes)["ts"]).alias("tsz"))
+        .groupBy("user_id", F.session_window("tsz", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            (F.unix_micros(F.col("sw.end")) - F.lit(gap_us)).alias("last_us"),
+            "n_events",
+        )
+    )
