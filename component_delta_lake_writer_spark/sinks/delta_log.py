@@ -226,3 +226,199 @@ def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
     return sorted(live), schema, partition_cols
+
+
+# ---------------------------------------------------------------------------
+# Checkpoints (Delta protocol §checkpoints): every CHECKPOINT_INTERVAL
+# commits, the reconstructed state (protocol + metaData + live add
+# actions) is written as {version:020d}.checkpoint.parquet and
+# advertised in _last_checkpoint. Readers then load one parquet file +
+# the JSON entries after it instead of replaying the whole log — the
+# thing that keeps open-table reads O(1) as commit history grows, and
+# what lets delta-rs/Spark eventually truncate old JSON.
+# ---------------------------------------------------------------------------
+
+CHECKPOINT_INTERVAL = 10
+
+
+def _read_version_actions(log_dir: str, version: int) -> list[dict]:
+    with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
+        return [json.loads(line) for line in f]
+
+
+def write_checkpoint(table_path: str, version: int) -> str:
+    """Materialize the state at ``version`` into a checkpoint parquet
+    (one row per action; null struct columns for the other kinds — the
+    protocol's flattened-action layout) + ``_last_checkpoint``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    protocol: dict | None = None
+    metadata: dict | None = None
+    live: dict[str, dict] = {}
+    for v in range(version + 1):
+        for a in _read_version_actions(log_dir, v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+            elif "metaData" in a:
+                metadata = a["metaData"]
+            elif "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+
+    # one row carries protocol, one carries metaData, then one per file
+    rows = [{"protocol": protocol, "metaData": None, "add": None},
+            {"protocol": None, "metaData": metadata, "add": None}]
+    rows += [{"protocol": None, "metaData": None, "add": add} for add in live.values()]
+
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field("name", pa.string()),
+                        pa.field("description", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field(
+                                        "options", pa.map_(pa.string(), pa.string())
+                                    ),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field(
+                            "configuration", pa.map_(pa.string(), pa.string())
+                        ),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field(
+                            "partitionValues", pa.map_(pa.string(), pa.string())
+                        ),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    # map-typed fields arrive as dicts; pyarrow wants item lists
+    def _maps(action: dict | None, keys: tuple[str, ...]) -> dict | None:
+        if action is None:
+            return None
+        out = dict(action)
+        for k in keys:
+            if isinstance(out.get(k), dict):
+                out[k] = list(out[k].items())
+        return out
+
+    def _norm_meta(m: dict | None) -> dict | None:
+        if m is None:
+            return None
+        out = _maps(m, ("configuration",))
+        out["format"] = _maps(m.get("format"), ("options",))
+        return out
+
+    norm_rows = [
+        {
+            "protocol": r["protocol"],
+            "metaData": _norm_meta(r["metaData"]),
+            "add": _maps(r["add"], ("partitionValues",)),
+        }
+        for r in rows
+    ]
+    table = pa.Table.from_pylist(norm_rows, schema=schema)
+    final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(table, final)
+    last = {"version": version, "size": table.num_rows}
+    tmp = os.path.join(log_dir, f"_last_checkpoint.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(last, f)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return final
+
+
+def maybe_write_checkpoint(
+    table_path: str, version: int, interval: int = CHECKPOINT_INTERVAL
+) -> str | None:
+    """Checkpoint when the version hits the interval boundary (the
+    Delta default is every 10 commits)."""
+    if (version + 1) % interval == 0:
+        return write_checkpoint(table_path, version)
+    return None
+
+
+def read_last_checkpoint(table_path: str) -> dict | None:
+    p = os.path.join(table_path, _DELTA_LOG, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def replay_delta_log_from_checkpoint(
+    table_path: str,
+) -> tuple[list[str], str | None, list[str]]:
+    """Checkpoint-aware replay: load the advertised checkpoint parquet
+    (if any), then apply only the JSON entries after it — what a real
+    reader does. Falls back to full JSON replay with no checkpoint."""
+    import pyarrow.parquet as pq
+
+    last = read_last_checkpoint(table_path)
+    if last is None:
+        return replay_delta_log(table_path)
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    ckpt = pq.read_table(
+        os.path.join(log_dir, f"{last['version']:020d}.checkpoint.parquet")
+    ).to_pylist()
+    live: dict[str, bool] = {}
+    schema: str | None = None
+    partition_cols: list[str] = []
+    for r in ckpt:
+        if r.get("metaData"):
+            schema = r["metaData"]["schemaString"]
+            partition_cols = list(r["metaData"]["partitionColumns"] or [])
+        if r.get("add"):
+            live[r["add"]["path"]] = True
+    versions = sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and not f.endswith(".tmp.json")
+    )
+    for v in versions:
+        if v <= last["version"]:
+            continue
+        for a in _read_version_actions(log_dir, v):
+            if "metaData" in a:
+                schema = a["metaData"]["schemaString"]
+                partition_cols = a["metaData"]["partitionColumns"]
+            elif "add" in a:
+                live[a["add"]["path"]] = True
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    return sorted(live), schema, partition_cols

@@ -124,6 +124,7 @@ class ManagedTable:
         # external Delta readers open this table (the reference writes
         # true Delta via delta-rs, src/component.py:356 / write_batch).
         from component_delta_lake_writer_spark.sinks.delta_log import (
+            maybe_write_checkpoint,
             write_delta_log_entry,
         )
 
@@ -141,6 +142,9 @@ class ManagedTable:
             ),
             prev_schema_json=prev.schema_json if prev else None,
         )
+        # Delta protocol checkpointing: every 10th version materializes
+        # the snapshot state so readers stop replaying the whole log
+        maybe_write_checkpoint(self.path, commit.version)
 
     # ---------- write path ----------
 
