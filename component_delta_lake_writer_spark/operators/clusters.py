@@ -68,13 +68,17 @@ def connected_components(
     distributed min-label-propagation fixpoint (unbounded, one
     shuffle per round). Both produce identical (id, component) rows.
     """
-    edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        rows = edges.select(
-            F.col(src).cast("long"), F.col(dst).cast("long")
-        ).collect()
-        edges.unpersist()
+    # Single-materialization gate: pull at most threshold+1 edges. If
+    # that returns ≤ threshold rows we already hold the WHOLE edge
+    # list (limit only truncates past it) and resolve locally without
+    # a second pass over the (often expensive — post-LSH) lineage;
+    # only the rare above-threshold case recomputes distributed.
+    rows = (
+        edges.select(F.col(src).cast("long"), F.col(dst).cast("long"))
+        .limit(local_threshold + 1)
+        .collect()
+    )
+    if len(rows) <= local_threshold:
         labels = _local_union_find([(r[0], r[1]) for r in rows])
         spark = edges.sparkSession
         if not labels:  # no edges — empty component table
@@ -82,6 +86,7 @@ def connected_components(
         return spark.createDataFrame(
             list(labels.items()), "id long, component long"
         )
+    edges = edges.persist()
     # Distributed path: edges is already persisted by the gating
     # count above, so the symmetrized union's two reads hit the cache.
     sym = edges.select(
