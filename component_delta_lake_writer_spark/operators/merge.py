@@ -109,3 +109,47 @@ def merge_upsert(
         keys = F.broadcast(keys)
     kept = target.join(keys, on=primary_key, how="left_anti")
     return kept.unionByName(src)
+
+
+def merge_upsert_conditional(
+    target: DataFrame,
+    source: DataFrame,
+    primary_key: list[str],
+    update_condition,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """MERGE with a guarded UPDATE clause:
+
+    ``WHEN MATCHED AND <update_condition> THEN UPDATE SET <all cols>
+      WHEN NOT MATCHED THEN INSERT <all cols>``
+
+    (the conditional form Delta's MERGE supports and the plain upsert
+    above cannot express — e.g. "keep the smaller doc_id", "only apply
+    newer CDC rows").
+
+    ``update_condition(t, s) -> Column`` receives the matched target
+    and source rows as struct columns. One full-outer shuffle join on
+    the PK decides every row's winner; no second pass over the target.
+    """
+    if not primary_key:
+        raise UserException("Upsert load mode requires a primary key.")
+    src = dedup_source(source, primary_key, order_by)
+    src = src.select(*[F.col(c) for c in target.columns])
+
+    t = target.select(
+        *[F.col(c).alias(f"_pk_{c}") for c in primary_key],
+        F.struct(*target.columns).alias("_t"),
+    )
+    s = src.select(
+        *[F.col(c).alias(f"_pk_{c}") for c in primary_key],
+        F.struct(*src.columns).alias("_s"),
+    )
+    j = t.join(s, [f"_pk_{c}" for c in primary_key], "full_outer")
+    tt, ss = F.col("_t"), F.col("_s")
+    winner = (
+        F.when(tt.isNull(), ss)                      # NOT MATCHED → INSERT
+        .when(ss.isNull(), tt)                       # target-only → keep
+        .when(update_condition(tt, ss), ss)          # MATCHED AND cond → UPDATE
+        .otherwise(tt)                               # matched, cond false → keep
+    )
+    return j.select(winner.alias("_w")).select("_w.*")

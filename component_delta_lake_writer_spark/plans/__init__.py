@@ -30,6 +30,7 @@ _FRONT = [
     "quantize_embeddings_int8",
     "zorder_file_skip",
     "session_window_agg",
+    "stream_ingest_dedup",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

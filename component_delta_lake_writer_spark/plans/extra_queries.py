@@ -2919,3 +2919,50 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_ingest_dedup",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingestion with exact dedup: documents arrive
+    as a 4-micro-batch stream (maxFilesPerTrigger=1) and each batch is
+    conditionally MERGEd into a corpus state table keeping the
+    globally-minimal doc_id per fingerprint. The oracle is the plain
+    batch GROUP BY — the streaming result must be batching-invariant
+    and bit-identical to it."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_dedup_corpus,
+    )
+
+    base = _scratch("stream_ingest_dedup", sf_dir)
+    src_dir = os.path.join(base, "feed")
+    if not os.path.isdir(src_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(src_dir)
+    ):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartition(4).write.mode("overwrite").parquet(src_dir)
+    shutil.rmtree(os.path.join(base, "t"), ignore_errors=True)
+    shutil.rmtree(os.path.join(base, "ckpt"), ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    q = write_stream_dedup_corpus(
+        stream, t, checkpoint_dir=os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return t.read()

@@ -297,11 +297,17 @@ class ManagedTable:
         compression: str = "snappy",
         max_records_per_file: int | None = None,
         properties: dict | None = None,
+        update_condition=None,
     ) -> Commit:
         """MERGE INTO semantics: WHEN MATCHED UPDATE all columns, WHEN
         NOT MATCHED INSERT all columns (src/component.py:238-260), with
         O2 pre-dedup of the source by PK (Delta merge requires unique
         source keys; src/component.py:249-260 last-write-wins).
+
+        ``update_condition(t, s) -> Column`` (optional) guards the
+        UPDATE clause — ``WHEN MATCHED AND cond THEN UPDATE`` — e.g.
+        "only apply newer CDC rows" or "keep the smaller doc_id";
+        matched rows failing the condition keep the target version.
 
         Copy-on-write implementation (what Delta merge does without
         deletion vectors): new snapshot = source ∪ (target ⟕anti
@@ -313,6 +319,7 @@ class ManagedTable:
         from component_delta_lake_writer_spark.operators.merge import (
             dedup_source,
             merge_upsert,
+            merge_upsert_conditional,
         )
 
         if not self.exists():
@@ -327,7 +334,12 @@ class ManagedTable:
 
         prev = self.latest_commit()
         target = self.read()
-        merged = merge_upsert(target, source, primary_key)
+        if update_condition is not None:
+            merged = merge_upsert_conditional(
+                target, source, primary_key, update_condition
+            )
+        else:
+            merged = merge_upsert(target, source, primary_key)
         unit = self._write_unit(
             merged, prev.partition_by, compression, max_records_per_file
         )

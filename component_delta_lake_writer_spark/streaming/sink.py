@@ -71,3 +71,69 @@ def write_stream_to_table(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def write_stream_dedup_corpus(
+    doc_stream: DataFrame,
+    table: ManagedTable,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous corpus ingestion with exact dedup — the production
+    shape of a training-data feed: each micro-batch of documents is
+    fingerprinted, resolved in-batch (min doc_id per fingerprint), and
+    conditionally MERGEd into the corpus state table with
+
+        WHEN MATCHED AND s.doc_id < t.doc_id THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT
+
+    so the table always holds the globally-minimal doc id per
+    fingerprint REGARDLESS of how the feed was batched — the streaming
+    result is bit-identical to a batch ``GROUP BY fingerprint,
+    MIN(doc_id)`` over everything ever ingested (that invariance is
+    what makes the pipeline replayable/oracle-checkable).
+
+    Same exactly-once guard as write_stream_to_table: the committed
+    batch_id rides in commit properties; checkpoint replays of an
+    already-committed batch are skipped.
+    """
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.text import fingerprint
+
+    _BATCH_KEY = "last_stream_batch_id"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = table.latest_commit()
+        if prev is not None:
+            last = prev.properties.get(_BATCH_KEY)
+            if last is not None and batch_id <= int(last):
+                return
+        props = dict(prev.properties) if prev is not None else {}
+        props[_BATCH_KEY] = batch_id
+        resolved = (
+            batch_df.select(
+                fingerprint(F.col(text_col)).alias("fingerprint"),
+                F.col(id_col),
+            )
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col))
+        )
+        if prev is None:
+            table.write(
+                resolved, mode="overwrite",
+                primary_key=["fingerprint"], properties=props,
+            )
+        else:
+            table.upsert(
+                resolved, ["fingerprint"], properties=props,
+                update_condition=lambda t, s: s[id_col] < t[id_col],
+            )
+
+    writer = doc_stream.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

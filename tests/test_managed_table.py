@@ -188,3 +188,22 @@ def test_compression_codecs_applied(spark, tmp_path_str):
             for i in range(meta.num_columns)
         }
         assert codecs == {expect}, (codec, codecs)
+
+
+def test_upsert_update_condition_guards_matched_rows(spark, tmp_path_str):
+    """WHEN MATCHED AND cond THEN UPDATE: only source rows passing the
+    guard replace their matched target row; others keep the target
+    version; unmatched sources still insert."""
+    t = ManagedTable(spark, f"{tmp_path_str}/cond")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "pk int, v string, ver int"
+    )
+    t.write(base, mode="overwrite", primary_key=["pk"])
+    src = spark.createDataFrame(
+        [(1, "a2", 5), (2, "b2", 25), (4, "d", 1)], "pk int, v string, ver int"
+    )
+    # only-newer-versions guard: pk=1 is older (kept), pk=2 newer
+    # (updated), pk=4 new (inserted)
+    t.upsert(src, ["pk"], update_condition=lambda tt, ss: ss["ver"] > tt["ver"])
+    got = {r["pk"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30), 4: ("d", 1)}
