@@ -329,3 +329,48 @@ def quantize_int8(
         )
     )
     return df.select(F.col(id_col), scale, q.alias("q"))
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors — the
+    retrieval shape of real pipelines (N probes at once, not one).
+
+    The query side is broadcast (a query batch is ~KBs·N, never corpus
+    -sized), so the plan is one pass over the corpus with a narrow
+    (qid, vec_id, cosine) projection into a per-query window top-k:
+    corpus bytes are read ONCE regardless of the batch width, versus N
+    full scans for N single-probe calls. The window shuffles only the
+    3-column score relation, never embeddings."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+    )
+    scored = (
+        df.crossJoin(q)
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(_as_double(F.col(vec_col)), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -31,6 +31,7 @@ _FRONT = [
     "zorder_file_skip",
     "session_window_agg",
     "stream_ingest_dedup",
+    "ann_batch_topk",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

@@ -2966,3 +2966,45 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.read()
+
+
+@query(
+    "ann_batch_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT q.qid, c.vec_id,
+        ROUND(
+          list_reduce(list_transform(generate_series(1, 64),
+                                     i -> c.cv[i] * q.qv[i]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                     i -> c.cv[i] * c.cv[i]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                     i -> q.qv[i] * q.qv[i]), (x, y) -> x + y))),
+          6) AS cosine
+      FROM c, q WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM s
+    ) WHERE rn <= 3
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: top-3 cosine neighbors for every
+    query in a probe batch (vec_id % 100 == 0) in ONE corpus pass —
+    broadcast query batch, narrow score projection, per-query window
+    top-k. The multi-probe complement of cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.batch_cosine_topk(emb, queries_df, k=3)
