@@ -374,3 +374,53 @@ def batch_cosine_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def batch_lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched approximate retrieval — the scale path of
+    batch_cosine_topk: corpus and query batch are both hyperplane-
+    bucketed, candidates come from a broadcast equi-join ON BUCKET
+    (each corpus row probes a small query hash-map; only same-bucket
+    pairs are ever scored, ~1/2^n_planes of the brute-force work), and
+    a per-query window keeps the top k. At 100 TB the corpus bucket
+    column is precomputed + partitioned on, so each query batch is a
+    partition-pruned scan."""
+    from pyspark.sql import Window
+
+    bucketed = df.withColumn(
+        "bucket", hyperplane_sign_bucket(F.col(vec_col), dim, n_planes)
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            hyperplane_sign_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+    )
+    scored = (
+        bucketed.join(q, "bucket")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(_as_double(F.col(vec_col)), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

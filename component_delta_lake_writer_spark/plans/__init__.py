@@ -32,6 +32,7 @@ _FRONT = [
     "session_window_agg",
     "stream_ingest_dedup",
     "ann_batch_topk",
+    "ann_batch_lsh_topk",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

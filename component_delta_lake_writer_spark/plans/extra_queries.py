@@ -3008,3 +3008,56 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
     return SIM.batch_cosine_topk(emb, queries_df, k=3)
+
+
+def _ann_batch_lsh_oracle() -> str:
+    def acc(p: int, vec: str) -> str:
+        terms = " + ".join(
+            f"CAST({vec}[{d+1}] AS DOUBLE) * ({_plane_sign(p, d)})"
+            for d in range(_ANN_DIM)
+        )
+        return f"({terms})"
+
+    def bucket(vec: str) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {acc(p, vec)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(_ANN_PLANES)
+        )
+        return f"({bits})"
+
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b
+          WHERE vec_id % 100 = 0),
+    s AS (
+      SELECT q.qid, e.vec_id,
+        ROUND({dot.format(a='e.embedding', b='q.qv')}
+          / (sqrt({dot.format(a='e.embedding', b='e.embedding')})
+             * sqrt({dot.format(a='q.qv', b='q.qv')})), 6) AS cosine
+      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM s
+    ) WHERE rn <= 3
+    """
+
+
+@query("ann_batch_lsh_topk", oracle=_ann_batch_lsh_oracle())
+def ann_batch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched APPROXIMATE retrieval (operators.similarity.
+    batch_lsh_topk): query batch and corpus bucketed by the same
+    deterministic hyperplanes, equi-joined on bucket, top-3 per query
+    — the bucket-pruned complement of ann_batch_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.batch_lsh_topk(
+        emb, queries_df, dim=_ANN_DIM, k=3, n_planes=_ANN_PLANES
+    )
