@@ -393,6 +393,39 @@ class ManagedTable:
         self._publish(commit, prev)
         return commit
 
+    def restore(self, version: int) -> Commit:
+        """RESTORE TABLE … TO VERSION AS OF n (Delta's RESTORE): a NEW
+        commit whose snapshot is version ``n``'s — history is preserved
+        (restore is itself undoable), no data is copied, and the
+        restored units must still exist (a vacuum after ``n`` makes the
+        restore fail loudly, same as Delta)."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        old = self.commit_at(version)
+        missing = [
+            u
+            for u in old.data_units
+            if not os.path.isdir(os.path.join(self._data_dir, u))
+        ]
+        if missing:
+            raise UserException(
+                f"Cannot restore to version {version}: data units "
+                f"{missing} were vacuumed."
+            )
+        commit = Commit(
+            version=prev.version + 1,
+            action="restore",
+            data_units=list(old.data_units),
+            schema_json=old.schema_json,
+            partition_by=old.partition_by,
+            primary_key=old.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties={**old.properties, "restored_from_version": version},
+        )
+        self._publish(commit, prev)
+        return commit
+
     def vacuum(self) -> int:
         """Delete data units unreferenced by the latest commit."""
         prev = self.latest_commit()

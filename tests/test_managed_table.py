@@ -207,3 +207,29 @@ def test_upsert_update_condition_guards_matched_rows(spark, tmp_path_str):
     t.upsert(src, ["pk"], update_condition=lambda tt, ss: ss["ver"] > tt["ver"])
     got = {r["pk"]: (r["v"], r["ver"]) for r in t.read().collect()}
     assert got == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30), 4: ("d", 1)}
+
+
+def test_restore_to_version(spark, tmp_path_str):
+    """RESTORE: new commit with an old snapshot — history preserved,
+    no data copied, fails loudly when the units were vacuumed."""
+    t = ManagedTable(spark, f"{tmp_path_str}/r")
+    o = load_table(spark, SF, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    n0 = t.read().count()
+    t.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
+    assert t.read().count() > n0
+    c = t.restore(0)
+    assert c.action == "restore" and c.version == 3
+    assert t.read().count() == n0
+    # restore is itself undoable (history intact)
+    assert t.read(version=2).count() > n0
+    t.restore(2)
+    assert t.read().count() == t.read(version=2).count()
+    # vacuum drops units unreferenced by latest; restoring to the
+    # all-three-units version still works, but after restoring back to
+    # v0 + vacuum, v1/v2-only units are gone -> restore(2) must fail
+    t.restore(0)
+    t.vacuum()
+    with pytest.raises(UserException, match="vacuumed"):
+        t.restore(2)
