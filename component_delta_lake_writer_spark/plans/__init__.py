@@ -33,6 +33,7 @@ _FRONT = [
     "stream_ingest_dedup",
     "ann_batch_topk",
     "ann_batch_lsh_topk",
+    "cdc_read_changes",
     # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",

@@ -3061,3 +3061,35 @@ def ann_batch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.batch_lsh_topk(
         emb, queries_df, dim=_ANN_DIM, k=3, n_planes=_ANN_PLANES
     )
+
+
+@query(
+    "cdc_read_changes",
+    oracle="""
+    SELECT o_orderkey, CAST(-1.0 AS DOUBLE) AS price,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'update_postimage'
+                ELSE 'insert' END AS _change_type
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across an upsert: base table (even keys) +
+    one MERGE batch (keys % 3 == 0, price rewritten to -1) → the CDF
+    for (v0, v1] is exactly the MERGE's applied rows with insert /
+    update_postimage attribution — fully predicted by the oracle."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    base = _scratch("cdc_read_changes", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    t.write(src.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    batch = src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "price", F.lit(-1.0)
+    )
+    t.upsert(batch, ["o_orderkey"])
+    return t.read_changes(0, with_change_type=True)

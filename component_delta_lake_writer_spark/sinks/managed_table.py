@@ -40,6 +40,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from component_delta_lake_writer_spark.errors import (
@@ -354,7 +355,57 @@ class ManagedTable:
             properties=properties if properties is not None else prev.properties,
         )
         self._publish(commit, prev)
+        # CDF: persist this commit's change set (inserts + the update
+        # post-images the MERGE actually applied) so read_changes can
+        # attribute across upserts. Written after the publish so only
+        # the winning writer of version N ever owns _changes/vN.
+        self._write_change_set(
+            target, source, primary_key, update_condition, commit.version
+        )
         return commit
+
+    def _write_change_set(
+        self,
+        target: DataFrame,
+        source: DataFrame,
+        primary_key: list[str],
+        update_condition,
+        version: int,
+    ) -> None:
+        from component_delta_lake_writer_spark.operators.merge import dedup_source
+
+        src = dedup_source(source, primary_key).select(
+            *[F.col(c) for c in target.columns]
+        )
+        pk_alias = [f"_pk_{c}" for c in primary_key]
+        s = src.select(
+            *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
+            F.struct(*src.columns).alias("_s"),
+        )
+        t = target.select(
+            *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
+            F.struct(*target.columns).alias("_t"),
+        )
+        j = s.join(t, pk_alias, "left")
+        tt, ss = F.col("_t"), F.col("_s")
+        applied = (
+            F.when(tt.isNull(), F.lit("insert"))
+            .when(
+                F.lit(True)
+                if update_condition is None
+                else update_condition(tt, ss),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.lit(None))
+        )
+        changes = (
+            j.withColumn("_ct", applied)
+            .filter(F.col("_ct").isNotNull())
+            .select("_s.*", F.col("_ct").alias("_change_type"))
+        )
+        changes.write.mode("overwrite").parquet(
+            os.path.join(self._changes_dir, f"v{version}")
+        )
 
     # ---------- maintenance ----------
 
@@ -484,13 +535,30 @@ class ManagedTable:
     def history(self) -> list[Commit]:
         return [self.commit_at(v) for v in self._versions()]
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
-        """Incremental read (change-data-feed-lite): the rows ADDED by
-        commits in (from_version, to_version]. Exact for append-only
-        history — each append commit contributes exactly its new data
-        units. A commit that rewrites the snapshot (overwrite, upsert,
-        optimize) breaks unit-level attribution; reading across one
-        raises, mirroring Delta's CDF behavior for non-CDF rewrites.
+    @property
+    def _changes_dir(self) -> str:
+        return os.path.join(self.path, "_changes")
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        with_change_type: bool = False,
+    ) -> DataFrame:
+        """Incremental read (change data feed): the rows CHANGED by
+        commits in (from_version, to_version].
+
+        - append commits contribute exactly their new data units
+          (``_change_type = 'insert'``);
+        - upsert commits contribute their persisted per-commit change
+          set (``_changes/v{N}``: inserts + update post-images, the
+          rows the MERGE actually applied);
+        - optimize commits contribute nothing (pure rewrite,
+          dataChange=false in Delta terms) and are skipped;
+        - overwrite/restore replace the snapshot wholesale — reading
+          across one raises, mirroring Delta's CDF on non-CDF rewrites.
+
+        ``with_change_type=True`` appends the ``_change_type`` column.
         """
         versions = [v for v in self._versions() if v > from_version]
         if to_version is not None:
@@ -501,20 +569,46 @@ class ManagedTable:
             )
         prev_units = set(self.commit_at(from_version).data_units)
         new_units: list[str] = []
+        change_dirs: list[str] = []
         last = None
         for v in versions:
             c = self.commit_at(v)
-            if c.action not in ("append",):
+            if c.action == "append":
+                new_units.extend(u for u in c.data_units if u not in prev_units)
+            elif c.action == "optimize":
+                pass  # rewrite of identical rows — no logical change
+            elif c.action == "upsert" and os.path.isdir(
+                os.path.join(self._changes_dir, f"v{c.version}")
+            ):
+                change_dirs.append(os.path.join(self._changes_dir, f"v{c.version}"))
+            else:
                 raise UserException(
                     f"read_changes crosses a '{c.action}' commit (v{c.version}); "
-                    "only append-only ranges are attributable."
+                    "only append/upsert/optimize ranges are attributable."
                 )
-            new_units.extend(u for u in c.data_units if u not in prev_units)
             prev_units = set(c.data_units)
             last = c
         # one multi-path scan under the range-end schema (older units'
         # missing columns read as NULL), same plan shape as read()
         schema = T.StructType.fromJson(json.loads(last.schema_json))
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self._data_dir, u) for u in new_units]
+        parts: list[DataFrame] = []
+        if new_units:
+            parts.append(
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self._data_dir, u) for u in new_units])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        ctype_schema = T.StructType(
+            schema.fields + [T.StructField("_change_type", T.StringType(), True)]
         )
+        if change_dirs:
+            parts.append(
+                self.spark.read.schema(ctype_schema).parquet(*change_dirs)
+            )
+        if not parts:
+            out = self.spark.createDataFrame([], ctype_schema)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        return out if with_change_type else out.drop("_change_type")

@@ -256,9 +256,24 @@ def test_read_changes_incremental(spark, tmp_path):
     assert ch.count() == o.filter(F.col("o_orderkey") % 3 != 0).count()
     ch1 = t.read_changes(0, to_version=1)
     assert ch1.count() == o.filter(F.col("o_orderkey") % 3 == 1).count()
-    t.optimize()  # v3: rewrite → attribution breaks
-    with pytest.raises(UserException, match="optimize"):
-        t.read_changes(0)
+    t.optimize()  # v3: pure rewrite — CDF skips it (dataChange=false)
+    assert t.read_changes(2).count() == 0
+    # v4: upsert — change set persisted, attribution continues
+    src = (
+        o.filter(F.col("o_orderkey") % 3 == 0).limit(5)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .unionByName(o.limit(3).withColumn("o_orderkey", F.col("o_orderkey") + 10**9))
+    )
+    t.upsert(src, ["o_orderkey"])
+    ch4 = t.read_changes(3, with_change_type=True)
+    got = {r["_change_type"] for r in ch4.collect()}
+    assert got == {"insert", "update_postimage"}
+    assert ch4.filter(F.col("_change_type") == "insert").count() == 3
+    assert ch4.filter(F.col("_change_type") == "update_postimage").count() == 5
+    # overwrite still breaks attribution
+    t.write(o.limit(10), mode="overwrite")  # v5
+    with pytest.raises(UserException, match="overwrite"):
+        t.read_changes(4)
 
 
 def test_streaming_sink_commits_batches(spark, tmp_path):
