@@ -382,22 +382,32 @@ class ManagedTable:
             *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
             F.struct(*src.columns).alias("_s"),
         )
-        t = target.select(
-            *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
-            F.struct(*target.columns).alias("_t"),
-        )
-        j = s.join(t, pk_alias, "left")
-        tt, ss = F.col("_t"), F.col("_s")
-        applied = (
-            F.when(tt.isNull(), F.lit("insert"))
-            .when(
-                F.lit(True)
-                if update_condition is None
-                else update_condition(tt, ss),
-                F.lit("update_postimage"),
+        if update_condition is None:
+            # narrow path: only "matched?" is needed — join against the
+            # PK columns alone so the target scan prunes to the keys
+            # (never a second full-row pass over a 100 TB target)
+            t = target.select(
+                *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
+                F.lit(True).alias("_m"),
+            ).dropDuplicates(pk_alias)
+            j = s.join(t, pk_alias, "left")
+            applied = F.when(
+                F.col("_m").isNull(), F.lit("insert")
+            ).otherwise(F.lit("update_postimage"))
+        else:
+            # the guard needs the matched target row's values — carry
+            # the full struct (same width the merge itself reads)
+            t = target.select(
+                *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
+                F.struct(*target.columns).alias("_t"),
             )
-            .otherwise(F.lit(None))
-        )
+            j = s.join(t, pk_alias, "left")
+            tt, ss = F.col("_t"), F.col("_s")
+            applied = (
+                F.when(tt.isNull(), F.lit("insert"))
+                .when(update_condition(tt, ss), F.lit("update_postimage"))
+                .otherwise(F.lit(None))
+            )
         changes = (
             j.withColumn("_ct", applied)
             .filter(F.col("_ct").isNotNull())
