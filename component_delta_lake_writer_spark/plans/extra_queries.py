@@ -2730,18 +2730,18 @@ def jsonl_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from component_delta_lake_writer_spark.sources.jsonl import read_jsonl_typed
 
     path = _scratch("jsonl_scan_typed", sf_dir)
-    src = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 7 == 0
-    ).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("price"),
-    )
-    src.repartition(4).write.mode("overwrite").option(
-        "compression", "gzip"
-    ).json(path)
     bad = os.path.join(path, "part-bad.json.gz")
-    if not os.path.exists(bad):
+    if not os.path.exists(bad):  # fixture is deterministic — build once
+        src = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 7 == 0
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        src.repartition(4).write.mode("overwrite").option(
+            "compression", "gzip"
+        ).json(path)
         with gzip.open(bad, "wt") as fh:
             fh.write("{not json\n")
     cols = [
