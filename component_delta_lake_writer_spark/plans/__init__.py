@@ -33,6 +33,9 @@ _FRONT = [
     "catalog_actions",
     # -- engine path rewritten this round (preserve-order scan) --
     "row_order_preserved",
+    # -- new this round, wave 6 --
+    "stats_skip_read",
+    "restore_table",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -162,6 +162,48 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stats_skip_read")
+def stats_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log data skipping (Delta-style file pruning): three
+    appends with disjoint o_orderkey ranges, then a range read through
+    read_where. The min/max stats must prune the scan to ONE unit
+    (asserted here — the driver sees the values, the assert sees the
+    pruning) and the rows must equal a plain filtered read."""
+    from component_delta_lake_writer_spark.sinks.unit_stats import prune_units
+
+    t = _fresh_table(spark, "stats_skip_read", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    third = (hi - lo) // 3
+    k = F.col("o_orderkey")
+    t.write(o.filter(k < lo + third), mode="append")
+    t.write(
+        o.filter((k >= lo + third) & (k < lo + 2 * third)), mode="append"
+    )
+    t.write(o.filter(k >= lo + 2 * third), mode="append")
+    cut = lo + 2 * third
+    c = t.latest_commit()
+    kept = prune_units(c.stats, c.data_units, f"o_orderkey >= {cut}")
+    assert len(kept) == 1, f"expected 1 surviving unit, got {len(kept)}"
+    return t.read_where(f"o_orderkey >= {cut}")
+
+
+@query("restore_table")
+def restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE … TO VERSION AS OF (Delta RESTORE): v0 holds the
+    even orders, v1 appends the odd ones, restore(0) makes the latest
+    snapshot v0's again — without erasing history (v1 stays
+    addressable)."""
+    t = _fresh_table(spark, "restore_table", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    c = t.restore(0)
+    assert c.properties["restored_from_version"] == 0
+    assert t.read(version=1).count() > t.read().count()  # history intact
+    return t.read()
+
+
 @query("streaming_hourly_agg")
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 streaming: availableNow drain of the events feed through the
@@ -187,6 +229,13 @@ from component_delta_lake_writer_spark.plans.query_registry import (
     _MERGE_SRC_SQL as _SRC,
 )
 
+_O["stats_skip_read"] = """
+    WITH b AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+               FROM orders)
+    SELECT o.* FROM orders o, b
+    WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
+"""
+_O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
 _O["write_error_mode"] = "SELECT * FROM orders"
 _O["write_append"] = (
     "SELECT * FROM orders UNION ALL SELECT * FROM orders"

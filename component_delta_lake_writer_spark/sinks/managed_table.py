@@ -63,6 +63,10 @@ class Commit:
     primary_key: list[str] = field(default_factory=list)
     timestamp_ms: int = 0
     properties: dict = field(default_factory=dict)
+    # Delta-style data-skipping stats: {unit: {"_rows": n, col: {min,
+    # max, nulls}}}. Optional — commits written before this field
+    # existed load with {} and simply never prune.
+    stats: dict = field(default_factory=dict)
 
 
 class ManagedTable:
@@ -169,6 +173,13 @@ class ManagedTable:
         writer.parquet(os.path.join(self._data_dir, unit))
         return unit
 
+    def _unit_stats(self, unit: str) -> dict:
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            collect_unit_stats,
+        )
+
+        return collect_unit_stats(os.path.join(self._data_dir, unit))
+
     @staticmethod
     def _schema_compatible(table: T.StructType, incoming: T.StructType) -> bool:
         tf = {f.name: f.dataType for f in table.fields}
@@ -242,12 +253,14 @@ class ManagedTable:
             version = (prev.version + 1) if prev else 0
             action = "overwrite" if mode == "overwrite" else "create"
             schema = df.schema
+            stats = {unit: self._unit_stats(unit)}
         else:  # append
             units = prev.data_units + [unit]
             version = prev.version + 1
             action = "append"
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
             schema = self._merge_schemas(table_schema, df.schema)
+            stats = {**prev.stats, unit: self._unit_stats(unit)}
 
         commit = Commit(
             version=version,
@@ -258,6 +271,7 @@ class ManagedTable:
             primary_key=primary_key or (prev.primary_key if prev else []),
             timestamp_ms=int(time.time() * 1000),
             properties=properties or (prev.properties if prev else {}),
+            stats=stats,
         )
         self._publish(commit, prev)
         return commit
@@ -288,6 +302,34 @@ class ManagedTable:
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         paths = [os.path.join(self._data_dir, u) for u in commit.data_units]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_where(self, condition: str, version: int | None = None) -> DataFrame:
+        """Filtered snapshot read with commit-log data skipping.
+
+        Whole data units whose recorded min/max ranges provably cannot
+        satisfy ``condition`` are dropped from the scan BEFORE Spark
+        plans it (Delta's file-level data skipping — one level above
+        the row-group skipping the parquet reader does on its own).
+        The condition is then re-applied as an ordinary filter, so
+        pruning only ever removes provably-dead IO, never rows.
+
+        At 100 TB this is the difference between "scan 5 files" and
+        "open every footer of a million files" for a point/range query
+        on a clustered column (pair with optimize(cluster_by=…))."""
+        from component_delta_lake_writer_spark.sinks.unit_stats import prune_units
+
+        commit = self.commit_at(version) if version is not None else self.latest_commit()
+        if commit is None:
+            raise UserException(f"No table at {self.path}")
+        schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        units = prune_units(commit.stats, commit.data_units, condition)
+        if not units:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.filter(F.expr(condition))
+        paths = [os.path.join(self._data_dir, u) for u in units]
+        return self.spark.read.schema(schema).parquet(*paths).filter(
+            F.expr(condition)
+        )
 
     # ---------- upsert (W12 + O2) ----------
 
@@ -353,6 +395,7 @@ class ManagedTable:
             primary_key=primary_key,
             timestamp_ms=int(time.time() * 1000),
             properties=properties if properties is not None else prev.properties,
+            stats={unit: self._unit_stats(unit)},
         )
         self._publish(commit, prev)
         # CDF: persist this commit's change set (inserts + the update
@@ -450,6 +493,7 @@ class ManagedTable:
             primary_key=prev.primary_key,
             timestamp_ms=int(time.time() * 1000),
             properties=prev.properties,
+            stats={unit: self._unit_stats(unit)},
         )
         self._publish(commit, prev)
         return commit
@@ -483,6 +527,7 @@ class ManagedTable:
             primary_key=old.primary_key,
             timestamp_ms=int(time.time() * 1000),
             properties={**old.properties, "restored_from_version": version},
+            stats={u: s for u, s in old.stats.items() if u in old.data_units},
         )
         self._publish(commit, prev)
         return commit

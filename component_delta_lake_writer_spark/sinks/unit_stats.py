@@ -1,0 +1,182 @@
+"""Per-data-unit column statistics → commit-log file skipping.
+
+Delta records per-file min/max/nullCount in the transaction log's add
+actions and prunes files whose value range provably cannot satisfy a
+query predicate before the scan starts (data skipping). The reference
+inherits this from delta-rs (write path src/component.py:356); Spark
+alone only skips row groups *inside* a scan it was already handed.
+This module is the commit-log equivalent for ManagedTable:
+
+- ``collect_unit_stats`` reads the parquet FOOTERS of a freshly
+  written data unit (row-group metadata only — no data pages) and
+  folds them into one ``{col: {min, max, nulls}}`` dict per unit,
+  stored on the commit.
+- ``prune_units`` evaluates a conjunctive predicate against those
+  ranges and drops whole units that cannot match.
+
+Pruning is strictly an optimization: ``ManagedTable.read_where``
+re-applies the full predicate as a Spark filter afterwards, so an
+unparseable or partially-parseable condition degrades to "scan
+everything", never to wrong answers.
+
+Scale note: on a real cluster the footer pass is replaced by the
+write tasks' own statistics (Spark's commit protocol already returns
+per-file metrics to the driver); walking footers of just-written
+files is the single-node equivalent and costs O(files) metadata-size
+reads — the same work delta-rs does at commit time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow.parquet as pq
+
+# Stats are kept only for types whose min/max are JSON-round-trippable
+# and totally ordered the same way in Python and SQL: ints, floats and
+# strings. (bool/binary/timestamp stats exist in the footer but are
+# dropped — pruning on them is not attempted.)
+_ALLOWED = (int, float, str)
+
+_CONJUNCT = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(<=|>=|==|=|<|>)\s*"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def collect_unit_stats(unit_dir: str) -> dict:
+    """Fold the parquet row-group stats of every file under
+    ``unit_dir`` into ``{"_rows": n, col: {min, max, nulls}}``.
+
+    ``nulls`` is None when any footer lacked a null count (unknown →
+    all-null pruning disabled for that column). Columns with
+    non-orderable stats types keep ``min``/``max`` = None.
+    """
+    acc: dict = {}
+    rows = 0
+    for root, _dirs, files in os.walk(unit_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:  # nested leaf — no top-level pruning
+                        continue
+                    ent = acc.setdefault(
+                        name, {"min": None, "max": None, "nulls": 0, "bad": False}
+                    )
+                    st = col.statistics
+                    if st is None:
+                        # unknown contents → column never prunable
+                        ent["bad"] = True
+                        ent["nulls"] = None
+                        continue
+                    if ent["nulls"] is not None:
+                        if st.null_count is None:
+                            ent["nulls"] = None
+                        else:
+                            ent["nulls"] += st.null_count
+                    if not st.has_min_max:
+                        continue  # e.g. an all-null row group
+                    mn, mx = st.min, st.max
+                    ok = (
+                        isinstance(mn, _ALLOWED)
+                        and isinstance(mx, _ALLOWED)
+                        and not isinstance(mn, bool)
+                        and not isinstance(mx, bool)
+                    )
+                    if not ok:
+                        ent["bad"] = True
+                        continue
+                    ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
+                    ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
+    out: dict = {"_rows": rows}
+    for name, ent in acc.items():
+        if ent.pop("bad"):
+            ent["min"] = ent["max"] = None
+        out[name] = ent
+    return out
+
+
+def parse_conjuncts(condition: str):
+    """Parse ``a >= 3 AND b < 'x' AND …`` into [(col, op, literal)].
+
+    Returns [] (→ no pruning) for anything beyond a flat AND of
+    ``column op literal`` comparisons — OR, parens, arithmetic,
+    function calls all fall back to scan-everything.
+    """
+    if re.search(r"\bor\b|\(|\)", condition, flags=re.IGNORECASE):
+        return []
+    out = []
+    for part in re.split(r"\band\b", condition, flags=re.IGNORECASE):
+        m = _CONJUNCT.match(part)
+        if not m:
+            return []
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val: object = lit[1:-1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _conjunct_can_match(stats: dict, col: str, op: str, lit) -> bool:
+    ent = stats.get(col)
+    if ent is None:
+        return True
+    rows = stats.get("_rows")
+    if (
+        ent["min"] is None
+        and ent["max"] is None
+        and ent["nulls"] is not None
+        and rows is not None
+        and ent["nulls"] >= rows
+        and rows > 0
+    ):
+        # every value NULL → a comparison is never true (SQL ternary)
+        return False
+    mn, mx = ent["min"], ent["max"]
+    if mn is None or mx is None:
+        return True
+    num_stat = isinstance(mn, (int, float))
+    num_lit = isinstance(lit, (int, float))
+    if num_stat != num_lit:
+        return True  # type mismatch — don't reason about coercion
+    if op == "<":
+        return mn < lit
+    if op == "<=":
+        return mn <= lit
+    if op == ">":
+        return mx > lit
+    if op == ">=":
+        return mx >= lit
+    return mn <= lit <= mx  # "="
+
+
+def prune_units(unit_stats: dict, units: list[str], condition: str) -> list[str]:
+    """Units from ``units`` that can possibly satisfy ``condition``.
+
+    A unit with no recorded stats always survives; so does the whole
+    list when the condition isn't a flat AND of simple comparisons.
+    """
+    conjuncts = parse_conjuncts(condition)
+    if not conjuncts:
+        return list(units)
+    keep = []
+    for u in units:
+        st = unit_stats.get(u)
+        if st is None or all(
+            _conjunct_can_match(st, c, op, v) for c, op, v in conjuncts
+        ):
+            keep.append(u)
+    return keep

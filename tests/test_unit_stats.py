@@ -1,0 +1,127 @@
+"""Commit-log data skipping (Delta-style per-unit min/max stats)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.sinks import ManagedTable
+from component_delta_lake_writer_spark.sinks.unit_stats import (
+    parse_conjuncts,
+    prune_units,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmp_path_str():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_path_str):
+    """Orders split into 3 appends of disjoint o_orderkey ranges."""
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    third = (hi - lo) // 3
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    k = F.col("o_orderkey")
+    t.write(o.filter(k < lo + third), mode="append")
+    t.write(o.filter((k >= lo + third) & (k < lo + 2 * third)), mode="append")
+    t.write(o.filter(k >= lo + 2 * third), mode="append")
+    return t, lo, hi, third
+
+
+def test_stats_recorded_per_unit(ranged_table):
+    t, *_ = ranged_table
+    c = t.latest_commit()
+    assert len(c.data_units) == 3
+    for u in c.data_units:
+        st = c.stats[u]
+        assert st["_rows"] > 0
+        ok = st["o_orderkey"]
+        assert ok["min"] is not None and ok["max"] >= ok["min"]
+        assert ok["nulls"] == 0
+
+
+def test_range_predicate_prunes_units(ranged_table):
+    t, lo, hi, third = ranged_table
+    c = t.latest_commit()
+    cut = lo + 2 * third
+    kept = prune_units(c.stats, c.data_units, f"o_orderkey >= {cut}")
+    assert len(kept) == 1
+    got = t.read_where(f"o_orderkey >= {cut}").count()
+    want = t.read().filter(F.col("o_orderkey") >= cut).count()
+    assert got == want > 0
+
+
+def test_impossible_string_predicate_prunes_all(ranged_table):
+    t, *_ = ranged_table
+    c = t.latest_commit()
+    assert prune_units(c.stats, c.data_units, "o_orderstatus = 'ZZ'") == []
+    assert t.read_where("o_orderstatus = 'ZZ'").count() == 0
+
+
+def test_unsupported_condition_falls_back_to_full_scan(ranged_table):
+    t, lo, hi, third = ranged_table
+    c = t.latest_commit()
+    cond = f"o_orderkey >= {lo + 2 * third} OR o_orderkey < {lo}"
+    assert len(prune_units(c.stats, c.data_units, cond)) == 3
+    assert (
+        t.read_where(cond).count()
+        == t.read().filter(F.expr(cond)).count()
+    )
+
+
+def test_optimize_and_restore_carry_stats(ranged_table):
+    t, lo, hi, third = ranged_table
+    t.optimize(cluster_by=["o_orderkey"])
+    c = t.latest_commit()
+    assert set(c.stats) == set(c.data_units)
+    t.restore(1)  # two-unit snapshot
+    c2 = t.latest_commit()
+    assert set(c2.stats) == set(c2.data_units) and len(c2.data_units) == 2
+    # stats still prune after restore
+    kept = prune_units(c2.stats, c2.data_units, f"o_orderkey < {lo + third}")
+    assert len(kept) == 1
+
+
+def test_upsert_commit_records_stats(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "u"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.upsert(df.withColumn("v", F.col("v") + 1), primary_key=["k"])
+    c = t.latest_commit()
+    assert set(c.stats) == set(c.data_units)
+    assert c.stats[c.data_units[0]]["k"]["max"] == 99
+
+
+def test_all_null_column_prunes(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "n"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")
+    )
+    t.write(df, mode="overwrite")
+    c = t.latest_commit()
+    assert prune_units(c.stats, c.data_units, "v > 0.5") == []
+    assert t.read_where("v > 0.5").count() == 0
+
+
+def test_parse_conjuncts_grammar():
+    assert parse_conjuncts("a >= 3 AND b < 'x'") == [
+        ("a", ">=", 3),
+        ("b", "<", "x"),
+    ]
+    assert parse_conjuncts("a = 1.5") == [("a", "=", 1.5)]
+    assert parse_conjuncts("a == 2") == [("a", "=", 2)]
+    assert parse_conjuncts("a > 1 OR b < 2") == []
+    assert parse_conjuncts("lower(a) = 'x'") == []
+    assert parse_conjuncts("a + 1 > 2") == []
