@@ -85,7 +85,11 @@ def collect_unit_stats(unit_dir: str) -> dict:
                             ent["nulls"] += st.null_count
                     if not st.has_min_max:
                         continue  # e.g. an all-null row group
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:  # pyarrow can't cast some types
+                        ent["bad"] = True
+                        continue
                     ok = (
                         isinstance(mn, _ALLOWED)
                         and isinstance(mx, _ALLOWED)
