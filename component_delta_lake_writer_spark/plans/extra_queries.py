@@ -3087,7 +3087,11 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
     )
-    t.write(src.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    t.write(
+        src.filter(F.col("o_orderkey") % 2 == 0),
+        mode="overwrite",
+        properties={"enableChangeDataFeed": True},
+    )
     batch = src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
         "price", F.lit(-1.0)
     )

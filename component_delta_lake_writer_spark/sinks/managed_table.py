@@ -402,9 +402,14 @@ class ManagedTable:
         # post-images the MERGE actually applied) so read_changes can
         # attribute across upserts. Written after the publish so only
         # the winning writer of version N ever owns _changes/vN.
-        self._write_change_set(
-            target, source, primary_key, update_condition, commit.version
-        )
+        # Gated on the table property ``enableChangeDataFeed`` exactly
+        # like Delta's delta.enableChangeDataFeed — materializing the
+        # change set is a second join over the source, and a table
+        # that never reads CDF must not pay it on every upsert.
+        if commit.properties.get("enableChangeDataFeed"):
+            self._write_change_set(
+                target, source, primary_key, update_condition, commit.version
+            )
         return commit
 
     def _write_change_set(
@@ -636,6 +641,13 @@ class ManagedTable:
                 os.path.join(self._changes_dir, f"v{c.version}")
             ):
                 change_dirs.append(os.path.join(self._changes_dir, f"v{c.version}"))
+            elif c.action == "upsert":
+                raise UserException(
+                    f"read_changes crosses upsert v{c.version} with no "
+                    "persisted change set — set the table property "
+                    "enableChangeDataFeed before upserting (same contract "
+                    "as delta.enableChangeDataFeed)."
+                )
             else:
                 raise UserException(
                     f"read_changes crosses a '{c.action}' commit (v{c.version}); "

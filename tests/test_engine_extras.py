@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -249,7 +251,10 @@ def test_read_changes_incremental(spark, tmp_path):
 
     t = ManagedTable(spark, str(tmp_path / "t"))
     o = load_table(spark, SF_SMALL, "orders")
-    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="append")  # v0
+    t.write(
+        o.filter(F.col("o_orderkey") % 3 == 0), mode="append",
+        properties={"enableChangeDataFeed": True},
+    )  # v0
     t.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")  # v1
     t.write(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")  # v2
     ch = t.read_changes(0)
@@ -274,6 +279,24 @@ def test_read_changes_incremental(spark, tmp_path):
     t.write(o.limit(10), mode="overwrite")  # v5
     with pytest.raises(UserException, match="overwrite"):
         t.read_changes(4)
+
+
+def test_read_changes_requires_cdf_property_for_upserts(spark, tmp_path):
+    """Without enableChangeDataFeed the upsert skips the change-set
+    job (no extra cost) and CDF reads across it fail loudly — the
+    delta.enableChangeDataFeed contract."""
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    o = load_table(spark, SF_SMALL, "orders").limit(100)
+    t.write(o, mode="append")  # v0, CDF off
+    t.upsert(o.withColumn("o_totalprice", F.lit(-1.0)), ["o_orderkey"])  # v1
+    assert not os.path.isdir(os.path.join(str(tmp_path / "t"), "_changes"))
+    with pytest.raises(UserException, match="enableChangeDataFeed"):
+        t.read_changes(0)
 
 
 def test_streaming_sink_commits_batches(spark, tmp_path):
