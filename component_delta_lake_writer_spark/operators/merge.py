@@ -84,6 +84,7 @@ def merge_upsert(
     primary_key: list[str],
     order_by: list[str] | None = None,
     broadcast_source_keys: bool | None = None,
+    pre_deduplicated: bool = False,
 ) -> DataFrame:
     """Statement-level MERGE result as a DataFrame (caller commits it).
 
@@ -92,10 +93,14 @@ def merge_upsert(
     autoBroadcastJoinThreshold — a large CDC-replay source must not be
     forced through a driver-side broadcast. True/False force the hint
     on/off; in all cases AQE may still re-plan at runtime.
+
+    ``pre_deduplicated=True`` skips the O2 source dedup — for callers
+    that already deduped (and usually persisted) the source, so the
+    dedup shuffle isn't paid twice.
     """
     if not primary_key:
         raise UserException("Upsert load mode requires a primary key.")
-    src = dedup_source(source, primary_key, order_by)
+    src = source if pre_deduplicated else dedup_source(source, primary_key, order_by)
     # align source columns to target schema (INSERT/UPDATE all columns)
     src = src.select(*[F.col(c) for c in target.columns])
     keys = src.select(*primary_key)
@@ -117,6 +122,7 @@ def merge_upsert_conditional(
     primary_key: list[str],
     update_condition,
     order_by: list[str] | None = None,
+    pre_deduplicated: bool = False,
 ) -> DataFrame:
     """MERGE with a guarded UPDATE clause:
 
@@ -133,7 +139,7 @@ def merge_upsert_conditional(
     """
     if not primary_key:
         raise UserException("Upsert load mode requires a primary key.")
-    src = dedup_source(source, primary_key, order_by)
+    src = source if pre_deduplicated else dedup_source(source, primary_key, order_by)
     src = src.select(*[F.col(c) for c in target.columns])
 
     t = target.select(

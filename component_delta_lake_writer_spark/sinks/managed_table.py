@@ -299,9 +299,36 @@ class ManagedTable:
         commit = self.commit_at(version) if version is not None else self.latest_commit()
         if commit is None:
             raise UserException(f"No table at {self.path}")
+        return self._read_units(commit, commit.data_units)
+
+    def _read_units(self, commit: Commit, units: list[str]) -> DataFrame:
+        """One multi-path scan over a subset of a commit's data units,
+        under the commit's authoritative schema."""
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        paths = [os.path.join(self._data_dir, u) for u in commit.data_units]
+        paths = [os.path.join(self._data_dir, u) for u in units]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def _source_key_bounds(self, src: DataFrame, primary_key: list[str]) -> dict:
+        """{pk: (min, max)} over the deduped merge source — one small
+        agg job; only orderable JSON-comparable types are kept (the
+        same types unit stats record)."""
+        aggs = []
+        for pk in primary_key:
+            aggs.append(F.min(pk).alias(f"__mn_{pk}"))
+            aggs.append(F.max(pk).alias(f"__mx_{pk}"))
+        row = src.agg(*aggs).first()
+        out: dict = {}
+        for pk in primary_key:
+            mn, mx = row[f"__mn_{pk}"], row[f"__mx_{pk}"]
+            ok = (
+                isinstance(mn, (int, float, str))
+                and isinstance(mx, (int, float, str))
+                and not isinstance(mn, bool)
+                and not isinstance(mx, bool)
+            )
+            if ok:
+                out[pk] = (mn, mx)
+        return out
 
     def read_where(self, condition: str, version: int | None = None) -> DataFrame:
         """Filtered snapshot read with commit-log data skipping.
@@ -356,6 +383,15 @@ class ManagedTable:
         deletion vectors): new snapshot = source ∪ (target ⟕anti
         source). At scale the anti-join broadcasts the source key set
         when small; AQE picks the strategy otherwise.
+
+        File-pruned rewrite (Delta's merge file skipping, over the
+        commit log's unit stats): when the table has several data
+        units, the source's PK bounds (one small agg job) are compared
+        against each unit's recorded min/max — units provably disjoint
+        from the batch's key range are carried into the new snapshot
+        UNTOUCHED. A CDC stream whose batches touch recent keys then
+        rewrites only recent units instead of the whole 100 TB table;
+        pair with optimize(cluster_by=PK) to keep unit ranges tight.
         """
         if not primary_key:
             raise UserException("Upsert load mode requires a primary key.")
@@ -363,6 +399,9 @@ class ManagedTable:
             dedup_source,
             merge_upsert,
             merge_upsert_conditional,
+        )
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            unit_overlaps_key_bounds,
         )
 
         if not self.exists():
@@ -376,40 +415,77 @@ class ManagedTable:
             )
 
         prev = self.latest_commit()
-        target = self.read()
-        if update_condition is not None:
-            merged = merge_upsert_conditional(
-                target, source, primary_key, update_condition
+        untouched: list[str] = []
+        touched = list(prev.data_units)
+        src = dedup_source(source, primary_key)
+        persisted = False
+        if len(prev.data_units) > 1 and prev.stats:
+            # Only worth an extra bounds job when there is more than
+            # one unit to choose between. Persist the deduped source
+            # so the bounds agg and the merge don't recompute it.
+            src = src.persist()
+            persisted = True
+            bounds = self._source_key_bounds(src, primary_key)
+            if bounds:
+                touched, untouched = [], []
+                for u in prev.data_units:
+                    if unit_overlaps_key_bounds(prev.stats.get(u), bounds):
+                        touched.append(u)
+                    else:
+                        untouched.append(u)
+        try:
+            if touched:
+                target_sub = self._read_units(prev, touched)
+                if update_condition is not None:
+                    merged = merge_upsert_conditional(
+                        target_sub, src, primary_key, update_condition,
+                        pre_deduplicated=True,
+                    )
+                else:
+                    merged = merge_upsert(
+                        target_sub, src, primary_key, pre_deduplicated=True
+                    )
+            else:
+                # every unit is disjoint from the batch → pure insert
+                schema = T.StructType.fromJson(json.loads(prev.schema_json))
+                merged = src.select(*[F.col(f.name) for f in schema.fields])
+            unit = self._write_unit(
+                merged, prev.partition_by, compression, max_records_per_file
             )
-        else:
-            merged = merge_upsert(target, source, primary_key)
-        unit = self._write_unit(
-            merged, prev.partition_by, compression, max_records_per_file
-        )
-        commit = Commit(
-            version=prev.version + 1,
-            action="upsert",
-            data_units=[unit],
-            schema_json=prev.schema_json,
-            partition_by=prev.partition_by,
-            primary_key=primary_key,
-            timestamp_ms=int(time.time() * 1000),
-            properties=properties if properties is not None else prev.properties,
-            stats={unit: self._unit_stats(unit)},
-        )
-        self._publish(commit, prev)
-        # CDF: persist this commit's change set (inserts + the update
-        # post-images the MERGE actually applied) so read_changes can
-        # attribute across upserts. Written after the publish so only
-        # the winning writer of version N ever owns _changes/vN.
-        # Gated on the table property ``enableChangeDataFeed`` exactly
-        # like Delta's delta.enableChangeDataFeed — materializing the
-        # change set is a second join over the source, and a table
-        # that never reads CDF must not pay it on every upsert.
-        if commit.properties.get("enableChangeDataFeed"):
-            self._write_change_set(
-                target, source, primary_key, update_condition, commit.version
+            stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
+            stats[unit] = self._unit_stats(unit)
+            commit = Commit(
+                version=prev.version + 1,
+                action="upsert",
+                data_units=untouched + [unit],
+                schema_json=prev.schema_json,
+                partition_by=prev.partition_by,
+                primary_key=primary_key,
+                timestamp_ms=int(time.time() * 1000),
+                properties=properties if properties is not None else prev.properties,
+                stats=stats,
             )
+            self._publish(commit, prev)
+            # CDF: persist this commit's change set (inserts + the
+            # update post-images the MERGE actually applied) so
+            # read_changes can attribute across upserts. Written after
+            # the publish so only the winning writer of version N ever
+            # owns _changes/vN. Gated on the table property
+            # ``enableChangeDataFeed`` exactly like Delta's
+            # delta.enableChangeDataFeed — materializing the change
+            # set is a second join over the source, and a table that
+            # never reads CDF must not pay it on every upsert.
+            # Attribution (matched vs not) is against the FULL previous
+            # snapshot — a key living in a pruned-away unit is still
+            # "matched" even though the merge never rewrote that unit.
+            if commit.properties.get("enableChangeDataFeed"):
+                self._write_change_set(
+                    self._read_units(prev, prev.data_units), src,
+                    primary_key, update_condition, commit.version,
+                )
+        finally:
+            if persisted:
+                src.unpersist()
         return commit
 
     def _write_change_set(

@@ -167,6 +167,35 @@ def _conjunct_can_match(stats: dict, col: str, op: str, lit) -> bool:
     return mn <= lit <= mx  # "="
 
 
+def unit_overlaps_key_bounds(stats: dict | None, bounds: dict) -> bool:
+    """Can a unit with these stats contain a row whose key columns fall
+    inside ``bounds`` ({col: (lo, hi)})?
+
+    Used by the file-pruned MERGE: a unit provably DISJOINT from the
+    source's key range on ANY key column cannot contain a matched row
+    (PK equality needs every column to match), so the merge carries it
+    into the new snapshot untouched instead of rewriting it. Missing
+    stats, missing ranges, or cross-type comparisons are all treated
+    as overlapping — pruning must stay conservative.
+    """
+    if stats is None:
+        return True
+    for col, (lo, hi) in bounds.items():
+        ent = stats.get(col)
+        if ent is None:
+            continue
+        mn, mx = ent.get("min"), ent.get("max")
+        if mn is None or mx is None:
+            continue
+        num_stat = isinstance(mn, (int, float))
+        num_bound = isinstance(lo, (int, float))
+        if num_stat != num_bound:
+            continue
+        if mx < lo or mn > hi:
+            return False
+    return True
+
+
 def prune_units(unit_stats: dict, units: list[str], condition: str) -> list[str]:
     """Units from ``units`` that can possibly satisfy ``condition``.
 

@@ -115,6 +115,70 @@ def test_all_null_column_prunes(spark, tmp_path_str):
     assert t.read_where("v > 0.5").count() == 0
 
 
+def test_selective_upsert_prunes_disjoint_units(ranged_table):
+    """A merge whose source keys hit only the last range must carry
+    the first two units into the new snapshot untouched."""
+    t, lo, hi, third = ranged_table
+    before = t.latest_commit()
+    src = (
+        t.read()
+        .filter(F.col("o_orderkey") >= lo + 2 * third)
+        .limit(50)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    t.upsert(src, ["o_orderkey"])
+    after = t.latest_commit()
+    kept = set(before.data_units) & set(after.data_units)
+    assert len(kept) == 2, "disjoint units must be carried, not rewritten"
+    assert len(after.data_units) == 3
+    # carried units keep their stats; the new unit got fresh ones
+    assert set(after.stats) == set(after.data_units)
+    # semantics identical to a full merge
+    assert t.read().count() == t.read(version=before.version).count()
+    assert t.read().filter(F.col("o_totalprice") == -1.0).count() == 50
+
+
+def test_selective_upsert_pure_insert_keeps_all_units(ranged_table):
+    """Source keys beyond every unit's range → no unit rewritten, the
+    batch lands as a new insert-only unit."""
+    t, lo, hi, third = ranged_table
+    before = t.latest_commit()
+    src = t.read().limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10**9
+    )
+    t.upsert(src, ["o_orderkey"])
+    after = t.latest_commit()
+    assert set(before.data_units) <= set(after.data_units)
+    assert len(after.data_units) == 4
+    assert t.read().count() == t.read(version=before.version).count() + 10
+
+
+def test_selective_upsert_matches_full_merge(ranged_table):
+    """Differential: selective result == the plain merge operator's
+    result on the full target (same rows, same values)."""
+    from component_delta_lake_writer_spark.operators.merge import merge_upsert
+
+    t, lo, hi, third = ranged_table
+    before_df = t.read()
+    src = (
+        before_df.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderkey") < lo + third)
+        )
+        .withColumn("o_totalprice", F.lit(-2.0))
+        .unionByName(
+            before_df.limit(5).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10**9
+            )
+        )
+    )
+    expect = merge_upsert(before_df, src, ["o_orderkey"])
+    exp_rows = sorted(map(tuple, expect.collect()))
+    t.upsert(src, ["o_orderkey"])
+    got_rows = sorted(map(tuple, t.read().collect()))
+    assert got_rows == exp_rows
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
