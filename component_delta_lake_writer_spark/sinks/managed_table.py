@@ -173,12 +173,14 @@ class ManagedTable:
         writer.parquet(os.path.join(self._data_dir, unit))
         return unit
 
-    def _unit_stats(self, unit: str) -> dict:
+    def _unit_stats(self, unit: str, per_file: bool = False) -> dict:
         from component_delta_lake_writer_spark.sinks.unit_stats import (
             collect_unit_stats,
         )
 
-        return collect_unit_stats(os.path.join(self._data_dir, unit))
+        return collect_unit_stats(
+            os.path.join(self._data_dir, unit), per_file=per_file
+        )
 
     @staticmethod
     def _schema_compatible(table: T.StructType, incoming: T.StructType) -> bool:
@@ -253,14 +255,15 @@ class ManagedTable:
             version = (prev.version + 1) if prev else 0
             action = "overwrite" if mode == "overwrite" else "create"
             schema = df.schema
-            stats = {unit: self._unit_stats(unit)}
+            stats = {unit: self._unit_stats(unit, per_file=not partition_by)}
         else:  # append
             units = prev.data_units + [unit]
             version = prev.version + 1
             action = "append"
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
             schema = self._merge_schemas(table_schema, df.schema)
-            stats = {**prev.stats, unit: self._unit_stats(unit)}
+            stats = {**prev.stats,
+                     unit: self._unit_stats(unit, per_file=not partition_by)}
 
         commit = Commit(
             version=version,
@@ -340,20 +343,39 @@ class ManagedTable:
         The condition is then re-applied as an ordinary filter, so
         pruning only ever removes provably-dead IO, never rows.
 
+        Two granularities: whole units first (cheap, always), then —
+        for unpartitioned units that recorded per-file detail —
+        individual files inside surviving units, exactly Delta's
+        per-add-action skipping. Partitioned units stay unit-granular
+        (reading bare leaf files would drop hive partition columns;
+        those tables already get Spark's partition pruning).
+
         At 100 TB this is the difference between "scan 5 files" and
         "open every footer of a million files" for a point/range query
         on a clustered column (pair with optimize(cluster_by=…))."""
-        from component_delta_lake_writer_spark.sinks.unit_stats import prune_units
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            parse_conjuncts,
+            prune_units,
+        )
 
         commit = self.commit_at(version) if version is not None else self.latest_commit()
         if commit is None:
             raise UserException(f"No table at {self.path}")
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         units = prune_units(commit.stats, commit.data_units, condition)
-        if not units:
+        paths: list[str] = []
+        file_level = bool(parse_conjuncts(condition)) and not commit.partition_by
+        for u in units:
+            udir = os.path.join(self._data_dir, u)
+            detail = (commit.stats.get(u) or {}).get("_files")
+            if file_level and detail:
+                kept = prune_units(detail, list(detail), condition)
+                paths.extend(os.path.join(udir, f) for f in kept)
+            else:
+                paths.append(udir)
+        if not paths:
             empty = self.spark.createDataFrame([], schema)
             return empty.filter(F.expr(condition))
-        paths = [os.path.join(self._data_dir, u) for u in units]
         return self.spark.read.schema(schema).parquet(*paths).filter(
             F.expr(condition)
         )
@@ -453,7 +475,9 @@ class ManagedTable:
                 merged, prev.partition_by, compression, max_records_per_file
             )
             stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
-            stats[unit] = self._unit_stats(unit)
+            stats[unit] = self._unit_stats(
+                unit, per_file=not prev.partition_by
+            )
             commit = Commit(
                 version=prev.version + 1,
                 action="upsert",
@@ -547,37 +571,80 @@ class ManagedTable:
         self,
         target_file_rows: int | None = None,
         cluster_by: list[str] | None = None,
+        unit_per_file: bool = False,
     ) -> Commit:
-        """Compact the snapshot into one fresh data unit (the engine's
+        """Compact the snapshot into fresh data unit(s) (the engine's
         OPTIMIZE; keeps read amplification bounded as appends pile up).
 
         ``cluster_by`` additionally range-partitions + sorts rows by
         the given columns before writing (the Z-ORDER-style layout
         play): parquet min/max column stats become tight per file, so
         later point/range filters on those columns skip whole files —
-        the 100 TB substitute for an index."""
+        the 100 TB substitute for an index.
+
+        ``unit_per_file`` (clustered, unpartitioned tables only) then
+        splits the compacted output into ONE DATA UNIT PER FILE —
+        driver-side renames after a single Spark job, no extra pass
+        over the data. Because clustered files cover disjoint key
+        ranges, this keeps the table prunable at unit granularity, so
+        later selective MERGEs rewrite only the key ranges a batch
+        touches instead of the whole compacted snapshot."""
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
+        if unit_per_file and (not cluster_by or prev.partition_by):
+            raise UserException(
+                "unit_per_file requires cluster_by and an unpartitioned "
+                "table (range-disjoint files are what make the split "
+                "worth committing)."
+            )
         df = self.read()
         if cluster_by:
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
                 *cluster_by
             )
         unit = self._write_unit(df, prev.partition_by, "snappy", target_file_rows)
+        if unit_per_file:
+            units = self._split_unit_per_file(unit)
+            stats = {
+                u: self._unit_stats(u, per_file=True) for u in units
+            }
+        else:
+            units = [unit]
+            stats = {
+                unit: self._unit_stats(unit, per_file=not prev.partition_by)
+            }
         commit = Commit(
             version=prev.version + 1,
             action="optimize",
-            data_units=[unit],
+            data_units=units,
             schema_json=prev.schema_json,
             partition_by=prev.partition_by,
             primary_key=prev.primary_key,
             timestamp_ms=int(time.time() * 1000),
             properties=prev.properties,
-            stats={unit: self._unit_stats(unit)},
+            stats=stats,
         )
         self._publish(commit, prev)
         return commit
+
+    def _split_unit_per_file(self, unit: str) -> list[str]:
+        """Move each parquet file of ``unit`` into its own unit dir
+        (driver-side renames — cheap metadata ops, no data copied)."""
+        src_dir = os.path.join(self._data_dir, unit)
+        units: list[str] = []
+        for fn in sorted(os.listdir(src_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            nu = uuid.uuid4().hex
+            nd = os.path.join(self._data_dir, nu)
+            os.makedirs(nd)
+            os.rename(os.path.join(src_dir, fn), os.path.join(nd, fn))
+            units.append(nu)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        if not units:
+            raise UserException(f"optimize produced no data files at {src_dir}")
+        return units
 
     def restore(self, version: int) -> Commit:
         """RESTORE TABLE … TO VERSION AS OF n (Delta's RESTORE): a NEW

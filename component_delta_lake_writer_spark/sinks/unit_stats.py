@@ -46,66 +46,105 @@ _CONJUNCT = re.compile(
 )
 
 
-def collect_unit_stats(unit_dir: str) -> dict:
+# Per-file detail is capped so a commit JSON can't balloon: past this
+# many files a unit records only its fold. (Delta solves the same
+# problem with parquet checkpoints; the fold is always kept.)
+MAX_FILE_DETAIL = 1000
+
+
+def _fold_file(md, acc: dict) -> None:
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — no top-level pruning
+                continue
+            ent = acc.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "bad": False}
+            )
+            st = col.statistics
+            if st is None:
+                # unknown contents → column never prunable
+                ent["bad"] = True
+                ent["nulls"] = None
+                continue
+            if ent["nulls"] is not None:
+                if st.null_count is None:
+                    ent["nulls"] = None
+                else:
+                    ent["nulls"] += st.null_count
+            if not st.has_min_max:
+                continue  # e.g. an all-null row group
+            try:
+                mn, mx = st.min, st.max
+            except Exception:  # pyarrow can't cast some types
+                ent["bad"] = True
+                continue
+            ok = (
+                isinstance(mn, _ALLOWED)
+                and isinstance(mx, _ALLOWED)
+                and not isinstance(mn, bool)
+                and not isinstance(mx, bool)
+            )
+            if not ok:
+                ent["bad"] = True
+                continue
+            ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
+            ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
+
+
+def _finish(acc: dict, rows: int) -> dict:
+    out: dict = {"_rows": rows}
+    for name, ent in acc.items():
+        e = dict(ent)
+        if e.pop("bad"):
+            e["min"] = e["max"] = None
+        out[name] = e
+    return out
+
+
+def collect_unit_stats(unit_dir: str, per_file: bool = False) -> dict:
     """Fold the parquet row-group stats of every file under
     ``unit_dir`` into ``{"_rows": n, col: {min, max, nulls}}``.
 
     ``nulls`` is None when any footer lacked a null count (unknown →
     all-null pruning disabled for that column). Columns with
     non-orderable stats types keep ``min``/``max`` = None.
+
+    ``per_file=True`` additionally records the same shape per data
+    file under ``"_files": {relpath: {...}}`` (capped at
+    MAX_FILE_DETAIL files) — the granularity Delta's add actions use,
+    letting read_where prune individual files inside a multi-file
+    unit. Callers only request it for unpartitioned units: pruned
+    file paths are read directly, which would drop hive partition
+    columns.
     """
     acc: dict = {}
     rows = 0
+    files_detail: dict = {}
+    too_many = False
     for root, _dirs, files in os.walk(unit_dir):
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue
-            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            fp = os.path.join(root, fn)
+            md = pq.ParquetFile(fp).metadata
             rows += md.num_rows
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    name = col.path_in_schema
-                    if "." in name:  # nested leaf — no top-level pruning
-                        continue
-                    ent = acc.setdefault(
-                        name, {"min": None, "max": None, "nulls": 0, "bad": False}
+            _fold_file(md, acc)
+            if per_file and not too_many:
+                if len(files_detail) >= MAX_FILE_DETAIL:
+                    too_many = True
+                    files_detail = {}
+                else:
+                    facc: dict = {}
+                    _fold_file(md, facc)
+                    files_detail[os.path.relpath(fp, unit_dir)] = _finish(
+                        facc, md.num_rows
                     )
-                    st = col.statistics
-                    if st is None:
-                        # unknown contents → column never prunable
-                        ent["bad"] = True
-                        ent["nulls"] = None
-                        continue
-                    if ent["nulls"] is not None:
-                        if st.null_count is None:
-                            ent["nulls"] = None
-                        else:
-                            ent["nulls"] += st.null_count
-                    if not st.has_min_max:
-                        continue  # e.g. an all-null row group
-                    try:
-                        mn, mx = st.min, st.max
-                    except Exception:  # pyarrow can't cast some types
-                        ent["bad"] = True
-                        continue
-                    ok = (
-                        isinstance(mn, _ALLOWED)
-                        and isinstance(mx, _ALLOWED)
-                        and not isinstance(mn, bool)
-                        and not isinstance(mx, bool)
-                    )
-                    if not ok:
-                        ent["bad"] = True
-                        continue
-                    ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
-                    ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
-    out: dict = {"_rows": rows}
-    for name, ent in acc.items():
-        if ent.pop("bad"):
-            ent["min"] = ent["max"] = None
-        out[name] = ent
+    out = _finish(acc, rows)
+    if files_detail:
+        out["_files"] = files_detail
     return out
 
 

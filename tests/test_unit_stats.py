@@ -179,6 +179,58 @@ def test_selective_upsert_matches_full_merge(ranged_table):
     assert got_rows == exp_rows
 
 
+def test_per_file_stats_and_file_level_pruning(spark, tmp_path_str):
+    """A clustered single-unit table with many files: read_where must
+    scan only the files whose range can match."""
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    t.write(o, mode="overwrite")
+    t.optimize(target_file_rows=100, cluster_by=["o_orderkey"])
+    c = t.latest_commit()
+    detail = c.stats[c.data_units[0]].get("_files")
+    assert detail and len(detail) > 3
+    hi = max(v["o_orderkey"]["max"] for v in detail.values())
+    cond = f"o_orderkey >= {hi}"
+    df = t.read_where(cond)
+    # plan scans exactly the one matching file
+    scanned = df.inputFiles()
+    assert len(scanned) == 1
+    assert df.count() == t.read().filter(F.expr(cond)).count() > 0
+
+
+def test_unit_per_file_optimize_enables_selective_merge(spark, tmp_path_str):
+    """optimize(cluster_by, unit_per_file=True) → range-disjoint
+    units → a narrow upsert rewrites one unit, not the snapshot."""
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    t.optimize(
+        target_file_rows=200, cluster_by=["o_orderkey"], unit_per_file=True
+    )
+    before = t.latest_commit()
+    assert len(before.data_units) > 3
+    assert set(before.stats) == set(before.data_units)
+    src = o.orderBy("o_orderkey").limit(50).withColumn(
+        "o_totalprice", F.lit(-5.0)
+    )
+    t.upsert(src, ["o_orderkey"])
+    after = t.latest_commit()
+    carried = set(before.data_units) & set(after.data_units)
+    assert len(carried) >= len(before.data_units) - 2
+    assert t.read().count() == o.count()
+    assert t.read().filter(F.col("o_totalprice") == -5.0).count() == 50
+
+
+def test_unit_per_file_requires_clustering(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    t.write(o, mode="overwrite")
+    with pytest.raises(UserException, match="unit_per_file"):
+        t.optimize(unit_per_file=True)
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
