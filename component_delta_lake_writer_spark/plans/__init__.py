@@ -36,6 +36,8 @@ _FRONT = [
     # -- new this round, wave 6 --
     "stats_skip_read",
     "restore_table",
+    "delete_where_table",
+    "update_where_table",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

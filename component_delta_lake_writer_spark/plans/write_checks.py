@@ -204,6 +204,31 @@ def restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("delete_where_table")
+def delete_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM … WHERE (Delta DML): remove low-value open orders,
+    read back the survivors. Copy-on-write with stats pruning."""
+    t = _fresh_table(spark, "delete_where_table", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.delete_where("o_orderstatus = 'O' AND o_totalprice < 100000.0")
+    return t.read()
+
+
+@query("update_where_table")
+def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE … SET … WHERE (Delta DML): flag every returned-status
+    order's priority and zero its price; other rows byte-identical."""
+    t = _fresh_table(spark, "update_where_table", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.update_where(
+        "o_orderstatus = 'F'",
+        {"o_totalprice": "0.0", "o_orderpriority": "'0-RETURNED'"},
+    )
+    return t.read()
+
+
 @query("streaming_hourly_agg")
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 streaming: availableNow drain of the events feed through the
@@ -236,6 +261,20 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["delete_where_table"] = """
+    SELECT * FROM orders
+    WHERE NOT COALESCE(o_orderstatus = 'O' AND o_totalprice < 100000.0,
+                       FALSE)
+"""
+_O["update_where_table"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END
+        AS o_totalprice,
+      o_orderdate,
+      CASE WHEN o_orderstatus = 'F' THEN '0-RETURNED'
+           ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+"""
 _O["write_error_mode"] = "SELECT * FROM orders"
 _O["write_append"] = (
     "SELECT * FROM orders UNION ALL SELECT * FROM orders"

@@ -565,6 +565,119 @@ class ManagedTable:
             os.path.join(self._changes_dir, f"v{version}")
         )
 
+    # ---------- DML (Delta DELETE / UPDATE) ----------
+
+    def _rewrite_where(
+        self,
+        condition: str,
+        transform,
+        action: str,
+        compression: str,
+        max_records_per_file: int | None,
+    ) -> Commit:
+        """Shared copy-on-write core for DELETE/UPDATE: units that
+        provably cannot contain a row matching ``condition`` (commit
+        stats) carry into the new snapshot untouched; the rest are
+        rewritten through ``transform(df, cond_col)``."""
+        from component_delta_lake_writer_spark.sinks.unit_stats import prune_units
+
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        touched = prune_units(prev.stats, prev.data_units, condition)
+        untouched = [u for u in prev.data_units if u not in set(touched)]
+        units = list(untouched)
+        stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
+        if touched:
+            df = self._read_units(prev, touched)
+            rewritten = transform(df, F.expr(condition))
+            unit = self._write_unit(
+                rewritten, prev.partition_by, compression, max_records_per_file
+            )
+            ustats = self._unit_stats(unit, per_file=not prev.partition_by)
+            if ustats["_rows"] > 0:
+                units.append(unit)
+                stats[unit] = ustats
+            else:  # e.g. DELETE matched every row of the touched units
+                shutil.rmtree(
+                    os.path.join(self._data_dir, unit), ignore_errors=True
+                )
+        commit = Commit(
+            version=prev.version + 1,
+            action=action,
+            data_units=units,
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=stats,
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def delete_where(
+        self,
+        condition: str,
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+    ) -> Commit:
+        """``DELETE FROM t WHERE condition`` (Delta DML, copy-on-write
+        without deletion vectors). SQL semantics: rows where the
+        condition is TRUE are removed; rows where it is NULL are KEPT
+        (ternary logic), hence the coalesce below. Stats-pruned: a
+        1000-unit table whose condition touches one key range rewrites
+        one unit."""
+        return self._rewrite_where(
+            condition,
+            lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
+            "delete",
+            compression,
+            max_records_per_file,
+        )
+
+    def update_where(
+        self,
+        condition: str,
+        assignments: dict[str, str],
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+    ) -> Commit:
+        """``UPDATE t SET col = expr, … WHERE condition`` (Delta DML).
+        ``assignments`` maps column name → SQL expression string; rows
+        where the condition is not TRUE keep their values. Assigned
+        expressions see the PRE-update row (standard SQL UPDATE), and
+        assigning an unknown column raises rather than silently adding
+        one."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        known = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) - known)
+        if bad:
+            raise UserException(
+                f"UPDATE assigns unknown column(s) {bad}; schema has "
+                f"{sorted(known)}"
+            )
+
+        def transform(df: DataFrame, cond):
+            hit = F.coalesce(cond, F.lit(False))
+            cols = [
+                (
+                    F.when(hit, F.expr(expr)).otherwise(F.col(name))
+                    .cast(df.schema[name].dataType).alias(name)
+                    if (expr := assignments.get(name)) is not None
+                    else F.col(name)
+                )
+                for name in df.columns
+            ]
+            return df.select(*cols)
+
+        return self._rewrite_where(
+            condition, transform, "update", compression, max_records_per_file
+        )
+
     # ---------- maintenance ----------
 
     def optimize(

@@ -231,6 +231,58 @@ def test_unit_per_file_requires_clustering(spark, tmp_path_str):
         t.optimize(unit_per_file=True)
 
 
+def test_delete_where_prunes_and_removes_rows(ranged_table):
+    t, lo, hi, third = ranged_table
+    before = t.latest_commit()
+    cut = lo + 2 * third
+    n_match = t.read().filter(F.col("o_orderkey") >= cut).count()
+    c = t.delete_where(f"o_orderkey >= {cut}")
+    # the two low-range units carried over; the matched unit vanished
+    # entirely (every row deleted → no rewrite unit committed)
+    assert set(c.data_units) < set(before.data_units)
+    assert len(c.data_units) == 2
+    assert t.read().count() == t.read(version=before.version).count() - n_match
+    assert t.read().filter(F.col("o_orderkey") >= cut).count() == 0
+
+
+def test_delete_where_null_condition_keeps_rows(spark, tmp_path_str):
+    """SQL ternary: DELETE WHERE v > 5 keeps rows with v IS NULL."""
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id")).cast("long").alias("v"),
+    )
+    t.write(df, mode="overwrite")
+    t.delete_where("v > 2")
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [0, 1, 2, 5, 6, 7, 8, 9]
+
+
+def test_update_where_rewrites_only_matching_units(ranged_table):
+    t, lo, hi, third = ranged_table
+    before = t.latest_commit()
+    cut = lo + 2 * third
+    c = t.update_where(
+        f"o_orderkey >= {cut}", {"o_totalprice": "o_totalprice * 0 - 9"}
+    )
+    carried = set(before.data_units) & set(c.data_units)
+    assert len(carried) == 2 and len(c.data_units) == 3
+    upd = t.read().filter(F.col("o_totalprice") == -9.0)
+    assert upd.count() == t.read().filter(F.col("o_orderkey") >= cut).count() > 0
+    # untouched rows identical
+    low = t.read().filter(F.col("o_orderkey") < cut)
+    old_low = t.read(version=before.version).filter(F.col("o_orderkey") < cut)
+    assert sorted(map(tuple, low.collect())) == sorted(map(tuple, old_low.collect()))
+
+
+def test_update_where_unknown_column_raises(ranged_table):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t, *_ = ranged_table
+    with pytest.raises(UserException, match="unknown column"):
+        t.update_where("o_orderkey > 0", {"nope": "1"})
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
