@@ -184,3 +184,59 @@ def token_budget_sample(
         df.withColumn("_cum_tokens", cum)
         .filter(F.col("_cum_tokens") - F.col(tokens_col) < budget)
     )
+
+
+def temperature_quota(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened mixture quotas — the multilingual /
+    multi-source α-sampling play (sample source i with probability
+    ∝ share_iᵅ, α<1 boosting low-resource sources).
+
+    Returns one row per group: exact integer ``n_weight``, its raw
+    ``share``, the flattened ``p_temp``, and ``quota`` =
+    round(p_temp·budget).
+
+    Plan shape: one partial-agg shuffle down to #groups rows, then a
+    single unpartitioned window over those few rows — trivially
+    cluster-safe (groups are sources/languages, countable by hand).
+
+    Numeric determinism (the engine's oracle rule): the only
+    cross-row float reduction — the normalization denominator — runs
+    in integer micro-units (each αth power rounded to 1e-6 first), so
+    no float-sum ordering can flip a digit between engines. α=0.5
+    uses sqrt (IEEE correctly-rounded everywhere); other α use pow,
+    which may differ by 1 ulp across libm implementations — fine for
+    production, avoided in oracle probes.
+    """
+    from pyspark.sql.window import Window
+
+    agg = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("long").alias("n_weight")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_weight").over(w)  # integer sum — exact
+    share = F.col("n_weight").cast("double") / total.cast("double")
+    powered = F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(alpha))
+    micro = F.round(powered * 1_000_000).cast("long")
+    out = agg.select(
+        group_col,
+        "n_weight",
+        F.round(share, 6).alias("share"),
+        micro.alias("_micro"),
+    )
+    denom = F.sum("_micro").over(w)  # integer sum — exact
+    p_temp = F.round(
+        F.col("_micro").cast("double") / denom.cast("double"), 6
+    )
+    return (
+        out.withColumn("p_temp", p_temp)
+        .withColumn(
+            "quota", F.round(F.col("p_temp") * F.lit(budget)).cast("long")
+        )
+        .drop("_micro")
+    )

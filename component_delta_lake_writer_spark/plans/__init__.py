@@ -38,6 +38,8 @@ _FRONT = [
     "restore_table",
     "delete_where_table",
     "update_where_table",
+    "table_history",
+    "temperature_mix_quota",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

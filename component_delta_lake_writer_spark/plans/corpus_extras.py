@@ -302,3 +302,45 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(
         load_table(spark, sf_dir, "documents"), n=8, min_docs=3
     )
+
+
+@query(
+    "temperature_mix_quota",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_weight
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT source, n_weight,
+        ROUND(CAST(n_weight AS DOUBLE)
+              / CAST(SUM(n_weight) OVER () AS DOUBLE), 6) AS share,
+        CAST(ROUND(SQRT(CAST(n_weight AS DOUBLE)
+                        / CAST(SUM(n_weight) OVER () AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS micro
+      FROM per
+    )
+    SELECT source, n_weight, share,
+      ROUND(CAST(micro AS DOUBLE) / CAST(SUM(micro) OVER () AS DOUBLE), 6)
+        AS p_temp,
+      CAST(ROUND(ROUND(CAST(micro AS DOUBLE)
+                       / CAST(SUM(micro) OVER () AS DOUBLE), 6)
+                 * 1000000000, 0) AS BIGINT) AS quota
+    FROM m
+    """,
+)
+def temperature_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α=0.5) per-source token quotas for a
+    1B-token mix (operators.sampling.temperature_quota): the
+    low-resource-source boosting step of a multilingual pretraining
+    mix. Normalization runs in integer micro-units so the oracle
+    matches bit-for-bit (module docstring rules)."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        temperature_quota,
+    )
+
+    return temperature_quota(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        "n_chars",
+        budget=1_000_000_000,
+    )

@@ -229,6 +229,29 @@ def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("table_history")
+def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: a fixed create → append → delete → restore →
+    optimize sequence must log exactly these actions with these
+    snapshot shapes (unit counts are design constants; row counts are
+    relations of the input)."""
+    t = _fresh_table(spark, "table_history", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")  # v0
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")     # v1
+    t.delete_where("o_orderkey % 4 = 1")                               # v2
+    t.restore(1)                                                       # v3
+    t.optimize()                                                       # v4
+    rows = [
+        (c.version, c.action, len(c.data_units)) for c in t.history()
+    ]
+    hist = spark.createDataFrame(
+        rows, "version int, action string, n_units int"
+    )
+    final = t.read().count()
+    return hist.withColumn("final_rows", F.lit(final).cast("long"))
+
+
 @query("streaming_hourly_agg")
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 streaming: availableNow drain of the events feed through the
@@ -261,6 +284,13 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["table_history"] = """
+    SELECT CAST(v AS INTEGER) AS version, a AS action,
+      CAST(n AS INTEGER) AS n_units,
+      (SELECT COUNT(*) FROM orders) AS final_rows
+    FROM (VALUES (0, 'overwrite', 1), (1, 'append', 2), (2, 'delete', 1),
+                 (3, 'restore', 2), (4, 'optimize', 1)) AS t(v, a, n)
+"""
 _O["delete_where_table"] = """
     SELECT * FROM orders
     WHERE NOT COALESCE(o_orderstatus = 'O' AND o_totalprice < 100000.0,
