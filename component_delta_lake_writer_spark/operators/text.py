@@ -228,3 +228,64 @@ def redact_pii(text: Column) -> Column:
         text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
     )
     return F.regexp_replace(emails, r"[0-9]{7,}", "<NUM>")
+
+
+def segment_words(text: Column, words_per_seg: int = 12) -> Column:
+    """Split a document into fixed-width word segments (array<string>)
+    — the unit of paragraph-level dedup when the corpus carries no
+    natural paragraph breaks. Array-slice composition, no explode: the
+    per-row work stays inside one codegen stage."""
+    words = F.split(F.trim(text), r"\s+")
+    n_seg = F.ceil(F.size(words) / F.lit(words_per_seg)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * words_per_seg + 1, words_per_seg)
+        ),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 12,
+) -> DataFrame:
+    """C4-style paragraph-level exact dedup: every segment is kept
+    only at its FIRST corpus-wide occurrence (lowest (doc_id, seg));
+    later repeats are cut and each document is reassembled from its
+    surviving segments in order. Documents losing every segment drop
+    out entirely (C4 drops now-empty pages the same way).
+
+    Plan: segment per-row (no shuffle) → posexplode → one window
+    shuffle keyed on the segment text (first-occurrence ranking) →
+    one groupBy(doc) shuffle to reassemble. At 100 TB the window key
+    could be md5(segment) to narrow the shuffle — kept as the raw
+    text here so the SQL oracle is exact."""
+    from pyspark.sql.window import Window
+
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(segment_words(F.col(text_col), words_per_seg)).alias(
+            "seg", "para"
+        ),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy("para").orderBy(id_col, "seg")
+    first = segs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seg", "para"))
+            ).alias("_parts"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "\n", F.transform(F.col("_parts"), lambda s: s["para"])
+            ).alias("text_dedup"),
+            F.size("_parts").cast("long").alias("n_paras"),
+        )
+    )

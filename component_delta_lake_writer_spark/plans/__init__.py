@@ -40,6 +40,7 @@ _FRONT = [
     "update_where_table",
     "table_history",
     "temperature_mix_quota",
+    "paragraph_dedup_docs",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

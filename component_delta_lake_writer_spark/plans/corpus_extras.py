@@ -344,3 +344,36 @@ def temperature_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         budget=1_000_000_000,
     )
+
+
+@query(
+    "paragraph_dedup_docs",
+    oracle="""
+    WITH lists AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lst
+      FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(lst) AS w,
+        CAST(generate_subscripts(lst, 1) AS INTEGER) AS pos
+      FROM lists
+    ), segs AS (
+      SELECT doc_id, (pos - 1) // 12 AS seg,
+        string_agg(w, ' ' ORDER BY pos) AS para
+      FROM words GROUP BY doc_id, (pos - 1) // 12
+    ), first AS (
+      SELECT doc_id, seg, para,
+        ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, seg) AS rn
+      FROM segs WHERE para <> ''
+    )
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY seg) AS text_dedup,
+      CAST(COUNT(*) AS BIGINT) AS n_paras
+    FROM first WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph-level exact dedup over the documents corpus
+    (operators.text.paragraph_dedup): 12-word segments, corpus-wide
+    first-occurrence keep, per-document reassembly."""
+    from component_delta_lake_writer_spark.operators.text import paragraph_dedup
+
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"))
