@@ -41,6 +41,7 @@ _FRONT = [
     "table_history",
     "temperature_mix_quota",
     "paragraph_dedup_docs",
+    "check_constraint_write",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -229,6 +229,29 @@ def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("check_constraint_write")
+def check_constraint_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD CONSTRAINT CHECK + write-time enforcement
+    (Delta constraint protocol): the violating append must be refused
+    atomically (table unchanged), a valid append must pass — surviving
+    table is exactly base + valid batch."""
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = _fresh_table(spark, "check_constraint_write", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.add_constraint("price_nonneg", "o_totalprice >= 0.0")
+    try:
+        t.write(
+            o.withColumn("o_totalprice", F.lit(-1.0)), mode="append"
+        )
+        raise AssertionError("violating batch must be refused")
+    except UserException:
+        pass
+    t.write(o, mode="append")
+    return t.read()
+
+
 @query("table_history")
 def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY: a fixed create → append → delete → restore →
@@ -284,6 +307,9 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["check_constraint_write"] = (
+    "SELECT * FROM orders UNION ALL SELECT * FROM orders"
+)
 _O["table_history"] = """
     SELECT CAST(v AS INTEGER) AS version, a AS action,
       CAST(n AS INTEGER) AS n_units,

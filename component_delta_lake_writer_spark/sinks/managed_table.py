@@ -248,6 +248,11 @@ class ManagedTable:
                 )
             partition_by = prev.partition_by
 
+        effective_props = properties or (prev.properties if prev else {})
+        constraints = effective_props.get("constraints", {})
+        if constraints:
+            self._check_constraints(df, constraints)
+
         unit = self._write_unit(df, partition_by, compression, max_records_per_file)
 
         if mode == "overwrite" or prev is None:
@@ -440,6 +445,16 @@ class ManagedTable:
         untouched: list[str] = []
         touched = list(prev.data_units)
         src = dedup_source(source, primary_key)
+        effective_props = (
+            properties if properties is not None else prev.properties
+        )
+        constraints = effective_props.get("constraints", {})
+        if constraints:
+            # incoming rows only — surviving target rows passed their
+            # own write-time check (unconditional merge inserts the
+            # source row verbatim; conditional merges may keep the
+            # target row, which is also already-validated)
+            self._check_constraints(src, constraints)
         persisted = False
         if len(prev.data_units) > 1 and prev.stats:
             # Only worth an extra bounds job when there is more than
@@ -565,6 +580,73 @@ class ManagedTable:
             os.path.join(self._changes_dir, f"v{version}")
         )
 
+    # ---------- constraints (Delta CHECK / NOT NULL) ----------
+
+    def add_constraint(self, name: str, check_expr: str) -> Commit:
+        """``ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`` (Delta
+        constraint protocol): validated against the EXISTING rows
+        first (one short-circuiting existence probe, not a full
+        count), then stored in table properties; every later
+        write/upsert batch must satisfy it or the commit is refused.
+        NOT NULL is the special case ``col IS NOT NULL``."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        cons = dict(prev.properties.get("constraints", {}))
+        if name in cons:
+            raise UserException(f"Constraint {name!r} already exists.")
+        self._check_constraints(self.read(), {name: check_expr})
+        cons[name] = check_expr
+        commit = Commit(
+            version=prev.version + 1,
+            action="add_constraint",
+            data_units=list(prev.data_units),
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties={**prev.properties, "constraints": cons},
+            stats=prev.stats,
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def drop_constraint(self, name: str) -> Commit:
+        """``ALTER TABLE … DROP CONSTRAINT name``."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        cons = dict(prev.properties.get("constraints", {}))
+        if name not in cons:
+            raise UserException(f"No constraint {name!r} on this table.")
+        del cons[name]
+        commit = Commit(
+            version=prev.version + 1,
+            action="drop_constraint",
+            data_units=list(prev.data_units),
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties={**prev.properties, "constraints": cons},
+            stats=prev.stats,
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def _check_constraints(self, df: DataFrame, constraints: dict) -> None:
+        """Refuse rows violating any CHECK expression. One filtered
+        ``take(1)`` per constraint — short-circuits at the first
+        violating row instead of scanning the batch to completion
+        (NULL check results count as violations, like Delta)."""
+        for name, expr in constraints.items():
+            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).take(1)
+            if bad:
+                raise UserException(
+                    f"CHECK constraint {name!r} ({expr}) violated, e.g. "
+                    f"by row {bad[0].asDict()}"
+                )
+
     # ---------- DML (Delta DELETE / UPDATE) ----------
 
     def _rewrite_where(
@@ -591,6 +673,9 @@ class ManagedTable:
         if touched:
             df = self._read_units(prev, touched)
             rewritten = transform(df, F.expr(condition))
+            constraints = prev.properties.get("constraints", {})
+            if constraints:
+                self._check_constraints(rewritten, constraints)
             unit = self._write_unit(
                 rewritten, prev.partition_by, compression, max_records_per_file
             )
@@ -891,8 +976,8 @@ class ManagedTable:
             c = self.commit_at(v)
             if c.action == "append":
                 new_units.extend(u for u in c.data_units if u not in prev_units)
-            elif c.action == "optimize":
-                pass  # rewrite of identical rows — no logical change
+            elif c.action in ("optimize", "add_constraint", "drop_constraint"):
+                pass  # identical rows / metadata-only — no logical change
             elif c.action == "upsert" and os.path.isdir(
                 os.path.join(self._changes_dir, f"v{c.version}")
             ):

@@ -283,6 +283,40 @@ def test_update_where_unknown_column_raises(ranged_table):
         t.update_where("o_orderkey > 0", {"nope": "1"})
 
 
+def test_check_constraints_enforced(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.add_constraint("v_range", "v >= 0 AND v < 10")
+    t.add_constraint("k_not_null", "k IS NOT NULL")
+    # valid append passes
+    t.write(df.withColumn("k", F.col("k") + 100), mode="append")
+    # violating append refused, table unchanged
+    with pytest.raises(UserException, match="v_range"):
+        t.write(df.withColumn("v", F.lit(99).cast("long")), mode="append")
+    assert t.read().count() == 200
+    # violating upsert refused
+    with pytest.raises(UserException, match="v_range"):
+        t.upsert(df.withColumn("v", F.lit(-1).cast("long")), ["k"])
+    # violating UPDATE refused
+    with pytest.raises(UserException, match="v_range"):
+        t.update_where("k < 5", {"v": "42"})
+    # adding a constraint existing rows violate is refused
+    with pytest.raises(UserException, match="v_small"):
+        t.add_constraint("v_small", "v < 5")
+    # drop then the formerly-violating write passes
+    t.drop_constraint("v_range")
+    t.write(df.withColumn("v", F.lit(99).cast("long")).withColumn(
+        "k", F.col("k") + 500), mode="append")
+    assert t.read().count() == 300
+    with pytest.raises(UserException, match="No constraint"):
+        t.drop_constraint("v_range")
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
