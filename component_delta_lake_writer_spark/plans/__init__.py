@@ -42,6 +42,7 @@ _FRONT = [
     "temperature_mix_quota",
     "paragraph_dedup_docs",
     "check_constraint_write",
+    "upsert_cdc_ordered",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

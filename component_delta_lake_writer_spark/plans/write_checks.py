@@ -229,6 +229,32 @@ def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("upsert_cdc_ordered")
+def upsert_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay with deterministic last-write-wins: three change
+    rows per touched key in ONE batch; order_by=['ver'] must apply
+    the ver=3 image (not an arbitrary duplicate), leaving every other
+    row untouched."""
+    t = _fresh_table(spark, "upsert_cdc_ordered", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lit(0).cast("long").alias("ver"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    touched = o.filter(F.col("o_orderkey") % 5 == 0)
+    changes = None
+    for v in (1, 2, 3):
+        batch = touched.select(
+            "o_orderkey",
+            F.lit(v).cast("long").alias("ver"),
+            F.lit(float(v * 1000)).alias("price"),
+        )
+        changes = batch if changes is None else changes.unionByName(batch)
+    t.upsert(changes, ["o_orderkey"], order_by=["ver"])
+    return t.read()
+
+
 @query("check_constraint_write")
 def check_constraint_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE ADD CONSTRAINT CHECK + write-time enforcement
@@ -307,6 +333,14 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["upsert_cdc_ordered"] = """
+    SELECT o_orderkey,
+      CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3 ELSE 0 END AS BIGINT)
+        AS ver,
+      CASE WHEN o_orderkey % 5 = 0 THEN 3000.0
+           ELSE CAST(o_totalprice AS DOUBLE) END AS price
+    FROM orders
+"""
 _O["check_constraint_write"] = (
     "SELECT * FROM orders UNION ALL SELECT * FROM orders"
 )

@@ -316,6 +316,21 @@ class ManagedTable:
         paths = [os.path.join(self._data_dir, u) for u in units]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    @staticmethod
+    def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project ``df`` onto ``schema``'s column set/order, filling
+        columns it lacks with typed NULLs (the autoMerge alignment —
+        both merge sides end up on the union schema)."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def _source_key_bounds(self, src: DataFrame, primary_key: list[str]) -> dict:
         """{pk: (min, max)} over the deduped merge source — one small
         agg job; only orderable JSON-comparable types are kept (the
@@ -395,11 +410,24 @@ class ManagedTable:
         max_records_per_file: int | None = None,
         properties: dict | None = None,
         update_condition=None,
+        order_by: list[str] | None = None,
+        schema_mode: str | None = None,
     ) -> Commit:
         """MERGE INTO semantics: WHEN MATCHED UPDATE all columns, WHEN
         NOT MATCHED INSERT all columns (src/component.py:238-260), with
         O2 pre-dedup of the source by PK (Delta merge requires unique
         source keys; src/component.py:249-260 last-write-wins).
+
+        ``order_by`` makes the in-batch dedup DETERMINISTIC
+        last-write-wins: among duplicate source keys the row with the
+        greatest ordering value is applied (the CDC replay contract —
+        "newest change wins"); without it an arbitrary duplicate is
+        kept.
+
+        ``schema_mode='merge'`` is Delta's merge autoMerge: new source
+        columns extend the table schema (type changes still rejected),
+        missing columns on either side read as NULL; older data units
+        are never rewritten — the committed schema fills them at read.
 
         ``update_condition(t, s) -> Column`` (optional) guards the
         UPDATE clause — ``WHEN MATCHED AND cond THEN UPDATE`` — e.g.
@@ -435,16 +463,41 @@ class ManagedTable:
             # O2 applies to the very first batch too: MERGE requires
             # unique source keys even when the target starts empty.
             return self.write(
-                dedup_source(source, primary_key), mode="overwrite",
+                dedup_source(source, primary_key, order_by),
+                mode="overwrite",
                 primary_key=primary_key, compression=compression,
                 max_records_per_file=max_records_per_file,
                 properties=properties,
             )
 
         prev = self.latest_commit()
+        table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        union_schema = table_schema
+        if not self._schema_compatible(table_schema, source.schema):
+            if schema_mode != "merge":
+                raise SchemaMismatchError(
+                    "Upsert source schema does not match table schema; "
+                    "pass schema_mode='merge' to evolve (Delta merge "
+                    "autoMerge)."
+                )
+            tf = {f.name: f.dataType for f in table_schema.fields}
+            conflicts = [
+                f"{f.name}: table={tf[f.name].simpleString()} "
+                f"incoming={f.dataType.simpleString()}"
+                for f in source.schema.fields
+                if f.name in tf and tf[f.name] != f.dataType
+            ]
+            if conflicts:
+                raise SchemaMismatchError(
+                    "schema_mode='merge' cannot change column types: "
+                    + "; ".join(conflicts)
+                )
+            union_schema = self._merge_schemas(table_schema, source.schema)
         untouched: list[str] = []
         touched = list(prev.data_units)
-        src = dedup_source(source, primary_key)
+        src = self._align_to_schema(
+            dedup_source(source, primary_key, order_by), union_schema
+        )
         effective_props = (
             properties if properties is not None else prev.properties
         )
@@ -472,7 +525,9 @@ class ManagedTable:
                         untouched.append(u)
         try:
             if touched:
-                target_sub = self._read_units(prev, touched)
+                target_sub = self._align_to_schema(
+                    self._read_units(prev, touched), union_schema
+                )
                 if update_condition is not None:
                     merged = merge_upsert_conditional(
                         target_sub, src, primary_key, update_condition,
@@ -484,8 +539,9 @@ class ManagedTable:
                     )
             else:
                 # every unit is disjoint from the batch → pure insert
-                schema = T.StructType.fromJson(json.loads(prev.schema_json))
-                merged = src.select(*[F.col(f.name) for f in schema.fields])
+                merged = src.select(
+                    *[F.col(f.name) for f in union_schema.fields]
+                )
             unit = self._write_unit(
                 merged, prev.partition_by, compression, max_records_per_file
             )
@@ -497,7 +553,7 @@ class ManagedTable:
                 version=prev.version + 1,
                 action="upsert",
                 data_units=untouched + [unit],
-                schema_json=prev.schema_json,
+                schema_json=json.dumps(union_schema.jsonValue()),
                 partition_by=prev.partition_by,
                 primary_key=primary_key,
                 timestamp_ms=int(time.time() * 1000),

@@ -317,6 +317,54 @@ def test_check_constraints_enforced(spark, tmp_path_str):
         t.drop_constraint("v_range")
 
 
+def test_upsert_order_by_last_write_wins(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ver"),
+        F.lit("base").alias("val"),
+    )
+    t.write(base, mode="overwrite", primary_key=["k"])
+    src = spark.createDataFrame(
+        [(3, 2, "new2"), (3, 5, "new5"), (3, 1, "new1"), (7, 9, "nine")],
+        "k long, ver long, val string",
+    )
+    t.upsert(src, ["k"], order_by=["ver"])
+    got = {r["k"]: (r["ver"], r["val"]) for r in t.read().collect()}
+    assert got[3] == (5, "new5")  # greatest ver wins deterministically
+    assert got[7] == (9, "nine")
+    assert got[0] == (0, "base")
+
+
+def test_upsert_schema_merge_evolves(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import SchemaMismatchError
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    t.write(base, mode="overwrite", primary_key=["k"])
+    src = spark.range(8, 12).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    # without schema_mode: refused
+    with pytest.raises(SchemaMismatchError, match="autoMerge"):
+        t.upsert(src, ["k"])
+    # with merge: table evolves, old rows read tag as NULL
+    t.upsert(src, ["k"], schema_mode="merge")
+    out = t.read()
+    assert set(out.columns) == {"k", "v", "tag"}
+    assert out.count() == 12
+    assert out.filter(F.col("tag").isNull()).count() == 8
+    assert out.filter(F.col("tag") == "x").count() == 4
+    # type change still rejected
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.lit("s").alias("v")
+    )
+    with pytest.raises(SchemaMismatchError, match="change column types"):
+        t.upsert(bad, ["k"], schema_mode="merge")
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
