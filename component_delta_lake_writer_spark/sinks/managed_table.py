@@ -390,7 +390,12 @@ class ManagedTable:
             detail = (commit.stats.get(u) or {}).get("_files")
             if file_level and detail:
                 kept = prune_units(detail, list(detail), condition)
-                paths.extend(os.path.join(udir, f) for f in kept)
+                if len(kept) == len(detail):
+                    # nothing pruned — hand Spark the directory, not N
+                    # individual file paths (cheaper listing/planning)
+                    paths.append(udir)
+                else:
+                    paths.extend(os.path.join(udir, f) for f in kept)
             else:
                 paths.append(udir)
         if not paths:
