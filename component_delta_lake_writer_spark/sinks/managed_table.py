@@ -939,16 +939,36 @@ class ManagedTable:
         self._publish(commit, prev)
         return commit
 
-    def vacuum(self) -> int:
-        """Delete data units unreferenced by the latest commit."""
+    def vacuum(
+        self, retention_hours: float = 0.0, dry_run: bool = False
+    ) -> int:
+        """``VACUUM table [RETAIN n HOURS] [DRY RUN]`` (Delta parity).
+
+        Deletes data units referenced by NO commit younger than the
+        retention cutoff — time travel to any version inside the
+        retention window keeps working; only versions older than every
+        retained commit lose their units. ``retention_hours=0``
+        (default) keeps just the latest snapshot, the most aggressive
+        setting (Delta requires an explicit override for <168h; this
+        engine's default stays aggressive for parity with its own
+        round-1 behavior, documented here instead of flagged).
+
+        ``dry_run=True`` only counts what would be deleted."""
         prev = self.latest_commit()
         if prev is None or not os.path.isdir(self._data_dir):
             return 0
+        cutoff_ms = int(time.time() * 1000) - int(retention_hours * 3600_000)
         live = set(prev.data_units)
+        for c in self.history():
+            if c.timestamp_ms >= cutoff_ms:
+                live.update(c.data_units)
         removed = 0
         for unit in os.listdir(self._data_dir):
             if unit not in live:
-                shutil.rmtree(os.path.join(self._data_dir, unit), ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(self._data_dir, unit), ignore_errors=True
+                    )
                 removed += 1
         return removed
 

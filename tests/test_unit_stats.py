@@ -365,6 +365,74 @@ def test_upsert_schema_merge_evolves(spark, tmp_path_str):
         t.upsert(bad, ["k"], schema_mode="merge")
 
 
+def test_vacuum_retention_preserves_time_travel(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(F.col("id").alias("k"))
+    t.write(df, mode="overwrite")                       # v0
+    t.write(df.withColumn("k", F.col("k") + 100), mode="append")  # v1
+    t.optimize()                                        # v2 — v0/v1 units now stale
+    # dry run deletes nothing
+    n = t.vacuum(retention_hours=0, dry_run=True)
+    assert n == 2
+    assert t.read(version=0).count() == 100
+    # generous retention keeps everything (all commits are recent)
+    assert t.vacuum(retention_hours=24) == 0
+    assert t.read(version=1).count() == 200
+    # aggressive vacuum removes the stale units; time travel dies
+    assert t.vacuum(retention_hours=0) == 2
+    assert t.read().count() == 200
+    with pytest.raises(Exception):
+        t.read(version=0).count()
+
+
+def test_concurrent_appenders_never_lose_commits(spark, tmp_path_str):
+    """Optimistic concurrency under contention: 8 threads × 5 appends
+    with retry-on-conflict — every batch must land exactly once and
+    versions must be contiguous."""
+    import threading
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    path = os.path.join(tmp_path_str, "t")
+    seed = ManagedTable(spark, path)
+    seed.write(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("k"), F.lit(-1).cast("long").alias("tag")
+        ),
+        mode="overwrite",
+    )
+    errors = []
+
+    def worker(wid: int):
+        t = ManagedTable(spark, path)
+        for i in range(5):
+            batch = spark.range(10).select(
+                (F.col("id") + wid * 1000 + i * 100).alias("k"),
+                F.lit(wid * 10 + i).cast("long").alias("tag"),
+            )
+            for _ in range(200):  # retry loop on commit conflicts
+                try:
+                    t.write(batch, mode="append")
+                    break
+                except UserException:
+                    continue
+            else:
+                errors.append((wid, i, "retries exhausted"))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = ManagedTable(spark, path)
+    versions = t._versions()
+    assert versions == list(range(41))  # seed + 40 appends, no gaps
+    out = t.read()
+    assert out.count() == 1 + 40 * 10
+    assert out.select("tag").distinct().count() == 41  # every batch present
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
