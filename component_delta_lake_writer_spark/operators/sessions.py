@@ -109,3 +109,53 @@ def hourly_rollup(
             ).alias("sum_value"),
         )
     )
+
+
+def gap_fill_hourly(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Hourly rollup on a DENSE calendar spine with gap semantics —
+    the timeseries gap-fill operator (hypertable ``time_bucket_gapfill``
+    shape): hours with no events appear with ``n_events = 0`` and a
+    forward-filled ``sum_value_filled`` (LOCF — last observation
+    carried forward per event_type).
+
+    Plan shape: the spine is ONE row of min/max bounds exploded
+    through ``sequence`` — data-driven, never a driver loop — then a
+    broadcastable cross join against the distinct types, a left join
+    onto the rolled-up hours, and one window per type for the fill.
+    Spine cardinality is #hours × #types (tiny next to the raw
+    events), so every join side except the rollup is broadcast-sized
+    at any scale."""
+    from pyspark.sql.window import Window
+
+    hourly = hourly_rollup(df, ts_col, value_col)
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("mn"),
+        F.date_trunc("hour", F.max(ts_col)).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = df.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            F.last("sum_value", ignorenulls=True).over(w).alias(
+                "sum_value_filled"
+            ),
+        )
+    )

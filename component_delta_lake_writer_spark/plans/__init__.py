@@ -43,6 +43,8 @@ _FRONT = [
     "paragraph_dedup_docs",
     "check_constraint_write",
     "upsert_cdc_ordered",
+    "gap_fill_hourly",
+    "unpivot_hourly_metrics",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -3097,3 +3097,80 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(batch, ["o_orderkey"])
     return t.read_changes(0, with_change_type=True)
+
+
+@query(
+    "gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4) AS sv
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT MIN(date_trunc('hour', ts)) AS mn,
+             MAX(date_trunc('hour', ts)) AS mx
+      FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ), grid AS (
+      SELECT s.hour, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.hour, g.event_type,
+      CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+      LAST_VALUE(h.sv IGNORE NULLS) OVER (
+        PARTITION BY g.event_type ORDER BY g.hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS sum_value_filled
+    FROM grid g
+    LEFT JOIN hourly h
+      ON h.hour = g.hour AND h.event_type = g.event_type
+    """,
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap-fill (operators.sessions.gap_fill_hourly): dense
+    hourly spine per event type, zero-filled counts, LOCF-filled
+    value sums — the time_bucket_gapfill shape."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        gap_fill_hourly as op,
+    )
+
+    return op(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "unpivot_hourly_metrics",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4)
+          AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type, 'n_events' AS metric,
+      CAST(n_events AS DOUBLE) AS value
+    FROM hourly
+    UNION ALL
+    SELECT hour, event_type, 'sum_value' AS metric, sum_value AS value
+    FROM hourly
+    """,
+)
+def unpivot_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of pivot_event_counts): wide
+    rollup metrics to long (hour, type, metric, value) rows via
+    DataFrame.unpivot — Catalyst's Expand node, no shuffle beyond the
+    rollup's own."""
+    from component_delta_lake_writer_spark.operators import sessions as S
+
+    hourly = S.hourly_rollup(load_table(spark, sf_dir, "events"))
+    return hourly.withColumn(
+        "n_events", F.col("n_events").cast("double")
+    ).unpivot(
+        ["hour", "event_type"],
+        ["n_events", "sum_value"],
+        "metric",
+        "value",
+    )
