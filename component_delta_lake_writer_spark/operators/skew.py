@@ -41,3 +41,35 @@ def salted_join(
     )
     out = left_s.join(right_s, [on, "__salt"], how).drop("__salt")
     return out
+
+
+def salted_two_stage_agg(
+    df: DataFrame, key: str, value: str, salt: int = 16
+) -> DataFrame:
+    """Heavy-hitter-safe aggregation: groupBy((key, salt)) partial →
+    groupBy(key) final. Where a single key holds a huge share of the
+    rows, the plain one-shuffle agg lands that key's every row on one
+    reducer; salting spreads the partial over ``salt`` tasks and the
+    final stage combines ``salt`` small rows per key.
+
+    (Spark's own partial aggregation already does map-side combines —
+    this explicit form matters when the per-key state is too big to
+    combine map-side, e.g. large collect-style or sketch states.)
+
+    The salt is a deterministic content hash, never rand() — stable
+    under task retries. Emits exact COUNT and SUM per key, equal to
+    the unsalted groupBy."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt))
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value).cast("decimal(20,4)")).alias("_s"),
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.round(F.sum("_s").cast("double"), 4).alias("sum_value"),
+        )
+    )

@@ -45,6 +45,8 @@ _FRONT = [
     "upsert_cdc_ordered",
     "gap_fill_hourly",
     "unpivot_hourly_metrics",
+    "skew_salted_agg",
+    "grouping_sets_revenue",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

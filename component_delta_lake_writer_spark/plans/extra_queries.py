@@ -3174,3 +3174,56 @@ def unpivot_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4)
+        AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (operators.skew.salted_two_stage_agg)
+    over the low-cardinality event_type key — the explicit heavy-hitter
+    plan; must equal the plain GROUP BY exactly."""
+    from component_delta_lake_writer_spark.operators.skew import (
+        salted_two_stage_agg,
+    )
+
+    return salted_two_stage_agg(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      GROUPING(l_returnflag, l_linestatus) AS gid,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube probes) with the
+    grouping-id bitmask disambiguating aggregated-away NULLs from data
+    NULLs — Catalyst's Expand-based multi-set aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_rows,
+          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
