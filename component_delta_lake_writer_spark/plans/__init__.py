@@ -47,6 +47,7 @@ _FRONT = [
     "unpivot_hourly_metrics",
     "skew_salted_agg",
     "grouping_sets_revenue",
+    "stream_static_enrich",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

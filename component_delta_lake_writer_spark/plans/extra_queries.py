@@ -3227,3 +3227,23 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4)
+        AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast dimension join, drained availableNow —
+    must equal the batch join (streaming/structured.py)."""
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_static_enrich as op,
+    )
+
+    return op(spark, sf_dir, state_partitions=8)

@@ -205,3 +205,51 @@ def stream_interval_join(
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_attributed"))
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical streaming
+    dimension join: the events stream is joined per micro-batch to a
+    STATIC customer dimension (no state needed for the static side;
+    Spark re-plans the join every batch, broadcasting the dim), then
+    rolled up per nation. Drained with availableNow; must equal the
+    batch join exactly (same DuckDB oracle).
+
+    At scale the static side refreshes by swapping the underlying
+    table between micro-batches — the plan stays a broadcast hash
+    join, no stream-stream state."""
+    src_dir = _stage_events_dir(sf_dir)
+    schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    customers = F.broadcast(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            F.col("c_custkey"), F.col("c_nationkey")
+        )
+    )
+    enriched = stream.join(
+        customers, stream["user_id"] == customers["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+    name = (
+        "stream_static_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    )
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
