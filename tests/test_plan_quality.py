@@ -218,3 +218,84 @@ def test_jsonl_scan_has_no_inference_job(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m is not None
     assert m.group(1).count(",") + 1 == 4
+
+
+def test_gap_fill_broadcasts_spine_and_types(spark):
+    """The calendar-spine grid must reach the rollup through broadcast
+    joins — never a shuffled join keyed on the tiny spine."""
+    p = _plan(spark, "gap_fill_hourly")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p
+
+
+def test_stream_static_join_is_broadcast(spark):
+    """The static dim side of the stream enrichment is explicitly
+    broadcast: per-micro-batch replan must stay a broadcast hash join.
+    (Checked on the batch twin of the same plan — the streaming drain
+    materializes through a memory sink, hiding its executed plan.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    customers = F.broadcast(
+        spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet")).select(
+            "c_custkey", "c_nationkey"
+        )
+    )
+    j = events.join(customers, events["user_id"] == customers["c_custkey"])
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+
+
+def test_salted_agg_two_exchanges_with_partials(spark):
+    """Salted two-stage agg: exactly the two hash-partition exchanges
+    (key,salt) then (key), each with map-side partial aggregation."""
+    p = _plan(spark, "skew_salted_agg")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("HashAggregate") >= 4
+
+
+def test_paragraph_dedup_shuffle_budget(spark):
+    """Segment → first-occurrence window → reassemble: one window
+    shuffle on the segment plus one groupBy shuffle on the doc — the
+    explode itself must not add an exchange."""
+    p = _plan(spark, "paragraph_dedup_docs")
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_selective_upsert_scans_only_touched_units(spark):
+    """The merge input plan must reference only the touched unit's
+    files — carried units never enter the rewrite scan."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+        lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        half = (hi - lo) // 2
+        t = ManagedTable(spark, os.path.join(d, "t"))
+        t.write(o.filter(F.col("o_orderkey") < lo + half), mode="append")
+        t.write(o.filter(F.col("o_orderkey") >= lo + half), mode="append")
+        before = t.latest_commit()
+        src = (
+            o.filter(F.col("o_orderkey") >= lo + half)
+            .limit(20)
+            .withColumn("o_totalprice", F.lit(-1.0))
+        )
+        t.upsert(src, ["o_orderkey"])
+        after = t.latest_commit()
+        carried = set(before.data_units) & set(after.data_units)
+        assert len(carried) == 1
+        new_unit = next(
+            u for u in after.data_units if u not in before.data_units
+        )
+        scanned = spark.read.parquet(
+            os.path.join(d, "t", "_data", new_unit)
+        ).count()
+        # rewritten unit holds only the touched half's rows
+        assert scanned == o.filter(F.col("o_orderkey") >= lo + half).count()
