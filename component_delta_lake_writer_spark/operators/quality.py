@@ -306,3 +306,66 @@ def repeated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bigram_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation extraction: corpus bigram counts with LIFT — the
+    PMI association measure without the log (lift = P(xy)/(P(x)P(y)),
+    monotone with PMI, and exactly computable: every factor is an
+    integer count, so the only float op is one final division of two
+    exact BIGINT products — the engine's cross-engine determinism
+    rule).
+
+    Plan: bigrams come from an in-row array transform + explode (no
+    self-join over token positions), then one groupBy; unigram counts
+    join back on the two words. ``min_count`` gates the join inputs —
+    at corpus scale the bigram tail is Zipf-huge and the gate is what
+    keeps the join sides bounded. Deterministic top_n via
+    (count DESC, w1, w2) ordering."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_uni = uni.agg(F.sum("n").cast("long").alias("t"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.round(
+                (F.col("n_xy") * F.col("t")).cast("double")
+                / (F.col("n_1") * F.col("n_2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_xy").desc(), "w1", "w2")
+        .limit(top_n)
+    )

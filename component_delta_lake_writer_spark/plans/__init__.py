@@ -48,6 +48,7 @@ _FRONT = [
     "skew_salted_agg",
     "grouping_sets_revenue",
     "stream_static_enrich",
+    "bigram_collocations",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

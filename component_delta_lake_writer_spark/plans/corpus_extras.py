@@ -377,3 +377,41 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from component_delta_lake_writer_spark.operators.text import paragraph_dedup
 
     return paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bigram_collocations",
+    oracle="""
+    WITH lists AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+          AS lst
+      FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(lst) AS w,
+        CAST(generate_subscripts(lst, 1) AS INTEGER) AS pos
+      FROM lists
+    ), uni AS (
+      SELECT w, COUNT(*) AS n FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM uni
+    ), big AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_xy
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.w, b.w
+      HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+      ROUND(CAST(n_xy * (SELECT t FROM tot) AS DOUBLE)
+            / CAST(u1.n * u2.n AS DOUBLE), 6) AS lift
+    FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2
+    ORDER BY n_xy DESC, w1, w2 LIMIT 50
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigram collocations with integer-exact lift
+    (operators.quality.bigram_lift)."""
+    from component_delta_lake_writer_spark.operators.quality import bigram_lift
+
+    return bigram_lift(load_table(spark, sf_dir, "documents"))
