@@ -49,6 +49,7 @@ _FRONT = [
     "grouping_sets_revenue",
     "stream_static_enrich",
     "bigram_collocations",
+    "mor_delete_read",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -229,6 +229,30 @@ def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("mor_delete_read")
+def mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality delete (Iceberg-style delete files): the
+    delete rewrites NO data units — readers anti-join the deleted-PK
+    set — yet the read-back must equal the copy-on-write answer
+    exactly."""
+    t = _fresh_table(spark, "mor_delete_read", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        mode="append",
+        primary_key=["o_orderkey"],
+    )
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    before_units = t.latest_commit().data_units
+    c = t.delete_where(
+        "o_orderstatus = 'F' AND o_orderkey % 3 = 0",
+        strategy="merge-on-read",
+    )
+    assert c.data_units == before_units, "MOR delete must rewrite nothing"
+    assert len(c.delete_sets) == 1
+    return t.read()
+
+
 @query("upsert_cdc_ordered")
 def upsert_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay with deterministic last-write-wins: three change
@@ -333,6 +357,11 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["mor_delete_read"] = """
+    SELECT * FROM orders
+    WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 3 = 0,
+                       FALSE)
+"""
 _O["upsert_cdc_ordered"] = """
     SELECT o_orderkey,
       CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3 ELSE 0 END AS BIGINT)

@@ -67,6 +67,12 @@ class Commit:
     # max, nulls}}}. Optional — commits written before this field
     # existed load with {} and simply never prune.
     stats: dict = field(default_factory=dict)
+    # Merge-on-read equality deletes (Iceberg-style): each entry is
+    # {"path": <dir under _deletes/>, "units": [unit, ...]} — a parquet
+    # set of deleted PK tuples applying ONLY to the listed units (rows
+    # appended after the delete keep living even under a reused PK).
+    # Compacted away by optimize(); [] on old commits.
+    delete_sets: list = field(default_factory=list)
 
 
 class ManagedTable:
@@ -261,6 +267,7 @@ class ManagedTable:
             action = "overwrite" if mode == "overwrite" else "create"
             schema = df.schema
             stats = {unit: self._unit_stats(unit, per_file=not partition_by)}
+            delete_sets = []
         else:  # append
             units = prev.data_units + [unit]
             version = prev.version + 1
@@ -269,6 +276,9 @@ class ManagedTable:
             schema = self._merge_schemas(table_schema, df.schema)
             stats = {**prev.stats,
                      unit: self._unit_stats(unit, per_file=not partition_by)}
+            delete_sets = self._carry_delete_sets(
+                prev.delete_sets, prev.data_units
+            )
 
         commit = Commit(
             version=version,
@@ -280,6 +290,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties=properties or (prev.properties if prev else {}),
             stats=stats,
+            delete_sets=delete_sets,
         )
         self._publish(commit, prev)
         return commit
@@ -309,12 +320,50 @@ class ManagedTable:
             raise UserException(f"No table at {self.path}")
         return self._read_units(commit, commit.data_units)
 
+    @property
+    def _deletes_dir(self) -> str:
+        return os.path.join(self.path, "_deletes")
+
     def _read_units(self, commit: Commit, units: list[str]) -> DataFrame:
         """One multi-path scan over a subset of a commit's data units,
-        under the commit's authoritative schema."""
+        under the commit's authoritative schema — with the commit's
+        merge-on-read delete sets applied.
+
+        Units sharing the same set of applicable delete files scan
+        together; each group anti-joins its deleted-PK set once. With
+        no delete sets (the common case, and always after optimize)
+        the plan is the single FileScan it always was; with them, plan
+        size is O(#delete epochs since last optimize), bounded by
+        maintenance cadence — never O(deletes)."""
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        paths = [os.path.join(self._data_dir, u) for u in units]
-        return self.spark.read.schema(schema).parquet(*paths)
+
+        def scan(us: list[str]) -> DataFrame:
+            paths = [os.path.join(self._data_dir, u) for u in us]
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        if not commit.delete_sets:
+            return scan(units)
+        groups: dict[tuple, list[str]] = {}
+        for u in units:
+            key = tuple(
+                ds["path"]
+                for ds in commit.delete_sets
+                if u in set(ds["units"])
+            )
+            groups.setdefault(key, []).append(u)
+        parts = []
+        for key, us in groups.items():
+            df = scan(us)
+            if key:
+                dels = self.spark.read.parquet(
+                    *[os.path.join(self._deletes_dir, p) for p in key]
+                )
+                df = df.join(dels, list(dels.columns), "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     @staticmethod
     def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -383,6 +432,14 @@ class ManagedTable:
             raise UserException(f"No table at {self.path}")
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         units = prune_units(commit.stats, commit.data_units, condition)
+        if commit.delete_sets:
+            # merge-on-read deletes pending: unit-level pruning still
+            # applies, but the scan must route through the delete-set
+            # anti-joins (file-level path lists can't carry them)
+            if not units:
+                empty = self.spark.createDataFrame([], schema)
+                return empty.filter(F.expr(condition))
+            return self._read_units(commit, units).filter(F.expr(condition))
         paths: list[str] = []
         file_level = bool(parse_conjuncts(condition)) and not commit.partition_by
         for u in units:
@@ -564,6 +621,9 @@ class ManagedTable:
                 timestamp_ms=int(time.time() * 1000),
                 properties=properties if properties is not None else prev.properties,
                 stats=stats,
+                delete_sets=self._carry_delete_sets(
+                    prev.delete_sets, untouched
+                ),
             )
             self._publish(commit, prev)
             # CDF: persist this commit's change set (inserts + the
@@ -668,6 +728,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties={**prev.properties, "constraints": cons},
             stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
         )
         self._publish(commit, prev)
         return commit
@@ -691,6 +752,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties={**prev.properties, "constraints": cons},
             stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
         )
         self._publish(commit, prev)
         return commit
@@ -707,6 +769,19 @@ class ManagedTable:
                     f"CHECK constraint {name!r} ({expr}) violated, e.g. "
                     f"by row {bad[0].asDict()}"
                 )
+
+    @staticmethod
+    def _carry_delete_sets(sets: list, surviving: list[str]) -> list:
+        """Restrict merge-on-read delete sets to units still in the
+        snapshot; entries whose every unit was rewritten drop out (the
+        rewrite materialized their effect)."""
+        sv = set(surviving)
+        out = []
+        for ds in sets:
+            us = [u for u in ds["units"] if u in sv]
+            if us:
+                out.append({"path": ds["path"], "units": us})
+        return out
 
     # ---------- DML (Delta DELETE / UPDATE) ----------
 
@@ -758,6 +833,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties=prev.properties,
             stats=stats,
+            delete_sets=self._carry_delete_sets(prev.delete_sets, untouched),
         )
         self._publish(commit, prev)
         return commit
@@ -767,13 +843,29 @@ class ManagedTable:
         condition: str,
         compression: str = "snappy",
         max_records_per_file: int | None = None,
+        strategy: str = "copy-on-write",
     ) -> Commit:
-        """``DELETE FROM t WHERE condition`` (Delta DML, copy-on-write
-        without deletion vectors). SQL semantics: rows where the
-        condition is TRUE are removed; rows where it is NULL are KEPT
-        (ternary logic), hence the coalesce below. Stats-pruned: a
-        1000-unit table whose condition touches one key range rewrites
-        one unit."""
+        """``DELETE FROM t WHERE condition`` (Delta DML). SQL
+        semantics: rows where the condition is TRUE are removed; rows
+        where it is NULL are KEPT (ternary logic), hence the coalesce.
+
+        ``strategy='copy-on-write'`` (default) rewrites the touched
+        units — stats-pruned, so a 1000-unit table whose condition
+        hits one key range rewrites one unit. Read-optimal.
+
+        ``strategy='merge-on-read'`` writes an Iceberg-style EQUALITY
+        DELETE file instead (the deleted PK tuples) and rewrites
+        NOTHING — O(matched keys) commit cost regardless of unit size,
+        the right trade for frequent small deletes against huge units.
+        Readers anti-join the delete set until optimize() materializes
+        it away. Requires a primary key."""
+        if strategy == "merge-on-read":
+            return self._delete_mor(condition, compression)
+        if strategy != "copy-on-write":
+            raise UserException(
+                f"Unknown delete strategy {strategy!r}; expected "
+                "copy-on-write or merge-on-read."
+            )
         return self._rewrite_where(
             condition,
             lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
@@ -781,6 +873,54 @@ class ManagedTable:
             compression,
             max_records_per_file,
         )
+
+    def _delete_mor(self, condition: str, compression: str) -> Commit:
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            collect_unit_stats,
+            prune_units,
+        )
+
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        if not prev.primary_key:
+            raise UserException(
+                "merge-on-read delete requires a primary key (equality "
+                "deletes are keyed); use strategy='copy-on-write'."
+            )
+        touched = prune_units(prev.stats, prev.data_units, condition)
+        delete_sets = self._carry_delete_sets(
+            prev.delete_sets, prev.data_units
+        )
+        if touched:
+            keys = (
+                self._read_units(prev, touched)
+                .filter(F.coalesce(F.expr(condition), F.lit(False)))
+                .select(*prev.primary_key)
+            )
+            name = uuid.uuid4().hex
+            dest = os.path.join(self._deletes_dir, name)
+            keys.write.mode("overwrite").option(
+                "compression", compression
+            ).parquet(dest)
+            if collect_unit_stats(dest)["_rows"] > 0:
+                delete_sets.append({"path": name, "units": list(touched)})
+            else:
+                shutil.rmtree(dest, ignore_errors=True)
+        commit = Commit(
+            version=prev.version + 1,
+            action="delete",
+            data_units=list(prev.data_units),
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=prev.stats,
+            delete_sets=delete_sets,
+        )
+        self._publish(commit, prev)
+        return commit
 
     def update_where(
         self,
@@ -935,6 +1075,7 @@ class ManagedTable:
             timestamp_ms=int(time.time() * 1000),
             properties={**old.properties, "restored_from_version": version},
             stats={u: s for u, s in old.stats.items() if u in old.data_units},
+            delete_sets=list(old.delete_sets),
         )
         self._publish(commit, prev)
         return commit
@@ -959,9 +1100,11 @@ class ManagedTable:
             return 0
         cutoff_ms = int(time.time() * 1000) - int(retention_hours * 3600_000)
         live = set(prev.data_units)
+        live_deletes = {ds["path"] for ds in prev.delete_sets}
         for c in self.history():
             if c.timestamp_ms >= cutoff_ms:
                 live.update(c.data_units)
+                live_deletes.update(ds["path"] for ds in c.delete_sets)
         removed = 0
         for unit in os.listdir(self._data_dir):
             if unit not in live:
@@ -970,6 +1113,15 @@ class ManagedTable:
                         os.path.join(self._data_dir, unit), ignore_errors=True
                     )
                 removed += 1
+        if os.path.isdir(self._deletes_dir):
+            for d in os.listdir(self._deletes_dir):
+                if d not in live_deletes:
+                    if not dry_run:
+                        shutil.rmtree(
+                            os.path.join(self._deletes_dir, d),
+                            ignore_errors=True,
+                        )
+                    removed += 1
         return removed
 
     def drop(self) -> None:

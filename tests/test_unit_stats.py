@@ -433,6 +433,89 @@ def test_concurrent_appenders_never_lose_commits(spark, tmp_path_str):
     assert out.select("tag").distinct().count() == 41  # every batch present
 
 
+def test_merge_on_read_delete_rewrites_nothing(ranged_table):
+    t, lo, hi, third = ranged_table
+    # ranged_table has no PK — set one via an upsert-free path: PK is
+    # commit metadata, so re-commit with primary_key via write(append)
+    # of 0 rows is awkward; instead build a fresh PK'd copy.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        src = t.read()
+        t2 = ManagedTable(t.spark, os.path.join(d, "t"))
+        k = F.col("o_orderkey")
+        cut = lo + 2 * third
+        t2.write(src.filter(k < cut), mode="append", primary_key=["o_orderkey"])
+        t2.write(src.filter(k >= cut), mode="append")
+        before = t2.latest_commit()
+        n_before = t2.read().count()
+        n_match = t2.read().filter(k >= cut).count()
+        c = t2.delete_where(
+            f"o_orderkey >= {cut}", strategy="merge-on-read"
+        )
+        # no data rewritten: identical unit list, one delete set
+        assert c.data_units == before.data_units
+        assert len(c.delete_sets) == 1
+        assert t2.read().count() == n_before - n_match
+        assert t2.read().filter(k >= cut).count() == 0
+        # time travel unaffected
+        assert t2.read(version=before.version).count() == n_before
+        # read_where still correct under pending deletes
+        assert t2.read_where(f"o_orderkey >= {lo}").count() == n_before - n_match
+        # appends after the delete are NOT retro-deleted, even on the
+        # same keys (equality deletes scope to the units they saw)
+        t2.write(src.filter(k >= cut).limit(7), mode="append")
+        assert t2.read().count() == n_before - n_match + 7
+        # optimize materializes the deletes away
+        oc = t2.optimize()
+        assert oc.delete_sets == []
+        assert t2.read().count() == n_before - n_match + 7
+        # vacuum now reclaims the delete file (and stale units)
+        assert t2.vacuum() >= 1
+        assert t2.read().count() == n_before - n_match + 7
+
+
+def test_merge_on_read_delete_then_upsert(spark, tmp_path_str):
+    """Upserts over pending delete sets: touched units materialize the
+    deletes; untouched units keep theirs."""
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write(df.filter(F.col("k") < 50), mode="append", primary_key=["k"])
+    t.write(df.filter(F.col("k") >= 50), mode="append")
+    t.delete_where("k >= 90", strategy="merge-on-read")
+    assert t.read().count() == 90
+    # upsert touches only the low unit
+    t.upsert(
+        df.filter(F.col("k") < 10).withColumn("v", F.lit(-1).cast("long")),
+        ["k"],
+    )
+    c = t.latest_commit()
+    assert len(c.delete_sets) == 1  # high unit untouched, keeps its set
+    assert t.read().count() == 90
+    assert t.read().filter(F.col("v") == -1).count() == 10
+    # upsert touching the high unit materializes the delete there
+    t.upsert(
+        df.filter((F.col("k") >= 50) & (F.col("k") < 60)).withColumn(
+            "v", F.lit(-2).cast("long")
+        ),
+        ["k"],
+    )
+    c2 = t.latest_commit()
+    assert c2.delete_sets == []
+    assert t.read().count() == 90
+    assert t.read().filter(F.col("k") >= 90).count() == 0
+
+
+def test_merge_on_read_requires_primary_key(ranged_table):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t, *_ = ranged_table  # no PK on this table
+    with pytest.raises(UserException, match="primary key"):
+        t.delete_where("o_orderkey > 0", strategy="merge-on-read")
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
