@@ -50,6 +50,7 @@ _FRONT = [
     "stream_static_enrich",
     "bigram_collocations",
     "mor_delete_read",
+    "table_clone",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

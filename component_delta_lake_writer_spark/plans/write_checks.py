@@ -229,6 +229,25 @@ def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("table_clone")
+def table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE: the clone is an independent snapshot — appends to
+    the source afterwards must not leak into it (and the clone keeps
+    the source's full history)."""
+    import shutil as _sh
+
+    base = _scratch("table_clone", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "src"))
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    clone = t.clone_to(os.path.join(base, "fork"))
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    assert t.read().count() > clone.read().count()  # independence
+    assert clone.history()[0].action == "overwrite"  # history carried
+    return clone.read()
+
+
 @query("mor_delete_read")
 def mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read equality delete (Iceberg-style delete files): the
@@ -357,6 +376,7 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["table_clone"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
 _O["mor_delete_read"] = """
     SELECT * FROM orders
     WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 3 = 0,

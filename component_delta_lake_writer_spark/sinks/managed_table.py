@@ -1124,6 +1124,26 @@ class ManagedTable:
                     removed += 1
         return removed
 
+    def clone_to(self, dest_path: str) -> "ManagedTable":
+        """``CREATE TABLE … DEEP CLONE src`` (Delta CLONE): a full
+        independent copy — data units, commit history, delete sets,
+        stats — at the destination. Later writes to either side never
+        affect the other. (A shallow clone — shared data files — is
+        deliberately not offered: the commit log stores table-relative
+        unit paths, and cross-table file sharing would break vacuum's
+        liveness reasoning, the same caveat Delta documents.)
+
+        Driver-side copytree: at 100 TB this is the object-store
+        server-side-copy loop over unit prefixes — O(files) metadata
+        ops, no data through the driver."""
+        dest = dest_path.rstrip("/")
+        if os.path.exists(dest) and os.listdir(dest):
+            raise UserException(f"Clone destination {dest} is not empty.")
+        if self.latest_commit() is None:
+            raise UserException(f"No table at {self.path}")
+        shutil.copytree(self.path, dest, dirs_exist_ok=True)
+        return ManagedTable(self.spark, dest)
+
     def drop(self) -> None:
         """W13: DROP TABLE IF EXISTS (src/component.py:147-148)."""
         shutil.rmtree(self.path, ignore_errors=True)
