@@ -51,6 +51,8 @@ _FRONT = [
     "bigram_collocations",
     "mor_delete_read",
     "table_clone",
+    "window_distinct_users",
+    "funnel_abc_events",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -3247,3 +3247,110 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return op(spark, sf_dir, state_partitions=8)
+
+
+@query(
+    "window_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS hour_users,
+      CAST(MAX(cum) AS BIGINT) AS cum_users
+    FROM (
+      SELECT ts, event_type, user_id,
+        COUNT(DISTINCT user_id) OVER (
+          PARTITION BY event_type ORDER BY date_trunc('hour', ts)
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — Spark has no
+    COUNT(DISTINCT) OVER, so the engine spells it as the dense_rank
+    trick: rank each user's FIRST appearance per event_type, then the
+    running max of that rank at each hour is the cumulative distinct
+    count. One shuffle on event_type; no quadratic re-count."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        "user_id",
+    )
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min("hour").alias("first_hour")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("first_hour", "user_id")
+    ranked = first_seen.withColumn("rnk", F.row_number().over(w_rank))
+    # cumulative distinct at hour h = users whose first appearance <= h
+    per_hour_new = ranked.groupBy("event_type", F.col("first_hour")).agg(
+        F.max("rnk").alias("cum_at")
+    )
+    hourly = ev.groupBy("hour", "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("hour_users")
+    )
+    w_fill = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = hourly.join(
+        per_hour_new,
+        (hourly["event_type"] == per_hour_new["event_type"])
+        & (hourly["hour"] == per_hour_new["first_hour"]),
+        "left",
+    ).select(
+        hourly["hour"], hourly["event_type"], "hour_users", "cum_at"
+    )
+    return joined.withColumn(
+        "cum_users",
+        F.max(F.last("cum_at", ignorenulls=True).over(w_fill)).over(w_fill)
+        .cast("long"),
+    ).drop("cum_at")
+
+
+@query(
+    "funnel_abc_events",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS step_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+        AS step_purchase
+    FROM firsts
+    """,
+)
+def funnel_abc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first-occurrence
+    timestamps per user via conditional MIN (one shuffle on user_id),
+    then strict-order step predicates — the MATCH_RECOGNIZE-lite
+    shape analytics engines special-case, expressed as a single
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    v = F.col("t_view").isNotNull()
+    c = v & (F.col("t_click") > F.col("t_view"))
+    b = c & (F.col("t_buy") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(v.cast("int")).cast("long").alias("step_view"),
+        F.sum(c.cast("int")).cast("long").alias("step_click"),
+        F.sum(b.cast("int")).cast("long").alias("step_purchase"),
+    )
