@@ -240,3 +240,34 @@ def temperature_quota(
         )
         .drop("_micro")
     )
+
+
+def quantile_bucket_sample(
+    df: DataFrame,
+    metric_col: str,
+    id_col: str,
+    buckets: int = 4,
+    rates: list[int] | None = None,
+) -> DataFrame:
+    """Quantile-stratified sampling: rank rows into ``buckets``
+    NTILE quantiles of ``metric_col`` (ties broken by ``id_col`` — a
+    total order, so bucket membership is deterministic), then keep a
+    different hash-sample rate per bucket. The quality-curriculum
+    shape: oversample the best quantile, keep a trickle of the worst
+    for robustness.
+
+    One global-sort window for the NTILE (at 100 TB swap for
+    approx-quantile cut points + a broadcast range join if the sort
+    becomes the bottleneck — same semantics, documented trade), then
+    the rate filter is embarrassingly parallel."""
+    from pyspark.sql.window import Window
+
+    rates = rates or [10, 25, 50, 100]
+    if len(rates) != buckets:
+        raise ValueError("need one rate per bucket")
+    w = Window.orderBy(F.col(metric_col), F.col(id_col))
+    tiled = df.withColumn("bucket", F.ntile(buckets).over(w))
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in rates]), F.col("bucket")
+    )
+    return tiled.filter(_bucket(id_col) < rate)

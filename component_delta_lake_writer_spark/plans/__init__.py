@@ -53,6 +53,7 @@ _FRONT = [
     "table_clone",
     "window_distinct_users",
     "funnel_abc_events",
+    "quantile_bucket_sample",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -415,3 +415,38 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from component_delta_lake_writer_spark.operators.quality import bigram_lift
 
     return bigram_lift(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quantile_bucket_sample",
+    oracle=f"""
+    WITH tiled AS (
+      SELECT doc_id, source, n_chars,
+        NTILE(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      MIN(doc_id) AS min_id,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM tiled
+    WHERE {_BUCKET_SQL.format(id='doc_id')} <
+      CASE bucket WHEN 1 THEN 10 WHEN 2 THEN 25 WHEN 3 THEN 50
+                  ELSE 100 END
+    GROUP BY bucket
+    """,
+)
+def quantile_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling (operators.sampling.
+    quantile_bucket_sample): 4 NTILE buckets of doc length, kept at
+    10/25/50/100% — worst quantile trickles, best is kept whole."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        quantile_bucket_sample as op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = op(docs, "n_chars", "doc_id")
+    return kept.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
