@@ -159,3 +159,51 @@ def merge_upsert_conditional(
         .otherwise(tt)                               # matched, cond false → keep
     )
     return j.select(winner.alias("_w")).select("_w.*")
+
+
+def merge_upsert_with_delete(
+    target: DataFrame,
+    source: DataFrame,
+    primary_key: list[str],
+    delete_condition,
+    order_by: list[str] | None = None,
+    pre_deduplicated: bool = False,
+) -> DataFrame:
+    """MERGE with a DELETE clause — the CDC-tombstone shape:
+
+    ``WHEN MATCHED AND <delete_condition> THEN DELETE
+      WHEN MATCHED THEN UPDATE SET <all cols>
+      WHEN NOT MATCHED AND NOT <delete_condition> THEN INSERT``
+
+    ``delete_condition(s) -> Column`` reads the SOURCE row struct
+    (e.g. ``lambda s: s["op"] == "D"``). A tombstone for an absent key
+    is a no-op, matching Delta/SQL MERGE. One full-outer shuffle join
+    on the PK decides every row; deletions fall out as filtered
+    NULLs, never a second pass."""
+    if not primary_key:
+        raise UserException("Upsert load mode requires a primary key.")
+    src = source if pre_deduplicated else dedup_source(source, primary_key, order_by)
+    src = src.select(*[F.col(c) for c in target.columns])
+
+    t = target.select(
+        *[F.col(c).alias(f"_pk_{c}") for c in primary_key],
+        F.struct(*target.columns).alias("_t"),
+    )
+    s = src.select(
+        *[F.col(c).alias(f"_pk_{c}") for c in primary_key],
+        F.struct(*src.columns).alias("_s"),
+    )
+    j = t.join(s, [f"_pk_{c}" for c in primary_key], "full_outer")
+    tt, ss = F.col("_t"), F.col("_s")
+    dead = F.coalesce(delete_condition(ss), F.lit(False))
+    winner = (
+        F.when(ss.isNull(), tt)                      # target-only → keep
+        .when(dead, F.lit(None))                     # tombstone → delete/skip
+        .when(tt.isNull(), ss)                       # NOT MATCHED → INSERT
+        .otherwise(ss)                               # MATCHED → UPDATE
+    )
+    return (
+        j.select(winner.alias("_w"))
+        .filter(F.col("_w").isNotNull())
+        .select("_w.*")
+    )

@@ -54,6 +54,7 @@ _FRONT = [
     "window_distinct_users",
     "funnel_abc_events",
     "quantile_bucket_sample",
+    "merge_with_delete",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

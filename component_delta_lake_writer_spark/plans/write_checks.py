@@ -450,3 +450,56 @@ _O["create_table_ddl"] = """
       'o_orderkey' AS pk_property,
       (SELECT COUNT(*) FROM orders) AS n_rows
 """
+
+
+@query("merge_with_delete")
+def merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN MATCHED THEN DELETE (CDC tombstones): one
+    batch carrying deletes (keys % 10 = 0), updates (% 10 = 5,
+    price → -1) and inserts (+10^9 keys); absent-key tombstones are
+    no-ops."""
+    from component_delta_lake_writer_spark.operators.merge import (
+        merge_upsert_with_delete,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    k = F.col("o_orderkey")
+    batch = (
+        o.filter(k % 10 == 0).withColumn("_op", F.lit("D"))
+        .unionByName(
+            o.filter(k % 10 == 5)
+            .withColumn("price", F.lit(-1.0))
+            .withColumn("_op", F.lit("U"))
+        )
+        .unionByName(
+            o.orderBy("o_orderkey").limit(7)
+            .withColumn("o_orderkey", k + 10**9)
+            .withColumn("_op", F.lit("U"))
+        )
+        .unionByName(  # tombstone for keys the target never had
+            o.orderBy("o_orderkey").limit(3)
+            .withColumn("o_orderkey", k + 2 * 10**9)
+            .withColumn("_op", F.lit("D"))
+        )
+    )
+    target = o.withColumn("_op", F.lit("U"))
+    merged = merge_upsert_with_delete(
+        target, batch, ["o_orderkey"], lambda s: s["_op"] == "D"
+    )
+    return merged.drop("_op")
+
+
+_O["merge_with_delete"] = """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    )
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 10 = 5 THEN -1.0 ELSE price END AS price
+    FROM base WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000 AS o_orderkey, price
+    FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
+"""
