@@ -55,6 +55,7 @@ _FRONT = [
     "funnel_abc_events",
     "quantile_bucket_sample",
     "merge_with_delete",
+    "zorder_multidim_skip",
     # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",

@@ -229,6 +229,26 @@ def update_where_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("zorder_multidim_skip")
+def zorder_multidim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (o_orderkey, o_custkey): after the
+    interleaved rewrite, a filter on the TRAILING dimension alone must
+    skip most files (asserted) and still return exactly the right
+    rows (oracled)."""
+    from component_delta_lake_writer_spark.sinks.unit_stats import prune_units
+
+    t = _fresh_table(spark, "zorder_multidim_skip", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.optimize(target_file_rows=500, zorder_by=["o_orderkey", "o_custkey"])
+    c = t.latest_commit()
+    det = c.stats[c.data_units[0]]["_files"]
+    cond = "o_custkey < 75"
+    kept = prune_units(det, list(det), cond)
+    assert len(kept) < len(det), "z-order must make o_custkey prunable"
+    return t.read_where(cond)
+
+
 @query("table_clone")
 def table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEEP CLONE: the clone is an independent snapshot — appends to
@@ -376,6 +396,7 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["zorder_multidim_skip"] = "SELECT * FROM orders WHERE o_custkey < 75"
 _O["table_clone"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
 _O["mor_delete_read"] = """
     SELECT * FROM orders

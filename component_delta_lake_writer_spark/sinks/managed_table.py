@@ -966,11 +966,49 @@ class ManagedTable:
 
     # ---------- maintenance ----------
 
+    def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 8):
+        """Morton/Z-value of equal-frequency bucket ranks: each column
+        is ranked into 2^bits quantile buckets (cut points from ONE
+        approxQuantile pass — no global sort), and the bucket bits are
+        interleaved so nearby Z-values are nearby in EVERY dimension.
+
+        The per-row cost is 2^bits comparisons per column inside
+        whole-stage codegen (a fold over the broadcast cut array) —
+        trivial against the rewrite the caller is already doing."""
+        for c in cols:
+            if not isinstance(
+                df.schema[c].dataType,
+                (T.IntegerType, T.LongType, T.ShortType, T.DoubleType,
+                 T.FloatType, T.DecimalType),
+            ):
+                raise UserException(
+                    f"zorder_by column {c!r} must be numeric "
+                    f"(got {df.schema[c].dataType.simpleString()})."
+                )
+        n = 1 << bits
+        z = F.lit(0).cast("long")
+        for d, c in enumerate(cols):
+            qs = [i / n for i in range(1, n)]
+            cuts = df.approxQuantile(c, qs, 0.001)
+            arr = F.array(*[F.lit(float(x)) for x in cuts])
+            x = F.col(c).cast("double")
+            bucket = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, cut: acc
+                + F.when(x >= cut, F.lit(1)).otherwise(F.lit(0)),
+            )
+            for b in range(bits):
+                bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long")
+                z = z + F.shiftleft(bit, b * len(cols) + d)
+        return z
+
     def optimize(
         self,
         target_file_rows: int | None = None,
         cluster_by: list[str] | None = None,
         unit_per_file: bool = False,
+        zorder_by: list[str] | None = None,
     ) -> Commit:
         """Compact the snapshot into fresh data unit(s) (the engine's
         OPTIMIZE; keeps read amplification bounded as appends pile up).
@@ -991,16 +1029,33 @@ class ManagedTable:
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
-        if unit_per_file and (not cluster_by or prev.partition_by):
+        if cluster_by and zorder_by:
+            raise UserException("Pass cluster_by OR zorder_by, not both.")
+        if unit_per_file and (
+            not (cluster_by or zorder_by) or prev.partition_by
+        ):
             raise UserException(
-                "unit_per_file requires cluster_by and an unpartitioned "
-                "table (range-disjoint files are what make the split "
-                "worth committing)."
+                "unit_per_file requires cluster_by/zorder_by and an "
+                "unpartitioned table (range-disjoint files are what "
+                "make the split worth committing)."
             )
         df = self.read()
         if cluster_by:
+            # lexicographic range clustering: tight file stats on the
+            # LEADING column; trailing columns skip poorly
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
                 *cluster_by
+            )
+        elif zorder_by:
+            # Z-ORDER BY: bit-interleaved quantile ranks — every listed
+            # dimension gets usable min/max locality, the multi-column
+            # point-lookup layout (what Delta's OPTIMIZE ZORDER does)
+            z = self._zvalue(df, zorder_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange("__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
             )
         unit = self._write_unit(df, prev.partition_by, "snappy", target_file_rows)
         if unit_per_file:

@@ -516,6 +516,49 @@ def test_merge_on_read_requires_primary_key(ranged_table):
         t.delete_where("o_orderkey > 0", strategy="merge-on-read")
 
 
+def test_zorder_prunes_every_listed_dimension(spark, tmp_path_str):
+    """Z-ORDER vs lexicographic clustering: the trailing dimension
+    must become file-prunable only under the interleaved layout."""
+    from component_delta_lake_writer_spark.sinks.unit_stats import prune_units
+
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    cmax = o.agg(F.max("o_custkey")).first()[0]
+    trail_cond = f"o_custkey < {cmax // 20}"
+
+    def files_surviving(**kw):
+        t = ManagedTable(
+            spark, os.path.join(tmp_path_str, "zx" + next(iter(kw)))
+        )
+        t.write(o, mode="overwrite")
+        t.optimize(target_file_rows=500, **kw)
+        c = t.latest_commit()
+        det = c.stats[c.data_units[0]]["_files"]
+        kept = prune_units(det, list(det), trail_cond)
+        # pruning must never cost rows
+        got = t.read_where(trail_cond).count()
+        assert got == t.read().filter(F.expr(trail_cond)).count()
+        return len(kept), len(det)
+
+    lex_kept, lex_total = files_surviving(
+        cluster_by=["o_orderkey", "o_custkey"]
+    )
+    z_kept, z_total = files_surviving(zorder_by=["o_orderkey", "o_custkey"])
+    assert lex_kept == lex_total  # trailing dim: zero skipping
+    assert z_kept < z_total / 2  # interleaved: most files skipped
+
+
+def test_zorder_rejects_non_numeric(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    t.write(o, mode="overwrite")
+    with pytest.raises(UserException, match="numeric"):
+        t.optimize(zorder_by=["o_orderstatus"])
+    with pytest.raises(UserException, match="not both"):
+        t.optimize(cluster_by=["o_orderkey"], zorder_by=["o_custkey"])
+
+
 def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a >= 3 AND b < 'x'") == [
         ("a", ">=", 3),
