@@ -240,10 +240,11 @@ def zorder_multidim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fresh_table(spark, "zorder_multidim_skip", sf_dir)
     o = load_table(spark, sf_dir, "orders")
     t.write(o, mode="overwrite")
-    t.optimize(target_file_rows=500, zorder_by=["o_orderkey", "o_custkey"])
+    t.optimize(target_file_rows=100, zorder_by=["o_orderkey", "o_custkey"])
     c = t.latest_commit()
     det = c.stats[c.data_units[0]]["_files"]
-    cond = "o_custkey < 75"
+    cmax = o.agg(F.max("o_custkey")).first()[0]
+    cond = f"o_custkey < {cmax // 20}"  # 5% band on the TRAILING dim
     kept = prune_units(det, list(det), cond)
     assert len(kept) < len(det), "z-order must make o_custkey prunable"
     return t.read_where(cond)
@@ -396,7 +397,10 @@ _O["stats_skip_read"] = """
     WHERE o.o_orderkey >= b.lo + 2 * ((b.hi - b.lo) // 3)
 """
 _O["restore_table"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
-_O["zorder_multidim_skip"] = "SELECT * FROM orders WHERE o_custkey < 75"
+_O["zorder_multidim_skip"] = """
+    SELECT * FROM orders
+    WHERE o_custkey < (SELECT MAX(o_custkey) // 20 FROM orders)
+"""
 _O["table_clone"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
 _O["mor_delete_read"] = """
     SELECT * FROM orders
