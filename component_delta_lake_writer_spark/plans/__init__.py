@@ -23,17 +23,92 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # -- red/err in round 1, probes fixed this round: these five rows
-    # flip S1/S4/W11/P2/F1 and C1-C5 from FAIL/err to pass, so they go
-    # first in case the driver's budget cuts the sweep short again --
+    # ------------------------------------------------------------------
+    # Round 3 front-50: the driver checks the first 50 keys per round.
+    # Cumulative r1+r2 evidence covers 94/148 keys (93 green, 1 err).
+    # Slot 1 is the only red row (probe scalar-ized this round); slot 2
+    # is the new MOR upsert; slots 3-50 are 48 of the 54 never-checked
+    # keys.  The 6 deferred to round 4 (positions 51-56) are twins of
+    # already-green keys or rows-only probes: frame_sample_plan,
+    # csv_quoted_edge, parquet_scan_multifile, distinct_users_hourly,
+    # csv_gzip_scan, multimodal_byte_features.
+    # ------------------------------------------------------------------
+    # -- err in round 2 (driver canonicalizer vs array column); probe
+    # now emits scalar (vec_id, pos, q_i, scale) rows --
+    "quantize_embeddings_int8",
+    # -- new this round: merge-on-read upsert (O(source) write cost) --
+    "upsert_mor",
+    # -- never-checked composites and LLM-pipeline family --
+    "pipeline_clean_corpus",
+    "dedup_cluster_resolve",
+    "ngram_jaccard_dedup",
+    "winnow_fingerprint_match",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "kmeans_embedding_clusters",
+    # -- never-checked SQL-semantics probes --
+    "null_semantics",
+    "string_funcs",
+    "array_ops",
+    "json_roundtrip",
+    # -- never-checked sampling / chunking / PII family --
+    "stratified_sample_docs",
+    "train_test_split_docs",
+    "importance_sample_docs",
+    "chunk_documents",
+    "redact_pii_docs",
+    "pack_sequences_docs",
+    # -- never-checked streaming keys --
+    "stream_dedup_events",
+    "stream_interval_join",
+    "stream_to_managed_table",
+    # -- never-checked window / agg / join shapes --
+    "window_range_frame",
+    "window_ntile_deciles",
+    "percentile_prices",
+    "lead_lag_orders",
+    "agg_cube",
+    "sliding_window_agg",
+    "tfidf_top_terms",
+    "histogram_prices",
+    "stats_agg",
+    "correlated_min_price",
+    "range_join_price_bands",
+    "corpus_mix_report",
+    # -- never-checked TPC-H shapes (16) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_exists_priority",
+    "tpch_q6_revenue_filter",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_value_share",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_volume_suppliers",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_customers",
+    # ------------------------------------------------------------------
+    # Positions 51+: round-4 front-runners (the 6 deferred
+    # never-checked keys), then standing-green keys.
+    # ------------------------------------------------------------------
+    "frame_sample_plan",
+    "csv_quoted_edge",
+    "parquet_scan_multifile",
+    "distinct_users_hourly",
+    "csv_gzip_scan",
+    "multimodal_byte_features",
+    # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",
     "insert_select_cast",
     "job_run_external",
     "catalog_actions",
-    # -- engine path rewritten this round (preserve-order scan) --
     "row_order_preserved",
-    # -- new this round, wave 6 --
     "stats_skip_read",
     "restore_table",
     "delete_where_table",
@@ -56,23 +131,19 @@ _FRONT = [
     "quantile_bucket_sample",
     "merge_with_delete",
     "zorder_multidim_skip",
-    # -- new this round, wave 5 --
     "jsonl_scan_typed",
     "orc_scan",
     "incremental_dedup_batch",
-    "quantize_embeddings_int8",
     "zorder_file_skip",
     "session_window_agg",
     "stream_ingest_dedup",
     "ann_batch_topk",
     "ann_batch_lsh_topk",
     "cdc_read_changes",
-    # -- new this round, wave 4 --
     "domain_cap_docs",
     "token_budget_mix",
     "unigram_logprob_quality",
     "repeated_ngram_spans",
-    # -- new this round --
     "job_run_datadir",
     "delta_log_read",
     "gopher_repetition_filter",
@@ -81,63 +152,6 @@ _FRONT = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_dormant_customers",
-    # -- never checked in round 1 (registry positions 50-93) --
-    "embedding_near_dup",
-    "frame_sample_plan",
-    "percentile_prices",
-    "lead_lag_orders",
-    "agg_cube",
-    "sliding_window_agg",
-    "dedup_cluster_resolve",
-    "null_semantics",
-    "string_funcs",
-    "array_ops",
-    "csv_quoted_edge",
-    "distinct_users_hourly",
-    "parquet_scan_multifile",
-    "json_roundtrip",
-    "stream_to_managed_table",
-    "tfidf_top_terms",
-    "histogram_prices",
-    "stats_agg",
-    "pipeline_clean_corpus",
-    "tpch_q6_revenue_filter",
-    "tpch_q4_exists_priority",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q11_value_share",
-    "correlated_min_price",
-    "ngram_jaccard_dedup",
-    "winnow_fingerprint_match",
-    "ann_ivf_topk",
-    "stream_dedup_events",
-    "stream_interval_join",
-    "csv_gzip_scan",
-    "tpch_q10_returned_items",
-    "multimodal_byte_features",
-    "tpch_q19_disjunctive",
-    "window_range_frame",
-    "window_ntile_deciles",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q15_top_supplier",
-    "stratified_sample_docs",
-    "train_test_split_docs",
-    "chunk_documents",
-    "redact_pii_docs",
-    "pack_sequences_docs",
-    "range_join_price_bands",
-    # -- new this round, wave 2: the last five TPC-H shapes --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_volume_suppliers",
-    "corpus_mix_report",
-    "importance_sample_docs",
-    "kmeans_embedding_clusters",
-    # -- green in round 1; write/managed-table surface first --
     "write_error_mode",
     "write_append",
     "write_overwrite",

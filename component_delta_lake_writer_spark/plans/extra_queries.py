@@ -2827,23 +2827,41 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, vd,
              list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax
       FROM v
+    ),
+    u AS (
+      SELECT vec_id, amax,
+             generate_subscripts(vd, 1) AS pos,
+             UNNEST(vd) AS x
+      FROM s
     )
     SELECT vec_id,
-           amax / 127.0 AS scale,
-           CASE WHEN amax = 0.0
-                THEN list_transform(vd, x -> 0)
-                ELSE list_transform(
-                       vd, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))
-           END AS q
-    FROM s
+           CAST(pos AS INT) AS pos,
+           CASE WHEN amax = 0.0 THEN 0
+                ELSE CAST(floor(x / (amax / 127.0) + 0.5) AS INT)
+           END AS q_i,
+           amax / 127.0 AS scale
+    FROM u
     """,
 )
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (the 4x storage cut before ANN indexing). Identical IEEE-double
-    formula on both engines — floor(x/scale + 0.5), no round()."""
+    formula on both engines — floor(x/scale + 0.5), no round().
+
+    Probe shape rule: no array/struct columns in probe outputs (the
+    driver canonicalizer hashes scalars only), so the operator's
+    q:array<int> is posexploded to one (vec_id, pos, q_i, scale) row
+    per element, 1-based pos to match generate_subscripts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.quantize_int8(emb, vec_col="embedding", id_col="vec_id")
+    q = SIM.quantize_int8(emb, vec_col="embedding", id_col="vec_id")
+    return q.select(
+        "vec_id", "scale", F.posexplode("q").alias("pos0", "q_i")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("q_i"),
+        F.col("scale"),
+    )
 
 
 @query(

@@ -293,6 +293,43 @@ def mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("upsert_mor")
+def upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upsert (the deletion-vector play, VERDICT r2 #3):
+    the source's PK tuples become an equality-delete set over the
+    prior units and the source appends as a new unit — the commit
+    rewrites NOTHING, so write cost is O(source) not O(target), yet
+    the read-back must equal the copy-on-write MERGE answer exactly.
+    Covers both matched keys (updates) and brand-new keys (inserts
+    past the max key)."""
+    t = _fresh_table(spark, "upsert_mor", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    before_units = list(t.latest_commit().data_units)
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "price", F.lit(-1.0)
+    )
+    new = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(mx + 1)).alias("o_orderkey"),
+        F.lit(999.0).alias("price"),
+        "o_orderstatus",
+    )
+    c = t.upsert(
+        upd.unionByName(new), ["o_orderkey"], strategy="merge-on-read"
+    )
+    assert c.data_units[: len(before_units)] == before_units, (
+        "MOR upsert must rewrite nothing"
+    )
+    assert len(c.data_units) == len(before_units) + 1
+    assert c.delete_sets, "MOR upsert over matched keys needs a delete set"
+    return t.read()
+
+
 @query("upsert_cdc_ordered")
 def upsert_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay with deterministic last-write-wins: three change
@@ -406,6 +443,18 @@ _O["mor_delete_read"] = """
     SELECT * FROM orders
     WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 3 = 0,
                        FALSE)
+"""
+_O["upsert_mor"] = """
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+           ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+      o_orderstatus
+    FROM orders
+    UNION ALL
+    SELECT o.o_orderkey + m.mx + 1 AS o_orderkey, 999.0 AS price,
+           o.o_orderstatus
+    FROM orders o, m WHERE o.o_orderkey % 97 = 0
 """
 _O["upsert_cdc_ordered"] = """
     SELECT o_orderkey,

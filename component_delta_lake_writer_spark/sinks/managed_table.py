@@ -474,11 +474,22 @@ class ManagedTable:
         update_condition=None,
         order_by: list[str] | None = None,
         schema_mode: str | None = None,
+        strategy: str = "copy-on-write",
     ) -> Commit:
         """MERGE INTO semantics: WHEN MATCHED UPDATE all columns, WHEN
         NOT MATCHED INSERT all columns (src/component.py:238-260), with
         O2 pre-dedup of the source by PK (Delta merge requires unique
         source keys; src/component.py:249-260 last-write-wins).
+
+        ``strategy='merge-on-read'`` is the deletion-vector play: the
+        deduped source's PK tuples become an equality-delete set
+        scoped to the prior units they can overlap (stats bounds), and
+        the source itself is APPENDED as a new unit — no target read,
+        no target rewrite, commit cost O(source) instead of
+        O(rewritten units). Readers anti-join the delete set until
+        optimize()/a later rewrite materializes it. Requires
+        ``update_condition is None`` (the guard needs target rows,
+        which MOR never reads).
 
         ``order_by`` makes the in-batch dedup DETERMINISTIC
         last-write-wins: among duplicate source keys the row with the
@@ -521,6 +532,22 @@ class ManagedTable:
             unit_overlaps_key_bounds,
         )
 
+        if strategy == "merge-on-read":
+            if update_condition is not None:
+                raise UserException(
+                    "merge-on-read upsert cannot evaluate an update "
+                    "condition (it never reads the target); use "
+                    "strategy='copy-on-write'."
+                )
+            return self._upsert_mor(
+                source, primary_key, compression, max_records_per_file,
+                properties, order_by, schema_mode,
+            )
+        if strategy != "copy-on-write":
+            raise UserException(
+                f"Unknown upsert strategy {strategy!r}; expected "
+                "copy-on-write or merge-on-read."
+            )
         if not self.exists():
             # O2 applies to the very first batch too: MERGE requires
             # unique source keys even when the target starts empty.
@@ -638,14 +665,142 @@ class ManagedTable:
             # Attribution (matched vs not) is against the FULL previous
             # snapshot — a key living in a pruned-away unit is still
             # "matched" even though the merge never rewrote that unit.
+            # The target is aligned to the COMMITTED union schema so a
+            # schema_mode='merge' upsert's new columns reach the change
+            # set (src is already union-aligned; projecting it onto an
+            # old-schema target would drop the values the commit wrote).
             if commit.properties.get("enableChangeDataFeed"):
                 self._write_change_set(
-                    self._read_units(prev, prev.data_units), src,
-                    primary_key, update_condition, commit.version,
+                    self._align_to_schema(
+                        self._read_units(prev, prev.data_units), union_schema
+                    ),
+                    src, primary_key, update_condition, commit.version,
                 )
         finally:
             if persisted:
                 src.unpersist()
+        return commit
+
+    def _upsert_mor(
+        self,
+        source: DataFrame,
+        primary_key: list[str],
+        compression: str,
+        max_records_per_file: int | None,
+        properties: dict | None,
+        order_by: list[str] | None,
+        schema_mode: str | None,
+    ) -> Commit:
+        """Merge-on-read upsert: equality-delete the source's PK tuples
+        out of the prior snapshot and append the deduped source as a
+        new unit. The write job never touches target data — one PK
+        projection of the source (the delete file) plus one append.
+        Deleting PKs the target never held is a harmless no-op, so no
+        matched/not-matched probe is needed either.
+
+        The delete set is scoped to prior units whose recorded PK
+        min/max overlap the source's key bounds (one small agg over
+        the persisted source) — read-side anti-join cost then tracks
+        the units a batch can actually hit, and a batch disjoint from
+        every unit degenerates to a pure append with no delete file at
+        all."""
+        from component_delta_lake_writer_spark.operators.merge import dedup_source
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            collect_unit_stats,
+            unit_overlaps_key_bounds,
+        )
+
+        if not self.exists():
+            return self.write(
+                dedup_source(source, primary_key, order_by),
+                mode="overwrite",
+                primary_key=primary_key, compression=compression,
+                max_records_per_file=max_records_per_file,
+                properties=properties,
+            )
+        prev = self.latest_commit()
+        table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        union_schema = table_schema
+        if not self._schema_compatible(table_schema, source.schema):
+            if schema_mode != "merge":
+                raise SchemaMismatchError(
+                    "Upsert source schema does not match table schema; "
+                    "pass schema_mode='merge' to evolve (Delta merge "
+                    "autoMerge)."
+                )
+            tf = {f.name: f.dataType for f in table_schema.fields}
+            conflicts = [
+                f"{f.name}: table={tf[f.name].simpleString()} "
+                f"incoming={f.dataType.simpleString()}"
+                for f in source.schema.fields
+                if f.name in tf and tf[f.name] != f.dataType
+            ]
+            if conflicts:
+                raise SchemaMismatchError(
+                    "schema_mode='merge' cannot change column types: "
+                    + "; ".join(conflicts)
+                )
+            union_schema = self._merge_schemas(table_schema, source.schema)
+        src = self._align_to_schema(
+            dedup_source(source, primary_key, order_by), union_schema
+        ).persist()
+        effective_props = (
+            properties if properties is not None else prev.properties
+        )
+        constraints = effective_props.get("constraints", {})
+        try:
+            if constraints:
+                self._check_constraints(src, constraints)
+            # scope the equality delete to units the batch can overlap
+            overlapping = list(prev.data_units)
+            if prev.stats:
+                bounds = self._source_key_bounds(src, primary_key)
+                if bounds:
+                    overlapping = [
+                        u
+                        for u in prev.data_units
+                        if unit_overlaps_key_bounds(prev.stats.get(u), bounds)
+                    ]
+            delete_sets = self._carry_delete_sets(
+                prev.delete_sets, prev.data_units
+            )
+            if overlapping:
+                name = uuid.uuid4().hex
+                dest = os.path.join(self._deletes_dir, name)
+                src.select(*primary_key).write.mode("overwrite").option(
+                    "compression", compression
+                ).parquet(dest)
+                if collect_unit_stats(dest)["_rows"] > 0:
+                    delete_sets.append({"path": name, "units": overlapping})
+                else:
+                    shutil.rmtree(dest, ignore_errors=True)
+            unit = self._write_unit(
+                src, prev.partition_by, compression, max_records_per_file
+            )
+            stats = {u: prev.stats[u] for u in prev.data_units if u in prev.stats}
+            stats[unit] = self._unit_stats(unit, per_file=not prev.partition_by)
+            commit = Commit(
+                version=prev.version + 1,
+                action="upsert",
+                data_units=list(prev.data_units) + [unit],
+                schema_json=json.dumps(union_schema.jsonValue()),
+                partition_by=prev.partition_by,
+                primary_key=primary_key,
+                timestamp_ms=int(time.time() * 1000),
+                properties=effective_props,
+                stats=stats,
+                delete_sets=delete_sets,
+            )
+            self._publish(commit, prev)
+            if commit.properties.get("enableChangeDataFeed"):
+                self._write_change_set(
+                    self._align_to_schema(
+                        self._read_units(prev, prev.data_units), union_schema
+                    ),
+                    src, primary_key, None, commit.version,
+                )
+        finally:
+            src.unpersist()
         return commit
 
     def _write_change_set(

@@ -569,3 +569,126 @@ def test_parse_conjuncts_grammar():
     assert parse_conjuncts("a > 1 OR b < 2") == []
     assert parse_conjuncts("lower(a) = 'x'") == []
     assert parse_conjuncts("a + 1 > 2") == []
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read UPSERT (equality-delete the source PKs + append)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_on_read_upsert_rewrites_nothing(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    before = t.latest_commit()
+    src = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    c = t.upsert(src, ["k"], strategy="merge-on-read")
+    assert c.data_units[: len(before.data_units)] == list(before.data_units)
+    assert len(c.data_units) == len(before.data_units) + 1
+    assert len(c.delete_sets) == 1
+    out = t.read()
+    assert out.count() == 110
+    assert out.filter(F.col("v") == -1).count() == 20
+    # time travel: pre-upsert snapshot intact
+    assert t.read(version=before.version).count() == 100
+    assert (
+        t.read(version=before.version).filter(F.col("v") == -1).count() == 0
+    )
+    # stacking: a second MOR upsert over keys now living in the FIRST
+    # MOR unit must override them too (its delete set scopes to every
+    # prior unit, including MOR appends)
+    src2 = spark.range(95, 105).select(
+        F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
+    )
+    t.upsert(src2, ["k"], strategy="merge-on-read")
+    out2 = t.read()
+    assert out2.count() == 110
+    assert out2.filter(F.col("v") == -2).count() == 10
+    assert out2.filter(F.col("v") == -1).count() == 10  # 90-94, 105-109
+    # optimize materializes all pending deletes
+    oc = t.optimize()
+    assert oc.delete_sets == []
+    assert t.read().count() == 110
+    assert t.read().filter(F.col("v") == -2).count() == 10
+
+
+def test_merge_on_read_upsert_disjoint_batch_is_pure_append(
+    spark, tmp_path_str
+):
+    """Source keys beyond every unit's recorded bounds: stats scoping
+    drops every unit from the delete set, so the commit is a pure
+    append with no delete file at all."""
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    src = spark.range(500, 520).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    c = t.upsert(src, ["k"], strategy="merge-on-read")
+    assert c.delete_sets == []
+    assert t.read().count() == 120
+
+
+def test_merge_on_read_upsert_order_by_last_write_wins(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ver")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    batches = [
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(v).cast("long").alias("ver")
+        )
+        for v in (3, 1, 2)
+    ]
+    src = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    t.upsert(src, ["k"], order_by=["ver"], strategy="merge-on-read")
+    out = {r["k"]: r["ver"] for r in t.read().collect()}
+    assert all(out[k] == 3 for k in range(5))
+    assert all(out[k] == 0 for k in range(5, 10))
+
+
+def test_merge_on_read_upsert_schema_merge(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    from component_delta_lake_writer_spark.errors import SchemaMismatchError
+
+    with pytest.raises(SchemaMismatchError):
+        t.upsert(src, ["k"], strategy="merge-on-read")
+    t.upsert(src, ["k"], schema_mode="merge", strategy="merge-on-read")
+    out = t.read()
+    assert set(out.columns) == {"k", "v", "tag"}
+    assert out.count() == 15
+    assert out.filter(F.col("tag") == "x").count() == 10
+    assert out.filter(F.col("tag").isNull()).count() == 5
+
+
+def test_merge_on_read_upsert_rejects_update_condition(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    with pytest.raises(UserException, match="update "):
+        t.upsert(
+            df,
+            ["k"],
+            strategy="merge-on-read",
+            update_condition=lambda t_, s_: s_["v"] > t_["v"],
+        )
