@@ -26,6 +26,19 @@ extension) can open the same table:
 The TIMESTAMP_NTZ type requires the ``timestampNtz`` table feature
 (reader v3 / writer v7); the emitted protocol is upgraded exactly when
 the schema needs it.
+
+Merge-on-read caveat: equality-delete sets (Iceberg-style, used by
+``delete_where(strategy='merge-on-read')`` and
+``upsert(strategy='merge-on-read')``) have no JSON-action encoding in
+the Delta protocol short of deletion vectors, which need binary DV
+files this writer does not produce. While a commit carries pending
+delete sets, the mirror's file lists stay accurate but external
+readers would still see the logically-deleted ROWS — so the mirror is
+explicitly marked stale (``_delta_log/_STALE``, see
+``delta_log_is_stale``) and checkpoint advertising is suspended until
+a rewrite (optimize / COW DML / touched-unit upsert) materializes the
+deletes and the marker clears. Honest divergence flag instead of a
+silently wrong snapshot.
 """
 
 from __future__ import annotations
@@ -36,6 +49,44 @@ import urllib.parse
 import uuid
 
 _DELTA_LOG = "_delta_log"
+_STALE = "_STALE"
+
+
+def delta_log_is_stale(table_path: str) -> dict | None:
+    """Non-None iff the Delta mirror currently diverges from the
+    engine snapshot (pending merge-on-read delete sets). The dict
+    carries {version, reason}. External readers honoring the marker
+    should fall back to the engine's ``_commits`` log or wait for the
+    next materializing commit."""
+    p = os.path.join(table_path, _DELTA_LOG, _STALE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _set_stale(table_path: str, version: int, stale: bool) -> None:
+    p = os.path.join(table_path, _DELTA_LOG, _STALE)
+    if not stale:
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
+        return
+    tmp = p + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "reason": (
+                    "pending merge-on-read delete sets: file lists are "
+                    "accurate but logically-deleted rows are still "
+                    "present in the advertised parquet"
+                ),
+            },
+            f,
+        )
+    os.replace(tmp, p)
 
 
 def _walk_parquet(root: str, unit_dir: str) -> list[tuple[str, int, int, dict]]:
@@ -113,9 +164,13 @@ def write_delta_log_entry(
     new_units: list[str],
     removed_units: list[str],
     prev_schema_json: str | None,
+    rows_diverge: bool = False,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
-    written path. Idempotent per version (atomic link, first wins)."""
+    written path. Idempotent per version (atomic link, first wins).
+
+    ``rows_diverge=True`` (commit carries merge-on-read delete sets)
+    additionally publishes the ``_STALE`` marker; False clears it."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
     os.makedirs(log_dir, exist_ok=True)
 
@@ -184,6 +239,7 @@ def write_delta_log_entry(
         pass  # a racing writer already published this version's entry
     finally:
         os.unlink(tmp)
+    _set_stale(table_path, version, rows_diverge)
     return final
 
 
@@ -257,6 +313,7 @@ def write_checkpoint(table_path: str, version: int) -> str:
     protocol: dict | None = None
     metadata: dict | None = None
     live: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     for v in range(version + 1):
         for a in _read_version_actions(log_dir, v):
             if "protocol" in a:
@@ -265,13 +322,29 @@ def write_checkpoint(table_path: str, version: int) -> str:
                 metadata = a["metaData"]
             elif "add" in a:
                 live[a["add"]["path"]] = a["add"]
+                tombstones.pop(a["add"]["path"], None)
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
+                tombstones[a["remove"]["path"]] = a["remove"]
 
-    # one row carries protocol, one carries metaData, then one per file
-    rows = [{"protocol": protocol, "metaData": None, "add": None},
-            {"protocol": None, "metaData": metadata, "add": None}]
-    rows += [{"protocol": None, "metaData": None, "add": add} for add in live.values()]
+    # One row carries protocol, one carries metaData, one per live
+    # file, one per unexpired remove tombstone (the spec requires
+    # tombstones inside the retention window so readers reconciling
+    # against stale listings do not resurrect removed files; every
+    # tombstone since log start is kept — a superset of any retention
+    # window, and harmless to replay).
+    rows = [
+        {"protocol": protocol, "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": metadata, "add": None, "remove": None},
+    ]
+    rows += [
+        {"protocol": None, "metaData": None, "add": add, "remove": None}
+        for add in live.values()
+    ]
+    rows += [
+        {"protocol": None, "metaData": None, "add": None, "remove": rm}
+        for rm in tombstones.values()
+    ]
 
     schema = pa.schema(
         [
@@ -281,6 +354,13 @@ def write_checkpoint(table_path: str, version: int) -> str:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        # readerFeatures/writerFeatures are REQUIRED
+                        # whenever the versions are 3/7 (e.g.
+                        # timestampNtz tables); dropping them here
+                        # would advertise an invalid protocol row that
+                        # spec-compliant readers reject
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -325,6 +405,16 @@ def write_checkpoint(table_path: str, version: int) -> str:
                     ]
                 ),
             ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
     # map-typed fields arrive as dicts; pyarrow wants item lists
@@ -349,12 +439,18 @@ def write_checkpoint(table_path: str, version: int) -> str:
             "protocol": r["protocol"],
             "metaData": _norm_meta(r["metaData"]),
             "add": _maps(r["add"], ("partitionValues",)),
+            "remove": r["remove"],
         }
         for r in rows
     ]
     table = pa.Table.from_pylist(norm_rows, schema=schema)
     final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(table, final)
+    # tmp + atomic rename (same publish pattern as _last_checkpoint):
+    # a reader that discovers checkpoints by listing the log dir must
+    # never open a partially written parquet file
+    tmp_pq = final + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(table, tmp_pq)
+    os.replace(tmp_pq, final)
     last = {"version": version, "size": table.num_rows}
     tmp = os.path.join(log_dir, f"_last_checkpoint.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -367,7 +463,12 @@ def maybe_write_checkpoint(
     table_path: str, version: int, interval: int = CHECKPOINT_INTERVAL
 ) -> str | None:
     """Checkpoint when the version hits the interval boundary (the
-    Delta default is every 10 commits)."""
+    Delta default is every 10 commits). Suspended while the mirror is
+    marked stale — advertising a checkpoint of a row-divergent
+    snapshot via _last_checkpoint would upgrade a temporary, flagged
+    divergence into a durable pointer."""
+    if delta_log_is_stale(table_path) is not None:
+        return None
     if (version + 1) % interval == 0:
         return write_checkpoint(table_path, version)
     return None

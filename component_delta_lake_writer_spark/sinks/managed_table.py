@@ -152,6 +152,11 @@ class ManagedTable:
                 [u for u in prev_units if u not in set(commit.data_units)]
             ),
             prev_schema_json=prev.schema_json if prev else None,
+            # merge-on-read delete sets are not representable as Delta
+            # JSON actions (deletion vectors need binary DV files);
+            # the mirror is flagged stale until a rewrite materializes
+            # them, instead of silently serving deleted rows
+            rows_diverge=bool(commit.delete_sets),
         )
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
@@ -1311,10 +1316,12 @@ class ManagedTable:
         cutoff_ms = int(time.time() * 1000) - int(retention_hours * 3600_000)
         live = set(prev.data_units)
         live_deletes = {ds["path"] for ds in prev.delete_sets}
+        live_versions = {prev.version}
         for c in self.history():
             if c.timestamp_ms >= cutoff_ms:
                 live.update(c.data_units)
                 live_deletes.update(ds["path"] for ds in c.delete_sets)
+                live_versions.add(c.version)
         removed = 0
         for unit in os.listdir(self._data_dir):
             if unit not in live:
@@ -1329,6 +1336,26 @@ class ManagedTable:
                     if not dry_run:
                         shutil.rmtree(
                             os.path.join(self._deletes_dir, d),
+                            ignore_errors=True,
+                        )
+                    removed += 1
+        # CDF change sets follow the same liveness rule as data units:
+        # _changes/vN belongs to commit N, so it is reclaimed exactly
+        # when commit N falls outside the retention window (otherwise a
+        # CDF-enabled table accumulates per-upsert change parquet
+        # forever).
+        if os.path.isdir(self._changes_dir):
+            for d in os.listdir(self._changes_dir):
+                if not d.startswith("v"):
+                    continue
+                try:
+                    v = int(d[1:])
+                except ValueError:
+                    continue
+                if v not in live_versions:
+                    if not dry_run:
+                        shutil.rmtree(
+                            os.path.join(self._changes_dir, d),
                             ignore_errors=True,
                         )
                     removed += 1

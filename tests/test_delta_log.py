@@ -195,3 +195,122 @@ def test_checkpoint_written_and_replayed(spark, tmp_path):
         *[os.path.join(t.path, f) for f in files]
     )
     assert got.count() == t.read().count()
+
+
+def test_checkpoint_carries_protocol_features_and_tombstones(spark, tmp_path):
+    """Spec compliance: a timestampNtz table's checkpoint must carry
+    readerFeatures/writerFeatures inside the protocol struct (a 3/7
+    protocol row without them is invalid), and remove tombstones for
+    files dropped from the snapshot."""
+    import pyarrow.parquet as pq
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        write_checkpoint,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    o = load_table(spark, SF, "orders")  # carries timestamp_ntz
+    t.write(o.limit(100), mode="overwrite")          # v0
+    t.write(o.limit(50), mode="overwrite")           # v1: v0 files removed
+    t.write(o.limit(10), mode="append")              # v2
+    write_checkpoint(t.path, 2)
+    rows = pq.read_table(
+        os.path.join(t.path, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    ).to_pylist()
+    proto = next(r["protocol"] for r in rows if r["protocol"])
+    assert proto["minReaderVersion"] == 3
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    tombs = [r["remove"] for r in rows if r["remove"]]
+    assert tombs, "overwritten v0 files need remove tombstones"
+    assert all(
+        tomb["path"] and tomb["deletionTimestamp"] for tomb in tombs
+    )
+    adds = {r["add"]["path"] for r in rows if r["add"]}
+    assert adds.isdisjoint({tomb["path"] for tomb in tombs})
+
+
+def test_mor_commits_mark_delta_mirror_stale(spark, tmp_path):
+    """Equality deletes are not representable as Delta JSON actions:
+    while delete sets are pending the mirror must advertise staleness
+    (and suspend checkpoints); the marker clears when a rewrite
+    materializes the deletes."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        delta_log_is_stale,
+        maybe_write_checkpoint,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    assert delta_log_is_stale(t.path) is None
+    t.delete_where("k >= 90", strategy="merge-on-read")
+    info = delta_log_is_stale(t.path)
+    assert info is not None and info["version"] == 1
+    assert maybe_write_checkpoint(t.path, 9) is None  # suspended
+    # MOR upsert keeps it stale
+    t.upsert(
+        df.filter(F.col("k") < 5), ["k"], strategy="merge-on-read"
+    )
+    assert delta_log_is_stale(t.path) is not None
+    # optimize materializes every pending delete -> marker clears and
+    # the mirror replays to exactly the engine's snapshot again
+    t.optimize()
+    assert delta_log_is_stale(t.path) is None
+    files, _, _ = replay_delta_log(t.path)
+    got = spark.read.parquet(*[os.path.join(t.path, f) for f in files])
+    assert got.count() == t.read().count() == 90
+
+
+def test_vacuum_reclaims_expired_change_sets(spark, tmp_path):
+    """CDF change-set dirs follow the unit liveness rule: vacuum
+    deletes _changes/vN exactly when commit N left the retention
+    window."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    props = {"enableChangeDataFeed": True}
+    t.write(df, mode="overwrite", primary_key=["k"], properties=props)
+    for i in range(3):
+        t.upsert(
+            df.filter(F.col("k") % 5 == i).withColumn(
+                "v", F.lit(-1 - i).cast("long")
+            ),
+            ["k"],
+        )
+    cdir = os.path.join(t.path, "_changes")
+    assert sorted(os.listdir(cdir)) == ["v1", "v2", "v3"]
+    # retention window keeps everything -> nothing reclaimed
+    assert t.vacuum(retention_hours=1.0) == 0
+    assert sorted(os.listdir(cdir)) == ["v1", "v2", "v3"]
+    # aggressive vacuum keeps only the latest snapshot's commit
+    t.vacuum(retention_hours=0.0)
+    assert sorted(os.listdir(cdir)) == ["v3"]
+    # the surviving change set still reads
+    assert t.read_changes(2).count() > 0
+
+
+def test_cdf_change_set_carries_schema_merge_columns(spark, tmp_path):
+    """A schema_mode='merge' upsert's NEW columns must reach the
+    persisted change set (projecting onto the old target schema would
+    NULL them out for CDF consumers)."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(
+        df, mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    src = spark.range(5, 12).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("tagged").alias("tag"),
+    )
+    t.upsert(src, ["k"], schema_mode="merge")
+    ch = t.read_changes(0)
+    assert "tag" in ch.columns
+    assert ch.filter(F.col("tag") == "tagged").count() == 7
