@@ -20,8 +20,12 @@ Workloads (BASELINE.md §2):
   copy-on-write merge (source ∪ target-anti-source), the delta-rs
   merge equivalent (component.py:238-260 semantics), re-materialized.
 
-Prints ONE JSON line; run with default (reference) profile and
---threads N for the hardware-matched profile.
+``measure()`` is importable — bench.py re-measures this twin IN THE
+SAME RUN as the Spark envelope so the bench_vs_baseline ratio compares
+like-for-like under whatever page-cache state the round runs in
+(BASELINE.md documents the fixed-recording ratio swinging ~1.8→2.3
+between warm and cold cache). The CLI entry point records the fixed
+profiles in BASELINE_DUCKDB.json.
 """
 
 from __future__ import annotations
@@ -39,22 +43,19 @@ import duckdb
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--threads", type=int, default=1)
-    ap.add_argument("--max-memory-mb", type=int, default=256)
-    ap.add_argument(
-        "--scale", type=int, default=1,
-        help="replicate inputs N× (key-offset union) — the compute-"
-        "bound regime where engine throughput, not per-job overhead, "
-        "is measured",
-    )
-    args = ap.parse_args()
-
+def measure(
+    threads: int = 1,
+    max_memory_mb: int = 256,
+    scale: int = 1,
+    sf_dir: str | None = None,
+    verbose: bool = True,
+) -> dict[str, float]:
+    """Run the three envelope workloads once; returns {workload: sec}."""
+    sf_dir = sf_dir or SF_DIR
     work = tempfile.mkdtemp(prefix="duckdb_envelope_")
     con = duckdb.connect(os.path.join(work, "env.duckdb"))
-    con.execute(f"SET threads={args.threads}")
-    con.execute(f"SET max_memory='{args.max_memory_mb}MB'")
+    con.execute(f"SET threads={threads}")
+    con.execute(f"SET max_memory='{max_memory_mb}MB'")
     con.execute("SET preserve_insertion_order=true")
 
     timings: dict[str, float] = {}
@@ -63,14 +64,15 @@ def main() -> None:
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        if verbose:
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     def replicated(table: str, key: str) -> str:
         """N-way key-offset union of one parquet input (--scale)."""
         parts = [
             f"SELECT * REPLACE ({key} + {i * 10**10} AS {key}) "
-            f"FROM read_parquet('{SF_DIR}/{table}.parquet')"
-            for i in range(args.scale)
+            f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+            for i in range(scale)
         ]
         return "(" + " UNION ALL ".join(parts) + ")"
 
@@ -166,6 +168,22 @@ def main() -> None:
 
     con.close()
     shutil.rmtree(work, ignore_errors=True)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--max-memory-mb", type=int, default=256)
+    ap.add_argument(
+        "--scale", type=int, default=1,
+        help="replicate inputs N× (key-offset union) — the compute-"
+        "bound regime where engine throughput, not per-job overhead, "
+        "is measured",
+    )
+    args = ap.parse_args()
+
+    timings = measure(args.threads, args.max_memory_mb, args.scale)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
