@@ -304,6 +304,52 @@ def kmeans_clusters(
     return assign(cents).select("pid", "cid", "dist2")
 
 
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    lloyd_iterations: int = 2,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = coarse k-means over the embeddings, then prune
+    items that have a too-similar neighbor WITHIN their cluster.
+    Returns the kept rows (pid, cid).
+
+    Determinism: the keep rule is "prune b iff some a < b in the same
+    cluster has cosine(a, b) > threshold" — greedy by ascending id,
+    the engine-portable stand-in for the paper's keep-one-per-ε-ball
+    (which breaks ties by RNG). Clustering is the seeded
+    ``kmeans_clusters`` (no RNG), cosine is the sequential-fold shape,
+    so the whole operator differential-tests against a SQL oracle.
+
+    Scale: the quadratic blowup is confined to within-cluster pairs —
+    one equi-join on cid (shuffle-partitioned by cluster), never an
+    all-pairs cross join. Run with k ~ N/⟨cluster⟩ so per-cluster
+    pair counts stay bounded; the paper itself uses 50k clusters for
+    LAION-scale corpora. The final anti-join is left to AQE: the
+    pruned-id set is narrow (one id column) but can reach a large
+    fraction of the corpus (the paper prunes ~50%), so a forced
+    broadcast would be wrong at scale."""
+    asg = kmeans_clusters(df, k, lloyd_iterations, vec_col, id_col).select(
+        "pid", "cid"
+    )
+    pts = df.select(
+        F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("x")
+    ).join(asg, "pid")
+    a = pts.select("cid", F.col("pid").alias("pa"), F.col("x").alias("xa"))
+    b = pts.select("cid", F.col("pid").alias("pb"), F.col("x").alias("xb"))
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(cosine(F.col("xa"), F.col("xb")) > F.lit(threshold))
+        .select(F.col("pb").alias("pid"))
+        .distinct()
+    )
+    return pts.join(pruned, "pid", "left_anti").select("pid", "cid")
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "vec", id_col: str = "vec_id"
 ) -> DataFrame:

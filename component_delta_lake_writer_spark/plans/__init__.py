@@ -36,8 +36,10 @@ _FRONT = [
     # -- err in round 2 (driver canonicalizer vs array column); probe
     # now emits scalar (vec_id, pos, q_i, scale) rows --
     "quantize_embeddings_int8",
-    # -- new this round: merge-on-read upsert (O(source) write cost) --
+    # -- new this round: merge-on-read upsert (O(source) write cost),
+    # SemDeDup semantic pruning --
     "upsert_mor",
+    "semdedup_prune",
     # -- never-checked composites and LLM-pipeline family --
     "pipeline_clean_corpus",
     "dedup_cluster_resolve",
@@ -74,7 +76,6 @@ _FRONT = [
     "stats_agg",
     "correlated_min_price",
     "range_join_price_bands",
-    "corpus_mix_report",
     # -- never-checked TPC-H shapes (16) --
     "tpch_q2_min_cost_supplier",
     "tpch_q4_exists_priority",
@@ -93,9 +94,10 @@ _FRONT = [
     "tpch_q21_sole_late_supplier",
     "tpch_q22_dormant_customers",
     # ------------------------------------------------------------------
-    # Positions 51+: round-4 front-runners (the 6 deferred
+    # Positions 51+: round-4 front-runners (the 7 deferred
     # never-checked keys), then standing-green keys.
     # ------------------------------------------------------------------
+    "corpus_mix_report",
     "frame_sample_plan",
     "csv_quoted_edge",
     "parquet_scan_multifile",

@@ -155,6 +155,75 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_SQL = (
+    "(list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i] * {a}[i]), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {b}[i] * {b}[i]), (x, y) -> x + y))))"
+)
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id AS pid,
+        list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    c0 AS (SELECT pid AS cid, x AS c FROM pts WHERE pid < 8),
+    a1 AS (
+      SELECT pid, x, cid FROM (
+        SELECT p.pid, p.x, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+            {_D2_SQL.format(x='p.x', c='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN c0 c) t
+      WHERE rn = 1
+    ),
+    comp1 AS (
+      SELECT cid, i AS pos,
+        CAST(SUM(CAST(ROUND(x[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS m
+      FROM a1 CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM comp1 GROUP BY cid),
+    a2 AS (
+      SELECT pid, cid FROM (
+        SELECT p.pid, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+            {_D2_SQL.format(x='p.x', c='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN c1 c) t
+      WHERE rn = 1
+    ),
+    asgx AS (SELECT a2.pid, a2.cid, p.x FROM a2 JOIN pts p USING (pid)),
+    pruned AS (
+      SELECT DISTINCT b.pid
+      FROM asgx a JOIN asgx b
+        ON a.cid = b.cid AND a.pid < b.pid
+      WHERE {_COS_SQL.format(a='a.x', b='b.x')} > 0.4
+    )
+    SELECT pid, cid FROM a2
+    WHERE pid NOT IN (SELECT pid FROM pruned)
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators.similarity.semdedup, arXiv:2303.09540):
+    seeded k-means (k=8, 2 Lloyd iterations) then within-cluster
+    cosine pruning at threshold 0.4, greedy by ascending id. The
+    oracle mirrors the ENTIRE pipeline — clustering CTE chain (same
+    as kmeans_embedding_clusters) + the pairwise prune — so both the
+    cluster boundaries and the prune decisions are differential-
+    checked. Output: every kept (pid, cid) row."""
+    from component_delta_lake_writer_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, lloyd_iterations=2, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Wave 4: domain balancing, token-budget mixing, unigram-LM quality,
 # exact-substring span detection.

@@ -299,3 +299,35 @@ def test_selective_upsert_scans_only_touched_units(spark):
         ).count()
         # rewritten unit holds only the touched half's rows
         assert scanned == o.filter(F.col("o_orderkey") >= lo + half).count()
+
+
+def test_mor_delete_antijoin_broadcasts_small_delete_set(spark, tmp_path):
+    """The 100 TB contract for merge-on-read reads: the target scan
+    anti-joins the (small) delete set via broadcast — the target side
+    must never shuffle to apply a delete file. Catalyst gets this from
+    the delete file's size stats; pin it so a refactor that hides the
+    file-backed stats (e.g. wrapping the delete scan in a barrier)
+    shows up here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    df = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.delete_where("k % 100 = 0", strategy="merge-on-read")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # same contract through the MOR upsert's delete set
+    src = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    t.upsert(src, ["k"], strategy="merge-on-read")
+    plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2 and "SortMergeJoin" not in plan2
