@@ -37,9 +37,11 @@ _FRONT = [
     # now emits scalar (vec_id, pos, q_i, scale) rows --
     "quantize_embeddings_int8",
     # -- new this round: merge-on-read upsert (O(source) write cost),
-    # SemDeDup semantic pruning --
+    # SemDeDup semantic pruning, ADD/DROP COLUMN DDL, TIMESTAMP AS OF --
     "upsert_mor",
     "semdedup_prune",
+    "alter_table_columns",
+    "time_travel_timestamp",
     # -- never-checked composites and LLM-pipeline family --
     "pipeline_clean_corpus",
     "dedup_cluster_resolve",
@@ -91,12 +93,12 @@ _FRONT = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
     "tpch_q20_excess_volume_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_dormant_customers",
     # ------------------------------------------------------------------
-    # Positions 51+: round-4 front-runners (the 7 deferred
+    # Positions 51+: round-4 front-runners (the 9 deferred
     # never-checked keys), then standing-green keys.
     # ------------------------------------------------------------------
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_customers",
     "corpus_mix_report",
     "frame_sample_plan",
     "csv_quoted_edge",

@@ -330,6 +330,44 @@ def upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@query("alter_table_columns")
+def alter_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/DROP COLUMN (Delta instant schema DDL): both
+    are metadata-only commits — existing units read the added column
+    as typed NULL and stop presenting the dropped one, with zero data
+    rewritten. The probe: add discount_pct, append a batch that fills
+    it, drop o_orderpriority; the read-back is fully predicted by the
+    oracle."""
+    t = _fresh_table(spark, "alter_table_columns", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    units_before = list(t.latest_commit().data_units)
+    t.add_column("discount_pct", "double")
+    assert t.latest_commit().data_units == units_before  # metadata-only
+    t.write(o.withColumn("discount_pct", F.lit(5.0)), mode="append")
+    t.drop_column("o_orderpriority")
+    out = t.read()
+    assert "o_orderpriority" not in out.columns
+    return out
+
+
+@query("time_travel_timestamp")
+def time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel: reading at commit v0's own
+    timestamp returns exactly the v0 snapshot even after a later
+    append (resolution = latest commit at-or-before the instant)."""
+    import time as _time
+
+    t = _fresh_table(spark, "time_travel_timestamp", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    ts0 = t.latest_commit().timestamp_ms
+    _time.sleep(0.02)  # commits are ms-stamped; force v1 strictly later
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    assert t.latest_commit().timestamp_ms > ts0
+    return t.read(timestamp_ms=ts0)
+
+
 @query("upsert_cdc_ordered")
 def upsert_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay with deterministic last-write-wins: three change
@@ -444,6 +482,18 @@ _O["mor_delete_read"] = """
     WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 3 = 0,
                        FALSE)
 """
+_O["alter_table_columns"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, CAST(NULL AS DOUBLE) AS discount_pct
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, 5.0 AS discount_pct
+    FROM orders
+"""
+_O["time_travel_timestamp"] = (
+    "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+)
 _O["upsert_mor"] = """
     WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
     SELECT o_orderkey,

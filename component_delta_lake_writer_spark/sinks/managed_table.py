@@ -308,8 +308,30 @@ class ManagedTable:
 
     # ---------- read path ----------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read as ONE multi-path scan.
+    def commit_at_timestamp(self, timestamp_ms: int) -> Commit:
+        """``TIMESTAMP AS OF`` resolution (Delta time travel): the
+        latest commit whose timestamp is <= the given epoch-ms (what a
+        reader at that wall-clock instant would have seen)."""
+        best: Commit | None = None
+        for v in self._versions():
+            c = self.commit_at(v)
+            if c.timestamp_ms <= timestamp_ms:
+                best = c
+        if best is None:
+            raise UserException(
+                f"No commit at or before timestamp {timestamp_ms} at "
+                f"{self.path}"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read as ONE multi-path scan — optionally time-
+        traveled by version (``VERSION AS OF``) or epoch-ms timestamp
+        (``TIMESTAMP AS OF``).
 
         The committed schema is authoritative: passing it explicitly
         makes the parquet reader fill columns absent from older data
@@ -320,10 +342,88 @@ class ManagedTable:
         Type conflicts across units cannot arise: schema_mode='merge'
         only adds columns. Partitioned units keep hive discovery per
         provided root path."""
-        commit = self.commit_at(version) if version is not None else self.latest_commit()
+        if version is not None and timestamp_ms is not None:
+            raise UserException(
+                "Pass either version or timestamp_ms, not both."
+            )
+        if timestamp_ms is not None:
+            commit = self.commit_at_timestamp(timestamp_ms)
+        elif version is not None:
+            commit = self.commit_at(version)
+        else:
+            commit = self.latest_commit()
         if commit is None:
             raise UserException(f"No table at {self.path}")
         return self._read_units(commit, commit.data_units)
+
+    # ---------- schema DDL (ALTER TABLE ADD/DROP COLUMN) ----------
+
+    def add_column(self, name: str, dtype: str) -> Commit:
+        """``ALTER TABLE … ADD COLUMN name type`` — metadata-only
+        commit (no data rewritten): the column joins the committed
+        schema and every existing unit reads it as typed NULL through
+        the authoritative-schema scan, exactly Delta's instant ADD
+        COLUMN. Later writes must include it (schema compatibility is
+        checked against the evolved schema)."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name in {f.name for f in schema.fields}:
+            raise UserException(f"Column {name!r} already exists.")
+        field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        new_schema = T.StructType(list(schema.fields) + [field])
+        commit = Commit(
+            version=prev.version + 1,
+            action="add_column",
+            data_units=list(prev.data_units),
+            schema_json=json.dumps(new_schema.jsonValue()),
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def drop_column(self, name: str) -> Commit:
+        """``ALTER TABLE … DROP COLUMN name`` — metadata-only commit:
+        the column leaves the committed schema; on-disk parquet keeps
+        the bytes (the authoritative-schema scan simply never reads
+        them, and a later optimize/rewrite physically sheds them —
+        Delta's drop-then-REORG contract). Primary-key and partition
+        columns are load-bearing and refuse to drop."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        if name in (prev.primary_key or []):
+            raise UserException(f"Cannot drop primary-key column {name!r}.")
+        if name in (prev.partition_by or []):
+            raise UserException(f"Cannot drop partition column {name!r}.")
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name not in {f.name for f in schema.fields}:
+            raise UserException(f"No column {name!r} on this table.")
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        if not new_schema.fields:
+            raise UserException("Cannot drop the last column.")
+        commit = Commit(
+            version=prev.version + 1,
+            action="drop_column",
+            data_units=list(prev.data_units),
+            schema_json=json.dumps(new_schema.jsonValue()),
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
+        )
+        self._publish(commit, prev)
+        return commit
 
     @property
     def _deletes_dir(self) -> str:

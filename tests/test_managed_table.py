@@ -233,3 +233,62 @@ def test_restore_to_version(spark, tmp_path_str):
     t.vacuum()
     with pytest.raises(UserException, match="vacuumed"):
         t.restore(2)
+
+
+def test_add_drop_column_metadata_only(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    units = list(t.latest_commit().data_units)
+    c = t.add_column("w", "double")
+    assert c.data_units == units  # nothing rewritten
+    out = t.read()
+    assert out.schema["w"].dataType.simpleString() == "double"
+    assert out.filter(F.col("w").isNull()).count() == 10
+    # duplicate add refused
+    with pytest.raises(UserException, match="already exists"):
+        t.add_column("w", "double")
+    # writes must now carry the evolved schema
+    t.write(
+        df.withColumn("w", F.lit(1.5)), mode="append"
+    )
+    assert t.read().filter(F.col("w") == 1.5).count() == 10
+    # drop a data column
+    c2 = t.drop_column("v")
+    assert c2.data_units == c.data_units == units or len(c2.data_units) == 2
+    assert "v" not in t.read().columns
+    assert t.read().count() == 20
+    # PK column is load-bearing
+    with pytest.raises(UserException, match="primary-key"):
+        t.drop_column("k")
+    with pytest.raises(UserException, match="No column"):
+        t.drop_column("nope")
+    # time travel shows the pre-DDL schema
+    assert "v" in t.read(version=0).columns
+    assert "w" not in t.read(version=0).columns
+
+
+def test_read_timestamp_as_of(spark, tmp_path_str):
+    import os
+    import time as _time
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t.write(df, mode="overwrite")
+    ts0 = t.latest_commit().timestamp_ms
+    _time.sleep(0.02)
+    t.write(df, mode="append")
+    assert t.read(timestamp_ms=ts0).count() == 10
+    assert t.read(timestamp_ms=t.latest_commit().timestamp_ms).count() == 20
+    with pytest.raises(UserException, match="at or before"):
+        t.read(timestamp_ms=ts0 - 10_000)
+    with pytest.raises(UserException, match="not both"):
+        t.read(version=0, timestamp_ms=ts0)
