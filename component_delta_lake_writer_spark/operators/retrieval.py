@@ -1,0 +1,108 @@
+"""Sparse lexical retrieval: Okapi BM25 ranking over the corpus.
+
+The reference writer has no retrieval surface (it is a load/DDL
+component, ``/root/reference/src/component.py:84-260``); this module is
+part of the training-data-pipeline extension family (SURVEY §7 M4):
+scoring a small set of term queries against the full document corpus is
+the retrieval step of RAG data curation and of query-based corpus
+audits.
+
+Scale posture (100 TB): the token explode is map-side only; the token
+stream is immediately semi-joined against the *broadcast* query
+vocabulary, so every shuffle downstream of the explode carries only
+rows whose term appears in some query — O(|docs| x |query vocab|)
+worst case, in practice a tiny fraction of the corpus. Corpus-level
+scalars (N, avgdl) are one integer-exact aggregate. No per-row Python;
+everything is Catalyst expressions.
+
+Float determinism across engines: each per-(doc, term) BM25
+contribution is a fixed-length arithmetic expression (deterministic),
+rounded to 6 decimals and accumulated as DECIMAL(18,6) so the
+cross-term sum is order-free (the registry's round->decimal idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.operators.text import normalize_text
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Rank documents against term queries with Okapi BM25.
+
+    ``queries`` is a small (query_id, term) relation — one row per
+    query term, broadcast to every executor. Returns the top ``k``
+    documents per query as (query_id, doc_id, score, rk), score
+    descending with doc_id as the deterministic tie-break.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))        (Okapi/Lucene)
+    w(t, D) = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(Q, D) = sum of round(w, 6) over terms of Q      (decimal-exact)
+    """
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text)), " ")).alias("term"),
+    )
+    # Persist the token stream: the scalar aggregate below materializes
+    # it, and the returned plan's dl/tf branches then read the cache
+    # instead of re-running the explode (tfidf_top_terms precedent).
+    tok = tok.persist()
+
+    # Corpus scalars: integer-exact sum/count, one double division.
+    n_docs, total_len = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    avgdl = float(total_len) / float(n_docs)
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    vocab = queries.select("term").distinct()
+    # Semi-join the token stream against the broadcast query
+    # vocabulary BEFORE any shuffle: downstream tf/df aggregates
+    # only ever see matching terms.
+    matched = tok.join(F.broadcast(vocab), "term")
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = tf.join(F.broadcast(df_), "term").join(dl, "doc_id").select(
+        "doc_id",
+        "term",
+        F.round(idf * norm, 6).cast("decimal(18,6)").alias("w"),
+    )
+    scored = (
+        contrib.join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").cast("double").alias("score"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )

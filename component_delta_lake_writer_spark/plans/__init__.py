@@ -106,6 +106,9 @@ _FRONT = [
     "distinct_users_hourly",
     "csv_gzip_scan",
     "multimodal_byte_features",
+    # -- new in round 3 (registered after the round-3 front-50 was
+    # locked; first driver check in round 4) --
+    "bm25_topk_docs",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -519,3 +519,77 @@ def quantile_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+_BM25_QUERIES = [
+    (1, "hash"),
+    (1, "join"),
+    (2, "window"),
+    (2, "stream"),
+    (2, "agg"),
+    (3, "vector"),
+    (3, "scan"),
+]
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    tok AS (
+      SELECT doc_id, t.tok AS term
+      FROM (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents) d,
+      LATERAL (SELECT unnest(string_split(d.norm, ' ')) AS tok) t
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT tok.doc_id, tok.term, COUNT(*) AS tf
+      FROM tok JOIN (SELECT DISTINCT term FROM q) v USING (term)
+      GROUP BY tok.doc_id, tok.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+        CAST(ROUND(
+          ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * (1.2::DOUBLE + 1.0)
+          / (tf.tf + 1.2::DOUBLE
+             * ((1.0 - 0.75::DOUBLE)
+                + 0.75::DOUBLE * dl.dl / stats.avgdl)),
+          6) AS DECIMAL(18,6)) AS w
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT query_id, doc_id, score, rk FROM (
+      SELECT q.query_id, c.doc_id,
+        CAST(SUM(c.w) AS DOUBLE) AS score,
+        ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY CAST(SUM(c.w) AS DOUBLE) DESC, c.doc_id) AS rk
+      FROM contrib c JOIN q USING (term)
+      GROUP BY q.query_id, c.doc_id
+    ) WHERE rk <= 5
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators.retrieval.bm25_topk): three term
+    queries ranked against the whole corpus, top-5 docs per query. The
+    token stream is semi-joined against the broadcast query vocabulary
+    before any shuffle; per-term contributions go through the
+    round->decimal idiom so the cross-term score sum is order-free."""
+    from component_delta_lake_writer_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, term string"
+    )
+    return bm25_topk(docs, queries, k=5)
