@@ -109,6 +109,7 @@ _FRONT = [
     # -- new in round 3 (registered after the round-3 front-50 was
     # locked; first driver check in round 4) --
     "bm25_topk_docs",
+    "rename_column_mapping",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

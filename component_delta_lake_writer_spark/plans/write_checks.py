@@ -351,6 +351,52 @@ def alter_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("rename_column_mapping")
+def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN via column mapping mode=name (Delta
+    columnMapping): a metadata-only commit — zero data rewritten — the
+    committed schema shows the new logical name while the parquet
+    bytes keep the physical one. The probe proves the full contract:
+    (1) rename is metadata-only, (2) an append AFTER the rename lands
+    under the physical name so all units stay uniform, (3) data
+    skipping still prunes under the LOGICAL name (stats are keyed
+    physical), and (4) an external Delta reader resolves the mirror
+    through delta.columnMapping.physicalName field metadata."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    t = _fresh_table(spark, "rename_column_mapping", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    units_before = list(t.latest_commit().data_units)
+    t.rename_column("price", "amount")
+    c = t.latest_commit()
+    assert c.data_units == units_before, "rename must be metadata-only"
+    assert c.column_mapping == {"amount": "price"}
+    t.write(
+        o.filter(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey",
+            (F.col("price") * 2.0).alias("amount"),
+            "o_orderstatus",
+        ),
+        mode="append",
+    )
+    # logical-name data skipping: every unit's amount-min is > 0, so
+    # this must prune to the empty scan, not error on unknown names
+    assert t.read_where("amount < -1.0").count() == 0
+    # external reader path over the Delta mirror (physicalName fields)
+    ext = read_delta_table(spark, t.path)
+    assert ext.columns == ["o_orderkey", "amount", "o_orderstatus"]
+    back = t.read()
+    assert ext.count() == back.count()
+    return back
+
+
 @query("time_travel_timestamp")
 def time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP AS OF time travel: reading at commit v0's own
@@ -490,6 +536,15 @@ _O["alter_table_columns"] = """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, 5.0 AS discount_pct
     FROM orders
+"""
+_O["rename_column_mapping"] = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS amount,
+           o_orderstatus
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2.0 AS amount,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 11 = 0
 """
 _O["time_travel_timestamp"] = (
     "SELECT * FROM orders WHERE o_orderkey % 2 = 0"

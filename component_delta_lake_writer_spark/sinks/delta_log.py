@@ -126,29 +126,66 @@ def _needs_timestamp_ntz(schema_json: str) -> bool:
     return "timestamp_ntz" in schema_json
 
 
-def _protocol_action(schema_json: str) -> dict:
+def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     if _needs_timestamp_ntz(schema_json):
+        feats = ["timestampNtz"] + (["columnMapping"] if column_mapping else [])
         return {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["timestampNtz"],
-                "writerFeatures": ["timestampNtz"],
+                "readerFeatures": feats,
+                "writerFeatures": feats,
             }
         }
+    if column_mapping:
+        # columnMapping is a legacy reader 2 / writer 5 capability —
+        # no table-features protocol needed (Delta PROTOCOL.md §column
+        # mapping)
+        return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
+def _mapped_schema_string(schema_json: str, column_mapping: dict) -> str:
+    """Embed delta.columnMapping.{id,physicalName} field metadata into
+    the Spark schema JSON — the schemaString Delta writes under
+    columnMapping mode=name. Every field gets an id and a physical
+    name (identity for never-renamed columns), per the spec."""
+    schema = json.loads(schema_json)
+    for i, f in enumerate(schema.get("fields", [])):
+        meta = dict(f.get("metadata") or {})
+        meta["delta.columnMapping.id"] = i + 1
+        meta["delta.columnMapping.physicalName"] = column_mapping.get(
+            f["name"], f["name"]
+        )
+        f["metadata"] = meta
+    return json.dumps(schema)
+
+
 def _metadata_action(
-    table_id: str, schema_json: str, partition_by: list[str], created_ms: int
+    table_id: str,
+    schema_json: str,
+    partition_by: list[str],
+    created_ms: int,
+    column_mapping: dict | None = None,
 ) -> dict:
+    configuration: dict[str, str] = {}
+    if column_mapping is not None:
+        # mode=name once enabled stays enabled (the spec forbids
+        # disabling it); an empty dict means identity physical names
+        # (e.g. after optimize materialized all renames)
+        schema_json = _mapped_schema_string(schema_json, column_mapping)
+        n_fields = len(json.loads(schema_json).get("fields", []))
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(n_fields),
+        }
     return {
         "metaData": {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": partition_by,
-            "configuration": {},
+            "configuration": configuration,
             "createdTime": created_ms,
         }
     }
@@ -165,33 +202,55 @@ def write_delta_log_entry(
     removed_units: list[str],
     prev_schema_json: str | None,
     rows_diverge: bool = False,
+    column_mapping: dict | None = None,
+    prev_column_mapping: dict | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
 
     ``rows_diverge=True`` (commit carries merge-on-read delete sets)
-    additionally publishes the ``_STALE`` marker; False clears it."""
+    additionally publishes the ``_STALE`` marker; False clears it.
+
+    ``column_mapping`` (logical→physical names from RENAME COLUMN) is
+    mirrored as Delta columnMapping mode=name: schemaString fields
+    carry ``delta.columnMapping.{id,physicalName}`` metadata and the
+    protocol upgrades to reader 2 / writer 5 the first time the map
+    becomes non-empty (3/7 + feature names when timestampNtz already
+    forced table features)."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
     os.makedirs(log_dir, exist_ok=True)
 
+    cm = column_mapping or {}
+    prev_cm = prev_column_mapping or {}
     actions: list[dict] = []
     if version == 0:
-        actions.append(_protocol_action(schema_json))
+        actions.append(_protocol_action(schema_json, bool(cm)))
         actions.append(
             _metadata_action(
-                uuid.uuid4().hex, schema_json, partition_by, timestamp_ms
+                uuid.uuid4().hex, schema_json, partition_by, timestamp_ms,
+                column_mapping=cm if cm else None,
             )
         )
-    elif prev_schema_json is not None and prev_schema_json != schema_json:
-        # schema evolution: re-emit metaData with the merged schema,
-        # keeping the table id from version 0
+    elif (
+        prev_schema_json is not None and prev_schema_json != schema_json
+    ) or cm != prev_cm:
+        # schema evolution or a mapping change (rename / REORG reset):
+        # re-emit metaData, keeping the table id from version 0. Once
+        # any commit enabled column mapping the mode stays name (spec:
+        # cannot be disabled), with identity physical names after a
+        # materializing rewrite.
         tid = _table_id(log_dir) or uuid.uuid4().hex
-        if _needs_timestamp_ntz(schema_json) and not _needs_timestamp_ntz(
-            prev_schema_json
-        ):
-            actions.append(_protocol_action(schema_json))
+        mapped_mode = bool(cm or prev_cm or _log_has_mapping(log_dir))
+        ntz_flip = prev_schema_json is not None and _needs_timestamp_ntz(
+            schema_json
+        ) and not _needs_timestamp_ntz(prev_schema_json)
+        if ntz_flip or (cm and not prev_cm):
+            actions.append(_protocol_action(schema_json, bool(cm)))
         actions.append(
-            _metadata_action(tid, schema_json, partition_by, timestamp_ms)
+            _metadata_action(
+                tid, schema_json, partition_by, timestamp_ms,
+                column_mapping=cm if mapped_mode else None,
+            )
         )
 
     for unit in removed_units:
@@ -243,6 +302,34 @@ def write_delta_log_entry(
     return final
 
 
+def _log_has_mapping(log_dir: str) -> bool:
+    """True iff the most recent metaData action in the mirror already
+    enabled columnMapping mode=name (which the spec says can never be
+    disabled) — consulted when a later schema evolution happens after
+    all renames were materialized by a rewrite."""
+    if not os.path.isdir(log_dir):
+        return False
+    versions = sorted(
+        (
+            int(f[: -len(".json")])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and ".tmp." not in f
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        meta = None
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    meta = a["metaData"]
+        if meta is not None:
+            cfg = meta.get("configuration") or {}
+            return cfg.get("delta.columnMapping.mode") == "name"
+    return False
+
+
 def _table_id(log_dir: str) -> str | None:
     v0 = os.path.join(log_dir, f"{0:020d}.json")
     if not os.path.exists(v0):
@@ -282,6 +369,43 @@ def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
     return sorted(live), schema, partition_cols
+
+
+def read_delta_table(spark, table_path: str):
+    """What a spec-compliant external Delta reader does with this
+    mirror: checkpoint-aware replay → schemaString → scan the live
+    files, resolving columns through ``delta.columnMapping.
+    physicalName`` field metadata when the table uses columnMapping
+    mode=name (RENAME COLUMN tables). Unpartitioned tables only (the
+    probe surface; partitioned adds carry partitionValues instead)."""
+    from pyspark.sql import types as T
+
+    files, schema_str, pcols = replay_delta_log_from_checkpoint(table_path)
+    if pcols:
+        raise ValueError("read_delta_table handles unpartitioned tables")
+    sj = json.loads(schema_str)
+    logical = T.StructType.fromJson(sj)
+    phys_names = [
+        (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in sj.get("fields", [])
+    ]
+    physical = T.StructType(
+        [
+            T.StructField(pn, lf.dataType, lf.nullable)
+            for pn, lf in zip(phys_names, logical.fields)
+        ]
+    )
+    df = spark.read.schema(physical).parquet(
+        *[os.path.join(table_path, f) for f in files]
+    )
+    return df.select(
+        *[
+            df[pn].alias(lf.name)
+            for pn, lf in zip(phys_names, logical.fields)
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------

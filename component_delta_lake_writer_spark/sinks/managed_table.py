@@ -73,6 +73,14 @@ class Commit:
     # appended after the delete keep living even under a reused PK).
     # Compacted away by optimize(); [] on old commits.
     delete_sets: list = field(default_factory=list)
+    # ALTER TABLE … RENAME COLUMN (Delta column mapping, mode=name):
+    # {logical_name: physical_parquet_name} for columns whose on-disk
+    # name differs from the committed schema name. Reads scan under
+    # physical names and alias to logical; writes translate logical →
+    # physical so every unit stays uniform on disk; unit stats are
+    # keyed physical. Reset by full rewrites (optimize — Delta's
+    # REORG materialization). {} on old commits.
+    column_mapping: dict = field(default_factory=dict)
 
 
 class ManagedTable:
@@ -114,6 +122,20 @@ class ManagedTable:
             return Commit(**json.load(f))
 
     def _publish(self, commit: Commit, prev: Commit | None = None) -> None:
+        # Column-mapping invariant: on-disk (physical) names must stay
+        # unique or the physical scan schema is ambiguous. Guards the
+        # rename/add/schema-merge composition paths in one place.
+        schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        phys = [
+            commit.column_mapping.get(f.name, f.name) for f in schema.fields
+        ]
+        if len(set(phys)) != len(phys):
+            dupes = sorted({p for p in phys if phys.count(p) > 1})
+            raise UserException(
+                "Physical column name collision under column mapping: "
+                f"{dupes}. Rename the new column or run optimize() to "
+                "materialize pending renames first."
+            )
         os.makedirs(self._commits_dir, exist_ok=True)
         final = os.path.join(self._commits_dir, f"{commit.version:020d}.json")
         tmp = final + f".tmp.{uuid.uuid4().hex}"
@@ -157,6 +179,8 @@ class ManagedTable:
             # the mirror is flagged stale until a rewrite materializes
             # them, instead of silently serving deleted rows
             rows_diverge=bool(commit.delete_sets),
+            column_mapping=commit.column_mapping,
+            prev_column_mapping=prev.column_mapping if prev else None,
         )
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
@@ -264,7 +288,19 @@ class ManagedTable:
         if constraints:
             self._check_constraints(df, constraints)
 
-        unit = self._write_unit(df, partition_by, compression, max_records_per_file)
+        # Column mapping carries through appends (units written under
+        # physical names); create/overwrite starts a fresh identity map.
+        mapping = (
+            dict(prev.column_mapping)
+            if (prev is not None and mode == "append")
+            else {}
+        )
+        unit = self._write_unit(
+            self._to_physical(df, mapping),
+            partition_by,
+            compression,
+            max_records_per_file,
+        )
 
         if mode == "overwrite" or prev is None:
             units = [unit]
@@ -296,6 +332,7 @@ class ManagedTable:
             properties=properties or (prev.properties if prev else {}),
             stats=stats,
             delete_sets=delete_sets,
+            column_mapping=mapping,
         )
         self._publish(commit, prev)
         return commit
@@ -373,6 +410,13 @@ class ManagedTable:
             raise UserException(f"Column {name!r} already exists.")
         field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
         new_schema = T.StructType(list(schema.fields) + [field])
+        mapping = dict(prev.column_mapping)
+        if mapping:
+            # Under active column mapping every new column gets a fresh
+            # physical name (Delta does the same with field ids): the
+            # logical name may shadow some renamed column's old
+            # physical bytes, which must stay invisible.
+            mapping[name] = f"col-{uuid.uuid4().hex[:16]}"
         commit = Commit(
             version=prev.version + 1,
             action="add_column",
@@ -384,6 +428,7 @@ class ManagedTable:
             properties=prev.properties,
             stats=prev.stats,
             delete_sets=list(prev.delete_sets),
+            column_mapping=mapping,
         )
         self._publish(commit, prev)
         return commit
@@ -421,6 +466,65 @@ class ManagedTable:
             properties=prev.properties,
             stats=prev.stats,
             delete_sets=list(prev.delete_sets),
+            column_mapping={
+                k: v for k, v in prev.column_mapping.items() if k != name
+            },
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def rename_column(self, old: str, new: str) -> Commit:
+        """``ALTER TABLE … RENAME COLUMN old TO new`` — metadata-only
+        commit via column mapping (Delta columnMapping mode=name): no
+        data is rewritten; the committed schema carries the new logical
+        name and ``column_mapping`` remembers the physical parquet name
+        the bytes still live under. Primary-key and partition columns
+        refuse to rename (their names are load-bearing in delete sets
+        and hive directory layout), as do columns referenced by CHECK
+        constraints (Delta's own restriction)."""
+        import re
+
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        if old in (prev.primary_key or []):
+            raise UserException(f"Cannot rename primary-key column {old!r}.")
+        if old in (prev.partition_by or []):
+            raise UserException(f"Cannot rename partition column {old!r}.")
+        for cname, expr in (prev.properties.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise UserException(
+                    f"Cannot rename {old!r}: referenced by CHECK "
+                    f"constraint {cname!r} ({expr})."
+                )
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise UserException(f"No column {old!r} on this table.")
+        if new in names:
+            raise UserException(f"Column {new!r} already exists.")
+        mapping = {k: v for k, v in prev.column_mapping.items() if k != old}
+        mapping[new] = prev.column_mapping.get(old, old)
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        commit = Commit(
+            version=prev.version + 1,
+            action="rename_column",
+            data_units=list(prev.data_units),
+            schema_json=json.dumps(new_schema.jsonValue()),
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
+            column_mapping=mapping,
         )
         self._publish(commit, prev)
         return commit
@@ -428,6 +532,75 @@ class ManagedTable:
     @property
     def _deletes_dir(self) -> str:
         return os.path.join(self.path, "_deletes")
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+        """Translate a logical-named frame to on-disk physical names
+        before writing a unit (identity when no column is renamed)."""
+        if not mapping:
+            return df
+        targets = [mapping.get(c, c) for c in df.columns]
+        if len(set(targets)) != len(targets):
+            dupes = sorted({p for p in targets if targets.count(p) > 1})
+            raise UserException(
+                "Physical column name collision under column mapping: "
+                f"{dupes}. Rename the new column or run optimize() to "
+                "materialize pending renames first."
+            )
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
+    @staticmethod
+    def _physical_schema(schema: T.StructType, mapping: dict) -> T.StructType:
+        if not mapping:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+
+    def _scan_units(
+        self, paths: list[str], schema: T.StructType, mapping: dict
+    ) -> DataFrame:
+        """One multi-path FileScan under the physical schema, aliased
+        back to logical names — the single place reads cross the
+        column-mapping boundary."""
+        df = self.spark.read.schema(
+            self._physical_schema(schema, mapping)
+        ).parquet(*paths)
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+
+    @staticmethod
+    def _logical_stats(stats: dict, mapping: dict) -> dict:
+        """View unit stats (keyed by physical column names) under
+        logical names so data-skipping predicates written against the
+        committed schema prune correctly after renames."""
+        if not mapping:
+            return stats
+        inv = {v: k for k, v in mapping.items()}
+
+        def _cols(d: dict) -> dict:
+            return {inv.get(c, c): v for c, v in d.items() if c != "_files"}
+
+        out: dict = {}
+        for u, s in stats.items():
+            ns = _cols(s)
+            if "_files" in s:
+                ns["_files"] = {fn: _cols(fs) for fn, fs in s["_files"].items()}
+            out[u] = ns
+        return out
 
     def _read_units(self, commit: Commit, units: list[str]) -> DataFrame:
         """One multi-path scan over a subset of a commit's data units,
@@ -441,10 +614,11 @@ class ManagedTable:
         size is O(#delete epochs since last optimize), bounded by
         maintenance cadence — never O(deletes)."""
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        mapping = commit.column_mapping or {}
 
         def scan(us: list[str]) -> DataFrame:
             paths = [os.path.join(self._data_dir, u) for u in us]
-            return self.spark.read.schema(schema).parquet(*paths)
+            return self._scan_units(paths, schema, mapping)
 
         if not commit.delete_sets:
             return scan(units)
@@ -536,7 +710,9 @@ class ManagedTable:
         if commit is None:
             raise UserException(f"No table at {self.path}")
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        units = prune_units(commit.stats, commit.data_units, condition)
+        mapping = commit.column_mapping or {}
+        stats_view = self._logical_stats(commit.stats, mapping)
+        units = prune_units(stats_view, commit.data_units, condition)
         if commit.delete_sets:
             # merge-on-read deletes pending: unit-level pruning still
             # applies, but the scan must route through the delete-set
@@ -549,7 +725,7 @@ class ManagedTable:
         file_level = bool(parse_conjuncts(condition)) and not commit.partition_by
         for u in units:
             udir = os.path.join(self._data_dir, u)
-            detail = (commit.stats.get(u) or {}).get("_files")
+            detail = (stats_view.get(u) or {}).get("_files")
             if file_level and detail:
                 kept = prune_units(detail, list(detail), condition)
                 if len(kept) == len(detail):
@@ -563,7 +739,7 @@ class ManagedTable:
         if not paths:
             empty = self.spark.createDataFrame([], schema)
             return empty.filter(F.expr(condition))
-        return self.spark.read.schema(schema).parquet(*paths).filter(
+        return self._scan_units(paths, schema, mapping).filter(
             F.expr(condition)
         )
 
@@ -737,7 +913,10 @@ class ManagedTable:
                     *[F.col(f.name) for f in union_schema.fields]
                 )
             unit = self._write_unit(
-                merged, prev.partition_by, compression, max_records_per_file
+                self._to_physical(merged, prev.column_mapping),
+                prev.partition_by,
+                compression,
+                max_records_per_file,
             )
             stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
             stats[unit] = self._unit_stats(
@@ -756,6 +935,7 @@ class ManagedTable:
                 delete_sets=self._carry_delete_sets(
                     prev.delete_sets, untouched
                 ),
+                column_mapping=dict(prev.column_mapping),
             )
             self._publish(commit, prev)
             # CDF: persist this commit's change set (inserts + the
@@ -880,7 +1060,10 @@ class ManagedTable:
                 else:
                     shutil.rmtree(dest, ignore_errors=True)
             unit = self._write_unit(
-                src, prev.partition_by, compression, max_records_per_file
+                self._to_physical(src, prev.column_mapping),
+                prev.partition_by,
+                compression,
+                max_records_per_file,
             )
             stats = {u: prev.stats[u] for u in prev.data_units if u in prev.stats}
             stats[unit] = self._unit_stats(unit, per_file=not prev.partition_by)
@@ -895,6 +1078,7 @@ class ManagedTable:
                 properties=effective_props,
                 stats=stats,
                 delete_sets=delete_sets,
+                column_mapping=dict(prev.column_mapping),
             )
             self._publish(commit, prev)
             if commit.properties.get("enableChangeDataFeed"):
@@ -989,6 +1173,7 @@ class ManagedTable:
             properties={**prev.properties, "constraints": cons},
             stats=prev.stats,
             delete_sets=list(prev.delete_sets),
+            column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
         return commit
@@ -1013,6 +1198,7 @@ class ManagedTable:
             properties={**prev.properties, "constraints": cons},
             stats=prev.stats,
             delete_sets=list(prev.delete_sets),
+            column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
         return commit
@@ -1073,7 +1259,10 @@ class ManagedTable:
             if constraints:
                 self._check_constraints(rewritten, constraints)
             unit = self._write_unit(
-                rewritten, prev.partition_by, compression, max_records_per_file
+                self._to_physical(rewritten, prev.column_mapping),
+                prev.partition_by,
+                compression,
+                max_records_per_file,
             )
             ustats = self._unit_stats(unit, per_file=not prev.partition_by)
             if ustats["_rows"] > 0:
@@ -1094,6 +1283,7 @@ class ManagedTable:
             properties=prev.properties,
             stats=stats,
             delete_sets=self._carry_delete_sets(prev.delete_sets, untouched),
+            column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
         return commit
@@ -1178,6 +1368,7 @@ class ManagedTable:
             properties=prev.properties,
             stats=prev.stats,
             delete_sets=delete_sets,
+            column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
         return commit
@@ -1391,6 +1582,7 @@ class ManagedTable:
             properties={**old.properties, "restored_from_version": version},
             stats={u: s for u, s in old.stats.items() if u in old.data_units},
             delete_sets=list(old.delete_sets),
+            column_mapping=dict(old.column_mapping),
         )
         self._publish(commit, prev)
         return commit
@@ -1518,6 +1710,10 @@ class ManagedTable:
                         u for u in prev_units if u not in set(c.data_units)
                     ],
                     prev_schema_json=prev.schema_json if prev else None,
+                    column_mapping=c.column_mapping,
+                    prev_column_mapping=(
+                        prev.column_mapping if prev else None
+                    ),
                 )
                 repaired += 1
             prev = c

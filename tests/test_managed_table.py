@@ -274,6 +274,136 @@ def test_add_drop_column_metadata_only(spark, tmp_path_str):
     assert "w" not in t.read(version=0).columns
 
 
+def test_rename_column_mapping(spark, tmp_path_str):
+    import json
+    import os
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        (F.col("id") % 3).alias("g"),
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    units = list(t.latest_commit().data_units)
+
+    c = t.rename_column("v", "val")
+    assert c.data_units == units  # metadata-only
+    assert c.column_mapping == {"val": "v"}
+    assert set(t.read().columns) == {"k", "val", "g"}
+    assert t.read().agg(F.sum("val")).first()[0] == 90.0
+
+    # load-bearing names refuse to rename
+    with pytest.raises(UserException, match="primary-key"):
+        t.rename_column("k", "key")
+    with pytest.raises(UserException, match="No column"):
+        t.rename_column("v", "v2")  # old name is gone
+    with pytest.raises(UserException, match="already exists"):
+        t.rename_column("g", "val")
+
+    # append under the logical name lands physical; read_where prunes
+    # and filters under the logical name
+    t.write(
+        df.select("k", F.col("v").alias("val"), "g"), mode="append"
+    )
+    assert t.read().count() == 20
+    assert t.read_where("val >= 10.0").count() == 10
+    assert t.read_where("val > 1000.0").count() == 0
+
+    # chained rename keeps pointing at the ORIGINAL physical bytes
+    t.rename_column("val", "value2")
+    assert t.latest_commit().column_mapping == {"value2": "v"}
+    assert t.read().agg(F.sum("value2")).first()[0] == 180.0
+
+    # adding a column named like the physical bytes gets a FRESH
+    # physical name (never resurrects the renamed column's bytes)
+    t.add_column("v", "double")
+    assert t.latest_commit().column_mapping["v"].startswith("col-")
+    assert t.read().filter(F.col("v").isNull()).count() == 20
+
+    # a DML rewrite keeps the mapping consistent
+    t.update_where("k = 3", {"value2": "0.0"})
+    # two k=3 rows zeroed + the two k=0 rows that were already 0.0
+    assert t.read().filter(F.col("value2") == 0.0).count() == 4
+
+    # restore carries the snapshot's mapping back
+    v_before = t.latest_commit().version
+    t.restore(1)  # version 1 = the first rename commit
+    assert t.latest_commit().column_mapping == {"val": "v"}
+    assert set(t.read().columns) == {"k", "val", "g"}
+    t.restore(v_before)
+
+    # optimize materializes renames: physical == logical afterwards
+    # (sum: 180 minus the two k=3 rows zeroed by the update = 168)
+    t.optimize()
+    assert t.latest_commit().column_mapping == {}
+    assert t.read().agg(F.sum("value2")).first()[0] == 168.0
+
+    # Delta mirror: metaData carries physicalName metadata + 2/5
+    # protocol while mapped, and mode=name persists after the reset
+    log_dir = os.path.join(t.path, "_delta_log")
+    protos, metas = [], []
+    for fn in sorted(os.listdir(log_dir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protos.append(a["protocol"])
+                if "metaData" in a:
+                    metas.append(a["metaData"])
+    assert any(
+        p.get("minReaderVersion") == 2 and p.get("minWriterVersion") == 5
+        for p in protos
+    )
+    mapped = [
+        m
+        for m in metas
+        if (m.get("configuration") or {}).get("delta.columnMapping.mode")
+        == "name"
+    ]
+    assert mapped, "mirror must advertise columnMapping mode=name"
+    fields = json.loads(mapped[0]["schemaString"])["fields"]
+    by_name = {
+        f["name"]: f["metadata"].get("delta.columnMapping.physicalName")
+        for f in fields
+    }
+    assert by_name["val"] == "v"
+    # the LAST metaData (post-optimize) keeps mode=name, identity names
+    last_cfg = metas[-1].get("configuration") or {}
+    assert last_cfg.get("delta.columnMapping.mode") == "name"
+
+
+def test_rename_refuses_constraint_and_collision(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.add_constraint("v_nonneg", "v >= 0.0")
+    with pytest.raises(UserException, match="CHECK"):
+        t.rename_column("v", "val")
+    t.drop_constraint("v_nonneg")
+    t.rename_column("v", "val")
+    # schema-merge append introducing a column named like the physical
+    # bytes of a renamed column must be refused (ambiguous physical)
+    with pytest.raises(UserException, match="collision"):
+        t.write(
+            df.select(
+                "k", F.col("v").alias("val"), F.lit(9.0).alias("v")
+            ),
+            mode="append",
+            schema_mode="merge",
+        )
+
+
 def test_read_timestamp_as_of(spark, tmp_path_str):
     import os
     import time as _time
