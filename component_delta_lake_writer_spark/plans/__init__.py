@@ -110,6 +110,7 @@ _FRONT = [
     # locked; first driver check in round 4) --
     "bm25_topk_docs",
     "rename_column_mapping",
+    "generated_columns_write",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -397,6 +397,51 @@ def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@query("generated_columns_write")
+def generated_columns_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (Delta generated columns, writer
+    v4): event_date = CAST(ts AS DATE) declared at create, used as the
+    partition column. A batch omitting it gets it computed; a batch
+    providing the correct value passes; a wrong value is refused
+    atomically; the expression rides the schema as
+    delta.generationExpression metadata so appends inherit it."""
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.tables import ts_us_expr
+
+    t = _fresh_table(spark, "generated_columns_write", sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t.write(
+        e.filter(F.col("event_id") % 2 == 0),
+        mode="overwrite",
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    t.write(
+        e.filter(F.col("event_id") % 2 == 1).withColumn(
+            "event_date", F.expr("CAST(ts AS DATE)")
+        ),
+        mode="append",
+    )
+    try:
+        t.write(
+            e.limit(10).withColumn("event_date", F.expr("DATE'1999-01-01'")),
+            mode="append",
+        )
+        raise AssertionError("wrong generated value must be refused")
+    except UserException:
+        pass
+    back = t.read()
+    return back.select(
+        "event_id",
+        ts_us_expr(dict(back.dtypes)["ts"]).alias("ts_us"),
+        "user_id",
+        "value",
+        "event_date",
+    )
+
+
 @query("time_travel_timestamp")
 def time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP AS OF time travel: reading at commit v0's own
@@ -536,6 +581,11 @@ _O["alter_table_columns"] = """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, 5.0 AS discount_pct
     FROM orders
+"""
+_O["generated_columns_write"] = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
+           CAST(ts AS DATE) AS event_date
+    FROM events
 """
 _O["rename_column_mapping"] = """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS amount,

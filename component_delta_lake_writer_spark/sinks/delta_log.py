@@ -127,21 +127,28 @@ def _needs_timestamp_ntz(schema_json: str) -> bool:
 
 
 def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
+    generated = "delta.generationExpression" in schema_json
     if _needs_timestamp_ntz(schema_json):
-        feats = ["timestampNtz"] + (["columnMapping"] if column_mapping else [])
+        reader = ["timestampNtz"] + (
+            ["columnMapping"] if column_mapping else []
+        )
+        writer = list(reader) + (["generatedColumns"] if generated else [])
         return {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": feats,
-                "writerFeatures": feats,
+                "readerFeatures": reader,
+                "writerFeatures": writer,
             }
         }
     if column_mapping:
-        # columnMapping is a legacy reader 2 / writer 5 capability —
-        # no table-features protocol needed (Delta PROTOCOL.md §column
-        # mapping)
+        # columnMapping is a legacy reader 2 / writer 5 capability (≥4
+        # also covers generatedColumns) — no table-features protocol
+        # needed (Delta PROTOCOL.md §column mapping)
         return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    if generated:
+        # generatedColumns is the legacy writer 4 capability
+        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 

@@ -222,6 +222,54 @@ class ManagedTable:
         tf = {f.name: f.dataType for f in table.fields}
         return all(f.name in tf and tf[f.name] == f.dataType for f in incoming.fields)
 
+    @staticmethod
+    def _generation_exprs(commit: Commit) -> dict[str, str]:
+        """Generated-column expressions stored as
+        ``delta.generationExpression`` field metadata in the committed
+        schema (exactly where the Delta protocol keeps them)."""
+        schema = json.loads(commit.schema_json)
+        return {
+            f["name"]: (f.get("metadata") or {})["delta.generationExpression"]
+            for f in schema.get("fields", [])
+            if "delta.generationExpression" in (f.get("metadata") or {})
+        }
+
+    def _apply_generated(self, df: DataFrame, gen: dict[str, str]) -> DataFrame:
+        """GENERATED ALWAYS AS enforcement (Delta generated columns):
+        a batch missing a generated column gets it computed; a batch
+        providing one must satisfy the expression (null-safe equality,
+        one short-circuiting take(1) per provided column — the same
+        posture as CHECK constraints)."""
+        for col, expr in gen.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                bad = df.filter(
+                    ~F.col(col).eqNullSafe(F.expr(expr))
+                ).take(1)
+                if bad:
+                    raise UserException(
+                        f"Generated column {col!r} = ({expr}) violated "
+                        f"by provided value in row {bad[0].asDict()}"
+                    )
+        return df
+
+    @staticmethod
+    def _stamp_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+        """Record generation expressions as field metadata so they ride
+        the committed schema_json (and the Delta mirror's
+        schemaString)."""
+        return df.select(
+            *[
+                F.col(c).alias(
+                    c, metadata={"delta.generationExpression": gen[c]}
+                )
+                if c in gen
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     def write(
         self,
         df: DataFrame,
@@ -232,8 +280,17 @@ class ManagedTable:
         compression: str = "snappy",
         max_records_per_file: int | None = None,
         properties: dict | None = None,
+        generated_columns: dict[str, str] | None = None,
     ) -> Commit:
-        """One atomic table commit. ``mode`` per reference load modes."""
+        """One atomic table commit. ``mode`` per reference load modes.
+
+        ``generated_columns`` ({col: SQL expr}, create/overwrite only)
+        declares Delta GENERATED ALWAYS AS columns: computed when a
+        batch omits them, enforced when a batch provides them, and
+        recorded as ``delta.generationExpression`` schema metadata so
+        every later append/upsert honors them. Pair with
+        ``partition_by`` on the generated column for the
+        date-partition-from-timestamp layout."""
         if mode == "upsert":
             raise UserException("Use ManagedTable.upsert() for upsert mode.")
         if mode not in ("error", "append", "overwrite"):
@@ -250,6 +307,17 @@ class ManagedTable:
         if mode == "error" and prev is not None:
             # W1: delta-rs mode='error' semantics (src/component.py:64-68)
             raise TableExistsError(f"Table already exists at {self.path}")
+
+        if mode == "append" and generated_columns:
+            raise UserException(
+                "generated_columns is declared at create/overwrite; "
+                "appends inherit the table's generation expressions."
+            )
+        if prev is not None and mode == "append":
+            df = self._apply_generated(df, self._generation_exprs(prev))
+        elif generated_columns:
+            df = self._apply_generated(df, generated_columns)
+            df = self._stamp_generated(df, generated_columns)
 
         if prev is not None and mode == "append":
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
@@ -565,22 +633,64 @@ class ManagedTable:
         )
 
     def _scan_units(
-        self, paths: list[str], schema: T.StructType, mapping: dict
+        self,
+        paths: list[str],
+        schema: T.StructType,
+        mapping: dict,
+        partition_by: list[str] | None = None,
     ) -> DataFrame:
         """One multi-path FileScan under the physical schema, aliased
         back to logical names — the single place reads cross the
-        column-mapping boundary."""
-        df = self.spark.read.schema(
-            self._physical_schema(schema, mapping)
-        ).parquet(*paths)
-        if mapping:
-            df = df.select(
-                *[
-                    F.col(mapping.get(f.name, f.name)).alias(f.name)
-                    for f in schema.fields
-                ]
+        column-mapping boundary.
+
+        Partitioned tables with MULTIPLE unit dirs can't use Spark's
+        native partition discovery (each unit is its own hive root, and
+        multi-root discovery refuses the conflicting structure), so the
+        scan stays ONE FileScan via recursiveFileLookup and recovers
+        partition values from the file path — still O(1) plan size in
+        unit count, at the cost of a per-row regexp on the path column
+        (single-unit scans keep native discovery and pay nothing)."""
+        pset = set(partition_by or [])
+        part_fields = [f for f in schema.fields if f.name in pset]
+        if not part_fields or len(paths) == 1:
+            df = self.spark.read.schema(
+                self._physical_schema(schema, mapping)
+            ).parquet(*paths)
+            if mapping:
+                df = df.select(
+                    *[
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            return df
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in pset]
+        )
+        df = (
+            self.spark.read.schema(
+                self._physical_schema(data_schema, mapping)
             )
-        return df
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
+        cols = []
+        for f in schema.fields:
+            if f.name in pset:
+                raw = F.regexp_extract(
+                    F.input_file_name(), f"{f.name}=([^/]+)/", 1
+                )
+                val = (
+                    F.when(raw == "", F.lit(None))
+                    .when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                    .otherwise(F.url_decode(raw))
+                )
+                cols.append(val.cast(f.dataType).alias(f.name))
+            else:
+                cols.append(
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                )
+        return df.select(*cols)
 
     @staticmethod
     def _logical_stats(stats: dict, mapping: dict) -> dict:
@@ -618,7 +728,9 @@ class ManagedTable:
 
         def scan(us: list[str]) -> DataFrame:
             paths = [os.path.join(self._data_dir, u) for u in us]
-            return self._scan_units(paths, schema, mapping)
+            return self._scan_units(
+                paths, schema, mapping, commit.partition_by
+            )
 
         if not commit.delete_sets:
             return scan(units)
@@ -739,9 +851,9 @@ class ManagedTable:
         if not paths:
             empty = self.spark.createDataFrame([], schema)
             return empty.filter(F.expr(condition))
-        return self._scan_units(paths, schema, mapping).filter(
-            F.expr(condition)
-        )
+        return self._scan_units(
+            paths, schema, mapping, commit.partition_by
+        ).filter(F.expr(condition))
 
     # ---------- upsert (W12 + O2) ----------
 
@@ -841,6 +953,7 @@ class ManagedTable:
             )
 
         prev = self.latest_commit()
+        source = self._apply_generated(source, self._generation_exprs(prev))
         table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         union_schema = table_schema
         if not self._schema_compatible(table_schema, source.schema):
@@ -1004,6 +1117,7 @@ class ManagedTable:
                 properties=properties,
             )
         prev = self.latest_commit()
+        source = self._apply_generated(source, self._generation_exprs(prev))
         table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         union_schema = table_schema
         if not self._schema_compatible(table_schema, source.schema):

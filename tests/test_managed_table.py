@@ -404,6 +404,51 @@ def test_rename_refuses_constraint_and_collision(spark, tmp_path_str):
         )
 
 
+def test_generated_columns(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(
+        df,
+        mode="overwrite",
+        primary_key=["k"],
+        partition_by=["bucket"],
+        generated_columns={"bucket": "CAST(k % 4 AS INT)"},
+    )
+    out = t.read()
+    assert "bucket" in out.columns
+    assert out.filter(F.col("bucket") == F.col("k") % 4).count() == 20
+    # the expression rides the committed schema metadata
+    assert ManagedTable._generation_exprs(t.latest_commit()) == {
+        "bucket": "CAST(k % 4 AS INT)"
+    }
+    # append omitting the column: computed; multi-unit partitioned
+    # read recovers partition values across units
+    t.write(df.withColumn("k", F.col("k") + 100), mode="append")
+    assert t.read().count() == 40
+    assert t.read().filter(F.col("bucket") == F.col("k") % 4).count() == 40
+    # providing a wrong value is refused
+    with pytest.raises(UserException, match="Generated column"):
+        t.write(
+            df.withColumn("bucket", F.lit(99)), mode="append"
+        )
+    # upsert batches inherit the generation too
+    t.upsert(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        ["k"],
+    )
+    upd = t.read().filter(F.col("v") == -1)
+    assert upd.count() == 5
+    assert upd.filter(F.col("bucket") == F.col("k") % 4).count() == 5
+
+
 def test_read_timestamp_as_of(spark, tmp_path_str):
     import os
     import time as _time
