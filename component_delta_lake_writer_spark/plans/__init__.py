@@ -111,6 +111,7 @@ _FRONT = [
     "bm25_topk_docs",
     "rename_column_mapping",
     "generated_columns_write",
+    "bloom_point_lookup",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -397,6 +397,38 @@ def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@query("bloom_point_lookup")
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping (Delta bloom filter index): four
+    appends each sliced by o_orderkey % 4 — every unit spans the FULL
+    key range, so min/max stats prune nothing for a point lookup —
+    then `o_orderkey = 7` must drop the three foreign units via their
+    bloom sidecars before Spark plans the scan. The answer itself is
+    oracle-checked; the pruning is asserted against the commit stats."""
+    from component_delta_lake_writer_spark.sinks.bloom import (
+        prune_units_bloom,
+    )
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        parse_conjuncts,
+    )
+
+    t = _fresh_table(spark, "bloom_point_lookup", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    props = {"bloom_filter_columns": ["o_orderkey"]}
+    t.write(o.filter(F.col("o_orderkey") % 4 == 0), mode="overwrite",
+            properties=props)
+    for i in (1, 2, 3):
+        t.write(o.filter(F.col("o_orderkey") % 4 == i), mode="append")
+    c = t.latest_commit()
+    assert len(c.data_units) == 4
+    cond = "o_orderkey = 7"
+    kept = prune_units_bloom(
+        t._bloom_dir, c.stats, c.data_units, parse_conjuncts(cond)
+    )
+    assert len(kept) <= 2, f"bloom pruned nothing: {len(kept)} units kept"
+    return t.read_where(cond)
+
+
 @query("generated_columns_write")
 def generated_columns_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATED ALWAYS AS columns (Delta generated columns, writer
@@ -582,6 +614,7 @@ _O["alter_table_columns"] = """
            o_orderdate, 5.0 AS discount_pct
     FROM orders
 """
+_O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["generated_columns_write"] = """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
            CAST(ts AS DATE) AS event_date

@@ -208,14 +208,46 @@ class ManagedTable:
         writer.parquet(os.path.join(self._data_dir, unit))
         return unit
 
-    def _unit_stats(self, unit: str, per_file: bool = False) -> dict:
+    @property
+    def _bloom_dir(self) -> str:
+        return os.path.join(self.path, "_bloom")
+
+    def _unit_stats(
+        self,
+        unit: str,
+        per_file: bool = False,
+        props: dict | None = None,
+        mapping: dict | None = None,
+    ) -> dict:
+        from component_delta_lake_writer_spark.sinks import bloom
         from component_delta_lake_writer_spark.sinks.unit_stats import (
             collect_unit_stats,
         )
 
-        return collect_unit_stats(
-            os.path.join(self._data_dir, unit), per_file=per_file
-        )
+        unit_dir = os.path.join(self._data_dir, unit)
+        stats = collect_unit_stats(unit_dir, per_file=per_file)
+        cols = (props or {}).get("bloom_filter_columns") or []
+        if cols and stats.get("_rows"):
+            mapping = mapping or {}
+            df = self.spark.read.parquet(unit_dir)
+            phys = [mapping.get(c, c) for c in cols if mapping.get(c, c) in df.columns]
+            m = bloom.bitmap_size(stats["_rows"])
+            entry: dict = {}
+            for c in bloom.indexable_columns(df, phys):
+                bm = bloom.build_bitmap(df, c, m)
+                if bm is None:
+                    continue
+                rel = os.path.join(unit, f"{c}.bloom")
+                dest = os.path.join(self._bloom_dir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                tmp = dest + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "wb") as fh:
+                    fh.write(bm)
+                os.replace(tmp, dest)
+                entry[c] = {"m": m, "k": bloom.K, "path": rel}
+            if entry:
+                stats["_bloom"] = entry
+        return stats
 
     @staticmethod
     def _schema_compatible(table: T.StructType, incoming: T.StructType) -> bool:
@@ -375,7 +407,9 @@ class ManagedTable:
             version = (prev.version + 1) if prev else 0
             action = "overwrite" if mode == "overwrite" else "create"
             schema = df.schema
-            stats = {unit: self._unit_stats(unit, per_file=not partition_by)}
+            stats = {unit: self._unit_stats(
+                unit, per_file=not partition_by,
+                props=effective_props, mapping=mapping)}
             delete_sets = []
         else:  # append
             units = prev.data_units + [unit]
@@ -384,7 +418,9 @@ class ManagedTable:
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
             schema = self._merge_schemas(table_schema, df.schema)
             stats = {**prev.stats,
-                     unit: self._unit_stats(unit, per_file=not partition_by)}
+                     unit: self._unit_stats(
+                         unit, per_file=not partition_by,
+                         props=effective_props, mapping=mapping)}
             delete_sets = self._carry_delete_sets(
                 prev.delete_sets, prev.data_units
             )
@@ -702,13 +738,21 @@ class ManagedTable:
         inv = {v: k for k, v in mapping.items()}
 
         def _cols(d: dict) -> dict:
-            return {inv.get(c, c): v for c, v in d.items() if c != "_files"}
+            return {
+                inv.get(c, c): v
+                for c, v in d.items()
+                if c not in ("_files", "_bloom")
+            }
 
         out: dict = {}
         for u, s in stats.items():
             ns = _cols(s)
             if "_files" in s:
                 ns["_files"] = {fn: _cols(fs) for fn, fs in s["_files"].items()}
+            if "_bloom" in s:
+                ns["_bloom"] = {
+                    inv.get(c, c): v for c, v in s["_bloom"].items()
+                }
             out[u] = ns
         return out
 
@@ -825,6 +869,18 @@ class ManagedTable:
         mapping = commit.column_mapping or {}
         stats_view = self._logical_stats(commit.stats, mapping)
         units = prune_units(stats_view, commit.data_units, condition)
+        conjuncts = parse_conjuncts(condition)
+        if conjuncts:
+            # second skipping level: per-unit bloom sidecars answer
+            # equality probes min/max ranges can't (high-cardinality,
+            # unclustered columns)
+            from component_delta_lake_writer_spark.sinks.bloom import (
+                prune_units_bloom,
+            )
+
+            units = prune_units_bloom(
+                self._bloom_dir, stats_view, units, conjuncts
+            )
         if commit.delete_sets:
             # merge-on-read deletes pending: unit-level pruning still
             # applies, but the scan must route through the delete-set
@@ -1033,7 +1089,8 @@ class ManagedTable:
             )
             stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
             stats[unit] = self._unit_stats(
-                unit, per_file=not prev.partition_by
+                unit, per_file=not prev.partition_by,
+                props=effective_props, mapping=prev.column_mapping,
             )
             commit = Commit(
                 version=prev.version + 1,
@@ -1180,7 +1237,10 @@ class ManagedTable:
                 max_records_per_file,
             )
             stats = {u: prev.stats[u] for u in prev.data_units if u in prev.stats}
-            stats[unit] = self._unit_stats(unit, per_file=not prev.partition_by)
+            stats[unit] = self._unit_stats(
+                unit, per_file=not prev.partition_by,
+                props=effective_props, mapping=prev.column_mapping,
+            )
             commit = Commit(
                 version=prev.version + 1,
                 action="upsert",
@@ -1378,7 +1438,10 @@ class ManagedTable:
                 compression,
                 max_records_per_file,
             )
-            ustats = self._unit_stats(unit, per_file=not prev.partition_by)
+            ustats = self._unit_stats(
+                unit, per_file=not prev.partition_by,
+                props=prev.properties, mapping=prev.column_mapping,
+            )
             if ustats["_rows"] > 0:
                 units.append(unit)
                 stats[unit] = ustats
@@ -1626,12 +1689,17 @@ class ManagedTable:
         if unit_per_file:
             units = self._split_unit_per_file(unit)
             stats = {
-                u: self._unit_stats(u, per_file=True) for u in units
+                u: self._unit_stats(
+                    u, per_file=True, props=prev.properties,
+                ) for u in units
             }
         else:
             units = [unit]
             stats = {
-                unit: self._unit_stats(unit, per_file=not prev.partition_by)
+                unit: self._unit_stats(
+                    unit, per_file=not prev.partition_by,
+                    props=prev.properties,
+                )
             }
         commit = Commit(
             version=prev.version + 1,
@@ -1736,6 +1804,16 @@ class ManagedTable:
                         os.path.join(self._data_dir, unit), ignore_errors=True
                     )
                 removed += 1
+        # bloom sidecars share their unit's liveness
+        if os.path.isdir(self._bloom_dir):
+            for unit in os.listdir(self._bloom_dir):
+                if unit not in live:
+                    if not dry_run:
+                        shutil.rmtree(
+                            os.path.join(self._bloom_dir, unit),
+                            ignore_errors=True,
+                        )
+                    removed += 1
         if os.path.isdir(self._deletes_dir):
             for d in os.listdir(self._deletes_dir):
                 if d not in live_deletes:

@@ -404,6 +404,54 @@ def test_rename_refuses_constraint_and_collision(spark, tmp_path_str):
         )
 
 
+def test_bloom_filter_skipping(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.sinks.bloom import (
+        prune_units_bloom,
+    )
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        parse_conjuncts,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    props = {"bloom_filter_columns": ["k", "name", "score"]}
+    mk = lambda lo: spark.range(lo, lo + 200).select(  # noqa: E731
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+        (F.col("id") * 0.5).alias("score"),  # double: not indexable
+    )
+    t.write(mk(0), mode="overwrite", properties=props)
+    t.write(mk(1000), mode="append")
+    c = t.latest_commit()
+    # double column skipped, int+string indexed
+    blooms = [s.get("_bloom", {}) for s in c.stats.values()]
+    assert all(set(b) == {"k", "name"} for b in blooms)
+    # equality probe prunes the foreign unit, on int and string alike
+    for cond, n in [("k = 5", 1), ("k = 1005", 1), ("name = 'u42'", 1),
+                    ("k = 500", 0)]:
+        kept = prune_units_bloom(
+            t._bloom_dir, c.stats, c.data_units, parse_conjuncts(cond)
+        )
+        assert len(kept) == n, (cond, kept)
+        assert t.read_where(cond).count() == n
+    # bloom keys translate through a rename
+    t.rename_column("name", "username")
+    assert t.read_where("username = 'u42'").count() == 1
+    c2 = t.latest_commit()
+    view = ManagedTable._logical_stats(c2.stats, c2.column_mapping)
+    kept = prune_units_bloom(
+        t._bloom_dir, view, c2.data_units, parse_conjuncts("username = 'u42'")
+    )
+    assert len(kept) == 1
+    # vacuum reclaims sidecars with their units
+    t.optimize()
+    t.vacuum()
+    live = set(t.latest_commit().data_units)
+    if os.path.isdir(t._bloom_dir):
+        assert set(os.listdir(t._bloom_dir)) <= live
+
+
 def test_generated_columns(spark, tmp_path_str):
     import os
 
