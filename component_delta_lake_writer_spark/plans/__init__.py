@@ -112,6 +112,7 @@ _FRONT = [
     "rename_column_mapping",
     "generated_columns_write",
     "bloom_point_lookup",
+    "stream_watermark_emission",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1556,6 +1556,29 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_watermark_emission",
+    oracle="""
+    SELECT CAST(epoch_us(TIMESTAMP '2024-01-01 10:00:00') AS BIGINT)
+             AS window_start_us,
+           CAST(4 AS BIGINT) AS n
+    """,
+)
+def stream_watermark_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch watermark semantics
+    (streaming.structured.stream_late_data_drop): after batch 1 the
+    watermark sits at 10:49 and the open 10:00 window is withheld;
+    batch 2's 10:20 row is late-but-in-window and must merge into the
+    batch-1 state, and its 13:0x rows advance the watermark past the
+    window end. Exactly one appended row: (10:00, 4) — the still-open
+    13:00 window is withheld."""
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_late_data_drop,
+    )
+
+    return stream_late_data_drop(spark, sf_dir, state_partitions=4)
+
+
+@query(
     "csv_gzip_scan",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -207,6 +207,102 @@ def stream_interval_join(
     )
 
 
+def stream_late_data_drop(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic watermark emission semantics, micro-batch by
+    micro-batch (the part of Structured Streaming an availableNow
+    drain of one file can never exercise, because the watermark only
+    advances BETWEEN batches):
+
+    - batch 1 (file 1): rows at 10:05 / 10:15 / 10:59 → after the
+      batch, watermark = max(ts) - 10min = 10:49; the open
+      [10:00,11:00) window is withheld (append mode emits only closed
+      windows).
+    - batch 2 (file 2): a row at 10:20 — LATE relative to the 10:49
+      watermark but inside the still-open window, so it must merge
+      into the batch-1 state — plus rows at 13:05/13:06 that advance
+      the final watermark to 12:55, closing the 10:00 window.
+
+    Append mode then emits exactly ONE row — window 10:00 with
+    count 4 — and the still-open 13:00 window is withheld.
+    ``maxFilesPerTrigger=1`` pins the file-per-batch schedule; file
+    mtimes pin the order.
+
+    (Deliberately NOT asserted: dropping of rows whose window already
+    closed. Spark's windowed aggregation uses the watermark for state
+    eviction and emission timing, not as a strict input filter — a
+    too-late row re-opens its window as a late correction row on this
+    engine version, and the docs only guarantee "delayed within the
+    watermark WILL be aggregated", not the converse. The strict-drop
+    contract lives in dropDuplicatesWithinWatermark, covered by
+    stream_dedup_events.)"""
+    import time as _time
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src_dir = f"/tmp/cdlws_scratch/stream_late/{tag}_v2"
+    f1 = os.path.join(src_dir, "b1.parquet")
+    f2 = os.path.join(src_dir, "b2.parquet")
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime, timezone
+
+        os.makedirs(src_dir, exist_ok=True)
+
+        def _ts(h: int, m: int):
+            return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+        def _write(path: str, times: list) -> None:
+            tbl = pa.table(
+                {
+                    "ts": pa.array(times, pa.timestamp("us", tz="UTC")),
+                    "user_id": pa.array(
+                        list(range(len(times))), pa.int64()
+                    ),
+                }
+            )
+            pq.write_table(tbl, path)
+
+        _write(f1, [_ts(10, 5), _ts(10, 15), _ts(10, 59)])
+        _write(f2, [_ts(10, 20), _ts(13, 5), _ts(13, 6)])
+        now = _time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.col("n"),
+        )
+    )
+    name = f"stream_late_{tag.replace('.', '_')}"
+    ckpt = os.path.join(src_dir, "_ckpt")
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt, ignore_errors=True)  # fresh run each call
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_static_enrich(
     spark: SparkSession,
     sf_dir: str,
