@@ -113,6 +113,7 @@ _FRONT = [
     "generated_columns_write",
     "bloom_point_lookup",
     "stream_watermark_emission",
+    "shard_export_balanced",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -593,3 +593,44 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, term string"
     )
     return bm25_topk(docs, queries, k=5)
+
+
+@query(
+    "shard_export_balanced",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        md5('0' || '|' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS rk FROM h
+    )
+    SELECT CAST(rk % 8 AS INT) AS shard,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS min_id,
+      CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM r GROUP BY 1
+    """,
+)
+def shard_export_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export (operators.sampling.shard_export): a
+    seeded-hash global permutation dealt round-robin into 8 shards.
+    The oracle recomputes the same permutation with ROW_NUMBER over
+    the same md5 — shard membership must match row-for-row, and shard
+    sizes may differ by at most one (asserted here; hash-mod sharding
+    can't give that)."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        shard_export,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shard_export(docs, "doc_id", n_shards=8, seed=0)
+    out = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+    sizes = [r["n_docs"] for r in out.select("n_docs").collect()]
+    assert max(sizes) - min(sizes) <= 1, f"unbalanced shards: {sizes}"
+    return out
