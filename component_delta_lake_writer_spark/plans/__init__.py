@@ -114,6 +114,7 @@ _FRONT = [
     "bloom_point_lookup",
     "stream_watermark_emission",
     "shard_export_balanced",
+    "identity_column_write",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -397,6 +397,42 @@ def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@query("identity_column_write")
+def identity_column_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (Delta identity columns, writer
+    v6): two batches omitting the column receive the contiguous ranges
+    1..n1 and n1+1..n1+n2 (the high-water mark rides the schema
+    metadata between commits); providing a value on append is refused.
+    The per-row values are assignment-order dependent, so the oracle
+    checks the SET properties: distinct count, min/max, and the
+    arithmetic-series sum."""
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = _fresh_table(spark, "identity_column_write", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t.write(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        mode="overwrite",
+        identity_columns={"row_id": {"start": 1, "step": 1}},
+    )
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    try:
+        t.write(o.limit(5).withColumn("row_id", F.lit(0)), mode="append")
+        raise AssertionError("explicit identity value must be refused")
+    except UserException:
+        pass
+    back = t.read()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_ids"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+        F.sum("row_id").cast("long").alias("sum_ids"),
+    )
+
+
 @query("bloom_point_lookup")
 def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter data skipping (Delta bloom filter index): four
@@ -615,6 +651,13 @@ _O["alter_table_columns"] = """
     FROM orders
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
+_O["identity_column_write"] = """
+    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids,
+      CAST(1 AS BIGINT) AS min_id,
+      CAST(COUNT(*) AS BIGINT) AS max_id,
+      CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) AS sum_ids
+    FROM orders
+"""
 _O["generated_columns_write"] = """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
            CAST(ts AS DATE) AS event_date

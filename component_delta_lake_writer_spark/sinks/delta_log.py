@@ -127,12 +127,22 @@ def _needs_timestamp_ntz(schema_json: str) -> bool:
 
 
 def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
+    """Minimal protocol covering the capabilities the schema actually
+    uses, per the legacy version ladder (PROTOCOL.md): writer 4 =
+    generatedColumns, 5 = columnMapping (reader 2), 6 =
+    identityColumns; timestampNtz forces table features (3/7) and the
+    in-use capabilities become explicit feature names."""
     generated = "delta.generationExpression" in schema_json
+    identity = "delta.identity.start" in schema_json
     if _needs_timestamp_ntz(schema_json):
         reader = ["timestampNtz"] + (
             ["columnMapping"] if column_mapping else []
         )
-        writer = list(reader) + (["generatedColumns"] if generated else [])
+        writer = (
+            list(reader)
+            + (["generatedColumns"] if generated else [])
+            + (["identityColumns"] if identity else [])
+        )
         return {
             "protocol": {
                 "minReaderVersion": 3,
@@ -141,15 +151,15 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
                 "writerFeatures": writer,
             }
         }
-    if column_mapping:
-        # columnMapping is a legacy reader 2 / writer 5 capability (≥4
-        # also covers generatedColumns) — no table-features protocol
-        # needed (Delta PROTOCOL.md §column mapping)
-        return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    writer = 2
     if generated:
-        # generatedColumns is the legacy writer 4 capability
-        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
-    return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        writer = 4
+    if column_mapping:
+        writer = max(writer, 5)
+    if identity:
+        writer = max(writer, 6)
+    reader = 2 if column_mapping else 1
+    return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
 
 
 def _mapped_schema_string(schema_json: str, column_mapping: dict) -> str:

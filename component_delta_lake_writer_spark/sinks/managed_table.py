@@ -287,6 +287,84 @@ class ManagedTable:
         return df
 
     @staticmethod
+    def _identity_specs(commit: Commit) -> dict[str, dict]:
+        """IDENTITY column specs stored as ``delta.identity.{start,
+        step,highWaterMark}`` field metadata in the committed schema
+        (the same location the Delta protocol uses)."""
+        schema = json.loads(commit.schema_json)
+        out: dict[str, dict] = {}
+        for f in schema.get("fields", []):
+            meta = f.get("metadata") or {}
+            if "delta.identity.start" in meta:
+                out[f["name"]] = {
+                    "start": meta["delta.identity.start"],
+                    "step": meta["delta.identity.step"],
+                    "highWaterMark": meta.get("delta.identity.highWaterMark"),
+                }
+        return out
+
+    def _assign_identity(
+        self, df: DataFrame, col: str, step: int, next_val: int
+    ) -> tuple[DataFrame, int | None]:
+        """Assign the contiguous value range next_val, next_val+step, …
+        to ``col`` — zipWithIndex-shaped: per-partition positions are
+        local (no global sort), one tiny per-partition count collect
+        lifts them to global indexes. Returns (df, new high-water
+        mark; None when the batch is empty). Stronger than Delta's own
+        guarantee (unique + monotonic, gaps allowed): the assigned SET
+        is exactly the arithmetic range, which is what makes the
+        result oracle-checkable."""
+        from pyspark.sql.window import Window
+
+        base = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .persist()
+        )
+        counts = {
+            r["__pid"]: r["n"]
+            for r in base.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return df, None
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in sorted(offsets)]),
+                F.array(*[F.lit(offsets[k]) for k in sorted(offsets)]),
+            ),
+            F.col("__pid"),
+        )
+        w = Window.partitionBy("__pid").orderBy("__mid")
+        idx = off + F.row_number().over(w) - 1
+        out = base.withColumn(
+            col, (F.lit(next_val) + F.lit(step) * idx).cast("long")
+        ).drop("__pid", "__mid")
+        return out, next_val + step * (n - 1)
+
+    @staticmethod
+    def _bump_identity_hwm(
+        schema: T.StructType, hwms: dict[str, int]
+    ) -> T.StructType:
+        fields = []
+        for f in schema.fields:
+            if f.name in hwms:
+                meta = dict(f.metadata or {})
+                meta["delta.identity.highWaterMark"] = hwms[f.name]
+                fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, meta)
+                )
+            else:
+                fields.append(f)
+        return T.StructType(fields)
+
+    @staticmethod
     def _stamp_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
         """Record generation expressions as field metadata so they ride
         the committed schema_json (and the Delta mirror's
@@ -313,6 +391,7 @@ class ManagedTable:
         max_records_per_file: int | None = None,
         properties: dict | None = None,
         generated_columns: dict[str, str] | None = None,
+        identity_columns: dict[str, dict] | None = None,
     ) -> Commit:
         """One atomic table commit. ``mode`` per reference load modes.
 
@@ -322,7 +401,15 @@ class ManagedTable:
         recorded as ``delta.generationExpression`` schema metadata so
         every later append/upsert honors them. Pair with
         ``partition_by`` on the generated column for the
-        date-partition-from-timestamp layout."""
+        date-partition-from-timestamp layout.
+
+        ``identity_columns`` ({col: {"start": n, "step": n}},
+        create/overwrite only) declares GENERATED ALWAYS AS IDENTITY
+        columns (Delta identity, writer v6): every batch that omits
+        the column gets the next contiguous value range; providing it
+        on write/append is refused; the high-water mark rides the
+        schema metadata so appends continue where the last commit
+        stopped."""
         if mode == "upsert":
             raise UserException("Use ManagedTable.upsert() for upsert mode.")
         if mode not in ("error", "append", "overwrite"):
@@ -340,16 +427,65 @@ class ManagedTable:
             # W1: delta-rs mode='error' semantics (src/component.py:64-68)
             raise TableExistsError(f"Table already exists at {self.path}")
 
-        if mode == "append" and generated_columns:
+        if mode == "append" and (generated_columns or identity_columns):
             raise UserException(
-                "generated_columns is declared at create/overwrite; "
-                "appends inherit the table's generation expressions."
+                "generated_columns/identity_columns are declared at "
+                "create/overwrite; appends inherit the table's specs."
             )
+        id_hwms: dict[str, int] = {}
         if prev is not None and mode == "append":
             df = self._apply_generated(df, self._generation_exprs(prev))
-        elif generated_columns:
-            df = self._apply_generated(df, generated_columns)
-            df = self._stamp_generated(df, generated_columns)
+            for col, spec in self._identity_specs(prev).items():
+                if col in df.columns:
+                    raise UserException(
+                        f"Column {col!r} is GENERATED ALWAYS AS IDENTITY; "
+                        "values cannot be provided on append."
+                    )
+                hwm = spec.get("highWaterMark")
+                nxt = (
+                    spec["start"] if hwm is None else hwm + spec["step"]
+                )
+                df, new_hwm = self._assign_identity(
+                    df, col, spec["step"], nxt
+                )
+                if new_hwm is not None:
+                    id_hwms[col] = new_hwm
+        else:
+            if generated_columns:
+                df = self._apply_generated(df, generated_columns)
+                df = self._stamp_generated(df, generated_columns)
+            if identity_columns:
+                stamped: dict[str, dict] = {}
+                for col, spec in identity_columns.items():
+                    if col in df.columns:
+                        raise UserException(
+                            f"Column {col!r} is GENERATED ALWAYS AS "
+                            "IDENTITY; values cannot be provided."
+                        )
+                    start = int(spec.get("start", 1))
+                    step = int(spec.get("step", 1))
+                    if step == 0:
+                        raise UserException("identity step must be nonzero")
+                    df, new_hwm = self._assign_identity(
+                        df, col, step, start
+                    )
+                    stamped[col] = {
+                        "delta.identity.start": start,
+                        "delta.identity.step": step,
+                        **(
+                            {"delta.identity.highWaterMark": new_hwm}
+                            if new_hwm is not None
+                            else {}
+                        ),
+                    }
+                df = df.select(
+                    *[
+                        F.col(c).alias(c, metadata=stamped[c])
+                        if c in stamped
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
 
         if prev is not None and mode == "append":
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
@@ -417,6 +553,8 @@ class ManagedTable:
             action = "append"
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
             schema = self._merge_schemas(table_schema, df.schema)
+            if id_hwms:
+                schema = self._bump_identity_hwm(schema, id_hwms)
             stats = {**prev.stats,
                      unit: self._unit_stats(
                          unit, per_file=not partition_by,
@@ -1010,6 +1148,15 @@ class ManagedTable:
 
         prev = self.latest_commit()
         source = self._apply_generated(source, self._generation_exprs(prev))
+        for _idcol in self._identity_specs(prev):
+            if _idcol not in source.columns:
+                # MERGE semantics are GENERATED BY DEFAULT: matched rows
+                # carry their existing identity values, so the source
+                # must provide the column explicitly.
+                raise UserException(
+                    f"Upsert source must provide identity column "
+                    f"{_idcol!r} (merge keeps existing values)."
+                )
         table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         union_schema = table_schema
         if not self._schema_compatible(table_schema, source.schema):
@@ -1175,6 +1322,15 @@ class ManagedTable:
             )
         prev = self.latest_commit()
         source = self._apply_generated(source, self._generation_exprs(prev))
+        for _idcol in self._identity_specs(prev):
+            if _idcol not in source.columns:
+                # MERGE semantics are GENERATED BY DEFAULT: matched rows
+                # carry their existing identity values, so the source
+                # must provide the column explicitly.
+                raise UserException(
+                    f"Upsert source must provide identity column "
+                    f"{_idcol!r} (merge keeps existing values)."
+                )
         table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         union_schema = table_schema
         if not self._schema_compatible(table_schema, source.schema):

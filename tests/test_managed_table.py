@@ -452,6 +452,44 @@ def test_bloom_filter_skipping(spark, tmp_path_str):
         assert set(os.listdir(t._bloom_dir)) <= live
 
 
+def test_identity_columns(spark, tmp_path_str):
+    import json
+    import os
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(7).select(F.col("id").alias("k"))
+    t.write(
+        df,
+        mode="overwrite",
+        identity_columns={"rid": {"start": 100, "step": 10}},
+    )
+    vals = sorted(r["rid"] for r in t.read().collect())
+    assert vals == [100 + 10 * i for i in range(7)]
+    specs = ManagedTable._identity_specs(t.latest_commit())
+    assert specs["rid"]["highWaterMark"] == 160
+    # append continues from the high-water mark
+    t.write(spark.range(3).select(F.col("id").alias("k")), mode="append")
+    vals = sorted(r["rid"] for r in t.read().collect())
+    assert vals == [100 + 10 * i for i in range(10)]
+    # explicit values refused on append; upsert requires them
+    with pytest.raises(UserException, match="IDENTITY"):
+        t.write(
+            df.withColumn("rid", F.lit(1).cast("long")), mode="append"
+        )
+    with pytest.raises(UserException, match="identity column"):
+        t.upsert(df, ["k"])
+    # mirror advertises writer v6
+    v0 = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    protos = [
+        json.loads(line)["protocol"]
+        for line in open(v0)
+        if "protocol" in line
+    ]
+    assert protos and protos[0]["minWriterVersion"] == 6
+
+
 def test_generated_columns(spark, tmp_path_str):
     import os
 
