@@ -115,6 +115,7 @@ _FRONT = [
     "stream_watermark_emission",
     "shard_export_balanced",
     "identity_column_write",
+    "incremental_mv_refresh",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -397,6 +397,65 @@ def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@query("incremental_mv_refresh")
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate
+    (sinks.materialized.IncrementalAggregate): per-status count +
+    exact decimal revenue sum over orders. Full refresh at v0, then a
+    MERGE batch (10% price updates + inserts past the max key) with
+    CDF pre-images enabled, then a refresh that MUST take the
+    incremental path (asserted) — and must equal the full recompute
+    the oracle does from scratch. O(delta) maintenance, differentially
+    proven."""
+    from component_delta_lake_writer_spark.sinks.materialized import (
+        IncrementalAggregate,
+    )
+
+    base = _scratch("incremental_mv_refresh", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "orders_t"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    t.write(
+        o,
+        mode="overwrite",
+        primary_key=["o_orderkey"],
+        properties={
+            "enableChangeDataFeed": True,
+            "changeDataFeedPreImages": True,
+        },
+    )
+    mv = IncrementalAggregate(
+        spark,
+        os.path.join(base, "mv"),
+        t,
+        ["o_orderstatus"],
+        {"revenue": "price"},
+    )
+    assert mv.refresh() == "full"
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "price", F.lit(-1.0)
+    )
+    new = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(mx + 1)).alias("o_orderkey"),
+        F.lit(999.0).alias("price"),
+        "o_orderstatus",
+    )
+    t.upsert(upd.unionByName(new), ["o_orderkey"])
+    mode = mv.refresh()
+    assert mode == "incremental", f"expected incremental path, got {mode}"
+    assert mv.refresh() == "noop"
+    return mv.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
 @query("identity_column_write")
 def identity_column_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATED ALWAYS AS IDENTITY (Delta identity columns, writer
@@ -651,6 +710,22 @@ _O["alter_table_columns"] = """
     FROM orders
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
+_O["incremental_mv_refresh"] = """
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    modified AS (
+      SELECT o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+             ELSE CAST(o_totalprice AS DOUBLE) END AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderstatus, 999.0 AS price
+      FROM orders, m WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(ROUND(price, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        AS revenue
+    FROM modified GROUP BY o_orderstatus
+"""
 _O["identity_column_write"] = """
     SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids,
       CAST(1 AS BIGINT) AS min_id,

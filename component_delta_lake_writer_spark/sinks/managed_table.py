@@ -1277,6 +1277,9 @@ class ManagedTable:
                         self._read_units(prev, prev.data_units), union_schema
                     ),
                     src, primary_key, update_condition, commit.version,
+                    pre_images=bool(
+                        commit.properties.get("changeDataFeedPreImages")
+                    ),
                 )
         finally:
             if persisted:
@@ -1417,6 +1420,9 @@ class ManagedTable:
                         self._read_units(prev, prev.data_units), union_schema
                     ),
                     src, primary_key, None, commit.version,
+                    pre_images=bool(
+                        commit.properties.get("changeDataFeedPreImages")
+                    ),
                 )
         finally:
             src.unpersist()
@@ -1429,7 +1435,16 @@ class ManagedTable:
         primary_key: list[str],
         update_condition,
         version: int,
+        pre_images: bool = False,
     ) -> None:
+        """``pre_images=True`` (table property
+        ``changeDataFeedPreImages``) additionally persists the matched
+        target rows as ``update_preimage`` — what Delta's CDF emits,
+        and what lets additive consumers (incremental materialized
+        aggregates) SUBTRACT the old row. Costs one semi-joined
+        full-width pass over the touched target rows, which is why it
+        is opt-in: the default narrow path only ever scans target PK
+        columns."""
         from component_delta_lake_writer_spark.operators.merge import dedup_source
 
         src = dedup_source(source, primary_key).select(
@@ -1471,6 +1486,31 @@ class ManagedTable:
             .filter(F.col("_ct").isNotNull())
             .select("_s.*", F.col("_ct").alias("_change_type"))
         )
+        if pre_images:
+            # old images of the rows the merge ACTUALLY updated (under
+            # a conditional merge, matched-but-kept rows emit nothing)
+            # — full-width target pass semi-joined against the updated
+            # PK set
+            upd_keys = F.broadcast(
+                changes.filter(F.col("_change_type") == "update_postimage")
+                .select(
+                    *[
+                        F.col(c).alias(a)
+                        for c, a in zip(primary_key, pk_alias)
+                    ]
+                )
+                .distinct()
+            )
+            t_full = target.select(
+                *[F.col(c).alias(a) for c, a in zip(primary_key, pk_alias)],
+                F.struct(*target.columns).alias("_t"),
+            )
+            pre = (
+                t_full.join(upd_keys, pk_alias, "left_semi")
+                .select("_t.*")
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            changes = changes.unionByName(pre)
         changes.write.mode("overwrite").parquet(
             os.path.join(self._changes_dir, f"v{version}")
         )

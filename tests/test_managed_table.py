@@ -553,3 +553,74 @@ def test_read_timestamp_as_of(spark, tmp_path_str):
         t.read(timestamp_ms=ts0 - 10_000)
     with pytest.raises(UserException, match="not both"):
         t.read(version=0, timestamp_ms=ts0)
+
+
+def test_incremental_aggregate_group_migration(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.sinks.materialized import (
+        IncrementalAggregate,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "src"))
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0), (4, "B", 40.0)],
+        "k int, g string, v double",
+    )
+    t.write(
+        df,
+        mode="overwrite",
+        primary_key=["k"],
+        properties={
+            "enableChangeDataFeed": True,
+            "changeDataFeedPreImages": True,
+        },
+    )
+    mv = IncrementalAggregate(
+        spark, os.path.join(tmp_path_str, "mv"), t, ["g"], {"total": "v"}
+    )
+    assert mv.refresh() == "full"
+    # move EVERY B row into C: B's count hits zero (tombstone), C is a
+    # brand-new group, and A is untouched
+    t.upsert(
+        spark.createDataFrame(
+            [(3, "C", 31.0), (4, "C", 41.0)], "k int, g string, v double"
+        ),
+        ["k"],
+    )
+    assert mv.refresh() == "incremental"
+    rows = {
+        r["g"]: (r["n_rows"], float(r["total"]))
+        for r in mv.read().collect()
+    }
+    assert rows == {"A": (2, 30.0), "C": (2, 72.0)}
+    # the tombstone row exists but is filtered
+    raw = {r["g"]: r["n_rows"] for r in mv.table.read().collect()}
+    assert raw.get("B") == 0
+    assert mv.refresh() == "noop"
+    # append-only ranges stay incremental even without pre-images
+    t2 = ManagedTable(spark, os.path.join(tmp_path_str, "src2"))
+    t2.write(df, mode="overwrite", primary_key=["k"])
+    mv2 = IncrementalAggregate(
+        spark, os.path.join(tmp_path_str, "mv2"), t2, ["g"], {"total": "v"}
+    )
+    mv2.refresh()
+    t2.write(
+        spark.createDataFrame([(9, "A", 5.0)], "k int, g string, v double"),
+        mode="append",
+    )
+    assert mv2.refresh() == "incremental"
+    rows2 = {r["g"]: r["n_rows"] for r in mv2.read().collect()}
+    assert rows2 == {"A": 3, "B": 2}
+    # an update range WITHOUT pre-images falls back to full (never wrong)
+    t2p = {**t2.latest_commit().properties, "enableChangeDataFeed": True}
+    t2.upsert(
+        spark.createDataFrame([(1, "A", 99.0)], "k int, g string, v double"),
+        ["k"],
+        properties=t2p,
+    )
+    assert mv2.refresh() == "full"
+    got = {
+        r["g"]: float(r["total"]) for r in mv2.read().collect()
+    }
+    assert got == {"A": 124.0, "B": 70.0}
