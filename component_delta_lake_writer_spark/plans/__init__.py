@@ -116,6 +116,8 @@ _FRONT = [
     "shard_export_balanced",
     "identity_column_write",
     "incremental_mv_refresh",
+    "approx_distinct_sketch",
+    "stream_table_source",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

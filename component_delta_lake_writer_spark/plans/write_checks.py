@@ -397,6 +397,41 @@ def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@query("stream_table_source")
+def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed table as a streaming SOURCE
+    (streaming.structured.stream_table_appends): two append commits
+    drain through a parquet file stream into exactly the batch
+    read-back; a table with a non-append commit in its history is
+    refused, mirroring Delta's data-update streaming error."""
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_table_appends,
+    )
+
+    t = _fresh_table(spark, "stream_table_source", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    out = stream_table_appends(
+        spark, t.path, "stream_table_source_q", state_partitions=4
+    )
+
+    t2 = _fresh_table(spark, "stream_table_source_upd", sf_dir)
+    t2.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    t2.upsert(o.limit(5).withColumn("price", F.lit(-1.0)), ["o_orderkey"])
+    try:
+        stream_table_appends(spark, t2.path, "stream_table_source_q2")
+        raise AssertionError("non-append history must refuse to stream")
+    except UserException:
+        pass
+    return out
+
+
 @query("incremental_mv_refresh")
 def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate
@@ -710,6 +745,11 @@ _O["alter_table_columns"] = """
     FROM orders
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
+_O["stream_table_source"] = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderstatus
+    FROM orders
+"""
 _O["incremental_mv_refresh"] = """
     WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
     modified AS (

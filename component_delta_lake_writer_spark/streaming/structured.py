@@ -349,3 +349,62 @@ def stream_static_enrich(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def stream_table_appends(
+    spark: SparkSession,
+    table_path: str,
+    queryName: str,
+    state_partitions: int | None = None,
+):
+    """The managed table as a STREAMING SOURCE (Delta's
+    table-as-source semantics for append-only tables): every append
+    commit's new unit files become stream input; a table whose history
+    contains updates/overwrites is refused exactly like Delta's
+    "Detected a data update … streaming from this source is not
+    supported" (readChangeFeed/CDF is the attributable path for those,
+    see ManagedTable.read_changes).
+
+    Implementation: a parquet file stream rooted at the table's
+    ``_data`` dir with recursiveFileLookup — new unit dirs land as new
+    files, so a long-running query keeps consuming future appends; the
+    availableNow drain here processes everything committed so far.
+    Returns the drained memory table."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, table_path)
+    head = t.latest_commit()
+    if head is None:
+        raise UserException(f"No table at {table_path}")
+    bad = [
+        f"v{c.version}:{c.action}"
+        for c in t.history()
+        if c.action not in ("create", "append")
+    ]
+    if bad:
+        raise UserException(
+            "Streaming from a table requires an append-only history; "
+            f"found {bad}. Use read_changes (CDF) for updated tables."
+        )
+    schema = T.StructType.fromJson(_json.loads(head.schema_json))
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("recursiveFileLookup", "true")
+        .load(os.path.join(table_path, "_data"))
+    )
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(queryName)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(queryName)

@@ -331,3 +331,30 @@ def test_mor_delete_antijoin_broadcasts_small_delete_set(spark, tmp_path):
     t.upsert(src, ["k"], strategy="merge-on-read")
     plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2 and "SortMergeJoin" not in plan2
+
+
+def test_partitioned_multiunit_read_is_single_scan(tmp_path, spark):
+    """A partitioned table with several appended units must still read
+    as ONE FileScan (recursiveFileLookup + path-derived partition
+    values) — never a per-unit union, and never Spark's multi-root
+    partition discovery error."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("p")
+    )
+    for i in range(3):
+        t.write(
+            df.filter(F.col("k") % 3 == i),
+            mode="append",
+            partition_by=["p"],
+        )
+    out = t.read()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert out.count() == 300
+    # partition values recovered from the path are typed and correct
+    assert out.filter(F.col("p") == F.col("k") % 3).count() == 300
