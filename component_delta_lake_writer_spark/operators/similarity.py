@@ -263,27 +263,40 @@ def kmeans_clusters(
     pts = df.select(
         F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("x")
     )
+    cents = _lloyd_centroids(pts, k, lloyd_iterations)
+    return _assign_centroids(pts, cents).select("pid", "cid", "dist2")
+
+
+def _assign_centroids(pts: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Argmin-by-(dist2, cid) assignment of every point against a
+    broadcast centroid table — min-struct hash agg, the vector table
+    is never shuffled."""
+    scored = pts.crossJoin(F.broadcast(cdf)).select(
+        "pid", "x", "cid", _sqdist(F.col("x"), F.col("c")).alias("dist2")
+    )
+    # x is constant per pid so first() is deterministic here.
+    return (
+        scored.groupBy("pid")
+        .agg(
+            F.min(F.struct("dist2", "cid")).alias("m"),
+            F.first("x").alias("x"),
+        )
+        .select("pid", "x", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"))
+    )
+
+
+def _lloyd_centroids(
+    pts: DataFrame, k: int, lloyd_iterations: int
+) -> DataFrame:
+    """Seed with the k lowest-id points, then ``lloyd_iterations - 1``
+    exact-decimal centroid updates (the final assignment is the
+    caller's). Shared by kmeans_clusters and pq_topk's per-subspace
+    codebook training."""
     cents = pts.filter(F.col("pid") < k).select(
         F.col("pid").alias("cid"), F.col("x").alias("c")
     )
-
-    def assign(cdf: DataFrame) -> DataFrame:
-        scored = pts.crossJoin(F.broadcast(cdf)).select(
-            "pid", "x", "cid", _sqdist(F.col("x"), F.col("c")).alias("dist2")
-        )
-        # argmin by (dist2, cid): min-struct agg; x is constant per pid
-        # so first() is deterministic here.
-        return (
-            scored.groupBy("pid")
-            .agg(
-                F.min(F.struct("dist2", "cid")).alias("m"),
-                F.first("x").alias("x"),
-            )
-            .select("pid", "x", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"))
-        )
-
     for _ in range(max(lloyd_iterations - 1, 0)):
-        asg = assign(cents)
+        asg = _assign_centroids(pts, cents)
         comps = (
             asg.select("cid", F.posexplode("x").alias("pos", "xj"))
             .groupBy("cid", "pos")
@@ -301,7 +314,90 @@ def kmeans_clusters(
                 lambda t: t["m"],
             ).alias("c")
         )
-    return assign(cents).select("pid", "cid", "dist2")
+    return cents
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    sub_k: int = 8,
+    lloyd_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization + asymmetric distance (ADC) retrieval —
+    the standard memory-compressed ANN path (IVF-PQ's second stage):
+    each vector is encoded as m sub-codes (one seeded-Lloyd codebook
+    of sub_k centroids per subspace → dim·4 bytes shrink to m bytes),
+    and a query ranks candidates by the SUM of per-subspace
+    query-to-centroid distances looked up from an m×sub_k table — the
+    full vectors are never touched at query time.
+
+    Scale: codebook training touches only the k·dim component
+    relation per iteration (vectors scanned, never shuffled); encoding
+    is the same broadcast-argmin; the query-time join is against a
+    BROADCAST m×sub_k lookup and the per-point ADC sum goes through
+    round→decimal so the m-term sum is order-free. Everything is
+    seeded/deterministic, so the whole path has a full SQL
+    differential oracle (same bar as kmeans_embedding_clusters).
+
+    Returns the top-k (pid, adc, rk), probe excluded.
+    """
+    from pyspark.sql.window import Window
+
+    width = dim // m
+    base = df.select(
+        F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("full")
+    )
+    codes_parts = []
+    qd_parts = []
+    for j in range(m):
+        sub = base.select(
+            "pid", F.slice(F.col("full"), j * width + 1, width).alias("x")
+        )
+        cents = _lloyd_centroids(sub, sub_k, lloyd_iterations)
+        codes_parts.append(
+            _assign_centroids(sub, cents).select(
+                "pid", F.lit(j).alias("j"), "cid"
+            )
+        )
+        probe_sub = sub.filter(F.col("pid") == probe_id).select(
+            F.col("x").alias("q")
+        )
+        qd_parts.append(
+            cents.crossJoin(F.broadcast(probe_sub)).select(
+                F.lit(j).alias("j"),
+                "cid",
+                _sqdist(F.col("q"), F.col("c")).alias("qd2"),
+            )
+        )
+    codes = codes_parts[0]
+    for p_ in codes_parts[1:]:
+        codes = codes.unionByName(p_)
+    qd = qd_parts[0]
+    for p_ in qd_parts[1:]:
+        qd = qd.unionByName(p_)
+    adc = (
+        codes.join(F.broadcast(qd), ["j", "cid"])
+        .groupBy("pid")
+        .agg(
+            F.sum(F.round(F.col("qd2"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("adc")
+        )
+        .filter(F.col("pid") != probe_id)
+    )
+    # TakeOrdered top-k first (distributed), then rank the k survivors
+    # — a global row_number window over every candidate would be a
+    # single-partition sort.
+    top = adc.orderBy(F.col("adc"), F.col("pid")).limit(k)
+    w = Window.orderBy(F.col("adc"), F.col("pid"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "pid", "adc", "rk"
+    )
 
 
 def semdedup(

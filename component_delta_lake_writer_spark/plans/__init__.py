@@ -118,6 +118,7 @@ _FRONT = [
     "incremental_mv_refresh",
     "approx_distinct_sketch",
     "stream_table_source",
+    "ann_pq_adc_topk",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

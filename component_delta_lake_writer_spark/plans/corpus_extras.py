@@ -634,3 +634,99 @@ def shard_export_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = [r["n_docs"] for r in out.select("n_docs").collect()]
     assert max(sizes) - min(sizes) <= 1, f"unbalanced shards: {sizes}"
     return out
+
+
+def _pq_d2(x: str, c: str, n: int = 16) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])), (a, b) -> a + b)"
+    )
+
+
+def _pq_subspace_ctes(j: int, width: int = 16, sub_k: int = 8) -> str:
+    lo = (j - 1) * width + 1
+    hi = j * width
+    d2_pc = _pq_d2("p.x", "c.c", width)
+    return f"""
+    pts_{j} AS (
+      SELECT vec_id AS pid,
+        list_transform(generate_series({lo}, {hi}),
+                       i -> CAST(embedding[i] AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    c0_{j} AS (SELECT pid AS cid, x AS c FROM pts_{j} WHERE pid < {sub_k}),
+    a1_{j} AS (
+      SELECT pid, x, cid FROM (
+        SELECT p.pid, p.x, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+            {_pq_d2('p.x', 'c.c', width)}, c.cid) AS rn
+        FROM pts_{j} p CROSS JOIN c0_{j} c) t
+      WHERE rn = 1
+    ),
+    comp1_{j} AS (
+      SELECT cid, i AS pos,
+        CAST(SUM(CAST(ROUND(x[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS m
+      FROM a1_{j} CROSS JOIN generate_series(1, {width}) AS g(i)
+      GROUP BY cid, i
+    ),
+    c1_{j} AS (SELECT cid, list(m ORDER BY pos) AS c FROM comp1_{j} GROUP BY cid),
+    codes_{j} AS (
+      SELECT pid, {j - 1} AS j, cid FROM (
+        SELECT p.pid, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+            {d2_pc}, c.cid) AS rn
+        FROM pts_{j} p CROSS JOIN c1_{j} c) t
+      WHERE rn = 1
+    ),
+    qd_{j} AS (
+      SELECT {j - 1} AS j, c.cid,
+        {_pq_d2('q.x', 'c.c', width)} AS qd2
+      FROM c1_{j} c CROSS JOIN (SELECT x FROM pts_{j} WHERE pid = 0) q
+    )"""
+
+
+_PQ_ORACLE = (
+    "WITH "
+    + ",".join(_pq_subspace_ctes(j) for j in (1, 2, 3, 4))
+    + """,
+    codes AS (
+      SELECT * FROM codes_1 UNION ALL SELECT * FROM codes_2
+      UNION ALL SELECT * FROM codes_3 UNION ALL SELECT * FROM codes_4
+    ),
+    qd AS (
+      SELECT * FROM qd_1 UNION ALL SELECT * FROM qd_2
+      UNION ALL SELECT * FROM qd_3 UNION ALL SELECT * FROM qd_4
+    ),
+    adc AS (
+      SELECT c.pid,
+        CAST(SUM(CAST(ROUND(q.qd2, 6) AS DECIMAL(20,6))) AS DOUBLE)
+          AS adc
+      FROM codes c JOIN qd q ON c.j = q.j AND c.cid = q.cid
+      WHERE c.pid <> 0
+      GROUP BY c.pid
+    )
+    SELECT pid, adc, rk FROM (
+      SELECT pid, adc,
+        ROW_NUMBER() OVER (ORDER BY adc, pid) AS rk
+      FROM adc
+    ) WHERE rk <= 10
+    """
+)
+
+
+@query("ann_pq_adc_topk", oracle=_PQ_ORACLE)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval
+    (operators.similarity.pq_topk): 4 subspaces x 8-centroid seeded
+    codebooks (each trained with the same exact-decimal Lloyd
+    iteration as kmeans_embedding_clusters), vectors encoded to 4
+    codes, query ranked by the broadcast m x sub_k lookup-table sum.
+    The ENTIRE path — per-subspace training, encoding, ADC — is
+    mirrored in the generated oracle CTE chain: a full differential
+    check of the compressed-ANN standard, completing the retrieval
+    family (brute force / LSH / IVF / PQ)."""
+    from component_delta_lake_writer_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, k=10, m=4, sub_k=8, lloyd_iterations=2)
