@@ -119,6 +119,7 @@ _FRONT = [
     "approx_distinct_sketch",
     "stream_table_source",
     "ann_pq_adc_topk",
+    "auto_compact_small_files",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -397,6 +397,26 @@ def rename_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@query("auto_compact_small_files")
+def auto_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-site auto-compaction (Delta autoCompact): with the
+    property set, the 4th small append trips a partial OPTIMIZE that
+    folds ONLY the small units (compact_small_units) as a follow-up
+    commit — the small-files problem handled at the write site. The
+    read-back must be byte-identical to plain appends."""
+    t = _fresh_table(spark, "auto_compact_small_files", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    props = {"autoCompact": True, "autoCompact.minUnits": 4}
+    t.write(o.filter(F.col("o_orderkey") % 5 == 0), mode="append",
+            properties=props)
+    for i in (1, 2, 3, 4):
+        t.write(o.filter(F.col("o_orderkey") % 5 == i), mode="append")
+    actions = [c.action for c in t.history()]
+    assert "optimize" in actions, actions
+    assert len(t.latest_commit().data_units) < 5
+    return t.read()
+
+
 @query("stream_table_source")
 def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The managed table as a streaming SOURCE
@@ -745,6 +765,7 @@ _O["alter_table_columns"] = """
     FROM orders
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
+_O["auto_compact_small_files"] = "SELECT * FROM orders"
 _O["stream_table_source"] = """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
            o_orderstatus

@@ -546,35 +546,168 @@ class ManagedTable:
             stats = {unit: self._unit_stats(
                 unit, per_file=not partition_by,
                 props=effective_props, mapping=mapping)}
-            delete_sets = []
-        else:  # append
-            units = prev.data_units + [unit]
-            version = prev.version + 1
-            action = "append"
+            commit = Commit(
+                version=version,
+                action=action,
+                data_units=units,
+                schema_json=json.dumps(schema.jsonValue()),
+                partition_by=partition_by,
+                primary_key=primary_key or (prev.primary_key if prev else []),
+                timestamp_ms=int(time.time() * 1000),
+                properties=properties or (prev.properties if prev else {}),
+                stats=stats,
+                delete_sets=[],
+                column_mapping=mapping,
+            )
+            self._publish(commit, prev)
+            return commit
+
+        # Append: an append conflicts with a concurrent commit only on
+        # the version NUMBER, never on data — the written unit stands,
+        # so a losing racer re-derives the metadata against the new
+        # head and re-publishes (Delta's optimistic-concurrency retry
+        # for AppendOnly commits). Not retried when the batch consumed
+        # identity values: those were allocated against the old
+        # high-water mark and a concurrent append may have claimed the
+        # same range.
+        unit_stats = self._unit_stats(
+            unit, per_file=not partition_by,
+            props=effective_props, mapping=mapping,
+        )
+        for attempt in range(6):
             table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
             schema = self._merge_schemas(table_schema, df.schema)
             if id_hwms:
                 schema = self._bump_identity_hwm(schema, id_hwms)
-            stats = {**prev.stats,
-                     unit: self._unit_stats(
-                         unit, per_file=not partition_by,
-                         props=effective_props, mapping=mapping)}
-            delete_sets = self._carry_delete_sets(
-                prev.delete_sets, prev.data_units
+            commit = Commit(
+                version=prev.version + 1,
+                action="append",
+                data_units=prev.data_units + [unit],
+                schema_json=json.dumps(schema.jsonValue()),
+                partition_by=partition_by,
+                primary_key=primary_key or prev.primary_key,
+                timestamp_ms=int(time.time() * 1000),
+                properties=properties or prev.properties,
+                stats={**prev.stats, unit: unit_stats},
+                delete_sets=self._carry_delete_sets(
+                    prev.delete_sets, prev.data_units
+                ),
+                column_mapping=mapping,
             )
+            try:
+                self._publish(commit, prev)
+                break
+            except UserException as exc:
+                retriable = (
+                    "Concurrent commit conflict" in str(exc)
+                    and not id_hwms
+                    and attempt < 5
+                )
+                if not retriable:
+                    raise
+                prev = self.latest_commit()
+                if dict(prev.column_mapping) != mapping:
+                    raise UserException(
+                        "Concurrent commit changed the column mapping; "
+                        "the written unit's physical names are stale — "
+                        "retry the append."
+                    ) from exc
+                if not self._schema_compatible(
+                    T.StructType.fromJson(json.loads(prev.schema_json)),
+                    df.schema,
+                ) and schema_mode != "merge":
+                    raise SchemaMismatchError(
+                        "Concurrent commit changed the table schema "
+                        "incompatibly with this append."
+                    ) from exc
+        self._maybe_auto_compact(commit)
+        return commit
 
+    def _maybe_auto_compact(self, commit: Commit) -> None:
+        """Post-commit auto-compaction (Delta autoCompact): when the
+        table property ``autoCompact`` is set and the snapshot has
+        accumulated at least ``autoCompact.minUnits`` (default 8)
+        small units, fold them with compact_small_units — the
+        small-files problem solved at the write site instead of by a
+        scheduled OPTIMIZE. Best-effort: a compaction race or failure
+        never fails the append that triggered it."""
+        props = commit.properties or {}
+        if not props.get("autoCompact"):
+            return
+        min_units = int(props.get("autoCompact.minUnits", 8))
+        max_rows = int(props.get("autoCompact.maxRows", 100_000))
+        small = [
+            u
+            for u in commit.data_units
+            if (commit.stats.get(u) or {}).get("_rows") is not None
+            and commit.stats[u]["_rows"] < max_rows
+        ]
+        if len(small) < min_units:
+            return
+        try:
+            self.compact_small_units(max_rows=max_rows)
+        except UserException:
+            pass
+
+    def compact_small_units(
+        self,
+        max_rows: int = 100_000,
+        compression: str = "snappy",
+        target_file_rows: int | None = None,
+    ) -> Commit | None:
+        """Partial OPTIMIZE: fold only the units smaller than
+        ``max_rows`` into one, leaving big units untouched — the
+        operational answer to the small-files problem at 100 TB, where
+        a full rewrite per compaction is unpayable. Delete sets scoped
+        to the folded units are materialized by the rewrite; column
+        mapping is preserved (untouched units keep physical names, so
+        the folded unit is written physical too — unlike full
+        optimize(), which rewrites everything and resets the map).
+        Returns None when fewer than two small units exist."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        small = [
+            u
+            for u in prev.data_units
+            if (prev.stats.get(u) or {}).get("_rows") is not None
+            and prev.stats[u]["_rows"] < max_rows
+        ]
+        if len(small) < 2:
+            return None
+        untouched = [u for u in prev.data_units if u not in set(small)]
+        df = self._read_units(prev, small)
+        unit = self._write_unit(
+            self._to_physical(df, prev.column_mapping),
+            prev.partition_by,
+            compression,
+            target_file_rows,
+        )
+        ustats = self._unit_stats(
+            unit, per_file=not prev.partition_by,
+            props=prev.properties, mapping=prev.column_mapping,
+        )
+        units = list(untouched)
+        stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
+        if ustats["_rows"] > 0:
+            units.append(unit)
+            stats[unit] = ustats
+        else:
+            shutil.rmtree(
+                os.path.join(self._data_dir, unit), ignore_errors=True
+            )
         commit = Commit(
-            version=version,
-            action=action,
+            version=prev.version + 1,
+            action="optimize",
             data_units=units,
-            schema_json=json.dumps(schema.jsonValue()),
-            partition_by=partition_by,
-            primary_key=primary_key or (prev.primary_key if prev else []),
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
             timestamp_ms=int(time.time() * 1000),
-            properties=properties or (prev.properties if prev else {}),
+            properties=prev.properties,
             stats=stats,
-            delete_sets=delete_sets,
-            column_mapping=mapping,
+            delete_sets=self._carry_delete_sets(prev.delete_sets, untouched),
+            column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
         return commit

@@ -624,3 +624,67 @@ def test_incremental_aggregate_group_migration(spark, tmp_path_str):
         r["g"]: float(r["total"]) for r in mv2.read().collect()
     }
     assert got == {"A": 124.0, "B": 70.0}
+
+
+def test_append_conflict_retries_metadata_only(spark, tmp_path_str, monkeypatch):
+    """A losing append racer must re-derive metadata against the new
+    head and re-publish WITHOUT rewriting its data unit."""
+    import os
+    import time as _time
+
+    from component_delta_lake_writer_spark.sinks.managed_table import Commit
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    seed = spark.range(10).select(F.col("id").alias("k"))
+    t.write(seed, mode="overwrite")
+
+    real = ManagedTable._publish
+    state = {"raced": False}
+
+    def flaky(self, commit, prev=None):
+        if commit.action == "append" and not state["raced"]:
+            state["raced"] = True
+            competing = Commit(
+                version=commit.version,
+                action="append",
+                data_units=list(prev.data_units),
+                schema_json=prev.schema_json,
+                partition_by=prev.partition_by,
+                primary_key=prev.primary_key,
+                timestamp_ms=int(_time.time() * 1000),
+                properties=prev.properties,
+                stats=prev.stats,
+                delete_sets=list(prev.delete_sets),
+                column_mapping=dict(prev.column_mapping),
+            )
+            real(self, competing, prev)  # steal the version number
+        return real(self, commit, prev)
+
+    monkeypatch.setattr(ManagedTable, "_publish", flaky)
+    t.write(spark.range(10, 15).select(F.col("id").alias("k")), mode="append")
+    assert state["raced"]
+    assert t._versions() == [0, 1, 2]  # seed, racer, retried append
+    assert t.read().count() == 15
+    # the batch's data unit was written exactly once
+    assert len(os.listdir(t._data_dir)) == 2
+
+
+def test_compact_small_units_partial(spark, tmp_path_str):
+    import os
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    t.write(big, mode="append")
+    for lo in (10000, 10100, 10200):
+        t.write(
+            spark.range(lo, lo + 50).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    assert len(t.latest_commit().data_units) == 4
+    c = t.compact_small_units(max_rows=1000)
+    assert c is not None and c.action == "optimize"
+    # the big unit survives untouched; the three small ones folded
+    assert len(c.data_units) == 2
+    assert t.read().count() == 5000 + 150
+    # nothing to do when fewer than two small units remain
+    assert t.compact_small_units(max_rows=1000) is None
