@@ -120,6 +120,8 @@ _FRONT = [
     "stream_table_source",
     "ann_pq_adc_topk",
     "auto_compact_small_files",
+    "ohlc_resample_15m",
+    "nested_struct_prune",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

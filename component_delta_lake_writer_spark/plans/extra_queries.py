@@ -1556,6 +1556,84 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlc_resample_15m",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    )
+    SELECT user_id,
+      us - us % 900000000 AS bucket_us,
+      arg_min(value, us) AS open,
+      MAX(value) AS high,
+      MIN(value) AS low,
+      arg_max(value, us) AS close,
+      COUNT(*) AS n
+    FROM e GROUP BY user_id, bucket_us
+    """,
+)
+def ohlc_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular→regular time-series downsampling (OHLC bars, the
+    Timescale/kdb resample shape): 15-minute epoch-aligned buckets per
+    user, open/close picked by min_by/max_by on the event time (exact
+    — no (user, ts) ties in the feed), high/low/count alongside. One
+    partial-aggregated groupBy; no window, no sort."""
+    from component_delta_lake_writer_spark.tables import ts_us_expr
+
+    e = load_table(spark, sf_dir, "events")
+    us = ts_us_expr(dict(e.dtypes)["ts"])
+    base = e.select("user_id", us.alias("us"), "value")
+    return (
+        base.withColumn(
+            "bucket_us", F.col("us") - F.col("us") % F.lit(900_000_000)
+        )
+        .groupBy("user_id", "bucket_us")
+        .agg(
+            F.min_by("value", "us").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "us").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "nested_struct_prune",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning: a struct column written to parquet, one
+    subfield projected — Catalyst must push a PRUNED ReadSchema
+    (struct<price> only; the sibling subfields never leave the parquet
+    reader) plus the top-level filter. Asserted against the physical
+    plan, the thing that keeps wide-struct tables (multimodal
+    metadata, telemetry envelopes) scannable at 100 TB."""
+    fix = os.path.join(_scratch("nested_struct_prune", sf_dir), "t")
+    if not os.path.isdir(fix):
+        o = load_table(spark, sf_dir, "orders")
+        o.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").cast("double").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderdate").alias("odate"),
+            ).alias("info"),
+        ).write.mode("overwrite").parquet(fix)
+    df = (
+        spark.read.parquet(fix)
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", F.col("info.price").alias("price"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = plan[plan.find("ReadSchema"):]
+    assert "price" in rs and "status" not in rs, rs[:300]
+    return df
+
+
+@query(
     "approx_distinct_sketch",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
