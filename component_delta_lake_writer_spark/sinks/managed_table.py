@@ -1108,6 +1108,49 @@ class ManagedTable:
                 out[pk] = (mn, mx)
         return out
 
+    @staticmethod
+    def _derived_partition_conjuncts(
+        conjuncts: list, gen: dict[str, str], partition_by: list[str]
+    ) -> list[str]:
+        """Delta's generated-column partition filters, narrow form:
+        when a partition column g is GENERATED ALWAYS AS
+        ``CAST(src AS DATE)`` and the predicate constrains ``src`` with
+        an ISO date/timestamp literal, an implied predicate on g is
+        added so Spark's native partition pruning fires — the query
+        never has to mention the partition column. Conservative:
+        anything unparseable derives nothing."""
+        import re
+
+        out: list[str] = []
+        for g in partition_by:
+            expr = gen.get(g)
+            if not expr:
+                continue
+            m = re.fullmatch(
+                r"\s*CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)\s*",
+                expr,
+                flags=re.IGNORECASE,
+            )
+            if not m:
+                continue
+            src = m.group(1)
+            for col, op, lit in conjuncts:
+                if col != src or not isinstance(lit, str):
+                    continue
+                dm = re.match(r"(\d{4}-\d{2}-\d{2})", lit)
+                if not dm:
+                    continue
+                day = dm.group(1)
+                if op in ("=",):
+                    out.append(f"{g} = DATE'{day}'")
+                elif op in (">", ">="):
+                    # ts > D 23:59 still lives in partition D — derive
+                    # the inclusive day bound
+                    out.append(f"{g} >= DATE'{day}'")
+                elif op in ("<", "<="):
+                    out.append(f"{g} <= DATE'{day}'")
+        return out
+
     def read_where(self, condition: str, version: int | None = None) -> DataFrame:
         """Filtered snapshot read with commit-log data skipping.
 
@@ -1141,6 +1184,16 @@ class ManagedTable:
         stats_view = self._logical_stats(commit.stats, mapping)
         units = prune_units(stats_view, commit.data_units, condition)
         conjuncts = parse_conjuncts(condition)
+        derived = self._derived_partition_conjuncts(
+            conjuncts,
+            self._generation_exprs(commit),
+            commit.partition_by or [],
+        )
+        eff_condition = (
+            condition
+            if not derived
+            else condition + " AND " + " AND ".join(derived)
+        )
         if conjuncts:
             # second skipping level: per-unit bloom sidecars answer
             # equality probes min/max ranges can't (high-cardinality,
@@ -1158,8 +1211,10 @@ class ManagedTable:
             # anti-joins (file-level path lists can't carry them)
             if not units:
                 empty = self.spark.createDataFrame([], schema)
-                return empty.filter(F.expr(condition))
-            return self._read_units(commit, units).filter(F.expr(condition))
+                return empty.filter(F.expr(eff_condition))
+            return self._read_units(commit, units).filter(
+                F.expr(eff_condition)
+            )
         paths: list[str] = []
         file_level = bool(parse_conjuncts(condition)) and not commit.partition_by
         for u in units:
@@ -1177,10 +1232,10 @@ class ManagedTable:
                 paths.append(udir)
         if not paths:
             empty = self.spark.createDataFrame([], schema)
-            return empty.filter(F.expr(condition))
+            return empty.filter(F.expr(eff_condition))
         return self._scan_units(
             paths, schema, mapping, commit.partition_by
-        ).filter(F.expr(condition))
+        ).filter(F.expr(eff_condition))
 
     # ---------- upsert (W12 + O2) ----------
 

@@ -688,3 +688,32 @@ def test_compact_small_units_partial(spark, tmp_path_str):
     assert t.read().count() == 5000 + 150
     # nothing to do when fewer than two small units remain
     assert t.compact_small_units(max_rows=1000) is None
+
+
+def test_generated_partition_filter_derivation(spark, tmp_path_str):
+    """A predicate on the SOURCE timestamp column of a generated DATE
+    partition column must derive a native PartitionFilter — the query
+    never mentions the partition column (Delta's generated-column
+    partition pruning)."""
+    import os
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp_ntz'2024-03-01 00:00:00' + make_interval(0,0,0,0,id,0,0)"
+        ).alias("ts"),
+    )
+    t.write(
+        df,
+        mode="overwrite",
+        partition_by=["day"],
+        generated_columns={"day": "CAST(ts AS DATE)"},
+    )
+    out = t.read_where("ts >= '2024-03-03 06:00:00'")
+    assert out.count() == 96 - (2 * 24 + 6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "day" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+    # equality and upper-bound forms derive too, and never drop rows
+    assert t.read_where("ts = '2024-03-02 05:00:00'").count() == 1
+    assert t.read_where("ts < '2024-03-02 00:00:00'").count() == 24
