@@ -122,6 +122,7 @@ _FRONT = [
     "auto_compact_small_files",
     "ohlc_resample_15m",
     "nested_struct_prune",
+    "stream_mv_rollup",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -766,6 +766,12 @@ _O["alter_table_columns"] = """
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
+_O["stream_mv_rollup"] = """
+    SELECT event_type, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        AS total_value
+    FROM events GROUP BY event_type
+"""
 _O["stream_table_source"] = """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
            o_orderstatus
@@ -944,3 +950,51 @@ _O["merge_with_delete"] = """
     SELECT o_orderkey + 1000000000 AS o_orderkey, price
     FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
 """
+
+
+@query("stream_mv_rollup")
+def stream_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL + serving rollup (streaming.sink.
+    write_stream_with_mv): the events feed drains in 4 micro-batches
+    (one file per trigger); every batch commits atomically and the
+    per-type materialized aggregate refreshes from the change feed —
+    full on batch 1, INCREMENTAL from batch 2 on (asserted). The final
+    materialization must equal the from-scratch batch rollup."""
+    from component_delta_lake_writer_spark.sinks.materialized import (
+        IncrementalAggregate,
+    )
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_with_mv,
+    )
+
+    base = _scratch("stream_mv_rollup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    mv = IncrementalAggregate(
+        spark, os.path.join(base, "mv"), t, ["event_type"],
+        {"total_value": "value"},
+    )
+    modes: list[str] = []
+    q = write_stream_with_mv(
+        stream, t, mv,
+        checkpoint_dir=os.path.join(base, "_ckpt"),
+        on_refresh=modes.append,
+    )
+    q.awaitTermination()
+    assert len(modes) == 4 and modes[0] == "full", modes
+    assert set(modes[1:]) == {"incremental"}, modes
+    return mv.read().select(
+        "event_type",
+        "n_rows",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

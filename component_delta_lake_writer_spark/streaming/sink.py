@@ -137,3 +137,44 @@ def write_stream_dedup_corpus(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def write_stream_with_mv(
+    stream_df: DataFrame,
+    table: ManagedTable,
+    mv,
+    checkpoint_dir: str | None = None,
+    on_refresh=None,
+):
+    """Micro-batch sink that keeps a materialized aggregate current
+    with every commit: each batch lands as one atomic append, then the
+    IncrementalAggregate refreshes from the table's change feed — per
+    batch O(batch rows) commit + O(touched groups) maintenance, the
+    streaming-ETL-plus-serving-rollup shape. Append-only commits need
+    no CDF pre-images, so the refresh stays incremental from batch 2
+    on (batch 1 is the initial full materialization by definition).
+
+    Same exactly-once guard as write_stream_to_table; ``on_refresh``
+    (if given) receives each refresh's mode string — lets callers
+    assert the incremental path actually ran."""
+    _BATCH_KEY = "last_stream_batch_id"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = table.latest_commit()
+        if prev is not None:
+            last = prev.properties.get(_BATCH_KEY)
+            if last is not None and batch_id <= int(last):
+                return
+        props = dict(prev.properties) if prev is not None else {}
+        props[_BATCH_KEY] = batch_id
+        table.write(batch_df, mode="append", properties=props)
+        mode = mv.refresh()
+        if on_refresh is not None:
+            on_refresh(mode)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
