@@ -1770,14 +1770,37 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_byte_features")
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, ascii(c) AS b
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents)
+    ),
+    counts AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM chars GROUP BY doc_id, b
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id)
+    SELECT c.doc_id,
+      ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                 * log2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits,
+      ROUND(CAST(SUM(CASE WHEN c.b < 16 THEN c.c ELSE 0 END) AS DOUBLE)
+              / t.n, 6) AS h0,
+      16 AS n_bins
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.n
+    """,
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free media feature extraction
     (operators.multimodal.byte_histogram_features): binary payload →
     16-bin byte histogram + Shannon entropy via Arrow-batched numpy.
-    Byte-level blob math isn't DuckDB-SQL-expressible → rows-only here;
-    exact values unit-tested against a pure-Python reference in
-    tests/test_engine_extras.py."""
+    The synthetic payloads are the utf-8 bytes of ASCII text, so the
+    oracle can rebuild the byte histogram character-by-character and
+    recompute the entropy from first principles — the formerly-last
+    rows-only key now has a full oracle (exact values also unit-tested
+    against a pure-Python reference in tests/test_engine_extras.py)."""
     from component_delta_lake_writer_spark.operators.multimodal import (
         attach_binary_payload,
         byte_histogram_features,
