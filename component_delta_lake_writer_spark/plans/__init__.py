@@ -123,6 +123,9 @@ _FRONT = [
     "ohlc_resample_15m",
     "nested_struct_prune",
     "stream_mv_rollup",
+    "dq_expectations_audit",
+    "referential_integrity_audit",
+    "pk_uniqueness_audit",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

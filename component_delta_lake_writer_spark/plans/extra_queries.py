@@ -1556,6 +1556,115 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_expectations_audit",
+    oracle="""
+    SELECT 'price_nonneg' AS check_name,
+      SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+               THEN 1 ELSE 0 END) AS n_violations,
+      COUNT(*) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+      SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+               THEN 1 ELSE 0 END),
+      COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+      SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+      COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'price_cap_100k',
+      SUM(CASE WHEN NOT COALESCE(o_totalprice <= 100000, FALSE)
+               THEN 1 ELSE 0 END),
+      COUNT(*) FROM orders
+    """,
+)
+def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations audit (operators.dq.expectations_summary, the
+    dbt-test/Deequ shape): four named boolean rules evaluated in ONE
+    aggregation pass (conditional counts, NULL = violation like CHECK
+    constraints), long-format summary out. Includes a deliberately
+    failing rule so nonzero violation counts are exercised."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        expectations_summary,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return expectations_summary(
+        o,
+        {
+            "price_nonneg": "o_totalprice >= 0",
+            "status_domain": "o_orderstatus IN ('O','F','P')",
+            "custkey_not_null": "o_custkey IS NOT NULL",
+            "price_cap_100k": "o_totalprice <= 100000",
+        },
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    WITH child AS (
+      SELECT CASE WHEN o_orderkey % 50 = 0
+                  THEN o_custkey + 100000000 ELSE o_custkey END
+               AS o_custkey
+      FROM orders
+    )
+    SELECT c.o_custkey, COUNT(*) AS n_orphans
+    FROM child c
+    WHERE c.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer p
+                      WHERE p.c_custkey = c.o_custkey)
+    GROUP BY c.o_custkey
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit (operators.dq.referential_violations):
+    orders→customer with every 50th key displaced out of range — the
+    anti-join must surface exactly the displaced keys with their
+    occurrence counts (clean TPC-H data would return zero rows, which
+    proves nothing)."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        referential_violations,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 50 == 0,
+            F.col("o_custkey") + F.lit(100_000_000),
+        ).otherwise(F.col("o_custkey")),
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return referential_violations(o, c, {"o_custkey": "c_custkey"})
+
+
+@query(
+    "pk_uniqueness_audit",
+    oracle="""
+    WITH feed AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_rows
+    FROM feed GROUP BY doc_id HAVING COUNT(*) > 1
+    """,
+)
+def pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit (operators.dq.
+    pk_uniqueness_violations): the check that keeps an informational
+    PK honest (OSS Delta doesn't enforce PKs either). Every 25th doc
+    is fed twice; exactly those ids must surface with their counts."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        pk_uniqueness_violations,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    feed = d.unionByName(d.filter(F.col("doc_id") % 25 == 0))
+    return pk_uniqueness_violations(feed, ["doc_id"])
+
+
+@query(
     "ohlc_resample_15m",
     oracle="""
     WITH e AS (
