@@ -126,6 +126,7 @@ _FRONT = [
     "dq_expectations_audit",
     "referential_integrity_audit",
     "pk_uniqueness_audit",
+    "export_jsonl_roundtrip",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -766,6 +766,11 @@ _O["alter_table_columns"] = """
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
+_O["export_jsonl_roundtrip"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+"""
 _O["stream_mv_rollup"] = """
     SELECT event_type, COUNT(*) AS n_rows,
       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
@@ -950,6 +955,36 @@ _O["merge_with_delete"] = """
     SELECT o_orderkey + 1000000000 AS o_orderkey, price
     FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
 """
+
+
+@query("export_jsonl_roundtrip")
+def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export surface (sinks.export): managed table → gzipped JSONL
+    slices → read back with an explicit schema must equal the table
+    exactly (the reverse of the reference's CSV→Delta direction;
+    sliced line files are what a trainer or the Keboola staging layer
+    consumes). Slice count and the returned row receipt are asserted."""
+    import glob
+
+    from component_delta_lake_writer_spark.sinks.export import export_jsonl
+
+    base = _scratch("export_jsonl_roundtrip", sf_dir)
+    t = ManagedTable(spark, os.path.join(base, "table"))
+    shutil.rmtree(t.path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t.write(o, mode="overwrite")
+    dest = os.path.join(base, "jsonl_out")
+    n = export_jsonl(t, dest, slices=4, compression="gzip")
+    assert n == o.count()
+    parts = glob.glob(os.path.join(dest, "part-*.json.gz"))
+    assert len(parts) == 4, parts
+    back = spark.read.schema(t.read().schema).json(dest)
+    return back
 
 
 @query("stream_mv_rollup")

@@ -92,3 +92,77 @@ def test_append_commits_accumulate(spark, batches):
         assert t.read().count() == expect
         # and time travel sees each prefix
         assert t.read(version=0).count() == len(batches[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(min_size=0, max_size=40),
+        ),
+        min_size=0,
+        max_size=300,
+    ),
+    probes=st.lists(
+        st.one_of(st.integers(), st.text(max_size=40)), max_size=30
+    ),
+    m_exp=st.integers(min_value=13, max_value=16),
+)
+def test_bloom_never_false_negative(values, probes, m_exp):
+    """The bloom contract that makes pruning SAFE: a value that was
+    inserted can never test absent (false positives merely cost IO;
+    a false negative would silently drop rows). Pure driver-side
+    property of the bitmap math — the Spark twin shares the hash by
+    construction (md5 of the CAST-to-string form)."""
+    from component_delta_lake_writer_spark.sinks.bloom import (
+        may_contain,
+        positions_for_value,
+    )
+
+    m = 1 << m_exp
+    bits = bytearray(m // 8)
+    for v in values:
+        for p in positions_for_value(v, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    bm = bytes(bits)
+    for v in values:
+        assert may_contain(bm, m, v)
+    # absent probes may be positive (fp) but the bitmap must never
+    # claim certainty wrongly on inserted values — and an empty
+    # filter rejects everything
+    if not values:
+        for q in probes:
+            assert not may_contain(bm, m, q)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy, seed=st.integers(min_value=0, max_value=5))
+def test_shard_export_partition_invariance(spark, rows, seed):
+    """shard_export's (rank, shard) assignment is a pure function of
+    (ids, seed) — invariant to how the input happens to be
+    partitioned, which is what makes the export reproducible across
+    cluster layouts."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        shard_export,
+    )
+
+    ids = sorted({k for k, _ in rows})
+    if not ids:
+        return
+    df1 = spark.createDataFrame([(i,) for i in ids], "id long")
+    df2 = df1.repartition(7)
+    a = {
+        r["id"]: (r["shuffle_rank"], r["shard"])
+        for r in shard_export(df1, "id", 4, seed=seed).collect()
+    }
+    b = {
+        r["id"]: (r["shuffle_rank"], r["shard"])
+        for r in shard_export(df2, "id", 4, seed=seed, range_partitions=3).collect()
+    }
+    assert a == b
+    assert sorted(r for r, _ in a.values()) == list(range(len(ids)))
