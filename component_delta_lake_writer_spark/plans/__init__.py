@@ -127,6 +127,7 @@ _FRONT = [
     "referential_integrity_audit",
     "pk_uniqueness_audit",
     "export_jsonl_roundtrip",
+    "describe_detail",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

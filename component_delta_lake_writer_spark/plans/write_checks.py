@@ -766,6 +766,12 @@ _O["alter_table_columns"] = """
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
+_O["describe_detail"] = """
+    SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS num_units,
+      (SELECT COUNT(*) FROM orders) AS n_rows,
+      'o_orderstatus' AS partition_by, 'o_orderkey' AS primary_key,
+      CAST(0 AS BIGINT) AS pending_deletes
+"""
 _O["export_jsonl_roundtrip"] = """
     SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(o_totalprice AS DOUBLE) AS price
@@ -955,6 +961,39 @@ _O["merge_with_delete"] = """
     SELECT o_orderkey + 1000000000 AS o_orderkey, price
     FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
 """
+
+
+@query("describe_detail")
+def describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL (ManagedTable.detail): snapshot metadata with
+    the row count taken from commit stats — no data scan. The
+    deterministic fields (version, unit count, stats-row-count,
+    partition/PK columns, pending MOR deletes) are the oracle-checked
+    row; file counts/bytes vary with parallelism and are only
+    sanity-asserted."""
+    t = _fresh_table(spark, "describe_detail", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite",
+            partition_by=["o_orderstatus"], primary_key=["o_orderkey"])
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    d = t.detail()
+    assert d["num_files"] >= d["num_units"] >= 2
+    assert d["size_bytes"] > 0
+    assert not d["column_mapping_active"]
+    return spark.createDataFrame(
+        [
+            (
+                d["version"],
+                d["num_units"],
+                d["num_rows_from_stats"],
+                ",".join(d["partition_columns"]),
+                ",".join(d["primary_key"]),
+                d["pending_delete_sets"],
+            )
+        ],
+        "version long, num_units long, n_rows long, partition_by string,"
+        " primary_key string, pending_deletes long",
+    )
 
 
 @query("export_jsonl_roundtrip")

@@ -2298,6 +2298,45 @@ class ManagedTable:
     def history(self) -> list[Commit]:
         return [self.commit_at(v) for v in self._versions()]
 
+    def detail(self) -> dict:
+        """``DESCRIBE DETAIL`` (Delta parity): one metadata dict for
+        the current snapshot — format, location, version, unit/file
+        counts, total data bytes, row count from commit stats (no data
+        scan), partition/PK columns, properties, feature flags."""
+        c = self.latest_commit()
+        if c is None:
+            raise UserException(f"No table at {self.path}")
+        n_files = 0
+        size_bytes = 0
+        for u in c.data_units:
+            base = os.path.join(self._data_dir, u)
+            for root, _dirs, files in os.walk(base):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n_files += 1
+                        size_bytes += os.path.getsize(
+                            os.path.join(root, fn)
+                        )
+        rows = sum(
+            (c.stats.get(u) or {}).get("_rows") or 0 for u in c.data_units
+        )
+        return {
+            "format": "parquet+commit-log (delta-mirrored)",
+            "location": self.path,
+            "version": c.version,
+            "num_units": len(c.data_units),
+            "num_files": n_files,
+            "size_bytes": size_bytes,
+            "num_rows_from_stats": rows,
+            "partition_columns": list(c.partition_by or []),
+            "primary_key": list(c.primary_key or []),
+            "properties": dict(c.properties or {}),
+            "column_mapping_active": bool(c.column_mapping),
+            "pending_delete_sets": len(c.delete_sets or []),
+            "generated_columns": self._generation_exprs(c),
+            "identity_columns": sorted(self._identity_specs(c)),
+        }
+
     @property
     def _changes_dir(self) -> str:
         return os.path.join(self.path, "_changes")
