@@ -28,10 +28,10 @@ _FRONT = [
     # Cumulative r1+r2 evidence covers 94/148 keys (93 green, 1 err).
     # Slot 1 is the only red row (probe scalar-ized this round); slot 2
     # is the new MOR upsert; slots 3-50 are 48 of the 54 never-checked
-    # keys.  The 6 deferred to round 4 (positions 51-56) are twins of
-    # already-green keys or rows-only probes: frame_sample_plan,
-    # csv_quoted_edge, parquet_scan_multifile, distinct_users_hourly,
-    # csv_gzip_scan, multimodal_byte_features.
+    # keys.  Positions 51+ queue for round 4: the keys deferred from
+    # the round-2 backlog, then everything registered new in round 3
+    # (registry now 172 keys, all oracled; the whole registry sweeps
+    # green under scripts/driver_sim.py at sf0.01).
     # ------------------------------------------------------------------
     # -- err in round 2 (driver canonicalizer vs array column); probe
     # now emits scalar (vec_id, pos, q_i, scale) rows --
