@@ -128,6 +128,9 @@ _FRONT = [
     "pk_uniqueness_audit",
     "export_jsonl_roundtrip",
     "describe_detail",
+    "set_except_all",
+    "explode_outer_nulls",
+    "pagerank_top_nodes",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1556,6 +1556,130 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pagerank_top_nodes",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM nodes, nn),
+    c1 AS (
+      SELECT e.dst,
+        CAST(SUM(CAST(ROUND(r.rank / od.od, 12) AS DECIMAL(28,12)))
+             AS DOUBLE) AS s
+      FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT nd.node,
+        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+          + CAST(0.85 AS DOUBLE) * COALESCE(c1.s, 0.0) AS rank
+      FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nd.node
+    ),
+    c2 AS (
+      SELECT e.dst,
+        CAST(SUM(CAST(ROUND(r.rank / od.od, 12) AS DECIMAL(28,12)))
+             AS DOUBLE) AS s
+      FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT nd.node,
+        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+          + CAST(0.85 AS DOUBLE) * COALESCE(c2.s, 0.0) AS rank
+      FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nd.node
+    )
+    SELECT node, ROUND(rank, 9) AS rank, rk FROM (
+      SELECT node, rank,
+        ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rk
+      FROM r2
+    ) WHERE rk <= 20
+    """,
+)
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of PageRank (operators.graph.pagerank)
+    over a deterministic synthetic graph (custkey → orderkey mod 997,
+    multi-edges counted): per-edge contributions go through the
+    round→decimal idiom so every iteration is order-free, and the
+    ENTIRE computation is unrolled in the oracle CTE chain — the
+    iterative-graph sibling of the kmeans/PQ differential checks.
+    Top-20 nodes by final rank."""
+    from pyspark.sql.window import Window
+
+    from component_delta_lake_writer_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 997).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=2, damping=0.85)
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("node", F.round("rank", 9).alias("rank"), "rk")
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with multiplicity (a customer with
+    5 even-key orders and 2 div-3-key orders keeps 3 rows), vs the
+    DISTINCT semantics `set_except` already covers. Spark's
+    exceptAll plans as a counted anti-semi (Expand + sum(vcol)), no
+    row explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "explode_outer_nulls",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             ELSE string_split(o_orderpriority, '-') END AS parts
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT o_orderkey, u.part
+    FROM src LEFT JOIN LATERAL (
+      SELECT unnest(src.parts) AS part
+    ) u ON TRUE
+    """,
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER EXPLODE null semantics: rows whose array is
+    NULL survive with a NULL element (plain explode silently DROPS
+    them — the classic fan-out data-loss bug). Every 10th key carries
+    a NULL array; the oracle is the LEFT LATERAL unnest."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+            F.split(F.col("o_orderpriority"), "-")
+        ).alias("parts"),
+    )
+    return src.select(
+        "o_orderkey", F.explode_outer("parts").alias("part")
+    )
+
+
+@query(
     "dq_expectations_audit",
     oracle="""
     SELECT 'price_nonneg' AS check_name,
