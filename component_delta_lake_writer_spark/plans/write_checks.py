@@ -1022,7 +1022,15 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n == o.count()
     parts = glob.glob(os.path.join(dest, "part-*.json.gz"))
     assert len(parts) == 4, parts
-    back = spark.read.schema(t.read().schema).json(dest)
+    import json as _json
+
+    with open(os.path.join(dest, "manifest.json")) as fh:
+        man = _json.load(fh)
+    assert man["n_rows"] == n and len(man["files"]) == 4
+    assert all(f["bytes"] > 0 for f in man["files"])
+    back = spark.read.schema(t.read().schema).json(
+        os.path.join(dest, "part-*.json.gz")
+    )
     return back
 
 

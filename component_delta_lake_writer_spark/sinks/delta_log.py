@@ -221,6 +221,7 @@ def write_delta_log_entry(
     rows_diverge: bool = False,
     column_mapping: dict | None = None,
     prev_column_mapping: dict | None = None,
+    operation: str = "WRITE",
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -298,7 +299,7 @@ def write_delta_log_entry(
         {
             "commitInfo": {
                 "timestamp": timestamp_ms,
-                "operation": "WRITE",
+                "operation": operation,
                 "engineInfo": "component-delta-lake-writer-spark",
             }
         }

@@ -12,7 +12,40 @@ files land as part-* under ``dest``).
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from component_delta_lake_writer_spark.sinks.managed_table import ManagedTable
+
+
+def _write_manifest(dest: str, fmt: str, n_rows: int, version: int) -> dict:
+    """Export receipt (``manifest.json``): format, source table
+    version, row count, and the slice list with byte sizes — what a
+    downstream trainer's loader validates before reading, and what
+    makes a partially-copied export detectable."""
+    files = sorted(
+        fn
+        for fn in os.listdir(dest)
+        if fn.startswith("part-") and not fn.endswith(".crc")
+    )
+    manifest = {
+        "format": fmt,
+        "source_version": version,
+        "n_rows": n_rows,
+        "files": [
+            {
+                "path": fn,
+                "bytes": os.path.getsize(os.path.join(dest, fn)),
+            }
+            for fn in files
+        ],
+    }
+    tmp = os.path.join(dest, f"manifest.json.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(dest, "manifest.json"))
+    return manifest
 
 
 def export_jsonl(
@@ -31,7 +64,10 @@ def export_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(dest)
-    return df.count()
+    n = df.count()
+    v = version if version is not None else table.latest_commit().version
+    _write_manifest(dest, "jsonl", n, v)
+    return n
 
 
 def export_csv(
@@ -50,4 +86,7 @@ def export_csv(
     if compression:
         w = w.option("compression", compression)
     w.csv(dest)
-    return df.count()
+    n = df.count()
+    v = version if version is not None else table.latest_commit().version
+    _write_manifest(dest, "csv", n, v)
+    return n

@@ -52,6 +52,24 @@ from component_delta_lake_writer_spark.errors import (
 _COMMITS = "_commits"
 _DATA = "_data"
 
+# commit action → Delta commitInfo operation name (what DESCRIBE
+# HISTORY shows external readers of the mirror)
+_OPERATION_NAMES = {
+    "create": "CREATE TABLE AS SELECT",
+    "overwrite": "WRITE",
+    "append": "WRITE",
+    "upsert": "MERGE",
+    "delete": "DELETE",
+    "update": "UPDATE",
+    "optimize": "OPTIMIZE",
+    "restore": "RESTORE",
+    "add_column": "ADD COLUMNS",
+    "drop_column": "DROP COLUMNS",
+    "rename_column": "RENAME COLUMN",
+    "add_constraint": "ADD CONSTRAINT",
+    "drop_constraint": "DROP CONSTRAINT",
+}
+
 
 @dataclass
 class Commit:
@@ -181,6 +199,10 @@ class ManagedTable:
             rows_diverge=bool(commit.delete_sets),
             column_mapping=commit.column_mapping,
             prev_column_mapping=prev.column_mapping if prev else None,
+            # DESCRIBE HISTORY on the mirror shows real operation names
+            operation=_OPERATION_NAMES.get(
+                commit.action, commit.action.upper()
+            ),
         )
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
@@ -2289,6 +2311,9 @@ class ManagedTable:
                     column_mapping=c.column_mapping,
                     prev_column_mapping=(
                         prev.column_mapping if prev else None
+                    ),
+                    operation=_OPERATION_NAMES.get(
+                        c.action, c.action.upper()
                     ),
                 )
                 repaired += 1
