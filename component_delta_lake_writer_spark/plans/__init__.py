@@ -131,6 +131,7 @@ _FRONT = [
     "set_except_all",
     "explode_outer_nulls",
     "pagerank_top_nodes",
+    "show_partitions",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -766,6 +766,10 @@ _O["alter_table_columns"] = """
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
+_O["show_partitions"] = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
 _O["describe_detail"] = """
     SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS num_units,
       (SELECT COUNT(*) FROM orders) AS n_rows,
@@ -961,6 +965,26 @@ _O["merge_with_delete"] = """
     SELECT o_orderkey + 1000000000 AS o_orderkey, price
     FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
 """
+
+
+@query("show_partitions")
+def show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS parity: the live partition values of a
+    partitioned snapshot with per-partition row counts — computed from
+    the snapshot read (partition pruning applies), matching the
+    DISTINCT the oracle runs on the source."""
+    t = _fresh_table(spark, "show_partitions", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t.write(
+        li.select("l_orderkey", "l_returnflag", "l_linestatus"),
+        mode="overwrite",
+        partition_by=["l_returnflag", "l_linestatus"],
+    )
+    return (
+        t.read()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
 
 
 @query("describe_detail")
