@@ -230,9 +230,54 @@ _FRONT = [
 ]
 
 
+def _driver_evidence() -> tuple[set, set]:
+    """Fold the driver's per-round CORRECTNESS_r*.json files (repo
+    root) into (red_keys, seen_keys): a key is red when its NEWEST
+    row errored or mismatched; seen when any round produced a row."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.abspath(
+        _os.path.join(_os.path.dirname(__file__), "..", "..")
+    )
+    red: set = set()
+    seen: set = set()
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, row in rows.items():
+            seen.add(k)
+            bad = bool(row.get("err")) or any(
+                row.get(f) is False
+                for f in ("rows_match", "schema_match", "hash_match")
+            )
+            if bad:
+                red.add(k)
+            else:
+                red.discard(k)  # a later green row clears an old red
+    return red, seen
+
+
 def _reorder() -> None:
-    ordered = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
-    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
+    """Registry order = the driver's check order. Priority: (0) keys
+    whose newest driver row is red, (1) keys with NO driver row yet,
+    (2) standing-green keys — each tier in _FRONT order (unknown keys
+    after it, registration order). This self-rotates the front-50
+    every round: once CORRECTNESS_rN lands in the repo, the next
+    import pushes the still-unchecked tail forward automatically."""
+    red, seen = _driver_evidence()
+    front_pos = {k: i for i, k in enumerate(_FRONT)}
+
+    def _key(k: str) -> tuple:
+        tier = 0 if k in red else (1 if k not in seen else 2)
+        return (tier, front_pos.get(k, len(_FRONT)), k)
+
+    ordered_keys = sorted(QUERIES, key=_key)
+    ordered = {k: QUERIES[k] for k in ordered_keys}
     QUERIES.clear()
     QUERIES.update(ordered)
     osorted = {k: ORACLES[k] for k in QUERIES if k in ORACLES}

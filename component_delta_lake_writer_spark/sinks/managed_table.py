@@ -2323,6 +2323,51 @@ class ManagedTable:
     def history(self) -> list[Commit]:
         return [self.commit_at(v) for v in self._versions()]
 
+    def fsck(self) -> dict:
+        """Physical-integrity audit of the commit log vs the
+        filesystem (the object-store reality check a 100 TB table
+        needs after a botched copy or manual deletion): per version,
+        which referenced data units / delete-set files / bloom
+        sidecars are missing, plus the newest fully-intact version —
+        the safe `restore()` target. Read-only; never mutates."""
+        report: dict = {"versions": {}, "last_intact_version": None}
+        for v in self._versions():
+            c = self.commit_at(v)
+            missing_units = [
+                u
+                for u in c.data_units
+                if not os.path.isdir(os.path.join(self._data_dir, u))
+            ]
+            missing_deletes = [
+                ds["path"]
+                for ds in c.delete_sets or []
+                if not os.path.isdir(
+                    os.path.join(self._deletes_dir, ds["path"])
+                )
+            ]
+            missing_blooms = [
+                meta["path"]
+                for u in c.data_units
+                for meta in ((c.stats.get(u) or {}).get("_bloom") or {}).values()
+                if not os.path.exists(
+                    os.path.join(self._bloom_dir, meta["path"])
+                )
+            ]
+            issues = {}
+            if missing_units:
+                issues["missing_units"] = missing_units
+            if missing_deletes:
+                issues["missing_delete_sets"] = missing_deletes
+            if missing_blooms:
+                # bloom loss is benign (pruning degrades, reads stay
+                # correct) but still worth surfacing
+                issues["missing_bloom_sidecars"] = missing_blooms
+            if issues:
+                report["versions"][v] = issues
+            if not missing_units and not missing_deletes:
+                report["last_intact_version"] = v
+        return report
+
     def detail(self) -> dict:
         """``DESCRIBE DETAIL`` (Delta parity): one metadata dict for
         the current snapshot — format, location, version, unit/file

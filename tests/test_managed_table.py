@@ -717,3 +717,26 @@ def test_generated_partition_filter_derivation(spark, tmp_path_str):
     # equality and upper-bound forms derive too, and never drop rows
     assert t.read_where("ts = '2024-03-02 05:00:00'").count() == 1
     assert t.read_where("ts < '2024-03-02 00:00:00'").count() == 24
+
+
+def test_fsck_detects_missing_and_restore_target(spark, tmp_path_str):
+    import os
+    import shutil as _shutil
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(F.col("id").alias("k"))
+    t.write(df.filter(F.col("k") < 50), mode="append")        # v0
+    t.write(df.filter(F.col("k") >= 50), mode="append")       # v1
+    t.optimize()                                              # v2
+    clean = t.fsck()
+    assert clean["versions"] == {}
+    assert clean["last_intact_version"] == 2
+    # vandalize: remove v0/v1's first unit (v2's compacted unit stays)
+    victim = t.commit_at(0).data_units[0]
+    _shutil.rmtree(os.path.join(t._data_dir, victim))
+    rep = t.fsck()
+    assert 0 in rep["versions"] and 1 in rep["versions"]
+    assert rep["versions"][0]["missing_units"] == [victim]
+    assert rep["last_intact_version"] == 2
+    # the reported target is actually restorable/readable
+    assert t.read(version=rep["last_intact_version"]).count() == 100

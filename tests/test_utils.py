@@ -61,3 +61,23 @@ def test_with_retries_reraises_last():
 
     with pytest.raises(ValueError):
         with_retries(always_fails, sleep=lambda s: None)
+
+
+def test_registry_order_tracks_driver_evidence():
+    """The registry self-rotates on the driver's CORRECTNESS files:
+    red keys first, never-checked keys before standing-green ones."""
+    from component_delta_lake_writer_spark.plans import QUERIES
+    from component_delta_lake_writer_spark.plans import _driver_evidence
+
+    red, seen = _driver_evidence()
+    ks = list(QUERIES)
+    # every red key precedes every never-checked key, which precedes
+    # every green key (with the current repo evidence files)
+    pos = {k: i for i, k in enumerate(ks)}
+    reds = [pos[k] for k in red if k in pos]
+    unseen = [pos[k] for k in ks if k not in seen and k not in red]
+    greens = [pos[k] for k in ks if k in seen and k not in red]
+    if reds and unseen:
+        assert max(reds) < min(unseen)
+    if unseen and greens:
+        assert max(unseen) < min(greens)
