@@ -132,6 +132,7 @@ _FRONT = [
     "explode_outer_nulls",
     "pagerank_top_nodes",
     "show_partitions",
+    "pipeline_curated_retrieval",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

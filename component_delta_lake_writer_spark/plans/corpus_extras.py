@@ -534,15 +534,17 @@ _BM25_QUERIES = [
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
 
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
-    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+def _bm25_oracle(source: str) -> str:
+    """The full BM25 CTE chain over any (doc_id, text) relation —
+    shared by the plain-corpus probe and the curated-pipeline
+    composite."""
+    return f"""
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
     tok AS (
       SELECT doc_id, t.tok AS term
       FROM (SELECT doc_id,
               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-            FROM documents) d,
+            FROM {source}) d,
       LATERAL (SELECT unnest(string_split(d.norm, ' ')) AS tok) t
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
@@ -568,17 +570,24 @@ _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
           6) AS DECIMAL(18,6)) AS w
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
       CROSS JOIN stats
-    )
-    SELECT query_id, doc_id, score, rk FROM (
-      SELECT q.query_id, c.doc_id,
-        CAST(SUM(c.w) AS DOUBLE) AS score,
-        ROW_NUMBER() OVER (
-          PARTITION BY q.query_id
-          ORDER BY CAST(SUM(c.w) AS DOUBLE) DESC, c.doc_id) AS rk
-      FROM contrib c JOIN q USING (term)
-      GROUP BY q.query_id, c.doc_id
-    ) WHERE rk <= 5
-    """,
+    ),
+    bm25_final AS (
+      SELECT query_id, doc_id, score, rk FROM (
+        SELECT q.query_id, c.doc_id,
+          CAST(SUM(c.w) AS DOUBLE) AS score,
+          ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY CAST(SUM(c.w) AS DOUBLE) DESC, c.doc_id) AS rk
+        FROM contrib c JOIN q USING (term)
+        GROUP BY q.query_id, c.doc_id
+      ) WHERE rk <= 5
+    )"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle="WITH " + _bm25_oracle("documents")
+    + " SELECT query_id, doc_id, score, rk FROM bm25_final",
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (operators.retrieval.bm25_topk): three term
@@ -730,3 +739,78 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, k=10, m=4, sub_k=8, lloyd_iterations=2)
+
+
+_CURATED_SQL = r"""
+    t0 AS (
+      SELECT doc_id, text,
+        string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    gx AS (
+      SELECT doc_id, text, len(toks) AS n_words, toks,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(generate_series(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1])
+        ELSE []::VARCHAR[] END AS g2
+      FROM t0
+    ),
+    topw AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t0)
+        GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    ),
+    keepdocs AS (
+      SELECT gx.doc_id, gx.text
+      FROM gx JOIN topw USING (doc_id)
+      WHERE ROUND(CASE WHEN len(g2) > 0
+              THEN 1 - len(list_distinct(g2))::DOUBLE / len(g2)
+              ELSE 0 END, 6) <= 0.9
+        AND ROUND(CASE WHEN n_words > 0
+              THEN topc::DOUBLE / n_words ELSE 0 END, 6) <= 0.3
+    ),
+    fps AS (
+      SELECT doc_id, text,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM keepdocs
+    ),
+    keepmin AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    curated AS (
+      SELECT f.doc_id, f.text
+      FROM fps f JOIN keepmin k ON f.doc_id = k.doc_id
+    )
+"""
+
+
+@query(
+    "pipeline_curated_retrieval",
+    oracle="WITH " + _CURATED_SQL + ", " + _bm25_oracle("curated")
+    + " SELECT query_id, doc_id, score, rk FROM bm25_final",
+)
+def pipeline_curated_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composite for the retrieval stack: Gopher repetition
+    gate → exact keep-one dedup → Okapi BM25 top-5 over only the
+    SURVIVORS — the curate-then-index shape of a RAG/pretraining
+    pipeline, every stage the already-oracled operator, and the whole
+    chain mirrored end-to-end in one oracle (filter thresholds on the
+    same rounded fractions, dedup on the same md5 fingerprint, BM25
+    statistics recomputed over the curated corpus — idf/avgdl shift
+    when documents drop, and the oracle proves ours shift identically)."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        repetition_stats,
+    )
+    from component_delta_lake_writer_spark.operators.retrieval import bm25_topk
+    from component_delta_lake_writer_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = repetition_stats(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id").select("doc_id", "text")
+    fp = kept.withColumn("fp", fingerprint(F.col("text")))
+    keep_one = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    curated = kept.join(keep_one.select("doc_id"), "doc_id")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, term string"
+    )
+    return bm25_topk(curated, queries, k=5)
