@@ -133,6 +133,7 @@ _FRONT = [
     "pagerank_top_nodes",
     "show_partitions",
     "pipeline_curated_retrieval",
+    "sql_over_managed_view",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

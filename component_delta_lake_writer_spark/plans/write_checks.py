@@ -766,6 +766,16 @@ _O["alter_table_columns"] = """
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
+_O["sql_over_managed_view"] = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(ROUND(
+        CASE WHEN o_orderstatus = 'F' THEN 0.0
+             ELSE CAST(o_totalprice AS DOUBLE) END, 6)
+        AS DECIMAL(28,6))), 2) AS DOUBLE) AS cur_sum,
+      CAST(ROUND(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 6)
+        AS DECIMAL(28,6))), 2) AS DOUBLE) AS v0_sum
+    FROM orders GROUP BY o_orderstatus
+"""
 _O["show_partitions"] = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -965,6 +975,42 @@ _O["merge_with_delete"] = """
     SELECT o_orderkey + 1000000000 AS o_orderkey, price
     FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
 """
+
+
+@query("sql_over_managed_view")
+def sql_over_managed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed table on the spark.sql surface: snapshot and
+    time-travel views registered with create_or_replace_view, queried
+    with plain SQL including a join between the two versions — the
+    'switch your warehouse queries over' story."""
+    t = _fresh_table(spark, "sql_over_managed_view", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    t.update_where("o_orderstatus = 'F'", {"price": "0.0"})
+    t.create_or_replace_view("mt_orders")
+    t.create_or_replace_view("mt_orders_v0", version=0)
+    return spark.sql(
+        """
+        SELECT cur.o_orderstatus,
+               COUNT(*) AS n,
+               ROUND(SUM(CAST(ROUND(cur.price, 6) AS DECIMAL(28,6))), 2)
+                 AS cur_sum,
+               ROUND(SUM(CAST(ROUND(v0.price, 6) AS DECIMAL(28,6))), 2)
+                 AS v0_sum
+        FROM mt_orders cur JOIN mt_orders_v0 v0
+          ON cur.o_orderkey = v0.o_orderkey
+        GROUP BY cur.o_orderstatus
+        """
+    ).select(
+        "o_orderstatus",
+        "n",
+        F.col("cur_sum").cast("double").alias("cur_sum"),
+        F.col("v0_sum").cast("double").alias("v0_sum"),
+    )
 
 
 @query("show_partitions")

@@ -2323,6 +2323,16 @@ class ManagedTable:
     def history(self) -> list[Commit]:
         return [self.commit_at(v) for v in self._versions()]
 
+    def create_or_replace_view(self, name: str, version: int | None = None):
+        """Register the snapshot as a Spark SQL temp view so the table
+        joins the ``spark.sql`` surface (the engine's equivalent of a
+        catalog table; pass ``version`` for a time-travel view). The
+        view captures the snapshot AT REGISTRATION — re-register after
+        writes, exactly like Delta's static DataFrame reads."""
+        df = self.read(version=version) if version is not None else self.read()
+        df.createOrReplaceTempView(name)
+        return df
+
     def fsck(self) -> dict:
         """Physical-integrity audit of the commit log vs the
         filesystem (the object-store reality check a 100 TB table

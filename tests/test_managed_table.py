@@ -740,3 +740,32 @@ def test_fsck_detects_missing_and_restore_target(spark, tmp_path_str):
     assert rep["last_intact_version"] == 2
     # the reported target is actually restorable/readable
     assert t.read(version=rep["last_intact_version"]).count() == 100
+
+
+def test_export_csv_with_manifest(spark, tmp_path_str):
+    import glob
+    import json
+    import os
+
+    from component_delta_lake_writer_spark.sinks.export import export_csv
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    t.write(df, mode="overwrite")
+    dest = os.path.join(tmp_path_str, "csv_out")
+    n = export_csv(t, dest, slices=3, compression="gzip")
+    assert n == 100
+    parts = glob.glob(os.path.join(dest, "part-*.csv.gz"))
+    assert len(parts) == 3
+    man = json.load(open(os.path.join(dest, "manifest.json")))
+    assert man["format"] == "csv" and man["n_rows"] == 100
+    assert len(man["files"]) == 3 and man["source_version"] == 0
+    back = spark.read.schema("k long, s string").csv(dest)
+    assert back.count() == 100
+    assert back.join(df, ["k", "s"]).count() == 100
+    # time-travel export
+    t.write(df.limit(5), mode="append")
+    n0 = export_csv(t, os.path.join(tmp_path_str, "csv_v0"), version=0)
+    assert n0 == 100
