@@ -1094,7 +1094,7 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(parts) == 4, parts
     import json as _json
 
-    with open(os.path.join(dest, "manifest.json")) as fh:
+    with open(os.path.join(dest, "_manifest.json")) as fh:
         man = _json.load(fh)
     assert man["n_rows"] == n and len(man["files"]) == 4
     assert all(f["bytes"] > 0 for f in man["files"])

@@ -41,10 +41,13 @@ def _write_manifest(dest: str, fmt: str, n_rows: int, version: int) -> dict:
             for fn in files
         ],
     }
-    tmp = os.path.join(dest, f"manifest.json.tmp.{uuid.uuid4().hex}")
+    # underscore-prefixed so Spark/Hadoop directory reads skip it
+    # (same convention as _SUCCESS) — a naive spark.read over the
+    # export dir must see only data slices
+    tmp = os.path.join(dest, f"_manifest.json.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
-    os.replace(tmp, os.path.join(dest, "manifest.json"))
+    os.replace(tmp, os.path.join(dest, "_manifest.json"))
     return manifest
 
 

@@ -759,7 +759,7 @@ def test_export_csv_with_manifest(spark, tmp_path_str):
     assert n == 100
     parts = glob.glob(os.path.join(dest, "part-*.csv.gz"))
     assert len(parts) == 3
-    man = json.load(open(os.path.join(dest, "manifest.json")))
+    man = json.load(open(os.path.join(dest, "_manifest.json")))
     assert man["format"] == "csv" and man["n_rows"] == 100
     assert len(man["files"]) == 3 and man["source_version"] == 0
     back = spark.read.schema("k long, s string").csv(dest)
