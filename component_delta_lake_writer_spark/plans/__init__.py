@@ -134,6 +134,7 @@ _FRONT = [
     "show_partitions",
     "pipeline_curated_retrieval",
     "sql_over_managed_view",
+    "replicate_table_cdf",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

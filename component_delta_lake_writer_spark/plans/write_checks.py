@@ -766,6 +766,18 @@ _O["alter_table_columns"] = """
 """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
+_O["replicate_table_cdf"] = """
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+           ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+      o_orderstatus
+    FROM orders
+    UNION ALL
+    SELECT o.o_orderkey + m.mx + 1 AS o_orderkey, 999.0 AS price,
+           o.o_orderstatus
+    FROM orders o, m WHERE o.o_orderkey % 97 = 0
+"""
 _O["sql_over_managed_view"] = """
     SELECT o_orderstatus, COUNT(*) AS n,
       CAST(ROUND(SUM(CAST(ROUND(
@@ -975,6 +987,46 @@ _O["merge_with_delete"] = """
     SELECT o_orderkey + 1000000000 AS o_orderkey, price
     FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 7)
 """
+
+
+@query("replicate_table_cdf")
+def replicate_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed replication (sinks.replicate): a downstream copy
+    syncs by applying only the deltas — full copy on first sync,
+    INCREMENTAL after a MERGE batch (asserted), noop when already
+    current; the replica must equal the source exactly."""
+    from component_delta_lake_writer_spark.sinks.replicate import replicate
+
+    base = _scratch("replicate_table_cdf", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable(spark, os.path.join(base, "src"))
+    dst = ManagedTable(spark, os.path.join(base, "dst"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    src.write(
+        o,
+        mode="overwrite",
+        primary_key=["o_orderkey"],
+        properties={"enableChangeDataFeed": True},
+    )
+    assert replicate(src, dst) == "full"
+    assert replicate(src, dst) == "noop"
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "price", F.lit(-1.0)
+    )
+    new = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(mx + 1)).alias("o_orderkey"),
+        F.lit(999.0).alias("price"),
+        "o_orderstatus",
+    )
+    src.upsert(upd.unionByName(new), ["o_orderkey"])
+    mode = replicate(src, dst)
+    assert mode == "incremental", mode
+    return dst.read()
 
 
 @query("sql_over_managed_view")
