@@ -767,16 +767,19 @@ _O["alter_table_columns"] = """
 _O["bloom_point_lookup"] = "SELECT * FROM orders WHERE o_orderkey = 7"
 _O["auto_compact_small_files"] = "SELECT * FROM orders"
 _O["replicate_table_cdf"] = """
-    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
-    SELECT o_orderkey,
-      CASE WHEN o_orderkey % 7 = 0 THEN -1.0
-           ELSE CAST(o_totalprice AS DOUBLE) END AS price,
-      o_orderstatus
-    FROM orders
-    UNION ALL
-    SELECT o.o_orderkey + m.mx + 1 AS o_orderkey, 999.0 AS price,
-           o.o_orderstatus
-    FROM orders o, m WHERE o.o_orderkey % 97 = 0
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    modified AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+             ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT o.o_orderkey + m.mx + 1 AS o_orderkey, 999.0 AS price,
+             o.o_orderstatus
+      FROM orders o, m WHERE o.o_orderkey % 97 = 0
+    )
+    SELECT * FROM modified WHERE NOT (o_orderkey % 13 = 0)
 """
 _O["sql_over_managed_view"] = """
     SELECT o_orderstatus, COUNT(*) AS n,
@@ -992,8 +995,10 @@ _O["merge_with_delete"] = """
 @query("replicate_table_cdf")
 def replicate_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed replication (sinks.replicate): a downstream copy
-    syncs by applying only the deltas — full copy on first sync,
-    INCREMENTAL after a MERGE batch (asserted), noop when already
+    syncs by applying only the deltas in commit order — full copy on
+    first sync, then an INCREMENTAL replay of a MERGE batch followed
+    by a DELETE (the delete images ride the CDF as 'delete' rows and
+    apply to the replica as an equality-delete key set), noop when
     current; the replica must equal the source exactly."""
     from component_delta_lake_writer_spark.sinks.replicate import replicate
 
@@ -1024,8 +1029,10 @@ def replicate_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     src.upsert(upd.unionByName(new), ["o_orderkey"])
+    src.delete_where("o_orderkey % 13 = 0")
     mode = replicate(src, dst)
     assert mode == "incremental", mode
+    assert replicate(src, dst) == "noop"
     return dst.read()
 
 

@@ -1869,6 +1869,32 @@ class ManagedTable:
             column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
+        if touched and prev.properties.get("enableChangeDataFeed"):
+            # CDF for DML (Delta parity): DELETE emits the removed
+            # images as 'delete'; UPDATE emits post-images (and
+            # pre-images when changeDataFeedPreImages is set — the
+            # same opt-in as the merge path). Rows recomputed from
+            # the prior snapshot's touched units, which the commit
+            # never deletes (vacuum liveness protects them).
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            matched = self._read_units(prev, touched).filter(cond)
+            if action == "delete":
+                changes = matched.withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            else:  # update
+                changes = transform(matched, F.expr(condition)).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                if prev.properties.get("changeDataFeedPreImages"):
+                    changes = changes.unionByName(
+                        matched.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+            changes.write.mode("overwrite").parquet(
+                os.path.join(self._changes_dir, f"v{commit.version}")
+            )
         return commit
 
     def delete_where(
@@ -1906,6 +1932,77 @@ class ManagedTable:
             compression,
             max_records_per_file,
         )
+
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        compression: str = "snappy",
+        properties: dict | None = None,
+    ) -> Commit:
+        """``DELETE ... WHERE pk IN (<key set>)`` — the CDC-apply shape
+        (replication, GDPR erasure lists): the key tuples become a
+        merge-on-read equality-delete set scoped to the units their
+        values can overlap — O(keys) commit cost, nothing rewritten.
+        When the table has CDF enabled, the deleted images land as
+        'delete' change rows so downstream consumers keep attributing."""
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            collect_unit_stats,
+            unit_overlaps_key_bounds,
+        )
+
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        if not prev.primary_key:
+            raise UserException("delete_keys requires a primary key.")
+        key_set = keys.select(*prev.primary_key).distinct().persist()
+        try:
+            bounds = self._source_key_bounds(key_set, prev.primary_key)
+            touched = [
+                u
+                for u in prev.data_units
+                if not bounds
+                or unit_overlaps_key_bounds(prev.stats.get(u), bounds)
+            ]
+            delete_sets = self._carry_delete_sets(
+                prev.delete_sets, prev.data_units
+            )
+            name = uuid.uuid4().hex
+            dest = os.path.join(self._deletes_dir, name)
+            key_set.write.mode("overwrite").option(
+                "compression", compression
+            ).parquet(dest)
+            if touched and collect_unit_stats(dest)["_rows"] > 0:
+                delete_sets.append({"path": name, "units": list(touched)})
+            else:
+                shutil.rmtree(dest, ignore_errors=True)
+            commit = Commit(
+                version=prev.version + 1,
+                action="delete",
+                data_units=list(prev.data_units),
+                schema_json=prev.schema_json,
+                partition_by=prev.partition_by,
+                primary_key=prev.primary_key,
+                timestamp_ms=int(time.time() * 1000),
+                properties=(
+                    properties if properties is not None else prev.properties
+                ),
+                stats=prev.stats,
+                delete_sets=delete_sets,
+                column_mapping=dict(prev.column_mapping),
+            )
+            self._publish(commit, prev)
+            if commit.properties.get("enableChangeDataFeed") and touched:
+                self._read_units(prev, touched).join(
+                    F.broadcast(key_set), list(prev.primary_key), "left_semi"
+                ).withColumn(
+                    "_change_type", F.lit("delete")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self._changes_dir, f"v{commit.version}")
+                )
+        finally:
+            key_set.unpersist()
+        return commit
 
     def _delete_mor(self, condition: str, compression: str) -> Commit:
         from component_delta_lake_writer_spark.sinks.unit_stats import (
@@ -1954,6 +2051,16 @@ class ManagedTable:
             column_mapping=dict(prev.column_mapping),
         )
         self._publish(commit, prev)
+        if touched and prev.properties.get("enableChangeDataFeed"):
+            # same CDF contract as the copy-on-write DELETE: the
+            # removed images land as 'delete' change rows (computed
+            # against the PRE-delete snapshot)
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            self._read_units(prev, touched).filter(cond).withColumn(
+                "_change_type", F.lit("delete")
+            ).write.mode("overwrite").parquet(
+                os.path.join(self._changes_dir, f"v{commit.version}")
+            )
         return commit
 
     def update_where(
@@ -2459,21 +2566,22 @@ class ManagedTable:
                 new_units.extend(u for u in c.data_units if u not in prev_units)
             elif c.action in ("optimize", "add_constraint", "drop_constraint"):
                 pass  # identical rows / metadata-only — no logical change
-            elif c.action == "upsert" and os.path.isdir(
+            elif c.action in ("upsert", "delete", "update") and os.path.isdir(
                 os.path.join(self._changes_dir, f"v{c.version}")
             ):
                 change_dirs.append(os.path.join(self._changes_dir, f"v{c.version}"))
-            elif c.action == "upsert":
+            elif c.action in ("upsert", "delete", "update"):
                 raise UserException(
-                    f"read_changes crosses upsert v{c.version} with no "
+                    f"read_changes crosses {c.action} v{c.version} with no "
                     "persisted change set — set the table property "
-                    "enableChangeDataFeed before upserting (same contract "
+                    "enableChangeDataFeed before mutating (same contract "
                     "as delta.enableChangeDataFeed)."
                 )
             else:
                 raise UserException(
                     f"read_changes crosses a '{c.action}' commit (v{c.version}); "
-                    "only append/upsert/optimize ranges are attributable."
+                    "only append/upsert/delete/update/optimize ranges are "
+                    "attributable."
                 )
             prev_units = set(c.data_units)
             last = c

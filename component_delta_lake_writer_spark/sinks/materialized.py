@@ -77,7 +77,10 @@ class IncrementalAggregate:
                 F.col("_change_type").isin("insert", "update_postimage"),
                 F.lit(1),
             )
-            .when(F.col("_change_type") == "update_preimage", F.lit(-1))
+            .when(
+                F.col("_change_type").isin("update_preimage", "delete"),
+                F.lit(-1),
+            )
             .otherwise(F.lit(0))
         )
         aggs = [F.sum(sign).cast("long").alias("_dn")] + [
@@ -113,14 +116,15 @@ class IncrementalAggregate:
             "changeDataFeedPreImages"
         ):
             # without pre-images, subtraction is impossible the moment
-            # an update appears in the range; only a pure-append range
-            # is safely additive
+            # an UPDATE-shaped commit appears in the range (upsert/
+            # update); appends are purely additive and deletes carry
+            # their own removed images in the change set
             actions = {
                 self.source.commit_at(v).action
                 for v in self.source._versions()
                 if last < v <= head.version
             }
-            if actions - {"append", "optimize"}:
+            if actions - {"append", "optimize", "delete"}:
                 return self._full(head.version)
         delta = self._compute_delta(changes)
         current = self.table.read()

@@ -47,18 +47,47 @@ def replicate(source: ManagedTable, replica: ManagedTable) -> str:
 
     if last is None or not head.primary_key:
         return _full()
+    pk = list(head.primary_key)
+    versions = [v for v in source._versions() if last < v <= head.version]
+    # Per-commit replay (Delta CDF consumers order by _commit_version
+    # for the same reason): a key updated in one commit and deleted in
+    # a later one must land in that order; within a single commit a
+    # key carries at most one change kind.
     try:
-        changes = source.read_changes(
-            last, head.version, with_change_type=True
-        )
+        plans = []
+        for v in versions:
+            c = source.commit_at(v)
+            if c.action in ("optimize", "add_constraint", "drop_constraint"):
+                continue
+            plans.append((v, source.read_changes(v - 1, v, with_change_type=True)))
     except UserException:
         return _full()
-    applied = changes.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).drop("_change_type")
-    props = {
-        **replica.latest_commit().properties,
-        _VERSION_PROP: head.version,
-    }
-    replica.upsert(applied, list(head.primary_key), properties=props)
+    if not plans:
+        # only non-data commits since the stamp (optimize/constraints):
+        # nothing to apply, and replaying them later stays a no-op
+        return "noop"
+    for i, (v, changes) in enumerate(plans):
+        # the LAST applied commit stamps the head version, so trailing
+        # skippable commits don't leave the stamp lagging forever
+        stamp = head.version if i == len(plans) - 1 else v
+        props = {
+            **replica.latest_commit().properties,
+            _VERSION_PROP: stamp,
+        }
+        ups = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        dels = changes.filter(F.col("_change_type") == "delete").select(*pk)
+        applied_any = False
+        if ups.limit(1).count() > 0:
+            replica.upsert(ups, pk, properties=props)
+            applied_any = True
+        if dels.limit(1).count() > 0:
+            replica.delete_keys(dels, properties=props)
+            applied_any = True
+        if not applied_any and i == len(plans) - 1:
+            # empty change set on the head commit: nothing to write,
+            # and an unstamped head just means the next sync replays
+            # an empty set (idempotent by PK)
+            pass
     return "incremental"

@@ -769,3 +769,41 @@ def test_export_csv_with_manifest(spark, tmp_path_str):
     t.write(df.limit(5), mode="append")
     n0 = export_csv(t, os.path.join(tmp_path_str, "csv_v0"), version=0)
     assert n0 == 100
+
+
+def test_incremental_aggregate_handles_deletes(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.sinks.materialized import (
+        IncrementalAggregate,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "src"))
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0), (4, "B", 40.0)],
+        "k int, g string, v double",
+    )
+    t.write(
+        df,
+        mode="overwrite",
+        primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    mv = IncrementalAggregate(
+        spark, os.path.join(tmp_path_str, "mv"), t, ["g"], {"total": "v"}
+    )
+    assert mv.refresh() == "full"
+    # COW delete: the removed images ride the CDF as 'delete' rows,
+    # so the refresh stays incremental WITHOUT pre-images
+    t.delete_where("g = 'A' AND v >= 20.0")
+    assert mv.refresh() == "incremental"
+    rows = {
+        r["g"]: (r["n_rows"], float(r["total"]))
+        for r in mv.read().collect()
+    }
+    assert rows == {"A": (1, 10.0), "B": (2, 70.0)}
+    # delete_keys (MOR) attributes too; group A empties to a tombstone
+    t.delete_keys(spark.createDataFrame([(1,)], "k int"))
+    assert mv.refresh() == "incremental"
+    rows = {r["g"]: r["n_rows"] for r in mv.read().collect()}
+    assert rows == {"B": 2}
