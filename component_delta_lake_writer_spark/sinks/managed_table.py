@@ -658,6 +658,7 @@ class ManagedTable:
             return
         min_units = int(props.get("autoCompact.minUnits", 8))
         max_rows = int(props.get("autoCompact.maxRows", 100_000))
+        cluster_by = props.get("autoCompact.clusterBy") or None
         small = [
             u
             for u in commit.data_units
@@ -667,7 +668,9 @@ class ManagedTable:
         if len(small) < min_units:
             return
         try:
-            self.compact_small_units(max_rows=max_rows)
+            self.compact_small_units(
+                max_rows=max_rows, cluster_by=cluster_by
+            )
         except UserException:
             pass
 
@@ -676,6 +679,7 @@ class ManagedTable:
         max_rows: int = 100_000,
         compression: str = "snappy",
         target_file_rows: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> Commit | None:
         """Partial OPTIMIZE: fold only the units smaller than
         ``max_rows`` into one, leaving big units untouched — the
@@ -699,6 +703,13 @@ class ManagedTable:
             return None
         untouched = [u for u in prev.data_units if u not in set(small)]
         df = self._read_units(prev, small)
+        if cluster_by:
+            # keep the folded unit range-clustered so its files stay
+            # prunable (the incremental spelling of
+            # optimize(cluster_by=…) — clusteredAutoCompact)
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         unit = self._write_unit(
             self._to_physical(df, prev.column_mapping),
             prev.partition_by,

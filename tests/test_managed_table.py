@@ -807,3 +807,38 @@ def test_incremental_aggregate_handles_deletes(spark, tmp_path_str):
     assert mv.refresh() == "incremental"
     rows = {r["g"]: r["n_rows"] for r in mv.read().collect()}
     assert rows == {"B": 2}
+
+
+def test_compact_small_units_clustered(spark, tmp_path_str):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    # three small appends with interleaved key ranges
+    for off in (0, 1, 2):
+        t.write(
+            spark.range(off, 3000, 3).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    c = t.compact_small_units(
+        max_rows=10_000, target_file_rows=300, cluster_by=["k"]
+    )
+    assert c is not None and len(c.data_units) == 1
+    # folded files cover disjoint, sorted key ranges
+    unit_dir = os.path.join(t._data_dir, c.data_units[0])
+    ranges = []
+    for fp in glob.glob(os.path.join(unit_dir, "*.parquet")):
+        md = pq.ParquetFile(fp).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, ranges
+    assert t.read().count() == 3000
