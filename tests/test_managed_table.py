@@ -842,3 +842,38 @@ def test_compact_small_units_clustered(spark, tmp_path_str):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo, ranges
     assert t.read().count() == 3000
+
+
+def test_incremental_aggregate_handles_dml_update(spark, tmp_path_str):
+    import os
+
+    from component_delta_lake_writer_spark.sinks.materialized import (
+        IncrementalAggregate,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "src"))
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+        "k int, g string, v double",
+    )
+    t.write(
+        df,
+        mode="overwrite",
+        primary_key=["k"],
+        properties={
+            "enableChangeDataFeed": True,
+            "changeDataFeedPreImages": True,
+        },
+    )
+    mv = IncrementalAggregate(
+        spark, os.path.join(tmp_path_str, "mv"), t, ["g"], {"total": "v"}
+    )
+    assert mv.refresh() == "full"
+    # UPDATE ... WHERE with pre-images: subtract old, add new
+    t.update_where("g = 'A'", {"v": "v + 5.0"})
+    assert mv.refresh() == "incremental"
+    rows = {
+        r["g"]: (r["n_rows"], float(r["total"]))
+        for r in mv.read().collect()
+    }
+    assert rows == {"A": (2, 40.0), "B": (1, 30.0)}
