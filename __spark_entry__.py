@@ -30,6 +30,11 @@ def _ensure_conf(spark: SparkSession) -> SparkSession:
     needs (nanos events parquet, UTC timestamp semantics)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # INT96 writes no parquet min/max stats; MICROS restores timestamp
+    # file skipping (replace_where_backfill asserts a pruned unit)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     return spark
 
 

@@ -135,6 +135,11 @@ _FRONT = [
     "pipeline_curated_retrieval",
     "sql_over_managed_view",
     "replicate_table_cdf",
+    # -- round-3 second wave: predicate-scoped overwrite, dynamic
+    # partition overwrite, column DEFAULTs (all sim-green at sf0.01) --
+    "replace_where_backfill",
+    "dynamic_partition_overwrite",
+    "column_default_values",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

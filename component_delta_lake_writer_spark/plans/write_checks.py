@@ -1209,3 +1209,119 @@ def stream_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@query("replace_where_backfill")
+def replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped overwrite (Delta replaceWhere, the
+    idempotent-backfill primitive): the table is laid down in two
+    date-disjoint units; one month is re-loaded with corrected prices
+    through replace_where. The out-of-window unit must CARRY BY
+    REFERENCE (asserted on the commit's data_units), enforcement must
+    reject an out-of-predicate batch, and the read-back must equal
+    untouched-rows UNION corrected-window."""
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = _fresh_table(spark, "replace_where_backfill", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    t.write(o.filter(split), mode="overwrite")
+    t.write(o.filter(~split), mode="append")
+    old_units = set(t.latest_commit().data_units)
+    cond = (
+        "o_orderdate >= TIMESTAMP '1999-06-01 00:00:00' AND "
+        "o_orderdate < TIMESTAMP '1999-07-01 00:00:00'"
+    )
+    batch = o.filter(F.expr(cond)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2.0
+    )
+    try:
+        # one out-of-window row must trip Delta's constraint check
+        t.replace_where(o.filter(~F.expr(cond)).limit(1), cond)
+        raise AssertionError("enforcement must reject out-of-predicate rows")
+    except UserException:
+        pass
+    t.replace_where(batch, cond)
+    new_units = set(t.latest_commit().data_units)
+    carried = old_units & new_units
+    assert carried, "stats pruning must carry the out-of-window unit"
+    return t.read()
+
+
+_O["replace_where_backfill"] = """
+    SELECT * FROM orders
+    WHERE NOT COALESCE(
+      o_orderdate >= TIMESTAMP '1999-06-01 00:00:00' AND
+      o_orderdate <  TIMESTAMP '1999-07-01 00:00:00', FALSE)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 2.0 AS o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
+"""
+
+
+@query("dynamic_partition_overwrite")
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic):
+    a status-partitioned table takes a reload batch touching only
+    status 'O'; the other partitions' rows must survive untouched and
+    the 'O' partition must hold exactly the new batch."""
+    t = _fresh_table(spark, "dynamic_partition_overwrite", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite", partition_by=["o_orderstatus"])
+    batch = o.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_orderpriority", F.lit("9-RELOADED")
+    )
+    t.overwrite_partitions(batch)
+    return t.read()
+
+
+_O["dynamic_partition_overwrite"] = """
+    SELECT * FROM orders WHERE o_orderstatus <> 'O'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, '9-RELOADED' AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+""" 
+
+
+@query("column_default_values")
+def column_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (Delta defaultColumns writer feature,
+    CURRENT_DEFAULT field metadata): ADD COLUMN … DEFAULT leaves
+    existing rows NULL (defaults are insert-time, never backfill); an
+    append omitting the column gets the default computed; an append
+    providing it wins; SET DEFAULT changes only later inserts."""
+    t = _fresh_table(spark, "column_default_values", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    t.write(o.filter(k % 3 == 0), mode="overwrite")
+    t.add_column("src", "string", default="'reload-a'")
+    t.write(o.filter(k % 3 == 1), mode="append")
+    t.set_column_default("src", "'reload-b'")
+    t.write(
+        o.filter(k % 3 == 2).withColumn("src", F.lit("explicit")),
+        mode="append",
+    )
+    t.write(o.filter(k % 3 == 2), mode="append")
+    return t.read()
+
+
+_O["column_default_values"] = """
+    SELECT o_orderkey, o_totalprice, NULL AS src
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'reload-a' AS src
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'explicit' AS src
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'reload-b' AS src
+    FROM orders WHERE o_orderkey % 3 = 2
+"""

@@ -60,6 +60,12 @@ def get_spark(
         # unreadable: PARQUET_TYPE_ILLEGAL. Read as raw int64 ns and let
         # tables.load_events() convert to TIMESTAMP_NTZ microseconds.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (Spark's legacy default) writes NO parquet min/max
+        # stats, killing timestamp file skipping — the single most
+        # valuable pruning dimension for time-partitioned tables.
+        # TIMESTAMP_MICROS restores footer stats and is what delta-rs
+        # and every modern reader expect.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if memory:
         builder = builder.config("spark.driver.memory", memory)

@@ -134,6 +134,7 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     in-use capabilities become explicit feature names."""
     generated = "delta.generationExpression" in schema_json
     identity = "delta.identity.start" in schema_json
+    defaults = "CURRENT_DEFAULT" in schema_json
     if _needs_timestamp_ntz(schema_json):
         reader = ["timestampNtz"] + (
             ["columnMapping"] if column_mapping else []
@@ -142,6 +143,8 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
             list(reader)
             + (["generatedColumns"] if generated else [])
             + (["identityColumns"] if identity else [])
+            # defaultColumns is writer-only (spec: allowColumnDefaults)
+            + (["allowColumnDefaults"] if defaults else [])
         )
         return {
             "protocol": {
@@ -159,6 +162,25 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     if identity:
         writer = max(writer, 6)
     reader = 2 if column_mapping else 1
+    if defaults:
+        # allowColumnDefaults exists only as a table feature (writer 7,
+        # no legacy version); writer 7 must enumerate every in-use
+        # feature, including the legacy ladder's implications
+        feats = ["appendOnly", "invariants"]
+        if generated:
+            feats.append("generatedColumns")
+        if column_mapping:
+            feats.append("columnMapping")
+        if identity:
+            feats.append("identityColumns")
+        feats.append("allowColumnDefaults")
+        return {
+            "protocol": {
+                "minReaderVersion": reader,
+                "minWriterVersion": 7,
+                "writerFeatures": feats,
+            }
+        }
     return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
 
 

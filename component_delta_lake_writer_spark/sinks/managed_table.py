@@ -61,11 +61,13 @@ _OPERATION_NAMES = {
     "upsert": "MERGE",
     "delete": "DELETE",
     "update": "UPDATE",
+    "replace_where": "WRITE",  # Delta logs replaceWhere as WRITE w/ predicate
     "optimize": "OPTIMIZE",
     "restore": "RESTORE",
     "add_column": "ADD COLUMNS",
     "drop_column": "DROP COLUMNS",
     "rename_column": "RENAME COLUMN",
+    "alter_column_default": "ALTER COLUMN",
     "add_constraint": "ADD CONSTRAINT",
     "drop_constraint": "DROP CONSTRAINT",
 }
@@ -456,6 +458,7 @@ class ManagedTable:
             )
         id_hwms: dict[str, int] = {}
         if prev is not None and mode == "append":
+            df = self._apply_column_defaults(df, prev)
             df = self._apply_generated(df, self._generation_exprs(prev))
             for col, spec in self._identity_specs(prev).items():
                 if col in df.columns:
@@ -803,13 +806,22 @@ class ManagedTable:
 
     # ---------- schema DDL (ALTER TABLE ADD/DROP COLUMN) ----------
 
-    def add_column(self, name: str, dtype: str) -> Commit:
+    def add_column(
+        self, name: str, dtype: str, default: str | None = None
+    ) -> Commit:
         """``ALTER TABLE … ADD COLUMN name type`` — metadata-only
         commit (no data rewritten): the column joins the committed
         schema and every existing unit reads it as typed NULL through
         the authoritative-schema scan, exactly Delta's instant ADD
         COLUMN. Later writes must include it (schema compatibility is
-        checked against the evolved schema)."""
+        checked against the evolved schema).
+
+        ``default`` (a SQL expression string) declares a column
+        DEFAULT (Delta's ``defaultColumns`` writer feature, stored as
+        ``CURRENT_DEFAULT`` column metadata): future INSERTs that omit
+        the column get the default computed; existing rows still read
+        NULL (Delta semantics — defaults are insert-time, never
+        backfill)."""
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
@@ -817,6 +829,11 @@ class ManagedTable:
         if name in {f.name for f in schema.fields}:
             raise UserException(f"Column {name!r} already exists.")
         field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        if default is not None:
+            field = T.StructField(
+                field.name, field.dataType, field.nullable,
+                {**(field.metadata or {}), "CURRENT_DEFAULT": default},
+            )
         new_schema = T.StructType(list(schema.fields) + [field])
         mapping = dict(prev.column_mapping)
         if mapping:
@@ -840,6 +857,60 @@ class ManagedTable:
         )
         self._publish(commit, prev)
         return commit
+
+    def set_column_default(self, name: str, expr: str | None) -> Commit:
+        """``ALTER TABLE … ALTER COLUMN name SET DEFAULT expr`` (or
+        ``DROP DEFAULT`` with ``expr=None``) — metadata-only commit
+        updating the field's ``CURRENT_DEFAULT``. Applies to future
+        inserts only; stored rows are untouched (Delta defaultColumns
+        semantics)."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name not in {f.name for f in schema.fields}:
+            raise UserException(f"No column {name!r} on this table.")
+        fields = []
+        for f in schema.fields:
+            if f.name == name:
+                md = dict(f.metadata or {})
+                if expr is None:
+                    md.pop("CURRENT_DEFAULT", None)
+                else:
+                    md["CURRENT_DEFAULT"] = expr
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+            fields.append(f)
+        commit = Commit(
+            version=prev.version + 1,
+            action="alter_column_default",
+            data_units=list(prev.data_units),
+            schema_json=json.dumps(T.StructType(fields).jsonValue()),
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
+            column_mapping=dict(prev.column_mapping),
+        )
+        self._publish(commit, prev)
+        return commit
+
+    @staticmethod
+    def _apply_column_defaults(df: DataFrame, prev: Commit) -> DataFrame:
+        """Insert-time DEFAULT application: for every table column the
+        incoming batch omits whose field metadata carries
+        ``CURRENT_DEFAULT``, compute the default (one Catalyst
+        expression per column — no shuffle, stays in codegen)."""
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        have = set(df.columns)
+        for f in schema.fields:
+            d = (f.metadata or {}).get("CURRENT_DEFAULT")
+            if d is not None and f.name not in have:
+                df = df.withColumn(
+                    f.name, F.expr(d).cast(f.dataType)
+                )
+        return df
 
     def drop_column(self, name: str) -> Commit:
         """``ALTER TABLE … DROP COLUMN name`` — metadata-only commit:
@@ -1129,8 +1200,20 @@ class ManagedTable:
             aggs.append(F.max(pk).alias(f"__mx_{pk}"))
         row = src.agg(*aggs).first()
         out: dict = {}
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            _TemporalLit,
+            _temporal_to_str,
+        )
+
         for pk in primary_key:
             mn, mx = row[f"__mn_{pk}"], row[f"__mx_{pk}"]
+            mn_s, k1 = _temporal_to_str(mn)
+            mx_s, k2 = _temporal_to_str(mx)
+            if k1 is not None and k1 == k2:
+                # timestamp/date PKs prune too: normalized to the same
+                # fixed-width tagged form the unit stats record
+                out[pk] = (_TemporalLit(mn_s, k1), _TemporalLit(mx_s, k2))
+                continue
             ok = (
                 isinstance(mn, (int, float, str))
                 and isinstance(mx, (int, float, str))
@@ -1368,6 +1451,7 @@ class ManagedTable:
             )
 
         prev = self.latest_commit()
+        source = self._apply_column_defaults(source, prev)
         source = self._apply_generated(source, self._generation_exprs(prev))
         for _idcol in self._identity_specs(prev):
             if _idcol not in source.columns:
@@ -1545,6 +1629,7 @@ class ManagedTable:
                 properties=properties,
             )
         prev = self.latest_commit()
+        source = self._apply_column_defaults(source, prev)
         source = self._apply_generated(source, self._generation_exprs(prev))
         for _idcol in self._identity_specs(prev):
             if _idcol not in source.columns:
@@ -2114,6 +2199,187 @@ class ManagedTable:
 
         return self._rewrite_where(
             condition, transform, "update", compression, max_records_per_file
+        )
+
+    def replace_where(
+        self,
+        df: DataFrame,
+        condition: str,
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+        enforce: bool = True,
+    ) -> Commit:
+        """Predicate-scoped atomic overwrite — Delta's
+        ``.option("replaceWhere", cond).mode("overwrite")`` (the
+        idempotent-backfill primitive: re-load one day/region without
+        touching the rest of a 100 TB table).
+
+        One commit that (a) removes every existing row where
+        ``condition`` is TRUE and (b) inserts ``df``. ``enforce=True``
+        (Delta's default ``replaceWhere.constraintCheck.enabled``)
+        rejects the write if any incoming row does NOT satisfy the
+        predicate — otherwise the operation would not be idempotent.
+
+        Scale posture: commit stats prune the rewrite to units whose
+        min/max ranges can overlap the predicate; everything else
+        carries by reference (metadata-only). The kept remainder of
+        touched units and the new batch land as ONE written unit (one
+        shuffle-free union pass), so write cost is
+        O(touched-units + batch), never O(table).
+        """
+        prev = self.latest_commit()
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        if enforce and not df.filter(~cond).isEmpty():
+            raise UserException(
+                "replaceWhere enforcement: incoming rows must all "
+                f"satisfy the predicate {condition!r} "
+                "(pass enforce=False to skip, losing idempotency)."
+            )
+        if prev is None:
+            # Delta creates the table on first replaceWhere
+            return self.write(
+                df, mode="overwrite", compression=compression,
+                max_records_per_file=max_records_per_file,
+            )
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            prune_units,
+        )
+
+        table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if not self._schema_compatible(table_schema, df.schema):
+            raise SchemaMismatchError(
+                "replaceWhere requires the incoming schema to match "
+                "the table schema (no evolution on a scoped overwrite)."
+            )
+        df = self._align_to_schema(df, table_schema)
+        constraints = prev.properties.get("constraints", {})
+        if constraints:
+            self._check_constraints(df, constraints)
+        touched = prune_units(prev.stats, prev.data_units, condition)
+        untouched = [u for u in prev.data_units if u not in set(touched)]
+        units = list(untouched)
+        stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
+        replaced = (
+            self._read_units(prev, touched).filter(~cond)
+            if touched
+            else None
+        )
+        new_rows = (
+            df if replaced is None else replaced.unionByName(df)
+        )
+        unit = self._write_unit(
+            self._to_physical(new_rows, prev.column_mapping),
+            prev.partition_by,
+            compression,
+            max_records_per_file,
+        )
+        ustats = self._unit_stats(
+            unit, per_file=not prev.partition_by,
+            props=prev.properties, mapping=prev.column_mapping,
+        )
+        if ustats["_rows"] > 0:
+            units.append(unit)
+            stats[unit] = ustats
+        else:
+            shutil.rmtree(
+                os.path.join(self._data_dir, unit), ignore_errors=True
+            )
+        commit = Commit(
+            version=prev.version + 1,
+            action="replace_where",
+            data_units=units,
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=stats,
+            delete_sets=self._carry_delete_sets(prev.delete_sets, untouched),
+            column_mapping=dict(prev.column_mapping),
+        )
+        self._publish(commit, prev)
+        if prev.properties.get("enableChangeDataFeed"):
+            # CDF parity with Delta's replaceWhere: removed images as
+            # 'delete' (recomputed against the pre-commit snapshot,
+            # whose units the commit never deletes), the new batch as
+            # 'insert'.
+            changes = df.withColumn("_change_type", F.lit("insert"))
+            if touched:
+                changes = changes.unionByName(
+                    self._read_units(prev, touched)
+                    .filter(cond)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            changes.write.mode("overwrite").parquet(
+                os.path.join(self._changes_dir, f"v{commit.version}")
+            )
+        return commit
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+    ) -> Commit:
+        """Dynamic partition overwrite
+        (``partitionOverwriteMode=dynamic``): replace exactly the
+        partitions present in ``df``, leave every other partition
+        untouched — the nightly-reload shape for date-partitioned
+        tables.
+
+        The incoming batch's distinct partition tuples are collected
+        driver-side (metadata-scale: bounded by the number of
+        partitions being rewritten, not by rows) and compiled into a
+        predicate handed to :meth:`replace_where` — by construction
+        every incoming row satisfies it, so enforcement is skipped.
+        """
+        prev = self.latest_commit()
+        if prev is None:
+            return self.write(
+                df, mode="overwrite", compression=compression,
+                max_records_per_file=max_records_per_file,
+            )
+        if not prev.partition_by:
+            raise UserException(
+                "overwrite_partitions requires a partitioned table; "
+                "use mode='overwrite' or replace_where()."
+            )
+        missing = [c for c in prev.partition_by if c not in df.columns]
+        if missing:
+            raise UserException(
+                f"Incoming batch lacks partition column(s) {missing}."
+            )
+        tuples = [
+            r.asDict() for r in
+            df.select(*prev.partition_by).distinct().collect()
+        ]
+        if not tuples:
+            raise UserException(
+                "Incoming batch is empty; dynamic partition overwrite "
+                "would be a no-op commit."
+            )
+
+        def lit_sql(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            s = str(v).replace("'", "''")
+            return f"'{s}'"
+
+        def tuple_pred(t: dict) -> str:
+            parts = [
+                f"{c} IS NULL" if t[c] is None else f"{c} = {lit_sql(t[c])}"
+                for c in prev.partition_by
+            ]
+            return "(" + " AND ".join(parts) + ")"
+
+        condition = " OR ".join(tuple_pred(t) for t in tuples)
+        return self.replace_where(
+            df, condition, compression=compression,
+            max_records_per_file=max_records_per_file, enforce=False,
         )
 
     # ---------- maintenance ----------

@@ -28,21 +28,86 @@ reads — the same work delta-rs does at commit time.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import re
 
 import pyarrow.parquet as pq
 
 # Stats are kept only for types whose min/max are JSON-round-trippable
-# and totally ordered the same way in Python and SQL: ints, floats and
-# strings. (bool/binary/timestamp stats exist in the footer but are
-# dropped — pruning on them is not attempted.)
+# and totally ordered the same way in Python and SQL: ints, floats,
+# strings — and timestamps/dates, normalized to FIXED-WIDTH strings
+# ('%Y-%m-%d %H:%M:%S.%f' / '%Y-%m-%d') whose lexicographic order
+# equals chronological order. Temporal entries carry a ``"t"`` kind
+# tag ("ts"/"date") so a predicate literal is only compared against
+# them after being parsed and normalized to the same form — a plain
+# varchar column never gets compared against a temporal literal and
+# vice versa (pruning must stay sound, not just usually-right).
+# Time-range predicates are the single most valuable skipping
+# dimension at 100 TB (time-windowed DELETE/UPDATE/backfill), which
+# is why Delta records timestamp stats too.
 _ALLOWED = (int, float, str)
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+_DATE_FMT = "%Y-%m-%d"
+
+
+class _TemporalLit(str):
+    """A literal parsed from ``TIMESTAMP '…'`` / ``DATE '…'`` — still a
+    str (3-tuple consumers keep working: derived-partition filters
+    regex the date prefix, bloom skips non-indexed temporal columns),
+    but tagged so range pruning knows it is temporal."""
+
+    kind: str = "ts"
+
+    def __new__(cls, s: str, kind: str):
+        o = super().__new__(cls, s)
+        o.kind = kind
+        return o
+
+
+def _temporal_to_str(v):
+    """Normalize a datetime/date to its fixed-width form → (str, kind);
+    (v, None) for anything else. Aware datetimes collapse to UTC
+    (the session timezone every probe/oracle runs under)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.strftime(_TS_FMT), "ts"
+    if isinstance(v, _dt.date):
+        return v.strftime(_DATE_FMT), "date"
+    return v, None
+
+
+def _norm_temporal_lit(raw: str, stat_kind: str) -> str | None:
+    """Parse a literal string against temporal stats of ``stat_kind``;
+    None (→ no pruning) when it doesn't parse. A date-only literal
+    against "ts" stats means midnight (fixed-width form compares
+    exactly); a datetime literal against "date" stats keeps its time
+    part — 'YYYY-MM-DD' < 'YYYY-MM-DD HH:…' lexicographically, which
+    matches date-as-midnight chronology exactly."""
+    s = raw.strip().replace("T", " ", 1)
+    try:
+        if len(s) <= len("YYYY-MM-DD"):
+            d = _dt.date.fromisoformat(s)
+            return (
+                d.strftime(_DATE_FMT)
+                if stat_kind == "date"
+                else _dt.datetime(d.year, d.month, d.day).strftime(_TS_FMT)
+            )
+        t = _dt.datetime.fromisoformat(s)
+        if t.tzinfo is not None:
+            t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return t.strftime(_TS_FMT)
+    except ValueError:
+        return None
+
 
 _CONJUNCT = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(<=|>=|==|=|<|>)\s*"
-    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+    r"((?:TIMESTAMP|DATE)\s*'(?:[^']*)'|'(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$",
+    flags=re.IGNORECASE,
 )
 
 
@@ -81,15 +146,23 @@ def _fold_file(md, acc: dict) -> None:
             except Exception:  # pyarrow can't cast some types
                 ent["bad"] = True
                 continue
+            mn, kind = _temporal_to_str(mn)
+            mx, kind2 = _temporal_to_str(mx)
             ok = (
                 isinstance(mn, _ALLOWED)
                 and isinstance(mx, _ALLOWED)
                 and not isinstance(mn, bool)
                 and not isinstance(mx, bool)
+                and kind == kind2
             )
             if not ok:
                 ent["bad"] = True
                 continue
+            if kind is not None:
+                if ent.get("t", kind) != kind:
+                    ent["bad"] = True
+                    continue
+                ent["t"] = kind
             ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
             ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
 
@@ -163,8 +236,14 @@ def parse_conjuncts(condition: str):
         if not m:
             return []
         col, op, lit = m.groups()
-        if lit.startswith("'"):
-            val: object = lit[1:-1]
+        up = lit.upper()
+        if up.startswith("TIMESTAMP") or up.startswith("DATE"):
+            inner = lit[lit.index("'") + 1 : -1]
+            val: object = _TemporalLit(
+                inner, "ts" if up.startswith("TIMESTAMP") else "date"
+            )
+        elif lit.startswith("'"):
+            val = lit[1:-1]
         elif "." in lit:
             val = float(lit)
         else:
@@ -190,6 +269,21 @@ def _conjunct_can_match(stats: dict, col: str, op: str, lit) -> bool:
         return False
     mn, mx = ent["min"], ent["max"]
     if mn is None or mx is None:
+        return True
+    ent_kind = ent.get("t")
+    if ent_kind in ("ts", "date"):
+        # temporal stats: any string literal (quoted ISO or
+        # TIMESTAMP/DATE '…') is parsed + normalized to the stats'
+        # fixed-width form; unparseable → no pruning
+        if not isinstance(lit, str):
+            return True
+        norm = _norm_temporal_lit(str(lit), ent_kind)
+        if norm is None:
+            return True
+        lit = norm
+    elif isinstance(lit, _TemporalLit):
+        # temporal literal vs non-temporal stats (e.g. a varchar
+        # column): no sound ordering to reason about
         return True
     num_stat = isinstance(mn, (int, float))
     num_lit = isinstance(lit, (int, float))
@@ -226,6 +320,13 @@ def unit_overlaps_key_bounds(stats: dict | None, bounds: dict) -> bool:
         mn, mx = ent.get("min"), ent.get("max")
         if mn is None or mx is None:
             continue
+        ent_kind = ent.get("t")
+        lo_kind = getattr(lo, "kind", None)
+        if ent_kind != lo_kind or getattr(hi, "kind", None) != lo_kind:
+            # temporal stats only compare against same-kind normalized
+            # bounds (and vice versa) — anything else: assume overlap
+            if ent_kind in ("ts", "date") or lo_kind is not None:
+                continue
         num_stat = isinstance(mn, (int, float))
         num_bound = isinstance(lo, (int, float))
         if num_stat != num_bound:

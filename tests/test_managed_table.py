@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import tempfile
 
 import pytest
@@ -877,3 +879,107 @@ def test_incremental_aggregate_handles_dml_update(spark, tmp_path_str):
         for r in mv.read().collect()
     }
     assert rows == {"A": (2, 40.0), "B": (1, 30.0)}
+
+
+def test_replace_where_scoped_overwrite(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "rw"))
+    df = spark.createDataFrame(
+        [(i, "old", float(i)) for i in range(1, 101)],
+        "k int, tag string, v double",
+    )
+    t.write(df.filter("k <= 50").orderBy("k"), mode="overwrite")
+    t.write(df.filter("k > 50").orderBy("k"), mode="append")
+    old_units = set(t.latest_commit().data_units)
+    batch = spark.createDataFrame(
+        [(k, "new", -1.0) for k in range(60, 71)],
+        "k int, tag string, v double",
+    )
+    t.replace_where(batch, "k >= 60 AND k < 71")
+    c = t.latest_commit()
+    # the k<=50 unit must carry by reference (stats-pruned)
+    assert old_units & set(c.data_units)
+    out = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert len(out) == 100
+    assert all(out[k] == "new" for k in range(60, 71))
+    assert all(out[k] == "old" for k in list(range(1, 60)) + list(range(71, 101)))
+
+
+def test_replace_where_enforcement_and_cdf(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "rwc"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k int, v double"
+    )
+    t.write(df, mode="overwrite",
+            properties={"enableChangeDataFeed": True})
+    bad = spark.createDataFrame([(99, 0.0)], "k int, v double")
+    with pytest.raises(UserException):
+        t.replace_where(bad, "k < 5")
+    good = spark.createDataFrame([(1, -1.0), (3, -3.0)], "k int, v double")
+    c = t.replace_where(good, "k < 5")
+    changes = spark.read.parquet(
+        os.path.join(t.path, "_changes", f"v{c.version}")
+    )
+    kinds = {
+        (r["k"], r["_change_type"]) for r in changes.collect()
+    }
+    assert {(1, "insert"), (3, "insert")} <= kinds
+    assert {(k, "delete") for k in range(5)} <= kinds
+    assert t.read().count() == 7  # 5 removed, 2 inserted
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "dpo"))
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "k int, p string, v double",
+    )
+    t.write(df, mode="overwrite", partition_by=["p"])
+    batch = spark.createDataFrame(
+        [(100, "b", 1.0), (101, "b", 2.0)], "k int, p string, v double"
+    )
+    t.overwrite_partitions(batch)
+    rows = t.read().collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["p"], set()).add(r["k"])
+    assert by_p["b"] == {100, 101}
+    assert len(by_p["a"]) == 10 and len(by_p["c"]) == 10
+    # unpartitioned table refuses dynamic mode
+    t2 = ManagedTable(spark, os.path.join(tmp_path_str, "dpo2"))
+    t2.write(df, mode="overwrite")
+    with pytest.raises(UserException):
+        t2.overwrite_partitions(batch)
+
+
+def test_column_defaults_insert_time_only(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "dflt"))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.add_column("src", "string", default="'backfill'")
+    # existing rows read NULL (defaults never backfill)
+    assert {r["src"] for r in t.read().collect()} == {None}
+    # append omitting the column gets the default computed
+    t.write(spark.createDataFrame([(3, 30.0)], "k int, v double"),
+            mode="append")
+    got = {r["k"]: r["src"] for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: "backfill"}
+    # providing the column wins over the default
+    t.write(
+        spark.createDataFrame([(4, 40.0, "explicit")],
+                              "k int, v double, src string"),
+        mode="append",
+    )
+    assert {r["src"] for r in t.read().filter("k=4").collect()} == {"explicit"}
+    # SET DEFAULT changes future inserts; DROP DEFAULT → missing col fails
+    t.set_column_default("src", "'v2'")
+    t.upsert(spark.createDataFrame([(5, 50.0)], "k int, v double"), ["k"])
+    assert {r["src"] for r in t.read().filter("k=5").collect()} == {"v2"}
+    # DROP DEFAULT → omitted column falls back to nullable-NULL fill
+    t.set_column_default("src", None)
+    t.write(spark.createDataFrame([(6, 60.0)], "k int, v double"),
+            mode="append")
+    assert {r["src"] for r in t.read().filter("k=6").collect()} == {None}

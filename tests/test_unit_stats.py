@@ -692,3 +692,87 @@ def test_merge_on_read_upsert_rejects_update_condition(spark, tmp_path_str):
             strategy="merge-on-read",
             update_condition=lambda t_, s_: s_["v"] > t_["v"],
         )
+
+
+def test_timestamp_stats_prune(spark, tmp_path_str):
+    import datetime as dt
+
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        collect_unit_stats,
+        parse_conjuncts,
+        prune_units,
+    )
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(1995, 1, 1) + dt.timedelta(days=i)) for i in range(10)],
+        "k int, ts timestamp",
+    )
+    a = os.path.join(tmp_path_str, "a")
+    b = os.path.join(tmp_path_str, "b")
+    df.filter("k < 5").write.parquet(a)
+    df.filter("k >= 5").write.parquet(b)
+    stats = {"a": collect_unit_stats(a), "b": collect_unit_stats(b)}
+    assert stats["a"]["ts"]["t"] == "ts"
+    assert stats["a"]["ts"]["min"] == "1995-01-01 00:00:00.000000"
+    # TIMESTAMP literal window hits only unit b
+    cond = ("ts >= TIMESTAMP '1995-01-08 00:00:00' AND "
+            "ts < TIMESTAMP '1995-01-20 00:00:00'")
+    assert prune_units(stats, ["a", "b"], cond) == ["b"]
+    # plain ISO string literal (Spark coerces) prunes identically
+    assert prune_units(stats, ["a", "b"], "ts >= '1995-01-08'") == ["b"]
+    # boundary: midnight of a day inside unit a must keep a (<= match)
+    assert prune_units(stats, ["a", "b"], "ts <= '1995-01-01'") == ["a"]
+    # temporal literal vs a varchar column's stats: no pruning
+    lit = parse_conjuncts("name >= TIMESTAMP '1995-01-08 00:00:00'")
+    assert lit and prune_units(
+        {"a": {"_rows": 1, "name": {"min": "x", "max": "y", "nulls": 0}}},
+        ["a"], "name >= TIMESTAMP '1995-01-08 00:00:00'",
+    ) == ["a"]
+
+
+def test_date_stats_prune(spark, tmp_path_str):
+    import datetime as dt
+
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        collect_unit_stats,
+        prune_units,
+    )
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2020, 1, 1) + dt.timedelta(days=i)) for i in range(10)],
+        "k int, d date",
+    )
+    a = os.path.join(tmp_path_str, "da")
+    b = os.path.join(tmp_path_str, "db")
+    df.filter("k < 5").write.parquet(a)
+    df.filter("k >= 5").write.parquet(b)
+    stats = {"a": collect_unit_stats(a), "b": collect_unit_stats(b)}
+    assert stats["b"]["d"]["t"] == "date"
+    assert prune_units(stats, ["a", "b"], "d >= DATE '2020-01-06'") == ["b"]
+    assert prune_units(stats, ["a", "b"], "d < '2020-01-03'") == ["a"]
+
+
+def test_timestamp_pk_merge_prunes_units(spark, tmp_path_str):
+    import datetime as dt
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "tspk"))
+    rows = [
+        (dt.datetime(1995, 1, 1) + dt.timedelta(hours=i), float(i))
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    t.write(df.filter("ts < '1995-01-02'"), mode="overwrite",
+            primary_key=["ts"])
+    t.write(df.filter("ts >= '1995-01-02'"), mode="append")
+    old_units = set(t.latest_commit().data_units)
+    batch = spark.createDataFrame(
+        [(dt.datetime(1995, 1, 2, 5), -1.0)], "ts timestamp, v double"
+    )
+    t.upsert(batch, ["ts"])
+    c = t.latest_commit()
+    # the day-1 unit is disjoint from the source key range → carried
+    assert old_units & set(c.data_units), "timestamp PK bounds must prune"
+    got = {r["v"] for r in t.read().collect()}
+    assert -1.0 in got and len(got) == 48
