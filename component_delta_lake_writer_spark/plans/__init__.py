@@ -140,6 +140,8 @@ _FRONT = [
     "replace_where_backfill",
     "dynamic_partition_overwrite",
     "column_default_values",
+    "idempotent_txn_append",
+    "copy_into_idempotent",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1325,3 +1325,74 @@ _O["column_default_values"] = """
     SELECT o_orderkey, o_totalprice, 'reload-b' AS src
     FROM orders WHERE o_orderkey % 3 = 2
 """
+
+
+@query("idempotent_txn_append")
+def idempotent_txn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent writer transactions (Delta txn/setTransaction): the
+    same (appId, version) batch applied twice lands ONCE; the
+    watermark survives unrelated commits; a later version applies; an
+    upsert replay under a consumed txn is a no-op. The mirror carries
+    the setTransaction actions (asserted in
+    tests/test_managed_table.py::test_txn_idempotent_writes)."""
+    t = _fresh_table(spark, "idempotent_txn_append", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t.write(o.filter(k % 4 != 3), mode="overwrite",
+            primary_key=["o_orderkey"])
+    batch = o.filter(k % 4 == 3)
+    t.write(batch, mode="append", txn=("loader", 1))
+    t.write(batch, mode="append", txn=("loader", 1))  # replay: no-op
+    t.delete_where("o_orderkey % 10 = 0")             # unrelated commit
+    t.write(batch, mode="append", txn=("loader", 1))  # still a no-op
+    up = batch.withColumn("o_totalprice", F.lit(-1.0))
+    t.upsert(up, ["o_orderkey"], txn=("merger", 1))
+    t.upsert(batch, ["o_orderkey"], txn=("merger", 1))  # replay: no-op
+    return t.read()
+
+
+_O["idempotent_txn_append"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CASE WHEN o_orderkey % 4 = 3 THEN -1.0 ELSE o_totalprice END
+        AS o_totalprice,
+      o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+"""
+
+
+@query("copy_into_idempotent")
+def copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO (file-level idempotent ingest): a landing zone of
+    CSV slices loads once; re-running the same COPY INTO ingests
+    nothing; a later slice loads alone. Read-back must equal orders
+    exactly once."""
+    base = _scratch("copy_into_idempotent", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "landing")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    (o.filter(k % 3 != 2).coalesce(2).write
+     .option("header", "true").option("timestampNTZFormat",
+                                      "yyyy-MM-dd HH:mm:ss")
+     .csv(land))
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    schema = o.schema
+    pat = os.path.join(land, "*.csv")
+    opts = {"header": "true",
+            "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss"}
+    v1 = t.copy_into(pat, file_format="csv", schema=schema, options=opts)
+    v2 = t.copy_into(pat, file_format="csv", schema=schema, options=opts)
+    assert v2.version == v1.version, "re-run must be a no-op"
+    # late-arriving slice: only it loads on the next run
+    (o.filter(k % 3 == 2).coalesce(1).write.mode("append")
+     .option("header", "true").option("timestampNTZFormat",
+                                      "yyyy-MM-dd HH:mm:ss")
+     .csv(land))
+    t.copy_into(pat, file_format="csv", schema=schema, options=opts)
+    return t.read()
+
+
+_O["copy_into_idempotent"] = """
+    SELECT * FROM orders
+"""

@@ -244,6 +244,7 @@ def write_delta_log_entry(
     column_mapping: dict | None = None,
     prev_column_mapping: dict | None = None,
     operation: str = "WRITE",
+    txn: tuple[str, int] | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -263,6 +264,13 @@ def write_delta_log_entry(
     cm = column_mapping or {}
     prev_cm = prev_column_mapping or {}
     actions: list[dict] = []
+    if txn is not None:
+        # Delta txn action (setTransaction): the idempotent-writer
+        # watermark external writers consult before re-applying
+        actions.append(
+            {"txn": {"appId": txn[0], "version": txn[1],
+                     "lastUpdated": timestamp_ms}}
+        )
     if version == 0:
         actions.append(_protocol_action(schema_json, bool(cm)))
         actions.append(

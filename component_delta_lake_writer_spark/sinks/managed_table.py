@@ -101,6 +101,18 @@ class Commit:
     # keyed physical. Reset by full rewrites (optimize — Delta's
     # REORG materialization). {} on old commits.
     column_mapping: dict = field(default_factory=dict)
+    # Idempotent-writer watermarks (Delta's setTransaction/txn action):
+    # {appId: last applied writer version}. A write carrying
+    # txn=(appId, v) with v <= txns[appId] is a NO-OP — the
+    # exactly-once contract streaming foreachBatch / retried jobs rely
+    # on. Carried forward by every commit (merged in _publish); {} on
+    # old commits.
+    txns: dict = field(default_factory=dict)
+    # COPY INTO ingest log: names of JSON sidecars under _ingest/, each
+    # listing source files already loaded — re-running the same COPY
+    # INTO skips them (file-level idempotent ingest). Carried forward
+    # by _publish; [] on old commits.
+    ingest_sidecars: list = field(default_factory=list)
 
 
 class ManagedTable:
@@ -142,6 +154,17 @@ class ManagedTable:
             return Commit(**json.load(f))
 
     def _publish(self, commit: Commit, prev: Commit | None = None) -> None:
+        # Writer-state carry (txn watermarks, ingest log): merged here
+        # centrally so every commit path — DML, optimize, DDL —
+        # preserves them without threading the fields through all 17
+        # constructors.
+        if prev is not None:
+            commit.txns = {**(prev.txns or {}), **(commit.txns or {})}
+            carried = [
+                s for s in (prev.ingest_sidecars or [])
+                if s not in (commit.ingest_sidecars or [])
+            ]
+            commit.ingest_sidecars = carried + (commit.ingest_sidecars or [])
         # Column-mapping invariant: on-disk (physical) names must stay
         # unique or the physical scan schema is ambiguous. Guards the
         # rename/add/schema-merge composition paths in one place.
@@ -204,6 +227,17 @@ class ManagedTable:
             # DESCRIBE HISTORY on the mirror shows real operation names
             operation=_OPERATION_NAMES.get(
                 commit.action, commit.action.upper()
+            ),
+            # the NEW watermark this commit introduced (if any) becomes
+            # a Delta txn/setTransaction action in the mirror
+            txn=next(
+                (
+                    (app, v)
+                    for app, v in (commit.txns or {}).items()
+                    if prev is None
+                    or (prev.txns or {}).get(app) != v
+                ),
+                None,
             ),
         )
         # Delta protocol checkpointing: every 10th version materializes
@@ -416,8 +450,17 @@ class ManagedTable:
         properties: dict | None = None,
         generated_columns: dict[str, str] | None = None,
         identity_columns: dict[str, dict] | None = None,
+        txn: tuple[str, int] | None = None,
+        ingest_sidecar: str | None = None,
     ) -> Commit:
         """One atomic table commit. ``mode`` per reference load modes.
+
+        ``txn=(app_id, version)`` makes the write IDEMPOTENT (Delta's
+        txn/setTransaction action, the exactly-once contract
+        foreachBatch and retried jobs rely on): if the table has
+        already applied ``app_id`` at a version >= ``version`` the
+        call is a NO-OP returning the current snapshot's commit;
+        otherwise the commit records the new watermark.
 
         ``generated_columns`` ({col: SQL expr}, create/overwrite only)
         declares Delta GENERATED ALWAYS AS columns: computed when a
@@ -446,6 +489,13 @@ class ManagedTable:
             )
         partition_by = partition_by or []
         prev = self.latest_commit()
+
+        if (
+            txn is not None
+            and prev is not None
+            and (prev.txns or {}).get(txn[0], -(1 << 62)) >= txn[1]
+        ):
+            return prev  # already applied — idempotent no-op
 
         if mode == "error" and prev is not None:
             # W1: delta-rs mode='error' semantics (src/component.py:64-68)
@@ -583,6 +633,8 @@ class ManagedTable:
                 stats=stats,
                 delete_sets=[],
                 column_mapping=mapping,
+                txns=dict([txn]) if txn else {},
+                ingest_sidecars=[ingest_sidecar] if ingest_sidecar else [],
             )
             self._publish(commit, prev)
             return commit
@@ -618,6 +670,8 @@ class ManagedTable:
                     prev.delete_sets, prev.data_units
                 ),
                 column_mapping=mapping,
+                txns=dict([txn]) if txn else {},
+                ingest_sidecars=[ingest_sidecar] if ingest_sidecar else [],
             )
             try:
                 self._publish(commit, prev)
@@ -631,6 +685,18 @@ class ManagedTable:
                 if not retriable:
                     raise
                 prev = self.latest_commit()
+                if (
+                    txn is not None
+                    and (prev.txns or {}).get(txn[0], -(1 << 62)) >= txn[1]
+                ):
+                    # a concurrent writer carrying the SAME txn won the
+                    # race: this batch is already in the table — drop
+                    # the orphaned unit and report their commit
+                    shutil.rmtree(
+                        os.path.join(self._data_dir, unit),
+                        ignore_errors=True,
+                    )
+                    return prev
                 if dict(prev.column_mapping) != mapping:
                     raise UserException(
                         "Concurrent commit changed the column mapping; "
@@ -1366,6 +1432,7 @@ class ManagedTable:
         order_by: list[str] | None = None,
         schema_mode: str | None = None,
         strategy: str = "copy-on-write",
+        txn: tuple[str, int] | None = None,
     ) -> Commit:
         """MERGE INTO semantics: WHEN MATCHED UPDATE all columns, WHEN
         NOT MATCHED INSERT all columns (src/component.py:238-260), with
@@ -1414,6 +1481,13 @@ class ManagedTable:
         """
         if not primary_key:
             raise UserException("Upsert load mode requires a primary key.")
+        if txn is not None:
+            head = self.latest_commit()
+            if (
+                head is not None
+                and (head.txns or {}).get(txn[0], -(1 << 62)) >= txn[1]
+            ):
+                return head  # already applied — idempotent no-op
         from component_delta_lake_writer_spark.operators.merge import (
             dedup_source,
             merge_upsert,
@@ -1432,7 +1506,7 @@ class ManagedTable:
                 )
             return self._upsert_mor(
                 source, primary_key, compression, max_records_per_file,
-                properties, order_by, schema_mode,
+                properties, order_by, schema_mode, txn=txn,
             )
         if strategy != "copy-on-write":
             raise UserException(
@@ -1447,7 +1521,7 @@ class ManagedTable:
                 mode="overwrite",
                 primary_key=primary_key, compression=compression,
                 max_records_per_file=max_records_per_file,
-                properties=properties,
+                properties=properties, txn=txn,
             )
 
         prev = self.latest_commit()
@@ -1558,6 +1632,7 @@ class ManagedTable:
                     prev.delete_sets, untouched
                 ),
                 column_mapping=dict(prev.column_mapping),
+                txns=dict([txn]) if txn else {},
             )
             self._publish(commit, prev)
             # CDF: persist this commit's change set (inserts + the
@@ -1600,6 +1675,7 @@ class ManagedTable:
         properties: dict | None,
         order_by: list[str] | None,
         schema_mode: str | None,
+        txn: tuple[str, int] | None = None,
     ) -> Commit:
         """Merge-on-read upsert: equality-delete the source's PK tuples
         out of the prior snapshot and append the deduped source as a
@@ -1626,7 +1702,7 @@ class ManagedTable:
                 mode="overwrite",
                 primary_key=primary_key, compression=compression,
                 max_records_per_file=max_records_per_file,
-                properties=properties,
+                properties=properties, txn=txn,
             )
         prev = self.latest_commit()
         source = self._apply_column_defaults(source, prev)
@@ -1718,6 +1794,7 @@ class ManagedTable:
                 stats=stats,
                 delete_sets=delete_sets,
                 column_mapping=dict(prev.column_mapping),
+                txns=dict([txn]) if txn else {},
             )
             self._publish(commit, prev)
             if commit.properties.get("enableChangeDataFeed"):
@@ -2380,6 +2457,85 @@ class ManagedTable:
         return self.replace_where(
             df, condition, compression=compression,
             max_records_per_file=max_records_per_file, enforce=False,
+        )
+
+    @property
+    def _ingest_dir(self) -> str:
+        return os.path.join(self.path, "_ingest")
+
+    def _ingested_files(self, commit: Commit | None) -> set[str]:
+        out: set[str] = set()
+        for name in (commit.ingest_sidecars if commit else []) or []:
+            p = os.path.join(self._ingest_dir, name)
+            try:
+                with open(p) as fh:
+                    out.update(json.load(fh)["files"])
+            except FileNotFoundError:
+                continue  # vacuumed sidecar: its files predate retention
+        return out
+
+    def copy_into(
+        self,
+        source: str | list[str],
+        file_format: str = "parquet",
+        schema: T.StructType | None = None,
+        options: dict | None = None,
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+    ) -> Commit:
+        """``COPY INTO t FROM loc`` (Delta COPY INTO): file-level
+        idempotent ingest. Every run lists the source glob(s), skips
+        files a previous COPY INTO already loaded (recorded in
+        ``_ingest/`` sidecars referenced by the commit), and appends
+        only the remainder — the retry-safe landing-zone loader.
+
+        The load-history check is metadata-scale (file NAMES, never
+        data — the same class of driver-side state as Delta's log);
+        the data itself flows through one distributed read → append.
+        Returns the unchanged head commit when nothing new matched.
+        """
+        import glob as _glob
+
+        patterns = [source] if isinstance(source, str) else list(source)
+        listed = sorted(
+            {
+                os.path.abspath(f)
+                for pat in patterns
+                for f in _glob.glob(pat)
+                if os.path.isfile(f)
+            }
+        )
+        prev = self.latest_commit()
+        new_files = [
+            f for f in listed if f not in self._ingested_files(prev)
+        ]
+        if not new_files:
+            if prev is None:
+                raise UserException(
+                    f"COPY INTO matched no files under {patterns} and "
+                    "no table exists yet."
+                )
+            return prev  # fully ingested — idempotent no-op
+        reader = self.spark.read.format(file_format)
+        if schema is None and prev is not None:
+            schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(new_files)
+        os.makedirs(self._ingest_dir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.json"
+        tmp = os.path.join(self._ingest_dir, name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"files": new_files}, fh)
+        os.replace(tmp, os.path.join(self._ingest_dir, name))
+        # an append that fails after this leaves an unreferenced
+        # sidecar — harmless (only commit-referenced sidecars count)
+        return self.write(
+            df, mode="append", compression=compression,
+            max_records_per_file=max_records_per_file,
+            ingest_sidecar=name,
         )
 
     # ---------- maintenance ----------

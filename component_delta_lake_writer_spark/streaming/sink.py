@@ -22,6 +22,7 @@ def write_stream_to_table(
     checkpoint_dir: str | None = None,
     max_records_per_file: int | None = None,
     primary_key: list[str] | None = None,
+    app_id: str | None = None,
 ):
     """Start a streaming query that commits each micro-batch to the
     table. First batch uses ``mode`` (error/overwrite honored), later
@@ -32,37 +33,35 @@ def write_stream_to_table(
     table by PK (matched rows replaced, new rows inserted), each batch
     one atomic commit — the streaming spelling of W12.
 
-    Exactly-once per micro-batch: the committed batch_id is recorded in
-    the commit properties, so a replay after a crash between table
-    commit and checkpoint advance is detected and skipped. "First
-    batch" is derived from table existence, not process-local state, so
-    a restarted first batch keeps its configured mode.
+    Exactly-once per micro-batch via writer transactions (the Delta
+    foreachBatch idiom: txnAppId = the sink identity, txnVersion =
+    batch_id): a replay after a crash between table commit and
+    checkpoint advance hits the txn watermark and no-ops — and unlike
+    a properties-based marker, the watermark survives interleaved
+    commits from OTHER writers (txns are merged, properties are
+    replaced). "First batch" is derived from the table's txn state,
+    not process-local state, so a restarted first batch keeps its
+    configured mode.
     """
-    _BATCH_KEY = "last_stream_batch_id"
+    app_id = app_id or "stream"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = table.latest_commit()
-        if prev is not None:
-            last = prev.properties.get(_BATCH_KEY)
-            if last is not None and batch_id <= int(last):
-                return  # checkpoint replay of an already-committed batch
-        props = dict(prev.properties) if prev is not None else {}
-        props[_BATCH_KEY] = batch_id
         if mode == "upsert":
             table.upsert(
                 batch_df, primary_key or [],
                 max_records_per_file=max_records_per_file,
-                properties=props,
+                txn=(app_id, batch_id),
             )
             return
-        # first batch = no stream-committed batch recorded yet (table
-        # may pre-exist from outside the stream; mode still applies)
-        first = prev is None or _BATCH_KEY not in prev.properties
+        # first batch = this sink has never committed (table may
+        # pre-exist from outside the stream; mode still applies)
+        first = prev is None or app_id not in (prev.txns or {})
         batch_mode = mode if first else "append"
         table.write(
             batch_df, mode=batch_mode,
             max_records_per_file=max_records_per_file,
-            properties=props,
+            txn=(app_id, batch_id),
         )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
@@ -94,24 +93,17 @@ def write_stream_dedup_corpus(
     MIN(doc_id)`` over everything ever ingested (that invariance is
     what makes the pipeline replayable/oracle-checkable).
 
-    Same exactly-once guard as write_stream_to_table: the committed
-    batch_id rides in commit properties; checkpoint replays of an
-    already-committed batch are skipped.
+    Same exactly-once guard as write_stream_to_table (writer
+    transactions keyed by batch_id).
     """
     from pyspark.sql import functions as F
 
     from component_delta_lake_writer_spark.operators.text import fingerprint
 
-    _BATCH_KEY = "last_stream_batch_id"
+    app_id = "stream-dedup-corpus"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = table.latest_commit()
-        if prev is not None:
-            last = prev.properties.get(_BATCH_KEY)
-            if last is not None and batch_id <= int(last):
-                return
-        props = dict(prev.properties) if prev is not None else {}
-        props[_BATCH_KEY] = batch_id
         resolved = (
             batch_df.select(
                 fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -123,11 +115,11 @@ def write_stream_dedup_corpus(
         if prev is None:
             table.write(
                 resolved, mode="overwrite",
-                primary_key=["fingerprint"], properties=props,
+                primary_key=["fingerprint"], txn=(app_id, batch_id),
             )
         else:
             table.upsert(
-                resolved, ["fingerprint"], properties=props,
+                resolved, ["fingerprint"], txn=(app_id, batch_id),
                 update_condition=lambda t, s: s[id_col] < t[id_col],
             )
 
@@ -154,20 +146,18 @@ def write_stream_with_mv(
     no CDF pre-images, so the refresh stays incremental from batch 2
     on (batch 1 is the initial full materialization by definition).
 
-    Same exactly-once guard as write_stream_to_table; ``on_refresh``
-    (if given) receives each refresh's mode string — lets callers
-    assert the incremental path actually ran."""
-    _BATCH_KEY = "last_stream_batch_id"
+    Same exactly-once guard as write_stream_to_table (writer
+    transactions); ``on_refresh`` (if given) receives each refresh's
+    mode string — lets callers assert the incremental path actually
+    ran."""
+    app_id = "stream-mv"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = table.latest_commit()
-        if prev is not None:
-            last = prev.properties.get(_BATCH_KEY)
-            if last is not None and batch_id <= int(last):
-                return
-        props = dict(prev.properties) if prev is not None else {}
-        props[_BATCH_KEY] = batch_id
-        table.write(batch_df, mode="append", properties=props)
+        before = prev.version if prev is not None else -1
+        c = table.write(batch_df, mode="append", txn=(app_id, batch_id))
+        if c.version == before:
+            return  # replay no-op: the MV is already current for it
         mode = mv.refresh()
         if on_refresh is not None:
             on_refresh(mode)

@@ -547,3 +547,48 @@ def test_byte_histogram_matches_python_reference(spark):
         g = got[row["doc_id"]]
         assert abs(g["entropy_bits"] - exp_ent) < 1e-9
         assert all(abs(a - b) < 1e-12 for a, b in zip(g["histogram"], exp_hist))
+
+
+def test_stream_sink_survives_checkpoint_loss(spark, tmp_path):
+    """Writer-txn exactly-once beyond the checkpoint: restarting the
+    SAME sink identity with a FRESH checkpoint (lost/deleted) replays
+    every micro-batch; the per-appId txn watermark no-ops them all, so
+    the table holds each row exactly once. (A properties-based batch
+    marker gives this too, but dies the moment an unrelated writer
+    passes its own properties dict — txns merge instead of replace.)"""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+
+    tmp_path_str = str(tmp_path)
+    src = os.path.join(tmp_path_str, "src")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    q = write_stream_to_table(
+        stream, t, checkpoint_dir=os.path.join(tmp_path_str, "ckpt_a"),
+        app_id="ingest-a",
+    )
+    q.awaitTermination()
+    assert t.read().count() == 100
+    # unrelated writer interleaves with its own txn — must not disturb
+    # the sink's watermark
+    t.write(
+        spark.createDataFrame([(1000, 0.0)], "k long, v double"),
+        mode="append", txn=("other-writer", 1),
+    )
+    # checkpoint lost: same sink identity, fresh checkpoint, replays all
+    q2 = write_stream_to_table(
+        stream, t, checkpoint_dir=os.path.join(tmp_path_str, "ckpt_b"),
+        app_id="ingest-a",
+    )
+    q2.awaitTermination()
+    assert t.read().count() == 101  # no duplicate micro-batch applied

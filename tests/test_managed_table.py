@@ -983,3 +983,82 @@ def test_column_defaults_insert_time_only(spark, tmp_path_str):
     t.write(spark.createDataFrame([(6, 60.0)], "k int, v double"),
             mode="append")
     assert {r["src"] for r in t.read().filter("k=6").collect()} == {None}
+
+
+def test_txn_idempotent_writes(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "txn"))
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    t.write(df, mode="overwrite", primary_key=["k"])
+    b = spark.createDataFrame([(3, 3.0)], "k int, v double")
+    c1 = t.write(b, mode="append", txn=("loader", 1))
+    # replay of the same batch version: no-op, same commit returned
+    c2 = t.write(b, mode="append", txn=("loader", 1))
+    assert c2.version == c1.version
+    assert t.read().count() == 3
+    # an UNRELATED commit must not erase the watermark
+    t.delete_where("k = 2")
+    c3 = t.write(b, mode="append", txn=("loader", 1))
+    assert c3.version == t.latest_commit().version
+    assert t.read().count() == 2
+    # a newer version applies; an older replay after it does not
+    t.write(spark.createDataFrame([(4, 4.0)], "k int, v double"),
+            mode="append", txn=("loader", 2))
+    assert t.read().count() == 3
+    t.write(b, mode="append", txn=("loader", 1))
+    assert t.read().count() == 3
+    # independent appId has its own watermark
+    t.write(spark.createDataFrame([(5, 5.0)], "k int, v double"),
+            mode="append", txn=("other", 1))
+    assert t.read().count() == 4
+    # upsert honors the same contract
+    up = spark.createDataFrame([(1, -1.0)], "k int, v double")
+    t.upsert(up, ["k"], txn=("merger", 7))
+    t.upsert(spark.createDataFrame([(1, -99.0)], "k int, v double"),
+             ["k"], txn=("merger", 7))
+    assert {r["v"] for r in t.read().filter("k=1").collect()} == {-1.0}
+    # the mirror carries the setTransaction action
+    import json as _json
+
+    logs = sorted(
+        f for f in os.listdir(os.path.join(t.path, "_delta_log"))
+        if f.endswith(".json")
+    )
+    txns = []
+    for f in logs:
+        with open(os.path.join(t.path, "_delta_log", f)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "txn" in a:
+                    txns.append((a["txn"]["appId"], a["txn"]["version"]))
+    assert ("loader", 1) in txns and ("merger", 7) in txns
+
+
+def test_copy_into_idempotent_ingest(spark, tmp_path_str):
+    land = os.path.join(tmp_path_str, "landing")
+    os.makedirs(land)
+
+    def drop_file(name, rows):
+        with open(os.path.join(land, name), "w") as fh:
+            fh.write("k,v\n")
+            for k, v in rows:
+                fh.write(f"{k},{v}\n")
+
+    drop_file("a.csv", [(1, 10.0), (2, 20.0)])
+    drop_file("b.csv", [(3, 30.0)])
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "ci"))
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL("k int, v double")
+    c1 = t.copy_into(os.path.join(land, "*.csv"), file_format="csv",
+                     schema=schema, options={"header": "true"})
+    assert t.read().count() == 3
+    # re-run: nothing new → same head, no extra rows
+    c2 = t.copy_into(os.path.join(land, "*.csv"), file_format="csv",
+                     schema=schema, options={"header": "true"})
+    assert c2.version == c1.version and t.read().count() == 3
+    # a new landing file loads alone (schema now inferred from table)
+    drop_file("c.csv", [(4, 40.0)])
+    t.copy_into(os.path.join(land, "*.csv"), file_format="csv",
+                options={"header": "true"})
+    assert t.read().count() == 4
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
