@@ -142,6 +142,7 @@ _FRONT = [
     "column_default_values",
     "idempotent_txn_append",
     "copy_into_idempotent",
+    "widen_column_types",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1396,3 +1396,41 @@ def copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O["copy_into_idempotent"] = """
     SELECT * FROM orders
 """
+
+
+@query("widen_column_types")
+def widen_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (Delta typeWidening, metadata-only): the table is
+    created with int/float columns, widened to bigint/double with NO
+    rewrite (asserted: data_units unchanged), then an append lands
+    values only the wide types can hold. The read must serve old
+    narrow pages and new wide pages under one schema."""
+    t = _fresh_table(spark, "widen_column_types", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("float").alias("price"),
+    )
+    t.write(base, mode="overwrite")
+    units = set(t.latest_commit().data_units)
+    t.widen_column_type("k", "bigint")
+    t.widen_column_type("price", "double")
+    assert set(t.latest_commit().data_units) == units, "must not rewrite"
+    t.write(
+        spark.createDataFrame(
+            [(5_000_000_000, 0.5), (6_000_000_000, 1.5)],
+            "k long, price double",
+        ),
+        mode="append",
+    )
+    return t.read()
+
+
+_O["widen_column_types"] = """
+    SELECT CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS k,
+           CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+    FROM orders
+    UNION ALL
+    SELECT * FROM (VALUES (5000000000, 0.5), (6000000000, 1.5))
+      AS v(k, price)
+"""

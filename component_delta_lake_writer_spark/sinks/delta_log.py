@@ -135,10 +135,11 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     generated = "delta.generationExpression" in schema_json
     identity = "delta.identity.start" in schema_json
     defaults = "CURRENT_DEFAULT" in schema_json
+    widened = "delta.typeChanges" in schema_json
     if _needs_timestamp_ntz(schema_json):
         reader = ["timestampNtz"] + (
             ["columnMapping"] if column_mapping else []
-        )
+        ) + (["typeWidening"] if widened else [])
         writer = (
             list(reader)
             + (["generatedColumns"] if generated else [])
@@ -162,10 +163,10 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     if identity:
         writer = max(writer, 6)
     reader = 2 if column_mapping else 1
-    if defaults:
-        # allowColumnDefaults exists only as a table feature (writer 7,
-        # no legacy version); writer 7 must enumerate every in-use
-        # feature, including the legacy ladder's implications
+    if defaults or widened:
+        # allowColumnDefaults/typeWidening exist only as table features
+        # (writer 7, no legacy version); writer 7 must enumerate every
+        # in-use feature, including the legacy ladder's implications
         feats = ["appendOnly", "invariants"]
         if generated:
             feats.append("generatedColumns")
@@ -173,7 +174,23 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
             feats.append("columnMapping")
         if identity:
             feats.append("identityColumns")
-        feats.append("allowColumnDefaults")
+        if defaults:
+            feats.append("allowColumnDefaults")
+        if widened:
+            # typeWidening is reader-relevant: narrower pages must be
+            # read under the widened schema -> reader 3 + feature
+            feats.append("typeWidening")
+            return {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": (
+                        ["typeWidening"]
+                        + (["columnMapping"] if column_mapping else [])
+                    ),
+                    "writerFeatures": feats,
+                }
+            }
         return {
             "protocol": {
                 "minReaderVersion": reader,
@@ -289,10 +306,14 @@ def write_delta_log_entry(
         # materializing rewrite.
         tid = _table_id(log_dir) or uuid.uuid4().hex
         mapped_mode = bool(cm or prev_cm or _log_has_mapping(log_dir))
-        ntz_flip = prev_schema_json is not None and _needs_timestamp_ntz(
-            schema_json
-        ) and not _needs_timestamp_ntz(prev_schema_json)
-        if ntz_flip or (cm and not prev_cm):
+        # re-emit the protocol whenever the capabilities the schema
+        # needs actually changed (timestampNtz flip, mapping enabled,
+        # first DEFAULT column, first type widening, …) — the derived
+        # action is compared structurally instead of special-casing
+        # each feature
+        if prev_schema_json is None or _protocol_action(
+            schema_json, bool(cm)
+        ) != _protocol_action(prev_schema_json, bool(prev_cm)):
             actions.append(_protocol_action(schema_json, bool(cm)))
         actions.append(
             _metadata_action(

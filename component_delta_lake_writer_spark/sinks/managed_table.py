@@ -68,6 +68,7 @@ _OPERATION_NAMES = {
     "drop_column": "DROP COLUMNS",
     "rename_column": "RENAME COLUMN",
     "alter_column_default": "ALTER COLUMN",
+    "widen_column_type": "ALTER COLUMN",
     "add_constraint": "ADD CONSTRAINT",
     "drop_constraint": "DROP CONSTRAINT",
 }
@@ -949,6 +950,79 @@ class ManagedTable:
         commit = Commit(
             version=prev.version + 1,
             action="alter_column_default",
+            data_units=list(prev.data_units),
+            schema_json=json.dumps(T.StructType(fields).jsonValue()),
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
+            column_mapping=dict(prev.column_mapping),
+        )
+        self._publish(commit, prev)
+        return commit
+
+    # Safe widenings (Delta typeWidening): every old value is exactly
+    # representable in the new type. long→double is deliberately
+    # absent (lossy past 2^53), matching Delta's matrix.
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+        "date": {"timestamp_ntz"},
+    }
+
+    def widen_column_type(self, name: str, new_type: str) -> Commit:
+        """``ALTER TABLE … ALTER COLUMN name TYPE new_type`` for SAFE
+        widenings only (Delta's typeWidening table feature) —
+        metadata-only commit, NO data rewritten: Spark's parquet
+        reader natively reads the narrower on-disk pages under the
+        widened schema (int32→int64, float→double …), so a 100 TB
+        table changes type in O(1). The change is recorded as
+        ``delta.typeChanges`` field metadata (the Delta protocol's
+        own mechanism) so the mirror advertises the typeWidening
+        feature to external readers."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name not in {f.name for f in schema.fields}:
+            raise UserException(f"No column {name!r} on this table.")
+        target = T.StructType.fromDDL(f"x {new_type}").fields[0].dataType
+        fields = []
+        for f in schema.fields:
+            if f.name == name:
+                old = f.dataType.simpleString()
+                if target == f.dataType:
+                    raise UserException(
+                        f"Column {name!r} already has type {old}."
+                    )
+                if target.simpleString() not in self._WIDENINGS.get(
+                    old, set()
+                ):
+                    raise UserException(
+                        f"Unsafe type change {old} -> "
+                        f"{target.simpleString()}; allowed widenings "
+                        f"from {old}: "
+                        f"{sorted(self._WIDENINGS.get(old, set())) or None}"
+                    )
+                md = dict(f.metadata or {})
+                changes = list(md.get("delta.typeChanges") or [])
+                changes.append(
+                    {
+                        "fromType": old,
+                        "toType": target.simpleString(),
+                        "tableVersion": prev.version + 1,
+                    }
+                )
+                md["delta.typeChanges"] = changes
+                f = T.StructField(f.name, target, f.nullable, md)
+            fields.append(f)
+        commit = Commit(
+            version=prev.version + 1,
+            action="widen_column_type",
             data_units=list(prev.data_units),
             schema_json=json.dumps(T.StructType(fields).jsonValue()),
             partition_by=prev.partition_by,

@@ -1062,3 +1062,66 @@ def test_copy_into_idempotent_ingest(spark, tmp_path_str):
                 options={"header": "true"})
     assert t.read().count() == 4
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_widen_column_type_metadata_only(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "widen"))
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, v float")
+    t.write(df, mode="overwrite")
+    units_before = set(t.latest_commit().data_units)
+    t.widen_column_type("k", "bigint")
+    t.widen_column_type("v", "double")
+    c = t.latest_commit()
+    assert set(c.data_units) == units_before  # nothing rewritten
+    assert dict(t.read().dtypes) == {"k": "bigint", "v": "double"}
+    # appends in the widened type; values only a long can hold
+    t.write(
+        spark.createDataFrame([(5_000_000_000, 9.25)], "k long, v double"),
+        mode="append",
+    )
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 1.5), (2, 2.5), (5_000_000_000, 9.25)]
+    # unsafe changes refuse
+    with pytest.raises(UserException):
+        t.widen_column_type("k", "int")  # narrowing
+    with pytest.raises(UserException):
+        t.widen_column_type("k", "string")
+    # typeChanges metadata + typeWidening feature in the mirror protocol
+    import json as _json
+
+    sch = _json.loads(c.schema_json)
+    kmeta = next(f for f in sch["fields"] if f["name"] == "k")["metadata"]
+    assert kmeta["delta.typeChanges"][0]["fromType"] == "int"
+    with open(os.path.join(t.path, "_delta_log",
+                           f"{0:020d}.json")) as fh:
+        pass  # log exists
+    logs = sorted(
+        f for f in os.listdir(os.path.join(t.path, "_delta_log"))
+        if f.endswith(".json")
+    )
+    protos = []
+    for f in logs:
+        with open(os.path.join(t.path, "_delta_log", f)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "protocol" in a:
+                    protos.append(a["protocol"])
+    assert any(
+        "typeWidening" in (p.get("readerFeatures") or []) for p in protos
+    )
+
+
+def test_widen_date_to_timestamp_ntz(spark, tmp_path_str):
+    import datetime as dt
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "wd"))
+    t.write(
+        spark.createDataFrame(
+            [(1, dt.date(2020, 1, 2)), (2, dt.date(2021, 3, 4))],
+            "k int, d date",
+        ),
+        mode="overwrite",
+    )
+    t.widen_column_type("d", "timestamp_ntz")
+    rows = {r["k"]: r["d"] for r in t.read().collect()}
+    assert rows[1] == dt.datetime(2020, 1, 2, 0, 0)
