@@ -207,3 +207,36 @@ def merge_upsert_with_delete(
         .filter(F.col("_w").isNotNull())
         .select("_w.*")
     )
+
+
+def merge_full_sync(
+    target: DataFrame,
+    source: DataFrame,
+    primary_key: list[str],
+    delete_scope: str | None = None,
+    order_by: list[str] | None = None,
+    pre_deduplicated: bool = False,
+) -> DataFrame:
+    """MERGE with ``WHEN NOT MATCHED BY SOURCE [AND scope] THEN
+    DELETE`` (Delta's full-sync merge): matched target rows are
+    replaced, unmatched source rows inserted, and target rows ABSENT
+    from the source are DELETED — all of them when ``delete_scope`` is
+    None (the result is then exactly the deduped source: a dimension
+    refresh from an authoritative extract), or only those satisfying
+    the scope predicate (sync one region/partition from a PARTIAL
+    extract without touching the rest).
+
+    Scale: the scoped form is one anti-join on the PK (source keys
+    broadcast when small, AQE otherwise) — the same shape as the plain
+    merge; the unscoped form needs no join at all."""
+    if not primary_key:
+        raise UserException("Upsert load mode requires a primary key.")
+    src = source if pre_deduplicated else dedup_source(source, primary_key, order_by)
+    src = src.select(*[F.col(c) for c in target.columns])
+    if delete_scope is None:
+        return src
+    in_scope = F.coalesce(F.expr(delete_scope), F.lit(False))
+    kept = target.join(
+        src.select(*primary_key), on=primary_key, how="left_anti"
+    ).filter(~in_scope)
+    return kept.unionByName(src)

@@ -566,3 +566,53 @@ def batch_lsh_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    dims: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-representation retrieval cascade (MRL embeddings
+    carry coarse-to-fine information in their prefix): stage 1 ranks
+    on the FIRST ``dims`` coordinates only — 1/(d/dims) of the FLOPs
+    and memory bandwidth of the full vector — to a ``shortlist``;
+    stage 2 re-ranks just the shortlist with full-vector cosine. At
+    billion-vector scale stage 1 is the scan (cheap math, prunable
+    int8/PQ-compatible) and stage 2 touches ``shortlist`` rows.
+
+    Both stages order by (rounded score desc, id asc) so the cascade
+    is deterministic and oracle-checkable end to end.
+    """
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("probe_id"),
+            _as_double(F.col(vec_col)).alias("probe_vec"),
+        )
+    )
+    v = _as_double(F.col(vec_col))
+    pv = F.col("probe_vec")
+    pre = F.round(
+        cosine(F.slice(v, 1, dims), F.slice(pv, 1, dims)), 6
+    ).alias("pcos")
+    stage1 = (
+        df.crossJoin(p)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(F.col(id_col), F.col(vec_col), F.col("probe_vec"), pre)
+        .orderBy(F.col("pcos").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        stage1.select(
+            F.col(id_col),
+            F.round(cosine(_as_double(F.col(vec_col)), pv), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

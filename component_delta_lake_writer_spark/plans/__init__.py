@@ -143,6 +143,8 @@ _FRONT = [
     "idempotent_txn_append",
     "copy_into_idempotent",
     "widen_column_types",
+    "merge_not_matched_by_source",
+    "matryoshka_topk",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

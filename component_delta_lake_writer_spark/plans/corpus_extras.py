@@ -814,3 +814,44 @@ def pipeline_curated_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, term string"
     )
     return bm25_topk(curated, queries, k=5)
+
+
+_DOTN = (
+    "list_reduce(list_transform(generate_series(1, {n}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "matryoshka_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    s1 AS (
+      SELECT e.vec_id, e.embedding, p.pv,
+        ROUND({_DOTN.format(n=16, a='e.embedding', b='p.pv')}
+          / (sqrt({_DOTN.format(n=16, a='e.embedding', b='e.embedding')})
+             * sqrt({_DOTN.format(n=16, a='p.pv', b='p.pv')})), 6) AS pcos
+      FROM embeddings e, p
+      WHERE e.vec_id <> 0
+      ORDER BY pcos DESC, e.vec_id ASC LIMIT 50
+    )
+    SELECT vec_id,
+      ROUND({_DOTN.format(n=64, a='embedding', b='pv')}
+        / (sqrt({_DOTN.format(n=64, a='embedding', b='embedding')})
+           * sqrt({_DOTN.format(n=64, a='pv', b='pv')})), 6) AS cosine
+    FROM s1
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval cascade (operators.similarity
+    ::matryoshka_topk): prefix-16 cosine shortlist of 50, re-ranked by
+    full 64-dim cosine to a top-10 — the cheap-first-stage ANN shape,
+    deterministic at both stages (rounded score, id tie-break)."""
+    from component_delta_lake_writer_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.matryoshka_topk(emb, probe, dims=16, shortlist=50, k=10)

@@ -1434,3 +1434,33 @@ _O["widen_column_types"] = """
     SELECT * FROM (VALUES (5000000000, 0.5), (6000000000, 1.5))
       AS v(k, price)
 """
+
+
+@query("merge_not_matched_by_source")
+def merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE … WHEN NOT MATCHED BY SOURCE AND scope THEN DELETE (the
+    scoped full-sync): an authoritative extract of OPEN orders
+    (o_orderstatus='O', keys % 7 != 0 — some dropped, prices zeroed)
+    syncs the table; open orders absent from the extract are deleted,
+    non-open rows survive untouched. Unit carry for disjoint slices is
+    asserted in tests/test_managed_table.py."""
+    t = _fresh_table(spark, "merge_not_matched_by_source", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    extract = (
+        o.filter("o_orderstatus = 'O' AND o_orderkey % 7 != 0")
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    t.upsert_full_sync(extract, ["o_orderkey"],
+                       delete_scope="o_orderstatus = 'O'")
+    return t.read()
+
+
+_O["merge_not_matched_by_source"] = """
+    SELECT * FROM orders WHERE o_orderstatus <> 'O'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, 0.0 AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % 7 <> 0
+"""

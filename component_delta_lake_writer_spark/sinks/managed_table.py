@@ -2533,6 +2533,147 @@ class ManagedTable:
             max_records_per_file=max_records_per_file, enforce=False,
         )
 
+    def upsert_full_sync(
+        self,
+        source: DataFrame,
+        primary_key: list[str],
+        delete_scope: str | None = None,
+        compression: str = "snappy",
+        max_records_per_file: int | None = None,
+        order_by: list[str] | None = None,
+    ) -> Commit:
+        """``MERGE … WHEN NOT MATCHED BY SOURCE [AND scope] THEN
+        DELETE`` at the table layer: matched rows replaced, new rows
+        inserted, and target rows the source no longer carries deleted
+        — everywhere (``delete_scope=None``) or only inside the scope
+        predicate (sync one region/day from a partial extract).
+
+        Unit pruning: a unit carries by reference iff it is provably
+        disjoint from the source's PK bounds AND provably cannot
+        contain a scope-matching row (commit stats on both) — the
+        scoped nightly dimension refresh rewrites only the synced
+        slice. Unscoped sync touches everything by definition (any row
+        anywhere may need deletion). CDF attributes delete /
+        update_postimage / insert rows, which a blind overwrite
+        loses."""
+        from component_delta_lake_writer_spark.operators.merge import (
+            dedup_source,
+            merge_full_sync,
+        )
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            prune_units,
+            unit_overlaps_key_bounds,
+        )
+
+        if not primary_key:
+            raise UserException("Full-sync merge requires a primary key.")
+        prev = self.latest_commit()
+        if prev is None:
+            return self.write(
+                dedup_source(source, primary_key, order_by),
+                mode="overwrite", primary_key=primary_key,
+                compression=compression,
+                max_records_per_file=max_records_per_file,
+            )
+        table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if not self._schema_compatible(table_schema, source.schema):
+            raise SchemaMismatchError(
+                "Full-sync source schema must match the table schema."
+            )
+        src = self._align_to_schema(
+            dedup_source(source, primary_key, order_by), table_schema
+        ).persist()
+        try:
+            touched = list(prev.data_units)
+            untouched: list[str] = []
+            if delete_scope is not None and len(prev.data_units) > 1:
+                bounds = self._source_key_bounds(src, primary_key)
+                scope_units = set(
+                    prune_units(prev.stats, prev.data_units, delete_scope)
+                )
+                touched, untouched = [], []
+                for u in prev.data_units:
+                    keyed = not bounds or unit_overlaps_key_bounds(
+                        prev.stats.get(u), bounds
+                    )
+                    if keyed or u in scope_units:
+                        touched.append(u)
+                    else:
+                        untouched.append(u)
+            target = (
+                self._read_units(prev, touched)
+                if touched
+                else self.spark.createDataFrame([], table_schema)
+            )
+            merged = merge_full_sync(
+                target, src, primary_key,
+                delete_scope=delete_scope, pre_deduplicated=True,
+            )
+            constraints = prev.properties.get("constraints", {})
+            if constraints:
+                self._check_constraints(merged, constraints)
+            unit = self._write_unit(
+                self._to_physical(merged, prev.column_mapping),
+                prev.partition_by, compression, max_records_per_file,
+            )
+            stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
+            ustats = self._unit_stats(
+                unit, per_file=not prev.partition_by,
+                props=prev.properties, mapping=prev.column_mapping,
+            )
+            units = list(untouched)
+            if ustats["_rows"] > 0:
+                units.append(unit)
+                stats[unit] = ustats
+            else:
+                shutil.rmtree(
+                    os.path.join(self._data_dir, unit), ignore_errors=True
+                )
+            commit = Commit(
+                version=prev.version + 1,
+                action="upsert",
+                data_units=units,
+                schema_json=prev.schema_json,
+                partition_by=prev.partition_by,
+                primary_key=primary_key,
+                timestamp_ms=int(time.time() * 1000),
+                properties=prev.properties,
+                stats=stats,
+                delete_sets=self._carry_delete_sets(
+                    prev.delete_sets, untouched
+                ),
+                column_mapping=dict(prev.column_mapping),
+            )
+            self._publish(commit, prev)
+            if prev.properties.get("enableChangeDataFeed"):
+                full_target = self._read_units(prev, prev.data_units)
+                keys = src.select(*primary_key)
+                gone = full_target.join(keys, primary_key, "left_anti")
+                if delete_scope is not None:
+                    gone = gone.filter(
+                        F.coalesce(F.expr(delete_scope), F.lit(False))
+                    )
+                tkeys = full_target.select(*primary_key).dropDuplicates(
+                    primary_key
+                )
+                changes = (
+                    src.join(tkeys, primary_key, "left_semi")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                    .unionByName(
+                        src.join(tkeys, primary_key, "left_anti")
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+                    .unionByName(
+                        gone.withColumn("_change_type", F.lit("delete"))
+                    )
+                )
+                changes.write.mode("overwrite").parquet(
+                    os.path.join(self._changes_dir, f"v{commit.version}")
+                )
+        finally:
+            src.unpersist()
+        return commit
+
     @property
     def _ingest_dir(self) -> str:
         return os.path.join(self.path, "_ingest")

@@ -1125,3 +1125,60 @@ def test_widen_date_to_timestamp_ntz(spark, tmp_path_str):
     t.widen_column_type("d", "timestamp_ntz")
     rows = {r["k"]: r["d"] for r in t.read().collect()}
     assert rows[1] == dt.datetime(2020, 1, 2, 0, 0)
+
+
+def test_upsert_full_sync_scoped_and_unscoped(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "fs"))
+    base = spark.createDataFrame(
+        [(1, "EU", 1.0), (2, "EU", 2.0), (3, "US", 3.0), (4, "US", 4.0)],
+        "k int, region string, v double",
+    )
+    t.write(base, mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    # scoped sync: authoritative EU extract lacking k=2, updating k=1,
+    # adding k=5 — US rows must survive untouched
+    eu = spark.createDataFrame(
+        [(1, "EU", -1.0), (5, "EU", 5.0)], "k int, region string, v double"
+    )
+    c = t.upsert_full_sync(eu, ["k"], delete_scope="region = 'EU'")
+    got = {r["k"]: (r["region"], r["v"]) for r in t.read().collect()}
+    assert got == {
+        1: ("EU", -1.0), 3: ("US", 3.0), 4: ("US", 4.0), 5: ("EU", 5.0)
+    }
+    changes = spark.read.parquet(
+        os.path.join(t.path, "_changes", f"v{c.version}")
+    )
+    kinds = {(r["k"], r["_change_type"]) for r in changes.collect()}
+    assert kinds == {
+        (1, "update_postimage"), (5, "insert"), (2, "delete")
+    }
+    # unscoped sync: table becomes exactly the extract
+    t.upsert_full_sync(
+        spark.createDataFrame([(9, "EU", 9.0)],
+                              "k int, region string, v double"),
+        ["k"],
+    )
+    assert {r["k"] for r in t.read().collect()} == {9}
+
+
+def test_upsert_full_sync_scoped_carries_disjoint_units(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "fsc"))
+    df = spark.createDataFrame(
+        [(i, "old", float(i)) for i in range(1, 101)],
+        "k int, tag string, v double",
+    )
+    t.write(df.filter("k <= 50"), mode="overwrite", primary_key=["k"])
+    t.write(df.filter("k > 50"), mode="append")
+    old_units = set(t.latest_commit().data_units)
+    # extract covers only the k>50 half; scope limits deletes there
+    extract = spark.createDataFrame(
+        [(k, "new", -1.0) for k in range(51, 90)],
+        "k int, tag string, v double",
+    )
+    t.upsert_full_sync(extract, ["k"], delete_scope="k > 50")
+    c = t.latest_commit()
+    assert old_units & set(c.data_units), "disjoint unit must carry"
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert all(got[k] == "old" for k in range(1, 51))
+    assert all(got[k] == "new" for k in range(51, 90))
+    assert all(k not in got for k in range(90, 101))  # synced away
