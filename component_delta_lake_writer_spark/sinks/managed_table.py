@@ -1823,8 +1823,10 @@ class ManagedTable:
             if constraints:
                 self._check_constraints(src, constraints)
             # scope the equality delete to units the batch can overlap
+            # (with a single unit there is nothing to scope — skip the
+            # bounds agg job entirely)
             overlapping = list(prev.data_units)
-            if prev.stats:
+            if prev.stats and len(prev.data_units) > 1:
                 bounds = self._source_key_bounds(src, primary_key)
                 if bounds:
                     overlapping = [
