@@ -145,6 +145,9 @@ _FRONT = [
     "widen_column_types",
     "merge_not_matched_by_source",
     "matryoshka_topk",
+    "set_tblproperties_cdf",
+    "partition_layout_evolution",
+    "statement_exec_native_job",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1464,3 +1464,138 @@ _O["merge_not_matched_by_source"] = """
     FROM orders
     WHERE o_orderstatus = 'O' AND o_orderkey % 7 <> 0
 """
+
+
+@query("set_tblproperties_cdf")
+def set_tblproperties_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES as a standalone metadata
+    commit: CDF is toggled ON for one upsert (whose change rows must
+    exist) and OFF for the next (whose change rows must not), plus a
+    metadata-only COUNT(*) check — returns the surviving rows, fully
+    oracled."""
+    t = _fresh_table(spark, "set_tblproperties_cdf", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite", primary_key=["o_orderkey"])
+    assert t.row_count() == o.count()  # metadata-only count
+    t.set_properties({"enableChangeDataFeed": True})
+    b1 = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    t.upsert(b1, ["o_orderkey"])
+    v_on = t.latest_commit().version
+    assert os.path.isdir(os.path.join(t.path, "_changes", f"v{v_on}"))
+    t.set_properties(unset=["enableChangeDataFeed"])
+    b2 = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.lit(-2.0)
+    )
+    t.upsert(b2, ["o_orderkey"])
+    v_off = t.latest_commit().version
+    assert not os.path.isdir(os.path.join(t.path, "_changes", f"v{v_off}"))
+    return t.read()
+
+
+_O["set_tblproperties_cdf"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CASE WHEN o_orderkey % 13 = 0 THEN -2.0
+           WHEN o_orderkey % 11 = 0 THEN -1.0
+           ELSE o_totalprice END AS o_totalprice,
+      o_orderdate, o_orderpriority
+    FROM orders
+"""
+
+
+@query("partition_layout_evolution")
+def partition_layout_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition layout evolution on overwrite (Delta allows an
+    overwrite to re-partition the table): v0 is unpartitioned, v1
+    overwrites partitioned by o_orderstatus (pruned reads now work),
+    while time travel to v0 still reads the old layout."""
+    t = _fresh_table(spark, "partition_layout_evolution", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o, mode="overwrite")
+    t.write(o, mode="overwrite", partition_by=["o_orderstatus"])
+    assert t.latest_commit().partition_by == ["o_orderstatus"]
+    assert t.read(version=0).count() == o.count()  # old layout readable
+    return t.read_where("o_orderstatus = 'F'")
+
+
+_O["partition_layout_evolution"] = """
+    SELECT * FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("statement_exec_native_job")
+def statement_exec_native_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's native-table job replayed STATEMENT FOR
+    STATEMENT (src/component.py:135-260): CREATE OR REPLACE stage
+    (all _cN STRING) -> COPY INTO stage from a CSV landing dir ->
+    CREATE TABLE IF NOT EXISTS target (typed, PK) USING DELTA ->
+    MERGE INTO target USING stage with CAST in ON/UPDATE/INSERT ->
+    DROP stage. Then a second incremental run of the same script with
+    changed rows. The executor parses the reference's statement
+    shapes and dispatches to the managed-table engine."""
+    from component_delta_lake_writer_spark.statements import (
+        StatementExecutor,
+    )
+
+    base = _scratch("statement_exec_native_job", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "landing")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    (o.filter(k % 2 == 0)
+     .selectExpr("CAST(o_orderkey AS STRING) AS _c0",
+                 "o_orderstatus AS _c1",
+                 "CAST(o_totalprice AS STRING) AS _c2")
+     .coalesce(1).write.csv(land))
+    ex = StatementExecutor(spark, os.path.join(base, "wh"))
+    script = """
+    CREATE OR REPLACE TABLE stg_123_1 (_c0 STRING, _c1 STRING, _c2 STRING);
+    COPY INTO stg_123_1
+    FROM '{land}/'
+    FILEFORMAT = CSV
+    FORMAT_OPTIONS (
+      'header' = 'false',
+      'inferSchema' = 'false',
+      'mergeSchema' = 'false'
+    );
+    CREATE TABLE IF NOT EXISTS main.sales.orders
+      (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,
+       PRIMARY KEY (o_orderkey)) USING DELTA;
+    MERGE INTO main.sales.orders AS target
+    USING stg_123_1 AS source
+    ON target.o_orderkey = CAST(source._c0 AS BIGINT)
+    WHEN MATCHED THEN
+      UPDATE SET target.o_orderkey = CAST(source._c0 AS BIGINT),
+                 target.o_orderstatus = CAST(source._c1 AS STRING),
+                 target.o_totalprice = CAST(source._c2 AS DOUBLE)
+    WHEN NOT MATCHED THEN
+      INSERT (o_orderkey, o_orderstatus, o_totalprice)
+      VALUES (CAST(source._c0 AS BIGINT), CAST(source._c1 AS STRING),
+              CAST(source._c2 AS DOUBLE));
+    DROP TABLE IF EXISTS stg_123_1;
+    """.format(land=land)
+    ex.execute_script(script)
+    # incremental run: odd keys arrive, even-key %10==0 prices change
+    land2 = os.path.join(base, "landing2")
+    inc = o.filter(k % 2 == 1).unionByName(
+        o.filter((k % 2 == 0) & (k % 10 == 0)).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+    )
+    (inc.selectExpr("CAST(o_orderkey AS STRING) AS _c0",
+                    "o_orderstatus AS _c1",
+                    "CAST(o_totalprice AS STRING) AS _c2")
+     .coalesce(1).write.csv(land2))
+    ex.execute_script(script.replace(land, land2))
+    return ex.execute("SELECT * FROM main.sales.orders")
+
+
+_O["statement_exec_native_job"] = """
+    SELECT o_orderkey, o_orderstatus,
+      CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 = 0 THEN 0.0
+           ELSE o_totalprice END AS o_totalprice
+    FROM orders
+"""

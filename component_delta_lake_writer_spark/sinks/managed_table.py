@@ -69,6 +69,7 @@ _OPERATION_NAMES = {
     "rename_column": "RENAME COLUMN",
     "alter_column_default": "ALTER COLUMN",
     "widen_column_type": "ALTER COLUMN",
+    "set_properties": "SET TBLPROPERTIES",
     "add_constraint": "ADD CONSTRAINT",
     "drop_constraint": "DROP CONSTRAINT",
 }
@@ -1822,11 +1823,14 @@ class ManagedTable:
         try:
             if constraints:
                 self._check_constraints(src, constraints)
-            # scope the equality delete to units the batch can overlap
-            # (with a single unit there is nothing to scope — skip the
-            # bounds agg job entirely)
+            # scope the equality delete to units the batch can overlap.
+            # The bounds agg earns its job even on single-unit tables:
+            # a fully-disjoint batch degenerates to a PURE APPEND (no
+            # delete file, no read-side anti-join forever after) —
+            # worth one small aggregation over the already-persisted
+            # source.
             overlapping = list(prev.data_units)
-            if prev.stats and len(prev.data_units) > 1:
+            if prev.stats:
                 bounds = self._source_key_bounds(src, primary_key)
                 if bounds:
                     overlapping = [
@@ -3134,6 +3138,57 @@ class ManagedTable:
             if not missing_units and not missing_deletes:
                 report["last_intact_version"] = v
         return report
+
+    def set_properties(
+        self, updates: dict | None = None, unset: list[str] | None = None
+    ) -> Commit:
+        """``ALTER TABLE … SET TBLPROPERTIES (…)`` / ``UNSET
+        TBLPROPERTIES (…)`` — one metadata-only commit. This is how
+        CDF, constraints, autoCompact, bloom indexes etc. are toggled
+        on an EXISTING table without rewriting anything (previously
+        only reachable by threading ``properties`` through a write).
+        Unknown keys in ``unset`` are ignored (Delta's IF EXISTS
+        behavior)."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        props = dict(prev.properties or {})
+        props.update(updates or {})
+        for k in unset or []:
+            props.pop(k, None)
+        commit = Commit(
+            version=prev.version + 1,
+            action="set_properties",
+            data_units=list(prev.data_units),
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=props,
+            stats=prev.stats,
+            delete_sets=list(prev.delete_sets),
+            column_mapping=dict(prev.column_mapping),
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def row_count(self) -> int:
+        """``SELECT COUNT(*)`` answered from COMMIT METADATA when
+        possible — zero data IO regardless of table size (Delta's
+        metadata-only count optimization over add-action stats). Exact
+        from the summed unit stats when the snapshot carries no
+        merge-on-read delete sets and every unit has recorded rows;
+        otherwise falls back to one distributed count (delete-set
+        anti-joins make stats-only counting wrong)."""
+        c = self.latest_commit()
+        if c is None:
+            raise UserException(f"No table at {self.path}")
+        if not c.delete_sets and all(
+            (c.stats.get(u) or {}).get("_rows") is not None
+            for u in c.data_units
+        ):
+            return sum(c.stats[u]["_rows"] for u in c.data_units)
+        return self.read().count()
 
     def detail(self) -> dict:
         """``DESCRIBE DETAIL`` (Delta parity): one metadata dict for

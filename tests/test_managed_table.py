@@ -1182,3 +1182,30 @@ def test_upsert_full_sync_scoped_carries_disjoint_units(spark, tmp_path_str):
     assert all(got[k] == "old" for k in range(1, 51))
     assert all(got[k] == "new" for k in range(51, 90))
     assert all(k not in got for k in range(90, 101))  # synced away
+
+
+def test_set_properties_and_row_count(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "props"))
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                               "k int, v double")
+    t.write(df, mode="overwrite", primary_key=["k"])
+    # metadata-only count (no delete sets)
+    assert t.row_count() == 20
+    # toggle CDF on an existing table without a data write
+    v = t.latest_commit().version
+    t.set_properties({"enableChangeDataFeed": True})
+    c = t.latest_commit()
+    assert c.version == v + 1 and set(c.data_units) == set(
+        t.commit_at(v).data_units
+    )
+    t.upsert(spark.createDataFrame([(1, -1.0)], "k int, v double"), ["k"])
+    assert os.path.isdir(os.path.join(t.path, "_changes",
+                                      f"v{t.latest_commit().version}"))
+    # UNSET (unknown keys ignored) turns it back off
+    t.set_properties(unset=["enableChangeDataFeed", "nonexistent"])
+    t.upsert(spark.createDataFrame([(2, -2.0)], "k int, v double"), ["k"])
+    assert not os.path.isdir(os.path.join(t.path, "_changes",
+                                          f"v{t.latest_commit().version}"))
+    # MOR delete sets force the fallback distributed count
+    t.delete_where("k >= 15", strategy="merge-on-read")
+    assert t.row_count() == 15

@@ -1,0 +1,132 @@
+"""StatementExecutor: the reference's SQL statement surface executed
+against managed tables (statements.py; reference component.py:135-260)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from component_delta_lake_writer_spark.errors import (
+    TableExistsError,
+    UserException,
+)
+from component_delta_lake_writer_spark.statements import StatementExecutor
+
+
+@pytest.fixture()
+def ex(spark):
+    with tempfile.TemporaryDirectory() as d:
+        yield StatementExecutor(spark, d)
+
+
+def _seed(ex):
+    ex.execute(
+        "CREATE OR REPLACE TABLE t (k BIGINT, s STRING, v DOUBLE, "
+        "PRIMARY KEY (k)) USING DELTA"
+    )
+    ex.spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    ).createOrReplaceTempView("seed")
+    ex.execute("INSERT INTO t SELECT k, s, v FROM seed")
+    return ex.table("t")
+
+
+def test_create_insert_select(ex):
+    t = _seed(ex)
+    assert t.read().count() == 3
+    got = ex.execute("SELECT s FROM t WHERE k = 2").collect()
+    assert [r["s"] for r in got] == ["b"]
+    # CREATE bare on existing raises; IF NOT EXISTS no-ops
+    with pytest.raises(TableExistsError):
+        ex.execute("CREATE TABLE t (k BIGINT) USING DELTA")
+    ex.execute("CREATE TABLE IF NOT EXISTS t (k BIGINT) USING DELTA")
+    assert t.read().count() == 3
+
+
+def test_dml_and_maintenance(ex):
+    t = _seed(ex)
+    ex.execute("UPDATE t SET v = v + 10.0 WHERE s = 'b'")
+    assert {r["v"] for r in t.read().filter("k=2").collect()} == {12.0}
+    ex.execute("DELETE FROM t WHERE k = 3")
+    assert t.read().count() == 2
+    ex.execute("RESTORE TABLE t TO VERSION AS OF 1")
+    assert t.read().count() == 3
+    ex.execute("OPTIMIZE t")
+    ex.execute("VACUUM t")  # time travel before the vacuum cutoff dies
+    hist = ex.execute("DESCRIBE HISTORY t").collect()
+    assert len(hist) >= 5
+    det = ex.execute("DESCRIBE DETAIL t").collect()[0]
+    assert det["num_rows"] == 3
+
+
+def test_alter_show_and_errors(ex):
+    t = _seed(ex)
+    ex.execute("ALTER TABLE t ADD COLUMN tag STRING DEFAULT 'x'")
+    ex.spark.createDataFrame([(9, "z", 9.0)], "k long, s string, v double")\
+        .createOrReplaceTempView("more")
+    ex.execute("INSERT INTO t SELECT k, s, v FROM more")
+    vals = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert vals[9] == "x" and vals[1] is None
+    ex.execute("ALTER TABLE t SET TBLPROPERTIES ('enableChangeDataFeed' = 'on')")
+    assert t.latest_commit().properties["enableChangeDataFeed"] == "on"
+    # partitioned create + SHOW PARTITIONS
+    ex.execute(
+        "CREATE OR REPLACE TABLE p (k BIGINT, r STRING) USING DELTA "
+        "PARTITIONED BY (r)"
+    )
+    ex.spark.createDataFrame([(1, "x"), (2, "y")], "k long, r string")\
+        .createOrReplaceTempView("pv")
+    ex.execute("INSERT INTO p SELECT k, r FROM pv")
+    parts = {r["r"] for r in ex.execute("SHOW PARTITIONS p").collect()}
+    assert parts == {"x", "y"}
+    with pytest.raises(UserException, match="Unsupported statement"):
+        ex.execute("GRANT ALL ON t TO someone")
+    with pytest.raises(UserException, match="Unsupported MERGE"):
+        ex.execute("MERGE INTO t USING u ON 1=1 WHEN MATCHED THEN DELETE")
+    with pytest.raises(UserException, match="Bad table identifier"):
+        ex.table("../escape")
+
+
+def test_ctas_truncate_table_changes(ex):
+    t = _seed(ex)
+    # CTAS from a managed table
+    ex.execute(
+        "CREATE OR REPLACE TABLE t2 USING DELTA AS "
+        "SELECT k, v * 2.0 AS v2 FROM t WHERE k <= 2"
+    )
+    got = {r["k"]: r["v2"] for r in ex.execute("SELECT * FROM t2").collect()}
+    assert got == {1: 2.0, 2: 4.0}
+    with pytest.raises(TableExistsError):
+        ex.execute("CREATE TABLE t2 USING DELTA AS SELECT k FROM t")
+    ex.execute("CREATE TABLE IF NOT EXISTS t2 AS SELECT k FROM t")  # no-op
+    assert ex.table("t2").read().columns == ["k", "v2"]
+    # CDF TVF over a CDF-enabled table
+    ex.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')"
+    )
+    ex.spark.createDataFrame([(2, "B", -2.0), (9, "z", 9.0)],
+                             "k long, s string, v double")\
+        .createOrReplaceTempView("delta_batch")
+    v_before = ex.table("t").latest_commit().version
+    ex.execute(
+        "MERGE INTO t AS target USING t2 AS source "
+        "ON target.k = CAST(source.k AS BIGINT) "
+        "WHEN MATCHED THEN UPDATE SET target.k = CAST(source.k AS BIGINT), "
+        "target.s = 'M', target.v = source.v2 "
+        "WHEN NOT MATCHED THEN INSERT (k, s, v) "
+        "VALUES (CAST(source.k AS BIGINT), 'M', source.v2)"
+    )
+    v_after = ex.table("t").latest_commit().version
+    changes = ex.execute(
+        f"SELECT k, _change_type FROM table_changes('t', {v_after}, {v_after})"
+    ).collect()
+    kinds = {(r["k"], r["_change_type"]) for r in changes}
+    assert kinds == {(1, "update_postimage"), (2, "update_postimage")}
+    assert v_after == v_before + 1
+    # TRUNCATE keeps schema, empties data
+    ex.execute("TRUNCATE TABLE t2")
+    assert ex.table("t2").read().count() == 0
+    assert ex.table("t2").read().columns == ["k", "v2"]
