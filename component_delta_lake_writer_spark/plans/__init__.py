@@ -148,6 +148,7 @@ _FRONT = [
     "set_tblproperties_cdf",
     "partition_layout_evolution",
     "statement_exec_native_job",
+    "statement_time_travel_cdf",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

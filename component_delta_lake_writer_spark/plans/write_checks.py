@@ -1599,3 +1599,52 @@ _O["statement_exec_native_job"] = """
            ELSE o_totalprice END AS o_totalprice
     FROM orders
 """
+
+
+@query("statement_time_travel_cdf")
+def statement_time_travel_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement-level time travel + CDF TVF: a DELETE runs through
+    the executor, then one SELECT joins `VERSION AS OF` (pre-delete
+    snapshot) against the current table to recover exactly the
+    deleted keys, unioned with the delete's own table_changes() rows
+    — both surfaces must agree with the oracle."""
+    from component_delta_lake_writer_spark.statements import (
+        StatementExecutor,
+    )
+
+    base = _scratch("statement_time_travel_cdf", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ex = StatementExecutor(spark, os.path.join(base, "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    ex.execute(
+        "CREATE OR REPLACE TABLE wh.orders "
+        "(o_orderkey BIGINT, o_orderstatus STRING, price DOUBLE, "
+        "PRIMARY KEY (o_orderkey)) USING DELTA"
+    )
+    o.createOrReplaceTempView("src_orders")
+    ex.execute("INSERT INTO wh.orders SELECT * FROM src_orders")
+    ex.execute(
+        "ALTER TABLE wh.orders SET TBLPROPERTIES "
+        "('enableChangeDataFeed' = 'true')"
+    )
+    ex.execute("DELETE FROM wh.orders WHERE o_orderkey % 5 = 0")
+    v = ex.table("wh.orders").latest_commit().version
+    return ex.execute(f"""
+        SELECT old.o_orderkey, 'travel' AS via
+        FROM wh.orders VERSION AS OF 1 old
+        LEFT ANTI JOIN wh.orders ON old.o_orderkey = wh.orders.o_orderkey
+        UNION ALL
+        SELECT o_orderkey, 'cdf' AS via
+        FROM table_changes('wh.orders', {v}, {v})
+        WHERE _change_type = 'delete'
+    """)
+
+
+_O["statement_time_travel_cdf"] = """
+    SELECT o_orderkey, 'travel' AS via FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, 'cdf' AS via FROM orders WHERE o_orderkey % 5 = 0
+"""

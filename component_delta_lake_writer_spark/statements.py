@@ -84,6 +84,7 @@ class StatementExecutor:
             "SHOW": self._show,
             "SELECT": self._select,
             "WITH": self._select,
+            "EXPLAIN": self._explain,
         }
         fn = dispatch.get(head)
         if fn is None:
@@ -476,6 +477,23 @@ class StatementExecutor:
         rf"\b(?:FROM|JOIN)\s+({_IDENT})", flags=re.IGNORECASE
     )
 
+    def _explain(self, s: str):
+        """EXPLAIN <select>: one-row DataFrame with the formatted
+        physical plan — the same surface the engine's plan-quality
+        tests assert against, exposed at the statement level."""
+        inner = re.sub(r"^EXPLAIN\s+", "", s, flags=re.IGNORECASE)
+        df = self._select(inner)
+        mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        return self.spark.createDataFrame([(plan,)], "plan string")
+
+    _VAO = re.compile(
+        rf"\b(?:FROM|JOIN)\s+({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)",
+        flags=re.IGNORECASE,
+    )
+
     _TVF = re.compile(
         r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)"
         r"(?:\s*,\s*(\d+))?\s*\)",
@@ -490,6 +508,15 @@ class StatementExecutor:
         snapshots. ``table_changes('t', from[, to])`` (Databricks' CDF
         TVF) resolves to ManagedTable.read_changes."""
         q = s
+        # time travel: FROM t VERSION AS OF n → snapshot view
+        for i, vm in enumerate(self._VAO.finditer(s)):
+            name, ver = vm.group(1), int(vm.group(2))
+            snap = self.table(name).read(version=ver)
+            view = f"__vao_{i}_{name.replace('.', '_')}"
+            snap.createOrReplaceTempView(view)
+            kw = vm.group(0).split(None, 1)[0]  # FROM or JOIN
+            q = q.replace(vm.group(0), f"{kw} {view}")
+        s = q
         for i, tm in enumerate(self._TVF.finditer(s)):
             name, lo, hi = tm.group(1), int(tm.group(2)), tm.group(3)
             cdf = self.table(name).read_changes(
@@ -507,7 +534,10 @@ class StatementExecutor:
                 view = name.replace("`", "").replace(".", "_")
                 t.read().createOrReplaceTempView(view)
                 if view != name:
+                    # also rewrites qualified column refs (name.col →
+                    # view.col); a trailing word char still blocks so
+                    # `wh.orders2` never matches `wh.orders`
                     q = re.sub(
-                        rf"(?<![\w.]){re.escape(name)}(?![\w.])", view, q
+                        rf"(?<![\w.]){re.escape(name)}(?![\w])", view, q
                     )
         return self.spark.sql(q)

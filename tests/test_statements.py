@@ -130,3 +130,23 @@ def test_ctas_truncate_table_changes(ex):
     ex.execute("TRUNCATE TABLE t2")
     assert ex.table("t2").read().count() == 0
     assert ex.table("t2").read().columns == ["k", "v2"]
+
+
+def test_version_as_of_and_explain(ex):
+    t = _seed(ex)
+    ex.execute("DELETE FROM t WHERE k = 1")
+    now = {r["k"] for r in ex.execute("SELECT k FROM t").collect()}
+    assert now == {2, 3}
+    v1 = {
+        r["k"]
+        for r in ex.execute("SELECT k FROM t VERSION AS OF 1").collect()
+    }
+    assert v1 == {1, 2, 3}
+    # join current against historical snapshot
+    joined = ex.execute(
+        "SELECT old.k FROM t VERSION AS OF 1 old "
+        "LEFT ANTI JOIN t ON old.k = t.k"
+    ).collect()
+    assert [r["k"] for r in joined] == [1]
+    plan = ex.execute("EXPLAIN SELECT k FROM t WHERE k = 2").collect()[0]
+    assert "Scan parquet" in plan["plan"] or "FileScan" in plan["plan"]
