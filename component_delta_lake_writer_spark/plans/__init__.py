@@ -149,6 +149,7 @@ _FRONT = [
     "partition_layout_evolution",
     "statement_exec_native_job",
     "statement_time_travel_cdf",
+    "stream_interval_join_outer",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

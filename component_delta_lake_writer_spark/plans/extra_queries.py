@@ -1556,6 +1556,43 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+      FROM p LEFT JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click'
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+      COUNT(*) AS n_rows,
+      COUNT(click_ts) AS n_matched,
+      CAST(SUM(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unmatched
+    FROM j
+    GROUP BY user_id
+    """,
+)
+def stream_interval_join_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join
+    (streaming.structured.stream_interval_join_outer): unmatched
+    purchases emit NULL-click rows once the watermark proves no match
+    can arrive; far-future sentinel batches flush the watermark past
+    every real purchase, so the drained result is batching-invariant
+    and the oracle is the plain batch left join, no cutoff."""
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_interval_join_outer,
+    )
+
+    return stream_interval_join_outer(spark, sf_dir, state_partitions=8)
+
+
+@query(
     "pagerank_top_nodes",
     oracle="""
     WITH e AS (

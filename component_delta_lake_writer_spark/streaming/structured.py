@@ -408,3 +408,124 @@ def stream_table_appends(
         )
         q.awaitTermination()
     return spark.table(queryName)
+
+
+def stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase joined
+    to same-user clicks in the preceding 30 minutes — and purchases
+    with NO qualifying click still emit (click columns NULL) once the
+    click-side watermark passes their latest possible match time.
+
+    This is the attribution-with-misses shape. The outer semantics
+    are watermark-driven: an unmatched purchase's NULL row is emitted
+    only when the engine can PROVE no matching click can still arrive.
+    Left to itself, a drained feed withholds the final watermark
+    window (delay + interval span) — a boundary that depends on how
+    the source was batched. To make the result BATCHING-INVARIANT the
+    stage appends two far-future sentinel click files (user_id -1,
+    forced to later batches via maxFilesPerTrigger + mtime ordering):
+    the sentinel batches push the watermark past every real purchase,
+    the last batch evicts-and-emits all of them, and the oracle is the
+    plain batch left join with no cutoff at all.
+    """
+    src_dir = _stage_events_dir(sf_dir)
+    schema = spark.read.parquet(os.path.join(src_dir, "events.parquet")).schema
+    # sentinel stage: events file + two future click files
+    import shutil as _sh
+
+    stage = src_dir.rstrip("/") + "_outer"
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != 3:
+        _sh.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        os.symlink(
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(stage, "00_events.parquet"),
+        )
+        ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+        mx = ev.agg(F.max("ts")).first()[0]
+        import datetime as _dt
+
+        for i, hours in enumerate((3, 4), start=1):
+            # one click AND one purchase per sentinel file: the global
+            # watermark is the MIN across both sides' watermark nodes,
+            # so both feeds must advance past the real data
+            ts = mx + _dt.timedelta(hours=hours)
+            row = [
+                (-i, ts, -1, "click", 0.0, "{}"),
+                (-i - 10, ts, -1, "purchase", 0.0, "{}"),
+            ]
+            sent = spark.createDataFrame(row, schema)
+            tmp = os.path.join(stage, f"_tmp{i}")
+            sent.coalesce(1).write.parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            os.replace(
+                os.path.join(tmp, part),
+                os.path.join(stage, f"{i:02d}_sentinel.parquet"),
+            )
+            _sh.rmtree(tmp, ignore_errors=True)
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            os.utime(
+                os.path.join(stage, f), times=(now + 10 * i, now + 10 * i),
+                follow_symlinks=False,
+            )
+    base = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+        .withColumn("ts", ts_tz_expr(schema["ts"].dataType.simpleString()))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    name = f"stream_ijo_{tag.replace('.', '_')}"
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("p_user") >= 0)  # sentinels out
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("click_ts").alias("n_matched"),
+            F.sum(
+                F.when(F.col("click_ts").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched"),
+        )
+    )
