@@ -1,0 +1,148 @@
+"""General two-table as-of join (pandas ``merge_asof`` / DuckDB
+``ASOF JOIN`` parity) as a one-shuffle ordered-stream plan.
+
+A naive as-of join is a range join — O(n·m) nested-loop without a
+special interval optimizer (Spark has none). The scalable formulation
+unions both sides into ONE keyed, time-ordered stream and takes a
+running last-non-null of the right payload over a window: one shuffle
+on the key, a linear scan per key partition, no join at all. The same
+shape Databricks' ASOF optimization and kdb's aj reduce to.
+
+Directions: ``backward`` (greatest right ts <= left ts — the default
+everywhere), ``forward`` (least right ts >= left ts), ``nearest``
+(closer of the two; backward wins ties, matching pandas).
+``tolerance`` (same units as ``on``) nulls matches farther than the
+bound.
+
+Determinism contract: the right side must be unique per (by, on) —
+two right rows at the same key+timestamp make "the" as-of value
+ill-defined in every engine (pandas takes physical order, DuckDB an
+arbitrary one). ``merge_asof`` pre-asserts uniqueness only when
+``check_unique=True`` (an extra aggregation; off by default for the
+100 TB path — callers that just built the right side know its shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.errors import UserException
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_r",
+    check_unique: bool = False,
+) -> DataFrame:
+    """For every left row, attach the right row nearest in ``on``
+    per ``direction`` (grouped by ``by``), or typed NULLs when none
+    (or none within ``tolerance``). Output: all left columns + every
+    right non-key column suffixed with ``suffix``.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise UserException(
+            f"merge_asof direction must be backward/forward/nearest, "
+            f"got {direction!r}"
+        )
+    by = by or []
+    if check_unique:
+        dup = (
+            right.groupBy(*by, on).count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            raise UserException(
+                "merge_asof right side has duplicate (by, on) rows; "
+                "the as-of value would be engine-dependent."
+            )
+    r_payload = [c for c in right.columns if c != on and c not in by]
+
+    lhs = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_on"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(on).alias("_r_on"),
+                    *[F.col(c) for c in r_payload],
+                ).alias("x")
+            ).schema["x"].dataType
+        ).alias("_r"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_on"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("x")
+            ).schema["x"].dataType
+        ).alias("_l"),
+        F.struct(
+            F.col(on).alias("_r_on"), *[F.col(c) for c in r_payload]
+        ).alias("_r"),
+    )
+    allrows = lhs.unionByName(rhs)
+
+    # _side orders right rows BEFORE left rows at equal `on`, so an
+    # exactly-simultaneous right row is eligible for backward (<=)
+    # and forward (>=) alike
+    side = F.when(F.col("_r").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+    allrows = allrows.withColumn("_side", side)
+
+    back_w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_on").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd_w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_on").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    df = allrows
+    if need_back:
+        df = df.withColumn(
+            "_back", F.last("_r", ignorenulls=True).over(back_w)
+        )
+    if need_fwd:
+        df = df.withColumn(
+            "_fwd", F.last("_r", ignorenulls=True).over(fwd_w)
+        )
+    df = df.filter(F.col("_l").isNotNull())
+
+    def _within(match):
+        if tolerance is None:
+            return match
+        dist = F.abs(F.col("_on") - match["_r_on"])
+        return F.when(dist <= F.lit(tolerance), match)
+
+    if direction == "backward":
+        chosen = _within(F.col("_back"))
+    elif direction == "forward":
+        chosen = _within(F.col("_fwd"))
+    else:  # nearest: closer wins, backward wins ties (pandas rule)
+        b = _within(F.col("_back"))
+        f = _within(F.col("_fwd"))
+        d_b = F.abs(F.col("_on") - b["_r_on"])
+        d_f = F.abs(F.col("_on") - f["_r_on"])
+        chosen = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(d_f < d_b, f)
+            .otherwise(b)
+        )
+    df = df.withColumn("_m", chosen)
+    out_cols = [F.col("_l")[c].alias(c) for c in left.columns]
+    out_cols.append(F.col("_m")["_r_on"].alias(f"{on}{suffix}"))
+    out_cols.extend(F.col("_m")[c].alias(f"{c}{suffix}") for c in r_payload)
+    return df.select(*out_cols)

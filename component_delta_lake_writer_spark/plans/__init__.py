@@ -150,6 +150,10 @@ _FRONT = [
     "statement_exec_native_job",
     "statement_time_travel_cdf",
     "stream_interval_join_outer",
+    "merge_asof_backward",
+    "merge_asof_nearest",
+    "variant_semistructured",
+    "python_datasource_manifest",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -855,3 +855,225 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.matryoshka_topk(emb, probe, dims=16, shortlist=50, k=10)
+
+
+@query(
+    "merge_asof_backward",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS quote
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT l.event_id, l.user_id, l.ts_us,
+      CASE WHEN l.ts_us - r.ts_us <= 1800000000
+           THEN r.ts_us END AS ts_us_r,
+      CASE WHEN l.ts_us - r.ts_us <= 1800000000
+           THEN r.quote END AS quote_r
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def merge_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-table as-of join (operators.timeseries.merge_asof,
+    backward + 30-minute tolerance): every purchase picks the latest
+    same-user view quote at-or-before it — one shuffle on user_id,
+    ordered-stream running last, NO range join. Oracle: DuckDB's
+    native ASOF LEFT JOIN with the tolerance as a post-CASE."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        merge_asof,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("quote"))
+    )
+    return merge_asof(
+        left, right, on="ts_us", by=["user_id"],
+        direction="backward", tolerance=1_800_000_000,
+    )
+
+
+@query(
+    "merge_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS quote
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    b AS (
+      SELECT l.event_id, r.ts_us AS b_ts, r.quote AS b_q
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    ),
+    f AS (
+      SELECT l.event_id, r.ts_us AS f_ts, r.quote AS f_q
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+    )
+    SELECT l.event_id, l.user_id, l.ts_us,
+      CASE
+        WHEN b.b_ts IS NULL THEN f.f_ts
+        WHEN f.f_ts IS NULL THEN b.b_ts
+        WHEN (f.f_ts - l.ts_us) < (l.ts_us - b.b_ts) THEN f.f_ts
+        ELSE b.b_ts END AS ts_us_r,
+      CASE
+        WHEN b.b_ts IS NULL THEN f.f_q
+        WHEN f.f_ts IS NULL THEN b.b_q
+        WHEN (f.f_ts - l.ts_us) < (l.ts_us - b.b_ts) THEN f.f_q
+        ELSE b.b_q END AS quote_r
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def merge_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof direction='nearest' (backward wins ties — the pandas
+    rule): oracle composes DuckDB's backward and forward ASOF joins
+    and picks the closer side with the same tie-break."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        merge_asof,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("quote"))
+    )
+    return merge_asof(
+        left, right, on="ts_us", by=["user_id"], direction="nearest"
+    )
+
+
+@query(
+    "variant_semistructured",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+        json_object(
+          'cust', o_custkey,
+          'status', o_orderstatus,
+          'amounts', json_array(o_totalprice, o_totalprice * 0.1),
+          'flags', json_object('late', o_orderkey % 3 = 0)
+        ) AS v
+      FROM orders
+    )
+    SELECT CAST(json_extract(v, '$.cust') AS BIGINT) AS cust,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(
+        CAST(json_extract(v, '$.amounts[1]') AS DOUBLE) AS DECIMAL(20,6)
+      )) AS DOUBLE) AS fee_total
+    FROM j
+    WHERE CAST(json_extract(v, '$.flags.late') AS BOOLEAN)
+      AND json_extract_string(v, '$.status') = 'O'
+    GROUP BY cust
+    ORDER BY n DESC, cust LIMIT 50
+    """,
+)
+def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end-to-end: rows become nested JSON, parse_json
+    lifts them to VARIANT, variant_get does TYPED path extraction
+    (nested object, array index, boolean flag) feeding a filter and
+    an aggregation — the open-ended semi-structured column pattern,
+    binary-encoded instead of string-reparsed per access. Oracle:
+    DuckDB json_extract over the identically constructed document."""
+    o = load_table(spark, sf_dir, "orders")
+    j = o.select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_custkey").alias("cust"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.array(
+                        F.col("o_totalprice"),
+                        F.col("o_totalprice") * 0.1,
+                    ).alias("amounts"),
+                    F.struct(
+                        (F.col("o_orderkey") % 3 == 0).alias("late")
+                    ).alias("flags"),
+                )
+            )
+        ).alias("v"),
+    )
+    return (
+        j.filter(
+            F.expr("variant_get(v, '$.flags.late', 'boolean')")
+            & (F.expr("variant_get(v, '$.status', 'string')") == "O")
+        )
+        .groupBy(
+            F.expr("variant_get(v, '$.cust', 'bigint')").alias("cust")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("variant_get(v, '$.amounts[1]', 'double')")
+                .cast("decimal(20,6)")
+            ).cast("double").alias("fee_total"),
+        )
+        .orderBy(F.col("n").desc(), F.col("cust").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "python_datasource_manifest",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 != 3
+    """,
+)
+def python_datasource_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: the Keboola sliced-manifest
+    contract as a registered `spark.read.format('sliced_manifest')`
+    connector — one InputPartition per slice (parallel slice reads on
+    a cluster), explicit schema, headerless CSV slices. Staged: three
+    slice files + manifest; read back through the connector."""
+    import os as _os
+    import shutil as _sh
+
+    from component_delta_lake_writer_spark.plans.query_registry import (
+        _scratch,
+    )
+    from component_delta_lake_writer_spark.sources import (
+        manifest_datasource as MDS,
+    )
+
+    base = _scratch("python_datasource_manifest", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    _os.makedirs(base)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    for i in range(3):
+        rows = o.filter(k % 4 == i).collect()
+        with open(_os.path.join(base, f"slice_{i}.csv"), "w") as fh:
+            for r in rows:
+                fh.write(f"{r[0]},{r[1]},{r[2]}\n")
+    man = _os.path.join(base, "manifest")
+    MDS.stage_slices_from_csv_dir(base, man)
+    MDS.register(spark)
+    return (
+        spark.read.format("sliced_manifest")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, "
+                "o_totalprice DOUBLE")
+        .option("manifest", man)
+        .load()
+    )

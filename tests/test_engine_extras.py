@@ -592,3 +592,55 @@ def test_stream_sink_survives_checkpoint_loss(spark, tmp_path):
     )
     q2.awaitTermination()
     assert t.read().count() == 101  # no duplicate micro-batch applied
+
+
+def test_merge_asof_directions_and_tolerance(spark):
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        merge_asof,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "b", 50)],
+        "id int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 9.0), ("a", 100, 10.0), ("a", 210, 21.0),
+         ("b", 400, 40.0)],
+        "k string, t long, v double",
+    )
+    back = {
+        r["id"]: (r["t_r"], r["v_r"])
+        for r in merge_asof(left, right, on="t", by=["k"]).collect()
+    }
+    # simultaneous right row (t=100) matches backward
+    assert back == {1: (100, 10.0), 2: (100, 10.0), 3: (None, None)}
+    fwd = {
+        r["id"]: (r["t_r"], r["v_r"])
+        for r in merge_asof(
+            left, right, on="t", by=["k"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: (100, 10.0), 2: (210, 21.0), 3: (400, 40.0)}
+    near = {
+        r["id"]: (r["t_r"], r["v_r"])
+        for r in merge_asof(
+            left, right, on="t", by=["k"], direction="nearest"
+        ).collect()
+    }
+    # id=2: backward dist 105, forward dist 5 → forward wins
+    assert near == {1: (100, 10.0), 2: (210, 21.0), 3: (400, 40.0)}
+    tol = {
+        r["id"]: (r["t_r"], r["v_r"])
+        for r in merge_asof(
+            left, right, on="t", by=["k"], direction="forward",
+            tolerance=10,
+        ).collect()
+    }
+    assert tol == {1: (100, 10.0), 2: (210, 21.0), 3: (None, None)}
+    # duplicate (by, on) right rows refused under check_unique
+    dup = right.union(
+        spark.createDataFrame([("a", 100, 99.0)], "k string, t long, v double")
+    )
+    with pytest.raises(UserException, match="duplicate"):
+        merge_asof(left, dup, on="t", by=["k"], check_unique=True)
