@@ -1209,3 +1209,49 @@ def test_set_properties_and_row_count(spark, tmp_path_str):
     # MOR delete sets force the fallback distributed count
     t.delete_where("k >= 15", strategy="merge-on-read")
     assert t.row_count() == 15
+
+
+def test_concurrent_appends_race_all_land(spark, tmp_path_str):
+    """Optimistic concurrency under a real thread race: 6 writers
+    append batches concurrently; version conflicts resolve via the
+    metadata-only retry, every batch lands exactly once, and the
+    final snapshot is the union. (Single JVM, but the commit protocol
+    — os.link conditional publish + re-derive + re-publish — is the
+    same one object-store writers would execute.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "race"))
+    t.write(
+        spark.createDataFrame([(0, -1)], "writer int, v int"),
+        mode="overwrite",
+    )
+
+    def worker(w: int):
+        df = spark.createDataFrame(
+            [(w, i) for i in range(10)], "writer int, v int"
+        )
+        t.write(df, mode="append")
+        return w
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        assert sorted(pool.map(worker, range(1, 7))) == [1, 2, 3, 4, 5, 6]
+    c = t.latest_commit()
+    assert c.version == 6  # 6 appends after v0, no lost commits
+    rows = t.read().collect()
+    assert len(rows) == 61
+    per_writer = {}
+    for r in rows:
+        per_writer[r["writer"]] = per_writer.get(r["writer"], 0) + 1
+    assert per_writer == {0: 1, **{w: 10 for w in range(1, 7)}}
+    # same-txn duplicate-writer race: both carry ("job", 1); exactly
+    # one application survives
+    def dup_worker(_):
+        return t.write(
+            spark.createDataFrame([(99, 99)], "writer int, v int"),
+            mode="append", txn=("job", 1),
+        ).version
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        versions = list(pool.map(dup_worker, range(2)))
+    assert t.read().filter("writer = 99").count() == 1
+    assert max(versions) == t.latest_commit().version

@@ -358,3 +358,25 @@ def test_partitioned_multiunit_read_is_single_scan(tmp_path, spark):
     assert out.count() == 300
     # partition values recovered from the path are typed and correct
     assert out.filter(F.col("p") == F.col("k") % 3).count() == 300
+
+
+def test_merge_asof_is_single_shuffle_no_join(spark):
+    """merge_asof must plan as union → one Exchange on the key →
+    window — never a join (a range/theta join is the O(n·m) trap the
+    ordered-stream formulation exists to avoid)."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        merge_asof,
+    )
+
+    left = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS k", "id * 10 AS t"
+    )
+    right = spark.range(50).selectExpr(
+        "CAST(id % 7 AS STRING) AS k", "id * 17 AS t",
+        "CAST(id AS DOUBLE) AS v"
+    )
+    df = merge_asof(left, right, on="t", by=["k"], direction="nearest")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # one per window ordering, max
