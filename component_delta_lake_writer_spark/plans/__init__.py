@@ -154,6 +154,7 @@ _FRONT = [
     "merge_asof_nearest",
     "variant_semistructured",
     "python_datasource_manifest",
+    "pipeline_lakehouse_etl",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1648,3 +1648,89 @@ _O["statement_time_travel_cdf"] = """
     UNION ALL
     SELECT o_orderkey, 'cdf' AS via FROM orders WHERE o_orderkey % 5 = 0
 """
+
+
+@query("pipeline_lakehouse_etl")
+def pipeline_lakehouse_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composite for the idempotency wave — one coherent
+    lakehouse ETL story: CREATE via statement -> COPY INTO from a CSV
+    landing zone (re-run: file-level no-op) -> idempotent txn append
+    (replayed: no-op) -> predicate-scoped replaceWhere backfill ->
+    metadata-only type widening -> ADD COLUMN ... DEFAULT -> final
+    append picking up the default -> read back through the SQL
+    surface. Every stage is idempotence- or metadata-checked inline;
+    the final state is fully oracled."""
+    from component_delta_lake_writer_spark.statements import (
+        StatementExecutor,
+    )
+
+    base = _scratch("pipeline_lakehouse_etl", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "landing")
+    ex = StatementExecutor(spark, os.path.join(base, "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("float").alias("price"),
+    )
+    # landing zone: statuses F and O as separate slices
+    (o.filter("status = 'F'")
+     .selectExpr("CAST(k AS STRING) _c0", "status _c1",
+                 "CAST(price AS STRING) _c2")
+     .coalesce(1).write.csv(os.path.join(land, "f")))
+    (o.filter("status = 'O'")
+     .selectExpr("CAST(k AS STRING) _c0", "status _c1",
+                 "CAST(price AS STRING) _c2")
+     .coalesce(1).write.csv(os.path.join(land, "o")))
+    ex.execute(
+        "CREATE OR REPLACE TABLE lake.orders "
+        "(k BIGINT, status STRING, price FLOAT, PRIMARY KEY (k)) "
+        "USING DELTA"
+    )
+    t = ex.table("lake.orders")
+    pat = [os.path.join(land, "f", "*.csv"),
+           os.path.join(land, "o", "*.csv")]
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(
+        _json.loads(t.latest_commit().schema_json)
+    )
+    t.copy_into(pat, file_format="csv", schema=schema)
+    v = t.latest_commit().version
+    assert t.copy_into(pat, file_format="csv").version == v  # no-op
+    # idempotent incremental: status P rows arrive twice under one txn
+    p_batch = o.filter("status = 'P'")
+    t.write(p_batch, mode="append", txn=("loader", 1))
+    t.write(p_batch, mode="append", txn=("loader", 1))  # replay no-op
+    # backfill: F-status rows reload with zeroed price
+    t.replace_where(
+        o.filter("status = 'F'").withColumn("price", F.lit(0.0).cast("float")),
+        "status = 'F'",
+    )
+    # metadata-only widening, then a DEFAULT column
+    units = set(t.latest_commit().data_units)
+    t.widen_column_type("price", "double")
+    assert set(t.latest_commit().data_units) == units
+    t.add_column("batch_tag", "string", default="'v2'")
+    t.write(
+        o.filter("status NOT IN ('F','O','P')")
+        .withColumn("price", F.col("price").cast("double")),
+        mode="append",
+    )
+    assert t.row_count() == o.count()  # metadata-only count agrees
+    return ex.execute("SELECT * FROM lake.orders")
+
+
+_O["pipeline_lakehouse_etl"] = """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+      FROM orders
+    )
+    SELECT k, status,
+      CASE WHEN status = 'F' THEN 0.0 ELSE price END AS price,
+      CASE WHEN status NOT IN ('F','O','P') THEN 'v2' END AS batch_tag
+    FROM src
+"""
