@@ -50,6 +50,7 @@ HEADLINE = [
     "tpch_q6_revenue_filter",
     "tpch_q18_large_orders",
     "pipeline_clean_corpus",
+    "merge_asof_backward",
     "write_append",
     "upsert_write",
     "upsert_mor",

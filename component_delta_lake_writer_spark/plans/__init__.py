@@ -29,9 +29,14 @@ _FRONT = [
     # Slot 1 is the only red row (probe scalar-ized this round); slot 2
     # is the new MOR upsert; slots 3-50 are 48 of the 54 never-checked
     # keys.  Positions 51+ queue for round 4: the keys deferred from
-    # the round-2 backlog, then everything registered new in round 3
-    # (registry now 172 keys, all oracled; the whole registry sweeps
-    # green under scripts/driver_sim.py at sf0.01).
+    # the round-2 backlog, then everything registered new in round 3 —
+    # the schema-DDL/retrieval/operational waves, then the idempotency
+    # wave (replaceWhere, dynamic partition overwrite, column DEFAULTs,
+    # writer txns, COPY INTO, type widening, scoped full-sync MERGE,
+    # the statement executor, merge_asof, VARIANT, the Python Data
+    # Source connector, the lakehouse-ETL capstone).  Registry now 197
+    # keys, all oracled; the whole registry sweeps green under
+    # scripts/driver_sim.py at sf0.01 (latest full sweep: 0 FAIL).
     # ------------------------------------------------------------------
     # -- err in round 2 (driver canonicalizer vs array column); probe
     # now emits scalar (vec_id, pos, q_i, scale) rows --
@@ -155,6 +160,7 @@ _FRONT = [
     "variant_semistructured",
     "python_datasource_manifest",
     "pipeline_lakehouse_etl",
+    "optimize_where_scoped",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

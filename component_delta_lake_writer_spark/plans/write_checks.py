@@ -1734,3 +1734,52 @@ _O["pipeline_lakehouse_etl"] = """
       CASE WHEN status NOT IN ('F','O','P') THEN 'v2' END AS batch_tag
     FROM src
 """
+
+
+@query("optimize_where_scoped")
+def optimize_where_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE t WHERE … (scoped compaction, Delta parity): the hot
+    o_orderkey range — fragmented across three appends plus a
+    merge-on-read delete — folds into one unit; the two cold units
+    carry BY REFERENCE (asserted), and the hot range's pending delete
+    materializes in the rewrite. Statement-level surface included."""
+    from component_delta_lake_writer_spark.statements import (
+        StatementExecutor,
+    )
+
+    base = _scratch("optimize_where_scoped", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ex = StatementExecutor(spark, os.path.join(base, "wh"))
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = lo + (hi - lo) // 2
+    t = ex.table("t")
+    k = F.col("o_orderkey")
+    t.write(o.filter(k < cut), mode="overwrite",
+            primary_key=["o_orderkey"])
+    third = (hi - cut) // 3
+    t.write(o.filter((k >= cut) & (k < cut + third)), mode="append")
+    t.write(o.filter((k >= cut + third) & (k < cut + 2 * third)),
+            mode="append")
+    t.write(o.filter(k >= cut + 2 * third), mode="append")
+    t.delete_where(f"o_orderkey >= {cut} AND o_orderkey % 9 = 0",
+                   strategy="merge-on-read")
+    before = set(t.latest_commit().data_units)
+    ex.execute(f"OPTIMIZE t WHERE o_orderkey >= {cut}")
+    c = t.latest_commit()
+    assert before & set(c.data_units), "cold units must carry"
+    assert len(c.data_units) < len(before), "hot range must compact"
+    # the delete's key set was conservatively scoped to every unit
+    # (non-range predicate), so the carried cold unit legitimately
+    # keeps its delete-set reference; the rewritten hot unit is clean
+    for ds in c.delete_sets:
+        assert set(ds["units"]) <= before & set(c.data_units), ds
+    return t.read()
+
+
+_O["optimize_where_scoped"] = """
+    WITH b AS (SELECT MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 2
+               AS cut FROM orders)
+    SELECT o.* FROM orders o, b
+    WHERE NOT (o.o_orderkey >= b.cut AND o.o_orderkey % 9 = 0)
+"""

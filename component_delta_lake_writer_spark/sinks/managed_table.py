@@ -2804,6 +2804,7 @@ class ManagedTable:
         cluster_by: list[str] | None = None,
         unit_per_file: bool = False,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> Commit:
         """Compact the snapshot into fresh data unit(s) (the engine's
         OPTIMIZE; keeps read amplification bounded as appends pile up).
@@ -2813,6 +2814,13 @@ class ManagedTable:
         play): parquet min/max column stats become tight per file, so
         later point/range filters on those columns skip whole files —
         the 100 TB substitute for an index.
+
+        ``where`` scopes the compaction (Delta's ``OPTIMIZE t WHERE
+        …``): only units whose stats ranges can satisfy the predicate
+        are rewritten — WHOLE units, never row filtering — everything
+        else carries by reference with its delete sets intact. The
+        hot-partition maintenance play: compact today's churn without
+        touching years of cold data.
 
         ``unit_per_file`` (clustered, unpartitioned tables only) then
         splits the compacted output into ONE DATA UNIT PER FILE —
@@ -2834,7 +2842,24 @@ class ManagedTable:
                 "unpartitioned table (range-disjoint files are what "
                 "make the split worth committing)."
             )
-        df = self.read()
+        untouched: list[str] = []
+        touched = list(prev.data_units)
+        if where is not None:
+            if unit_per_file:
+                raise UserException(
+                    "unit_per_file applies to full-table optimize only."
+                )
+            from component_delta_lake_writer_spark.sinks.unit_stats import (
+                prune_units,
+            )
+
+            touched = prune_units(prev.stats, prev.data_units, where)
+            untouched = [
+                u for u in prev.data_units if u not in set(touched)
+            ]
+            if not touched:
+                return prev  # nothing in scope — no-op
+        df = self._read_units(prev, touched)
         if cluster_by:
             # lexicographic range clustering: tight file stats on the
             # LEADING column; trailing columns skip poorly
@@ -2852,7 +2877,16 @@ class ManagedTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        unit = self._write_unit(df, prev.partition_by, "snappy", target_file_rows)
+        # a scoped optimize that CARRIES physically-named units must
+        # write the rewrite under the same physical names (uniform
+        # on-disk naming); a full optimize materializes renames and
+        # resets the mapping (REORG), as before
+        unit = self._write_unit(
+            self._to_physical(
+                df, prev.column_mapping if untouched else {}
+            ),
+            prev.partition_by, "snappy", target_file_rows,
+        )
         if unit_per_file:
             units = self._split_unit_per_file(unit)
             stats = {
@@ -2866,18 +2900,30 @@ class ManagedTable:
                 unit: self._unit_stats(
                     unit, per_file=not prev.partition_by,
                     props=prev.properties,
+                    mapping=(
+                        prev.column_mapping if untouched else None
+                    ),
                 )
             }
+        stats.update(
+            {u: prev.stats[u] for u in untouched if u in prev.stats}
+        )
         commit = Commit(
             version=prev.version + 1,
             action="optimize",
-            data_units=units,
+            data_units=untouched + units,
             schema_json=prev.schema_json,
             partition_by=prev.partition_by,
             primary_key=prev.primary_key,
             timestamp_ms=int(time.time() * 1000),
             properties=prev.properties,
             stats=stats,
+            delete_sets=self._carry_delete_sets(
+                prev.delete_sets, untouched
+            ),
+            column_mapping=(
+                dict(prev.column_mapping) if untouched else {}
+            ),
         )
         self._publish(commit, prev)
         return commit

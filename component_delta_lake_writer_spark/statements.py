@@ -371,13 +371,17 @@ class StatementExecutor:
 
     def _optimize(self, s: str):
         m = re.match(
-            rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
-            s, flags=re.IGNORECASE,
+            rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+WHERE\s+(?P<where>.*?))?"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+            s, flags=re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise UserException(f"Unsupported OPTIMIZE shape: {s[:120]}")
-        z = [c.strip().replace("`", "") for c in (m.group(2) or "").split(",") if c.strip()]
-        self.table(m.group(1)).optimize(zorder_by=z or None)
+        z = [c.strip().replace("`", "") for c in (m.group(3) or "").split(",") if c.strip()]
+        self.table(m.group(1)).optimize(
+            zorder_by=z or None, where=m.group("where")
+        )
         return None
 
     def _restore(self, s: str):

@@ -1255,3 +1255,50 @@ def test_concurrent_appends_race_all_land(spark, tmp_path_str):
         versions = list(pool.map(dup_worker, range(2)))
     assert t.read().filter("writer = 99").count() == 1
     assert max(versions) == t.latest_commit().version
+
+
+def test_optimize_where_scoped_compaction(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "ow"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "k int, v double"
+    )
+    # three range-disjoint units, hot range appended twice in pieces
+    t.write(df.filter("k < 100"), mode="overwrite", primary_key=["k"])
+    t.write(df.filter("k >= 100 AND k < 200"), mode="append")
+    t.write(df.filter("k >= 200 AND k < 250"), mode="append")
+    t.write(df.filter("k >= 250"), mode="append")
+    cold = [
+        u for u in t.latest_commit().data_units
+        if (t.latest_commit().stats[u].get("k") or {}).get("max", 999) < 200
+    ]
+    assert len(cold) == 2
+    # MOR delete inside the hot range, then scoped optimize over it
+    t.delete_where("k >= 280", strategy="merge-on-read")
+    c = t.optimize(where="k >= 200")
+    assert set(cold) <= set(c.data_units), "cold units must carry"
+    assert len(c.data_units) == 3  # 2 cold + 1 compacted hot
+    assert c.delete_sets == []  # hot-range delete materialized
+    assert c.action == "optimize"
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == list(range(280))
+    # out-of-scope optimize is a no-op returning the head
+    head = t.latest_commit().version
+    assert t.optimize(where="k > 100000").version == head
+
+
+def test_optimize_where_respects_column_mapping(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "owm"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k int, v double"
+    )
+    t.write(df.filter("k < 50"), mode="overwrite")
+    t.write(df.filter("k >= 50"), mode="append")
+    t.rename_column("v", "amount")
+    c = t.optimize(where="k >= 50")
+    assert c.column_mapping, "carried units keep the mapping"
+    rows = {r["k"]: r["amount"] for r in t.read().collect()}
+    assert len(rows) == 100 and rows[99] == 99.0
+    # full optimize afterwards materializes the rename
+    c2 = t.optimize()
+    assert c2.column_mapping == {}
+    assert t.read().columns == ["k", "amount"]
