@@ -34,9 +34,10 @@ _FRONT = [
     # wave (replaceWhere, dynamic partition overwrite, column DEFAULTs,
     # writer txns, COPY INTO, type widening, scoped full-sync MERGE,
     # the statement executor, merge_asof, VARIANT, the Python Data
-    # Source connector, the lakehouse-ETL capstone).  Registry now 197
-    # keys, all oracled; the whole registry sweeps green under
-    # scripts/driver_sim.py at sf0.01 (latest full sweep: 0 FAIL).
+    # Source connector, the lakehouse-ETL capstone, scoped OPTIMIZE
+    # WHERE).  Registry now 198 keys, all oracled; the whole registry
+    # sweeps green under scripts/driver_sim.py at sf0.01 (latest full
+    # sweep: 197 keys, 0 FAIL, 262 s).
     # ------------------------------------------------------------------
     # -- err in round 2 (driver canonicalizer vs array column); probe
     # now emits scalar (vec_id, pos, q_i, scale) rows --

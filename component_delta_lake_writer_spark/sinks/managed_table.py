@@ -2946,15 +2946,24 @@ class ManagedTable:
             raise UserException(f"optimize produced no data files at {src_dir}")
         return units
 
-    def restore(self, version: int) -> Commit:
-        """RESTORE TABLE … TO VERSION AS OF n (Delta's RESTORE): a NEW
-        commit whose snapshot is version ``n``'s — history is preserved
-        (restore is itself undoable), no data is copied, and the
-        restored units must still exist (a vacuum after ``n`` makes the
-        restore fail loudly, same as Delta)."""
+    def restore(
+        self, version: int | None = None, timestamp_ms: int | None = None
+    ) -> Commit:
+        """RESTORE TABLE … TO VERSION AS OF n / TO TIMESTAMP AS OF t
+        (Delta's RESTORE): a NEW commit whose snapshot is the target's
+        — history is preserved (restore is itself undoable), no data
+        is copied, and the restored units must still exist (a vacuum
+        after the target makes the restore fail loudly, same as
+        Delta). Pass exactly one of ``version`` / ``timestamp_ms``."""
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
+        if (version is None) == (timestamp_ms is None):
+            raise UserException(
+                "RESTORE takes exactly one of version / timestamp_ms."
+            )
+        if version is None:
+            version = self.commit_at_timestamp(timestamp_ms).version
         old = self.commit_at(version)
         missing = [
             u
@@ -3235,6 +3244,45 @@ class ManagedTable:
         ):
             return sum(c.stats[u]["_rows"] for u in c.data_units)
         return self.read().count()
+
+    def generate_symlink_manifest(self) -> str:
+        """``GENERATE symlink_format_manifest FOR TABLE t`` (Delta's
+        GENERATE command): writes
+        ``_symlink_format_manifest/manifest`` — one absolute parquet
+        path per line for the CURRENT snapshot — the handshake legacy
+        engines (Presto/Trino/Athena/Hive external tables) use to read
+        a Delta table without a Delta reader. Refused while
+        merge-on-read delete sets are pending (the file list would
+        resurrect deleted rows; same honesty rule as the _delta_log
+        _STALE marker). Atomic tmp+rename publish; regenerate after
+        every commit you want visible (exactly Delta's contract).
+        Returns the manifest path."""
+        c = self.latest_commit()
+        if c is None:
+            raise UserException(f"No table at {self.path}")
+        if c.delete_sets:
+            raise UserException(
+                "symlink manifest refused: pending merge-on-read "
+                "delete sets would resurrect deleted rows; run "
+                "optimize() first."
+            )
+        lines = []
+        for u in c.data_units:
+            base = os.path.join(self._data_dir, u)
+            for root, _dirs, files in os.walk(base):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet") and not fn.startswith(
+                        (".", "_")
+                    ):
+                        lines.append(os.path.join(root, fn))
+        mdir = os.path.join(self.path, "_symlink_format_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        final = os.path.join(mdir, "manifest")
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(lines)) + "\n")
+        os.replace(tmp, final)
+        return final
 
     def detail(self) -> dict:
         """``DESCRIBE DETAIL`` (Delta parity): one metadata dict for

@@ -85,6 +85,7 @@ class StatementExecutor:
             "SELECT": self._select,
             "WITH": self._select,
             "EXPLAIN": self._explain,
+            "GENERATE": self._generate,
         }
         fn = dispatch.get(head)
         if fn is None:
@@ -389,10 +390,25 @@ class StatementExecutor:
             rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
             s, flags=re.IGNORECASE,
         )
-        if not m:
-            raise UserException(f"Unsupported RESTORE shape: {s[:120]}")
-        self.table(m.group(1)).restore(int(m.group(2)))
-        return None
+        if m:
+            self.table(m.group(1)).restore(int(m.group(2)))
+            return None
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"'([^']+)'\s*$",
+            s, flags=re.IGNORECASE,
+        )
+        if m:
+            import datetime as _dt
+
+            t = _dt.datetime.fromisoformat(m.group(2).replace(" ", "T", 1))
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            self.table(m.group(1)).restore(
+                timestamp_ms=int(t.timestamp() * 1000)
+            )
+            return None
+        raise UserException(f"Unsupported RESTORE shape: {s[:120]}")
 
     def _alter(self, s: str):
         m = re.match(
@@ -446,6 +462,19 @@ class StatementExecutor:
         )
 
     def _show(self, s: str):
+        m = re.match(r"SHOW\s+TABLES\s*$", s, flags=re.IGNORECASE)
+        if m:
+            rows = []
+            for root, dirs, _files in os.walk(self.root):
+                if "_commits" in dirs:
+                    rel = os.path.relpath(root, self.root)
+                    rows.append((rel.replace(os.sep, "."),))
+                    dirs.clear()
+            if not rows:
+                rows = []
+            return self.spark.createDataFrame(
+                sorted(rows) or [("",)], "table string"
+            ).filter("table != ''")
         m = re.match(
             rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", s, flags=re.IGNORECASE
         )
@@ -473,6 +502,17 @@ class StatementExecutor:
 
         schema = T.StructType.fromJson(_json.loads(prev.schema_json))
         t.write(self.spark.createDataFrame([], schema), mode="overwrite")
+        return None
+
+    def _generate(self, s: str):
+        m = re.match(
+            rf"GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+            rf"({_IDENT})\s*$",
+            s, flags=re.IGNORECASE,
+        )
+        if not m:
+            raise UserException(f"Unsupported GENERATE shape: {s[:120]}")
+        self.table(m.group(1)).generate_symlink_manifest()
         return None
 
     # ---------- SELECT passthrough ----------

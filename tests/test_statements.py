@@ -150,3 +150,35 @@ def test_version_as_of_and_explain(ex):
     assert [r["k"] for r in joined] == [1]
     plan = ex.execute("EXPLAIN SELECT k FROM t WHERE k = 2").collect()[0]
     assert "Scan parquet" in plan["plan"] or "FileScan" in plan["plan"]
+
+
+def test_show_tables_generate_restore_timestamp(ex):
+    import datetime as dt
+    import os
+
+    t = _seed(ex)
+    ex.execute("CREATE OR REPLACE TABLE sub.nested (x INT) USING DELTA")
+    names = {r["table"] for r in ex.execute("SHOW TABLES").collect()}
+    assert names == {"t", "sub.nested"}
+    # GENERATE symlink manifest: listed files read back as the snapshot
+    ex.execute("GENERATE symlink_format_manifest FOR TABLE t")
+    man = os.path.join(ex.table("t").path,
+                       "_symlink_format_manifest", "manifest")
+    with open(man) as fh:
+        paths = [ln for ln in fh.read().splitlines() if ln]
+    assert paths and all(p.endswith(".parquet") for p in paths)
+    back = ex.spark.read.parquet(*paths)
+    assert back.count() == 3
+    # refused under pending MOR delete sets
+    ex.table("t").delete_where("k = 1", strategy="merge-on-read")
+    with pytest.raises(UserException, match="resurrect"):
+        ex.execute("GENERATE symlink_format_manifest FOR TABLE t")
+    ex.table("t").optimize()
+    ex.execute("GENERATE symlink_format_manifest FOR TABLE t")
+    # RESTORE TO TIMESTAMP AS OF: travel back before the delete
+    v1 = ex.table("t").commit_at(1)
+    ts = dt.datetime.fromtimestamp(
+        (v1.timestamp_ms + 1) / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    ex.execute(f"RESTORE TABLE t TO TIMESTAMP AS OF '{ts}'")
+    assert ex.table("t").read().count() == 3
