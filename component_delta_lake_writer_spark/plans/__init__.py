@@ -162,6 +162,8 @@ _FRONT = [
     "python_datasource_manifest",
     "pipeline_lakehouse_etl",
     "optimize_where_scoped",
+    "stream_cdf_source",
+    "stream_replicate_cdf",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

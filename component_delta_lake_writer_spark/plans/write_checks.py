@@ -1783,3 +1783,120 @@ _O["optimize_where_scoped"] = """
     SELECT o.* FROM orders o, b
     WHERE NOT (o.o_orderkey >= b.cut AND o.o_orderkey % 9 = 0)
 """
+
+
+@query("stream_cdf_source")
+def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table's change feed as a STREAMING source (Spark 4 Python
+    streaming Data Source, streaming/cdf_source.py): version offsets,
+    one InputPartition per change file, worker-side pyarrow reads.
+    An append, an upsert, a metadata commit, and a DELETE drain into
+    exactly their attributed change rows — fully oracled."""
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    base = _scratch("stream_cdf_source", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    t.write(o.filter(k % 3 == 0), mode="overwrite",
+            primary_key=["o_orderkey"],
+            properties={"enableChangeDataFeed": True})
+    t.write(o.filter(k % 3 == 1), mode="append")          # v1 inserts
+    upd = o.filter(k % 6 == 0).withColumn("price", F.lit(-1.0))
+    t.upsert(upd, ["o_orderkey"])                          # v2 updates
+    t.set_properties({"comment": "metadata only"})         # v3 no rows
+    t.delete_where("o_orderkey % 9 = 1")                   # v4 deletes
+    register(spark)
+    name = "cdf_feed_" + os.path.basename(sf_dir).replace(".", "_")
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "o_orderkey", "o_orderstatus", "price",
+        "_change_type", "_commit_version",
+    )
+
+
+_O["stream_cdf_source"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+      'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, -1.0,
+      'update_postimage', 2
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+      CASE WHEN o_orderkey % 6 = 0 THEN -1.0 ELSE o_totalprice END,
+      'delete', 4
+    FROM orders WHERE o_orderkey % 9 = 1 AND o_orderkey % 3 IN (0, 1)
+"""
+
+
+@query("stream_replicate_cdf")
+def stream_replicate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS replication: the source's change feed streamed
+    through the table_changes_stream Data Source and applied to the
+    replica per source commit with per-version writer-txn idempotence
+    (streaming.sink.stream_replicate). Source history: appends, a
+    priced MERGE, a keyed DELETE. A SECOND stream run with a FRESH
+    checkpoint re-applies nothing (asserted on the replica's version).
+    The replica must equal the source exactly."""
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_replicate,
+    )
+
+    base = _scratch("stream_replicate_cdf", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable(spark, os.path.join(base, "src"))
+    dst = ManagedTable(spark, os.path.join(base, "dst"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    src.write(o.limit(0), mode="overwrite", primary_key=["o_orderkey"],
+              properties={"enableChangeDataFeed": True})
+    src.write(o.filter(k % 2 == 0), mode="append")
+    src.write(o.filter(k % 2 == 1), mode="append")
+    src.upsert(
+        o.filter(k % 7 == 0).withColumn("price", F.lit(-1.0)),
+        ["o_orderkey"],
+    )
+    src.delete_where("o_orderkey % 11 = 0")
+    dst.write(o.limit(0), mode="overwrite", primary_key=["o_orderkey"])
+    q = stream_replicate(
+        src, dst, ["o_orderkey"],
+        checkpoint_dir=os.path.join(base, "ckpt_a"),
+    )
+    q.awaitTermination()
+    v_done = dst.latest_commit().version
+    # checkpoint loss: a fresh stream replays every source version;
+    # the per-version txn watermarks no-op them all
+    q2 = stream_replicate(
+        src, dst, ["o_orderkey"],
+        checkpoint_dir=os.path.join(base, "ckpt_b"),
+    )
+    q2.awaitTermination()
+    assert dst.latest_commit().version == v_done, "replay must no-op"
+    return dst.read()
+
+
+_O["stream_replicate_cdf"] = """
+    SELECT o_orderkey, o_orderstatus,
+      CASE WHEN o_orderkey % 7 = 0 THEN -1.0 ELSE o_totalprice END
+        AS price
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+"""

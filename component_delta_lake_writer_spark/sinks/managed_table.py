@@ -2191,6 +2191,7 @@ class ManagedTable:
         keys: DataFrame,
         compression: str = "snappy",
         properties: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> Commit:
         """``DELETE ... WHERE pk IN (<key set>)`` — the CDC-apply shape
         (replication, GDPR erasure lists): the key tuples become a
@@ -2206,6 +2207,11 @@ class ManagedTable:
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
+        if (
+            txn is not None
+            and (prev.txns or {}).get(txn[0], -(1 << 62)) >= txn[1]
+        ):
+            return prev  # already applied — idempotent no-op
         if not prev.primary_key:
             raise UserException("delete_keys requires a primary key.")
         key_set = keys.select(*prev.primary_key).distinct().persist()
@@ -2243,6 +2249,7 @@ class ManagedTable:
                 stats=prev.stats,
                 delete_sets=delete_sets,
                 column_mapping=dict(prev.column_mapping),
+                txns=dict([txn]) if txn else {},
             )
             self._publish(commit, prev)
             if commit.properties.get("enableChangeDataFeed") and touched:

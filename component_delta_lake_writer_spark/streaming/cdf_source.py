@@ -1,0 +1,234 @@
+"""The managed table's change data feed as a STREAMING source —
+a Spark 4 Python streaming Data Source (DataSourceStreamReader).
+
+``spark.readStream.format("table_changes_stream")`` turns a
+CDF-enabled ManagedTable into an incremental feed: offsets are table
+VERSIONS (the natural exactly-once cursor — the same one Delta's
+``readChangeFeed`` streaming uses), each micro-batch covers the
+commits between two versions, and every emitted row carries
+``_change_type`` ('insert' / 'update_postimage' / 'update_preimage' /
+'delete') and ``_commit_version``. This is the engine-native way to
+chain pipelines: table A's writer commits, table B's maintainer
+streams A's deltas — no file listing, no external queue.
+
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+    register(spark)
+    feed = (spark.readStream.format("table_changes_stream")
+            .option("path", table.path).load())
+
+Scale posture: offset planning is driver-side COMMIT METADATA (which
+versions, which files — bounded by commit count per batch); the data
+plane is one InputPartition per change file, read worker-side via
+pyarrow. Partitioned tables recover hive partition values from the
+directory layout. Commits a CDF stream cannot attribute (overwrite /
+restore) raise rather than silently emitting wrong deltas — the same
+contract as ``ManagedTable.read_changes``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from component_delta_lake_writer_spark.errors import UserException
+
+_ATTRIBUTABLE = ("append", "upsert", "delete", "update", "replace_where")
+_NOOP = (
+    "optimize", "add_constraint", "drop_constraint", "set_properties",
+    "add_column", "alter_column_default", "widen_column_type",
+)
+
+
+def _load_commit(table_path: str, version: int) -> dict:
+    p = os.path.join(table_path, "_commits", f"{version:020d}.json")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _versions(table_path: str) -> list[int]:
+    d = os.path.join(table_path, "_commits")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json")
+    )
+
+
+class _ChangeFilePartition(InputPartition):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        change_type: str | None,
+        partition_values: dict,
+        mapping: dict,
+    ):
+        self.path = path
+        self.version = version
+        self.change_type = change_type  # None → column present in file
+        self.partition_values = partition_values
+        self.mapping = mapping  # logical -> physical
+
+
+class CdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.table_path = (options.get("path") or "").rstrip("/")
+        if not self.table_path:
+            raise UserException(
+                "table_changes_stream requires .option('path', <table>)"
+            )
+        self.schema = schema
+        self.starting_version = options.get("startingVersion")
+
+    # ---- offsets: {"version": n} = commits <= n consumed ----
+
+    def initialOffset(self) -> dict:
+        vs = _versions(self.table_path)
+        if not vs:
+            raise UserException(f"No table at {self.table_path}")
+        start = int(self.starting_version if self.starting_version
+                    is not None else vs[0])
+        return {"version": start}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.table_path)
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_ChangeFilePartition] = []
+        prev_units = set(_load_commit(self.table_path, lo)["data_units"])
+        for v in range(lo + 1, hi + 1):
+            c = _load_commit(self.table_path, v)
+            action = c["action"]
+            mapping = c.get("column_mapping") or {}
+            if action == "append":
+                for u in c["data_units"]:
+                    if u in prev_units:
+                        continue
+                    parts.extend(
+                        self._unit_files(
+                            os.path.join(self.table_path, "_data", u),
+                            v, "insert", mapping,
+                        )
+                    )
+            elif action in ("upsert", "delete", "update", "replace_where"):
+                cdir = os.path.join(self.table_path, "_changes", f"v{v}")
+                if not os.path.isdir(cdir):
+                    raise UserException(
+                        f"table_changes_stream crosses {action} v{v} "
+                        "with no persisted change set — enable "
+                        "ChangeDataFeed before mutating."
+                    )
+                parts.extend(self._unit_files(cdir, v, None, mapping))
+            elif action in _NOOP:
+                pass
+            else:
+                raise UserException(
+                    f"table_changes_stream cannot attribute a "
+                    f"'{action}' commit (v{v})."
+                )
+            prev_units = set(c["data_units"])
+        return parts
+
+    @staticmethod
+    def _unit_files(base, version, change_type, mapping):
+        out = []
+        for root, _dirs, files in os.walk(base):
+            pvals: dict = {}
+            rel = os.path.relpath(root, base)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        k, _, val = seg.partition("=")
+                        pvals[k] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(val)
+                        )
+            for fn in sorted(files):
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    out.append(
+                        _ChangeFilePartition(
+                            os.path.join(root, fn), version,
+                            change_type, pvals, mapping,
+                        )
+                    )
+        return out
+
+    def read(self, partition: _ChangeFilePartition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = {}
+        for name in tbl.column_names:
+            cols[name] = tbl.column(name).to_pylist()
+        n = tbl.num_rows
+        out_cols = []
+        for f in self.schema.fields:
+            if f.name == "_commit_version":
+                out_cols.append([partition.version] * n)
+            elif f.name == "_change_type" and partition.change_type:
+                out_cols.append([partition.change_type] * n)
+            elif f.name in cols:
+                out_cols.append(cols[f.name])
+            else:
+                phys = partition.mapping.get(f.name, f.name)
+                if phys in cols:
+                    out_cols.append(cols[phys])
+                elif f.name in partition.partition_values:
+                    raw = partition.partition_values[f.name]
+                    val = raw
+                    if raw is not None and isinstance(
+                        f.dataType, (T.IntegerType, T.LongType)
+                    ):
+                        val = int(raw)
+                    elif raw is not None and isinstance(
+                        f.dataType, (T.DoubleType, T.FloatType)
+                    ):
+                        val = float(raw)
+                    out_cols.append([val] * n)
+                else:
+                    out_cols.append([None] * n)
+        yield from zip(*out_cols) if n else iter(())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable table versions; nothing to ack
+
+
+class CdfStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes_stream"
+
+    def schema(self):
+        path = (self.options.get("path") or "").rstrip("/")
+        vs = _versions(path)
+        if not vs:
+            raise UserException(f"No table at {path!r}")
+        c = _load_commit(path, vs[-1])
+        base = T.StructType.fromJson(json.loads(c["schema_json"]))
+        fields = list(base.fields) + [
+            T.StructField("_change_type", T.StringType(), True),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+        return T.StructType(fields)
+
+    def streamReader(self, schema: T.StructType):
+        return CdfStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(CdfStreamDataSource)

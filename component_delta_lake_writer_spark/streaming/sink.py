@@ -10,6 +10,8 @@ boundaries per batch instead of per 25k rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from component_delta_lake_writer_spark.sinks import ManagedTable
@@ -163,6 +165,84 @@ def write_stream_with_mv(
             on_refresh(mode)
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_replicate(
+    src: ManagedTable,
+    dst: ManagedTable,
+    primary_key: list[str],
+    checkpoint_dir: str | None = None,
+):
+    """CONTINUOUS table replication: stream the source's change feed
+    (the table_changes_stream Data Source — version offsets, no file
+    listing) and apply each commit's delta to the replica in commit
+    order — inserts/update post-images as an upsert, delete rows as an
+    equality-delete key set. Idempotence is per SOURCE VERSION via
+    writer transactions (txnAppId = the replication identity,
+    txnVersion = the source commit version), so checkpoint replays,
+    restarts, and even a lost checkpoint re-apply nothing.
+
+    This is the streaming spelling of sinks.replicate (batch catch-up)
+    — the two compose: batch-replicate to bootstrap, stream to follow.
+    """
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    spark = src.spark
+    register(spark)
+    app_id = f"replicate::{os.path.abspath(src.path)}"
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = batch_df.persist()
+        try:
+            versions = sorted(
+                r["_commit_version"]
+                for r in rows.select("_commit_version").distinct().collect()
+            )
+            for v in versions:
+                delta = rows.filter(F.col("_commit_version") == v)
+                upserts = delta.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type", "_commit_version")
+                deletes = delta.filter(
+                    F.col("_change_type") == "delete"
+                ).select(*primary_key)
+                head = dst.latest_commit()
+                if (
+                    head is not None
+                    and (head.txns or {}).get(app_id, -1) >= v
+                ):
+                    continue  # replayed source version — already applied
+                has_up = not upserts.isEmpty()
+                has_del = not deletes.isEmpty()
+                if has_up:
+                    # the upsert stamps the txn watermark only when it
+                    # is the LAST op of this version (no deletes
+                    # follow), so a crash between the two ops replays
+                    # the whole version instead of skipping its tail
+                    dst.upsert(
+                        upserts, primary_key,
+                        txn=None if has_del else (app_id, v),
+                    )
+                if has_del:
+                    dst.delete_keys(deletes, txn=(app_id, v))
+        finally:
+            rows.unpersist()
+
+    feed = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", src.path)
+        .load()
+    )
+    writer = feed.writeStream.foreachBatch(apply_batch).trigger(
         availableNow=True
     )
     if checkpoint_dir:

@@ -644,3 +644,52 @@ def test_merge_asof_directions_and_tolerance(spark):
     )
     with pytest.raises(UserException, match="duplicate"):
         merge_asof(left, dup, on="t", by=["k"], check_unique=True)
+
+
+def test_cdf_streaming_source_drains_changes(spark, tmp_path):
+    """table_changes_stream (Spark 4 Python streaming Data Source):
+    version-offset micro-batches over a CDF-enabled table — appends
+    surface as 'insert', merge/delete change sets with their own
+    change types, metadata commits contribute nothing; the drained
+    feed equals batch read_changes."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    d = str(tmp_path)
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    t.write(spark.createDataFrame([(3, 30.0)], "k int, v double"),
+            mode="append")
+    t.upsert(spark.createDataFrame([(2, -2.0), (4, 40.0)],
+                                   "k int, v double"), ["k"])
+    t.set_properties({"comment": "metadata only"})
+    t.delete_where("k = 1")
+    register(spark)
+    feed = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory").queryName("cdf_feed")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.table("cdf_feed").collect()
+    }
+    assert rows == {
+        (3, "insert", 1),
+        (2, "update_postimage", 2),
+        (4, "insert", 2),
+        (1, "delete", 4),
+    }
