@@ -232,6 +232,16 @@ def parse_conjuncts(condition: str):
         return []
     out = []
     for part in re.split(r"\band\b", condition, flags=re.IGNORECASE):
+        nm = re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(NOT\s+)?NULL\s*$",
+            part, flags=re.IGNORECASE,
+        )
+        if nm:
+            out.append(
+                (nm.group(1), "isnotnull" if nm.group(2) else "isnull",
+                 None)
+            )
+            continue
         m = _CONJUNCT.match(part)
         if not m:
             return []
@@ -257,6 +267,17 @@ def _conjunct_can_match(stats: dict, col: str, op: str, lit) -> bool:
     if ent is None:
         return True
     rows = stats.get("_rows")
+    if op == "isnull":
+        # a unit with ZERO recorded nulls cannot satisfy IS NULL
+        return ent.get("nulls") is None or ent["nulls"] > 0
+    if op == "isnotnull":
+        # a unit where EVERY value is null cannot satisfy IS NOT NULL
+        return not (
+            ent.get("nulls") is not None
+            and rows is not None
+            and rows > 0
+            and ent["nulls"] >= rows
+        )
     if (
         ent["min"] is None
         and ent["max"] is None

@@ -6,6 +6,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from component_delta_lake_writer_spark.sinks import ManagedTable
 from component_delta_lake_writer_spark.sinks.unit_stats import (
@@ -776,3 +777,31 @@ def test_timestamp_pk_merge_prunes_units(spark, tmp_path_str):
     assert old_units & set(c.data_units), "timestamp PK bounds must prune"
     got = {r["v"] for r in t.read().collect()}
     assert -1.0 in got and len(got) == 48
+
+
+def test_is_null_pruning(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        collect_unit_stats,
+        parse_conjuncts,
+        prune_units,
+    )
+
+    full = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k int, v double"
+    )
+    nully = spark.createDataFrame(
+        [(10, None), (11, None)],
+        T.StructType.fromDDL("k int, v double"),
+    )
+    a = os.path.join(tmp_path_str, "na")
+    b = os.path.join(tmp_path_str, "nb")
+    full.write.parquet(a)
+    nully.write.parquet(b)
+    stats = {"a": collect_unit_stats(a), "b": collect_unit_stats(b)}
+    assert parse_conjuncts("v IS NULL") == [("v", "isnull", None)]
+    assert prune_units(stats, ["a", "b"], "v IS NULL") == ["b"]
+    assert prune_units(stats, ["a", "b"], "v IS NOT NULL") == ["a"]
+    # composes with range conjuncts
+    assert prune_units(
+        stats, ["a", "b"], "k >= 10 AND v IS NOT NULL"
+    ) == []
