@@ -35,9 +35,10 @@ _FRONT = [
     # writer txns, COPY INTO, type widening, scoped full-sync MERGE,
     # the statement executor, merge_asof, VARIANT, the Python Data
     # Source connector, the lakehouse-ETL capstone, scoped OPTIMIZE
-    # WHERE).  Registry now 198 keys, all oracled; the whole registry
-    # sweeps green under scripts/driver_sim.py at sf0.01 (latest full
-    # sweep: 197 keys, 0 FAIL, 262 s).
+    # WHERE, the CDF streaming source + continuous replication).
+    # Registry now 200 keys, all oracled; the whole registry sweeps
+    # green under scripts/driver_sim.py at sf0.01 (latest full sweep:
+    # 0 FAIL).
     # ------------------------------------------------------------------
     # -- err in round 2 (driver canonicalizer vs array column); probe
     # now emits scalar (vec_id, pos, q_i, scale) rows --

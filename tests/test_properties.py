@@ -166,3 +166,75 @@ def test_shard_export_partition_invariance(spark, rows, seed):
     }
     assert a == b
     assert sorted(r for r, _ in a.values()) == list(range(len(ids)))
+
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, t)
+    min_size=1, max_size=15,
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), VALS),
+    min_size=0, max_size=15,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=_asof_left,
+    right=_asof_right,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.one_of(st.none(), st.integers(0, 30)),
+)
+def test_merge_asof_matches_pandas(spark, left, right, direction, tolerance):
+    """Differential: operators.timeseries.merge_asof ==
+    pandas.merge_asof on the same frames, across directions and
+    tolerances (pandas is the semantics reference the operator
+    claims parity with). Right side deduped per (key, t) — the
+    operator's documented uniqueness contract."""
+    import pandas as pd
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        merge_asof,
+    )
+
+    lpdf = pd.DataFrame(left, columns=["k", "t"]).drop_duplicates(
+        ["k", "t"]
+    )
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "t", "v"])
+        .astype({"k": "int64", "t": "int64", "v": "int64"})
+        .drop_duplicates(["k", "t"])
+    )
+    sl = spark.createDataFrame(lpdf[["lid", "k", "t"]])
+    sr = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "k bigint, t bigint, v bigint")
+    )
+    got = {
+        r["lid"]: (r["t_r"], r["v_r"])
+        for r in merge_asof(
+            sl, sr, on="t", by=["k"], direction=direction,
+            tolerance=tolerance,
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        lpdf.sort_values("t"),
+        rpdf.sort_values("t").rename(columns={"t": "t_r", "v": "v_r"}),
+        left_on="t", right_on="t_r", by="k",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    want = {
+        int(r.lid): (
+            None if pd.isna(r.t_r) else int(r.t_r),
+            None if pd.isna(r.v_r) else int(r.v_r),
+        )
+        for r in want_df.itertuples()
+    }
+    assert got == want
