@@ -3186,6 +3186,13 @@ class ManagedTable:
                     os.path.join(self._bloom_dir, meta["path"])
                 )
             ]
+            missing_ingest = [
+                name
+                for name in (c.ingest_sidecars or [])
+                if not os.path.exists(
+                    os.path.join(self._ingest_dir, name)
+                )
+            ]
             issues = {}
             if missing_units:
                 issues["missing_units"] = missing_units
@@ -3195,6 +3202,10 @@ class ManagedTable:
                 # bloom loss is benign (pruning degrades, reads stay
                 # correct) but still worth surfacing
                 issues["missing_bloom_sidecars"] = missing_blooms
+            if missing_ingest:
+                # reads stay correct; COPY INTO idempotency degrades
+                # (the lost sidecar's files would re-ingest)
+                issues["missing_ingest_sidecars"] = missing_ingest
             if issues:
                 report["versions"][v] = issues
             if not missing_units and not missing_deletes:
@@ -3233,6 +3244,54 @@ class ManagedTable:
         )
         self._publish(commit, prev)
         return commit
+
+    def column_bounds(self, column: str):
+        """``SELECT MIN(col), MAX(col)`` answered from COMMIT METADATA
+        when sound — zero data IO: exact when no merge-on-read delete
+        sets are pending (deletes could remove the extreme row) and
+        every unit records usable stats for the column. Temporal
+        columns come back as datetimes (stats hold their fixed-width
+        string form). Falls back to one distributed agg otherwise."""
+        import datetime as _dt
+
+        c = self.latest_commit()
+        if c is None:
+            raise UserException(f"No table at {self.path}")
+        phys = (c.column_mapping or {}).get(column, column)
+        ok = not c.delete_sets and c.data_units
+        vals = []
+        if ok:
+            for u in c.data_units:
+                ent = (c.stats.get(u) or {}).get(phys)
+                rows = (c.stats.get(u) or {}).get("_rows", 1)
+                if ent is None or (
+                    ent.get("min") is None and (rows or 0) > 0
+                    and (ent.get("nulls") or 0) < (rows or 0)
+                ):
+                    ok = False
+                    break
+                if ent.get("min") is not None:
+                    vals.append((ent["min"], ent["max"], ent.get("t")))
+        if ok and vals:
+            mn = min(v[0] for v in vals)
+            mx = max(v[1] for v in vals)
+            kind = vals[0][2]
+            if kind == "ts":
+                fmt = "%Y-%m-%d %H:%M:%S.%f"
+                return (
+                    _dt.datetime.strptime(mn, fmt),
+                    _dt.datetime.strptime(mx, fmt),
+                )
+            if kind == "date":
+                return (
+                    _dt.date.fromisoformat(mn),
+                    _dt.date.fromisoformat(mx),
+                )
+            return (mn, mx)
+        row = self.read().agg(
+            F.min(column).alias("mn"), F.max(column).alias("mx")
+        ).first()
+        return (row["mn"], row["mx"])
 
     def row_count(self) -> int:
         """``SELECT COUNT(*)`` answered from COMMIT METADATA when

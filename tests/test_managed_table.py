@@ -1302,3 +1302,41 @@ def test_optimize_where_respects_column_mapping(spark, tmp_path_str):
     c2 = t.optimize()
     assert c2.column_mapping == {}
     assert t.read().columns == ["k", "amount"]
+
+
+def test_column_bounds_metadata_and_fallback(spark, tmp_path_str):
+    import datetime as dt
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "cb"))
+    rows = [
+        (i, float(i) * 2, dt.datetime(2021, 1, 1) + dt.timedelta(days=i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, ts timestamp")
+    t.write(df.filter("k < 5"), mode="overwrite", primary_key=["k"])
+    t.write(df.filter("k >= 5"), mode="append")
+    assert t.column_bounds("k") == (0, 9)
+    assert t.column_bounds("v") == (0.0, 18.0)
+    assert t.column_bounds("ts") == (
+        dt.datetime(2021, 1, 1), dt.datetime(2021, 1, 10)
+    )
+    # pending MOR deletes force the distributed fallback (and the
+    # fallback is RIGHT where stats would now be wrong)
+    t.delete_where("k = 9", strategy="merge-on-read")
+    assert t.column_bounds("k") == (0, 8)
+    # fsck flags a lost ingest sidecar
+    land = os.path.join(tmp_path_str, "land")
+    os.makedirs(land)
+    with open(os.path.join(land, "x.csv"), "w") as fh:
+        fh.write("20,40.0,2021-02-01T00:00:00\n")
+    from pyspark.sql import types as T
+
+    t.copy_into(os.path.join(land, "*.csv"), file_format="csv",
+                schema=T.StructType.fromDDL(
+                    "k int, v double, ts timestamp"))
+    name = t.latest_commit().ingest_sidecars[0]
+    os.unlink(os.path.join(t.path, "_ingest", name))
+    rep = t.fsck()
+    assert any(
+        "missing_ingest_sidecars" in v for v in rep["versions"].values()
+    )
