@@ -2372,6 +2372,8 @@ class ManagedTable:
         compression: str = "snappy",
         max_records_per_file: int | None = None,
         enforce: bool = True,
+        prune_disjuncts: list[str] | None = None,
+        partition_tuples: list[dict] | None = None,
     ) -> Commit:
         """Predicate-scoped atomic overwrite — Delta's
         ``.option("replaceWhere", cond).mode("overwrite")`` (the
@@ -2393,13 +2395,13 @@ class ManagedTable:
         """
         prev = self.latest_commit()
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        if enforce and not df.filter(~cond).isEmpty():
-            raise UserException(
-                "replaceWhere enforcement: incoming rows must all "
-                f"satisfy the predicate {condition!r} "
-                "(pass enforce=False to skip, losing idempotency)."
-            )
         if prev is None:
+            if enforce and not df.filter(~cond).isEmpty():
+                raise UserException(
+                    "replaceWhere enforcement: incoming rows must all "
+                    f"satisfy the predicate {condition!r} "
+                    "(pass enforce=False to skip, losing idempotency)."
+                )
             # Delta creates the table on first replaceWhere
             return self.write(
                 df, mode="overwrite", compression=compression,
@@ -2409,6 +2411,19 @@ class ManagedTable:
             prune_units,
         )
 
+        # incoming rows are INSERTs: DEFAULT and GENERATED columns
+        # apply exactly as on append (omitting them must not silently
+        # write NULLs where every other insert path computes values) —
+        # BEFORE enforcement, so a predicate over a defaulted column
+        # sees the computed values
+        df = self._apply_column_defaults(df, prev)
+        df = self._apply_generated(df, self._generation_exprs(prev))
+        if enforce and not df.filter(~cond).isEmpty():
+            raise UserException(
+                "replaceWhere enforcement: incoming rows must all "
+                f"satisfy the predicate {condition!r} "
+                "(pass enforce=False to skip, losing idempotency)."
+            )
         table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         if not self._schema_compatible(table_schema, df.schema):
             raise SchemaMismatchError(
@@ -2419,7 +2434,29 @@ class ManagedTable:
         constraints = prev.properties.get("constraints", {})
         if constraints:
             self._check_constraints(df, constraints)
-        touched = prune_units(prev.stats, prev.data_units, condition)
+        if partition_tuples and prev.partition_by:
+            # hive-layout pruning: partition values live in DIRECTORY
+            # names, not parquet footers — a unit is touched iff its
+            # directory tree contains one of the replaced partitions
+            touched = [
+                u
+                for u in prev.data_units
+                if any(
+                    self._unit_has_partition(u, t, prev.partition_by)
+                    for t in partition_tuples
+                )
+            ]
+        elif prune_disjuncts:
+            # OR-of-flat-ANDs predicates can't prune as one string;
+            # the union of per-disjunct pruning is a sound superset
+            touched_set: set[str] = set()
+            for d in prune_disjuncts:
+                touched_set.update(
+                    prune_units(prev.stats, prev.data_units, d)
+                )
+            touched = [u for u in prev.data_units if u in touched_set]
+        else:
+            touched = prune_units(prev.stats, prev.data_units, condition)
         untouched = [u for u in prev.data_units if u not in set(touched)]
         units = list(untouched)
         stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
@@ -2540,10 +2577,15 @@ class ManagedTable:
             ]
             return "(" + " AND ".join(parts) + ")"
 
-        condition = " OR ".join(tuple_pred(t) for t in tuples)
+        disjuncts = [tuple_pred(t) for t in tuples]
+        condition = " OR ".join(disjuncts)
         return self.replace_where(
             df, condition, compression=compression,
             max_records_per_file=max_records_per_file, enforce=False,
+            # parenthesized OR defeats the flat-AND parser; prune per
+            # partition tuple (dir-layout aware) instead
+            prune_disjuncts=[d.strip("()") for d in disjuncts],
+            partition_tuples=tuples,
         )
 
     def upsert_full_sync(
@@ -2588,6 +2630,8 @@ class ManagedTable:
                 compression=compression,
                 max_records_per_file=max_records_per_file,
             )
+        source = self._apply_column_defaults(source, prev)
+        source = self._apply_generated(source, self._generation_exprs(prev))
         table_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         if not self._schema_compatible(table_schema, source.schema):
             raise SchemaMismatchError(
@@ -2686,6 +2730,37 @@ class ManagedTable:
         finally:
             src.unpersist()
         return commit
+
+    def _unit_has_partition(
+        self, unit: str, t: dict, partition_by: list[str]
+    ) -> bool:
+        """Does the unit's hive directory tree contain partition
+        tuple ``t``? Conservative: a partition column with no
+        directory evidence counts as present."""
+        import urllib.parse as _up
+
+        base = os.path.join(self._data_dir, unit)
+        seen: dict[str, set] = {}
+        for root, _dirs, _files in os.walk(base):
+            rel = os.path.relpath(root, base)
+            if rel == ".":
+                continue
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    seen.setdefault(k, set()).add(
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else _up.unquote(v)
+                    )
+        for c in partition_by:
+            if c not in t or c not in seen:
+                continue  # no evidence — stay conservative
+            want = t[c]
+            want_s = None if want is None else str(want)
+            if want_s not in seen[c]:
+                return False
+        return True
 
     @property
     def _ingest_dir(self) -> str:
@@ -3272,6 +3347,11 @@ class ManagedTable:
                     break
                 if ent.get("min") is not None:
                     vals.append((ent["min"], ent["max"], ent.get("t")))
+        # mixed temporal kinds across units (e.g. after a date →
+        # timestamp_ntz widening: old units keep 'date'-form stats)
+        # cannot be folded lexicographically — fall back to the scan
+        if ok and len({v[2] for v in vals}) > 1:
+            ok = False
         if ok and vals:
             mn = min(v[0] for v in vals)
             mx = max(v[1] for v in vals)
@@ -3429,13 +3509,21 @@ class ManagedTable:
             c = self.commit_at(v)
             if c.action == "append":
                 new_units.extend(u for u in c.data_units if u not in prev_units)
-            elif c.action in ("optimize", "add_constraint", "drop_constraint"):
-                pass  # identical rows / metadata-only — no logical change
-            elif c.action in ("upsert", "delete", "update") and os.path.isdir(
+            elif c.action in (
+                # identical rows / metadata-only — no logical change
+                "optimize", "add_constraint", "drop_constraint",
+                "set_properties", "add_column", "drop_column",
+                "rename_column", "alter_column_default",
+                "widen_column_type",
+            ):
+                pass
+            elif c.action in (
+                "upsert", "delete", "update", "replace_where"
+            ) and os.path.isdir(
                 os.path.join(self._changes_dir, f"v{c.version}")
             ):
                 change_dirs.append(os.path.join(self._changes_dir, f"v{c.version}"))
-            elif c.action in ("upsert", "delete", "update"):
+            elif c.action in ("upsert", "delete", "update", "replace_where"):
                 raise UserException(
                     f"read_changes crosses {c.action} v{c.version} with no "
                     "persisted change set — set the table property "

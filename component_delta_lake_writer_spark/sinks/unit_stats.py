@@ -83,9 +83,12 @@ def _norm_temporal_lit(raw: str, stat_kind: str) -> str | None:
     """Parse a literal string against temporal stats of ``stat_kind``;
     None (→ no pruning) when it doesn't parse. A date-only literal
     against "ts" stats means midnight (fixed-width form compares
-    exactly); a datetime literal against "date" stats keeps its time
-    part — 'YYYY-MM-DD' < 'YYYY-MM-DD HH:…' lexicographically, which
-    matches date-as-midnight chronology exactly."""
+    exactly). Against "date" stats only a MIDNIGHT/date-only literal
+    prunes (normalized to the date form): a literal with a real time
+    part has engine-dependent comparison semantics (Spark truncates a
+    string cast to DATE but promotes the column for a TIMESTAMP
+    literal), and a mixed-width lexicographic compare is wrong exactly
+    at the midnight boundary — unsound pruning, so none at all."""
     s = raw.strip().replace("T", " ", 1)
     try:
         if len(s) <= len("YYYY-MM-DD"):
@@ -98,6 +101,10 @@ def _norm_temporal_lit(raw: str, stat_kind: str) -> str | None:
         t = _dt.datetime.fromisoformat(s)
         if t.tzinfo is not None:
             t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if stat_kind == "date":
+            if (t.hour, t.minute, t.second, t.microsecond) != (0, 0, 0, 0):
+                return None
+            return t.strftime(_DATE_FMT)
         return t.strftime(_TS_FMT)
     except ValueError:
         return None

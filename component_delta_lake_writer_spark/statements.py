@@ -280,6 +280,28 @@ class StatementExecutor:
         vals = self._split_exprs(m.group("vals"))
         if len(cols) != len(vals):
             raise UserException("MERGE INSERT column/value count mismatch.")
+        # The engine executes this MERGE as a FULL-ROW upsert of the
+        # INSERT expressions, which is only faithful when the UPDATE
+        # SET clause assigns every inserted column the SAME expression
+        # (the reference's generated shape, component.py:254-260). A
+        # partial or divergent SET must refuse, never silently
+        # overwrite extra columns.
+        def _norm(e: str) -> str:
+            e = re.sub(rf"\b{re.escape(tgt_alias)}\.", "", e.strip())
+            return re.sub(r"\s+", "", e).lower()
+
+        set_map: dict[str, str] = {}
+        for a in self._split_exprs(m.group("set")):
+            k, _, vexpr = a.partition("=")
+            set_map[_norm(k).replace("`", "")] = _norm(vexpr)
+        want = {c.lower(): _norm(v) for c, v in zip(cols, vals)}
+        if set_map != want:
+            raise UserException(
+                "Unsupported MERGE shape: UPDATE SET must assign every "
+                "INSERT column the same expression (full-row update, "
+                "the reference's generated form); got SET for "
+                f"{sorted(set_map)} vs INSERT {sorted(want)}."
+            )
         # the reference's merge updates every column to the same cast
         # expressions it inserts, so the statement is equivalent to the
         # engine upsert of the PROJECTED source (O2-deduped by PK)
@@ -501,7 +523,11 @@ class StatementExecutor:
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(_json.loads(prev.schema_json))
-        t.write(self.spark.createDataFrame([], schema), mode="overwrite")
+        t.write(
+            self.spark.createDataFrame([], schema), mode="overwrite",
+            partition_by=list(prev.partition_by or []),
+            primary_key=list(prev.primary_key or []),
+        )
         return None
 
     def _generate(self, s: str):
@@ -580,8 +606,16 @@ class StatementExecutor:
                 if view != name:
                     # also rewrites qualified column refs (name.col →
                     # view.col); a trailing word char still blocks so
-                    # `wh.orders2` never matches `wh.orders`
-                    q = re.sub(
-                        rf"(?<![\w.]){re.escape(name)}(?![\w])", view, q
+                    # `wh.orders2` never matches `wh.orders` — and the
+                    # rewrite never touches text inside string
+                    # literals (split on quotes, rewrite even
+                    # segments only)
+                    pat = re.compile(
+                        rf"(?<![\w.]){re.escape(name)}(?![\w])"
+                    )
+                    segs = q.split("'")
+                    q = "'".join(
+                        pat.sub(view, seg) if i % 2 == 0 else seg
+                        for i, seg in enumerate(segs)
                     )
         return self.spark.sql(q)

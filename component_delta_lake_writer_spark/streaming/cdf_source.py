@@ -45,7 +45,8 @@ from component_delta_lake_writer_spark.errors import UserException
 _ATTRIBUTABLE = ("append", "upsert", "delete", "update", "replace_where")
 _NOOP = (
     "optimize", "add_constraint", "drop_constraint", "set_properties",
-    "add_column", "alter_column_default", "widen_column_type",
+    "add_column", "drop_column", "rename_column",
+    "alter_column_default", "widen_column_type",
 )
 
 
@@ -98,9 +99,11 @@ class CdfStreamReader(DataSourceStreamReader):
         vs = _versions(self.table_path)
         if not vs:
             raise UserException(f"No table at {self.table_path}")
-        start = int(self.starting_version if self.starting_version
-                    is not None else vs[0])
-        return {"version": start}
+        if self.starting_version is not None:
+            # INCLUSIVE, Delta semantics: startingVersion=N streams
+            # commit N itself (0 → the initial snapshot as inserts)
+            return {"version": int(self.starting_version) - 1}
+        return {"version": vs[0]}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.table_path)
@@ -109,12 +112,26 @@ class CdfStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[_ChangeFilePartition] = []
-        prev_units = set(_load_commit(self.table_path, lo)["data_units"])
+        prev_units = (
+            set(_load_commit(self.table_path, lo)["data_units"])
+            if lo >= 0
+            else set()
+        )
         for v in range(lo + 1, hi + 1):
             c = _load_commit(self.table_path, v)
             action = c["action"]
             mapping = c.get("column_mapping") or {}
-            if action == "append":
+            if action in ("create", "overwrite") and not prev_units:
+                # the stream's first commit: its snapshot IS the
+                # insert set (startingVersion=0 bootstrap)
+                for u in c["data_units"]:
+                    parts.extend(
+                        self._unit_files(
+                            os.path.join(self.table_path, "_data", u),
+                            v, "insert", mapping,
+                        )
+                    )
+            elif action == "append":
                 for u in c["data_units"]:
                     if u in prev_units:
                         continue

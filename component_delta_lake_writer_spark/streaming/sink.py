@@ -223,17 +223,22 @@ def stream_replicate(
                     continue  # replayed source version — already applied
                 has_up = not upserts.isEmpty()
                 has_del = not deletes.isEmpty()
-                if has_up:
-                    # the upsert stamps the txn watermark only when it
-                    # is the LAST op of this version (no deletes
-                    # follow), so a crash between the two ops replays
-                    # the whole version instead of skipping its tail
-                    dst.upsert(
-                        upserts, primary_key,
-                        txn=None if has_del else (app_id, v),
-                    )
+                # DELETES FIRST: a replace_where/full-sync commit may
+                # delete an old image and insert a new one under the
+                # SAME PK in one version — upsert-then-delete would
+                # erase the fresh row. Deletes never target keys the
+                # same version re-inserts... except exactly that case,
+                # so old images must go before new ones land. The txn
+                # watermark rides the LAST op of the version; a crash
+                # in between replays the whole version (delete is
+                # key-idempotent, upsert last-write-wins — safe).
                 if has_del:
-                    dst.delete_keys(deletes, txn=(app_id, v))
+                    dst.delete_keys(
+                        deletes,
+                        txn=None if has_up else (app_id, v),
+                    )
+                if has_up:
+                    dst.upsert(upserts, primary_key, txn=(app_id, v))
         finally:
             rows.unpersist()
 

@@ -693,3 +693,80 @@ def test_cdf_streaming_source_drains_changes(spark, tmp_path):
         (4, "insert", 2),
         (1, "delete", 4),
     }
+
+
+def test_cdf_stream_starting_version_inclusive(spark, tmp_path):
+    """startingVersion is INCLUSIVE (Delta parity): 0 bootstraps the
+    initial snapshot as inserts, N streams commit N itself."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k int, v double"),
+            mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    t.write(spark.createDataFrame([(2, 2.0)], "k int, v double"),
+            mode="append")
+    register(spark)
+
+    def drain(start):
+        name = f"tcs_sv_{start}"
+        q = (
+            spark.readStream.format("table_changes_stream")
+            .option("path", t.path)
+            .option("startingVersion", str(start))
+            .load()
+            .writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in spark.table(name).collect()
+        }
+
+    assert drain(1) == {(2, "insert", 1)}
+    assert drain(0) == {(1, "insert", 0), (2, "insert", 1)}
+
+
+def test_stream_replicate_replace_where_ordering(spark, tmp_path):
+    """A replace_where commit deletes old images and inserts new ones
+    under the SAME PKs in one version; replication must apply deletes
+    before upserts or the re-loaded keys vanish from the replica."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_replicate,
+    )
+
+    d = str(tmp_path)
+    src = ManagedTable(spark, os.path.join(d, "src"))
+    dst = ManagedTable(spark, os.path.join(d, "dst"))
+    src.write(spark.createDataFrame([], "k int, g string, v double"),
+              mode="overwrite", primary_key=["k"],
+              properties={"enableChangeDataFeed": True})
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+            "k int, g string, v double",
+        ),
+        mode="append",
+    )
+    # backfill re-loads the SAME keys of group a with new values
+    src.replace_where(
+        spark.createDataFrame([(1, "a", -1.0), (2, "a", -2.0)],
+                              "k int, g string, v double"),
+        "g = 'a'",
+    )
+    dst.write(spark.createDataFrame([], "k int, g string, v double"),
+              mode="overwrite", primary_key=["k"])
+    q = stream_replicate(src, dst, ["k"],
+                         checkpoint_dir=os.path.join(d, "ck"))
+    q.awaitTermination()
+    got = {(r["k"], r["v"]) for r in dst.read().collect()}
+    assert got == {(1, -1.0), (2, -2.0), (3, 3.0)}

@@ -1340,3 +1340,78 @@ def test_column_bounds_metadata_and_fallback(spark, tmp_path_str):
     assert any(
         "missing_ingest_sidecars" in v for v in rep["versions"].values()
     )
+
+
+def test_review_fixes_regressions(spark, tmp_path_str):
+    import datetime as dt
+
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        prune_units,
+    )
+
+    # (a) date-stats vs timestamp-literal midnight boundary: no prune
+    stats = {"u": {"_rows": 2, "d": {
+        "min": "2024-01-01", "max": "2024-01-02", "nulls": 0,
+        "t": "date"}}}
+    kept = prune_units(
+        stats, ["u"], "d >= TIMESTAMP '2024-01-02 00:00:00'"
+    )
+    assert kept == ["u"]  # midnight literal: boundary row matches
+    assert prune_units(
+        stats, ["u"], "d >= TIMESTAMP '2024-01-02 10:00:00'"
+    ) == ["u"]  # non-midnight vs date stats: no pruning (unsound)
+    assert prune_units(stats, ["u"], "d > '2024-01-02'") == []
+
+    # (b) replace_where computes DEFAULT + generated columns
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "rwd"))
+    t.write(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                                  "k int, g string, v double"),
+            mode="overwrite")
+    t.add_column("tag", "string", default="'rb'")
+    t.replace_where(
+        spark.createDataFrame([(9, "a", 9.0)], "k int, g string, v double"),
+        "g = 'a'",
+    )
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert got == {2: None, 9: "rb"}
+
+    # (c) read_changes crosses replace_where and metadata commits
+    c = ManagedTable(spark, os.path.join(tmp_path_str, "cdfx"))
+    c.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"),
+            mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    c.set_properties({"note": "x"})
+    c.replace_where(spark.createDataFrame([(1, -1.0)], "k int, v double"),
+                    "k = 1")
+    c.widen_column_type("k", "bigint")
+    ch = c.read_changes(0, with_change_type=True)
+    kinds = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert kinds == {(1, "insert"), (1, "delete")}
+
+    # (d) column_bounds under mixed temporal kinds → scan fallback
+    w = ManagedTable(spark, os.path.join(tmp_path_str, "wb"))
+    w.write(spark.createDataFrame([(1, dt.date(2020, 1, 5))],
+                                  "k int, d date"), mode="overwrite")
+    w.widen_column_type("d", "timestamp_ntz")
+    w.write(spark.createDataFrame([(2, dt.datetime(2021, 2, 3, 4))],
+                                  "k int, d timestamp_ntz"), mode="append")
+    lo, hi = w.column_bounds("d")
+    assert lo == dt.datetime(2020, 1, 5) and hi == dt.datetime(2021, 2, 3, 4)
+
+
+def test_overwrite_partitions_prunes_units(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "dpp"))
+    a = spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
+                              "k int, p string, v double")
+    b = spark.createDataFrame([(3, "b", 3.0), (4, "b", 4.0)],
+                              "k int, p string, v double")
+    t.write(a, mode="overwrite", partition_by=["p"])
+    t.write(b, mode="append")
+    a_unit = set(t.commit_at(0).data_units)
+    t.overwrite_partitions(
+        spark.createDataFrame([(30, "b", -3.0)], "k int, p string, v double")
+    )
+    c = t.latest_commit()
+    assert a_unit <= set(c.data_units), "partition-a unit must carry"
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {1, 2, 30}

@@ -182,3 +182,36 @@ def test_show_tables_generate_restore_timestamp(ex):
     ).strftime("%Y-%m-%d %H:%M:%S.%f")
     ex.execute(f"RESTORE TABLE t TO TIMESTAMP AS OF '{ts}'")
     assert ex.table("t").read().count() == 3
+
+
+def test_review_fixes_statements(ex):
+    t = _seed(ex)
+    # MERGE with divergent UPDATE SET must refuse, not mis-execute
+    with pytest.raises(UserException, match="full-row update"):
+        ex.execute(
+            "MERGE INTO t AS target USING t AS source "
+            "ON target.k = source.k "
+            "WHEN MATCHED THEN UPDATE SET target.v = 0.0 "
+            "WHEN NOT MATCHED THEN INSERT (k, s, v) "
+            "VALUES (source.k, source.s, source.v)"
+        )
+    # string literals survive the qualified-name rewrite
+    ex.execute(
+        "CREATE OR REPLACE TABLE wh.orders AS "
+        "SELECT k, 'wh.orders' AS src_tag FROM t"
+    )
+    got = ex.execute(
+        "SELECT COUNT(*) AS n FROM wh.orders "
+        "WHERE src_tag = 'wh.orders'"
+    ).collect()[0]["n"]
+    assert got == 3
+    # TRUNCATE preserves the partition layout
+    ex.execute(
+        "CREATE OR REPLACE TABLE pt (k BIGINT, r STRING) USING DELTA "
+        "PARTITIONED BY (r)"
+    )
+    ex.spark.createDataFrame([(1, "x")], "k long, r string")\
+        .createOrReplaceTempView("ptv")
+    ex.execute("INSERT INTO pt SELECT k, r FROM ptv")
+    ex.execute("TRUNCATE TABLE pt")
+    assert ex.table("pt").latest_commit().partition_by == ["r"]
