@@ -121,6 +121,18 @@ class StatementExecutor:
         flags=re.IGNORECASE | re.DOTALL,
     )
 
+    _VIEW = re.compile(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+        rf"({_IDENT})\s+AS\s+(?P<q>SELECT\s+.*|WITH\s+.*)$",
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+
+    def _view_path(self, name: str) -> str:
+        clean = name.replace("`", "").replace(".", "__")
+        if "/" in clean or clean in ("", ".", ".."):
+            raise UserException(f"Bad view identifier {name!r}")
+        return os.path.join(self.root, "_views", clean + ".sql")
+
     _CTAS = re.compile(
         r"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
         r"(?:(IF\s+NOT\s+EXISTS)\s+)?"
@@ -129,6 +141,18 @@ class StatementExecutor:
     )
 
     def _create(self, s: str):
+        vm = self._VIEW.match(s)
+        if vm:
+            # persisted logical view: the TEXT is stored and expanded
+            # at query time against the then-current snapshots (the
+            # standard view contract — always fresh, never a copy)
+            path = self._view_path(vm.group(1))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(vm.group("q"))
+            os.replace(tmp, path)
+            return None
         cm = self._CTAS.match(s)
         if cm:
             # CREATE TABLE … AS SELECT (CTAS): the reference's
@@ -240,7 +264,8 @@ class StatementExecutor:
     # ---------- INSERT INTO … SELECT (component.py:230,235) ----------
 
     _INSERT = re.compile(
-        rf"INSERT\s+INTO\s+({_IDENT})\s+(?P<q>SELECT\s+.*)$",
+        rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+"
+        r"(?P<q>SELECT\s+.*)$",
         flags=re.IGNORECASE | re.DOTALL,
     )
 
@@ -248,9 +273,17 @@ class StatementExecutor:
         m = self._INSERT.match(s)
         if not m:
             raise UserException(f"Unsupported INSERT shape: {s[:120]}")
-        t = self.table(m.group(1))
+        t = self.table(m.group(2))
         df = self._select(m.group("q"))
-        t.write(df, mode="append")
+        if m.group(1).upper() == "OVERWRITE":
+            prev = t.latest_commit()
+            t.write(
+                df, mode="overwrite",
+                partition_by=list(prev.partition_by or []) if prev else None,
+                primary_key=list(prev.primary_key or []) if prev else None,
+            )
+        else:
+            t.write(df, mode="append")
         return None
 
     # ---------- MERGE INTO (component.py:250-260) ----------
@@ -578,6 +611,27 @@ class StatementExecutor:
         snapshots. ``table_changes('t', from[, to])`` (Databricks' CDF
         TVF) resolves to ManagedTable.read_changes."""
         q = s
+        # persisted views expand FIRST (their text may reference
+        # tables, TVFs, or time travel)
+        vdir = os.path.join(self.root, "_views")
+        if os.path.isdir(vdir):
+            for vf in sorted(os.listdir(vdir)):
+                if not vf.endswith(".sql"):
+                    continue
+                vname = vf[:-4].replace("__", ".")
+                pat = re.compile(
+                    rf"(?<![\w.]){re.escape(vname)}(?![\w])"
+                )
+                if not pat.search(q):
+                    continue
+                with open(os.path.join(vdir, vf)) as fh:
+                    body = fh.read()
+                segs = q.split("'")
+                q = "'".join(
+                    pat.sub(f"({body})", seg) if i % 2 == 0 else seg
+                    for i, seg in enumerate(segs)
+                )
+            s = q
         # time travel: FROM t VERSION AS OF n → snapshot view
         for i, vm in enumerate(self._VAO.finditer(s)):
             name, ver = vm.group(1), int(vm.group(2))

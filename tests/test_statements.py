@@ -215,3 +215,20 @@ def test_review_fixes_statements(ex):
     ex.execute("INSERT INTO pt SELECT k, r FROM ptv")
     ex.execute("TRUNCATE TABLE pt")
     assert ex.table("pt").latest_commit().partition_by == ["r"]
+
+
+def test_insert_overwrite_and_views(ex):
+    t = _seed(ex)
+    # INSERT OVERWRITE truncates-and-loads, keeping PK metadata
+    ex.spark.createDataFrame([(7, "z", 7.0)], "k long, s string, v double")\
+        .createOrReplaceTempView("ow")
+    ex.execute("INSERT OVERWRITE t SELECT k, s, v FROM ow")
+    assert {r["k"] for r in t.read().collect()} == {7}
+    assert t.latest_commit().primary_key == ["k"]
+    # persisted view over the live table: always-fresh expansion
+    ex.execute("CREATE OR REPLACE VIEW big_v AS SELECT k, v FROM t WHERE v > 5.0")
+    assert [r["k"] for r in ex.execute("SELECT k FROM big_v").collect()] == [7]
+    ex.execute("INSERT INTO t SELECT k + 1 AS k, s, v + 10.0 AS v FROM ow")
+    got = {r["k"] for r in ex.execute(
+        "SELECT k FROM big_v ORDER BY k").collect()}
+    assert got == {7, 8}  # the view tracked the new row
