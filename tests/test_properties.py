@@ -238,3 +238,38 @@ def test_merge_asof_matches_pandas(spark, left, right, direction, tolerance):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=rows_strategy.filter(lambda r: len(r) > 0),
+    batch=rows_strategy,
+    cut=st.integers(0, 30),
+)
+def test_replace_where_model(spark, base, batch, cut):
+    """replace_where == delete-matching ∪ batch, for an arbitrary
+    range predicate and batches clamped into the predicate (the
+    enforced contract)."""
+    import tempfile
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, d + "/t")
+        bdf = spark.createDataFrame(base, "k int, v int")
+        t.write(bdf, mode="overwrite")
+        cond = f"k >= {cut}"
+        in_scope = [(k, v) for k, v in batch if k >= cut]
+        sdf = (
+            spark.createDataFrame(in_scope, "k int, v int")
+            if in_scope
+            else spark.createDataFrame([], "k int, v int")
+        )
+        t.replace_where(sdf, cond)
+        got = sorted((r["k"], r["v"]) for r in t.read().collect())
+        want = sorted([(k, v) for k, v in base if k < cut] + in_scope)
+        assert got == want
