@@ -146,3 +146,52 @@ def merge_asof(
     out_cols.append(F.col("_m")["_r_on"].alias(f"{on}{suffix}"))
     out_cols.extend(F.col("_m")[c].alias(f"{c}{suffix}") for c in r_payload)
     return df.select(*out_cols)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    on: str,
+    value_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL values along ``on`` (per ``by``
+    group): each missing value becomes the straight line between its
+    nearest known neighbors; rows before the first or after the last
+    known point stay NULL (no extrapolation — matching pandas
+    ``interpolate(limit_area='inside')``).
+
+    One shuffle on the group key; two windows over the same ordering
+    (previous-known via last-ignore-nulls, next-known via the reversed
+    frame) — the gap-fill sibling of LOCF for continuous measures
+    (sensor feeds, price curves) where carrying the last observation
+    flat would bias downstream aggregates.
+    """
+    by = by or []
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    known = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(on).alias("_t"), F.col(value_col).alias("_v")),
+    )
+    df = (
+        df.withColumn("_pk", F.last(known, ignorenulls=True).over(w_prev))
+        .withColumn("_nk", F.last(known, ignorenulls=True).over(w_next))
+    )
+    p, n = F.col("_pk"), F.col("_nk")
+    t = F.col(on).cast("double")
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).when(
+        p.isNotNull() & n.isNotNull() & (n["_t"] != p["_t"]),
+        p["_v"]
+        + (n["_v"] - p["_v"])
+        * (t - p["_t"].cast("double"))
+        / (n["_t"].cast("double") - p["_t"].cast("double")),
+    )
+    return df.withColumn(value_col, interp).drop("_pk", "_nk")

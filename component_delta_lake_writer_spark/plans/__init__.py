@@ -165,6 +165,7 @@ _FRONT = [
     "optimize_where_scoped",
     "stream_cdf_source",
     "stream_replicate_cdf",
+    "interpolate_linear_series",
     # -- green in rounds 1-2; write/managed-table surface first --
     "csv_scan_typed",
     "cast_matrix",

@@ -1077,3 +1077,98 @@ def python_datasource_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("manifest", man)
         .load()
     )
+
+
+@query(
+    "interpolate_linear_series",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id % 5 AS grp, date_trunc('hour', ts) AS h,
+        CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT g.grp, s.h
+      FROM (SELECT DISTINCT grp FROM hourly) g
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT MIN(h) FROM hourly),
+          (SELECT MAX(h) FROM hourly),
+          INTERVAL 1 HOUR)) AS h
+      ) s
+    ),
+    joined AS (
+      SELECT sp.grp, sp.h, epoch_us(sp.h) AS t, hv.v
+      FROM spine sp LEFT JOIN hourly hv
+        ON hv.grp = sp.grp AND hv.h = sp.h
+    ),
+    marked AS (
+      SELECT grp, h, t, v,
+        MAX(CASE WHEN v IS NOT NULL THEN t END)
+          OVER (PARTITION BY grp ORDER BY t
+                ROWS UNBOUNDED PRECEDING) AS pt,
+        MIN(CASE WHEN v IS NOT NULL THEN t END)
+          OVER (PARTITION BY grp ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM joined
+    ),
+    vals AS (
+      SELECT m.grp, m.h, m.t, m.v, m.pt, m.nt,
+        pv.v AS pv, nv.v AS nv
+      FROM marked m
+      LEFT JOIN joined pv ON pv.grp = m.grp AND pv.t = m.pt
+      LEFT JOIN joined nv ON nv.grp = m.grp AND nv.t = m.nt
+    )
+    SELECT grp, h,
+      ROUND(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+          THEN pv + (nv - pv) * (CAST(t AS DOUBLE) - pt) / (nt - pt)
+      END, 6) AS v
+    FROM vals
+    """,
+)
+def interpolate_linear_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (operators.timeseries
+    ::interpolate_linear): hourly purchase sums per user-group on a
+    dense spine; missing hours get the straight line between their
+    known neighbors, edges stay NULL — the continuous-measure sibling
+    of the LOCF gap-fill (`gap_fill_hourly`). Oracle rebuilds the
+    same two-window interpolation in DuckDB."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = (
+        e.groupBy(
+            (F.col("user_id") % 5).alias("grp"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).first()
+    spine = (
+        hourly.select("grp").distinct()
+        .crossJoin(
+            spark.sql(
+                f"SELECT explode(sequence(TIMESTAMP '{bounds['lo']}', "
+                f"TIMESTAMP '{bounds['hi']}', INTERVAL 1 HOUR)) AS h"
+            )
+        )
+    )
+    joined = spine.join(hourly, ["grp", "h"], "left").withColumn(
+        "t", F.col("h").cast("timestamp").cast("long") * 1_000_000
+    )
+    out = interpolate_linear(joined, on="t", value_col="v", by=["grp"])
+    return out.select("grp", "h", F.round("v", 6).alias("v"))

@@ -770,3 +770,26 @@ def test_stream_replicate_replace_where_ordering(spark, tmp_path):
     q.awaitTermination()
     got = {(r["k"], r["v"]) for r in dst.read().collect()}
     assert got == {(1, -1.0), (2, -2.0), (3, 3.0)}
+
+
+def test_interpolate_linear_semantics(spark):
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 10, 10.0), ("a", 20, None),
+         ("a", 30, None), ("a", 40, 40.0), ("a", 50, None),
+         ("b", 0, 5.0)],
+        "g string, t long, v double",
+    )
+    got = {
+        (r["g"], r["t"]): r["v"]
+        for r in interpolate_linear(df, on="t", value_col="v",
+                                    by=["g"]).collect()
+    }
+    assert got[("a", 0)] is None           # before first known: NULL
+    assert got[("a", 20)] == 20.0          # lerp 10→40 over 10..40
+    assert got[("a", 30)] == 30.0
+    assert got[("a", 50)] is None          # after last known: NULL
+    assert got[("b", 0)] == 5.0            # knowns untouched
