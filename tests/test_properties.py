@@ -273,3 +273,93 @@ def test_replace_where_model(spark, base, batch, cut):
         got = sorted((r["k"], r["v"]) for r in t.read().collect())
         want = sorted([(k, v) for k, v in base if k < cut] + in_scope)
         assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["loader", "merger", "other"]),  # appId
+            st.integers(1, 4),                               # txn version
+            st.integers(0, 5),                               # batch tag
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_txn_watermarks_model(spark, ops):
+    """Writer-transaction model: replaying any sequence of (appId,
+    version) writes applies exactly the subsequence whose version is
+    a NEW high-water mark for its app — everything else no-ops, in
+    any interleaving."""
+    import tempfile
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, d + "/t")
+        t.write(spark.createDataFrame([(0, -1, -1)],
+                                      "row int, app int, tag int"),
+                mode="overwrite")
+        hwm: dict[str, int] = {}
+        applied = []
+        apps = {"loader": 0, "merger": 1, "other": 2}
+        for i, (app, v, tag) in enumerate(ops):
+            t.write(
+                spark.createDataFrame([(i + 1, apps[app], tag)],
+                                      "row int, app int, tag int"),
+                mode="append", txn=(app, v),
+            )
+            if hwm.get(app, 0) < v:
+                hwm[app] = v
+                applied.append(i + 1)
+        got = sorted(r["row"] for r in t.read().collect())
+        assert got == [0] + applied
+        assert (t.latest_commit().txns or {}) == hwm
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    waves=st.lists(
+        st.sets(st.integers(0, 5), max_size=6), min_size=1, max_size=4
+    )
+)
+def test_copy_into_idempotence_model(spark, waves):
+    """COPY INTO model: across arbitrary overlapping waves of landing
+    files, every file's rows load EXACTLY once — the table equals the
+    union of all distinct files ever matched."""
+    import os
+    import tempfile
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from pyspark.sql import types as T
+
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "land")
+        os.makedirs(land)
+        t = ManagedTable(spark, d + "/t")
+        schema = T.StructType.fromDDL("f int, r int")
+        seen: set[int] = set()
+        for wave in waves:
+            for f in wave:
+                p = os.path.join(land, f"s{f}.csv")
+                if not os.path.exists(p):
+                    with open(p, "w") as fh:
+                        for r in range(3):
+                            fh.write(f"{f},{r}\n")
+            if not os.listdir(land):
+                continue
+            t.copy_into(os.path.join(land, "*.csv"),
+                        file_format="csv", schema=schema)
+            seen |= wave
+        if seen:
+            got = sorted((r["f"], r["r"]) for r in t.read().collect())
+            want = sorted((f, r) for f in seen for r in range(3))
+            assert got == want
