@@ -35,10 +35,10 @@ _FRONT = [
     # writer txns, COPY INTO, type widening, scoped full-sync MERGE,
     # the statement executor, merge_asof, VARIANT, the Python Data
     # Source connector, the lakehouse-ETL capstone, scoped OPTIMIZE
-    # WHERE, the CDF streaming source + continuous replication).
-    # Registry now 200 keys, all oracled; the whole registry sweeps
-    # green under scripts/driver_sim.py at sf0.01 (latest full sweep:
-    # 0 FAIL).
+    # WHERE, the CDF streaming source + continuous replication, linear
+    # interpolation).  Registry now 201 keys, all oracled; the whole
+    # registry sweeps green under scripts/driver_sim.py at sf0.01
+    # (final session sweep: 201 keys, 0 FAIL, 192.5 s).
     # ------------------------------------------------------------------
     # -- err in round 2 (driver canonicalizer vs array column); probe
     # now emits scalar (vec_id, pos, q_i, scale) rows --
