@@ -2437,15 +2437,16 @@ class ManagedTable:
         if partition_tuples and prev.partition_by:
             # hive-layout pruning: partition values live in DIRECTORY
             # names, not parquet footers — a unit is touched iff its
-            # directory tree contains one of the replaced partitions
-            touched = [
-                u
-                for u in prev.data_units
+            # directory tree contains one of the replaced partitions.
+            # One walk per unit (seen-map reused across all tuples).
+            touched = []
+            for u in prev.data_units:
+                seen = self._unit_partition_values(u)
                 if any(
-                    self._unit_has_partition(u, t, prev.partition_by)
+                    self._tuple_in_unit(seen, t, prev.partition_by)
                     for t in partition_tuples
-                )
-            ]
+                ):
+                    touched.append(u)
         elif prune_disjuncts:
             # OR-of-flat-ANDs predicates can't prune as one string;
             # the union of per-disjunct pruning is a sound superset
@@ -2731,34 +2732,41 @@ class ManagedTable:
             src.unpersist()
         return commit
 
-    def _unit_has_partition(
-        self, unit: str, t: dict, partition_by: list[str]
-    ) -> bool:
-        """Does the unit's hive directory tree contain partition
-        tuple ``t``? Conservative: a partition column with no
-        directory evidence counts as present."""
-        import urllib.parse as _up
+    def _unit_partition_values(self, unit: str) -> dict[str, set]:
+        """{partition col: set of on-disk value strings (None=NULL)}
+        from one walk of the unit's hive directory tree."""
+        from component_delta_lake_writer_spark.sinks.hive_layout import (
+            decode_segments,
+        )
 
         base = os.path.join(self._data_dir, unit)
         seen: dict[str, set] = {}
         for root, _dirs, _files in os.walk(base):
-            rel = os.path.relpath(root, base)
-            if rel == ".":
-                continue
-            for seg in rel.split(os.sep):
-                if "=" in seg:
-                    k, _, v = seg.partition("=")
-                    seen.setdefault(k, set()).add(
-                        None
-                        if v == "__HIVE_DEFAULT_PARTITION__"
-                        else _up.unquote(v)
-                    )
+            for k, v in decode_segments(
+                os.path.relpath(root, base)
+            ).items():
+                seen.setdefault(k, set()).add(v)
+        return seen
+
+    @staticmethod
+    def _tuple_in_unit(
+        seen: dict[str, set], t: dict, partition_by: list[str]
+    ) -> bool:
+        """Can the unit contain partition tuple ``t``? Conservative:
+        missing evidence or an un-reproducible value encoding (floats,
+        timestamps) counts as present — pruning must never drop a
+        partition that is actually there."""
+        from component_delta_lake_writer_spark.sinks.hive_layout import (
+            value_matches,
+        )
+
         for c in partition_by:
             if c not in t or c not in seen:
-                continue  # no evidence — stay conservative
-            want = t[c]
-            want_s = None if want is None else str(want)
-            if want_s not in seen[c]:
+                continue
+            verdicts = [value_matches(d, t[c]) for d in seen[c]]
+            if any(v is None for v in verdicts):
+                continue  # unknown encoding — conservative
+            if not any(verdicts):
                 return False
         return True
 

@@ -519,17 +519,18 @@ class StatementExecutor:
     def _show(self, s: str):
         m = re.match(r"SHOW\s+TABLES\s*$", s, flags=re.IGNORECASE)
         if m:
+            from pyspark.sql import types as T
+
             rows = []
             for root, dirs, _files in os.walk(self.root):
                 if "_commits" in dirs:
                     rel = os.path.relpath(root, self.root)
                     rows.append((rel.replace(os.sep, "."),))
                     dirs.clear()
-            if not rows:
-                rows = []
             return self.spark.createDataFrame(
-                sorted(rows) or [("",)], "table string"
-            ).filter("table != ''")
+                sorted(rows),
+                T.StructType([T.StructField("table", T.StringType())]),
+            )
         m = re.match(
             rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", s, flags=re.IGNORECASE
         )
@@ -574,6 +575,18 @@ class StatementExecutor:
         self.table(m.group(1)).generate_symlink_manifest()
         return None
 
+    @staticmethod
+    def _sub_outside_literals(pattern: re.Pattern, repl: str, sql: str) -> str:
+        """Apply ``pattern → repl`` only OUTSIDE single-quoted string
+        literals (split on quotes; even segments are code). ``repl``
+        is inserted VERBATIM — never treated as a regex template, so
+        view bodies containing backslashes or \1 survive."""
+        segs = sql.split("'")
+        return "'".join(
+            pattern.sub(lambda _m: repl, seg) if i % 2 == 0 else seg
+            for i, seg in enumerate(segs)
+        )
+
     # ---------- SELECT passthrough ----------
 
     _FROM_TABLES = re.compile(
@@ -612,24 +625,31 @@ class StatementExecutor:
         TVF) resolves to ManagedTable.read_changes."""
         q = s
         # persisted views expand FIRST (their text may reference
-        # tables, TVFs, or time travel)
+        # tables, TVFs, time travel — or OTHER VIEWS, so expansion
+        # iterates to a fixpoint with a cycle-guard cap)
         vdir = os.path.join(self.root, "_views")
         if os.path.isdir(vdir):
+            views = {}
             for vf in sorted(os.listdir(vdir)):
-                if not vf.endswith(".sql"):
-                    continue
-                vname = vf[:-4].replace("__", ".")
-                pat = re.compile(
-                    rf"(?<![\w.]){re.escape(vname)}(?![\w])"
-                )
-                if not pat.search(q):
-                    continue
-                with open(os.path.join(vdir, vf)) as fh:
-                    body = fh.read()
-                segs = q.split("'")
-                q = "'".join(
-                    pat.sub(f"({body})", seg) if i % 2 == 0 else seg
-                    for i, seg in enumerate(segs)
+                if vf.endswith(".sql"):
+                    with open(os.path.join(vdir, vf)) as fh:
+                        views[vf[:-4].replace("__", ".")] = fh.read()
+            for _round in range(10):
+                changed = False
+                for vname, body in views.items():
+                    pat = re.compile(
+                        rf"(?<![\w.]){re.escape(vname)}(?![\w])"
+                    )
+                    new_q = self._sub_outside_literals(
+                        pat, f"({body})", q
+                    )
+                    if new_q != q:
+                        q, changed = new_q, True
+                if not changed:
+                    break
+            else:
+                raise UserException(
+                    "View expansion did not converge (cyclic views?)."
                 )
             s = q
         # time travel: FROM t VERSION AS OF n → snapshot view
@@ -660,16 +680,10 @@ class StatementExecutor:
                 if view != name:
                     # also rewrites qualified column refs (name.col →
                     # view.col); a trailing word char still blocks so
-                    # `wh.orders2` never matches `wh.orders` — and the
-                    # rewrite never touches text inside string
-                    # literals (split on quotes, rewrite even
-                    # segments only)
+                    # `wh.orders2` never matches `wh.orders`; string
+                    # literals are never touched
                     pat = re.compile(
                         rf"(?<![\w.]){re.escape(name)}(?![\w])"
                     )
-                    segs = q.split("'")
-                    q = "'".join(
-                        pat.sub(view, seg) if i % 2 == 0 else seg
-                        for i, seg in enumerate(segs)
-                    )
+                    q = self._sub_outside_literals(pat, view, q)
         return self.spark.sql(q)

@@ -31,8 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-from urllib.parse import unquote
-
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,6 +39,30 @@ from pyspark.sql.datasource import (
 )
 
 from component_delta_lake_writer_spark.errors import UserException
+
+
+def _typed_partition_value(raw: str | None, dtype):
+    """Decode a hive-dir partition value string into the schema's
+    Python type (the worker-side twin of Spark's own partition-value
+    casting — booleans, dates, timestamps and decimals included)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+        return int(raw)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime.fromisoformat(raw.replace(" ", "T", 1))
+    if isinstance(dtype, T.DecimalType):
+        return _dec.Decimal(raw)
+    return raw
 
 _ATTRIBUTABLE = ("append", "upsert", "delete", "update", "replace_where")
 _NOOP = (
@@ -162,19 +184,13 @@ class CdfStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _unit_files(base, version, change_type, mapping):
+        from component_delta_lake_writer_spark.sinks.hive_layout import (
+            decode_segments,
+        )
+
         out = []
         for root, _dirs, files in os.walk(base):
-            pvals: dict = {}
-            rel = os.path.relpath(root, base)
-            if rel != ".":
-                for seg in rel.split(os.sep):
-                    if "=" in seg:
-                        k, _, val = seg.partition("=")
-                        pvals[k] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(val)
-                        )
+            pvals = decode_segments(os.path.relpath(root, base))
             for fn in sorted(files):
                 if fn.endswith(".parquet") and not fn.startswith((".", "_")):
                     out.append(
@@ -207,16 +223,9 @@ class CdfStreamReader(DataSourceStreamReader):
                     out_cols.append(cols[phys])
                 elif f.name in partition.partition_values:
                     raw = partition.partition_values[f.name]
-                    val = raw
-                    if raw is not None and isinstance(
-                        f.dataType, (T.IntegerType, T.LongType)
-                    ):
-                        val = int(raw)
-                    elif raw is not None and isinstance(
-                        f.dataType, (T.DoubleType, T.FloatType)
-                    ):
-                        val = float(raw)
-                    out_cols.append([val] * n)
+                    out_cols.append(
+                        [_typed_partition_value(raw, f.dataType)] * n
+                    )
                 else:
                     out_cols.append([None] * n)
         yield from zip(*out_cols) if n else iter(())

@@ -793,3 +793,45 @@ def test_interpolate_linear_semantics(spark):
     assert got[("a", 30)] == 30.0
     assert got[("a", 50)] is None          # after last known: NULL
     assert got[("b", 0)] == 5.0            # knowns untouched
+
+
+def test_cdf_stream_partitioned_typed_values(spark, tmp_path):
+    """Streaming a CDF feed of a date+boolean-partitioned table: the
+    hive directory values must come back TYPED, not as raw strings."""
+    import datetime as dt
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "tp"))
+    t.write(
+        spark.createDataFrame(
+            [(1, dt.date(2024, 1, 1), True)], "k int, day date, hot boolean"
+        ),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    t.write(
+        spark.createDataFrame(
+            [(2, dt.date(2024, 1, 2), False)],
+            "k int, day date, hot boolean",
+        ),
+        mode="append",
+    )
+    register(spark)
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory").queryName("tcs_typed")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["k"], r["day"], r["hot"])
+        for r in spark.table("tcs_typed").collect()
+    }
+    assert rows == {(2, dt.date(2024, 1, 2), False)}

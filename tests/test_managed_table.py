@@ -1415,3 +1415,34 @@ def test_overwrite_partitions_prunes_units(spark, tmp_path_str):
     assert a_unit <= set(c.data_units), "partition-a unit must carry"
     got = {r["k"] for r in t.read().collect()}
     assert got == {1, 2, 30}
+
+
+def test_overwrite_partitions_boolean_and_date(spark, tmp_path_str):
+    """Hive-encoding-sensitive partition types: booleans ('true' on
+    disk vs Python True) and dates must still replace exactly their
+    partitions — the str(value) comparison regression."""
+    import datetime as dt
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "dpb"))
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, True, 2.0), (3, False, 3.0)],
+        "k int, flag boolean, v double",
+    )
+    t.write(df, mode="overwrite", partition_by=["flag"])
+    t.overwrite_partitions(
+        spark.createDataFrame([(10, True, -1.0)],
+                              "k int, flag boolean, v double")
+    )
+    got = {(r["k"], r["flag"]) for r in t.read().collect()}
+    assert got == {(10, True), (3, False)}
+    d = ManagedTable(spark, os.path.join(tmp_path_str, "dpd"))
+    ddf = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2))],
+        "k int, day date",
+    )
+    d.write(ddf, mode="overwrite", partition_by=["day"])
+    d.overwrite_partitions(
+        spark.createDataFrame([(20, dt.date(2024, 1, 2))],
+                              "k int, day date")
+    )
+    assert {(r["k"],) for r in d.read().collect()} == {(1,), (20,)}

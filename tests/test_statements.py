@@ -232,3 +232,19 @@ def test_insert_overwrite_and_views(ex):
     got = {r["k"] for r in ex.execute(
         "SELECT k FROM big_v ORDER BY k").collect()}
     assert got == {7, 8}  # the view tracked the new row
+
+
+def test_view_fixes_nested_and_backslash(ex):
+    _seed(ex)
+    # a view body containing regex backslashes must expand verbatim
+    ex.execute(
+        "CREATE OR REPLACE VIEW digits AS "
+        "SELECT k FROM t WHERE s RLIKE '[a-c]\\\\w*'"
+    )
+    assert {r["k"] for r in ex.execute("SELECT k FROM digits").collect()} \
+        == {1, 2, 3}
+    # nested views in unfavorable alphabetical order (a_base < z_top)
+    ex.execute("CREATE VIEW a_base AS SELECT k, v FROM t WHERE k <= 2")
+    ex.execute("CREATE VIEW z_top AS SELECT k FROM a_base WHERE v >= 2.0")
+    assert [r["k"] for r in ex.execute(
+        "SELECT k FROM z_top ORDER BY k").collect()] == [2]
