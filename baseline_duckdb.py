@@ -171,6 +171,70 @@ def measure(
     return timings
 
 
+def measure_merge_scaled(
+    threads: int = 32,
+    max_memory_mb: int = 8192,
+    scale: int = 100,
+    source_mod: int = 100,
+    sf_dir: str | None = None,
+    verbose: bool = True,
+) -> float:
+    """The LARGE-TARGET / SMALL-SOURCE merge shape: orders replicated
+    ``scale``×, source = the 1-in-``source_mod`` keys price-updated
+    (no inserts). DuckDB's merge is necessarily copy-on-write — the
+    full target re-materializes — so its cost is O(target); the
+    engine's merge-on-read answer is O(source). This measured point is
+    the merge-ratio CURVE the 100 TB argument rests on. Returns the
+    timed merge seconds (target build untimed, same as measure())."""
+    sf_dir = sf_dir or SF_DIR
+    work = tempfile.mkdtemp(prefix="duckdb_merge_curve_")
+    con = duckdb.connect(os.path.join(work, "env.duckdb"))
+    con.execute(f"SET threads={threads}")
+    con.execute(f"SET max_memory='{max_memory_mb}MB'")
+    con.execute("SET preserve_insertion_order=true")
+    parts = [
+        f"SELECT * REPLACE (o_orderkey + {i * 10**10} AS o_orderkey) "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+        for i in range(scale)
+    ]
+    rep = "(" + " UNION ALL ".join(parts) + ")"
+    con.execute(
+        f"""
+        COPY (SELECT * FROM {rep}) TO '{work}/target.parquet'
+        (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW target AS "
+        f"SELECT * FROM read_parquet('{work}/target.parquet')"
+    )
+    con.execute(
+        f"""
+        CREATE TABLE source AS
+        SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+        FROM target WHERE o_orderkey % {source_mod} = 0
+        """
+    )
+    t0 = time.perf_counter()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM source
+          UNION ALL
+          SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
+        ) TO '{work}/merged.parquet'
+        (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+        """
+    )
+    dt = round(time.perf_counter() - t0, 3)
+    if verbose:
+        print(f"# merge_scaled x{scale} src 1/{source_mod}: {dt:.3f}s",
+              file=sys.stderr)
+    con.close()
+    shutil.rmtree(work, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threads", type=int, default=1)

@@ -59,6 +59,11 @@ HEADLINE = [
 # retrieval baseline exists only as the correctness twin of
 # ann_batch_lsh_topk; it must never be a bench-visible path at sf≥0.1.
 
+# FROZEN as of round 4 (31 queries): round-over-round suite totals are
+# only comparable when the set is fixed. Bump the version (and note it
+# in BASELINE.md) if the list ever changes; never mutate it silently.
+SUITE_VERSION = "v1-31q-r4"
+
 
 def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
     """The BASELINE.md §2 envelope workloads, Spark-side — the exact
@@ -170,6 +175,77 @@ def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
     return timings
 
 
+def _merge_curve(
+    spark, sf_dir: str, scale: int = 100, source_mod: int = 100
+) -> dict:
+    """The merge-ratio CURVE's second measured point (VERDICT r3 task
+    2): target = orders ×``scale`` (≈15 M rows at sf0.1), source = the
+    1-in-``source_mod`` keys price-updated. Merge-on-read's write cost
+    is O(source) while any copy-on-write engine (the DuckDB twin
+    included) pays O(target) — so the MOR/COW ratio must FALL as
+    target/source grows. Target builds are untimed on both sides; the
+    source is persisted before timing (same methodology as
+    _envelope). Single run: this shape exists to place one point on
+    the curve, not to re-measure the envelope."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_merge_curve_")
+    base = load_table(spark, sf_dir, "orders")
+    target_df = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 10**10)
+            )
+            for i in range(scale)
+        ],
+    )
+    t = ManagedTable(spark, os.path.join(work, "orders_big"))
+    t.write(target_df, mode="overwrite", compression="none",
+            max_records_per_file=25_000)
+    source = (
+        t.read()
+        .filter(F.col("o_orderkey") % source_mod == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .persist()
+    )
+    n_src = source.count()
+    t0 = time.perf_counter()
+    t.upsert(source, ["o_orderkey"], compression="none",
+             max_records_per_file=25_000, strategy="merge-on-read")
+    spark_mor = round(time.perf_counter() - t0, 3)
+    source.unpersist()
+    n_tgt = t.read().count()
+    shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "scale": scale,
+        "source_fraction": round(n_src / max(n_tgt, 1), 4),
+        "target_rows": n_tgt,
+        "source_rows": n_src,
+        "spark_merge_mor_sec": spark_mor,
+    }
+    try:
+        from baseline_duckdb import measure_merge_scaled
+
+        duck = measure_merge_scaled(
+            threads=32, max_memory_mb=8192, scale=scale,
+            source_mod=source_mod, sf_dir=sf_dir, verbose=False,
+        )
+        out["duckdb_merge_cow_sec"] = duck
+        out["mor_vs_duckdb_ratio"] = round(spark_mor / duck, 2)
+    except Exception as exc:
+        print(f"# duckdb merge-curve twin failed: {exc}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
@@ -208,9 +284,21 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        "suite_version": SUITE_VERSION,
         "queries": per_query,
         "envelope_scale10": env,
     }
+
+    # one measured point on the merge-ratio curve: ×100 target, 1%
+    # source — the shape where merge-on-read's O(source) write cost
+    # separates from copy-on-write's O(target)
+    try:
+        curve = _merge_curve(spark, SF_DIR)
+        result["merge_curve_scale100_src1pct"] = curve
+        for k, v in curve.items():
+            print(f"# merge_curve/{k}: {v}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# merge curve failed: {exc}", file=sys.stderr)
 
     # Measured DuckDB twin (BASELINE.md §2), re-measured IN THIS RUN
     # (median of 3, hardware-matched threads32 ×10 profile) so the

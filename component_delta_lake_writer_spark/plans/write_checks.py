@@ -1817,6 +1817,7 @@ def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         spark.readStream.format("table_changes_stream")
         .option("path", t.path)
+        .option("startingVersion", "1")
         .load()
         .writeStream.format("memory").queryName(name)
         .trigger(availableNow=True).start()

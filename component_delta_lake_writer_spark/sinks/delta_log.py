@@ -307,14 +307,20 @@ def write_delta_log_entry(
         tid = _table_id(log_dir) or uuid.uuid4().hex
         mapped_mode = bool(cm or prev_cm or _log_has_mapping(log_dir))
         # re-emit the protocol whenever the capabilities the schema
-        # needs actually changed (timestampNtz flip, mapping enabled,
-        # first DEFAULT column, first type widening, …) — the derived
-        # action is compared structurally instead of special-casing
-        # each feature
-        if prev_schema_json is None or _protocol_action(
-            schema_json, bool(cm)
-        ) != _protocol_action(prev_schema_json, bool(prev_cm)):
-            actions.append(_protocol_action(schema_json, bool(cm)))
+        # needs actually GREW (timestampNtz flip, mapping enabled,
+        # first DEFAULT column, first type widening, …). Delta never
+        # auto-downgrades: when a rewrite drops a capability (e.g. an
+        # overwrite losing CURRENT_DEFAULT), the prior protocol stands
+        # and nothing is emitted — _protocol_upgrade returns the
+        # monotonic max or None.
+        needed = _protocol_action(schema_json, bool(cm))
+        last = _log_last_protocol(log_dir)
+        if last is None:
+            actions.append(needed)
+        else:
+            up = _protocol_upgrade(last, needed)
+            if up is not None:
+                actions.append(up)
         actions.append(
             _metadata_action(
                 tid, schema_json, partition_by, timestamp_ms,
@@ -369,6 +375,83 @@ def write_delta_log_entry(
         os.unlink(tmp)
     _set_stale(table_path, version, rows_diverge)
     return final
+
+
+_WRITER_LADDER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"generatedColumns", "changeDataFeed"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def _protocol_caps(p: dict) -> tuple[int, int, frozenset, frozenset]:
+    """Canonical capability view of a protocol action: (minReader,
+    minWriter, reader features, writer features) with the legacy
+    version ladder expanded to its implied feature sets, so legacy and
+    table-features protocols compare on equal footing."""
+    pr = p["protocol"]
+    r, w = pr["minReaderVersion"], pr["minWriterVersion"]
+    if "readerFeatures" in pr or "writerFeatures" in pr:
+        return (
+            r, w,
+            frozenset(pr.get("readerFeatures") or ()),
+            frozenset(pr.get("writerFeatures") or ()),
+        )
+    rc = frozenset({"columnMapping"} if r >= 2 else ())
+    wc: set = set()
+    for v in range(2, w + 1):
+        wc |= _WRITER_LADDER_FEATURES.get(v, set())
+    return r, w, rc, frozenset(wc)
+
+
+def _protocol_upgrade(prev: dict, new: dict) -> dict | None:
+    """Delta never downgrades protocol: return the action to emit for
+    this commit, or None when the previous protocol already covers the
+    new requirements. A strict upgrade emits ``new`` verbatim; the
+    (rare) mixed case — a capability lost while another is gained in
+    one commit — emits the monotonic MAX as a table-features protocol
+    so no previously-granted capability regresses."""
+    pr, pw, prc, pwc = _protocol_caps(prev)
+    nr, nw, nrc, nwc = _protocol_caps(new)
+    if nr <= pr and nw <= pw and nrc <= prc and nwc <= pwc:
+        return None  # covered (incl. capability loss): keep the prior
+    if nr >= pr and nw >= pw and nrc >= prc and nwc >= pwc:
+        return new  # strict upgrade
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(prc | nrc),
+            "writerFeatures": sorted(pwc | nwc),
+        }
+    }
+
+
+def _log_last_protocol(log_dir: str) -> dict | None:
+    """The most recent protocol action in the mirror (external readers
+    hold the LAST one replayed), or None for a fresh log."""
+    if not os.path.isdir(log_dir):
+        return None
+    versions = sorted(
+        (
+            int(f[: -len(".json")])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and ".tmp." not in f
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        proto = None
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "protocol" in a:
+                    proto = a
+        if proto is not None:
+            return proto
+    return None
 
 
 def _log_has_mapping(log_dir: str) -> bool:

@@ -320,7 +320,12 @@ class StatementExecutor:
         # partial or divergent SET must refuse, never silently
         # overwrite extra columns.
         def _norm(e: str) -> str:
+            # strip BOTH alias qualifiers: in this restricted shape the
+            # UPDATE/INSERT expressions reference only source columns
+            # and the SET targets only target columns, so a bare name
+            # and its qualified form denote the same thing
             e = re.sub(rf"\b{re.escape(tgt_alias)}\.", "", e.strip())
+            e = re.sub(rf"\b{re.escape(src_alias)}\.", "", e)
             return re.sub(r"\s+", "", e).lower()
 
         set_map: dict[str, str] = {}
@@ -337,11 +342,43 @@ class StatementExecutor:
             )
         # the reference's merge updates every column to the same cast
         # expressions it inserts, so the statement is equivalent to the
-        # engine upsert of the PROJECTED source (O2-deduped by PK)
-        on_pks = re.findall(
-            rf"{re.escape(tgt_alias)}\.(\w+)\s*=", m.group("on"),
-            flags=re.IGNORECASE,
-        )
+        # engine upsert of the PROJECTED source (O2-deduped by PK) —
+        # but ONLY if each ON conjunct's source side IS the insert
+        # expression for that PK. ``ON t.k = CAST(s._c0 AS BIGINT)+1``
+        # would silently join on the wrong expression; refuse it.
+        on_pks: list[str] = []
+        for conj in re.split(
+            r"\s+AND\s+", m.group("on").strip(), flags=re.IGNORECASE
+        ):
+            cm = re.match(
+                rf"\s*{re.escape(tgt_alias)}\.`?(?P<pk>\w+)`?\s*=\s*"
+                r"(?P<src>.+?)\s*$",
+                conj, flags=re.IGNORECASE,
+            ) or re.match(
+                rf"\s*(?P<src>.+?)\s*=\s*"
+                rf"{re.escape(tgt_alias)}\.`?(?P<pk>\w+)`?\s*$",
+                conj, flags=re.IGNORECASE,
+            )
+            if not cm:
+                raise UserException(
+                    "Unsupported MERGE ON conjunct (need "
+                    f"{tgt_alias}.<col> = <source expr>): {conj[:80]}"
+                )
+            pk = cm.group("pk")
+            pk_l = pk.lower()
+            if pk_l not in want:
+                raise UserException(
+                    f"MERGE ON column {pk!r} is not an INSERT column."
+                )
+            if _norm(cm.group("src")) != want[pk_l]:
+                raise UserException(
+                    "Unsupported MERGE shape: ON-clause source "
+                    f"expression for {pk!r} must equal the INSERT "
+                    f"expression ({cm.group('src').strip()!r} vs the "
+                    "projected form) — the executor upserts the INSERT "
+                    "projection and must not mis-join."
+                )
+            on_pks.append(pk)
         if not on_pks:
             raise UserException("MERGE ON clause names no target PK columns.")
         src = self.table(src_name).read()

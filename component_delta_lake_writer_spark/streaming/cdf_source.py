@@ -125,7 +125,12 @@ class CdfStreamReader(DataSourceStreamReader):
             # INCLUSIVE, Delta semantics: startingVersion=N streams
             # commit N itself (0 → the initial snapshot as inserts)
             return {"version": int(self.starting_version) - 1}
-        return {"version": vs[0]}
+        # Delta parity: without startingVersion, the stream's first
+        # batch is the LATEST SNAPSHOT emitted as inserts (stamped with
+        # the snapshot's commit version), then future changes follow.
+        # The extra "snapshot_of" key makes the initial offset differ
+        # from latestOffset's JSON, so the bootstrap batch always runs.
+        return {"version": vs[-1], "snapshot_of": vs[-1]}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.table_path)
@@ -134,6 +139,20 @@ class CdfStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[_ChangeFilePartition] = []
+        if start.get("snapshot_of") is not None:
+            # bootstrap batch (default start): the whole snapshot at
+            # that version streams as inserts; changes resume after it
+            snap = int(start["snapshot_of"])
+            c = _load_commit(self.table_path, snap)
+            mapping = c.get("column_mapping") or {}
+            for u in c["data_units"]:
+                parts.extend(
+                    self._unit_files(
+                        os.path.join(self.table_path, "_data", u),
+                        snap, "insert", mapping,
+                    )
+                )
+            lo = snap
         prev_units = (
             set(_load_commit(self.table_path, lo)["data_units"])
             if lo >= 0

@@ -245,6 +245,13 @@ def stream_replicate(
     feed = (
         spark.readStream.format("table_changes_stream")
         .option("path", src.path)
+        # INCLUSIVE version 0: replay the FULL history — v0's snapshot
+        # streams as inserts, so a source whose create/overwrite commit
+        # carries data replicates without a separate batch bootstrap.
+        # (The source's no-startingVersion default is latest-snapshot-
+        # as-inserts, Delta parity — right for ad-hoc consumers, but
+        # replication wants every commit for per-version txn marks.)
+        .option("startingVersion", "0")
         .load()
     )
     writer = feed.writeStream.foreachBatch(apply_batch).trigger(

@@ -314,3 +314,59 @@ def test_cdf_change_set_carries_schema_merge_columns(spark, tmp_path):
     ch = t.read_changes(0)
     assert "tag" in ch.columns
     assert ch.filter(F.col("tag") == "tagged").count() == 7
+
+
+def test_protocol_never_downgrades_in_mirror(spark, tmp_path):
+    """Delta never auto-downgrades protocol: after ADD COLUMN DEFAULT
+    lifts the mirror to writer 7 (allowColumnDefaults), an overwrite
+    that drops the DEFAULT column must NOT re-emit a lower protocol —
+    the prior action stands (monotonic capability set)."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t.write(df, mode="overwrite")                       # v0: 1/2
+    t.add_column("v", "long", default="42")             # v1: -> writer 7
+    v1 = _actions(t.path, 1)
+    protos = [a["protocol"] for a in v1 if "protocol" in a]
+    assert protos and protos[0]["minWriterVersion"] == 7
+    assert "allowColumnDefaults" in protos[0]["writerFeatures"]
+    # capability LOSS: plain schema again — no protocol action at all
+    t.write(df, mode="overwrite")                       # v2
+    v2 = _actions(t.path, 2)
+    assert not any("protocol" in a for a in v2)
+    # and the log's effective protocol is still the writer-7 one
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _log_last_protocol,
+    )
+    last = _log_last_protocol(os.path.join(t.path, "_delta_log"))
+    assert last["protocol"]["minWriterVersion"] == 7
+
+
+def test_protocol_upgrade_merge_is_monotonic_max():
+    """Unit contract of _protocol_upgrade: covered -> None, strict
+    upgrade -> the new action verbatim, mixed gain+loss -> the
+    monotonic max as a table-features protocol."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _protocol_upgrade,
+    )
+
+    legacy_2 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    legacy_4 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+    feats_defaults = {
+        "protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants",
+                               "allowColumnDefaults"],
+        }
+    }
+    # strict upgrade: emitted verbatim
+    assert _protocol_upgrade(legacy_2, legacy_4) is legacy_4
+    # downgrade / already covered: nothing emitted
+    assert _protocol_upgrade(legacy_4, legacy_2) is None
+    assert _protocol_upgrade(feats_defaults, legacy_2) is None
+    # mixed: defaults lost but generatedColumns (ladder 4) gained ->
+    # union of both capability sets at 3/7
+    up = _protocol_upgrade(feats_defaults, legacy_4)
+    feats = set(up["protocol"]["writerFeatures"])
+    assert {"allowColumnDefaults", "generatedColumns",
+            "changeDataFeed", "appendOnly", "invariants"} <= feats
+    assert up["protocol"]["minWriterVersion"] == 7

@@ -676,6 +676,7 @@ def test_cdf_streaming_source_drains_changes(spark, tmp_path):
     feed = (
         spark.readStream.format("table_changes_stream")
         .option("path", t.path)
+        .option("startingVersion", "1")
         .load()
     )
     q = (
@@ -692,6 +693,45 @@ def test_cdf_streaming_source_drains_changes(spark, tmp_path):
         (2, "update_postimage", 2),
         (4, "insert", 2),
         (1, "delete", 4),
+    }
+
+
+def test_cdf_stream_default_is_latest_snapshot(spark, tmp_path):
+    """Delta parity: WITHOUT startingVersion the stream's first batch
+    is the latest snapshot as 'insert' rows stamped with the snapshot
+    version — a v0 create that carries data is not silently lost."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                  "k int, v double"),
+            mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    t.upsert(spark.createDataFrame([(2, -2.0), (3, 30.0)],
+                                   "k int, v double"), ["k"])
+    t.delete_where("k = 1")
+    register(spark)
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory").queryName("tcs_default_snap")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.table("tcs_default_snap").collect()
+    }
+    # snapshot at v2 (post-upsert, post-delete): {2: -2.0, 3: 30.0}
+    assert rows == {
+        (2, -2.0, "insert", 2),
+        (3, 30.0, "insert", 2),
     }
 
 
@@ -825,6 +865,7 @@ def test_cdf_stream_partitioned_typed_values(spark, tmp_path):
     q = (
         spark.readStream.format("table_changes_stream")
         .option("path", t.path)
+        .option("startingVersion", "1")
         .load()
         .writeStream.format("memory").queryName("tcs_typed")
         .trigger(availableNow=True).start()

@@ -248,3 +248,64 @@ def test_view_fixes_nested_and_backslash(ex):
     ex.execute("CREATE VIEW z_top AS SELECT k FROM a_base WHERE v >= 2.0")
     assert [r["k"] for r in ex.execute(
         "SELECT k FROM z_top ORDER BY k").collect()] == [2]
+
+
+def test_tblproperties_false_disables_cdf(ex):
+    """Boolean property semantics: the SQL surface hands 'false' over
+    as a string; it must disable the feature, not truthily enable it."""
+    t = _seed(ex)
+    ex.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')"
+    )
+    assert t.latest_commit().properties["enableChangeDataFeed"] is True
+    ex.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('enableChangeDataFeed' = 'false')"
+    )
+    assert t.latest_commit().properties["enableChangeDataFeed"] is False
+    # and the engine does NOT persist a change set for a mutation
+    ex.spark.createDataFrame([(2, "B", -2.0)], "k long, s string, v double")\
+        .createOrReplaceTempView("u_false")
+    ex.execute(
+        "CREATE OR REPLACE TABLE uf USING DELTA AS SELECT * FROM u_false"
+    )
+    ex.execute(
+        "MERGE INTO t AS tg USING uf AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET tg.k = s.k, tg.s = s.s, tg.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)"
+    )
+    import os as _os
+    assert not _os.path.isdir(_os.path.join(t.path, "_changes"))
+
+
+def test_merge_on_clause_must_match_insert_expression(ex):
+    """The executor upserts the INSERT projection; an ON clause whose
+    source side is NOT the insert expression for that PK would silently
+    mis-join — it must refuse instead."""
+    _seed(ex)
+    ex.spark.createDataFrame([(1, "A", -1.0)], "k long, s string, v double")\
+        .createOrReplaceTempView("u")
+    ex.execute("CREATE OR REPLACE TABLE u2 USING DELTA AS SELECT * FROM u")
+    # faithful shape passes (qualified and bare source refs both fine)
+    ex.execute(
+        "MERGE INTO t AS tg USING u2 AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET tg.k = s.k, tg.s = s.s, tg.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)"
+    )
+    assert {r["s"] for r in ex.table("t").read().filter("k=1").collect()} \
+        == {"A"}
+    # ON joins on an expression that is NOT the INSERT projection
+    with pytest.raises(UserException, match="ON-clause"):
+        ex.execute(
+            "MERGE INTO t AS tg USING u2 AS s ON tg.k = s.k + 1 "
+            "WHEN MATCHED THEN UPDATE SET tg.k = s.k, tg.s = s.s, "
+            "tg.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)"
+        )
+    # ON names a column that is not an INSERT column
+    with pytest.raises(UserException, match="not an INSERT column"):
+        ex.execute(
+            "MERGE INTO t AS tg USING u2 AS s ON tg.zz = s.k "
+            "WHEN MATCHED THEN UPDATE SET tg.k = s.k, tg.s = s.s, "
+            "tg.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)"
+        )
