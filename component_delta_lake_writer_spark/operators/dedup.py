@@ -156,25 +156,34 @@ def lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    live_buckets = (
+    # ONE shuffle over the banded stream: collect each bucket's member
+    # ids and generate its pairs IN-ARRAY (sorted, so id_a < id_b by
+    # construction; per-bucket pair count bounded by max_bucket²/2).
+    # The previous groupBy-count + bucket-join + self-join spelling
+    # paid three shuffles over the 4×-exploded stream — at corpus
+    # scale the banded stream is the pipeline's widest relation, so
+    # shuffling it once instead of three times is the dominant win.
+    buckets = (
         banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-        .select("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        .select(F.array_sort("ids").alias("ids"))
     )
-    pruned = banded.join(live_buckets, ["band", "key"])
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -194,11 +203,10 @@ def jaccard_verify(
     pair×shingle blow-up.
 
     ``persist_sets``: the sets relation feeds both join sides (sa,
-    sb). When ``sh`` is an unpersisted lineage whose branches are
-    identical, ReusedExchange dedups them and caching is pure loss
-    (minhash path — measured slower cached). When ``sh`` is already
-    cached, the two aggregations still run twice over the cache, and
-    persisting the much smaller per-doc sets wins (ngram path).
+    sb); without caching, the shingle lineage under it computes once
+    per side. Persisting the (small: one row per doc) set relation
+    halves that — measured faster on both the minhash and ngram
+    paths since the array-pair LSH rewrite.
     """
     sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
     sets = sets.withColumn("n", F.size("hs"))
@@ -236,15 +244,16 @@ def minhash_dedup(
     Returns (id_a, id_b, jaccard) pairs above the threshold.
 
     The shingle stream feeds both the signature and the verify
-    branches — deliberately NOT persisted: the branches' identical
-    scan+explode subplans are deduplicated by ReusedExchange within
-    the one materializing job, and caching the exploded stream
-    measured ~3× slower end-to-end than recompute-with-reuse (cache
-    serialization of the fan-out dominates)."""
+    branches — deliberately NOT persisted (caching the exploded
+    stream measured ~3× slower than recompute: cache serialization
+    of the fan-out dominates); the verify side instead persists the
+    much smaller per-doc SET relation (one row per doc), so the
+    shingle lineage runs exactly twice: once under the signature agg,
+    once under the set agg."""
     sh = shingles(df, text_col, id_col, k_shingle)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sig, id_col)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold, persist_sets=True)
 
 
 def simhash_signatures(

@@ -380,3 +380,27 @@ def test_merge_asof_is_single_shuffle_no_join(spark):
     assert "Join" not in plan, plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # one per window ordering, max
+
+
+def test_minhash_dedup_shuffle_budget(spark):
+    """Plan-shape lock (VERDICT r3 item 1): the LSH stage shuffles the
+    banded stream ONCE (groupBy collect_list + in-array pair gen), not
+    three times (the old count+join+self-join spelling). Total hash
+    exchanges: signature agg, bucket agg, pair distinct, set agg (built
+    once, cached for both join sides) + candidate join = 5 max; no
+    cartesian product anywhere."""
+    p = _plan(spark, "minhash_dedup")
+    assert p.count("Exchange hashpartitioning") <= 5
+    assert "CartesianProduct" not in p
+    # the per-doc set relation is cached and read for BOTH join sides
+    assert p.count("InMemoryTableScan") >= 2
+
+
+def test_pipeline_clean_corpus_shuffle_budget(spark):
+    """End-to-end corpus clean: quality filter is shuffle-free, exact
+    dedup is one window shuffle, survival agg one exchange — the final
+    stage plan (downstream of the persisted q1 and the driver-side CC
+    gate) must stay within 3 hash exchanges, no cartesian."""
+    p = _plan(spark, "pipeline_clean_corpus")
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in p
