@@ -660,6 +660,24 @@ class StatementExecutor:
         spark.sql — full Spark SQL expressiveness over engine
         snapshots. ``table_changes('t', from[, to])`` (Databricks' CDF
         TVF) resolves to ManagedTable.read_changes."""
+        # Mis-dispatch guard: this path must only ever run a QUERY.
+        # ``WITH x AS (...) DELETE FROM t`` parses as a WITH statement
+        # (dispatched here) but is DML — Spark would execute it against
+        # the registered temp view, bypassing the engine's DELETE path
+        # entirely. A pure query never contains a bare DML verb outside
+        # a string literal, so refuse when one appears.
+        code_only = " ".join(
+            seg for i, seg in enumerate(s.split("'")) if i % 2 == 0
+        )
+        dml = re.search(
+            r"\b(INSERT|DELETE|UPDATE|MERGE)\b", code_only,
+            flags=re.IGNORECASE,
+        )
+        if dml:
+            raise UserException(
+                f"SELECT path refuses embedded DML verb "
+                f"{dml.group(1).upper()!r}: {s[:120]}"
+            )
         q = s
         # persisted views expand FIRST (their text may reference
         # tables, TVFs, time travel — or OTHER VIEWS, so expansion
@@ -723,4 +741,19 @@ class StatementExecutor:
                         rf"(?<![\w.]){re.escape(name)}(?![\w])"
                     )
                     q = self._sub_outside_literals(pat, view, q)
-        return self.spark.sql(q)
+        try:
+            return self.spark.sql(q)
+        except Exception as exc:
+            # Spark's parser/analyzer rejecting the query is USER input
+            # error (malformed SQL, unknown relation/column) — fold it
+            # into the executor's failure taxonomy instead of leaking a
+            # Py4J exception class the caller can't reason about. Only
+            # parse/analysis failures convert; executor bugs (anything
+            # at .collect() time) still surface raw.
+            from pyspark.errors import AnalysisException, ParseException
+
+            if isinstance(exc, (AnalysisException, ParseException)):
+                raise UserException(
+                    f"Invalid SELECT: {str(exc)[:300]}"
+                ) from exc
+            raise
