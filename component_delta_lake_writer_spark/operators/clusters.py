@@ -105,7 +105,7 @@ def connected_components(
     )
 
     prev = labels
-    for _ in range(max_iterations):
+    for round_no in range(max_iterations):
         # One shuffle per round: neighbor contributions and each
         # vertex's own label union into a single groupBy that computes
         # the new label AND carries the old one for the convergence
@@ -129,8 +129,47 @@ def connected_components(
             contrib.unionByName(own)
             .groupBy("id")
             .agg(F.min("c").alias("component"), F.max("old").alias("old"))
-            .persist()
         )
+        if round_no >= 1:
+            # POINTER DOUBLING from round 2 on: label(v) ←
+            # min(label(v), label(label(v))). Near-clique dedup
+            # clusters converge inside the fused round 0 + round 1
+            # (compression there would be a wasted join); still being
+            # unconverged past round 1 means chain-like components, and
+            # jumping through the label's own label halves the
+            # remaining rounds — O(diameter) → O(log diameter) total,
+            # one extra join per round. The propagate result is
+            # lineage-truncated FIRST: the hop references it three
+            # times, which un-truncated grows the logical plan 3× per
+            # round (planner OOM by round ~8).
+            merged = merged.localCheckpoint(eager=True)
+            hop = merged.select(
+                F.col("component").alias("hop_id")
+            ).distinct().join(
+                merged.select(
+                    F.col("id").alias("hop_id"),
+                    F.col("component").alias("hop_c"),
+                ),
+                "hop_id",
+            )
+            merged = (
+                merged.join(hop, F.col("component") == F.col("hop_id"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("hop_c"), F.col("component")),
+                    ).alias("component"),
+                    "old",
+                )
+            )
+        # localCheckpoint (not persist): an ITERATIVE fixpoint's plan
+        # nests the whole previous round otherwise — lineage must be
+        # CUT each round, not just cached. Spark's own iterative
+        # algorithms (GraphX Pregel, ML ALS) checkpoint the same way;
+        # the eager materialization also doubles as this round's
+        # execution barrier, so `changed` below reads the stored rows.
+        merged = merged.localCheckpoint(eager=True)
         changed = (
             merged.filter(F.col("component") != F.col("old")).limit(1).count()
         )

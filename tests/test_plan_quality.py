@@ -389,6 +389,9 @@ def test_minhash_dedup_shuffle_budget(spark):
     exchanges: signature agg, bucket agg, pair distinct, set agg (built
     once, cached for both join sides) + candidate join = 5 max; no
     cartesian product anywhere."""
+    # cold cache: a prior test's materialized set-cache would splice
+    # its build plan (with its own exchanges) into the plan text
+    spark.catalog.clearCache()
     p = _plan(spark, "minhash_dedup")
     assert p.count("Exchange hashpartitioning") <= 5
     assert "CartesianProduct" not in p
@@ -401,6 +404,7 @@ def test_pipeline_clean_corpus_shuffle_budget(spark):
     dedup is one window shuffle, survival agg one exchange — the final
     stage plan (downstream of the persisted q1 and the driver-side CC
     gate) must stay within 3 hash exchanges, no cartesian."""
+    spark.catalog.clearCache()
     p = _plan(spark, "pipeline_clean_corpus")
     assert p.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in p
