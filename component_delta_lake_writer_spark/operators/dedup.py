@@ -131,6 +131,25 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures computed FROM the per-doc shingle-set arrays
+    (``hs`` column) instead of the raw shingle stream: min over a set
+    equals min over the multiset, so ``array_min(transform(hs, …))``
+    is exactly ``minhash_signatures`` — but with ZERO additional
+    shuffle and zero re-scan of the corpus when the set relation is
+    already materialized for the verify stage."""
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P),
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(HASH_FAMILY)
+    ]
+    return sets.select(F.col(id_col), *sig_cols)
+
+
 def lsh_candidates(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -208,10 +227,28 @@ def jaccard_verify(
     halves that — measured faster on both the minhash and ngram
     paths since the array-pair LSH rewrite.
     """
-    sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
-    sets = sets.withColumn("n", F.size("hs"))
+    sets = shingle_sets(sh, id_col)
     if persist_sets:
         sets = sets.persist()
+    return verify_from_sets(candidates, sets, threshold)
+
+
+def shingle_sets(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, hs: array<bigint>, n) — each doc's distinct shingle hashes.
+    One map-side-combinable groupBy over the shingle stream."""
+    return (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("h").alias("hs"))
+        .withColumn("n", F.size("hs"))
+    )
+
+
+def verify_from_sets(
+    candidates: DataFrame, sets: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs given a prebuilt set relation
+    (first column = the id). Two equi-joins, array_intersect per pair."""
+    id_col = sets.columns[0]
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
     )
@@ -243,17 +280,19 @@ def minhash_dedup(
     """Full near-dup pipeline: shingle → minhash → LSH → verify.
     Returns (id_a, id_b, jaccard) pairs above the threshold.
 
-    The shingle stream feeds both the signature and the verify
-    branches — deliberately NOT persisted (caching the exploded
-    stream measured ~3× slower than recompute: cache serialization
-    of the fan-out dominates); the verify side instead persists the
-    much smaller per-doc SET relation (one row per doc), so the
-    shingle lineage runs exactly twice: once under the signature agg,
-    once under the set agg."""
+    The pipeline makes exactly ONE pass over the corpus: the shingle
+    stream aggregates into the per-doc SET relation (one row per doc,
+    persisted), and BOTH downstream needs derive from it — signatures
+    via ``signatures_from_sets`` (array_min over the cached arrays,
+    zero extra shuffle) and the exact-Jaccard verify via
+    ``verify_from_sets``. The exploded shingle stream itself is never
+    cached (its serialized fan-out measured ~3× the recompute cost)
+    and never recomputed either."""
     sh = shingles(df, text_col, id_col, k_shingle)
-    sig = minhash_signatures(sh, id_col)
+    sets = shingle_sets(sh, id_col).persist()
+    sig = signatures_from_sets(sets, id_col)
     cand = lsh_candidates(sig, id_col)
-    return jaccard_verify(cand, sh, id_col, threshold, persist_sets=True)
+    return verify_from_sets(cand, sets, threshold)
 
 
 def simhash_signatures(
