@@ -26,6 +26,13 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Local mode runs driver AND executors in one JVM whose heap defaults
+# to 1g — a 32-thread session with 64 MB broadcast joins OOMs on any
+# real workload long before the host's memory is touched. Default to
+# the host profile (the reference likewise sizes max_memory to its
+# host); callers with a capped profile pass ``memory`` explicitly.
+DEFAULT_MEMORY = os.environ.get("SPARK_GRAFT_MEMORY", "32g")
+
 
 def get_spark(
     app_name: str = "component-delta-lake-writer-spark",
@@ -67,8 +74,9 @@ def get_spark(
         # and every modern reader expect.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
-    if memory:
-        builder = builder.config("spark.driver.memory", memory)
+    builder = builder.config(
+        "spark.driver.memory", memory or DEFAULT_MEMORY
+    )
     if temp_directory:
         builder = builder.config("spark.local.dir", temp_directory)
     for k, v in (extra_conf or {}).items():

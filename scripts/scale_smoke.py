@@ -79,10 +79,7 @@ def main() -> None:
         "ngram_jaccard",
         lambda: D.ngram_jaccard_dedup(big, threshold=0.5).count(),
     )
-    timed(
-        "simhash_signatures",
-        lambda: D.simhash_signatures(D.shingles(big)).count(),
-    )
+    timed("simhash_signatures", lambda: D.simhash_signatures(big).count())
     timed("winnow_fingerprints", lambda: winnow_fingerprints(big).count())
     pairs.unpersist()
     shutil.rmtree(work, ignore_errors=True)
