@@ -1804,11 +1804,11 @@ def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
     )
     k = F.col("o_orderkey")
-    t.write(o.filter(k % 3 == 0), mode="overwrite",
+    t.write(o.filter(k % 3 == 0).coalesce(4), mode="overwrite",
             primary_key=["o_orderkey"],
             properties={"enableChangeDataFeed": True})
-    t.write(o.filter(k % 3 == 1), mode="append")          # v1 inserts
-    upd = o.filter(k % 6 == 0).withColumn("price", F.lit(-1.0))
+    t.write(o.filter(k % 3 == 1).coalesce(4), mode="append")  # v1 inserts
+    upd = o.filter(k % 6 == 0).withColumn("price", F.lit(-1.0)).coalesce(4)
     t.upsert(upd, ["o_orderkey"])                          # v2 updates
     t.set_properties({"comment": "metadata only"})         # v3 no rows
     t.delete_where("o_orderkey % 9 = 1")                   # v4 deletes
@@ -1869,10 +1869,14 @@ def stream_replicate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     src.write(o.limit(0), mode="overwrite", primary_key=["o_orderkey"],
               properties={"enableChangeDataFeed": True})
-    src.write(o.filter(k % 2 == 0), mode="append")
-    src.write(o.filter(k % 2 == 1), mode="append")
+    # coalesce(4): each change FILE becomes one Python-worker partition
+    # in the CDF stream read — 32 shuffle-partition files per tiny
+    # commit would spin ~100 workers for ~15k rows (probe latency, not
+    # semantics; the driver sweep runs ~58 keys on a budget)
+    src.write(o.filter(k % 2 == 0).coalesce(4), mode="append")
+    src.write(o.filter(k % 2 == 1).coalesce(4), mode="append")
     src.upsert(
-        o.filter(k % 7 == 0).withColumn("price", F.lit(-1.0)),
+        o.filter(k % 7 == 0).withColumn("price", F.lit(-1.0)).coalesce(4),
         ["o_orderkey"],
     )
     src.delete_where("o_orderkey % 11 = 0")

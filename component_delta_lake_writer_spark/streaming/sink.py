@@ -203,11 +203,33 @@ def stream_replicate(
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         rows = batch_df.persist()
         try:
-            versions = sorted(
-                r["_commit_version"]
-                for r in rows.select("_commit_version").distinct().collect()
-            )
-            for v in versions:
+            # ONE profiling agg instead of a distinct-collect plus two
+            # isEmpty probes PER VERSION: with V source commits in the
+            # batch that's 1 job instead of 1+2V (each ~0.3 s of fixed
+            # dispatch — the bulk of replication latency for small
+            # commits).
+            profile = {
+                r["_commit_version"]: (r["n_up"], r["n_del"])
+                for r in rows.groupBy("_commit_version")
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("_change_type").isin(
+                                "insert", "update_postimage"
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_up"),
+                    F.sum(
+                        F.when(
+                            F.col("_change_type") == "delete", 1
+                        ).otherwise(0)
+                    ).alias("n_del"),
+                )
+                .collect()
+            }
+            for v in sorted(profile):
+                n_up, n_del = profile[v]
                 delta = rows.filter(F.col("_commit_version") == v)
                 upserts = delta.filter(
                     F.col("_change_type").isin("insert", "update_postimage")
@@ -221,8 +243,8 @@ def stream_replicate(
                     and (head.txns or {}).get(app_id, -1) >= v
                 ):
                     continue  # replayed source version — already applied
-                has_up = not upserts.isEmpty()
-                has_del = not deletes.isEmpty()
+                has_up = n_up > 0
+                has_del = n_del > 0
                 # DELETES FIRST: a replace_where/full-sync commit may
                 # delete an old image and insert a new one under the
                 # SAME PK in one version — upsert-then-delete would

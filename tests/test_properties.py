@@ -363,3 +363,53 @@ def test_copy_into_idempotence_model(spark, waves):
             got = sorted((r["f"], r["r"]) for r in t.read().collect())
             want = sorted((f, r) for f in seen for r in range(3))
             assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.tuples(rows_strategy, st.booleans()), min_size=1, max_size=4
+    )
+)
+def test_mor_upsert_model_with_footer_bounds(spark, batches):
+    """Merge-on-read upsert (delete-set + append, bounds derived from
+    the delete file's parquet FOOTERS) must equal the plain dict-merge
+    model across arbitrary batch sequences — including batches fully
+    disjoint from the table (pure-append degeneration), overlapping
+    batches, and interleaved copy-on-write upserts (the bool flag
+    picks the strategy per batch), with commits stacking MOR delete
+    sets on top of COW rewrites."""
+    import os
+    import tempfile
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, os.path.join(d, "t"))
+        model: dict = {}
+        for i, (rows, use_mor) in enumerate(batches):
+            batch = {k: v for k, v in rows}
+            # shift half the batches far away so some are provably
+            # disjoint from every prior unit's key range
+            if i % 2 == 1:
+                batch = {k + 1000: v for k, v in batch.items()}
+            if not batch:
+                continue
+            df = spark.createDataFrame(
+                list(batch.items()), "k long, v long"
+            )
+            if not t.exists():
+                t.write(df, mode="overwrite", primary_key=["k"])
+            else:
+                t.upsert(
+                    df, ["k"],
+                    strategy="merge-on-read" if use_mor else "copy-on-write",
+                )
+            model.update(batch)
+        if t.exists():
+            got = {r["k"]: r["v"] for r in t.read().collect()}
+            assert got == model
