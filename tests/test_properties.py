@@ -413,3 +413,106 @@ def test_mor_upsert_model_with_footer_bounds(spark, batches):
         if t.exists():
             got = {r["k"]: r["v"] for r in t.read().collect()}
             assert got == model
+
+
+_LIFECYCLE_OP = st.one_of(
+    st.tuples(st.just("append"), rows_strategy.filter(len)),
+    st.tuples(st.just("upsert_cow"), rows_strategy.filter(len)),
+    st.tuples(st.just("upsert_mor"), rows_strategy.filter(len)),
+    st.tuples(st.just("delete_mod"), st.integers(min_value=2, max_value=7)),
+    st.tuples(st.just("optimize"), st.just(None)),
+    st.tuples(st.just("restore_back"), st.integers(min_value=1, max_value=3)),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_LIFECYCLE_OP, min_size=1, max_size=6))
+def test_table_lifecycle_model(spark, ops):
+    """Model-based lifecycle law: an ARBITRARY interleaving of append /
+    COW upsert / MOR upsert / DELETE WHERE / OPTIMIZE / RESTORE must
+    keep ``read()`` equal to a plain Python dict-model replaying the
+    same commands, and every historical version must stay readable
+    (time travel over mixed COW / MOR / compacted / restored history).
+    This is the strongest single invariant the table layer offers —
+    any interaction bug between delete sets, compaction rewrites, and
+    restore's snapshot semantics falsifies it."""
+    import os
+    import tempfile
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, os.path.join(d, "t"))
+        model: dict = {}
+        history: list[dict] = []  # model snapshot per committed version
+
+        def commit_model():
+            history.append(dict(model))
+
+        for op, arg in ops:
+            if op in ("append", "upsert_cow", "upsert_mor"):
+                batch = {k: v for k, v in arg}
+                df = spark.createDataFrame(
+                    list(batch.items()), "k long, v long"
+                )
+                if not t.exists():
+                    t.write(df, mode="overwrite", primary_key=["k"])
+                    model.clear()
+                    model.update(batch)
+                elif op == "append":
+                    # append may duplicate keys; keep the model a
+                    # multiset-free law by upserting disjoint keys only
+                    fresh = {k: v for k, v in batch.items()
+                             if k not in model}
+                    if not fresh:
+                        continue
+                    t.write(
+                        spark.createDataFrame(
+                            list(fresh.items()), "k long, v long"
+                        ),
+                        mode="append",
+                    )
+                    model.update(fresh)
+                else:
+                    t.upsert(
+                        df, ["k"],
+                        strategy=(
+                            "merge-on-read" if op == "upsert_mor"
+                            else "copy-on-write"
+                        ),
+                    )
+                    model.update(batch)
+                commit_model()
+            elif op == "delete_mod":
+                if not t.exists():
+                    continue
+                t.delete_where(f"k % {arg} = 0")
+                for k in [k for k in model if k % arg == 0]:
+                    del model[k]
+                commit_model()
+            elif op == "optimize":
+                if not t.exists():
+                    continue
+                t.optimize()
+                commit_model()
+            elif op == "restore_back":
+                if not t.exists() or len(history) <= arg:
+                    continue
+                target_version = len(history) - 1 - arg
+                t.restore(version=target_version)
+                model.clear()
+                model.update(history[target_version])
+                commit_model()
+
+        if not t.exists():
+            return
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"live read diverged after {ops}"
+        # every committed version time-travels to its model snapshot
+        for v, snap in enumerate(history):
+            tv = {r["k"]: r["v"] for r in t.read(version=v).collect()}
+            assert tv == snap, f"version {v} diverged after {ops}"
