@@ -97,12 +97,19 @@ class _ChangeFilePartition(InputPartition):
         change_type: str | None,
         partition_values: dict,
         mapping: dict,
+        mask_paths: list[str] | None = None,
+        mask_keys: list[str] | None = None,
     ):
         self.path = path
         self.version = version
         self.change_type = change_type  # None → column present in file
         self.partition_values = partition_values
         self.mapping = mapping  # logical -> physical
+        # merge-on-read equality-delete masks covering this unit: the
+        # worker drops rows whose ``mask_keys`` tuple appears in any of
+        # the delete files (bounded by MOR source sizes)
+        self.mask_paths = mask_paths or []
+        self.mask_keys = mask_keys or []
 
 
 class CdfStreamReader(DataSourceStreamReader):
@@ -141,15 +148,27 @@ class CdfStreamReader(DataSourceStreamReader):
         parts: list[_ChangeFilePartition] = []
         if start.get("snapshot_of") is not None:
             # bootstrap batch (default start): the whole snapshot at
-            # that version streams as inserts; changes resume after it
+            # that version streams as inserts; changes resume after it.
+            # Units masked by merge-on-read delete sets carry their
+            # equality-delete files so workers drop superseded rows —
+            # the snapshot must equal ManagedTable.read(), not the raw
+            # union of unit files.
             snap = int(start["snapshot_of"])
             c = _load_commit(self.table_path, snap)
             mapping = c.get("column_mapping") or {}
+            dsets = c.get("delete_sets") or []
+            pk = c.get("primary_key") or []
             for u in c["data_units"]:
+                masks = [
+                    os.path.join(self.table_path, "_deletes", ds["path"])
+                    for ds in dsets
+                    if u in set(ds["units"])
+                ]
                 parts.extend(
                     self._unit_files(
                         os.path.join(self.table_path, "_data", u),
                         snap, "insert", mapping,
+                        mask_paths=masks, mask_keys=pk if masks else [],
                     )
                 )
             lo = snap
@@ -202,7 +221,10 @@ class CdfStreamReader(DataSourceStreamReader):
         return parts
 
     @staticmethod
-    def _unit_files(base, version, change_type, mapping):
+    def _unit_files(
+        base, version, change_type, mapping,
+        mask_paths=None, mask_keys=None,
+    ):
         from component_delta_lake_writer_spark.sinks.hive_layout import (
             decode_segments,
         )
@@ -216,6 +238,7 @@ class CdfStreamReader(DataSourceStreamReader):
                         _ChangeFilePartition(
                             os.path.join(root, fn), version,
                             change_type, pvals, mapping,
+                            mask_paths=mask_paths, mask_keys=mask_keys,
                         )
                     )
         return out
@@ -247,7 +270,37 @@ class CdfStreamReader(DataSourceStreamReader):
                     )
                 else:
                     out_cols.append([None] * n)
-        yield from zip(*out_cols) if n else iter(())
+        if not n:
+            return
+        if partition.mask_paths:
+            # merge-on-read equality-delete mask: drop rows whose PK
+            # tuple appears in any covering delete file (read here on
+            # the worker — masks are O(MOR source), never the table)
+            mask: set = set()
+            for mp in partition.mask_paths:
+                for root, _dirs, files in os.walk(mp):
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        mt = pq.read_table(
+                            os.path.join(root, fn),
+                            columns=partition.mask_keys,
+                        )
+                        mask.update(
+                            zip(*[
+                                mt.column(c).to_pylist()
+                                for c in partition.mask_keys
+                            ])
+                        )
+            field_pos = {f.name: i for i, f in enumerate(self.schema.fields)}
+            pk_idx = [field_pos[c] for c in partition.mask_keys]
+            yield from (
+                row
+                for row in zip(*out_cols)
+                if tuple(row[i] for i in pk_idx) not in mask
+            )
+            return
+        yield from zip(*out_cols)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable table versions; nothing to ack

@@ -902,3 +902,49 @@ def test_connected_components_deep_chain_converges(spark):
     assert all(got[i] == 0 for i in range(64))
     assert all(got[100 + i] == 100 for i in range(5))
     assert all(got[200 + i] == 200 for i in range(8))
+
+
+def test_cdf_stream_snapshot_applies_mor_delete_sets(spark, tmp_path):
+    """The default (no startingVersion) snapshot bootstrap must equal
+    ManagedTable.read(): units masked by merge-on-read delete sets
+    stream WITHOUT their superseded rows — a raw union of unit files
+    would resurrect every MOR-updated row's stale image."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double"
+        ),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    t.upsert(
+        spark.createDataFrame([(2, -2.0)], "k int, v double"), ["k"],
+        strategy="merge-on-read",
+    )
+    t.upsert(
+        spark.createDataFrame([(3, -3.0), (4, 4.0)], "k int, v double"),
+        ["k"], strategy="merge-on-read",
+    )
+    register(spark)
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory").queryName("tcs_mor_mask")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.table("tcs_mor_mask").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"]) for r in t.read().collect()
+    )
+    assert got == want == [(1, 1.0), (2, -2.0), (3, -3.0), (4, 4.0)]
