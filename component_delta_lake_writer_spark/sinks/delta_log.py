@@ -132,11 +132,12 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     generatedColumns, 5 = columnMapping (reader 2), 6 =
     identityColumns; timestampNtz forces table features (3/7) and the
     in-use capabilities become explicit feature names."""
-    generated = "delta.generationExpression" in schema_json
-    identity = "delta.identity.start" in schema_json
-    defaults = "CURRENT_DEFAULT" in schema_json
-    widened = "delta.typeChanges" in schema_json
-    if _needs_timestamp_ntz(schema_json):
+    caps = _used_caps(schema_json, column_mapping)
+    generated = "generatedColumns" in caps
+    identity = "identityColumns" in caps
+    defaults = "allowColumnDefaults" in caps
+    widened = "typeWidening" in caps
+    if "timestampNtz" in caps:
         reader = ["timestampNtz"] + (
             ["columnMapping"] if column_mapping else []
         ) + (["typeWidening"] if widened else [])
@@ -318,7 +319,9 @@ def write_delta_log_entry(
         if last is None:
             actions.append(needed)
         else:
-            up = _protocol_upgrade(last, needed)
+            up = _protocol_upgrade(
+                last, needed, _used_caps(schema_json, bool(cm))
+            )
             if up is not None:
                 actions.append(up)
         actions.append(
@@ -385,55 +388,97 @@ _WRITER_LADDER_FEATURES = {
     6: {"identityColumns"},
 }
 
+# Features a READER must understand (everything else is writer-only)
+_READER_RELEVANT = {"timestampNtz", "columnMapping", "typeWidening"}
 
-def _protocol_caps(p: dict) -> tuple[int, int, frozenset, frozenset]:
-    """Canonical capability view of a protocol action: (minReader,
-    minWriter, reader features, writer features) with the legacy
-    version ladder expanded to its implied feature sets, so legacy and
-    table-features protocols compare on equal footing."""
+
+def _used_caps(schema_json: str, column_mapping: bool) -> set:
+    """The capabilities the schema ACTUALLY uses — the requirement set
+    protocol coverage is judged against (a legacy ladder version also
+    implies features the table never touched; those must not count as
+    requirements or a later schema change would spuriously escalate)."""
+    caps = set()
+    if "delta.generationExpression" in schema_json:
+        caps.add("generatedColumns")
+    if "delta.identity.start" in schema_json:
+        caps.add("identityColumns")
+    if "CURRENT_DEFAULT" in schema_json:
+        caps.add("allowColumnDefaults")
+    if "delta.typeChanges" in schema_json:
+        caps.add("typeWidening")
+    if _needs_timestamp_ntz(schema_json):
+        caps.add("timestampNtz")
+    if column_mapping:
+        caps.add("columnMapping")
+    return caps
+
+
+def _supported_caps(p: dict) -> set:
+    """Everything a protocol action grants: listed features for the
+    table-features form, the full implied ladder for legacy versions,
+    plus columnMapping for legacy reader >= 2 (the hybrid
+    (2, 7, writerFeatures) shape carries its mapping grant in the
+    READER version, not the feature list)."""
     pr = p["protocol"]
-    r, w = pr["minReaderVersion"], pr["minWriterVersion"]
+    caps: set = set()
     if "readerFeatures" in pr or "writerFeatures" in pr:
-        return (
-            r, w,
-            frozenset(pr.get("readerFeatures") or ()),
-            frozenset(pr.get("writerFeatures") or ()),
-        )
-    rc = frozenset({"columnMapping"} if r >= 2 else ())
-    wc: set = set()
-    for v in range(2, w + 1):
-        wc |= _WRITER_LADDER_FEATURES.get(v, set())
-    return r, w, rc, frozenset(wc)
+        caps |= set(pr.get("readerFeatures") or ())
+        caps |= set(pr.get("writerFeatures") or ())
+    else:
+        for v in range(2, pr["minWriterVersion"] + 1):
+            caps |= _WRITER_LADDER_FEATURES.get(v, set())
+    if pr["minReaderVersion"] >= 2:
+        caps.add("columnMapping")
+    return caps
 
 
-def _protocol_upgrade(prev: dict, new: dict) -> dict | None:
+def _protocol_upgrade(prev: dict, new: dict, used: set) -> dict | None:
     """Delta never downgrades protocol: return the action to emit for
-    this commit, or None when the previous protocol already covers the
-    new requirements. A strict upgrade emits ``new`` verbatim; the
-    (rare) mixed case — a capability lost while another is gained in
-    one commit — emits the monotonic MAX as a table-features protocol
-    so no previously-granted capability regresses."""
-    pr, pw, prc, pwc = _protocol_caps(prev)
-    nr, nw, nrc, nwc = _protocol_caps(new)
-    if nr <= pr and nw <= pw and nrc <= prc and nwc <= pwc:
+    this commit, or None when the previous protocol already covers
+    ``used`` (the capabilities the NEW schema actually needs — NOT the
+    ladder expansion of the derived action, which would count implied-
+    but-unused features as requirements and escalate on capability
+    LOSS). A shape-wise upgrade emits ``new`` verbatim; the (rare)
+    mixed case emits the monotonic MAX as a table-features protocol —
+    the spec's own rule for legacy→features conversion requires
+    enumerating every implied ladder feature, which is exactly the
+    supported-caps union."""
+    if used <= _supported_caps(prev):
         return None  # covered (incl. capability loss): keep the prior
-    if nr >= pr and nw >= pw and nrc >= prc and nwc >= pwc:
+    sup_p, sup_n = _supported_caps(prev), _supported_caps(new)
+    ppr, npr = prev["protocol"], new["protocol"]
+    if (
+        sup_n >= sup_p
+        and npr["minReaderVersion"] >= ppr["minReaderVersion"]
+        and npr["minWriterVersion"] >= ppr["minWriterVersion"]
+    ):
         return new  # strict upgrade
-    return {
-        "protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(prc | nrc),
-            "writerFeatures": sorted(pwc | nwc),
-        }
+    allf = sup_p | sup_n
+    rf = sorted(allf & _READER_RELEVANT)
+    if any(f != "columnMapping" for f in rf):
+        mr = 3  # a genuinely feature-form reader requirement
+    else:
+        # columnMapping alone rides the legacy reader-2 grant; nothing
+        # reader-relevant keeps whatever reader version already stood
+        mr = max(npr["minReaderVersion"], ppr["minReaderVersion"])
+        if "columnMapping" in rf:
+            mr = max(mr, 2)
+    out = {
+        "minReaderVersion": mr,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(allf),
     }
+    if mr >= 3:
+        out["readerFeatures"] = rf
+    return {"protocol": out}
 
 
-def _log_last_protocol(log_dir: str) -> dict | None:
-    """The most recent protocol action in the mirror (external readers
-    hold the LAST one replayed), or None for a fresh log."""
+def _scan_log_newest_first(log_dir: str, key: str):
+    """Yield actions of kind ``key`` from the mirror, newest commit
+    first (each commit holds at most one action of a given kind; a
+    cheap substring prefilter skips json-parsing unrelated lines)."""
     if not os.path.isdir(log_dir):
-        return None
+        return
     versions = sorted(
         (
             int(f[: -len(".json")])
@@ -442,16 +487,25 @@ def _log_last_protocol(log_dir: str) -> dict | None:
         ),
         reverse=True,
     )
+    needle = f'"{key}"'
     for v in versions:
-        proto = None
         with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
             for line in f:
+                if needle not in line:
+                    continue
                 a = json.loads(line)
-                if "protocol" in a:
-                    proto = a
-        if proto is not None:
-            return proto
-    return None
+                if key in a:
+                    yield a
+                    break
+
+
+def _log_last_protocol(log_dir: str) -> dict | None:
+    """The most recent protocol action in the mirror (external readers
+    hold the LAST one replayed), or None for a fresh log. Worst case
+    O(history) when only v0 carries a protocol — amortized by the
+    substring prefilter; schema-evolution commits are rare relative to
+    data commits."""
+    return next(_scan_log_newest_first(log_dir, "protocol"), None)
 
 
 def _log_has_mapping(log_dir: str) -> bool:
@@ -459,27 +513,11 @@ def _log_has_mapping(log_dir: str) -> bool:
     enabled columnMapping mode=name (which the spec says can never be
     disabled) — consulted when a later schema evolution happens after
     all renames were materialized by a rewrite."""
-    if not os.path.isdir(log_dir):
+    a = next(_scan_log_newest_first(log_dir, "metaData"), None)
+    if a is None:
         return False
-    versions = sorted(
-        (
-            int(f[: -len(".json")])
-            for f in os.listdir(log_dir)
-            if f.endswith(".json") and ".tmp." not in f
-        ),
-        reverse=True,
-    )
-    for v in versions:
-        meta = None
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
-            for line in f:
-                a = json.loads(line)
-                if "metaData" in a:
-                    meta = a["metaData"]
-        if meta is not None:
-            cfg = meta.get("configuration") or {}
-            return cfg.get("delta.columnMapping.mode") == "name"
-    return False
+    cfg = a["metaData"].get("configuration") or {}
+    return cfg.get("delta.columnMapping.mode") == "name"
 
 
 def _table_id(log_dir: str) -> str | None:

@@ -52,6 +52,16 @@ from component_delta_lake_writer_spark.errors import (
 _COMMITS = "_commits"
 _DATA = "_data"
 
+# Properties the engine truth-tests — the only keys whose SQL string
+# values 'true'/'false' normalize to booleans in set_properties
+# (Delta's delta.* boolean semantics); every other key round-trips
+# verbatim.
+_BOOLEAN_PROPERTIES = {
+    "enableChangeDataFeed",
+    "changeDataFeedPreImages",
+    "autoCompact",
+}
+
 # commit action → Delta commitInfo operation name (what DESCRIBE
 # HISTORY shows external readers of the mirror)
 _OPERATION_NAMES = {
@@ -1846,21 +1856,10 @@ class ManagedTable:
             overlapping = list(prev.data_units)
             if prev.stats and dstats["_rows"] > 0:
                 from component_delta_lake_writer_spark.sinks.unit_stats import (
-                    _TemporalLit,
+                    key_bounds_from_stats,
                 )
 
-                bounds: dict = {}
-                for pk in primary_key:
-                    ent = dstats.get(pk) or {}
-                    mn, mx = ent.get("min"), ent.get("max")
-                    if mn is None or mx is None:
-                        continue
-                    kind = ent.get("t")
-                    bounds[pk] = (
-                        (_TemporalLit(mn, kind), _TemporalLit(mx, kind))
-                        if kind
-                        else (mn, mx)
-                    )
+                bounds = key_bounds_from_stats(dstats, primary_key)
                 if bounds:
                     overlapping = [
                         u
@@ -3332,11 +3331,15 @@ class ManagedTable:
         # Delta boolean-property semantics: the SQL surface hands every
         # value over as a string, and a truthiness check on 'false'
         # would leave the feature ON. Normalize 'true'/'false' strings
-        # (any case) to real booleans before storing.
+        # (any case) to real booleans — but ONLY for the keys the
+        # engine actually truth-tests; a free-form user property whose
+        # VALUE happens to be 'true' must round-trip as the string the
+        # user set.
         norm = {
             k: (
                 v.strip().lower() == "true"
-                if isinstance(v, str)
+                if k in _BOOLEAN_PROPERTIES
+                and isinstance(v, str)
                 and v.strip().lower() in ("true", "false")
                 else v
             )

@@ -328,6 +328,28 @@ def _conjunct_can_match(stats: dict, col: str, op: str, lit) -> bool:
     return mn <= lit <= mx  # "="
 
 
+def key_bounds_from_stats(stats: dict, cols: list[str]) -> dict:
+    """{col: (lo, hi)} from a collect_unit_stats fold, in the exact
+    form unit_overlaps_key_bounds consumes (temporal entries wrapped
+    as kind-tagged _TemporalLit). The single encoding shared by MOR
+    delete-set scoping (bounds from the delete file's own footers) and
+    any other stats-derived range — two hand-rolled copies would
+    silently diverge the first time the stats form grows a type."""
+    out: dict = {}
+    for c in cols:
+        ent = stats.get(c) or {}
+        mn, mx = ent.get("min"), ent.get("max")
+        if mn is None or mx is None:
+            continue
+        kind = ent.get("t")
+        out[c] = (
+            (_TemporalLit(mn, kind), _TemporalLit(mx, kind))
+            if kind
+            else (mn, mx)
+        )
+    return out
+
+
 def unit_overlaps_key_bounds(stats: dict | None, bounds: dict) -> bool:
     """Can a unit with these stats contain a row whose key columns fall
     inside ``bounds`` ({col: (lo, hi)})?

@@ -42,6 +42,41 @@ def _strip(sql: str) -> str:
     return sql.strip().rstrip(";").strip()
 
 
+def _code_only(sql: str) -> str:
+    """The statement with string literals and ``--`` comments blanked:
+    single- AND double-quoted (Spark's default treats both as string
+    literals), honoring backslash escapes and doubled-quote escapes —
+    a split-on-quote approximation mis-parses ``'don\\'t'`` and scans
+    literal text as code."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == "\\":
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        i += 2  # doubled-quote escape stays inside
+                        continue
+                    i += 1
+                    break
+                i += 1
+            out.append(" ")
+            continue
+        if c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class StatementExecutor:
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
@@ -665,12 +700,10 @@ class StatementExecutor:
         # (dispatched here) but is DML — Spark would execute it against
         # the registered temp view, bypassing the engine's DELETE path
         # entirely. A pure query never contains a bare DML verb outside
-        # a string literal, so refuse when one appears.
-        code_only = " ".join(
-            seg for i, seg in enumerate(s.split("'")) if i % 2 == 0
-        )
+        # a string literal or comment, so refuse when one appears
+        # (_code_only blanks both quote styles, escapes, and -- lines).
         dml = re.search(
-            r"\b(INSERT|DELETE|UPDATE|MERGE)\b", code_only,
+            r"\b(INSERT|DELETE|UPDATE|MERGE)\b", _code_only(s),
             flags=re.IGNORECASE,
         )
         if dml:

@@ -275,7 +275,20 @@ class CdfStreamReader(DataSourceStreamReader):
         if partition.mask_paths:
             # merge-on-read equality-delete mask: drop rows whose PK
             # tuple appears in any covering delete file (read here on
-            # the worker — masks are O(MOR source), never the table)
+            # the worker — masks are O(MOR source), never the table).
+            # Both sides normalize through _mask_norm: a PK that is a
+            # hive PARTITION column decodes to a naive datetime while
+            # pyarrow hands the delete file's values back tz-aware —
+            # naive != aware would silently void the whole mask.
+            import datetime as _dt
+
+            def _mask_norm(v):
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                    return v.astimezone(_dt.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                return v
+
             mask: set = set()
             for mp in partition.mask_paths:
                 for root, _dirs, files in os.walk(mp):
@@ -287,7 +300,8 @@ class CdfStreamReader(DataSourceStreamReader):
                             columns=partition.mask_keys,
                         )
                         mask.update(
-                            zip(*[
+                            tuple(_mask_norm(v) for v in row)
+                            for row in zip(*[
                                 mt.column(c).to_pylist()
                                 for c in partition.mask_keys
                             ])
@@ -297,7 +311,7 @@ class CdfStreamReader(DataSourceStreamReader):
             yield from (
                 row
                 for row in zip(*out_cols)
-                if tuple(row[i] for i in pk_idx) not in mask
+                if tuple(_mask_norm(row[i]) for i in pk_idx) not in mask
             )
             return
         yield from zip(*out_cols)

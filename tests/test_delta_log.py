@@ -342,15 +342,18 @@ def test_protocol_never_downgrades_in_mirror(spark, tmp_path):
 
 
 def test_protocol_upgrade_merge_is_monotonic_max():
-    """Unit contract of _protocol_upgrade: covered -> None, strict
-    upgrade -> the new action verbatim, mixed gain+loss -> the
-    monotonic max as a table-features protocol."""
+    """Unit contract of _protocol_upgrade: coverage is judged against
+    the capabilities the schema USES (not the ladder expansion of the
+    derived action — implied-but-unused features must never count as
+    requirements), strict upgrades emit the new action verbatim, and
+    the mixed case emits the monotonic max as table features."""
     from component_delta_lake_writer_spark.sinks.delta_log import (
         _protocol_upgrade,
     )
 
     legacy_2 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
     legacy_4 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+    legacy_25 = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
     feats_defaults = {
         "protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
@@ -358,18 +361,41 @@ def test_protocol_upgrade_merge_is_monotonic_max():
                                "allowColumnDefaults"],
         }
     }
+    feats_cm_defaults = {
+        "protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants", "columnMapping",
+                               "allowColumnDefaults"],
+        }
+    }
     # strict upgrade: emitted verbatim
-    assert _protocol_upgrade(legacy_2, legacy_4) is legacy_4
+    assert _protocol_upgrade(
+        legacy_2, legacy_4, {"generatedColumns"}
+    ) is legacy_4
     # downgrade / already covered: nothing emitted
-    assert _protocol_upgrade(legacy_4, legacy_2) is None
-    assert _protocol_upgrade(feats_defaults, legacy_2) is None
+    assert _protocol_upgrade(legacy_4, legacy_2, set()) is None
+    assert _protocol_upgrade(feats_defaults, legacy_2, set()) is None
+    # CAPABILITY LOSS on a column-mapped table (review finding): after
+    # allowColumnDefaults was granted, dropping the DEFAULT column
+    # derives legacy (2,5) whose USED caps are just {columnMapping} —
+    # already granted via the hybrid (2,7) reader version, so NOTHING
+    # may be emitted (the old caps-shape compare escalated to 3/7 with
+    # phantom checkConstraints/changeDataFeed here)
+    assert _protocol_upgrade(
+        feats_cm_defaults, legacy_25, {"columnMapping"}
+    ) is None
     # mixed: defaults lost but generatedColumns (ladder 4) gained ->
-    # union of both capability sets at 3/7
-    up = _protocol_upgrade(feats_defaults, legacy_4)
+    # union of both capability sets at writer 7
+    up = _protocol_upgrade(
+        feats_defaults, legacy_4, {"generatedColumns"}
+    )
     feats = set(up["protocol"]["writerFeatures"])
     assert {"allowColumnDefaults", "generatedColumns",
             "changeDataFeed", "appendOnly", "invariants"} <= feats
     assert up["protocol"]["minWriterVersion"] == 7
+    # no reader-relevant feature in play -> reader version must NOT
+    # jump to 3 (that would itself be a gratuitous escalation)
+    assert up["protocol"]["minReaderVersion"] == 1
 
 
 def _try_duckdb_delta():

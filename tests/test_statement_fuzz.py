@@ -213,3 +213,34 @@ def test_merge_on_predicate_edge_cases_refused(ex):
         with pytest.raises(UserException):
             ex.execute(f"MERGE INTO t AS tg USING u AS s ON {on} {base}")
         assert _state(ex) == before
+
+
+def test_dml_verbs_in_double_quotes_and_comments_pass(ex):
+    """Review finding: Spark's default mode treats double quotes as
+    string literals, and -- starts a comment; DML verbs inside either
+    must NOT trip the SELECT path's mis-dispatch guard."""
+    got = ex.execute('SELECT s FROM t WHERE s = "delete"')
+    assert got.count() == 0
+    got = ex.execute("SELECT k FROM t -- delete stale rows later\nWHERE k = 1")
+    assert [r["k"] for r in got.collect()] == [1]
+    # backslash-escaped quote inside a literal keeps parity
+    got = ex.execute(r"SELECT s FROM t WHERE s = 'don\'t DELETE'")
+    assert got.count() == 0
+    # the guard still fires on REAL embedded DML
+    with pytest.raises(UserException, match="embedded DML"):
+        ex.execute("WITH x AS (SELECT 1 AS a) DELETE FROM t")
+
+
+def test_freeform_string_property_roundtrips_verbatim(ex):
+    """Review finding: only the engine's boolean feature flags
+    normalize 'true'/'false'; a free-form property whose VALUE happens
+    to be 'true' must come back as the string the user set."""
+    ex.execute("ALTER TABLE t SET TBLPROPERTIES ('note' = 'true')")
+    props = ex.table("t").latest_commit().properties
+    assert props["note"] == "true" and props["note"] is not True
+    ex.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('enableChangeDataFeed' = 'TRUE')"
+    )
+    assert ex.table("t").latest_commit().properties[
+        "enableChangeDataFeed"
+    ] is True
