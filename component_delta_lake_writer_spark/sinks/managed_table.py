@@ -62,6 +62,18 @@ _BOOLEAN_PROPERTIES = {
     "autoCompact",
 }
 
+# Change-feed action classification — shared by batch read_changes and
+# the streaming table_changes_stream source so the two can never drift
+# (a metadata-only action added to one list but not the other would
+# make the stream raise on a commit the batch API skips).
+CDF_METADATA_ONLY_ACTIONS = (
+    "optimize", "add_constraint", "drop_constraint",
+    "set_properties", "add_column", "drop_column",
+    "rename_column", "alter_column_default",
+    "widen_column_type",
+)
+CDF_CHANGE_SET_ACTIONS = ("upsert", "delete", "update", "replace_where")
+
 # commit action → Delta commitInfo operation name (what DESCRIBE
 # HISTORY shows external readers of the mirror)
 _OPERATION_NAMES = {
@@ -1163,6 +1175,18 @@ class ManagedTable:
     def _deletes_dir(self) -> str:
         return os.path.join(self.path, "_deletes")
 
+    def _write_empty_change_set(self, prev: Commit, version: int) -> None:
+        """A schema-correct EMPTY ``_changes/vN`` set: written when a
+        CDF-enabled DML commit touched no rows (stats pruned every
+        unit) so both the batch ``read_changes`` range and the
+        streaming source can cross the version instead of raising."""
+        schema = T.StructType.fromJson(json.loads(prev.schema_json)).add(
+            "_change_type", T.StringType()
+        )
+        self.spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._changes_dir, f"v{version}"))
+
     @staticmethod
     def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
         """Translate a logical-named frame to on-disk physical names
@@ -2167,6 +2191,13 @@ class ManagedTable:
             changes.write.mode("overwrite").parquet(
                 os.path.join(self._changes_dir, f"v{commit.version}")
             )
+        elif prev.properties.get("enableChangeDataFeed"):
+            # stats pruned every unit (condition provably matches no
+            # row) — the commit still publishes, so the change feed
+            # must cross it: persist an EMPTY schema-correct change
+            # set, or a running table_changes_stream wedges forever on
+            # "no persisted change set" at this version.
+            self._write_empty_change_set(prev, commit.version)
         return commit
 
     def delete_where(
@@ -2279,6 +2310,8 @@ class ManagedTable:
                 ).write.mode("overwrite").parquet(
                     os.path.join(self._changes_dir, f"v{commit.version}")
                 )
+            elif commit.properties.get("enableChangeDataFeed"):
+                self._write_empty_change_set(prev, commit.version)
         finally:
             key_set.unpersist()
         return commit
@@ -2340,6 +2373,10 @@ class ManagedTable:
             ).write.mode("overwrite").parquet(
                 os.path.join(self._changes_dir, f"v{commit.version}")
             )
+        elif prev.properties.get("enableChangeDataFeed"):
+            # see _rewrite_where: a fully-pruned DML commit still needs
+            # an (empty) change set or the CDF stream wedges on it
+            self._write_empty_change_set(prev, commit.version)
         return commit
 
     def update_where(
@@ -3553,21 +3590,13 @@ class ManagedTable:
             c = self.commit_at(v)
             if c.action == "append":
                 new_units.extend(u for u in c.data_units if u not in prev_units)
-            elif c.action in (
-                # identical rows / metadata-only — no logical change
-                "optimize", "add_constraint", "drop_constraint",
-                "set_properties", "add_column", "drop_column",
-                "rename_column", "alter_column_default",
-                "widen_column_type",
-            ):
-                pass
-            elif c.action in (
-                "upsert", "delete", "update", "replace_where"
-            ) and os.path.isdir(
+            elif c.action in CDF_METADATA_ONLY_ACTIONS:
+                pass  # identical rows / metadata-only — no logical change
+            elif c.action in CDF_CHANGE_SET_ACTIONS and os.path.isdir(
                 os.path.join(self._changes_dir, f"v{c.version}")
             ):
                 change_dirs.append(os.path.join(self._changes_dir, f"v{c.version}"))
-            elif c.action in ("upsert", "delete", "update", "replace_where"):
+            elif c.action in CDF_CHANGE_SET_ACTIONS:
                 raise UserException(
                     f"read_changes crosses {c.action} v{c.version} with no "
                     "persisted change set — set the table property "

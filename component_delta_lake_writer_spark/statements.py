@@ -72,6 +72,11 @@ def _code_only(sql: str) -> str:
             while i < n and sql[i] != "\n":
                 i += 1
             continue
+        if c == "/" and i + 1 < n and sql[i + 1] == "*":
+            end = sql.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+            out.append(" ")
+            continue
         out.append(c)
         i += 1
     return "".join(out)

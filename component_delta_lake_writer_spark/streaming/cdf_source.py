@@ -64,11 +64,11 @@ def _typed_partition_value(raw: str | None, dtype):
         return _dec.Decimal(raw)
     return raw
 
-_ATTRIBUTABLE = ("append", "upsert", "delete", "update", "replace_where")
-_NOOP = (
-    "optimize", "add_constraint", "drop_constraint", "set_properties",
-    "add_column", "drop_column", "rename_column",
-    "alter_column_default", "widen_column_type",
+# action classification is SHARED with batch read_changes so the two
+# surfaces can never drift on which commits are metadata-only
+from component_delta_lake_writer_spark.sinks.managed_table import (  # noqa: E402
+    CDF_CHANGE_SET_ACTIONS as _CHANGE_SET,
+    CDF_METADATA_ONLY_ACTIONS as _NOOP,
 )
 
 
@@ -98,7 +98,6 @@ class _ChangeFilePartition(InputPartition):
         partition_values: dict,
         mapping: dict,
         mask_paths: list[str] | None = None,
-        mask_keys: list[str] | None = None,
     ):
         self.path = path
         self.version = version
@@ -106,10 +105,11 @@ class _ChangeFilePartition(InputPartition):
         self.partition_values = partition_values
         self.mapping = mapping  # logical -> physical
         # merge-on-read equality-delete masks covering this unit: the
-        # worker drops rows whose ``mask_keys`` tuple appears in any of
-        # the delete files (bounded by MOR source sizes)
+        # worker drops rows matching any delete file's key tuples —
+        # each file keyed by ITS OWN columns (the PK at ITS commit
+        # time, exactly what the batch anti-join uses), bounded by MOR
+        # source sizes
         self.mask_paths = mask_paths or []
-        self.mask_keys = mask_keys or []
 
 
 class CdfStreamReader(DataSourceStreamReader):
@@ -130,8 +130,23 @@ class CdfStreamReader(DataSourceStreamReader):
             raise UserException(f"No table at {self.table_path}")
         if self.starting_version is not None:
             # INCLUSIVE, Delta semantics: startingVersion=N streams
-            # commit N itself (0 → the initial snapshot as inserts)
-            return {"version": int(self.starting_version) - 1}
+            # commit N itself (0 → the initial snapshot as inserts).
+            # Validated here so a bad option surfaces as a clear
+            # UserException, not a FileNotFoundError mid-batch.
+            try:
+                sv = int(self.starting_version)
+            except (TypeError, ValueError):
+                raise UserException(
+                    f"startingVersion must be an integer, got "
+                    f"{self.starting_version!r}"
+                ) from None
+            if sv < 0 or sv > vs[-1]:
+                raise UserException(
+                    f"startingVersion {sv} is outside the table's "
+                    f"history [0, {vs[-1]}] (Delta raises the same way "
+                    "for a version after the latest)."
+                )
+            return {"version": sv - 1}
         # Delta parity: without startingVersion, the stream's first
         # batch is the LATEST SNAPSHOT emitted as inserts (stamped with
         # the snapshot's commit version), then future changes follow.
@@ -157,7 +172,6 @@ class CdfStreamReader(DataSourceStreamReader):
             c = _load_commit(self.table_path, snap)
             mapping = c.get("column_mapping") or {}
             dsets = c.get("delete_sets") or []
-            pk = c.get("primary_key") or []
             for u in c["data_units"]:
                 masks = [
                     os.path.join(self.table_path, "_deletes", ds["path"])
@@ -168,7 +182,7 @@ class CdfStreamReader(DataSourceStreamReader):
                     self._unit_files(
                         os.path.join(self.table_path, "_data", u),
                         snap, "insert", mapping,
-                        mask_paths=masks, mask_keys=pk if masks else [],
+                        mask_paths=masks,
                     )
                 )
             lo = snap
@@ -201,7 +215,7 @@ class CdfStreamReader(DataSourceStreamReader):
                             v, "insert", mapping,
                         )
                     )
-            elif action in ("upsert", "delete", "update", "replace_where"):
+            elif action in _CHANGE_SET:
                 cdir = os.path.join(self.table_path, "_changes", f"v{v}")
                 if not os.path.isdir(cdir):
                     raise UserException(
@@ -221,10 +235,7 @@ class CdfStreamReader(DataSourceStreamReader):
         return parts
 
     @staticmethod
-    def _unit_files(
-        base, version, change_type, mapping,
-        mask_paths=None, mask_keys=None,
-    ):
+    def _unit_files(base, version, change_type, mapping, mask_paths=None):
         from component_delta_lake_writer_spark.sinks.hive_layout import (
             decode_segments,
         )
@@ -238,50 +249,87 @@ class CdfStreamReader(DataSourceStreamReader):
                         _ChangeFilePartition(
                             os.path.join(root, fn), version,
                             change_type, pvals, mapping,
-                            mask_paths=mask_paths, mask_keys=mask_keys,
+                            mask_paths=mask_paths,
                         )
                     )
         return out
 
     def read(self, partition: _ChangeFilePartition):
+        import datetime as _dt
+
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
-        cols = {}
-        for name in tbl.column_names:
-            cols[name] = tbl.column(name).to_pylist()
+        file_cols = set(pq.ParquetFile(partition.path).schema_arrow.names)
+        # Resolve each stream field to its source column FIRST, so the
+        # read decodes only the columns actually consumed (files may
+        # carry dead physical columns after drops/renames). Resolution
+        # order depends on the FILE KIND: data-unit files
+        # (change_type set) store PHYSICAL names — the column-mapping
+        # lookup must win, or a logical name would resurrect some
+        # other column's shadowed old bytes that add_column/rename
+        # deliberately hid (managed_table add_column contract).
+        # _changes files (change_type None) are written with LOGICAL
+        # names, so the raw name wins there.
+        resolve: dict[str, str | None] = {}
+        for f in self.schema.fields:
+            if f.name == "_commit_version" or (
+                f.name == "_change_type" and partition.change_type
+            ):
+                continue
+            if partition.change_type is not None:
+                phys = partition.mapping.get(f.name, f.name)
+                resolve[f.name] = phys if phys in file_cols else None
+            else:
+                resolve[f.name] = f.name if f.name in file_cols else None
+        wanted = sorted({c for c in resolve.values() if c})
+        tbl = pq.read_table(partition.path, columns=wanted)
+        cols = {name: tbl.column(name).to_pylist() for name in wanted}
         n = tbl.num_rows
+
+        def _coerce(vals, dtype):
+            # files written BEFORE a widen_column_type keep narrower
+            # pages; batch reads cast natively via schema pushdown,
+            # the Python path must coerce explicitly (date→ntz is the
+            # one non-identity representation in _WIDENINGS; int→
+            # double needs a float box)
+            if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+                return [
+                    _dt.datetime(v.year, v.month, v.day)
+                    if type(v) is _dt.date
+                    else v
+                    for v in vals
+                ]
+            if isinstance(dtype, (T.DoubleType, T.FloatType)):
+                return [float(v) if isinstance(v, int) else v for v in vals]
+            return vals
+
         out_cols = []
         for f in self.schema.fields:
             if f.name == "_commit_version":
                 out_cols.append([partition.version] * n)
             elif f.name == "_change_type" and partition.change_type:
                 out_cols.append([partition.change_type] * n)
-            elif f.name in cols:
-                out_cols.append(cols[f.name])
+            elif resolve.get(f.name):
+                out_cols.append(_coerce(cols[resolve[f.name]], f.dataType))
+            elif f.name in partition.partition_values:
+                raw = partition.partition_values[f.name]
+                out_cols.append(
+                    [_typed_partition_value(raw, f.dataType)] * n
+                )
             else:
-                phys = partition.mapping.get(f.name, f.name)
-                if phys in cols:
-                    out_cols.append(cols[phys])
-                elif f.name in partition.partition_values:
-                    raw = partition.partition_values[f.name]
-                    out_cols.append(
-                        [_typed_partition_value(raw, f.dataType)] * n
-                    )
-                else:
-                    out_cols.append([None] * n)
+                out_cols.append([None] * n)
         if not n:
             return
         if partition.mask_paths:
-            # merge-on-read equality-delete mask: drop rows whose PK
-            # tuple appears in any covering delete file (read here on
-            # the worker — masks are O(MOR source), never the table).
-            # Both sides normalize through _mask_norm: a PK that is a
-            # hive PARTITION column decodes to a naive datetime while
-            # pyarrow hands the delete file's values back tz-aware —
-            # naive != aware would silently void the whole mask.
-            import datetime as _dt
-
+            # merge-on-read equality-delete masks: each delete file is
+            # keyed by ITS OWN columns (the PK at its commit time —
+            # exactly what the batch anti-join uses), read worker-side
+            # (masks are O(MOR source), never the table). Anti-join
+            # NULL semantics are preserved: a NULL never matches, so
+            # mask entries with a NULL key are dropped and rows with a
+            # NULL key always survive. Both sides normalize tz-aware →
+            # naive UTC (a hive-partition PK decodes naive while
+            # pyarrow hands delete-file values back tz-aware).
             def _mask_norm(v):
                 if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                     return v.astimezone(_dt.timezone.utc).replace(
@@ -289,29 +337,38 @@ class CdfStreamReader(DataSourceStreamReader):
                     )
                 return v
 
-            mask: set = set()
+            field_pos = {
+                f.name: i for i, f in enumerate(self.schema.fields)
+            }
+            groups: list[tuple[list[int], set]] = []
             for mp in partition.mask_paths:
+                entries: set = set()
+                keys: list[str] | None = None
                 for root, _dirs, files in os.walk(mp):
                     for fn in files:
                         if not fn.endswith(".parquet"):
                             continue
-                        mt = pq.read_table(
-                            os.path.join(root, fn),
-                            columns=partition.mask_keys,
-                        )
-                        mask.update(
+                        mt = pq.read_table(os.path.join(root, fn))
+                        if keys is None:
+                            keys = list(mt.column_names)
+                        entries.update(
                             tuple(_mask_norm(v) for v in row)
                             for row in zip(*[
-                                mt.column(c).to_pylist()
-                                for c in partition.mask_keys
+                                mt.column(c).to_pylist() for c in keys
                             ])
+                            if None not in row
                         )
-            field_pos = {f.name: i for i, f in enumerate(self.schema.fields)}
-            pk_idx = [field_pos[c] for c in partition.mask_keys]
+                if not keys or any(k not in field_pos for k in keys):
+                    continue  # un-evaluable mask: keep rows (conservative)
+                groups.append(([field_pos[k] for k in keys], entries))
             yield from (
                 row
                 for row in zip(*out_cols)
-                if tuple(_mask_norm(row[i]) for i in pk_idx) not in mask
+                if not any(
+                    None not in (t := tuple(_mask_norm(row[i]) for i in idx))
+                    and t in entries
+                    for idx, entries in groups
+                )
             )
             return
         yield from zip(*out_cols)

@@ -948,3 +948,96 @@ def test_cdf_stream_snapshot_applies_mor_delete_sets(spark, tmp_path):
         (r["k"], r["v"]) for r in t.read().collect()
     )
     assert got == want == [(1, 1.0), (2, -2.0), (3, -3.0), (4, 4.0)]
+
+
+def test_cdf_stream_respects_column_mapping_shadows(spark, tmp_path):
+    """Review finding: data-unit files store PHYSICAL names; after
+    rename x->z then rename y->x, streaming field 'x' must resolve
+    through the mapping (old physical 'y' bytes), NOT grab physical
+    'x' (which is z's data). Batch read() already does this."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(
+        spark.createDataFrame([(1, 10, 100)], "k int, x int, y int"),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    t.rename_column("x", "z")
+    t.rename_column("y", "x")
+    register(spark)
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory").queryName("tcs_shadow")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    [row] = spark.table("tcs_shadow").collect()
+    batch = t.read().collect()[0]
+    assert (row["k"], row["z"], row["x"]) == (1, 10, 100)
+    assert (batch["k"], batch["z"], batch["x"]) == (1, 10, 100)
+
+
+def test_cdf_stream_crosses_fully_pruned_dml(spark, tmp_path):
+    """Review finding: a CDF-enabled DELETE whose predicate stats-prune
+    every unit still publishes a commit; the stream (and batch range)
+    must cross it via an EMPTY change set instead of wedging."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    t.delete_where("k > 1000")             # prunes to zero units
+    t.write(spark.createDataFrame([(3, 3.0)], "k int, v double"),
+            mode="append")
+    # batch range crosses the no-op delete
+    assert t.read_changes(0).count() >= 1
+    register(spark)
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory").queryName("tcs_noop_dml")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {(r["k"], r["_change_type"], r["_commit_version"])
+            for r in spark.table("tcs_noop_dml").collect()}
+    assert rows == {(3, "insert", 2)}
+
+
+def test_cdf_stream_starting_version_validation(spark, tmp_path):
+    """startingVersion beyond history or non-integer must raise a
+    clear UserException, not a FileNotFoundError mid-batch."""
+    import os
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        CdfStreamReader,
+    )
+    from pyspark.sql import types as T
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(spark.createDataFrame([(1,)], "k int"), mode="overwrite")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    for bad in ("10", "-1", "latest"):
+        r = CdfStreamReader(schema, {"path": t.path, "startingVersion": bad})
+        with pytest.raises(UserException):
+            r.initialOffset()

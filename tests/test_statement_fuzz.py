@@ -244,3 +244,8 @@ def test_freeform_string_property_roundtrips_verbatim(ex):
     assert ex.table("t").latest_commit().properties[
         "enableChangeDataFeed"
     ] is True
+
+
+def test_dml_verb_in_block_comment_passes(ex):
+    got = ex.execute("SELECT /* delete nothing */ k FROM t WHERE k = 2")
+    assert [r["k"] for r in got.collect()] == [2]
