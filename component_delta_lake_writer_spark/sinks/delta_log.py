@@ -122,8 +122,32 @@ def _walk_parquet(root: str, unit_dir: str) -> list[tuple[str, int, int, dict]]:
     return out
 
 
+def _type_uses_ntz(t) -> bool:
+    """Does a Spark schema-JSON dataType use timestamp_ntz anywhere
+    (struct/array/map nesting included)? Walks TYPE positions only —
+    a column merely NAMED 'timestamp_ntz' must not trigger the
+    feature (substring probing did, escalating the protocol and
+    making feature-less readers refuse a perfectly readable table)."""
+    if isinstance(t, str):
+        return t == "timestamp_ntz"
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return any(
+                _type_uses_ntz(f.get("type")) for f in t.get("fields", [])
+            )
+        if k == "array":
+            return _type_uses_ntz(t.get("elementType"))
+        if k == "map":
+            return _type_uses_ntz(t.get("keyType")) or _type_uses_ntz(
+                t.get("valueType")
+            )
+    return False
+
+
 def _needs_timestamp_ntz(schema_json: str) -> bool:
-    return "timestamp_ntz" in schema_json
+    s = json.loads(schema_json)
+    return any(_type_uses_ntz(f.get("type")) for f in s.get("fields", []))
 
 
 def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
@@ -202,20 +226,89 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
     return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
 
 
-def _mapped_schema_string(schema_json: str, column_mapping: dict) -> str:
+def _prior_mapping_ids(log_dir: str) -> tuple[dict, int]:
+    """(physicalName → columnMapping id, maxColumnId) from the mirror's
+    most recent metaData. Ids are IMMUTABLE per the spec — a column
+    keeps its id across renames (physical name is the stable key) and
+    drops must not renumber survivors; maxColumnId only grows."""
+    a = next(_scan_log_newest_first(log_dir, "metaData"), None)
+    if a is None:
+        return {}, 0
+    md = a["metaData"]
+    ids: dict = {}
+    try:
+        for f in json.loads(md["schemaString"]).get("fields", []):
+            meta = f.get("metadata") or {}
+            pid = meta.get("delta.columnMapping.id")
+            phys = meta.get("delta.columnMapping.physicalName")
+            if pid is not None and phys is not None:
+                ids[phys] = int(pid)
+    except (ValueError, KeyError):
+        return {}, 0
+    cfg = md.get("configuration") or {}
+    try:
+        max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+    except ValueError:
+        max_id = 0
+    return ids, max(max_id, max(ids.values(), default=0))
+
+
+def _mapped_schema_string(
+    schema_json: str,
+    column_mapping: dict,
+    prior_ids: dict | None = None,
+    max_id: int = 0,
+) -> tuple[str, int]:
     """Embed delta.columnMapping.{id,physicalName} field metadata into
     the Spark schema JSON — the schemaString Delta writes under
-    columnMapping mode=name. Every field gets an id and a physical
-    name (identity for never-renamed columns), per the spec."""
+    columnMapping mode=name. Ids come from ``prior_ids`` (keyed by
+    physical name) when the column existed before, else allocate past
+    ``max_id`` — NEVER positionally, which would renumber every column
+    after a drop and violate id immutability. Nested struct fields get
+    ids too (spec: every field under mode=name carries mapping
+    metadata; nested names are identity-physical — the engine renames
+    only top level). Returns (schemaString, new maxColumnId)."""
+    prior = dict(prior_ids or {})
+    counter = [max(max_id, max(prior.values(), default=0))]
+
+    def assign(meta: dict, phys: str) -> dict:
+        meta = dict(meta)
+        if phys in prior:
+            meta["delta.columnMapping.id"] = prior[phys]
+        else:
+            counter[0] += 1
+            prior[phys] = counter[0]
+            meta["delta.columnMapping.id"] = counter[0]
+        meta["delta.columnMapping.physicalName"] = phys
+        return meta
+
+    def walk_nested(t, prefix: str):
+        # nested fields key their ids by a dotted physical path so two
+        # structs with same-named children never collide
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for nf in t.get("fields", []):
+                    phys = f"{prefix}.{nf['name']}"
+                    nf["metadata"] = assign(
+                        nf.get("metadata") or {}, phys
+                    )
+                    # spec: physicalName metadata holds the LEAF name
+                    nf["metadata"]["delta.columnMapping.physicalName"] = (
+                        nf["name"]
+                    )
+                    walk_nested(nf.get("type"), phys)
+            elif t.get("type") == "array":
+                walk_nested(t.get("elementType"), prefix + ".element")
+            elif t.get("type") == "map":
+                walk_nested(t.get("keyType"), prefix + ".key")
+                walk_nested(t.get("valueType"), prefix + ".value")
+
     schema = json.loads(schema_json)
-    for i, f in enumerate(schema.get("fields", [])):
-        meta = dict(f.get("metadata") or {})
-        meta["delta.columnMapping.id"] = i + 1
-        meta["delta.columnMapping.physicalName"] = column_mapping.get(
-            f["name"], f["name"]
-        )
-        f["metadata"] = meta
-    return json.dumps(schema)
+    for f in schema.get("fields", []):
+        phys = column_mapping.get(f["name"], f["name"])
+        f["metadata"] = assign(f.get("metadata") or {}, phys)
+        walk_nested(f.get("type"), phys)
+    return json.dumps(schema), counter[0]
 
 
 def _metadata_action(
@@ -224,17 +317,20 @@ def _metadata_action(
     partition_by: list[str],
     created_ms: int,
     column_mapping: dict | None = None,
+    prior_ids: dict | None = None,
+    prior_max_id: int = 0,
 ) -> dict:
     configuration: dict[str, str] = {}
     if column_mapping is not None:
         # mode=name once enabled stays enabled (the spec forbids
         # disabling it); an empty dict means identity physical names
         # (e.g. after optimize materialized all renames)
-        schema_json = _mapped_schema_string(schema_json, column_mapping)
-        n_fields = len(json.loads(schema_json).get("fields", []))
+        schema_json, max_id = _mapped_schema_string(
+            schema_json, column_mapping, prior_ids, prior_max_id
+        )
         configuration = {
             "delta.columnMapping.mode": "name",
-            "delta.columnMapping.maxColumnId": str(n_fields),
+            "delta.columnMapping.maxColumnId": str(max_id),
         }
     return {
         "metaData": {
@@ -306,6 +402,9 @@ def write_delta_log_entry(
         # cannot be disabled), with identity physical names after a
         # materializing rewrite.
         tid = _table_id(log_dir) or uuid.uuid4().hex
+        # createdTime is fixed at table creation (Delta convention);
+        # re-emissions must carry v0's value, not this commit's clock
+        created = _table_created_ms(log_dir)
         mapped_mode = bool(cm or prev_cm or _log_has_mapping(log_dir))
         # re-emit the protocol whenever the capabilities the schema
         # needs actually GREW (timestampNtz flip, mapping enabled,
@@ -324,10 +423,15 @@ def write_delta_log_entry(
             )
             if up is not None:
                 actions.append(up)
+        prior_ids, prior_max = (
+            _prior_mapping_ids(log_dir) if mapped_mode else ({}, 0)
+        )
         actions.append(
             _metadata_action(
-                tid, schema_json, partition_by, timestamp_ms,
+                tid, schema_json, partition_by,
+                created if created is not None else timestamp_ms,
                 column_mapping=cm if mapped_mode else None,
+                prior_ids=prior_ids, prior_max_id=prior_max,
             )
         )
 
@@ -336,7 +440,7 @@ def write_delta_log_entry(
             actions.append(
                 {
                     "remove": {
-                        "path": rel,
+                        "path": _encode_path(rel),
                         "deletionTimestamp": timestamp_ms,
                         "dataChange": True,
                     }
@@ -347,7 +451,7 @@ def write_delta_log_entry(
             actions.append(
                 {
                     "add": {
-                        "path": rel,
+                        "path": _encode_path(rel),
                         "partitionValues": pvals,
                         "size": size,
                         "modificationTime": mtime,
@@ -398,16 +502,21 @@ def _used_caps(schema_json: str, column_mapping: bool) -> set:
     implies features the table never touched; those must not count as
     requirements or a later schema change would spuriously escalate)."""
     caps = set()
-    if "delta.generationExpression" in schema_json:
-        caps.add("generatedColumns")
-    if "delta.identity.start" in schema_json:
-        caps.add("identityColumns")
-    if "CURRENT_DEFAULT" in schema_json:
-        caps.add("allowColumnDefaults")
-    if "delta.typeChanges" in schema_json:
-        caps.add("typeWidening")
-    if _needs_timestamp_ntz(schema_json):
-        caps.add("timestampNtz")
+    schema = json.loads(schema_json)
+    for f in schema.get("fields", []):
+        meta = f.get("metadata") or {}
+        # feature markers live in field METADATA KEYS — probing the
+        # raw JSON string would also match column names/comments
+        if "delta.generationExpression" in meta:
+            caps.add("generatedColumns")
+        if any(k.startswith("delta.identity.") for k in meta):
+            caps.add("identityColumns")
+        if "CURRENT_DEFAULT" in meta:
+            caps.add("allowColumnDefaults")
+        if "delta.typeChanges" in meta:
+            caps.add("typeWidening")
+        if _type_uses_ntz(f.get("type")):
+            caps.add("timestampNtz")
     if column_mapping:
         caps.add("columnMapping")
     return caps
@@ -424,11 +533,19 @@ def _supported_caps(p: dict) -> set:
     if "readerFeatures" in pr or "writerFeatures" in pr:
         caps |= set(pr.get("readerFeatures") or ())
         caps |= set(pr.get("writerFeatures") or ())
+        if "readerFeatures" not in pr and pr["minReaderVersion"] >= 2:
+            # the hybrid (2, 7, writerFeatures) shape: mapping granted
+            # via the LEGACY reader version, feature list writer-only
+            caps.add("columnMapping")
     else:
         for v in range(2, pr["minWriterVersion"] + 1):
             caps |= _WRITER_LADDER_FEATURES.get(v, set())
-    if pr["minReaderVersion"] >= 2:
-        caps.add("columnMapping")
+        if pr["minReaderVersion"] >= 2:
+            caps.add("columnMapping")
+    # NOTE: a feature-form protocol WITH readerFeatures grants exactly
+    # what it lists — reader 3 alone must NOT imply columnMapping, or
+    # enabling mapping on a timestampNtz table would emit no upgrade
+    # and external readers would reject the unlisted feature.
     return caps
 
 
@@ -520,6 +637,25 @@ def _log_has_mapping(log_dir: str) -> bool:
     return cfg.get("delta.columnMapping.mode") == "name"
 
 
+def _encode_path(rel: str) -> str:
+    """Delta-spec action paths are PERCENT-ENCODED relative URIs: a
+    hive-escaped directory like ``k=a%25b`` must emit as
+    ``k=a%2525b`` or a spec-compliant reader URL-decodes it to a
+    nonexistent ``k=a%b``. '=' stays literal (legal in URI path
+    segments; the form every Delta writer produces for partition
+    dirs). Plain hex/part-file names are identity-encoded, so logs of
+    unpartitioned tables are byte-identical to before."""
+    from urllib.parse import quote
+
+    return quote(rel, safe="/=")
+
+
+def _decode_path(rel: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(rel)
+
+
 def _table_id(log_dir: str) -> str | None:
     v0 = os.path.join(log_dir, f"{0:020d}.json")
     if not os.path.exists(v0):
@@ -529,6 +665,20 @@ def _table_id(log_dir: str) -> str | None:
             a = json.loads(line)
             if "metaData" in a:
                 return a["metaData"]["id"]
+    return None
+
+
+def _table_created_ms(log_dir: str) -> int | None:
+    """v0's createdTime — fixed for the table's lifetime, carried
+    through every metaData re-emission (same anchoring as _table_id)."""
+    v0 = os.path.join(log_dir, f"{0:020d}.json")
+    if not os.path.exists(v0):
+        return None
+    with open(v0) as f:
+        for line in f:
+            a = json.loads(line)
+            if "metaData" in a:
+                return a["metaData"].get("createdTime")
     return None
 
 
@@ -558,7 +708,9 @@ def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]
                     live[a["add"]["path"]] = True
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
-    return sorted(live), schema, partition_cols
+    # action paths are spec percent-encoded; callers get FILESYSTEM
+    # paths back (what any external reader does after URL-decoding)
+    return sorted(_decode_path(p) for p in live), schema, partition_cols
 
 
 def read_delta_table(spark, table_path: str):
@@ -628,12 +780,19 @@ def write_checkpoint(table_path: str, version: int) -> str:
     metadata: dict | None = None
     live: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
+    txns: dict[str, dict] = {}
     for v in range(version + 1):
         for a in _read_version_actions(log_dir, v):
             if "protocol" in a:
                 protocol = a["protocol"]
             elif "metaData" in a:
                 metadata = a["metaData"]
+            elif "txn" in a:
+                # latest setTransaction per appId — the spec REQUIRES
+                # checkpoints to carry these; an external idempotent
+                # writer replaying from the checkpoint would otherwise
+                # find no watermark and re-apply committed batches
+                txns[a["txn"]["appId"]] = a["txn"]
             elif "add" in a:
                 live[a["add"]["path"]] = a["add"]
                 tombstones.pop(a["add"]["path"], None)
@@ -648,16 +807,25 @@ def write_checkpoint(table_path: str, version: int) -> str:
     # tombstone since log start is kept — a superset of any retention
     # window, and harmless to replay).
     rows = [
-        {"protocol": protocol, "metaData": None, "add": None, "remove": None},
-        {"protocol": None, "metaData": metadata, "add": None, "remove": None},
+        {"protocol": protocol, "metaData": None, "add": None,
+         "remove": None, "txn": None},
+        {"protocol": None, "metaData": metadata, "add": None,
+         "remove": None, "txn": None},
     ]
     rows += [
-        {"protocol": None, "metaData": None, "add": add, "remove": None}
+        {"protocol": None, "metaData": None, "add": add, "remove": None,
+         "txn": None}
         for add in live.values()
     ]
     rows += [
-        {"protocol": None, "metaData": None, "add": None, "remove": rm}
+        {"protocol": None, "metaData": None, "add": None, "remove": rm,
+         "txn": None}
         for rm in tombstones.values()
+    ]
+    rows += [
+        {"protocol": None, "metaData": None, "add": None, "remove": None,
+         "txn": t}
+        for t in txns.values()
     ]
 
     schema = pa.schema(
@@ -729,6 +897,16 @@ def write_checkpoint(table_path: str, version: int) -> str:
                     ]
                 ),
             ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                        pa.field("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     # map-typed fields arrive as dicts; pyarrow wants item lists
@@ -754,6 +932,7 @@ def write_checkpoint(table_path: str, version: int) -> str:
             "metaData": _norm_meta(r["metaData"]),
             "add": _maps(r["add"], ("partitionValues",)),
             "remove": r["remove"],
+            "txn": r["txn"],
         }
         for r in rows
     ]
@@ -836,4 +1015,4 @@ def replay_delta_log_from_checkpoint(
                 live[a["add"]["path"]] = True
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
-    return sorted(live), schema, partition_cols
+    return sorted(_decode_path(p) for p in live), schema, partition_cols

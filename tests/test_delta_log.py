@@ -537,3 +537,132 @@ def test_delta_log_external_reader_interop(spark, tmp_path):
         assert acts[-1]["commitInfo"]["engineInfo"] == (
             "component-delta-lake-writer-spark"
         )
+
+
+def test_column_mapping_ids_immutable_across_drop(spark, tmp_path):
+    """Spec: columnMapping ids never renumber and maxColumnId only
+    grows. After rename + DROP of the first column, the survivors keep
+    their original ids; a later ADD allocates past the high-water."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, 2, 3)], "a int, b int, c int"),
+        mode="overwrite",
+    )
+    t.rename_column("a", "a2")        # mapping active; ids assigned
+
+    def ids():
+        md = next(
+            a["metaData"]
+            for a in reversed(_actions(t.path, t.latest_commit().version))
+            if "metaData" in a
+        )
+        out = {}
+        for f in json.loads(md["schemaString"])["fields"]:
+            m = f["metadata"]
+            out[f["name"]] = (
+                m["delta.columnMapping.id"],
+                m["delta.columnMapping.physicalName"],
+            )
+        cfg = md["configuration"]
+        return out, int(cfg["delta.columnMapping.maxColumnId"])
+
+    before, max0 = ids()
+    t.drop_column("a2")
+    after, max1 = ids()
+    assert after["b"] == before["b"] and after["c"] == before["c"]
+    assert max1 >= max0                      # never shrinks
+    t.add_column("d", "long")
+    final, max2 = ids()
+    used = {i for i, _ in before.values()}
+    assert final["d"][0] not in used         # fresh id past high-water
+    assert max2 >= max1
+
+
+def test_protocol_not_fooled_by_column_named_timestamp_ntz(spark, tmp_path):
+    """A plain string column NAMED timestamp_ntz must not trigger the
+    timestampNtz feature (substring probe false positive)."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([("x",)], "timestamp_ntz string"),
+        mode="overwrite",
+    )
+    v0 = _actions(t.path, 0)
+    p = v0[0]["protocol"]
+    assert p == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_mapping_on_ntz_table_upgrades_protocol(spark, tmp_path):
+    """Review finding: reader-3 feature-form protocols grant exactly
+    what they LIST — enabling column mapping on a timestampNtz table
+    must emit an upgraded protocol carrying columnMapping."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _log_last_protocol,
+    )
+
+    o = load_table(spark, SF, "orders")      # carries timestamp_ntz
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(o.limit(5), mode="overwrite")
+    v0p = _actions(t.path, 0)[0]["protocol"]
+    assert "timestampNtz" in v0p["readerFeatures"]
+    assert "columnMapping" not in v0p.get("readerFeatures", [])
+    t.rename_column("o_orderpriority", "prio")
+    last = _log_last_protocol(os.path.join(t.path, "_delta_log"))
+    rp = last["protocol"]
+    assert "columnMapping" in rp.get("readerFeatures", []), rp
+    assert "columnMapping" in rp.get("writerFeatures", []), rp
+
+
+def test_action_paths_percent_encoded_for_hive_escapes(spark, tmp_path):
+    """Spec: add/remove paths are percent-encoded URIs. A partition
+    value containing '%'/' ' is hive-escaped on disk; the action path
+    must re-encode those escapes so a URL-decoding reader resolves
+    the real file — and our own replay must round-trip it."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a%b"), (2, "c d")], "k int, part string"
+        ),
+        mode="overwrite", partition_by=["part"],
+    )
+    adds = [a["add"]["path"] for a in _actions(t.path, 0) if "add" in a]
+    assert any("%2525" in p for p in adds), adds    # on-disk %25 -> %2525
+    assert any("%20" in p for p in adds), adds      # literal space -> %20
+    files, _schema, _p = replay_delta_log(t.path)
+    for fp in files:
+        assert os.path.exists(os.path.join(t.path, fp)), fp
+
+
+def test_checkpoint_carries_txn_watermarks(spark, tmp_path):
+    """Spec: checkpoints include the latest setTransaction per appId —
+    external idempotent writers replay from the checkpoint and must
+    find the watermark."""
+    import pyarrow.parquet as pq
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(5).select(F.col("id").alias("k"))
+    t.write(df, mode="overwrite", primary_key=["k"])
+    for i in range(1, 9):
+        t.write(df.withColumn("k", F.col("k") + i * 100), mode="append",
+                txn=("writer-a", i))
+    # 10th commit triggers the checkpoint
+    t.write(df.withColumn("k", F.col("k") + 10_000), mode="append",
+            txn=("writer-b", 1))
+    ckpt = os.path.join(
+        t.path, "_delta_log", f"{9:020d}.checkpoint.parquet"
+    )
+    assert os.path.exists(ckpt)
+    rows = pq.read_table(ckpt).to_pylist()
+    txns = {r["txn"]["appId"]: r["txn"]["version"]
+            for r in rows if r.get("txn")}
+    assert txns == {"writer-a": 8, "writer-b": 1}
+
+
+def test_created_time_stable_across_schema_evolution(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    o = load_table(spark, SF, "orders")
+    t.write(o.select("o_orderkey"), mode="overwrite")
+    md0 = next(a["metaData"] for a in _actions(t.path, 0) if "metaData" in a)
+    t.write(o.select("o_orderkey", "o_totalprice"), mode="append",
+            schema_mode="merge")
+    md1 = next(a["metaData"] for a in _actions(t.path, 1) if "metaData" in a)
+    assert md1["createdTime"] == md0["createdTime"]
