@@ -38,7 +38,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a ZERO-NORM GUARD: an all-zero vector
+    yields 0.0 (no direction → no similarity) instead of a division
+    by zero — which under Spark 4's default ANSI mode is a runtime
+    DIVIDE_BY_ZERO that would kill the whole job on one bad row."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -192,8 +197,14 @@ def ivf_topk(
     the complement of lsh_bucket_topk (data-adaptive cells vs
     data-oblivious hyperplanes).
     """
+    # the n_cells LOWEST-ID vectors seed the cells — orderBy+limit
+    # (TakeOrdered, no full sort), NOT a ``id < n_cells`` filter:
+    # that spelling only equals the documented contract when ids are
+    # dense and zero-based; offset/sparse id spaces would silently
+    # yield an empty centroid set and an empty result.
     cents = (
-        df.filter(F.col(id_col) < n_cells)
+        df.orderBy(F.col(id_col))
+        .limit(n_cells)
         .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv"))
     )
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
@@ -201,9 +212,12 @@ def ivf_topk(
         F.col(id_col), F.col("cell"), cosine(F.col("v"), F.col("cv")).alias("s")
     )
     # argmax(s) per vector with smallest-cell tie-break, as a hash agg
-    # (min of (-s, cell) struct) — lighter than a window sort.
+    # (min of (-s, cell) struct) — lighter than a window sort. NULL
+    # similarities are dropped first: null sorts ahead of every real
+    # value in struct ordering, so one null would absorb the vector.
     asg = (
-        sims.groupBy(id_col)
+        sims.filter(F.col("s").isNotNull())
+        .groupBy(id_col)
         .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("cell"))).alias("m"))
         .select(F.col(id_col), F.col("m.cell").alias("cell"))
     )
@@ -292,7 +306,10 @@ def _lloyd_centroids(
     exact-decimal centroid updates (the final assignment is the
     caller's). Shared by kmeans_clusters and pq_topk's per-subspace
     codebook training."""
-    cents = pts.filter(F.col("pid") < k).select(
+    # the k LOWEST-ID points seed (orderBy+limit = TakeOrdered; a
+    # ``pid < k`` filter matches the contract only for dense 0-based
+    # ids and silently clusters nothing on offset id spaces)
+    cents = pts.orderBy(F.col("pid")).limit(k).select(
         F.col("pid").alias("cid"), F.col("x").alias("c")
     )
     for _ in range(max(lloyd_iterations - 1, 0)):
@@ -314,6 +331,14 @@ def _lloyd_centroids(
                 lambda t: t["m"],
             ).alias("c")
         )
+        # the centroid table is k×dim — METADATA-scale. Materialize it
+        # to the driver and rebuild, cutting the iterative lineage:
+        # chained un-cached iterations re-execute every prior round
+        # wherever cents is referenced (pq_topk references it twice
+        # per subspace), and the plan tree grows per round.
+        rows = cents.collect()
+        if rows:
+            cents = pts.sparkSession.createDataFrame(rows, cents.schema)
     return cents
 
 
@@ -348,15 +373,27 @@ def pq_topk(
     """
     from pyspark.sql.window import Window
 
+    from component_delta_lake_writer_spark.errors import UserException
+
     width = dim // m
     base = df.select(
         F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("full")
     )
+    if base.filter(F.col("pid") == probe_id).isEmpty():
+        # a missing probe would propagate as empty qd tables and an
+        # EMPTY top-k — indistinguishable from "no neighbors"
+        raise UserException(
+            f"pq_topk probe_id {probe_id!r} not present in the corpus."
+        )
     codes_parts = []
     qd_parts = []
     for j in range(m):
+        # the LAST subspace absorbs the dim % m remainder — silently
+        # dropping trailing coordinates would diverge the ranking from
+        # the documented PQ of the full vector
+        w_j = width + (dim - m * width if j == m - 1 else 0)
         sub = base.select(
-            "pid", F.slice(F.col("full"), j * width + 1, width).alias("x")
+            "pid", F.slice(F.col("full"), j * width + 1, w_j).alias("x")
         )
         cents = _lloyd_centroids(sub, sub_k, lloyd_iterations)
         codes_parts.append(
@@ -459,18 +496,34 @@ def quantize_int8(
     Returns (id, scale, q:array<int>); all-zero vectors get scale 0
     and an all-zero q (guarded division).
     """
-    v = _as_double(F.col(vec_col))
-    amax = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    # the O(dim) amax fold is computed ONCE into a column and the
+    # transform references that column — embedding the aggregate
+    # expression inside the per-element lambda defeats Catalyst's
+    # subexpression elimination and re-evaluates the fold per element
+    # (O(dim²) per row: ~1M ops for dim=1024 instead of ~2k)
+    staged = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn(
+        "_amax",
+        F.aggregate(
+            F.col("_v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ),
     )
-    scale = (amax / F.lit(127.0)).alias("scale")
-    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+    amax = F.col("_amax")
+    q = F.when(
+        amax == 0.0, F.transform(F.col("_v"), lambda x: F.lit(0))
+    ).otherwise(
         F.transform(
-            v,
-            lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+            F.col("_v"),
+            lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
         )
     )
-    return df.select(F.col(id_col), scale, q.alias("q"))
+    return staged.select(
+        F.col(id_col), (amax / F.lit(127.0)).alias("scale"), q.alias("q")
+    )
 
 
 def batch_cosine_topk(

@@ -1041,3 +1041,48 @@ def test_cdf_stream_starting_version_validation(spark, tmp_path):
         r = CdfStreamReader(schema, {"path": t.path, "startingVersion": bad})
         with pytest.raises(UserException):
             r.initialOffset()
+
+
+def test_similarity_contracts_offset_ids_and_zero_vectors(spark):
+    """Review findings: (1) seeding must take the k LOWEST ids, not
+    filter id < k — offset id spaces clustered nothing and silently
+    returned empty; (2) a zero-norm vector must not raise
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_clusters,
+    )
+
+    # ids start at 1000; one all-zero vector in the corpus
+    rows = [(1000 + i, [float((i * 7 + d) % 5) for d in range(8)])
+            for i in range(40)]
+    rows.append((2000, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = kmeans_clusters(df, k=4, lloyd_iterations=2)
+    assert km.count() == 41                      # every vector assigned
+    assert km.select("cid").distinct().count() >= 2
+    probe = df.filter(F.col("vec_id") == 1003)
+    got = ivf_topk(df, probe, k=5, n_cells=4, nprobe=4)
+    assert got.count() == 5
+    # probing WITH the zero vector present and AS the probe: no crash
+    zp = df.filter(F.col("vec_id") == 2000)
+    assert cosine_topk(df, zp, k=3).count() == 3
+
+
+def test_pq_topk_missing_probe_raises_and_remainder_dims(spark):
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = [(i, [float((i + d) % 7) for d in range(10)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # dim=10, m=4 -> last subspace absorbs the remainder (10 - 2*4 = 2
+    # extra dims); must run and return k rows
+    out = pq_topk(df, k=5, m=4, sub_k=4, probe_id=0, dim=10)
+    assert out.count() == 5
+    with pytest.raises(UserException, match="probe_id"):
+        pq_topk(df, k=5, m=4, sub_k=4, probe_id=999, dim=10)
