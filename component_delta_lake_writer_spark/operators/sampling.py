@@ -24,13 +24,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(id_name: str, buckets: int = 100) -> Column:
-    """Deterministic uniform bucket in [0, buckets): md5-prefix of the
-    id's decimal string, mod buckets. Identical in DuckDB as
-    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % buckets."""
+def _bucket(id_name: str, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, buckets): md5-prefix of
+    '<salt>:<id>' mod buckets (DuckDB twin:
+    ('0x' || substr(md5('<salt>:' || CAST(id AS VARCHAR)), 1, 8))
+    ::BIGINT % buckets).
+
+    Every sampler passes its OWN salt: with a shared unsalted hash,
+    composed samplers key on the identical bucket of the same id, so
+    hash_sample(20%) then train_test_split(10%) yields a ~50% test
+    fraction (bucket<10 is a subset of bucket<20) instead of the
+    independent 10% — measured, not hypothetical. Distinct salts make
+    the draws independent."""
+    src = (
+        f"CONCAT('{salt}:', CAST({id_name} AS STRING))"
+        if salt
+        else f"CAST({id_name} AS STRING)"
+    )
     return (
         F.expr(
-            f"CAST(conv(substring(md5(CAST({id_name} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f"CAST(conv(substring(md5({src}), 1, 8), 16, 10) AS BIGINT)"
         )
         % buckets
     )
@@ -38,7 +51,7 @@ def _bucket(id_name: str, buckets: int = 100) -> Column:
 
 def hash_sample(df: DataFrame, id_col: str, percent: int) -> DataFrame:
     """Keep ~percent% of rows, deterministically by id hash."""
-    return df.filter(_bucket(id_col) < percent)
+    return df.filter(_bucket(id_col, salt="sample") < percent)
 
 
 def stratified_sample(
@@ -47,7 +60,7 @@ def stratified_sample(
     """Per-stratum deterministic sampling: ``percents`` maps stratum
     value → kept percentage (0-100); unlisted strata are dropped.
     One narrow filter, no shuffle, no RNG state."""
-    b = _bucket(id_col)
+    b = _bucket(id_col, salt="strata")
     thresh = None
     for val, pct in sorted(percents.items()):
         c = F.when(F.col(strata_col) == val, F.lit(pct))
@@ -67,7 +80,7 @@ def train_test_split(
     incremental training-data runs."""
     return df.withColumn(
         "split",
-        F.when(_bucket(id_col) < test_percent, F.lit("test")).otherwise(
+        F.when(_bucket(id_col, salt="split") < test_percent, F.lit("test")).otherwise(
             F.lit("train")
         ),
     )
@@ -100,9 +113,14 @@ def pack_sequences(
     cum = F.sum(F.col(token_col)).over(w)
     # floor((cum-1)/budget) == ceil(cum/budget)-1 for cum ≥ 1; floor on
     # both engines (a bare BIGINT cast truncates in Spark but ROUNDS in
-    # DuckDB — a real cross-engine trap on exact boundaries).
+    # DuckDB — a real cross-engine trap on exact boundaries). The
+    # greatest(cum, 1) guard keeps ZERO-TOKEN docs at a stratum's head
+    # in bin 0 — the raw formula put them in a nonexistent bin -1.
     return df.withColumn(
-        "bin", F.floor((cum - F.lit(1)) / F.lit(budget)).cast("long")
+        "bin",
+        F.floor(
+            (F.greatest(cum, F.lit(1)) - F.lit(1)) / F.lit(budget)
+        ).cast("long"),
     )
 
 
@@ -120,7 +138,7 @@ def importance_sample(
     same row set survives reruns, task retries, and engine swaps, and
     a row's membership never flips as the corpus grows."""
     return df.withColumn("_rate", rate_col).filter(
-        _bucket(id_col) < F.col("_rate")
+        _bucket(id_col, salt="imp") < F.col("_rate")
     ).withColumn(
         "weight", F.round(F.lit(100.0) / F.col("_rate"), 6)
     ).drop("_rate")
@@ -216,7 +234,10 @@ def temperature_quota(
     from pyspark.sql.window import Window
 
     agg = df.groupBy(group_col).agg(
-        F.sum(weight_col).cast("long").alias("n_weight")
+        # round-then-cast: a bare BIGINT cast TRUNCATES in Spark but
+        # ROUNDS in DuckDB (the file's own cross-engine rule) — a
+        # fractional weight column would diverge the whole mix
+        F.round(F.sum(weight_col)).cast("long").alias("n_weight")
     )
     w = Window.partitionBy()
     total = F.sum("n_weight").over(w)  # integer sum — exact
@@ -262,7 +283,13 @@ def quantile_bucket_sample(
     the rate filter is embarrassingly parallel."""
     from pyspark.sql.window import Window
 
-    rates = rates or [10, 25, 50, 100]
+    if rates is None:
+        if buckets != 4:
+            raise ValueError(
+                "the default rate ladder is 4 buckets; pass rates= for "
+                f"buckets={buckets}"
+            )
+        rates = [10, 25, 50, 100]
     if len(rates) != buckets:
         raise ValueError("need one rate per bucket")
     w = Window.orderBy(F.col(metric_col), F.col(id_col))
@@ -270,7 +297,7 @@ def quantile_bucket_sample(
     rate = F.element_at(
         F.array(*[F.lit(r) for r in rates]), F.col("bucket")
     )
-    return tiled.filter(_bucket(id_col) < rate)
+    return tiled.filter(_bucket(id_col, salt="qtile") < rate)
 
 
 def shard_export(
@@ -309,7 +336,14 @@ def shard_export(
         .repartitionByRange(p, "__h")
         .withColumn("__pid", F.spark_partition_id())
     )
-    ranged = ranged.persist()
+    # localCheckpoint, not persist: (1) repartitionByRange SAMPLES to
+    # pick boundaries, so an un-materialized (or recomputed) plan can
+    # produce different pids than the counts collected below — the
+    # stored partitions are the only correct input for both; (2) the
+    # blocks are released by the ContextCleaner when the returned
+    # DataFrame is dropped, where a bare persist with no caller-facing
+    # handle pinned the full corpus cache for the app lifetime.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["n"]
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -325,7 +359,10 @@ def shard_export(
         ),
         F.col("__pid"),
     )
-    w = Window.partitionBy("__pid").orderBy("__h")
+    # id tie-break: rows SHARING an id share __h, and row_number over
+    # __h alone would order them task-dependently — the export must be
+    # a pure function of (data, seed), duplicates included
+    w = Window.partitionBy("__pid").orderBy("__h", F.col(id_col))
     return (
         ranged.withColumn(
             "shuffle_rank", (off + F.row_number().over(w) - 1).cast("long")

@@ -2314,7 +2314,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checkable because membership is a pure function of the id.
 # ---------------------------------------------------------------------------
 
-_BUCKET_SQL = "(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+_BUCKET_SQL = (
+    "(('0x' || substr(md5('{salt}:' || CAST({id} AS VARCHAR)), 1, 8))"
+    "::BIGINT % 100)"
+)
 
 
 @query(
@@ -2322,7 +2325,7 @@ _BUCKET_SQL = "(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8))::BIGINT % 100
     oracle=f"""
     SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id
     FROM documents
-    WHERE {_BUCKET_SQL.format(id='doc_id')} <
+    WHERE {_BUCKET_SQL.format(id='doc_id', salt='strata')} <
       CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 20
                 ELSE 0 END
     GROUP BY lang
@@ -2348,7 +2351,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "train_test_split_docs",
     oracle=f"""
-    SELECT CASE WHEN {_BUCKET_SQL.format(id='doc_id')} < 10
+    SELECT CASE WHEN {_BUCKET_SQL.format(id='doc_id', salt='split')} < 10
                 THEN 'test' ELSE 'train' END AS split,
            lang, COUNT(*) AS n
     FROM documents GROUP BY 1, 2

@@ -288,6 +288,17 @@ class ManagedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self._data_dir, unit))
+        # caches registered upstream (identity assignment pins its
+        # input so __mid stays stable between the count collect and
+        # this write) are no longer needed once the unit is on disk —
+        # without this drain every identity-column batch leaked its
+        # cached blocks for the session's lifetime
+        for cached in getattr(self, "_pending_unpersist", []):
+            try:
+                cached.unpersist()
+            except Exception:  # noqa: BLE001 — cleanup only
+                pass
+        self._pending_unpersist = []
         return unit
 
     @property
@@ -403,6 +414,9 @@ class ManagedTable:
             .withColumn("__mid", F.monotonically_increasing_id())
             .persist()
         )
+        # unpersisted by _write_unit once the batch lands on disk
+        self._pending_unpersist = getattr(self, "_pending_unpersist", [])
+        self._pending_unpersist.append(base)
         counts = {
             r["__pid"]: r["n"]
             for r in base.groupBy("__pid")
@@ -764,7 +778,10 @@ class ManagedTable:
             self.compact_small_units(
                 max_rows=max_rows, cluster_by=cluster_by
             )
-        except UserException:
+        except Exception:  # noqa: BLE001 — the append COMMITTED;
+            # surfacing any compaction error (Spark analysis, IO, a
+            # dropped clusterBy column) would make the caller believe
+            # the append failed and re-apply it
             pass
 
     def compact_small_units(
@@ -1263,13 +1280,22 @@ class ManagedTable:
         cols = []
         for f in schema.fields:
             if f.name in pset:
+                # '/'-anchored so a column whose name SUFFIXES another
+                # ('date' vs 'event_date') can't match inside the other
+                # segment; '+' is pre-escaped because url_decode is
+                # x-www-form-urlencoded (+ → space) while hive paths
+                # never encode '+' — hive_layout.decode_segments (the
+                # other two read paths) uses urllib unquote, which
+                # preserves it.
                 raw = F.regexp_extract(
-                    F.input_file_name(), f"{f.name}=([^/]+)/", 1
+                    F.input_file_name(), f"/{f.name}=([^/]+)/", 1
                 )
                 val = (
                     F.when(raw == "", F.lit(None))
                     .when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
-                    .otherwise(F.url_decode(raw))
+                    .otherwise(
+                        F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
+                    )
                 )
                 cols.append(val.cast(f.dataType).alias(f.name))
             else:
@@ -2124,7 +2150,10 @@ class ManagedTable:
         prev = self.latest_commit()
         if prev is None:
             raise UserException(f"No table at {self.path}")
-        touched = prune_units(prev.stats, prev.data_units, condition)
+        touched = prune_units(
+            self._logical_stats(prev.stats, prev.column_mapping),
+            prev.data_units, condition,
+        )
         untouched = [u for u in prev.data_units if u not in set(touched)]
         units = list(untouched)
         stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
@@ -2330,7 +2359,10 @@ class ManagedTable:
                 "merge-on-read delete requires a primary key (equality "
                 "deletes are keyed); use strategy='copy-on-write'."
             )
-        touched = prune_units(prev.stats, prev.data_units, condition)
+        touched = prune_units(
+            self._logical_stats(prev.stats, prev.column_mapping),
+            prev.data_units, condition,
+        )
         delete_sets = self._carry_delete_sets(
             prev.delete_sets, prev.data_units
         )
@@ -2509,11 +2541,17 @@ class ManagedTable:
             touched_set: set[str] = set()
             for d in prune_disjuncts:
                 touched_set.update(
-                    prune_units(prev.stats, prev.data_units, d)
+                    prune_units(
+                        self._logical_stats(prev.stats, prev.column_mapping),
+                        prev.data_units, d,
+                    )
                 )
             touched = [u for u in prev.data_units if u in touched_set]
         else:
-            touched = prune_units(prev.stats, prev.data_units, condition)
+            touched = prune_units(
+            self._logical_stats(prev.stats, prev.column_mapping),
+            prev.data_units, condition,
+        )
         untouched = [u for u in prev.data_units if u not in set(touched)]
         units = list(untouched)
         stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
@@ -2703,7 +2741,10 @@ class ManagedTable:
             if delete_scope is not None and len(prev.data_units) > 1:
                 bounds = self._source_key_bounds(src, primary_key)
                 scope_units = set(
-                    prune_units(prev.stats, prev.data_units, delete_scope)
+                    prune_units(
+                        self._logical_stats(prev.stats, prev.column_mapping),
+                        prev.data_units, delete_scope,
+                    )
                 )
                 touched, untouched = [], []
                 for u in prev.data_units:
@@ -2873,9 +2914,11 @@ class ManagedTable:
             }
         )
         prev = self.latest_commit()
-        new_files = [
-            f for f in listed if f not in self._ingested_files(prev)
-        ]
+        # hoisted: evaluating this inside the comprehension re-read
+        # every ingest sidecar once per listed file (quadratic with
+        # ingest history on a big landing zone)
+        ingested = self._ingested_files(prev)
+        new_files = [f for f in listed if f not in ingested]
         if not new_files:
             if prev is None:
                 raise UserException(
@@ -2999,7 +3042,10 @@ class ManagedTable:
                 prune_units,
             )
 
-            touched = prune_units(prev.stats, prev.data_units, where)
+            touched = prune_units(
+                self._logical_stats(prev.stats, prev.column_mapping),
+                prev.data_units, where,
+            )
             untouched = [
                 u for u in prev.data_units if u not in set(touched)
             ]
@@ -3121,6 +3167,20 @@ class ManagedTable:
                 f"Cannot restore to version {version}: data units "
                 f"{missing} were vacuumed."
             )
+        # delete-set files are part of the snapshot too: restoring a
+        # MOR-era version whose equality-delete files were vacuumed
+        # would publish a snapshot whose every read crashes later —
+        # the loud failure belongs HERE, same as the units check
+        missing_ds = [
+            ds["path"]
+            for ds in old.delete_sets
+            if not os.path.isdir(os.path.join(self._deletes_dir, ds["path"]))
+        ]
+        if missing_ds:
+            raise UserException(
+                f"Cannot restore to version {version}: merge-on-read "
+                f"delete sets {missing_ds} were vacuumed."
+            )
         commit = Commit(
             version=prev.version + 1,
             action="restore",
@@ -3155,18 +3215,39 @@ class ManagedTable:
         prev = self.latest_commit()
         if prev is None or not os.path.isdir(self._data_dir):
             return 0
-        cutoff_ms = int(time.time() * 1000) - int(retention_hours * 3600_000)
+        now_ms = int(time.time() * 1000)
+        cutoff_ms = now_ms - int(retention_hours * 3600_000)
         live = set(prev.data_units)
         live_deletes = {ds["path"] for ds in prev.delete_sets}
         live_versions = {prev.version}
+        ever_referenced: set = set()
         for c in self.history():
+            ever_referenced.update(c.data_units)
             if c.timestamp_ms >= cutoff_ms:
                 live.update(c.data_units)
                 live_deletes.update(ds["path"] for ds in c.delete_sets)
                 live_versions.add(c.version)
+        # a unit referenced by NO commit at all may be a CONCURRENT
+        # writer's just-written, not-yet-published data: reclaiming it
+        # would permanently break the commit about to reference it.
+        # Delta's VACUUM protects in-flight files by modification age;
+        # same here — orphans younger than the grace window survive.
+        orphan_grace_ms = 20 * 60 * 1000
+
+        def _orphan_in_flight(unit: str) -> bool:
+            if unit in ever_referenced:
+                return False
+            try:
+                mt = os.path.getmtime(
+                    os.path.join(self._data_dir, unit)
+                ) * 1000
+            except OSError:
+                return True  # racing with its writer — leave it alone
+            return mt > now_ms - orphan_grace_ms
+
         removed = 0
         for unit in os.listdir(self._data_dir):
-            if unit not in live:
+            if unit not in live and not _orphan_in_flight(unit):
                 if not dry_run:
                     shutil.rmtree(
                         os.path.join(self._data_dir, unit), ignore_errors=True
@@ -3256,6 +3337,13 @@ class ManagedTable:
             c = self.commit_at(v)
             if not os.path.exists(os.path.join(log_dir, f"{v:020d}.json")):
                 prev_units = set(prev.data_units) if prev else set()
+                # commit.txns is the carried-forward MERGED map; only
+                # the watermark this commit ADVANCED re-emits here
+                new_txns = {
+                    k: ver
+                    for k, ver in (c.txns or {}).items()
+                    if prev is None or (prev.txns or {}).get(k) != ver
+                }
                 write_delta_log_entry(
                     table_path=self.path,
                     data_dir_name=_DATA,
@@ -3270,6 +3358,12 @@ class ManagedTable:
                         u for u in prev_units if u not in set(c.data_units)
                     ],
                     prev_schema_json=prev.schema_json if prev else None,
+                    # a commit with pending MOR delete sets must keep
+                    # the mirror STALE-marked (regenerating with the
+                    # default False would clear the marker and serve
+                    # deleted rows to external readers) and its txn
+                    # watermark must survive the repair
+                    rows_diverge=bool(c.delete_sets),
                     column_mapping=c.column_mapping,
                     prev_column_mapping=(
                         prev.column_mapping if prev else None
@@ -3277,6 +3371,7 @@ class ManagedTable:
                     operation=_OPERATION_NAMES.get(
                         c.action, c.action.upper()
                     ),
+                    txn=next(iter(new_txns.items()), None),
                 )
                 repaired += 1
             prev = c
@@ -3612,14 +3707,19 @@ class ManagedTable:
             prev_units = set(c.data_units)
             last = c
         # one multi-path scan under the range-end schema (older units'
-        # missing columns read as NULL), same plan shape as read()
+        # missing columns read as NULL), same plan shape as read().
+        # _scan_units, NOT a raw parquet read: appended units store
+        # PHYSICAL column names under column mapping (a renamed
+        # column would read back NULL), and multi-unit partitioned
+        # appends need the per-root hive-discovery workaround.
         schema = T.StructType.fromJson(json.loads(last.schema_json))
         parts: list[DataFrame] = []
         if new_units:
             parts.append(
-                self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self._data_dir, u) for u in new_units])
-                .withColumn("_change_type", F.lit("insert"))
+                self._scan_units(
+                    [os.path.join(self._data_dir, u) for u in new_units],
+                    schema, last.column_mapping or {}, last.partition_by,
+                ).withColumn("_change_type", F.lit("insert"))
             )
         ctype_schema = T.StructType(
             schema.fields + [T.StructField("_change_type", T.StringType(), True)]

@@ -1086,3 +1086,38 @@ def test_pq_topk_missing_probe_raises_and_remainder_dims(spark):
     assert out.count() == 5
     with pytest.raises(UserException, match="probe_id"):
         pq_topk(df, k=5, m=4, sub_k=4, probe_id=999, dim=10)
+
+
+def test_samplers_compose_independently(spark):
+    """Review finding: with a shared unsalted hash bucket, composed
+    samplers were fully correlated — hash_sample(20%) then
+    train_test_split(10%) yielded ~50% test (bucket<10 ⊂ bucket<20).
+    Per-operation salts make the draws independent: the test fraction
+    of a 20% sample must be ~10%, not ~50%."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    sample = hash_sample(df, "doc_id", 20)
+    n = sample.count()
+    assert 0.15 * 20000 < n < 0.25 * 20000
+    split = train_test_split(sample, "doc_id", 10)
+    frac = split.filter("split = 'test'").count() / n
+    assert 0.05 < frac < 0.15, f"correlated buckets: test fraction {frac}"
+
+
+def test_pack_sequences_zero_token_head_lands_in_bin_zero(spark):
+    from component_delta_lake_writer_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 0), (4, 9)], "doc_id long, n_tok long"
+    )
+    got = {r["doc_id"]: r["bin"]
+           for r in pack_sequences(df, "n_tok", "doc_id", budget=10).collect()}
+    assert got[1] == 0 and min(got.values()) == 0

@@ -1446,3 +1446,112 @@ def test_overwrite_partitions_boolean_and_date(spark, tmp_path_str):
                               "k int, day date")
     )
     assert {(r["k"],) for r in d.read().collect()} == {(1,), (20,)}
+
+
+def test_dml_pruning_respects_column_mapping_shadows(spark, tmp_path_str):
+    """Review finding: DML unit pruning consulted PHYSICAL-keyed stats
+    under logical names. After rename a->b then ADD COLUMN a, the old
+    physical 'a' stats belong to logical b — delete_where('a > 5')
+    must not prune using b's ranges (rows silently never deleted)."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        spark.createDataFrame([(1, 1), (2, 3)], "k int, a int"),
+        mode="overwrite",
+    )
+    t.rename_column("a", "b")           # physical 'a' now backs logical b
+    t.add_column("a", "int")            # fresh logical a (NULL for old rows)
+    t.write(
+        spark.createDataFrame([(3, 5, 10), (4, 7, 20)],
+                              "k int, b int, a int"),
+        mode="append",
+    )
+    t.delete_where("a > 5")             # must delete k=3 (10) and k=4 (20)
+    got = {(r["k"], r["b"], r["a"]) for r in t.read().collect()}
+    assert got == {(1, 1, None), (2, 3, None)}
+
+
+def test_read_changes_appends_after_rename(spark, tmp_path_str):
+    """Review finding: read_changes scanned appended units with a raw
+    logical-schema parquet read — a renamed column (stored under its
+    physical name) came back NULL in the feed."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        spark.createDataFrame([(1, 10)], "k int, a int"),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    t.rename_column("a", "b")
+    t.write(spark.createDataFrame([(2, 20)], "k int, b int"), mode="append")
+    ch = t.read_changes(1)
+    assert {(r["k"], r["b"]) for r in ch.collect()} == {(2, 20)}
+
+
+def test_sync_metadata_preserves_stale_marker_and_txn(spark, tmp_path_str):
+    """Review finding: repairing a lost _delta_log entry for a commit
+    with pending MOR delete sets must keep the mirror STALE (external
+    readers would otherwise resurrect deleted rows) and re-emit the
+    commit's txn watermark."""
+    import json as _json
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        delta_log_is_stale,
+    )
+
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"),
+        mode="overwrite", primary_key=["k"],
+    )
+    t.upsert(
+        spark.createDataFrame([(2, -2.0)], "k int, v double"), ["k"],
+        strategy="merge-on-read", txn=("appA", 7),
+    )
+    assert delta_log_is_stale(t.path) is not None
+    v = t.latest_commit().version
+    entry = os.path.join(t.path, "_delta_log", f"{v:020d}.json")
+    os.remove(entry)
+    # repair must re-mark stale and carry the txn action
+    assert t.sync_metadata() == 1
+    assert delta_log_is_stale(t.path) is not None
+    acts = [_json.loads(line) for line in open(entry)]
+    txns = [a["txn"] for a in acts if "txn" in a]
+    assert txns and txns[0]["appId"] == "appA" and txns[0]["version"] == 7
+
+
+def test_restore_refuses_vacuumed_delete_sets(spark, tmp_path_str):
+    import shutil as _shutil
+
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"),
+        mode="overwrite", primary_key=["k"],
+    )
+    t.upsert(spark.createDataFrame([(2, -2.0)], "k int, v double"), ["k"],
+             strategy="merge-on-read")          # v1 carries a delete set
+    mor_v = t.latest_commit().version
+    t.optimize()                                 # materializes delete sets
+    # simulate vacuum reclaiming the now-unreferenced delete file
+    _shutil.rmtree(os.path.join(t.path, "_deletes"), ignore_errors=True)
+    with pytest.raises(UserException, match="delete sets"):
+        t.restore(version=mor_v)
+
+
+def test_partition_recovery_suffix_names_and_plus(spark, tmp_path_str):
+    """Review findings: the partition-value regex must anchor on '/'
+    (a column suffixing another matched the wrong segment) and '+' in
+    values must survive decoding (url_decode eats it as a space)."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "7", "C++"), (2, "2024-01-02", "8", "Go")],
+        "k int, event_date string, date string, lang string",
+    )
+    # two units so the recursive path-recovery branch runs
+    t.write(df.filter("k = 1"), mode="append",
+            partition_by=["event_date", "date", "lang"])
+    t.write(df.filter("k = 2"), mode="append")
+    got = {
+        (r["k"], r["event_date"], r["date"], r["lang"])
+        for r in t.read().collect()
+    }
+    assert got == {(1, "2024-01-01", "7", "C++"),
+                   (2, "2024-01-02", "8", "Go")}
