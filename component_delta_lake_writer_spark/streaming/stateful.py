@@ -105,14 +105,12 @@ def stream_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_sessions_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            sessions.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    from component_delta_lake_writer_spark.streaming.structured import (
+        _drain_to_memory,
+        _tag,
+    )
+
+    return _drain_to_memory(
+        spark, sessions, f"stream_sessions_{_tag(sf_dir)}", "update",
+        state_partitions,
+    )

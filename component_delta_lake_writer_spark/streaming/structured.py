@@ -46,16 +46,69 @@ def scoped_state_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _tag(sf_dir: str) -> str:
+    return (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+
+
+def _stage_key(path: str) -> str:
+    """Content-addressed staging key: abspath + mtime + size. Two
+    datasets sharing a basename get DIFFERENT stage dirs (keying on
+    the basename alone silently streamed the first dataset for both),
+    and regenerating a dataset in place invalidates every derived
+    stage (doubled copies, sentinel files) instead of serving stale
+    artifacts against a fresh oracle."""
+    import hashlib
+
+    ap = os.path.abspath(path)
+    try:
+        st = os.stat(ap)
+        sig = f"{ap}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = ap
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def _stage_events_dir(sf_dir: str) -> str:
     """readStream wants a directory of homogeneous files; the testdata
-    dir mixes tables, so stage a symlink to events.parquet."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = f"/tmp/cdlws_scratch/stream_events/{tag}"
+    dir mixes tables, so stage a symlink to events.parquet (absolute
+    target — a relative sf_dir would produce a broken link that then
+    FileExistsErrors on every retry)."""
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    d = f"/tmp/cdlws_scratch/stream_events/{_tag(sf_dir)}_{_stage_key(src)}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
     return d
+
+
+def _drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int | None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """The shared availableNow → memory-sink drain protocol (one
+    place for all streaming probes, so a change to the drain — e.g. a
+    stop-on-exception — can't drift across call sites)."""
+    with scoped_state_partitions(spark, state_partitions):
+        writer = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        try:
+            q.awaitTermination()
+        except Exception:
+            q.stop()
+            raise
+    return spark.table(name)
 
 
 def stream_hourly_rollup(
@@ -86,17 +139,10 @@ def stream_hourly_rollup(
     rolled = hourly_rollup(stream).withColumn(
         "hour", F.col("hour").cast("timestamp_ntz")
     )
-    name = f"stream_hourly_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            rolled.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(
+        spark, rolled, f"stream_hourly_{_tag(sf_dir)}", "complete",
+        state_partitions,
+    )
 
 
 def stream_dedup_events(
@@ -112,9 +158,12 @@ def stream_dedup_events(
     Drained with availableNow into a memory sink; returns the
     per-event-type counts of the deduplicated stream.
     """
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    src_dir = f"/tmp/cdlws_scratch/stream_dedup_src/{tag}"
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    src_dir = (
+        f"/tmp/cdlws_scratch/stream_dedup_src/"
+        f"{_tag(sf_dir)}_{_stage_key(ev_path)}"
+    )
+    batch = spark.read.parquet(ev_path)
     if not os.path.isdir(src_dir) or not os.listdir(src_dir):
         doubled = batch.unionByName(batch.filter(F.col("event_id") % 10 == 0))
         doubled.write.mode("overwrite").parquet(src_dir)
@@ -127,18 +176,12 @@ def stream_dedup_events(
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    name = f"stream_dedup_{tag.replace('.', '_')}"
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    drained = _drain_to_memory(
+        spark, stream, f"stream_dedup_{_tag(sf_dir)}", "append",
+        state_partitions,
+    )
     return (
-        spark.table(name)
+        drained
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -189,19 +232,12 @@ def stream_interval_join(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    name = f"stream_ij_{tag.replace('.', '_')}"
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    drained = _drain_to_memory(
+        spark, joined, f"stream_ij_{_tag(sf_dir)}", "append",
+        state_partitions,
+    )
     return (
-        spark.table(name)
+        drained
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_attributed"))
     )
@@ -239,8 +275,7 @@ def stream_late_data_drop(
     stream_dedup_events.)"""
     import time as _time
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    src_dir = f"/tmp/cdlws_scratch/stream_late/{tag}_v2"
+    src_dir = f"/tmp/cdlws_scratch/stream_late/{_tag(sf_dir)}_v2"
     f1 = os.path.join(src_dir, "b1.parquet")
     f2 = os.path.join(src_dir, "b2.parquet")
     if not (os.path.exists(f1) and os.path.exists(f2)):
@@ -285,22 +320,14 @@ def stream_late_data_drop(
             F.col("n"),
         )
     )
-    name = f"stream_late_{tag.replace('.', '_')}"
     ckpt = os.path.join(src_dir, "_ckpt")
     import shutil as _shutil
 
     _shutil.rmtree(ckpt, ignore_errors=True)  # fresh run each call
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(
+        spark, agg, f"stream_late_{_tag(sf_dir)}", "append",
+        state_partitions, checkpoint=ckpt,
+    )
 
 
 def stream_static_enrich(
@@ -335,20 +362,10 @@ def stream_static_enrich(
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 4
         ).alias("sum_value"),
     )
-    name = (
-        "stream_static_"
-        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return _drain_to_memory(
+        spark, agg, f"stream_static_{_tag(sf_dir)}", "complete",
+        state_partitions,
     )
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
 
 
 def stream_table_appends(
@@ -365,17 +382,22 @@ def stream_table_appends(
     supported" (readChangeFeed/CDF is the attributable path for those,
     see ManagedTable.read_changes).
 
-    Implementation: a parquet file stream rooted at the table's
-    ``_data`` dir with recursiveFileLookup — new unit dirs land as new
-    files, so a long-running query keeps consuming future appends; the
-    availableNow drain here processes everything committed so far.
-    Returns the drained memory table."""
-    import json as _json
-
-    from pyspark.sql import types as T
-
+    Implementation: the COMMIT-DRIVEN table_changes_stream Data Source
+    from startingVersion=0 (append-only histories need no change
+    sets) — NOT a raw file stream over ``_data`` with
+    recursiveFileLookup, which (a) returned NULL for every partition
+    column (recursive lookup disables partition inference while
+    partitionBy-written files omit those columns) and (b) surfaced
+    never-committed orphan units from crashed or conflict-losing
+    writers. Offsets are table versions, so a long-running query
+    keeps consuming future appends; the availableNow drain here
+    processes everything committed so far. Returns the drained memory
+    table."""
     from component_delta_lake_writer_spark.errors import UserException
     from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
 
     t = ManagedTable(spark, table_path)
     head = t.latest_commit()
@@ -391,23 +413,17 @@ def stream_table_appends(
             "Streaming from a table requires an append-only history; "
             f"found {bad}. Use read_changes (CDF) for updated tables."
         )
-    schema = T.StructType.fromJson(_json.loads(head.schema_json))
+    register(spark)
     stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("recursiveFileLookup", "true")
-        .load(os.path.join(table_path, "_data"))
+        spark.readStream.format("table_changes_stream")
+        .option("path", table_path)
+        .option("startingVersion", "0")
+        .load()
+        .drop("_change_type", "_commit_version")
     )
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(queryName)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(queryName)
+    return _drain_to_memory(
+        spark, stream, queryName, "append", state_partitions
+    )
 
 
 def stream_interval_join_outer(
@@ -436,22 +452,25 @@ def stream_interval_join_outer(
     import shutil as _sh
 
     stage = src_dir.rstrip("/") + "_outer"
+    real_events = os.path.abspath(os.path.join(src_dir, "events.parquet"))
     if not os.path.isdir(stage) or len(os.listdir(stage)) != 3:
         _sh.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
-        os.symlink(
-            os.path.join(src_dir, "events.parquet"),
-            os.path.join(stage, "00_events.parquet"),
-        )
-        ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+        os.symlink(real_events, os.path.join(stage, "00_events.parquet"))
+        ev = spark.read.parquet(real_events)
         mx = ev.agg(F.max("ts")).first()[0]
         import datetime as _dt
 
         for i, hours in enumerate((3, 4), start=1):
             # one click AND one purchase per sentinel file: the global
             # watermark is the MIN across both sides' watermark nodes,
-            # so both feeds must advance past the real data
-            ts = mx + _dt.timedelta(hours=hours)
+            # so both feeds must advance past the real data. ts stays
+            # in the SOURCE dtype: a nanosAsLong feed reads ts as
+            # bigint (ns), where mx + timedelta would TypeError.
+            if isinstance(mx, int):
+                ts = mx + hours * 3600 * 10**9
+            else:
+                ts = mx + _dt.timedelta(hours=hours)
             row = [
                 (-i, ts, -1, "click", 0.0, "{}"),
                 (-i - 10, ts, -1, "purchase", 0.0, "{}"),
@@ -467,12 +486,14 @@ def stream_interval_join_outer(
                 os.path.join(stage, f"{i:02d}_sentinel.parquet"),
             )
             _sh.rmtree(tmp, ignore_errors=True)
-        now = int(__import__("time").time())
-        for i, f in enumerate(sorted(os.listdir(stage))):
-            os.utime(
-                os.path.join(stage, f), times=(now + 10 * i, now + 10 * i),
-                follow_symlinks=False,
-            )
+        # batch order is by file modification time, and Spark stats
+        # the symlink TARGET — anchor sentinel mtimes RELATIVE to the
+        # real events file so they always sort after it, regardless of
+        # how its own mtime relates to the wall clock
+        base_mt = os.stat(real_events).st_mtime
+        for i, hours in enumerate((3, 4), start=1):
+            sp = os.path.join(stage, f"{i:02d}_sentinel.parquet")
+            os.utime(sp, times=(base_mt + 100 * i, base_mt + 100 * i))
     base = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -506,19 +527,12 @@ def stream_interval_join_outer(
         ),
         "leftOuter",
     )
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    name = f"stream_ijo_{tag.replace('.', '_')}"
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    drained = _drain_to_memory(
+        spark, joined, f"stream_ijo_{_tag(sf_dir)}", "append",
+        state_partitions,
+    )
     return (
-        spark.table(name)
+        drained
         .filter(F.col("p_user") >= 0)  # sentinels out
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(

@@ -1121,3 +1121,39 @@ def test_pack_sequences_zero_token_head_lands_in_bin_zero(spark):
     got = {r["doc_id"]: r["bin"]
            for r in pack_sequences(df, "n_tok", "doc_id", budget=10).collect()}
     assert got[1] == 0 and min(got.values()) == 0
+
+
+def test_stream_table_appends_partitioned_values(spark, tmp_path):
+    """Review finding: the raw recursiveFileLookup file stream
+    returned NULL for every partition column (partitionBy-written
+    files omit them; recursive lookup disables inference) and could
+    surface never-committed orphan units. The commit-driven source
+    must return real partition values and only committed rows."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.structured import (
+        stream_table_appends,
+    )
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k int, part string"
+    )
+    t.write(df, mode="append", partition_by=["part"])
+    t.write(spark.createDataFrame([(4, "c")], "k int, part string"),
+            mode="append")
+    # plant an orphan unit (simulating a crashed concurrent writer)
+    orphan = os.path.join(t.path, "_data", "deadbeef" * 4)
+    spark.createDataFrame([(99, "z")], "k int, part string").write.parquet(
+        orphan
+    )
+    got = {
+        (r["k"], r["part"])
+        for r in stream_table_appends(
+            spark, t.path, "tbl_as_source_part"
+        ).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "a"), (4, "c")}
+    assert not any(v is None for _, v in got)
