@@ -99,12 +99,16 @@ def repetition_stats(
     )
     out = (
         base.drop("__toks", "__g2", "__g3")
-        .join(top, id_col)
+        # LEFT join: a NULL-text doc explodes to no token rows and an
+        # inner join silently dropped it from the report — it must
+        # surface with zeroed metrics and a keep verdict instead
+        .join(top, id_col, "left")
         .withColumn(
             "top_word_frac",
             F.round(
                 F.when(
-                    F.col("n_words") > 0, F.col("__top") / F.col("n_words")
+                    F.col("n_words") > 0,
+                    F.coalesce(F.col("__top"), F.lit(0)) / F.col("n_words"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ),
@@ -149,16 +153,21 @@ def contamination_check(
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, path without trailing
-    slash, query without tracking params (sorted for stability),
-    no fragment."""
+    """Canonical form: lowercase host (scheme DROPPED deliberately —
+    http/https variants of one page are the dedup target), path
+    without trailing slash, query without tracking params (sorted for
+    stability), no fragment. A URL with no parseable scheme+host (or
+    NULL) canonicalizes to NULL: mapping every malformed URL to ''
+    grouped unrelated documents as duplicates of each other."""
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1))
     path = F.regexp_replace(
         F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1),
         r"/+$",
         "",
     )
-    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = after the first '?' that precedes any '#': a '?' inside
+    # the FRAGMENT is client-side and must not leak into the canonical
+    qs = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     kept = F.array_sort(
         F.filter(
             F.split(qs, "&"),
@@ -166,8 +175,13 @@ def canonical_url(url: Column) -> Column:
         )
     )
     q = F.concat_ws("&", kept)
-    return F.concat(
-        host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    return F.when(
+        host == "", F.lit(None)
+    ).otherwise(
+        F.concat(
+            host, path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        )
     )
 
 
@@ -179,6 +193,7 @@ def url_dedup(
     matches the exact-dedup convention elsewhere in the engine."""
     return (
         docs.select(F.col(id_col), canonical_url(F.col(url_col)).alias("curl"))
+        .filter(F.col("curl").isNotNull())
         .groupBy("curl")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -235,9 +250,14 @@ def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
-    return freq.withColumn(
-        "logp", F.round(F.log2(F.col("n") / total), 4)
+    # scalar total + broadcast cross join: the empty-window spelling
+    # funnels the WHOLE vocabulary through one partition, and a
+    # web-scale vocab (1e9+ distinct tokens) is not small
+    total = F.broadcast(freq.agg(F.sum("n").alias("__t")))
+    return (
+        freq.crossJoin(total)
+        .withColumn("logp", F.round(F.log2(F.col("n") / F.col("__t")), 4))
+        .drop("__t")
     )
 
 
@@ -328,15 +348,21 @@ def bigram_lift(
     keeps the join sides bounded. Deterministic top_n via
     (count DESC, w1, w2) ordering."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    # single-token/empty docs are guarded explicitly: sequence(1, 0)
+    # is the DESCENDING array [1, 0] (not empty), and element_at(_, 0)
+    # raises INVALID_INDEX_OF_ZERO — one short doc killed the job
     pairs = docs.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
                 ),
-            )
+            ).otherwise(F.expr("array()")),
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     uni = (
@@ -360,9 +386,17 @@ def bigram_lift(
             "w1",
             "w2",
             F.col("n_xy").cast("long").alias("n_xy"),
+            # each factor casts to double BEFORE multiplying: the
+            # bigint products overflow around 1e13 corpus tokens
+            # (ARITHMETIC_OVERFLOW under default ANSI); values this
+            # size are exact in double up to 2^53 and the result is
+            # rounded to 6 places anyway
             F.round(
-                (F.col("n_xy") * F.col("t")).cast("double")
-                / (F.col("n_1") * F.col("n_2")).cast("double"),
+                (F.col("n_xy").cast("double") * F.col("t").cast("double"))
+                / (
+                    F.col("n_1").cast("double")
+                    * F.col("n_2").cast("double")
+                ),
                 6,
             ).alias("lift"),
         )

@@ -46,7 +46,15 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    """Punctuation fraction with UNICODE letter/digit classes: Java's
+    \w is ASCII-only, so every CJK or accented character counted as
+    punctuation — well-formed zh/ja/de/fr text scored near the floor
+    of quality_score and a quality gate filtered it wholesale. \p{L}
+    and \p{N} behave identically in Java regex and DuckDB's RE2, so
+    the oracle mirrors stay bit-exact."""
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^\p{L}\p{N}_\s]"), F.lit(0))
+    )
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 

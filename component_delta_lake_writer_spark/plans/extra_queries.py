@@ -997,7 +997,7 @@ _QUALITY_SQL = """
            / greatest(len(string_split_regex(trim(text), '\\s+')), 1)) * (5.0::DOUBLE),
           1.0::DOUBLE)
       + (0.2::DOUBLE) * ((1.0::DOUBLE) -
-          len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1)),
+          len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) / greatest(length(text), 1)),
     6)"""
 
 
@@ -3046,14 +3046,14 @@ c AS (
   FROM (
     SELECT doc_id, url,
       array_to_string(list_sort(list_filter(
-        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        string_split(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '&'),
         x -> x <> '' AND NOT regexp_matches(
           x, '^(utm_[^=]*|ref|fbclid|gclid|mc_cid|mc_eid)='))), '&') AS q
     FROM u
   )
 )
 SELECT curl, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
-FROM c GROUP BY curl HAVING COUNT(*) > 1
+FROM c WHERE curl IS NOT NULL GROUP BY curl HAVING COUNT(*) > 1
 """
 
 

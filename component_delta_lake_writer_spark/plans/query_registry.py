@@ -763,7 +763,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces,
-      ROUND(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct_ratio,
+      ROUND(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) / greatest(length(text), 1), 6) AS punct_ratio,
       ROUND(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b'))
             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio,
       ROUND(
@@ -773,7 +773,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              / greatest(len(string_split_regex(trim(text), '\\s+')), 1)) * (5.0::DOUBLE),
             1.0::DOUBLE)
         + (0.2::DOUBLE) * ((1.0::DOUBLE) -
-            len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1)),
+            len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) / greatest(length(text), 1)),
       6) AS quality
     FROM documents
     """,

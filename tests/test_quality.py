@@ -149,3 +149,80 @@ def test_token_budget_prefix_reaches_budget(spark):
     # s: 400 then 900 ≥ 800 stops AFTER crossing (row 2 kept, row 3 not);
     # t: first row always kept even though it alone exceeds the budget
     assert ids == [1, 2, 4]
+
+
+def test_bigram_lift_single_token_docs(spark):
+    """Review finding: sequence(1, 0) is DESCENDING [1,0] and
+    element_at(toks, 0) raises — one short doc killed bigram_lift."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        bigram_lift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "big data big data")],
+        "doc_id long, text string",
+    )
+    got = bigram_lift(df, min_count=1, top_n=10).collect()
+    assert any(r["w1"] == "big" and r["w2"] == "data" for r in got)
+
+
+def test_canonical_url_malformed_and_fragment(spark):
+    """Review findings: scheme-less/NULL urls must canonicalize to
+    NULL (not '' which grouped unrelated docs as dups), and a '?'
+    inside the fragment must not leak into the canonical query."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.quality import (
+        canonical_url,
+        url_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "www.example.com/a"),          # no scheme
+            (2, "www.other.org/b"),            # no scheme
+            (3, None),                          # NULL url
+            (4, "https://a.com/page#sec?b=1"),  # '?' inside fragment
+            (5, "https://a.com/page"),
+            (6, "https://A.COM/page/"),
+        ],
+        "doc_id long, url string",
+    )
+    c = {r["doc_id"]: r["c"]
+         for r in df.select("doc_id", canonical_url(F.col("url")).alias("c"))
+         .collect()}
+    assert c[1] is None and c[2] is None and c[3] is None
+    assert c[4] == c[5] == c[6] == "a.com/page"
+    groups = url_dedup(df).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3
+
+
+def test_repetition_stats_keeps_null_text_docs(spark):
+    from component_delta_lake_writer_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}, "NULL-text doc must not vanish"
+
+
+def test_punct_ratio_unicode_text(spark):
+    """Review finding: ASCII-only \\w counted every CJK/accented char
+    as punctuation, tanking quality for non-English text."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.text import punct_ratio
+
+    df = spark.createDataFrame(
+        [(1, "café résumé naïve"), (2, "你好世界测试文本")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["p"]
+           for r in df.select(
+               "doc_id", F.round(punct_ratio(F.col("text")), 4).alias("p")
+           ).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 0.0
