@@ -118,7 +118,11 @@ def shingles(
     ).select(
         F.col(id_col),
         F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
+    # NULL-text docs produce one NULL shingle (split(NULL) slices to
+    # NULL); unfiltered, their empty sets all band to the same ""
+    # key, pair up, and the 0/0 Jaccard raises DIVIDE_BY_ZERO under
+    # Spark 4's default ANSI mode — one NULL doc killed the job
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -172,6 +176,12 @@ def lsh_candidates(
     at max_bucket²/2 regardless of corpus skew.
     """
     k = len(HASH_FAMILY)
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the hash family size {k}: a "
+            "non-divisor silently drops signature rows, and bands > "
+            f"{k} degenerates every band key to '' (zero recall)."
+        )
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -432,8 +442,6 @@ def incremental_exact_dedup(
 
     Returns the surviving batch rows as (doc_id, fingerprint).
     """
-    from component_delta_lake_writer_spark.operators.text import fingerprint
-
     from pyspark.sql import Window
 
     b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
@@ -444,6 +452,14 @@ def incremental_exact_dedup(
         .drop("_min_id")
     )
     seen = corpus.select(
-        fingerprint(F.col(text_col)).alias("fingerprint")
+        fingerprint(F.col(text_col)).alias("__seen_fp")
     ).distinct()
-    return in_batch.join(seen, "fingerprint", "left_anti")
+    # NULL-SAFE anti-join: stage 1's window groups NULL fingerprints
+    # (NULL-text docs) together, but a null-UNSAFE join would never
+    # match them against a corpus NULL — the incremental path would
+    # keep re-admitting NULL-text docs the batch path collapses
+    return in_batch.join(
+        seen,
+        F.col("fingerprint").eqNullSafe(F.col("__seen_fp")),
+        "left_anti",
+    )

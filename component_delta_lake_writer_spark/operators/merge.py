@@ -34,8 +34,15 @@ def dedup_source(
     with the greatest ordering value (deterministic last-write-wins);
     without, keep an arbitrary single row (dropDuplicates)."""
     if order_by:
+        # final content-hash tiebreak: two CDC rows with the same PK
+        # AND the same order_by value would otherwise rank in shuffle-
+        # delivery order, so a task retry could commit a DIFFERENT
+        # surviving row — breaking the documented determinism and the
+        # txn-idempotency assumption that a replayed batch reproduces
+        # its result. to_json covers unhashable column types.
         w = Window.partitionBy(*primary_key).orderBy(
-            *[F.col(c).desc() for c in order_by]
+            *[F.col(c).desc() for c in order_by],
+            F.xxhash64(F.to_json(F.struct(*source.columns))).asc(),
         )
         return (
             source.withColumn("__rn", F.row_number().over(w))
@@ -175,27 +182,36 @@ def merge_upsert_with_delete(
       WHEN MATCHED THEN UPDATE SET <all cols>
       WHEN NOT MATCHED AND NOT <delete_condition> THEN INSERT``
 
-    ``delete_condition(s) -> Column`` reads the SOURCE row struct
-    (e.g. ``lambda s: s["op"] == "D"``). A tombstone for an absent key
-    is a no-op, matching Delta/SQL MERGE. One full-outer shuffle join
-    on the PK decides every row; deletions fall out as filtered
-    NULLs, never a second pass."""
+    ``delete_condition(s) -> Column`` reads the FULL source row
+    struct — INCLUDING source-only CDC columns like ``op`` that are
+    not in the target schema (``lambda s: s["op"] == "D"`` works as
+    written; Delta MERGE likewise evaluates conditions against the
+    raw source). A tombstone for an absent key is a no-op, matching
+    Delta/SQL MERGE. One full-outer shuffle join on the PK decides
+    every row; deletions fall out as filtered NULLs, never a second
+    pass."""
     if not primary_key:
         raise UserException("Upsert load mode requires a primary key.")
-    src = source if pre_deduplicated else dedup_source(source, primary_key, order_by)
-    src = src.select(*[F.col(c) for c in target.columns])
-
+    src_full = (
+        source
+        if pre_deduplicated
+        else dedup_source(source, primary_key, order_by)
+    )
     t = target.select(
         *[F.col(c).alias(f"_pk_{c}") for c in primary_key],
         F.struct(*target.columns).alias("_t"),
     )
-    s = src.select(
+    # _s = the ALIGNED output struct; _sf = the full source struct the
+    # condition evaluates against (aligning FIRST dropped source-only
+    # columns, so the docstring's own example raised FIELD_NOT_FOUND)
+    s = src_full.select(
         *[F.col(c).alias(f"_pk_{c}") for c in primary_key],
-        F.struct(*src.columns).alias("_s"),
+        F.struct(*[F.col(c) for c in target.columns]).alias("_s"),
+        F.struct(*src_full.columns).alias("_sf"),
     )
     j = t.join(s, [f"_pk_{c}" for c in primary_key], "full_outer")
     tt, ss = F.col("_t"), F.col("_s")
-    dead = F.coalesce(delete_condition(ss), F.lit(False))
+    dead = F.coalesce(delete_condition(F.col("_sf")), F.lit(False))
     winner = (
         F.when(ss.isNull(), tt)                      # target-only → keep
         .when(dead, F.lit(None))                     # tombstone → delete/skip
@@ -236,7 +252,11 @@ def merge_full_sync(
     if delete_scope is None:
         return src
     in_scope = F.coalesce(F.expr(delete_scope), F.lit(False))
-    kept = target.join(
-        src.select(*primary_key), on=primary_key, how="left_anti"
-    ).filter(~in_scope)
+    keys = src.select(*primary_key)
+    est = _plan_size_bytes(keys)
+    if est is not None and 0 < est <= _broadcast_threshold_bytes(keys):
+        keys = F.broadcast(keys)  # the docstring's small-source promise
+    kept = target.join(keys, on=primary_key, how="left_anti").filter(
+        ~in_scope
+    )
     return kept.unionByName(src)

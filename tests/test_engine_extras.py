@@ -1157,3 +1157,56 @@ def test_stream_table_appends_partitioned_values(spark, tmp_path):
     }
     assert got == {(1, "a"), (2, "b"), (3, "a"), (4, "c")}
     assert not any(v is None for _, v in got)
+
+
+def test_minhash_null_text_and_merge_delete_cdc_columns(spark):
+    """Review findings: (1) two NULL-text docs crashed minhash_dedup
+    with DIVIDE_BY_ZERO (empty shingle sets banded together, 0/0
+    Jaccard under ANSI); (2) merge_upsert_with_delete's documented
+    lambda s: s['op'] == 'D' raised FIELD_NOT_FOUND because the source
+    was aligned to target columns before the condition saw it."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dedup import (
+        minhash_dedup,
+    )
+    from component_delta_lake_writer_spark.operators.merge import (
+        merge_upsert_with_delete,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None),
+         (3, "the same repeated text body goes here again and again"),
+         (4, "the same repeated text body goes here again and again")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup(docs, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "id int, value int")
+    cdc = spark.createDataFrame(
+        [(1, 11, "U"), (2, 0, "D"), (3, 30, "I")],
+        "id int, value int, op string",
+    )
+    got = {
+        (r["id"], r["value"])
+        for r in merge_upsert_with_delete(
+            target, cdc, ["id"], lambda s: s["op"] == "D"
+        ).collect()
+    }
+    assert got == {(1, 11), (3, 30)}
+
+
+def test_lsh_bands_validation(spark):
+    from component_delta_lake_writer_spark.operators.dedup import (
+        lsh_candidates,
+    )
+
+    sig = spark.createDataFrame(
+        [tuple([1] + [0] * 16)],
+        "doc_id long, " + ", ".join(f"m{i} long" for i in range(16)),
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidates(sig, bands=5)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidates(sig, bands=20)
