@@ -238,7 +238,9 @@ def bind_job(
     tables = discover_input_tables(data_dir)
     files = discover_input_files(data_dir)
 
-    if (tables and files) or (not tables and not files):
+    if not tables and not files:
+        raise UserException("No input tables or files found.")
+    if tables and files:
         raise UserException(
             "Each configuration row can be mapped to either a file or a "
             "table, but not both."
@@ -255,19 +257,50 @@ def bind_job(
     if t.has_header and not t.columns and t.slice_paths:
         # manifest without column names ⇒ the CSV carries a header row
         # (Keboola local-file convention); sniff it driver-side — one
-        # line of one file, not a data scan
+        # line of one file, not a data scan. SLICED directories are
+        # refused here: the Keboola contract puts columns in the
+        # manifest for sliced tables, and header=true across N slices
+        # would silently drop the first DATA row of slices 2..N.
         import csv as _csv
 
+        if len(t.slice_paths) > 1:
+            raise UserException(
+                f"Input table {t.name!r} is sliced but its manifest "
+                "declares no columns — sliced tables carry columns in "
+                "the manifest (a sniffed header would drop the first "
+                "row of every other slice)."
+            )
         with open(t.slice_paths[0], newline="") as f:
             reader = _csv.reader(
                 f, delimiter=t.delimiter, quotechar=t.enclosure
             )
-            t.columns = [ColumnSpec(name=c) for c in next(reader)]
+            try:
+                t.columns = [ColumnSpec(name=c) for c in next(reader)]
+            except StopIteration:
+                raise UserException(
+                    f"Input table {t.name!r}: cannot sniff a header "
+                    f"from empty slice {t.slice_paths[0]!r}."
+                ) from None
     if t.s3_staging is not None and not t.slice_paths:
         # orphaned manifest + staging block: bind to the staged slice
-        # listing (the reference's get_s3_paths shape). The engine's
-        # manifest reader takes the listing JSON directly; object-store
-        # access goes through Hadoop's s3a with the scoped credentials.
+        # listing (the reference's get_s3_paths shape). The scoped
+        # credentials are APPLIED here — parsing them into S3Staging
+        # and never calling scope_s3_credentials left the staged
+        # branch unable to read real object storage at all.
+        if spark is not None and not os.path.exists(t.s3_staging.key):
+            from component_delta_lake_writer_spark.credentials import (
+                scope_s3_credentials,
+            )
+
+            st = t.s3_staging
+            scope_s3_credentials(
+                spark,
+                bucket=st.bucket,
+                access_key=st.access_key_id,
+                secret_key=st.secret_access_key,
+                session_token=st.session_token or None,
+                region=st.region or None,
+            )
         staged_manifest = (
             t.s3_staging.key
             if os.path.exists(t.s3_staging.key)

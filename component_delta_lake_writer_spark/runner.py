@@ -109,10 +109,18 @@ def plan_table_scan(
         [(norm(p), i) for i, p in enumerate(paths)],
         schema="__file STRING, _slice_idx INT",
     )
+    # _metadata.file_path is URL-ENCODED ('a b.csv' -> 'a%20b.csv')
+    # while the driver-side manifest paths are raw — undecoded, the
+    # inner joins below silently DROP every row of a slice whose path
+    # contains a space/%/#. '+' is pre-escaped because url_decode is
+    # x-www-form (+ -> space) while file URLs keep '+' literal.
     staged = staged_scan(paths).select(
         "*",
-        F.regexp_replace(
-            F.col("_metadata.file_path"), _SCHEME, "/"
+        F.url_decode(
+            F.replace(
+                F.regexp_replace(F.col("_metadata.file_path"), _SCHEME, "/"),
+                F.lit("+"), F.lit("%2B"),
+            )
         ).alias("__file"),
         F.col("_metadata.file_block_start").alias("__block"),
         F.monotonically_increasing_id().alias("__mono"),

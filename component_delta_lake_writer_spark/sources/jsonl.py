@@ -58,7 +58,9 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
     paths = path if isinstance(path, list) else [path]
-    return reader.json(*paths)
+    # pass the LIST: *unpacking binds the second path to the
+    # `schema` positional of DataFrameReader.json (ParseException)
+    return reader.json(paths)
 
 
 def read_jsonl_typed(

@@ -70,6 +70,7 @@ class SlicedManifestReader(DataSourceReader):
                 "sliced_manifest requires .option('manifest', <path>)"
             )
         self.delimiter = options.get("delimiter", ",")
+        self.quotechar = options.get("enclosure", '"')
 
     def partitions(self):
         with open(_local_path(self.manifest)) as fh:
@@ -99,9 +100,25 @@ class SlicedManifestReader(DataSourceReader):
                 )
             else:
                 casts.append(lambda v: v if v != "" else None)
+        n = len(casts)
         with io.open(partition.path, newline="") as fh:
-            for row in csv.reader(fh, delimiter=self.delimiter):
-                yield tuple(c(v) for c, v in zip(casts, row))
+            reader = csv.reader(
+                fh, delimiter=self.delimiter, quotechar=self.quotechar
+            )
+            for lineno, row in enumerate(reader, start=1):
+                if len(row) > n:
+                    # zip() would silently TRUNCATE the extra fields,
+                    # masking schema drift instead of surfacing it
+                    raise UserException(
+                        f"{partition.path}:{lineno}: row has "
+                        f"{len(row)} fields, schema has {n}."
+                    )
+                try:
+                    yield tuple(c(v) for c, v in zip(casts, row))
+                except ValueError as exc:
+                    raise UserException(
+                        f"{partition.path}:{lineno}: {exc}"
+                    ) from None
 
 
 class SlicedManifestDataSource(DataSource):
@@ -126,7 +143,13 @@ def register(spark) -> None:
 
 def write_manifest(manifest_path: str, slice_paths: list[str]) -> None:
     """Write the Keboola-shaped manifest for a set of slice files."""
-    doc = {"entries": [{"url": f"file://{p}"} for p in slice_paths]}
+    # abspath first: 'file://data/x.csv' parses 'data' as the URL
+    # AUTHORITY and the reader would open '/x.csv'
+    doc = {
+        "entries": [
+            {"url": f"file://{os.path.abspath(p)}"} for p in slice_paths
+        ]
+    }
     with open(manifest_path, "w") as fh:
         json.dump(doc, fh)
 

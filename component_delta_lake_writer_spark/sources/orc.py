@@ -26,7 +26,9 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     paths = path if isinstance(path, list) else [path]
-    return reader.orc(*paths)
+    # pass the LIST: *unpacking binds the second path to the
+    # `mergeSchema` positional of DataFrameReader.orc
+    return reader.orc(paths)
 
 
 def write_orc(

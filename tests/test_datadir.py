@@ -235,3 +235,65 @@ def test_run_datadir_job_end_to_end(tmp_path, spark):
     assert r.count() == o.count()
     assert r.columns == ["o_orderkey", "o_orderstatus"]
     assert t.latest_commit().primary_key == ["o_orderkey"]
+
+
+def test_preserve_order_with_special_char_paths(spark, tmp_path):
+    """Review finding: _metadata.file_path is URL-encoded while the
+    driver-side manifest paths are raw — rows from a slice whose path
+    contains a space/% vanished from the preserve-order inner join."""
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.datadir import TableInput
+    from component_delta_lake_writer_spark.runner import plan_table_scan
+
+    d = tmp_path / "sli ces"
+    d.mkdir()
+    (d / "a b.csv").write_text("1,x\n2,y\n")
+    (d / "c%d.csv").write_text("3,z\n")
+    tbl = TableInput(
+        slice_paths=[str(d / "a b.csv"), str(d / "c%d.csv")],
+        columns=[ColumnSpec("k", "INTEGER"), ColumnSpec("s", "STRING")],
+    )
+    rows = {
+        (r["k"], r["s"], r["_slice_idx"], r["_row_in_slice"])
+        for r in plan_table_scan(spark, tbl, preserve_order=True).collect()
+    }
+    assert rows == {(1, "x", 0, 0), (2, "y", 0, 1), (3, "z", 1, 0)}
+
+
+def test_multi_path_jsonl_and_orc(spark, tmp_path):
+    """Review finding: *unpacking bound the second path to the schema/
+    mergeSchema positional — any multi-path list crashed."""
+    from pyspark.sql import types as T
+
+    from component_delta_lake_writer_spark.sources.jsonl import read_jsonl
+    from component_delta_lake_writer_spark.sources.orc import read_orc
+
+    p1, p2 = str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")
+    open(p1, "w").write('{"k": 1}\n')
+    open(p2, "w").write('{"k": 2}\n')
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    got = {r["k"] for r in read_jsonl(spark, [p1, p2], schema).collect()}
+    assert got == {1, 2}
+
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    spark.range(1).write.orc(o1)
+    spark.range(1, 2).write.orc(o2)
+    assert {r["id"] for r in read_orc(spark, [o1, o2]).collect()} == {0, 1}
+
+
+def test_sliced_dir_header_sniff_refused(spark, tmp_path):
+    """Sliced table + manifest without columns: header sniffing would
+    drop the first data row of every other slice — must refuse."""
+    import json
+
+    from component_delta_lake_writer_spark.datadir import bind_job
+    from component_delta_lake_writer_spark.errors import UserException
+
+    d = tmp_path / "data"
+    (d / "in" / "tables" / "t.csv").mkdir(parents=True)
+    (d / "in" / "tables" / "t.csv" / "s1.csv").write_text("a,b\n1,2\n")
+    (d / "in" / "tables" / "t.csv" / "s2.csv").write_text("3,4\n5,6\n")
+    (d / "in" / "tables" / "t.csv.manifest").write_text(json.dumps({}))
+    (d / "config.json").write_text(json.dumps({"parameters": {}}))
+    with pytest.raises(UserException, match="sliced"):
+        bind_job(spark, str(d), table_uri=str(tmp_path / "out"))
