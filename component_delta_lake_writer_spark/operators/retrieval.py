@@ -65,6 +65,16 @@ def bm25_topk(
         .agg(F.count(F.lit(1)), F.sum("dl"))
         .first()
     )
+    if not n_docs or total_len is None:
+        # empty corpus (or all-NULL text): nothing can rank — return a
+        # correctly-shaped empty result instead of float(None)/0-div
+        tok.unpersist()
+        return (
+            queries.select("query_id").limit(0)
+            .crossJoin(docs.select(F.col(doc_id).alias("doc_id")).limit(0))
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn("rk", F.lit(None).cast("int"))
+        )
     avgdl = float(total_len) / float(n_docs)
 
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))

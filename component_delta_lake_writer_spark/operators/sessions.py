@@ -77,10 +77,14 @@ def asof_last_event(
     the current row — one shuffle, linear scan. The same plan shape
     covers the general two-table as-of join after a unionByName.
     """
+    # RANGE frame ending at -1 = "strictly earlier timestamp": the
+    # ROWS spelling depended on arbitrary intra-tie row order when a
+    # match and a target share the exact same ts (nondeterministic
+    # across runs — the module's oracle-exactness contract forbids it)
     w = (
         Window.partitionBy(user_col)
         .orderBy(ts_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     asof_ts = F.max(
         F.when(F.col(type_col) == match_type, F.col(ts_col))
@@ -130,16 +134,19 @@ def gap_fill_hourly(
     from pyspark.sql.window import Window
 
     hourly = hourly_rollup(df, ts_col, value_col)
-    bounds = df.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("mn"),
-        F.date_trunc("hour", F.max(ts_col)).alias("mx"),
+    # bounds and the type set derive from the TINY rollup, not the raw
+    # events — the previous spelling re-scanned the full corpus twice
+    # (a bounds agg + a distinct) for answers the #hours x #types
+    # relation already holds
+    bounds = hourly.agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
     )
     spine = bounds.select(
         F.explode(
             F.sequence("mn", "mx", F.expr("interval 1 hour"))
         ).alias("hour")
     )
-    types = df.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = spine.crossJoin(F.broadcast(types))
     w = (
         Window.partitionBy("event_type")

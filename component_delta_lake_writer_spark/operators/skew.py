@@ -30,8 +30,22 @@ def salted_join(
     a nondeterministic salt feeding a shuffle can duplicate or drop
     rows when a stage recomputes), every right row is replicated to
     all salts — so each (key, salt) bucket joins exactly once. Result
-    equals the unsalted join.
+    equals the unsalted join — for INNER and LEFT joins. right/full
+    outer are refused: the replicated right side would emit one
+    null-padded "unmatched" row per unmatched salt bucket (salt-1
+    spurious rows per right row).
     """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    if how.replace("_", "").lower() in (
+        "right", "rightouter", "full", "fullouter", "outer"
+    ):
+        raise UserException(
+            f"salted_join cannot express how={how!r}: the right side "
+            "is replicated per salt, so outer-right semantics emit "
+            "spurious null rows. Salt the other side or use a plain "
+            "join with AQE skew handling."
+        )
     left_s = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
@@ -59,8 +73,12 @@ def salted_two_stage_agg(
     The salt is a deterministic content hash, never rand() — stable
     under task retries. Emits exact COUNT and SUM per key, equal to
     the unsalted groupBy."""
+    # hash the WHOLE row, not just the value column: a heavy-hitter
+    # key whose rows share one value (or NULL) would collapse to a
+    # single (key, salt) bucket and re-create the hotspot
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
     )
     partial = salted.groupBy(key, "__salt").agg(
         F.count(F.lit(1)).alias("_n"),

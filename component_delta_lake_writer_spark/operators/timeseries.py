@@ -51,6 +51,21 @@ def merge_asof(
             f"got {direction!r}"
         )
     by = by or []
+    reserved = {"_on", "_l", "_r", "_side", "_back", "_fwd", "_m"}
+    clash = reserved & (set(left.columns) | set(right.columns) | set(by))
+    if clash:
+        raise UserException(
+            f"merge_asof reserves internal column names {sorted(clash)}; "
+            "rename those inputs first."
+        )
+    out_clash = {
+        f"{c}{suffix}" for c in right.columns if c != on and c not in by
+    } & set(left.columns)
+    if out_clash:
+        raise UserException(
+            f"merge_asof suffix {suffix!r} collides with existing left "
+            f"columns {sorted(out_clash)}; pass a different suffix."
+        )
     if check_unique:
         dup = (
             right.groupBy(*by, on).count().filter(F.col("count") > 1)
@@ -167,14 +182,22 @@ def interpolate_linear(
     flat would bias downstream aggregates.
     """
     by = by or []
+    # duplicate-`on` determinism: a NULL row co-located with a known
+    # value at the SAME timestamp adopts it up front — otherwise the
+    # asc and desc windows break the tie in independent arbitrary
+    # orders and the output varies across runs
+    w_same = Window.partitionBy(*by, on)
+    df = df.withColumn(
+        value_col, F.coalesce(F.col(value_col), F.max(value_col).over(w_same))
+    )
     w_prev = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc())
+        .orderBy(F.col(on).asc(), F.col(value_col).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_next = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).desc())
+        .orderBy(F.col(on).desc(), F.col(value_col).desc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     known = F.when(

@@ -1210,3 +1210,59 @@ def test_lsh_bands_validation(spark):
         lsh_candidates(sig, bands=5)
     with pytest.raises(ValueError, match="must divide"):
         lsh_candidates(sig, bands=20)
+
+
+def test_timeseries_and_skew_contracts(spark):
+    """Review findings: salted_join refuses outer-right shapes (the
+    replicated right side would emit spurious null rows); bm25 over an
+    empty corpus returns an empty frame instead of crashing; asof with
+    a match at the IDENTICAL ts resolves deterministically (strictly
+    earlier); interpolate adopts a co-located known value at a
+    duplicate timestamp."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from component_delta_lake_writer_spark.operators.sessions import (
+        asof_last_event,
+    )
+    from component_delta_lake_writer_spark.operators.skew import salted_join
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    l = spark.createDataFrame([(1, "a")], "k int, s string")
+    r = spark.createDataFrame([(1, 10)], "k int, v int")
+    with pytest.raises(UserException, match="salted_join"):
+        salted_join(l, r, "k", how="full")
+    assert salted_join(l, r, "k", how="left").count() == 1
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    q = spark.createDataFrame([(1, "x")], "query_id int, term string")
+    assert bm25_topk(empty_docs, q).count() == 0
+
+    ev = spark.createDataFrame(
+        [(1, 7, 1000, "click"), (2, 7, 1000, "purchase"),
+         (3, 7, 900, "click"), (4, 7, 2000, "purchase")],
+        "event_id long, user_id long, ts_us long, event_type string",
+    )
+    got = {r["event_id"]: r["asof_ts_us"]
+           for r in asof_last_event(
+               ev, "click", "purchase"
+           ).collect()}
+    # purchase at 1000 must see the STRICTLY earlier click (900), not
+    # the simultaneous one — deterministic across runs
+    assert got[2] == 900 and got[4] == 1000
+
+    ts = spark.createDataFrame(
+        [("g", 0, 0.0), ("g", 5, None), ("g", 5, 10.0), ("g", 10, 20.0)],
+        "g string, t long, v double",
+    )
+    vals = sorted(
+        (r["t"], r["v"]) for r in interpolate_linear(
+            ts, on="t", value_col="v", by=["g"]
+        ).collect()
+    )
+    assert (5, 10.0) in vals and (5, None) not in vals
