@@ -120,6 +120,47 @@ def prune_units_bloom(
     eqs = [(c, v) for c, op, v in conjuncts if op == "="]
     if not eqs:
         return list(units)
+
+    # TYPE-SOUND probes only: the bitmap holds CAST(col AS STRING)
+    # forms, while Spark's equality COERCES (user_id = 5.0 matches
+    # bigint 5; s = 1 matches string '01') — a str(literal) probe in
+    # those shapes proves nothing and pruning on it silently drops
+    # matching rows. The column's kind comes from unit stats min/max;
+    # unknown kind (all-null stats) → never probe.
+    def _col_kind(col: str) -> str | None:
+        for u in units:
+            ent = (unit_stats.get(u) or {}).get(col) or {}
+            mn = ent.get("min")
+            if mn is None:
+                continue
+            if ent.get("t"):
+                return "temporal"
+            if isinstance(mn, bool):
+                return "other"
+            if isinstance(mn, int):
+                return "int"
+            if isinstance(mn, str):
+                return "str"
+            return "other"
+        return None
+
+    kinds = {c: _col_kind(c) for c, _ in eqs}
+    eqs = [
+        (c, v)
+        for c, v in eqs
+        if (
+            kinds[c] == "int"
+            and isinstance(v, int)
+            and not isinstance(v, bool)
+        )
+        or (
+            kinds[c] == "str"
+            and isinstance(v, str)
+            and getattr(v, "kind", None) is None  # not a temporal lit
+        )
+    ]
+    if not eqs:
+        return list(units)
     cache: dict[str, bytes | None] = {}
     keep = []
     for u in units:

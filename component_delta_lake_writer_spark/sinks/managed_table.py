@@ -193,6 +193,17 @@ class ManagedTable:
         # unique or the physical scan schema is ambiguous. Guards the
         # rename/add/schema-merge composition paths in one place.
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        reserved = {"_rows", "_files", "_bloom"} & {
+            f.name for f in schema.fields
+        }
+        if reserved:
+            # these key the commit's stats dict alongside column names;
+            # a column so named would clobber the row count / per-file
+            # detail and crash every stats consumer downstream
+            raise UserException(
+                f"Column names {sorted(reserved)} are reserved by the "
+                "engine's unit statistics; rename them before writing."
+            )
         phys = [
             commit.column_mapping.get(f.name, f.name) for f in schema.fields
         ]

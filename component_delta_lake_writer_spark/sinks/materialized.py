@@ -100,8 +100,9 @@ class IncrementalAggregate:
         if head is None:
             raise UserException("source table does not exist")
         last = None
-        if self.table.exists():
-            last = self.table.latest_commit().properties.get(_VERSION_PROP)
+        mv_head = self.table.latest_commit() if self.table.exists() else None
+        if mv_head is not None:
+            last = mv_head.properties.get(_VERSION_PROP)
         if last is not None and last == head.version:
             return "noop"
         if last is None:
@@ -112,19 +113,20 @@ class IncrementalAggregate:
             )
         except UserException:
             return self._full(head.version)
-        if not self.source.latest_commit().properties.get(
-            "changeDataFeedPreImages"
-        ):
-            # without pre-images, subtraction is impossible the moment
-            # an UPDATE-shaped commit appears in the range (upsert/
-            # update); appends are purely additive and deletes carry
-            # their own removed images in the change set
-            actions = {
-                self.source.commit_at(v).action
-                for v in self.source._versions()
-                if last < v <= head.version
-            }
-            if actions - {"append", "optimize", "delete"}:
+        # pre-images are persisted per COMMIT under the property in
+        # effect at write time — checking only the head's property
+        # would run the incremental path over update change sets that
+        # lack the -1 pre-image rows (property enabled mid-history),
+        # silently overstating every count and sum forever
+        crossed = [
+            self.source.commit_at(v)
+            for v in self.source._versions()
+            if last < v <= head.version
+        ]
+        for c in crossed:
+            if c.action in ("append", "optimize", "delete"):
+                continue  # additive / no-op / carries removed images
+            if not (c.properties or {}).get("changeDataFeedPreImages"):
                 return self._full(head.version)
         delta = self._compute_delta(changes)
         current = self.table.read()
@@ -138,7 +140,14 @@ class IncrementalAggregate:
                     F.coalesce(
                         F.col(name), F.lit(0).cast("decimal(28,6)")
                     )
-                    + F.col(f"_d_{name}")
+                    # the DELTA coalesces too: a group whose change
+                    # rows all carry NULL for this sum yields a NULL
+                    # delta, and NULL + current would null the stored
+                    # aggregate (a full recompute ignores NULLs)
+                    + F.coalesce(
+                        F.col(f"_d_{name}"),
+                        F.lit(0).cast("decimal(28,6)"),
+                    )
                 )
                 .cast("decimal(28,6)")
                 .alias(name)
@@ -146,14 +155,17 @@ class IncrementalAggregate:
             ],
         )
         props = {
-            **self.table.latest_commit().properties,
+            **(mv_head.properties if mv_head else {}),
             _VERSION_PROP: head.version,
         }
         self.table.upsert(merged, self.group_by, properties=props)
         return "incremental"
 
     def _full(self, version: int) -> str:
-        mv = self._compute_full(self.source.read())
+        # PIN the snapshot to the version being stamped: an unpinned
+        # read() can see a commit that landed after the head capture,
+        # and the next refresh would re-apply that commit's changes
+        mv = self._compute_full(self.source.read(version=version))
         self.table.write(
             mv,
             mode="overwrite",

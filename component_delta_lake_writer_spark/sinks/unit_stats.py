@@ -69,13 +69,24 @@ class _TemporalLit(str):
 def _temporal_to_str(v):
     """Normalize a datetime/date to its fixed-width form → (str, kind);
     (v, None) for anything else. Aware datetimes collapse to UTC
-    (the session timezone every probe/oracle runs under)."""
+    (the session timezone every probe/oracle runs under).
+
+    Formatted MANUALLY, not via strftime: %Y does not zero-pad years
+    below 1000 ('999-12-31'), and an unpadded year breaks the
+    lexicographic==chronological invariant range pruning relies on
+    ('9…' > '2…' would prune a unit whose sentinel dates genuinely
+    satisfy the predicate)."""
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return v.strftime(_TS_FMT), "ts"
+        return (
+            f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+            f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}."
+            f"{v.microsecond:06d}",
+            "ts",
+        )
     if isinstance(v, _dt.date):
-        return v.strftime(_DATE_FMT), "date"
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}", "date"
     return v, None
 
 
@@ -91,21 +102,24 @@ def _norm_temporal_lit(raw: str, stat_kind: str) -> str | None:
     at the midnight boundary — unsound pruning, so none at all."""
     s = raw.strip().replace("T", " ", 1)
     try:
+        # both branches format through _temporal_to_str so literal and
+        # stat forms share the zero-padded year (strftime %Y unpads
+        # years < 1000, breaking lexicographic order)
         if len(s) <= len("YYYY-MM-DD"):
             d = _dt.date.fromisoformat(s)
-            return (
-                d.strftime(_DATE_FMT)
-                if stat_kind == "date"
-                else _dt.datetime(d.year, d.month, d.day).strftime(_TS_FMT)
-            )
+            if stat_kind == "date":
+                return _temporal_to_str(d)[0]
+            return _temporal_to_str(
+                _dt.datetime(d.year, d.month, d.day)
+            )[0]
         t = _dt.datetime.fromisoformat(s)
         if t.tzinfo is not None:
             t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         if stat_kind == "date":
             if (t.hour, t.minute, t.second, t.microsecond) != (0, 0, 0, 0):
                 return None
-            return t.strftime(_DATE_FMT)
-        return t.strftime(_TS_FMT)
+            return _temporal_to_str(t.date())[0]
+        return _temporal_to_str(t)[0]
     except ValueError:
         return None
 

@@ -805,3 +805,105 @@ def test_is_null_pruning(spark, tmp_path_str):
     assert prune_units(
         stats, ["a", "b"], "k >= 10 AND v IS NOT NULL"
     ) == []
+
+
+def test_bloom_probe_type_soundness(spark, tmp_path):
+    """Review finding: bloom probed str(literal) regardless of column
+    type, while Spark's equality coerces — user_id = 5.0 on a bigint
+    column probed '5.0' against bitmaps of '5' and pruned units whose
+    rows genuinely match. Cross-type equality must not bloom-prune."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    t.write(
+        spark.range(100).selectExpr("id AS user_id", "CAST(id AS STRING) AS s"),
+        mode="overwrite",
+        properties={"bloom_filter_columns": ["user_id", "s"]},
+    )
+    # float literal on a bigint column: Spark matches user_id=5
+    assert t.read_where("user_id = 5.0").count() == 1
+    # int-form match still prunes correctly and returns the row
+    assert t.read_where("user_id = 5").count() == 1
+    # int literal on a string column: Spark coerces '5' = 5
+    assert t.read_where("s = 5").count() == 1
+
+
+def test_reserved_stats_column_names_refused(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(str(tmp_path), "t"))
+    with _pytest.raises(UserException, match="reserved"):
+        t.write(
+            spark.range(3).selectExpr("id AS k", "id AS _rows"),
+            mode="overwrite",
+        )
+
+
+def test_temporal_stats_zero_padded_years():
+    """strftime %Y unpads years < 1000, breaking lexicographic order
+    ('999-…' > '2024-…'); the manual formatter pads."""
+    import datetime as dt
+
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        _temporal_to_str,
+    )
+
+    s, kind = _temporal_to_str(dt.datetime(999, 12, 31, 1, 2, 3))
+    assert s == "0999-12-31 01:02:03.000000" and kind == "ts"
+    assert s < "2024-01-01 00:00:00.000000"
+    d, kind = _temporal_to_str(dt.date(50, 1, 2))
+    assert d == "0050-01-02" and kind == "date"
+
+
+def test_incremental_mv_null_sum_and_midhistory_preimages(spark, tmp_path):
+    """Review findings: a NULL delta sum must not null the stored
+    aggregate, and enabling changeDataFeedPreImages mid-history must
+    fall back to a full refresh for the pre-property commits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sinks.materialized import (
+        IncrementalAggregate,
+    )
+
+    src = ManagedTable(spark, os.path.join(str(tmp_path), "src"))
+    src.write(
+        spark.createDataFrame(
+            [(1, "g", 10.0), (2, "g", 5.0)], "k int, g string, v double"
+        ),
+        mode="overwrite", primary_key=["k"],
+        properties={"enableChangeDataFeed": True},
+    )
+    mv = IncrementalAggregate(
+        spark, os.path.join(str(tmp_path), "mv"), src,
+        group_by=["g"], sums={"sum_v": "v"},
+    )
+    assert mv.refresh() == "full"
+    # append a NULL-v row: the group's delta sum is NULL — the stored
+    # sum must stay 15, not become NULL
+    src.write(
+        spark.createDataFrame([(3, "g", None)], "k int, g string, v double"),
+        mode="append",
+    )
+    assert mv.refresh() == "incremental"
+    [row] = mv.read().collect()
+    assert float(row["sum_v"]) == 15.0
+    # an UPDATE commit made while pre-images were OFF must force a
+    # full refresh even after the property turns on
+    src.upsert(
+        spark.createDataFrame([(1, "g", 100.0)], "k int, g string, v double"),
+        ["k"],
+    )
+    src.set_properties({"changeDataFeedPreImages": True})
+    assert mv.refresh() == "full"
+    [row] = mv.read().collect()
+    assert float(row["sum_v"]) == 105.0
