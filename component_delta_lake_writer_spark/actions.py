@@ -89,12 +89,34 @@ ACTIONS = {
 
 
 def execute_action(spark: SparkSession, action: str, **kwargs) -> DataFrame:
-    """E3 dispatch (src/component.py:428-438 execute_action routing)."""
+    """E3 dispatch (src/component.py:428-438 execute_action routing).
+
+    The action is RESOLVED before it is called (a KeyError raised
+    inside an action must not be misreported as 'Unknown action'),
+    required kwargs get the UserException taxonomy, and kwargs pass
+    through to the table-list actions (list_uc_tables with db=...
+    previously listed the CURRENT database and dropped the scope)."""
     if action == "list_table_columns":
+        if "table" not in kwargs:
+            raise UserException(
+                "Action 'list_table_columns' requires table=<name>."
+            )
         return list_table_columns(spark, kwargs["table"])
     if action == "msck_repair":
+        if "table_path" not in kwargs:
+            raise UserException(
+                "Action 'msck_repair' requires table_path=<path>."
+            )
         return msck_repair(spark, kwargs["table_path"])
-    try:
-        return ACTIONS[action](spark)
-    except KeyError:
-        raise UserException(f"Unknown action: {action!r}") from None
+    fn = ACTIONS.get(action)
+    if fn is None:
+        raise UserException(f"Unknown action: {action!r}")
+    import inspect
+
+    accepted = set(inspect.signature(fn).parameters) - {"spark"}
+    unknown = set(kwargs) - accepted
+    if unknown:
+        raise UserException(
+            f"Action {action!r} does not accept {sorted(unknown)}."
+        )
+    return fn(spark, **kwargs)

@@ -34,8 +34,19 @@ def base_type_to_spark(dtype: str, length: str | None = None) -> T.DataType:
     if up == "NUMERIC":
         if length:
             parts = [p.strip() for p in length.split(",")]
-            precision = int(parts[0])
-            scale = int(parts[1]) if len(parts) > 1 else 0
+            try:
+                precision = int(parts[0])
+                scale = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                raise UserException(
+                    f"Invalid NUMERIC length {length!r}: expected "
+                    "'precision[,scale]'."
+                ) from None
+            if not (1 <= precision <= 38) or not (0 <= scale <= precision):
+                raise UserException(
+                    f"Invalid NUMERIC precision/scale {length!r}: "
+                    "precision must be 1-38 and scale 0-precision."
+                )
             return T.DecimalType(precision, scale)
         return T.DecimalType(38, 9)
     try:

@@ -47,17 +47,31 @@ def extract_binary_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads (e.g. NULL source text) surface as typed
+            # NULL metadata — len(None)/bytes(None) killed the task
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(
+                        lambda b: None if b is None else len(b)
+                    ),
                     "sha256": pdf["payload"].map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        lambda b: None
+                        if b is None
+                        else hashlib.sha256(bytes(b)).hexdigest()
                     ),
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(fn, META_SCHEMA)
+    # the output schema adopts the id column's REAL type (the fixed
+    # LongType doc_id field broke string-id tables at Arrow conversion)
+    schema = T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)]
+        + META_SCHEMA.fields[1:]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
+        fn, schema
+    )
 
 
 def decode_stub(df: DataFrame, modality: str = "image") -> DataFrame:
@@ -112,13 +126,21 @@ def byte_histogram_features(
     """
     import numpy as np
 
+    if bins < 1 or 256 % bins != 0:
+        raise ValueError(
+            f"bins={bins} must be a divisor of 256 (a non-divisor "
+            "reshapes 256 byte counts into bins*width != 256 and the "
+            "executor task fails)."
+        )
     width = 256 // bins
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hists, ents = [], []
             for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                arr = np.frombuffer(
+                    b"" if b is None else bytes(b), dtype=np.uint8
+                )
                 if arr.size == 0:
                     hists.append([0.0] * bins)
                     ents.append(0.0)
@@ -130,7 +152,14 @@ def byte_histogram_features(
                 binned = counts.reshape(bins, width).sum(axis=1) / arr.size
                 hists.append(binned.tolist())
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "histogram": hists, "entropy_bits": ents}
+                {"doc_id": pdf["doc_id"], "histogram": hists,
+                 "entropy_bits": ents}
             )
 
-    return df.select(id_col, "payload").mapInPandas(fn, FEATURES_SCHEMA)
+    schema = T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)]
+        + FEATURES_SCHEMA.fields[1:]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
+        fn, schema
+    )

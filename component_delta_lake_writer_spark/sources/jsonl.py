@@ -34,10 +34,9 @@ def schema_for_columns(
 ) -> T.StructType:
     """Keboola base-dtype columns → JSONL read schema (same dtype map
     as the typed CSV scan, reference component.py:200-206)."""
-    fields = [
-        T.StructField(c.name, base_type_to_spark(c.dtype, c.length), nullable=True)
-        for c in columns
-    ]
+    from component_delta_lake_writer_spark.functions.cast import schema_for
+
+    fields = list(schema_for(columns).fields)
     if with_corrupt_col:
         fields.append(T.StructField(CORRUPT_COL, T.StringType(), nullable=True))
     return T.StructType(fields)

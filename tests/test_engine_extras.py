@@ -1266,3 +1266,54 @@ def test_timeseries_and_skew_contracts(spark):
         ).collect()
     )
     assert (5, 10.0) in vals and (5, None) not in vals
+
+
+def test_multimodal_null_payload_and_bins_validation(spark):
+    """Review findings: NULL payloads killed the mapInPandas task
+    (len(None)); a non-divisor bins reshaped into a ValueError; a
+    non-long id column broke the fixed output schema."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+        extract_binary_meta,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [("a1", "hello"), ("a2", None)], "name string, text string"
+        )
+    )
+    meta = {r["doc_id"]: (r["byte_len"], r["sha256"])
+            for r in extract_binary_meta(df, id_col="name").collect()}
+    assert meta["a1"][0] == 5 and meta["a2"] == (None, None)
+    feats = {r["doc_id"]: r["entropy_bits"]
+             for r in byte_histogram_features(df, id_col="name").collect()}
+    assert feats["a2"] == 0.0
+    with pytest.raises(ValueError, match="divisor"):
+        byte_histogram_features(df, bins=10, id_col="name")
+
+
+def test_action_dispatch_taxonomy(spark):
+    """Review findings: kwargs reach the action (list_uc_tables db
+    scoping), inner KeyErrors are not misreported as 'Unknown action',
+    and missing/unknown kwargs get the UserException taxonomy."""
+    from component_delta_lake_writer_spark.actions import execute_action
+    from component_delta_lake_writer_spark.errors import UserException
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS revdb")
+    spark.sql("CREATE TABLE IF NOT EXISTS revdb.t1 (k INT) USING PARQUET")
+    try:
+        names = {r["value"] for r in
+                 execute_action(spark, "list_uc_tables", db="revdb").collect()}
+        assert "t1" in names
+        with pytest.raises(UserException, match="Unknown action"):
+            execute_action(spark, "nope")
+        with pytest.raises(UserException, match="requires table"):
+            execute_action(spark, "list_table_columns")
+        with pytest.raises(UserException, match="does not accept"):
+            execute_action(spark, "list_warehouses", bogus=1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS revdb.t1")
+        spark.sql("DROP DATABASE IF EXISTS revdb")
