@@ -25,8 +25,13 @@ from pyspark.sql import SparkSession
 _REDACTIONS = [
     (re.compile(r"CREDENTIAL\s\(.+\)", re.IGNORECASE), "--SENSITIVE--"),
     (
+        # secret[._]key / access[._]key / session[._]token included:
+        # the bare-'secret' alternation required [=:] IMMEDIATELY
+        # after, so the exact Hadoop keys this module sets
+        # (…secret.key=…) leaked through redaction unchanged
         re.compile(
-            r"(secret|token|password|key_id|access.key)(\s*[=:]\s*)[^\s,)]+",
+            r"((?:secret|access|session)[._ -]?(?:key|token)"
+            r"|secret|token|password|key_id)(\s*[=:]\s*)[^\s,)]+",
             re.IGNORECASE,
         ),
         r"\1\2--SENSITIVE--",
@@ -65,16 +70,42 @@ def scope_s3_credentials(
         )
     if region:
         conf.set(f"{base}.endpoint.region", region)
-    conf.set("spark.hadoop.fs.s3a.connection.timeout", str(timeout_s * 1000))
-    conf.set("spark.hadoop.fs.s3a.attempts.maximum", str(max_retries))
+    # PER-BUCKET forms: the session-global keys silently clobbered
+    # every other bucket's timeout/retry scoped in the same session,
+    # contradicting the one-container scoping contract
+    conf.set(f"{base}.connection.timeout", str(timeout_s * 1000))
+    conf.set(f"{base}.attempts.maximum", str(max_retries))
 
 
 def scope_azure_credentials(
     spark: SparkSession, account: str, key: str
 ) -> None:
-    """abs provider branch (src/component.py:306-317)."""
+    """abs provider branch (src/component.py:306-317): a STORAGE
+    ACCOUNT KEY (SharedKey auth). SAS tokens go through
+    scope_azure_sas — installing a SAS string as an account key can
+    never authenticate."""
     spark.conf.set(
         f"spark.hadoop.fs.azure.account.key.{account}.dfs.core.windows.net", key
+    )
+
+
+def scope_azure_sas(
+    spark: SparkSession, account: str, sas_token: str,
+    suffix: str = "dfs.core.windows.net",
+) -> None:
+    """Vended SAS credential scoping: ABFS SAS auth needs the auth
+    TYPE switched to SAS plus a fixed-token provider — the account-key
+    conf slot rejects a SAS string outright."""
+    host = f"{account}.{suffix}"
+    conf = spark.conf
+    conf.set(f"spark.hadoop.fs.azure.account.auth.type.{host}", "SAS")
+    conf.set(
+        f"spark.hadoop.fs.azure.sas.token.provider.type.{host}",
+        "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider",
+    )
+    conf.set(
+        f"spark.hadoop.fs.azure.sas.fixed.token.{host}",
+        sas_token.lstrip("?"),
     )
 
 

@@ -21,6 +21,8 @@ def with_retries(
 ) -> T:
     """Run ``fn`` up to ``attempts`` times; linear backoff between
     tries (src/storage_api_client.py:24-29); re-raise the last error."""
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
     last: Exception | None = None
     for attempt in range(attempts):
         try:

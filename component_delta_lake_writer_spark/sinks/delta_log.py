@@ -96,16 +96,13 @@ def _walk_parquet(root: str, unit_dir: str) -> list[tuple[str, int, int, dict]]:
     base = os.path.join(root, unit_dir)
     for dirpath, _dirnames, filenames in os.walk(base):
         rel_dir = os.path.relpath(dirpath, base)
-        pvals: dict[str, str] = {}
-        if rel_dir != ".":
-            for seg in rel_dir.split(os.sep):
-                if "=" in seg:
-                    k, _, v = seg.partition("=")
-                    pvals[k] = (
-                        None
-                        if v == "__HIVE_DEFAULT_PARTITION__"
-                        else urllib.parse.unquote(v)
-                    )
+        # hive_layout is the single source of truth for col=value
+        # decoding — this was a fourth inline copy that would drift
+        from component_delta_lake_writer_spark.sinks.hive_layout import (
+            decode_segments,
+        )
+
+        pvals = decode_segments(rel_dir)
         for fn in sorted(filenames):
             if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                 continue

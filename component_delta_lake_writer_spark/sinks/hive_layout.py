@@ -24,7 +24,10 @@ def decode_segments(rel_path: str) -> dict[str, str | None]:
     for seg in rel_path.split(os.sep):
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out[k] = None if v == HIVE_NULL else unquote(v)
+            # Spark escapes the COLUMN NAME too (a column 'a b' writes
+            # 'a%20b=v'); an un-unquoted key never matches the logical
+            # column and its partition values silently go NULL
+            out[unquote(k)] = None if v == HIVE_NULL else unquote(v)
     return out
 
 

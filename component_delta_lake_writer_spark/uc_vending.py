@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from component_delta_lake_writer_spark.credentials import (
-    scope_azure_credentials,
+    scope_azure_sas,
     scope_s3_credentials,
 )
 from component_delta_lake_writer_spark.errors import UserException
@@ -131,7 +131,12 @@ class LocalCredentialVendor:
     def generate_temporary_table_credentials(
         self, table_id: str, operation: str = "READ_WRITE"
     ) -> TempTableCredentials:
-        entry = next(e for e in self._tables.values() if e.table_id == table_id)
+        entry = next(
+            (e for e in self._tables.values() if e.table_id == table_id),
+            None,
+        )
+        if entry is None:
+            raise PermissionDeniedError(f"unknown table id {table_id!r}")
         needs_write = operation in ("READ_WRITE", "WRITE")
         if not entry.readable or (needs_write and not entry.writable):
             raise PermissionDeniedError(
@@ -189,9 +194,20 @@ def scope_vended_credentials(
     container, not the whole session.
     """
     if creds.azure_sas is not None:
-        # abfss://container@account.dfs.core.windows.net/path
-        account = creds.url.split("@")[1].split(".")[0]
-        scope_azure_credentials(spark, account, creds.azure_sas.sas_token)
+        # abfss://container@account.dfs.core.windows.net/path — a SAS
+        # token needs SAS auth conf (scope_azure_sas); installing it
+        # in the account-KEY slot can never authenticate
+        if "@" not in creds.url:
+            raise UserException(
+                f"Cannot derive the storage account from {creds.url!r} "
+                "(expected abfss://container@account.<suffix>/…)."
+            )
+        host = creds.url.split("@", 1)[1].split("/", 1)[0]
+        account, _, suffix = host.partition(".")
+        scope_azure_sas(
+            spark, account, creds.azure_sas.sas_token,
+            suffix=suffix or "dfs.core.windows.net",
+        )
     elif creds.aws is not None:
         bucket = creds.url.split("://", 1)[1].split("/", 1)[0]
         scope_s3_credentials(
@@ -228,11 +244,34 @@ class VendedCredentialSession:
 
     def ensure_valid(self, now: float | None = None) -> TempTableCredentials:
         if self._creds is None or self._creds.expired(now):
-            self._creds, self._region = vend_table_credentials(
+            is_revend = self._creds is not None
+            # scope FIRST, cache on success: caching before scoping
+            # left a fresh-but-never-installed credential that every
+            # later call returned without retrying the conf step
+            creds, region = vend_table_credentials(
                 self._vendor, self._table, self._operation
             )
-            scope_vended_credentials(self._spark, self._creds, self._region)
+            scope_vended_credentials(self._spark, creds, region)
+            if is_revend:
+                self._invalidate_fs_cache()
+            self._creds, self._region = creds, region
         return self._creds
+
+    def _invalidate_fs_cache(self) -> None:
+        """Hadoop caches FileSystem instances per (scheme, authority);
+        S3A builds its credential chain once at initialize(), so a
+        re-vended token never reaches an already-cached filesystem —
+        the long batch loop would 403 with ExpiredToken exactly in the
+        scenario this class exists for. Close the cached instances so
+        the next I/O rebuilds them under the fresh conf (best-effort:
+        a missing JVM bridge falls back to disabling the s3a cache)."""
+        try:
+            jvm = self._spark._jvm
+            jvm.org.apache.hadoop.fs.FileSystem.closeAll()
+        except Exception:  # pragma: no cover — non-JVM session
+            self._spark.conf.set(
+                "spark.hadoop.fs.s3a.impl.disable.cache", "true"
+            )
 
     @property
     def storage_url(self) -> str:

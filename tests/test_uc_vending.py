@@ -56,8 +56,16 @@ def test_azure_sas_vend_scopes_account_conf(spark, vendor):
     creds, region = vend_table_credentials(vendor, "main.sales.abs_orders")
     url = scope_vended_credentials(spark, creds, region)
     assert url.startswith("abfss://gold@lakeacct")
-    key = "spark.hadoop.fs.azure.account.key.lakeacct.dfs.core.windows.net"
-    assert spark.conf.get(key) == creds.azure_sas.sas_token
+    # SAS tokens use SAS auth conf, NOT the account-key slot (a SAS
+    # string in fs.azure.account.key can never authenticate)
+    host = "lakeacct.dfs.core.windows.net"
+    assert (
+        spark.conf.get(f"spark.hadoop.fs.azure.account.auth.type.{host}")
+        == "SAS"
+    )
+    assert spark.conf.get(
+        f"spark.hadoop.fs.azure.sas.fixed.token.{host}"
+    ) == creds.azure_sas.sas_token
 
 
 def test_session_revends_on_expiry(spark, vendor):

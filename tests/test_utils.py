@@ -35,9 +35,11 @@ def test_scope_s3_credentials_sets_bucket_confs(spark):
     assert conf.get(f"{base}.access.key") == "AK"
     assert conf.get(f"{base}.secret.key") == "SK"
     assert conf.get(f"{base}.session.token") == "TOK"
-    # the reference's hard-coded storage options (src/component.py:302-305)
-    assert conf.get("spark.hadoop.fs.s3a.attempts.maximum") == "2"
-    assert conf.get("spark.hadoop.fs.s3a.connection.timeout") == "3600000"
+    # the reference's hard-coded storage options (src/component.py:
+    # 302-305) — PER-BUCKET forms, so two buckets scoped in one
+    # session never clobber each other's timeout/retry settings
+    assert conf.get(f"{base}.attempts.maximum") == "2"
+    assert conf.get(f"{base}.connection.timeout") == "3600000"
 
 
 def test_with_retries_succeeds_after_failures():
@@ -81,3 +83,38 @@ def test_registry_order_tracks_driver_evidence():
         assert max(reds) < min(unseen)
     if unseen and greens:
         assert max(unseen) < min(greens)
+
+
+def test_redaction_covers_hadoop_secret_keys():
+    """Review finding: 'secret.key=' / 'secret_key=' — the exact conf
+    keys scope_s3_credentials sets — leaked through redaction."""
+    from component_delta_lake_writer_spark.credentials import redact
+
+    for line in [
+        "fs.s3a.bucket.b.secret.key=TOPSECRET",
+        "secret_key=TOPSECRET",
+        "fs.s3a.bucket.b.session.token=TOPSECRET",
+        "access_key: TOPSECRET",
+    ]:
+        out = redact(line)
+        assert "TOPSECRET" not in out, (line, out)
+        assert "--SENSITIVE--" in out
+
+
+def test_hive_decode_unquotes_column_names():
+    """Spark escapes partition COLUMN names too ('a b' -> 'a%20b=v');
+    an un-unquoted key never matched the logical column."""
+    from component_delta_lake_writer_spark.sinks.hive_layout import (
+        decode_segments,
+    )
+
+    assert decode_segments("a%20b=x%20y") == {"a b": "x y"}
+
+
+def test_with_retries_rejects_nonpositive_attempts():
+    import pytest as _pytest
+
+    from component_delta_lake_writer_spark.http_retry import with_retries
+
+    with _pytest.raises(ValueError, match="attempts"):
+        with_retries(lambda: 1, attempts=0)
