@@ -564,12 +564,17 @@ def _bm25_oracle(source: str) -> str:
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     contrib AS (
       SELECT tf.doc_id, tf.term,
+        -- parenthesized to MATCH THE OPERATOR'S op tree exactly:
+        -- idf * ((tf*(k1+1)) / denom). The left-assoc spelling
+        -- ((idf*tf)*(k1+1))/denom differs by up to 1 ulp (measured),
+        -- which can flip ROUND(w, 6) on one side only at a rounding
+        -- boundary (registry determinism rule 2).
         CAST(ROUND(
           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-          * tf.tf * (1.2::DOUBLE + 1.0)
-          / (tf.tf + 1.2::DOUBLE
-             * ((1.0 - 0.75::DOUBLE)
-                + 0.75::DOUBLE * dl.dl / stats.avgdl)),
+          * ((tf.tf * (1.2::DOUBLE + 1.0))
+             / (tf.tf + 1.2::DOUBLE
+                * ((1.0 - 0.75::DOUBLE)
+                   + 0.75::DOUBLE * dl.dl / stats.avgdl))),
           6) AS DECIMAL(18,6)) AS w
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
       CROSS JOIN stats
@@ -644,7 +649,8 @@ def shard_export_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
     sizes = [r["n_docs"] for r in out.select("n_docs").collect()]
-    assert max(sizes) - min(sizes) <= 1, f"unbalanced shards: {sizes}"
+    if max(sizes) - min(sizes) > 1:  # unconditional: assert dies under -O
+        raise AssertionError(f"unbalanced shards: {sizes}")
     return out
 
 
@@ -1064,11 +1070,15 @@ def python_datasource_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    k = F.col("o_orderkey")
+    # ONE collect, bucketed driver-side — three filtered collects
+    # re-scanned the table once per slice for disjoint k%4 buckets
+    all_rows = o.filter(F.col("o_orderkey") % 4 != 3).collect()
+    buckets: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in all_rows:
+        buckets[r[0] % 4].append(r)
     for i in range(3):
-        rows = o.filter(k % 4 == i).collect()
         with open(_os.path.join(base, f"slice_{i}.csv"), "w") as fh:
-            for r in rows:
+            for r in buckets[i]:
                 fh.write(f"{r[0]},{r[1]},{r[2]}\n")
     man = _os.path.join(base, "manifest")
     MDS.stage_slices_from_csv_dir(base, man)

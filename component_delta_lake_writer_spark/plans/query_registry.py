@@ -55,6 +55,12 @@ SCRATCH = "/tmp/cdlws_scratch"
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite could pair the NEW callable with a
+            # STALE oracle (ORACLES only updates when the duplicate
+            # passes oracle=) — a guaranteed spurious mismatch, or
+            # worse a vacuously-green mismatched pair
+            raise ValueError(f"query key {name!r} registered twice")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -561,7 +567,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return c.exceptAll(o).distinct()
+    # subtract() IS Spark's EXCEPT DISTINCT — exceptAll().distinct()
+    # diverges when the left side repeats a value also on the right
+    return c.subtract(o)
 
 
 @query(
@@ -691,7 +699,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts_us,
       MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
         PARTITION BY user_id ORDER BY ts_us
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts_us
+        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts_us
     FROM e QUALIFY event_type = 'purchase'
     """,
 )
@@ -920,6 +928,13 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline: similarity search (§7 M4)
 # ---------------------------------------------------------------------------
 
+# NOTE on parity with operators.similarity.cosine: the engine guards
+# zero norms (cosine := 0.0) while these oracle spellings divide
+# unguarded; current testdata has no zero vectors, and IF one ever
+# appears the divergence surfaces as a LOUD driver mismatch, never a
+# silently-wrong agreement. Same posture for the kmeans seeding
+# oracles' ``pid < k`` (the operator takes the k LOWEST ids — equal on
+# the dense 0-based fixture ids, loud FAIL on offset ids).
 _DOT = (
     "list_reduce(list_transform(generate_series(1, 64), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
