@@ -1720,22 +1720,22 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_expectations_audit",
     oracle="""
     SELECT 'price_nonneg' AS check_name,
-      SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
-               THEN 1 ELSE 0 END) AS n_violations,
+      CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
       COUNT(*) AS n_rows FROM orders
     UNION ALL
     SELECT 'status_domain',
-      SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
-               THEN 1 ELSE 0 END),
+      CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT),
       COUNT(*) FROM orders
     UNION ALL
     SELECT 'custkey_not_null',
-      SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       COUNT(*) FROM orders
     UNION ALL
     SELECT 'price_cap_100k',
-      SUM(CASE WHEN NOT COALESCE(o_totalprice <= 100000, FALSE)
-               THEN 1 ELSE 0 END),
+      CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice <= 100000, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT),
       COUNT(*) FROM orders
     """,
 )

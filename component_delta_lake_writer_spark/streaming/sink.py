@@ -260,7 +260,15 @@ def stream_replicate(
                         txn=None if has_up else (app_id, v),
                     )
                 if has_up:
-                    dst.upsert(upserts, primary_key, txn=(app_id, v))
+                    # merge-on-read: the replication apply is O(this
+                    # commit's delta), never O(replica) — a CDC
+                    # follower of a 100 TB table must not rewrite
+                    # overlapped target units per source commit;
+                    # optimize() materializes the delete sets later.
+                    dst.upsert(
+                        upserts, primary_key, txn=(app_id, v),
+                        strategy="merge-on-read",
+                    )
         finally:
             rows.unpersist()
 

@@ -71,11 +71,33 @@ def assert_no_decimal_output(spark_df, key: str = "?") -> None:
         )
 
 
+#: DuckDB output types the driver's pandas canonicalizer diverges on
+#: even when typed values match cross-engine.  DECIMAL bit round 1
+#: (Spark side); HUGEINT bit round 4 (`dq_expectations_audit` — the
+#: single HUGEINT-output oracle of 201 was the single hash-fail).
+_UNHASHABLE_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def assert_oracle_hashable_types(rel, key: str = "?") -> None:
+    """Oracle-side mirror of assert_no_decimal_output: refuse DuckDB
+    relations whose output columns are HUGEINT/DECIMAL-class (e.g. a
+    bare SUM(int) types HUGEINT in DuckDB).  Wrap such columns in
+    CAST(... AS BIGINT/DOUBLE) in the oracle SQL instead."""
+    for name, typ in zip(rel.columns, rel.types):
+        ts = str(typ).upper()
+        assert not any(bad in ts for bad in _UNHASHABLE_ORACLE_TYPES), (
+            f"[{key}] oracle column {name!r} is {ts}; the driver's "
+            "canonicalizer diverges on HUGEINT/DECIMAL — CAST it to "
+            "BIGINT/DOUBLE in the oracle SQL (driver-hash rule)"
+        )
+
+
 def compare(spark_df, con, oracle_sql: str, key: str = "?") -> None:
     assert_no_decimal_output(spark_df, key)
     scols = spark_df.columns
     srows = spark_df.collect()
     rel = con.sql(oracle_sql)
+    assert_oracle_hashable_types(rel, key)
     ocols = rel.columns
     orows = rel.fetchall()
 

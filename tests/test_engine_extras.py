@@ -812,6 +812,46 @@ def test_stream_replicate_replace_where_ordering(spark, tmp_path):
     assert got == {(1, -1.0), (2, -2.0), (3, 3.0)}
 
 
+def test_stream_replicate_fresh_checkpoint_noop(spark, tmp_path):
+    """Checkpoint loss: a SECOND stream run with a FRESH checkpoint
+    replays every source version; the per-version writer-txn
+    watermarks (txnAppId=replication identity, txnVersion=source
+    commit) must no-op them all — the replica's version and contents
+    are unchanged. (Moved out of the stream_replicate_cdf driver
+    probe for latency; the semantics are identical at any size.)"""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_replicate,
+    )
+
+    d = str(tmp_path)
+    src = ManagedTable(spark, os.path.join(d, "src"))
+    dst = ManagedTable(spark, os.path.join(d, "dst"))
+    src.write(spark.createDataFrame([], "k int, v double"),
+              mode="overwrite", primary_key=["k"],
+              properties={"enableChangeDataFeed": True})
+    src.write(spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)],
+                                    "k int, v double"), mode="append")
+    src.upsert(spark.createDataFrame([(2, -2.0), (4, 4.0)],
+                                     "k int, v double"), ["k"])
+    src.delete_where("k = 3")
+    dst.write(spark.createDataFrame([], "k int, v double"),
+              mode="overwrite", primary_key=["k"])
+    q = stream_replicate(src, dst, ["k"],
+                         checkpoint_dir=os.path.join(d, "ck_a"))
+    q.awaitTermination()
+    v_done = dst.latest_commit().version
+    want = {(1, 1.0), (2, -2.0), (4, 4.0)}
+    assert {(r["k"], r["v"]) for r in dst.read().collect()} == want
+    q2 = stream_replicate(src, dst, ["k"],
+                          checkpoint_dir=os.path.join(d, "ck_b"))
+    q2.awaitTermination()
+    assert dst.latest_commit().version == v_done, "replay must no-op"
+    assert {(r["k"], r["v"]) for r in dst.read().collect()} == want
+
+
 def test_interpolate_linear_semantics(spark):
     from component_delta_lake_writer_spark.operators.timeseries import (
         interpolate_linear,
