@@ -189,27 +189,36 @@ def ivf_topk(
     The coarse quantizer is training-free and deterministic: the
     n_cells lowest-id vectors act as centroids (equivalent to a fixed
     k-means init with zero Lloyd iterations — reproducible across
-    engines, no RNG). Assignment is an argmax over a broadcast
-    n_cells-row centroid table (cross join + one map-side-combinable
-    groupBy; no O(n²) and no shuffle of the vectors themselves). At
-    100 TB the cell id becomes a partition key, so probing nprobe
+    engines, no RNG), via orderBy+limit (TakeOrdered), NOT an
+    ``id < n_cells`` filter — that spelling only matches the contract
+    for dense zero-based ids and silently returns empty on offset id
+    spaces.
+
+    ONE lazy action, broadcast-only joins: assignment scores each
+    vector against the broadcast n_cells-row centroid table
+    (crossJoin) and takes the per-id argmax as a hash aggregate that
+    CARRIES THE VECTOR (``first(_v)``) — map-side partial aggregation
+    collapses the 16-way explosion back to one row per vector before
+    the shuffle, so the exchange ships each vector once, and no
+    second corpus scan or corpus-scale join is ever needed (the r4
+    shape — seed TakeOrdered re-executed per reference + a
+    df⋈assignment shuffle join — was the +72% bench regression).
+    The nprobe probe cells come from the same broadcast centroid
+    relation and prune the aggregate's output with a broadcast join.
+    At 100 TB the cell id becomes a partition key, so probing nprobe
     cells is a partition-pruned scan of ~nprobe/n_cells of the data —
     the complement of lsh_bucket_topk (data-adaptive cells vs
     data-oblivious hyperplanes).
     """
-    # the n_cells LOWEST-ID vectors seed the cells — orderBy+limit
-    # (TakeOrdered, no full sort), NOT a ``id < n_cells`` filter:
-    # that spelling only equals the documented contract when ids are
-    # dense and zero-based; offset/sparse id spaces would silently
-    # yield an empty centroid set and an empty result.
     cents = (
         df.orderBy(F.col(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv"))
     )
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     sims = v.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col("cell"), cosine(F.col("v"), F.col("cv")).alias("s")
+        F.col(id_col), F.col("_v"), F.col("cell"),
+        cosine(F.col("_v"), F.col("cv")).alias("s"),
     )
     # argmax(s) per vector with smallest-cell tie-break, as a hash agg
     # (min of (-s, cell) struct) — lighter than a window sort. NULL
@@ -218,18 +227,23 @@ def ivf_topk(
     asg = (
         sims.filter(F.col("s").isNotNull())
         .groupBy(id_col)
-        .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("cell"))).alias("m"))
-        .select(F.col(id_col), F.col("m.cell").alias("cell"))
+        .agg(
+            F.min(F.struct((-F.col("s")).alias("ns"), F.col("cell"))).alias("m"),
+            F.first("_v").alias("_v"),
+        )
+        .select(F.col(id_col), F.col("m.cell").alias("cell"), F.col("_v"))
     )
-    pv = probe.select(_as_double(F.col(vec_col)).alias("pv"))
+    pv = probe.select(_as_double(F.col(vec_col)).alias("pv")).limit(1)
     pcells = (
         cents.crossJoin(F.broadcast(pv))
-        .select("cell", cosine(F.col("cv"), F.col("pv")).alias("s"))
-        .orderBy(F.col("s").desc(), F.col("cell"))
+        .select("cell", cosine(F.col("cv"), F.col("pv")).alias("ps"))
+        .orderBy(F.col("ps").desc(), F.col("cell"))
         .limit(nprobe)
         .select("cell")
     )
-    cand = df.join(asg, id_col).join(F.broadcast(pcells), "cell").drop("cell")
+    cand = asg.join(F.broadcast(pcells), "cell").select(
+        F.col(id_col), F.col("_v").alias(vec_col)
+    )
     return cosine_topk(cand, probe, k, vec_col, id_col)
 
 
