@@ -224,15 +224,42 @@ def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
 
 
 def _prior_mapping_ids(log_dir: str) -> tuple[dict, int]:
-    """(physicalName → columnMapping id, maxColumnId) from the mirror's
-    most recent metaData. Ids are IMMUTABLE per the spec — a column
-    keeps its id across renames (physical name is the stable key) and
-    drops must not renumber survivors; maxColumnId only grows."""
+    """(physical path → columnMapping id, maxColumnId) from the
+    mirror's most recent metaData. Ids are IMMUTABLE per the spec — a
+    column keeps its id across renames (physical name is the stable
+    key) and drops must not renumber survivors; maxColumnId only
+    grows. Keys MUST mirror ``_mapped_schema_string.assign``'s exactly:
+    top-level fields by physicalName, nested struct/array/map fields by
+    the dotted physical path (``parent.child``, ``parent.element``, …)
+    — walking only top level would lose every nested id and re-emission
+    would renumber them, violating id immutability for nested data."""
     a = next(_scan_log_newest_first(log_dir, "metaData"), None)
     if a is None:
         return {}, 0
     md = a["metaData"]
     ids: dict = {}
+
+    def walk(t, prefix: str) -> None:
+        if not isinstance(t, dict):
+            return
+        if t.get("type") == "struct":
+            for nf in t.get("fields", []):
+                # nested names are identity-physical (only top level
+                # renames), so the dotted key uses the field name —
+                # same derivation as _mapped_schema_string.walk_nested
+                key = f"{prefix}.{nf['name']}"
+                pid = (nf.get("metadata") or {}).get(
+                    "delta.columnMapping.id"
+                )
+                if pid is not None:
+                    ids[key] = int(pid)
+                walk(nf.get("type"), key)
+        elif t.get("type") == "array":
+            walk(t.get("elementType"), prefix + ".element")
+        elif t.get("type") == "map":
+            walk(t.get("keyType"), prefix + ".key")
+            walk(t.get("valueType"), prefix + ".value")
+
     try:
         for f in json.loads(md["schemaString"]).get("fields", []):
             meta = f.get("metadata") or {}
@@ -240,6 +267,7 @@ def _prior_mapping_ids(log_dir: str) -> tuple[dict, int]:
             phys = meta.get("delta.columnMapping.physicalName")
             if pid is not None and phys is not None:
                 ids[phys] = int(pid)
+                walk(f.get("type"), phys)
     except (ValueError, KeyError):
         return {}, 0
     cfg = md.get("configuration") or {}

@@ -666,3 +666,73 @@ def test_created_time_stable_across_schema_evolution(spark, tmp_path):
             schema_mode="merge")
     md1 = next(a["metaData"] for a in _actions(t.path, 1) if "metaData" in a)
     assert md1["createdTime"] == md0["createdTime"]
+
+
+def test_nested_column_mapping_ids_stable_across_reemission(spark, tmp_path):
+    """Regression (ADVICE r5, medium): `_prior_mapping_ids` walked only
+    top-level fields while `_mapped_schema_string` keys nested fields
+    by dotted physical path — so every metaData re-emission on a
+    column-mapped table with nested structs renumbered the nested ids
+    past maxColumnId, violating Delta's id-immutability rule. Nested
+    ids must now survive schema evolution AND a second rename, and
+    maxColumnId must grow only by genuinely new columns."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _prior_mapping_ids,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, (10, "x"), [(7,)], {"m": (3,)})],
+        "k int, s struct<a:int,b:string>, "
+        "arr array<struct<c:int>>, mp map<string,struct<d:int>>",
+    )
+    t.write(df, mode="overwrite")
+    t.rename_column("k", "k2")          # mapping enabled; ids assigned
+    log_dir = os.path.join(t.path, "_delta_log")
+    ids0, max0 = _prior_mapping_ids(log_dir)
+    # nested fields MUST be present in the prior-id map (the bug was
+    # that only top-level physicalNames were recovered)
+    assert "s.a" in ids0 and "s.b" in ids0, ids0
+    assert "arr.element.c" in ids0, ids0
+    assert "mp.value.d" in ids0, ids0
+    assert max0 == max(ids0.values())
+
+    t.add_column("extra", "long")       # metaData re-emission #1
+    ids1, max1 = _prior_mapping_ids(log_dir)
+    for key, pid in ids0.items():
+        assert ids1[key] == pid, (key, pid, ids1)
+    # exactly ONE fresh id for 'extra' — no renumber-driven inflation
+    assert max1 == max0 + 1, (max0, max1, ids1)
+
+    t.rename_column("k2", "k3")         # metaData re-emission #2
+    ids2, max2 = _prior_mapping_ids(log_dir)
+    assert ids2 == ids1 and max2 == max1
+
+
+def test_nested_schema_golden_log_replay(spark, tmp_path):
+    """Golden-log interop, nested-schema case: a mapped table whose
+    schema nests struct/array columns must replay a schemaString whose
+    nested ids match across commits (any external reader resolves
+    columns through these ids)."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, (10, "x"))], "k int, s struct<a:int,b:string>"
+    )
+    t.write(df.coalesce(1), mode="overwrite")
+    t.rename_column("k", "key")
+
+    def nested_ids(schema_str):
+        s = json.loads(schema_str)
+        f_s = next(f for f in s["fields"] if f["name"] == "s")
+        return {
+            nf["name"]: nf["metadata"]["delta.columnMapping.id"]
+            for nf in f_s["type"]["fields"]
+        }
+
+    _files, schema1, _p = replay_delta_log(t.path)
+    before = nested_ids(schema1)
+    t.add_column("extra", "long")
+    _files, schema2, _p = replay_delta_log(t.path)
+    assert nested_ids(schema2) == before
+    # and the replayed schema is loadable as a Spark schema
+    T.StructType.fromJson(json.loads(schema2))
