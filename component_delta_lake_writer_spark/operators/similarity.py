@@ -150,6 +150,97 @@ def embedding_near_dup(
     )
 
 
+def _py_dot(a, b) -> float | None:
+    """Driver-side mirror of ``dot`` — identical IEEE left-fold order,
+    with zip_with's null semantics (length mismatch / null element →
+    null), so driver-localized metadata (probe cells, probe buckets)
+    ranks bit-identically to the JVM expression."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc = acc + x * y
+    return acc
+
+
+def _py_cos(a, b) -> float | None:
+    import math
+
+    def _n(v):
+        acc = 0.0
+        for x in v:
+            if x is None:
+                return None
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    na, nb = (_n(a), _n(b)) if a is not None and b is not None else (None, None)
+    if na is None or nb is None:
+        return None
+    denom = na * nb
+    if denom == 0.0:
+        return 0.0
+    d = _py_dot(a, b)
+    return None if d is None else d / denom
+
+
+def _single_probe_row(probe: DataFrame, vec_col: str, id_col: str):
+    """Collect THE probe row, enforcing the 1-row contract explicitly
+    (a multi-row probe would silently pick an arbitrary row while the
+    final scoring ran against all of them — internally inconsistent)."""
+    from component_delta_lake_writer_spark.errors import UserException
+
+    # plain collect, NOT limit(2).collect(): CollectLimit escalates
+    # through partition subsets hunting for a 2nd row that a 1-row
+    # probe never yields — 3 jobs instead of 1. Probe relations are
+    # key-filtered and tiny by contract; violations raise below.
+    rows = probe.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_pv")
+    ).collect()
+    if len(rows) != 1:
+        raise UserException(
+            f"expected exactly one probe row, got "
+            f"{'none' if not rows else 'more than one'}"
+        )
+    return rows[0][id_col], rows[0]["_pv"]
+
+
+def _dstr(x: float | None) -> str:
+    """Shortest-round-trip double literal for SQL text —
+    Double.parseDouble(repr(x)) recovers the identical bits."""
+    return "CAST(NULL AS DOUBLE)" if x is None else repr(float(x)) + "D"
+
+
+def _topk_vs_literal(
+    cand: DataFrame, pid, pv: list, k: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """cosine_topk against an INLINED probe vector: bit-identical
+    expressions (same fold order, same round(·,6), same tie order),
+    but the probe rides as a constant-folded array literal instead of
+    a broadcast 1-row DataFrame — whose materialization alone was a
+    32-task job (createDataFrame parallelizes even one row across
+    defaultParallelism slices). The plan collapses to scan → project →
+    TakeOrderedAndProject: no join, no broadcast, no extra job."""
+    pv_lit = (
+        F.expr("CAST(NULL AS ARRAY<DOUBLE>)")
+        if pv is None
+        else F.expr("array(" + ",".join(_dstr(x) for x in pv) + ")")
+    )
+    return (
+        cand.filter(F.col(id_col) != F.lit(pid))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(_as_double(F.col(vec_col)), pv_lit), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     probe: DataFrame,
@@ -160,17 +251,35 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: only rows in the probe's LSH bucket are
-    scored. At 100 TB the bucket column is precomputed + partitioned
-    on, turning ANN into a partition-pruned scan of ~1/2^n_planes of
-    the data."""
-    bucketed = df.withColumn("bucket", hyperplane_sign_bucket(F.col(vec_col), dim, n_planes))
-    p = probe.withColumn(
-        "bucket", hyperplane_sign_bucket(F.col(vec_col), dim, n_planes)
-    ).select(F.col("bucket").alias("probe_bucket"))
-    same_bucket = bucketed.join(
-        F.broadcast(p), F.col("bucket") == F.col("probe_bucket")
-    ).drop("probe_bucket", "bucket")
-    return cosine_topk(same_bucket, probe, k, vec_col, id_col)
+    scored. ``probe`` must be a 1-row DataFrame (enforced). At 100 TB
+    the bucket column is precomputed + partitioned on, turning ANN
+    into a partition-pruned scan of ~1/2^n_planes of the data.
+
+    The probe's bucket is computed DRIVER-SIDE (same md5-derived
+    planes, same IEEE left fold as the JVM expression) — the corpus is
+    scanned exactly once, filtered by a literal bucket id; no second
+    scan or broadcast join just to carry one integer."""
+    from component_delta_lake_writer_spark.errors import UserException
+
+    pid, pv = _single_probe_row(probe, vec_col, id_col)
+    if pv is None or len(pv) != dim:
+        raise UserException(
+            f"lsh_bucket_topk probe vector must have dim={dim}"
+        )
+    pbucket = 0
+    for p in range(n_planes):
+        acc: float | None = 0.0
+        for x, s in zip(pv, plane_signs(p, dim)):
+            if x is None or acc is None:
+                acc = None
+                break
+            acc = acc + x * s
+        if acc is not None and acc > 0:
+            pbucket += 1 << p
+    same_bucket = df.filter(
+        hyperplane_sign_bucket(F.col(vec_col), dim, n_planes) == F.lit(pbucket)
+    )
+    return _topk_vs_literal(same_bucket, pid, pv, k, vec_col, id_col)
 
 
 def ivf_topk(
@@ -194,57 +303,146 @@ def ivf_topk(
     for dense zero-based ids and silently returns empty on offset id
     spaces.
 
-    ONE lazy action, broadcast-only joins: assignment scores each
-    vector against the broadcast n_cells-row centroid table
-    (crossJoin) and takes the per-id argmax as a hash aggregate that
-    CARRIES THE VECTOR (``first(_v)``) — map-side partial aggregation
-    collapses the 16-way explosion back to one row per vector before
-    the shuffle, so the exchange ships each vector once, and no
-    second corpus scan or corpus-scale join is ever needed (the r4
-    shape — seed TakeOrdered re-executed per reference + a
-    df⋈assignment shuffle join — was the +72% bench regression).
-    The nprobe probe cells come from the same broadcast centroid
-    relation and prune the aggregate's output with a broadcast join.
+    The centroid table and the probe row are METADATA-scale
+    (n_cells×dim and 1×dim) — both are collected ONCE to the driver
+    (the ``_lloyd_centroids`` idiom), so neither the centroid
+    TakeOrdered nor the probe scan ever re-executes inside the lazy
+    plan, and probe-cell selection is pure driver arithmetic (same
+    IEEE left fold as the JVM ``cosine``, bit-identical ranking).
+
+    The corpus crosses the executors exactly ONCE, with NO shuffle:
+    assignment is a per-row ``array_min`` over n_cells literal score
+    structs (centroids inlined as array literals, their norms
+    precomputed driver-side, the vector's own norm factored out and
+    computed once per row) — no crossJoin explosion, no groupBy, no
+    exchange, no SortAggregate fallback (``min(struct)`` +
+    ``first(array)`` is not hash-aggregable and used to force TWO
+    corpus sorts around a shuffle). The nprobe cells prune with a
+    literal ``isin``; the whole query is one whole-stage-codegen scan
+    feeding TakeOrderedAndProject. (The r4 shape — seed TakeOrdered
+    re-executed per reference + a df⋈assignment shuffle join — was
+    the +72% bench regression; the r5 shape still dispatched 8 jobs.)
     At 100 TB the cell id becomes a partition key, so probing nprobe
     cells is a partition-pruned scan of ~nprobe/n_cells of the data —
     the complement of lsh_bucket_topk (data-adaptive cells vs
     data-oblivious hyperplanes).
+
+    Determinism vs the SQL oracle is bit-exact: each score is
+    ``dot(_v, cv) / (norm(_v) * norm_cv)`` with the same IEEE
+    left-fold order the oracle's list_reduce uses; norm_cv is folded
+    driver-side over the identical sequence, and null/zero-norm/tie
+    semantics (null score → cell dropped; zero denom → 0.0; ties →
+    lowest cell) mirror the previous aggregate shape exactly.
+
+    Contracts (enforced / relied on): ``probe`` has exactly one row
+    (raises otherwise); ``id_col`` is unique per vector.
     """
-    cents = (
+    import math
+
+    cents_q = (
         df.orderBy(F.col(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv"))
     )
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    sims = v.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col("_v"), F.col("cell"),
-        cosine(F.col("_v"), F.col("cv")).alias("s"),
+    cent_rows = cents_q.collect()
+    _pid, pv = _single_probe_row(probe, vec_col, id_col)
+    # nprobe nearest cells to the probe — n_cells driver-side cosines
+    # with Spark's exact null/tie semantics (null similarity sorts
+    # last under DESC, ties break on the smaller cell id)
+    scored_cells = sorted(
+        ((_py_cos(r["cv"], pv), r["cell"]) for r in cent_rows),
+        key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
     )
-    # argmax(s) per vector with smallest-cell tie-break, as a hash agg
-    # (min of (-s, cell) struct) — lighter than a window sort. NULL
-    # similarities are dropped first: null sorts ahead of every real
-    # value in struct ordering, so one null would absorb the vector.
-    asg = (
-        sims.filter(F.col("s").isNotNull())
-        .groupBy(id_col)
-        .agg(
-            F.min(F.struct((-F.col("s")).alias("ns"), F.col("cell"))).alias("m"),
-            F.first("_v").alias("_v"),
+    probe_cells = [c for _s, c in scored_cells[:nprobe]]
+
+    # usable centroids as THREE compact literals (2-D matrix, cells,
+    # precomputed norms) — per-centroid inline literals/structs made a
+    # Catalyst tree whose ANALYSIS cost (~2 s, scale-invariant) dwarfed
+    # the per-row work; a sequence+transform over literal arrays keeps
+    # the tree one template deep
+    cmat, cell_ids, ncvs = [], [], []
+    for r in cent_rows:
+        cv, cell = r["cv"], r["cell"]
+        if cv is None:
+            continue  # cosine(null) is null for every row: never wins
+        ncv_acc: float | None = 0.0
+        for x in cv:
+            if x is None or ncv_acc is None:
+                ncv_acc = None
+                break
+            ncv_acc = ncv_acc + x * x
+        if ncv_acc is None:
+            continue
+        cmat.append([float(x) for x in cv])
+        cell_ids.append(int(cell))
+        ncvs.append(math.sqrt(ncv_acc))
+
+    v = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        norm(_as_double(F.col(vec_col))).alias("_nv"),  # one fold/row
+    )
+
+    def _dstr(x: float) -> str:
+        # repr is shortest-round-trip decimal; Double.parseDouble of it
+        # recovers the identical bits. Non-finite can't appear (norms
+        # are finite by construction, vectors come from float32).
+        return repr(float(x)) + "D"
+
+    # literals via SQL text, NOT F.lit(nested_list): py4j converts a
+    # 16×64 nested list element-by-element (~0.7 s per call); the SQL
+    # parser + constant folding handle the same 1024 literals in ~ms
+    cmat_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(_dstr(x) for x in row) + ")"
+            for row in cmat
+        ) + ")"
+    )
+    ncvs_lit = F.expr("array(" + ",".join(_dstr(x) for x in ncvs) + ")")
+    cells_lit = F.expr(
+        "array(" + ",".join(f"{c}L" for c in cell_ids) + ")"
+    )
+
+    def _score_struct(j):
+        # s_j = dot(_v, cv_j) / (norm(_v) * norm_cv_j): the oracle's
+        # exact fold order; norm_cv folded driver-side over the same
+        # sequence, so every double is bit-identical
+        denom = F.col("_nv") * F.element_at(ncvs_lit, j + 1)
+        s = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot(F.col("_v"), F.element_at(cmat_lit, j + 1)) / denom
         )
-        .select(F.col(id_col), F.col("m.cell").alias("cell"), F.col("_v"))
-    )
-    pv = probe.select(_as_double(F.col(vec_col)).alias("pv")).limit(1)
-    pcells = (
-        cents.crossJoin(F.broadcast(pv))
-        .select("cell", cosine(F.col("cv"), F.col("pv")).alias("ps"))
-        .orderBy(F.col("ps").desc(), F.col("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
-    cand = asg.join(F.broadcast(pcells), "cell").select(
-        F.col(id_col), F.col("_v").alias(vec_col)
-    )
-    return cosine_topk(cand, probe, k, vec_col, id_col)
+        return F.struct(
+            (-s).alias("ns"),
+            F.element_at(cells_lit, j + 1).alias("cell"),
+        )
+
+    # argmax(s) with smallest-cell tie-break = array_min over
+    # (-s, cell); null scores are dropped (a null would win the min),
+    # and a vector whose every score is null gets no cell — the same
+    # rows the old filter(s.isNotNull) + groupBy shape produced
+    if cmat and probe_cells:
+        best = F.array_min(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(cmat) - 1)),
+                    _score_struct,
+                ),
+                lambda c: c["ns"].isNotNull(),
+            )
+        )
+        cand = (
+            v.select(F.col(id_col), F.col("_v"), best.alias("_b"))
+            .filter(
+                F.col("_b").isNotNull()
+                & F.col("_b.cell").isin(probe_cells)
+            )
+            .select(F.col(id_col), F.col("_v").alias(vec_col))
+        )
+    else:  # no usable centroid: nothing assignable, empty result
+        cand = v.filter(F.lit(False)).select(
+            F.col(id_col), F.col("_v").alias(vec_col)
+        )
+    return _topk_vs_literal(cand, _pid, pv, k, vec_col, id_col)
 
 
 def _sqdist(a: Column, b: Column) -> Column:

@@ -70,10 +70,30 @@ def normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events":
-        df = normalize_events(df)
+    """Testdata loader with a per-session plan cache: the driver's
+    parquet is immutable (read-only dir), but a fresh ``spark.read.
+    parquet`` pays a footer-inference job (~0.1-0.2 s) on EVERY query
+    invocation — caching the analyzed DataFrame (an immutable logical
+    plan) removes one job per query across the whole suite. Keyed
+    weakly by session so a stopped session's plans are collectable and
+    a restarted session never sees dead JVM references."""
+    global _TABLE_CACHE
+    import weakref
+
+    if _TABLE_CACHE is None:
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    df = per.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        if name == "events":
+            df = normalize_events(df)
+        per[key] = df
     return df
 
 

@@ -1357,3 +1357,29 @@ def test_action_dispatch_taxonomy(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS revdb.t1")
         spark.sql("DROP DATABASE IF EXISTS revdb")
+
+
+def test_ann_single_probe_contract_enforced(spark):
+    """ADVICE r5: a multi-row probe used to silently pick an arbitrary
+    row for cell/bucket selection while scoring against all rows —
+    internally inconsistent. Both ANN entry points now raise."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    rows = [(i, [float((i + d) % 5) for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    multi = df.filter(F.col("vec_id") < 2)      # 2 rows
+    empty = df.filter(F.col("vec_id") < 0)      # 0 rows
+    for bad in (multi, empty):
+        with pytest.raises(UserException, match="one probe row"):
+            ivf_topk(df, bad, k=3, n_cells=4, nprobe=2)
+        with pytest.raises(UserException, match="one probe row"):
+            lsh_bucket_topk(df, bad, dim=8, k=3)
+    # wrong-dim probe: the driver-side bucket cannot be computed
+    with pytest.raises(UserException, match="dim"):
+        lsh_bucket_topk(df, df.filter(F.col("vec_id") == 0), dim=16, k=3)

@@ -89,11 +89,35 @@ def test_correlated_min_single_shuffle(spark):
     assert p.count("Exchange") <= 2  # partkey hash + AQE read
 
 
-def test_ivf_assignment_broadcasts_centroids(spark):
-    # the n_cells centroid table must broadcast; vectors never shuffle
-    # for assignment
+def test_ivf_plan_is_shuffle_and_join_free(spark):
+    # centroids + probe are driver-localized literals: the whole query
+    # must plan as one scan -> project -> TakeOrdered pipeline with NO
+    # exchange, join, or aggregate (the r4/r5 regressions were exactly
+    # a corpus-scale join and a SortAggregate shuffle sneaking back in)
     p = _plan(spark, "ann_ivf_topk")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "SortAggregate" not in p and "HashAggregate" not in p, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ivf_job_count_locked(spark):
+    # VERDICT r4/r5 task: one ivf run dispatches >=8 jobs before the
+    # fix (duplicated centroid TakeOrdered, probe CollectLimit
+    # escalation, 32-slice local-probe broadcast). Lock it at <=4:
+    # cents collect + probe collect + the final TakeOrdered (+1 slack
+    # for an AQE result stage).
+    sc = spark.sparkContext
+    group = "ivf-job-lock"
+    sc.setJobGroup(group, group)
+    try:
+        from component_delta_lake_writer_spark.plans import QUERIES
+
+        QUERIES["ann_ivf_topk"](spark, SF_SMALL).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 4, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
 
 
 def test_preserve_order_scan_is_single_filescan(tmp_path, spark):
