@@ -76,18 +76,33 @@ def asof_last_event(
     ordered stream and take a running MAX over a window that excludes
     the current row — one shuffle, linear scan. The same plan shape
     covers the general two-table as-of join after a unionByName.
+
+    ``ts_col`` may be a numeric epoch (the int64-microsecond ``ts_us``
+    convention) OR a real TIMESTAMP/TIMESTAMP_NTZ column — timestamp
+    inputs are converted to exact int64 microseconds internally
+    (``rangeBetween`` with an integer boundary is undefined over a
+    timestamp ordering column; ADVICE r4); ``asof_ts_us`` is int64
+    microseconds either way.
     """
+    from component_delta_lake_writer_spark.tables import ts_us_expr
+
+    dt = dict(df.dtypes)[ts_col]
+    if dt in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn("_asof_ord_us", ts_us_expr(dt, ts_col))
+        ord_col = "_asof_ord_us"
+    else:
+        ord_col = ts_col
     # RANGE frame ending at -1 = "strictly earlier timestamp": the
     # ROWS spelling depended on arbitrary intra-tie row order when a
     # match and a target share the exact same ts (nondeterministic
     # across runs — the module's oracle-exactness contract forbids it)
     w = (
         Window.partitionBy(user_col)
-        .orderBy(ts_col)
+        .orderBy(ord_col)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     asof_ts = F.max(
-        F.when(F.col(type_col) == match_type, F.col(ts_col))
+        F.when(F.col(type_col) == match_type, F.col(ord_col))
     ).over(w)
     return (
         df.withColumn("asof_ts_us", asof_ts)

@@ -789,11 +789,20 @@ class ManagedTable:
             self.compact_small_units(
                 max_rows=max_rows, cluster_by=cluster_by
             )
-        except Exception:  # noqa: BLE001 — the append COMMITTED;
-            # surfacing any compaction error (Spark analysis, IO, a
-            # dropped clusterBy column) would make the caller believe
-            # the append failed and re-apply it
-            pass
+        except Exception as exc:  # noqa: BLE001 — the append
+            # COMMITTED; surfacing any compaction error (Spark
+            # analysis, IO, a dropped clusterBy column) would make the
+            # caller believe the append failed and re-apply it. But a
+            # silently-swallowed PERSISTENT failure leaves small files
+            # accumulating invisibly — log it (ADVICE r4).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "post-append auto-compaction failed on %s "
+                "(append is committed; small units remain): %s",
+                self.path,
+                exc,
+            )
 
     def compact_small_units(
         self,

@@ -43,15 +43,30 @@ def _strip(sql: str) -> str:
 
 
 def _code_only(sql: str) -> str:
-    """The statement with string literals and ``--`` comments blanked:
-    single- AND double-quoted (Spark's default treats both as string
-    literals), honoring backslash escapes and doubled-quote escapes —
-    a split-on-quote approximation mis-parses ``'don\\'t'`` and scans
-    literal text as code."""
+    """The statement with string literals, backtick-quoted identifiers
+    and ``--`` comments blanked: single- AND double-quoted (Spark's
+    default treats both as string literals), honoring backslash
+    escapes and doubled-quote escapes — a split-on-quote approximation
+    mis-parses ``'don\\'t'`` and scans literal text as code. Backtick
+    identifiers blank too (doubled-backtick escape honored): a column
+    literally NAMED ``update`` is an identifier, not a DML verb, and
+    the guard below must not refuse it (ADVICE r4)."""
     out = []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
+        if c == "`":
+            i += 1
+            while i < n:
+                if sql[i] == "`":
+                    if i + 1 < n and sql[i + 1] == "`":
+                        i += 2  # doubled-backtick escape stays inside
+                        continue
+                    i += 1
+                    break
+                i += 1
+            out.append(" ")
+            continue
         if c in ("'", '"'):
             q = c
             i += 1

@@ -177,6 +177,8 @@ def stream_replicate(
     dst: ManagedTable,
     primary_key: list[str],
     checkpoint_dir: str | None = None,
+    upsert_strategy: str = "merge-on-read",
+    optimize_every: int | None = None,
 ):
     """CONTINUOUS table replication: stream the source's change feed
     (the table_changes_stream Data Source — version offsets, no file
@@ -186,6 +188,14 @@ def stream_replicate(
     writer transactions (txnAppId = the replication identity,
     txnVersion = the source commit version), so checkpoint replays,
     restarts, and even a lost checkpoint re-apply nothing.
+
+    ``upsert_strategy`` (ADVICE r5): 'merge-on-read' (default) applies
+    each source commit in O(commit delta) but accrues one pending
+    delete set per replicated commit — pair it with
+    ``optimize_every=N`` so a long-running follower compacts the
+    replica every N applied source commits and read plans stay
+    bounded; 'copy-on-write' materializes per commit (no delete-set
+    growth, O(overlapped target units) per commit instead).
 
     This is the streaming spelling of sinks.replicate (batch catch-up)
     — the two compose: batch-replicate to bootstrap, stream to follow.
@@ -199,6 +209,7 @@ def stream_replicate(
     spark = src.spark
     register(spark)
     app_id = f"replicate::{os.path.abspath(src.path)}"
+    applied = [0]  # source commits applied this run (optimize cadence)
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         rows = batch_df.persist()
@@ -260,15 +271,19 @@ def stream_replicate(
                         txn=None if has_up else (app_id, v),
                     )
                 if has_up:
-                    # merge-on-read: the replication apply is O(this
-                    # commit's delta), never O(replica) — a CDC
+                    # merge-on-read default: the replication apply is
+                    # O(this commit's delta), never O(replica) — a CDC
                     # follower of a 100 TB table must not rewrite
                     # overlapped target units per source commit;
-                    # optimize() materializes the delete sets later.
+                    # optimize_every / a later optimize() materializes
+                    # the accrued delete sets.
                     dst.upsert(
                         upserts, primary_key, txn=(app_id, v),
-                        strategy="merge-on-read",
+                        strategy=upsert_strategy,
                     )
+                applied[0] += 1
+                if optimize_every and applied[0] % optimize_every == 0:
+                    dst.optimize()
         finally:
             rows.unpersist()
 

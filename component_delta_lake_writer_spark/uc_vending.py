@@ -253,21 +253,29 @@ class VendedCredentialSession:
             )
             scope_vended_credentials(self._spark, creds, region)
             if is_revend:
-                self._invalidate_fs_cache()
+                self._invalidate_fs_cache(creds.url)
             self._creds, self._region = creds, region
         return self._creds
 
-    def _invalidate_fs_cache(self) -> None:
+    def _invalidate_fs_cache(self, url: str) -> None:
         """Hadoop caches FileSystem instances per (scheme, authority);
         S3A builds its credential chain once at initialize(), so a
         re-vended token never reaches an already-cached filesystem —
         the long batch loop would 403 with ExpiredToken exactly in the
-        scenario this class exists for. Close the cached instances so
-        the next I/O rebuilds them under the fresh conf (best-effort:
-        a missing JVM bridge falls back to disabling the s3a cache)."""
+        scenario this class exists for. Close ONLY the cached instance
+        for THIS table's (scheme, authority) so the next I/O rebuilds
+        it under the fresh conf — FileSystem.closeAll() (ADVICE r4)
+        would also nuke every unrelated cached filesystem in the JVM,
+        killing concurrent streams on other buckets mid-task with
+        'Filesystem closed'. Best-effort: a missing JVM bridge falls
+        back to disabling the s3a cache."""
         try:
             jvm = self._spark._jvm
-            jvm.org.apache.hadoop.fs.FileSystem.closeAll()
+            juri = jvm.java.net.URI.create(url)
+            hconf = self._spark._jsc.hadoopConfiguration()
+            # get() returns the cached instance for this key (or a
+            # fresh one, harmlessly); close() evicts it from the cache
+            jvm.org.apache.hadoop.fs.FileSystem.get(juri, hconf).close()
         except Exception:  # pragma: no cover — non-JVM session
             self._spark.conf.set(
                 "spark.hadoop.fs.s3a.impl.disable.cache", "true"

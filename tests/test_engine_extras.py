@@ -1383,3 +1383,79 @@ def test_ann_single_probe_contract_enforced(spark):
     # wrong-dim probe: the driver-side bucket cannot be computed
     with pytest.raises(UserException, match="dim"):
         lsh_bucket_topk(df, df.filter(F.col("vec_id") == 0), dim=16, k=3)
+
+
+def test_asof_accepts_real_timestamp_column(spark):
+    """ADVICE r4: rangeBetween with an integer boundary is undefined
+    over a TIMESTAMP ordering column — asof_last_event must convert
+    timestamp inputs to int64 microseconds internally and produce the
+    same answers as the ts_us spelling."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        asof_last_event,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 7, 1_000_000, "click"), (2, 7, 1_000_000, "purchase"),
+         (3, 7, 900_000, "click"), (4, 7, 2_000_000, "purchase")],
+        "event_id long, user_id long, ts_us long, event_type string",
+    )
+    want = {r["event_id"]: r["asof_ts_us"]
+            for r in asof_last_event(base, "click", "purchase").collect()}
+    ts_df = base.select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+    )
+    got_ts = asof_last_event(ts_df, "click", "purchase", ts_col="ts")
+    got = {r["event_id"]: r["asof_ts_us"] for r in got_ts.collect()}
+    assert got == want
+    # the original ts column survives with its timestamp type
+    assert dict(got_ts.dtypes)["ts"] == "timestamp"
+    # TIMESTAMP_NTZ spelling too (session tz is UTC: value-preserving)
+    ntz = ts_df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got2 = {r["event_id"]: r["asof_ts_us"]
+            for r in asof_last_event(ntz, "click", "purchase",
+                                     ts_col="ts").collect()}
+    assert got2 == want
+
+
+def test_stream_replicate_optimize_every_bounds_delete_sets(spark, tmp_path):
+    """ADVICE r5: a long-running merge-on-read follower accrues one
+    pending delete set per replicated commit with nothing compacting
+    them. optimize_every=N must compact the replica in-stream so the
+    pending-delete-set count stays bounded, without changing results."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_replicate,
+    )
+
+    d = str(tmp_path)
+    src = ManagedTable(spark, os.path.join(d, "src"))
+    dst = ManagedTable(spark, os.path.join(d, "dst"))
+    src.write(spark.createDataFrame([], "k int, v double"),
+              mode="overwrite", primary_key=["k"],
+              properties={"enableChangeDataFeed": True})
+    src.write(spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                    "k int, v double"), mode="append")
+    for i in range(4):  # 4 upsert commits, each touching key 1
+        src.upsert(spark.createDataFrame([(1, float(10 + i))],
+                                         "k int, v double"), ["k"])
+    dst.write(spark.createDataFrame([], "k int, v double"),
+              mode="overwrite", primary_key=["k"])
+    q = stream_replicate(src, dst, ["k"],
+                         checkpoint_dir=os.path.join(d, "ck"),
+                         optimize_every=2)
+    q.awaitTermination()
+    assert {(r["k"], r["v"]) for r in dst.read().collect()} == {
+        (1, 13.0), (2, 2.0)
+    }
+    # compaction ran: 5 replicated commits would accrue ~4 pending
+    # delete sets without the knob; optimize_every=2 leaves at most
+    # the post-last-optimize remainder (here: the 5th commit's one)
+    head = dst.latest_commit()
+    pending = getattr(head, "delete_sets", None) or []
+    assert len(pending) <= 1, pending

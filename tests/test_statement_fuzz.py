@@ -249,3 +249,16 @@ def test_freeform_string_property_roundtrips_verbatim(ex):
 def test_dml_verb_in_block_comment_passes(ex):
     got = ex.execute("SELECT /* delete nothing */ k FROM t WHERE k = 2")
     assert [r["k"] for r in got.collect()] == [2]
+
+
+def test_dml_verb_as_backticked_identifier_passes(ex):
+    """ADVICE r4: the guard didn't blank backtick-quoted identifiers,
+    so a column literally NAMED `update` was spuriously refused."""
+    got = ex.execute("SELECT k AS `update` FROM t WHERE k = 1")
+    assert [r["update"] for r in got.collect()] == [1]
+    # doubled-backtick escape stays inside the identifier
+    got = ex.execute("SELECT k AS `de``lete merge` FROM t WHERE k = 2")
+    assert got.count() == 1
+    # the guard still fires on real DML after a backticked identifier
+    with pytest.raises(UserException, match="embedded DML"):
+        ex.execute("WITH `x` AS (SELECT 1 AS a) DELETE FROM t")

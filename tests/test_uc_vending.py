@@ -89,3 +89,39 @@ def test_repr_and_redaction_never_leak_secrets(vendor):
     assert "--SENSITIVE--" in shown
     logged = redact(f"secret={creds.aws.secret_access_key}")
     assert creds.aws.secret_access_key not in logged
+
+
+def test_fs_invalidation_is_scoped_to_the_vended_authority(spark, vendor):
+    """ADVICE r4: credential re-vend must evict ONLY the filesystem
+    for the vended table's (scheme, authority) — closeAll() killed
+    every cached Hadoop filesystem in the JVM, failing concurrent
+    streams on unrelated buckets with 'Filesystem closed'."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    uri = jvm.java.net.URI
+
+    # a second, unrelated cached filesystem under its own scheme
+    hconf.set("fs.graftdummy.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    other = jvm.org.apache.hadoop.fs.FileSystem.get(
+        uri.create("graftdummy:///"), hconf
+    )
+    other_id = other.hashCode()
+    target = jvm.org.apache.hadoop.fs.FileSystem.get(
+        uri.create("file:///"), hconf
+    )
+    target_id = target.hashCode()
+
+    sess = VendedCredentialSession(spark, vendor, "main.sales.orders")
+    sess._invalidate_fs_cache("file:///tmp/anywhere")
+
+    # target authority: evicted -> a fresh instance on next get
+    target2 = jvm.org.apache.hadoop.fs.FileSystem.get(
+        uri.create("file:///"), hconf
+    )
+    assert target2.hashCode() != target_id
+    # unrelated authority: SAME cached instance, still usable
+    other2 = jvm.org.apache.hadoop.fs.FileSystem.get(
+        uri.create("graftdummy:///"), hconf
+    )
+    assert other2.hashCode() == other_id
+    assert other2.exists(jvm.org.apache.hadoop.fs.Path("/"))
