@@ -1897,7 +1897,13 @@ def stream_replicate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="merge-on-read",
     )
     src.delete_where("o_orderkey % 11 = 0")
-    dst.write(o.limit(0), mode="overwrite", primary_key=["o_orderkey"])
+    # the replica is a high-frequency MOR follower — the documented
+    # use case for mirror.dvMode='deferred' (streaming/sink.py): no
+    # per-applied-commit DV materialization scan; its mirror syncs at
+    # optimize() points instead (probe latency, not semantics — the
+    # SOURCE table exercises the inline DV path above)
+    dst.write(o.limit(0), mode="overwrite", primary_key=["o_orderkey"],
+              properties={"mirror.dvMode": "deferred"})
     q = stream_replicate(
         src, dst, ["o_orderkey"],
         checkpoint_dir=os.path.join(base, "ckpt_a"),

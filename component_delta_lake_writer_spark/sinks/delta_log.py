@@ -27,18 +27,20 @@ The TIMESTAMP_NTZ type requires the ``timestampNtz`` table feature
 (reader v3 / writer v7); the emitted protocol is upgraded exactly when
 the schema needs it.
 
-Merge-on-read caveat: equality-delete sets (Iceberg-style, used by
+Merge-on-read: equality-delete sets (Iceberg-style, used by
 ``delete_where(strategy='merge-on-read')`` and
-``upsert(strategy='merge-on-read')``) have no JSON-action encoding in
-the Delta protocol short of deletion vectors, which need binary DV
-files this writer does not produce. While a commit carries pending
-delete sets, the mirror's file lists stay accurate but external
-readers would still see the logically-deleted ROWS — so the mirror is
-explicitly marked stale (``_delta_log/_STALE``, see
-``delta_log_is_stale``) and checkpoint advertising is suspended until
-a rewrite (optimize / COW DML / touched-unit upsert) materializes the
-deletes and the marker clears. Honest divergence flag instead of a
-silently wrong snapshot.
+``upsert(strategy='merge-on-read')``) are mirrored as real Delta
+**deletion vectors** (binary RoaringBitmapArray files +
+``deletionVector`` descriptors on add/remove, reader v3 / writer v7
+feature ``deletionVectors`` — see ``deletion_vectors.py``): the engine
+computes each affected parquet file's deleted row indexes at publish
+time and swaps the file's add action for one carrying the descriptor,
+so external readers skip exactly the logically-deleted rows. The
+``_STALE`` marker (``delta_log_is_stale``) remains only as the honest
+fallback when a delete set's estimated scan cost exceeds the
+materialization bound (``mirror.dvMaxRows``) — then checkpoint
+advertising suspends until a rewrite or a later in-bound commit
+materializes the deletes and the marker clears.
 """
 
 from __future__ import annotations
@@ -50,6 +52,26 @@ import uuid
 
 _DELTA_LOG = "_delta_log"
 _STALE = "_STALE"
+
+
+_VERSION_RE = None
+
+
+def _log_versions(log_dir: str) -> list[int]:
+    """Committed version numbers in a log dir — STRICT 20-digit name
+    match, so writer sidecars (``_dv_state.json``) and tmp files never
+    parse as versions."""
+    import re as _re
+
+    global _VERSION_RE
+    if _VERSION_RE is None:
+        _VERSION_RE = _re.compile(r"^(\d{20})\.json$")
+    out = []
+    for f in os.listdir(log_dir):
+        m = _VERSION_RE.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def delta_log_is_stale(table_path: str) -> dict | None:
@@ -147,19 +169,27 @@ def _needs_timestamp_ntz(schema_json: str) -> bool:
     return any(_type_uses_ntz(f.get("type")) for f in s.get("fields", []))
 
 
-def _protocol_action(schema_json: str, column_mapping: bool = False) -> dict:
+def _protocol_action(
+    schema_json: str,
+    column_mapping: bool = False,
+    extra_caps: frozenset | set = frozenset(),
+) -> dict:
     """Minimal protocol covering the capabilities the schema actually
     uses, per the legacy version ladder (PROTOCOL.md): writer 4 =
     generatedColumns, 5 = columnMapping (reader 2), 6 =
-    identityColumns; timestampNtz forces table features (3/7) and the
-    in-use capabilities become explicit feature names."""
-    caps = _used_caps(schema_json, column_mapping)
+    identityColumns; timestampNtz / deletionVectors force table
+    features (3/7) and the in-use capabilities become explicit feature
+    names. ``extra_caps`` carries commit-driven (non-schema)
+    capabilities — deletionVectors is the only one today."""
+    caps = _used_caps(schema_json, column_mapping) | set(extra_caps)
     generated = "generatedColumns" in caps
     identity = "identityColumns" in caps
     defaults = "allowColumnDefaults" in caps
     widened = "typeWidening" in caps
-    if "timestampNtz" in caps:
-        reader = ["timestampNtz"] + (
+    if caps & {"timestampNtz", "deletionVectors"}:
+        reader = [
+            f for f in ("timestampNtz", "deletionVectors") if f in caps
+        ] + (
             ["columnMapping"] if column_mapping else []
         ) + (["typeWidening"] if widened else [])
         writer = (
@@ -344,8 +374,9 @@ def _metadata_action(
     column_mapping: dict | None = None,
     prior_ids: dict | None = None,
     prior_max_id: int = 0,
+    extra_config: dict | None = None,
 ) -> dict:
-    configuration: dict[str, str] = {}
+    configuration: dict[str, str] = dict(extra_config or {})
     if column_mapping is not None:
         # mode=name once enabled stays enabled (the spec forbids
         # disabling it); an empty dict means identity physical names
@@ -353,10 +384,12 @@ def _metadata_action(
         schema_json, max_id = _mapped_schema_string(
             schema_json, column_mapping, prior_ids, prior_max_id
         )
-        configuration = {
-            "delta.columnMapping.mode": "name",
-            "delta.columnMapping.maxColumnId": str(max_id),
-        }
+        configuration.update(
+            {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
+        )
     return {
         "metaData": {
             "id": table_id,
@@ -384,12 +417,25 @@ def write_delta_log_entry(
     prev_column_mapping: dict | None = None,
     operation: str = "WRITE",
     txn: tuple[str, int] | None = None,
+    dv_adds: dict | None = None,
+    current_dvs: dict | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
 
-    ``rows_diverge=True`` (commit carries merge-on-read delete sets)
-    additionally publishes the ``_STALE`` marker; False clears it.
+    ``rows_diverge=True`` (commit carries merge-on-read delete sets
+    ABOVE the DV materialization bound) additionally publishes the
+    ``_STALE`` marker; False clears it.
+
+    ``dv_adds`` maps table-relative parquet paths (of files that stay
+    live) to their NEW ``deletionVector`` descriptors: each gets a
+    remove of its previous incarnation (carrying the prior descriptor
+    from ``current_dvs`` when one exists — Delta reconciliation keys
+    actions by (path, dvId)) followed by an add carrying the new one,
+    plus a protocol upgrade to the ``deletionVectors`` table feature
+    and a metaData re-emission setting
+    ``delta.enableDeletionVectors=true`` the first time.
+    ``current_dvs`` also attaches descriptors to removed-unit removes.
 
     ``column_mapping`` (logical→physical names from RENAME COLUMN) is
     mirrored as Delta columnMapping mode=name: schemaString fields
@@ -402,6 +448,15 @@ def write_delta_log_entry(
 
     cm = column_mapping or {}
     prev_cm = prev_column_mapping or {}
+    dv_adds = dv_adds or {}
+    current_dvs = current_dvs or {}
+    # deletionVectors is a commit-driven capability: live once the log
+    # carries (or this commit introduces) any descriptor
+    dv_live = bool(dv_adds) or _log_has_dv_config(log_dir)
+    extra_caps = {"deletionVectors"} if dv_live else set()
+    dv_config = (
+        {"delta.enableDeletionVectors": "true"} if dv_live else {}
+    )
     actions: list[dict] = []
     if txn is not None:
         # Delta txn action (setTransaction): the idempotent-writer
@@ -410,22 +465,32 @@ def write_delta_log_entry(
             {"txn": {"appId": txn[0], "version": txn[1],
                      "lastUpdated": timestamp_ms}}
         )
+    need_meta = (
+        version == 0
+        or (prev_schema_json is not None and prev_schema_json != schema_json)
+        or cm != prev_cm
+        # first DV emission: metaData re-emits to carry
+        # delta.enableDeletionVectors (the protocol feature is what
+        # readers REQUIRE; the property is what real writers set)
+        or (bool(dv_adds) and not _log_has_dv_config(log_dir))
+    )
     if version == 0:
-        actions.append(_protocol_action(schema_json, bool(cm)))
+        actions.append(
+            _protocol_action(schema_json, bool(cm), extra_caps)
+        )
         actions.append(
             _metadata_action(
                 uuid.uuid4().hex, schema_json, partition_by, timestamp_ms,
                 column_mapping=cm if cm else None,
+                extra_config=dv_config,
             )
         )
-    elif (
-        prev_schema_json is not None and prev_schema_json != schema_json
-    ) or cm != prev_cm:
-        # schema evolution or a mapping change (rename / REORG reset):
-        # re-emit metaData, keeping the table id from version 0. Once
-        # any commit enabled column mapping the mode stays name (spec:
-        # cannot be disabled), with identity physical names after a
-        # materializing rewrite.
+    elif need_meta:
+        # schema evolution, a mapping change (rename / REORG reset) or
+        # DV enablement: re-emit metaData, keeping the table id from
+        # version 0. Once any commit enabled column mapping the mode
+        # stays name (spec: cannot be disabled), with identity
+        # physical names after a materializing rewrite.
         tid = _table_id(log_dir) or uuid.uuid4().hex
         # createdTime is fixed at table creation (Delta convention);
         # re-emissions must carry v0's value, not this commit's clock
@@ -433,18 +498,19 @@ def write_delta_log_entry(
         mapped_mode = bool(cm or prev_cm or _log_has_mapping(log_dir))
         # re-emit the protocol whenever the capabilities the schema
         # needs actually GREW (timestampNtz flip, mapping enabled,
-        # first DEFAULT column, first type widening, …). Delta never
-        # auto-downgrades: when a rewrite drops a capability (e.g. an
-        # overwrite losing CURRENT_DEFAULT), the prior protocol stands
-        # and nothing is emitted — _protocol_upgrade returns the
-        # monotonic max or None.
-        needed = _protocol_action(schema_json, bool(cm))
+        # first DEFAULT column, first type widening, first DV, …).
+        # Delta never auto-downgrades: when a rewrite drops a
+        # capability (e.g. an overwrite losing CURRENT_DEFAULT), the
+        # prior protocol stands and nothing is emitted —
+        # _protocol_upgrade returns the monotonic max or None.
+        needed = _protocol_action(schema_json, bool(cm), extra_caps)
         last = _log_last_protocol(log_dir)
         if last is None:
             actions.append(needed)
         else:
             up = _protocol_upgrade(
-                last, needed, _used_caps(schema_json, bool(cm))
+                last, needed,
+                _used_caps(schema_json, bool(cm)) | extra_caps,
             )
             if up is not None:
                 actions.append(up)
@@ -457,20 +523,23 @@ def write_delta_log_entry(
                 created if created is not None else timestamp_ms,
                 column_mapping=cm if mapped_mode else None,
                 prior_ids=prior_ids, prior_max_id=prior_max,
+                extra_config=dv_config,
             )
         )
 
     for unit in removed_units:
         for rel, _size, _mtime, _pvals in _walk_parquet(table_path, os.path.join(data_dir_name, unit)):
-            actions.append(
-                {
-                    "remove": {
-                        "path": _encode_path(rel),
-                        "deletionTimestamp": timestamp_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            rm = {
+                "path": _encode_path(rel),
+                "deletionTimestamp": timestamp_ms,
+                "dataChange": True,
+            }
+            if rel in current_dvs:
+                # reconciliation is keyed by (path, dvId): a remove
+                # without the descriptor would not cancel the
+                # DV-bearing add
+                rm["deletionVector"] = current_dvs[rel]
+            actions.append({"remove": rm})
     for unit in new_units:
         for rel, size, mtime, pvals in _walk_parquet(table_path, os.path.join(data_dir_name, unit)):
             actions.append(
@@ -484,6 +553,39 @@ def write_delta_log_entry(
                     }
                 }
             )
+    # DV swap: retract each affected file's previous incarnation and
+    # re-add it with the new descriptor (same physical parquet)
+    for rel in sorted(dv_adds):
+        rm = {
+            "path": _encode_path(rel),
+            "deletionTimestamp": timestamp_ms,
+            "dataChange": True,
+        }
+        if rel in current_dvs:
+            rm["deletionVector"] = current_dvs[rel]
+        actions.append({"remove": rm})
+        full = os.path.join(table_path, rel)
+        st = os.stat(full)
+        from component_delta_lake_writer_spark.sinks.hive_layout import (
+            decode_segments,
+        )
+
+        # partition values come from the hive dirs between the unit
+        # dir and the file name (same derivation as _walk_parquet)
+        parts = rel.split("/")
+        mid = "/".join(parts[2:-1])  # data_dir/unit/<mid...>/file
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(rel),
+                    "partitionValues": decode_segments(mid if mid else "."),
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "deletionVector": dv_adds[rel],
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -518,7 +620,9 @@ _WRITER_LADDER_FEATURES = {
 }
 
 # Features a READER must understand (everything else is writer-only)
-_READER_RELEVANT = {"timestampNtz", "columnMapping", "typeWidening"}
+_READER_RELEVANT = {
+    "timestampNtz", "columnMapping", "typeWidening", "deletionVectors"
+}
 
 
 def _used_caps(schema_json: str, column_mapping: bool) -> set:
@@ -621,14 +725,7 @@ def _scan_log_newest_first(log_dir: str, key: str):
     cheap substring prefilter skips json-parsing unrelated lines)."""
     if not os.path.isdir(log_dir):
         return
-    versions = sorted(
-        (
-            int(f[: -len(".json")])
-            for f in os.listdir(log_dir)
-            if f.endswith(".json") and ".tmp." not in f
-        ),
-        reverse=True,
-    )
+    versions = list(reversed(_log_versions(log_dir)))
     needle = f'"{key}"'
     for v in versions:
         with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
@@ -660,6 +757,27 @@ def _log_has_mapping(log_dir: str) -> bool:
         return False
     cfg = a["metaData"].get("configuration") or {}
     return cfg.get("delta.columnMapping.mode") == "name"
+
+
+def _log_has_dv_config(log_dir: str) -> bool:
+    """True iff the most recent metaData already carries
+    delta.enableDeletionVectors (set at first DV emission; like column
+    mapping, the table feature never downgrades)."""
+    a = next(_scan_log_newest_first(log_dir, "metaData"), None)
+    if a is None:
+        return False
+    cfg = a["metaData"].get("configuration") or {}
+    return cfg.get("delta.enableDeletionVectors") == "true"
+
+
+def live_dv_descriptors(table_path: str) -> dict:
+    """{table-relative fs path: deletionVector descriptor} of every
+    live file currently carrying a DV — from the LOG (checkpoint-aware
+    replay), the single source of truth: a sidecar could lag behind a
+    crash between log publish and sidecar save, and a remove action
+    must carry exactly the descriptor the published add carries."""
+    _files, _schema, _pcols, dvs = _replay_full(table_path)
+    return dvs
 
 
 def _encode_path(rel: str) -> str:
@@ -707,19 +825,14 @@ def _table_created_ms(log_dir: str) -> int | None:
     return None
 
 
-def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]:
-    """Reconstruct the live snapshot purely from ``_delta_log/`` —
-    (live file paths relative to the table root, schemaString,
-    partitionColumns). This is what any external Delta reader does;
-    used by tests and the delta-read probe to prove the log is
-    self-describing (never consults ``_commits``)."""
+def _replay_json(table_path: str):
+    """Full-JSON replay → (live {path: dv descriptor | None}, schema,
+    partitionColumns). Within one commit a DV swap is remove-then-add
+    in action order, so last-add-wins by path reproduces the
+    (path, dvId)-keyed reconciliation external readers perform."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
-    versions = sorted(
-        int(f[: -len(".json")])
-        for f in os.listdir(log_dir)
-        if f.endswith(".json") and not f.endswith(".tmp.json")
-    )
-    live: dict[str, bool] = {}
+    versions = _log_versions(log_dir)
+    live: dict[str, dict | None] = {}
     schema: str | None = None
     partition_cols: list[str] = []
     for v in versions:
@@ -730,9 +843,19 @@ def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]
                     schema = a["metaData"]["schemaString"]
                     partition_cols = a["metaData"]["partitionColumns"]
                 elif "add" in a:
-                    live[a["add"]["path"]] = True
+                    live[a["add"]["path"]] = a["add"].get("deletionVector")
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
+    return live, schema, partition_cols
+
+
+def replay_delta_log(table_path: str) -> tuple[list[str], str | None, list[str]]:
+    """Reconstruct the live snapshot purely from ``_delta_log/`` —
+    (live file paths relative to the table root, schemaString,
+    partitionColumns). This is what any external Delta reader does;
+    used by tests and the delta-read probe to prove the log is
+    self-describing (never consults ``_commits``)."""
+    live, schema, partition_cols = _replay_json(table_path)
     # action paths are spec percent-encoded; callers get FILESYSTEM
     # paths back (what any external reader does after URL-decoding)
     return sorted(_decode_path(p) for p in live), schema, partition_cols
@@ -743,11 +866,20 @@ def read_delta_table(spark, table_path: str):
     mirror: checkpoint-aware replay → schemaString → scan the live
     files, resolving columns through ``delta.columnMapping.
     physicalName`` field metadata when the table uses columnMapping
-    mode=name (RENAME COLUMN tables). Unpartitioned tables only (the
-    probe surface; partitioned adds carry partitionValues instead)."""
+    mode=name (RENAME COLUMN tables), and SKIPPING the row positions
+    each add's ``deletionVector`` marks deleted (parsed from the
+    binary DV file; row identity is the parquet ``_metadata.row_index``
+    — the position the descriptor's bitmap indexes). Unpartitioned
+    tables only (the probe surface; partitioned adds carry
+    partitionValues instead)."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    files, schema_str, pcols = replay_delta_log_from_checkpoint(table_path)
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        read_dv,
+    )
+
+    files, schema_str, pcols, dvs = _replay_full(table_path)
     if pcols:
         raise ValueError("read_delta_table handles unpartitioned tables")
     sj = json.loads(schema_str)
@@ -764,9 +896,34 @@ def read_delta_table(spark, table_path: str):
             for pn, lf in zip(phys_names, logical.fields)
         ]
     )
-    df = spark.read.schema(physical).parquet(
-        *[os.path.join(table_path, f) for f in files]
-    )
+    parts = []
+    clean = [f for f in files if f not in dvs]
+    if clean:
+        parts.append(
+            spark.read.schema(physical).parquet(
+                *[os.path.join(table_path, f) for f in clean]
+            )
+        )
+    for f in files:
+        if f not in dvs:
+            continue
+        idx = read_dv(table_path, dvs[f])
+        df_f = (
+            spark.read.schema(physical)
+            .parquet(os.path.join(table_path, f))
+            .withColumn("_dv_ri", F.col("_metadata.row_index"))
+        )
+        dropped = spark.createDataFrame(
+            [(int(i),) for i in idx], "_dv_ri bigint"
+        )
+        parts.append(
+            df_f.join(F.broadcast(dropped), "_dv_ri", "left_anti").drop(
+                "_dv_ri"
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return df.select(
         *[
             df[pn].alias(lf.name)
@@ -793,12 +950,34 @@ def _read_version_actions(log_dir: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f]
 
 
+def _dv_pa_field():
+    """deletionVector struct for checkpoint add/remove rows — a
+    checkpoint that dropped descriptors would resurrect deleted rows
+    for every reader loading from it."""
+    import pyarrow as pa
+
+    return pa.field(
+        "deletionVector",
+        pa.struct(
+            [
+                pa.field("storageType", pa.string()),
+                pa.field("pathOrInlineDv", pa.string()),
+                pa.field("offset", pa.int32()),
+                pa.field("sizeInBytes", pa.int32()),
+                pa.field("cardinality", pa.int64()),
+            ]
+        ),
+    )
+
+
 def write_checkpoint(table_path: str, version: int) -> str:
     """Materialize the state at ``version`` into a checkpoint parquet
     (one row per action; null struct columns for the other kinds — the
     protocol's flattened-action layout) + ``_last_checkpoint``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    _DV_PA_FIELD = _dv_pa_field()
 
     log_dir = os.path.join(table_path, _DELTA_LOG)
     protocol: dict | None = None
@@ -909,6 +1088,7 @@ def write_checkpoint(table_path: str, version: int) -> str:
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        _DV_PA_FIELD,
                     ]
                 ),
             ),
@@ -919,6 +1099,7 @@ def write_checkpoint(table_path: str, version: int) -> str:
                         pa.field("path", pa.string()),
                         pa.field("deletionTimestamp", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        _DV_PA_FIELD,
                     ]
                 ),
             ),
@@ -1000,44 +1181,61 @@ def read_last_checkpoint(table_path: str) -> dict | None:
         return json.load(f)
 
 
+def _replay_full(
+    table_path: str,
+) -> tuple[list[str], str | None, list[str], dict]:
+    """Checkpoint-aware replay → (live fs paths, schemaString,
+    partitionColumns, {fs path: deletionVector descriptor}). Falls
+    back to full JSON replay with no checkpoint."""
+    import pyarrow.parquet as pq
+
+    last = read_last_checkpoint(table_path)
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    live: dict[str, dict | None] = {}
+    schema: str | None = None
+    partition_cols: list[str] = []
+    if last is None:
+        live, schema, partition_cols = _replay_json(table_path)
+    else:
+        ckpt = pq.read_table(
+            os.path.join(
+                log_dir, f"{last['version']:020d}.checkpoint.parquet"
+            )
+        ).to_pylist()
+        for r in ckpt:
+            if r.get("metaData"):
+                schema = r["metaData"]["schemaString"]
+                partition_cols = list(
+                    r["metaData"]["partitionColumns"] or []
+                )
+            if r.get("add"):
+                live[r["add"]["path"]] = r["add"].get("deletionVector")
+        versions = _log_versions(log_dir)
+        for v in versions:
+            if v <= last["version"]:
+                continue
+            for a in _read_version_actions(log_dir, v):
+                if "metaData" in a:
+                    schema = a["metaData"]["schemaString"]
+                    partition_cols = a["metaData"]["partitionColumns"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"].get(
+                        "deletionVector"
+                    )
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    files = sorted(_decode_path(p) for p in live)
+    dvs = {
+        _decode_path(p): d for p, d in live.items() if d is not None
+    }
+    return files, schema, partition_cols, dvs
+
+
 def replay_delta_log_from_checkpoint(
     table_path: str,
 ) -> tuple[list[str], str | None, list[str]]:
     """Checkpoint-aware replay: load the advertised checkpoint parquet
     (if any), then apply only the JSON entries after it — what a real
     reader does. Falls back to full JSON replay with no checkpoint."""
-    import pyarrow.parquet as pq
-
-    last = read_last_checkpoint(table_path)
-    if last is None:
-        return replay_delta_log(table_path)
-    log_dir = os.path.join(table_path, _DELTA_LOG)
-    ckpt = pq.read_table(
-        os.path.join(log_dir, f"{last['version']:020d}.checkpoint.parquet")
-    ).to_pylist()
-    live: dict[str, bool] = {}
-    schema: str | None = None
-    partition_cols: list[str] = []
-    for r in ckpt:
-        if r.get("metaData"):
-            schema = r["metaData"]["schemaString"]
-            partition_cols = list(r["metaData"]["partitionColumns"] or [])
-        if r.get("add"):
-            live[r["add"]["path"]] = True
-    versions = sorted(
-        int(f[: -len(".json")])
-        for f in os.listdir(log_dir)
-        if f.endswith(".json") and not f.endswith(".tmp.json")
-    )
-    for v in versions:
-        if v <= last["version"]:
-            continue
-        for a in _read_version_actions(log_dir, v):
-            if "metaData" in a:
-                schema = a["metaData"]["schemaString"]
-                partition_cols = a["metaData"]["partitionColumns"]
-            elif "add" in a:
-                live[a["add"]["path"]] = True
-            elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
-    return sorted(_decode_path(p) for p in live), schema, partition_cols
+    files, schema, partition_cols, _dvs = _replay_full(table_path)
+    return files, schema, partition_cols

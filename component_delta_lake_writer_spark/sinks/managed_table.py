@@ -240,6 +240,13 @@ class ManagedTable:
         )
 
         prev_units = set(prev.data_units) if prev else set()
+        # merge-on-read delete sets are materialized as Delta deletion
+        # vectors (binary DV files + descriptors) when the affected
+        # scan is within bound; only an over-bound remainder leaves the
+        # mirror honestly _STALE-flagged until a rewrite
+        dv_adds, current_dvs, dv_covered, dv_fully = (
+            self._compute_dv_updates(commit)
+        )
         write_delta_log_entry(
             table_path=self.path,
             data_dir_name=_DATA,
@@ -252,13 +259,11 @@ class ManagedTable:
                 [u for u in prev_units if u not in set(commit.data_units)]
             ),
             prev_schema_json=prev.schema_json if prev else None,
-            # merge-on-read delete sets are not representable as Delta
-            # JSON actions (deletion vectors need binary DV files);
-            # the mirror is flagged stale until a rewrite materializes
-            # them, instead of silently serving deleted rows
-            rows_diverge=bool(commit.delete_sets),
+            rows_diverge=bool(commit.delete_sets) and not dv_fully,
             column_mapping=commit.column_mapping,
             prev_column_mapping=prev.column_mapping if prev else None,
+            dv_adds=dv_adds,
+            current_dvs=current_dvs,
             # DESCRIBE HISTORY on the mirror shows real operation names
             operation=_OPERATION_NAMES.get(
                 commit.action, commit.action.upper()
@@ -275,9 +280,141 @@ class ManagedTable:
                 None,
             ),
         )
+        # persist which engine delete sets the mirror now covers —
+        # AFTER the log entry (the log is the source of truth; a crash
+        # in between just re-materializes the same indices next commit)
+        if dv_adds or dv_covered is not None:
+            from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
+                save_dv_state,
+            )
+
+            save_dv_state(self.path, {"covered": dv_covered or []})
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
         maybe_write_checkpoint(self.path, commit.version)
+
+    def _compute_dv_updates(
+        self, commit: Commit
+    ) -> tuple[dict, dict, list | None, bool]:
+        """Materialize this commit's not-yet-mirrored merge-on-read
+        delete sets as deletion-vector bitmaps.
+
+        Returns ``(dv_adds, current_dvs, covered_after, fully)``:
+        per-file NEW descriptors, the live descriptors BEFORE this
+        commit (for remove actions), the delete-set paths the mirror
+        covers after this commit (None = no DV history, don't touch
+        the sidecar), and whether every delete set is covered.
+
+        Cost posture: the common no-delete-set path is a pure
+        in-memory no-op (one ``os.path.exists``). When sets are
+        pending, the scan is COLUMN-PRUNED to the delete-key columns +
+        row position of ONLY the targeted units, and the collect is
+        O(deleted rows) — the merge-on-read write itself stays O(source
+        delta); this is the same files-scan any DV-writing engine
+        (delta-spark DML) performs. A pending set whose targeted-unit
+        row estimate exceeds ``mirror.dvMaxRows`` (table property,
+        default 4M) is deferred: the mirror stays _STALE until a
+        rewrite or a smaller later state covers it.
+
+        Row identity: ``_metadata.row_index`` — the physical row
+        position in the parquet file, exactly what the Delta DV bitmap
+        indexes (delta PROTOCOL.md §Deletion Vectors).
+        """
+        from urllib.parse import unquote, urlparse
+
+        from component_delta_lake_writer_spark.sinks import (
+            deletion_vectors as DV,
+        )
+        from component_delta_lake_writer_spark.sinks.delta_log import (
+            live_dv_descriptors,
+        )
+
+        has_state = os.path.exists(
+            os.path.join(self.path, "_delta_log", DV._DV_STATE)
+        )
+        if not commit.delete_sets and not has_state:
+            return {}, {}, None, True
+        state = DV.load_dv_state(self.path) if has_state else {"covered": []}
+        covered = set(state.get("covered", []))
+        live_paths = {ds["path"] for ds in commit.delete_sets}
+        pending = [
+            ds for ds in commit.delete_sets if ds["path"] not in covered
+        ]
+        current_dvs = live_dv_descriptors(self.path) if has_state else {}
+        covered_after = sorted(covered & live_paths)
+        if not pending:
+            return {}, current_dvs, covered_after, True
+        live_units = set(commit.data_units)
+        units_needed = sorted(
+            {u for ds in pending for u in ds["units"] if u in live_units}
+        )
+        if not units_needed:
+            # every targeted unit is gone: the sets are dead weight
+            return (
+                {},
+                current_dvs,
+                sorted(set(covered_after) | {ds["path"] for ds in pending}),
+                True,
+            )
+        # mirror.dvMode='deferred': a high-frequency MOR writer (CDC
+        # follower applying many commits/min) opts out of the
+        # per-commit materialization scan entirely — the mirror stays
+        # honestly _STALE between optimize() points (the pre-DV
+        # contract), while the default keeps every commit's mirror
+        # fresh. mirror.dvMaxRows bounds the inline scan estimate.
+        if (commit.properties or {}).get("mirror.dvMode") == "deferred":
+            return {}, current_dvs, covered_after, False
+        est = 0.0
+        for u in units_needed:
+            r = (commit.stats.get(u) or {}).get("_rows")
+            est += float(r) if r is not None else float("inf")
+        bound = float(
+            (commit.properties or {}).get("mirror.dvMaxRows", 4_000_000)
+        )
+        if est > bound:
+            return {}, current_dvs, covered_after, False
+
+        mapping = commit.column_mapping or {}
+        new_idx: dict[str, set] = {}
+        for ds in pending:
+            units = [u for u in ds["units"] if u in live_units]
+            if not units:
+                continue
+            dels = self.spark.read.parquet(
+                os.path.join(self._deletes_dir, ds["path"])
+            )
+            scan = self.spark.read.parquet(
+                *[os.path.join(self._data_dir, u) for u in units]
+            ).select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_ri"),
+                *[
+                    F.col(mapping.get(c, c)).alias(c)
+                    for c in dels.columns
+                ],
+            )
+            # delete sets are O(source delta) by design — broadcast so
+            # the target scan never shuffles for the probe
+            matched = scan.join(
+                F.broadcast(dels.distinct()), dels.columns, "left_semi"
+            ).select("_fp", "_ri")
+            for r in matched.collect():
+                p = unquote(urlparse(r["_fp"]).path)
+                rel = os.path.relpath(p, self.path)
+                new_idx.setdefault(rel, set()).add(int(r["_ri"]))
+        # union with each file's existing DV (descriptors REPLACE, so
+        # the new bitmap must carry the old deletions too)
+        for rel in list(new_idx):
+            old = current_dvs.get(rel)
+            if old is not None:
+                new_idx[rel] |= set(DV.read_dv(self.path, old))
+        dv_adds = DV.write_dv_file(
+            self.path, {k: sorted(v) for k, v in new_idx.items()}
+        )
+        covered_after = sorted(
+            set(covered_after) | {ds["path"] for ds in pending}
+        )
+        return dv_adds, current_dvs, covered_after, True
 
     # ---------- write path ----------
 
@@ -3395,6 +3532,19 @@ class ManagedTable:
                 )
                 repaired += 1
             prev = c
+        if repaired and prev is not None and prev.delete_sets:
+            # regenerated entries carry NO deletionVector actions (the
+            # descriptors lived in the lost entry); drop those sets
+            # from the sidecar's covered list so the stale marker is
+            # honest now and the next commit re-materializes the DVs
+            from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
+                load_dv_state,
+                save_dv_state,
+            )
+
+            state = load_dv_state(self.path)
+            if state.get("covered"):
+                save_dv_state(self.path, {"covered": []})
         return repaired
 
     def history(self) -> list[Commit]:

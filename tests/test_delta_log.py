@@ -230,13 +230,71 @@ def test_checkpoint_carries_protocol_features_and_tombstones(spark, tmp_path):
     assert adds.isdisjoint({tomb["path"] for tomb in tombs})
 
 
-def test_mor_commits_mark_delta_mirror_stale(spark, tmp_path):
-    """Equality deletes are not representable as Delta JSON actions:
-    while delete sets are pending the mirror must advertise staleness
-    (and suspend checkpoints); the marker clears when a rewrite
-    materializes the deletes."""
+def test_mor_commits_materialize_deletion_vectors(spark, tmp_path):
+    """Merge-on-read delete sets are mirrored as real Delta deletion
+    vectors: the mirror stays FRESH (no _STALE), the affected file's
+    add carries a descriptor, and an external reader sees exactly the
+    engine's snapshot."""
     from component_delta_lake_writer_spark.sinks.delta_log import (
         delta_log_is_stale,
+        live_dv_descriptors,
+        read_delta_table,
+    )
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        dv_relative_path,
+        read_dv,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    assert delta_log_is_stale(t.path) is None
+    t.delete_where("k >= 90", strategy="merge-on-read")
+    assert delta_log_is_stale(t.path) is None      # DVs, not staleness
+    dvs = live_dv_descriptors(t.path)
+    assert len(dvs) == 1
+    (desc,) = dvs.values()
+    assert desc["cardinality"] == 10
+    assert os.path.exists(os.path.join(t.path, dv_relative_path(desc)))
+    # a second MOR op UNIONS into the file's bitmap (descriptors
+    # replace, so the new one must carry the old deletions too)
+    t.upsert(
+        df.filter(F.col("k") < 5).withColumn(
+            "v", F.lit(-1).cast("long")
+        ).coalesce(1),
+        ["k"],
+        strategy="merge-on-read",
+    )
+    assert delta_log_is_stale(t.path) is None
+    dvs2 = live_dv_descriptors(t.path)
+    old_file = next(iter(dvs))
+    assert dvs2[old_file]["cardinality"] == 15     # 10 deletes + 5 upserts
+    assert len(read_dv(t.path, dvs2[old_file])) == 15
+    # external reader == engine, including post-upsert values
+    eng = sorted((r["k"], r["v"]) for r in t.read().collect())
+    ext = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_table(spark, t.path).collect()
+    )
+    assert eng == ext and len(eng) == 90
+    # optimize materializes everything -> descriptors gone, plain replay
+    t.optimize()
+    assert live_dv_descriptors(t.path) == {}
+    files, _, _ = replay_delta_log(t.path)
+    got = spark.read.parquet(*[os.path.join(t.path, f) for f in files])
+    assert got.count() == t.read().count() == 90
+
+
+def test_mor_over_dv_bound_falls_back_to_stale(spark, tmp_path):
+    """A delete set whose targeted-unit scan estimate exceeds
+    mirror.dvMaxRows defers materialization: the mirror advertises
+    staleness, suspends checkpoints, and clears on optimize — the
+    pre-DV honesty contract, now only for the over-bound case."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        delta_log_is_stale,
+        live_dv_descriptors,
         maybe_write_checkpoint,
     )
 
@@ -244,19 +302,13 @@ def test_mor_commits_mark_delta_mirror_stale(spark, tmp_path):
     df = spark.range(100).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )
-    t.write(df, mode="overwrite", primary_key=["k"])
-    assert delta_log_is_stale(t.path) is None
+    t.write(df, mode="overwrite", primary_key=["k"],
+            properties={"mirror.dvMaxRows": 10})
     t.delete_where("k >= 90", strategy="merge-on-read")
     info = delta_log_is_stale(t.path)
     assert info is not None and info["version"] == 1
+    assert live_dv_descriptors(t.path) == {}
     assert maybe_write_checkpoint(t.path, 9) is None  # suspended
-    # MOR upsert keeps it stale
-    t.upsert(
-        df.filter(F.col("k") < 5), ["k"], strategy="merge-on-read"
-    )
-    assert delta_log_is_stale(t.path) is not None
-    # optimize materializes every pending delete -> marker clears and
-    # the mirror replays to exactly the engine's snapshot again
     t.optimize()
     assert delta_log_is_stale(t.path) is None
     files, _, _ = replay_delta_log(t.path)
@@ -736,3 +788,45 @@ def test_nested_schema_golden_log_replay(spark, tmp_path):
     assert nested_ids(schema2) == before
     # and the replayed schema is loadable as a Spark schema
     T.StructType.fromJson(json.loads(schema2))
+
+
+def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """A checkpoint written while DVs are live must carry the
+    descriptors (a checkpoint that dropped them would resurrect
+    deleted rows for every reader loading from it) — and
+    checkpoint-aware external reads must still match the engine."""
+    import pyarrow.parquet as pq
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+        read_last_checkpoint,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    t.delete_where("k >= 35", strategy="merge-on-read")   # v1: DV
+    add = spark.range(100, 105).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    for i in range(8):                                    # v2..v9
+        t.write(add.withColumn("k", F.col("k") + i * 10), mode="append")
+    last = read_last_checkpoint(t.path)
+    assert last is not None and last["version"] == 9
+    rows = pq.read_table(
+        os.path.join(
+            t.path, "_delta_log", f"{9:020d}.checkpoint.parquet"
+        )
+    ).to_pylist()
+    dv_adds = [r["add"] for r in rows
+               if r.get("add") and r["add"].get("deletionVector")]
+    assert len(dv_adds) == 1
+    assert dv_adds[0]["deletionVector"]["cardinality"] == 5
+    eng = sorted((r["k"], r["v"]) for r in t.read().collect())
+    ext = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_table(spark, t.path).collect()
+    )
+    assert eng == ext and len(eng) == 75

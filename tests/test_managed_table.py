@@ -1486,15 +1486,20 @@ def test_read_changes_appends_after_rename(spark, tmp_path_str):
     assert {(r["k"], r["b"]) for r in ch.collect()} == {(2, 20)}
 
 
-def test_sync_metadata_preserves_stale_marker_and_txn(spark, tmp_path_str):
-    """Review finding: repairing a lost _delta_log entry for a commit
-    with pending MOR delete sets must keep the mirror STALE (external
-    readers would otherwise resurrect deleted rows) and re-emit the
-    commit's txn watermark."""
+def test_sync_metadata_restales_lost_dv_entry_and_keeps_txn(
+    spark, tmp_path_str
+):
+    """Repairing a lost _delta_log entry for a MOR commit: the
+    original entry carried deletionVector actions that the repair
+    cannot reproduce, so the regenerated mirror must be STALE-marked
+    (external readers would otherwise resurrect deleted rows), the
+    commit's txn watermark must survive — and the NEXT commit must
+    re-materialize the DVs (sidecar coverage reset)."""
     import json as _json
 
     from component_delta_lake_writer_spark.sinks.delta_log import (
         delta_log_is_stale,
+        live_dv_descriptors,
     )
 
     t = ManagedTable(spark, tmp_path_str + "/t")
@@ -1506,16 +1511,27 @@ def test_sync_metadata_preserves_stale_marker_and_txn(spark, tmp_path_str):
         spark.createDataFrame([(2, -2.0)], "k int, v double"), ["k"],
         strategy="merge-on-read", txn=("appA", 7),
     )
-    assert delta_log_is_stale(t.path) is not None
+    # DV era: the MOR commit mirrors fresh, with a descriptor live
+    assert delta_log_is_stale(t.path) is None
+    assert len(live_dv_descriptors(t.path)) == 1
     v = t.latest_commit().version
     entry = os.path.join(t.path, "_delta_log", f"{v:020d}.json")
     os.remove(entry)
-    # repair must re-mark stale and carry the txn action
+    # repair regenerates WITHOUT the DV actions -> honest staleness
     assert t.sync_metadata() == 1
     assert delta_log_is_stale(t.path) is not None
     acts = [_json.loads(line) for line in open(entry)]
     txns = [a["txn"] for a in acts if "txn" in a]
     assert txns and txns[0]["appId"] == "appA" and txns[0]["version"] == 7
+    # next MOR commit re-materializes the pending sets -> fresh again
+    t.upsert(
+        spark.createDataFrame([(1, -1.0)], "k int, v double"), ["k"],
+        strategy="merge-on-read",
+    )
+    assert delta_log_is_stale(t.path) is None
+    assert sum(
+        d["cardinality"] for d in live_dv_descriptors(t.path).values()
+    ) == 2
 
 
 def test_restore_refuses_vacuumed_delete_sets(spark, tmp_path_str):
