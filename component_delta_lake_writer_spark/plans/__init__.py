@@ -24,6 +24,25 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 6: probes/engine paths that CHANGED this round lead, so the
+    # driver re-checks them immediately — the new deletion-vector
+    # interop probe (tier-1 automatically), then the MOR/mirror keys
+    # (DV materialization now runs inside every MOR publish), the
+    # rewritten ANN pair, the columnMapping key (nested-id fix), the
+    # CDF stream pair (deferred-mirror replica), and the asof key
+    # (timestamp-column branch).
+    # ------------------------------------------------------------------
+    "delta_dv_external_read",
+    "upsert_mor",
+    "mor_delete_read",
+    "delta_log_read",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_topk",
+    "rename_column_mapping",
+    "stream_replicate_cdf",
+    "stream_cdf_source",
+    "asof_join_events",
+    # ------------------------------------------------------------------
     # Round 3 front-50: the driver checks the first 50 keys per round.
     # Cumulative r1+r2 evidence covers 94/148 keys (93 green, 1 err).
     # Slot 1 is the only red row (probe scalar-ized this round); slot 2
@@ -304,7 +323,11 @@ def _reorder() -> None:
     every round: once CORRECTNESS_rN lands in the repo, the next
     import pushes the still-unchecked tail forward automatically."""
     red, seen = _driver_evidence()
-    front_pos = {k: i for i, k in enumerate(_FRONT)}
+    # first occurrence wins: a key re-listed at the top of _FRONT for a
+    # re-check round must not be pushed back by its older entry below
+    front_pos: dict = {}
+    for i, k in enumerate(_FRONT):
+        front_pos.setdefault(k, i)
 
     def _key(k: str) -> tuple:
         tier = 0 if k in red else (1 if k not in seen else 2)

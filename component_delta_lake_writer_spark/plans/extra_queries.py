@@ -3128,6 +3128,64 @@ def delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_dv_external_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+      CASE WHEN o_orderkey % 20 = 0 THEN -1.0
+           ELSE CAST(o_totalprice AS DOUBLE) END AS price
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+      AND (o_orderkey % 8 <> 0 OR o_orderkey % 20 = 0)
+    """,
+)
+def delta_dv_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector interop proof (the r4/r5 headline gap closed):
+    a merge-on-read DELETE then a merge-on-read upsert publish REAL
+    Delta deletion vectors into the ``_delta_log`` mirror (binary
+    RoaringBitmapArray files + descriptors, reader 3 / writer 7
+    ``deletionVectors`` feature — sinks/deletion_vectors.py), and the
+    snapshot is read back EXCLUSIVELY the way an external Delta reader
+    would (sinks.delta_log.read_delta_table: checkpoint-aware replay →
+    descriptors → bitmap parse → row-position skip; never consults
+    ``_commits``). The mirror must be fresh — no ``_STALE`` marker —
+    with logically-deleted rows still physically present in parquet.
+
+    Reference parity: the reference's delta-rs write path
+    (src/component.py:356) produces tables any Delta reader opens;
+    this probe holds the mirror to that same bar under merge-on-read.
+    """
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        delta_log_is_stale,
+        read_delta_table,
+    )
+
+    base = _scratch("delta_dv_external_read", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).filter(F.col("o_orderkey") % 4 == 0)
+    t.write(o.coalesce(2), mode="overwrite", primary_key=["o_orderkey"])
+    t.delete_where("o_orderkey % 8 = 0", strategy="merge-on-read")
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .withColumn("price", F.lit(-1.0))
+        .coalesce(2),
+        ["o_orderkey"],
+        strategy="merge-on-read",
+    )
+    if delta_log_is_stale(t.path) is not None:
+        raise AssertionError(
+            "mirror must be DV-fresh after in-bound MOR commits"
+        )
+    return read_delta_table(spark, t.path)
+
+
+@query(
     "jsonl_scan_typed",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
