@@ -161,14 +161,34 @@ def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
     # delete the source PKs + append): write cost O(source), the
     # deletion-vector play Delta/Databricks uses for exactly this
     # workload shape. Fresh identical target (untimed), same persisted
-    # source.
+    # source. TWO variants since round 6:
+    # - merge_upsert_mor: mirror.dvMode='deferred' — the exact
+    #   spelling rounds 1-5 measured (no DV materialization existed
+    #   then), kept so the cross-round series stays like-for-like.
+    #   This is the pure O(source) commit; the Delta mirror is
+    #   _STALE-flagged until optimize.
+    # - merge_upsert_mor_dv: the full-external-fidelity default —
+    #   the commit ALSO materializes deletion vectors (column-pruned
+    #   target-PK scan + executor-side bitmap build), so any external
+    #   Delta reader sees the post-merge table immediately. The delta
+    #   between the two numbers IS the measured price of mirror
+    #   freshness.
     t2 = ManagedTable(spark, os.path.join(work, "orders_t2"))
     t2.write(orders, mode="overwrite", compression="none",
-             max_records_per_file=25_000)
+             max_records_per_file=25_000,
+             properties={"mirror.dvMode": "deferred"})
     t0 = time.perf_counter()
     t2.upsert(source, ["o_orderkey"], compression="none",
               max_records_per_file=25_000, strategy="merge-on-read")
     timings["merge_upsert_mor"] = round(time.perf_counter() - t0, 3)
+
+    t3 = ManagedTable(spark, os.path.join(work, "orders_t3"))
+    t3.write(orders, mode="overwrite", compression="none",
+             max_records_per_file=25_000)
+    t0 = time.perf_counter()
+    t3.upsert(source, ["o_orderkey"], compression="none",
+              max_records_per_file=25_000, strategy="merge-on-read")
+    timings["merge_upsert_mor_dv"] = round(time.perf_counter() - t0, 3)
     source.unpersist()
 
     shutil.rmtree(work, ignore_errors=True)
@@ -415,6 +435,12 @@ def main() -> None:
             ratios["merge_upsert_mor"] = round(
                 env["merge_upsert_mor"] / duck["merge_upsert"], 2
             )
+            if "merge_upsert_mor_dv" in env:
+                # inline deletion-vector materialization variant: the
+                # full-external-fidelity commit (see _envelope notes)
+                ratios["merge_upsert_mor_dv"] = round(
+                    env["merge_upsert_mor_dv"] / duck["merge_upsert"], 2
+                )
         result["envelope_ratios_samerun"] = ratios
     except Exception as exc:  # never let the twin kill the bench line
         print(f"# duckdb twin failed: {exc}", file=sys.stderr)
