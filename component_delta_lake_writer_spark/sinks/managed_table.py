@@ -240,12 +240,13 @@ class ManagedTable:
         )
 
         prev_units = set(prev.data_units) if prev else set()
+        added_units = [u for u in commit.data_units if u not in prev_units]
         # merge-on-read delete sets are materialized as Delta deletion
         # vectors (binary DV files + descriptors) when the affected
         # scan is within bound; only an over-bound remainder leaves the
         # mirror honestly _STALE-flagged until a rewrite
         dv_adds, current_dvs, dv_covered, dv_fully = (
-            self._compute_dv_updates(commit)
+            self._compute_dv_updates(commit, added_units)
         )
         write_delta_log_entry(
             table_path=self.path,
@@ -254,7 +255,7 @@ class ManagedTable:
             schema_json=commit.schema_json,
             partition_by=commit.partition_by,
             timestamp_ms=commit.timestamp_ms,
-            new_units=[u for u in commit.data_units if u not in prev_units],
+            new_units=added_units,
             removed_units=(
                 [u for u in prev_units if u not in set(commit.data_units)]
             ),
@@ -294,7 +295,7 @@ class ManagedTable:
         maybe_write_checkpoint(self.path, commit.version)
 
     def _compute_dv_updates(
-        self, commit: Commit
+        self, commit: Commit, added_units: list[str] | None = None
     ) -> tuple[dict, dict, list | None, bool]:
         """Materialize this commit's not-yet-mirrored merge-on-read
         delete sets as deletion-vector bitmaps.
@@ -336,6 +337,18 @@ class ManagedTable:
             return {}, {}, None, True
         state = DV.load_dv_state(self.path) if has_state else {"covered": []}
         covered = set(state.get("covered", []))
+        # a delete set targeting a unit (RE-)ADDED this commit loses
+        # its coverage: the unit's files get plain adds this commit
+        # (restore / clone bringing back a previously-rewritten unit),
+        # so their bitmaps must re-materialize or external readers
+        # would resurrect the deleted rows
+        readded = set(added_units or ())
+        if readded:
+            covered -= {
+                ds["path"]
+                for ds in commit.delete_sets
+                if readded & set(ds["units"])
+            }
         live_paths = {ds["path"] for ds in commit.delete_sets}
         pending = [
             ds for ds in commit.delete_sets if ds["path"] not in covered
@@ -436,13 +449,20 @@ class ManagedTable:
                 else:
                     new_bitmaps[rel] = idx
         # union with each file's existing DV (descriptors REPLACE, so
-        # the new bitmap must carry the old deletions too)
+        # the new bitmap must carry the old deletions too); a file
+        # whose merged bitmap is IDENTICAL to its live descriptor's
+        # needs no swap (re-materialization after restore recomputes
+        # untouched files too — churning their descriptors would be
+        # pure log noise)
         for rel in list(new_bitmaps):
             old = current_dvs.get(rel)
             if old is not None:
-                new_bitmaps[rel] = sorted(
-                    set(new_bitmaps[rel]) | set(DV.read_dv(self.path, old))
-                )
+                old_idx = DV.read_dv(self.path, old)
+                merged = sorted(set(new_bitmaps[rel]) | set(old_idx))
+                if merged == old_idx:
+                    del new_bitmaps[rel]
+                else:
+                    new_bitmaps[rel] = merged
         dv_adds = DV.write_dv_file(self.path, new_bitmaps)
         covered_after = sorted(
             set(covered_after) | {ds["path"] for ds in pending}

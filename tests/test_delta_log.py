@@ -830,3 +830,32 @@ def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
         for r in read_delta_table(spark, t.path).collect()
     )
     assert eng == ext and len(eng) == 75
+
+
+def test_restore_rematerializes_dvs_for_readded_units(spark, tmp_path):
+    """A delete set spanning two units, one later rewritten (COW) and
+    then RESTORED: the restored unit's file comes back as a plain add,
+    so its bitmap must re-materialize — 'covered' coverage is revoked
+    for sets targeting any (re-)added unit, or external readers would
+    silently resurrect the deleted rows."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        delta_log_is_stale,
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.filter("k < 10").coalesce(1), mode="overwrite",
+            primary_key=["k"])                      # unit A
+    t.write(df.filter("k >= 10").coalesce(1), mode="append")  # unit B
+    t.delete_where("k >= 5 AND k < 15", strategy="merge-on-read")
+    t.delete_where("k = 19")     # COW rewrite of unit B only
+    t.restore(2)                 # unit B's original file re-added
+    assert delta_log_is_stale(t.path) is None
+    eng = sorted(r["k"] for r in t.read().collect())
+    ext = sorted(
+        r["k"] for r in read_delta_table(spark, t.path).collect()
+    )
+    assert eng == ext == [0, 1, 2, 3, 4, 15, 16, 17, 18, 19]
