@@ -3502,6 +3502,67 @@ class ManagedTable:
                             ignore_errors=True,
                         )
                     removed += 1
+        # deletion-vector files (deletion_vector_*.bin at the table
+        # root) follow mirror-action liveness: referenced by any
+        # add/remove action of a retained version, or by the current
+        # live replay (live adds can be older than the window) → kept;
+        # every DV swap / optimize otherwise orphans its predecessor
+        # forever. Fresh unreferenced files get the same in-flight
+        # grace as data units (written before their log entry lands).
+        log_dir = os.path.join(self.path, "_delta_log")
+        if os.path.isdir(log_dir):
+            from component_delta_lake_writer_spark.sinks.delta_log import (
+                _log_versions,
+                _read_version_actions,
+                live_dv_descriptors,
+            )
+            from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
+                dv_relative_path,
+            )
+
+            dv_live: set = set()
+            for v in _log_versions(log_dir):
+                if v not in live_versions:
+                    continue
+                for a in _read_version_actions(log_dir, v):
+                    # ADD actions only: a remove's descriptor is for
+                    # (path, dvId) reconciliation — no reader opens a
+                    # removed DV file, so tombstones must not pin it
+                    act = a.get("add")
+                    if act and act.get("deletionVector"):
+                        try:
+                            dv_live.add(
+                                dv_relative_path(act["deletionVector"])
+                            )
+                        except (ValueError, KeyError):
+                            pass
+            for desc in live_dv_descriptors(self.path).values():
+                try:
+                    dv_live.add(dv_relative_path(desc))
+                except (ValueError, KeyError):
+                    pass
+            for fn in os.listdir(self.path):
+                if not (
+                    fn.startswith("deletion_vector_")
+                    and fn.endswith(".bin")
+                ):
+                    continue
+                if fn in dv_live:
+                    continue
+                try:
+                    mt = os.path.getmtime(
+                        os.path.join(self.path, fn)
+                    ) * 1000
+                except OSError:
+                    continue  # racing with its writer
+                if mt > now_ms - orphan_grace_ms:
+                    continue
+                if not dry_run:
+                    try:
+                        os.unlink(os.path.join(self.path, fn))
+                    except OSError:
+                        pass
+                removed += 1
         return removed
 
     def clone_to(self, dest_path: str) -> "ManagedTable":

@@ -859,3 +859,52 @@ def test_restore_rematerializes_dvs_for_readded_units(spark, tmp_path):
         r["k"] for r in read_delta_table(spark, t.path).collect()
     )
     assert eng == ext == [0, 1, 2, 3, 4, 15, 16, 17, 18, 19]
+
+
+def test_vacuum_reclaims_orphaned_dv_files(spark, tmp_path):
+    """Every DV swap / optimize orphans its predecessor's
+    deletion_vector_*.bin; vacuum must reclaim files referenced by no
+    retained mirror action while keeping the live one."""
+    import time as _time
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+        read_delta_table,
+    )
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        dv_relative_path,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    t.delete_where("k >= 25", strategy="merge-on-read")  # DV #1
+    t.delete_where("k >= 20", strategy="merge-on-read")  # swap -> DV #2
+    bins = [f for f in os.listdir(t.path)
+            if f.startswith("deletion_vector_")]
+    assert len(bins) == 2
+    live = {dv_relative_path(d)
+            for d in live_dv_descriptors(t.path).values()}
+    assert len(live) == 1
+    # age the files past the in-flight grace window
+    old = _time.time() - 3600
+    for f in bins:
+        os.utime(os.path.join(t.path, f), (old, old))
+    t.vacuum(retention_hours=0.0)
+    left = {f for f in os.listdir(t.path)
+            if f.startswith("deletion_vector_")}
+    assert left == live, (left, live)
+    # external read still exact after GC
+    eng = sorted(r["k"] for r in t.read().collect())
+    ext = sorted(r["k"] for r in read_delta_table(spark, t.path).collect())
+    assert eng == ext and len(eng) == 20
+    # optimize materializes -> the last DV file becomes reclaimable
+    t.optimize()
+    for f in os.listdir(t.path):
+        if f.startswith("deletion_vector_"):
+            os.utime(os.path.join(t.path, f), (old, old))
+    t.vacuum(retention_hours=0.0)
+    assert not [f for f in os.listdir(t.path)
+                if f.startswith("deletion_vector_")]
