@@ -908,3 +908,51 @@ def test_vacuum_reclaims_orphaned_dv_files(spark, tmp_path):
     t.vacuum(retention_hours=0.0)
     assert not [f for f in os.listdir(t.path)
                 if f.startswith("deletion_vector_")]
+
+
+def test_dv_with_column_mapping_and_partitioning(spark, tmp_path):
+    """DVs compose with the mirror's other dimensions: (a) a
+    column-mapped table's DV scan resolves delete-key columns through
+    physical names and the external reader still matches; (b) a
+    partitioned table's DV re-add carries the hive-derived
+    partitionValues."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _replay_full,
+        delta_log_is_stale,
+        read_delta_table,
+    )
+
+    # (a) mapped
+    t = ManagedTable(spark, str(tmp_path / "m"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    t.rename_column("v", "val")
+    t.delete_where("k >= 15", strategy="merge-on-read")
+    assert delta_log_is_stale(t.path) is None
+    eng = sorted((r["k"], r["val"]) for r in t.read().collect())
+    ext = sorted(
+        (r["k"], r["val"])
+        for r in read_delta_table(spark, t.path).collect()
+    )
+    assert eng == ext and len(eng) == 15
+
+    # (b) partitioned
+    p = ManagedTable(spark, str(tmp_path / "p"))
+    pdf = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    p.write(pdf, mode="overwrite", primary_key=["k"], partition_by=["p"])
+    p.delete_where("k >= 15", strategy="merge-on-read")
+    assert delta_log_is_stale(p.path) is None
+    _files, _s, pcols, dvs = _replay_full(p.path)
+    assert pcols == ["p"] and dvs
+    acts = _actions(p.path, 1)
+    dv_adds = [a["add"] for a in acts
+               if "add" in a and a["add"].get("deletionVector")]
+    assert dv_adds and all(a["partitionValues"].get("p") in ("0", "1")
+                           for a in dv_adds)
+    assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 5
