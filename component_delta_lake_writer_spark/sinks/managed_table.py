@@ -52,6 +52,12 @@ from component_delta_lake_writer_spark.errors import (
 _COMMITS = "_commits"
 _DATA = "_data"
 
+# DV materialization transfer-shape cutoff: matched (file, row-index)
+# pairs up to this bound come back as a plain row collect (no Python
+# workers, ~0.8 s cheaper at small shapes); above it the bitmaps are
+# serialized executor-side and only binary blobs transfer.
+_DV_COLLECT_MAX = 50_000
+
 # Properties the engine truth-tests — the only keys whose SQL string
 # values 'true'/'false' normalize to booleans in set_properties
 # (Delta's delta.* boolean semantics); every other key round-trips
@@ -388,12 +394,18 @@ class ManagedTable:
             return {}, current_dvs, covered_after, False
 
         mapping = commit.column_mapping or {}
-        # per-file deleted row positions, serialized as roaring-bitmap
-        # BYTES on the executors (applyInPandas, Arrow-batched): the
-        # driver receives one compact binary row per file — O(bitmap
-        # bytes), never O(deleted rows). A row-per-index collect here
-        # measured +2.3 s at a 10%-update ×10 envelope shape and would
-        # not survive a 100 TB update fraction at all.
+        # Two transfer shapes for the matched (file, row-position)
+        # stream, picked by the delete set's footer-counted size (pure
+        # driver IO, no job):
+        # - SMALL (≤ _DV_COLLECT_MAX matched upper bound): plain
+        #   row collect — no Python workers, lowest fixed cost (the
+        #   common MOR shape: small deltas against big targets).
+        # - LARGE: each file's bitmap serialized on the EXECUTORS
+        #   (applyInPandas, Arrow-batched); the driver receives one
+        #   compact binary row per file — O(bitmap bytes), never
+        #   O(deleted rows). A row-per-index collect measured +2.3 s
+        #   at a 10%-update ×10 envelope shape and would not survive
+        #   a 100 TB update fraction at all.
         from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
             serialize_bitmap,
         )
@@ -412,14 +424,26 @@ class ManagedTable:
                 }
             )
 
+        def _ds_rows(path: str) -> int:
+            # parquet footer row counts: driver-side file IO only
+            import pyarrow.parquet as pq
+
+            total = 0
+            for dirpath, _d, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(dirpath, fn)
+                        ).metadata.num_rows
+            return total
+
         new_bitmaps: dict[str, list[int]] = {}
         for ds in pending:
             units = [u for u in ds["units"] if u in live_units]
             if not units:
                 continue
-            dels = self.spark.read.parquet(
-                os.path.join(self._deletes_dir, ds["path"])
-            )
+            ds_dir = os.path.join(self._deletes_dir, ds["path"])
+            dels = self.spark.read.parquet(ds_dir)
             scan = self.spark.read.parquet(
                 *[os.path.join(self._data_dir, u) for u in units]
             ).select(
@@ -435,19 +459,34 @@ class ManagedTable:
             matched = scan.join(
                 F.broadcast(dels.distinct()), dels.columns, "left_semi"
             ).select("_fp", "_ri")
-            packed = matched.groupBy("_fp").applyInPandas(
-                _to_bitmap, "_fp string, _bm binary"
-            )
-            for r in packed.collect():
-                p = unquote(urlparse(r["_fp"]).path)
-                rel = os.path.relpath(p, self.path)
-                idx = DV.deserialize_bitmap(bytes(r["_bm"]))
+            # the ds key count is the practical proxy for the transfer
+            # size (a PK matches ~one live row; pathological multi-unit
+            # duplication only over-fills a bounded collect, it cannot
+            # recur per commit since those rows are now deleted)
+            if _ds_rows(ds_dir) <= _DV_COLLECT_MAX:
+                pairs = (
+                    (r["_fp"], int(r["_ri"])) for r in matched.collect()
+                )
+            else:
+                packed = matched.groupBy("_fp").applyInPandas(
+                    _to_bitmap, "_fp string, _bm binary"
+                )
+                pairs = (
+                    (r["_fp"], i)
+                    for r in packed.collect()
+                    for i in DV.deserialize_bitmap(bytes(r["_bm"]))
+                )
+            grouped: dict[str, set] = {}
+            for fp, i in pairs:
+                grouped.setdefault(fp, set()).add(i)
+            for fp, idx in grouped.items():
+                rel = os.path.relpath(
+                    unquote(urlparse(fp).path), self.path
+                )
                 if rel in new_bitmaps:
-                    new_bitmaps[rel] = sorted(
-                        set(new_bitmaps[rel]) | set(idx)
-                    )
+                    new_bitmaps[rel] = sorted(set(new_bitmaps[rel]) | idx)
                 else:
-                    new_bitmaps[rel] = idx
+                    new_bitmaps[rel] = sorted(idx)
         # union with each file's existing DV (descriptors REPLACE, so
         # the new bitmap must carry the old deletions too); a file
         # whose merged bitmap is IDENTICAL to its live descriptor's
