@@ -330,6 +330,82 @@ def _dedup_curve(
     return out
 
 
+def _ann_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 10, 100)
+) -> dict:
+    """Measured ANN scaling curve: ivf_topk and lsh_bucket_topk over
+    the embeddings corpus replicated ×1/×10/×100 (vec_id offset + a
+    deterministic first-coordinate perturbation per replica so vectors
+    stay distinct — identical replicas would tie every score). The
+    frozen-suite ANN numbers at sf0.1 are fixed-overhead-bound (the
+    corpus is 2k vectors); this curve shows the data-proportional
+    part: both plans are single shuffle-free scans, so time must grow
+    ~linearly in rows while the per-query floor dominates the small
+    points."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators import (
+        similarity as SIM,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    points = []
+    for scale in scales:
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.select(
+                    (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
+                    F.concat(
+                        F.array(
+                            F.element_at("embedding", 1)
+                            + F.lit(i * 1e-3)
+                        ),
+                        F.slice(
+                            F.transform(
+                                "embedding", lambda x: x.cast("double")
+                            ),
+                            2,
+                            63,
+                        ),
+                    ).alias("embedding"),
+                )
+                for i in range(scale)
+            ],
+        ).persist()
+        rows = df.count()
+        probe = df.filter(F.col("vec_id") == 0)
+        point = {"scale": scale, "rows": rows}
+        for name, fn in (
+            ("ivf", lambda: SIM.ivf_topk(df, probe, k=10, n_cells=16,
+                                         nprobe=2)),
+            ("lsh", lambda: SIM.lsh_bucket_topk(df, probe, dim=64,
+                                                k=10, n_planes=6)),
+        ):
+            fn().collect()  # warm (codegen / python path compile)
+            t0 = time.perf_counter()
+            fn().collect()
+            point[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+        df.unpersist()
+        points.append(point)
+    lo, hi = points[0], points[-1]
+    grew = hi["rows"] / max(lo["rows"], 1)
+    return {
+        "points": points,
+        "ivf_time_ratio_x%d" % int(grew): round(
+            hi["ivf_sec"] / lo["ivf_sec"], 2
+        ),
+        "lsh_time_ratio_x%d" % int(grew): round(
+            hi["lsh_sec"] / lo["lsh_sec"], 2
+        ),
+    }
+
+
 def main() -> None:
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
@@ -393,6 +469,17 @@ def main() -> None:
             print(f"# dedup_curve/x{p['scale']}: {p}", file=sys.stderr)
     except Exception as exc:
         print(f"# dedup curve failed: {exc}", file=sys.stderr)
+
+    # measured ANN scaling curve (×1/×10/×100 corpus replication):
+    # the frozen-suite ANN numbers are per-query-floor-bound at 2k
+    # vectors; this shows the data-proportional part of the plan
+    try:
+        acurve = _ann_curve(spark, SF_DIR)
+        result["ann_curve"] = acurve
+        for p in acurve["points"]:
+            print(f"# ann_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# ann curve failed: {exc}", file=sys.stderr)
 
     # Measured DuckDB twin (BASELINE.md §2), re-measured IN THIS RUN
     # (median of 3, hardware-matched threads32 ×10 profile) so the
