@@ -344,8 +344,16 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv"))
     )
-    cent_rows = cents_q.collect()
-    _pid, pv = _single_probe_row(probe, vec_col, id_col)
+    # the two metadata collects (centroids, probe) are independent —
+    # submit them as CONCURRENT jobs (py4j job submission is
+    # thread-safe) instead of paying two serial dispatch rounds
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_cents = _ex.submit(cents_q.collect)
+        _f_probe = _ex.submit(_single_probe_row, probe, vec_col, id_col)
+        cent_rows = _f_cents.result()
+        _pid, pv = _f_probe.result()
     # nprobe nearest cells to the probe — n_cells driver-side cosines
     # with Spark's exact null/tie semantics (null similarity sorts
     # last under DESC, ties break on the smaller cell id)
