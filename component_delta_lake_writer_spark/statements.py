@@ -132,6 +132,7 @@ class StatementExecutor:
             "UPDATE": self._update,
             "VACUUM": self._vacuum,
             "OPTIMIZE": self._optimize,
+            "REORG": self._reorg,
             "RESTORE": self._restore,
             "ALTER": self._alter,
             "TRUNCATE": self._truncate,
@@ -530,6 +531,23 @@ class StatementExecutor:
         self.table(m.group(1)).optimize(
             zorder_by=z or None, where=m.group("where")
         )
+        return None
+
+    def _reorg(self, s: str):
+        """``REORG TABLE t APPLY (PURGE)`` (Delta DML): rewrite files
+        with soft-deleted data — here, materialize every pending
+        merge-on-read delete set / deletion vector into plain files
+        (the same rewrite OPTIMIZE performs; Delta's own PURGE is an
+        optimize that drops DVs). ``WHERE`` scopes the rewrite."""
+        m = re.match(
+            rf"REORG\s+TABLE\s+({_IDENT})"
+            r"(?:\s+WHERE\s+(?P<where>.*?))?"
+            r"\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
+            s, flags=re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UserException(f"Unsupported REORG shape: {s[:120]}")
+        self.table(m.group(1)).optimize(where=m.group("where"))
         return None
 
     def _restore(self, s: str):

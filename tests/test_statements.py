@@ -309,3 +309,31 @@ def test_merge_on_clause_must_match_insert_expression(ex):
             "tg.v = s.v "
             "WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)"
         )
+
+
+def test_reorg_apply_purge_materializes_dvs(ex):
+    """REORG TABLE t APPLY (PURGE) (Delta DML): pending merge-on-read
+    deletes — mirrored as deletion vectors — are rewritten into plain
+    files; the mirror's live adds carry no descriptors afterwards."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+    )
+
+    ex.execute(
+        "CREATE OR REPLACE TABLE r (k INT, v DOUBLE, PRIMARY KEY (k)) "
+        "USING DELTA"
+    )
+    t = ex.table("r")
+    t.write(
+        ex.spark.createDataFrame(
+            [(i, float(i * 2)) for i in range(20)], "k int, v double"
+        ),
+        mode="append",
+    )
+    t.delete_where("k >= 15", strategy="merge-on-read")
+    assert len(live_dv_descriptors(t.path)) >= 1
+    ex.execute("REORG TABLE r APPLY (PURGE)")
+    assert live_dv_descriptors(t.path) == {}
+    assert t.read().count() == 15
+    with pytest.raises(UserException, match="REORG"):
+        ex.execute("REORG TABLE r APPLY (SOMETHING)")
