@@ -516,3 +516,58 @@ def test_table_lifecycle_model(spark, ops):
         for v, snap in enumerate(history):
             tv = {r["k"]: r["v"] for r in t.read(version=v).collect()}
             assert tv == snap, f"version {v} diverged after {ops}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=1 << 20),
+            st.integers(min_value=0, max_value=(1 << 34)),
+        ),
+        min_size=0,
+        max_size=3000,
+    )
+)
+def test_dv_bitmap_roundtrip_property(values):
+    """RoaringBitmapArray codec: serialize∘deserialize is the sorted
+    de-duplicated identity for ANY 64-bit index set (array and bitmap
+    containers, multi-high-word, empties)."""
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        deserialize_bitmap,
+        serialize_bitmap,
+    )
+
+    assert deserialize_bitmap(serialize_bitmap(values)) == sorted(
+        set(values)
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sets=st.dictionaries(
+        st.sampled_from(["a.parquet", "b.parquet", "c/d.parquet"]),
+        st.lists(
+            st.integers(min_value=0, max_value=1 << 22),
+            min_size=1, max_size=500,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_dv_file_roundtrip_property(sets):
+    """Multi-DV file framing: every descriptor written by
+    write_dv_file reads back its exact index set (offsets, sizes,
+    checksums, cardinalities all consistent)."""
+    import tempfile
+
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        read_dv,
+        write_dv_file,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        descs = write_dv_file(d, sets)
+        assert set(descs) == set(sets)
+        for path, desc in descs.items():
+            assert read_dv(d, desc) == sorted(set(sets[path]))
