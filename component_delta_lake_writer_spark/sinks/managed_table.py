@@ -251,8 +251,13 @@ class ManagedTable:
         # vectors (binary DV files + descriptors) when the affected
         # scan is within bound; only an over-bound remainder leaves the
         # mirror honestly _STALE-flagged until a rewrite
+        removed_units_list = [
+            u for u in prev_units if u not in set(commit.data_units)
+        ]
         dv_adds, current_dvs, dv_covered, dv_fully = (
-            self._compute_dv_updates(commit, added_units)
+            self._compute_dv_updates(
+                commit, added_units, has_removes=bool(removed_units_list)
+            )
         )
         write_delta_log_entry(
             table_path=self.path,
@@ -262,9 +267,7 @@ class ManagedTable:
             partition_by=commit.partition_by,
             timestamp_ms=commit.timestamp_ms,
             new_units=added_units,
-            removed_units=(
-                [u for u in prev_units if u not in set(commit.data_units)]
-            ),
+            removed_units=removed_units_list,
             prev_schema_json=prev.schema_json if prev else None,
             rows_diverge=bool(commit.delete_sets) and not dv_fully,
             column_mapping=commit.column_mapping,
@@ -301,7 +304,10 @@ class ManagedTable:
         maybe_write_checkpoint(self.path, commit.version)
 
     def _compute_dv_updates(
-        self, commit: Commit, added_units: list[str] | None = None
+        self,
+        commit: Commit,
+        added_units: list[str] | None = None,
+        has_removes: bool = True,
     ) -> tuple[dict, dict, list | None, bool]:
         """Materialize this commit's not-yet-mirrored merge-on-read
         delete sets as deletion-vector bitmaps.
@@ -359,8 +365,13 @@ class ManagedTable:
         pending = [
             ds for ds in commit.delete_sets if ds["path"] not in covered
         ]
-        current_dvs = live_dv_descriptors(self.path) if has_state else {}
         covered_after = sorted(covered & live_paths)
+        if not pending and not has_removes:
+            # nothing to materialize and no removes that might carry
+            # descriptors: skip the replay scan entirely (appends on a
+            # DV-history table stay O(metadata))
+            return {}, {}, covered_after, True
+        current_dvs = live_dv_descriptors(self.path) if has_state else {}
         if not pending:
             return {}, current_dvs, covered_after, True
         live_units = set(commit.data_units)
