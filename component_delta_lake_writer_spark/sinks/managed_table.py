@@ -3653,6 +3653,7 @@ class ManagedTable:
 
         log_dir = os.path.join(self.path, "_delta_log")
         repaired = 0
+        repaired_with_sets = False
         prev: Commit | None = None
         for v in self._versions():
             c = self.commit_at(v)
@@ -3695,8 +3696,10 @@ class ManagedTable:
                     txn=next(iter(new_txns.items()), None),
                 )
                 repaired += 1
+                if c.delete_sets:
+                    repaired_with_sets = True
             prev = c
-        if repaired and prev is not None and prev.delete_sets:
+        if repaired_with_sets:
             # regenerated entries carry NO deletionVector actions (the
             # descriptors lived in the lost entry); drop those sets
             # from the sidecar's covered list so the stale marker is
