@@ -16,6 +16,8 @@ column. Two paths:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -337,8 +339,6 @@ def ivf_topk(
     Contracts (enforced / relied on): ``probe`` has exactly one row
     (raises otherwise); ``id_col`` is unique per vector.
     """
-    import math
-
     cents_q = (
         df.orderBy(F.col(id_col))
         .limit(n_cells)
@@ -363,81 +363,15 @@ def ivf_topk(
     )
     probe_cells = [c for _s, c in scored_cells[:nprobe]]
 
-    # usable centroids as THREE compact literals (2-D matrix, cells,
-    # precomputed norms) — per-centroid inline literals/structs made a
-    # Catalyst tree whose ANALYSIS cost (~2 s, scale-invariant) dwarfed
-    # the per-row work; a sequence+transform over literal arrays keeps
-    # the tree one template deep
-    cmat, cell_ids, ncvs = [], [], []
-    for r in cent_rows:
-        cv, cell = r["cv"], r["cell"]
-        if cv is None:
-            continue  # cosine(null) is null for every row: never wins
-        ncv_acc: float | None = 0.0
-        for x in cv:
-            if x is None or ncv_acc is None:
-                ncv_acc = None
-                break
-            ncv_acc = ncv_acc + x * x
-        if ncv_acc is None:
-            continue
-        cmat.append([float(x) for x in cv])
-        cell_ids.append(int(cell))
-        ncvs.append(math.sqrt(ncv_acc))
+    cmat, cell_ids, ncvs = _usable_centroids(cent_rows)
 
     v = df.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
         norm(_as_double(F.col(vec_col))).alias("_nv"),  # one fold/row
     )
-
-    def _dstr(x: float) -> str:
-        # repr is shortest-round-trip decimal; Double.parseDouble of it
-        # recovers the identical bits. Non-finite can't appear (norms
-        # are finite by construction, vectors come from float32).
-        return repr(float(x)) + "D"
-
-    # literals via SQL text, NOT F.lit(nested_list): py4j converts a
-    # 16×64 nested list element-by-element (~0.7 s per call); the SQL
-    # parser + constant folding handle the same 1024 literals in ~ms
-    cmat_lit = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(_dstr(x) for x in row) + ")"
-            for row in cmat
-        ) + ")"
-    )
-    ncvs_lit = F.expr("array(" + ",".join(_dstr(x) for x in ncvs) + ")")
-    cells_lit = F.expr(
-        "array(" + ",".join(f"{c}L" for c in cell_ids) + ")"
-    )
-
-    def _score_struct(j):
-        # s_j = dot(_v, cv_j) / (norm(_v) * norm_cv_j): the oracle's
-        # exact fold order; norm_cv folded driver-side over the same
-        # sequence, so every double is bit-identical
-        denom = F.col("_nv") * F.element_at(ncvs_lit, j + 1)
-        s = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            dot(F.col("_v"), F.element_at(cmat_lit, j + 1)) / denom
-        )
-        return F.struct(
-            (-s).alias("ns"),
-            F.element_at(cells_lit, j + 1).alias("cell"),
-        )
-
-    # argmax(s) with smallest-cell tie-break = array_min over
-    # (-s, cell); null scores are dropped (a null would win the min),
-    # and a vector whose every score is null gets no cell — the same
-    # rows the old filter(s.isNotNull) + groupBy shape produced
     if cmat and probe_cells:
-        best = F.array_min(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(cmat) - 1)),
-                    _score_struct,
-                ),
-                lambda c: c["ns"].isNotNull(),
-            )
-        )
+        best = _best_cell_expr(cmat, cell_ids, ncvs)
         cand = (
             v.select(F.col(id_col), F.col("_v"), best.alias("_b"))
             .filter(
@@ -451,6 +385,172 @@ def ivf_topk(
             F.col(id_col), F.col("_v").alias(vec_col)
         )
     return _topk_vs_literal(cand, _pid, pv, k, vec_col, id_col)
+
+
+def _usable_centroids(cent_rows) -> tuple[list, list, list]:
+    """(cmat, cell_ids, ncvs): centroid vectors as plain lists, their
+    cells, and their driver-folded norms (same IEEE sequence as the
+    JVM/oracle fold). Null vectors / null elements are dropped —
+    cosine against them is null for every row and never wins."""
+    import math
+
+    cmat, cell_ids, ncvs = [], [], []
+    for r in cent_rows:
+        cv, cell = r["cv"], r["cell"]
+        if cv is None:
+            continue
+        ncv_acc: float | None = 0.0
+        for x in cv:
+            if x is None or ncv_acc is None:
+                ncv_acc = None
+                break
+            ncv_acc = ncv_acc + x * x
+        if ncv_acc is None:
+            continue
+        cmat.append([float(x) for x in cv])
+        cell_ids.append(int(cell))
+        ncvs.append(math.sqrt(ncv_acc))
+    return cmat, cell_ids, ncvs
+
+
+def _best_cell_expr(cmat: list, cell_ids: list, ncvs: list):
+    """Per-row best-cell struct (ns=-score, cell) over columns ``_v``
+    (double vector) and ``_nv`` (its norm): an array_min over a
+    sequence+transform of THREE compact SQL-text literals (2-D
+    centroid matrix, cells, precomputed norms). Per-centroid inline
+    literals/structs made a Catalyst tree whose ANALYSIS cost (~2 s,
+    scale-invariant) dwarfed the per-row work, and F.lit(nested_list)
+    converts element-by-element through py4j (~0.7 s) where the SQL
+    parser + constant folding handle the same literals in ~ms.
+
+    s_j = dot(_v, cv_j) / (norm(_v) * norm_cv_j) — the oracle's exact
+    fold order, so every double is bit-identical. Null scores are
+    dropped (a null would win the min); a vector whose every score is
+    null gets a NULL struct (callers filter it)."""
+    cmat_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(_dstr(x) for x in row) + ")"
+            for row in cmat
+        ) + ")"
+    )
+    ncvs_lit = F.expr("array(" + ",".join(_dstr(x) for x in ncvs) + ")")
+    cells_lit = F.expr(
+        "array(" + ",".join(f"{c}L" for c in cell_ids) + ")"
+    )
+
+    def _score_struct(j):
+        denom = F.col("_nv") * F.element_at(ncvs_lit, j + 1)
+        s = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot(F.col("_v"), F.element_at(cmat_lit, j + 1)) / denom
+        )
+        return F.struct(
+            (-s).alias("ns"),
+            F.element_at(cells_lit, j + 1).alias("cell"),
+        )
+
+    return F.array_min(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(cmat) - 1)),
+                _score_struct,
+            ),
+            lambda c: c["ns"].isNotNull(),
+        )
+    )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Materialize the IVF index ``ivf_topk`` computes on the fly: the
+    corpus written as parquet PARTITIONED BY its Voronoi cell, plus a
+    ``_ivf_centroids.json`` sidecar (cells + centroid vectors + their
+    norms). This is the 100 TB shape the ad-hoc operator's docstring
+    promises — build once, then every probe is a PARTITION-PRUNED scan
+    of ~nprobe/n_cells of the data (``ivf_query_index``), with zero
+    per-query assignment work. Same deterministic seeded quantizer and
+    bit-exact scoring as ``ivf_topk``, so an index-backed query equals
+    the ad-hoc answer exactly. Returns the cell ids."""
+    import json as _json
+
+    cents_q = (
+        df.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+    )
+    cmat, cell_ids, ncvs = _usable_centroids(cents_q.collect())
+    v = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        norm(_as_double(F.col(vec_col))).alias("_nv"),
+    )
+    if cmat:
+        best = _best_cell_expr(cmat, cell_ids, ncvs)
+        assigned = (
+            v.select(F.col(id_col), F.col("_v"), best.alias("_b"))
+            .filter(F.col("_b").isNotNull())
+            .select(
+                F.col(id_col),
+                F.col("_v").alias(vec_col),
+                F.col("_b.cell").alias("cell"),
+            )
+        )
+    else:
+        assigned = v.filter(F.lit(False)).select(
+            F.col(id_col),
+            F.col("_v").alias(vec_col),
+            F.lit(0).cast("long").alias("cell"),
+        )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    sidecar = os.path.join(index_path, "_ivf_centroids.json")
+    with open(sidecar, "w") as f:
+        _json.dump({"cells": cell_ids, "cmat": cmat, "ncvs": ncvs}, f)
+    return cell_ids
+
+
+def ivf_query_index(
+    spark,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized IVF index: centroid scoring is pure driver
+    arithmetic over the sidecar (no Spark job), and the candidate read
+    is a PARTITION-PRUNED parquet scan of exactly the nprobe chosen
+    cell directories — the plan contains PartitionFilters on ``cell``
+    and touches no other partition, which is what makes this the ANN
+    shape that survives 100 TB. Bit-identical results to ``ivf_topk``
+    over the same corpus."""
+    import json as _json
+
+    pid, pv = _single_probe_row(probe, vec_col, id_col)
+    with open(os.path.join(index_path, "_ivf_centroids.json")) as f:
+        meta = _json.load(f)
+    scored = sorted(
+        (
+            (_py_cos(cv, pv), cell)
+            for cv, cell in zip(meta["cmat"], meta["cells"])
+        ),
+        key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
+    )
+    probe_cells = [c for _s, c in scored[:nprobe]]
+    base = spark.read.parquet(index_path)
+    cand = (
+        base.filter(F.col("cell").isin(probe_cells))
+        if probe_cells
+        else base.filter(F.lit(False))
+    ).select(F.col(id_col), F.col(vec_col))
+    return _topk_vs_literal(cand, pid, pv, k, vec_col, id_col)
 
 
 def _sqdist(a: Column, b: Column) -> Column:

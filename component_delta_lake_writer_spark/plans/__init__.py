@@ -33,6 +33,7 @@ _FRONT = [
     # (timestamp-column branch).
     # ------------------------------------------------------------------
     "delta_dv_external_read",
+    "ann_ivf_indexed_topk",
     "upsert_mor",
     "mor_delete_read",
     "delta_log_read",

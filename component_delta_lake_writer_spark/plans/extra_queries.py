@@ -1471,9 +1471,7 @@ def _cos64(a: str, b: str) -> str:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH c AS (SELECT vec_id AS cell, embedding AS cv
                FROM embeddings WHERE vec_id < 16),
     sim AS (
@@ -1499,8 +1497,10 @@ def _cos64(a: str, b: str) -> str:
     JOIN pcells ON pcells.cell = asg.cell, p
     WHERE e.vec_id <> 0
     ORDER BY cosine DESC, e.vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_topk): deterministic seeded
     coarse quantizer (16 cells), nprobe=2 cell search, exact cosine
@@ -1509,6 +1509,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.ivf_topk(emb, probe, k=10, n_cells=16, nprobe=2)
+
+
+@query("ann_ivf_indexed_topk", oracle=_IVF_ORACLE)
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED IVF path (operators.similarity.ivf_build_index
+    / ivf_query_index): the corpus written once as parquet partitioned
+    by its Voronoi cell + a centroid sidecar, then the probe reads
+    ONLY the nprobe chosen cell partitions (PartitionFilters — the
+    partition-pruned scan the ad-hoc operator's 100 TB story
+    promises). Same seeded quantizer and bit-exact scoring, so the
+    oracle is identical to ann_ivf_topk's."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    base = _scratch("ann_ivf_indexed_topk", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    idx = os.path.join(base, "ivf_index")
+    SIM.ivf_build_index(emb, idx, n_cells=16)
+    return SIM.ivf_query_index(spark, idx, probe, k=10, nprobe=2)
 
 
 @query(

@@ -432,3 +432,13 @@ def test_pipeline_clean_corpus_shuffle_budget(spark):
     p = _plan(spark, "pipeline_clean_corpus")
     assert p.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in p
+
+
+def test_ivf_indexed_probe_is_partition_pruned(spark):
+    # the materialized IVF path must read ONLY the chosen cell
+    # partitions: PartitionFilters on cell, no exchange, no join
+    p = _plan(spark, "ann_ivf_indexed_topk")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1), p[:2000]
+    assert "Exchange" not in p and "Join" not in p
+    assert "TakeOrderedAndProject" in p
