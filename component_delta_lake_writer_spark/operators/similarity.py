@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (array<float>).
 
 Beyond-reference extension (build brief): ANN over an embedding
-column. Two paths:
+column. The family, from exact baseline to the 100 TB shape:
 
 - ``cosine_topk``: brute-force exact top-k against one probe vector.
   The dot product is ``F.zip_with`` + ``F.aggregate`` — pure Catalyst
@@ -9,9 +9,18 @@ column. Two paths:
   bit-identical to the DuckDB oracle's list_transform+list_sum.
   Scale: a single narrow scan + one small top-k sort; broadcastable
   probe; no shuffle until the final ordering of k rows.
-- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
-  candidates, brute force runs only inside the probe's bucket(s).
-  Hyperplanes derive deterministically from md5 so runs reproduce.
+- ``lsh_bucket_topk``: random-hyperplane LSH buckets candidates,
+  brute force runs only inside the probe's bucket (computed
+  driver-side; one corpus scan). Hyperplanes derive deterministically
+  from md5 so runs reproduce.
+- ``ivf_topk``: data-adaptive Voronoi cells, shuffle-free per-row
+  assignment against driver-localized centroid literals.
+- ``ivf_build_index`` / ``ivf_query_index``: the materialized scale
+  path — the corpus partitioned by cell on disk, probes are
+  partition-pruned scans of ~nprobe/n_cells of the data.
+- ``pq_topk`` (memory-compressed ADC), ``batch_*`` (multi-probe),
+  ``matryoshka_topk`` (two-stage), plus clustering/near-dup
+  (``kmeans_clusters``, ``embedding_near_dup``, ``semdedup``).
 """
 
 from __future__ import annotations
