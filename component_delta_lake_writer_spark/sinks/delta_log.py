@@ -450,13 +450,29 @@ def write_delta_log_entry(
     prev_cm = prev_column_mapping or {}
     dv_adds = dv_adds or {}
     current_dvs = current_dvs or {}
+
     # deletionVectors is a commit-driven capability: live once the log
-    # carries (or this commit introduces) any descriptor
-    dv_live = bool(dv_adds) or _log_has_dv_config(log_dir)
-    extra_caps = {"deletionVectors"} if dv_live else set()
-    dv_config = (
-        {"delta.enableDeletionVectors": "true"} if dv_live else {}
-    )
+    # carries (or this commit introduces) any descriptor. Resolved
+    # LAZILY — _log_has_dv_config is an O(history) newest-first scan
+    # and only the (rare) metaData/protocol emission branches need it;
+    # evaluating it per commit made every append pay the scan.
+    _dv_live_cache: list = []
+
+    def _dv_live() -> bool:
+        if not _dv_live_cache:
+            _dv_live_cache.append(
+                bool(dv_adds) or _log_has_dv_config(log_dir)
+            )
+        return _dv_live_cache[0]
+
+    def _extra_caps() -> set:
+        return {"deletionVectors"} if _dv_live() else set()
+
+    def _dv_config() -> dict:
+        return (
+            {"delta.enableDeletionVectors": "true"} if _dv_live() else {}
+        )
+
     actions: list[dict] = []
     if txn is not None:
         # Delta txn action (setTransaction): the idempotent-writer
@@ -476,13 +492,13 @@ def write_delta_log_entry(
     )
     if version == 0:
         actions.append(
-            _protocol_action(schema_json, bool(cm), extra_caps)
+            _protocol_action(schema_json, bool(cm), _extra_caps())
         )
         actions.append(
             _metadata_action(
                 uuid.uuid4().hex, schema_json, partition_by, timestamp_ms,
                 column_mapping=cm if cm else None,
-                extra_config=dv_config,
+                extra_config=_dv_config(),
             )
         )
     elif need_meta:
@@ -503,14 +519,14 @@ def write_delta_log_entry(
         # capability (e.g. an overwrite losing CURRENT_DEFAULT), the
         # prior protocol stands and nothing is emitted —
         # _protocol_upgrade returns the monotonic max or None.
-        needed = _protocol_action(schema_json, bool(cm), extra_caps)
+        needed = _protocol_action(schema_json, bool(cm), _extra_caps())
         last = _log_last_protocol(log_dir)
         if last is None:
             actions.append(needed)
         else:
             up = _protocol_upgrade(
                 last, needed,
-                _used_caps(schema_json, bool(cm)) | extra_caps,
+                _used_caps(schema_json, bool(cm)) | _extra_caps(),
             )
             if up is not None:
                 actions.append(up)
@@ -523,7 +539,7 @@ def write_delta_log_entry(
                 created if created is not None else timestamp_ms,
                 column_mapping=cm if mapped_mode else None,
                 prior_ids=prior_ids, prior_max_id=prior_max,
-                extra_config=dv_config,
+                extra_config=_dv_config(),
             )
         )
 
