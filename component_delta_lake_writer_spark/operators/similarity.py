@@ -542,9 +542,18 @@ def ivf_query_index(
     over the same corpus."""
     import json as _json
 
+    from component_delta_lake_writer_spark.errors import UserException
+
     pid, pv = _single_probe_row(probe, vec_col, id_col)
-    with open(os.path.join(index_path, "_ivf_centroids.json")) as f:
-        meta = _json.load(f)
+    sidecar = os.path.join(index_path, "_ivf_centroids.json")
+    try:
+        with open(sidecar) as f:
+            meta = _json.load(f)
+    except FileNotFoundError:
+        raise UserException(
+            f"No IVF index at {index_path!r} (missing centroid "
+            "sidecar); run ivf_build_index first."
+        ) from None
     scored = sorted(
         (
             (_py_cos(cv, pv), cell)

@@ -1459,3 +1459,40 @@ def test_stream_replicate_optimize_every_bounds_delete_sets(spark, tmp_path):
     head = dst.latest_commit()
     pending = getattr(head, "delete_sets", None) or []
     assert len(pending) <= 1, pending
+
+
+def test_ivf_index_matches_adhoc_and_handles_edges(spark, tmp_path):
+    """The materialized IVF index must answer EXACTLY like the ad-hoc
+    operator (same quantizer, same scoring) — on an OFFSET id space —
+    and fail cleanly on a missing index / empty corpus."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    rows = [(1000 + i, [float((i * 7 + d) % 5) for d in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = df.filter(F.col("vec_id") == 1003)
+    want = sorted(
+        map(tuple, ivf_topk(df, probe, k=5, n_cells=4, nprobe=2).collect())
+    )
+    idx = str(tmp_path / "idx")
+    cells = ivf_build_index(df, idx, n_cells=4)
+    assert len(cells) == 4
+    got = sorted(
+        map(tuple,
+            ivf_query_index(spark, idx, probe, k=5, nprobe=2).collect())
+    )
+    assert got == want and len(got) == 5
+
+    with pytest.raises(UserException, match="IVF index"):
+        ivf_query_index(spark, str(tmp_path / "nope"), probe, k=5)
+
+    empty = df.filter(F.lit(False))
+    idx2 = str(tmp_path / "idx2")
+    assert ivf_build_index(empty, idx2, n_cells=4) == []
