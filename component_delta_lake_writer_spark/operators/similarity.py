@@ -220,8 +220,33 @@ def _single_probe_row(probe: DataFrame, vec_col: str, id_col: str):
 
 def _dstr(x: float | None) -> str:
     """Shortest-round-trip double literal for SQL text —
-    Double.parseDouble(repr(x)) recovers the identical bits."""
-    return "CAST(NULL AS DOUBLE)" if x is None else repr(float(x)) + "D"
+    Double.parseDouble(repr(x)) recovers the identical bits. Non-finite
+    values have no SQL double-literal syntax ('infD' is a parse error
+    that would kill the whole query); they ride through a string cast,
+    which Spark resolves to the exact Infinity/NaN doubles."""
+    import math
+
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if not math.isfinite(x):
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _probe_rank_key(score: float | None):
+    """Sort key reproducing Spark's DESC total ordering over doubles:
+    NaN is GREATEST (sorts first under DESC), nulls last — a raw
+    ``-score`` key is comparison-unstable once a NaN appears."""
+    import math
+
+    if score is None:
+        return (2, 0.0)
+    if math.isnan(score):
+        return (0, 0.0)
+    return (1, -score)
 
 
 def _topk_vs_literal(
@@ -368,7 +393,7 @@ def ivf_topk(
     # last under DESC, ties break on the smaller cell id)
     scored_cells = sorted(
         ((_py_cos(r["cv"], pv), r["cell"]) for r in cent_rows),
-        key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
+        key=lambda t: (_probe_rank_key(t[0]), t[1]),
     )
     probe_cells = [c for _s, c in scored_cells[:nprobe]]
 
@@ -559,7 +584,7 @@ def ivf_query_index(
             (_py_cos(cv, pv), cell)
             for cv, cell in zip(meta["cmat"], meta["cells"])
         ),
-        key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
+        key=lambda t: (_probe_rank_key(t[0]), t[1]),
     )
     probe_cells = [c for _s, c in scored[:nprobe]]
     base = spark.read.parquet(index_path)

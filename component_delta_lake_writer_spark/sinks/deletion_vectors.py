@@ -54,9 +54,13 @@ _DV_STATE = "_dv_state.json"
 def _serialize_rb32(values: list[int]) -> bytes:
     """One 32-bit RoaringBitmap, official portable format, no run
     containers (cookie 12346 always carries the offset header)."""
-    containers: dict[int, list[int]] = {}
+    containers: dict[int, set[int]] = {}
+    # dedup AT CONTAINER BUILD so the descriptive header's cardinality
+    # and the payload can never diverge — a caller passing duplicates
+    # would otherwise write card=N with an N-k payload, shifting every
+    # later container for external roaring readers
     for v in values:
-        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+        containers.setdefault(v >> 16, set()).add(v & 0xFFFF)
     keys = sorted(containers)
     header = struct.pack("<iI", _COOKIE_NO_RUN, len(keys))
     desc = b"".join(
@@ -65,7 +69,7 @@ def _serialize_rb32(values: list[int]) -> bytes:
     # container payloads first, so offsets are known
     payloads = []
     for k in keys:
-        vals = sorted(set(containers[k]))
+        vals = sorted(containers[k])
         if len(vals) <= _ARRAY_MAX:
             payloads.append(struct.pack(f"<{len(vals)}H", *vals))
         else:

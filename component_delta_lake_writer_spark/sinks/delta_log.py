@@ -456,14 +456,15 @@ def write_delta_log_entry(
     # LAZILY — _log_has_dv_config is an O(history) newest-first scan
     # and only the (rare) metaData/protocol emission branches need it;
     # evaluating it per commit made every append pay the scan.
-    _dv_live_cache: list = []
+    _dv_cfg_cache: list = []
+
+    def _log_dv_cfg() -> bool:
+        if not _dv_cfg_cache:
+            _dv_cfg_cache.append(_log_has_dv_config(log_dir))
+        return _dv_cfg_cache[0]
 
     def _dv_live() -> bool:
-        if not _dv_live_cache:
-            _dv_live_cache.append(
-                bool(dv_adds) or _log_has_dv_config(log_dir)
-            )
-        return _dv_live_cache[0]
+        return bool(dv_adds) or _log_dv_cfg()
 
     def _extra_caps() -> set:
         return {"deletionVectors"} if _dv_live() else set()
@@ -488,7 +489,7 @@ def write_delta_log_entry(
         # first DV emission: metaData re-emits to carry
         # delta.enableDeletionVectors (the protocol feature is what
         # readers REQUIRE; the property is what real writers set)
-        or (bool(dv_adds) and not _log_has_dv_config(log_dir))
+        or (bool(dv_adds) and not _log_dv_cfg())
     )
     if version == 0:
         actions.append(
@@ -912,6 +913,16 @@ def read_delta_table(spark, table_path: str):
             for pn, lf in zip(phys_names, logical.fields)
         ]
     )
+    if not files:
+        # zero live files (everything deleted/overwritten-empty):
+        # an empty relation under the physical schema, not IndexError
+        df = spark.createDataFrame([], physical)
+        return df.select(
+            *[
+                df[pn].alias(lf.name)
+                for pn, lf in zip(phys_names, logical.fields)
+            ]
+        )
     parts = []
     clean = [f for f in files if f not in dvs]
     if clean:

@@ -342,11 +342,31 @@ class ManagedTable:
             live_dv_descriptors,
         )
 
+        from component_delta_lake_writer_spark.sinks.delta_log import (
+            _log_has_dv_config,
+        )
+
         has_state = os.path.exists(
             os.path.join(self.path, "_delta_log", DV._DV_STATE)
         )
         if not commit.delete_sets and not has_state:
             return {}, {}, None, True
+        # DV-era detection must fall back to the LOG: a crash between
+        # log publish and sidecar save leaves descriptors live with no
+        # sidecar — a swap emitted without the prior descriptor would
+        # leave the old (path, dvId) add alive for external readers
+        # (duplicated rows). The log scan runs only on tables that
+        # carry delete sets, never on the plain fast path above — and
+        # not on deferred-mode followers (which never emit DVs inline;
+        # their sidecar-less state would otherwise pay the scan on
+        # every applied commit).
+        deferred_mode = (
+            (commit.properties or {}).get("mirror.dvMode") == "deferred"
+        )
+        dv_era = has_state or (
+            not deferred_mode
+            and _log_has_dv_config(os.path.join(self.path, "_delta_log"))
+        )
         state = DV.load_dv_state(self.path) if has_state else {"covered": []}
         covered = set(state.get("covered", []))
         # a delete set targeting a unit (RE-)ADDED this commit loses
@@ -371,7 +391,7 @@ class ManagedTable:
             # descriptors: skip the replay scan entirely (appends on a
             # DV-history table stay O(metadata))
             return {}, {}, covered_after, True
-        current_dvs = live_dv_descriptors(self.path) if has_state else {}
+        current_dvs = live_dv_descriptors(self.path) if dv_era else {}
         if not pending:
             return {}, current_dvs, covered_after, True
         live_units = set(commit.data_units)
@@ -392,16 +412,26 @@ class ManagedTable:
         # honestly _STALE between optimize() points (the pre-DV
         # contract), while the default keeps every commit's mirror
         # fresh. mirror.dvMaxRows bounds the inline scan estimate.
-        if (commit.properties or {}).get("mirror.dvMode") == "deferred":
+        if deferred_mode:
             return {}, current_dvs, covered_after, False
-        est = 0.0
-        for u in units_needed:
-            r = (commit.stats.get(u) or {}).get("_rows")
-            est += float(r) if r is not None else float("inf")
         bound = float(
             (commit.properties or {}).get("mirror.dvMaxRows", 4_000_000)
         )
-        if est > bound:
+
+        def _est(ds) -> float:
+            total = 0.0
+            for u in ds["units"]:
+                if u not in live_units:
+                    continue
+                r = (commit.stats.get(u) or {}).get("_rows")
+                total += float(r) if r is not None else float("inf")
+            return total
+
+        # the bound is PER DELETE SET (as documented): one over-bound
+        # set defers only itself; every in-bound set still materializes
+        deferred = [ds for ds in pending if _est(ds) > bound]
+        pending = [ds for ds in pending if _est(ds) <= bound]
+        if not pending:
             return {}, current_dvs, covered_after, False
 
         mapping = commit.column_mapping or {}
@@ -517,7 +547,7 @@ class ManagedTable:
         covered_after = sorted(
             set(covered_after) | {ds["path"] for ds in pending}
         )
-        return dv_adds, current_dvs, covered_after, True
+        return dv_adds, current_dvs, covered_after, not deferred
 
     # ---------- write path ----------
 
@@ -3564,33 +3594,46 @@ class ManagedTable:
             from component_delta_lake_writer_spark.sinks.delta_log import (
                 _log_versions,
                 _read_version_actions,
-                live_dv_descriptors,
             )
             from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
                 dv_relative_path,
             )
 
+            # A DV file is live iff some RETAINED SNAPSHOT references
+            # it: (a) the snapshot AT the oldest retained version
+            # (whose live adds may carry descriptors introduced long
+            # before the window — per-version add deltas alone would
+            # reclaim them and break the promised in-window time
+            # travel), (b) any add action within the window, (c) the
+            # head snapshot (the loop's final state). Remove-only
+            # references never pin a file — reconciliation does not
+            # open it.
             dv_live: set = set()
-            for v in _log_versions(log_dir):
-                if v not in live_versions:
-                    continue
-                for a in _read_version_actions(log_dir, v):
-                    # ADD actions only: a remove's descriptor is for
-                    # (path, dvId) reconciliation — no reader opens a
-                    # removed DV file, so tombstones must not pin it
-                    act = a.get("add")
-                    if act and act.get("deletionVector"):
-                        try:
-                            dv_live.add(
-                                dv_relative_path(act["deletionVector"])
-                            )
-                        except (ValueError, KeyError):
-                            pass
-            for desc in live_dv_descriptors(self.path).values():
+            min_live = min(live_versions) if live_versions else 0
+
+            def _ref(d) -> None:
                 try:
-                    dv_live.add(dv_relative_path(desc))
+                    dv_live.add(dv_relative_path(d))
                 except (ValueError, KeyError):
                     pass
+
+            live_map: dict = {}
+            for v in _log_versions(log_dir):
+                for a in _read_version_actions(log_dir, v):
+                    if "add" in a:
+                        d = a["add"].get("deletionVector")
+                        live_map[a["add"]["path"]] = d
+                        if v >= min_live and d is not None:
+                            _ref(d)
+                    elif "remove" in a:
+                        live_map.pop(a["remove"]["path"], None)
+                if v == min_live:
+                    for d in live_map.values():
+                        if d is not None:
+                            _ref(d)
+            for d in live_map.values():  # head snapshot
+                if d is not None:
+                    _ref(d)
             for fn in os.listdir(self.path):
                 if not (
                     fn.startswith("deletion_vector_")

@@ -70,7 +70,7 @@ def normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+_TABLE_CACHE: dict = {"session": None, "tables": {}}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,15 +78,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet is immutable (read-only dir), but a fresh ``spark.read.
     parquet`` pays a footer-inference job (~0.1-0.2 s) on EVERY query
     invocation — caching the analyzed DataFrame (an immutable logical
-    plan) removes one job per query across the whole suite. Keyed
-    weakly by session so a stopped session's plans are collectable and
-    a restarted session never sees dead JVM references."""
-    global _TABLE_CACHE
-    import weakref
-
-    if _TABLE_CACHE is None:
-        _TABLE_CACHE = weakref.WeakKeyDictionary()
-    per = _TABLE_CACHE.setdefault(spark, {})
+    plan) removes one job per query across the whole suite. The cache
+    holds ONE session's plans and resets whenever a different session
+    appears (a WeakKeyDictionary keyed by session never frees here —
+    the cached DataFrames strongly reference their session, pinning
+    every stopped session's JVM handles for process lifetime)."""
+    if _TABLE_CACHE["session"] is not spark:
+        _TABLE_CACHE["session"] = spark
+        _TABLE_CACHE["tables"] = {}
+    per = _TABLE_CACHE["tables"]
     key = (sf_dir.rstrip("/"), name)
     df = per.get(key)
     if df is None:

@@ -956,3 +956,123 @@ def test_dv_with_column_mapping_and_partitioning(spark, tmp_path):
     assert dv_adds and all(a["partitionValues"].get("p") in ("0", "1")
                            for a in dv_adds)
     assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 5
+
+
+def test_dv_swap_survives_lost_sidecar(spark, tmp_path):
+    """Crash window (review finding): log published, sidecar save
+    lost. The next MOR commit must STILL retract the prior descriptor
+    (from the LOG, not the sidecar) — a descriptor-less remove would
+    leave the old (path, dvId) add alive and external readers would
+    read the file twice."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    t.delete_where("k >= 15", strategy="merge-on-read")   # DV-A
+    os.remove(os.path.join(t.path, "_delta_log", "_dv_state.json"))
+    t.delete_where("k >= 10", strategy="merge-on-read")   # must swap
+    # exactly ONE live descriptor (the union), not two incarnations
+    dvs = live_dv_descriptors(t.path)
+    assert len(dvs) == 1
+    (d,) = dvs.values()
+    assert d["cardinality"] == 10
+    eng = sorted(r["k"] for r in t.read().collect())
+    ext = sorted(r["k"] for r in read_delta_table(spark, t.path).collect())
+    assert eng == ext == list(range(10))
+    # and the swap remove carried DV-A so replay never double-counts
+    acts = _actions(t.path, 2)
+    rm = [a["remove"] for a in acts
+          if "remove" in a and a["remove"].get("deletionVector")]
+    assert len(rm) == 1 and rm[0]["deletionVector"]["cardinality"] == 5
+
+
+def test_vacuum_keeps_dvs_of_retained_snapshots(spark, tmp_path):
+    """Review finding: a DV introduced BEFORE the retention window but
+    live at a retained version must survive vacuum (in-window time
+    travel), while a superseded DV older than every retained snapshot
+    is reclaimed."""
+    import time as _time
+
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        dv_relative_path,
+    )
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])  # v0
+    t.delete_where("k >= 25", strategy="merge-on-read")           # v1 DV-A
+    add = spark.range(100, 105).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    t.write(add, mode="append")                                   # v2
+    t.write(add.withColumn("k", F.col("k") + 10), mode="append")  # v3
+    live = {dv_relative_path(d)
+            for d in live_dv_descriptors(t.path).values()}
+    bins = [f for f in os.listdir(t.path)
+            if f.startswith("deletion_vector_")]
+    old = _time.time() - 3600
+    for f in bins:
+        os.utime(os.path.join(t.path, f), (old, old))
+    # generous retention: every version retained -> DV-A (added at v1,
+    # before nothing) must survive even though no RETAINED version's
+    # own actions re-add it
+    t.vacuum(retention_hours=24.0)
+    assert {f for f in os.listdir(t.path)
+            if f.startswith("deletion_vector_")} == live
+
+
+def test_read_delta_table_empty_snapshot(spark, tmp_path):
+    """Review finding: zero live files (all rows deleted copy-on-write)
+    must read back as an EMPTY frame, not IndexError."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, 1.0)], "k int, v double"),
+        mode="overwrite", primary_key=["k"],
+    )
+    t.delete_where("k = 1")  # COW: snapshot has no files
+    out = read_delta_table(spark, t.path)
+    assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_dv_bound_is_per_delete_set(spark, tmp_path):
+    """Review finding: one over-bound delete set must defer only
+    itself — in-bound sets still materialize (mirror stays honestly
+    stale for the remainder, with the in-bound DV live)."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        delta_log_is_stale,
+        live_dv_descriptors,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    big = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    small = spark.range(1000, 1050).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(big.coalesce(1), mode="overwrite", primary_key=["k"],
+            properties={"mirror.dvMaxRows": 100})
+    t.write(small.coalesce(1), mode="append")
+    t.delete_where("k >= 190 AND k < 200", strategy="merge-on-read")
+    assert delta_log_is_stale(t.path) is not None   # big unit: deferred
+    t.delete_where("k >= 1040", strategy="merge-on-read")
+    # the small-unit set materialized; the big one stays deferred
+    assert delta_log_is_stale(t.path) is not None
+    dvs = live_dv_descriptors(t.path)
+    assert len(dvs) == 1
+    assert sum(d["cardinality"] for d in dvs.values()) == 10
