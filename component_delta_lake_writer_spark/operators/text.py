@@ -46,7 +46,7 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation fraction with UNICODE letter/digit classes: Java's
+    r"""Punctuation fraction with UNICODE letter/digit classes: Java's
     \w is ASCII-only, so every CJK or accented character counted as
     punctuation — well-formed zh/ja/de/fr text scored near the floor
     of quality_score and a quality gate filtered it wholesale. \p{L}
