@@ -339,33 +339,40 @@ class ManagedTable:
             deletion_vectors as DV,
         )
         from component_delta_lake_writer_spark.sinks.delta_log import (
+            _log_has_dv_config,
             live_dv_descriptors,
         )
 
-        from component_delta_lake_writer_spark.sinks.delta_log import (
-            _log_has_dv_config,
-        )
-
-        has_state = os.path.exists(
-            os.path.join(self.path, "_delta_log", DV._DV_STATE)
-        )
+        log_dir = os.path.join(self.path, "_delta_log")
+        has_state = os.path.exists(os.path.join(log_dir, DV._DV_STATE))
         if not commit.delete_sets and not has_state:
-            return {}, {}, None, True
+            # Lost-sidecar window applies HERE too: a rewrite
+            # (overwrite / COW delete / optimize) whose removes drop a
+            # DV-bearing file must carry the prior (path, dvId)
+            # descriptor even when the sidecar save was lost, or the
+            # stale add stays live for external readers. Gated on
+            # has_removes so plain appends — the hot path — stay one
+            # os.path.exists.
+            if not has_removes or not _log_has_dv_config(log_dir):
+                return {}, {}, None, True
+            return {}, live_dv_descriptors(self.path), None, True
         # DV-era detection must fall back to the LOG: a crash between
         # log publish and sidecar save leaves descriptors live with no
-        # sidecar — a swap emitted without the prior descriptor would
-        # leave the old (path, dvId) add alive for external readers
-        # (duplicated rows). The log scan runs only on tables that
-        # carry delete sets, never on the plain fast path above — and
-        # not on deferred-mode followers (which never emit DVs inline;
-        # their sidecar-less state would otherwise pay the scan on
-        # every applied commit).
+        # sidecar — a swap (or a removed unit's remove) emitted without
+        # the prior descriptor would leave the old (path, dvId) add
+        # alive for external readers (duplicated rows). The log scan
+        # runs only on tables that carry delete sets, never on the
+        # plain no-removes fast path above. Deferred-mode followers
+        # (which never emit DVs inline) skip it ONLY for remove-less
+        # commits — the CDC-apply shape — because removes need prior
+        # descriptors regardless of mode (a deferred table can carry
+        # DV history from earlier default-mode commits).
         deferred_mode = (
             (commit.properties or {}).get("mirror.dvMode") == "deferred"
         )
         dv_era = has_state or (
-            not deferred_mode
-            and _log_has_dv_config(os.path.join(self.path, "_delta_log"))
+            (has_removes or not deferred_mode)
+            and _log_has_dv_config(log_dir)
         )
         state = DV.load_dv_state(self.path) if has_state else {"covered": []}
         covered = set(state.get("covered", []))
@@ -429,8 +436,10 @@ class ManagedTable:
 
         # the bound is PER DELETE SET (as documented): one over-bound
         # set defers only itself; every in-bound set still materializes
-        deferred = [ds for ds in pending if _est(ds) > bound]
-        pending = [ds for ds in pending if _est(ds) <= bound]
+        deferred, kept = [], []
+        for ds in pending:
+            (deferred if _est(ds) > bound else kept).append(ds)
+        pending = kept
         if not pending:
             return {}, current_dvs, covered_after, False
 
@@ -3594,6 +3603,7 @@ class ManagedTable:
             from component_delta_lake_writer_spark.sinks.delta_log import (
                 _log_versions,
                 _read_version_actions,
+                live_dv_descriptors,
             )
             from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
                 dv_relative_path,
@@ -3634,6 +3644,15 @@ class ManagedTable:
             for d in live_map.values():  # head snapshot
                 if d is not None:
                     _ref(d)
+            # head again via CHECKPOINT-AWARE replay: this engine
+            # never truncates JSON entries, but an external cleanup
+            # (delta-rs metadata cleanup past a checkpoint) can —
+            # then the raw loop above misses adds that only the
+            # checkpoint carries, and reclaiming their DV files would
+            # break every head read. Mid-window snapshots of a
+            # truncated history are unreconstructable either way.
+            for d in live_dv_descriptors(self.path).values():
+                _ref(d)
             for fn in os.listdir(self.path):
                 if not (
                     fn.startswith("deletion_vector_")

@@ -19,6 +19,8 @@ parquet this round:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +73,7 @@ def normalize_events(df: DataFrame) -> DataFrame:
 
 
 _TABLE_CACHE: dict = {"session": None, "tables": {}}
+_TABLE_CACHE_LOCK = threading.Lock()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,18 +85,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     holds ONE session's plans and resets whenever a different session
     appears (a WeakKeyDictionary keyed by session never frees here —
     the cached DataFrames strongly reference their session, pinning
-    every stopped session's JVM handles for process lifetime)."""
-    if _TABLE_CACHE["session"] is not spark:
-        _TABLE_CACHE["session"] = spark
-        _TABLE_CACHE["tables"] = {}
-    per = _TABLE_CACHE["tables"]
+    every stopped session's JVM handles for process lifetime). The
+    session swap + lookup run under a lock: register_views calls this
+    from 8 threads, and an unlocked swap could hand one thread a
+    DataFrame bound to the PREVIOUS (possibly stopped) session. The
+    parquet read itself is outside the lock — two threads may both
+    build the same plan (harmless; last write wins), but footer I/O
+    never serializes."""
     key = (sf_dir.rstrip("/"), name)
-    df = per.get(key)
+    with _TABLE_CACHE_LOCK:
+        if _TABLE_CACHE["session"] is not spark:
+            _TABLE_CACHE["session"] = spark
+            _TABLE_CACHE["tables"] = {}
+        per = _TABLE_CACHE["tables"]
+        df = per.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
         if name == "events":
             df = normalize_events(df)
-        per[key] = df
+        with _TABLE_CACHE_LOCK:
+            # the swap may have happened meanwhile — only publish into
+            # the dict that belongs to OUR session
+            if _TABLE_CACHE["session"] is spark:
+                _TABLE_CACHE["tables"][key] = df
     return df
 
 

@@ -994,9 +994,14 @@ def test_dv_swap_survives_lost_sidecar(spark, tmp_path):
 
 def test_vacuum_keeps_dvs_of_retained_snapshots(spark, tmp_path):
     """Review finding: a DV introduced BEFORE the retention window but
-    live at a retained version must survive vacuum (in-window time
-    travel), while a superseded DV older than every retained snapshot
-    is reclaimed."""
+    live at a RETAINED (non-head) snapshot must survive vacuum — and
+    once no retained snapshot references it, it is reclaimed. The
+    discriminating shape: the DV-introducing commit is aged OUT of the
+    window, a later in-window OPTIMIZE drops the DV from head, so only
+    the oldest-retained-snapshot replay pins it (per-version add
+    deltas + head replay alone would reclaim it and break in-window
+    time travel)."""
+    import json as _json
     import time as _time
 
     from component_delta_lake_writer_spark.sinks.deletion_vectors import (
@@ -1012,24 +1017,97 @@ def test_vacuum_keeps_dvs_of_retained_snapshots(spark, tmp_path):
     )
     t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])  # v0
     t.delete_where("k >= 25", strategy="merge-on-read")           # v1 DV-A
+    dv_a = {dv_relative_path(d)
+            for d in live_dv_descriptors(t.path).values()}
     add = spark.range(100, 105).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     ).coalesce(1)
     t.write(add, mode="append")                                   # v2
-    t.write(add.withColumn("k", F.col("k") + 10), mode="append")  # v3
-    live = {dv_relative_path(d)
-            for d in live_dv_descriptors(t.path).values()}
-    bins = [f for f in os.listdir(t.path)
-            if f.startswith("deletion_vector_")]
-    old = _time.time() - 3600
-    for f in bins:
-        os.utime(os.path.join(t.path, f), (old, old))
-    # generous retention: every version retained -> DV-A (added at v1,
-    # before nothing) must survive even though no RETAINED version's
-    # own actions re-add it
+    t.optimize()                       # v3: materializes deletes; head
+    assert not live_dv_descriptors(t.path)       # DV-A gone from head
+    # age v0/v1 (and the DV file) out of a 24h retention window
+    old_ms = int((_time.time() - 48 * 3600) * 1000)
+    for v in (0, 1):
+        p = os.path.join(t.path, "_commits", f"{v:020d}.json")
+        with open(p) as fh:
+            c = _json.load(fh)
+        c["timestamp_ms"] = old_ms
+        with open(p, "w") as fh:
+            _json.dump(c, fh)
+    for f in os.listdir(t.path):
+        if f.startswith("deletion_vector_"):
+            os.utime(os.path.join(t.path, f),
+                     (old_ms / 1000, old_ms / 1000))
+    # window = {v2, v3}: DV-A is live at the v2 snapshot (time travel
+    # to v2 must still skip k>=25) -> must survive
     t.vacuum(retention_hours=24.0)
-    assert {f for f in os.listdir(t.path)
-            if f.startswith("deletion_vector_")} == live
+    kept = {f for f in os.listdir(t.path)
+            if f.startswith("deletion_vector_")}
+    assert kept == dv_a
+    # window = {v3} only: no retained snapshot references DV-A -> gone
+    t.vacuum(retention_hours=0.0)
+    assert not [f for f in os.listdir(t.path)
+                if f.startswith("deletion_vector_")]
+
+
+def test_rewrite_after_lost_sidecar_retracts_descriptor(spark, tmp_path):
+    """Review finding: the no-delete-set FAST PATH must also honor the
+    lost-sidecar window. A crash after log publish but before the
+    sidecar save, followed by a full rewrite (overwrite drops every
+    delete set), must emit removes CARRYING the prior descriptors —
+    descriptor-less removes fail (path, dvId) reconciliation and leave
+    the DV-bearing add live (external readers resurrect+duplicate)."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+        replay_delta_log,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])  # v0
+    t.delete_where("k >= 15", strategy="merge-on-read")  # v1: DV
+    os.remove(os.path.join(t.path, "_delta_log", "_dv_state.json"))
+    t.write(  # v2: overwrite — commit has delete_sets=[] (fast path)
+        df.filter("k < 5").coalesce(1), mode="overwrite"
+    )
+    acts = _actions(t.path, 2)
+    rm = [a["remove"] for a in acts
+          if "remove" in a and a["remove"].get("deletionVector")]
+    assert len(rm) == 1 and rm[0]["deletionVector"]["cardinality"] == 5
+    files, _schema, _p = replay_delta_log(t.path)
+    assert len(files) == 1  # the old DV-bearing add must NOT be live
+    ext = sorted(r["k"] for r in read_delta_table(spark, t.path).collect())
+    assert ext == list(range(5))
+
+
+def test_deferred_mode_rewrite_retracts_default_mode_dvs(spark, tmp_path):
+    """Review finding: a table that materialized DVs in DEFAULT mode,
+    then switched to mirror.dvMode='deferred', must still attach prior
+    descriptors to removes on a rewrite — 'deferred skips the log
+    scan' only holds for remove-less commits (the CDC-apply shape)."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        replay_delta_log,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])  # v0
+    t.delete_where("k >= 15", strategy="merge-on-read")  # v1: DV (default)
+    os.remove(os.path.join(t.path, "_delta_log", "_dv_state.json"))
+    t.write(  # rewrite under deferred mode, sidecar lost
+        df.filter("k < 5").coalesce(1), mode="overwrite",
+        properties={"mirror.dvMode": "deferred"},
+    )
+    acts = _actions(t.path, 2)
+    rm = [a["remove"] for a in acts
+          if "remove" in a and a["remove"].get("deletionVector")]
+    assert len(rm) == 1 and rm[0]["deletionVector"]["cardinality"] == 5
+    files, _schema, _p = replay_delta_log(t.path)
+    assert len(files) == 1
 
 
 def test_read_delta_table_empty_snapshot(spark, tmp_path):
