@@ -373,11 +373,7 @@ def ivf_topk(
     Contracts (enforced / relied on): ``probe`` has exactly one row
     (raises otherwise); ``id_col`` is unique per vector.
     """
-    cents_q = (
-        df.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv"))
-    )
+    cents_q = _centroids_query(df, n_cells, vec_col, id_col)
     # the two metadata collects (centroids, probe) are independent —
     # submit them as CONCURRENT jobs (py4j job submission is
     # thread-safe) instead of paying two serial dispatch rounds
@@ -388,22 +384,13 @@ def ivf_topk(
         _f_probe = _ex.submit(_single_probe_row, probe, vec_col, id_col)
         cent_rows = _f_cents.result()
         _pid, pv = _f_probe.result()
-    # nprobe nearest cells to the probe — n_cells driver-side cosines
-    # with Spark's exact null/tie semantics (null similarity sorts
-    # last under DESC, ties break on the smaller cell id)
-    scored_cells = sorted(
-        ((_py_cos(r["cv"], pv), r["cell"]) for r in cent_rows),
-        key=lambda t: (_probe_rank_key(t[0]), t[1]),
+    probe_cells = _choose_probe_cells(
+        ((r["cv"], r["cell"]) for r in cent_rows), pv, nprobe
     )
-    probe_cells = [c for _s, c in scored_cells[:nprobe]]
 
     cmat, cell_ids, ncvs = _usable_centroids(cent_rows)
 
-    v = df.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("_v"),
-        norm(_as_double(F.col(vec_col))).alias("_nv"),  # one fold/row
-    )
+    v = _corpus_projection(df, vec_col, id_col)
     if cmat and probe_cells:
         best = _best_cell_expr(cmat, cell_ids, ncvs)
         cand = (
@@ -419,6 +406,46 @@ def ivf_topk(
             F.col(id_col), F.col("_v").alias(vec_col)
         )
     return _topk_vs_literal(cand, _pid, pv, k, vec_col, id_col)
+
+
+def _centroids_query(
+    df: DataFrame, n_cells: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """The deterministic seeded coarse quantizer shared by ivf_topk
+    and ivf_build_index: the n_cells lowest-id vectors as (cell, cv).
+    ONE definition — the index-equals-ad-hoc guarantee rests on the
+    build and query paths quantizing identically."""
+    return (
+        df.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+    )
+
+
+def _corpus_projection(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, _v double-vector, _nv norm) — the assignment input shared
+    by ivf_topk and ivf_build_index (one norm fold per row)."""
+    return df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        norm(_as_double(F.col(vec_col))).alias("_nv"),
+    )
+
+
+def _choose_probe_cells(cent_pairs, pv, nprobe: int) -> list:
+    """The nprobe cells nearest the probe — driver-side cosines with
+    Spark's exact null/tie semantics (null similarity sorts last under
+    DESC, ties break on the smaller cell id). ``cent_pairs`` iterates
+    (cv, cell); shared by ivf_topk and ivf_query_index so both paths
+    rank cells identically."""
+    scored = sorted(
+        ((_py_cos(cv, pv), cell) for cv, cell in cent_pairs),
+        key=lambda t: (_probe_rank_key(t[0]), t[1]),
+    )
+    return [c for _s, c in scored[:nprobe]]
 
 
 def _usable_centroids(cent_rows) -> tuple[list, list, list]:
@@ -511,20 +538,9 @@ def ivf_build_index(
     the ad-hoc answer exactly. Returns the cell ids."""
     import json as _json
 
-    cents_q = (
-        df.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"),
-            _as_double(F.col(vec_col)).alias("cv"),
-        )
-    )
+    cents_q = _centroids_query(df, n_cells, vec_col, id_col)
     cmat, cell_ids, ncvs = _usable_centroids(cents_q.collect())
-    v = df.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("_v"),
-        norm(_as_double(F.col(vec_col))).alias("_nv"),
-    )
+    v = _corpus_projection(df, vec_col, id_col)
     if cmat:
         best = _best_cell_expr(cmat, cell_ids, ncvs)
         assigned = (
@@ -545,7 +561,19 @@ def ivf_build_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     sidecar = os.path.join(index_path, "_ivf_centroids.json")
     with open(sidecar, "w") as f:
-        _json.dump({"cells": cell_ids, "cmat": cmat, "ncvs": ncvs}, f)
+        _json.dump(
+            {
+                "cells": cell_ids,
+                "cmat": cmat,
+                "ncvs": ncvs,
+                # the index's exact Spark schema: an EMPTY index (empty
+                # corpus / no usable centroid / all-null vectors) writes
+                # zero part files, and a schema-less read of it fails
+                # with UNABLE_TO_INFER_SCHEMA — queries read with this
+                "schema": assigned.schema.json(),
+            },
+            f,
+        )
     return cell_ids
 
 
@@ -579,15 +607,20 @@ def ivf_query_index(
             f"No IVF index at {index_path!r} (missing centroid "
             "sidecar); run ivf_build_index first."
         ) from None
-    scored = sorted(
-        (
-            (_py_cos(cv, pv), cell)
-            for cv, cell in zip(meta["cmat"], meta["cells"])
-        ),
-        key=lambda t: (_probe_rank_key(t[0]), t[1]),
+    probe_cells = _choose_probe_cells(
+        zip(meta["cmat"], meta["cells"]), pv, nprobe
     )
-    probe_cells = [c for _s, c in scored[:nprobe]]
-    base = spark.read.parquet(index_path)
+    reader = spark.read
+    if "schema" in meta:
+        # explicit schema from the sidecar: an empty index has zero
+        # part files and a schema-less read raises
+        # UNABLE_TO_INFER_SCHEMA instead of returning empty
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(
+            _json.loads(meta["schema"])
+        ))
+    base = reader.parquet(index_path)
     cand = (
         base.filter(F.col("cell").isin(probe_cells))
         if probe_cells

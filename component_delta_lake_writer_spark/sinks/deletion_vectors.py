@@ -145,7 +145,9 @@ def serialize_bitmap(indices) -> bytes:
     n_maps = (max(by_high) + 1) if by_high else 0
     out = [struct.pack("<iq", MAGIC_PORTABLE, n_maps)]
     for hi in range(n_maps):
-        out.append(_serialize_rb32(sorted(set(by_high.get(hi, [])))))
+        # no pre-sort/dedup here: _serialize_rb32 dedups at container
+        # build and sorts per container — one canonical dedup site
+        out.append(_serialize_rb32(by_high.get(hi, [])))
     return b"".join(out)
 
 

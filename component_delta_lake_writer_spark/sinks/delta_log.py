@@ -263,10 +263,9 @@ def _prior_mapping_ids(log_dir: str) -> tuple[dict, int]:
     the dotted physical path (``parent.child``, ``parent.element``, …)
     — walking only top level would lose every nested id and re-emission
     would renumber them, violating id immutability for nested data."""
-    a = next(_scan_log_newest_first(log_dir, "metaData"), None)
-    if a is None:
+    md = _latest_metadata(log_dir)
+    if md is None:
         return {}, 0
-    md = a["metaData"]
     ids: dict = {}
 
     def walk(t, prefix: str) -> None:
@@ -764,15 +763,63 @@ def _log_last_protocol(log_dir: str) -> dict | None:
     return next(_scan_log_newest_first(log_dir, "protocol"), None)
 
 
+def _latest_metadata(log_dir: str) -> dict | None:
+    """Most recent metaData action, CHECKPOINT-BOUNDED: JSON entries
+    are scanned newest-first only down to the advertised checkpoint,
+    whose own metaData row answers for everything older. A
+    never-evolved table keeps its only metaData at v0, so the
+    unbounded newest-first scan was O(history) — paid by every rewrite
+    commit's DV-config probe; with checkpoints every
+    CHECKPOINT_INTERVAL commits this is <=interval file opens."""
+    if not os.path.isdir(log_dir):
+        return None
+    ckpt_v: int | None = None
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                ckpt_v = int(json.load(f)["version"])
+        except (ValueError, KeyError):
+            ckpt_v = None
+    needle = '"metaData"'
+    for v in reversed(_log_versions(log_dir)):
+        if ckpt_v is not None and v <= ckpt_v:
+            break
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if needle not in line:
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"]
+    if ckpt_v is None:
+        return None
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(
+        os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet"),
+        columns=["metaData"],
+    ).to_pylist()
+    for r in rows:
+        md = r.get("metaData")
+        if md:
+            md = dict(md)
+            # map-typed parquet columns come back as item-pair lists
+            if isinstance(md.get("configuration"), list):
+                md["configuration"] = dict(md["configuration"])
+            return md
+    return None
+
+
 def _log_has_mapping(log_dir: str) -> bool:
     """True iff the most recent metaData action in the mirror already
     enabled columnMapping mode=name (which the spec says can never be
     disabled) — consulted when a later schema evolution happens after
     all renames were materialized by a rewrite."""
-    a = next(_scan_log_newest_first(log_dir, "metaData"), None)
-    if a is None:
+    md = _latest_metadata(log_dir)
+    if md is None:
         return False
-    cfg = a["metaData"].get("configuration") or {}
+    cfg = md.get("configuration") or {}
     return cfg.get("delta.columnMapping.mode") == "name"
 
 
@@ -780,10 +827,10 @@ def _log_has_dv_config(log_dir: str) -> bool:
     """True iff the most recent metaData already carries
     delta.enableDeletionVectors (set at first DV emission; like column
     mapping, the table feature never downgrades)."""
-    a = next(_scan_log_newest_first(log_dir, "metaData"), None)
-    if a is None:
+    md = _latest_metadata(log_dir)
+    if md is None:
         return False
-    cfg = a["metaData"].get("configuration") or {}
+    cfg = md.get("configuration") or {}
     return cfg.get("delta.enableDeletionVectors") == "true"
 
 

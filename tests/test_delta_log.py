@@ -1154,3 +1154,53 @@ def test_dv_bound_is_per_delete_set(spark, tmp_path):
     dvs = live_dv_descriptors(t.path)
     assert len(dvs) == 1
     assert sum(d["cardinality"] for d in dvs.values()) == 10
+
+
+def test_latest_metadata_checkpoint_bounded(spark, tmp_path):
+    """Review finding: the latest-metaData probe must be CHECKPOINT-
+    bounded — a never-evolved table keeps its only metaData at v0, and
+    the unbounded newest-first scan made every rewrite commit's
+    DV-config probe O(history). Discriminator: after external metadata
+    cleanup removes the pre-checkpoint JSON entries (which delta-rs/
+    Spark legitimately do), the metaData must still resolve via the
+    checkpoint's own row."""
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _latest_metadata,
+        _log_has_dv_config,
+        read_last_checkpoint,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    o = load_table(spark, SF, "orders").limit(120).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t.write(o.coalesce(1), mode="overwrite", primary_key=["o_orderkey"])
+    t.delete_where("o_orderkey % 7 = 0", strategy="merge-on-read")  # DV
+    for i in range(9):  # cross the checkpoint interval at v9
+        t.write(
+            o.filter((F.col("o_orderkey") % 9) == i)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .coalesce(1),
+            mode="append",
+        )
+    ck = read_last_checkpoint(t.path)
+    assert ck is not None and ck["version"] == 9
+    log_dir = os.path.join(t.path, "_delta_log")
+    # simulate external metadata cleanup: drop all pre-checkpoint JSON
+    for v in range(ck["version"]):
+        os.unlink(os.path.join(log_dir, f"{v:020d}.json"))
+    md = _latest_metadata(log_dir)
+    assert md is not None
+    cfg = md.get("configuration") or {}
+    assert cfg.get("delta.enableDeletionVectors") == "true"
+    assert _log_has_dv_config(log_dir)
+    # the scan must never have opened the (now missing) early entries:
+    # a fresh append commit still publishes cleanly on this table
+    t.write(
+        o.limit(5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 20_000_000
+        ).coalesce(1),
+        mode="append",
+    )

@@ -1496,3 +1496,7 @@ def test_ivf_index_matches_adhoc_and_handles_edges(spark, tmp_path):
     empty = df.filter(F.lit(False))
     idx2 = str(tmp_path / "idx2")
     assert ivf_build_index(empty, idx2, n_cells=4) == []
+    # review finding: QUERYING an empty index must return an empty
+    # frame, not UNABLE_TO_INFER_SCHEMA (zero part files were written;
+    # the sidecar-stored schema makes the read well-typed)
+    assert ivf_query_index(spark, idx2, probe, k=5, nprobe=2).count() == 0
