@@ -735,42 +735,25 @@ def _protocol_upgrade(prev: dict, new: dict, used: set) -> dict | None:
     return {"protocol": out}
 
 
-def _scan_log_newest_first(log_dir: str, key: str):
-    """Yield actions of kind ``key`` from the mirror, newest commit
-    first (each commit holds at most one action of a given kind; a
-    cheap substring prefilter skips json-parsing unrelated lines)."""
-    if not os.path.isdir(log_dir):
-        return
-    versions = list(reversed(_log_versions(log_dir)))
-    needle = f'"{key}"'
-    for v in versions:
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
-            for line in f:
-                if needle not in line:
-                    continue
-                a = json.loads(line)
-                if key in a:
-                    yield a
-                    break
-
-
 def _log_last_protocol(log_dir: str) -> dict | None:
     """The most recent protocol action in the mirror (external readers
-    hold the LAST one replayed), or None for a fresh log. Worst case
-    O(history) when only v0 carries a protocol — amortized by the
-    substring prefilter; schema-evolution commits are rare relative to
-    data commits."""
-    return next(_scan_log_newest_first(log_dir, "protocol"), None)
+    hold the LAST one replayed), or None for a fresh log. Checkpoint-
+    bounded like _latest_metadata — only v0 carries a protocol on a
+    never-escalated table, and consulting the checkpoint's protocol
+    row keeps the scan <=CHECKPOINT_INTERVAL files."""
+    pr = _latest_action(log_dir, "protocol")
+    return {"protocol": pr} if pr is not None else None
 
 
-def _latest_metadata(log_dir: str) -> dict | None:
-    """Most recent metaData action, CHECKPOINT-BOUNDED: JSON entries
-    are scanned newest-first only down to the advertised checkpoint,
-    whose own metaData row answers for everything older. A
-    never-evolved table keeps its only metaData at v0, so the
-    unbounded newest-first scan was O(history) — paid by every rewrite
-    commit's DV-config probe; with checkpoints every
-    CHECKPOINT_INTERVAL commits this is <=interval file opens."""
+def _latest_action(log_dir: str, key: str) -> dict | None:
+    """Most recent action of kind ``key`` ('metaData' / 'protocol'),
+    CHECKPOINT-BOUNDED: JSON entries are scanned newest-first only
+    down to the advertised checkpoint, whose own row answers for
+    everything older. A never-evolved table keeps its only metaData at
+    v0, so the unbounded newest-first scan was O(history) — paid by
+    every rewrite commit's DV-config probe; with checkpoints every
+    CHECKPOINT_INTERVAL commits this is <=interval file opens. Returns
+    the action's INNER dict (already unwrapped)."""
     if not os.path.isdir(log_dir):
         return None
     ckpt_v: int | None = None
@@ -781,7 +764,7 @@ def _latest_metadata(log_dir: str) -> dict | None:
                 ckpt_v = int(json.load(f)["version"])
         except (ValueError, KeyError):
             ckpt_v = None
-    needle = '"metaData"'
+    needle = f'"{key}"'
     for v in reversed(_log_versions(log_dir)):
         if ckpt_v is not None and v <= ckpt_v:
             break
@@ -790,25 +773,37 @@ def _latest_metadata(log_dir: str) -> dict | None:
                 if needle not in line:
                     continue
                 a = json.loads(line)
-                if "metaData" in a:
-                    return a["metaData"]
+                if key in a:
+                    return a[key]
     if ckpt_v is None:
         return None
     import pyarrow.parquet as pq
 
     rows = pq.read_table(
         os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet"),
-        columns=["metaData"],
+        columns=[key],
     ).to_pylist()
     for r in rows:
-        md = r.get("metaData")
-        if md:
-            md = dict(md)
-            # map-typed parquet columns come back as item-pair lists
-            if isinstance(md.get("configuration"), list):
-                md["configuration"] = dict(md["configuration"])
-            return md
+        act = r.get(key)
+        if act:
+            # the checkpoint's struct columns materialize EVERY field
+            # (absent JSON keys come back as None) — strip them so
+            # presence checks ('readerFeatures' in protocol) behave as
+            # on the JSON form; map-typed fields arrive as item pairs
+            act = {k: v for k, v in act.items() if v is not None}
+            if isinstance(act.get("configuration"), list):
+                act["configuration"] = dict(act["configuration"])
+            if isinstance(act.get("format"), dict):
+                fmt = dict(act["format"])
+                if isinstance(fmt.get("options"), list):
+                    fmt["options"] = dict(fmt["options"])
+                act["format"] = fmt
+            return act
     return None
+
+
+def _latest_metadata(log_dir: str) -> dict | None:
+    return _latest_action(log_dir, "metaData")
 
 
 def _log_has_mapping(log_dir: str) -> bool:
