@@ -1919,3 +1919,94 @@ _O["stream_replicate_cdf"] = """
     FROM orders
     WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
 """
+
+
+@query("row_tracking_ids")
+def row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING (rowTracking writer feature; the reference's
+    delta-rs tables carry no row identity — this is the lakehouse
+    feature layer above src/component.py:356's write path): stable
+    per-row ids assigned at write, immutable across appends and
+    carried units. Two deterministic single-file commits (slice A then
+    slice B, each sorted), so each row's id is its position in the
+    commit order — exactly the ROW_NUMBER the oracle predicts. The
+    read-back checks id VALUES, id->commit attribution
+    (defaultRowCommitVersion), and that the append did not renumber
+    commit 0 (id immutability), all hash-verified."""
+    t = _fresh_table(spark, "row_tracking_ids", sf_dir)
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).filter(k % 5 == 0)
+    part_a = o.filter(k % 3 == 0)
+    part_b = o.filter(k % 3 != 0)
+    t.write(
+        part_a.repartition(1).sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+        primary_key=["o_orderkey"],
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.write(
+        part_b.repartition(1).sortWithinPartitions("o_orderkey"),
+        mode="append",
+    )
+    return t.read(with_row_ids=True).select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+    )
+
+
+_O["row_tracking_ids"] = """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY (o_orderkey % 3 <> 0),
+                              o_orderkey) - 1 AS row_id,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS row_commit_version
+    FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+@query("ict_time_travel")
+def ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS (inCommitTimestamp writer feature):
+    the commit clock is written INTO each commit, strictly monotonic,
+    and timestamp time travel resolves against it — not against
+    file-modification times that clock skew or a copy can scramble.
+    Three commits (create, append, DELETE); the probe asserts the ICT
+    chain is strictly increasing, then time-travels to each commit's
+    exact ICT and returns the row count seen — each count is the
+    deterministic relation the oracle recomputes from the inputs."""
+    t = _fresh_table(spark, "ict_time_travel", sf_dir)
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).filter(k % 4 == 0)
+    t.write(
+        o.filter(k % 3 == 0),
+        mode="overwrite",
+        primary_key=["o_orderkey"],
+        properties={"delta.enableInCommitTimestamps": "true"},
+    )
+    t.write(o.filter(k % 3 == 1), mode="append")
+    t.delete_where("o_orderkey % 8 = 0")
+    ts = [t.commit_at(v).timestamp_ms for v in (0, 1, 2)]
+    if not (ts[0] < ts[1] < ts[2]):
+        raise AssertionError(f"in-commit timestamps not monotonic: {ts}")
+    counts = [
+        (v, t.read(timestamp_ms=ts[v]).count()) for v in (0, 1, 2)
+    ]
+    return spark.createDataFrame(counts, "v int, n bigint")
+
+
+_O["ict_time_travel"] = """
+    SELECT 0 AS v, COUNT(*) AS n FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, COUNT(*) FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <= 1
+    UNION ALL
+    SELECT 2, COUNT(*) FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <= 1
+        AND o_orderkey % 8 <> 0
+"""

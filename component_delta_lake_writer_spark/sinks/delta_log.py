@@ -180,12 +180,21 @@ def _protocol_action(
     identityColumns; timestampNtz / deletionVectors force table
     features (3/7) and the in-use capabilities become explicit feature
     names. ``extra_caps`` carries commit-driven (non-schema)
-    capabilities — deletionVectors is the only one today."""
+    capabilities — deletionVectors, rowTracking (which per the spec
+    requires domainMetadata alongside), inCommitTimestamp."""
     caps = _used_caps(schema_json, column_mapping) | set(extra_caps)
+    if "rowTracking" in caps:
+        caps.add("domainMetadata")
     generated = "generatedColumns" in caps
     identity = "identityColumns" in caps
     defaults = "allowColumnDefaults" in caps
     widened = "typeWidening" in caps
+    # writer-only table features with no legacy ladder version: their
+    # presence forces the writer-7 feature-list form but never a
+    # reader escalation (readers ignore them by construction)
+    wonly = sorted(
+        caps & {"rowTracking", "domainMetadata", "inCommitTimestamp"}
+    )
     if caps & {"timestampNtz", "deletionVectors"}:
         reader = [
             f for f in ("timestampNtz", "deletionVectors") if f in caps
@@ -198,6 +207,7 @@ def _protocol_action(
             + (["identityColumns"] if identity else [])
             # defaultColumns is writer-only (spec: allowColumnDefaults)
             + (["allowColumnDefaults"] if defaults else [])
+            + wonly
         )
         return {
             "protocol": {
@@ -215,10 +225,11 @@ def _protocol_action(
     if identity:
         writer = max(writer, 6)
     reader = 2 if column_mapping else 1
-    if defaults or widened:
-        # allowColumnDefaults/typeWidening exist only as table features
-        # (writer 7, no legacy version); writer 7 must enumerate every
-        # in-use feature, including the legacy ladder's implications
+    if defaults or widened or wonly:
+        # allowColumnDefaults/typeWidening/rowTracking/domainMetadata/
+        # inCommitTimestamp exist only as table features (writer 7, no
+        # legacy version); writer 7 must enumerate every in-use
+        # feature, including the legacy ladder's implications
         feats = ["appendOnly", "invariants"]
         if generated:
             feats.append("generatedColumns")
@@ -228,6 +239,7 @@ def _protocol_action(
             feats.append("identityColumns")
         if defaults:
             feats.append("allowColumnDefaults")
+        feats.extend(wonly)
         if widened:
             # typeWidening is reader-relevant: narrower pages must be
             # read under the widened schema -> reader 3 + feature
@@ -418,6 +430,8 @@ def write_delta_log_entry(
     txn: tuple[str, int] | None = None,
     dv_adds: dict | None = None,
     current_dvs: dict | None = None,
+    row_tracking: dict | None = None,
+    ict: dict | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -441,7 +455,25 @@ def write_delta_log_entry(
     carry ``delta.columnMapping.{id,physicalName}`` metadata and the
     protocol upgrades to reader 2 / writer 5 the first time the map
     becomes non-empty (3/7 + feature names when timestampNtz already
-    forced table features)."""
+    forced table features).
+
+    ``row_tracking`` (Delta rowTracking writer feature, PROTOCOL.md
+    §Row Tracking): ``{"high_water": int, "files": {table-relative
+    path: {"baseRowId": int, "defaultRowCommitVersion": int}},
+    "newly": bool}``. Emits the ``delta.rowTracking`` domainMetadata
+    action carrying ``rowIdHighWaterMark``, stamps every add (and DV
+    re-add) with its file's baseRowId/defaultRowCommitVersion, and on
+    first enablement ("newly") re-emits metaData with
+    ``delta.enableRowTracking=true`` plus a protocol upgrade to the
+    ``rowTracking``+``domainMetadata`` writer features.
+
+    ``ict`` (Delta inCommitTimestamp writer feature):
+    ``{"timestamp": int, "config": {…enablement properties…},
+    "newly": bool}``. Makes commitInfo the FIRST action of the commit
+    (spec requirement) carrying ``inCommitTimestamp``; "newly"
+    re-emits metaData with ``delta.enableInCommitTimestamps=true``
+    (+ the enablement version/timestamp properties when enabled after
+    table creation) and upgrades the protocol."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
     os.makedirs(log_dir, exist_ok=True)
 
@@ -466,12 +498,27 @@ def write_delta_log_entry(
         return bool(dv_adds) or _log_dv_cfg()
 
     def _extra_caps() -> set:
-        return {"deletionVectors"} if _dv_live() else set()
+        caps = {"deletionVectors"} if _dv_live() else set()
+        if row_tracking is not None:
+            caps |= {"rowTracking", "domainMetadata"}
+        if ict is not None:
+            caps.add("inCommitTimestamp")
+        return caps
 
-    def _dv_config() -> dict:
-        return (
-            {"delta.enableDeletionVectors": "true"} if _dv_live() else {}
-        )
+    def _feature_config() -> dict:
+        """metaData ``configuration`` entries for every live
+        commit-driven feature — any metaData re-emission must carry
+        all of them or external readers would see a feature's
+        property flip off."""
+        cfg: dict = {}
+        if _dv_live():
+            cfg["delta.enableDeletionVectors"] = "true"
+        if row_tracking is not None:
+            cfg["delta.enableRowTracking"] = "true"
+        if ict is not None:
+            cfg["delta.enableInCommitTimestamps"] = "true"
+            cfg.update(ict.get("config") or {})
+        return cfg
 
     actions: list[dict] = []
     if txn is not None:
@@ -489,6 +536,9 @@ def write_delta_log_entry(
         # delta.enableDeletionVectors (the protocol feature is what
         # readers REQUIRE; the property is what real writers set)
         or (bool(dv_adds) and not _log_dv_cfg())
+        # first rowTracking / inCommitTimestamp enablement: same rule
+        or bool(row_tracking and row_tracking.get("newly"))
+        or bool(ict and ict.get("newly"))
     )
     if version == 0:
         actions.append(
@@ -498,7 +548,7 @@ def write_delta_log_entry(
             _metadata_action(
                 uuid.uuid4().hex, schema_json, partition_by, timestamp_ms,
                 column_mapping=cm if cm else None,
-                extra_config=_dv_config(),
+                extra_config=_feature_config(),
             )
         )
     elif need_meta:
@@ -539,9 +589,43 @@ def write_delta_log_entry(
                 created if created is not None else timestamp_ms,
                 column_mapping=cm if mapped_mode else None,
                 prior_ids=prior_ids, prior_max_id=prior_max,
-                extra_config=_dv_config(),
+                extra_config=_feature_config(),
             )
         )
+
+    if row_tracking is not None:
+        # domainMetadata delta.rowTracking (latest-wins per domain in
+        # replay/checkpoint): the fresh-row-id high-water mark every
+        # spec-compliant row-tracking writer must advance through
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {
+                            "rowIdHighWaterMark": int(
+                                row_tracking.get("high_water", -1)
+                            )
+                        }
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+
+    def _rt_fields(rel: str) -> dict:
+        """baseRowId/defaultRowCommitVersion for one file's add (or
+        DV re-add — a re-added file KEEPS its ids; that is the whole
+        stability contract)."""
+        if row_tracking is None:
+            return {}
+        ent = (row_tracking.get("files") or {}).get(rel)
+        if ent is None:
+            return {}
+        return {
+            "baseRowId": ent["baseRowId"],
+            "defaultRowCommitVersion": ent["defaultRowCommitVersion"],
+        }
 
     for unit in removed_units:
         for rel, _size, _mtime, _pvals in _walk_parquet(table_path, os.path.join(data_dir_name, unit)):
@@ -566,6 +650,7 @@ def write_delta_log_entry(
                         "size": size,
                         "modificationTime": mtime,
                         "dataChange": True,
+                        **_rt_fields(rel),
                     }
                 }
             )
@@ -599,18 +684,26 @@ def write_delta_log_entry(
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
                     "deletionVector": dv_adds[rel],
+                    **_rt_fields(rel),
                 }
             }
         )
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": timestamp_ms,
-                "operation": operation,
-                "engineInfo": "component-delta-lake-writer-spark",
-            }
+    commit_info = {
+        "commitInfo": {
+            "timestamp": timestamp_ms,
+            "operation": operation,
+            "engineInfo": "component-delta-lake-writer-spark",
         }
-    )
+    }
+    if ict is not None:
+        # spec: under inCommitTimestamp, commitInfo MUST be the FIRST
+        # action and carry the monotonic in-commit timestamp
+        commit_info["commitInfo"]["inCommitTimestamp"] = int(
+            ict["timestamp"]
+        )
+        actions.insert(0, commit_info)
+    else:
+        actions.append(commit_info)
 
     final = os.path.join(log_dir, f"{version:020d}.json")
     tmp = final + f".tmp.{uuid.uuid4().hex}"
@@ -1054,6 +1147,7 @@ def write_checkpoint(table_path: str, version: int) -> str:
     live: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
     txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
     for v in range(version + 1):
         for a in _read_version_actions(log_dir, v):
             if "protocol" in a:
@@ -1066,6 +1160,11 @@ def write_checkpoint(table_path: str, version: int) -> str:
                 # writer replaying from the checkpoint would otherwise
                 # find no watermark and re-apply committed batches
                 txns[a["txn"]["appId"]] = a["txn"]
+            elif "domainMetadata" in a:
+                # latest per domain (spec: checkpoints carry domain
+                # metadata; a row-tracking reader loading from the
+                # checkpoint needs the rowIdHighWaterMark)
+                domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
             elif "add" in a:
                 live[a["add"]["path"]] = a["add"]
                 tombstones.pop(a["add"]["path"], None)
@@ -1079,27 +1178,17 @@ def write_checkpoint(table_path: str, version: int) -> str:
     # against stale listings do not resurrect removed files; every
     # tombstone since log start is kept — a superset of any retention
     # window, and harmless to replay).
-    rows = [
-        {"protocol": protocol, "metaData": None, "add": None,
-         "remove": None, "txn": None},
-        {"protocol": None, "metaData": metadata, "add": None,
-         "remove": None, "txn": None},
-    ]
-    rows += [
-        {"protocol": None, "metaData": None, "add": add, "remove": None,
-         "txn": None}
-        for add in live.values()
-    ]
-    rows += [
-        {"protocol": None, "metaData": None, "add": None, "remove": rm,
-         "txn": None}
-        for rm in tombstones.values()
-    ]
-    rows += [
-        {"protocol": None, "metaData": None, "add": None, "remove": None,
-         "txn": t}
-        for t in txns.values()
-    ]
+    def _row(**kw) -> dict:
+        base = {"protocol": None, "metaData": None, "add": None,
+                "remove": None, "txn": None, "domainMetadata": None}
+        base.update(kw)
+        return base
+
+    rows = [_row(protocol=protocol), _row(metaData=metadata)]
+    rows += [_row(add=add) for add in live.values()]
+    rows += [_row(remove=rm) for rm in tombstones.values()]
+    rows += [_row(txn=t) for t in txns.values()]
+    rows += [_row(domainMetadata=d) for d in domains.values()]
 
     schema = pa.schema(
         [
@@ -1158,6 +1247,10 @@ def write_checkpoint(table_path: str, version: int) -> str:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         _DV_PA_FIELD,
+                        # rowTracking: ids must survive the checkpoint
+                        # or readers loading from it lose row identity
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -1179,6 +1272,16 @@ def write_checkpoint(table_path: str, version: int) -> str:
                         pa.field("appId", pa.string()),
                         pa.field("version", pa.int64()),
                         pa.field("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -1208,6 +1311,7 @@ def write_checkpoint(table_path: str, version: int) -> str:
             "add": _maps(r["add"], ("partitionValues",)),
             "remove": r["remove"],
             "txn": r["txn"],
+            "domainMetadata": r["domainMetadata"],
         }
         for r in rows
     ]

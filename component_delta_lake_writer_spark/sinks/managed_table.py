@@ -66,6 +66,8 @@ _BOOLEAN_PROPERTIES = {
     "enableChangeDataFeed",
     "changeDataFeedPreImages",
     "autoCompact",
+    "delta.enableRowTracking",
+    "delta.enableInCommitTimestamps",
 }
 
 # Change-feed action classification — shared by batch read_changes and
@@ -143,6 +145,64 @@ class Commit:
     # INTO skips them (file-level idempotent ingest). Carried forward
     # by _publish; [] on old commits.
     ingest_sidecars: list = field(default_factory=list)
+    # Row tracking (Delta rowTracking writer feature, enabled via the
+    # delta.enableRowTracking table property): {unit: {"v": version
+    # the unit's ids were assigned, "files": {table-relative parquet
+    # path: [baseRowId, numRecords]}}}. A row's stable id is
+    # baseRowId + its position in the file. Ids are IMMUTABLE once
+    # assigned: a unit carried, restored, or DV-re-added keeps its
+    # entry verbatim; only brand-new units draw fresh ids past the
+    # high-water mark. {} on old commits / untracked tables.
+    row_ids: dict = field(default_factory=dict)
+    # rowIdHighWaterMark (mirrored as the delta.rowTracking
+    # domainMetadata): highest fresh row id ever assigned; -1 = none.
+    row_id_high_water: int = -1
+
+
+def _prop_on(props: dict | None, key: str) -> bool:
+    """Boolean table property, Delta-style: True or 'true' (any case)."""
+    v = (props or {}).get(key)
+    return v is True or str(v).lower() == "true"
+
+
+def _mirror_feature_args(c: Commit, prev: Commit | None) -> tuple:
+    """(row_tracking, ict) args for ``write_delta_log_entry``, derived
+    from a commit AS STORED — shared by _publish (after it finalizes
+    timestamps/ids) and the sync_metadata repair path (which re-emits
+    lost mirror entries from committed state)."""
+    rt = None
+    if c.row_ids:
+        files: dict = {}
+        for ent in c.row_ids.values():
+            for rel, (base, _n) in (ent.get("files") or {}).items():
+                files[rel] = {
+                    "baseRowId": int(base),
+                    "defaultRowCommitVersion": int(ent["v"]),
+                }
+        rt = {
+            "high_water": int(c.row_id_high_water),
+            "files": files,
+            "newly": prev is None or not (prev.row_ids or {}),
+        }
+    ict = None
+    props = c.properties or {}
+    if _prop_on(props, "delta.enableInCommitTimestamps"):
+        ict = {
+            "timestamp": int(c.timestamp_ms),
+            "config": {
+                k: str(props[k])
+                for k in (
+                    "delta.inCommitTimestampEnablementVersion",
+                    "delta.inCommitTimestampEnablementTimestamp",
+                )
+                if k in props
+            },
+            "newly": prev is None
+            or not _prop_on(
+                prev.properties, "delta.enableInCommitTimestamps"
+            ),
+        }
+    return rt, ict
 
 
 class ManagedTable:
@@ -195,6 +255,37 @@ class ManagedTable:
                 if s not in (commit.ingest_sidecars or [])
             ]
             commit.ingest_sidecars = carried + (commit.ingest_sidecars or [])
+
+        props = commit.properties or {}
+        # In-commit timestamps (Delta inCommitTimestamp writer
+        # feature): once enabled, commit timestamps are the table's
+        # time-travel clock and MUST be strictly monotonic — a
+        # regressed system clock must never produce a commit that
+        # sorts before its parent. Runs BEFORE serialization: the
+        # engine commit file and the mirror must agree on the clock.
+        if _prop_on(props, "delta.enableInCommitTimestamps"):
+            if prev is not None and commit.timestamp_ms <= prev.timestamp_ms:
+                commit.timestamp_ms = prev.timestamp_ms + 1
+            if prev is not None and not _prop_on(
+                prev.properties, "delta.enableInCommitTimestamps"
+            ):
+                # enabled AFTER table creation: the spec requires the
+                # enablement point so readers know which commits carry
+                # ICT (earlier ones time-travel by file timestamp)
+                props = dict(props)
+                props["delta.inCommitTimestampEnablementVersion"] = str(
+                    commit.version
+                )
+                props["delta.inCommitTimestampEnablementTimestamp"] = str(
+                    commit.timestamp_ms
+                )
+                commit.properties = props
+        # Row tracking (Delta rowTracking writer feature): assign
+        # stable row ids to new units, carry every existing unit's
+        # ids verbatim — part of committed state, so also before
+        # serialization.
+        if _prop_on(props, "delta.enableRowTracking"):
+            self._assign_row_ids(commit, prev)
         # Column-mapping invariant: on-disk (physical) names must stay
         # unique or the physical scan schema is ambiguous. Guards the
         # rename/add/schema-merge composition paths in one place.
@@ -254,6 +345,7 @@ class ManagedTable:
         removed_units_list = [
             u for u in prev_units if u not in set(commit.data_units)
         ]
+        rt_arg, ict_arg = _mirror_feature_args(commit, prev)
         dv_adds, current_dvs, dv_covered, dv_fully = (
             self._compute_dv_updates(
                 commit, added_units, has_removes=bool(removed_units_list)
@@ -289,6 +381,8 @@ class ManagedTable:
                 ),
                 None,
             ),
+            row_tracking=rt_arg,
+            ict=ict_arg,
         )
         # persist which engine delete sets the mirror now covers —
         # AFTER the log entry (the log is the source of truth; a crash
@@ -302,6 +396,74 @@ class ManagedTable:
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
         maybe_write_checkpoint(self.path, commit.version)
+
+    def _assign_row_ids(self, commit: Commit, prev: Commit | None) -> None:
+        """Populate ``commit.row_ids``/``row_id_high_water`` under row
+        tracking. Carried units keep their prior entry verbatim
+        (id immutability); units re-added by RESTORE/clone recover
+        their original entry from history; only genuinely new units
+        (plus the one-time backfill when tracking is enabled on an
+        existing table) draw fresh ids past the high-water mark.
+
+        Cost posture: one parquet-footer read per NEW file (the same
+        metadata any row-tracking writer records at write time) — no
+        data scan; the common append touches only its own unit."""
+        import pyarrow.parquet as pq
+
+        prev_map = (prev.row_ids or {}) if prev is not None else {}
+        hwm = prev.row_id_high_water if prev is not None else -1
+        out: dict = {}
+        missing: list[str] = []
+        for u in commit.data_units:
+            if u in prev_map:
+                out[u] = prev_map[u]
+            else:
+                missing.append(u)
+        if missing and prev is not None:
+            recovered = self._prior_row_entries(missing, prev.version)
+            out.update(recovered)
+            missing = [u for u in missing if u not in recovered]
+        from component_delta_lake_writer_spark.sinks.delta_log import (
+            _walk_parquet,
+        )
+
+        for u in missing:
+            files: dict = {}
+            for rel, _size, _mtime, _pvals in _walk_parquet(
+                self.path, os.path.join(_DATA, u)
+            ):
+                n = int(
+                    pq.ParquetFile(
+                        os.path.join(self.path, rel)
+                    ).metadata.num_rows
+                )
+                files[rel] = [hwm + 1, n]
+                hwm += n
+            out[u] = {"v": commit.version, "files": files}
+        commit.row_ids = out
+        commit.row_id_high_water = hwm
+
+    def _prior_row_entries(self, units: list[str], from_version: int) -> dict:
+        """Latest historical ``row_ids`` entry per unit (RESTORE /
+        re-add recovery): one backward pass over the commit log,
+        stopping as soon as every unit is found. Metadata-only JSON
+        reads, bounded by history length — the same O(history) walk
+        RESTORE itself performs."""
+        found: dict = {}
+        want = set(units)
+        for v in range(from_version, -1, -1):
+            if not want:
+                break
+            try:
+                c = self.commit_at(v)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            for u in list(want):
+                ent = (c.row_ids or {}).get(u)
+                if ent is not None:
+                    found[u] = ent
+                    want.discard(u)
+        return found
 
     def _compute_dv_updates(
         self,
@@ -1182,10 +1344,19 @@ class ManagedTable:
         self,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read as ONE multi-path scan — optionally time-
         traveled by version (``VERSION AS OF``) or epoch-ms timestamp
         (``TIMESTAMP AS OF``).
+
+        ``with_row_ids=True`` (row-tracking tables only) adds two
+        metadata columns: ``_row_id`` (the stable Delta row id —
+        the file's baseRowId plus the row's position in the file) and
+        ``_row_commit_version`` (the commit that assigned the row's
+        id). Ids survive appends, carried units, RESTORE and DV
+        re-adds; merge-on-read-deleted rows simply vanish with their
+        ids intact on survivors.
 
         The committed schema is authoritative: passing it explicitly
         makes the parquet reader fill columns absent from older data
@@ -1208,7 +1379,9 @@ class ManagedTable:
             commit = self.latest_commit()
         if commit is None:
             raise UserException(f"No table at {self.path}")
-        return self._read_units(commit, commit.data_units)
+        return self._read_units(
+            commit, commit.data_units, with_row_ids=with_row_ids
+        )
 
     # ---------- schema DDL (ALTER TABLE ADD/DROP COLUMN) ----------
 
@@ -1534,12 +1707,29 @@ class ManagedTable:
             ]
         )
 
+    @staticmethod
+    def _row_meta_cols(df: DataFrame) -> DataFrame:
+        """Attach the two file-identity helper columns row tracking
+        needs (``_rt_rel``: table-relative file path, ``_rt_ri``: row
+        position in the file) — must run on the RAW scan relation
+        (the ``_metadata`` pseudo-column dies at the first select)."""
+        return df.withColumn(
+            "_rt_rel",
+            F.concat(
+                F.lit(_DATA + "/"),
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/" + _DATA + "/", -1
+                ),
+            ),
+        ).withColumn("_rt_ri", F.col("_metadata.row_index"))
+
     def _scan_units(
         self,
         paths: list[str],
         schema: T.StructType,
         mapping: dict,
         partition_by: list[str] | None = None,
+        with_row_meta: bool = False,
     ) -> DataFrame:
         """One multi-path FileScan under the physical schema, aliased
         back to logical names — the single place reads cross the
@@ -1558,12 +1748,17 @@ class ManagedTable:
             df = self.spark.read.schema(
                 self._physical_schema(schema, mapping)
             ).parquet(*paths)
+            if with_row_meta:
+                df = self._row_meta_cols(df)
             if mapping:
                 df = df.select(
-                    *[
-                        F.col(mapping.get(f.name, f.name)).alias(f.name)
-                        for f in schema.fields
-                    ]
+                    *(
+                        [
+                            F.col(mapping.get(f.name, f.name)).alias(f.name)
+                            for f in schema.fields
+                        ]
+                        + (["_rt_rel", "_rt_ri"] if with_row_meta else [])
+                    )
                 )
             return df
         data_schema = T.StructType(
@@ -1576,6 +1771,8 @@ class ManagedTable:
             .option("recursiveFileLookup", "true")
             .parquet(*paths)
         )
+        if with_row_meta:
+            df = self._row_meta_cols(df)
         cols = []
         for f in schema.fields:
             if f.name in pset:
@@ -1601,6 +1798,8 @@ class ManagedTable:
                 cols.append(
                     F.col(mapping.get(f.name, f.name)).alias(f.name)
                 )
+        if with_row_meta:
+            cols += [F.col("_rt_rel"), F.col("_rt_ri")]
         return df.select(*cols)
 
     @staticmethod
@@ -1631,7 +1830,12 @@ class ManagedTable:
             out[u] = ns
         return out
 
-    def _read_units(self, commit: Commit, units: list[str]) -> DataFrame:
+    def _read_units(
+        self,
+        commit: Commit,
+        units: list[str],
+        with_row_ids: bool = False,
+    ) -> DataFrame:
         """One multi-path scan over a subset of a commit's data units,
         under the commit's authoritative schema — with the commit's
         merge-on-read delete sets applied.
@@ -1644,12 +1848,21 @@ class ManagedTable:
         maintenance cadence — never O(deletes)."""
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         mapping = commit.column_mapping or {}
+        if with_row_ids and not commit.row_ids:
+            raise UserException(
+                "Row tracking is not enabled on this table; create it "
+                "with properties={'delta.enableRowTracking': 'true'}."
+            )
 
         def scan(us: list[str]) -> DataFrame:
             paths = [os.path.join(self._data_dir, u) for u in us]
-            return self._scan_units(
-                paths, schema, mapping, commit.partition_by
+            df = self._scan_units(
+                paths, schema, mapping, commit.partition_by,
+                with_row_meta=with_row_ids,
             )
+            if with_row_ids:
+                df = self._attach_row_ids(df, commit)
+            return df
 
         if not commit.delete_sets:
             return scan(units)
@@ -1674,6 +1887,26 @@ class ManagedTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _attach_row_ids(self, df: DataFrame, commit: Commit) -> DataFrame:
+        """``_row_id`` / ``_row_commit_version`` from the commit's
+        per-file base-id table: a BROADCAST join on the file's
+        table-relative path (metadata-scale — one row per live file,
+        never per data row), then base + in-file position. Stays a
+        join, not an inlined map literal, so a million-file table
+        doesn't compile a million-entry expression into the plan."""
+        rows = []
+        for ent in (commit.row_ids or {}).values():
+            for rel, (base, _n) in (ent.get("files") or {}).items():
+                rows.append((rel, int(base), int(ent["v"])))
+        m = self.spark.createDataFrame(
+            rows, "_rt_rel string, _rt_base long, _row_commit_version long"
+        )
+        return (
+            df.join(F.broadcast(m), "_rt_rel", "left")
+            .withColumn("_row_id", F.col("_rt_base") + F.col("_rt_ri"))
+            .drop("_rt_rel", "_rt_base", "_rt_ri")
+        )
 
     @staticmethod
     def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -3728,6 +3961,7 @@ class ManagedTable:
                     for k, ver in (c.txns or {}).items()
                     if prev is None or (prev.txns or {}).get(k) != ver
                 }
+                rt_arg, ict_arg = _mirror_feature_args(c, prev)
                 write_delta_log_entry(
                     table_path=self.path,
                     data_dir_name=_DATA,
@@ -3756,6 +3990,12 @@ class ManagedTable:
                         c.action, c.action.upper()
                     ),
                     txn=next(iter(new_txns.items()), None),
+                    # row-tracking ids / in-commit timestamps are
+                    # committed state: a repaired entry must carry
+                    # them or external readers lose row identity /
+                    # the ICT clock for that version
+                    row_tracking=rt_arg,
+                    ict=ict_arg,
                 )
                 repaired += 1
                 if c.delete_sets:

@@ -1204,3 +1204,158 @@ def test_latest_metadata_checkpoint_bounded(spark, tmp_path):
         ).coalesce(1),
         mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (rowTracking + domainMetadata writer features) and
+# in-commit timestamps (inCommitTimestamp writer feature)
+# ---------------------------------------------------------------------------
+
+
+def _rt_table(spark, d, extra_props=None):
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write(
+        df.repartition(1).sortWithinPartitions("k"),
+        mode="overwrite",
+        primary_key=["k"],
+        properties={
+            "delta.enableRowTracking": "true",
+            **(extra_props or {}),
+        },
+    )
+    return t
+
+
+def test_row_tracking_mirror_actions(spark, tmp_path_str):
+    t = _rt_table(spark, tmp_path_str)
+    t.write(
+        spark.range(8, 13)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartition(1),
+        mode="append",
+    )
+    a0 = _actions(t.path, 0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert {"rowTracking", "domainMetadata"} <= set(
+        proto["writerFeatures"]
+    )
+    assert proto["minWriterVersion"] == 7
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["configuration"]["delta.enableRowTracking"] == "true"
+    dm0 = next(a["domainMetadata"] for a in a0 if "domainMetadata" in a)
+    assert dm0["domain"] == "delta.rowTracking"
+    assert json.loads(dm0["configuration"])["rowIdHighWaterMark"] == 7
+    add0 = next(a["add"] for a in a0 if "add" in a)
+    assert add0["baseRowId"] == 0
+    assert add0["defaultRowCommitVersion"] == 0
+    a1 = _actions(t.path, 1)
+    dm1 = next(a["domainMetadata"] for a in a1 if "domainMetadata" in a)
+    assert json.loads(dm1["configuration"])["rowIdHighWaterMark"] == 12
+    add1 = next(a["add"] for a in a1 if "add" in a)
+    # fresh ids start past the prior high-water mark — the append must
+    # NOT renumber commit 0
+    assert add1["baseRowId"] == 8
+    assert add1["defaultRowCommitVersion"] == 1
+
+
+def test_ict_commitinfo_first_and_monotonic(spark, tmp_path_str, monkeypatch):
+    t = _rt_table(
+        spark, tmp_path_str,
+        extra_props={"delta.enableInCommitTimestamps": "true"},
+    )
+    # a regressed wall clock must not regress the commit clock
+    import component_delta_lake_writer_spark.sinks.managed_table as mt
+
+    frozen = t.commit_at(0).timestamp_ms / 1000.0 - 3600.0
+    monkeypatch.setattr(mt.time, "time", lambda: frozen)
+    t.write(
+        spark.range(100, 103)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        mode="append",
+    )
+    ts0 = t.commit_at(0).timestamp_ms
+    ts1 = t.commit_at(1).timestamp_ms
+    assert ts1 == ts0 + 1  # strictly monotonic despite the hour-old clock
+    for v, want in ((0, ts0), (1, ts1)):
+        acts = _actions(t.path, v)
+        # spec: commitInfo is the FIRST action and carries the ICT
+        assert _keys(acts)[0] == "commitInfo"
+        assert acts[0]["commitInfo"]["inCommitTimestamp"] == want
+    proto = next(a["protocol"] for a in _actions(t.path, 0) if "protocol" in a)
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+
+
+def test_ict_midhistory_enablement_properties(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(5).select(F.col("id").alias("k"))
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.set_properties({"delta.enableInCommitTimestamps": "true"})
+    c = t.latest_commit()
+    assert c.properties["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert (
+        c.properties["delta.inCommitTimestampEnablementTimestamp"]
+        == str(c.timestamp_ms)
+    )
+    # the enablement commit re-emits metaData with the ICT config and
+    # upgrades the protocol
+    a1 = _actions(t.path, 1)
+    meta = next(a["metaData"] for a in a1 if "metaData" in a)
+    cfg = meta["configuration"]
+    assert cfg["delta.enableInCommitTimestamps"] == "true"
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert _keys(a1)[0] == "commitInfo"
+    protos = [a["protocol"] for a in a1 if "protocol" in a]
+    assert protos and "inCommitTimestamp" in protos[0]["writerFeatures"]
+
+
+def test_row_tracking_checkpoint_carries_domain_and_ids(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_last_checkpoint,
+    )
+    import pyarrow.parquet as pq
+
+    t = _rt_table(spark, tmp_path_str)
+    for i in range(9):  # versions 1..9 -> checkpoint at 9
+        t.write(
+            spark.range(100 + i, 101 + i)
+            .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+            .repartition(1),
+            mode="append",
+        )
+    last = read_last_checkpoint(t.path)
+    assert last is not None and last["version"] == 9
+    ckpt = pq.read_table(
+        os.path.join(
+            t.path, "_delta_log", f"{last['version']:020d}.checkpoint.parquet"
+        )
+    ).to_pylist()
+    doms = [r["domainMetadata"] for r in ckpt if r.get("domainMetadata")]
+    assert len(doms) == 1 and doms[0]["domain"] == "delta.rowTracking"
+    assert json.loads(doms[0]["configuration"])["rowIdHighWaterMark"] == 16
+    adds = [r["add"] for r in ckpt if r.get("add")]
+    assert adds and all(a["baseRowId"] is not None for a in adds)
+    bases = sorted(a["baseRowId"] for a in adds)
+    assert bases[0] == 0 and len(set(bases)) == len(bases)
+
+
+def test_dv_readd_keeps_row_ids(spark, tmp_path_str):
+    t = _rt_table(spark, tmp_path_str)
+    t.delete_where("k % 3 = 0", strategy="merge-on-read")
+    a1 = _actions(t.path, 1)
+    readd = next(
+        a["add"] for a in a1 if "add" in a and "deletionVector" in a["add"]
+    )
+    # the DV re-add is the SAME physical file: it must keep baseRowId 0
+    # and its original commit attribution — re-adding with fresh ids
+    # would break every downstream row-identity consumer
+    assert readd["baseRowId"] == 0
+    assert readd["defaultRowCommitVersion"] == 0
+    # surviving rows keep their original ids through the engine read
+    rows = {
+        r.k: r._row_id
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert rows == {k: k for k in range(8) if k % 3 != 0}

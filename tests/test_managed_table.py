@@ -1571,3 +1571,107 @@ def test_partition_recovery_suffix_names_and_plus(spark, tmp_path_str):
     }
     assert got == {(1, "2024-01-01", "7", "C++"),
                    (2, "2024-01-02", "8", "Go")}
+
+
+# ---------------------------------------------------------------------------
+# Row tracking: engine read semantics, restore recovery, backfill
+# ---------------------------------------------------------------------------
+
+
+def _k(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_row_ids_stable_across_restore(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        _k(spark, 0, 6).repartition(1).sortWithinPartitions("k"),
+        mode="overwrite", primary_key=["k"],
+        properties={"delta.enableRowTracking": "true"},
+    )
+    ids0 = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    # overwrite drops the unit (fresh ids for the new data)...
+    t.write(
+        _k(spark, 100, 103).repartition(1), mode="overwrite",
+    )
+    ids1 = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    assert min(ids1.values()) > max(ids0.values())  # past high-water mark
+    # ...and RESTORE re-adds the original unit with its ORIGINAL ids
+    t.restore(version=0)
+    ids2 = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    assert ids2 == ids0
+
+
+def test_row_tracking_backfill_on_enable(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(_k(spark, 0, 4).repartition(1), mode="overwrite",
+            primary_key=["k"])
+    t.write(_k(spark, 4, 7).repartition(1), mode="append")
+    with pytest.raises(UserException):
+        t.read(with_row_ids=True)
+    # enabling tracking on an existing table backfills ids for every
+    # live unit (one footer read per file, no data rewrite)
+    t.set_properties({"delta.enableRowTracking": "true"})
+    out = t.read(with_row_ids=True)
+    ids = [r._row_id for r in out.collect()]
+    assert sorted(ids) == list(range(7))
+    assert t.latest_commit().row_id_high_water == 6
+    # ids persist verbatim through the next append
+    t.write(_k(spark, 7, 9).repartition(1), mode="append")
+    ids2 = sorted(r._row_id for r in t.read(with_row_ids=True).collect())
+    assert ids2 == list(range(9))
+
+
+def test_row_ids_partitioned_and_mapped(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("w"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t.write(df, mode="overwrite", partition_by=["p"],
+            primary_key=["k"],
+            properties={"delta.enableRowTracking": "true"})
+    t.rename_column("w", "ww")
+    out = t.read(with_row_ids=True)
+    rows = out.collect()
+    assert {r.k for r in rows} == set(range(10))
+    assert {r.ww for r in rows} == {i * 10 for i in range(10)}
+    ids = sorted(r._row_id for r in rows)
+    assert ids == list(range(10))  # unique, dense from 0
+    vers = {r._row_commit_version for r in rows}
+    assert vers == {0}
+
+
+def test_row_ids_upsert_mor_keeps_survivors(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        _k(spark, 0, 8).repartition(1).sortWithinPartitions("k"),
+        mode="overwrite", primary_key=["k"],
+        properties={"delta.enableRowTracking": "true"},
+    )
+    before = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    t.upsert(
+        _k(spark, 6, 10).withColumn("v", F.lit(-1).cast("long")),
+        ["k"], strategy="merge-on-read",
+    )
+    after = {
+        r.k: (r._row_id, r.v)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    # untouched rows keep their ids; replaced/new rows carry fresh ones
+    for k in range(6):
+        assert after[k][0] == before[k] and after[k][1] == k * 10
+    fresh = {after[k][0] for k in range(6, 10)}
+    assert all(i > max(before.values()) for i in fresh)
+    assert all(after[k][1] == -1 for k in range(6, 10))
