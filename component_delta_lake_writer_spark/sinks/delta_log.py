@@ -515,6 +515,15 @@ def write_delta_log_entry(
             cfg["delta.enableDeletionVectors"] = "true"
         if row_tracking is not None:
             cfg["delta.enableRowTracking"] = "true"
+            if row_tracking.get("mat_row_id_col"):
+                cfg[
+                    "delta.rowTracking.materializedRowIdColumnName"
+                ] = row_tracking["mat_row_id_col"]
+            if row_tracking.get("mat_rcv_col"):
+                cfg[
+                    "delta.rowTracking."
+                    "materializedRowCommitVersionColumnName"
+                ] = row_tracking["mat_rcv_col"]
         if ict is not None:
             cfg["delta.enableInCommitTimestamps"] = "true"
             cfg.update(ict.get("config") or {})

@@ -70,6 +70,16 @@ _BOOLEAN_PROPERTIES = {
     "delta.enableInCommitTimestamps",
 }
 
+# Materialized row-tracking columns (Delta's
+# delta.rowTracking.materializedRow{Id,CommitVersion}ColumnName
+# mechanism): OPTIMIZE under row tracking writes each row's id into
+# these PHYSICAL parquet columns — absent from the committed schema,
+# so ordinary reads never see them — and id-attach reads coalesce
+# them over the fresh base-id arithmetic. That is what makes row ids
+# survive compaction (the spec's dataChange=false preservation rule).
+_MAT_ROW_ID = "_rt_mat_row_id"
+_MAT_RCV = "_rt_mat_rcv"
+
 # Change-feed action classification — shared by batch read_changes and
 # the streaming table_changes_stream source so the two can never drift
 # (a metadata-only action added to one list but not the other would
@@ -183,6 +193,11 @@ def _mirror_feature_args(c: Commit, prev: Commit | None) -> tuple:
             "high_water": int(c.row_id_high_water),
             "files": files,
             "newly": prev is None or not (prev.row_ids or {}),
+            # external row-tracking readers resolve preserved ids
+            # through these physical columns (Delta's materialized
+            # row-id mechanism; written by optimize rewrites)
+            "mat_row_id_col": _MAT_ROW_ID,
+            "mat_rcv_col": _MAT_RCV,
         }
     ict = None
     props = c.properties or {}
@@ -429,17 +444,23 @@ class ManagedTable:
 
         for u in missing:
             files: dict = {}
+            mat = False
             for rel, _size, _mtime, _pvals in _walk_parquet(
                 self.path, os.path.join(_DATA, u)
             ):
-                n = int(
-                    pq.ParquetFile(
-                        os.path.join(self.path, rel)
-                    ).metadata.num_rows
-                )
+                pf = pq.ParquetFile(os.path.join(self.path, rel))
+                n = int(pf.metadata.num_rows)
+                # a unit whose files carry the materialized id column
+                # is a dataChange=false rewrite (optimize): its rows
+                # KEEP their old ids via the column; the fresh base
+                # ids below are still assigned (spec: every add has a
+                # baseRowId) but shadowed at read time
+                mat = mat or _MAT_ROW_ID in pf.schema_arrow.names
                 files[rel] = [hwm + 1, n]
                 hwm += n
             out[u] = {"v": commit.version, "files": files}
+            if mat:
+                out[u]["mat"] = True
         commit.row_ids = out
         commit.row_id_high_water = hwm
 
@@ -1742,11 +1763,27 @@ class ManagedTable:
         partition values from the file path — still O(1) plan size in
         unit count, at the cost of a per-row regexp on the path column
         (single-unit scans keep native discovery and pay nothing)."""
+        def _with_mat(s: T.StructType) -> T.StructType:
+            # materialized-id columns join the PHYSICAL read schema
+            # only (never the logical output): files from plain writes
+            # lack them and read typed NULL — exactly the coalesce
+            # fallback _attach_row_ids wants
+            if not with_row_meta:
+                return s
+            return T.StructType(
+                list(s.fields)
+                + [
+                    T.StructField(_MAT_ROW_ID, T.LongType(), True),
+                    T.StructField(_MAT_RCV, T.LongType(), True),
+                ]
+            )
+
+        meta_cols = ["_rt_rel", "_rt_ri", _MAT_ROW_ID, _MAT_RCV]
         pset = set(partition_by or [])
         part_fields = [f for f in schema.fields if f.name in pset]
         if not part_fields or len(paths) == 1:
             df = self.spark.read.schema(
-                self._physical_schema(schema, mapping)
+                _with_mat(self._physical_schema(schema, mapping))
             ).parquet(*paths)
             if with_row_meta:
                 df = self._row_meta_cols(df)
@@ -1757,7 +1794,7 @@ class ManagedTable:
                             F.col(mapping.get(f.name, f.name)).alias(f.name)
                             for f in schema.fields
                         ]
-                        + (["_rt_rel", "_rt_ri"] if with_row_meta else [])
+                        + (meta_cols if with_row_meta else [])
                     )
                 )
             return df
@@ -1766,7 +1803,7 @@ class ManagedTable:
         )
         df = (
             self.spark.read.schema(
-                self._physical_schema(data_schema, mapping)
+                _with_mat(self._physical_schema(data_schema, mapping))
             )
             .option("recursiveFileLookup", "true")
             .parquet(*paths)
@@ -1799,7 +1836,7 @@ class ManagedTable:
                     F.col(mapping.get(f.name, f.name)).alias(f.name)
                 )
         if with_row_meta:
-            cols += [F.col("_rt_rel"), F.col("_rt_ri")]
+            cols += [F.col(c) for c in meta_cols]
         return df.select(*cols)
 
     @staticmethod
@@ -1894,18 +1931,35 @@ class ManagedTable:
         table-relative path (metadata-scale — one row per live file,
         never per data row), then base + in-file position. Stays a
         join, not an inlined map literal, so a million-file table
-        doesn't compile a million-entry expression into the plan."""
+        doesn't compile a million-entry expression into the plan.
+
+        Files written by a dataChange=false rewrite (optimize) carry
+        each row's PRE-rewrite id in the materialized columns; those
+        win over the fresh base arithmetic (Delta's preserved-row-id
+        rule)."""
         rows = []
         for ent in (commit.row_ids or {}).values():
             for rel, (base, _n) in (ent.get("files") or {}).items():
                 rows.append((rel, int(base), int(ent["v"])))
         m = self.spark.createDataFrame(
-            rows, "_rt_rel string, _rt_base long, _row_commit_version long"
+            rows, "_rt_rel string, _rt_base long, _rt_rcv long"
         )
         return (
             df.join(F.broadcast(m), "_rt_rel", "left")
-            .withColumn("_row_id", F.col("_rt_base") + F.col("_rt_ri"))
-            .drop("_rt_rel", "_rt_base", "_rt_ri")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col(_MAT_ROW_ID), F.col("_rt_base") + F.col("_rt_ri")
+                ),
+            )
+            .withColumn(
+                "_row_commit_version",
+                F.coalesce(F.col(_MAT_RCV), F.col("_rt_rcv")),
+            )
+            .drop(
+                "_rt_rel", "_rt_base", "_rt_ri", "_rt_rcv",
+                _MAT_ROW_ID, _MAT_RCV,
+            )
         )
 
     @staticmethod
@@ -3583,7 +3637,17 @@ class ManagedTable:
             ]
             if not touched:
                 return prev  # nothing in scope — no-op
-        df = self._read_units(prev, touched)
+        tracked = _prop_on(prev.properties, "delta.enableRowTracking")
+        df = self._read_units(prev, touched, with_row_ids=tracked)
+        if tracked:
+            # OPTIMIZE is dataChange=false: rows keep their identity.
+            # Materialize each row's id into the physical rewrite
+            # columns (absent from the committed schema — plain reads
+            # never see them); _attach_row_ids coalesces them over the
+            # fresh base ids the new unit draws.
+            df = df.withColumnRenamed(
+                "_row_id", _MAT_ROW_ID
+            ).withColumnRenamed("_row_commit_version", _MAT_RCV)
         if cluster_by:
             # lexicographic range clustering: tight file stats on the
             # LEADING column; trailing columns skip poorly

@@ -1675,3 +1675,40 @@ def test_row_ids_upsert_mor_keeps_survivors(spark, tmp_path_str):
     fresh = {after[k][0] for k in range(6, 10)}
     assert all(i > max(before.values()) for i in fresh)
     assert all(after[k][1] == -1 for k in range(6, 10))
+
+
+def test_row_ids_preserved_across_optimize(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        _k(spark, 0, 6).repartition(1).sortWithinPartitions("k"),
+        mode="overwrite", primary_key=["k"],
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.write(
+        _k(spark, 6, 10).repartition(1).sortWithinPartitions("k"),
+        mode="append",
+    )
+    before = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    # compaction is dataChange=false: identity survives the rewrite,
+    # even though the rows land in brand-new files in a new order
+    t.optimize(cluster_by=["v"])
+    after = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert after == before
+    # the committed READ schema stays clean — no materialized columns
+    assert set(t.read().columns) == {"k", "v"}
+    # a second optimize round-trips the materialized ids again
+    t.optimize()
+    assert {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    } == before
+    # and a post-optimize append still draws fresh ids past the mark
+    t.write(_k(spark, 50, 52).repartition(1), mode="append")
+    ids = {r.k: r._row_id for r in t.read(with_row_ids=True).collect()}
+    assert ids[50] > max(i for i, _ in before.values())
