@@ -1649,6 +1649,14 @@ def test_row_ids_partitioned_and_mapped(spark, tmp_path_str):
     assert ids == list(range(10))  # unique, dense from 0
     vers = {r._row_commit_version for r in rows}
     assert vers == {0}
+    # partitioned optimize (hive layout + materialized id columns in
+    # the multi-root recursive scan) keeps every id
+    before = {r.k: r._row_id for r in rows}
+    t.optimize()
+    after = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    assert after == before
 
 
 def test_row_ids_upsert_mor_keeps_survivors(spark, tmp_path_str):
