@@ -463,3 +463,59 @@ def incremental_exact_dedup(
         F.col("fingerprint").eqNullSafe(F.col("__seen_fp")),
         "left_anti",
     )
+
+
+def cross_corpus_near_dup(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    rare_df: int = RARE_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """Near-duplicate DECONTAMINATION between two corpora: exact
+    n-gram-Jaccard pairs (id_a = train doc, id_b = test doc,
+    jaccard) at or above ``threshold`` — the near-dup upgrade of the
+    exact-match benchmark-contamination screen (quality.py), catching
+    eval documents that leaked into training data with trivial edits.
+
+    Blocking inverts ONLY the train side: shingles indexed when their
+    train-side document frequency is ≤ ``rare_df`` (cross-corpus df
+    starts at 1 — a leaked test doc needs just one train occurrence,
+    unlike self-dedup's ≥2). The test side's per-doc shingle sets join
+    the index equi-on hash, pairs gate on ≥ ``min_shared`` shared
+    indexed shingles, then the shared exact set-Jaccard verify runs.
+    Candidate space is the inverted-index collision set — never
+    O(train × test). Ids must be distinct across the two inputs.
+
+    At 100 TB the train index is built once and reused per eval set;
+    each probe is one equi-join of the (small) eval shingle stream
+    against it."""
+    tr_sets = shingle_sets(
+        shingles(train, text_col, id_col, k_shingle), id_col
+    ).persist()
+    te_sets = shingle_sets(
+        shingles(test, text_col, id_col, k_shingle), id_col
+    ).persist()
+    postings = (
+        tr_sets.select(F.col(id_col), F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("tr_ids"))
+        .filter(F.size("tr_ids") <= rare_df)
+    )
+    te_sh = te_sets.select(
+        F.col(id_col).alias("id_b"), F.explode("hs").alias("h")
+    )
+    cand = (
+        te_sh.join(postings, "h")
+        .select(F.explode("tr_ids").alias("id_a"), "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    return verify_from_sets(
+        cand, tr_sets.unionByName(te_sets), threshold
+    )

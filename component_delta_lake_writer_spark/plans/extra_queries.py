@@ -3872,3 +3872,47 @@ def funnel_abc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c.cast("int")).cast("long").alias("step_click"),
         F.sum(b.cast("int")).cast("long").alias("step_purchase"),
     )
+
+
+@query(
+    "cross_corpus_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    tr AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+    post AS (
+      SELECT h FROM tr GROUP BY h HAVING COUNT(*) <= {D.RARE_DF}
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tr a JOIN post p ON a.h = p.h JOIN te b ON b.h = a.h
+      GROUP BY 1, 2 HAVING COUNT(*) >= {D.MIN_SHARED}
+    ),
+    sets AS (SELECT doc_id, list(h) AS hs, COUNT(*) AS n
+             FROM sh GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+      ROUND(len(list_intersect(sa.hs, sb.hs))
+            / (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs))),
+            6) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE ROUND(len(list_intersect(sa.hs, sb.hs))
+            / (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs))),
+            6) >= 0.5
+    """,
+)
+def cross_corpus_decontaminate_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-corpus near-dup decontamination
+    (operators.dedup.cross_corpus_near_dup): even-id docs play the
+    training corpus, odd-id docs the eval set; any eval doc whose
+    exact n-gram Jaccard against some train doc clears 0.5 is a leak.
+    Exercises the train-side-only inverted index (df cap counts train
+    docs alone, starting at 1) and the shared set-Jaccard verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return D.cross_corpus_near_dup(
+        docs.filter(k % 2 == 0), docs.filter(k % 2 == 1)
+    )

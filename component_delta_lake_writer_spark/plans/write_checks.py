@@ -1880,14 +1880,23 @@ def stream_replicate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
     ).filter(F.col("o_orderkey") % 5 == 0)
     k = F.col("o_orderkey")
-    src.write(o.limit(0), mode="overwrite", primary_key=["o_orderkey"],
-              properties={"enableChangeDataFeed": True})
+    # source mirror deferred too: inline DV materialization is the
+    # tested semantic of delta_dv_external_read/upsert_mor/
+    # mor_delete_read — paying its two extra fixture scans HERE only
+    # slowed the probe (~3 s) without testing anything new; what this
+    # probe tests is CDF replication, which reads change sets, never
+    # the mirror
+    # create WITH data in one commit (v0's snapshot streams as inserts
+    # under startingVersion=0) — a separate empty-create + append pair
+    # added a fixture commit without adding a tested action class.
     # coalesce(2): each change FILE becomes one Python-worker partition
     # in the CDF stream read — 32 shuffle-partition files per tiny
     # commit would spin ~100 workers for a few thousand rows (probe
     # latency, not semantics; the driver sweep runs ~58 keys on a
     # budget)
-    src.write(o.coalesce(2), mode="append")
+    src.write(o.coalesce(2), mode="overwrite", primary_key=["o_orderkey"],
+              properties={"enableChangeDataFeed": True,
+                          "mirror.dvMode": "deferred"})
     # merge-on-read: O(source) commit, and the CDF attribution the
     # stream replays is identical to copy-on-write's (probe latency —
     # COW's target rewrite added ~3 s of fixture cost, nothing tested)
