@@ -193,7 +193,9 @@ def _protocol_action(
     # presence forces the writer-7 feature-list form but never a
     # reader escalation (readers ignore them by construction)
     wonly = sorted(
-        caps & {"rowTracking", "domainMetadata", "inCommitTimestamp"}
+        caps
+        & {"rowTracking", "domainMetadata", "inCommitTimestamp",
+           "clustering"}
     )
     if caps & {"timestampNtz", "deletionVectors"}:
         reader = [
@@ -432,6 +434,7 @@ def write_delta_log_entry(
     current_dvs: dict | None = None,
     row_tracking: dict | None = None,
     ict: dict | None = None,
+    clustering: dict | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -473,7 +476,16 @@ def write_delta_log_entry(
     (spec requirement) carrying ``inCommitTimestamp``; "newly"
     re-emits metaData with ``delta.enableInCommitTimestamps=true``
     (+ the enablement version/timestamp properties when enabled after
-    table creation) and upgrades the protocol."""
+    table creation) and upgrades the protocol.
+
+    ``clustering`` (Delta clustered-table writer feature):
+    ``{"columns": [logical col, …], "newly": bool}``. "newly" (the
+    clustering columns changed this commit) emits the
+    ``delta.clustering`` domainMetadata carrying ``clusteringColumns``
+    and upgrades the protocol to the ``clustering`` (+
+    ``domainMetadata``) writer features; unchanged clustering emits
+    nothing — the standing domain metadata (and its checkpoint row)
+    already describes the table."""
     log_dir = os.path.join(table_path, _DELTA_LOG)
     os.makedirs(log_dir, exist_ok=True)
 
@@ -503,6 +515,8 @@ def write_delta_log_entry(
             caps |= {"rowTracking", "domainMetadata"}
         if ict is not None:
             caps.add("inCommitTimestamp")
+        if clustering is not None:
+            caps |= {"clustering", "domainMetadata"}
         return caps
 
     def _feature_config() -> dict:
@@ -548,6 +562,9 @@ def write_delta_log_entry(
         # first rowTracking / inCommitTimestamp enablement: same rule
         or bool(row_tracking and row_tracking.get("newly"))
         or bool(ict and ict.get("newly"))
+        # first clustering declaration: the protocol upgrade path
+        # below runs only when metaData re-emits
+        or bool(clustering and clustering.get("newly"))
     )
     if version == 0:
         actions.append(
@@ -602,6 +619,26 @@ def write_delta_log_entry(
             )
         )
 
+    if clustering is not None and clustering.get("newly"):
+        # domainMetadata delta.clustering: the table's clustering
+        # columns (Delta clustered-table state; latest-wins per
+        # domain) — nested-array form per the spec, one single-element
+        # path per top-level column
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {
+                            "clusteringColumns": [
+                                [c] for c in clustering["columns"]
+                            ]
+                        }
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     if row_tracking is not None:
         # domainMetadata delta.rowTracking (latest-wins per domain in
         # replay/checkpoint): the fresh-row-id high-water mark every

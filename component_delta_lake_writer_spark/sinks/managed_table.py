@@ -167,12 +167,32 @@ class Commit:
     # rowIdHighWaterMark (mirrored as the delta.rowTracking
     # domainMetadata): highest fresh row id ever assigned; -1 = none.
     row_id_high_water: int = -1
+    # Clustered-table state (Delta clustering writer feature): the
+    # LOGICAL columns the table was last clustered by via
+    # optimize(cluster_by=/zorder_by=). Carried forward by _publish
+    # (Delta keeps clustering columns as table state across appends —
+    # new data is simply unclustered until the next OPTIMIZE);
+    # mirrored as the delta.clustering domainMetadata. [] = never
+    # clustered.
+    clustered_by: list = field(default_factory=list)
 
 
 def _prop_on(props: dict | None, key: str) -> bool:
     """Boolean table property, Delta-style: True or 'true' (any case)."""
     v = (props or {}).get(key)
     return v is True or str(v).lower() == "true"
+
+
+def _mirror_clustering_arg(c: Commit, prev: Commit | None) -> dict | None:
+    """``clustering`` arg for ``write_delta_log_entry`` from committed
+    state (shared by _publish and the sync_metadata repair path)."""
+    if not c.clustered_by:
+        return None
+    return {
+        "columns": list(c.clustered_by),
+        "newly": prev is None
+        or list(prev.clustered_by or []) != list(c.clustered_by),
+    }
 
 
 def _mirror_feature_args(c: Commit, prev: Commit | None) -> tuple:
@@ -301,6 +321,10 @@ class ManagedTable:
         # serialization.
         if _prop_on(props, "delta.enableRowTracking"):
             self._assign_row_ids(commit, prev)
+        # Clustered-table state carries forward (a later append does
+        # not un-cluster the table); only optimize() sets a new value.
+        if not commit.clustered_by and prev is not None:
+            commit.clustered_by = list(prev.clustered_by or [])
         # Column-mapping invariant: on-disk (physical) names must stay
         # unique or the physical scan schema is ambiguous. Guards the
         # rename/add/schema-merge composition paths in one place.
@@ -361,6 +385,7 @@ class ManagedTable:
             u for u in prev_units if u not in set(commit.data_units)
         ]
         rt_arg, ict_arg = _mirror_feature_args(commit, prev)
+        clustering_arg = _mirror_clustering_arg(commit, prev)
         dv_adds, current_dvs, dv_covered, dv_fully = (
             self._compute_dv_updates(
                 commit, added_units, has_removes=bool(removed_units_list)
@@ -398,6 +423,7 @@ class ManagedTable:
             ),
             row_tracking=rt_arg,
             ict=ict_arg,
+            clustering=clustering_arg,
         )
         # persist which engine delete sets the mirror now covers —
         # AFTER the log entry (the log is the source of truth; a crash
@@ -3712,6 +3738,12 @@ class ManagedTable:
             column_mapping=(
                 dict(prev.column_mapping) if untouched else {}
             ),
+            # a clustering optimize (re)declares the table's
+            # clustering columns (Delta clustered-table state); a
+            # plain compaction keeps whatever stood
+            clustered_by=list(
+                cluster_by or zorder_by or prev.clustered_by or []
+            ),
         )
         self._publish(commit, prev)
         return commit
@@ -4054,12 +4086,13 @@ class ManagedTable:
                         c.action, c.action.upper()
                     ),
                     txn=next(iter(new_txns.items()), None),
-                    # row-tracking ids / in-commit timestamps are
-                    # committed state: a repaired entry must carry
-                    # them or external readers lose row identity /
-                    # the ICT clock for that version
+                    # row-tracking ids / in-commit timestamps /
+                    # clustering are committed state: a repaired entry
+                    # must carry them or external readers lose row
+                    # identity / the ICT clock / clustering columns
                     row_tracking=rt_arg,
                     ict=ict_arg,
+                    clustering=_mirror_clustering_arg(c, prev),
                 )
                 repaired += 1
                 if c.delete_sets:

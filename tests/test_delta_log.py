@@ -1359,3 +1359,77 @@ def test_dv_readd_keeps_row_ids(spark, tmp_path_str):
         for r in t.read(with_row_ids=True).collect()
     }
     assert rows == {k: k for k in range(8) if k % 3 != 0}
+
+
+def test_clustering_domain_metadata(spark, tmp_path_str):
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_last_checkpoint,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.optimize(cluster_by=["g", "k"])
+    a1 = _actions(t.path, 1)
+    dm = next(a["domainMetadata"] for a in a1 if "domainMetadata" in a)
+    assert dm["domain"] == "delta.clustering"
+    assert json.loads(dm["configuration"])["clusteringColumns"] == [
+        ["g"], ["k"]
+    ]
+    protos = [a["protocol"] for a in a1 if "protocol" in a]
+    assert protos and {"clustering", "domainMetadata"} <= set(
+        protos[0]["writerFeatures"]
+    )
+    # an append carries the clustering state but re-emits NOTHING —
+    # the standing domain metadata already describes the table
+    t.write(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+        ),
+        mode="append",
+    )
+    assert t.latest_commit().clustered_by == ["g", "k"]
+    a2 = _actions(t.path, 2)
+    assert not [a for a in a2 if "domainMetadata" in a]
+    # a plain compaction keeps the columns; re-clustering by new
+    # columns re-emits the domain
+    t.optimize()
+    assert t.latest_commit().clustered_by == ["g", "k"]
+    assert not [a for a in _actions(t.path, 3) if "domainMetadata" in a]
+    t.optimize(zorder_by=["k"])
+    dm2 = next(
+        a["domainMetadata"]
+        for a in _actions(t.path, 4)
+        if "domainMetadata" in a
+    )
+    assert json.loads(dm2["configuration"])["clusteringColumns"] == [["k"]]
+    # checkpoint carries the LATEST clustering domain
+    for i in range(5):
+        t.write(
+            spark.range(30 + i, 31 + i).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+            ),
+            mode="append",
+        )
+    last = read_last_checkpoint(t.path)
+    assert last is not None and last["version"] == 9
+    import pyarrow.parquet as pq
+
+    ckpt = pq.read_table(
+        os.path.join(
+            t.path, "_delta_log",
+            f"{last['version']:020d}.checkpoint.parquet",
+        )
+    ).to_pylist()
+    doms = [
+        r["domainMetadata"]
+        for r in ckpt
+        if r.get("domainMetadata")
+        and r["domainMetadata"]["domain"] == "delta.clustering"
+    ]
+    assert len(doms) == 1
+    assert json.loads(doms[0]["configuration"])["clusteringColumns"] == [
+        ["k"]
+    ]
