@@ -571,3 +571,83 @@ def test_dv_file_roundtrip_property(sets):
         assert set(descs) == set(sets)
         for path, desc in descs.items():
             assert read_dv(d, desc) == sorted(set(sets[path]))
+
+
+# Random op sequences against a MODEL of row identity: whatever the
+# sequence (append / upsert MOR / delete / optimize / restore), live
+# row ids stay UNIQUE, and every row that survives an op keeps the id
+# it had before (ids may only appear/disappear with their rows —
+# optimize in particular must be identity-preserving end to end).
+_OPS = st.lists(
+    st.sampled_from(["append", "upsert", "delete", "optimize", "restore"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS, seed=st.integers(min_value=0, max_value=9))
+def test_row_id_invariants_random_sequences(spark, ops, seed):
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, d + "/t")
+
+        def rows(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+            )
+
+        t.write(
+            rows(0, 8).repartition(1), mode="overwrite",
+            primary_key=["k"],
+            properties={"delta.enableRowTracking": "true"},
+        )
+
+        def snapshot():
+            return {
+                r.k: r._row_id
+                for r in t.read(with_row_ids=True).collect()
+            }
+
+        prev = snapshot()
+        nxt = 100 * (seed + 1)
+        for i, op in enumerate(ops):
+            if op == "append":
+                t.write(rows(nxt, nxt + 3).repartition(1), mode="append")
+                nxt += 3
+            elif op == "upsert":
+                t.upsert(
+                    rows(seed + i, seed + i + 4), ["k"],
+                    strategy="merge-on-read",
+                )
+            elif op == "delete":
+                t.delete_where(f"k % 5 = {(seed + i) % 5}")
+            elif op == "optimize":
+                t.optimize()
+            elif op == "restore":
+                t.restore(version=max(0, t.latest_commit().version - 2))
+            cur = snapshot()
+            ids = list(cur.values())
+            assert len(ids) == len(set(ids)), f"dup ids after {op}"
+            if op in ("append", "optimize"):
+                # these never change surviving rows: every pre-op
+                # (key -> id) binding must hold verbatim
+                for k, rid in prev.items():
+                    assert cur.get(k) == rid, (
+                        f"{op} moved row id of k={k}: {rid} -> {cur.get(k)}"
+                    )
+            else:
+                # upsert/delete/restore may replace or drop rows, but
+                # an id can never JUMP to a different surviving key
+                prev_by_id = {rid: k for k, rid in prev.items()}
+                for k, rid in cur.items():
+                    if rid in prev_by_id:
+                        assert prev_by_id[rid] == k, (
+                            f"id {rid} moved {prev_by_id[rid]} -> {k}"
+                        )
+            prev = cur
