@@ -1140,6 +1140,126 @@ def read_delta_table(spark, table_path: str):
     )
 
 
+def read_delta_table_row_ids(spark, table_path: str):
+    """External ROW-TRACKING reader: the data of ``read_delta_table``
+    plus each row's stable ``_row_id`` / ``_row_commit_version``,
+    resolved from the MIRROR ALONE — proof that ``_delta_log`` carries
+    complete row identity with no help from the engine's ``_commits``:
+
+    - fresh ids: the add action's ``baseRowId`` + the row's parquet
+      ``_metadata.row_index``, attributed to ``defaultRowCommitVersion``
+    - preserved ids: the materialized columns named by the metaData's
+      ``delta.rowTracking.materializedRow*ColumnName`` properties
+      (written by dataChange=false rewrites) COALESCE over the fresh
+      arithmetic — exactly the spec's resolution order
+    - rows masked by a ``deletionVector`` are skipped first
+
+    Unpartitioned tables only (same probe surface as
+    ``read_delta_table``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from component_delta_lake_writer_spark.sinks.deletion_vectors import (
+        read_dv,
+    )
+
+    st = _replay_state(table_path)
+    if st["pcols"]:
+        raise ValueError(
+            "read_delta_table_row_ids handles unpartitioned tables"
+        )
+    cfg = st["config"]
+    if str(cfg.get("delta.enableRowTracking")).lower() != "true":
+        raise ValueError("table does not advertise delta.enableRowTracking")
+    mat_id = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_rcv = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    sj = json.loads(st["schema"])
+    logical = T.StructType.fromJson(sj)
+    phys_names = [
+        (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in sj.get("fields", [])
+    ]
+    physical = T.StructType(
+        [
+            T.StructField(pn, lf.dataType, lf.nullable)
+            for pn, lf in zip(phys_names, logical.fields)
+        ]
+        + [
+            T.StructField(c, T.LongType(), True)
+            for c in (mat_id, mat_rcv)
+            if c
+        ]
+    )
+    base = spark.createDataFrame(
+        [
+            (p, a.get("baseRowId"), a.get("defaultRowCommitVersion"))
+            for p, a in st["adds"].items()
+        ],
+        "_f string, _base long, _dcv long",
+    )
+
+    def _one(paths: list[str], dv_idx=None):
+        # join key = the table-relative path exactly as add actions
+        # spell it ("_data/<unit>/<file>"): the scan's file_path is a
+        # file: URI, so take the suffix after the table's data dir
+        df = spark.read.schema(physical).parquet(*paths).withColumn(
+            "_f",
+            F.concat(
+                F.lit("_data/"),
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/_data/", -1
+                ),
+            ),
+        ).withColumn("_ri", F.col("_metadata.row_index"))
+        if dv_idx is not None:
+            dropped = spark.createDataFrame(
+                [(int(i),) for i in dv_idx], "_ri bigint"
+            )
+            df = df.join(F.broadcast(dropped), "_ri", "left_anti")
+        return df
+
+    parts = []
+    clean = [
+        p for p, a in st["adds"].items()
+        if a.get("deletionVector") is None
+    ]
+    if clean:
+        parts.append(
+            _one([os.path.join(table_path, p) for p in clean])
+        )
+    for p, a in st["adds"].items():
+        if a.get("deletionVector") is None:
+            continue
+        parts.append(
+            _one(
+                [os.path.join(table_path, p)],
+                read_dv(table_path, a["deletionVector"]),
+            )
+        )
+    df = parts[0]
+    for x in parts[1:]:
+        df = df.unionByName(x)
+    df = df.join(F.broadcast(base), "_f", "left")
+    rid = F.col("_base") + F.col("_ri")
+    rcv = F.col("_dcv")
+    if mat_id:
+        rid = F.coalesce(F.col(mat_id), rid)
+    if mat_rcv:
+        rcv = F.coalesce(F.col(mat_rcv), rcv)
+    return df.select(
+        *[
+            df[pn].alias(lf.name)
+            for pn, lf in zip(phys_names, logical.fields)
+        ],
+        rid.alias("_row_id"),
+        rcv.alias("_row_commit_version"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Checkpoints (Delta protocol §checkpoints): every CHECKPOINT_INTERVAL
 # commits, the reconstructed state (protocol + metaData + live add
@@ -1400,22 +1520,32 @@ def read_last_checkpoint(table_path: str) -> dict | None:
         return json.load(f)
 
 
-def _replay_full(
-    table_path: str,
-) -> tuple[list[str], str | None, list[str], dict]:
-    """Checkpoint-aware replay → (live fs paths, schemaString,
-    partitionColumns, {fs path: deletionVector descriptor}). Falls
-    back to full JSON replay with no checkpoint."""
+def _replay_state(table_path: str) -> dict:
+    """Checkpoint-aware replay of the FULL reader-visible state:
+    ``{"adds": {fs path: full add action}, "schema": schemaString,
+    "pcols": [...], "config": metaData configuration}``. Falls back
+    to full JSON replay with no checkpoint. The single replay every
+    external-reader helper builds on."""
     import pyarrow.parquet as pq
 
     last = read_last_checkpoint(table_path)
     log_dir = os.path.join(table_path, _DELTA_LOG)
-    live: dict[str, dict | None] = {}
+    adds: dict[str, dict] = {}
     schema: str | None = None
     partition_cols: list[str] = []
-    if last is None:
-        live, schema, partition_cols = _replay_json(table_path)
-    else:
+    config: dict = {}
+
+    def _meta(m: dict) -> None:
+        nonlocal schema, partition_cols, config
+        schema = m["schemaString"]
+        partition_cols = list(m["partitionColumns"] or [])
+        cfg = m.get("configuration") or {}
+        # checkpoint metaData stores configuration as a parquet MAP —
+        # pyarrow hands it back as a list of (key, value) pairs
+        config = dict(cfg) if isinstance(cfg, dict) else dict(cfg or [])
+
+    start_after = -1
+    if last is not None:
         ckpt = pq.read_table(
             os.path.join(
                 log_dir, f"{last['version']:020d}.checkpoint.parquet"
@@ -1423,31 +1553,41 @@ def _replay_full(
         ).to_pylist()
         for r in ckpt:
             if r.get("metaData"):
-                schema = r["metaData"]["schemaString"]
-                partition_cols = list(
-                    r["metaData"]["partitionColumns"] or []
-                )
+                _meta(r["metaData"])
             if r.get("add"):
-                live[r["add"]["path"]] = r["add"].get("deletionVector")
-        versions = _log_versions(log_dir)
-        for v in versions:
-            if v <= last["version"]:
-                continue
-            for a in _read_version_actions(log_dir, v):
-                if "metaData" in a:
-                    schema = a["metaData"]["schemaString"]
-                    partition_cols = a["metaData"]["partitionColumns"]
-                elif "add" in a:
-                    live[a["add"]["path"]] = a["add"].get(
-                        "deletionVector"
-                    )
-                elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
-    files = sorted(_decode_path(p) for p in live)
-    dvs = {
-        _decode_path(p): d for p, d in live.items() if d is not None
+                adds[r["add"]["path"]] = r["add"]
+        start_after = last["version"]
+    for v in _log_versions(log_dir):
+        if v <= start_after:
+            continue
+        for a in _read_version_actions(log_dir, v):
+            if "metaData" in a:
+                _meta(a["metaData"])
+            elif "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+    return {
+        "adds": {_decode_path(p): a for p, a in adds.items()},
+        "schema": schema,
+        "pcols": partition_cols,
+        "config": config,
     }
-    return files, schema, partition_cols, dvs
+
+
+def _replay_full(
+    table_path: str,
+) -> tuple[list[str], str | None, list[str], dict]:
+    """Checkpoint-aware replay → (live fs paths, schemaString,
+    partitionColumns, {fs path: deletionVector descriptor})."""
+    st = _replay_state(table_path)
+    files = sorted(st["adds"])
+    dvs = {
+        p: a["deletionVector"]
+        for p, a in st["adds"].items()
+        if a.get("deletionVector") is not None
+    }
+    return files, st["schema"], st["pcols"], dvs
 
 
 def replay_delta_log_from_checkpoint(

@@ -1433,3 +1433,47 @@ def test_clustering_domain_metadata(spark, tmp_path_str):
     assert json.loads(doms[0]["configuration"])["clusteringColumns"] == [
         ["k"]
     ]
+
+
+def test_external_row_id_reader_matches_engine(spark, tmp_path_str):
+    """The mirror ALONE carries complete row identity: an external
+    reader resolving ids from _delta_log (baseRowId + row_index,
+    materialized columns after optimize, DV masks applied) must agree
+    with the engine's read(with_row_ids=True) at every stage."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table_row_ids,
+    )
+
+    t = _rt_table(spark, tmp_path_str)
+
+    def engine():
+        return {
+            (r.k, r._row_id, r._row_commit_version)
+            for r in t.read(with_row_ids=True).collect()
+        }
+
+    def external():
+        return {
+            (r.k, r._row_id, r._row_commit_version)
+            for r in read_delta_table_row_ids(spark, t.path).collect()
+        }
+
+    assert external() == engine()
+    t.write(
+        spark.range(8, 12)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartition(1),
+        mode="append",
+    )
+    assert external() == engine()
+    # merge-on-read delete: the DV mask must hide exactly those rows
+    t.delete_where("k % 3 = 1", strategy="merge-on-read")
+    assert external() == engine()
+    # optimize: ids now come from the MATERIALIZED columns the mirror
+    # config names — still identical
+    t.optimize()
+    assert external() == engine()
+    before = engine()
+    assert {k for k, _, _ in before} == {
+        k for k in range(12) if k % 3 != 1
+    }
