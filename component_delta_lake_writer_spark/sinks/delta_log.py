@@ -1067,9 +1067,15 @@ def read_delta_table(spark, table_path: str):
     mode=name (RENAME COLUMN tables), and SKIPPING the row positions
     each add's ``deletionVector`` marks deleted (parsed from the
     binary DV file; row identity is the parquet ``_metadata.row_index``
-    — the position the descriptor's bitmap indexes). Unpartitioned
-    tables only (the probe surface; partitioned adds carry
-    partitionValues instead)."""
+    — the position the descriptor's bitmap indexes).
+
+    Partitioned tables read per the spec's rule: a partition column's
+    values come from the add action's ``partitionValues`` (never from
+    the data files, which do not store them) — files group by their
+    partition tuple and each group scans with the tuple attached as
+    typed literals. Plan size is O(#distinct live partition tuples),
+    the same shape any log-driven reader produces before engine-side
+    scan planning."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1077,11 +1083,20 @@ def read_delta_table(spark, table_path: str):
         read_dv,
     )
 
-    files, schema_str, pcols, dvs = _replay_full(table_path)
-    if pcols:
-        raise ValueError("read_delta_table handles unpartitioned tables")
+    st = _replay_state(table_path)
+    files = sorted(st["adds"])
+    schema_str, pcols = st["schema"], st["pcols"]
+    dvs = {
+        p: a["deletionVector"]
+        for p, a in st["adds"].items()
+        if a.get("deletionVector") is not None
+    }
     sj = json.loads(schema_str)
     logical = T.StructType.fromJson(sj)
+    if pcols:
+        return _read_partitioned(
+            spark, table_path, st, logical, pcols, read_dv
+        )
     phys_names = [
         (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName", f["name"]
@@ -1138,6 +1153,90 @@ def read_delta_table(spark, table_path: str):
             for pn, lf in zip(phys_names, logical.fields)
         ]
     )
+
+
+def _read_partitioned(spark, table_path, st, logical, pcols, read_dv):
+    """Partitioned branch of ``read_delta_table``: per the protocol,
+    partition column values live ONLY in each add's
+    ``partitionValues`` (string-encoded; None = null) — reconstruct
+    them as typed literal columns per partition-tuple file group.
+    Partition columns never rename in this engine, so names are
+    identity; the remaining columns resolve physicalName as usual."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    pset = set(pcols)
+    data_fields = [f for f in logical.fields if f.name not in pset]
+    sj_fields = {
+        f["name"]: f for f in json.loads(st["schema"]).get("fields", [])
+    }
+    phys = {
+        f.name: (sj_fields[f.name].get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in data_fields
+    }
+    physical = T.StructType(
+        [
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+    ftypes = {f.name: f.dataType for f in logical.fields}
+    groups: dict[tuple, list[str]] = {}
+    for p, a in st["adds"].items():
+        pv = a.get("partitionValues") or {}
+        if isinstance(pv, list):  # checkpoint map comes back as pairs
+            pv = dict(pv)
+        key = tuple((c, pv.get(c)) for c in pcols)
+        groups.setdefault(key, []).append(p)
+    parts = []
+    # nulls sort first (key tuples may carry None partition values)
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: [(v is not None, v or "") for _c, v in kv[0]],
+    ):
+        clean = [p for p in paths if p not in st["adds"] or st["adds"][p].get("deletionVector") is None]
+        masked = [p for p in paths if p not in clean]
+        for batch, dv in (
+            [(clean, None)] if clean else []
+        ) + [([p], st["adds"][p]["deletionVector"]) for p in masked]:
+            df = spark.read.schema(physical).parquet(
+                *[os.path.join(table_path, p) for p in batch]
+            )
+            if dv is not None:
+                idx = read_dv(table_path, dv)
+                df = (
+                    df.withColumn("_dv_ri", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(
+                            spark.createDataFrame(
+                                [(int(i),) for i in idx], "_dv_ri bigint"
+                            )
+                        ),
+                        "_dv_ri",
+                        "left_anti",
+                    )
+                    .drop("_dv_ri")
+                )
+            cols = []
+            pvals = dict(key)
+            for f in logical.fields:
+                if f.name in pset:
+                    cols.append(
+                        F.lit(pvals[f.name]).cast(ftypes[f.name]).alias(
+                            f.name
+                        )
+                    )
+                else:
+                    cols.append(df[phys[f.name]].alias(f.name))
+            parts.append(df.select(*cols))
+    if not parts:
+        return spark.createDataFrame([], logical)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_delta_table_row_ids(spark, table_path: str):

@@ -1477,3 +1477,38 @@ def test_external_row_id_reader_matches_engine(spark, tmp_path_str):
     assert {k for k, _, _ in before} == {
         k for k in range(12) if k % 3 != 1
     }
+
+
+def test_external_read_partitioned_table(spark, tmp_path_str):
+    """Partitioned external read: partition values come from the add
+    actions' partitionValues (typed literals per file group), per the
+    protocol — including nulls, a MOR delete's DV mask, and time
+    travel through an overwrite."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 2, F.lit(None))
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.write(df, mode="overwrite", partition_by=["p"], primary_key=["k"])
+    got = read_delta_table(spark, t.path)
+    want = t.read()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert {tuple(r) for r in got.select(*sorted(got.columns)).collect()} \
+        == {tuple(r) for r in want.select(*sorted(want.columns)).collect()}
+    # a MOR delete's deletion vector applies inside the partition scan
+    t.delete_where("k % 4 = 1", strategy="merge-on-read")
+    got2 = {
+        (r.k, r.p, r.v)
+        for r in read_delta_table(spark, t.path).collect()
+    }
+    assert got2 == {
+        (r.k, r.p, r.v) for r in t.read().collect()
+    }
+    assert all(k % 4 != 1 for k, _, _ in got2)
