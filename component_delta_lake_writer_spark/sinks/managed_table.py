@@ -2770,7 +2770,25 @@ class ManagedTable:
         units = list(untouched)
         stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
         if touched:
-            df = self._read_units(prev, touched)
+            tracked = _prop_on(prev.properties, "delta.enableRowTracking")
+            df = self._read_units(prev, touched, with_row_ids=tracked)
+            if tracked:
+                # surviving rows keep their identity through the
+                # rewrite (same materialized-column mechanism as
+                # optimize). An UPDATEd row keeps its ROW ID — it is
+                # the same logical row — but its commit attribution
+                # moves to this commit (spec: rowCommitVersion tracks
+                # the commit that last touched the row).
+                df = df.withColumnRenamed("_row_id", _MAT_ROW_ID)
+                rcv = F.col("_row_commit_version")
+                if action == "update":
+                    hit = F.coalesce(F.expr(condition), F.lit(False))
+                    rcv = F.when(
+                        hit, F.lit(prev.version + 1)
+                    ).otherwise(rcv)
+                df = df.withColumn(_MAT_RCV, rcv).drop(
+                    "_row_commit_version"
+                )
             rewritten = transform(df, F.expr(condition))
             constraints = prev.properties.get("constraints", {})
             if constraints:

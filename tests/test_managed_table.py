@@ -1720,3 +1720,40 @@ def test_row_ids_preserved_across_optimize(spark, tmp_path_str):
     t.write(_k(spark, 50, 52).repartition(1), mode="append")
     ids = {r.k: r._row_id for r in t.read(with_row_ids=True).collect()}
     assert ids[50] > max(i for i, _ in before.values())
+
+
+def test_row_ids_preserved_across_cow_delete_update(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        _k(spark, 0, 10).repartition(1).sortWithinPartitions("k"),
+        mode="overwrite", primary_key=["k"],
+        properties={"delta.enableRowTracking": "true"},
+    )
+    before = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    # copy-on-write DELETE rewrites the unit; survivors keep identity
+    t.delete_where("k % 4 = 2")
+    after_del = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert after_del == {
+        k: v for k, v in before.items() if k % 4 != 2
+    }
+    # UPDATE: same logical row keeps its ID; commit attribution moves
+    # to the updating commit for hit rows only
+    t.update_where("k >= 7", {"v": "v + 1000"})
+    after_up = {
+        r.k: (r._row_id, r._row_commit_version, r.v)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    v_up = t.latest_commit().version
+    for k, (rid, rcv) in after_del.items():
+        nid, nrcv, nv = after_up[k]
+        assert nid == rid, f"UPDATE changed row id of k={k}"
+        if k >= 7:
+            assert nrcv == v_up and nv == k * 10 + 1000
+        else:
+            assert nrcv == rcv and nv == k * 10
