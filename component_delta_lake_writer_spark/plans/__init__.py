@@ -43,6 +43,16 @@ _FRONT = [
     "stream_replicate_cdf",
     "stream_cdf_source",
     "asof_join_events",
+    # round-6 additions: the row-tracking work touched the shared COW
+    # rewrite core, optimize, and the scan path — re-check the DML /
+    # compaction / scan keys that exercise them
+    "delete_where_table",
+    "update_where_table",
+    "optimize_compact",
+    "zorder_file_skip",
+    "auto_compact_small_files",
+    "time_travel_read",
+    "parquet_scan",
     # ------------------------------------------------------------------
     # Round 3 front-50: the driver checks the first 50 keys per round.
     # Cumulative r1+r2 evidence covers 94/148 keys (93 green, 1 err).
