@@ -1938,10 +1938,14 @@ def row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row ids assigned at write, immutable across appends and
     carried units. Two deterministic single-file commits (slice A then
     slice B, each sorted), so each row's id is its position in the
-    commit order — exactly the ROW_NUMBER the oracle predicts. The
-    read-back checks id VALUES, id->commit attribution
-    (defaultRowCommitVersion), and that the append did not renumber
-    commit 0 (id immutability), all hash-verified."""
+    commit order — exactly the ROW_NUMBER the oracle predicts. A
+    clustered OPTIMIZE then rewrites every file in a different row
+    order; because the oracle's answer is computed from the ORIGINAL
+    commit order, the hash check only passes if the materialized-id
+    mechanism carried every (row, id, commit) binding through the
+    rewrite intact. Verifies id VALUES, id->commit attribution
+    (defaultRowCommitVersion), append non-renumbering, and
+    compaction preservation in one driver row."""
     t = _fresh_table(spark, "row_tracking_ids", sf_dir)
     k = F.col("o_orderkey")
     o = load_table(spark, sf_dir, "orders").select(
@@ -1959,6 +1963,8 @@ def row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_b.repartition(1).sortWithinPartitions("o_orderkey"),
         mode="append",
     )
+    # dataChange=false rewrite in a DIFFERENT order: ids must survive
+    t.optimize(cluster_by=["o_orderstatus", "o_orderkey"])
     return t.read(with_row_ids=True).select(
         "o_orderkey",
         F.col("_row_id").alias("row_id"),
