@@ -406,6 +406,73 @@ def _ann_curve(
     }
 
 
+def _row_tracking_overhead(spark, sf_dir: str) -> dict:
+    """Write orders (x3 replicated) + append + clustered optimize +
+    full read, tracking OFF vs ON — per-phase seconds and the total
+    overhead ratio. Read-with-ids is measured separately (it does
+    strictly more work: id arithmetic + broadcast attach)."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "orders")
+    orders = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 10**10)
+            )
+            for i in range(3)
+        ],
+    )
+    out: dict = {}
+    # "warm" burns the one-off codegen/class-load for this workload
+    # shape and is discarded — without it the first-measured config
+    # absorbs ~2s of JVM warm-up and the ratio lies in either direction
+    for label, props in (
+        ("warm", None),
+        ("off", None),
+        ("on", {"delta.enableRowTracking": "true"}),
+    ):
+        work = tempfile.mkdtemp(prefix=f"spark_rt_{label}_")
+        t = ManagedTable(spark, os.path.join(work, "t"))
+        t0 = time.perf_counter()
+        t.write(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            mode="overwrite", primary_key=["o_orderkey"],
+            properties=props,
+        )
+        t.write(
+            orders.filter(F.col("o_orderkey") % 2 != 0), mode="append"
+        )
+        out[f"write_{label}_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        t.optimize(cluster_by=["o_orderkey"])
+        out[f"optimize_{label}_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        t.read().count()
+        out[f"read_{label}_sec"] = round(time.perf_counter() - t0, 3)
+        if label == "on":
+            t0 = time.perf_counter()
+            t.read(with_row_ids=True).count()
+            out["read_with_ids_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+        shutil.rmtree(work, ignore_errors=True)
+    for k in list(out):
+        if "_warm_" in k:
+            del out[k]
+    tot_off = sum(out[f"{p}_off_sec"] for p in ("write", "optimize", "read"))
+    tot_on = sum(out[f"{p}_on_sec"] for p in ("write", "optimize", "read"))
+    out["overhead_ratio"] = round(tot_on / tot_off, 3) if tot_off else None
+    return out
+
+
 def main() -> None:
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
@@ -516,6 +583,19 @@ def main() -> None:
             print(f"# ann_curve/x{p['scale']}: {p}", file=sys.stderr)
     except Exception as exc:
         print(f"# ann curve failed: {exc}", file=sys.stderr)
+
+    # Measured row-tracking cost (round 6): the feature's claim is
+    # "metadata-priced" — one footer read per new file at publish, a
+    # broadcast id-attach at read, materialized columns only on
+    # rewrite. Same write+optimize+read workload with tracking on vs
+    # off, so the delta IS the feature's price at this shape.
+    try:
+        rt = _row_tracking_overhead(spark, SF_DIR)
+        result["row_tracking_overhead"] = rt
+        for k, v in rt.items():
+            print(f"# row_tracking/{k}: {v}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# row tracking overhead failed: {exc}", file=sys.stderr)
 
     # Measured DuckDB twin (BASELINE.md §2), re-measured IN THIS RUN
     # (median of 3, hardware-matched threads32 ×10 profile) so the

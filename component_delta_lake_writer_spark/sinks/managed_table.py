@@ -1962,11 +1962,39 @@ class ManagedTable:
         Files written by a dataChange=false rewrite (optimize) carry
         each row's PRE-rewrite id in the materialized columns; those
         win over the fresh base arithmetic (Delta's preserved-row-id
-        rule)."""
+        rule).
+
+        Small tables (≤256 live files) fold the per-file table into
+        constant MAP literals instead — no join, no broadcast stage,
+        no extra Spark job; the plan stays bounded by the threshold."""
         rows = []
         for ent in (commit.row_ids or {}).values():
             for rel, (base, _n) in (ent.get("files") or {}).items():
                 rows.append((rel, int(base), int(ent["v"])))
+        if len(rows) <= 256:
+            base_map = F.create_map(
+                *[x for rel, b, _v in rows
+                  for x in (F.lit(rel), F.lit(b))]
+            )
+            rcv_map = F.create_map(
+                *[x for rel, _b, v in rows
+                  for x in (F.lit(rel), F.lit(v))]
+            )
+            rel_c = F.col("_rt_rel")
+            return (
+                df.withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col(_MAT_ROW_ID),
+                        base_map[rel_c] + F.col("_rt_ri"),
+                    ),
+                )
+                .withColumn(
+                    "_row_commit_version",
+                    F.coalesce(F.col(_MAT_RCV), rcv_map[rel_c]),
+                )
+                .drop("_rt_rel", "_rt_ri", _MAT_ROW_ID, _MAT_RCV)
+            )
         m = self.spark.createDataFrame(
             rows, "_rt_rel string, _rt_base long, _rt_rcv long"
         )
