@@ -1512,3 +1512,45 @@ def test_external_read_partitioned_table(spark, tmp_path_str):
         (r.k, r.p, r.v) for r in t.read().collect()
     }
     assert all(k % 4 != 1 for k, _, _ in got2)
+
+
+def test_sync_metadata_repairs_row_tracking_entry(spark, tmp_path_str):
+    """A lost mirror entry on a row-tracked ICT table regenerates with
+    its domainMetadata, add-level ids, and in-commit timestamp — the
+    external reader agrees with the engine again afterwards."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table_row_ids,
+    )
+
+    t = _rt_table(
+        spark, tmp_path_str,
+        extra_props={"delta.enableInCommitTimestamps": "true"},
+    )
+    t.write(
+        spark.range(8, 12)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartition(1),
+        mode="append",
+    )
+    want = {
+        (r.k, r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    entry = os.path.join(t.path, "_delta_log", f"{1:020d}.json")
+    os.unlink(entry)
+    assert t.sync_metadata() == 1
+    acts = _actions(t.path, 1)
+    assert _keys(acts)[0] == "commitInfo"
+    assert (
+        acts[0]["commitInfo"]["inCommitTimestamp"]
+        == t.commit_at(1).timestamp_ms
+    )
+    dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+    assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 11
+    add = next(a["add"] for a in acts if "add" in a)
+    assert add["baseRowId"] == 8 and add["defaultRowCommitVersion"] == 1
+    got = {
+        (r.k, r._row_id, r._row_commit_version)
+        for r in read_delta_table_row_ids(spark, t.path).collect()
+    }
+    assert got == want
