@@ -1293,6 +1293,17 @@ def read_delta_table_row_ids(spark, table_path: str):
             if c
         ]
     )
+    out_schema = T.StructType(
+        list(logical.fields)
+        + [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField("_row_commit_version", T.LongType(), True),
+        ]
+    )
+    if not st["adds"]:
+        # zero live files (empty create / everything deleted): an
+        # empty relation under the id-extended logical schema
+        return spark.createDataFrame([], out_schema)
     base = spark.createDataFrame(
         [
             (p, a.get("baseRowId"), a.get("defaultRowCommitVersion"))

@@ -3855,6 +3855,26 @@ class ManagedTable:
                 f"Cannot restore to version {version}: merge-on-read "
                 f"delete sets {missing_ds} were vacuumed."
             )
+        props = {**old.properties, "restored_from_version": version}
+        # Protocol features never downgrade: restoring to a version
+        # that predates rowTracking / inCommitTimestamp enablement
+        # keeps the feature ON (ids reassign seamlessly from history,
+        # the commit clock stays monotonic) — flipping them off would
+        # break every id consumer and regress the ICT clock, which the
+        # spec forbids. delta-spark applies the same rule on RESTORE.
+        for key in (
+            "delta.enableRowTracking",
+            "delta.enableInCommitTimestamps",
+        ):
+            if _prop_on(prev.properties, key) and not _prop_on(props, key):
+                props[key] = "true"
+        if _prop_on(props, "delta.enableInCommitTimestamps"):
+            for k2 in (
+                "delta.inCommitTimestampEnablementVersion",
+                "delta.inCommitTimestampEnablementTimestamp",
+            ):
+                if k2 not in props and k2 in (prev.properties or {}):
+                    props[k2] = prev.properties[k2]
         commit = Commit(
             version=prev.version + 1,
             action="restore",
@@ -3863,7 +3883,7 @@ class ManagedTable:
             partition_by=old.partition_by,
             primary_key=old.primary_key,
             timestamp_ms=int(time.time() * 1000),
-            properties={**old.properties, "restored_from_version": version},
+            properties=props,
             stats={u: s for u, s in old.stats.items() if u in old.data_units},
             delete_sets=list(old.delete_sets),
             column_mapping=dict(old.column_mapping),

@@ -1757,3 +1757,31 @@ def test_row_ids_preserved_across_cow_delete_update(spark, tmp_path_str):
             assert nrcv == v_up and nv == k * 10 + 1000
         else:
             assert nrcv == rcv and nv == k * 10
+
+
+def test_restore_preenablement_keeps_tracking_on(spark, tmp_path_str):
+    """Protocol features never downgrade: restoring to a version that
+    predates rowTracking/ICT enablement keeps both features live —
+    ids reassign from history, the commit clock stays monotonic."""
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(_k(spark, 0, 5).repartition(1), mode="overwrite",
+            primary_key=["k"])
+    t.set_properties({
+        "delta.enableRowTracking": "true",
+        "delta.enableInCommitTimestamps": "true",
+    })
+    ids_on = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    t.restore(version=0)
+    c = t.latest_commit()
+    assert c.properties.get("delta.enableRowTracking") in (True, "true")
+    assert c.properties.get("delta.enableInCommitTimestamps") in (
+        True, "true",
+    )
+    # ids recovered from history, not reassigned fresh
+    assert {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    } == ids_on
+    # the clock kept climbing through the restore commit
+    assert c.timestamp_ms > t.commit_at(1).timestamp_ms
