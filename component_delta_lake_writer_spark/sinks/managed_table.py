@@ -1320,7 +1320,16 @@ class ManagedTable:
         if len(small) < 2:
             return None
         untouched = [u for u in prev.data_units if u not in set(small)]
-        df = self._read_units(prev, small)
+        tracked = _prop_on(prev.properties, "delta.enableRowTracking")
+        df = self._read_units(prev, small, with_row_ids=tracked)
+        if tracked:
+            # auto-compaction is dataChange=false like full optimize:
+            # rows keep their identity through the fold (same
+            # materialized-column mechanism) — without this, a tracked
+            # append with autoCompact on would silently churn ids
+            df = df.withColumnRenamed(
+                "_row_id", _MAT_ROW_ID
+            ).withColumnRenamed("_row_commit_version", _MAT_RCV)
         if cluster_by:
             # keep the folded unit range-clustered so its files stay
             # prunable (the incremental spelling of

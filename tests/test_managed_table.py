@@ -1785,3 +1785,25 @@ def test_restore_preenablement_keeps_tracking_on(spark, tmp_path_str):
     } == ids_on
     # the clock kept climbing through the restore commit
     assert c.timestamp_ms > t.commit_at(1).timestamp_ms
+
+
+def test_row_ids_preserved_across_auto_compaction(spark, tmp_path_str):
+    t = ManagedTable(spark, tmp_path_str + "/t")
+    t.write(
+        _k(spark, 0, 4).repartition(1), mode="overwrite",
+        primary_key=["k"],
+        properties={"delta.enableRowTracking": "true"},
+    )
+    for lo in (4, 8, 12):
+        t.write(_k(spark, lo, lo + 4).repartition(1), mode="append")
+    before = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert t.compact_small_units(max_rows=1000) is not None
+    assert len(t.latest_commit().data_units) == 1  # folded
+    after = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert after == before
