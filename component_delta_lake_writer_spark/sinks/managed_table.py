@@ -329,9 +329,8 @@ class ManagedTable:
         # unique or the physical scan schema is ambiguous. Guards the
         # rename/add/schema-merge composition paths in one place.
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        reserved = {"_rows", "_files", "_bloom"} & {
-            f.name for f in schema.fields
-        }
+        names = {f.name for f in schema.fields}
+        reserved = {"_rows", "_files", "_bloom"} & names
         if reserved:
             # these key the commit's stats dict alongside column names;
             # a column so named would clobber the row count / per-file
@@ -340,6 +339,16 @@ class ManagedTable:
                 f"Column names {sorted(reserved)} are reserved by the "
                 "engine's unit statistics; rename them before writing."
             )
+        if _prop_on(commit.properties, "delta.enableRowTracking"):
+            clash = {_MAT_ROW_ID, _MAT_RCV} & names
+            if clash:
+                # the materialized row-id columns live in the same
+                # parquet namespace as data columns on rewrite
+                raise UserException(
+                    f"Column names {sorted(clash)} are reserved by row "
+                    "tracking's materialized id columns; rename them or "
+                    "disable delta.enableRowTracking."
+                )
         phys = [
             commit.column_mapping.get(f.name, f.name) for f in schema.fields
         ]
