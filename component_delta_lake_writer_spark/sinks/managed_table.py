@@ -4463,6 +4463,12 @@ class ManagedTable:
             "pending_delete_sets": len(c.delete_sets or []),
             "generated_columns": self._generation_exprs(c),
             "identity_columns": sorted(self._identity_specs(c)),
+            # Delta DESCRIBE DETAIL parity: clusteringColumns + the
+            # row-tracking high-water mark when the features are live
+            "clustering_columns": list(c.clustered_by or []),
+            "row_tracking_high_water": (
+                c.row_id_high_water if c.row_ids else None
+            ),
         }
 
     @property
