@@ -896,13 +896,16 @@ def _latest_action(log_dir: str, key: str) -> dict | None:
     if not os.path.isdir(log_dir):
         return None
     ckpt_v: int | None = None
+    last_cp: dict | None = None
     p = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(p):
         try:
             with open(p) as f:
-                ckpt_v = int(json.load(f)["version"])
+                last_cp = json.load(f)
+            ckpt_v = int(last_cp["version"])
         except (ValueError, KeyError):
             ckpt_v = None
+            last_cp = None
     needle = f'"{key}"'
     for v in reversed(_log_versions(log_dir)):
         if ckpt_v is not None and v <= ckpt_v:
@@ -914,12 +917,13 @@ def _latest_action(log_dir: str, key: str) -> dict | None:
                 a = json.loads(line)
                 if key in a:
                     return a[key]
-    if ckpt_v is None:
+    if ckpt_v is None or last_cp is None:
         return None
     import pyarrow.parquet as pq
 
+    # part 1 is enough: the writer pins protocol/metaData rows there
     rows = pq.read_table(
-        os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet"),
+        _checkpoint_part_paths(log_dir, last_cp)[0],
         columns=[key],
     ).to_pylist()
     for r in rows:
@@ -1382,6 +1386,31 @@ def read_delta_table_row_ids(spark, table_path: str):
 
 CHECKPOINT_INTERVAL = 10
 
+# Multi-part classic checkpoints (PROTOCOL.md §checkpoints): past this
+# many action rows, the checkpoint splits into
+# ``{version}.checkpoint.{part}.{parts}.parquet`` files and
+# ``_last_checkpoint`` advertises ``parts`` — at 100 TB a snapshot is
+# millions of add rows, and a single-file checkpoint becomes both the
+# write bottleneck and an unsplittable read. Protocol/metaData rows
+# always land in part 1 so metadata probes open one file.
+CHECKPOINT_PART_ROWS = 50_000
+
+
+def _checkpoint_part_paths(log_dir: str, last: dict) -> list[str]:
+    """The checkpoint parquet file(s) ``_last_checkpoint`` advertises —
+    one legacy single-file path, or the spec-named part series."""
+    v = int(last["version"])
+    parts = int(last.get("parts") or 0)
+    if parts:
+        return [
+            os.path.join(
+                log_dir,
+                f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+            )
+            for i in range(1, parts + 1)
+        ]
+    return [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+
 
 def _read_version_actions(log_dir: str, version: int) -> list[dict]:
     with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
@@ -1408,10 +1437,15 @@ def _dv_pa_field():
     )
 
 
-def write_checkpoint(table_path: str, version: int) -> str:
+def write_checkpoint(
+    table_path: str, version: int, part_rows: int | None = None
+) -> str:
     """Materialize the state at ``version`` into a checkpoint parquet
     (one row per action; null struct columns for the other kinds — the
-    protocol's flattened-action layout) + ``_last_checkpoint``."""
+    protocol's flattened-action layout) + ``_last_checkpoint``. Past
+    ``part_rows`` (default CHECKPOINT_PART_ROWS) action rows the
+    checkpoint becomes the spec's multi-part series. Returns the
+    (first) checkpoint file path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1591,20 +1625,44 @@ def write_checkpoint(table_path: str, version: int) -> str:
         }
         for r in rows
     ]
-    table = pa.Table.from_pylist(norm_rows, schema=schema)
-    final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    # tmp + atomic rename (same publish pattern as _last_checkpoint):
-    # a reader that discovers checkpoints by listing the log dir must
-    # never open a partially written parquet file
-    tmp_pq = final + f".tmp.{uuid.uuid4().hex}"
-    pq.write_table(table, tmp_pq)
-    os.replace(tmp_pq, final)
-    last = {"version": version, "size": table.num_rows}
+    part_cap = part_rows or CHECKPOINT_PART_ROWS
+    if len(norm_rows) > part_cap:
+        # multi-part checkpoint: split the action rows across
+        # spec-named part files (protocol/metaData ride in part 1 by
+        # row order). Each part publishes via tmp+rename; the series
+        # becomes visible only through _last_checkpoint's "parts".
+        chunks = [
+            norm_rows[i:i + part_cap]
+            for i in range(0, len(norm_rows), part_cap)
+        ]
+        n = len(chunks)
+        last = {"version": version, "size": len(norm_rows), "parts": n}
+        paths = _checkpoint_part_paths(log_dir, last)
+        for chunk, final in zip(chunks, paths):
+            t = pa.Table.from_pylist(chunk, schema=schema)
+            tmp_pq = final + f".tmp.{uuid.uuid4().hex}"
+            pq.write_table(t, tmp_pq)
+            os.replace(tmp_pq, final)
+        out_path = paths[0]
+    else:
+        table = pa.Table.from_pylist(norm_rows, schema=schema)
+        final = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.parquet"
+        )
+        # tmp + atomic rename (same publish pattern as
+        # _last_checkpoint): a reader that discovers checkpoints by
+        # listing the log dir must never open a partially written
+        # parquet file
+        tmp_pq = final + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(table, tmp_pq)
+        os.replace(tmp_pq, final)
+        last = {"version": version, "size": table.num_rows}
+        out_path = final
     tmp = os.path.join(log_dir, f"_last_checkpoint.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(last, f)
     os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
-    return final
+    return out_path
 
 
 def maybe_write_checkpoint(
@@ -1656,16 +1714,12 @@ def _replay_state(table_path: str) -> dict:
 
     start_after = -1
     if last is not None:
-        ckpt = pq.read_table(
-            os.path.join(
-                log_dir, f"{last['version']:020d}.checkpoint.parquet"
-            )
-        ).to_pylist()
-        for r in ckpt:
-            if r.get("metaData"):
-                _meta(r["metaData"])
-            if r.get("add"):
-                adds[r["add"]["path"]] = r["add"]
+        for path in _checkpoint_part_paths(log_dir, last):
+            for r in pq.read_table(path).to_pylist():
+                if r.get("metaData"):
+                    _meta(r["metaData"])
+                if r.get("add"):
+                    adds[r["add"]["path"]] = r["add"]
         start_after = last["version"]
     for v in _log_versions(log_dir):
         if v <= start_after:

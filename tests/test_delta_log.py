@@ -1554,3 +1554,51 @@ def test_sync_metadata_repairs_row_tracking_entry(spark, tmp_path_str):
         for r in read_delta_table_row_ids(spark, t.path).collect()
     }
     assert got == want
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path_str):
+    """Past CHECKPOINT_PART_ROWS action rows the checkpoint splits
+    into the spec's {version}.checkpoint.{part}.{parts}.parquet
+    series; replay, metadata probes, and the external reader all
+    resolve through the parts identically to a single-file
+    checkpoint."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+        read_last_checkpoint,
+        write_checkpoint,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(30).select(F.col("id").alias("k"))
+    t.write(df, mode="overwrite", primary_key=["k"])
+    for i in range(4):
+        t.write(
+            spark.range(30 + i, 31 + i).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    # force a TINY part cap so the 5-unit snapshot must split
+    write_checkpoint(t.path, t.latest_commit().version, part_rows=3)
+    last = read_last_checkpoint(t.path)
+    assert last["parts"] >= 2 and last["size"] > 3
+    log = os.path.join(t.path, "_delta_log")
+    parts = [
+        f for f in os.listdir(log)
+        if ".checkpoint." in f and f.endswith(".parquet")
+    ]
+    assert len(parts) == last["parts"]
+    n = last["parts"]
+    assert sorted(parts) == [
+        f"{last['version']:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+        for i in range(1, n + 1)
+    ]
+    # replay through the parts: full data, correct schema
+    got = {r.k for r in read_delta_table(spark, t.path).collect()}
+    assert got == set(range(34))
+    # a later commit + metadata probe resolve against part 1
+    t.write(
+        spark.range(100, 102).select(F.col("id").alias("k")),
+        mode="append",
+    )
+    assert {
+        r.k for r in read_delta_table(spark, t.path).collect()
+    } == set(range(34)) | {100, 101}
