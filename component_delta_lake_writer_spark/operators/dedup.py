@@ -492,7 +492,12 @@ def cross_corpus_near_dup(
 
     At 100 TB the train index is built once and reused per eval set;
     each probe is one equi-join of the (small) eval shingle stream
-    against it."""
+    against it.
+
+    The two persisted set relations (one row per doc — bounded) feed
+    both the blocking and verify stages of the returned LAZY plan, so
+    they stay cached for the session like minhash_dedup's set
+    relation; Spark's LRU storage eviction bounds the residency."""
     tr_sets = shingle_sets(
         shingles(train, text_col, id_col, k_shingle), id_col
     ).persist()

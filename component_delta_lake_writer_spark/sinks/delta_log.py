@@ -686,8 +686,10 @@ def write_delta_log_entry(
                 # DV-bearing add
                 rm["deletionVector"] = current_dvs[rel]
             actions.append({"remove": rm})
+    emitted_adds: set = set()
     for unit in new_units:
         for rel, size, mtime, pvals in _walk_parquet(table_path, os.path.join(data_dir_name, unit)):
+            emitted_adds.add(rel)
             actions.append(
                 {
                     "add": {
@@ -700,6 +702,29 @@ def write_delta_log_entry(
                     }
                 }
             )
+    if row_tracking is not None and row_tracking.get("newly") and version > 0:
+        # mid-history enablement BACKFILL (Delta's own enablement
+        # shape): every live file already in the log re-commits its
+        # add with baseRowId/defaultRowCommitVersion, dataChange=false
+        # — reconciliation is last-add-wins by path, and without this
+        # the external reader would resolve NULL ids for every
+        # pre-enablement row while the engine returns real ones. The
+        # prior add supplies partitionValues/size AND any live
+        # deletionVector descriptor — re-adding without the descriptor
+        # would resurrect the masked rows.
+        prior_adds = _replay_state(table_path)["adds"]
+        for rel in sorted(row_tracking.get("files") or {}):
+            if rel in emitted_adds or rel in dv_adds:
+                continue
+            pa_act = prior_adds.get(rel)
+            if pa_act is None:
+                continue  # not in the mirror yet (fresh this commit)
+            new_add = dict(pa_act)
+            # _replay_state decodes action paths to fs form; re-encode
+            new_add["path"] = _encode_path(rel)
+            new_add["dataChange"] = False
+            new_add.update(_rt_fields(rel))
+            actions.append({"add": new_add})
     # DV swap: retract each affected file's previous incarnation and
     # re-add it with the new descriptor (same physical parquet)
     for rel in sorted(dv_adds):
@@ -1200,8 +1225,11 @@ def _read_partitioned(spark, table_path, st, logical, pcols, read_dv):
         groups.items(),
         key=lambda kv: [(v is not None, v or "") for _c, v in kv[0]],
     ):
-        clean = [p for p in paths if p not in st["adds"] or st["adds"][p].get("deletionVector") is None]
-        masked = [p for p in paths if p not in clean]
+        clean = [
+            p for p in paths
+            if st["adds"][p].get("deletionVector") is None
+        ]
+        masked = [p for p in paths if p not in set(clean)]
         for batch, dv in (
             [(clean, None)] if clean else []
         ) + [([p], st["adds"][p]["deletionVector"]) for p in masked]:
@@ -1625,7 +1653,11 @@ def write_checkpoint(
         }
         for r in rows
     ]
-    part_cap = part_rows or CHECKPOINT_PART_ROWS
+    # floor 2: protocol AND metaData must land in part 1 together —
+    # _latest_action reads only part 1, and a cap of 1 would strand
+    # metaData in part 2 (forgetting column-mapping ids / sticky DV
+    # config on the next re-emission)
+    part_cap = max(2, part_rows or CHECKPOINT_PART_ROWS)
     if len(norm_rows) > part_cap:
         # multi-part checkpoint: split the action rows across
         # spec-named part files (protocol/metaData ride in part 1 by

@@ -185,13 +185,17 @@ def _prop_on(props: dict | None, key: str) -> bool:
 
 def _mirror_clustering_arg(c: Commit, prev: Commit | None) -> dict | None:
     """``clustering`` arg for ``write_delta_log_entry`` from committed
-    state (shared by _publish and the sync_metadata repair path)."""
-    if not c.clustered_by:
+    state (shared by _publish and the sync_metadata repair path).
+    Also fires when clustering just went AWAY (RESTORE to a
+    pre-clustering version): the domain re-emits with empty columns so
+    external readers stop believing the old layout."""
+    cur = list(c.clustered_by or [])
+    prev_cols = list(prev.clustered_by or []) if prev is not None else []
+    if not cur and not prev_cols:
         return None
     return {
-        "columns": list(c.clustered_by),
-        "newly": prev is None
-        or list(prev.clustered_by or []) != list(c.clustered_by),
+        "columns": cur,
+        "newly": prev is None or prev_cols != cur,
     }
 
 
@@ -201,9 +205,13 @@ def _mirror_feature_args(c: Commit, prev: Commit | None) -> tuple:
     timestamps/ids) and the sync_metadata repair path (which re-emits
     lost mirror entries from committed state)."""
     rt = None
-    if c.row_ids:
+    if _prop_on(c.properties, "delta.enableRowTracking"):
+        # gate on the PROPERTY, not on row_ids being non-empty: a
+        # tracked table whose snapshot is momentarily empty (every
+        # row deleted) must keep advertising the feature config, or
+        # metaData re-emissions would show the property flipping off
         files: dict = {}
-        for ent in c.row_ids.values():
+        for ent in (c.row_ids or {}).values():
             for rel, (base, _n) in (ent.get("files") or {}).items():
                 files[rel] = {
                     "baseRowId": int(base),
@@ -212,7 +220,8 @@ def _mirror_feature_args(c: Commit, prev: Commit | None) -> tuple:
         rt = {
             "high_water": int(c.row_id_high_water),
             "files": files,
-            "newly": prev is None or not (prev.row_ids or {}),
+            "newly": prev is None
+            or not _prop_on(prev.properties, "delta.enableRowTracking"),
             # external row-tracking readers resolve preserved ids
             # through these physical columns (Delta's materialized
             # row-id mechanism; written by optimize rewrites)
@@ -322,8 +331,16 @@ class ManagedTable:
         if _prop_on(props, "delta.enableRowTracking"):
             self._assign_row_ids(commit, prev)
         # Clustered-table state carries forward (a later append does
-        # not un-cluster the table); only optimize() sets a new value.
-        if not commit.clustered_by and prev is not None:
+        # not un-cluster the table); only optimize() sets a new value
+        # and RESTORE takes the restored version's state verbatim —
+        # the restored units are physically laid out by ITS columns,
+        # so carrying the pre-restore clustering would misdescribe
+        # the layout.
+        if (
+            not commit.clustered_by
+            and prev is not None
+            and commit.action != "restore"
+        ):
             commit.clustered_by = list(prev.clustered_by or [])
         # Column-mapping invariant: on-disk (physical) names must stay
         # unique or the physical scan schema is ambiguous. Guards the
@@ -1417,11 +1434,18 @@ class ManagedTable:
 
         ``with_row_ids=True`` (row-tracking tables only) adds two
         metadata columns: ``_row_id`` (the stable Delta row id —
-        the file's baseRowId plus the row's position in the file) and
-        ``_row_commit_version`` (the commit that assigned the row's
-        id). Ids survive appends, carried units, RESTORE and DV
-        re-adds; merge-on-read-deleted rows simply vanish with their
-        ids intact on survivors.
+        the file's baseRowId plus the row's position in the file, or
+        the materialized value after a rewrite) and
+        ``_row_commit_version`` (the commit that last assigned/touched
+        the row). The identity contract: a row KEEPS its id through
+        appends, carried units, RESTORE, DV re-adds, OPTIMIZE /
+        auto-compaction, copy-on-write DELETE survivors, UPDATE
+        (attribution moves to the updating commit), replaceWhere's
+        kept remainder, and the carried (not-matched) side of an
+        unconditional COW MERGE. Rows REPLACED by a merge (matched
+        updates — the row is rebuilt from the source relation) and all
+        rows of a conditional merge draw fresh ids, as does any row
+        inserted new.
 
         The committed schema is authoritative: passing it explicitly
         makes the parquet reader fill columns absent from older data
@@ -1929,7 +1953,12 @@ class ManagedTable:
         maintenance cadence — never O(deletes)."""
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         mapping = commit.column_mapping or {}
-        if with_row_ids and not commit.row_ids:
+        if with_row_ids and not _prop_on(
+            commit.properties, "delta.enableRowTracking"
+        ):
+            # property-gated, NOT row_ids-gated: a tracked table whose
+            # snapshot is momentarily empty has row_ids == {} and must
+            # still answer (with an empty id-columned relation)
             raise UserException(
                 "Row tracking is not enabled on this table; create it "
                 "with properties={'delta.enableRowTracking': 'true'}."
@@ -1990,14 +2019,20 @@ class ManagedTable:
             for rel, (base, _n) in (ent.get("files") or {}).items():
                 rows.append((rel, int(base), int(ent["v"])))
         if len(rows) <= 256:
-            base_map = F.create_map(
-                *[x for rel, b, _v in rows
-                  for x in (F.lit(rel), F.lit(b))]
-            )
-            rcv_map = F.create_map(
-                *[x for rel, _b, v in rows
-                  for x in (F.lit(rel), F.lit(v))]
-            )
+            if rows:
+                base_map = F.create_map(
+                    *[x for rel, b, _v in rows
+                      for x in (F.lit(rel), F.lit(b))]
+                )
+                rcv_map = F.create_map(
+                    *[x for rel, _b, v in rows
+                      for x in (F.lit(rel), F.lit(v))]
+                )
+            else:
+                # zero live files: create_map() is VOID-typed and
+                # map()[string] fails analysis — typed empty maps
+                empty = F.expr("CAST(map() AS MAP<STRING, BIGINT>)")
+                base_map = rcv_map = empty
             rel_c = F.col("_rt_rel")
             return (
                 df.withColumn(
@@ -2382,10 +2417,33 @@ class ManagedTable:
                     else:
                         untouched.append(u)
         try:
-            if touched:
-                target_sub = self._align_to_schema(
-                    self._read_units(prev, touched), union_schema
+            # Row tracking through the COW merge (unconditional shape
+            # only — the conditional variant rebuilds rows column-wise
+            # and is documented fresh-id): carried target rows ride
+            # their materialized ids through the anti-join; source
+            # rows (inserts AND updates — MERGE replaces the matched
+            # row wholesale from the source relation) draw fresh ids.
+            tracked = update_condition is None and _prop_on(
+                prev.properties, "delta.enableRowTracking"
+            )
+            merge_schema = union_schema
+            if tracked:
+                merge_schema = T.StructType(
+                    list(union_schema.fields)
+                    + [
+                        T.StructField(_MAT_ROW_ID, T.LongType(), True),
+                        T.StructField(_MAT_RCV, T.LongType(), True),
+                    ]
                 )
+            if touched:
+                read_t = self._read_units(
+                    prev, touched, with_row_ids=tracked
+                )
+                if tracked:
+                    read_t = read_t.withColumnRenamed(
+                        "_row_id", _MAT_ROW_ID
+                    ).withColumnRenamed("_row_commit_version", _MAT_RCV)
+                target_sub = self._align_to_schema(read_t, merge_schema)
                 if update_condition is not None:
                     merged = merge_upsert_conditional(
                         target_sub, src, primary_key, update_condition,
@@ -2393,7 +2451,10 @@ class ManagedTable:
                     )
                 else:
                     merged = merge_upsert(
-                        target_sub, src, primary_key, pre_deduplicated=True
+                        target_sub,
+                        self._align_to_schema(src, merge_schema),
+                        primary_key,
+                        pre_deduplicated=True,
                     )
             else:
                 # every unit is disjoint from the batch → pure insert
@@ -3231,13 +3292,24 @@ class ManagedTable:
         untouched = [u for u in prev.data_units if u not in set(touched)]
         units = list(untouched)
         stats = {u: prev.stats[u] for u in untouched if u in prev.stats}
-        replaced = (
-            self._read_units(prev, touched).filter(~cond)
-            if touched
-            else None
-        )
+        tracked = _prop_on(prev.properties, "delta.enableRowTracking")
+        replaced = None
+        if touched:
+            # the kept remainder of touched units keeps row identity
+            # through the rewrite (same materialized-column mechanism
+            # as DELETE); the incoming batch is genuinely new rows and
+            # draws fresh ids via unionByName's missing-column NULLs
+            replaced = self._read_units(
+                prev, touched, with_row_ids=tracked
+            ).filter(~cond)
+            if tracked:
+                replaced = replaced.withColumnRenamed(
+                    "_row_id", _MAT_ROW_ID
+                ).withColumnRenamed("_row_commit_version", _MAT_RCV)
         new_rows = (
-            df if replaced is None else replaced.unionByName(df)
+            df
+            if replaced is None
+            else replaced.unionByName(df, allowMissingColumns=True)
         )
         unit = self._write_unit(
             self._to_physical(new_rows, prev.column_mapping),
@@ -3905,6 +3977,10 @@ class ManagedTable:
             stats={u: s for u, s in old.stats.items() if u in old.data_units},
             delete_sets=list(old.delete_sets),
             column_mapping=dict(old.column_mapping),
+            # clustering is part of the restored snapshot (the
+            # restored units' physical layout), not of the pre-restore
+            # head — _publish skips its carry-forward for restores
+            clustered_by=list(old.clustered_by or []),
         )
         self._publish(commit, prev)
         return commit
@@ -4467,7 +4543,9 @@ class ManagedTable:
             # row-tracking high-water mark when the features are live
             "clustering_columns": list(c.clustered_by or []),
             "row_tracking_high_water": (
-                c.row_id_high_water if c.row_ids else None
+                c.row_id_high_water
+                if _prop_on(c.properties, "delta.enableRowTracking")
+                else None
             ),
         }
 

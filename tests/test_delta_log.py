@@ -1602,3 +1602,98 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path_str):
     assert {
         r.k for r in read_delta_table(spark, t.path).collect()
     } == set(range(34)) | {100, 101}
+
+
+def test_enablement_backfills_mirror_adds(spark, tmp_path_str):
+    """Mid-history row-tracking enablement must re-commit every live
+    file's add WITH baseRowId (dataChange=false backfill) — without
+    it the external reader resolves NULL ids for pre-enablement rows
+    while the engine returns real ones."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table_row_ids,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    t.write(
+        spark.range(6).select(F.col("id").alias("k")).repartition(1),
+        mode="overwrite", primary_key=["k"],
+    )
+    t.write(
+        spark.range(6, 9).select(F.col("id").alias("k")).repartition(1),
+        mode="append",
+    )
+    # a pre-enablement MOR delete leaves a live DV descriptor that the
+    # backfill re-add must CARRY (or masked rows resurrect externally)
+    t.delete_where("k = 1", strategy="merge-on-read")
+    t.set_properties({"delta.enableRowTracking": "true"})
+    acts = _actions(t.path, 3)
+    backfills = [
+        a["add"] for a in acts if "add" in a
+        and a["add"].get("dataChange") is False
+    ]
+    assert len(backfills) == 2  # both pre-enablement files re-added
+    assert all(a.get("baseRowId") is not None for a in backfills)
+    assert any(a.get("deletionVector") for a in backfills)
+    got = {
+        (r.k, r._row_id)
+        for r in read_delta_table_row_ids(spark, t.path).collect()
+    }
+    want = {
+        (r.k, r._row_id)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert got == want and None not in {i for _k, i in got}
+    assert {k for k, _i in got} == set(range(9)) - {1}
+
+
+def test_empty_snapshot_keeps_tracking_live(spark, tmp_path_str):
+    t = _rt_table(spark, tmp_path_str)
+    t.delete_where("k >= 0")
+    # engine read answers with an empty id-columned relation
+    out = t.read(with_row_ids=True)
+    assert out.count() == 0 and "_row_id" in out.columns
+    # a metaData re-emission while empty keeps the feature config
+    t.add_column("extra", "long")
+    meta = next(
+        a["metaData"]
+        for a in _actions(t.path, t.latest_commit().version)
+        if "metaData" in a
+    )
+    assert meta["configuration"]["delta.enableRowTracking"] == "true"
+    # and the table comes back to life with fresh ids past the mark
+    t.write(
+        spark.range(50, 53).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.lit(None).cast("long").alias("extra"),
+        ),
+        mode="append",
+    )
+    ids = [r._row_id for r in t.read(with_row_ids=True).collect()]
+    assert sorted(ids) == [8, 9, 10]  # past the 0..7 already assigned
+
+
+def test_restore_takes_restored_clustering_state(spark, tmp_path_str):
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.optimize(cluster_by=["g"])       # v1: clustered by g
+    t.optimize(zorder_by=["k"])        # v2: re-clustered by k
+    t.restore(version=1)
+    assert t.latest_commit().clustered_by == ["g"]
+    dm = next(
+        a["domainMetadata"]
+        for a in _actions(t.path, 3)
+        if "domainMetadata" in a
+    )
+    assert json.loads(dm["configuration"])["clusteringColumns"] == [["g"]]
+    # restoring to the UNclustered v0 clears the domain
+    t.restore(version=0)
+    assert t.latest_commit().clustered_by == []
+    dm0 = next(
+        a["domainMetadata"]
+        for a in _actions(t.path, 4)
+        if "domainMetadata" in a
+    )
+    assert json.loads(dm0["configuration"])["clusteringColumns"] == []
