@@ -57,6 +57,12 @@ _DATA = "_data"
 # workers, ~0.8 s cheaper at small shapes); above it the bitmaps are
 # serialized executor-side and only binary blobs transfer.
 _DV_COLLECT_MAX = 50_000
+# Driver-only DV materialization tier: targeted units whose summed
+# row stats fit this bound are matched with pyarrow+pandas on the
+# driver (zero Spark jobs). 4M rows × a few PK columns ≈ tens of MB of
+# driver IO — the same order as the footer-stats reads the commit
+# already performs. Override per table: mirror.dvDriverScanMaxRows.
+_DV_DRIVER_SCAN_MAX = 4_000_000
 
 # Properties the engine truth-tests — the only keys whose SQL string
 # values 'true'/'false' normalize to booleans in set_properties
@@ -722,13 +728,112 @@ class ManagedTable:
                         ).metadata.num_rows
             return total
 
+        driver_bound = float(
+            (commit.properties or {}).get(
+                "mirror.dvDriverScanMaxRows", _DV_DRIVER_SCAN_MAX
+            )
+        )
+
+        def _driver_match(ds_dir: str, units: list[str]) -> dict:
+            """Metadata-scale fast path: both sides provably small, so
+            the (file, row_index) match runs entirely on the DRIVER
+            with pyarrow + pandas — no Spark job at all. A clean run
+            of the distributed path costs ~0.5 s of fixed dispatch at
+            the sf0.1 probe shape vs ~0.01 s here (measured,
+            scripts/profile_dv_variants.py). Row positions come from
+            reading each parquet file whole, which is exactly the
+            `_metadata.row_index` physical-position semantics."""
+            import pandas as pd
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
+
+            keys = pads.dataset(ds_dir, format="parquet").to_table()
+            # SQL join equality: NULL keys never match — drop them so
+            # the pandas match can't pair NaN with NaN
+            kdf = keys.to_pandas().dropna()
+            phys = [mapping.get(c, c) for c in keys.column_names]
+            kmi = pd.MultiIndex.from_frame(kdf)
+            out: dict[str, list[int]] = {}
+            for u in units:
+                udir = os.path.join(self._data_dir, u)
+                for dirpath, _d, files in os.walk(udir):
+                    for fn in sorted(files):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        fpath = os.path.join(dirpath, fn)
+                        fdf = pq.read_table(
+                            fpath, columns=phys
+                        ).to_pandas()
+                        fdf.columns = list(keys.column_names)
+                        mask = pd.MultiIndex.from_frame(fdf).isin(kmi)
+                        if not mask.any():
+                            continue
+                        import numpy as np
+
+                        rel = os.path.relpath(fpath, self.path)
+                        out[rel] = [
+                            int(i) for i in np.nonzero(mask)[0]
+                        ]
+            return out
+
         new_bitmaps: dict[str, list[int]] = {}
         for ds in pending:
             units = [u for u in ds["units"] if u in live_units]
             if not units:
                 continue
             ds_dir = os.path.join(self._deletes_dir, ds["path"])
+            # the ds key count is the practical proxy for the transfer
+            # size (a PK matches ~one live row; pathological multi-unit
+            # duplication only over-fills a bounded collect, it cannot
+            # recur per commit since those rows are now deleted)
+            small = _ds_rows(ds_dir) <= _DV_COLLECT_MAX
+            # Tier 1 — driver-only: keys small AND every targeted
+            # unit's row count is known from commit stats and the sum
+            # fits the driver bound AND the layout is unpartitioned
+            # (hive partition columns live in paths, not files; those
+            # tables take the Spark path where `_metadata` semantics
+            # are authoritative). At 100 TB this tier never triggers —
+            # it exists so metadata-scale tables stop paying
+            # distributed dispatch for mirror freshness.
+            if small and not commit.partition_by:
+                est = 0.0
+                for u in units:
+                    r = (commit.stats.get(u) or {}).get("_rows")
+                    est += float(r) if r is not None else float("inf")
+                if est <= driver_bound:
+                    for rel, idx in _driver_match(ds_dir, units).items():
+                        if rel in new_bitmaps:
+                            new_bitmaps[rel] = sorted(
+                                set(new_bitmaps[rel]) | set(idx)
+                            )
+                        else:
+                            new_bitmaps[rel] = idx
+                    continue
             dels = self.spark.read.parquet(ds_dir)
+            if small:
+                # Tier 2 — SMALL build side: load the delete keys on
+                # the DRIVER (pyarrow, the same footers _ds_rows just
+                # opened) and hand Spark a LocalRelation — the
+                # broadcast hash table builds driver-side with NO
+                # Spark stage, where `read.parquet(ds_dir).distinct()`
+                # cost a scan stage plus an exchange per commit.
+                # Duplicate keys are harmless to a left-semi build, so
+                # no distinct is needed.
+                import pyarrow.dataset as _pads
+
+                _tbl = _pads.dataset(ds_dir, format="parquet").to_table()
+                try:
+                    _local = self.spark.createDataFrame(_tbl)
+                except Exception:  # pragma: no cover — older arrow path
+                    _local = self.spark.createDataFrame(_tbl.to_pandas())
+                dels_build = _local.select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in dels.schema.fields
+                    ]
+                )
+            else:
+                dels_build = dels.distinct()
             scan = self.spark.read.parquet(
                 *[os.path.join(self._data_dir, u) for u in units]
             ).select(
@@ -742,13 +847,9 @@ class ManagedTable:
             # delete sets are O(source delta) by design — broadcast so
             # the target scan never shuffles for the probe
             matched = scan.join(
-                F.broadcast(dels.distinct()), dels.columns, "left_semi"
+                F.broadcast(dels_build), dels.columns, "left_semi"
             ).select("_fp", "_ri")
-            # the ds key count is the practical proxy for the transfer
-            # size (a PK matches ~one live row; pathological multi-unit
-            # duplication only over-fills a bounded collect, it cannot
-            # recur per commit since those rows are now deleted)
-            if _ds_rows(ds_dir) <= _DV_COLLECT_MAX:
+            if small:
                 pairs = (
                     (r["_fp"], int(r["_ri"])) for r in matched.collect()
                 )
