@@ -269,6 +269,107 @@ def table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone.read()
 
 
+@query("convert_to_delta")
+def convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (Delta's in-place parquet adoption): an
+    existing parquet directory becomes a managed table with ZERO data
+    rewritten — files are adopted by hardlink, stats come from one
+    driver-side footer pass, and version 0 is a real commit (external
+    Delta mirror included). The probe proves zero-copy by inode
+    identity between source and adopted files."""
+    base = _scratch("convert_to_delta", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    raw = os.path.join(base, "raw")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    o.write.parquet(raw)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    c = t.convert_from_parquet(raw)
+    assert c.action == "convert" and c.version == 0
+
+    def _inodes(root: str) -> set:
+        return {
+            os.stat(os.path.join(dp, fn)).st_ino
+            for dp, _d, fns in os.walk(root)
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+
+    adopted = _inodes(t._data_dir)
+    assert adopted and adopted <= _inodes(raw), (
+        "CONVERT must adopt files zero-copy (shared inodes)"
+    )
+    return t.read()
+
+
+@query("shallow_clone")
+def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (CREATE TABLE … SHALLOW CLONE src): an instant,
+    zero-data-copy clone — parquet bytes are hardlinked, metadata is
+    copied, and the two tables are fully independent afterwards.
+    Unlike Delta's pointer-based shallow clone, VACUUM on either side
+    can never break the other (the filesystem keeps shared bytes
+    alive until the last link drops)."""
+    import shutil as _sh
+
+    base = _scratch("shallow_clone", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "src"))
+    o = load_table(spark, sf_dir, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    clone = t.clone_to(os.path.join(base, "fork"), shallow=True)
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+
+    def _inodes(root: str) -> set:
+        return {
+            os.stat(os.path.join(dp, fn)).st_ino
+            for dp, _d, fns in os.walk(root)
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+
+    cloned = _inodes(os.path.join(clone.path, "_data"))
+    assert cloned and cloned <= _inodes(t._data_dir), (
+        "shallow clone must hardlink data files, not copy"
+    )
+    assert t.read().count() > clone.read().count()  # independence
+    assert clone.history()[0].action == "overwrite"  # history carried
+    return clone.read()
+
+
+@query("analyze_table_stats")
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS: a table adopted with NO
+    STATISTICS has no min/max and cannot data-skip; ANALYZE refreshes
+    the commit log's footer stats in a metadata-only commit and
+    re-arms pruning. Both ends run through the SQL statement
+    executor (the warehouse-script surface)."""
+    from component_delta_lake_writer_spark.statements import (
+        StatementExecutor,
+    )
+
+    base = _scratch("analyze_table_stats", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    raw = os.path.join(base, "raw")
+    load_table(spark, sf_dir, "orders").write.parquet(raw)
+    ex = StatementExecutor(spark, os.path.join(base, "wh"))
+    ex.execute(f"CONVERT TO DELTA parquet.`{raw}` NO STATISTICS AS t")
+    t = ex.table("t")
+    c0 = t.latest_commit()
+    assert set(next(iter(c0.stats.values()))) == {"_rows"}, (
+        "NO STATISTICS must record row counts only"
+    )
+    ex.execute("ANALYZE TABLE t COMPUTE STATISTICS")
+    c1 = t.latest_commit()
+    assert c1.action == "analyze"
+    assert c1.data_units == c0.data_units  # metadata-only
+    assert "o_orderkey" in next(iter(c1.stats.values())), (
+        "ANALYZE must record per-column min/max"
+    )
+    return t.read_where("o_orderkey % 5 = 0")
+
+
 @query("mor_delete_read")
 def mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read equality delete (Iceberg-style delete files): the
@@ -750,6 +851,9 @@ _O["zorder_multidim_skip"] = """
     WHERE o_custkey < (SELECT MAX(o_custkey) // 20 FROM orders)
 """
 _O["table_clone"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["convert_to_delta"] = "SELECT * FROM orders WHERE o_orderkey % 3 = 0"
+_O["shallow_clone"] = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+_O["analyze_table_stats"] = "SELECT * FROM orders WHERE o_orderkey % 5 = 0"
 _O["mor_delete_read"] = """
     SELECT * FROM orders
     WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 3 = 0,

@@ -100,6 +100,13 @@ CDF_CHANGE_SET_ACTIONS = ("upsert", "delete", "update", "replace_where")
 
 # commit action → Delta commitInfo operation name (what DESCRIBE
 # HISTORY shows external readers of the mirror)
+def _pq_rows(path: str) -> int:
+    """Footer row count — driver-side metadata IO only."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)
+
+
 _OPERATION_NAMES = {
     "create": "CREATE TABLE AS SELECT",
     "overwrite": "WRITE",
@@ -118,6 +125,8 @@ _OPERATION_NAMES = {
     "set_properties": "SET TBLPROPERTIES",
     "add_constraint": "ADD CONSTRAINT",
     "drop_constraint": "DROP CONSTRAINT",
+    "convert": "CONVERT",
+    "analyze": "COMPUTE STATISTICS",
 }
 
 
@@ -786,16 +795,19 @@ class ManagedTable:
             # size (a PK matches ~one live row; pathological multi-unit
             # duplication only over-fills a bounded collect, it cannot
             # recur per commit since those rows are now deleted)
-            small = _ds_rows(ds_dir) <= _DV_COLLECT_MAX
-            # Tier 1 — driver-only: keys small AND every targeted
-            # unit's row count is known from commit stats and the sum
-            # fits the driver bound AND the layout is unpartitioned
-            # (hive partition columns live in paths, not files; those
-            # tables take the Spark path where `_metadata` semantics
-            # are authoritative). At 100 TB this tier never triggers —
-            # it exists so metadata-scale tables stop paying
-            # distributed dispatch for mirror freshness.
-            if small and not commit.partition_by:
+            ds_keys = _ds_rows(ds_dir)
+            small = ds_keys <= _DV_COLLECT_MAX
+            # Tier 1 — driver-only: every targeted unit's row count is
+            # known from commit stats and the sum fits the driver
+            # bound AND the layout is unpartitioned (hive partition
+            # columns live in paths, not files; those tables take the
+            # Spark path where `_metadata` semantics are
+            # authoritative). The key count needs no separate cap: it
+            # can't exceed the rows the bounded target holds, and the
+            # matched output is bounded the same way. At 100 TB this
+            # tier never triggers — it exists so metadata-scale tables
+            # stop paying distributed dispatch for mirror freshness.
+            if ds_keys <= driver_bound and not commit.partition_by:
                 est = 0.0
                 for u in units:
                     r = (commit.stats.get(u) or {}).get("_rows")
@@ -4267,14 +4279,27 @@ class ManagedTable:
                 removed += 1
         return removed
 
-    def clone_to(self, dest_path: str) -> "ManagedTable":
-        """``CREATE TABLE … DEEP CLONE src`` (Delta CLONE): a full
-        independent copy — data units, commit history, delete sets,
-        stats — at the destination. Later writes to either side never
-        affect the other. (A shallow clone — shared data files — is
-        deliberately not offered: the commit log stores table-relative
-        unit paths, and cross-table file sharing would break vacuum's
-        liveness reasoning, the same caveat Delta documents.)
+    def clone_to(
+        self, dest_path: str, shallow: bool = False
+    ) -> "ManagedTable":
+        """``CREATE TABLE … {DEEP|SHALLOW} CLONE src`` (Delta CLONE): a
+        full independent copy — data units, commit history, delete
+        sets, stats — at the destination. Later writes to either side
+        never affect the other.
+
+        ``shallow=True`` is the zero-data-copy variant: parquet bytes
+        under ``_data``/``_deletes`` are HARDLINKED instead of copied
+        (O(files) metadata ops, zero data movement — the cost profile
+        of Delta's shallow clone), while the commit log and mirror are
+        real copies so each table's metadata stays self-contained.
+        This is safe because data files are immutable here: every
+        rewrite creates new files and removal is an unlink, which only
+        drops one link. Unlike Delta's pointer-based shallow clone
+        (absolute ``add.path`` into the source table), VACUUM on
+        either side can never break the other — the filesystem keeps
+        shared bytes alive until the last link drops — and external
+        readers need no absolute-path support. Cross-device
+        destinations degrade file-by-file to plain copies.
 
         Driver-side copytree: at 100 TB this is the object-store
         server-side-copy loop over unit prefixes — O(files) metadata
@@ -4284,8 +4309,172 @@ class ManagedTable:
             raise UserException(f"Clone destination {dest} is not empty.")
         if self.latest_commit() is None:
             raise UserException(f"No table at {self.path}")
-        shutil.copytree(self.path, dest, dirs_exist_ok=True)
+        if not shallow:
+            shutil.copytree(self.path, dest, dirs_exist_ok=True)
+            return ManagedTable(self.spark, dest)
+        link_roots = (_DATA, "_deletes")
+        src_root = self.path
+
+        def _link_or_copy(s: str, d: str) -> None:
+            rel = os.path.relpath(s, src_root)
+            if rel.split(os.sep, 1)[0] in link_roots:
+                try:
+                    os.link(s, d)
+                    return
+                except OSError:
+                    pass  # cross-device: fall through to copy
+            shutil.copy2(s, d)
+
+        shutil.copytree(
+            self.path, dest, dirs_exist_ok=True,
+            copy_function=_link_or_copy,
+        )
         return ManagedTable(self.spark, dest)
+
+    def recompute_stats(self) -> Commit:
+        """``ANALYZE TABLE … COMPUTE STATISTICS``: refresh every
+        unit's footer-derived min/max/null/row stats in a
+        metadata-only commit — no data touched, one driver-side footer
+        pass. The path that (re-)arms data skipping on a table adopted
+        with ``collect_stats=False`` or written by an older engine."""
+        prev = self.latest_commit()
+        if prev is None:
+            raise UserException(f"No table at {self.path}")
+        stats = {
+            u: self._unit_stats(
+                u, per_file=not prev.partition_by,
+                props=prev.properties, mapping=prev.column_mapping,
+            )
+            for u in prev.data_units
+        }
+        commit = Commit(
+            version=prev.version + 1,
+            action="analyze",
+            data_units=list(prev.data_units),
+            schema_json=prev.schema_json,
+            partition_by=prev.partition_by,
+            primary_key=prev.primary_key,
+            timestamp_ms=int(time.time() * 1000),
+            properties=prev.properties,
+            stats=stats,
+            delete_sets=self._carry_delete_sets(
+                prev.delete_sets, prev.data_units
+            ),
+            column_mapping=dict(prev.column_mapping),
+        )
+        self._publish(commit, prev)
+        return commit
+
+    def convert_from_parquet(
+        self,
+        source_dir: str,
+        partition_by: list[str] | None = None,
+        primary_key: list[str] | None = None,
+        properties: dict | None = None,
+        collect_stats: bool = True,
+    ) -> Commit:
+        """``CONVERT TO DELTA parquet.`/dir/``` (Delta's in-place
+        adoption): turn an existing parquet directory — optionally
+        hive-partitioned ``key=value`` — into a managed table WITHOUT
+        rewriting any data. Files are adopted by hardlink (cross-
+        device: file copy), footer stats are collected driver-side
+        exactly like a native write, and version 0 commits with
+        action ``convert`` so the Delta mirror exposes the adopted
+        files to external readers immediately.
+
+        At 100 TB this is the whole point of CONVERT: commit cost is
+        O(files) metadata operations + one footer pass — the data
+        never moves. Partition columns are inferred from the hive
+        layout (or validated against ``partition_by`` if given); the
+        schema comes from the parquet footers + partition inference,
+        never from data sampling."""
+        if self.exists():
+            raise UserException(
+                f"CONVERT destination {self.path} already has a table."
+            )
+        if not os.path.isdir(source_dir):
+            raise UserException(f"No directory at {source_dir}")
+        rels: list[str] = []
+        inferred: list[str] | None = None
+        for dirpath, _dirs, fns in os.walk(source_dir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fn), source_dir
+                )
+                keys = [
+                    seg.split("=", 1)[0]
+                    for seg in os.path.dirname(rel).split(os.sep)
+                    if "=" in seg
+                ]
+                if inferred is None:
+                    inferred = keys
+                elif keys != inferred:
+                    raise UserException(
+                        "CONVERT: inconsistent hive partition layout "
+                        f"({keys} vs {inferred})."
+                    )
+                rels.append(rel)
+        if not rels:
+            raise UserException(
+                f"CONVERT: no parquet files under {source_dir}"
+            )
+        if partition_by is not None and list(partition_by) != (
+            inferred or []
+        ):
+            raise UserException(
+                f"CONVERT: declared partition_by {list(partition_by)} "
+                f"does not match the layout {(inferred or [])}."
+            )
+        partition_by = inferred or []
+        unit = uuid.uuid4().hex
+        udir = os.path.join(self._data_dir, unit)
+        for rel in rels:
+            dst = os.path.join(udir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            src = os.path.join(source_dir, rel)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        # schema: parquet footers + hive partition-column inference —
+        # driver-side metadata only, no job (matches the engine's
+        # "declared schemas, no data sampling" posture)
+        schema = self.spark.read.parquet(udir).schema
+        props = properties or {}
+        commit = Commit(
+            version=0,
+            action="convert",
+            data_units=[unit],
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_by=partition_by,
+            primary_key=primary_key or [],
+            timestamp_ms=int(time.time() * 1000),
+            properties=props,
+            stats={
+                unit: (
+                    self._unit_stats(
+                        unit, per_file=not partition_by, props=props
+                    )
+                    if collect_stats
+                    # NO STATISTICS: row counts only (footer headers —
+                    # needed for metadata-only COUNT(*)), no min/max;
+                    # data skipping stays off until ANALYZE
+                    else {
+                        "_rows": sum(
+                            _pq_rows(os.path.join(dp, fn))
+                            for dp, _d, fns in os.walk(udir)
+                            for fn in fns
+                            if fn.endswith(".parquet")
+                        )
+                    }
+                )
+            },
+            delete_sets=[],
+        )
+        self._publish(commit, None)
+        return commit
 
     def drop(self) -> None:
         """W13: DROP TABLE IF EXISTS (src/component.py:147-148)."""

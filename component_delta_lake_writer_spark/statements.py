@@ -142,6 +142,8 @@ class StatementExecutor:
             "WITH": self._select,
             "EXPLAIN": self._explain,
             "GENERATE": self._generate,
+            "CONVERT": self._convert,
+            "ANALYZE": self._analyze,
         }
         fn = dispatch.get(head)
         if fn is None:
@@ -196,7 +198,40 @@ class StatementExecutor:
         flags=re.IGNORECASE | re.DOTALL,
     )
 
+    _CLONE = re.compile(
+        r"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+        r"(?:(IF\s+NOT\s+EXISTS)\s+)?"
+        rf"({_IDENT})\s+(?P<depth>SHALLOW|DEEP)\s+CLONE\s+"
+        rf"({_IDENT})\s*$",
+        flags=re.IGNORECASE,
+    )
+
     def _create(self, s: str):
+        km = self._CLONE.match(s)
+        if km:
+            # Databricks/Delta CLONE: SHALLOW = zero-data-copy
+            # (hardlinked parquet), DEEP = full copy; both carry the
+            # source's history and are independent afterwards
+            src = self.table(km.group(5))
+            dst = self.table(km.group(3))
+            if dst.exists():
+                if km.group(2):  # IF NOT EXISTS
+                    return None
+                if km.group(1):  # OR REPLACE
+                    dst.drop()
+                else:
+                    from component_delta_lake_writer_spark.errors import (
+                        TableExistsError,
+                    )
+
+                    raise TableExistsError(
+                        f"Table {km.group(3)} already exists."
+                    )
+            src.clone_to(
+                dst.path,
+                shallow=km.group("depth").upper() == "SHALLOW",
+            )
+            return None
         vm = self._VIEW.match(s)
         if vm:
             # persisted logical view: the TEXT is stored and expanded
@@ -264,6 +299,58 @@ class StatementExecutor:
             primary_key=pk or None,
             properties={"constraints.primary_key": ",".join(pk)} if pk else None,
         )
+        return None
+
+    # ---------- CONVERT TO DELTA / ANALYZE TABLE ----------
+
+    _CONVERT = re.compile(
+        r"CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`(?P<dir>[^`]+)`"
+        r"(?P<nostats>\s+NO\s+STATISTICS)?"
+        r"(?:\s+PARTITIONED\s+BY\s*\((?P<part>[^)]*)\))?"
+        rf"(?:\s+AS\s+(?P<name>{_IDENT}))?\s*$",
+        flags=re.IGNORECASE,
+    )
+
+    def _convert(self, s: str):
+        """``CONVERT TO DELTA parquet.`/dir/` [NO STATISTICS]
+        [PARTITIONED BY (col type, …)] [AS ident]`` — the Databricks
+        statement, with one honest deviation: the managed layout needs
+        a table location inside the warehouse, so the parquet files
+        are adopted by hardlink into ``AS ident`` (default: the source
+        directory's basename) instead of converted strictly in place.
+        Zero data is rewritten either way."""
+        m = self._CONVERT.match(s)
+        if not m:
+            raise UserException(f"Unsupported CONVERT shape: {s[:120]}")
+        src = m.group("dir")
+        name = m.group("name") or os.path.basename(src.rstrip("/"))
+        part = [
+            c.strip().split()[0].replace("`", "")
+            for c in (m.group("part") or "").split(",")
+            if c.strip()
+        ]
+        self.table(name).convert_from_parquet(
+            src,
+            partition_by=part or None,
+            collect_stats=not m.group("nostats"),
+        )
+        return None
+
+    _ANALYZE = re.compile(
+        rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+ALL\s+COLUMNS)?\s*$",
+        flags=re.IGNORECASE,
+    )
+
+    def _analyze(self, s: str):
+        """``ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]`` —
+        refreshes the commit log's per-unit/per-file footer stats in a
+        metadata-only commit (the path that re-arms data skipping
+        after a NO STATISTICS convert)."""
+        m = self._ANALYZE.match(s)
+        if not m:
+            raise UserException(f"Unsupported ANALYZE shape: {s[:120]}")
+        self.table(m.group(1)).recompute_stats()
         return None
 
     # ---------- COPY INTO (component.py:158-171) ----------

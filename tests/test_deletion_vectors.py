@@ -229,3 +229,45 @@ def test_partitioned_table_skips_driver_tier(spark, tmp_path):
         for r in read_delta_table(spark, t.path).collect()
     )
     assert eng == ext
+
+
+def test_driver_tier_keys_above_collect_bound(spark, tmp_path):
+    """Keys between _DV_COLLECT_MAX and the driver bound take the
+    driver tier (matched output is bounded by the target-row bound,
+    not the key count) and match the executor bitmap path exactly."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+    )
+    from component_delta_lake_writer_spark.sinks.managed_table import (
+        _DV_COLLECT_MAX,
+        ManagedTable,
+    )
+
+    n = _DV_COLLECT_MAX + 20_000
+    df = spark.range(2 * n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    upd = df.filter(F.col("k") % 2 == 0).withColumn(
+        "v", F.lit(-1).cast("long")
+    )  # n keys > collect bound
+    states = {}
+    for name, props in (
+        ("driver", {}),
+        ("sparkpath", {"mirror.dvDriverScanMaxRows": 0}),
+    ):
+        t = ManagedTable(spark, str(tmp_path / name))
+        t.write(
+            df.coalesce(4), mode="overwrite",
+            primary_key=["k"], properties=props,
+        )
+        t.upsert(
+            upd, ["k"], strategy="merge-on-read", properties=props
+        )
+        dvs = live_dv_descriptors(t.path)
+        states[name] = sorted(
+            tuple(read_dv(t.path, d)) for d in dvs.values()
+        )
+        assert states[name]
+    assert states["driver"] == states["sparkpath"]

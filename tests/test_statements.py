@@ -337,3 +337,85 @@ def test_reorg_apply_purge_materializes_dvs(ex):
     assert t.read().count() == 15
     with pytest.raises(UserException, match="REORG"):
         ex.execute("REORG TABLE r APPLY (SOMETHING)")
+
+
+def test_convert_clone_analyze_statements(ex, tmp_path):
+    """CONVERT TO DELTA adopts a parquet dir zero-copy; SHALLOW/DEEP
+    CLONE create independent tables; ANALYZE refreshes stats
+    metadata-only."""
+    raw = str(tmp_path / "raw")
+    ex.spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(
+        raw
+    )
+    ex.execute(f"CONVERT TO DELTA parquet.`{raw}` AS conv")
+    t = ex.table("conv")
+    assert t.read().count() == 100
+    assert t.latest_commit().action == "convert"
+    # adopted files share inodes with the source (no rewrite)
+    src_ino = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _d, fs in os.walk(raw)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    got_ino = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _d, fs in os.walk(os.path.join(t.path, "_data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert got_ino and got_ino <= src_ino
+
+    # NO STATISTICS + ANALYZE re-arms stats
+    ex.execute(f"CONVERT TO DELTA parquet.`{raw}` NO STATISTICS AS conv2")
+    t2 = ex.table("conv2")
+    assert set(next(iter(t2.latest_commit().stats.values()))) == {"_rows"}
+    ex.execute("ANALYZE TABLE conv2 COMPUTE STATISTICS FOR ALL COLUMNS")
+    c = t2.latest_commit()
+    assert c.action == "analyze"
+    assert "k" in next(iter(c.stats.values()))
+
+    # clones
+    ex.execute("CREATE TABLE conv_s SHALLOW CLONE conv")
+    ex.execute("CREATE TABLE conv_d DEEP CLONE conv")
+    assert ex.table("conv_s").read().count() == 100
+    assert ex.table("conv_d").read().count() == 100
+    # IF NOT EXISTS no-op; plain re-create refuses
+    ex.execute("CREATE TABLE IF NOT EXISTS conv_s SHALLOW CLONE conv")
+    with pytest.raises(TableExistsError):
+        ex.execute("CREATE TABLE conv_s SHALLOW CLONE conv")
+    # OR REPLACE replaces
+    ex.execute("CREATE OR REPLACE TABLE conv_s SHALLOW CLONE conv2")
+    assert ex.table("conv_s").read().count() == 100
+
+    # bad shapes
+    with pytest.raises(UserException):
+        ex.execute("CONVERT TO DELTA csv.`/nope` AS x")
+    with pytest.raises(UserException):
+        ex.execute("ANALYZE TABLE conv2 COMPUTE NOTHING")
+
+
+def test_convert_partitioned_external_mirror(ex, tmp_path):
+    """A hive-partitioned convert keeps the layout, infers partition
+    columns, and the Delta mirror serves external readers
+    immediately."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    raw = str(tmp_path / "rawp")
+    ex.spark.range(200).selectExpr(
+        "id AS k", "id % 4 AS p", "id * 3 AS v"
+    ).write.partitionBy("p").parquet(raw)
+    ex.execute(f"CONVERT TO DELTA parquet.`{raw}` AS pc")
+    t = ex.table("pc")
+    assert t.latest_commit().partition_by == ["p"]
+    eng = sorted((r["k"], r["p"], r["v"]) for r in t.read().collect())
+    extr = sorted(
+        (r["k"], r["p"], r["v"])
+        for r in read_delta_table(ex.spark, t.path).collect()
+    )
+    assert eng == extr
+    # declared partitioning must match the layout
+    with pytest.raises(UserException):
+        ex.table("pc2").convert_from_parquet(raw, partition_by=["k"])
