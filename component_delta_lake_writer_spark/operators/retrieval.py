@@ -116,3 +116,96 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "score", "rk")
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    probe_map: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    k_rrf: int = 60,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (RRF, Cormack et al. 2009 — the fusion Elasticsearch/OpenSearch
+    ship for hybrid search): per query, take the BM25 top ``pool`` and
+    the cosine top ``pool``, then score every candidate
+    ``sum(1 / (k_rrf + rank))`` over the lists it appears in and keep
+    the top ``k``.
+
+    ``probe_map`` is a tiny (query_id, probe_vec_id) relation binding
+    each lexical query to its query embedding (both sides broadcast).
+
+    Scale posture: the lexical side inherits bm25_topk's broadcast-
+    vocabulary semi-join; the vector side crosses the corpus against
+    the broadcast probes once and ranks with one shuffle
+    (Window per query_id); fusion joins two ``O(queries x pool)``
+    rank lists — metadata-sized, exchanged broadcast by AQE.
+
+    Determinism: ranks are integers (score ties broken by doc_id on
+    both engines — BM25 scores are decimal-exact, cosines are rounded
+    to 6dp before ranking), and the RRF sum is two doubles added in a
+    fixed order, rounded to 6dp.
+    """
+    from component_delta_lake_writer_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    lex = bm25_topk(
+        docs, queries, k=pool, doc_id=doc_id, text=text
+    ).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rk").alias("rk_lex"),
+    )
+    probes = (
+        emb.join(
+            F.broadcast(probe_map),
+            F.col(vec_id) == F.col("probe_vec_id"),
+        )
+        .select("query_id", _as_double(F.col(vec_col)).alias("pv"))
+    )
+    cos = emb.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col(vec_id).cast("long").alias("doc_id"),
+        F.round(cosine(_as_double(F.col(vec_col)), F.col("pv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    vec = (
+        cos.withColumn("rk_vec", F.row_number().over(w_vec))
+        .filter(F.col("rk_vec") <= pool)
+        .select("query_id", "doc_id", "rk_vec")
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rk_lex")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rk_vec")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w_out))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "rrf", "rk")
+    )

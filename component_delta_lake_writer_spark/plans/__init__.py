@@ -24,13 +24,26 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 6: probes/engine paths that CHANGED this round lead, so the
-    # driver re-checks them immediately — the new deletion-vector
-    # interop probe (tier-1 automatically), then the MOR/mirror keys
-    # (DV materialization now runs inside every MOR publish), the
-    # rewritten ANN pair, the columnMapping key (nested-id fix), the
-    # CDF stream pair (deferred-mirror replica), and the asof key
-    # (timestamp-column branch).
+    # Round 7: new keys first (CONVERT TO DELTA / SHALLOW CLONE /
+    # ANALYZE, hybrid RRF retrieval, filtered vector search), then the
+    # keys whose engine paths changed (the DV materialization driver
+    # tier runs inside every MOR publish; clone_to grew the shallow
+    # mode; the BM25 oracle CTE was parametrized).
+    # ------------------------------------------------------------------
+    "convert_to_delta",
+    "shallow_clone",
+    "analyze_table_stats",
+    "hybrid_rrf_retrieval",
+    "filtered_vector_topk",
+    "table_clone",
+    "bm25_topk_docs",
+    # ------------------------------------------------------------------
+    # Round 6: probes/engine paths that CHANGED that round — the
+    # deletion-vector interop probe, the MOR/mirror keys (DV
+    # materialization in every MOR publish), the rewritten ANN pair,
+    # the columnMapping key (nested-id fix), the CDF stream pair
+    # (deferred-mirror replica), and the asof key (timestamp-column
+    # branch).
     # ------------------------------------------------------------------
     "delta_dv_external_read",
     "ann_ivf_indexed_topk",

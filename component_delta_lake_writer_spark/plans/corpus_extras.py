@@ -537,10 +537,10 @@ _BM25_QUERIES = [
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
 
-def _bm25_oracle(source: str) -> str:
+def _bm25_oracle(source: str, k: int = 5) -> str:
     """The full BM25 CTE chain over any (doc_id, text) relation —
-    shared by the plain-corpus probe and the curated-pipeline
-    composite."""
+    shared by the plain-corpus probe, the curated-pipeline composite,
+    and (at ``k=pool``) the hybrid-RRF fusion oracle."""
     return f"""
     q(query_id, term) AS (VALUES {_BM25_VALUES}),
     tok AS (
@@ -588,7 +588,7 @@ def _bm25_oracle(source: str) -> str:
             ORDER BY CAST(SUM(c.w) AS DOUBLE) DESC, c.doc_id) AS rk
         FROM contrib c JOIN q USING (term)
         GROUP BY q.query_id, c.doc_id
-      ) WHERE rk <= 5
+      ) WHERE rk <= {k}
     )"""
 
 
@@ -610,6 +610,110 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, term string"
     )
     return bm25_topk(docs, queries, k=5)
+
+
+_RRF_PROBES = [(1, 0), (2, 7), (3, 11)]  # query_id -> probe vec_id
+_RRF_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle="WITH "
+    + _bm25_oracle("documents", k=20)
+    + f""",
+    vecq(query_id, pvid) AS (VALUES {
+        ", ".join(f"({q}, {v})" for q, v in _RRF_PROBES)
+    }),
+    pv AS (
+      SELECT vecq.query_id, e.embedding AS pv
+      FROM vecq JOIN embeddings e ON e.vec_id = vecq.pvid
+    ),
+    cosl AS (
+      SELECT pv.query_id, CAST(e.vec_id AS BIGINT) AS doc_id,
+        ROUND({_RRF_DOT.format(a='e.embedding', b='pv.pv')}
+          / (sqrt({_RRF_DOT.format(a='e.embedding', b='e.embedding')})
+             * sqrt({_RRF_DOT.format(a='pv.pv', b='pv.pv')})), 6)
+          AS cosine
+      FROM embeddings e, pv
+    ),
+    vtop AS (
+      SELECT query_id, doc_id, rk_vec FROM (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, doc_id
+          ) AS rk_vec
+        FROM cosl
+      ) WHERE rk_vec <= 20
+    ),
+    btop AS (
+      SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, rk AS rk_lex
+      FROM bm25_final
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+        ROUND(COALESCE(1.0 / (60.0 + b.rk_lex), 0.0)
+              + COALESCE(1.0 / (60.0 + v.rk_vec), 0.0), 6) AS rrf
+      FROM btop b FULL JOIN vtop v USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf, rk FROM (
+      SELECT query_id, doc_id, rrf,
+        ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, doc_id
+        ) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank
+    fusion (operators.retrieval.hybrid_rrf_topk): BM25 top-20 and
+    cosine top-20 per query, RRF score 1/(60+rank) summed over the
+    lists, top-10 kept. The RAG-curation shape: both rank lists are
+    O(queries x pool) metadata after one corpus pass each."""
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, term string"
+    )
+    probe_map = spark.createDataFrame(
+        _RRF_PROBES, "query_id int, probe_vec_id int"
+    )
+    return hybrid_rrf_topk(docs, queries, emb, probe_map, k=10, pool=20)
+
+
+@query(
+    "filtered_vector_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+      ROUND({_RRF_DOT.format(a='e.embedding', b='p.pv')}
+        / (sqrt({_RRF_DOT.format(a='e.embedding', b='e.embedding')})
+           * sqrt({_RRF_DOT.format(a='p.pv', b='p.pv')})), 6) AS cosine
+    FROM embeddings e, p
+    WHERE e.label = 3 AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def filtered_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (pre-filter) vector search — top-k cosine restricted
+    to rows passing a structured predicate, the lakehouse vector-
+    search shape ("nearest docs WHERE label = 3"). The predicate is a
+    plain Catalyst filter BELOW the similarity projection, so it
+    reaches the parquet scan as a pushed filter and prunes before any
+    vector math runs (asserted in tests/test_plan_quality.py)."""
+    from component_delta_lake_writer_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(emb.filter(F.col("label") == 3), probe, k=10)
 
 
 @query(

@@ -442,3 +442,21 @@ def test_ivf_indexed_probe_is_partition_pruned(spark):
     assert m and "cell" in m.group(1) and "IN" in m.group(1), p[:2000]
     assert "Exchange" not in p and "Join" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_filtered_vector_search_pushes_predicate(spark):
+    """filtered_vector_topk: the structured predicate must reach the
+    parquet scan (PushedFilters on label) so pruning happens before
+    any vector math, and the top-k must be TakeOrderedAndProject."""
+    p = _plan(spark, "filtered_vector_topk")
+    assert re.search(r"PushedFilters: \[[^\]]*label", p), p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hybrid_rrf_fusion_joins_stay_small(spark):
+    """hybrid_rrf_retrieval: the probe/query relations broadcast; the
+    corpus is never on the build side of any join."""
+    p = _plan(spark, "hybrid_rrf_retrieval")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # no cartesian product over the corpus
+    assert "CartesianProduct" not in p
