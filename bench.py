@@ -473,6 +473,71 @@ def _row_tracking_overhead(spark, sf_dir: str) -> dict:
     return out
 
 
+def _zero_copy_envelope(spark, sf_dir: str, scale: int = 10) -> dict:
+    """Measured cost of the round-7 zero-copy operations at the x10
+    envelope shape: CONVERT TO DELTA (hardlink adoption) and SHALLOW
+    CLONE vs the data-copy alternatives (a rewrite write / DEEP
+    CLONE) over the SAME staged files. The point being proven: adopt
+    and clone are O(files) metadata ops — their cost must not scale
+    with data volume, which is what makes them usable at 100 TB."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks.managed_table import (
+        ManagedTable,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_zero_copy_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        big = orders
+        for i in range(1, scale):
+            big = big.unionAll(
+                orders.withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.lit(i * 100_000_000),
+                )
+            )
+        staged = os.path.join(work, "staged")
+        big.write.parquet(staged)  # untimed: the pre-existing lake dir
+        rows = spark.read.parquet(staged).count()
+
+        t0 = time.perf_counter()
+        tw = ManagedTable(spark, os.path.join(work, "rewrite"))
+        tw.write(spark.read.parquet(staged), mode="overwrite",
+                 compression="none")
+        rewrite_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tc = ManagedTable(spark, os.path.join(work, "converted"))
+        tc.convert_from_parquet(staged)
+        convert_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tc.clone_to(os.path.join(work, "shallow"), shallow=True)
+        shallow_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tc.clone_to(os.path.join(work, "deep"))
+        deep_sec = time.perf_counter() - t0
+
+        return {
+            "scale": scale,
+            "rows": rows,
+            "rewrite_write_sec": round(rewrite_sec, 3),
+            "convert_sec": round(convert_sec, 3),
+            "shallow_clone_sec": round(shallow_sec, 3),
+            "deep_clone_sec": round(deep_sec, 3),
+            "convert_vs_rewrite": round(convert_sec / rewrite_sec, 3),
+            "shallow_vs_deep": round(shallow_sec / deep_sec, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
@@ -596,6 +661,17 @@ def main() -> None:
             print(f"# row_tracking/{k}: {v}", file=sys.stderr)
     except Exception as exc:
         print(f"# row tracking overhead failed: {exc}", file=sys.stderr)
+
+    # Measured zero-copy envelope (round 7): CONVERT TO DELTA and
+    # SHALLOW CLONE must be O(files), not O(data) — vs the data-copy
+    # alternatives over the same staged files
+    try:
+        zc = _zero_copy_envelope(spark, SF_DIR)
+        result["zero_copy_envelope"] = zc
+        for k, v in zc.items():
+            print(f"# zero_copy/{k}: {v}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# zero-copy envelope failed: {exc}", file=sys.stderr)
 
     # Measured DuckDB twin (BASELINE.md §2), re-measured IN THIS RUN
     # (median of 3, hardware-matched threads32 ×10 profile) so the

@@ -1065,3 +1065,83 @@ def matryoshka_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick the candidate maximizing
+    ``lam * sim(q, c) - (1 - lam) * max_{s in S} sim(c, s)`` so the
+    result balances relevance against redundancy — the de-dup rerank
+    step of RAG retrieval and of diverse training-example selection.
+
+    Distribution posture: the candidate pool (top ``pool`` by cosine)
+    and the ``pool^2`` pairwise similarities are computed IN SPARK
+    (TakeOrdered + broadcast self-join — the corpus is scanned twice,
+    never shuffled); only the inherently sequential greedy loop runs
+    on the driver, over O(pool^2) floats — metadata scale by
+    construction (pool is a rerank window, 30-200 in practice).
+
+    Determinism: relevance and pairwise cosines are rounded to 6dp in
+    Spark (bit-identical to the DuckDB oracle); the greedy objective
+    is the same fixed op tree on raw doubles in both engines, ties
+    broken by id; output scores round once more at the end.
+
+    Returns (rk, doc_id, score): rank 1..k, the picked id, and the
+    MMR objective at selection time (step 1: the relevance itself).
+    """
+    pool_df = cosine_topk(emb, probe, k=pool, vec_col=vec_col, id_col=id_col)
+    rels = {
+        int(r[id_col]): float(r["cosine"]) for r in pool_df.collect()
+    }
+    cand = (
+        emb.join(
+            F.broadcast(pool_df.select(id_col)), id_col
+        ).select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.cid") < F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("ia"),
+            F.col("b.cid").alias("ib"),
+            F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("s"),
+        )
+    )
+    sim: dict[tuple[int, int], float] = {}
+    for r in pairs.collect():
+        ia, ib, s = int(r["ia"]), int(r["ib"]), float(r["s"])
+        sim[(ia, ib)] = sim[(ib, ia)] = s
+    selected: list[tuple[int, int, float]] = []  # (rk, id, raw score)
+    remaining = dict(rels)
+    while remaining and len(selected) < k:
+        if not selected:
+            # step 1: pure relevance (greatest cosine, ties by id)
+            best = min(remaining, key=lambda i: (-remaining[i], i))
+            score = remaining[best]
+        else:
+            chosen = [i for _rk, i, _s in selected]
+
+            def _obj(i: int) -> float:
+                red = max(sim[(i, j)] for j in chosen)
+                return lam * remaining[i] - (1.0 - lam) * red
+
+            best = min(remaining, key=lambda i: (-_obj(i), i))
+            score = _obj(best)
+        selected.append((len(selected) + 1, best, score))
+        del remaining[best]
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        selected, "rk int, doc_id long, score double"
+    )
+    return out.select("rk", "doc_id", F.round("score", 6).alias("score"))

@@ -35,6 +35,7 @@ _FRONT = [
     "analyze_table_stats",
     "hybrid_rrf_retrieval",
     "filtered_vector_topk",
+    "mmr_diversified_topk",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

@@ -717,6 +717,70 @@ def filtered_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH RECURSIVE
+    p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT e.vec_id AS id,
+        ROUND({_RRF_DOT.format(a='e.embedding', b='p.pv')}
+          / (sqrt({_RRF_DOT.format(a='e.embedding', b='e.embedding')})
+             * sqrt({_RRF_DOT.format(a='p.pv', b='p.pv')})), 6) AS rel
+      FROM embeddings e, p WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 30
+    ),
+    cand AS (
+      SELECT pool.id, pool.rel, e.embedding AS v
+      FROM pool JOIN embeddings e ON e.vec_id = pool.id
+    ),
+    ps AS (
+      SELECT a.id AS ia, b.id AS ib,
+        ROUND({_RRF_DOT.format(a='a.v', b='b.v')}
+          / (sqrt({_RRF_DOT.format(a='a.v', b='a.v')})
+             * sqrt({_RRF_DOT.format(a='b.v', b='b.v')})), 6) AS s
+      FROM cand a, cand b WHERE a.id < b.id
+    ),
+    simx AS (
+      SELECT ia, ib, s FROM ps UNION ALL SELECT ib, ia, s FROM ps
+    ),
+    mmr(rk, id, raw, sel) AS (
+      (SELECT 1, id, rel, [id] FROM pool ORDER BY rel DESC, id LIMIT 1)
+      UNION ALL
+      (SELECT m.rk + 1, c.id,
+         0.7 * c.rel - (1.0 - 0.7) * (
+           SELECT MAX(s.s) FROM simx s
+           WHERE s.ia = c.id AND list_contains(m.sel, s.ib)),
+         list_append(m.sel, c.id)
+       FROM mmr m, pool c
+       WHERE m.rk < 10 AND NOT list_contains(m.sel, c.id)
+       ORDER BY 0.7 * c.rel - (1.0 - 0.7) * (
+           SELECT MAX(s.s) FROM simx s
+           WHERE s.ia = c.id AND list_contains(m.sel, s.ib)) DESC, c.id
+       LIMIT 1)
+    )
+    SELECT rk, CAST(id AS BIGINT) AS doc_id,
+      CAST(ROUND(raw, 6) AS DOUBLE) AS score
+    FROM mmr
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval
+    (operators.similarity.mmr_topk): greedy
+    lam*rel - (1-lam)*max-redundancy selection over a top-30 cosine
+    pool. Pool and pairwise sims are computed in Spark; only the
+    inherently sequential greedy loop runs driver-side over O(pool^2)
+    floats. The oracle replays the exact greedy recursion as a
+    DuckDB recursive CTE (per-step argmax via ORDER BY … LIMIT 1)."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return mmr_topk(emb, probe, k=10, pool=30, lam=0.7)
+
+
+@query(
     "shard_export_balanced",
     oracle="""
     WITH h AS (
