@@ -36,6 +36,7 @@ _FRONT = [
     "hybrid_rrf_retrieval",
     "filtered_vector_topk",
     "mmr_diversified_topk",
+    "v2_checkpoint_read",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

@@ -3148,6 +3148,58 @@ def delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v2_checkpoint_read",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_orderkey % 11 <> 0 OR o_orderkey % 2 = 0
+    """,
+)
+def v2_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2-checkpoint interop (PROTOCOL.md §V2 Spec,
+    delta.checkpointPolicy=v2): eleven commits force a checkpoint at
+    v9 — a UUID-named manifest (checkpointMetadata + sidecar actions)
+    with file actions in _delta_log/_sidecars/ parquet — then an
+    external reconstruction MUST replay through the manifest and
+    sidecars (plus the two JSON entries after it, one a COW delete)
+    and equal the oracle. The probe asserts the layout is really v2
+    (no classic checkpoint file) so the assertion can't silently pass
+    on the classic path."""
+    import glob as _glob
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+        read_last_checkpoint,
+    )
+
+    base = _scratch("v2_checkpoint_read", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    o = load_table(spark, sf_dir, "orders")
+    t.write(
+        o.filter(F.col("o_orderkey") % 10 == 0),
+        mode="overwrite",
+        primary_key=["o_orderkey"],
+        properties={"delta.checkpointPolicy": "v2"},
+    )
+    for i in range(1, 10):
+        t.write(o.filter(F.col("o_orderkey") % 10 == i), mode="append")
+    t.delete_where("o_orderkey % 11 = 0 AND o_orderkey % 2 <> 0")
+    cp = read_last_checkpoint(t.path)
+    assert cp is not None and cp["version"] == 9
+    log_dir = os.path.join(t.path, "_delta_log")
+    assert not os.path.exists(
+        os.path.join(log_dir, "00000000000000000009.checkpoint.parquet")
+    )
+    assert _glob.glob(
+        os.path.join(log_dir, "00000000000000000009.checkpoint.*.parquet")
+    )
+    assert os.listdir(os.path.join(log_dir, "_sidecars"))
+    return read_delta_table(spark, t.path)
+
+
+@query(
     "delta_dv_external_read",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -197,9 +197,11 @@ def _protocol_action(
         & {"rowTracking", "domainMetadata", "inCommitTimestamp",
            "clustering"}
     )
-    if caps & {"timestampNtz", "deletionVectors"}:
+    if caps & {"timestampNtz", "deletionVectors", "v2Checkpoint"}:
         reader = [
-            f for f in ("timestampNtz", "deletionVectors") if f in caps
+            f
+            for f in ("timestampNtz", "deletionVectors", "v2Checkpoint")
+            if f in caps
         ] + (
             ["columnMapping"] if column_mapping else []
         ) + (["typeWidening"] if widened else [])
@@ -435,6 +437,7 @@ def write_delta_log_entry(
     row_tracking: dict | None = None,
     ict: dict | None = None,
     clustering: dict | None = None,
+    checkpoint_policy: dict | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -478,6 +481,13 @@ def write_delta_log_entry(
     (+ the enablement version/timestamp properties when enabled after
     table creation) and upgrades the protocol.
 
+    ``checkpoint_policy`` (Delta v2Checkpoint table feature):
+    ``{"policy": "v2", "newly": bool}``. "newly" re-emits metaData
+    with ``delta.checkpointPolicy=v2`` and upgrades the protocol to
+    reader 3 / writer 7 with the ``v2Checkpoint`` feature in BOTH
+    lists (the spec requires readers to understand checkpointMetadata
+    + sidecar actions before trusting such checkpoints).
+
     ``clustering`` (Delta clustered-table writer feature):
     ``{"columns": [logical col, …], "newly": bool}``. "newly" (the
     clustering columns changed this commit) emits the
@@ -509,6 +519,24 @@ def write_delta_log_entry(
     def _dv_live() -> bool:
         return bool(dv_adds) or _log_dv_cfg()
 
+    # v2Checkpoint is sticky the same way (the spec's checkpoint
+    # policy cannot silently revert: readers may hold v2 manifests);
+    # resolved lazily — only metaData/protocol emission branches ask
+    _cp_cache: list = []
+
+    def _cp_live() -> bool:
+        if checkpoint_policy is not None:
+            return True
+        if not _cp_cache:
+            md = _latest_metadata(log_dir) or {}
+            _cp_cache.append(
+                (md.get("configuration") or {}).get(
+                    "delta.checkpointPolicy"
+                )
+                == "v2"
+            )
+        return _cp_cache[0]
+
     def _extra_caps() -> set:
         caps = {"deletionVectors"} if _dv_live() else set()
         if row_tracking is not None:
@@ -517,6 +545,8 @@ def write_delta_log_entry(
             caps.add("inCommitTimestamp")
         if clustering is not None:
             caps |= {"clustering", "domainMetadata"}
+        if _cp_live():
+            caps.add("v2Checkpoint")
         return caps
 
     def _feature_config() -> dict:
@@ -541,6 +571,8 @@ def write_delta_log_entry(
         if ict is not None:
             cfg["delta.enableInCommitTimestamps"] = "true"
             cfg.update(ict.get("config") or {})
+        if _cp_live():
+            cfg["delta.checkpointPolicy"] = "v2"
         return cfg
 
     actions: list[dict] = []
@@ -565,6 +597,7 @@ def write_delta_log_entry(
         # first clustering declaration: the protocol upgrade path
         # below runs only when metaData re-emits
         or bool(clustering and clustering.get("newly"))
+        or bool(checkpoint_policy and checkpoint_policy.get("newly"))
     )
     if version == 0:
         actions.append(
@@ -801,7 +834,8 @@ _WRITER_LADDER_FEATURES = {
 
 # Features a READER must understand (everything else is writer-only)
 _READER_RELEVANT = {
-    "timestampNtz", "columnMapping", "typeWidening", "deletionVectors"
+    "timestampNtz", "columnMapping", "typeWidening", "deletionVectors",
+    "v2Checkpoint",
 }
 
 
@@ -1426,7 +1460,9 @@ CHECKPOINT_PART_ROWS = 50_000
 
 def _checkpoint_part_paths(log_dir: str, last: dict) -> list[str]:
     """The checkpoint parquet file(s) ``_last_checkpoint`` advertises —
-    one legacy single-file path, or the spec-named part series."""
+    one legacy single-file path, the spec-named part series, or the
+    V2 UUID-named manifest (discovered by listing, per the v2 spec —
+    ``_last_checkpoint`` carries only {version, size})."""
     v = int(last["version"])
     parts = int(last.get("parts") or 0)
     if parts:
@@ -1437,7 +1473,21 @@ def _checkpoint_part_paths(log_dir: str, last: dict) -> list[str]:
             )
             for i in range(1, parts + 1)
         ]
-    return [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+    classic = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return [classic]
+    import glob as _glob
+
+    uuids = sorted(
+        p
+        for p in _glob.glob(
+            os.path.join(log_dir, f"{v:020d}.checkpoint.*.parquet")
+        )
+        if ".tmp." not in p
+    )
+    if uuids:
+        return [uuids[-1]]  # any complete manifest is equivalent
+    return [classic]
 
 
 def _read_version_actions(log_dir: str, version: int) -> list[dict]:
@@ -1653,6 +1703,22 @@ def write_checkpoint(
         }
         for r in rows
     ]
+    # v2 checkpoints (PROTOCOL.md §V2 Spec; delta.checkpointPolicy=v2):
+    # file actions move to sidecar parquet files under
+    # _delta_log/_sidecars/, and a UUID-named manifest carries
+    # checkpointMetadata + protocol/metaData/txn/domainMetadata +
+    # one `sidecar` action per sidecar file. At 100 TB this is the
+    # modern layout: the snapshot's millions of add rows split across
+    # independently-readable sidecars while metadata probes open one
+    # small manifest.
+    md_now = _latest_metadata(log_dir) or {}
+    if (md_now.get("configuration") or {}).get(
+        "delta.checkpointPolicy"
+    ) == "v2":
+        return _write_checkpoint_v2(
+            log_dir, version, norm_rows, schema, part_rows
+        )
+
     # floor 2: protocol AND metaData must land in part 1 together —
     # _latest_action reads only part 1, and a cap of 1 would strand
     # metaData in part 2 (forgetting column-mapping ids / sticky DV
@@ -1695,6 +1761,110 @@ def write_checkpoint(
         json.dump(last, f)
     os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
     return out_path
+
+
+def _write_checkpoint_v2(
+    log_dir: str,
+    version: int,
+    norm_rows: list[dict],
+    classic_schema,
+    part_rows: int | None,
+) -> str:
+    """V2 checkpoint layout: add/remove rows go to sidecar parquet
+    files under ``_delta_log/_sidecars/{uuid}.parquet``; the manifest
+    ``{version}.checkpoint.{uuid}.parquet`` carries checkpointMetadata
+    first, then protocol/metaData/txn/domainMetadata rows, then one
+    ``sidecar`` action per sidecar file. ``_last_checkpoint`` keeps
+    advertising {version, size} so discovery stays O(1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    file_rows = [
+        r for r in norm_rows if r.get("add") or r.get("remove")
+    ]
+    meta_rows = [
+        r
+        for r in norm_rows
+        if not (r.get("add") or r.get("remove"))
+        # classic padding rows (all-null) have no place in a manifest
+        and any(v is not None for v in r.values())
+    ]
+    by_name = {f.name: f for f in classic_schema}
+    sidecar_schema = pa.schema([by_name["add"], by_name["remove"]])
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    part_cap = max(1, part_rows or CHECKPOINT_PART_ROWS)
+    chunks = [
+        file_rows[i:i + part_cap]
+        for i in range(0, len(file_rows), part_cap)
+    ] or [[]]
+    sidecar_actions: list[dict] = []
+    for chunk in chunks:
+        t = pa.Table.from_pylist(
+            [{"add": r["add"], "remove": r["remove"]} for r in chunk],
+            schema=sidecar_schema,
+        )
+        name = f"{uuid.uuid4().hex}.parquet"
+        final = os.path.join(sidecar_dir, name)
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, final)
+        st = os.stat(final)
+        sidecar_actions.append(
+            {
+                "path": name,  # relative to _delta_log/_sidecars/
+                "sizeInBytes": int(st.st_size),
+                "modificationTime": int(st.st_mtime * 1000),
+            }
+        )
+    manifest_schema = pa.schema(
+        list(classic_schema)
+        + [
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([pa.field("version", pa.int64())]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("sizeInBytes", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def _mrow(**kw) -> dict:
+        base = {f.name: None for f in manifest_schema}
+        base.update(kw)
+        return base
+
+    manifest_rows = [
+        _mrow(checkpointMetadata={"version": version})
+    ]
+    manifest_rows += [_mrow(**r) for r in meta_rows]
+    manifest_rows += [_mrow(sidecar=s) for s in sidecar_actions]
+    table = pa.Table.from_pylist(manifest_rows, schema=manifest_schema)
+    final = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    )
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    last = {
+        "version": version,
+        "size": len(manifest_rows) + len(file_rows),
+    }
+    tmp = os.path.join(
+        log_dir, f"_last_checkpoint.tmp.{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(last, f)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return final
 
 
 def maybe_write_checkpoint(
@@ -1752,6 +1922,15 @@ def _replay_state(table_path: str) -> dict:
                     _meta(r["metaData"])
                 if r.get("add"):
                     adds[r["add"]["path"]] = r["add"]
+                if r.get("sidecar"):
+                    # V2 checkpoint: file actions live in sidecar
+                    # parquet under _delta_log/_sidecars/
+                    side = os.path.join(
+                        log_dir, "_sidecars", r["sidecar"]["path"]
+                    )
+                    for sr in pq.read_table(side).to_pylist():
+                        if sr.get("add"):
+                            adds[sr["add"]["path"]] = sr["add"]
         start_after = last["version"]
     for v in _log_versions(log_dir):
         if v <= start_after:

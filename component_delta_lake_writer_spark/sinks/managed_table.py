@@ -214,6 +214,25 @@ def _mirror_clustering_arg(c: Commit, prev: Commit | None) -> dict | None:
     }
 
 
+def _mirror_checkpoint_arg(c: Commit, prev: Commit | None) -> dict | None:
+    """``checkpoint_policy`` arg for ``write_delta_log_entry`` from
+    committed state (shared by _publish and the sync_metadata repair
+    path). The v2Checkpoint table feature never downgrades — once the
+    property is set, later commits keep advertising it even if a
+    properties replacement drops the key (same posture as
+    deletionVectors / columnMapping)."""
+    cur = (c.properties or {}).get("delta.checkpointPolicy") == "v2"
+    if not cur:
+        # stickiness after a property drop is handled log-side
+        # (write_delta_log_entry's _cp_live, like _log_dv_cfg)
+        return None
+    prev_on = (
+        prev is not None
+        and (prev.properties or {}).get("delta.checkpointPolicy") == "v2"
+    )
+    return {"policy": "v2", "newly": not prev_on}
+
+
 def _mirror_feature_args(c: Commit, prev: Commit | None) -> tuple:
     """(row_tracking, ict) args for ``write_delta_log_entry``, derived
     from a commit AS STORED — shared by _publish (after it finalizes
@@ -465,6 +484,7 @@ class ManagedTable:
             row_tracking=rt_arg,
             ict=ict_arg,
             clustering=clustering_arg,
+            checkpoint_policy=_mirror_checkpoint_arg(commit, prev),
         )
         # persist which engine delete sets the mirror now covers —
         # AFTER the log entry (the log is the source of truth; a crash
@@ -4543,6 +4563,7 @@ class ManagedTable:
                     row_tracking=rt_arg,
                     ict=ict_arg,
                     clustering=_mirror_clustering_arg(c, prev),
+                    checkpoint_policy=_mirror_checkpoint_arg(c, prev),
                 )
                 repaired += 1
                 if c.delete_sets:

@@ -1697,3 +1697,152 @@ def test_restore_takes_restored_clustering_state(spark, tmp_path_str):
         if "domainMetadata" in a
     )
     assert json.loads(dm0["configuration"])["clusteringColumns"] == []
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoints (PROTOCOL.md §V2 Spec; delta.checkpointPolicy=v2)
+# ---------------------------------------------------------------------------
+
+
+def _v2_table(spark, path, n=100):
+    t = ManagedTable(spark, path)
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"],
+            properties={"delta.checkpointPolicy": "v2"})
+    return t, df
+
+
+def test_v2_checkpoint_layout_and_replay(spark, tmp_path):
+    """delta.checkpointPolicy=v2: checkpoints become a UUID-named
+    manifest (checkpointMetadata first, sidecar actions) + sidecar
+    parquet under _delta_log/_sidecars; protocol advertises
+    v2Checkpoint in BOTH feature lists; external replay through the
+    manifest equals the engine snapshot."""
+    import glob
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _log_last_protocol,
+        read_delta_table,
+        read_last_checkpoint,
+    )
+
+    t, df = _v2_table(spark, str(tmp_path / "t"))
+    pr = _log_last_protocol(
+        os.path.join(t.path, "_delta_log")
+    )["protocol"]
+    assert "v2Checkpoint" in (pr.get("readerFeatures") or [])
+    assert "v2Checkpoint" in (pr.get("writerFeatures") or [])
+    for i in range(9):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    log_dir = os.path.join(t.path, "_delta_log")
+    assert read_last_checkpoint(t.path)["version"] == 9
+    manifests = glob.glob(
+        os.path.join(log_dir, "00000000000000000009.checkpoint.*.parquet")
+    )
+    assert len(manifests) == 1
+    assert not os.path.exists(
+        os.path.join(log_dir, "00000000000000000009.checkpoint.parquet")
+    ), "v2 table must not write a classic checkpoint"
+    assert os.listdir(os.path.join(log_dir, "_sidecars"))
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(manifests[0]).to_pylist()
+    assert rows[0]["checkpointMetadata"] == {"version": 9}
+    assert any(r.get("sidecar") for r in rows)
+    assert not any(r.get("add") for r in rows), (
+        "file actions belong in sidecars, not the manifest"
+    )
+    eng = sorted((r["k"], r["v"]) for r in t.read().collect())
+    ext = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_table(spark, t.path).collect()
+    )
+    assert eng == ext
+
+
+def test_v2_checkpoint_carries_dvs_and_survives_repair(spark, tmp_path):
+    """Deletion-vector descriptors must ride the sidecar add rows, and
+    sync_metadata repair must keep advertising the v2 policy."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _latest_metadata,
+        live_dv_descriptors,
+        read_delta_table,
+    )
+
+    t, df = _v2_table(spark, str(tmp_path / "t"))
+    t.delete_where("k >= 90", strategy="merge-on-read")
+    for i in range(8):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    log_dir = os.path.join(t.path, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_sidecars"))
+    dvs = live_dv_descriptors(t.path)   # replay now crosses the v2 ckpt
+    assert len(dvs) == 1 and next(iter(dvs.values()))["cardinality"] == 10
+    assert t.read().count() == 890
+    assert read_delta_table(spark, t.path).count() == 890
+    # repair path keeps the policy + feature args
+    removed = os.path.join(log_dir, f"{t.latest_commit().version:020d}.json")
+    os.remove(removed)
+    assert t.sync_metadata() == 1
+    md = _latest_metadata(log_dir)
+    assert md["configuration"].get("delta.checkpointPolicy") == "v2"
+
+
+def test_v2_checkpoint_multi_sidecar_chunking(spark, tmp_path):
+    """part_rows bounds each sidecar file; the manifest lists one
+    sidecar action per chunk and replay unions them all."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        replay_delta_log_from_checkpoint,
+        write_checkpoint,
+    )
+
+    t, df = _v2_table(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    v = t.latest_commit().version
+    write_checkpoint(t.path, v, part_rows=2)
+    log_dir = os.path.join(t.path, "_delta_log")
+    assert len(os.listdir(os.path.join(log_dir, "_sidecars"))) >= 3
+    files, _schema, _p = replay_delta_log_from_checkpoint(t.path)
+    assert len(files) == 5
+
+
+def test_classic_table_upgrades_to_v2_policy(spark, tmp_path):
+    """A table born classic that later sets the policy: next
+    checkpoint is v2, protocol upgrades, and replay spans the
+    transition."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _log_last_protocol,
+        read_delta_table,
+        read_last_checkpoint,
+        write_checkpoint,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite")
+    t.write(df.coalesce(1), mode="append")
+    t.set_properties({"delta.checkpointPolicy": "v2"})
+    pr = _log_last_protocol(
+        os.path.join(t.path, "_delta_log")
+    )["protocol"]
+    assert "v2Checkpoint" in (pr.get("readerFeatures") or [])
+    v = t.latest_commit().version
+    write_checkpoint(t.path, v)
+    assert read_last_checkpoint(t.path)["version"] == v
+    assert read_delta_table(spark, t.path).count() == 100
