@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import urllib.parse
 import uuid
 
@@ -1062,28 +1063,35 @@ def _decode_path(rel: str) -> str:
 
 def _table_id(log_dir: str) -> str | None:
     v0 = os.path.join(log_dir, f"{0:020d}.json")
-    if not os.path.exists(v0):
+    if os.path.exists(v0):
+        with open(v0) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"]["id"]
         return None
-    with open(v0) as f:
-        for line in f:
-            a = json.loads(line)
-            if "metaData" in a:
-                return a["metaData"]["id"]
-    return None
+    # v0 cleaned up by metadata retention: the id is immutable and
+    # every re-emission carries it, so the latest (checkpoint-bounded)
+    # metaData answers identically
+    md = _latest_metadata(log_dir)
+    return md.get("id") if md else None
 
 
 def _table_created_ms(log_dir: str) -> int | None:
     """v0's createdTime — fixed for the table's lifetime, carried
-    through every metaData re-emission (same anchoring as _table_id)."""
+    through every metaData re-emission (same anchoring as _table_id),
+    so the latest metaData is an equivalent source once v0 is cleaned
+    up by metadata retention."""
     v0 = os.path.join(log_dir, f"{0:020d}.json")
-    if not os.path.exists(v0):
+    if os.path.exists(v0):
+        with open(v0) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"].get("createdTime")
         return None
-    with open(v0) as f:
-        for line in f:
-            a = json.loads(line)
-            if "metaData" in a:
-                return a["metaData"].get("createdTime")
-    return None
+    md = _latest_metadata(log_dir)
+    return md.get("createdTime") if md else None
 
 
 def _replay_json(table_path: str):
@@ -1536,7 +1544,47 @@ def write_checkpoint(
     tombstones: dict[str, dict] = {}
     txns: dict[str, dict] = {}
     domains: dict[str, dict] = {}
-    for v in range(version + 1):
+    # Seed from the previous checkpoint when one exists: (a) the cost
+    # of checkpointing becomes O(interval + snapshot) instead of
+    # O(full history), and (b) after metadata cleanup
+    # (cleanup_metadata) the JSON below the checkpoint no longer
+    # exists to replay.
+    start_v = 0
+    prev_cp = read_last_checkpoint(table_path)
+    if prev_cp is not None and int(prev_cp["version"]) < version:
+        import pyarrow.parquet as _pq
+
+        def _cp_rows():
+            for path in _checkpoint_part_paths(log_dir, prev_cp):
+                for r in _pq.read_table(path).to_pylist():
+                    if r.get("sidecar"):
+                        side = os.path.join(
+                            log_dir, "_sidecars", r["sidecar"]["path"]
+                        )
+                        yield from _pq.read_table(side).to_pylist()
+                    else:
+                        yield r
+
+        for r in _cp_rows():
+            if r.get("protocol"):
+                protocol = {
+                    k: v for k, v in r["protocol"].items()
+                    if v is not None
+                }
+            elif r.get("metaData"):
+                metadata = r["metaData"]
+            elif r.get("txn"):
+                txns[r["txn"]["appId"]] = r["txn"]
+            elif r.get("domainMetadata"):
+                domains[r["domainMetadata"]["domain"]] = (
+                    r["domainMetadata"]
+                )
+            elif r.get("add"):
+                live[r["add"]["path"]] = r["add"]
+            elif r.get("remove"):
+                tombstones[r["remove"]["path"]] = r["remove"]
+        start_v = int(prev_cp["version"]) + 1
+    for v in range(start_v, version + 1):
         for a in _read_version_actions(log_dir, v):
             if "protocol" in a:
                 protocol = a["protocol"]
@@ -1880,6 +1928,84 @@ def maybe_write_checkpoint(
     if (version + 1) % interval == 0:
         return write_checkpoint(table_path, version)
     return None
+
+
+def cleanup_metadata(
+    table_path: str,
+    retention_ms: int = 30 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+) -> int:
+    """Delta's log retention (delta.logRetentionDuration, default 30
+    days): delete commit JSON entries and checkpoint files strictly
+    OLDER than the advertised checkpoint once they age out of the
+    retention window, plus sidecar files no remaining manifest
+    references. External readers replay from the checkpoint; engine
+    time travel is unaffected (it reads ``_commits``). Returns the
+    number of files deleted.
+
+    At 100 TB this is what bounds the log: without it a
+    high-frequency writer accumulates JSON + checkpoints forever and
+    listing ``_delta_log/`` itself becomes the bottleneck."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    last = read_last_checkpoint(table_path)
+    if last is None:
+        return 0
+    ckpt_v = int(last["version"])
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    cutoff = now - retention_ms
+    removed = 0
+
+    def _old_enough(p: str) -> bool:
+        return os.path.getmtime(p) * 1000 <= cutoff
+
+    # commit JSON strictly below the checkpoint
+    for v in _log_versions(log_dir):
+        if v >= ckpt_v:
+            continue
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if _old_enough(p):
+            os.unlink(p)
+            removed += 1
+    # checkpoint files (classic / parts / uuid manifests) below the
+    # advertised one
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(log_dir, "*.checkpoint*.parquet")):
+        base = os.path.basename(p)
+        if ".tmp." in base:
+            continue
+        try:
+            v = int(base.split(".", 1)[0])
+        except ValueError:
+            continue
+        if v < ckpt_v and _old_enough(p):
+            os.unlink(p)
+            removed += 1
+    # sidecars: live = referenced by any REMAINING manifest
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    if os.path.isdir(sidecar_dir):
+        import pyarrow.parquet as pq
+
+        live: set = set()
+        for p in _glob.glob(
+            os.path.join(log_dir, "*.checkpoint*.parquet")
+        ):
+            if ".tmp." in os.path.basename(p):
+                continue
+            try:
+                t = pq.read_table(p, columns=["sidecar"])
+            except Exception:  # classic checkpoint: no sidecar column
+                continue
+            for r in t.to_pylist():
+                if r.get("sidecar"):
+                    live.add(r["sidecar"]["path"])
+        for fn in os.listdir(sidecar_dir):
+            if fn.endswith(".parquet") and fn not in live:
+                p = os.path.join(sidecar_dir, fn)
+                if _old_enough(p):
+                    os.unlink(p)
+                    removed += 1
+    return removed
 
 
 def read_last_checkpoint(table_path: str) -> dict | None:

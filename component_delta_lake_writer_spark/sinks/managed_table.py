@@ -4299,6 +4299,26 @@ class ManagedTable:
                 removed += 1
         return removed
 
+    def cleanup_metadata(
+        self, retention_hours: float = 30 * 24, now_ms: int | None = None
+    ) -> int:
+        """Delta's log retention (delta.logRetentionDuration): delete
+        mirror JSON entries and checkpoints older than the advertised
+        checkpoint once past the retention window, and GC unreferenced
+        sidecar files. Engine history (``_commits``) is untouched —
+        engine time travel keeps working; external readers replay from
+        the checkpoint, losing only sub-checkpoint time travel beyond
+        retention, exactly the Delta contract. Returns files deleted."""
+        from component_delta_lake_writer_spark.sinks.delta_log import (
+            cleanup_metadata,
+        )
+
+        return cleanup_metadata(
+            self.path,
+            retention_ms=int(retention_hours * 3600 * 1000),
+            now_ms=now_ms,
+        )
+
     def clone_to(
         self, dest_path: str, shallow: bool = False
     ) -> "ManagedTable":

@@ -27,6 +27,7 @@ to ``<warehouse_dir>/cat/schema/table``; backticks are stripped.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -727,6 +728,58 @@ class StatementExecutor:
             return self.spark.createDataFrame(
                 sorted(rows),
                 T.StructType([T.StructField("table", T.StringType())]),
+            )
+        m = re.match(
+            rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*"
+            r"(?:\(\s*'?(?P<key>[^')]+?)'?\s*\))?\s*$",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            from pyspark.sql import types as T
+
+            t = self.table(m.group(1))
+            c = t.latest_commit()
+            if c is None:
+                raise UserException(f"No table {m.group(1)}")
+            props = {
+                k: str(v)
+                for k, v in (c.properties or {}).items()
+                # composite engine-side structures (constraints dict)
+                # are surfaced by DESCRIBE DETAIL, not the flat
+                # key-value listing Spark's statement shows
+                if not isinstance(v, (dict, list))
+            }
+            key = m.group("key")
+            if key is not None:
+                props = {key: props[key]} if key in props else {}
+            return self.spark.createDataFrame(
+                sorted(props.items()),
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                ),
+            )
+        m = re.match(
+            rf"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+({_IDENT})\s*$",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            from pyspark.sql import types as T
+
+            t = self.table(m.group(1))
+            c = t.latest_commit()
+            if c is None:
+                raise UserException(f"No table {m.group(1)}")
+            names = [
+                f["name"] for f in json.loads(c.schema_json)["fields"]
+            ]
+            return self.spark.createDataFrame(
+                [(n,) for n in names],
+                T.StructType([T.StructField("col_name", T.StringType())]),
             )
         m = re.match(
             rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", s, flags=re.IGNORECASE

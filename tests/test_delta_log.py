@@ -1846,3 +1846,76 @@ def test_classic_table_upgrades_to_v2_policy(spark, tmp_path):
     write_checkpoint(t.path, v)
     assert read_last_checkpoint(t.path)["version"] == v
     assert read_delta_table(spark, t.path).count() == 100
+
+
+def test_metadata_cleanup_retention(spark, tmp_path):
+    """cleanup_metadata (delta.logRetentionDuration): JSON + checkpoint
+    files below the advertised checkpoint are deleted once past
+    retention, sidecars no manifest references are GC'd, the external
+    snapshot is unchanged, table id/createdTime survive via the
+    checkpoint's metaData, and the NEXT checkpoint seeds from the
+    previous one (no v0 JSON to replay)."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _table_created_ms,
+        _table_id,
+        read_delta_table,
+        read_last_checkpoint,
+    )
+
+    t, df = _v2_table(spark, str(tmp_path / "t"), n=40)
+    for i in range(14):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    log_dir = os.path.join(t.path, "_delta_log")
+    tid = _table_id(log_dir)
+    created = _table_created_ms(log_dir)
+    assert read_last_checkpoint(t.path)["version"] == 9
+    # retention not yet expired: nothing deleted
+    assert t.cleanup_metadata(retention_hours=1000) == 0
+    removed = t.cleanup_metadata(retention_hours=0)
+    assert removed >= 9
+    assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.json"))
+    assert _table_id(log_dir) == tid
+    assert _table_created_ms(log_dir) == created
+    assert read_delta_table(spark, t.path).count() == t.read().count()
+    # checkpointing still works (seeds from the prior checkpoint) and
+    # the snapshot stays exact across the seeded generation
+    for i in range(5):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((50 + i) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    assert read_last_checkpoint(t.path)["version"] == 19
+    assert read_delta_table(spark, t.path).count() == t.read().count()
+    # sidecars of the superseded manifest are GC-able now
+    before = len(os.listdir(os.path.join(log_dir, "_sidecars")))
+    t.cleanup_metadata(retention_hours=0)
+    after = len(os.listdir(os.path.join(log_dir, "_sidecars")))
+    assert after <= before
+
+
+def test_cleanup_preserves_dv_descriptors(spark, tmp_path):
+    """A DV table cleaned below its checkpoint must still serve the
+    deleted-rows-excluded snapshot externally (descriptors ride the
+    checkpoint, and the DV .bin files are untouched by cleanup)."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+        read_delta_table,
+    )
+
+    t, df = _v2_table(spark, str(tmp_path / "t"))
+    t.delete_where("k >= 90", strategy="merge-on-read")
+    for i in range(9):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    t.cleanup_metadata(retention_hours=0)
+    dvs = live_dv_descriptors(t.path)
+    assert len(dvs) == 1
+    assert read_delta_table(spark, t.path).count() == t.read().count()

@@ -419,3 +419,23 @@ def test_convert_partitioned_external_mirror(ex, tmp_path):
     # declared partitioning must match the layout
     with pytest.raises(UserException):
         ex.table("pc2").convert_from_parquet(raw, partition_by=["k"])
+
+
+def test_show_tblproperties_and_columns(ex):
+    t = _seed(ex)
+    t.set_properties({"delta.appendOnly": "false", "custom.tag": "x"})
+    rows = {
+        r["key"]: r["value"]
+        for r in ex.execute("SHOW TBLPROPERTIES t").collect()
+    }
+    assert rows.get("custom.tag") == "x"
+    one = ex.execute("SHOW TBLPROPERTIES t ('custom.tag')").collect()
+    assert [(r["key"], r["value"]) for r in one] == [("custom.tag", "x")]
+    cols = [r["col_name"] for r in ex.execute("SHOW COLUMNS IN t").collect()]
+    assert cols == ["k", "s", "v"]
+    cols2 = [
+        r["col_name"] for r in ex.execute("SHOW COLUMNS FROM t").collect()
+    ]
+    assert cols2 == cols
+    with pytest.raises(UserException):
+        ex.execute("SHOW GRANTS ON t")
