@@ -262,3 +262,57 @@ def test_dml_verb_as_backticked_identifier_passes(ex):
     # the guard still fires on real DML after a backticked identifier
     with pytest.raises(UserException, match="embedded DML"):
         ex.execute("WITH `x` AS (SELECT 1 AS a) DELETE FROM t")
+
+
+# --- round 7: CONVERT / CLONE / ANALYZE / SHOW shapes -------------------
+
+_MALFORMED_R7 = [
+    "CONVERT TO DELTA t",                       # must be parquet.`dir`
+    "CONVERT TO DELTA csv.`/tmp/x`",            # wrong format
+    "CONVERT TO DELTA parquet.`/nonexistent-dir-xyz` AS t2",
+    "CONVERT TO DELTA parquet.`/tmp` INTO t",   # bad trailing clause
+    "ANALYZE TABLE t",                          # missing COMPUTE
+    "ANALYZE TABLE t COMPUTE NOTHING",
+    "ANALYZE t COMPUTE STATISTICS",
+    "CREATE TABLE c CLONE t",                   # depth keyword required
+    "CREATE TABLE c SHALLOW CLONE",             # missing source
+    "CREATE TABLE c LATERAL CLONE t",
+    "SHOW TBLPROPERTIES",                       # missing table
+    "SHOW COLUMNS t",                           # missing IN/FROM
+]
+
+
+@pytest.mark.parametrize("stmt", _MALFORMED_R7)
+def test_r7_malformed_statements_are_noops(ex, stmt):
+    before = _state(ex)
+    with pytest.raises(UserException):
+        ex.execute(stmt)
+    assert _state(ex) == before
+
+
+@pytest.mark.parametrize("ident", _TRAVERSAL)
+def test_r7_traversal_identifiers_refused(ex, ident):
+    for stmt in (
+        f"CREATE TABLE {ident} SHALLOW CLONE t",
+        f"CREATE TABLE c2 DEEP CLONE {ident}",
+        f"ANALYZE TABLE {ident} COMPUTE STATISTICS",
+        f"SHOW TBLPROPERTIES {ident}",
+        f"SHOW COLUMNS IN {ident}",
+        f"CONVERT TO DELTA parquet.`/tmp/nope` AS {ident}",
+    ):
+        with pytest.raises(UserException):
+            ex.execute(stmt)
+
+
+def test_clone_source_must_exist_and_quote_safety(ex):
+    before = _state(ex)
+    with pytest.raises(UserException):
+        ex.execute("CREATE TABLE c SHALLOW CLONE missing_table")
+    assert _state(ex) == before
+    # keywords inside literals never change dispatch: the script
+    # splitter must treat this as ONE statement and refuse it whole
+    with pytest.raises(UserException):
+        ex.execute(
+            "ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS extra"
+        )
+    assert _state(ex) == before
