@@ -713,6 +713,9 @@ def write_delta_log_entry(
                 "path": _encode_path(rel),
                 "deletionTimestamp": timestamp_ms,
                 "dataChange": True,
+                # optional per spec; carried so the version checksum
+                # (.crc) can maintain tableSizeBytes incrementally
+                "size": _size,
             }
             if rel in current_dvs:
                 # reconciliation is keyed by (path, dvId): a remove
@@ -766,6 +769,7 @@ def write_delta_log_entry(
             "path": _encode_path(rel),
             "deletionTimestamp": timestamp_ms,
             "dataChange": True,
+            "size": os.stat(os.path.join(table_path, rel)).st_size,
         }
         if rel in current_dvs:
             rm["deletionVector"] = current_dvs[rel]
@@ -821,8 +825,102 @@ def write_delta_log_entry(
         pass  # a racing writer already published this version's entry
     finally:
         os.unlink(tmp)
+    _write_version_crc(table_path, version, actions)
     _set_stale(table_path, version, rows_diverge)
     return final
+
+
+def _write_version_crc(
+    table_path: str, version: int, actions: list[dict]
+) -> None:
+    """Delta VERSION CHECKSUM: ``{version}.crc`` next to each commit
+    with the post-commit state aggregates (tableSizeBytes, numFiles,
+    metadata, protocol) — what delta-spark emits per commit and uses
+    to validate snapshot state. Maintained INCREMENTALLY from the
+    previous version's .crc (+add sizes, -remove sizes; our removes
+    carry the optional ``size``), falling back to one checkpoint-
+    bounded replay when the previous .crc is missing or the commit
+    re-adds live files (dataChange=false re-adds: row-tracking
+    backfill / carried DV re-adds — reconciliation replaces by path,
+    which per-aggregate increments cannot express)."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    meta = next((a["metaData"] for a in actions if "metaData" in a), None)
+    proto = next((a["protocol"] for a in actions if "protocol" in a), None)
+    prev_p = os.path.join(log_dir, f"{version - 1:020d}.crc")
+    prev: dict | None = None
+    if version > 0 and os.path.exists(prev_p):
+        try:
+            with open(prev_p) as f:
+                prev = json.load(f)
+        except ValueError:
+            prev = None
+    incremental = (
+        (version == 0 or prev is not None)
+        and all(a.get("dataChange", True) for a in adds)
+        and all(r.get("size") is not None for r in removes)
+    )
+    if incremental:
+        base_bytes = prev["tableSizeBytes"] if prev else 0
+        base_files = prev["numFiles"] if prev else 0
+        size = (
+            base_bytes
+            + sum(int(a["size"]) for a in adds)
+            - sum(int(r["size"]) for r in removes)
+        )
+        nfiles = base_files + len(adds) - len(removes)
+        meta = meta or (prev or {}).get("metadata")
+        proto = proto or (prev or {}).get("protocol")
+    else:
+        st = _replay_state(table_path)
+        size = sum(int(a["size"]) for a in st["adds"].values())
+        nfiles = len(st["adds"])
+        meta = meta or _latest_metadata(log_dir)
+        pr = _log_last_protocol(log_dir)
+        proto = proto or (pr["protocol"] if pr else None)
+    crc = {
+        "tableSizeBytes": int(size),
+        "numFiles": int(nfiles),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": meta,
+        "protocol": proto,
+    }
+    final = os.path.join(log_dir, f"{version:020d}.crc")
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(crc, f)
+    os.replace(tmp, final)
+
+
+def verify_version_checksum(table_path: str) -> dict:
+    """Validate the latest ``.crc`` against a full checkpoint-aware
+    replay (the integrity check a reader performs). Returns the crc on
+    success; raises ValueError naming the diverging field."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise ValueError("no log entries")
+    v = versions[-1]
+    p = os.path.join(log_dir, f"{v:020d}.crc")
+    if not os.path.exists(p):
+        raise ValueError(f"no .crc for version {v}")
+    with open(p) as f:
+        crc = json.load(f)
+    st = _replay_state(table_path)
+    size = sum(int(a["size"]) for a in st["adds"].values())
+    if crc["tableSizeBytes"] != size:
+        raise ValueError(
+            f"tableSizeBytes diverges: crc={crc['tableSizeBytes']} "
+            f"replay={size}"
+        )
+    if crc["numFiles"] != len(st["adds"]):
+        raise ValueError(
+            f"numFiles diverges: crc={crc['numFiles']} "
+            f"replay={len(st['adds'])}"
+        )
+    return crc
 
 
 _WRITER_LADDER_FEATURES = {
@@ -1958,7 +2056,7 @@ def cleanup_metadata(
     def _old_enough(p: str) -> bool:
         return os.path.getmtime(p) * 1000 <= cutoff
 
-    # commit JSON strictly below the checkpoint
+    # commit JSON (and its .crc sibling) strictly below the checkpoint
     for v in _log_versions(log_dir):
         if v >= ckpt_v:
             continue
@@ -1966,6 +2064,10 @@ def cleanup_metadata(
         if _old_enough(p):
             os.unlink(p)
             removed += 1
+            crc = os.path.join(log_dir, f"{v:020d}.crc")
+            if os.path.exists(crc):
+                os.unlink(crc)
+                removed += 1
     # checkpoint files (classic / parts / uuid manifests) below the
     # advertised one
     import glob as _glob

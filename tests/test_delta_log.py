@@ -1919,3 +1919,65 @@ def test_cleanup_preserves_dv_descriptors(spark, tmp_path):
     dvs = live_dv_descriptors(t.path)
     assert len(dvs) == 1
     assert read_delta_table(spark, t.path).count() == t.read().count()
+
+
+def test_version_checksum_emitted_and_valid(spark, tmp_path):
+    """Every commit publishes a {version}.crc (Delta VERSION CHECKSUM)
+    whose aggregates match a full replay — across appends, COW
+    rewrites, DV swaps (remove+re-add same path), optimize, RESTORE
+    re-adds, and row-tracking backfill (dataChange=false re-adds force
+    the full-recompute path)."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        verify_version_checksum,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(2), mode="overwrite", primary_key=["k"])
+    t.write(df.coalesce(1), mode="append")
+    crc = verify_version_checksum(t.path)
+    assert crc["numFiles"] == 3 and crc["tableSizeBytes"] > 0
+    t.upsert(
+        df.filter(F.col("k") < 5).withColumn(
+            "v", F.lit(-1).cast("long")
+        ).coalesce(1),
+        ["k"],
+        strategy="merge-on-read",
+    )
+    verify_version_checksum(t.path)          # DV swap: net-zero files
+    t.optimize()
+    verify_version_checksum(t.path)          # rewrite: removes carry size
+    t.restore(0)
+    verify_version_checksum(t.path)          # re-add path
+    log_dir = os.path.join(t.path, "_delta_log")
+    v = t.latest_commit().version
+    assert os.path.exists(os.path.join(log_dir, f"{v:020d}.crc"))
+    # corruption is caught
+    import json as _json
+
+    p = os.path.join(log_dir, f"{v:020d}.crc")
+    bad = _json.load(open(p))
+    bad["numFiles"] += 1
+    _json.dump(bad, open(p, "w"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="numFiles"):
+        verify_version_checksum(t.path)
+
+
+def test_cleanup_reclaims_crc_files(spark, tmp_path):
+    t, df = _v2_table(spark, str(tmp_path / "t"))
+    for i in range(10):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    log_dir = os.path.join(t.path, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, f"{0:020d}.crc"))
+    t.cleanup_metadata(retention_hours=0)
+    assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.crc"))
+    v = t.latest_commit().version
+    assert os.path.exists(os.path.join(log_dir, f"{v:020d}.crc"))
