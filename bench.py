@@ -473,6 +473,82 @@ def _row_tracking_overhead(spark, sf_dir: str) -> dict:
     return out
 
 
+def _retrieval_curve(spark, sf_dir: str) -> dict:
+    """Measured scaling of the retrieval family (round 7): BM25 and
+    hybrid-RRF latency at x1/x4/x10 corpus replication. The claim
+    being proven: one corpus pass + broadcast-vocabulary semi-join +
+    O(queries x pool) fusion => near-linear in corpus size (a
+    quadratic would scale 100x at x10)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_rrf_topk,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "window"), (2, "stream"),
+         (3, "vector"), (3, "scan")],
+        "query_id int, term string",
+    )
+    probe_map = spark.createDataFrame(
+        [(1, 0), (2, 7), (3, 11)], "query_id int, probe_vec_id int"
+    )
+    # untimed warm-up: the first BM25/RRF run pays one-off codegen +
+    # shuffle-service setup that would otherwise land entirely on the
+    # x1 point and invert the curve
+    bm25_topk(docs, queries, k=5).count()
+    hybrid_rrf_topk(docs, queries, emb, probe_map, k=10, pool=20).count()
+    points = []
+    for scale in (1, 4, 10):
+        big_docs = docs
+        big_emb = emb
+        for i in range(1, scale):
+            off = i * 10_000_000
+            big_docs = big_docs.unionAll(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+            )
+            big_emb = big_emb.unionAll(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(off))
+            )
+        big_docs = big_docs.persist()
+        big_emb = big_emb.persist()
+        n = big_docs.count()
+        big_emb.count()
+        t0 = _t.perf_counter()
+        bm25_topk(big_docs, queries, k=5).count()
+        bm_sec = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        hybrid_rrf_topk(
+            big_docs, queries, big_emb, probe_map, k=10, pool=20
+        ).count()
+        rrf_sec = _t.perf_counter() - t0
+        big_docs.unpersist()
+        big_emb.unpersist()
+        points.append(
+            {
+                "scale": scale,
+                "docs": n,
+                "bm25_sec": round(bm_sec, 3),
+                "hybrid_rrf_sec": round(rrf_sec, 3),
+            }
+        )
+    return {
+        "points": points,
+        "bm25_time_ratio_x10": round(
+            points[-1]["bm25_sec"] / points[0]["bm25_sec"], 2
+        ),
+        "rrf_time_ratio_x10": round(
+            points[-1]["hybrid_rrf_sec"] / points[0]["hybrid_rrf_sec"], 2
+        ),
+    }
+
+
 def _zero_copy_envelope(spark, sf_dir: str, scale: int = 10) -> dict:
     """Measured cost of the round-7 zero-copy operations at the x10
     envelope shape: CONVERT TO DELTA (hardlink adoption) and SHALLOW
@@ -661,6 +737,17 @@ def main() -> None:
             print(f"# row_tracking/{k}: {v}", file=sys.stderr)
     except Exception as exc:
         print(f"# row tracking overhead failed: {exc}", file=sys.stderr)
+
+    # Measured retrieval scaling (round 7): BM25 + hybrid RRF at
+    # x1/x4/x10 corpus replication — near-linear or the family's
+    # broadcast/semi-join posture is broken
+    try:
+        rc = _retrieval_curve(spark, SF_DIR)
+        result["retrieval_curve"] = rc
+        for p in rc["points"]:
+            print(f"# retrieval_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# retrieval curve failed: {exc}", file=sys.stderr)
 
     # Measured zero-copy envelope (round 7): CONVERT TO DELTA and
     # SHALLOW CLONE must be O(files), not O(data) — vs the data-copy
