@@ -439,6 +439,8 @@ def write_delta_log_entry(
     ict: dict | None = None,
     clustering: dict | None = None,
     checkpoint_policy: dict | None = None,
+    table_properties: dict | None = None,
+    prev_table_properties: dict | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -482,6 +484,16 @@ def write_delta_log_entry(
     (+ the enablement version/timestamp properties when enabled after
     table creation) and upgrades the protocol.
 
+    ``table_properties`` / ``prev_table_properties``: the commit's
+    engine table properties. Scalar-valued entries are mirrored into
+    ``metaData.configuration`` — Delta's TBLPROPERTIES ARE the
+    metaData configuration, so external readers must see them (and a
+    SET/UNSET TBLPROPERTIES commit re-emits metaData exactly when the
+    mirrored view changed). Composite engine-internal values
+    (constraint dicts, column lists) are engine state, not
+    TBLPROPERTIES, and stay out. Feature-derived flags override on
+    key collision (they are authoritative).
+
     ``checkpoint_policy`` (Delta v2Checkpoint table feature):
     ``{"policy": "v2", "newly": bool}``. "newly" re-emits metaData
     with ``delta.checkpointPolicy=v2`` and upgrades the protocol to
@@ -502,6 +514,17 @@ def write_delta_log_entry(
 
     cm = column_mapping or {}
     prev_cm = prev_column_mapping or {}
+
+    def _scalar_props(d: dict | None) -> dict:
+        out = {}
+        for k, v in (d or {}).items():
+            if isinstance(v, bool):
+                out[k] = "true" if v else "false"
+            elif isinstance(v, (str, int, float)):
+                out[k] = str(v)
+        return out
+
+    user_cfg = _scalar_props(table_properties)
     dv_adds = dv_adds or {}
     current_dvs = current_dvs or {}
 
@@ -574,7 +597,9 @@ def write_delta_log_entry(
             cfg.update(ict.get("config") or {})
         if _cp_live():
             cfg["delta.checkpointPolicy"] = "v2"
-        return cfg
+        # TBLPROPERTIES ride metaData.configuration; feature-derived
+        # flags above override on collision (authoritative)
+        return {**user_cfg, **cfg}
 
     actions: list[dict] = []
     if txn is not None:
@@ -599,6 +624,12 @@ def write_delta_log_entry(
         # below runs only when metaData re-emits
         or bool(clustering and clustering.get("newly"))
         or bool(checkpoint_policy and checkpoint_policy.get("newly"))
+        # TBLPROPERTIES changed (SET/UNSET or a properties-carrying
+        # write): the mirrored configuration view must update
+        or (
+            table_properties is not None
+            and user_cfg != _scalar_props(prev_table_properties)
+        )
     )
     if version == 0:
         actions.append(
@@ -2024,8 +2055,55 @@ def maybe_write_checkpoint(
     if delta_log_is_stale(table_path) is not None:
         return None
     if (version + 1) % interval == 0:
-        return write_checkpoint(table_path, version)
+        out = write_checkpoint(table_path, version)
+        # delta-spark behavior: expired-log cleanup piggybacks on
+        # checkpointing, gated on delta.enableExpiredLogCleanup
+        # (default true) with delta.logRetentionDuration (default
+        # "interval 30 days") — so tests and short-lived tables never
+        # lose history unless they opt into a shorter retention.
+        log_dir = os.path.join(table_path, _DELTA_LOG)
+        cfg = (_latest_metadata(log_dir) or {}).get("configuration") or {}
+        if str(cfg.get("delta.enableExpiredLogCleanup", "true")).lower() != "false":
+            try:
+                cleanup_metadata(
+                    table_path,
+                    retention_ms=_parse_interval_ms(
+                        cfg.get("delta.logRetentionDuration")
+                    ),
+                )
+            except OSError:
+                pass  # cleanup is best-effort housekeeping
+        return out
     return None
+
+
+def _parse_interval_ms(spec: str | None) -> int:
+    """Delta duration properties: ``interval <n> <unit>`` (also bare
+    ``<n> <unit>``); unknown/absent => the 30-day default."""
+    default = 30 * 24 * 3600 * 1000
+    if not spec:
+        return default
+    parts = str(spec).strip().lower().split()
+    if parts and parts[0] == "interval":
+        parts = parts[1:]
+    if len(parts) != 2:
+        return default
+    try:
+        n = float(parts[0])
+    except ValueError:
+        return default
+    unit = parts[1].rstrip("s")
+    scale = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60 * 1000,
+        "hour": 3600 * 1000,
+        "day": 24 * 3600 * 1000,
+        "week": 7 * 24 * 3600 * 1000,
+    }.get(unit)
+    if scale is None:
+        return default
+    return int(n * scale)
 
 
 def cleanup_metadata(

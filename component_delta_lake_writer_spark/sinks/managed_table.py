@@ -485,6 +485,8 @@ class ManagedTable:
             ict=ict_arg,
             clustering=clustering_arg,
             checkpoint_policy=_mirror_checkpoint_arg(commit, prev),
+            table_properties=commit.properties,
+            prev_table_properties=prev.properties if prev else None,
         )
         # persist which engine delete sets the mirror now covers —
         # AFTER the log entry (the log is the source of truth; a crash
@@ -4584,6 +4586,10 @@ class ManagedTable:
                     ict=ict_arg,
                     clustering=_mirror_clustering_arg(c, prev),
                     checkpoint_policy=_mirror_checkpoint_arg(c, prev),
+                    table_properties=c.properties,
+                    prev_table_properties=(
+                        prev.properties if prev else None
+                    ),
                 )
                 repaired += 1
                 if c.delete_sets:

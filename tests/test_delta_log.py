@@ -1981,3 +1981,58 @@ def test_cleanup_reclaims_crc_files(spark, tmp_path):
     assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.crc"))
     v = t.latest_commit().version
     assert os.path.exists(os.path.join(log_dir, f"{v:020d}.crc"))
+
+
+def test_auto_log_cleanup_on_checkpoint(spark, tmp_path):
+    """Expired-log cleanup piggybacks on checkpointing (delta-spark
+    behavior): with delta.logRetentionDuration set to zero, crossing a
+    checkpoint boundary deletes the aged-out JSON below it; with the
+    default 30-day retention nothing is deleted; with
+    enableExpiredLogCleanup=false nothing is ever deleted."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _parse_interval_ms,
+        read_delta_table,
+    )
+
+    assert _parse_interval_ms(None) == 30 * 24 * 3600 * 1000
+    assert _parse_interval_ms("interval 2 hours") == 2 * 3600 * 1000
+    assert _parse_interval_ms("7 days") == 7 * 24 * 3600 * 1000
+    assert _parse_interval_ms("interval nonsense") == 30 * 24 * 3600 * 1000
+
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # default retention: history stays
+    t1 = ManagedTable(spark, str(tmp_path / "t1"))
+    t1.write(df.coalesce(1), mode="overwrite")
+    for i in range(10):
+        t1.write(df.coalesce(1), mode="append")
+    assert os.path.exists(
+        os.path.join(t1.path, "_delta_log", f"{0:020d}.json")
+    )
+    # zero retention: crossing the next boundary cleans below the ckpt
+    t2 = ManagedTable(spark, str(tmp_path / "t2"))
+    t2.write(
+        df.coalesce(1), mode="overwrite",
+        properties={"delta.logRetentionDuration": "interval 0 seconds"},
+    )
+    for i in range(10):
+        t2.write(df.coalesce(1), mode="append")
+    assert not os.path.exists(
+        os.path.join(t2.path, "_delta_log", f"{0:020d}.json")
+    )
+    assert read_delta_table(spark, t2.path).count() == t2.read().count()
+    # opt-out wins over zero retention
+    t3 = ManagedTable(spark, str(tmp_path / "t3"))
+    t3.write(
+        df.coalesce(1), mode="overwrite",
+        properties={
+            "delta.logRetentionDuration": "interval 0 seconds",
+            "delta.enableExpiredLogCleanup": "false",
+        },
+    )
+    for i in range(10):
+        t3.write(df.coalesce(1), mode="append")
+    assert os.path.exists(
+        os.path.join(t3.path, "_delta_log", f"{0:020d}.json")
+    )
