@@ -2106,6 +2106,83 @@ def _parse_interval_ms(spec: str | None) -> int:
     return int(n * scale)
 
 
+def write_log_compaction(
+    table_path: str, start: int, end: int
+) -> str:
+    """Delta minor log compaction: ``{start}.{end}.compacted.json``
+    holds the RECONCILED actions of versions [start, end] — replaying
+    it is equivalent to replaying the range's JSON entries in order.
+    The original entries stay (compaction is a read optimization, not
+    retention); readers that know the format open one file instead of
+    ``end - start + 1``. At a 100 TB table's commit rates this is what
+    keeps the post-checkpoint tail cheap between checkpoints.
+
+    Reconciliation: final add per path (adds superseded or removed
+    within the range drop out), remove tombstones for paths removed
+    in-range and not re-added after (files added before the range need
+    them), latest metaData/protocol in range, latest txn per appId,
+    latest domainMetadata per domain."""
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    if start > end:
+        raise ValueError(f"bad compaction range [{start}, {end}]")
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    meta: dict | None = None
+    proto: dict | None = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        for a in _read_version_actions(log_dir, v):
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+                removes.pop(a["add"]["path"], None)
+            elif "remove" in a:
+                removes[a["remove"]["path"]] = a["remove"]
+                adds.pop(a["remove"]["path"], None)
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+            elif "txn" in a:
+                txns[a["txn"]["appId"]] = a["txn"]
+            elif "domainMetadata" in a:
+                domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+    actions: list[dict] = []
+    if proto is not None:
+        actions.append({"protocol": proto})
+    if meta is not None:
+        actions.append({"metaData": meta})
+    actions += [{"txn": t} for t in txns.values()]
+    actions += [{"domainMetadata": d} for d in domains.values()]
+    actions += [{"remove": r} for r in removes.values()]
+    actions += [{"add": a} for a in adds.values()]
+    final = os.path.join(
+        log_dir, f"{start:020d}.{end:020d}.compacted.json"
+    )
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, final)
+    return final
+
+
+def _compacted_ranges(log_dir: str) -> dict[int, int]:
+    """{start: end} of available minor-compaction files."""
+    import re as _re
+
+    out: dict[int, int] = {}
+    pat = _re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+    for f in os.listdir(log_dir):
+        m = pat.match(f)
+        if m:
+            a, b = int(m.group(1)), int(m.group(2))
+            # prefer the widest range starting at a
+            if a not in out or b > out[a]:
+                out[a] = b
+    return out
+
+
 def cleanup_metadata(
     table_path: str,
     retention_ms: int = 30 * 24 * 3600 * 1000,
@@ -2132,7 +2209,10 @@ def cleanup_metadata(
     removed = 0
 
     def _old_enough(p: str) -> bool:
-        return os.path.getmtime(p) * 1000 <= cutoff
+        # truncate BOTH sides to whole ms: `cutoff` is an int, and a
+        # file written in the same millisecond would otherwise compare
+        # greater by its fractional microseconds
+        return int(os.path.getmtime(p) * 1000) <= cutoff
 
     # commit JSON (and its .crc sibling) strictly below the checkpoint
     for v in _log_versions(log_dir):
@@ -2145,6 +2225,15 @@ def cleanup_metadata(
             crc = os.path.join(log_dir, f"{v:020d}.crc")
             if os.path.exists(crc):
                 os.unlink(crc)
+                removed += 1
+    # minor-compaction files fully below the checkpoint
+    for a, b in list(_compacted_ranges(log_dir).items()):
+        if b < ckpt_v:
+            p = os.path.join(
+                log_dir, f"{a:020d}.{b:020d}.compacted.json"
+            )
+            if _old_enough(p):
+                os.unlink(p)
                 removed += 1
     # checkpoint files (classic / parts / uuid manifests) below the
     # advertised one
@@ -2238,16 +2327,40 @@ def _replay_state(table_path: str) -> dict:
                         if sr.get("add"):
                             adds[sr["add"]["path"]] = sr["add"]
         start_after = last["version"]
-    for v in _log_versions(log_dir):
-        if v <= start_after:
+    def _apply(a: dict) -> None:
+        if "metaData" in a:
+            _meta(a["metaData"])
+        elif "add" in a:
+            adds[a["add"]["path"]] = a["add"]
+        elif "remove" in a:
+            adds.pop(a["remove"]["path"], None)
+
+    versions = _log_versions(log_dir)
+    vset = set(versions)
+    compacted = _compacted_ranges(log_dir)
+    head = max(
+        [versions[-1] if versions else -1]
+        + [b for b in compacted.values()]
+    )
+    v = start_after + 1
+    while v <= head:
+        b = compacted.get(v)
+        if b is not None and b <= head:
+            # minor log compaction: one reconciled file replaces the
+            # range's individual entries
+            with open(
+                os.path.join(
+                    log_dir, f"{v:020d}.{b:020d}.compacted.json"
+                )
+            ) as f:
+                for line in f:
+                    _apply(json.loads(line))
+            v = b + 1
             continue
-        for a in _read_version_actions(log_dir, v):
-            if "metaData" in a:
-                _meta(a["metaData"])
-            elif "add" in a:
-                adds[a["add"]["path"]] = a["add"]
-            elif "remove" in a:
-                adds.pop(a["remove"]["path"], None)
+        if v in vset:
+            for a in _read_version_actions(log_dir, v):
+                _apply(a)
+        v += 1
     return {
         "adds": {_decode_path(p): a for p, a in adds.items()},
         "schema": schema,

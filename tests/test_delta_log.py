@@ -2036,3 +2036,61 @@ def test_auto_log_cleanup_on_checkpoint(spark, tmp_path):
     assert os.path.exists(
         os.path.join(t3.path, "_delta_log", f"{0:020d}.json")
     )
+
+
+def test_minor_log_compaction_roundtrip(spark, tmp_path):
+    """write_log_compaction produces {start}.{end}.compacted.json whose
+    reconciled actions replay identically to the range's individual
+    entries — proven by deleting the range's JSON and replaying
+    through the compacted file alone. Cleanup reclaims compactions
+    fully below the checkpoint."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+        write_log_compaction,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    for i in range(3):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    t.upsert(
+        df.filter(F.col("k") < 5).withColumn(
+            "v", F.lit(-9).cast("long")
+        ).coalesce(1),
+        ["k"],
+    )  # COW merge: adds + removes inside the compacted range
+    expected = sorted((r["k"], r["v"]) for r in t.read().collect())
+    log_dir = os.path.join(t.path, "_delta_log")
+    p = write_log_compaction(t.path, 1, 4)
+    assert os.path.basename(p) == (
+        f"{1:020d}.{4:020d}.compacted.json"
+    )
+    # external read prefers the compacted file: remove the originals
+    for v in range(1, 5):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_table(spark, t.path).collect()
+    )
+    assert got == expected
+    # a compaction fully below a later checkpoint is reclaimable
+    t2 = ManagedTable(spark, str(tmp_path / "t2"))
+    t2.write(df.coalesce(1), mode="overwrite")
+    for i in range(10):
+        t2.write(df.coalesce(1), mode="append")
+    write_log_compaction(t2.path, 1, 4)
+    n = t2.cleanup_metadata(retention_hours=0)
+    assert n > 0
+    assert not os.path.exists(
+        os.path.join(
+            t2.path, "_delta_log", f"{1:020d}.{4:020d}.compacted.json"
+        )
+    )
+    assert read_delta_table(spark, t2.path).count() == t2.read().count()
