@@ -549,6 +549,88 @@ def _retrieval_curve(spark, sf_dir: str) -> dict:
     }
 
 
+def _streaming_curve(spark, sf_dir: str) -> dict:
+    """Measured Structured-Streaming throughput (round 7): the
+    watermarked hourly rollup drained with availableNow over x1/x4/x10
+    replicated event feeds. The fixed micro-batch overhead amortizes
+    with volume, so rows/sec must GROW with scale — flat-or-falling
+    would mean per-row streaming cost, which no 100 TB/day feed could
+    pay."""
+    import shutil
+    import tempfile
+    import time as _t
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.streaming.structured import (
+        hourly_rollup,
+        ts_tz_expr,
+        ts_us_expr,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_stream_curve_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        points = []
+        warmed = False
+        for scale in (1, 1, 4, 10):  # first x1 is the untimed warm-up
+            big = events
+            for i in range(1, scale):
+                big = big.unionAll(
+                    events.withColumn(
+                        "event_id",
+                        F.col("event_id") + F.lit(i * 100_000_000),
+                    )
+                )
+            src = os.path.join(work, f"x{scale}_{len(points)}_{warmed}")
+            big.write.parquet(src)
+            n = spark.read.parquet(src).count()
+            schema = spark.read.parquet(src).schema
+            ts_dtype = schema["ts"].dataType.simpleString()
+            t0 = _t.perf_counter()
+            stream = (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .load(src)
+                .withColumn("ts_us", ts_us_expr(ts_dtype))
+                .withColumn("ts", ts_tz_expr(ts_dtype))
+                .withWatermark("ts", "1 hour")
+            )
+            name = f"bench_stream_curve_{scale}_{_uuid.uuid4().hex[:6]}"
+            q = (
+                hourly_rollup(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            spark.table(name).count()
+            dt = _t.perf_counter() - t0
+            if not warmed:
+                warmed = True  # codegen/stream-setup warm-up: untimed
+                continue
+            points.append(
+                {
+                    "scale": scale,
+                    "rows": n,
+                    "sec": round(dt, 3),
+                    "rows_per_sec": round(n / dt, 1),
+                }
+            )
+        return {
+            "points": points,
+            "throughput_gain_x10": round(
+                points[-1]["rows_per_sec"] / points[0]["rows_per_sec"], 2
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _zero_copy_envelope(spark, sf_dir: str, scale: int = 10) -> dict:
     """Measured cost of the round-7 zero-copy operations at the x10
     envelope shape: CONVERT TO DELTA (hardlink adoption) and SHALLOW
@@ -748,6 +830,15 @@ def main() -> None:
             print(f"# retrieval_curve/x{p['scale']}: {p}", file=sys.stderr)
     except Exception as exc:
         print(f"# retrieval curve failed: {exc}", file=sys.stderr)
+
+    # Measured streaming throughput scaling (round 7)
+    try:
+        sc_curve = _streaming_curve(spark, SF_DIR)
+        result["streaming_curve"] = sc_curve
+        for p in sc_curve["points"]:
+            print(f"# streaming_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# streaming curve failed: {exc}", file=sys.stderr)
 
     # Measured zero-copy envelope (round 7): CONVERT TO DELTA and
     # SHALLOW CLONE must be O(files), not O(data) — vs the data-copy

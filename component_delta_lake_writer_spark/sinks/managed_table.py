@@ -500,6 +500,35 @@ class ManagedTable:
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
         maybe_write_checkpoint(self.path, commit.version)
+        # opt-in minor log compaction (mirror.logCompactionInterval=k):
+        # every k commits, reconcile the last k entries into one
+        # {start}.{end}.compacted.json so external readers walk the
+        # post-checkpoint tail in O(tail/k) file opens. Skipped on
+        # checkpoint boundaries (the checkpoint already covers them).
+        try:
+            k = int(
+                (commit.properties or {}).get(
+                    "mirror.logCompactionInterval", 0
+                )
+            )
+        except (TypeError, ValueError):
+            k = 0
+        if (
+            k > 1
+            and (commit.version + 1) % k == 0
+            and (commit.version + 1) % 10 != 0
+            and commit.version + 1 >= k
+        ):
+            from component_delta_lake_writer_spark.sinks.delta_log import (
+                write_log_compaction,
+            )
+
+            try:
+                write_log_compaction(
+                    self.path, commit.version - k + 1, commit.version
+                )
+            except (OSError, ValueError):
+                pass  # best-effort read optimization
 
     def _assign_row_ids(self, commit: Commit, prev: Commit | None) -> None:
         """Populate ``commit.row_ids``/``row_id_high_water`` under row

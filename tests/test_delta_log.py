@@ -2094,3 +2094,29 @@ def test_minor_log_compaction_roundtrip(spark, tmp_path):
         )
     )
     assert read_delta_table(spark, t2.path).count() == t2.read().count()
+
+
+def test_auto_minor_compaction_interval(spark, tmp_path):
+    """mirror.logCompactionInterval=k: every k commits (off checkpoint
+    boundaries) the engine writes the reconciled compacted file, and
+    external replay stays exact."""
+    import glob
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(
+        df.coalesce(1), mode="overwrite",
+        properties={"mirror.logCompactionInterval": "4"},
+    )
+    for i in range(7):
+        t.write(df.coalesce(1), mode="append")
+    log_dir = os.path.join(t.path, "_delta_log")
+    comps = glob.glob(os.path.join(log_dir, "*.compacted.json"))
+    assert comps, "interval=4 over 8 commits must compact at v3 and v7"
+    assert read_delta_table(spark, t.path).count() == t.read().count()
