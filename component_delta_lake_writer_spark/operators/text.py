@@ -297,3 +297,56 @@ def paragraph_dedup(
             F.size("_parts").cast("long").alias("n_paras"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT character n-gram shingles that appear in no other
+    document. High novelty = unique content worth keeping; low =
+    boilerplate/template text — the cheap corpus-quality counterpart
+    of near-dup detection (a near-dup pair scores low novelty without
+    any pairwise comparison).
+
+    Scale posture: shingles explode map-side from the normalized text
+    (array_distinct bounds the per-doc fan-out), the document
+    frequency is one hash aggregation on the shingle key, and the
+    join back is a shingle-keyed equi-join — no pairwise expansion
+    anywhere, O(corpus shingles) total. Documents shorter than ``n``
+    normalized characters produce no shingles and drop out (novelty
+    is undefined for them).
+
+    Returns (doc_id, n_shingles, novel_frac) with novel_frac rounded
+    to 6dp (integer-exact counts; one double division).
+    """
+    norm = normalize_text(F.col(text))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+            lambda i: F.substr(norm, i, F.lit(n)),
+        )
+    )
+    sh = df.select(
+        F.col(doc_id).alias("doc_id"),
+        F.when(F.length(norm) >= n, shingles)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shs"),
+    ).select("doc_id", F.explode("shs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novel_frac"),
+        )
+    )

@@ -37,6 +37,7 @@ _FRONT = [
     "filtered_vector_topk",
     "mmr_diversified_topk",
     "v2_checkpoint_read",
+    "ngram_novelty_docs",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

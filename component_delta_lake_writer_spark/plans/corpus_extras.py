@@ -612,6 +612,44 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+@query(
+    "ngram_novelty_docs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 8) AS sh
+      FROM d,
+      LATERAL unnest(
+        generate_series(1, CAST(length(norm) AS BIGINT) - 7)
+      ) AS t(i)
+      WHERE length(norm) >= 8
+    ),
+    cnt AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+      CAST(ROUND(
+        CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novel_frac
+    FROM sh JOIN cnt USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (operators.text.ngram_novelty):
+    fraction of a doc's distinct character shingles unique to it in
+    the corpus — boilerplate scores low without any pairwise
+    comparison. One map-side shingle explode, one hash agg on the
+    shingle key, one equi-join back."""
+    from component_delta_lake_writer_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=8)
+
+
 _RRF_PROBES = [(1, 0), (2, 7), (3, 11)]  # query_id -> probe vec_id
 _RRF_DOT = (
     "list_reduce(list_transform(generate_series(1, 64), "
