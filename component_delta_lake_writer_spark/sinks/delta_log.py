@@ -190,6 +190,7 @@ def _protocol_action(
     identity = "identityColumns" in caps
     defaults = "allowColumnDefaults" in caps
     widened = "typeWidening" in caps
+    checks = "checkConstraints" in caps
     # writer-only table features with no legacy ladder version: their
     # presence forces the writer-7 feature-list form but never a
     # reader escalation (readers ignore them by construction)
@@ -208,6 +209,7 @@ def _protocol_action(
         ) + (["typeWidening"] if widened else [])
         writer = (
             list(reader)
+            + (["checkConstraints"] if checks else [])
             + (["generatedColumns"] if generated else [])
             + (["identityColumns"] if identity else [])
             # defaultColumns is writer-only (spec: allowColumnDefaults)
@@ -223,8 +225,10 @@ def _protocol_action(
             }
         }
     writer = 2
+    if checks:
+        writer = 3
     if generated:
-        writer = 4
+        writer = max(writer, 4)
     if column_mapping:
         writer = max(writer, 5)
     if identity:
@@ -236,6 +240,8 @@ def _protocol_action(
         # legacy version); writer 7 must enumerate every in-use
         # feature, including the legacy ladder's implications
         feats = ["appendOnly", "invariants"]
+        if checks:
+            feats.append("checkConstraints")
         if generated:
             feats.append("generatedColumns")
         if column_mapping:
@@ -441,6 +447,7 @@ def write_delta_log_entry(
     checkpoint_policy: dict | None = None,
     table_properties: dict | None = None,
     prev_table_properties: dict | None = None,
+    cdc_files: list | None = None,
 ) -> str:
     """Emit ``_delta_log/{version}.json`` for one commit. Returns the
     written path. Idempotent per version (atomic link, first wins).
@@ -494,6 +501,13 @@ def write_delta_log_entry(
     TBLPROPERTIES, and stay out. Feature-derived flags override on
     key collision (they are authoritative).
 
+    ``cdc_files`` ([(table-relative path, size), …]): this commit's
+    change-data files (Delta CDF) — each becomes a ``cdc`` action
+    (``dataChange=false``), the spec's signal that readers computing
+    table_changes for this version must use these files INSTEAD of
+    deriving changes from add/remove. Never checkpointed (cdc actions
+    are not snapshot state).
+
     ``checkpoint_policy`` (Delta v2Checkpoint table feature):
     ``{"policy": "v2", "newly": bool}``. "newly" re-emits metaData
     with ``delta.checkpointPolicy=v2`` and upgrades the protocol to
@@ -518,13 +532,22 @@ def write_delta_log_entry(
     def _scalar_props(d: dict | None) -> dict:
         out = {}
         for k, v in (d or {}).items():
-            if isinstance(v, bool):
+            if k == "constraints" and isinstance(v, dict):
+                # Delta's CHECK-constraint convention: one
+                # delta.constraints.<name> = <expr> property each —
+                # external writers must see (and enforce) them
+                for name, expr in v.items():
+                    out[f"delta.constraints.{name}"] = str(expr)
+            elif isinstance(v, bool):
                 out[k] = "true" if v else "false"
             elif isinstance(v, (str, int, float)):
                 out[k] = str(v)
         return out
 
     user_cfg = _scalar_props(table_properties)
+    _has_constraints = bool(
+        (table_properties or {}).get("constraints")
+    ) or any(k.startswith("delta.constraints.") for k in user_cfg)
     dv_adds = dv_adds or {}
     current_dvs = current_dvs or {}
 
@@ -571,6 +594,8 @@ def write_delta_log_entry(
             caps |= {"clustering", "domainMetadata"}
         if _cp_live():
             caps.add("v2Checkpoint")
+        if _has_constraints:
+            caps.add("checkConstraints")
         return caps
 
     def _feature_config() -> dict:
@@ -825,6 +850,17 @@ def write_delta_log_entry(
                     "dataChange": True,
                     "deletionVector": dv_adds[rel],
                     **_rt_fields(rel),
+                }
+            }
+        )
+    for rel, size in cdc_files or []:
+        actions.append(
+            {
+                "cdc": {
+                    "path": _encode_path(rel),
+                    "partitionValues": {},
+                    "size": int(size),
+                    "dataChange": False,
                 }
             }
         )
@@ -2104,6 +2140,85 @@ def _parse_interval_ms(spec: str | None) -> int:
     if scale is None:
         return default
     return int(n * scale)
+
+
+def read_delta_table_changes(
+    spark,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+):
+    """External table_changes (Delta CDF): compute the changed rows of
+    commits in (from_version, to_version] FROM THE MIRROR ALONE —
+    ``cdc`` actions when a commit carries them (the spec's signal that
+    add/remove derivation is wrong for it), else adds with
+    ``dataChange=true`` read as inserts. Returns the table columns +
+    ``_change_type`` + ``_commit_version`` — what
+    ``table_changes(t, v)`` yields minus the wall-clock timestamp
+    column. Raises on a changing commit that neither carries cdc
+    actions nor is derivable (a rewrite without CDF enabled), like
+    delta-spark does."""
+    from pyspark.sql import functions as F
+
+    log_dir = os.path.join(table_path, _DELTA_LOG)
+    versions = [
+        v
+        for v in _log_versions(log_dir)
+        if v > from_version
+        and (to_version is None or v <= to_version)
+    ]
+    if not versions:
+        raise ValueError(
+            f"no log entries after version {from_version}"
+        )
+    out = None
+
+    def _with_meta(df, ct: str | None, v: int):
+        if ct is not None:
+            df = df.withColumn("_change_type", F.lit(ct))
+        return df.withColumn("_commit_version", F.lit(v).cast("long"))
+
+    for v in versions:
+        actions = _read_version_actions(log_dir, v)
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            files = [
+                os.path.join(table_path, _decode_path(c["path"]))
+                for c in cdc
+            ]
+            df = _with_meta(spark.read.parquet(*files), None, v)
+        else:
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a
+                and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                raise ValueError(
+                    f"version {v} removes data without cdc actions — "
+                    "not derivable (enable delta.enableChangeDataFeed)"
+                )
+            if not adds:
+                continue  # metadata-only commit
+            files = [
+                os.path.join(table_path, _decode_path(a["path"]))
+                for a in adds
+            ]
+            df = _with_meta(spark.read.parquet(*files), "insert", v)
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError(
+            f"no data-changing commits after version {from_version}"
+        )
+    return out
 
 
 def write_log_compaction(

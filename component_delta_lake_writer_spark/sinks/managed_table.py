@@ -321,7 +321,19 @@ class ManagedTable:
         with open(os.path.join(self._commits_dir, f"{version:020d}.json")) as f:
             return Commit(**json.load(f))
 
-    def _publish(self, commit: Commit, prev: Commit | None = None) -> None:
+    def _publish(
+        self,
+        commit: Commit,
+        prev: Commit | None = None,
+        cdc_stage: str | None = None,
+    ) -> None:
+        # ``cdc_stage``: a change set written PRE-publish to a unique
+        # staging dir (CDF paths). The winner of the version claim
+        # adopts it as _changes/v{N} — preserving the only-the-winner-
+        # owns-vN concurrency contract — and mirrors it as Delta cdc
+        # actions (hardlinked _change_data/ files) inside THIS
+        # commit's log entry, which is the only place the spec allows
+        # them. Losers clean their stage up in the caller.
         # Writer-state carry (txn watermarks, ingest log): merged here
         # centrally so every commit path — DML, optimize, DDL —
         # preserves them without threading the fields through all 17
@@ -427,6 +439,50 @@ class ManagedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        cdc_files: list[tuple[str, int]] = []
+        if cdc_stage is not None:
+            # winner-only adoption of the staged change set
+            owned = os.path.join(
+                self._changes_dir, f"v{commit.version}"
+            )
+            if os.path.isdir(owned):
+                shutil.rmtree(cdc_stage, ignore_errors=True)
+            else:
+                os.makedirs(os.path.dirname(owned), exist_ok=True)
+                os.rename(cdc_stage, owned)
+            if not commit.column_mapping:
+                # Delta CDF interop: hardlink the change parquet into
+                # _change_data/ and reference each file with a cdc
+                # action in this commit's mirror entry (external
+                # table_changes readers). Column-mapped tables skip
+                # the mirror (change files carry logical names, the
+                # mirror schema physical ones) — engine CDF still
+                # works; the gap is documented.
+                cd_dir = os.path.join(self.path, "_change_data")
+                seq = 0
+                for dp, _d, fns in os.walk(owned):
+                    for fn in sorted(fns):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        src_f = os.path.join(dp, fn)
+                        rel = os.path.join(
+                            "_change_data",
+                            f"cdc-{commit.version:020d}-{seq:05d}.parquet",
+                        )
+                        seq += 1
+                        dst = os.path.join(self.path, rel)
+                        os.makedirs(cd_dir, exist_ok=True)
+                        try:
+                            os.link(src_f, dst)
+                        except FileExistsError:
+                            pass
+                        except OSError:
+                            import shutil as _sh
+
+                            _sh.copy2(src_f, dst)
+                        cdc_files.append(
+                            (rel, os.stat(dst).st_size)
+                        )
         # Delta interop: mirror the commit as _delta_log/ actions so
         # external Delta readers open this table (the reference writes
         # true Delta via delta-rs, src/component.py:356 / write_batch).
@@ -487,6 +543,7 @@ class ManagedTable:
             checkpoint_policy=_mirror_checkpoint_arg(commit, prev),
             table_properties=commit.properties,
             prev_table_properties=prev.properties if prev else None,
+            cdc_files=cdc_files,
         )
         # persist which engine delete sets the mirror now covers —
         # AFTER the log entry (the log is the source of truth; a crash
@@ -1917,7 +1974,9 @@ class ManagedTable:
     def _deletes_dir(self) -> str:
         return os.path.join(self.path, "_deletes")
 
-    def _write_empty_change_set(self, prev: Commit, version: int) -> None:
+    def _write_empty_change_set(
+        self, prev: Commit, version: int, out_dir: str | None = None
+    ) -> None:
         """A schema-correct EMPTY ``_changes/vN`` set: written when a
         CDF-enabled DML commit touched no rows (stats pruned every
         unit) so both the batch ``read_changes`` range and the
@@ -1927,7 +1986,9 @@ class ManagedTable:
         )
         self.spark.createDataFrame([], schema).write.mode(
             "overwrite"
-        ).parquet(os.path.join(self._changes_dir, f"v{version}"))
+        ).parquet(
+            out_dir or os.path.join(self._changes_dir, f"v{version}")
+        )
 
     @staticmethod
     def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
@@ -2652,16 +2713,17 @@ class ManagedTable:
                 column_mapping=dict(prev.column_mapping),
                 txns=dict([txn]) if txn else {},
             )
-            self._publish(commit, prev)
             # CDF: persist this commit's change set (inserts + the
             # update post-images the MERGE actually applied) so
-            # read_changes can attribute across upserts. Written after
-            # the publish so only the winning writer of version N ever
-            # owns _changes/vN. Gated on the table property
-            # ``enableChangeDataFeed`` exactly like Delta's
-            # delta.enableChangeDataFeed — materializing the change
-            # set is a second join over the source, and a table that
-            # never reads CDF must not pay it on every upsert.
+            # read_changes can attribute across upserts. STAGED before
+            # the publish (unique dir — concurrent writers never
+            # collide) and adopted as _changes/vN by the version
+            # claim's WINNER inside _publish, which also mirrors it as
+            # Delta cdc actions in this commit's log entry. Gated on
+            # the table property ``enableChangeDataFeed`` exactly like
+            # Delta's delta.enableChangeDataFeed — materializing the
+            # change set is a second join over the source, and a table
+            # that never reads CDF must not pay it on every upsert.
             # Attribution (matched vs not) is against the FULL previous
             # snapshot — a key living in a pruned-away unit is still
             # "matched" even though the merge never rewrote that unit.
@@ -2669,7 +2731,11 @@ class ManagedTable:
             # schema_mode='merge' upsert's new columns reach the change
             # set (src is already union-aligned; projecting it onto an
             # old-schema target would drop the values the commit wrote).
+            stage = None
             if commit.properties.get("enableChangeDataFeed"):
+                stage = os.path.join(
+                    self._changes_dir, f"stage-{uuid.uuid4().hex}"
+                )
                 self._write_change_set(
                     self._align_to_schema(
                         self._read_units(prev, prev.data_units), union_schema
@@ -2678,7 +2744,14 @@ class ManagedTable:
                     pre_images=bool(
                         commit.properties.get("changeDataFeedPreImages")
                     ),
+                    out_dir=stage,
                 )
+            try:
+                self._publish(commit, prev, cdc_stage=stage)
+            except BaseException:
+                if stage:
+                    shutil.rmtree(stage, ignore_errors=True)
+                raise
         finally:
             if persisted:
                 src.unpersist()
@@ -2828,8 +2901,11 @@ class ManagedTable:
                 column_mapping=dict(prev.column_mapping),
                 txns=dict([txn]) if txn else {},
             )
-            self._publish(commit, prev)
+            stage = None
             if commit.properties.get("enableChangeDataFeed"):
+                stage = os.path.join(
+                    self._changes_dir, f"stage-{uuid.uuid4().hex}"
+                )
                 self._write_change_set(
                     self._align_to_schema(
                         self._read_units(prev, prev.data_units), union_schema
@@ -2838,7 +2914,14 @@ class ManagedTable:
                     pre_images=bool(
                         commit.properties.get("changeDataFeedPreImages")
                     ),
+                    out_dir=stage,
                 )
+            try:
+                self._publish(commit, prev, cdc_stage=stage)
+            except BaseException:
+                if stage:
+                    shutil.rmtree(stage, ignore_errors=True)
+                raise
         finally:
             src.unpersist()
         return commit
@@ -2851,8 +2934,14 @@ class ManagedTable:
         update_condition,
         version: int,
         pre_images: bool = False,
+        out_dir: str | None = None,
     ) -> None:
-        """``pre_images=True`` (table property
+        """``out_dir``: a pre-publish staging directory (the publish
+        adopts it as ``_changes/v{version}`` winner-only and mirrors
+        it as Delta ``cdc`` actions). Default: write ``_changes/v{N}``
+        directly (legacy post-publish path).
+
+        ``pre_images=True`` (table property
         ``changeDataFeedPreImages``) additionally persists the matched
         target rows as ``update_preimage`` — what Delta's CDF emits,
         and what lets additive consumers (incremental materialized
@@ -2927,7 +3016,7 @@ class ManagedTable:
             )
             changes = changes.unionByName(pre)
         changes.write.mode("overwrite").parquet(
-            os.path.join(self._changes_dir, f"v{version}")
+            out_dir or os.path.join(self._changes_dir, f"v{version}")
         )
 
     # ---------- constraints (Delta CHECK / NOT NULL) ----------
@@ -3094,14 +3183,16 @@ class ManagedTable:
             delete_sets=self._carry_delete_sets(prev.delete_sets, untouched),
             column_mapping=dict(prev.column_mapping),
         )
-        self._publish(commit, prev)
+        stage = None
         if touched and prev.properties.get("enableChangeDataFeed"):
             # CDF for DML (Delta parity): DELETE emits the removed
             # images as 'delete'; UPDATE emits post-images (and
             # pre-images when changeDataFeedPreImages is set — the
             # same opt-in as the merge path). Rows recomputed from
             # the prior snapshot's touched units, which the commit
-            # never deletes (vacuum liveness protects them).
+            # never deletes (vacuum liveness protects them). Staged
+            # pre-publish; the version-claim winner adopts it inside
+            # _publish and mirrors it as Delta cdc actions.
             cond = F.coalesce(F.expr(condition), F.lit(False))
             matched = self._read_units(prev, touched).filter(cond)
             if action == "delete":
@@ -3118,16 +3209,28 @@ class ManagedTable:
                             "_change_type", F.lit("update_preimage")
                         )
                     )
-            changes.write.mode("overwrite").parquet(
-                os.path.join(self._changes_dir, f"v{commit.version}")
+            stage = os.path.join(
+                self._changes_dir, f"stage-{uuid.uuid4().hex}"
             )
+            changes.write.mode("overwrite").parquet(stage)
         elif prev.properties.get("enableChangeDataFeed"):
             # stats pruned every unit (condition provably matches no
             # row) — the commit still publishes, so the change feed
             # must cross it: persist an EMPTY schema-correct change
             # set, or a running table_changes_stream wedges forever on
             # "no persisted change set" at this version.
-            self._write_empty_change_set(prev, commit.version)
+            stage = os.path.join(
+                self._changes_dir, f"stage-{uuid.uuid4().hex}"
+            )
+            self._write_empty_change_set(
+                prev, commit.version, out_dir=stage
+            )
+        try:
+            self._publish(commit, prev, cdc_stage=stage)
+        except BaseException:
+            if stage:
+                shutil.rmtree(stage, ignore_errors=True)
+            raise
         return commit
 
     def delete_where(
@@ -4243,6 +4346,42 @@ class ManagedTable:
                             os.path.join(self._changes_dir, d),
                             ignore_errors=True,
                         )
+                    removed += 1
+            # abandoned pre-publish stages (a loser of a version race
+            # crashed before its cleanup): never referenced, safe
+            # beyond the in-flight grace
+            for d in os.listdir(self._changes_dir):
+                if not d.startswith("stage-"):
+                    continue
+                sp = os.path.join(self._changes_dir, d)
+                try:
+                    fresh = (
+                        os.path.getmtime(sp) * 1000
+                        > now_ms - orphan_grace_ms
+                    )
+                except OSError:
+                    continue  # racing with its writer
+                if not fresh:
+                    if not dry_run:
+                        shutil.rmtree(sp, ignore_errors=True)
+                    removed += 1
+        # mirrored CDF files (_change_data/cdc-{version}-*.parquet,
+        # hardlinks of _changes/vN) follow the same version liveness
+        cd_dir = os.path.join(self.path, "_change_data")
+        if os.path.isdir(cd_dir):
+            for fn in os.listdir(cd_dir):
+                if not fn.startswith("cdc-"):
+                    continue
+                try:
+                    v = int(fn.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if v not in live_versions:
+                    if not dry_run:
+                        try:
+                            os.unlink(os.path.join(cd_dir, fn))
+                        except OSError:
+                            pass
                     removed += 1
         # deletion-vector files (deletion_vector_*.bin at the table
         # root) follow mirror-action liveness: referenced by any

@@ -2120,3 +2120,122 @@ def test_auto_minor_compaction_interval(spark, tmp_path):
     comps = glob.glob(os.path.join(log_dir, "*.compacted.json"))
     assert comps, "interval=4 over 8 commits must compact at v3 and v7"
     assert read_delta_table(spark, t.path).count() == t.read().count()
+
+
+def test_check_constraints_mirrored(spark, tmp_path):
+    """CHECK constraints ride the mirror as delta.constraints.<name>
+    configuration entries with the checkConstraints writer capability
+    (legacy writer 3, or the feature name under writer 7) — external
+    writers must see and enforce them. DROP CONSTRAINT re-emits
+    without the key."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        _latest_metadata,
+        _log_last_protocol,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite")
+    t.add_constraint("v_nonneg", "v >= 0")
+    log_dir = os.path.join(t.path, "_delta_log")
+    cfg = _latest_metadata(log_dir)["configuration"]
+    assert cfg.get("delta.constraints.v_nonneg") == "v >= 0"
+    pr = _log_last_protocol(log_dir)["protocol"]
+    assert pr["minWriterVersion"] >= 3
+    if "writerFeatures" in pr:
+        assert "checkConstraints" in pr["writerFeatures"]
+    t.drop_constraint("v_nonneg")
+    cfg2 = _latest_metadata(log_dir)["configuration"]
+    assert "delta.constraints.v_nonneg" not in cfg2
+    # protocol never downgrades
+    pr2 = _log_last_protocol(log_dir)["protocol"]
+    assert pr2["minWriterVersion"] >= 3
+
+
+def test_external_cdf_matches_engine(spark, tmp_path):
+    """Delta CDF interop: CDF-enabled commits mirror their change sets
+    as cdc actions over hardlinked _change_data files, and the
+    external table_changes reconstruction (mirror alone) equals the
+    engine's read_changes across append/upsert/DELETE/UPDATE.
+    Append-only versions derive inserts from dataChange adds; a
+    rewrite without cdc actions raises."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table_changes,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    t.write(
+        df.withColumn("k", F.col("k") + F.lit(1000)).coalesce(1),
+        mode="append",
+    )
+    t.upsert(
+        df.filter(F.col("k") % 10 == 0).withColumn(
+            "v", F.lit(-1).cast("long")
+        ).coalesce(1),
+        ["k"],
+    )
+    t.delete_where("k >= 1090")
+    t.update_where("k < 5", {"v": "v + 100"})
+    ext = read_delta_table_changes(spark, t.path, 0)
+    eng = t.read_changes(0, with_change_type=True)
+    cols = ["k", "v", "_change_type"]
+    assert sorted(map(tuple, ext.select(*cols).collect())) == sorted(
+        map(tuple, eng.select(*cols).collect())
+    )
+    assert {r["_commit_version"] for r in ext.collect()} == {1, 2, 3, 4}
+    # cdc files are hardlinks of the engine change sets (zero copy)
+    cd = os.path.join(t.path, "_change_data")
+    assert all(
+        os.stat(os.path.join(cd, f)).st_nlink >= 2
+        for f in os.listdir(cd)
+    )
+    # a non-CDF rewrite is not derivable externally
+    t2 = ManagedTable(spark, str(tmp_path / "t2"))
+    t2.write(df.coalesce(1), mode="overwrite", primary_key=["k"])
+    t2.upsert(
+        df.filter(F.col("k") < 5).withColumn(
+            "v", F.lit(-2).cast("long")
+        ).coalesce(1),
+        ["k"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="without cdc actions"):
+        read_delta_table_changes(spark, t2.path, 0)
+
+
+def test_vacuum_reclaims_cdc_mirror_files(spark, tmp_path):
+    """_change_data files follow _changes/vN version liveness under
+    VACUUM; abandoned stage dirs are reclaimed past the grace."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    for i in range(3):
+        t.upsert(
+            df.filter(F.col("k") % 5 == i).withColumn(
+                "v", F.lit(-i).cast("long")
+            ).coalesce(1),
+            ["k"],
+        )
+    # fake an abandoned stage, old enough to pass the grace
+    stale = os.path.join(t.path, "_changes", "stage-deadbeef")
+    os.makedirs(stale)
+    old = (int(__import__("time").time()) - 7200, ) * 2
+    os.utime(stale, old)
+    cd = os.path.join(t.path, "_change_data")
+    n_before = len(os.listdir(cd))
+    assert n_before >= 3
+    t.vacuum(retention_hours=0)
+    # versions compacted away: only the head's files survive
+    assert len(os.listdir(cd)) <= n_before
+    assert not os.path.exists(stale)
