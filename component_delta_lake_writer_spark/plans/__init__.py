@@ -38,6 +38,8 @@ _FRONT = [
     "mmr_diversified_topk",
     "v2_checkpoint_read",
     "ngram_novelty_docs",
+    "cdf_external_read",
+    "cdc_read_changes",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

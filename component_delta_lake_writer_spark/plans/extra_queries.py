@@ -3634,6 +3634,60 @@ def ann_batch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdf_external_read",
+    oracle="""
+    SELECT o_orderkey, CAST(-1.0 AS DOUBLE) AS price,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'update_postimage'
+                ELSE 'insert' END AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 THEN -1.0
+                            ELSE CAST(o_totalprice AS DOUBLE) END,
+           'delete', CAST(2 AS BIGINT)
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+      AND o_orderkey % 7 = 0
+    """,
+)
+def cdf_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External CDF interop (Delta cdc actions): a MERGE then a
+    DELETE on a CDF-enabled table mirror their change sets as
+    hardlinked ``_change_data/`` files referenced by ``cdc`` actions;
+    the probe reconstructs table_changes from the MIRROR ALONE
+    (sinks.delta_log.read_delta_table_changes) — never consulting
+    ``_commits`` or ``_changes`` — and the oracle fully predicts both
+    versions' attributed rows."""
+    import shutil
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table_changes,
+    )
+
+    base = _scratch("cdf_external_read", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    t.write(
+        src.filter(F.col("o_orderkey") % 2 == 0),
+        mode="overwrite",
+        properties={"enableChangeDataFeed": True},
+    )
+    t.upsert(
+        src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "price", F.lit(-1.0)
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where("o_orderkey % 7 = 0")
+    assert os.listdir(os.path.join(t.path, "_change_data"))
+    return read_delta_table_changes(spark, t.path, 0)
+
+
+@query(
     "cdc_read_changes",
     oracle="""
     SELECT o_orderkey, CAST(-1.0 AS DOUBLE) AS price,
