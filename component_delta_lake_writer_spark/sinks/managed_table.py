@@ -72,6 +72,7 @@ _BOOLEAN_PROPERTIES = {
     "enableChangeDataFeed",
     "changeDataFeedPreImages",
     "autoCompact",
+    "delta.appendOnly",
     "delta.enableRowTracking",
     "delta.enableInCommitTimestamps",
 }
@@ -327,6 +328,26 @@ class ManagedTable:
         prev: Commit | None = None,
         cdc_stage: str | None = None,
     ) -> None:
+        # delta.appendOnly (Delta's append-only table property): any
+        # commit that logically deletes or replaces rows is refused —
+        # removed units, new merge-on-read delete sets, and DML/
+        # rewrite actions. Metadata-only and pure-rewrite maintenance
+        # (optimize/analyze/clone bookkeeping) keeps working because
+        # it changes no logical rows.
+        if prev is not None and _prop_on(prev.properties, "delta.appendOnly"):
+            prev_sets = {ds["path"] for ds in (prev.delete_sets or [])}
+            new_sets = [
+                ds for ds in (commit.delete_sets or [])
+                if ds["path"] not in prev_sets
+            ]
+            if new_sets or commit.action in (
+                "delete", "update", "overwrite", "upsert",
+                "replace_where", "restore", "truncate",
+            ):
+                raise UserException(
+                    "delta.appendOnly forbids deletes, updates, and "
+                    f"rewrites (refused {commit.action!r} commit)."
+                )
         # ``cdc_stage``: a change set written PRE-publish to a unique
         # staging dir (CDF paths). The winner of the version claim
         # adopts it as _changes/v{N} — preserving the only-the-winner-

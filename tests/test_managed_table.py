@@ -1807,3 +1807,33 @@ def test_row_ids_preserved_across_auto_compaction(spark, tmp_path_str):
         for r in t.read(with_row_ids=True).collect()
     }
     assert after == before
+
+
+def test_append_only_property_enforced(spark, tmp_path):
+    """delta.appendOnly: appends and compaction keep working; DELETE/
+    UPDATE/overwrite/upsert/MOR-delete are refused; unsetting the
+    property re-enables them."""
+    import pytest
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"],
+            properties={"delta.appendOnly": "true"})
+    t.write(df.coalesce(1), mode="append")          # allowed
+    t.optimize()                                    # pure rewrite: allowed
+    for op in (
+        lambda: t.delete_where("k < 5"),
+        lambda: t.delete_where("k < 5", strategy="merge-on-read"),
+        lambda: t.update_where("k < 5", {"v": "0"}),
+        lambda: t.write(df, mode="overwrite"),
+        lambda: t.upsert(df.limit(3), ["k"]),
+    ):
+        with pytest.raises(UserException, match="appendOnly"):
+            op()
+    t.set_properties(unset=["delta.appendOnly"])
+    t.delete_where("k < 5")                         # re-enabled
+    assert t.read().count() == 110
