@@ -460,3 +460,45 @@ def test_hybrid_rrf_fusion_joins_stay_small(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     # no cartesian product over the corpus
     assert "CartesianProduct" not in p
+
+
+def test_dv_driver_tier_dispatches_no_jobs(tmp_path, spark):
+    """Round-7 perf lock: the deletion-vector driver tier (small
+    delete set, unpartitioned, target rows under the driver bound)
+    must materialize DVs with ZERO Spark jobs — the whole point of
+    the tier is killing the ~0.5 s distributed dispatch that
+    dominated small-batch MOR mirror freshness. The commit's only
+    jobs are the source-unit write and the delete-set write."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks.managed_table import (
+        ManagedTable,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(2), mode="overwrite", primary_key=["k"])
+    upd = df.filter(F.col("k") % 7 == 0).withColumn(
+        "v", F.lit(-1).cast("long")
+    ).coalesce(1).persist()
+    upd.count()  # materialize outside the lock window
+    sc = spark.sparkContext
+    group = "dv-driver-tier-lock"
+    sc.setJobGroup(group, group)
+    try:
+        c = t.upsert(upd, ["k"], strategy="merge-on-read")
+    finally:
+        sc.setJobGroup(None, None)
+    upd.unpersist()
+    assert c.delete_sets, "probe must exercise the DV path"
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+    )
+
+    assert live_dv_descriptors(t.path), "DVs must have materialized"
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # delete-set write + source-unit write (+1 slack for an AQE
+    # result stage); the DV materialization itself adds NONE
+    assert len(jobs) <= 3, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
