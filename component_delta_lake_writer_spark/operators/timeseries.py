@@ -218,3 +218,55 @@ def interpolate_linear(
         / (n["_t"].cast("double") - p["_t"].cast("double")),
     )
     return df.withColumn(value_col, interp).drop("_pk", "_nk")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Point-in-interval range join as a BUCKETIZED equi-join.
+
+    A naive ``points JOIN intervals ON p >= s AND p < e`` is a theta
+    join — Spark plans it as broadcast-nested-loop (or a cartesian
+    when neither side fits), O(|points| x |intervals|) comparisons.
+    Bucketizing time into fixed ``bucket_seconds`` windows turns it
+    into an equi-join: each interval explodes to the buckets it
+    covers (bounded by interval span / bucket width), each point maps
+    to exactly one bucket, and the residual predicate filters inside
+    the matched bucket. Every join key is a bucket id, so at 100 TB
+    both sides hash-partition on it — no pairwise expansion ever.
+
+    Timestamps are compared at microsecond precision; intervals are
+    half-open [start, end). Returns points x matching-interval rows
+    (all columns from both sides)."""
+    w_us = int(bucket_seconds) * 1_000_000
+    # NTZ-tolerant: the session tz is UTC, so the cast is value-exact
+    p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    pb = points.withColumn("_rj_bucket", F.floor(p_us / F.lit(w_us)))
+    ib = (
+        intervals.withColumn(
+            "_rj_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / F.lit(w_us)),
+                    # end is EXCLUSIVE: an interval ending exactly on a
+                    # bucket edge does not cover that bucket
+                    F.floor((e_us - F.lit(1)) / F.lit(w_us)),
+                )
+            ),
+        )
+    )
+    return (
+        pb.join(ib, "_rj_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_rj_bucket")
+    )

@@ -40,6 +40,7 @@ _FRONT = [
     "ngram_novelty_docs",
     "cdf_external_read",
     "cdc_read_changes",
+    "range_join_busy_windows",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

@@ -3634,6 +3634,61 @@ def ann_batch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_busy_windows",
+    oracle="""
+    WITH busy AS (
+      SELECT event_type AS w_type, date_trunc('hour', ts) AS h
+      FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 7
+    ),
+    iv AS (
+      SELECT w_type,
+             h - INTERVAL 30 MINUTE AS w_start,
+             h + INTERVAL 90 MINUTE AS w_end
+      FROM busy
+    )
+    SELECT iv.w_type, iv.w_start,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT e.user_id) AS n_users
+    FROM iv JOIN events e
+      ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY 1, 2
+    """,
+)
+def range_join_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators.timeseries.range_join):
+    busy-hour maintenance windows (hours where an event type fired >=7
+    times, widened to (h-30min, h+90min)) joined against ALL raw
+    events by timestamp containment. The theta join runs as a
+    BUCKETIZED equi-join — each interval explodes to the <=4
+    half-hour buckets it covers, each point maps to one — so neither
+    side is ever on the build side of a nested loop (asserted in
+    tests/test_plan_quality.py)."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    busy = (
+        ev.groupBy(
+            F.col("event_type").alias("w_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 7)
+        .select(
+            "w_type",
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = range_join(ev, busy, "ts", "w_start", "w_end")
+    return joined.groupBy("w_type", "w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "cdf_external_read",
     oracle="""
     SELECT o_orderkey, CAST(-1.0 AS DOUBLE) AS price,

@@ -502,3 +502,12 @@ def test_dv_driver_tier_dispatches_no_jobs(tmp_path, spark):
     # delete-set write + source-unit write (+1 slack for an AQE
     # result stage); the DV materialization itself adds NONE
     assert len(jobs) <= 3, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
+
+
+def test_range_join_is_bucket_equi_join(spark):
+    """range_join_busy_windows: the point-in-interval theta join must
+    plan as a hash equi-join on the bucket key — never a broadcast
+    nested loop or cartesian over the corpus."""
+    p = _plan(spark, "range_join_busy_windows")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

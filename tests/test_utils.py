@@ -118,3 +118,39 @@ def test_with_retries_rejects_nonpositive_attempts():
 
     with _pytest.raises(ValueError, match="attempts"):
         with_retries(lambda: 1, attempts=0)
+
+
+def test_range_join_edges(spark):
+    """Half-open [start, end) semantics and bucket-edge coverage: an
+    interval ending exactly on a bucket boundary must not claim the
+    next bucket, and a point equal to `end` must not match."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        range_join,
+    )
+    from pyspark.sql import functions as F
+
+    points = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 10:29:59",),
+         ("2024-01-01 10:30:00",), ("2024-01-01 11:00:00",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 10:30:00", "a"),
+         ("2024-01-01 10:30:00", "2024-01-01 11:00:00", "b")],
+        "s string, e string, tag string",
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "tag",
+    )
+    out = sorted(
+        (r["ts"].isoformat(), r["tag"])
+        for r in range_join(
+            points, iv, "ts", "s", "e", bucket_seconds=1800
+        ).collect()
+    )
+    assert out == [
+        ("2024-01-01T10:00:00", "a"),
+        ("2024-01-01T10:29:59", "a"),
+        ("2024-01-01T10:30:00", "b"),
+    ]
