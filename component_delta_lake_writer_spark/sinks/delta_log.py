@@ -1004,6 +1004,10 @@ _READER_RELEVANT = {
     "v2Checkpoint",
 }
 
+# What the in-repo external reader (read_delta_table) implements — the
+# refuse-set for the spec's forward-compatibility rule
+_READER_SUPPORTED = set(_READER_RELEVANT)
+
 
 def _used_caps(schema_json: str, column_mapping: bool) -> set:
     """The capabilities the schema ACTUALLY uses — the requirement set
@@ -1318,6 +1322,24 @@ def read_delta_table(spark, table_path: str):
     from component_delta_lake_writer_spark.sinks.deletion_vectors import (
         read_dv,
     )
+
+    # Forward-compatibility gate (the spec's FIRST reader rule): a
+    # reader must refuse tables whose protocol demands a reader
+    # version or reader feature it does not implement — guessing
+    # yields silently-wrong rows (unapplied DVs, unresolved column
+    # mapping). This reader implements everything the engine writes.
+    pr = _log_last_protocol(os.path.join(table_path, _DELTA_LOG))
+    if pr is not None:
+        p = pr["protocol"]
+        if int(p.get("minReaderVersion", 1)) > 3:
+            raise ValueError(
+                f"unsupported minReaderVersion {p['minReaderVersion']}"
+            )
+        unknown = set(p.get("readerFeatures") or ()) - _READER_SUPPORTED
+        if unknown:
+            raise ValueError(
+                f"unsupported reader features: {sorted(unknown)}"
+            )
 
     st = _replay_state(table_path)
     files = sorted(st["adds"])

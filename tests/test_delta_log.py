@@ -2239,3 +2239,32 @@ def test_vacuum_reclaims_cdc_mirror_files(spark, tmp_path):
     # versions compacted away: only the head's files survive
     assert len(os.listdir(cd)) <= n_before
     assert not os.path.exists(stale)
+
+
+def test_reader_refuses_unknown_features(spark, tmp_path):
+    """Forward compatibility (the spec's first reader rule): a
+    protocol demanding an unimplemented reader feature or a future
+    minReaderVersion must be REFUSED, not guessed around."""
+    import json as _json
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t.write(df.coalesce(1), mode="overwrite")
+    assert read_delta_table(spark, t.path).count() == 10
+    # forge a future-feature protocol on top
+    log_dir = os.path.join(t.path, "_delta_log")
+    v = t.latest_commit().version + 1
+    with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["futureMagicFeature"],
+            "writerFeatures": ["futureMagicFeature"],
+        }}) + "\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="futureMagicFeature"):
+        read_delta_table(spark, t.path)

@@ -1837,3 +1837,57 @@ def test_append_only_property_enforced(spark, tmp_path):
     t.set_properties(unset=["delta.appendOnly"])
     t.delete_where("k < 5")                         # re-enabled
     assert t.read().count() == 110
+
+
+def test_concurrent_cdf_upserts_stage_safely(spark, tmp_path):
+    """The pre-publish CDF staging must preserve the concurrency
+    contract: two racing upserts -> exactly one wins the version
+    claim, the loser's stage never becomes _changes/vN, and no stage
+    dir leaks after the loser's cleanup."""
+    import threading
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(1), mode="overwrite", primary_key=["k"],
+            properties={"enableChangeDataFeed": True})
+    base_version = t.latest_commit().version
+    errors: list = []
+    done: list = []
+
+    def _up(mod):
+        tt = ManagedTable(spark, str(tmp_path / "t"))
+        try:
+            tt.upsert(
+                df.filter(F.col("k") % 5 == mod).withColumn(
+                    "v", F.lit(-mod).cast("long")
+                ).coalesce(1),
+                ["k"],
+            )
+            done.append(mod)
+        except UserException as e:
+            errors.append(str(e))
+
+    th = [threading.Thread(target=_up, args=(m,)) for m in (1, 2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    # at least one winner; any loser raised the conflict error
+    assert done
+    assert len(done) + len(errors) == 2
+    for e in errors:
+        assert "Concurrent commit conflict" in e
+    head = t.latest_commit()
+    assert head.version == base_version + len(done)
+    # every committed version owns a change set; no stage leaks
+    ch = os.path.join(t.path, "_changes")
+    names = set(os.listdir(ch))
+    for v in range(base_version + 1, head.version + 1):
+        assert f"v{v}" in names
+    assert not [n for n in names if n.startswith("stage-")], names
+    # the change feed across the winners replays cleanly
+    assert t.read_changes(base_version).count() > 0
