@@ -194,3 +194,43 @@ def dedup_clusters(
         F.col("component").alias("keep_id"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def dedup_clusters_by_score(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster near-dup pairs and keep the BEST-scoring member of each
+    cluster (ties by lowest id) instead of the lowest id — the policy
+    real corpus cleaning wants ("among near-dups, keep the highest-
+    quality copy", not "keep whichever crawled first").
+
+    ``scores`` is an (id, score) relation covering at least every id
+    in ``pairs``. One extra shuffle over dedup_clusters: the
+    per-component argmax (max_by over component). Returns
+    (id, keep_id, is_keeper).
+    """
+    comp = connected_components(pairs, id_col_a, id_col_b)
+    scored = comp.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_sc")
+        ),
+        "id",
+    )
+    # deterministic argmax: (score DESC, id ASC) encoded as a single
+    # orderable struct for max_by
+    keepers = scored.groupBy("component").agg(
+        F.expr("max_by(id, struct(_sc, -id))").alias("keep_id")
+    )
+    return (
+        scored.join(keepers, "component")
+        .select(
+            "id",
+            "keep_id",
+            (F.col("id") == F.col("keep_id")).alias("is_keeper"),
+        )
+    )

@@ -41,6 +41,7 @@ _FRONT = [
     "cdf_external_read",
     "cdc_read_changes",
     "range_join_busy_windows",
+    "dedup_keep_best_quality",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

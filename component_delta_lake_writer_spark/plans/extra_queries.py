@@ -583,6 +583,63 @@ def _cluster_oracle() -> str:
     """
 
 
+def _cluster_best_oracle() -> str:
+    from component_delta_lake_writer_spark.plans.query_registry import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM sym),
+    reach(id, comp) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    keep AS (
+      SELECT component, id AS keep_id FROM (
+        SELECT component, id,
+          ROW_NUMBER() OVER (
+            PARTITION BY component ORDER BY n_chars DESC, id
+          ) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT s.id, k.keep_id, s.id = k.keep_id AS is_keeper
+    FROM scored s JOIN keep k USING (component)
+    """
+
+
+@query("dedup_keep_best_quality", oracle=_cluster_best_oracle())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-aware cluster resolution
+    (operators.clusters.dedup_clusters_by_score): among near-dups,
+    keep the LONGEST copy (n_chars, ties by lowest id) — the policy
+    corpus cleaning actually wants, vs dedup_cluster_resolve's
+    keep-lowest-id. One extra per-component argmax shuffle over the
+    same CC fixpoint; the oracle replays it with a window rank over
+    the recursive-CTE components."""
+    from component_delta_lake_writer_spark.operators.clusters import (
+        dedup_clusters_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(docs, threshold=0.5)
+    scores = docs.select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("score")
+    )
+    return dedup_clusters_by_score(pairs, scores).orderBy("id")
+
+
 @query("dedup_cluster_resolve", oracle=_cluster_oracle())
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected-components over MinHash near-dup pairs
