@@ -1145,3 +1145,49 @@ def mmr_topk(
         selected, "rk int, doc_id long, score double"
     )
     return out.select("rk", "doc_id", F.round("score", 6).alias("score"))
+
+
+def binary_sign_hamming_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit (sign) quantization retrieval: each dimension collapses
+    to its sign bit and candidates rank by Hamming distance to the
+    probe's sign vector — 32x smaller vectors than float32 and a
+    popcount-shaped distance, the memory-bound regime's coarse
+    retrieval stage (usually followed by an exact rerank of the
+    shortlist, cf. matryoshka_topk).
+
+    Everything is Catalyst expressions: the sign vector is a
+    ``transform``, the distance a ``zip_with`` XOR-sum folded
+    sequentially; the probe broadcasts and the plan is scan →
+    projection → TakeOrderedAndProject, exactly cosine_topk's shape.
+    Returns (id, hamming) — ascending distance, ties by id."""
+    signs = lambda v: F.transform(  # noqa: E731
+        _as_double(v), lambda x: (x >= F.lit(0.0)).cast("int")
+    )
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("probe_id"),
+            signs(F.col(vec_col)).alias("probe_sign"),
+        )
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            signs(F.col(vec_col)),
+            F.col("probe_sign"),
+            lambda a, b: (a != b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(p)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

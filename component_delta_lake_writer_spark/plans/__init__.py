@@ -42,6 +42,7 @@ _FRONT = [
     "cdc_read_changes",
     "range_join_busy_windows",
     "dedup_keep_best_quality",
+    "binary_quant_hamming_topk",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

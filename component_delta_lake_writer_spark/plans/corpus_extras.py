@@ -819,6 +819,35 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "binary_quant_hamming_topk",
+    oracle="""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+      CAST(list_reduce(list_transform(generate_series(1, 64),
+        i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+                    <> (CAST(p.pv[i] AS DOUBLE) >= 0)
+             THEN 1 ELSE 0 END), (x, y) -> x + y) AS INT) AS hamming
+    FROM embeddings e, p
+    WHERE e.vec_id <> 0
+    ORDER BY hamming ASC, e.vec_id LIMIT 10
+    """,
+)
+def binary_quant_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign-quantization retrieval
+    (operators.similarity.binary_sign_hamming_topk): candidates rank
+    by Hamming distance between sign vectors — the 32x-compressed
+    coarse retrieval stage. Integer-exact on both engines, so the
+    check is bitwise."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        binary_sign_hamming_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return binary_sign_hamming_topk(emb, probe, k=10)
+
+
+@query(
     "shard_export_balanced",
     oracle="""
     WITH h AS (
