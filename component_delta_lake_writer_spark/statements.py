@@ -438,7 +438,9 @@ class StatementExecutor:
         r"ON\s+(?P<on>.*?)\s+"
         r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.*?)\s+"
         r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
-        r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+        r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*?)\)\s*"
+        r"(?:WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
+        r"(?:AND\s+(?P<scope>.*?)\s+)?THEN\s+DELETE\s*)?$",
         flags=re.IGNORECASE | re.DOTALL,
     )
 
@@ -532,7 +534,22 @@ class StatementExecutor:
             + ", ".join(f"{v} AS {c}" for c, v in zip(cols, vals))
             + f" FROM {src_alias}"
         )
-        tgt.upsert(projected, on_pks)
+        if m.group("scope") is not None or s.upper().rstrip().endswith(
+            "THEN DELETE"
+        ):
+            # WHEN NOT MATCHED BY SOURCE [AND scope] THEN DELETE: the
+            # full-sync MERGE — target rows absent from the source are
+            # deleted (everywhere, or only where the scope predicate
+            # holds). Scope references target columns; strip the
+            # target alias so the engine predicate binds bare names.
+            scope = m.group("scope")
+            if scope is not None:
+                scope = re.sub(
+                    rf"\b{re.escape(tgt_alias)}\.", "", scope
+                ).replace("`", "")
+            tgt.upsert_full_sync(projected, on_pks, delete_scope=scope)
+        else:
+            tgt.upsert(projected, on_pks)
         return None
 
     @staticmethod

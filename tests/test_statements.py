@@ -439,3 +439,51 @@ def test_show_tblproperties_and_columns(ex):
     assert cols2 == cols
     with pytest.raises(UserException):
         ex.execute("SHOW GRANTS ON t")
+
+
+def test_merge_not_matched_by_source_statement(ex):
+    """The full-sync MERGE statement shape: WHEN NOT MATCHED BY SOURCE
+    [AND scope] THEN DELETE routes to upsert_full_sync — matched rows
+    update, new rows insert, target rows absent from the source
+    delete (everywhere, or only inside the scope)."""
+    _seed(ex)  # t = {1:a, 2:b, 3:c}
+    ex.spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], "k long, s string, v double"
+    ).createOrReplaceTempView("sync_src")
+    ex.execute("CREATE TABLE u (k BIGINT, s STRING, v DOUBLE) USING DELTA")
+    ex.execute("INSERT INTO u SELECT k, s, v FROM sync_src")
+    ex.execute(
+        "MERGE INTO t AS target USING u AS source "
+        "ON target.k = source.k "
+        "WHEN MATCHED THEN UPDATE SET k = source.k, s = source.s, "
+        "v = source.v "
+        "WHEN NOT MATCHED THEN INSERT (k, s, v) "
+        "VALUES (source.k, source.s, source.v) "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = sorted(
+        (r["k"], r["s"], r["v"]) for r in ex.table("t").read().collect()
+    )
+    assert got == [(2, "B", 20.0), (4, "d", 4.0)]
+
+    # scoped variant: only rows inside the scope are deleted
+    t2 = ex.execute(
+        "CREATE TABLE t2 (k BIGINT, s STRING, v DOUBLE) USING DELTA"
+    )
+    ex.spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    ).createOrReplaceTempView("seed2")
+    ex.execute("INSERT INTO t2 SELECT k, s, v FROM seed2")
+    ex.execute(
+        "MERGE INTO t2 AS target USING u AS source "
+        "ON target.k = source.k "
+        "WHEN MATCHED THEN UPDATE SET k = source.k, s = source.s, "
+        "v = source.v "
+        "WHEN NOT MATCHED THEN INSERT (k, s, v) "
+        "VALUES (source.k, source.s, source.v) "
+        "WHEN NOT MATCHED BY SOURCE AND target.k < 2 THEN DELETE"
+    )
+    got2 = sorted((r["k"], r["s"]) for r in ex.table("t2").read().collect())
+    # k=1 deleted (absent + in scope), k=3 kept (absent, out of scope)
+    assert got2 == [(2, "B"), (3, "c"), (4, "d")]
