@@ -2193,6 +2193,18 @@ def read_delta_table_changes(
         raise ValueError(
             f"no log entries after version {from_version}"
         )
+    # metadata cleanup may have reclaimed the range's early entries:
+    # every requested version must still exist, or the feed would
+    # silently skip committed changes (delta-spark raises the same
+    # way when CDF is requested below the earliest available version)
+    missing = sorted(
+        set(range(from_version + 1, versions[-1] + 1)) - set(versions)
+    )
+    if missing:
+        raise ValueError(
+            f"log entries for versions {missing[:5]}… were cleaned up "
+            "(metadata retention); start from a retained version"
+        )
     out = None
 
     def _with_meta(df, ct: str | None, v: int):

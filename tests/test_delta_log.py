@@ -2268,3 +2268,26 @@ def test_reader_refuses_unknown_features(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="futureMagicFeature"):
         read_delta_table(spark, t.path)
+
+
+def test_external_cdf_refuses_cleaned_range(spark, tmp_path):
+    """A table_changes request reaching below metadata-cleaned
+    versions must raise, never silently skip committed changes."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table_changes,
+    )
+
+    t, df = _v2_table(spark, str(tmp_path / "t"))
+    for i in range(10):
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit((i + 1) * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    t.cleanup_metadata(retention_hours=0)  # drops v0..v8 (ckpt at 9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cleaned up"):
+        read_delta_table_changes(spark, t.path, 0)
+    # a retained range still serves
+    assert read_delta_table_changes(spark, t.path, 9).count() > 0
