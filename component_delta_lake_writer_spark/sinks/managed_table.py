@@ -4982,11 +4982,37 @@ class ManagedTable:
         c = self.latest_commit()
         if c is None:
             raise UserException(f"No table at {self.path}")
-        if not c.delete_sets and all(
+        have_stats = all(
             (c.stats.get(u) or {}).get("_rows") is not None
             for u in c.data_units
-        ):
+        )
+        if not c.delete_sets and have_stats:
             return sum(c.stats[u]["_rows"] for u in c.data_units)
+        if c.delete_sets and have_stats:
+            # merge-on-read snapshot: still metadata-only when the
+            # mirror's deletion vectors FULLY cover the pending sets —
+            # live rows = summed unit rows − summed DV cardinalities
+            # (each live file's bitmap is the union of every deletion
+            # hitting it). A stale mirror or uncovered set falls back.
+            from component_delta_lake_writer_spark.sinks.delta_log import (
+                delta_log_is_stale,
+                live_dv_descriptors,
+            )
+            from component_delta_lake_writer_spark.sinks.deletion_vectors import (  # noqa: E501
+                load_dv_state,
+            )
+
+            if delta_log_is_stale(self.path) is None:
+                covered = set(load_dv_state(self.path).get("covered", []))
+                if {ds["path"] for ds in c.delete_sets} <= covered:
+                    deleted = sum(
+                        int(d.get("cardinality") or 0)
+                        for d in live_dv_descriptors(self.path).values()
+                    )
+                    return (
+                        sum(c.stats[u]["_rows"] for u in c.data_units)
+                        - deleted
+                    )
         return self.read().count()
 
     def generate_symlink_manifest(self) -> str:

@@ -511,3 +511,40 @@ def test_range_join_is_bucket_equi_join(spark):
     p = _plan(spark, "range_join_busy_windows")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mor_row_count_is_metadata_only(tmp_path, spark):
+    """COUNT(*) on a merge-on-read snapshot whose DVs fully cover the
+    delete sets must answer from metadata — zero Spark jobs — and
+    equal the distributed count."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks.managed_table import (
+        ManagedTable,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(3_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.coalesce(2), mode="overwrite", primary_key=["k"])
+    t.delete_where("k % 5 = 0", strategy="merge-on-read")
+    t.upsert(
+        df.filter(F.col("k") % 7 == 0).withColumn(
+            "v", F.lit(-1).cast("long")
+        ).coalesce(1),
+        ["k"],
+        strategy="merge-on-read",
+    )
+    expected = t.read().count()
+    sc = spark.sparkContext
+    group = "mor-count-lock"
+    sc.setJobGroup(group, group)
+    try:
+        got = t.row_count()
+    finally:
+        sc.setJobGroup(None, None)
+    assert got == expected
+    assert not sc.statusTracker().getJobIdsForGroup(group), (
+        "metadata-only count must dispatch no jobs"
+    )
