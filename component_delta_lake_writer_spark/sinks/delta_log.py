@@ -2103,7 +2103,10 @@ def _write_checkpoint_v2(
 
 
 def maybe_write_checkpoint(
-    table_path: str, version: int, interval: int = CHECKPOINT_INTERVAL
+    table_path: str,
+    version: int,
+    interval: int = CHECKPOINT_INTERVAL,
+    properties: dict | None = None,
 ) -> str | None:
     """Checkpoint when the version hits the interval boundary (the
     Delta default is every 10 commits). Suspended while the mirror is
@@ -2112,6 +2115,18 @@ def maybe_write_checkpoint(
     divergence into a durable pointer."""
     if delta_log_is_stale(table_path) is not None:
         return None
+    # delta.checkpointInterval: per-table cadence override (a
+    # high-frequency writer checkpoints more often so readers replay
+    # less; an archival table checkpoints rarely). Read from the
+    # caller's commit properties — zero extra IO on the hot path.
+    try:
+        iv = int(
+            (properties or {}).get("delta.checkpointInterval", interval)
+        )
+        if iv >= 1:
+            interval = iv
+    except (TypeError, ValueError):
+        pass
     if (version + 1) % interval == 0:
         out = write_checkpoint(table_path, version)
         # delta-spark behavior: expired-log cleanup piggybacks on

@@ -577,7 +577,9 @@ class ManagedTable:
             save_dv_state(self.path, {"covered": dv_covered or []})
         # Delta protocol checkpointing: every 10th version materializes
         # the snapshot state so readers stop replaying the whole log
-        maybe_write_checkpoint(self.path, commit.version)
+        maybe_write_checkpoint(
+            self.path, commit.version, properties=commit.properties
+        )
         # opt-in minor log compaction (mirror.logCompactionInterval=k):
         # every k commits, reconcile the last k entries into one
         # {start}.{end}.compacted.json so external readers walk the

@@ -2291,3 +2291,23 @@ def test_external_cdf_refuses_cleaned_range(spark, tmp_path):
         read_delta_table_changes(spark, t.path, 0)
     # a retained range still serves
     assert read_delta_table_changes(spark, t.path, 9).count() > 0
+
+
+def test_checkpoint_interval_property(spark, tmp_path):
+    """delta.checkpointInterval: a table asking for interval 3
+    checkpoints at v2/v5/v8 instead of the default every-10."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_last_checkpoint,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(20).select(F.col("id").alias("k"))
+    t.write(df.coalesce(1), mode="overwrite",
+            properties={"delta.checkpointInterval": "3"})
+    assert read_last_checkpoint(t.path) is None
+    t.write(df.coalesce(1), mode="append")
+    t.write(df.coalesce(1), mode="append")        # v2 -> checkpoint
+    assert read_last_checkpoint(t.path)["version"] == 2
+    for _ in range(3):
+        t.write(df.coalesce(1), mode="append")    # v5 -> checkpoint
+    assert read_last_checkpoint(t.path)["version"] == 5
