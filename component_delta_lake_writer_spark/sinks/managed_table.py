@@ -1087,7 +1087,16 @@ class ManagedTable:
         )
 
         unit_dir = os.path.join(self._data_dir, unit)
-        stats = collect_unit_stats(unit_dir, per_file=per_file)
+        nic = None
+        try:
+            raw = (props or {}).get("delta.dataSkippingNumIndexedCols")
+            if raw is not None and int(raw) >= 0:
+                nic = int(raw)
+        except (TypeError, ValueError):
+            nic = None
+        stats = collect_unit_stats(
+            unit_dir, per_file=per_file, num_indexed_cols=nic
+        )
         cols = (props or {}).get("bloom_filter_columns") or []
         if cols and stats.get("_rows"):
             mapping = mapping or {}

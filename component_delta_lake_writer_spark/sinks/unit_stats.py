@@ -138,13 +138,15 @@ _CONJUNCT = re.compile(
 MAX_FILE_DETAIL = 1000
 
 
-def _fold_file(md, acc: dict) -> None:
+def _fold_file(md, acc: dict, indexed: set | None = None) -> None:
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
             if "." in name:  # nested leaf — no top-level pruning
+                continue
+            if indexed is not None and name not in indexed:
                 continue
             ent = acc.setdefault(
                 name, {"min": None, "max": None, "nulls": 0, "bad": False}
@@ -198,9 +200,19 @@ def _finish(acc: dict, rows: int) -> dict:
     return out
 
 
-def collect_unit_stats(unit_dir: str, per_file: bool = False) -> dict:
+def collect_unit_stats(
+    unit_dir: str,
+    per_file: bool = False,
+    num_indexed_cols: int | None = None,
+) -> dict:
     """Fold the parquet row-group stats of every file under
     ``unit_dir`` into ``{"_rows": n, col: {min, max, nulls}}``.
+
+    ``num_indexed_cols`` (Delta's delta.dataSkippingNumIndexedCols,
+    -1 = all): collect min/max for only the FIRST N schema columns —
+    on a 1000-column feature table, footer folding and the per-commit
+    stats payload would otherwise scale with width, not with the
+    columns queries actually filter on. ``_rows`` is always exact.
 
     ``nulls`` is None when any footer lacked a null count (unknown →
     all-null pruning disabled for that column). Columns with
@@ -218,21 +230,30 @@ def collect_unit_stats(unit_dir: str, per_file: bool = False) -> dict:
     rows = 0
     files_detail: dict = {}
     too_many = False
+    indexed: set | None = None
     for root, _dirs, files in os.walk(unit_dir):
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue
             fp = os.path.join(root, fn)
-            md = pq.ParquetFile(fp).metadata
+            pf = pq.ParquetFile(fp)
+            md = pf.metadata
+            if (
+                indexed is None
+                and num_indexed_cols is not None
+                and num_indexed_cols >= 0
+            ):
+                # first N TOP-LEVEL schema columns, Delta's rule
+                indexed = set(pf.schema_arrow.names[:num_indexed_cols])
             rows += md.num_rows
-            _fold_file(md, acc)
+            _fold_file(md, acc, indexed)
             if per_file and not too_many:
                 if len(files_detail) >= MAX_FILE_DETAIL:
                     too_many = True
                     files_detail = {}
                 else:
                     facc: dict = {}
-                    _fold_file(md, facc)
+                    _fold_file(md, facc, indexed)
                     files_detail[os.path.relpath(fp, unit_dir)] = _finish(
                         facc, md.num_rows
                     )

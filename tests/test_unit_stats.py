@@ -907,3 +907,29 @@ def test_incremental_mv_null_sum_and_midhistory_preimages(spark, tmp_path):
     assert mv.refresh() == "full"
     [row] = mv.read().collect()
     assert float(row["sum_v"]) == 105.0
+
+
+def test_data_skipping_num_indexed_cols(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols: min/max stats collect for
+    only the first N schema columns (Delta's rule) — row counts stay
+    exact, read_where still prunes on indexed columns, and a predicate
+    on a non-indexed column simply scans everything (correct, just
+    unpruned)."""
+    from component_delta_lake_writer_spark.sinks.managed_table import (
+        ManagedTable,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr(
+        "id AS a", "id * 2 AS b", "id * 3 AS c"
+    )
+    t.write(df.coalesce(2), mode="overwrite",
+            properties={"delta.dataSkippingNumIndexedCols": "2"})
+    st = next(iter(t.latest_commit().stats.values()))
+    assert st["_rows"] == 1000
+    assert "a" in st and "b" in st
+    assert "c" not in st, "column past the index cap must carry no stats"
+    # correctness unaffected either way
+    assert t.read_where("a < 10").count() == 10
+    assert t.read_where("c < 30").count() == 10
+    assert t.row_count() == 1000
