@@ -524,3 +524,70 @@ def cross_corpus_near_dup(
     return verify_from_sets(
         cand, tr_sets.unionByName(te_sets), threshold
     )
+
+
+def ngram_containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    rare_df: int = RARE_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """Sub-document duplication via n-gram CONTAINMENT: pairs where
+    the SMALLER document's shingle set is mostly inside the larger's
+    (|A∩B| / min(|A|, |B|) >= threshold). Jaccard misses these — a
+    paragraph quoted inside a 100x larger page has tiny Jaccard but
+    containment ~1.0 — and they are exactly the quote/boilerplate/
+    wrapper duplication a training corpus wants flagged.
+
+    Same deterministic-recall candidate machinery as
+    ngram_jaccard_dedup (rare-shingle inverted index, bounded
+    in-array pair expansion, shared-count gate); only the verify
+    statistic changes. Candidate space is the inverted-index
+    collision set, never O(n^2)."""
+    sh = shingles(df, text_col, id_col, k_shingle)
+    sets = shingle_sets(sh, id_col).persist()
+    postings = (
+        sets.select(F.col(id_col), F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= rare_df))
+    )
+    cand = (
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(sequence(0, i - 1), "
+                    "j -> struct(ids[j] AS id_a, ids[i] AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -43,6 +43,7 @@ _FRONT = [
     "range_join_busy_windows",
     "dedup_keep_best_quality",
     "binary_quant_hamming_topk",
+    "ngram_containment_dedup",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

@@ -1459,6 +1459,43 @@ def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_containment_dedup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {D.RARE_DF}
+    ),
+    inv AS (SELECT s.doc_id, s.h FROM sh s JOIN rare r ON s.h = r.h),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {D.MIN_SHARED}
+    ),
+    sets AS (SELECT doc_id, list(h) AS hs, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+      ROUND(len(list_intersect(sa.hs, sb.hs))
+            / least(sa.n, sb.n), 6) AS containment
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE ROUND(len(list_intersect(sa.hs, sb.hs))
+            / least(sa.n, sb.n), 6) >= 0.6
+    """,
+)
+def ngram_containment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication via n-gram CONTAINMENT
+    (operators.dedup.ngram_containment_dedup): |A∩B| / min(|A|,|B|) —
+    the quote/boilerplate duplication Jaccard misses (a paragraph
+    inside a 100x larger page has tiny Jaccard, containment ~1). Same
+    rare-shingle candidate machinery; only the verify statistic
+    differs."""
+    return D.ngram_containment_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 _WINNOW_FP_CTE = """
     t AS (SELECT doc_id,
             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 512) AS s
