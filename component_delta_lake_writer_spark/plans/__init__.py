@@ -44,6 +44,7 @@ _FRONT = [
     "dedup_keep_best_quality",
     "binary_quant_hamming_topk",
     "ngram_containment_dedup",
+    "pivot_order_status",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

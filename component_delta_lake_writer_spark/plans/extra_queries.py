@@ -1382,6 +1382,55 @@ def tpch_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_custkey % 100 AS cust_bucket,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+        FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_f,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+        FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS sum_o,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+        FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS sum_p
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: orders pivoted on o_orderstatus with an explicit
+    value list (F/O/P — declared values keep the output schema static,
+    the Spark-at-scale rule: an undeclared pivot runs a distinct scan
+    first AND can explode column count). Counts + decimal-exact sums
+    per status; NULL cells coalesce to 0 like the oracle's FILTER
+    form."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.withColumn("cust_bucket", F.col("o_custkey") % 100)
+        .groupBy("cust_bucket")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("s"),
+        )
+    )
+    out = p.select(
+        "cust_bucket",
+        *[
+            F.coalesce(F.col(f"{v}_n"), F.lit(0)).alias(f"n_{v.lower()}")
+            for v in ("F", "O", "P")
+        ],
+        *[
+            F.coalesce(F.col(f"{v}_s"), F.lit(0).cast("decimal(20,2)"))
+            .cast("double")
+            .alias(f"sum_{v.lower()}")
+            for v in ("F", "O", "P")
+        ],
+    )
+    return out
+
+
+@query(
     "correlated_min_price",
     oracle="""
     SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice
