@@ -45,6 +45,7 @@ _FRONT = [
     "binary_quant_hamming_topk",
     "ngram_containment_dedup",
     "pivot_order_status",
+    "unpivot_part_sizes",
     "table_clone",
     "bm25_topk_docs",
     # ------------------------------------------------------------------

@@ -1431,6 +1431,38 @@ def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_part_sizes",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric,
+      CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey % 7 = 0
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice',
+      CAST(p_retailprice AS DOUBLE)
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def unpivot_part_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt surface (Spark's df.unpivot, the inverse of
+    pivot): wide part metrics to long (partkey, metric, value) rows —
+    a map-side-only reshape, no shuffle (each input row emits its
+    value columns locally)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 7 == 0
+    )
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
     "correlated_min_price",
     oracle="""
     SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice
