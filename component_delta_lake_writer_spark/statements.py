@@ -592,7 +592,20 @@ class StatementExecutor:
         )
         if not m:
             raise UserException(f"Unsupported DELETE shape: {s[:120]}")
-        self.table(m.group(1)).delete_where(m.group("cond"))
+        t = self.table(m.group(1))
+        c = t.latest_commit()
+        # Delta behavior: with delta.enableDeletionVectors set, DML
+        # DELETE takes the deletion-vector path (O(matched) commit, no
+        # rewrite) instead of copy-on-write
+        strategy = (
+            "merge-on-read"
+            if c is not None
+            and str(
+                (c.properties or {}).get("delta.enableDeletionVectors")
+            ).lower() == "true"
+            else "copy-on-write"
+        )
+        t.delete_where(m.group("cond"), strategy=strategy)
         return None
 
     def _update(self, s: str):

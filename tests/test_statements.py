@@ -487,3 +487,30 @@ def test_merge_not_matched_by_source_statement(ex):
     got2 = sorted((r["k"], r["s"]) for r in ex.table("t2").read().collect())
     # k=1 deleted (absent + in scope), k=3 kept (absent, out of scope)
     assert got2 == [(2, "B"), (3, "c"), (4, "d")]
+
+
+def test_delete_statement_uses_dvs_when_enabled(ex):
+    """With delta.enableDeletionVectors=true, the DELETE statement
+    takes the merge-on-read path: no data unit rewritten, a delete set
+    committed, correct read-back. Without the property: copy-on-write
+    as before."""
+    t = _seed(ex)
+    t.set_properties({"delta.enableDeletionVectors": "true"})
+    before_units = list(t.latest_commit().data_units)
+    ex.execute("DELETE FROM t WHERE k = 2")
+    c = t.latest_commit()
+    assert c.data_units == before_units, "DV delete must rewrite nothing"
+    assert c.delete_sets
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    # plain table: copy-on-write (no delete sets)
+    ex.execute(
+        "CREATE OR REPLACE TABLE t3 (k BIGINT, v DOUBLE) USING DELTA"
+    )
+    ex.spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k long, v double"
+    ).createOrReplaceTempView("cw_seed")
+    ex.execute("INSERT INTO t3 SELECT k, v FROM cw_seed")
+    ex.execute("DELETE FROM t3 WHERE k = 1")
+    c3 = ex.table("t3").latest_commit()
+    assert not c3.delete_sets
+    assert [r["k"] for r in ex.table("t3").read().collect()] == [2]
