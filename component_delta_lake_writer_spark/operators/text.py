@@ -313,12 +313,17 @@ def ngram_novelty(
     any pairwise comparison).
 
     Scale posture: shingles explode map-side from the normalized text
-    (array_distinct bounds the per-doc fan-out), the document
-    frequency is one hash aggregation on the shingle key, and the
-    join back is a shingle-keyed equi-join — no pairwise expansion
-    anywhere, O(corpus shingles) total. Documents shorter than ``n``
-    normalized characters produce no shingles and drop out (novelty
-    is undefined for them).
+    (array_distinct bounds the per-doc fan-out). A shingle with
+    document frequency 1 belongs to exactly ONE document, so the
+    novel-shingle count per doc falls straight out of the single
+    shingle-keyed hash aggregation — ``agg(count, min(doc_id))``,
+    filter df=1, re-group by the owning doc. No join back onto the
+    exploded shingle stream (the r7 shape shuffled the full shingle
+    stream twice; this shuffles it once). Per-doc totals come from a
+    second explode pass that partial-aggregates map-side (doc-count
+    sized shuffle only). Documents shorter than ``n`` normalized
+    characters produce no shingles and drop out (novelty is undefined
+    for them).
 
     Returns (doc_id, n_shingles, novel_frac) with novel_frac rounded
     to 6dp (integer-exact counts; one double division).
@@ -336,16 +341,29 @@ def ngram_novelty(
         .otherwise(F.array().cast("array<string>"))
         .alias("shs"),
     ).select("doc_id", F.explode("shs").alias("sh"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        sh.join(dfreq, "sh")
-        .groupBy("doc_id")
+    # one shingle-keyed shuffle: df AND the (unique) owner when df=1
+    novel = (
+        sh.groupBy("sh")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    # per-doc totals: map-side partial agg, doc-sized shuffle
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
             F.round(
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                .cast("double")
-                / F.count(F.lit(1)).cast("double"),
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
                 6,
             ).alias("novel_frac"),
         )

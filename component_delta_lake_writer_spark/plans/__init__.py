@@ -24,6 +24,45 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 8: (a) §2 core write-surface keys re-fronted — their last
+    # driver rows are r1/r2 while the engine underneath gained ~1,500
+    # lines in r6-r7 (VERDICT r7 "Next round" #4); (b) the two probes
+    # whose operators changed this round (ngram_novelty rewrite, the
+    # CONVERT/ANALYZE distributed footer pass); (c) the streaming keys
+    # ORDERED so each absorbs its own machinery's cold-start — a cheap
+    # generic streaming key first, then the Python-DataSource CDF pair
+    # — instead of the most expensive probe paying all of it at once
+    # (r7: stream_replicate_cdf 15.8 s at a cold slot; warmed order
+    # measures 7.5 s).  parquet_scan leads as the session warm-up
+    # absorber.
+    # ------------------------------------------------------------------
+    "parquet_scan",
+    "csv_scan_typed",
+    "cast_matrix",
+    "insert_select_cast",
+    "write_error_mode",
+    "write_append",
+    "write_overwrite",
+    "partitioned_write",
+    "schema_merge",
+    "create_table_ddl",
+    "merge_upsert",
+    "join_inner_pk",
+    "join_anti_new_rows",
+    "row_order_preserved",
+    "json_manifest_urls",
+    "catalog_actions",
+    "convert_to_delta",
+    "analyze_table_stats",
+    "stream_dedup_events",
+    "upsert_mor",
+    "mor_delete_read",
+    "stream_cdf_source",
+    "stream_replicate_cdf",
+    "streaming_hourly_agg",
+    "ngram_containment_dedup",
+    "ngram_novelty_docs",
+    # ------------------------------------------------------------------
     # Round 7: new keys first (CONVERT TO DELTA / SHALLOW CLONE /
     # ANALYZE, hybrid RRF retrieval, filtered vector search), then the
     # keys whose engine paths changed (the DV materialization driver

@@ -87,17 +87,14 @@ _BOOLEAN_PROPERTIES = {
 _MAT_ROW_ID = "_rt_mat_row_id"
 _MAT_RCV = "_rt_mat_rcv"
 
-# Change-feed action classification — shared by batch read_changes and
-# the streaming table_changes_stream source so the two can never drift
-# (a metadata-only action added to one list but not the other would
-# make the stream raise on a commit the batch API skips).
-CDF_METADATA_ONLY_ACTIONS = (
-    "optimize", "add_constraint", "drop_constraint",
-    "set_properties", "add_column", "drop_column",
-    "rename_column", "alter_column_default",
-    "widen_column_type",
+# Change-feed action classification — canonical definitions live in
+# the light sinks.cdf_actions module (the streaming source's Python
+# workers import THAT, not this 5k-line engine); re-exported here so
+# batch read_changes and existing importers keep one name.
+from component_delta_lake_writer_spark.sinks.cdf_actions import (  # noqa: E402,F401
+    CDF_CHANGE_SET_ACTIONS,
+    CDF_METADATA_ONLY_ACTIONS,
 )
-CDF_CHANGE_SET_ACTIONS = ("upsert", "delete", "update", "replace_where")
 
 # commit action → Delta commitInfo operation name (what DESCRIBE
 # HISTORY shows external readers of the mirror)

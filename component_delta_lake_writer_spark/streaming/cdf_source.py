@@ -65,8 +65,10 @@ def _typed_partition_value(raw: str | None, dtype):
     return raw
 
 # action classification is SHARED with batch read_changes so the two
-# surfaces can never drift on which commits are metadata-only
-from component_delta_lake_writer_spark.sinks.managed_table import (  # noqa: E402
+# surfaces can never drift on which commits are metadata-only; the
+# light cdf_actions module keeps the Python-worker import chain free
+# of the full table engine (worker cold-start cost)
+from component_delta_lake_writer_spark.sinks.cdf_actions import (  # noqa: E402
     CDF_CHANGE_SET_ACTIONS as _CHANGE_SET,
     CDF_METADATA_ONLY_ACTIONS as _NOOP,
 )
