@@ -178,14 +178,19 @@ def measure_merge_scaled(
     source_mod: int = 100,
     sf_dir: str | None = None,
     verbose: bool = True,
-) -> float:
+    repeats: int = 1,
+) -> float | tuple[float, float]:
     """The LARGE-TARGET / SMALL-SOURCE merge shape: orders replicated
     ``scale``×, source = the 1-in-``source_mod`` keys price-updated
     (no inserts). DuckDB's merge is necessarily copy-on-write — the
     full target re-materializes — so its cost is O(target); the
     engine's merge-on-read answer is O(source). This measured point is
     the merge-ratio CURVE the 100 TB argument rests on. Returns the
-    timed merge seconds (target build untimed, same as measure())."""
+    timed merge seconds (target build untimed, same as measure()).
+    With ``repeats`` > 1 the target is built ONCE and the timed COPY
+    re-runs that many times; returns (median_sec, spread_sec) — the
+    VERDICT r7 variance fix (single-shot recordings on a contended
+    driver host swung 0.76→1.87 across rounds of identical code)."""
     sf_dir = sf_dir or SF_DIR
     work = tempfile.mkdtemp(prefix="duckdb_merge_curve_")
     con = duckdb.connect(os.path.join(work, "env.duckdb"))
@@ -215,23 +220,34 @@ def measure_merge_scaled(
         FROM target WHERE o_orderkey % {source_mod} = 0
         """
     )
-    t0 = time.perf_counter()
-    con.execute(
-        f"""
-        COPY (
-          SELECT * FROM source
-          UNION ALL
-          SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
-        ) TO '{work}/merged.parquet'
-        (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
-        """
-    )
-    dt = round(time.perf_counter() - t0, 3)
+    times: list[float] = []
+    for _ in range(max(repeats, 1)):
+        try:
+            os.remove(os.path.join(work, "merged.parquet"))
+        except OSError:
+            pass
+        t0 = time.perf_counter()
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM source
+              UNION ALL
+              SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
+            ) TO '{work}/merged.parquet'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+        times.append(round(time.perf_counter() - t0, 3))
+    times.sort()
+    dt = times[len(times) // 2]
     if verbose:
-        print(f"# merge_scaled x{scale} src 1/{source_mod}: {dt:.3f}s",
+        print(f"# merge_scaled x{scale} src 1/{source_mod}: {dt:.3f}s "
+              f"(median of {len(times)}, spread {times[-1] - times[0]:.3f})",
               file=sys.stderr)
     con.close()
     shutil.rmtree(work, ignore_errors=True)
+    if repeats > 1:
+        return dt, round(times[-1] - times[0], 3)
     return dt
 
 

@@ -65,6 +65,18 @@ HEADLINE = [
 SUITE_VERSION = "v1-31q-r4"
 
 
+def _med3(fn, trials: int = 3) -> tuple[float, float]:
+    """Median-of-``trials`` for a timed thunk (returns seconds).
+    Returns (median_sec, spread_sec).  VERDICT r7 variance fix: the
+    scale-curve points were single-shot, so driver-host contention
+    could record a 14× artifact as a scaling fact (BENCH_r07
+    ivf_time_ratio_x100 14.39 vs the judge's idle-host 3.8); a median
+    of 3 with the spread reported makes a contended trial visible
+    instead of load-bearing."""
+    ts = sorted(fn() for _ in range(trials))
+    return ts[len(ts) // 2], round(ts[-1] - ts[0], 3)
+
+
 def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
     """The BASELINE.md §2 envelope workloads, Spark-side — the exact
     DuckDB twins live in baseline_duckdb.py (measured numbers in
@@ -206,7 +218,11 @@ def _merge_curve(
     target/source grows. Target builds are untimed on both sides; the
     source is persisted before timing (same methodology as
     _envelope). Single run: this shape exists to place one point on
-    the curve, not to re-measure the envelope."""
+    the curve, not to re-measure the envelope.  Median-of-3 on BOTH
+    sides (VERDICT r7: the single-shot recording swung 0.76→1.87
+    across rounds of identical code): each Spark trial RESTOREs the
+    table to the pre-merge version (a metadata commit) so the three
+    timed upserts hit the same snapshot."""
     import shutil
     import tempfile
     from functools import reduce
@@ -237,10 +253,20 @@ def _merge_curve(
         .persist()
     )
     n_src = source.count()
-    t0 = time.perf_counter()
-    t.upsert(source, ["o_orderkey"], compression="none",
-             max_records_per_file=25_000, strategy="merge-on-read")
-    spark_mor = round(time.perf_counter() - t0, 3)
+    base_version = t.latest_commit().version
+
+    def trial() -> float:
+        t0 = time.perf_counter()
+        t.upsert(source, ["o_orderkey"], compression="none",
+                 max_records_per_file=25_000, strategy="merge-on-read")
+        dt = time.perf_counter() - t0
+        # back to the pre-merge snapshot (metadata-only commit) so the
+        # next trial merges into the identical target
+        t.restore(version=base_version)
+        return dt
+
+    spark_mor, spark_spread = _med3(trial)
+    spark_mor = round(spark_mor, 3)
     source.unpersist()
     n_tgt = t.read().count()
     shutil.rmtree(work, ignore_errors=True)
@@ -251,15 +277,18 @@ def _merge_curve(
         "target_rows": n_tgt,
         "source_rows": n_src,
         "spark_merge_mor_sec": spark_mor,
+        "spark_merge_mor_spread": spark_spread,
     }
     try:
         from baseline_duckdb import measure_merge_scaled
 
-        duck = measure_merge_scaled(
+        duck, duck_spread = measure_merge_scaled(
             threads=32, max_memory_mb=8192, scale=scale,
             source_mod=source_mod, sf_dir=sf_dir, verbose=False,
+            repeats=3,
         )
         out["duckdb_merge_cow_sec"] = duck
+        out["duckdb_merge_cow_spread"] = duck_spread
         out["mor_vs_duckdb_ratio"] = round(spark_mor / duck, 2)
     except Exception as exc:
         print(f"# duckdb merge-curve twin failed: {exc}", file=sys.stderr)
@@ -277,8 +306,9 @@ def _dedup_curve(
     adversarial shape for LSH buckets). The claim under test:
     bucket-capped LSH (MAX_BUCKET pair caps, rare-shingle postings) is
     sub-quadratic — throughput in rows/sec must not collapse as the
-    corpus grows. Single run per point: the curve places points, the
-    frozen suite measures the operator."""
+    corpus grows. Median-of-3 per point with the spread reported
+    (VERDICT r7: the single-shot x10 point recorded 3.93 under driver
+    contention where an idle host reproduces 1.4)."""
     from pyspark.sql import functions as F
 
     from component_delta_lake_writer_spark.operators import dedup as D
@@ -307,16 +337,22 @@ def _dedup_curve(
             ],
         ).persist()
         rows = df.count()  # materialize input outside the timing
-        t0 = time.perf_counter()
-        n_pairs = D.minhash_dedup(df, threshold=0.5).count()
-        dt = time.perf_counter() - t0
+        pairs = [0]
+
+        def trial() -> float:
+            t0 = time.perf_counter()
+            pairs[0] = D.minhash_dedup(df, threshold=0.5).count()
+            return time.perf_counter() - t0
+
+        dt, spread = _med3(trial)
         df.unpersist()
         points.append(
             {
                 "scale": scale,
                 "rows": rows,
-                "pairs": n_pairs,
+                "pairs": pairs[0],
                 "sec": round(dt, 3),
+                "spread": spread,
                 "rows_per_sec": round(rows / dt, 1),
             }
         )
@@ -388,9 +424,15 @@ def _ann_curve(
                                                 k=10, n_planes=6)),
         ):
             fn().collect()  # warm (codegen / python path compile)
-            t0 = time.perf_counter()
-            fn().collect()
-            point[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+
+            def trial(fn=fn) -> float:
+                t0 = time.perf_counter()
+                fn().collect()
+                return time.perf_counter() - t0
+
+            sec, spread = _med3(trial)
+            point[f"{name}_sec"] = round(sec, 3)
+            point[f"{name}_spread"] = spread
         df.unpersist()
         points.append(point)
     lo, hi = points[0], points[-1]
@@ -520,14 +562,21 @@ def _retrieval_curve(spark, sf_dir: str) -> dict:
         big_emb = big_emb.persist()
         n = big_docs.count()
         big_emb.count()
-        t0 = _t.perf_counter()
-        bm25_topk(big_docs, queries, k=5).count()
-        bm_sec = _t.perf_counter() - t0
-        t0 = _t.perf_counter()
-        hybrid_rrf_topk(
-            big_docs, queries, big_emb, probe_map, k=10, pool=20
-        ).count()
-        rrf_sec = _t.perf_counter() - t0
+
+        def bm_trial() -> float:
+            t0 = _t.perf_counter()
+            bm25_topk(big_docs, queries, k=5).count()
+            return _t.perf_counter() - t0
+
+        def rrf_trial() -> float:
+            t0 = _t.perf_counter()
+            hybrid_rrf_topk(
+                big_docs, queries, big_emb, probe_map, k=10, pool=20
+            ).count()
+            return _t.perf_counter() - t0
+
+        bm_sec, bm_spread = _med3(bm_trial)
+        rrf_sec, rrf_spread = _med3(rrf_trial)
         big_docs.unpersist()
         big_emb.unpersist()
         points.append(
@@ -535,7 +584,9 @@ def _retrieval_curve(spark, sf_dir: str) -> dict:
                 "scale": scale,
                 "docs": n,
                 "bm25_sec": round(bm_sec, 3),
+                "bm25_spread": bm_spread,
                 "hybrid_rrf_sec": round(rrf_sec, 3),
+                "hybrid_rrf_spread": rrf_spread,
             }
         )
     return {
@@ -589,35 +640,45 @@ def _streaming_curve(spark, sf_dir: str) -> dict:
             n = spark.read.parquet(src).count()
             schema = spark.read.parquet(src).schema
             ts_dtype = schema["ts"].dataType.simpleString()
-            t0 = _t.perf_counter()
-            stream = (
-                spark.readStream.schema(schema)
-                .format("parquet")
-                .load(src)
-                .withColumn("ts_us", ts_us_expr(ts_dtype))
-                .withColumn("ts", ts_tz_expr(ts_dtype))
-                .withWatermark("ts", "1 hour")
-            )
-            name = f"bench_stream_curve_{scale}_{_uuid.uuid4().hex[:6]}"
-            q = (
-                hourly_rollup(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            spark.table(name).count()
-            dt = _t.perf_counter() - t0
+
+            def trial() -> float:
+                t0 = _t.perf_counter()
+                stream = (
+                    spark.readStream.schema(schema)
+                    .format("parquet")
+                    .load(src)
+                    .withColumn("ts_us", ts_us_expr(ts_dtype))
+                    .withColumn("ts", ts_tz_expr(ts_dtype))
+                    .withWatermark("ts", "1 hour")
+                )
+                name = (
+                    f"bench_stream_curve_{scale}_{_uuid.uuid4().hex[:6]}"
+                )
+                q = (
+                    hourly_rollup(stream)
+                    .writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("complete")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                spark.table(name).count()
+                dt = _t.perf_counter() - t0
+                spark.catalog.dropTempView(name)
+                return dt
+
             if not warmed:
-                warmed = True  # codegen/stream-setup warm-up: untimed
+                trial()  # codegen/stream-setup warm-up: untimed
+                warmed = True
                 continue
+            dt, spread = _med3(trial)
             points.append(
                 {
                     "scale": scale,
                     "rows": n,
                     "sec": round(dt, 3),
+                    "spread": spread,
                     "rows_per_sec": round(n / dt, 1),
                 }
             )

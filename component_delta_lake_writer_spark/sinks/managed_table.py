@@ -1092,7 +1092,11 @@ class ManagedTable:
         except (TypeError, ValueError):
             nic = None
         stats = collect_unit_stats(
-            unit_dir, per_file=per_file, num_indexed_cols=nic
+            unit_dir, per_file=per_file, num_indexed_cols=nic,
+            # past the file-count threshold the footer pass fans out
+            # as a Spark job (one-shot CONVERT/ANALYZE of a large
+            # pre-existing lake); incremental writes stay driver-side
+            spark=self.spark,
         )
         cols = (props or {}).get("bloom_filter_columns") or []
         if cols and stats.get("_rows"):
@@ -4682,6 +4686,9 @@ class ManagedTable:
         # "declared schemas, no data sampling" posture)
         schema = self.spark.read.parquet(udir).schema
         props = properties or {}
+        from component_delta_lake_writer_spark.sinks.unit_stats import (
+            count_unit_rows as _count_unit_rows,
+        )
         commit = Commit(
             version=0,
             action="convert",
@@ -4699,13 +4706,12 @@ class ManagedTable:
                     if collect_stats
                     # NO STATISTICS: row counts only (footer headers —
                     # needed for metadata-only COUNT(*)), no min/max;
-                    # data skipping stays off until ANALYZE
+                    # data skipping stays off until ANALYZE.
+                    # Distributed past the same file-count threshold
+                    # as the stats pass.
                     else {
-                        "_rows": sum(
-                            _pq_rows(os.path.join(dp, fn))
-                            for dp, _d, fns in os.walk(udir)
-                            for fn in fns
-                            if fn.endswith(".parquet")
+                        "_rows": _count_unit_rows(
+                            udir, spark=self.spark
                         )
                     }
                 )

@@ -933,3 +933,112 @@ def test_data_skipping_num_indexed_cols(spark, tmp_path):
     assert t.read_where("a < 10").count() == 10
     assert t.read_where("c < 30").count() == 10
     assert t.row_count() == 1000
+
+
+def test_distributed_footer_pass_matches_driver_loop(spark, tmp_path):
+    """VERDICT r7 task 3: past DISTRIBUTE_THRESHOLD files the footer
+    pass must run as a Spark JOB over the file list (a 1 M-file
+    CONVERT would serialize the driver for hours otherwise), and its
+    fold must be byte-identical to the sequential driver loop's."""
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        collect_unit_stats,
+    )
+
+    src = str(tmp_path / "many")
+    # 80 files of disjoint ranges, with some nulls in a string column
+    spark.range(8000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('s', id) END AS s",
+        "CAST(id AS DOUBLE) / 3 AS v",
+    ).repartition(80, "k").write.parquet(src)
+
+    sc = spark.sparkContext
+    group = "footer-pass-distributed"
+    sc.setJobGroup(group, group)
+    try:
+        dist = collect_unit_stats(src, per_file=True, spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) >= 1, "large-N footer pass must dispatch a Spark job"
+
+    seq = collect_unit_stats(src, per_file=True, spark=None)
+    assert dist == seq
+
+    # small-N stays a pure driver loop: zero jobs even with spark given
+    small = str(tmp_path / "few")
+    spark.range(100).selectExpr("id AS k").coalesce(2).write.parquet(small)
+    group2 = "footer-pass-driver"
+    sc.setJobGroup(group2, group2)
+    try:
+        got = collect_unit_stats(small, spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group2) == []
+    assert got["_rows"] == 100 and got["k"]["min"] == 0
+
+
+def test_count_unit_rows_distributed_matches(spark, tmp_path):
+    """The NO STATISTICS CONVERT row-count pass distributes past the
+    same threshold and agrees with the sequential count."""
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        count_unit_rows,
+    )
+
+    src = str(tmp_path / "many")
+    spark.range(6400).repartition(70).write.parquet(src)
+    sc = spark.sparkContext
+    group = "rowcount-distributed"
+    sc.setJobGroup(group, group)
+    try:
+        n = count_unit_rows(src, spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert n == 6400
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1
+    assert count_unit_rows(src) == 6400
+
+
+def test_merge_stats_accs_semantics():
+    """Driver-side combine of partial fold accumulators: bad sticky,
+    unknown nulls poison, temporal-kind and cross-type conflicts mark
+    the column unprunable — same outcomes as one sequential fold."""
+    from component_delta_lake_writer_spark.sinks.unit_stats import (
+        merge_stats_accs,
+    )
+
+    a = {"x": {"min": 1, "max": 5, "nulls": 2, "bad": False}}
+    b = {"x": {"min": 0, "max": 9, "nulls": 1, "bad": False}}
+    m = merge_stats_accs(dict(a), b)
+    assert m["x"] == {"min": 0, "max": 9, "nulls": 3, "bad": False}
+
+    # unknown null count poisons the total
+    m = merge_stats_accs(
+        {"x": {"min": 1, "max": 2, "nulls": 5, "bad": False}},
+        {"x": {"min": 1, "max": 2, "nulls": None, "bad": False}},
+    )
+    assert m["x"]["nulls"] is None
+
+    # temporal-kind conflict -> bad
+    m = merge_stats_accs(
+        {"x": {"min": "2024-01-01", "max": "2024-01-02", "nulls": 0,
+               "bad": False, "t": "date"}},
+        {"x": {"min": "2024-01-01 00:00:00.000000",
+               "max": "2024-01-02 00:00:00.000000", "nulls": 0,
+               "bad": False, "t": "ts"}},
+    )
+    assert m["x"]["bad"] is True
+
+    # cross-type min/max (schema drift) -> bad, not a crash
+    m = merge_stats_accs(
+        {"x": {"min": 1, "max": 2, "nulls": 0, "bad": False}},
+        {"x": {"min": "a", "max": "b", "nulls": 0, "bad": False}},
+    )
+    assert m["x"]["bad"] is True
+
+    # disjoint columns union
+    m = merge_stats_accs(
+        {"x": {"min": 1, "max": 2, "nulls": 0, "bad": False}},
+        {"y": {"min": "a", "max": "b", "nulls": 0, "bad": False}},
+    )
+    assert set(m) == {"x", "y"}
