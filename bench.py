@@ -448,6 +448,90 @@ def _ann_curve(
     }
 
 
+def _quantized_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 10, 100)
+) -> dict:
+    """Measured quantized-retrieval curve (VERDICT r7 stretch): exact
+    float-cosine top-k vs the packed 1-bit Hamming path
+    (pack_sign_words + hamming_packed_topk) over the embeddings
+    corpus replicated x1/x10/x100. Quantization runs at INGEST
+    (untimed, like building any index); the timed part is the query
+    stage both designs actually serve. The claim: at the scan-bound
+    scale the popcount path over 64x-smaller vectors beats the float
+    path outright — the memory-bound-regime answer the LSH/IVF curves
+    don't cover. Median-of-3 with spread, same as every r8 curve."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators import (
+        similarity as SIM,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    points = []
+    for scale in scales:
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.select(
+                    (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
+                    F.concat(
+                        F.array(
+                            F.element_at("embedding", 1)
+                            + F.lit(i * 1e-3)
+                        ),
+                        F.slice(
+                            F.transform(
+                                "embedding", lambda x: x.cast("double")
+                            ),
+                            2,
+                            63,
+                        ),
+                    ).alias("embedding"),
+                )
+                for i in range(scale)
+            ],
+        ).persist()
+        rows = df.count()
+        probe = df.filter(F.col("vec_id") == 0)
+        packed = SIM.pack_sign_words(df, dim=64).persist()
+        packed.count()  # ingest-time quantization: untimed
+        probe_p = packed.filter(F.col("vec_id") == 0)
+        point = {"scale": scale, "rows": rows}
+        for name, fn in (
+            ("float_cosine",
+             lambda: SIM.cosine_topk(df, probe, k=10)),
+            ("packed_hamming",
+             lambda: SIM.hamming_packed_topk(packed, probe_p, k=10)),
+        ):
+            fn().collect()  # codegen warm-up
+
+            def trial(fn=fn) -> float:
+                t0 = time.perf_counter()
+                fn().collect()
+                return time.perf_counter() - t0
+
+            sec, spread = _med3(trial)
+            point[f"{name}_sec"] = round(sec, 3)
+            point[f"{name}_spread"] = spread
+        point["hamming_vs_float"] = round(
+            point["packed_hamming_sec"] / point["float_cosine_sec"], 2
+        )
+        df.unpersist()
+        packed.unpersist()
+        points.append(point)
+    return {
+        "points": points,
+        "x%d_hamming_vs_float" % (
+            points[-1]["rows"] // max(points[0]["rows"], 1)
+        ): points[-1]["hamming_vs_float"],
+    }
+
+
 def _row_tracking_overhead(spark, sf_dir: str) -> dict:
     """Write orders (x3 replicated) + append + clustered optimize +
     full read, tracking OFF vs ON — per-phase seconds and the total
@@ -867,6 +951,16 @@ def main() -> None:
             print(f"# ann_curve/x{p['scale']}: {p}", file=sys.stderr)
     except Exception as exc:
         print(f"# ann curve failed: {exc}", file=sys.stderr)
+
+    # measured quantized-retrieval curve (r8): packed 1-bit Hamming vs
+    # exact float cosine at x1/x10/x100 — the memory-bound regime
+    try:
+        qcurve = _quantized_curve(spark, SF_DIR)
+        result["quantized_curve"] = qcurve
+        for p in qcurve["points"]:
+            print(f"# quantized_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# quantized curve failed: {exc}", file=sys.stderr)
 
     # Measured row-tracking cost (round 6): the feature's claim is
     # "metadata-priced" — one footer read per new file at publish, a

@@ -62,6 +62,15 @@ _FRONT = [
     "streaming_hourly_agg",
     "ngram_containment_dedup",
     "ngram_novelty_docs",
+    # new in round 8: packed 1-bit retrieval; plus the CDF keys whose
+    # MOR-delete mirror path changed (cdc actions now staged
+    # pre-publish)
+    "hamming_packed_topk",
+    "binary_quant_hamming_topk",
+    "cdf_external_read",
+    "cdc_read_changes",
+    "delta_dv_external_read",
+    "replicate_table_cdf",
     # ------------------------------------------------------------------
     # Round 7: new keys first (CONVERT TO DELTA / SHALLOW CLONE /
     # ANALYZE, hybrid RRF retrieval, filtered vector search), then the

@@ -848,6 +848,40 @@ def binary_quant_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hamming_packed_topk",
+    oracle="""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+      CAST(list_reduce(list_transform(generate_series(1, 64),
+        i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+                    <> (CAST(p.pv[i] AS DOUBLE) >= 0)
+             THEN 1 ELSE 0 END), (x, y) -> x + y) AS INT) AS hamming
+    FROM embeddings e, p
+    WHERE e.vec_id <> 0
+    ORDER BY hamming ASC, e.vec_id LIMIT 10
+    """,
+)
+def hamming_packed_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed 1-bit retrieval (operators.similarity.pack_sign_words +
+    hamming_packed_topk): sign bits quantized at ingest into bigint
+    words (dim=64 -> ONE long per vector, 64x less data than the
+    floats), queried with bit_count(XOR) popcounts. The oracle is the
+    same element-wise sign-mismatch count the unpacked probe uses —
+    bit-packing must not change a single distance or tie."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        hamming_packed_topk,
+        pack_sign_words,
+    )
+
+    packed = pack_sign_words(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )
+    return hamming_packed_topk(
+        packed, packed.filter(F.col("vec_id") == 0), k=10
+    )
+
+
+@query(
     "shard_export_balanced",
     oracle="""
     WITH h AS (

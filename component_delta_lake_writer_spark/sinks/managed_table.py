@@ -3367,16 +3367,31 @@ class ManagedTable:
                 column_mapping=dict(prev.column_mapping),
                 txns=dict([txn]) if txn else {},
             )
-            self._publish(commit, prev)
+            # CDF change set STAGED before the publish (same contract
+            # as the merge path): the publish adopts it as _changes/vN
+            # AND mirrors it as Delta cdc actions — a post-publish
+            # write left MOR deletes under-derivable for external
+            # table_changes readers (caught by the r8 composite test).
+            stage = None
             if commit.properties.get("enableChangeDataFeed") and touched:
+                stage = os.path.join(
+                    self._changes_dir, f"stage-{uuid.uuid4().hex}"
+                )
                 self._read_units(prev, touched).join(
                     F.broadcast(key_set), list(prev.primary_key), "left_semi"
                 ).withColumn(
                     "_change_type", F.lit("delete")
-                ).write.mode("overwrite").parquet(
-                    os.path.join(self._changes_dir, f"v{commit.version}")
-                )
-            elif commit.properties.get("enableChangeDataFeed"):
+                ).write.mode("overwrite").parquet(stage)
+            try:
+                self._publish(commit, prev, cdc_stage=stage)
+            except BaseException:
+                if stage:
+                    shutil.rmtree(stage, ignore_errors=True)
+                raise
+            if (
+                commit.properties.get("enableChangeDataFeed")
+                and not touched
+            ):
                 self._write_empty_change_set(prev, commit.version)
         finally:
             key_set.unpersist()
@@ -3431,18 +3446,29 @@ class ManagedTable:
             delete_sets=delete_sets,
             column_mapping=dict(prev.column_mapping),
         )
-        self._publish(commit, prev)
+        # same CDF contract as the copy-on-write DELETE: the removed
+        # images land as 'delete' change rows (computed against the
+        # PRE-delete snapshot), STAGED before the publish so the
+        # winner adopts them as _changes/vN AND mirrors them as Delta
+        # cdc actions (a post-publish write left MOR deletes
+        # under-derivable for external table_changes readers — caught
+        # by the r8 composite test)
+        stage = None
         if touched and prev.properties.get("enableChangeDataFeed"):
-            # same CDF contract as the copy-on-write DELETE: the
-            # removed images land as 'delete' change rows (computed
-            # against the PRE-delete snapshot)
             cond = F.coalesce(F.expr(condition), F.lit(False))
+            stage = os.path.join(
+                self._changes_dir, f"stage-{uuid.uuid4().hex}"
+            )
             self._read_units(prev, touched).filter(cond).withColumn(
                 "_change_type", F.lit("delete")
-            ).write.mode("overwrite").parquet(
-                os.path.join(self._changes_dir, f"v{commit.version}")
-            )
-        elif prev.properties.get("enableChangeDataFeed"):
+            ).write.mode("overwrite").parquet(stage)
+        try:
+            self._publish(commit, prev, cdc_stage=stage)
+        except BaseException:
+            if stage:
+                shutil.rmtree(stage, ignore_errors=True)
+            raise
+        if not touched and prev.properties.get("enableChangeDataFeed"):
             # see _rewrite_where: a fully-pruned DML commit still needs
             # an (empty) change set or the CDF stream wedges on it
             self._write_empty_change_set(prev, commit.version)

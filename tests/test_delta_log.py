@@ -2311,3 +2311,141 @@ def test_checkpoint_interval_property(spark, tmp_path):
     for _ in range(3):
         t.write(df.coalesce(1), mode="append")    # v5 -> checkpoint
     assert read_last_checkpoint(t.path)["version"] == 5
+
+
+def test_retention_compaction_v2_dv_composite(spark, tmp_path):
+    """VERDICT r7 task 7: log-retention cleanup, minor log compaction,
+    v2 checkpoints and DV descriptors COMPOSED on one table across 25+
+    versions — the three features interact in the version-liveness
+    logic and were previously tested mostly pairwise.  Replayed from
+    every entry point (full JSON replay, checkpoint-seeded replay, the
+    external snapshot reader, the external CDF reader) before AND
+    after cleanup, with more commits after cleanup so the next
+    checkpoint generation seeds from the previous one."""
+    import glob as _glob
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        live_dv_descriptors,
+        read_delta_table,
+        read_delta_table_changes,
+        read_last_checkpoint,
+        replay_delta_log,
+        replay_delta_log_from_checkpoint,
+        verify_version_checksum,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(
+        df.coalesce(1), mode="overwrite", primary_key=["k"],
+        properties={
+            "delta.checkpointPolicy": "v2",
+            "enableChangeDataFeed": True,
+            "mirror.logCompactionInterval": "5",
+            "delta.checkpointInterval": "7",
+        },
+    )  # v0
+    appended = 0
+    for i in range(24):  # v1..v24
+        m = i % 6
+        if m in (0, 3):
+            appended += 1
+            t.write(
+                df.withColumn("k", F.col("k") + F.lit(appended * 1000))
+                .coalesce(1),
+                mode="append",
+            )
+        elif m == 1:
+            # MOR delete of a slice of the newest range -> a DV
+            lo = appended * 1000
+            t.delete_where(
+                f"k >= {lo + 90} AND k < {lo + 100}",
+                strategy="merge-on-read",
+            )
+        elif m == 2:
+            t.upsert(
+                df.filter(F.col("k") < 5)
+                .withColumn("v", F.lit(-(i + 1)).cast("long"))
+                .coalesce(1),
+                ["k"],
+            )  # COW rewrite inside compacted/checkpointed ranges
+        elif m == 4:
+            t.update_where(f"k = {appended * 1000}", {"v": "v + 7"})
+        else:
+            t.set_properties({"comment": f"meta-{i}"})  # metadata-only
+
+    assert t.latest_commit().version == 24
+    log_dir = os.path.join(t.path, "_delta_log")
+    assert read_last_checkpoint(t.path)["version"] == 20
+    assert _glob.glob(os.path.join(log_dir, "*.compacted.json"))
+    assert len(live_dv_descriptors(t.path)) >= 2
+
+    def _snap():
+        return sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    def _ext():
+        return sorted(
+            (r["k"], r["v"])
+            for r in read_delta_table(spark, t.path).collect()
+        )
+
+    expected = _snap()
+    # -- every entry point, pre-cleanup --
+    assert _ext() == expected
+    full = replay_delta_log(t.path)
+    seeded = replay_delta_log_from_checkpoint(t.path)
+    assert sorted(full[0]) == sorted(seeded[0])
+    verify_version_checksum(t.path)
+    cols = ["k", "v", "_change_type"]
+    ext_cdf = read_delta_table_changes(spark, t.path, 0)
+    eng_cdf = t.read_changes(0, with_change_type=True)
+    assert sorted(map(tuple, ext_cdf.select(*cols).collect())) == sorted(
+        map(tuple, eng_cdf.select(*cols).collect())
+    )
+
+    # -- cleanup below the v21 checkpoint --
+    assert t.cleanup_metadata(retention_hours=0) > 0
+    assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.json"))
+    assert _ext() == expected
+    # JSON-only replay is legitimately PARTIAL now (entries below the
+    # checkpoint are gone — that is the checkpoint's job); the
+    # checkpoint-seeded replay must still reconstruct the exact
+    # pre-cleanup snapshot
+    seeded2 = replay_delta_log_from_checkpoint(t.path)
+    assert sorted(seeded2[0]) == sorted(full[0])
+    assert len(live_dv_descriptors(t.path)) >= 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cleaned up"):
+        read_delta_table_changes(spark, t.path, 0)
+    ext_tail = read_delta_table_changes(spark, t.path, 20)
+    eng_tail = t.read_changes(20, with_change_type=True)
+    assert sorted(map(tuple, ext_tail.select(*cols).collect())) == sorted(
+        map(tuple, eng_tail.select(*cols).collect())
+    )
+
+    # -- life continues after cleanup: the next checkpoint generation
+    # seeds from the previous one, with a fresh DV in between --
+    for j in range(4):  # v25..v28 (checkpoint fires at v27)
+        appended += 1
+        t.write(
+            df.withColumn("k", F.col("k") + F.lit(appended * 1000))
+            .coalesce(1),
+            mode="append",
+        )
+    t.delete_where(
+        f"k >= {appended * 1000 + 95}", strategy="merge-on-read"
+    )  # v29
+    assert read_last_checkpoint(t.path)["version"] == 27
+    assert _ext() == _snap()
+    verify_version_checksum(t.path)
+    seeded3 = replay_delta_log_from_checkpoint(t.path)
+    eng_units = {
+        os.path.relpath(f, t.path)
+        for f in __import__("glob").glob(
+            os.path.join(t.path, "_data", "*", "*.parquet")
+        )
+    }
+    assert set(seeded3[0]) <= eng_units

