@@ -1,0 +1,195 @@
+"""Slowly-changing-dimension (SCD Type 2) operators.
+
+The lakehouse CDC pattern the reference's MERGE surface gets used for
+in practice (src/component.py:203-260 generates the upsert SQL; an
+SCD2 dimension is what that upsert maintains downstream): every key
+keeps its full attribute HISTORY as validity ranges
+``(valid_from, valid_to, is_current)`` instead of being overwritten.
+
+Three spellings, composing with the ManagedTable write surface:
+
+- ``scd2_build``: one-shot build from a raw change/event history —
+  one shuffle on the key; both window passes share the same
+  (key, ts, tiebreak) sort so Spark reuses the exchange.
+- ``scd2_apply``: apply a per-key CURRENT-STATE snapshot (the nightly
+  dim-snapshot diff shape) to an existing SCD2 dimension — close
+  changed current rows at the snapshot's effective time, insert new
+  current rows, pass everything else through untouched.
+- ``scd2_delta``: just the changed rows (close-outs + inserts) keyed
+  by (key, valid_from) — the MERGE source for an incremental
+  ManagedTable upsert, so a 100 TB dimension pays O(changed keys),
+  never a full rewrite.
+
+Scale posture: build is a single keyed shuffle; apply/delta join the
+dimension's CURRENT slice against the snapshot on the key (broadcast
+when the snapshot is small, AQE otherwise) — no window over the full
+history at apply time, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_build", "scd2_apply", "scd2_delta"]
+
+
+def _any_attr_differs(attrs: list[str], left: str, right: str) -> Column:
+    """NULL-SAFE attribute inequality across two prefixed row images."""
+    return ~reduce(
+        Column.__and__,
+        [
+            F.col(f"{left}.{a}").eqNullSafe(F.col(f"{right}.{a}"))
+            for a in attrs
+        ],
+    )
+
+
+def scd2_build(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Build an SCD2 dimension from a change history: per key, keep
+    the rows where any tracked attribute differs from the previous
+    row's (change points), then range them —
+    ``valid_from`` = the change's timestamp, ``valid_to`` = the next
+    change's, ``is_current`` = no next change.
+
+    ``tiebreak`` orders same-timestamp changes deterministically
+    (e.g. an event id); ties produce zero-length ranges rather than
+    nondeterministic winners.  Output: (key, attrs…, valid_from,
+    valid_to, is_current).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = (
+        df.select(key, ts_col, *attrs, *(tiebreak or []))
+        .withColumn("_prev", F.lag(F.struct(*attrs)).over(w))
+        .withColumn("_cur", F.struct(*attrs))
+        .filter(
+            F.col("_prev").isNull()
+            | _any_attr_differs(attrs, "_prev", "_cur")
+        )
+    )
+    # second window shares the exact (key, ts, tiebreak) sort — the
+    # exchange and sort from the lag pass are reused, one shuffle total
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w))
+        .select(
+            key,
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Apply a per-key current-state ``snapshot`` (columns: key,
+    attrs…, ``ts_col`` = the effective time) to an SCD2 ``dim``
+    (scd2_build's shape).  Returns the full new dimension:
+
+    - current rows whose attributes differ from the snapshot close at
+      the snapshot's effective time;
+    - a new current row lands for every changed or brand-new key;
+    - unchanged current rows, historical rows, and keys absent from
+      the snapshot pass through untouched (missing ≠ deleted — soft
+      deletes are an attribute, not an absence).
+    """
+    snap = snapshot.select(
+        F.col(key),
+        F.struct(*attrs).alias("_snap"),
+        F.col(ts_col).alias("_eff"),
+    )
+    cur = dim.filter(F.col("is_current")).alias("c")
+    rest = dim.filter(~F.col("is_current"))
+    j = cur.join(snap, key, "left").withColumn(
+        "_cur", F.struct(*[F.col(f"c.{a}") for a in attrs])
+    )
+    closes = F.col("_snap").isNotNull() & _any_attr_differs(
+        attrs, "_snap", "_cur"
+    )
+    updated_current = j.select(
+        F.col(key),
+        *[F.col(f"c.{a}") for a in attrs],
+        F.col("valid_from"),
+        F.when(closes, F.col("_eff")).otherwise(F.col("valid_to")).alias(
+            "valid_to"
+        ),
+        (~closes).alias("is_current"),
+    )
+    inserts = scd2_delta_inserts(dim, snap, key, attrs)
+    return rest.unionByName(updated_current).unionByName(inserts)
+
+
+def scd2_delta_inserts(
+    dim: DataFrame, snap: DataFrame, key: str, attrs: list[str]
+) -> DataFrame:
+    """New current rows the snapshot introduces: keys with no current
+    row, or whose current attributes differ.  ``snap`` is the
+    pre-projected (key, _snap struct, _eff) form."""
+    cur_keyed = (
+        dim.filter(F.col("is_current"))
+        .select(F.col(key), F.struct(*attrs).alias("_cur"))
+    )
+    j = snap.join(cur_keyed, key, "left")
+    fresh = j.filter(
+        F.col("_cur").isNull() | _any_attr_differs(attrs, "_snap", "_cur")
+    )
+    return fresh.select(
+        F.col(key),
+        *[F.col(f"_snap.{a}").alias(a) for a in attrs],
+        F.col("_eff").alias("valid_from"),
+        F.lit(None).cast(
+            dim.schema["valid_to"].dataType
+        ).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_delta(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Just the CHANGED rows of ``scd2_apply`` — close-outs (the old
+    current row with its new ``valid_to``/``is_current=false``) plus
+    the new current rows — keyed by ``(key, valid_from)``.  This is
+    the MERGE source for an incremental ManagedTable upsert: the
+    dimension pays O(changed keys) per batch, never a rewrite of the
+    untouched history."""
+    snap = snapshot.select(
+        F.col(key),
+        F.struct(*attrs).alias("_snap"),
+        F.col(ts_col).alias("_eff"),
+    )
+    cur = dim.filter(F.col("is_current")).alias("c")
+    j = cur.join(snap, key, "inner").withColumn(
+        "_cur", F.struct(*[F.col(f"c.{a}") for a in attrs])
+    )
+    closeouts = j.filter(_any_attr_differs(attrs, "_snap", "_cur")).select(
+        F.col(key),
+        *[F.col(f"c.{a}") for a in attrs],
+        F.col("valid_from"),
+        F.col("_eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    return closeouts.unionByName(
+        scd2_delta_inserts(dim, snap, key, attrs)
+    )

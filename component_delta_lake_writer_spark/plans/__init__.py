@@ -67,6 +67,8 @@ _FRONT = [
     # pre-publish)
     "hamming_packed_topk",
     "binary_quant_hamming_topk",
+    "scd2_build_events",
+    "scd2_apply_snapshot",
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",

@@ -4252,3 +4252,135 @@ def cross_corpus_decontaminate_q(
     return D.cross_corpus_near_dup(
         docs.filter(k % 2 == 0), docs.filter(k % 2 == 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 dimension maintenance (round 8): the downstream shape the
+# reference's generated MERGE SQL (src/component.py:203-260) maintains
+# in practice — key history as validity ranges, snapshot-diff apply.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_build_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+        LAG(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, ts, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+      LEAD(ts) OVER w2 AS valid_to,
+      (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM ch
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def scd2_build_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 one-shot build (operators.scd.scd2_build): each
+    user's event_type history compressed to change points with
+    (valid_from, valid_to, is_current) validity ranges. ONE keyed
+    shuffle — both window passes share the (key, ts, tiebreak) sort,
+    plan-locked in tests/test_plan_quality.py."""
+    from component_delta_lake_writer_spark.operators.scd import scd2_build
+
+    return scd2_build(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", ["event_type"], tiebreak=["event_id"],
+    )
+
+
+_SCD2_CUT = "2024-01-25 00:00:00"
+
+
+@query(
+    "scd2_apply_snapshot",
+    oracle=f"""
+    WITH hist AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '{_SCD2_CUT}'
+    ),
+    o AS (
+      SELECT user_id, ts, event_type,
+        LAG(event_type) OVER w AS prev
+      FROM hist
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, ts, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, ts AS valid_from,
+        LEAD(ts) OVER w2 AS valid_to,
+        (LEAD(ts) OVER w2 IS NULL) AS is_current
+      FROM ch
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    snap AS (
+      SELECT user_id, event_type AS s_type, ts AS eff FROM (
+        SELECT user_id, event_type, ts,
+          ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          ) AS rk
+        FROM events WHERE ts >= TIMESTAMP '{_SCD2_CUT}'
+      ) WHERE rk = 1
+    ),
+    closed AS (
+      SELECT d.user_id, d.event_type, d.valid_from,
+        CASE WHEN s.user_id IS NOT NULL AND s.s_type <> d.event_type
+             THEN s.eff ELSE d.valid_to END AS valid_to,
+        NOT (s.user_id IS NOT NULL AND s.s_type <> d.event_type)
+          AS is_current
+      FROM dim d LEFT JOIN snap s USING (user_id)
+      WHERE d.is_current
+    ),
+    inserts AS (
+      SELECT s.user_id, s.s_type AS event_type, s.eff AS valid_from,
+        CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM snap s LEFT JOIN (
+        SELECT user_id, event_type FROM dim WHERE is_current
+      ) c USING (user_id)
+      WHERE c.user_id IS NULL OR c.event_type <> s.s_type
+    )
+    SELECT * FROM dim WHERE NOT is_current
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM inserts
+    """,
+)
+def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot-diff apply (operators.scd.scd2_apply): the
+    dimension built from pre-cutoff history, then one per-key
+    current-state snapshot (each user's last post-cutoff event)
+    applied — changed current rows close at the snapshot's effective
+    time, new current rows land, history passes through untouched.
+    The nightly-dim-refresh shape; its MERGE-delta twin
+    (operators.scd.scd2_delta) is exercised against a ManagedTable
+    upsert in tests/test_engine_extras.py."""
+    from pyspark.sql import Window
+
+    from component_delta_lake_writer_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_SCD2_CUT).cast("timestamp_ntz")
+    dim = scd2_build(
+        ev.filter(F.col("ts") < cut),
+        "user_id", "ts", ["event_type"], tiebreak=["event_id"],
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snap = (
+        ev.filter(F.col("ts") >= cut)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+    return scd2_apply(dim, snap, "user_id", ["event_type"], "ts")

@@ -1543,3 +1543,48 @@ def test_packed_hamming_equals_elementwise(spark):
             for r in binary_sign_hamming_topk(emb, probe, k=15).collect()
         ]
         assert got == ref, f"dim={dim}"
+
+
+def test_scd2_delta_upsert_equals_apply(spark, tmp_path):
+    """The incremental path (scd2_delta merged into a ManagedTable on
+    (key, valid_from)) must land the exact dimension scd2_apply
+    computes wholesale — the O(changed keys) spelling and the
+    full-recompute spelling cannot drift."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+        scd2_delta,
+    )
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    dim = scd2_build(
+        ev.filter(F.col("ts") < cut),
+        "user_id", "ts", ["event_type"], tiebreak=["event_id"],
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snap = (
+        ev.filter(F.col("ts") >= cut)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+    t = ManagedTable(spark, str(tmp_path / "dim"))
+    t.write(dim, mode="overwrite",
+            primary_key=["user_id", "valid_from"])
+    delta = scd2_delta(dim, snap, "user_id", ["event_type"], "ts")
+    t.upsert(delta, ["user_id", "valid_from"])
+
+    wholesale = scd2_apply(dim, snap, "user_id", ["event_type"], "ts")
+    cols = ["user_id", "event_type", "valid_from", "valid_to",
+            "is_current"]
+    got = sorted(map(tuple, t.read().select(*cols).collect()))
+    want = sorted(map(tuple, wholesale.select(*cols).collect()))
+    assert got == want
+    assert len(got) > dim.count()  # inserts actually landed

@@ -573,3 +573,23 @@ def test_streaming_hourly_agg_job_count_locked(spark):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert len(jobs) <= 4, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
+
+
+def test_scd2_build_single_exchange(spark):
+    """scd2_build's two window passes (lag change-detect, lead
+    ranging) share one (key, ts, tiebreak) sort — the plan must carry
+    exactly ONE Exchange and ONE Sort, and the scan must prune to the
+    four referenced columns. A second shuffle here would double the
+    cost of building a 100 TB dimension for nothing."""
+    from component_delta_lake_writer_spark.operators.scd import scd2_build
+
+    import os
+
+    ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    dim = scd2_build(
+        ev, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
+    assert "event_id:bigint" in plan and "props" not in plan
