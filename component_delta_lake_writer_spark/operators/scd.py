@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_build", "scd2_apply", "scd2_delta"]
+__all__ = ["scd2_build", "scd2_apply", "scd2_delta", "scd2_lookup"]
 
 
 def _any_attr_differs(attrs: list[str], left: str, right: str) -> Column:
@@ -193,3 +193,41 @@ def scd2_delta(
     return closeouts.unionByName(
         scd2_delta_inserts(dim, snap, key, attrs)
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension join: each fact row picks up the dim
+    version whose ``[valid_from, valid_to)`` range covers the fact's
+    timestamp — the query every SCD2 dimension exists to answer.
+
+    The join is an EQUI-join on the key with the range as a residual
+    filter — at scale the keyed shuffle (or broadcast, when the dim
+    is small) does the heavy lifting and each fact row scans only its
+    own key's few versions, so no bucketized range-join machinery is
+    needed here (contrast operators.timeseries.range_join, where
+    there is no equi-key to shuffle on).  ``is_current`` rows have
+    ``valid_to`` NULL → open-ended.
+    """
+    d = dim.select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"dim_{c}")
+            for c in dim.columns
+            if c not in (key,)
+        ],
+    )
+    cond = (
+        (facts[key] == d[key])
+        & (facts[ts_col] >= d["dim_valid_from"])
+        & (
+            d["dim_valid_to"].isNull()
+            | (facts[ts_col] < d["dim_valid_to"])
+        )
+    )
+    return facts.join(d, cond, how).drop(d[key])

@@ -1274,3 +1274,42 @@ def hamming_packed_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas' ±1
+    database-friendly variant, "Database-friendly random projections",
+    PODS 2001): component p = Σ_d sign(p,d)·v[d] / √out_dim with the
+    same md5-derived deterministic signs the LSH family uses
+    (plane_signs) — no stored model, identical on every executor, and
+    reproducible in ANSI SQL (the probe's oracle inlines the sign
+    matrix).
+
+    Pure Catalyst (one zip_with fold per output component, sequential
+    so cross-engine float determinism holds); ``round_dp`` rounds
+    each component (default 6dp) so downstream rankings compare
+    engine-portably.  The dimensionality-reduction prefilter for
+    embedding pipelines: distances are preserved within ε, vectors
+    shrink dim/out_dim-fold."""
+    import math
+
+    dvec = _as_double(F.col(vec_col))
+    comps = []
+    for p in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
+        acc = F.aggregate(
+            F.zip_with(dvec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / F.lit(math.sqrt(out_dim))
+        comps.append(
+            F.round(acc, round_dp) if round_dp is not None else acc
+        )
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))

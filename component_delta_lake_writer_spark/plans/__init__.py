@@ -69,6 +69,9 @@ _FRONT = [
     "binary_quant_hamming_topk",
     "scd2_build_events",
     "scd2_apply_snapshot",
+    "scd2_lookup_events",
+    "countmin_heavy_tokens",
+    "jl_project_topk",
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",

@@ -4384,3 +4384,164 @@ def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts")
     )
     return scd2_apply(dim, snap, "user_id", ["event_type"], "ts")
+
+
+@query(
+    "scd2_lookup_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+        LAG(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, ts, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, ts AS valid_from,
+        LEAD(ts) OVER w2 AS valid_to
+      FROM ch
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT e.event_id, e.user_id,
+      d.event_type AS dim_event_type,
+      d.valid_from AS dim_valid_from
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def scd2_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join (operators.scd.scd2_lookup): every
+    event enriched with the SCD2 dim version valid AT ITS TIMESTAMP —
+    equi-join on the key with the validity range as a residual filter
+    (the keyed shuffle does the work; each fact scans only its own
+    key's versions)."""
+    from component_delta_lake_writer_spark.operators.scd import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        ev, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    return scd2_lookup(
+        ev.select("event_id", "user_id", "ts"), dim, "user_id", "ts"
+    ).select(
+        "event_id", "user_id", "dim_event_type", "dim_valid_from"
+    )
+
+
+@query(
+    "countmin_heavy_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    sketch AS (
+      SELECT j,
+        ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 8))
+          ::UBIGINT % 64 AS pos,
+        COUNT(*) AS c
+      FROM toks, generate_series(0, 2) AS g(j)
+      GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT w FROM toks),
+    cpos AS (
+      SELECT c.w, g.j,
+        ('0x' || substr(md5(CAST(g.j AS VARCHAR) || '|' || c.w), 1, 8))
+          ::UBIGINT % 64 AS pos
+      FROM cand c, generate_series(0, 2) AS g(j)
+    ),
+    est AS (
+      SELECT w, MIN(s.c) AS est FROM cpos
+      JOIN sketch s USING (j, pos) GROUP BY w
+    )
+    SELECT w AS token, CAST(est AS BIGINT) AS est_count
+    FROM est ORDER BY est_count DESC, token LIMIT 20
+    """,
+)
+def countmin_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators.sketches): top-20 corpus
+    tokens by CMS estimate over a deliberately tight 3x64 grid (real
+    collisions -> real overestimates, identically reproduced by the
+    oracle's arithmetic). Build shuffle is bounded at depth*width
+    groups per task regardless of corpus size — the streaming-scale
+    frequency primitive."""
+    from component_delta_lake_writer_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return countmin_heavy_hitters(toks, "token", k=20, width=64, depth=3)
+
+
+# JL sign matrix inlined for the oracle: the SAME md5-derived ±1
+# constants jl_project embeds in its Catalyst plan (similarity
+# .plane_signs) — the projection is reproducible arithmetic, not a
+# stored model.
+_JL_SIGNS = ", ".join(
+    f"({p}, {d + 1}, {s:.1f})"
+    for p in range(16)
+    for d, s in enumerate(SIM.plane_signs(p, 64))
+)
+
+
+@query(
+    "jl_project_topk",
+    oracle=f"""
+    WITH signs(p, d, s) AS (VALUES {_JL_SIGNS}),
+    proj AS (
+      SELECT e.vec_id, s.p,
+        ROUND(list_reduce(
+          list(CAST(e.embedding[s.d] AS DOUBLE) * s.s ORDER BY s.d),
+          (x, y) -> x + y) / sqrt(16.0), 6) AS comp
+      FROM embeddings e, signs s
+      GROUP BY e.vec_id, s.p
+    ),
+    vecs AS (
+      SELECT vec_id, list(comp ORDER BY p) AS pv
+      FROM proj GROUP BY vec_id
+    ),
+    probe AS (SELECT pv AS qv FROM vecs WHERE vec_id = 0)
+    SELECT v.vec_id,
+      ROUND(
+        list_reduce(list_transform(generate_series(1, 16),
+          i -> v.pv[i] * probe.qv[i]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(generate_series(1, 16),
+             i -> v.pv[i] * v.pv[i]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(generate_series(1, 16),
+               i -> probe.qv[i] * probe.qv[i]), (x, y) -> x + y))),
+        6) AS cosine
+    FROM vecs v, probe
+    WHERE v.vec_id <> 0
+    ORDER BY cosine DESC, v.vec_id LIMIT 10
+    """,
+)
+def jl_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection retrieval
+    (operators.similarity.jl_project): the 64-dim corpus projected to
+    16 dims with deterministic ±1 signs, cosine top-10 ranked in the
+    PROJECTED space. The oracle recomputes the identical projection
+    from the inlined sign matrix — arithmetic-portable dimensionality
+    reduction, the cheap prefilter stage of embedding pipelines
+    (vectors shrink 4x; distances preserved within JL epsilon)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = SIM.jl_project(emb, out_dim=16, dim=64)
+    return SIM.cosine_topk(
+        proj, proj.filter(F.col("vec_id") == 0), k=10,
+        vec_col="projected",
+    )

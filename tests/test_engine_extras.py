@@ -1588,3 +1588,42 @@ def test_scd2_delta_upsert_equals_apply(spark, tmp_path):
     want = sorted(map(tuple, wholesale.select(*cols).collect()))
     assert got == want
     assert len(got) > dim.count()  # inserts actually landed
+
+
+def test_countmin_invariants(spark):
+    """CMS contract: estimate >= true count for EVERY value (min over
+    hash rows can only overestimate), and the sketch is mergeable —
+    grid(A union B) == grid(A) + grid(B) summed on (j, pos)."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"v{i % 17}",) for i in range(500)], "x string"
+    )
+    truth = {
+        r["x"]: r["n"]
+        for r in vals.groupBy("x").agg(F.count("*").alias("n")).collect()
+    }
+    sk = countmin_sketch(vals, "x", width=16, depth=3)  # tight: collide
+    est = countmin_estimate(
+        sk, vals.select("x").distinct(), "x", width=16, depth=3
+    )
+    for r in est.collect():
+        assert r["est_count"] >= truth[r["x"]], r
+    # mergeability
+    a = vals.filter(F.length("x") == 2)   # v0..v9
+    b = vals.filter(F.length("x") == 3)   # v10..v16
+    merged = (
+        countmin_sketch(a, "x", 16, 3)
+        .unionByName(countmin_sketch(b, "x", 16, 3))
+        .groupBy("j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = countmin_sketch(vals, "x", 16, 3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
