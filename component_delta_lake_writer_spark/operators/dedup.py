@@ -591,3 +591,48 @@ def ngram_containment_dedup(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 3,
+    block_len: int = 8,
+    compare_len: int = 30,
+    max_block: int = 256,
+) -> DataFrame:
+    """Levenshtein near-dup pairs with PREFIX BLOCKING: documents are
+    compared on their lowercased ``compare_len``-char prefix, but only
+    within blocks sharing the first ``block_len`` characters — the
+    classic entity-resolution blocking that turns an O(N²) fuzzy join
+    into Σ(block²), with ``max_block`` capping any degenerate block
+    (a shared boilerplate prefix would otherwise re-create the
+    quadratic; skipped blocks trade recall for a hard cost bound,
+    same posture as MAX_BUCKET in the MinHash pipeline).
+
+    One shuffle on the block key; ``levenshtein`` is JVM-side in both
+    engines, so the probe's oracle reproduces every distance exactly.
+    Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    t = df.select(
+        F.col(id_col),
+        F.substring(F.lower(F.col(text_col)), 1, compare_len).alias("_p"),
+    ).withColumn("_b", F.substring("_p", 1, block_len))
+    sizes = t.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = t.join(
+        F.broadcast(sizes.filter(F.col("_n") <= max_block)), "_b"
+    )
+    a = bounded.select(
+        F.col("_b"), F.col(id_col).alias("id_a"), F.col("_p").alias("_pa")
+    )
+    b = bounded.select(
+        F.col("_b"), F.col(id_col).alias("id_b"), F.col("_p").alias("_pb")
+    )
+    return (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1313,3 +1313,61 @@ def jl_project(
             F.round(acc, round_dp) if round_dp is not None else acc
         )
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-DIMENSION corpus statistics (mean, std, min, max) — the
+    stats pass behind mean-centering / z-score whitening of an
+    embedding corpus before cosine work (anisotropic embedding spaces
+    rank better centered; SemDeDup-style pipelines normalize first).
+
+    One posexplode + hash aggregation on the dimension index: map-side
+    partial aggregation leaves ``dim`` groups per task, so shuffle
+    volume is O(dim x tasks) regardless of corpus size.  Sums go
+    through the round→DECIMAL idiom (exact, ORDER-FREE addition), so
+    mean/std are bit-deterministic across partitionings and engines —
+    a double SUM would drift in the last ulps with partition order.
+
+    Returns (d, n, mean, std, mn, mx): 1-based dimension, count, and
+    6dp-rounded stats.
+    """
+    v6 = F.round(F.col("v").cast("double"), 6)
+    # exact decimal sums: v6 fits DECIMAL(16,6) losslessly, and the
+    # SQUARE is a decimal*decimal product (exact, 12dp) — a double
+    # product cast to decimal would round engine-dependently at the
+    # cast and drift the 6th dp of std over thousands of rows
+    dec6 = v6.cast("decimal(16,6)")
+    mean_d = F.col("_s").cast("double") / F.col("n")
+    return (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("p", "v"))
+        .select((F.col("p") + 1).alias("d"), "v")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec6).alias("_s"),
+            F.sum(dec6 * dec6).alias("_s2"),
+            F.round(F.min("v"), 6).alias("mn"),
+            F.round(F.max("v"), 6).alias("mx"),
+        )
+        .select(
+            "d",
+            "n",
+            F.round(mean_d, 6).alias("mean"),
+            # one double conversion of each EXACT decimal sum, then a
+            # fixed-shape expression — identical IEEE arithmetic on
+            # both engines
+            F.round(
+                F.sqrt(
+                    F.col("_s2").cast("double") / F.col("n")
+                    - mean_d * mean_d
+                ),
+                6,
+            ).alias("std"),
+            "mn",
+            "mx",
+        )
+    )

@@ -72,6 +72,8 @@ _FRONT = [
     "scd2_lookup_events",
     "countmin_heavy_tokens",
     "jl_project_topk",
+    "edit_distance_pairs_docs",
+    "embedding_dim_stats",
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",

@@ -4545,3 +4545,62 @@ def jl_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj, proj.filter(F.col("vec_id") == 0), k=10,
         vec_col="projected",
     )
+
+
+@query(
+    "edit_distance_pairs_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(lower(text), 1, 30) AS p,
+             substr(lower(text), 1, 8) AS b
+      FROM documents
+    ),
+    ok AS (SELECT b FROM t GROUP BY b HAVING COUNT(*) <= 256),
+    tt AS (SELECT t.* FROM t JOIN ok USING (b))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(levenshtein(a.p, b.p) AS INT) AS dist
+    FROM tt a JOIN tt b ON a.b = b.b AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 3
+    """,
+)
+def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup join
+    (operators.dedup.edit_distance_pairs): prefix blocking bounds the
+    pair expansion (max block 256), exact edit distance verifies —
+    the entity-resolution primitive, oracled distance-for-distance."""
+    return D.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT d, ROUND(CAST(embedding[d] AS DOUBLE), 6) AS v
+      FROM embeddings, generate_series(1, 64) AS g(d)
+    ),
+    a AS (
+      SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(16,6))) AS s,
+        SUM(CAST(v AS DECIMAL(16,6)) * CAST(v AS DECIMAL(16,6))) AS s2,
+        ROUND(MIN(v), 6) AS mn, ROUND(MAX(v), 6) AS mx
+      FROM x GROUP BY d
+    )
+    SELECT d, n,
+      ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+      ROUND(SQRT(CAST(s2 AS DOUBLE) / n
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS std,
+      mn, mx
+    FROM a
+    """,
+)
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding stats
+    (operators.similarity.embedding_dim_stats): the whitening /
+    mean-centering stats pass. Sums ride the round→DECIMAL idiom so
+    the aggregation is order-free — bit-identical across partitionings
+    and engines; shuffle bounded at dim groups per task."""
+    return SIM.embedding_dim_stats(
+        load_table(spark, sf_dir, "embeddings")
+    )
