@@ -79,3 +79,72 @@ def expectations_summary(
         for i, name in enumerate(rules)
     ]
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass table profile: per column — row count, null count,
+    exact distinct count, lexicographic min/max (values cast to
+    string so heterogeneous columns share one output shape).  The
+    "what is in this table?" primitive every ingestion pipeline runs
+    before trusting a new source.
+
+    Scale posture: nulls/min/max come from ONE full-scan aggregation
+    (map-side partial, no shuffle of data rows — only per-task partial
+    states); the exact distinct counts run as one grouped pass over
+    (column, value) pairs, shuffle-bounded by the distinct-value
+    volume (the honest cost of exactness — swap in
+    approx_count_distinct when an estimate is acceptable).
+
+    Returns (column, n_rows, n_nulls, n_distinct, min_value,
+    max_value) — one row per profiled column, deterministic.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.min(s).alias(f"__mn_{c}"),
+            F.max(s).alias(f"__mx_{c}"),
+        ]
+    base = df.agg(*aggs).collect()[0]
+    # exact distincts: one pass over (column, value) pairs — the
+    # stack unpivots map-side, so no per-column job fan-out
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v")
+    nd = {
+        r["column"]: r["nd"]
+        for r in pairs.filter(F.col("v").isNotNull())
+        .groupBy("column")
+        .agg(F.count_distinct("v").alias("nd"))
+        .collect()
+    }
+    spark = df.sparkSession
+    rows = [
+        (
+            c,
+            base[f"__n_{c}"],
+            int(base[f"__nn_{c}"] or 0),
+            int(nd.get(c, 0)),
+            base[f"__mn_{c}"],
+            base[f"__mx_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, "
+        "n_distinct bigint, min_value string, max_value string",
+    )

@@ -74,6 +74,8 @@ _FRONT = [
     "jl_project_topk",
     "edit_distance_pairs_docs",
     "embedding_dim_stats",
+    "column_profile_orders",
+    "stream_countmin_tokens",
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",

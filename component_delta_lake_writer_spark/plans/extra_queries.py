@@ -4604,3 +4604,111 @@ def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_dim_stats(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]
+_PROFILE_BLOCK = """
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nulls,
+      CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+        AS n_distinct,
+      MIN(CAST({c} AS VARCHAR)) AS min_value,
+      MAX(CAST({c} AS VARCHAR)) AS max_value
+    FROM orders
+"""
+
+
+@query(
+    "column_profile_orders",
+    oracle=" UNION ALL ".join(
+        _PROFILE_BLOCK.format(c=c) for c in _PROFILE_COLS
+    ),
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators.dq.column_profile): per-column row /
+    null / exact-distinct counts and lexicographic min/max in two
+    passes — one map-side aggregation for counts and bounds, one
+    (column, value) grouped pass for exact distincts. Int/string
+    columns only here: double->string rendering is engine-specific
+    and a profile probe must not depend on it."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        column_profile,
+    )
+
+    return column_profile(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+@query(
+    "stream_countmin_tokens",
+    oracle="""
+    WITH sketch AS (
+      SELECT j,
+        ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || event_type),
+          1, 8))::UBIGINT % 64 AS pos,
+        COUNT(*) AS c
+      FROM events, generate_series(0, 2) AS g(j)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(j AS INT) AS j, CAST(pos AS BIGINT) AS pos,
+      CAST(c AS BIGINT) AS c
+    FROM sketch
+    """,
+)
+def stream_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min accumulation: the events feed drained in
+    THREE micro-batches (maxFilesPerTrigger=1 over three staged
+    files), each batch's grid merged into a ManagedTable by summing
+    counters on (j, pos) — CMS mergeability is what makes the sketch
+    a streaming-scale frequency primitive, and the final grid must
+    equal the one-shot batch grid the oracle recomputes. The stored
+    state is depth*width rows regardless of stream volume."""
+    import os
+    import shutil
+
+    from component_delta_lake_writer_spark.operators.sketches import (
+        countmin_sketch,
+    )
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    base = _scratch("stream_countmin", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events")
+    # three staged files -> three micro-batches
+    ev.withColumn("_s", F.col("event_id") % 3).repartition(
+        3, "_s"
+    ).drop("_s").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    t = ManagedTable(spark, os.path.join(base, "grid"))
+
+    def merge_batch(batch_df, _bid):
+        grid = countmin_sketch(batch_df, "event_type", width=64, depth=3)
+        if t.exists():
+            grid = (
+                t.read()
+                .unionByName(grid)
+                .groupBy("j", "pos")
+                .agg(F.sum("c").alias("c"))
+            )
+        t.write(grid.coalesce(1), mode="overwrite")
+
+    q = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return t.read().select(
+        F.col("j").cast("int").alias("j"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c").cast("long").alias("c"),
+    )
