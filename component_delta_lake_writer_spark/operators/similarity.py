@@ -1371,3 +1371,55 @@ def embedding_dim_stats(
             "mx",
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-``k`` most cosine-similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the hard ones sit next to the
+    anchor in embedding space).
+
+    ``anchors`` broadcasts (it is a curated subset, metadata-scale
+    next to the corpus); the corpus makes ONE scan, each row scored
+    against every anchor in a compact expression, then a per-anchor
+    window top-k — shuffle volume is O(anchors x k) after the
+    map-side rank prune that TakeOrdered-per-group planning gives the
+    window.  Returns (anchor_id, vec_id, cosine) with scores rounded
+    6dp, ranked descending per anchor (ties by vec_id).
+    """
+    from pyspark.sql import Window
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            _as_double(F.col(vec_col)).alias("anchor_vec"),
+        )
+    )
+    scored = (
+        emb.join(a, F.col(label_col) != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col(id_col),
+            F.round(
+                cosine(_as_double(F.col(vec_col)), F.col("anchor_vec")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", id_col, "cosine")
+    )

@@ -76,6 +76,7 @@ _FRONT = [
     "embedding_dim_stats",
     "column_profile_orders",
     "stream_countmin_tokens",
+    "hard_negatives_labeled",
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",

@@ -4712,3 +4712,43 @@ def stream_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.col("c").cast("long").alias("c"),
     )
+
+
+_HN_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+@query(
+    "hard_negatives_labeled",
+    oracle=f"""
+    WITH anch AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding AS av
+      FROM embeddings WHERE vec_id IN (0, 7, 11, 23, 42)
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+        ROUND({_HN_DOT.format(a='e.embedding', b='a.av')}
+          / (sqrt({_HN_DOT.format(a='e.embedding', b='e.embedding')})
+             * sqrt({_HN_DOT.format(a='a.av', b='a.av')})), 6)
+          AS cosine
+      FROM embeddings e JOIN anch a ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, vec_id
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def hard_negatives_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives):
+    for five anchors, the top-3 most-similar DIFFERENT-label vectors
+    — the contrastive-training negatives that matter. One corpus scan
+    against the broadcast anchor set, per-anchor window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(0, 7, 11, 23, 42))
+    return SIM.hard_negatives(emb, anchors, k=3)
