@@ -593,3 +593,33 @@ def test_scd2_build_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("+- Sort") == 1, plan
     assert "event_id:bigint" in plan and "props" not in plan
+
+
+def test_hamming_packed_plan_no_shuffle(spark):
+    """hamming_packed_topk's plan must be scan -> broadcast-nested-
+    loop against the 1-row probe -> TakeOrderedAndProject: zero
+    shuffle exchanges, no sort-merge anything — the whole point of the
+    packed path is a single cheap pass over 64x-less data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        hamming_packed_topk,
+        pack_sign_words,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(SF_SMALL, "embeddings.parquet")
+    )
+    packed = pack_sign_words(emb, dim=64)
+    top = hamming_packed_topk(
+        packed, packed.filter(F.col("vec_id") == 0), k=10
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the probe's BroadcastExchange is the design; a SHUFFLE exchange
+    # (hashpartitioning / rangepartitioning) is the regression
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
