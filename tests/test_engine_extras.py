@@ -1627,3 +1627,59 @@ def test_countmin_invariants(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_scd2_build_range_invariants(spark):
+    """Structural invariants of any SCD2 dimension, on a randomized
+    change log: per key the ranges tile the timeline (each valid_to
+    equals the next valid_from — no gaps, no overlaps), exactly one
+    current row per key, valid_from strictly inside the key's event
+    span, and the change-compression never drops a distinct
+    consecutive state."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import scd2_build
+
+    rnd = random.Random(42)
+    rows = []
+    eid = 0
+    for k in range(25):
+        t = 0
+        for _ in range(rnd.randint(1, 12)):
+            t += rnd.randint(1, 5)
+            rows.append((eid, k, t, rnd.choice("abc")))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, k long, ts long, state string"
+    )
+    dim = scd2_build(
+        df, "k", "ts", ["state"], tiebreak=["event_id"]
+    ).collect()
+    by_key: dict = {}
+    for r in dim:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == set(r[1] for r in rows)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in versions if r["is_current"]) == 1
+        assert versions[-1]["is_current"]
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, a, b)
+            assert not a["is_current"]
+            # change compression: consecutive versions DIFFER
+            assert a["state"] != b["state"], (k, a, b)
+        key_events = sorted(
+            (t, e, s) for e, kk, t, s in rows if kk == k
+        )
+        assert versions[0]["valid_from"] == key_events[0][0]
+        assert versions[0]["state"] == key_events[0][2]
+        # replay: state at each event time equals the last change <= t
+        for t, _e, _s in key_events:
+            live = [
+                v for v in versions
+                if v["valid_from"] <= t
+                and (v["valid_to"] is None or t < v["valid_to"])
+            ]
+            assert len(live) == 1, (k, t, live)
