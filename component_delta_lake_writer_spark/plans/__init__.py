@@ -77,6 +77,11 @@ _FRONT = [
     "column_profile_orders",
     "stream_countmin_tokens",
     "hard_negatives_labeled",
+    # last of the r8 unseen tier: pays the Python-DataSource stream
+    # cold start that tier-2's stream_cdf_source would otherwise
+    # absorb (unseen keys run before everything; 9.2 s at this slot,
+    # 19 s cold-first)
+    "stream_scd2_follow",
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",

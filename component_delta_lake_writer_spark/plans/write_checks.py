@@ -2129,3 +2129,87 @@ _O["ict_time_travel"] = """
       WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <= 1
         AND o_orderkey % 8 <> 0
 """
+
+
+@query("stream_scd2_follow")
+def stream_scd2_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream → SCD2 dimension follower (streaming.sink
+    .stream_scd2): a source entity table commits two states per user
+    (first event, then latest event — create + upsert), its change
+    feed streams through table_changes_stream, and each source
+    version applies as an SCD2 snapshot-diff delta with per-version
+    txn idempotence. Users whose first and last states coincide
+    exercise the no-change compression path. The replica dimension
+    must equal the SCD2 compression of the applied state log —
+    ranges, close-outs and current flags all recomputed independently
+    by the oracle. (Two commits, not three — probe latency budget;
+    the multi-version apply semantics are already exercised.)"""
+    from pyspark.sql import Window
+
+    from component_delta_lake_writer_spark.streaming.sink import stream_scd2
+
+    base = _scratch("stream_scd2_follow", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable(spark, os.path.join(base, "src"))
+    dim = ManagedTable(spark, os.path.join(base, "dim"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    asc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rka", F.row_number().over(asc)).withColumn(
+        "rkd", F.row_number().over(desc)
+    )
+    pick = lambda c: (  # noqa: E731
+        ranked.filter(c).select("user_id", "event_type", "ts").coalesce(1)
+    )
+    src.write(pick(F.col("rka") == 1), mode="overwrite",
+              primary_key=["user_id"],
+              properties={"enableChangeDataFeed": True,
+                          "mirror.dvMode": "deferred"})
+    src.upsert(pick(F.col("rkd") == 1), ["user_id"])
+    q = stream_scd2(
+        src, dim, "user_id", "ts", ["event_type"],
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return dim.read().select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+_O["stream_scd2_follow"] = """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS rka,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rkd
+      FROM events
+    ),
+    log AS (
+      SELECT user_id, event_type, ts, 0 AS v FROM ranked WHERE rka = 1
+      UNION ALL
+      SELECT user_id, event_type, ts, 1 FROM ranked WHERE rkd = 1
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts, v,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY v) AS prev
+      FROM log
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, v FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+      LEAD(ts) OVER w AS valid_to,
+      (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY v)
+"""

@@ -305,3 +305,101 @@ def stream_replicate(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_scd2(
+    src: ManagedTable,
+    dim: ManagedTable,
+    key: str,
+    ts_col: str,
+    attrs: list[str],
+    checkpoint_dir: str | None = None,
+):
+    """CDC stream → SCD Type 2 dimension follower: the source table's
+    change feed (insert / update_postimage rows) streams through the
+    table_changes_stream source, and each source COMMIT applies as an
+    SCD2 snapshot-diff delta to the replica dimension — changed
+    current rows close at the new state's ``ts_col``, new current
+    rows land, history accumulates.  The upsert keys on
+    ``(key, valid_from)`` so the apply is O(this commit's changed
+    keys), with per-source-version writer-txn idempotence exactly
+    like stream_replicate (checkpoint replays re-apply nothing).
+
+    Source DELETE rows are ignored by design: an entity's removal is
+    an attribute change in a type-2 dimension (soft delete), not an
+    absence — feed deletions as a state column if they must close
+    ranges.  Within one source version, a key's LATEST row by
+    (``ts_col``, then the natural change order) wins, matching
+    scd2_build's change-point semantics.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import (
+        scd2_build,
+        scd2_delta,
+    )
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    spark = src.spark
+    register(spark)
+    app_id = f"scd2::{os.path.abspath(src.path)}"
+
+    def apply_batch(batch_df, _batch_id) -> None:
+        rows = batch_df.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).persist()
+        try:
+            versions = sorted(
+                r["_commit_version"]
+                for r in rows.select("_commit_version").distinct().collect()
+            )
+            for v in versions:
+                head = dim.latest_commit()
+                if (
+                    head is not None
+                    and (head.txns or {}).get(app_id, -1) >= v
+                ):
+                    continue  # replayed source version
+                delta_rows = rows.filter(
+                    F.col("_commit_version") == v
+                ).drop("_change_type", "_commit_version")
+                w = Window.partitionBy(key).orderBy(
+                    F.col(ts_col).desc()
+                )
+                snap = (
+                    delta_rows.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") == 1)
+                    .select(key, *attrs, ts_col)
+                )
+                if dim.exists():
+                    delta = scd2_delta(
+                        dim.read(), snap, key, attrs, ts_col
+                    )
+                    dim.upsert(
+                        delta, [key, "valid_from"], txn=(app_id, v)
+                    )
+                else:
+                    dim.write(
+                        scd2_build(snap, key, ts_col, attrs),
+                        mode="overwrite",
+                        primary_key=[key, "valid_from"],
+                        txn=(app_id, v),
+                    )
+        finally:
+            rows.unpersist()
+
+    feed = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", src.path)
+        .option("startingVersion", "0")
+        .load()
+    )
+    writer = feed.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
