@@ -148,3 +148,61 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "column string, n_rows bigint, n_nulls bigint, "
         "n_distinct bigint, min_value string, max_value string",
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier detection: rows whose value deviates
+    more than ``z`` standard deviations from THEIR GROUP's mean — the
+    numeric-anomaly audit of the DQ family (a global threshold would
+    drown per-segment anomalies in cross-segment variance).
+
+    Group stats ride the round→DECIMAL idiom (exact, order-free sums;
+    one map-side-combined aggregation, |groups| rows out), broadcast
+    back onto the stream — no window over the full data, no second
+    shuffle.  The z computation is a fixed-shape double expression on
+    exact-decimal-derived inputs, so the flagged set is deterministic
+    across partitionings and engines.
+
+    Returns (group, id, value, zscore) for flagged rows, zscore
+    rounded 6dp.
+    """
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    stats = (
+        df.select(F.col(group_col), v6.alias("_v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(24,6)")).alias("_s"),
+            F.sum(
+                F.col("_v").cast("decimal(24,6)")
+                * F.col("_v").cast("decimal(24,6)")
+            ).alias("_s2"),
+        )
+        .select(
+            group_col,
+            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+            F.sqrt(
+                F.col("_s2").cast("double") / F.col("_n")
+                - (F.col("_s").cast("double") / F.col("_n"))
+                * (F.col("_s").cast("double") / F.col("_n"))
+            ).alias("_sd"),
+        )
+    )
+    return (
+        df.select(
+            F.col(group_col), F.col(id_col), v6.alias("value")
+        )
+        .join(F.broadcast(stats), group_col)
+        .withColumn(
+            "zscore",
+            F.round((F.col("value") - F.col("_m")) / F.col("_sd"), 6),
+        )
+        .filter(F.abs((F.col("value") - F.col("_m")) / F.col("_sd")) > z)
+        .select(group_col, id_col, "value", "zscore")
+    )

@@ -181,3 +181,91 @@ def gap_fill_hourly(
             ),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-SEEN day (their
+    cohort), counted by how many are active at each day offset from
+    it — the activation/retention curve every product-analytics stack
+    computes.
+
+    Two keyed aggregations, no self-join: (1) min(ts) per user → the
+    cohort assignment (broadcast-sized: one row per user); (2) the
+    events stream joins its user's cohort day and aggregates distinct
+    users per (cohort_day, day_offset). At 100 TB the first agg is a
+    map-side-combined shuffle on the user key and the second reuses
+    it; the output is |cohorts| x |offsets| — metadata-sized.
+
+    Returns (cohort_day DATE, day_offset INT, n_users BIGINT).
+    """
+    day = F.to_date(F.col(ts_col))
+    firsts = (
+        events.groupBy(user_col)
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    return (
+        events.select(F.col(user_col), day.alias("_d"))
+        .join(firsts, user_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.col("_d"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event credits the
+    user's most recent PRECEDING non-conversion event — the marketing
+    question ("what drove this purchase?") as one per-user window
+    pass.
+
+    ``last(..., ignorenulls)`` over rows-unbounded-to-previous carries
+    the latest touch struct forward; one keyed shuffle, no self-join,
+    no per-conversion subquery.  Conversions with no preceding touch
+    report NULLs (direct conversions).  Deterministic: same-timestamp
+    events order by ``id_col``.
+
+    Returns (user_id, conversion_id, conversion_ts, touch_type,
+    touch_ts).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = F.col(type_col) == conversion_type
+    touch = F.last(
+        F.when(
+            ~is_conv, F.struct(F.col(type_col), F.col(ts_col))
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("_touch", touch)
+        .filter(is_conv)
+        .select(
+            F.col(user_col),
+            F.col(id_col).alias("conversion_id"),
+            F.col(ts_col).alias("conversion_ts"),
+            F.col(f"_touch.{type_col}").alias("touch_type"),
+            F.col(f"_touch.{ts_col}").alias("touch_ts"),
+        )
+    )

@@ -77,6 +77,9 @@ _FRONT = [
     "column_profile_orders",
     "stream_countmin_tokens",
     "hard_negatives_labeled",
+    "cohort_retention_events",
+    "attribution_last_touch",
+    "zscore_outlier_events",
     # last of the r8 unseen tier: pays the Python-DataSource stream
     # cold start that tier-2's stream_cdf_source would otherwise
     # absorb (unseen keys run before everything; 9.2 s at this slot,

@@ -4752,3 +4752,100 @@ def hard_negatives_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id").isin(0, 7, 11, 23, 42))
     return SIM.hard_negatives(emb, anchors, k=3)
+
+
+@query(
+    "cohort_retention_events",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+      CAST(CAST(e.ts AS DATE) - f.cohort_day AS INT) AS day_offset,
+      COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators.sessions.cohort_retention): users
+    bucketed by first-seen day, distinct-counted per day offset — two
+    keyed aggregations, no self-join, metadata-sized output."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, event_type,
+        LAST_VALUE(
+          CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS
+        ) OVER w AS touch_type,
+        LAST_VALUE(
+          CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS
+        ) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+           touch_type, touch_ts
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators.sessions
+    .attribution_last_touch): every purchase credits the user's most
+    recent preceding non-purchase event — one keyed window pass with
+    ignorenulls last, no self-join."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        attribution_last_touch,
+    )
+
+    return attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "zscore_outlier_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, ROUND(value, 6) AS v FROM events
+    ),
+    a AS (
+      SELECT event_type,
+        CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS m,
+        SQRT(
+          CAST(SUM(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6)))
+               AS DOUBLE) / COUNT(*)
+          - (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))
+            * (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))
+        ) AS sd
+      FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, s.event_id, s.v AS value,
+      ROUND((s.v - a.m) / a.sd, 6) AS zscore
+    FROM s JOIN a USING (event_type)
+    WHERE ABS((s.v - a.m) / a.sd) > 3
+    """,
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly audit (operators.dq.zscore_outliers):
+    values more than 3 sigma from their event-type's mean; exact
+    decimal group stats broadcast back, deterministic flag set."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        zscore_outliers,
+    )
+
+    return zscore_outliers(
+        load_table(spark, sf_dir, "events"),
+        "value", "event_type", "event_id",
+    )
