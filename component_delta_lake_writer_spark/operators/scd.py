@@ -92,6 +92,25 @@ def scd2_build(
     )
 
 
+def _dedup_snapshot(
+    snapshot: DataFrame, key: str, attrs: list[str], ts_col: str
+) -> DataFrame:
+    """(key, _snap struct, _eff) projection, keeping the LATEST row
+    per key by ``ts_col`` when the snapshot carries several."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    return (
+        snapshot.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(key),
+            F.struct(*attrs).alias("_snap"),
+            F.col(ts_col).alias("_eff"),
+        )
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     snapshot: DataFrame,
@@ -109,12 +128,14 @@ def scd2_apply(
     - unchanged current rows, historical rows, and keys absent from
       the snapshot pass through untouched (missing ≠ deleted — soft
       deletes are an attribute, not an absence).
+
+    A snapshot with several rows per key keeps the LATEST by
+    ``ts_col`` (deterministic — a raw multi-row snapshot would
+    multiply current rows through the join and corrupt the
+    dimension); snapshots are expected to be effective-time monotone
+    per key, the CDC contract.
     """
-    snap = snapshot.select(
-        F.col(key),
-        F.struct(*attrs).alias("_snap"),
-        F.col(ts_col).alias("_eff"),
-    )
+    snap = _dedup_snapshot(snapshot, key, attrs, ts_col)
     cur = dim.filter(F.col("is_current")).alias("c")
     rest = dim.filter(~F.col("is_current"))
     j = cur.join(snap, key, "left").withColumn(
@@ -173,12 +194,9 @@ def scd2_delta(
     the new current rows — keyed by ``(key, valid_from)``.  This is
     the MERGE source for an incremental ManagedTable upsert: the
     dimension pays O(changed keys) per batch, never a rewrite of the
-    untouched history."""
-    snap = snapshot.select(
-        F.col(key),
-        F.struct(*attrs).alias("_snap"),
-        F.col(ts_col).alias("_eff"),
-    )
+    untouched history.  Multi-row-per-key snapshots dedup to the
+    latest by ``ts_col``, same as scd2_apply."""
+    snap = _dedup_snapshot(snapshot, key, attrs, ts_col)
     cur = dim.filter(F.col("is_current")).alias("c")
     j = cur.join(snap, key, "inner").withColumn(
         "_cur", F.struct(*[F.col(f"c.{a}") for a in attrs])

@@ -1683,3 +1683,33 @@ def test_scd2_build_range_invariants(spark):
                 and (v["valid_to"] is None or t < v["valid_to"])
             ]
             assert len(live) == 1, (k, t, live)
+
+
+def test_scd2_apply_dedups_multirow_snapshot(spark):
+    """A snapshot carrying several rows per key must apply as its
+    LATEST state per key, not multiply current rows through the
+    join."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "x")], "k long, ts long, state string"
+    )
+    dim = scd2_build(hist, "k", "ts", ["state"])
+    snap = spark.createDataFrame(
+        [(1, "b", 20), (1, "c", 30), (2, "x", 25)],
+        "k long, state string, ts long",
+    )
+    out = scd2_apply(dim, snap, "k", ["state"], "ts").collect()
+    k1 = sorted(
+        [(r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out if r["k"] == 1]
+    )
+    # latest snapshot state 'c' @30 wins; 'b' @20 never lands
+    assert k1 == [("a", 10, 30, False), ("c", 30, None, True)]
+    k2 = [(r["state"], r["is_current"]) for r in out if r["k"] == 2]
+    assert k2 == [("x", True)]  # unchanged -> untouched
