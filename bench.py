@@ -532,6 +532,73 @@ def _quantized_curve(
     }
 
 
+def _scd2_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 10)
+) -> dict:
+    """Measured SCD2 build scaling (round 8): scd2_build over the
+    events history replicated x1/x10 (user ids offset per replica so
+    the key space grows with the data — the realistic shape). The
+    claim: ONE keyed shuffle, both window passes sharing the sort
+    (plan-locked), so time grows ~linearly while the per-job floor
+    dominates the small point. Median-of-3 with spread."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import scd2_build
+    from component_delta_lake_writer_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    points = []
+    for scale in scales:
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.select(
+                    (F.col("event_id") + F.lit(i * 10**9)).alias(
+                        "event_id"
+                    ),
+                    (F.col("user_id") + F.lit(i * 10**6)).alias(
+                        "user_id"
+                    ),
+                    "ts",
+                    "event_type",
+                )
+                for i in range(scale)
+            ],
+        ).persist()
+        rows = df.count()
+
+        def trial() -> float:
+            t0 = time.perf_counter()
+            scd2_build(
+                df, "user_id", "ts", ["event_type"],
+                tiebreak=["event_id"],
+            ).count()
+            return time.perf_counter() - t0
+
+        trial()  # codegen warm-up
+        sec, spread = _med3(trial)
+        df.unpersist()
+        points.append(
+            {
+                "scale": scale,
+                "rows": rows,
+                "sec": round(sec, 3),
+                "spread": spread,
+                "rows_per_sec": round(rows / sec, 1),
+            }
+        )
+    lo, hi = points[0], points[-1]
+    grew = hi["rows"] // max(lo["rows"], 1)
+    return {
+        "points": points,
+        "time_ratio_x%d" % grew: round(hi["sec"] / lo["sec"], 2),
+    }
+
+
 def _row_tracking_overhead(spark, sf_dir: str) -> dict:
     """Write orders (x3 replicated) + append + clustered optimize +
     full read, tracking OFF vs ON — per-phase seconds and the total
@@ -961,6 +1028,15 @@ def main() -> None:
             print(f"# quantized_curve/x{p['scale']}: {p}", file=sys.stderr)
     except Exception as exc:
         print(f"# quantized curve failed: {exc}", file=sys.stderr)
+
+    # measured SCD2 build curve (r8): one keyed shuffle, ~linear
+    try:
+        scurve = _scd2_curve(spark, SF_DIR)
+        result["scd2_curve"] = scurve
+        for p in scurve["points"]:
+            print(f"# scd2_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# scd2 curve failed: {exc}", file=sys.stderr)
 
     # Measured row-tracking cost (round 6): the feature's claim is
     # "metadata-priced" — one footer read per new file at publish, a
