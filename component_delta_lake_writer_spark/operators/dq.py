@@ -203,6 +203,12 @@ def zscore_outliers(
             "zscore",
             F.round((F.col("value") - F.col("_m")) / F.col("_sd"), 6),
         )
-        .filter(F.abs((F.col("value") - F.col("_m")) / F.col("_sd")) > z)
+        # sd=0 (constant group): no outliers by definition — without
+        # the guard the division yields NaN, and NaN compares GREATER
+        # in both engines, silently flagging every row of the group
+        .filter(
+            (F.col("_sd") > 0)
+            & (F.abs((F.col("value") - F.col("_m")) / F.col("_sd")) > z)
+        )
         .select(group_col, id_col, "value", "zscore")
     )

@@ -1713,3 +1713,22 @@ def test_scd2_apply_dedups_multirow_snapshot(spark):
     assert k1 == [("a", 10, 30, False), ("c", 30, None, True)]
     k2 = [(r["state"], r["is_current"]) for r in out if r["k"] == 2]
     assert k2 == [("x", True)]  # unchanged -> untouched
+
+
+def test_zscore_outliers_constant_group(spark):
+    """A constant group (sd=0) has NO outliers by definition — the
+    NaN division must not flag every row (NaN compares greater than
+    any threshold in both engines)."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        zscore_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(10)]
+        + [("b", 100 + i, float(i)) for i in range(30)]
+        + [("b", 999, 1e6)],
+        "g string, id long, v double",
+    )
+    out = zscore_outliers(df, "v", "g", "id").collect()
+    assert all(r["g"] == "b" for r in out)
+    assert any(r["id"] == 999 for r in out)
