@@ -1042,3 +1042,37 @@ def test_merge_stats_accs_semantics():
         {"y": {"min": "a", "max": "b", "nulls": 0, "bad": False}},
     )
     assert set(m) == {"x", "y"}
+
+
+def test_convert_distributed_stats_end_to_end(spark, tmp_path):
+    """CONVERT of an 80-file lake (over DISTRIBUTE_THRESHOLD) must
+    land the same commit stats the driver loop would: exact row
+    count, prunable min/max (read_where actually skips), and ANALYZE
+    over the same table stays consistent."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    src = str(tmp_path / "lake")
+    spark.range(8000).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).repartition(80, "k").write.parquet(src)
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.convert_from_parquet(src)
+    c = t.latest_commit()
+    st = c.stats[c.data_units[0]]
+    assert st["_rows"] == 8000
+    assert st["k"]["min"] == 0 and st["k"]["max"] == 7999
+    assert t.read_where("k >= 7990").count() == 10
+    assert t.row_count() == 8000
+    # ANALYZE re-collects through the same distributed pass
+    t.recompute_stats()
+    st2 = t.latest_commit().stats[c.data_units[0]]
+    assert st2["_rows"] == 8000 and st2["k"]["max"] == 7999
+
+    # NO STATISTICS path: distributed row count only
+    t2 = ManagedTable(spark, str(tmp_path / "t2"))
+    t2.convert_from_parquet(src, collect_stats=False)
+    st3 = next(iter(t2.latest_commit().stats.values()))
+    assert st3 == {"_rows": 8000}
