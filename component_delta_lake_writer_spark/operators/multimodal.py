@@ -163,3 +163,42 @@ def byte_histogram_features(
     return df.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
         fn, schema
     )
+
+
+def parse_png_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse PNG container metadata — signature validity, IHDR
+    width/height, bit depth, color type — STRAIGHT FROM THE BYTES as
+    Catalyst expressions (hex-slice → base-16 conv): the image
+    metadata tier of the multimodal family needs no codec library,
+    so unlike pixel decode (``decode_stub``) it is fully real here.
+    Non-PNG payloads yield is_png=false with NULL fields, never an
+    error — a 100 TB mixed-media crawl always contains garbage.
+
+    Layout parsed: 8-byte signature 89 50 4E 47 0D 0A 1A 0A, then the
+    IHDR chunk (4-byte length, 'IHDR', big-endian u32 width at bytes
+    17-20, height at 21-24, bit depth at 25, color type at 26).
+    Returns (id, is_png, width, height, bit_depth, color_type).
+    """
+    b = F.col(bin_col)
+    sig = F.hex(F.substring(b, 1, 8)) == F.lit("89504E470D0A1A0A")
+    ihdr = F.substring(b, 13, 4).cast("string") == F.lit("IHDR")
+    ok = sig & ihdr & (F.length(b) >= 26)
+
+    def be32(pos: int):
+        return F.conv(F.hex(F.substring(b, pos, 4)), 16, 10).cast("int")
+
+    def u8(pos: int):
+        return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("int")
+
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_png"),
+        F.when(ok, be32(17)).alias("width"),
+        F.when(ok, be32(21)).alias("height"),
+        F.when(ok, u8(25)).alias("bit_depth"),
+        F.when(ok, u8(26)).alias("color_type"),
+    )

@@ -1454,3 +1454,52 @@ def interpolate_linear_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interpolate_linear(joined, on="t", value_col="v", by=["grp"])
     return out.select("grp", "h", F.round("v", 6).alias("v"))
+
+
+@query(
+    "png_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_png,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(100 + doc_id % 500 AS INT) END AS width,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(100 + doc_id % 300 AS INT) END AS height,
+      CASE WHEN doc_id % 7 <> 0 THEN 8 END AS bit_depth,
+      CASE WHEN doc_id % 7 <> 0 THEN 6 END AS color_type
+    FROM documents
+    """,
+)
+def png_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG container-metadata parse
+    (operators.multimodal.parse_png_meta): each document's payload is
+    staged as a REAL PNG signature + IHDR header (dimensions derived
+    from doc_id; every 7th doc gets garbage bytes instead), and the
+    parser recovers width/height/bit-depth/color-type from the raw
+    bytes with hex-slice Catalyst expressions — the codec-free
+    metadata tier of the multimodal family, with the garbage rows
+    proving the never-throws contract. The oracle recomputes the
+    staged header fields from the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_png_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hdr_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),        # signature
+        F.lit("0000000D"),                 # IHDR length 13
+        F.lit("49484452"),                 # 'IHDR'
+        F.format_string("%08x", (F.lit(100) + F.col("doc_id") % 500)),
+        F.format_string("%08x", (F.lit(100) + F.col("doc_id") % 300)),
+        F.lit("0806"),                     # bit depth 8, color type 6
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_png_meta(staged)
