@@ -202,3 +202,49 @@ def parse_png_meta(
         F.when(ok, u8(25)).alias("bit_depth"),
         F.when(ok, u8(26)).alias("color_type"),
     )
+
+
+def parse_wav_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse WAV/RIFF container metadata — channels, sample rate,
+    bits per sample, PCM flag — from the raw bytes, Catalyst-only
+    (the audio sibling of ``parse_png_meta``). RIFF integers are
+    LITTLE-endian, so multi-byte fields assemble from per-byte hex
+    slices in reversed order. Assumes the canonical layout ('RIFF' +
+    size + 'WAVE' + 'fmt ' chunk first — what every encoder writes);
+    anything else yields is_wav=false with NULL fields.
+
+    Returns (id, is_wav, audio_format, n_channels, sample_rate,
+    bits_per_sample).
+    """
+    b = F.col(bin_col)
+
+    def le(pos: int, nbytes: int):
+        return F.conv(
+            F.concat(
+                *[
+                    F.hex(F.substring(b, pos + i, 1))
+                    for i in range(nbytes - 1, -1, -1)
+                ]
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    ok = (
+        (F.substring(b, 1, 4).cast("string") == F.lit("RIFF"))
+        & (F.substring(b, 9, 4).cast("string") == F.lit("WAVE"))
+        & (F.substring(b, 13, 4).cast("string") == F.lit("fmt "))
+        & (F.length(b) >= 36)
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_wav"),
+        F.when(ok, le(21, 2)).alias("audio_format"),
+        F.when(ok, le(23, 2)).alias("n_channels"),
+        F.when(ok, le(25, 4)).alias("sample_rate"),
+        F.when(ok, le(35, 2)).alias("bits_per_sample"),
+    )

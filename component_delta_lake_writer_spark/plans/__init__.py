@@ -81,6 +81,7 @@ _FRONT = [
     "attribution_last_touch",
     "zscore_outlier_events",
     "png_meta_parse",
+    "wav_meta_parse",
     # last of the r8 unseen tier: pays the Python-DataSource stream
     # cold start that tier-2's stream_cdf_source would otherwise
     # absorb (unseen keys run before everything; 9.2 s at this slot,

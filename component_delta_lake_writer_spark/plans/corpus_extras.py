@@ -1503,3 +1503,76 @@ def png_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_png_meta(staged)
+
+
+@query(
+    "wav_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 5 <> 0) AS is_wav,
+      CASE WHEN doc_id % 5 <> 0 THEN 1 END AS audio_format,
+      CASE WHEN doc_id % 5 <> 0
+           THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels,
+      CASE WHEN doc_id % 5 <> 0 THEN CAST(
+        CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+          ELSE 44100 END AS INT) END AS sample_rate,
+      CASE WHEN doc_id % 5 <> 0
+           THEN CAST(16 + 8 * (doc_id % 2) AS INT) END
+        AS bits_per_sample
+    FROM documents
+    """,
+)
+def wav_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF container-metadata parse
+    (operators.multimodal.parse_wav_meta): payloads staged as real
+    RIFF/WAVE/fmt headers with little-endian fields derived from
+    doc_id (every 5th doc gets garbage); the parser reassembles the
+    LE integers from per-byte hex slices. Audio sibling of
+    png_meta_parse — the multimodal metadata tier, codec-free."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_wav_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    sr = (
+        F.when(F.col("doc_id") % 3 == 0, 16000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(44100)
+        .cast("int")
+    )
+    bits = (F.lit(16) + 8 * (F.col("doc_id") % 2)).cast("int")
+
+    def le16(v):
+        return F.format_string(
+            "%02x%02x", (v % 256).cast("int"),
+            (v / 256).cast("int") % 256,
+        )
+
+    def le32(v):
+        return F.format_string(
+            "%02x%02x%02x%02x",
+            (v % 256).cast("int"),
+            ((v / 256).cast("int") % 256),
+            ((v / 65536).cast("int") % 256),
+            ((v / 16777216).cast("int") % 256),
+        )
+
+    hdr_hex = F.concat(
+        F.lit("52494646"), F.lit("24000000"),       # RIFF, size 36
+        F.lit("57415645"), F.lit("666d7420"),       # WAVE, 'fmt '
+        F.lit("10000000"),                           # fmt len 16
+        le16(F.lit(1)), le16(ch), le32(sr),
+        F.lit("000000000000"),                       # byte rate+align
+        le16(bits),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_wav_meta(staged)
