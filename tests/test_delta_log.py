@@ -2449,3 +2449,58 @@ def test_retention_compaction_v2_dv_composite(spark, tmp_path):
         )
     }
     assert set(seeded3[0]) <= eng_units
+
+
+def test_column_mapping_dv_checkpoint_composite(spark, tmp_path):
+    """columnMapping composed with MOR deletes (DVs), v2 checkpoints
+    and a post-rename rewrite on ONE table: the external snapshot
+    (physical-name parquet + DV exclusion + logical-name mapping)
+    must match the engine at every step, including replay through the
+    checkpoint after the renamed column gathered new data."""
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+        read_last_checkpoint,
+        replay_delta_log_from_checkpoint,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(120).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(
+        df.coalesce(1), mode="overwrite", primary_key=["k"],
+        properties={
+            "delta.checkpointPolicy": "v2",
+            "delta.checkpointInterval": "4",
+        },
+    )  # v0
+    t.rename_column("v", "val")                      # v1 (mapping on)
+    t.delete_where("k % 7 = 0", strategy="merge-on-read")  # v2: DV
+    t.write(
+        df.withColumn("k", F.col("k") + F.lit(1000))
+        .withColumnRenamed("v", "val")
+        .coalesce(1),
+        mode="append",
+    )  # v3
+    # v4: checkpoint fires at interval 4
+    t.update_where("k = 1001", {"val": "val + 9"})   # v4 COW rewrite
+    t.delete_where("k >= 1100", strategy="merge-on-read")  # v5: 2nd DV
+    assert read_last_checkpoint(t.path)["version"] == 3
+
+    def _pairs(dframe):
+        return sorted((r["k"], r["val"]) for r in dframe.collect())
+
+    eng = _pairs(t.read())
+    ext = _pairs(read_delta_table(spark, t.path))
+    assert ext == eng
+    assert all(k % 7 != 0 for k, _ in eng if k < 1000)
+    assert all(k < 1100 for k, _ in eng)
+    # checkpoint-seeded replay agrees with the full-JSON file set
+    files, schema, _parts = replay_delta_log_from_checkpoint(t.path)
+    # logical name is the renamed one; the PHYSICAL name legitimately
+    # stays the original (that is what columnMapping is for)
+    assert '"name": "val"' in schema
+    assert '"delta.columnMapping.physicalName": "v"' in schema
+    # rename survives another rewrite + read after MORE commits
+    t.optimize()                                      # v6: DVs fold in
+    assert _pairs(read_delta_table(spark, t.path)) == _pairs(t.read())
