@@ -82,6 +82,7 @@ _FRONT = [
     "zscore_outlier_events",
     "png_meta_parse",
     "wav_meta_parse",
+    "gdpr_erasure_audit",
     # last of the r8 unseen tier: pays the Python-DataSource stream
     # cold start that tier-2's stream_cdf_source would otherwise
     # absorb (unseen keys run before everything; 9.2 s at this slot,

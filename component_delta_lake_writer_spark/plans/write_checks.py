@@ -2213,3 +2213,53 @@ _O["stream_scd2_follow"] = """
     FROM ch
     WINDOW w AS (PARTITION BY user_id ORDER BY v)
 """
+
+
+@query("gdpr_erasure_audit")
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten END TO END: an erasure key list lands as
+    a merge-on-read equality delete (O(keys) commit — the compliance
+    clock starts immediately), OPTIMIZE materializes the delete into
+    rewritten files, VACUUM reclaims every pre-erasure unit — and the
+    probe then scans the RAW parquet files on disk with pyarrow,
+    asserting the erased keys survive in NO byte of the table
+    directory (the audit a regulator actually cares about; a snapshot
+    read hiding the rows is not erasure). Returns the surviving rows,
+    fully oracled."""
+    import pyarrow.parquet as pq
+
+    t = _fresh_table(spark, "gdpr_erasure", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).filter(F.col("o_orderkey") % 4 == 0)
+    t.write(o.coalesce(2), mode="overwrite",
+            primary_key=["o_orderkey"])
+    erase = o.filter(F.col("o_custkey") % 9 == 3).select("o_orderkey")
+    t.delete_keys(erase)          # O(keys): rows hidden from reads NOW
+    t.optimize()                  # materialize: delete sets fold away
+    t.vacuum(retention_hours=0)   # reclaim every pre-erasure file
+    erased_keys = {r["o_orderkey"] for r in erase.collect()}
+    for root, _dirs, files in os.walk(
+        os.path.join(t.path, "_data")
+    ):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(
+                os.path.join(root, fn), columns=["o_orderkey"]
+            )
+            on_disk = set(tbl.column("o_orderkey").to_pylist())
+            leaked = on_disk & erased_keys
+            assert not leaked, (
+                f"erased keys still on disk in {fn}: "
+                f"{sorted(leaked)[:5]}"
+            )
+    return t.read()
+
+
+_O["gdpr_erasure_audit"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 4 = 0 AND o_custkey % 9 <> 3
+"""
