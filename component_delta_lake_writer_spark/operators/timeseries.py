@@ -270,3 +270,61 @@ def range_join(
         )
         .drop("_rj_bucket")
     )
+
+
+def ewma_latest(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tiebreak: str | None = None,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, LATEST value:
+    acc ← alpha·x + (1−alpha)·acc folded over the key's series in
+    time order (first observation seeds the accumulator) — the
+    smoothed-signal primitive behind alerting baselines and trend
+    features.
+
+    EWMA is inherently recursive, which no window frame expresses —
+    so the series folds as ``sort_array(collect_list(struct(ts, x)))``
+    + ``F.aggregate``: ONE keyed aggregation, with the sequential
+    in-order fold making the double result deterministic and
+    engine-portable (the oracle replays the identical fold with
+    list_reduce). State is bounded by the per-key series length —
+    fine for entity-keyed telemetry; window-bucket the key for
+    unbounded single-entity streams.
+
+    Returns (key, n_obs, ewma).
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
+    packed = F.struct(*order_cols, F.col(value_col).cast("double").alias("_v"))
+    series = F.sort_array(F.collect_list(packed))
+    fold = F.aggregate(
+        series,
+        F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.when(acc["n"] == 0, s["_v"])
+            .otherwise(
+                F.lit(alpha) * s["_v"]
+                + F.lit(1.0 - alpha) * acc["acc"]
+            )
+            .alias("acc"),
+        ),
+    )
+    out = df.groupBy(key).agg(fold.alias("_f"))
+    ew = F.col("_f.acc")
+    return out.select(
+        key,
+        F.col("_f.n").alias("n_obs"),
+        (F.round(ew, round_dp) if round_dp is not None else ew).alias(
+            "ewma"
+        ),
+    )

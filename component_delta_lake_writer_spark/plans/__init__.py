@@ -83,6 +83,7 @@ _FRONT = [
     "png_meta_parse",
     "wav_meta_parse",
     "gdpr_erasure_audit",
+    "ewma_user_values",
     # last of the r8 unseen tier: pays the Python-DataSource stream
     # cold start that tier-2's stream_cdf_source would otherwise
     # absorb (unseen keys run before everything; 9.2 s at this slot,

@@ -4849,3 +4849,34 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         "value", "event_type", "event_id",
     )
+
+
+@query(
+    "ewma_user_values",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+        list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
+      ROUND(
+        list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6
+      ) AS ewma
+    FROM s
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators.timeseries
+    .ewma_latest, alpha=0.3): the recursive fold no window frame
+    expresses, run as one keyed aggregation with an in-order
+    sequential fold — the oracle replays the identical recursion with
+    list_reduce, so the doubles match bit-for-bit."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        ewma_latest,
+    )
+
+    return ewma_latest(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", "value", alpha=0.3, tiebreak="event_id",
+    )
