@@ -1732,3 +1732,48 @@ def test_zscore_outliers_constant_group(spark):
     out = zscore_outliers(df, "v", "g", "id").collect()
     assert all(r["g"] == "b" for r in out)
     assert any(r["id"] == 999 for r in out)
+
+
+def test_stream_scd2_fresh_checkpoint_noop(spark, tmp_path):
+    """Checkpoint loss for the SCD2 follower: a second run with a
+    FRESH checkpoint replays every source version; the per-version
+    txn watermarks must no-op them all — the dimension's version and
+    contents are unchanged (a replay that re-applied would close and
+    re-open every current row)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import stream_scd2
+
+    src = ManagedTable(spark, str(tmp_path / "src"))
+    dim = ManagedTable(spark, str(tmp_path / "dim"))
+    base = spark.createDataFrame(
+        [(k, "a", 10) for k in range(40)],
+        "k long, state string, ts long",
+    )
+    src.write(base.coalesce(1), mode="overwrite", primary_key=["k"],
+              properties={"enableChangeDataFeed": True,
+                          "mirror.dvMode": "deferred"})
+    src.upsert(
+        base.filter(F.col("k") % 3 == 0)
+        .withColumn("state", F.lit("b"))
+        .withColumn("ts", F.lit(20).cast("long")),
+        ["k"],
+    )
+    q = stream_scd2(src, dim, "k", "ts", ["state"],
+                    checkpoint_dir=str(tmp_path / "ckpt_a"))
+    q.awaitTermination()
+    v1 = dim.latest_commit().version
+    rows1 = sorted(map(tuple, dim.read().collect()))
+    # fresh checkpoint: full replay, zero re-application
+    q2 = stream_scd2(src, dim, "k", "ts", ["state"],
+                     checkpoint_dir=str(tmp_path / "ckpt_b"))
+    q2.awaitTermination()
+    assert dim.latest_commit().version == v1
+    assert sorted(map(tuple, dim.read().collect())) == rows1
+    # sanity on the dimension itself
+    cur = dim.read().filter("is_current")
+    assert cur.count() == 40
+    assert cur.filter("state = 'b'").count() == 14
