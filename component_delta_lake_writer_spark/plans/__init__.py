@@ -54,17 +54,20 @@ _FRONT = [
     "catalog_actions",
     "convert_to_delta",
     "analyze_table_stats",
+    "gdpr_erasure_audit",
     "stream_dedup_events",
     "upsert_mor",
     "mor_delete_read",
     "stream_cdf_source",
     "stream_replicate_cdf",
     "streaming_hourly_agg",
+    # r8 STREAMING keys after their warmers (the relaxed unseen-tier
+    # rule keeps them here instead of a cold front slot)
+    "stream_countmin_tokens",
+    "stream_scd2_follow",
     "ngram_containment_dedup",
     "ngram_novelty_docs",
-    # new in round 8: packed 1-bit retrieval; plus the CDF keys whose
-    # MOR-delete mirror path changed (cdc actions now staged
-    # pre-publish)
+    # r8 non-streaming new keys
     "hamming_packed_topk",
     "binary_quant_hamming_topk",
     "scd2_build_events",
@@ -75,20 +78,15 @@ _FRONT = [
     "edit_distance_pairs_docs",
     "embedding_dim_stats",
     "column_profile_orders",
-    "stream_countmin_tokens",
     "hard_negatives_labeled",
     "cohort_retention_events",
     "attribution_last_touch",
     "zscore_outlier_events",
     "png_meta_parse",
     "wav_meta_parse",
-    "gdpr_erasure_audit",
     "ewma_user_values",
-    # last of the r8 unseen tier: pays the Python-DataSource stream
-    # cold start that tier-2's stream_cdf_source would otherwise
-    # absorb (unseen keys run before everything; 9.2 s at this slot,
-    # 19 s cold-first)
-    "stream_scd2_follow",
+    # CDF keys whose MOR-delete mirror path changed this round (cdc
+    # actions now staged pre-publish)
     "cdf_external_read",
     "cdc_read_changes",
     "delta_dv_external_read",
@@ -422,9 +420,15 @@ def _driver_evidence() -> tuple[set, set]:
 
 def _reorder() -> None:
     """Registry order = the driver's check order. Priority: (0) keys
-    whose newest driver row is red, (1) keys with NO driver row yet,
-    (2) standing-green keys — each tier in _FRONT order (unknown keys
-    after it, registration order). This self-rotates the front-50
+    whose newest driver row is red, (1) keys with NO driver row yet
+    AND no explicit _FRONT slot (the safety net: a key registered
+    without curation still reaches the budget window immediately),
+    (2) everything else in _FRONT order. An UNSEEN key that IS listed
+    in _FRONT deliberately keeps its listed position: new probes that
+    need machinery warm-up (the Python-DataSource streaming keys) can
+    be placed AFTER their warmers instead of being forced to a cold
+    front slot — r8's stream_scd2_follow measured 12 s cold-first vs
+    ~9 s after the CDF warmers. This still self-rotates the front-50
     every round: once CORRECTNESS_rN lands in the repo, the next
     import pushes the still-unchecked tail forward automatically."""
     red, seen = _driver_evidence()
@@ -435,7 +439,9 @@ def _reorder() -> None:
         front_pos.setdefault(k, i)
 
     def _key(k: str) -> tuple:
-        tier = 0 if k in red else (1 if k not in seen else 2)
+        tier = 0 if k in red else (
+            1 if (k not in seen and k not in front_pos) else 2
+        )
         return (tier, front_pos.get(k, len(_FRONT)), k)
 
     ordered_keys = sorted(QUERIES, key=_key)
