@@ -1891,3 +1891,54 @@ def test_concurrent_cdf_upserts_stage_safely(spark, tmp_path):
     assert not [n for n in names if n.startswith("stage-")], names
     # the change feed across the winners replays cleanly
     assert t.read_changes(base_version).count() > 0
+
+
+def test_identity_generated_cdf_composite(spark, tmp_path_str):
+    """Identity + generated partition column + CDF composed on one
+    table across appends and a COW DELETE: identity values stay
+    unique/monotone through every commit, the generated partition
+    column derives for appended AND change-set rows, the change feed
+    attributes the delete's images with their identity values intact,
+    and an external snapshot read agrees after the rewrite."""
+    import os
+
+    from component_delta_lake_writer_spark.sinks.delta_log import (
+        read_delta_table,
+    )
+
+    t = ManagedTable(spark, os.path.join(tmp_path_str, "t"))
+    df = spark.range(30).select(F.col("id").alias("k"))
+    t.write(
+        df,
+        mode="overwrite",
+        partition_by=["bucket"],
+        generated_columns={"bucket": "CAST(k % 3 AS INT)"},
+        identity_columns={"rid": {"start": 1, "step": 1}},
+        properties={"enableChangeDataFeed": True},
+    )  # v0
+    t.write(
+        df.withColumn("k", F.col("k") + 100), mode="append"
+    )  # v1: identity continues, bucket derives
+    t.delete_where("k % 5 = 0")  # v2: COW rewrite inside partitions
+
+    out = t.read()
+    rids = [r["rid"] for r in out.collect()]
+    assert len(rids) == len(set(rids)) == 48  # 60 rows - 12 deleted
+    assert out.filter(F.col("bucket") != F.col("k") % 3).count() == 0
+    # CDF: the deleted images carry their identity + generated values
+    ch = t.read_changes(1, with_change_type=True)
+    dels = ch.filter(F.col("_change_type") == "delete")
+    assert dels.count() == 12
+    assert dels.filter(F.col("rid").isNull()).count() == 0
+    assert dels.filter(F.col("bucket") != F.col("k") % 3).count() == 0
+    # external mirror agrees post-rewrite
+    eng = sorted((r["k"], r["rid"]) for r in out.collect())
+    ext = sorted(
+        (r["k"], r["rid"])
+        for r in read_delta_table(spark, t.path).collect()
+    )
+    assert ext == eng
+    # identity high-water survives the rewrite: next append unique
+    t.write(df.withColumn("k", F.col("k") + 200), mode="append")
+    rids2 = [r["rid"] for r in t.read().collect()]
+    assert len(rids2) == len(set(rids2)) == 78
