@@ -458,8 +458,10 @@ def _quantized_curve(
     (untimed, like building any index); the timed part is the query
     stage both designs actually serve. The claim: at the scan-bound
     scale the popcount path over 64x-smaller vectors beats the float
-    path outright — the memory-bound-regime answer the LSH/IVF curves
-    don't cover. Median-of-3 with spread, same as every r8 curve."""
+    path at parity or better — the memory-bound-regime answer the
+    LSH/IVF curves don't cover. Median-of-5 (these queries are
+    sub-second, so scheduling jitter is a larger fraction of the
+    signal than on the other curves) with spread."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -515,7 +517,7 @@ def _quantized_curve(
                 fn().collect()
                 return time.perf_counter() - t0
 
-            sec, spread = _med3(trial)
+            sec, spread = _med3(trial, trials=5)
             point[f"{name}_sec"] = round(sec, 3)
             point[f"{name}_spread"] = spread
         point["hamming_vs_float"] = round(
