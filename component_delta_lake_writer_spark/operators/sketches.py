@@ -69,7 +69,14 @@ def countmin_estimate(
 ) -> DataFrame:
     """Estimated frequency of each candidate value: MIN over its
     ``depth`` counters. The grid broadcasts (<= depth*width rows);
-    the candidate set streams through it."""
+    the candidate set streams through it.
+
+    The grid is SPARSE (only non-empty counters materialize), so the
+    probe LEFT-joins and coalesces a missing counter to 0 — a
+    candidate that was never inserted and hits at least one empty
+    counter must estimate 0, exactly like the dense-array CMS (an
+    inner join silently took the min over only the colliding
+    counters, turning "absent" into a positive overestimate)."""
     j = F.explode(
         F.sequence(F.lit(0), F.lit(depth - 1))
     ).alias("j")
@@ -77,9 +84,11 @@ def countmin_estimate(
         col, "j", _pos(F.col("j"), F.col(col), width).alias("pos")
     )
     return (
-        cpos.join(F.broadcast(sketch), ["j", "pos"])
+        cpos.join(F.broadcast(sketch), ["j", "pos"], "left")
         .groupBy(col)
-        .agg(F.min("c").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count")
+        )
     )
 
 

@@ -1777,3 +1777,54 @@ def test_stream_scd2_fresh_checkpoint_noop(spark, tmp_path):
     cur = dim.read().filter("is_current")
     assert cur.count() == 40
     assert cur.filter("state = 'b'").count() == 14
+
+
+def test_countmin_absent_candidate_estimates_zero(spark):
+    """A candidate NEVER inserted must estimate 0 when any of its
+    counters is empty — the sparse grid's missing rows are zeros, not
+    holes (the inner-join shape silently took the min over only the
+    colliding counters, turning 'absent' into a positive count)."""
+    from component_delta_lake_writer_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    vals = spark.createDataFrame([("a",), ("a",), ("b",)], "x string")
+    sk = countmin_sketch(vals, "x", width=1024, depth=3)
+    cand = spark.createDataFrame(
+        [("a",), ("zzz-never-inserted",)], "x string"
+    )
+    est = {
+        r["x"]: r["est_count"]
+        for r in countmin_estimate(sk, cand, "x", 1024, 3).collect()
+    }
+    assert est["a"] == 2
+    assert est["zzz-never-inserted"] == 0
+
+
+def test_scd2_build_multi_attr_and_null_transitions(spark):
+    """Multi-attribute change detection is null-safe: a->NULL->a is
+    THREE ranges (NULL is a real state), and a change in EITHER
+    attribute opens a new range."""
+    from component_delta_lake_writer_spark.operators.scd import scd2_build
+
+    rows = [
+        (1, 10, "a", "x"),
+        (1, 20, None, "x"),   # attr1 -> NULL: change
+        (1, 30, "a", "x"),    # back: change
+        (1, 40, "a", "y"),    # attr2 changes: change
+        (1, 50, "a", "y"),    # identical: compressed away
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, s1 string, s2 string"
+    )
+    dim = sorted(
+        scd2_build(df, "k", "ts", ["s1", "s2"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["s1"], r["s2"], r["valid_from"], r["valid_to"]) for r in dim] == [
+        ("a", "x", 10, 20),
+        (None, "x", 20, 30),
+        ("a", "x", 30, 40),
+        ("a", "y", 40, None),
+    ]
