@@ -2243,15 +2243,20 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.optimize()                  # materialize: delete sets fold away
     t.vacuum(retention_hours=0)   # reclaim every pre-erasure file
     erased_keys = {r["o_orderkey"] for r in erase.collect()}
-    for root, _dirs, files in os.walk(
-        os.path.join(t.path, "_data")
-    ):
+    # the WHOLE table directory: data units AND the MOR delete-set
+    # files (the erasure key list is itself personal data — vacuum
+    # must reclaim it once optimize folds the delete in)
+    deletes_dir = os.path.join(t.path, "_deletes")
+    assert not os.path.isdir(deletes_dir) or not any(
+        fs for _r, _d, fs in os.walk(deletes_dir)
+    ), "delete-set key list survived vacuum"
+    for root, _dirs, files in os.walk(t.path):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
-            tbl = pq.read_table(
-                os.path.join(root, fn), columns=["o_orderkey"]
-            )
+            tbl = pq.read_table(os.path.join(root, fn))
+            if "o_orderkey" not in tbl.column_names:
+                continue
             on_disk = set(tbl.column("o_orderkey").to_pylist())
             leaked = on_disk & erased_keys
             assert not leaked, (
