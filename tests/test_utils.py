@@ -67,22 +67,36 @@ def test_with_retries_reraises_last():
 
 def test_registry_order_tracks_driver_evidence():
     """The registry self-rotates on the driver's CORRECTNESS files:
-    red keys first, never-checked keys before standing-green ones."""
-    from component_delta_lake_writer_spark.plans import QUERIES
+    red keys first; never-checked keys WITHOUT a curated _FRONT slot
+    precede everything green (the safety net); never-checked keys
+    WITH a slot keep it — but every unseen key must still land inside
+    the driver's 50-key budget window so it gets evidence this
+    round."""
+    from component_delta_lake_writer_spark.plans import QUERIES, _FRONT
     from component_delta_lake_writer_spark.plans import _driver_evidence
 
     red, seen = _driver_evidence()
     ks = list(QUERIES)
-    # every red key precedes every never-checked key, which precedes
-    # every green key (with the current repo evidence files)
     pos = {k: i for i, k in enumerate(ks)}
+    front = set(_FRONT)
     reds = [pos[k] for k in red if k in pos]
-    unseen = [pos[k] for k in ks if k not in seen and k not in red]
-    greens = [pos[k] for k in ks if k in seen and k not in red]
-    if reds and unseen:
-        assert max(reds) < min(unseen)
-    if unseen and greens:
-        assert max(unseen) < min(greens)
+    unseen_uncurated = [
+        pos[k] for k in ks
+        if k not in seen and k not in red and k not in front
+    ]
+    unseen_all = [pos[k] for k in ks if k not in seen and k not in red]
+    greens = [
+        pos[k] for k in ks
+        if k in seen and k not in red and k not in front
+    ]
+    if reds and unseen_all:
+        assert max(reds) < min(unseen_all)
+    # the safety net: an uncurated new key outranks every key that is
+    # neither red nor explicitly placed
+    if unseen_uncurated and greens:
+        assert max(unseen_uncurated) < min(greens)
+    # budget guarantee: every unseen key is inside the first 50
+    assert all(p < 50 for p in unseen_all), sorted(unseen_all)
 
 
 def test_redaction_covers_hadoop_secret_keys():
