@@ -81,24 +81,67 @@ def expectations_summary(
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
-def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
     """One-pass table profile: per column — row count, null count,
-    exact distinct count, lexicographic min/max (values cast to
-    string so heterogeneous columns share one output shape).  The
-    "what is in this table?" primitive every ingestion pipeline runs
-    before trusting a new source.
+    distinct count, lexicographic min/max (values cast to string so
+    heterogeneous columns share one output shape).  The "what is in
+    this table?" primitive every ingestion pipeline runs before
+    trusting a new source.
 
     Scale posture: nulls/min/max come from ONE full-scan aggregation
     (map-side partial, no shuffle of data rows — only per-task partial
-    states); the exact distinct counts run as one grouped pass over
-    (column, value) pairs, shuffle-bounded by the distinct-value
-    volume (the honest cost of exactness — swap in
-    approx_count_distinct when an estimate is acceptable).
+    states).  The distinct counts:
+
+    - ``exact_distinct=True`` (default): one grouped pass over
+      (column, value) pairs, shuffle-bounded by the DISTINCT-VALUE
+      volume — the honest cost of exactness, and the wrong default
+      only when a column is id-like.  On a 100 TB table with a
+      high-cardinality key, that shuffle approaches table size;
+    - ``exact_distinct=False``: HyperLogLog++ sketches
+      (``approx_count_distinct``, relative error ``rsd``) folded into
+      the SAME single full-scan aggregation as nulls/min/max — zero
+      extra passes, shuffle stays O(columns × tasks) regardless of
+      cardinality.  The profile shape is unchanged; counts are
+      estimates.
 
     Returns (column, n_rows, n_nulls, n_distinct, min_value,
-    max_value) — one row per profiled column, deterministic.
+    max_value) — one row per profiled column; deterministic on the
+    exact path.
     """
     cols = cols or df.columns
+    if not exact_distinct:
+        aggs = []
+        for c in cols:
+            s = F.col(c).cast("string")
+            aggs += [
+                F.count(F.lit(1)).alias(f"__n_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+                F.min(s).alias(f"__mn_{c}"),
+                F.max(s).alias(f"__mx_{c}"),
+                F.approx_count_distinct(s, rsd).alias(f"__nd_{c}"),
+            ]
+        base = df.agg(*aggs).collect()[0]
+        rows = [
+            (
+                c,
+                base[f"__n_{c}"],
+                int(base[f"__nn_{c}"] or 0),
+                int(base[f"__nd_{c}"] or 0),
+                base[f"__mn_{c}"],
+                base[f"__mx_{c}"],
+            )
+            for c in cols
+        ]
+        return df.sparkSession.createDataFrame(
+            rows,
+            "column string, n_rows bigint, n_nulls bigint, "
+            "n_distinct bigint, min_value string, max_value string",
+        )
     aggs = []
     for c in cols:
         s = F.col(c).cast("string")
@@ -156,6 +199,7 @@ def zscore_outliers(
     group_col: str,
     id_col: str,
     z: float = 3.0,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-group z-score outlier detection: rows whose value deviates
     more than ``z`` standard deviations from THEIR GROUP's mean — the
@@ -168,6 +212,13 @@ def zscore_outliers(
     shuffle.  The z computation is a fixed-shape double expression on
     exact-decimal-derived inputs, so the flagged set is deterministic
     across partitionings and engines.
+
+    ``broadcast_stats`` (default True) forces the |groups|-row stats
+    side to broadcast — right for segment-cardinality groups (the
+    common audit shape).  Flip it off for a HIGH-cardinality
+    ``group_col`` (e.g. per-user): the forced broadcast would hit the
+    driver/broadcast limit, while a plain join lets AQE pick
+    broadcast vs shuffle from the measured stats size.
 
     Returns (group, id, value, zscore) for flagged rows, zscore
     rounded 6dp.
@@ -187,18 +238,28 @@ def zscore_outliers(
         .select(
             group_col,
             (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+            # clamp the variance at 0: on a constant group the exact
+            # decimal sums leave only decimal→double conversion noise,
+            # which can land a few ulps NEGATIVE — sqrt would then
+            # yield NaN, and NaN compares GREATER in Spark, silently
+            # defeating the _sd > 0 guard below
             F.sqrt(
-                F.col("_s2").cast("double") / F.col("_n")
-                - (F.col("_s").cast("double") / F.col("_n"))
-                * (F.col("_s").cast("double") / F.col("_n"))
+                F.greatest(
+                    F.col("_s2").cast("double") / F.col("_n")
+                    - (F.col("_s").cast("double") / F.col("_n"))
+                    * (F.col("_s").cast("double") / F.col("_n")),
+                    F.lit(0.0),
+                )
             ).alias("_sd"),
         )
     )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
     return (
         df.select(
             F.col(group_col), F.col(id_col), v6.alias("value")
         )
-        .join(F.broadcast(stats), group_col)
+        .join(stats, group_col)
         .withColumn(
             "zscore",
             F.round((F.col("value") - F.col("_m")) / F.col("_sd"), 6),

@@ -96,10 +96,16 @@ def _dedup_snapshot(
     snapshot: DataFrame, key: str, attrs: list[str], ts_col: str
 ) -> DataFrame:
     """(key, _snap struct, _eff) projection, keeping the LATEST row
-    per key by ``ts_col`` when the snapshot carries several."""
+    per key by ``ts_col`` when the snapshot carries several.  Equal
+    timestamps tie-break on the attr struct (descending) so the
+    winner is a deterministic function of the DATA, never of
+    partition order — two identical rows make the choice moot, two
+    differing rows always pick the same one."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), F.struct(*attrs).desc()
+    )
     return (
         snapshot.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
@@ -195,13 +201,28 @@ def scd2_delta(
     the MERGE source for an incremental ManagedTable upsert: the
     dimension pays O(changed keys) per batch, never a rewrite of the
     untouched history.  Multi-row-per-key snapshots dedup to the
-    latest by ``ts_col``, same as scd2_apply."""
+    latest by ``ts_col``, same as scd2_apply.
+
+    Effective-time contract: snapshots must be per-key monotone
+    NON-DECREASING (the CDC ordering guarantee); a snapshot effective
+    BEFORE a key's current ``valid_from`` is out of order and
+    undefined.  The EQUAL case (``_eff == valid_from`` — a
+    same-timestamp correction) is handled as an in-place replace: the
+    close-out would be a zero-length range COLLIDING with the insert
+    on the ``(key, valid_from)`` merge key, so it is dropped and the
+    insert row simply updates the current row through the upsert.
+    (scd2_build/scd2_apply, which rewrite rather than merge, keep the
+    zero-length representation instead — a merge source must stay
+    key-unique.)"""
     snap = _dedup_snapshot(snapshot, key, attrs, ts_col)
     cur = dim.filter(F.col("is_current")).alias("c")
     j = cur.join(snap, key, "inner").withColumn(
         "_cur", F.struct(*[F.col(f"c.{a}") for a in attrs])
     )
-    closeouts = j.filter(_any_attr_differs(attrs, "_snap", "_cur")).select(
+    closeouts = j.filter(
+        _any_attr_differs(attrs, "_snap", "_cur")
+        & (F.col("_eff") > F.col("valid_from"))
+    ).select(
         F.col(key),
         *[F.col(f"c.{a}") for a in attrs],
         F.col("valid_from"),

@@ -1360,10 +1360,17 @@ def embedding_dim_stats(
             # one double conversion of each EXACT decimal sum, then a
             # fixed-shape expression — identical IEEE arithmetic on
             # both engines
+            # clamp at 0: a CONSTANT dimension's variance computes to
+            # ±ulps of 0 after the decimal→double conversions; a few
+            # ulps negative would make sqrt return NaN (Spark) or
+            # raise out-of-range (DuckDB twin)
             F.round(
                 F.sqrt(
-                    F.col("_s2").cast("double") / F.col("n")
-                    - mean_d * mean_d
+                    F.greatest(
+                        F.col("_s2").cast("double") / F.col("n")
+                        - mean_d * mean_d,
+                        F.lit(0.0),
+                    )
                 ),
                 6,
             ).alias("std"),

@@ -4589,8 +4589,9 @@ def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d, n,
       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
-      ROUND(SQRT(CAST(s2 AS DOUBLE) / n
-        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS std,
+      ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+        0.0)), 6) AS std,
       mn, mx
     FROM a
     """,
@@ -4819,35 +4820,54 @@ def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT event_type, event_id, ROUND(value, 6) AS v FROM events
+      UNION ALL
+      -- planted constant group: sd = 0, must yield NO outliers;
+      -- exercises the sd>0 guard in BOTH engines differentially
+      SELECT '_const_probe', -1 - i, 42.0
+      FROM range(4) AS t(i)
     ),
     a AS (
       SELECT event_type,
         CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS m,
-        SQRT(
+        SQRT(GREATEST(
           CAST(SUM(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6)))
                AS DOUBLE) / COUNT(*)
           - (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))
-            * (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))
-        ) AS sd
+            * (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)),
+          0.0
+        )) AS sd
       FROM s GROUP BY event_type
     )
     SELECT s.event_type, s.event_id, s.v AS value,
       ROUND((s.v - a.m) / a.sd, 6) AS zscore
     FROM s JOIN a USING (event_type)
-    WHERE ABS((s.v - a.m) / a.sd) > 3
+    WHERE a.sd > 0 AND ABS((s.v - a.m) / a.sd) > 3
     """,
 )
 def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score anomaly audit (operators.dq.zscore_outliers):
     values more than 3 sigma from their event-type's mean; exact
-    decimal group stats broadcast back, deterministic flag set."""
+    decimal group stats broadcast back, deterministic flag set.
+
+    A tiny constant group (sd = 0) is planted in BOTH the Spark input
+    and the oracle so the operator's sd>0 guard (no outliers in a
+    zero-variance group, commit 5ddec02) is differentially covered —
+    without it, NaN-compares-greater semantics would flag every row
+    of the group in either engine."""
     from component_delta_lake_writer_spark.operators.dq import (
         zscore_outliers,
     )
 
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    const = spark.range(4).select(
+        F.lit("_const_probe").alias("event_type"),
+        (-1 - F.col("id")).cast("long").alias("event_id"),
+        F.lit(42.0).alias("value"),
+    )
     return zscore_outliers(
-        load_table(spark, sf_dir, "events"),
-        "value", "event_type", "event_id",
+        ev.unionByName(const), "value", "event_type", "event_id"
     )
 
 

@@ -3377,11 +3377,21 @@ class ManagedTable:
                 stage = os.path.join(
                     self._changes_dir, f"stage-{uuid.uuid4().hex}"
                 )
-                self._read_units(prev, touched).join(
-                    F.broadcast(key_set), list(prev.primary_key), "left_semi"
-                ).withColumn(
-                    "_change_type", F.lit("delete")
-                ).write.mode("overwrite").parquet(stage)
+                try:
+                    self._read_units(prev, touched).join(
+                        F.broadcast(key_set),
+                        list(prev.primary_key),
+                        "left_semi",
+                    ).withColumn(
+                        "_change_type", F.lit("delete")
+                    ).write.mode("overwrite").parquet(stage)
+                except BaseException:
+                    # a failed stage WRITE must not leak a partial
+                    # stage-<uuid> dir under _changes (readers ignore
+                    # it, but the concurrency tests assert none after
+                    # runs) — the except below only covers _publish
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
             try:
                 self._publish(commit, prev, cdc_stage=stage)
             except BaseException:
@@ -3459,9 +3469,16 @@ class ManagedTable:
             stage = os.path.join(
                 self._changes_dir, f"stage-{uuid.uuid4().hex}"
             )
-            self._read_units(prev, touched).filter(cond).withColumn(
-                "_change_type", F.lit("delete")
-            ).write.mode("overwrite").parquet(stage)
+            try:
+                self._read_units(prev, touched).filter(cond).withColumn(
+                    "_change_type", F.lit("delete")
+                ).write.mode("overwrite").parquet(stage)
+            except BaseException:
+                # failed stage write: clean the partial stage dir
+                # before re-raising (the publish try below only
+                # covers _publish failures)
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
         try:
             self._publish(commit, prev, cdc_stage=stage)
         except BaseException:

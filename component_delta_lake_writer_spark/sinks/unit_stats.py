@@ -259,29 +259,30 @@ def merge_stats_accs(a: dict, b: dict) -> dict:
 def _fold_task(
     unit_dir: str,
     rels: list[str],
-    num_indexed_cols: int | None,
+    indexed: set | None,
     want_detail: bool,
 ) -> tuple[dict, int, list]:
     """Fold one slice of files — runs EXECUTOR-side in the
     distributed pass (everything it touches is picklable / re-imported
     from this light module) and is the same code the driver loop
-    uses, so the two paths cannot drift."""
+    uses, so the two paths cannot drift.
+
+    ``indexed`` is resolved ONCE on the driver (from the globally
+    first sorted file) and passed in: deriving it per-slice from each
+    partition's own first file would let intra-unit schema drift
+    (exactly the pre-existing-lake CONVERT scenario) make different
+    tasks fold different column sets, yielding a merged unit-level
+    min/max that covers only a subset of files yet is treated as
+    unit-wide by skipping — read_where could wrongly prune the unit.
+    """
     import pyarrow.parquet as _pq
 
     acc: dict = {}
     rows = 0
     details: list = []
-    indexed: set | None = None
     for rel in rels:
         pf = _pq.ParquetFile(os.path.join(unit_dir, rel))
         md = pf.metadata
-        if (
-            indexed is None
-            and num_indexed_cols is not None
-            and num_indexed_cols >= 0
-        ):
-            # first N TOP-LEVEL schema columns, Delta's rule
-            indexed = set(pf.schema_arrow.names[:num_indexed_cols])
         rows += md.num_rows
         _fold_file(md, acc, indexed)
         if want_detail:
@@ -341,14 +342,22 @@ def collect_unit_stats(
     """
     rels = list_parquet_files(unit_dir)
     want_detail = per_file and len(rels) <= MAX_FILE_DETAIL
+    # Resolve the indexed-column set ONCE, driver-side, from the
+    # globally first sorted file (Delta's first-N-schema-columns
+    # rule), so every fold slice works from the same set even if the
+    # lake's file schemas drift mid-unit.
+    indexed: set | None = None
+    if rels and num_indexed_cols is not None and num_indexed_cols >= 0:
+        pf0 = pq.ParquetFile(os.path.join(unit_dir, rels[0]))
+        indexed = set(pf0.schema_arrow.names[:num_indexed_cols])
     if spark is not None and len(rels) >= distribute_threshold:
         sc = spark.sparkContext
         n_slices = max(1, min(len(rels), sc.defaultParallelism * 2))
-        nic = num_indexed_cols
+        idx = indexed
         base = unit_dir
 
         def part(it):
-            yield _fold_task(base, list(it), nic, want_detail)
+            yield _fold_task(base, list(it), idx, want_detail)
 
         parts = sc.parallelize(rels, n_slices).mapPartitions(part).collect()
         acc: dict = {}
@@ -360,7 +369,7 @@ def collect_unit_stats(
             details.extend(pdetails)
     else:
         acc, rows, details = _fold_task(
-            unit_dir, rels, num_indexed_cols, want_detail
+            unit_dir, rels, indexed, want_detail
         )
     out = _finish(acc, rows)
     if details:

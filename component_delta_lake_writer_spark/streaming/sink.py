@@ -366,8 +366,15 @@ def stream_scd2(
                 delta_rows = rows.filter(
                     F.col("_commit_version") == v
                 ).drop("_change_type", "_commit_version")
+                # equal-ts rows within one source commit tie-break on
+                # the attr struct, mirroring scd._dedup_snapshot — the
+                # winner is a function of the data, not of partition
+                # order (ManagedTable CDF emits one postimage per key
+                # per commit today, but the dedup must not DEPEND on
+                # that)
                 w = Window.partitionBy(key).orderBy(
-                    F.col(ts_col).desc()
+                    F.col(ts_col).desc(),
+                    F.struct(*[F.col(a) for a in attrs]).desc(),
                 )
                 snap = (
                     delta_rows.withColumn("_rk", F.row_number().over(w))

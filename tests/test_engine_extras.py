@@ -1828,3 +1828,141 @@ def test_scd2_build_multi_attr_and_null_transitions(spark):
         ("a", "x", 30, 40),
         ("a", "y", 40, None),
     ]
+
+
+def test_scd2_delta_same_ts_correction_key_unique(spark, tmp_path):
+    """ADVICE r9: a snapshot whose effective ts EQUALS the open row's
+    valid_from (same-timestamp correction) must not emit two merge
+    rows sharing (key, valid_from) — the close-out would be a
+    zero-length range colliding with the insert.  scd2_delta treats
+    it as an in-place replace: the merge source stays key-unique and
+    the upsert lands the corrected attrs on the still-current row."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import scd2_delta
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    ts = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+    dim = spark.createDataFrame(
+        [(1, "blue")], "k int, color string"
+    ).select(
+        "k", "color", ts.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap = spark.createDataFrame(
+        [(1, "red")], "k int, color string"
+    ).select("k", "color", ts.alias("ts"))
+
+    delta = scd2_delta(dim, snap, "k", ["color"], "ts")
+    rows = delta.collect()
+    # key-unique on (k, valid_from): exactly ONE row, the correction
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["color"], r["is_current"], r["valid_to"]) == (
+        "red", True, None,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "dim"))
+    t.write(dim, mode="overwrite", primary_key=["k", "valid_from"])
+    t.upsert(delta, ["k", "valid_from"])
+    got = t.read().collect()
+    assert len(got) == 1 and got[0]["color"] == "red"
+    assert got[0]["is_current"] is True
+
+
+def test_scd2_dedup_snapshot_tiebreak_deterministic(spark):
+    """Equal-ts rows within one snapshot pick a winner that is a
+    function of the DATA (attr-struct descending), not of partition
+    order — repartitioning the input cannot flip the kept row."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.scd import (
+        _dedup_snapshot,
+    )
+
+    ts = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+    base = spark.createDataFrame(
+        [(1, "a"), (1, "z"), (1, "m")], "k int, attr string"
+    ).select("k", "attr", ts.alias("ts"))
+    want = [(1, "z")]
+    for parts in (1, 3):
+        got = [
+            (r["k"], r["_snap"]["attr"])
+            for r in _dedup_snapshot(
+                base.repartition(parts), "k", ["attr"], "ts"
+            ).collect()
+        ]
+        assert got == want, parts
+
+
+def test_column_profile_approx_switch(spark):
+    """VERDICT r8 task 7: exact_distinct=False swaps the exact
+    (column, value) distinct pass for HLL++ sketches folded into the
+    single stats scan — same output shape, estimates within the rsd
+    envelope, and NO second Spark aggregation over exploded pairs."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        column_profile,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).cast("string").alias("cat"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") % 100)
+        .alias("v"),
+    )
+    exact = {
+        r["column"]: r
+        for r in column_profile(df, ["k", "cat", "v"]).collect()
+    }
+    approx = {
+        r["column"]: r
+        for r in column_profile(
+            df, ["k", "cat", "v"], exact_distinct=False
+        ).collect()
+    }
+    assert set(approx) == {"k", "cat", "v"}
+    for c in approx:
+        e, a = exact[c], approx[c]
+        # identical exact fields
+        assert (a["n_rows"], a["n_nulls"], a["min_value"],
+                a["max_value"]) == (
+            e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"]
+        )
+        # estimate within 3x the 2% default rsd (generous, stable)
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            3, 0.06 * e["n_distinct"]
+        ), c
+
+
+def test_zscore_outliers_broadcast_gate(spark):
+    """broadcast_stats=False must produce the identical flagged set
+    (it only changes the JOIN strategy for high-cardinality groups)."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        zscore_outliers,
+    )
+
+    df = spark.range(400).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.when(F.col("id") == 7, 1e6)
+        .otherwise((F.col("id") % 13).cast("double"))
+        .alias("x"),
+    )
+    a = sorted(
+        map(tuple, zscore_outliers(df, "x", "g", "i").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            zscore_outliers(
+                df, "x", "g", "i", broadcast_stats=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) >= 1

@@ -10,6 +10,7 @@ from pyspark.sql import types as T
 
 from component_delta_lake_writer_spark.sinks import ManagedTable
 from component_delta_lake_writer_spark.sinks.unit_stats import (
+    collect_unit_stats,
     parse_conjuncts,
     prune_units,
 )
@@ -1076,3 +1077,39 @@ def test_convert_distributed_stats_end_to_end(spark, tmp_path):
     t2.convert_from_parquet(src, collect_stats=False)
     st3 = next(iter(t2.latest_commit().stats.values()))
     assert st3 == {"_rows": 8000}
+
+
+def test_distributed_indexed_cols_consistent_under_schema_drift(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): the indexed-column set (first
+    num_indexed_cols SCHEMA columns) must be resolved ONCE from the
+    globally first sorted file — never per fold slice.  Two files
+    whose column ORDER drifted (the pre-existing-lake CONVERT
+    scenario) would otherwise make each task fold a DIFFERENT column
+    set, producing unit-level min/max that covers only a subset of
+    files yet looks unit-wide to data skipping."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    unit = tmp_path / "drift"
+    unit.mkdir()
+    # a.parquet: (k, v); b.parquet: (v, k) — column order drifted
+    papq.write_table(
+        pa.table({"k": [0, 1, 2], "v": [100, 100, 100]}),
+        str(unit / "a.parquet"),
+    )
+    papq.write_table(
+        pa.table({"v": [5, 5, 5], "k": [7, 8, 9]}),
+        str(unit / "b.parquet"),
+    )
+
+    seq = collect_unit_stats(str(unit), num_indexed_cols=1)
+    dist = collect_unit_stats(
+        str(unit), num_indexed_cols=1, spark=spark, distribute_threshold=2
+    )
+    # byte-identical to the driver loop, and only the globally-first
+    # file's first column is indexed: k covers BOTH files
+    assert dist == seq
+    assert dist["k"] == {"min": 0, "max": 9, "nulls": 0}
+    assert "v" not in dist
