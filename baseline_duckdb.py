@@ -251,6 +251,83 @@ def measure_merge_scaled(
     return dt
 
 
+def measure_csv_scaled(
+    threads: int = 32,
+    max_memory_mb: int = 8192,
+    scale: int = 10,
+    sf_dir: str | None = None,
+    csv_glob: str | None = None,
+    verbose: bool = True,
+    repeats: int = 3,
+) -> tuple[float, float]:
+    """The csv_load_typed envelope workload as a SCALE-CURVE twin
+    (VERDICT r8 task 1): typed read_csv over header-less slices →
+    uncompressed 25k-row-group parquet, orders replicated ``scale``×.
+
+    ``csv_glob`` lets bench.py hand in the exact files its Spark
+    measurement reads, so both engines parse IDENTICAL bytes; without
+    it the slices are exported here (untimed) the same way measure()
+    does.  Returns (median_sec, spread_sec) over ``repeats`` timed
+    runs — same methodology as measure_merge_scaled.
+    """
+    sf_dir = sf_dir or SF_DIR
+    work = tempfile.mkdtemp(prefix="duckdb_csv_curve_")
+    con = duckdb.connect(os.path.join(work, "env.duckdb"))
+    con.execute(f"SET threads={threads}")
+    con.execute(f"SET max_memory='{max_memory_mb}MB'")
+    con.execute("SET preserve_insertion_order=true")
+    if csv_glob is None:
+        parts = [
+            f"SELECT * REPLACE (o_orderkey + {i * 10**10} AS o_orderkey) "
+            f"FROM read_parquet('{sf_dir}/orders.parquet')"
+            for i in range(scale)
+        ]
+        csv_glob = os.path.join(work, "orders_slice.csv")
+        con.execute(
+            f"""
+            COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+                         CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice,
+                         o_orderdate, o_orderpriority
+                  FROM ({" UNION ALL ".join(parts)}))
+            TO '{csv_glob}' (FORMAT CSV, HEADER false)
+            """
+        )
+    times: list[float] = []
+    for i in range(max(repeats, 1)):
+        dest = os.path.join(work, f"csv_load_{i}.parquet")
+        t0 = time.perf_counter()
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM read_csv('{csv_glob}',
+                column_names=['o_orderkey','o_custkey','o_orderstatus',
+                              'o_totalprice','o_orderdate','o_orderpriority'],
+                dtypes={{'o_orderkey':'BIGINT','o_custkey':'BIGINT',
+                        'o_orderstatus':'VARCHAR',
+                        'o_totalprice':'DECIMAL(14,2)',
+                        'o_orderdate':'TIMESTAMP',
+                        'o_orderpriority':'VARCHAR'}},
+                header=false)
+            ) TO '{dest}'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+        times.append(round(time.perf_counter() - t0, 3))
+        try:
+            os.remove(dest)
+        except OSError:
+            pass
+    times.sort()
+    dt = times[len(times) // 2]
+    spread = round(times[-1] - times[0], 3)
+    if verbose:
+        print(f"# csv_scaled x{scale}: {dt:.3f}s (median of "
+              f"{len(times)}, spread {spread:.3f})", file=sys.stderr)
+    con.close()
+    shutil.rmtree(work, ignore_errors=True)
+    return dt, spread
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threads", type=int, default=1)

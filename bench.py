@@ -64,6 +64,29 @@ HEADLINE = [
 # in BASELINE.md) if the list ever changes; never mutate it silently.
 SUITE_VERSION = "v1-31q-r4"
 
+# Second versioned suite (VERDICT r8 task 3): rounds 6-8 added whole
+# operator families (SCD2, packed-Hamming retrieval, RRF, CONVERT/
+# ANALYZE, sketches, GDPR, blocked edit-distance, external CDF) that
+# v1 — frozen for comparability — cannot cover; their scale CURVES
+# exist but no round-over-round wall-clock series did. v2 runs
+# ALONGSIDE the untouched v1 and is now frozen under the same rule:
+# bump the version if the list changes, never mutate silently.
+HEADLINE_V2 = [
+    "scd2_build_events",
+    "scd2_apply_snapshot",
+    "stream_scd2_follow",
+    "hamming_packed_topk",
+    "binary_quant_hamming_topk",
+    "hybrid_rrf_retrieval",
+    "convert_to_delta",
+    "analyze_table_stats",
+    "countmin_heavy_tokens",
+    "gdpr_erasure_audit",
+    "edit_distance_pairs_docs",
+    "cdf_external_read",
+]
+SUITE_VERSION_V2 = "v2-12q-r9"
+
 
 def _med3(fn, trials: int = 3) -> tuple[float, float]:
     """Median-of-``trials`` for a timed thunk (returns seconds).
@@ -205,6 +228,119 @@ def _envelope(spark, sf_dir: str, scale: int = 10) -> dict[str, float]:
 
     shutil.rmtree(work, ignore_errors=True)
     return timings
+
+
+def _csv_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 10, 100)
+) -> dict:
+    """Scale curve for the csv_load_typed envelope workload (VERDICT
+    r8 task 1 — the one >2× envelope component).  The claim under
+    test: the ×10 ratio is DISPATCH-bound, not throughput-bound — at
+    ~1 s absolute, Spark's ~0.3-0.5 s fixed job cost plus the
+    ManagedTable commit machinery (~0.6 s: footer stats + commit JSON
+    + Delta-log mirror, which the DuckDB COPY twin does not pay)
+    dominates, and the ratio must FALL as rows grow until the engines
+    are compared on parse+write throughput alone.
+
+    Methodology: per point the header-less slices are exported ONCE
+    (untimed) and BOTH engines read the IDENTICAL files; one untimed
+    warm write precedes the trials (codegen/class-load, same
+    treatment as _dedup_curve); median-of-3 with spread on both
+    sides, same-run twin (measure_csv_scaled)."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sources.csv import read_csv_typed
+    from component_delta_lake_writer_spark.tables import load_table
+
+    cols = [
+        ColumnSpec("o_orderkey", "INTEGER"),
+        ColumnSpec("o_custkey", "INTEGER"),
+        ColumnSpec("o_orderstatus", "STRING"),
+        ColumnSpec("o_totalprice", "NUMERIC", "14,2"),
+        ColumnSpec("o_orderdate", "TIMESTAMP"),
+        ColumnSpec("o_orderpriority", "STRING"),
+    ]
+    work = tempfile.mkdtemp(prefix="spark_csv_curve_")
+    base = load_table(spark, sf_dir, "orders")
+    points = []
+    try:
+        for scale in scales:
+            orders = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    base.withColumn(
+                        "o_orderkey", F.col("o_orderkey") + F.lit(i * 10**10)
+                    )
+                    for i in range(scale)
+                ],
+            )
+            csv_dir = os.path.join(work, f"slices_x{scale}")
+            orders.select(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                F.col("o_orderpriority"),
+            ).write.mode("overwrite").option("header", "false").csv(csv_dir)
+
+            warm = os.path.join(work, f"warm_x{scale}")
+            ManagedTable(spark, warm).write(
+                read_csv_typed(spark, csv_dir, cols), mode="overwrite",
+                compression="none", max_records_per_file=25_000,
+            )
+            shutil.rmtree(warm, ignore_errors=True)
+
+            trial_idx = [0]
+
+            def trial() -> float:
+                dest = os.path.join(
+                    work, f"load_x{scale}_{trial_idx[0]}"
+                )
+                trial_idx[0] += 1
+                t0 = time.perf_counter()
+                ManagedTable(spark, dest).write(
+                    read_csv_typed(spark, csv_dir, cols),
+                    mode="overwrite", compression="none",
+                    max_records_per_file=25_000,
+                )
+                dt = time.perf_counter() - t0
+                shutil.rmtree(dest, ignore_errors=True)
+                return dt
+
+            med, spread = _med3(trial)
+            point = {
+                "scale": scale,
+                "rows": orders.count(),
+                "spark_sec": round(med, 3),
+                "spark_spread": spread,
+            }
+            try:
+                from baseline_duckdb import measure_csv_scaled
+
+                dmed, dspread = measure_csv_scaled(
+                    threads=32, max_memory_mb=8192, scale=scale,
+                    sf_dir=sf_dir,
+                    csv_glob=os.path.join(csv_dir, "*.csv"),
+                    verbose=False, repeats=3,
+                )
+                point["duckdb_sec"] = dmed
+                point["duckdb_spread"] = dspread
+                point["ratio"] = round(med / dmed, 2)
+            except Exception as exc:
+                print(f"# duckdb csv twin x{scale} failed: {exc}",
+                      file=sys.stderr)
+            points.append(point)
+            shutil.rmtree(csv_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {"points": points}
 
 
 def _merge_curve(
@@ -968,6 +1104,21 @@ def main() -> None:
         total += dt
         print(f"# {key}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # v2 suite: same per-query methodology as v1 (cold query, warm
+    # host, one timed pass in registry order), reported separately so
+    # v1's cross-round series stays untouched
+    per_query_v2: dict[str, float] = {}
+    total_v2 = 0.0
+    for key in HEADLINE_V2:
+        fn = QUERIES[key]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query_v2[key] = round(dt, 3)
+        total_v2 += dt
+        print(f"# v2/{key}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
     # Median of 3, same methodology as the recorded DuckDB twin
     # (BASELINE_DUCKDB.json is a median of 3 on an otherwise-idle
     # process; the first Spark pass here lands in a JVM still carrying
@@ -977,8 +1128,16 @@ def main() -> None:
     env = {
         k: sorted(r[k] for r in runs)[1] for k in runs[0]
     }
+    # spread (max-min over the 3 runs) stamped per workload — the
+    # envelope numbers get the same contended-trial visibility the
+    # curve points gained in r8 (VERDICT r8 task 1)
+    env_spread = {
+        k: round(max(r[k] for r in runs) - min(r[k] for r in runs), 3)
+        for k in runs[0]
+    }
     for k, v in env.items():
-        print(f"# envelope/{k}: {v:.3f}s (median of 3)", file=sys.stderr)
+        print(f"# envelope/{k}: {v:.3f}s (median of 3, spread "
+              f"{env_spread[k]:.3f})", file=sys.stderr)
 
     result: dict = {
         "metric": "headline_suite_seconds",
@@ -986,8 +1145,23 @@ def main() -> None:
         "unit": "sec",
         "suite_version": SUITE_VERSION,
         "queries": per_query,
+        "suite_version_v2": SUITE_VERSION_V2,
+        "suite_v2_seconds": round(total_v2, 3),
+        "queries_v2": per_query_v2,
         "envelope_scale10": env,
+        "envelope_scale10_spread": env_spread,
     }
+
+    # csv_load_typed scale curve (VERDICT r8 task 1): the ×10
+    # envelope ratio is dispatch-bound; this measures the ratio
+    # FALLING as rows grow, both engines on identical files, same run
+    try:
+        ccurve = _csv_curve(spark, SF_DIR)
+        result["csv_curve"] = ccurve
+        for p in ccurve["points"]:
+            print(f"# csv_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# csv curve failed: {exc}", file=sys.stderr)
 
     # one measured point on the merge-ratio curve: ×100 target, 1%
     # source — the shape where merge-on-read's O(source) write cost
@@ -1101,10 +1275,15 @@ def main() -> None:
             for _ in range(3)
         ]
         duck = {k: sorted(r[k] for r in druns)[1] for k in druns[0]}
+        duck_spread = {
+            k: round(max(r[k] for r in druns) - min(r[k] for r in druns), 3)
+            for k in druns[0]
+        }
         for k, v in duck.items():
-            print(f"# duckdb_envelope/{k}: {v:.3f}s (median of 3, same run)",
-                  file=sys.stderr)
+            print(f"# duckdb_envelope/{k}: {v:.3f}s (median of 3, same "
+                  f"run, spread {duck_spread[k]:.3f})", file=sys.stderr)
         result["envelope_duckdb_scale10_samerun"] = duck
+        result["envelope_duckdb_scale10_samerun_spread"] = duck_spread
         duck_total = sum(duck.values())
         # the engine's merge answer at this workload shape is the
         # merge-on-read strategy (deletion-vector play: O(source)

@@ -58,6 +58,11 @@ _FRONT = [
     "stream_dedup_events",
     "upsert_mor",
     "mor_delete_read",
+    # r9: default-start bootstrap probe — ALSO the sweep's
+    # Python-DataSource streaming warmer (tiny table, absorbs the
+    # first table_changes_stream query's runner-spawn cost so the
+    # heavier CDF probes below measure their own work)
+    "stream_cdf_bootstrap",
     "stream_cdf_source",
     "stream_replicate_cdf",
     "streaming_hourly_agg",

@@ -1889,6 +1889,63 @@ _O["optimize_where_scoped"] = """
 """
 
 
+@query("stream_cdf_bootstrap")
+def stream_cdf_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF stream's DEFAULT start (no startingVersion): the first
+    batch is the LATEST SNAPSHOT emitted as inserts stamped with the
+    snapshot's commit version — Delta's readChangeFeed bootstrap
+    semantics (initialOffset's snapshot_of branch,
+    streaming/cdf_source.py).  The snapshot must equal
+    ManagedTable.read(), NOT the raw union of unit files: a
+    merge-on-read delete's equality masks apply worker-side.  Tiny by
+    design (1% key slice, single-file units) — the semantics under
+    test are offset-shaped, and this key doubles as the sweep's
+    Python-DataSource streaming warmer ahead of stream_cdf_source
+    (the first table_changes_stream query of a session pays the
+    python_streaming_source_runner spawn + first-batch codegen,
+    measured ~4-5 s on top of the ~2 s warm drain)."""
+    from component_delta_lake_writer_spark.streaming.cdf_source import (
+        register,
+    )
+
+    base = _scratch("stream_cdf_bootstrap", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManagedTable(spark, os.path.join(base, "t"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).filter(F.col("o_orderkey") % 100 == 0)
+    k = F.col("o_orderkey")
+    t.write(o.filter(k % 3 != 2).coalesce(1), mode="overwrite",
+            primary_key=["o_orderkey"],
+            properties={"enableChangeDataFeed": True})
+    t.write(o.filter(k % 3 == 2).coalesce(1), mode="append")     # v1
+    t.delete_where("o_orderkey % 9 = 0",
+                   strategy="merge-on-read")                     # v2 MOR
+    register(spark)
+    name = "cdf_boot_" + os.path.basename(sf_dir).replace(".", "_")
+    q = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", t.path)   # no startingVersion: bootstrap
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "o_orderkey", "o_orderstatus", "price",
+        "_change_type", "_commit_version",
+    )
+
+
+_O["stream_cdf_bootstrap"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+      'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM orders
+    WHERE o_orderkey % 100 = 0 AND o_orderkey % 9 <> 0
+"""
+
+
 @query("stream_cdf_source")
 def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The table's change feed as a STREAMING source (Spark 4 Python
@@ -2224,12 +2281,15 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a merge-on-read equality delete (O(keys) commit — the compliance
     clock starts immediately), OPTIMIZE materializes the delete into
     rewritten files, VACUUM reclaims every pre-erasure unit — and the
-    probe then scans the RAW parquet files on disk with pyarrow,
-    asserting the erased keys survive in NO byte of the table
-    directory (the audit a regulator actually cares about; a snapshot
-    read hiding the rows is not erasure). Returns the surviving rows,
-    fully oracled."""
-    import pyarrow.parquet as pq
+    probe then runs operators.compliance.erasure_audit — the raw-byte
+    scan of every parquet file under the table directory (the audit a
+    regulator actually cares about; a snapshot read hiding the rows
+    is not erasure), distributed as one Spark job past
+    DISTRIBUTE_THRESHOLD files. Returns the surviving rows, fully
+    oracled."""
+    from component_delta_lake_writer_spark.operators.compliance import (
+        erasure_audit,
+    )
 
     t = _fresh_table(spark, "gdpr_erasure", sf_dir)
     o = load_table(spark, sf_dir, "orders").select(
@@ -2242,27 +2302,17 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_keys(erase)          # O(keys): rows hidden from reads NOW
     t.optimize()                  # materialize: delete sets fold away
     t.vacuum(retention_hours=0)   # reclaim every pre-erasure file
-    erased_keys = {r["o_orderkey"] for r in erase.collect()}
     # the WHOLE table directory: data units AND the MOR delete-set
     # files (the erasure key list is itself personal data — vacuum
     # must reclaim it once optimize folds the delete in)
-    deletes_dir = os.path.join(t.path, "_deletes")
-    assert not os.path.isdir(deletes_dir) or not any(
-        fs for _r, _d, fs in os.walk(deletes_dir)
-    ), "delete-set key list survived vacuum"
-    for root, _dirs, files in os.walk(t.path):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            tbl = pq.read_table(os.path.join(root, fn))
-            if "o_orderkey" not in tbl.column_names:
-                continue
-            on_disk = set(tbl.column("o_orderkey").to_pylist())
-            leaked = on_disk & erased_keys
-            assert not leaked, (
-                f"erased keys still on disk in {fn}: "
-                f"{sorted(leaked)[:5]}"
-            )
+    report = erasure_audit(t, erase, "o_orderkey")
+    assert report["delete_set_files"] == 0, (
+        "delete-set key list survived vacuum"
+    )
+    assert report["clean"], (
+        f"erased keys still on disk: {report['leaks'][:5]}"
+    )
+    assert report["rows_checked"] > 0
     return t.read()
 
 

@@ -1966,3 +1966,63 @@ def test_zscore_outliers_broadcast_gate(spark):
         )
     )
     assert a == b and len(a) >= 1
+
+
+def test_erasure_audit_operator(spark, tmp_path):
+    """VERDICT r8 task 5: the byte-level erasure audit as a first-
+    class operator. (a) a clean post-vacuum table audits clean; (b) a
+    PLANTED leak (raw parquet dropped into the table dir behind the
+    snapshot's back) is detected with exact counts; (c) past the
+    distribute threshold the scan runs as one Spark JOB and returns
+    the same report as the sequential driver loop."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.compliance import (
+        erasure_audit,
+    )
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    t.write(df.coalesce(2), mode="overwrite", primary_key=["k"])
+    erase = df.filter(F.col("k") % 7 == 0).select("k")
+    t.delete_keys(erase)
+    t.optimize()
+    t.vacuum(retention_hours=0)
+
+    rep = erasure_audit(t, erase, "k")
+    assert rep["clean"] and rep["leak_count"] == 0
+    assert rep["delete_set_files"] == 0
+    assert rep["rows_checked"] == t.read().count()
+
+    # plant a leak: a raw parquet with two erased keys, outside the
+    # snapshot (the audit reads BYTES, not the commit log)
+    leak_dir = os.path.join(t.path, "_data", "planted")
+    os.makedirs(leak_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        pa.table({"k": [0, 7], "x": [1, 2]}),
+        os.path.join(leak_dir, "leak.parquet"),
+    )
+    rep2 = erasure_audit(t, erase, "k")
+    assert not rep2["clean"] and rep2["leak_count"] == 2
+    assert {k for _f, k in rep2["leaks"]} == {0, 7}
+
+    # distributed path: same report, dispatched as a Spark job
+    sc = spark.sparkContext
+    grp = "erasure-audit-dist"
+    sc.setJobGroup(grp, grp)
+    try:
+        rep3 = erasure_audit(t, erase, "k", distribute_threshold=1)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup(grp)) >= 1, (
+        "large-N audit must dispatch a Spark job"
+    )
+    assert rep3 == rep2
+
+    # a keys DataFrame and a plain iterable are interchangeable
+    rep4 = erasure_audit(t, [0, 7], "k")
+    assert rep4["leak_count"] == 2

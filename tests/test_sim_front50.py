@@ -39,15 +39,26 @@ def sim_oracle():
     return duckdb_conn(SF)
 
 
+# per-probe wall-clock ceiling (VERDICT r8 task 2), mirroring
+# scripts/driver_sim.py::PROBE_CEILING_S — the driver's gate runs
+# under parallel load, so a sequential-run probe near 10 s risks a
+# driver timeout; this makes the regression a test failure naming the
+# probe instead of a judge finding.
+PROBE_CEILING_S = 10.0
+
+
 @pytest.mark.skipif(
     not _ENABLED, reason="front-50 sim gate is opt-in: SPARK_GRAFT_SIM50=1"
 )
 @pytest.mark.parametrize("key", _front50())
 def test_front50_key_matches_oracle(key, spark, sim_oracle):
+    import time
+
     from oracle import compare
 
     from component_delta_lake_writer_spark.plans import ORACLES, QUERIES
 
+    t0 = time.perf_counter()
     df = QUERIES[key](spark, SF)
     # the driver's pandas canonicalizer rejects non-scalar columns —
     # enforce the probe-shape rule here too
@@ -59,3 +70,8 @@ def test_front50_key_matches_oracle(key, spark, sim_oracle):
         compare(df, sim_oracle, ORACLES[key], key)
     else:
         assert df.count() >= 0  # rows-only keys: must at least execute
+    dt = time.perf_counter() - t0
+    assert dt <= PROBE_CEILING_S, (
+        f"{key} took {dt:.1f}s sequential — over the {PROBE_CEILING_S:.0f}s "
+        "probe ceiling (driver parallel-load budget)"
+    )
