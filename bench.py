@@ -598,6 +598,8 @@ def _quantized_curve(
     LSH/IVF curves don't cover. Median-of-5 (these queries are
     sub-second, so scheduling jitter is a larger fraction of the
     signal than on the other curves) with spread."""
+    import shutil
+    import tempfile
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -639,12 +641,26 @@ def _quantized_curve(
         packed = SIM.pack_sign_words(df, dim=64).persist()
         packed.count()  # ingest-time quantization: untimed
         probe_p = packed.filter(F.col("vec_id") == 0)
+        # materialized bit-sampling LSH index (r9): built UNTIMED like
+        # any index; the timed query is a partition-pruned read of the
+        # probe's matched band=/key= buckets
+        idx = tempfile.mkdtemp(prefix=f"bench_hlsh_x{scale}_")
+        SIM.hamming_lsh_build_index(
+            packed, idx, dim=64, n_bands=4, bits_per_band=8
+        )
         point = {"scale": scale, "rows": rows}
         for name, fn in (
             ("float_cosine",
              lambda: SIM.cosine_topk(df, probe, k=10)),
             ("packed_hamming",
              lambda: SIM.hamming_packed_topk(packed, probe_p, k=10)),
+            # r9: the sub-linear path over the SAME sign words —
+            # materialized bit-sampling LSH; the query reads ONLY the
+            # probe's matched buckets (partition-pruned IO; VERDICT
+            # r8 task 6)
+            ("hamming_lsh",
+             lambda: SIM.hamming_lsh_query_index(
+                 spark, idx, probe_p, k=10)),
         ):
             fn().collect()  # codegen warm-up
 
@@ -659,14 +675,21 @@ def _quantized_curve(
         point["hamming_vs_float"] = round(
             point["packed_hamming_sec"] / point["float_cosine_sec"], 2
         )
+        point["lsh_vs_full_scan"] = round(
+            point["hamming_lsh_sec"] / point["packed_hamming_sec"], 2
+        )
         df.unpersist()
         packed.unpersist()
+        shutil.rmtree(idx, ignore_errors=True)
         points.append(point)
+    grew = points[-1]["rows"] // max(points[0]["rows"], 1)
     return {
         "points": points,
-        "x%d_hamming_vs_float" % (
-            points[-1]["rows"] // max(points[0]["rows"], 1)
-        ): points[-1]["hamming_vs_float"],
+        "x%d_hamming_vs_float" % grew: points[-1]["hamming_vs_float"],
+        "x%d_lsh_vs_full_scan" % grew: points[-1]["lsh_vs_full_scan"],
+        "lsh_time_ratio_x%d" % grew: round(
+            points[-1]["hamming_lsh_sec"] / points[0]["hamming_lsh_sec"], 2
+        ),
     }
 
 

@@ -1276,6 +1276,261 @@ def hamming_packed_topk(
     )
 
 
+def hamming_band_positions(
+    band: int, bits: int, dim: int
+) -> list[int]:
+    """Band ``band``'s sampled bit positions (0-based dimension
+    indexes): fixed pseudo-random sample WITHOUT replacement derived
+    from md5("hb:band:i") — the same no-stored-model determinism as
+    plane_signs, so executors, the driver, and the SQL oracle (which
+    inlines the positions) all agree."""
+    import hashlib
+
+    out: list[int] = []
+    seen: set[int] = set()
+    i = 0
+    while len(out) < min(bits, dim):
+        p = int(
+            hashlib.md5(f"hb:{band}:{i}".encode()).hexdigest()[:8], 16
+        ) % dim
+        i += 1
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def _band_key_expr(words_col: Column, positions: list[int]) -> Column:
+    """Band key from PACKED sign words: fold the sampled bits into an
+    int (key = key*2 + bit). Bit p lives at bit (63 - p%64) of word
+    p//64 (pack_sign_words' big-endian layout); extraction is an
+    arithmetic shiftright + AND — integer ops only, no float work on
+    the scan."""
+    key = F.lit(0).cast("long")
+    for p in positions:
+        bit = F.shiftright(
+            F.element_at(words_col, p // 64 + 1), 63 - (p % 64)
+        ).bitwiseAND(F.lit(1).cast("long"))
+        key = key * F.lit(2) + bit
+    return key
+
+
+def hamming_lsh_topk(
+    corpus: DataFrame,
+    probe: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bands: int = 4,
+    bits_per_band: int = 12,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SUBLINEAR packed-Hamming retrieval: bit-sampling LSH (the
+    original Indyk-Motwani Hamming-space family) over
+    ``pack_sign_words`` output. Each band samples ``bits_per_band``
+    fixed bit positions from the sign words; only corpus rows sharing
+    at least one band key with the probe are popcount-ranked — the
+    expected candidate set is N/2^bits per band for random bits, so
+    the expensive XOR+popcount rerank is bucket-bounded while the
+    band keys themselves are a handful of shift/AND integer ops
+    (VERDICT r8 task 6: hamming_packed_topk's full-corpus popcount
+    scan is the memory-bound-regime answer; this is its sub-linear
+    complement, exactly what ann_lsh_bucket_topk is to cosine_topk).
+
+    The probe's sign words collect driver-side (one row, metadata
+    scale); its band keys are Python ints folded from the same bit
+    layout, so the corpus filter is a literal equality-per-band OR —
+    one whole-stage-codegen scan feeding TakeOrderedAndProject, no
+    join, no shuffle. HONEST COST NOTE: at dim=64 the full popcount
+    is ONE XOR per row, so this ad-hoc spelling's shift/AND band keys
+    cost more per row than the scan they bound — it exists as the
+    correctness twin and the one-off form. The wall-clock win comes
+    from hamming_lsh_build_index / hamming_lsh_query_index, where the
+    same band keys are hive partition keys and a query reads ONLY the
+    n_bands matched bucket directories (~n_bands·N/2^bits rows of IO,
+    measured sub-linear in bench.py's quantized curve).
+
+    Returns (id, hamming) ascending, ties by id — identical ranking
+    to hamming_packed_topk WITHIN the candidate set.
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    rows = probe.select(F.col(id_col), F.col("sign_words")).collect()
+    if len(rows) != 1:
+        raise UserException(
+            f"expected exactly one probe row, got {len(rows)}"
+        )
+    pid, pwords = rows[0][id_col], list(rows[0]["sign_words"])
+
+    def py_key(positions: list[int]) -> int:
+        key = 0
+        for p in positions:
+            # Python's >> on negative ints is arithmetic, same as the
+            # JVM shiftright — two's-complement bits match
+            key = key * 2 + ((pwords[p // 64] >> (63 - p % 64)) & 1)
+        return key
+
+    cond = F.lit(False)
+    for b in range(n_bands):
+        pos = hamming_band_positions(b, bits_per_band, dim)
+        cond = cond | (
+            _band_key_expr(F.col("sign_words"), pos)
+            == F.lit(py_key(pos)).cast("long")
+        )
+    pw = F.array(*[F.lit(int(w)).cast("long") for w in pwords])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("sign_words"), pw,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.filter(F.col(id_col) != F.lit(pid))
+        .filter(cond)
+        .select(F.col(id_col), ham.cast("int").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hamming_lsh_build_index(
+    packed: DataFrame,
+    index_path: str,
+    dim: int,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the bit-sampling LSH index ``hamming_lsh_topk``
+    evaluates on the fly: each row lands once PER BAND under a
+    ``band=<b>/key=<k>`` hive partition (the classic LSH structure —
+    one hash table per band, n_bands× storage on a corpus already 64×
+    smaller than the floats), keys folded from the same md5-derived
+    sampled bits. This is what makes the query SUB-LINEAR in wall
+    clock, not just in rerank work: at dim=64 the ad-hoc filter's
+    shift/AND band keys cost MORE per row than the single XOR+popcount
+    it tries to avoid, so only partition-pruned IO — reading the
+    n_bands matched bucket directories and nothing else — beats the
+    full scan (the exact lesson of ivf_build_index vs ivf_topk).
+    A ``_hamming_lsh.json`` sidecar records the parameters + schema
+    (an empty index writes zero part files; queries read with the
+    recorded schema)."""
+    import json as _json
+
+    bands = []
+    for b in range(n_bands):
+        pos = hamming_band_positions(b, bits_per_band, dim)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                _band_key_expr(F.col("sign_words"), pos).alias("key"),
+            )
+        )
+    indexed = packed.select(
+        F.col(id_col), F.col("sign_words"),
+        F.explode(F.array(*bands)).alias("_bk"),
+    ).select(
+        id_col, "sign_words",
+        F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"),
+    )
+    # ONE shuffle by the bucket key before the partitioned write:
+    # without it every input task writes into every band=/key= dir
+    # (tasks × n_bands·2^bits small files — the classic partitioned-
+    # write explosion); with it each bucket is one task's output
+    indexed.repartition(F.col("band"), F.col("key")).write.mode(
+        "overwrite"
+    ).partitionBy("band", "key").parquet(index_path)
+    with open(os.path.join(index_path, "_hamming_lsh.json"), "w") as f:
+        _json.dump(
+            {
+                "dim": dim,
+                "n_bands": n_bands,
+                "bits_per_band": bits_per_band,
+                "id_col": id_col,
+                "schema": indexed.schema.json(),
+            },
+            f,
+        )
+
+
+def hamming_lsh_query_index(
+    spark,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Probe a materialized bit-sampling LSH index: the probe's band
+    keys are pure driver arithmetic over its collected sign words (no
+    Spark job), and the candidate read is a PARTITION-PRUNED parquet
+    scan of exactly the n_bands matched ``band=/key=`` directories —
+    ~n_bands·N/2^bits rows touched regardless of corpus size. A row
+    matching several bands dedups by id before the popcount rerank.
+    Identical ranking to hamming_packed_topk within the candidate
+    set (same words, same tie rule)."""
+    import json as _json
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    try:
+        with open(os.path.join(index_path, "_hamming_lsh.json")) as f:
+            meta = _json.load(f)
+    except FileNotFoundError:
+        raise UserException(
+            f"No hamming-LSH index at {index_path!r} (missing "
+            "sidecar); run hamming_lsh_build_index first."
+        ) from None
+    id_col = meta["id_col"]
+    rows = probe.select(F.col(id_col), F.col("sign_words")).collect()
+    if len(rows) != 1:
+        raise UserException(
+            f"expected exactly one probe row, got {len(rows)}"
+        )
+    pid, pwords = rows[0][id_col], list(rows[0]["sign_words"])
+
+    # the matched buckets are LITERALS — prune driver-side by reading
+    # only those band=/key= directories (a root-path read would pay
+    # partition DISCOVERY over all n_bands·2^bits bucket dirs on every
+    # query, a fixed ~seconds listing cost that dwarfed the data read;
+    # basePath keeps the partition columns in the schema)
+    bucket_paths = []
+    for b in range(meta["n_bands"]):
+        pos = hamming_band_positions(
+            b, meta["bits_per_band"], meta["dim"]
+        )
+        key = 0
+        for p in pos:
+            key = key * 2 + ((pwords[p // 64] >> (63 - p % 64)) & 1)
+        bp = os.path.join(index_path, f"band={b}", f"key={key}")
+        if os.path.isdir(bp):  # an empty bucket has no directory
+            bucket_paths.append(bp)
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(meta["schema"]))
+    reader = spark.read.schema(schema).option("basePath", index_path)
+    if bucket_paths:
+        base = reader.parquet(*bucket_paths)
+    else:
+        base = spark.createDataFrame([], schema)
+    pw = F.array(*[F.lit(int(w)).cast("long") for w in pwords])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("sign_words"), pw,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.filter(F.col(id_col) != F.lit(pid))
+        .select(F.col(id_col), F.col("sign_words"))
+        .dropDuplicates([id_col])
+        .select(F.col(id_col), ham.cast("int").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def jl_project(
     df: DataFrame,
     out_dim: int,

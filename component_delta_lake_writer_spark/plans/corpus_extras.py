@@ -881,6 +881,116 @@ def hamming_packed_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hb_band_disjunction_sql(
+    n_bands: int = 4, bits: int = 8, dim: int = 64
+) -> str:
+    """The bit-sampling LSH candidate filter as ANSI SQL: band-key
+    equality over distinct sampled positions is EXACTLY per-position
+    sign-bit equality (the fold is injective), so the oracle inlines
+    the md5-derived positions as a conjunction per band — no packed
+    words in SQL, which also differentially validates the
+    pack/extract layout against raw embedding signs."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        hamming_band_positions,
+    )
+
+    bands = []
+    for b in range(n_bands):
+        pos = hamming_band_positions(b, bits, dim)
+        terms = [
+            f"((CAST(e.embedding[{p + 1}] AS DOUBLE) >= 0) = "
+            f"(CAST(p.pv[{p + 1}] AS DOUBLE) >= 0))"
+            for p in pos
+        ]
+        bands.append("(" + " AND ".join(terms) + ")")
+    return " OR ".join(bands)
+
+
+@query(
+    "hamming_lsh_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+      CAST(list_reduce(list_transform(generate_series(1, 64),
+        i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+                    <> (CAST(p.pv[i] AS DOUBLE) >= 0)
+             THEN 1 ELSE 0 END), (x, y) -> x + y) AS INT) AS hamming
+    FROM embeddings e, p
+    WHERE e.vec_id <> 0 AND ({_hb_band_disjunction_sql()})
+    ORDER BY hamming ASC, e.vec_id LIMIT 10
+    """,
+)
+def hamming_lsh_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sublinear packed-Hamming retrieval
+    (operators.similarity.hamming_lsh_topk): bit-sampling LSH over
+    the ingest-time sign words — only rows sharing a sampled-bit band
+    key with the probe are popcount-ranked, the sub-linear complement
+    of hamming_packed_topk's full scan (what ann_lsh_bucket_topk is
+    to cosine_topk). The oracle recomputes the band filter from RAW
+    embedding signs (key equality == per-position bit equality), so
+    packing, extraction, and ranking are all differentially pinned."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        hamming_lsh_topk,
+        pack_sign_words,
+    )
+
+    packed = pack_sign_words(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )
+    return hamming_lsh_topk(
+        packed, packed.filter(F.col("vec_id") == 0), dim=64, k=10,
+        n_bands=4, bits_per_band=8,
+    )
+
+
+@query(
+    "hamming_lsh_indexed_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+      CAST(list_reduce(list_transform(generate_series(1, 64),
+        i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+                    <> (CAST(p.pv[i] AS DOUBLE) >= 0)
+             THEN 1 ELSE 0 END), (x, y) -> x + y) AS INT) AS hamming
+    FROM embeddings e, p
+    WHERE e.vec_id <> 0 AND ({_hb_band_disjunction_sql()})
+    ORDER BY hamming ASC, e.vec_id LIMIT 10
+    """,
+)
+def hamming_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED bit-sampling LSH retrieval
+    (operators.similarity.hamming_lsh_build_index + query_index): the
+    packed corpus lands once per band under band=/key= hive
+    partitions; the query is a PARTITION-PRUNED read of exactly the
+    probe's matched buckets + a popcount rerank — the wall-clock-
+    sublinear shape the ad-hoc hamming_lsh_topk only bounds in rerank
+    work. Same oracle as the ad-hoc key: indexing must not change a
+    single distance or tie."""
+    import os
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        hamming_lsh_build_index,
+        hamming_lsh_query_index,
+        pack_sign_words,
+    )
+    from component_delta_lake_writer_spark.plans.query_registry import (
+        _scratch,
+    )
+
+    packed = pack_sign_words(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )
+    idx = os.path.join(
+        _scratch("hamming_lsh_indexed_topk", sf_dir), "index"
+    )
+    hamming_lsh_build_index(
+        packed, idx, dim=64, n_bands=4, bits_per_band=8
+    )
+    return hamming_lsh_query_index(
+        spark, idx, packed.filter(F.col("vec_id") == 0), k=10
+    )
+
+
 @query(
     "shard_export_balanced",
     oracle="""
