@@ -760,6 +760,115 @@ def _scd2_curve(
     }
 
 
+def _scd2_stream_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 10)
+) -> dict:
+    """Measured throughput of the STREAMING SCD2 follower (VERDICT r8
+    stretch): stream_scd2 draining a 2-commit CDC source (create +
+    full-key upsert) into a fresh dimension, change volume replicated
+    x1/x10 by user-id offset. The per-drain cost is per-COMMIT work
+    (offset planning, one snapshot-diff upsert per source version)
+    plus per-row shuffle bounded by changed keys — so rows/sec must
+    GROW with volume as the fixed streaming-query cost (Python
+    streaming runner spawn, ~1.5-2 s) amortizes. Median-of-3, each
+    trial into a FRESH dim + checkpoint (writer-txn idempotence makes
+    a reused dim a no-op)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import stream_scd2
+    from component_delta_lake_writer_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_scd2_stream_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        points = []
+        warmed = False
+        for scale in scales:
+            big = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    events.select(
+                        (F.col("user_id") + F.lit(i * 10**9)).alias(
+                            "user_id"
+                        ),
+                        "event_type", "ts", "event_id",
+                    )
+                    for i in range(scale)
+                ],
+            )
+            first = (
+                big.groupBy("user_id")
+                .agg(
+                    F.min_by(
+                        F.struct("event_type", "ts"),
+                        F.struct("ts", "event_id"),
+                    ).alias("s")
+                )
+                .select("user_id", "s.event_type", "s.ts")
+            )
+            last = (
+                big.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("event_type", "ts"),
+                        F.struct("ts", "event_id"),
+                    ).alias("s")
+                )
+                .select("user_id", "s.event_type", "s.ts")
+            )
+            src = ManagedTable(
+                spark, os.path.join(work, f"src_x{scale}")
+            )
+            src.write(first, mode="overwrite", primary_key=["user_id"],
+                      properties={"enableChangeDataFeed": True,
+                                  "mirror.dvMode": "deferred"})
+            src.upsert(last, ["user_id"])
+            n_changes = src.read().count() * 2  # 2 states per user
+
+            def trial() -> float:
+                dim = ManagedTable(
+                    spark,
+                    os.path.join(work, f"dim_{_uuid.uuid4().hex[:8]}"),
+                )
+                t0 = time.perf_counter()
+                q = stream_scd2(
+                    src, dim, "user_id", "ts", ["event_type"],
+                    checkpoint_dir=os.path.join(
+                        work, f"ckpt_{_uuid.uuid4().hex[:8]}"
+                    ),
+                )
+                q.awaitTermination()
+                return time.perf_counter() - t0
+
+            if not warmed:
+                trial()  # untimed: first streaming query of the curve
+                warmed = True
+            sec, spread = _med3(trial)
+            points.append(
+                {
+                    "scale": scale,
+                    "change_rows": n_changes,
+                    "sec": round(sec, 3),
+                    "spread": spread,
+                    "rows_per_sec": int(n_changes / sec),
+                }
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    gain = round(
+        points[-1]["rows_per_sec"] / max(points[0]["rows_per_sec"], 1), 2
+    )
+    return {"points": points, "throughput_gain_x%d" % scales[-1]: gain}
+
+
 def _row_tracking_overhead(spark, sf_dir: str) -> dict:
     """Write orders (x3 replicated) + append + clustered optimize +
     full read, tracking OFF vs ON — per-phase seconds and the total
@@ -1236,6 +1345,17 @@ def main() -> None:
             print(f"# scd2_curve/x{p['scale']}: {p}", file=sys.stderr)
     except Exception as exc:
         print(f"# scd2 curve failed: {exc}", file=sys.stderr)
+
+    # measured streaming SCD2 follower throughput (r9): completes the
+    # SCD2 family's evidence the way scd2_curve did for the batch build
+    try:
+        sscurve = _scd2_stream_curve(spark, SF_DIR)
+        result["scd2_stream_curve"] = sscurve
+        for p in sscurve["points"]:
+            print(f"# scd2_stream_curve/x{p['scale']}: {p}",
+                  file=sys.stderr)
+    except Exception as exc:
+        print(f"# scd2 stream curve failed: {exc}", file=sys.stderr)
 
     # Measured row-tracking cost (round 6): the feature's claim is
     # "metadata-priced" — one footer read per new file at publish, a
