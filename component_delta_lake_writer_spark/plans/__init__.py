@@ -75,6 +75,11 @@ _FRONT = [
     # r8 non-streaming new keys
     "hamming_packed_topk",
     "binary_quant_hamming_topk",
+    # r9: bit-sampling LSH pair — explicit slots (not the cold
+    # tier-1 front) because the indexed key's BUILD writes hundreds
+    # of bucket dirs and pays ~2x on an ice-cold session
+    "hamming_lsh_topk",
+    "hamming_lsh_indexed_topk",
     "scd2_build_events",
     "scd2_apply_snapshot",
     "scd2_lookup_events",

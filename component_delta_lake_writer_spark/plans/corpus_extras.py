@@ -953,7 +953,7 @@ def hamming_lsh_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     <> (CAST(p.pv[i] AS DOUBLE) >= 0)
              THEN 1 ELSE 0 END), (x, y) -> x + y) AS INT) AS hamming
     FROM embeddings e, p
-    WHERE e.vec_id <> 0 AND ({_hb_band_disjunction_sql()})
+    WHERE e.vec_id <> 0 AND ({_hb_band_disjunction_sql(bits=6)})
     ORDER BY hamming ASC, e.vec_id LIMIT 10
     """,
 )
@@ -964,8 +964,12 @@ def hamming_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions; the query is a PARTITION-PRUNED read of exactly the
     probe's matched buckets + a popcount rerank — the wall-clock-
     sublinear shape the ad-hoc hamming_lsh_topk only bounds in rerank
-    work. Same oracle as the ad-hoc key: indexing must not change a
-    single distance or tie."""
+    work. Same oracle shape as the ad-hoc key: indexing must not
+    change a single distance or tie. bits_per_band=6 here (vs the
+    ad-hoc key's 8): at sf0.01 the BUILD's per-bucket-dir commit
+    overhead scales with 4·2^bits dirs (~10 s at 1024, ~3.5 s at
+    256), and the probe's semantics — bucket pruning equals the
+    ad-hoc filter — are parameter-independent."""
     import os
 
     from component_delta_lake_writer_spark.operators.similarity import (
@@ -984,7 +988,7 @@ def hamming_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch("hamming_lsh_indexed_topk", sf_dir), "index"
     )
     hamming_lsh_build_index(
-        packed, idx, dim=64, n_bands=4, bits_per_band=8
+        packed, idx, dim=64, n_bands=4, bits_per_band=6
     )
     return hamming_lsh_query_index(
         spark, idx, packed.filter(F.col("vec_id") == 0), k=10
