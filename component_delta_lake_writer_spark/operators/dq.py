@@ -273,3 +273,78 @@ def zscore_outliers(
         )
         .select(group_col, id_col, "value", "zscore")
     )
+
+
+def numeric_profile(
+    df: DataFrame,
+    cols: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distribution profile of numeric columns: count, nulls, exact
+    mean, min/max, and interpolated quantiles — the "is this batch's
+    value distribution sane?" audit (drift in p99 latency, a price
+    column whose p50 halves, an all-zero feature).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation on the sorted values — the same definition DuckDB's
+    quantile_cont implements, so the probe oracle matches bit-for-bit
+    after 6dp rounding). HONEST COST: the exact aggregate buffers
+    every non-null value of the column per partial — O(rows) memory
+    concentrated into the final merge; right for validation slices
+    and mid-size tables, wrong for a 100 TB column.
+    ``exact=False`` swaps in ``approx_percentile`` (GK sketch, error
+    bounded by 1/``accuracy``, mergeable, constant memory) — the scale
+    default, not oracle-comparable across engines.
+
+    Mean rides the round→DECIMAL idiom (exact, order-free sum) so it
+    is deterministic across partitionings. One aggregation pass for
+    ALL columns; long-format output (column, n, n_nulls, mean, mn,
+    mx, q_25, q_50, ... 6dp) — one row per column.
+    """
+    q_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        v6 = F.round(v, 6)
+        pct = (
+            F.percentile(v, q_arr)
+            if exact
+            else F.approx_percentile(v, q_arr, F.lit(accuracy))
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.sum(v6.cast("decimal(24,6)")).alias(f"__s_{c}"),
+            F.round(F.min(v), 6).alias(f"__mn_{c}"),
+            F.round(F.max(v), 6).alias(f"__mx_{c}"),
+            pct.alias(f"__q_{c}"),
+        ]
+    row = df.agg(*aggs)
+    qnames = [f"q_{str(q).replace('0.', '')}" for q in quantiles]
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").cast("long").alias("n"),
+            F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+            F.round(
+                F.col(f"__s_{c}").cast("double")
+                / (F.col(f"__n_{c}") - F.col(f"__nn_{c}")),
+                6,
+            ).alias("mean"),
+            F.col(f"__mn_{c}").alias("mn"),
+            F.col(f"__mx_{c}").alias("mx"),
+            *[
+                F.round(F.element_at(F.col(f"__q_{c}"), i + 1), 6)
+                .alias(qn)
+                for i, qn in enumerate(qnames)
+            ],
+        )
+        for c in cols
+    ]
+    # one explode over the single aggregated row (the
+    # expectations_summary idiom) — never one job per column
+    return row.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.*")

@@ -269,3 +269,64 @@ def attribution_last_touch(
             F.col(f"_touch.{ts_col}").alias("touch_ts"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered event funnel: how many users completed step 1, then
+    step 2 STRICTLY AFTER their step-1 time, then step 3 after that —
+    the conversion query behind every product analytics dashboard
+    (view → click → purchase), which neither a plain per-step count
+    (ignores order) nor sessionization (windows, not sequence)
+    answers.
+
+    Each step is one filtered keyed aggregation joined to the
+    previous step's (user, first-qualifying-ts) frame — |steps|
+    aggregations total, each shuffle bounded by that step's event
+    volume, and the inter-step joins are |reached-users|-sized (AQE
+    broadcasts them when small). "First qualifying occurrence" is a
+    MIN, so the result is deterministic and replayable in ANSI SQL.
+
+    Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
+    one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
+    """
+    from functools import reduce
+
+    cur = None
+    per_step = []
+    for s in steps:
+        matched = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if cur is not None:
+            matched = matched.join(cur, "_u").filter(
+                F.col("_ts") > F.col("_t")
+            )
+        cur = matched.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        per_step.append(cur)
+    counts = [
+        f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col("n_users").cast("long"),
+        )
+        for i, (s, f) in enumerate(zip(steps, per_step))
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), counts)
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    first = F.first("n_users").over(w)
+    prev = F.lag("n_users", 1).over(Window.orderBy("step"))
+    return out.select(
+        "step", "event_type", "n_users",
+        F.round(F.col("n_users") / first, 6).alias("pct_of_first"),
+        F.round(
+            F.col("n_users") / F.coalesce(prev, F.col("n_users")), 6
+        ).alias("pct_of_prev"),
+    )

@@ -91,3 +91,61 @@ def salted_two_stage_agg(
             F.round(F.sum("_s").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+def skew_profile(
+    df: DataFrame, cols: list[str], k: int = 5
+) -> DataFrame:
+    """Heavy-hitter report per candidate join/partition key: the top
+    ``k`` values of each column by row count, with their share of the
+    table — the measurement that DECIDES between a plain shuffle,
+    AQE's skew split, and ``salted_join`` (a key holding 30% of the
+    rows needs salting; one holding 0.3% does not).
+
+    One pass over (column, value) pairs (stack-style explode, map-side
+    combinable count) + one |columns|-partition window for the top-k —
+    shuffle volume is bounded by the DISTINCT-VALUE count, the same
+    honest pricing as column_profile's exact path; for an id-like
+    column the profile answer ("no skew") costs a near-table-size
+    shuffle, so feed it candidate KEYS, not every column.
+
+    Returns (column, value, n_rows, rank, pct) — value stringified so
+    heterogeneous key columns share one shape, pct of the table's
+    rows rounded 6dp, rank 1..k by (count desc, value asc) so ties
+    are deterministic.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_rows").desc(), F.col("value").asc_nulls_last()
+    )
+    # per-column total from the same aggregation (each column
+    # contributes every row exactly once) — no separate count scan,
+    # the operator stays one lazy plan
+    wt = Window.partitionBy("column")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("_total", F.sum("n_rows").over(wt))
+        .filter(F.col("rank") <= k)
+        .select(
+            "column", "value", "n_rows",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("pct"),
+        )
+    )

@@ -4900,3 +4900,138 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         "user_id", "ts", "value", alpha=0.3, tiebreak="event_id",
     )
+
+
+@query(
+    "skew_profile_orders",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'o_orderstatus' AS "column",
+             CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    c AS (
+      SELECT "column", value, COUNT(*) AS n_rows
+      FROM pairs GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY "column"
+          ORDER BY n_rows DESC, value ASC NULLS LAST
+        ) AS rank,
+        SUM(n_rows) OVER (PARTITION BY "column") AS total
+      FROM c
+    )
+    SELECT "column", value, n_rows, CAST(rank AS INT) AS rank,
+      ROUND(n_rows / total, 6) AS pct
+    FROM r WHERE rank <= 3
+    """,
+)
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report (operators.skew.skew_profile): top-3
+    heaviest values of three candidate keys with their table share —
+    the measurement that decides between a plain shuffle, AQE's skew
+    split, and salted_join. One (column, value) aggregation pass +
+    one |columns|-partition window; deterministic tie-break."""
+    from component_delta_lake_writer_spark.operators.skew import (
+        skew_profile,
+    )
+
+    return skew_profile(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+        k=3,
+    )
+
+
+@query(
+    "numeric_profile_orders",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    )
+    SELECT 'o_totalprice' AS "column",
+      COUNT(*) AS n,
+      CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nulls,
+      ROUND(
+        CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(24,6))) AS DOUBLE)
+        / COUNT(v), 6
+      ) AS mean,
+      ROUND(MIN(v), 6) AS mn,
+      ROUND(MAX(v), 6) AS mx,
+      ROUND(quantile_cont(v, 0.25), 6) AS q_25,
+      ROUND(quantile_cont(v, 0.5), 6) AS q_5,
+      ROUND(quantile_cont(v, 0.75), 6) AS q_75,
+      ROUND(quantile_cont(v, 0.95), 6) AS q_95,
+      ROUND(quantile_cont(v, 0.99), 6) AS q_99
+    FROM b
+    """,
+)
+def numeric_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution audit (operators.dq.numeric_profile,
+    exact path): count/nulls/exact-decimal mean/min/max + exact
+    interpolated quantiles in ONE aggregation pass. Spark's exact
+    percentile and DuckDB's quantile_cont share the linear-
+    interpolation definition, so the probe matches at 6dp. The
+    approx_percentile escape hatch (exact=False) is the 100 TB
+    default and deliberately not oracled."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        numeric_profile,
+    )
+
+    return numeric_profile(
+        load_table(spark, sf_dir, "orders"), ["o_totalprice"]
+    )
+
+
+@query(
+    "funnel_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users
+      FROM s1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT CAST(step AS INT) AS step, event_type,
+      CAST(n_users AS BIGINT) AS n_users,
+      ROUND(n_users / FIRST_VALUE(n_users) OVER (ORDER BY step), 6)
+        AS pct_of_first,
+      ROUND(n_users / COALESCE(
+        LAG(n_users) OVER (ORDER BY step), n_users), 6) AS pct_of_prev
+    FROM c
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators.sessions.funnel):
+    view -> click STRICTLY AFTER the user's first view -> purchase
+    after that. |steps| keyed aggregations with first-qualifying-MIN
+    semantics; the oracle replays the identical CTE cascade."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    return funnel(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+    )

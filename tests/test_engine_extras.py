@@ -2087,3 +2087,75 @@ def test_hamming_lsh_index_equals_adhoc(spark, tmp_path):
     )
     res = hamming_lsh_query_index(spark, idx, alt, k=10)
     assert res.columns == ["vec_id", "hamming"]
+
+
+def test_numeric_profile_approx_and_nulls(spark):
+    """numeric_profile: the approx path keeps the exact-path shape
+    with estimates inside GK error bounds; null handling — nulls
+    counted, excluded from mean/quantiles."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        numeric_profile,
+    )
+
+    df = spark.range(1001).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("x")
+    )
+    exact = numeric_profile(df, ["x"]).collect()[0]
+    assert exact["n"] == 1001 and exact["n_nulls"] == 101
+    assert exact["q_5"] is not None and exact["mn"] == 1.0
+    approx = numeric_profile(df, ["x"], exact=False).collect()[0]
+    assert approx.asDict().keys() == exact.asDict().keys()
+    assert abs(approx["q_5"] - exact["q_5"]) <= 5.0
+
+
+def test_funnel_strict_ordering(spark):
+    """funnel: a user whose step-2 event precedes their step-1 event
+    does NOT convert; step rows appear even when zero users reach."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),   # converts
+        (2, "click", "2024-01-01 09:00:00"),   # click BEFORE view
+        (2, "view", "2024-01-01 10:00:00"),
+        (3, "view", "2024-01-01 10:00:00"),    # never clicks
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["step"]: r for r in funnel(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1]["n_users"] == 3
+    assert got[2]["n_users"] == 1 and got[2]["pct_of_prev"] is not None
+    assert got[3]["n_users"] == 0
+    assert abs(got[2]["pct_of_first"] - 1 / 3) < 1e-6
+
+
+def test_skew_profile_tie_and_share(spark):
+    """skew_profile: deterministic (count desc, value asc) ranking,
+    pct is the value's share of ALL rows (nulls included in the
+    denominator and profiled as a value)."""
+    from component_delta_lake_writer_spark.operators.skew import (
+        skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)],
+        "k string",
+    )
+    got = skew_profile(df, ["k"], k=2).collect()
+    assert [(r["value"], r["rank"]) for r in got] == [
+        ("a", 1), ("b", 2)
+    ]
+    assert abs(got[0]["pct"] - 2 / 6) < 1e-6

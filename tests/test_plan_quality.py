@@ -623,3 +623,45 @@ def test_hamming_packed_plan_no_shuffle(spark):
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_csv_typed_load_job_count_locked(spark, tmp_path):
+    """VERDICT r8 task 1 follow-through: the csv_load_typed envelope
+    workload (typed CSV scan -> ManagedTable write) is dispatch-bound
+    at the x10 shape — its DuckDB ratio rests on the job count staying
+    fixed. Profiled r9: exactly 2 jobs warm (the parquet write + the
+    preserve-order scan's commit bookkeeping); footer stats fold
+    driver-side (pyarrow, no job). An extra job sneaking into the
+    write path turns the measured ~2x dispatch-bound ratio into a
+    silent regression — lock it."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.config import ColumnSpec
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.sources.csv import (
+        read_csv_typed,
+    )
+
+    csv_dir = str(tmp_path / "slices")
+    spark.range(20_000).select(
+        F.col("id").cast("string").alias("a"),
+        (F.col("id") % 7).cast("string").alias("b"),
+    ).coalesce(2).write.option("header", "false").csv(csv_dir)
+    cols = [ColumnSpec("a", "INTEGER"), ColumnSpec("b", "INTEGER")]
+
+    def load(dest: str) -> None:
+        ManagedTable(spark, dest).write(
+            read_csv_typed(spark, csv_dir, cols), mode="overwrite",
+            compression="none", max_records_per_file=25_000,
+        )
+
+    load(str(tmp_path / "warm"))
+    sc = spark.sparkContext
+    group = "csv-load-job-lock"
+    sc.setJobGroup(group, group)
+    try:
+        load(str(tmp_path / "t"))
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 2, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
