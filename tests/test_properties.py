@@ -651,3 +651,97 @@ def test_row_id_invariants_random_sequences(spark, ops, seed):
                             f"id {rid} moved {prev_by_id[rid]} -> {k}"
                         )
             prev = cur
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    snaps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=4),    # effective day
+            st.sampled_from(["a", "b", "c"]),         # attr state
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_delta_stream_model(spark, snaps):
+    """SCD2 incremental-apply model (r9 semantic contract): feed a
+    random sequence of per-key snapshots — NON-decreasing effective
+    times per key, INCLUDING same-timestamp corrections — through
+    scd2_delta + ManagedTable upserts, and check the invariants the
+    operator promises for ANY input:
+
+    - at most one CURRENT row per key, and its attrs equal the key's
+      last applied state;
+    - every delta batch is (key, valid_from)-unique (the merge-key
+      contract the same-ts close-out drop exists for);
+    - per key, historical ranges never overlap: each close-out's
+      valid_to equals some later row's valid_from (tiling), and
+      valid_from <= valid_to strictly for closed rows.
+    """
+    import datetime as _dt
+
+    from component_delta_lake_writer_spark.operators.scd import (
+        scd2_build,
+        scd2_delta,
+    )
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    # per-key monotone NON-decreasing effective times: sort the drawn
+    # rows by day within key, then replay one snapshot row at a time
+    by_key: dict = {}
+    for k, day, attr in snaps:
+        by_key.setdefault(k, []).append((day, attr))
+    ordered = []
+    for k in sorted(by_key):
+        for day, attr in sorted(by_key[k], key=lambda t: t[0]):
+            ordered.append((k, day, attr))
+
+    def ts(day: int):
+        return _dt.datetime(2024, 1, 1 + day)
+
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable(spark, d + "/dim")
+        last_state: dict = {}
+        for k, day, attr in ordered:
+            snap = spark.createDataFrame(
+                [(k, attr, ts(day))], "k int, attr string, ts timestamp_ntz"
+            )
+            if not t.exists():
+                t.write(
+                    scd2_build(snap, "k", "ts", ["attr"]),
+                    mode="overwrite", primary_key=["k", "valid_from"],
+                )
+            else:
+                delta = scd2_delta(t.read(), snap, "k", ["attr"], "ts")
+                drows = delta.collect()
+                seen = set()
+                for r in drows:
+                    mk = (r["k"], r["valid_from"])
+                    assert mk not in seen, f"merge-key collision {mk}"
+                    seen.add(mk)
+                t.upsert(delta, ["k", "valid_from"])
+            last_state[k] = attr
+
+        rows = t.read().collect()
+        cur = {}
+        for r in rows:
+            if r["is_current"]:
+                assert r["k"] not in cur, f"two current rows for {r['k']}"
+                cur[r["k"]] = r["attr"]
+                assert r["valid_to"] is None
+            else:
+                assert r["valid_from"] <= r["valid_to"]
+        assert cur == last_state
+        # tiling: every closed row's valid_to is some row's valid_from
+        for r in rows:
+            if not r["is_current"]:
+                assert any(
+                    o["k"] == r["k"] and o["valid_from"] == r["valid_to"]
+                    for o in rows
+                ), f"gap after close-out {r}"
