@@ -285,39 +285,96 @@ def funnel(
     (ignores order) nor sessionization (windows, not sequence)
     answers.
 
-    Each step is one filtered keyed aggregation joined to the
-    previous step's (user, first-qualifying-ts) frame — |steps|
-    aggregations total, each shuffle bounded by that step's event
-    volume, and the inter-step joins are |reached-users|-sized (AQE
-    broadcasts them when small). "First qualifying occurrence" is a
-    MIN, so the result is deterministic and replayable in ANSI SQL.
+    ONE corpus scan, ONE keyed shuffle: per user the step-relevant
+    events collect into a ts-sorted array (bounded by per-user event
+    count — the ewma_latest idiom) and a sequential ``F.aggregate``
+    fold advances through the steps, crediting step i's FIRST event
+    strictly after step i-1's credited time (the fold in ascending ts
+    equals the join-cascade's MIN-with-residual spelling, which the
+    SQL oracle replays — but that spelling re-scans the corpus per
+    step, O(steps²) work the fold avoids).  Equal-ts events cannot
+    advance two steps regardless of fold order, so the result is a
+    deterministic function of the data.
 
     Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
     one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
     """
-    from functools import reduce
-
-    cur = None
-    per_step = []
-    for s in steps:
-        matched = events.filter(F.col(type_col) == s).select(
-            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                step_idx[F.col(type_col)].alias("s"),
+            ).alias("_e"),
         )
-        if cur is not None:
-            matched = matched.join(cur, "_u").filter(
-                F.col("_ts") > F.col("_t")
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_list("_e")).alias("_es"))
+        .select(
+            # fold state: array of credited step times, null = not yet
+            F.aggregate(
+                F.col("_es"),
+                F.array(
+                    *[
+                        F.lit(None).cast(
+                            events.schema[ts_col].dataType
+                        )
+                        for _ in steps
+                    ]
+                ),
+                # element_at is 1-BASED, so element_at(acc, i) with
+                # transform's 0-based i is exactly the PREVIOUS step's
+                # credited time; the i==0 case rides a CaseWhen branch
+                # (runtime-lazy) so element_at(acc, 0) never evaluates
+                lambda acc, e: F.transform(
+                    acc,
+                    lambda t, i: F.when(
+                        t.isNotNull(), t
+                    ).otherwise(
+                        F.when(
+                            (e["s"] == i)
+                            & F.when(
+                                i == F.lit(0), F.lit(True)
+                            ).otherwise(
+                                F.element_at(acc, i).isNotNull()
+                                & (e["t"] > F.element_at(acc, i))
+                            ),
+                            e["t"],
+                        )
+                    ),
+                ),
+            ).alias("_ts_reached")
+        )
+    )
+    counts_row = per_user.agg(
+        *[
+            F.sum(
+                F.element_at(F.col("_ts_reached"), i + 1)
+                .isNotNull()
+                .cast("long")
+            ).alias(f"__n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    out = counts_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("int").alias("step"),
+                        F.lit(s).alias("event_type"),
+                        F.coalesce(
+                            F.col(f"__n_{i}"), F.lit(0)
+                        ).cast("long").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
             )
-        cur = matched.groupBy("_u").agg(F.min("_ts").alias("_t"))
-        per_step.append(cur)
-    counts = [
-        f.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).cast("int").alias("step"),
-            F.lit(s).alias("event_type"),
-            F.col("n_users").cast("long"),
-        )
-        for i, (s, f) in enumerate(zip(steps, per_step))
-    ]
-    out = reduce(lambda a, b: a.unionByName(b), counts)
+        ).alias("s")
+    ).select("s.*")
     w = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

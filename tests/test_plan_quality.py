@@ -665,3 +665,23 @@ def test_csv_typed_load_job_count_locked(spark, tmp_path):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert len(jobs) <= 2, f"{len(jobs)} jobs dispatched: {sorted(jobs)}"
+
+
+def test_funnel_single_corpus_scan(spark):
+    """funnel must read the events corpus EXACTLY once (the sorted-
+    array fold): the join-cascade spelling the oracle replays re-scans
+    the corpus per step — O(steps^2) work that silently returns at
+    any refactor. Two exchanges expected: the keyed groupBy and the
+    tiny final count aggregation."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = funnel(
+        load_table(spark, SF_SMALL, "events"),
+        ["view", "click", "purchase"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 3, plan
