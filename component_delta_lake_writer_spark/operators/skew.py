@@ -103,11 +103,18 @@ def skew_profile(
     rows needs salting; one holding 0.3% does not).
 
     One pass over (column, value) pairs (stack-style explode, map-side
-    combinable count) + one |columns|-partition window for the top-k —
-    shuffle volume is bounded by the DISTINCT-VALUE count, the same
-    honest pricing as column_profile's exact path; for an id-like
-    column the profile answer ("no skew") costs a near-table-size
-    shuffle, so feed it candidate KEYS, not every column.
+    combinable count), then TWO-PHASE top-k: a local rank inside each
+    shuffle partition prunes to ≤k candidates per (column, partition)
+    BEFORE the per-column global rank — a single per-column window
+    would sort ALL of a column's distinct values in one task, the
+    exact single-reducer bottleneck this operator exists to detect.
+    (Two-phase is lossless: anything in the global top-k under
+    (count desc, value asc) is in its own partition's top-k under the
+    same ordering.)  Per-column totals come from their own tiny
+    aggregation, broadcast back.  Shuffle volume is bounded by the
+    DISTINCT-VALUE count — for an id-like column the profile answer
+    ("no skew") costs a near-table-size shuffle, so feed it candidate
+    KEYS, not every column.
 
     Returns (column, value, n_rows, rank, pct) — value stringified so
     heterogeneous key columns share one shape, pct of the table's
@@ -132,17 +139,27 @@ def skew_profile(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("column").orderBy(
-        F.col("n_rows").desc(), F.col("value").asc_nulls_last()
+    order = [F.col("n_rows").desc(), F.col("value").asc_nulls_last()]
+    # phase 1: local top-k inside each post-groupBy partition — sort
+    # state bounded by a partition's slice of the distinct values
+    w_local = Window.partitionBy(
+        "column", F.spark_partition_id()
+    ).orderBy(*order)
+    pruned = (
+        counts.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
     )
-    # per-column total from the same aggregation (each column
-    # contributes every row exactly once) — no separate count scan,
-    # the operator stays one lazy plan
-    wt = Window.partitionBy("column")
+    # phase 2: global rank over ≤ k·partitions survivors per column
+    w = Window.partitionBy("column").orderBy(*order)
+    # per-column totals: |columns| rows, map-side combinable,
+    # broadcast back (must aggregate BEFORE the top-k prune)
+    totals = counts.groupBy("column").agg(
+        F.sum("n_rows").alias("_total")
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .withColumn("_total", F.sum("n_rows").over(wt))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .join(F.broadcast(totals), "column")
         .select(
             "column", "value", "n_rows",
             F.col("rank").cast("int").alias("rank"),

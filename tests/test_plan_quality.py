@@ -685,3 +685,24 @@ def test_funnel_single_corpus_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_skew_profile_reuses_count_shuffle(spark):
+    """skew_profile's totals branch builds ON the (column, value)
+    counts subtree, so AQE reuses that exchange — the corpus scan +
+    partial aggregation runs ONCE at runtime even though two logical
+    branches consume it. A refactor that computes totals from the raw
+    pairs instead would silently double the scan."""
+    from component_delta_lake_writer_spark.operators.skew import (
+        skew_profile,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = skew_profile(
+        load_table(spark, SF_SMALL, "orders"),
+        ["o_orderstatus", "o_custkey"],
+        k=3,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
