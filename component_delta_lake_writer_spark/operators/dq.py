@@ -348,3 +348,75 @@ def numeric_profile(
     return row.select(
         F.explode(F.array(*structs)).alias("s")
     ).select("s.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    z: float = 3.5,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Robust per-group outlier detection via MEDIAN absolute
+    deviation: flag rows whose modified z-score
+    ``0.6745 * (x - median) / MAD`` exceeds ``z`` (Iglewicz-Hoaglin's
+    3.5 convention).  The robust sibling of ``zscore_outliers`` — a
+    mean/std audit is itself corrupted by the outliers it hunts (one
+    10^6 spike inflates sigma enough to hide nine 10^3 spikes), while
+    medians have a 50% breakdown point.
+
+    Two keyed aggregations (group median, then median of absolute
+    deviations) + the broadcast flag pass — exact interpolated
+    percentiles, so the flag set is deterministic and replayable in
+    ANSI SQL.  Exact medians buffer a group's values in the aggregate
+    (the numeric_profile pricing); groups here are segment-scale by
+    contract.  MAD = 0 (over half the group identical): only rows
+    actually DIFFERENT from the median can be outliers, and the
+    modified z-score is undefined — such groups are skipped, same
+    posture as the zscore sd=0 guard.
+
+    ``broadcast_stats`` as in zscore_outliers.  Returns (group, id,
+    value, mad_z) for flagged rows, mad_z rounded 6dp.
+    """
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    base = df.select(F.col(group_col), F.col(id_col), v6.alias("value"))
+    med = base.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("_m")
+    )
+    mj = F.broadcast(med) if broadcast_stats else med
+    dev = base.join(mj, group_col).withColumn(
+        "_ad", F.round(F.abs(F.col("value") - F.col("_m")), 6)
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("_ad"), F.lit(0.5)), 6).alias("_mad")
+    )
+    sj = F.broadcast(mad) if broadcast_stats else mad
+    # flag pass rebuilds from dev (which already carries _m), so the
+    # whole operator costs two corpus scans — the irreducible floor
+    # for an exact two-level median — with the group-median exchange
+    # reused between them
+    return (
+        dev.join(sj, group_col)
+        .withColumn(
+            "mad_z",
+            F.round(
+                F.lit(0.6745)
+                * (F.col("value") - F.col("_m"))
+                / F.col("_mad"),
+                6,
+            ),
+        )
+        .filter(
+            (F.col("_mad") > 0)
+            & (
+                F.abs(
+                    F.lit(0.6745)
+                    * (F.col("value") - F.col("_m"))
+                    / F.col("_mad")
+                )
+                > z
+            )
+        )
+        .select(group_col, id_col, "value", "mad_z")
+    )

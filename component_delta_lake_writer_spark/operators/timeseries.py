@@ -328,3 +328,54 @@ def ewma_latest(
             "ewma"
         ),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n: int = 5,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key rolling statistics over the last ``n`` observations
+    (current + n-1 preceding by ``ts_col``): mean, min, max — the
+    moving-average smoothing / rolling-extrema feature every
+    time-series feature pipeline computes before modeling.
+
+    One keyed shuffle, one window pass over the (key, ts, tiebreak)
+    sort; the frame is ROWS-bounded so state per row is O(n).  The
+    rolling SUM rides the round→DECIMAL idiom: windowed double sums
+    are engine-ORDER-DEPENDENT (DuckDB's segment-tree sliding
+    aggregate adds in a different order than Spark's frame scan, so
+    raw-double means drift in the last ulps and break a 6dp hash) —
+    an exact decimal sum divided once per row is bit-identical.
+
+    ``tiebreak`` orders equal timestamps deterministically (pass an
+    id column).  Returns the input key/ts/tiebreak/value plus
+    (roll_mean, roll_min, roll_max, roll_n) rounded 6dp.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), 0)
+    )
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    cols = [F.col(key_col), F.col(ts_col)] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
+    dec = F.col("value").cast("decimal(24,6)")
+    return df.select(*cols, v6.alias("value")).select(
+        "*",
+        F.round(
+            F.sum(dec).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("roll_mean"),
+        F.round(F.min(F.col("value")).over(w), 6).alias("roll_min"),
+        F.round(F.max(F.col("value")).over(w), 6).alias("roll_max"),
+        F.count(F.lit(1)).over(w).cast("int").alias("roll_n"),
+    )

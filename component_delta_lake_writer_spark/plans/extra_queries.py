@@ -5035,3 +5035,105 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         ["view", "click", "purchase"],
     )
+
+
+@query(
+    "rolling_stats_events",
+    oracle="""
+    SELECT user_id, ts, event_id, ROUND(value, 6) AS value,
+      ROUND(
+        CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(24,6))) OVER w
+             AS DOUBLE) / COUNT(*) OVER w, 6
+      ) AS roll_mean,
+      ROUND(MIN(ROUND(value, 6)) OVER w, 6) AS roll_min,
+      ROUND(MAX(ROUND(value, 6)) OVER w, 6) AS roll_max,
+      CAST(COUNT(*) OVER w AS INT) AS roll_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean/min/max over the last 5 observations
+    (operators.timeseries.rolling_stats): one keyed window pass,
+    ROWS-bounded frame. The rolling sum rides the round→DECIMAL
+    idiom because windowed DOUBLE sums are engine-order-dependent
+    (DuckDB slides a segment tree, Spark scans the frame) — decimal
+    makes the means bit-identical."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        rolling_stats,
+    )
+
+    return rolling_stats(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", "value", n=5, tiebreak="event_id",
+    )
+
+
+@query(
+    "mad_outlier_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, ROUND(value, 6) AS v FROM events
+      UNION ALL
+      -- planted spike group: nine benign values + one 10^6 spike the
+      -- mean/std audit would hide behind its own inflated sigma
+      SELECT '_mad_probe', -1 - i,
+        CASE WHEN i = 9 THEN 1000000.0 ELSE 10.0 + i END
+      FROM range(10) AS t(i)
+      UNION ALL
+      -- planted constant group: MAD = 0, must yield NO outliers
+      SELECT '_mad_const', -100 - i, 42.0 FROM range(4) AS t(i)
+    ),
+    med AS (
+      SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS m
+      FROM s GROUP BY event_type
+    ),
+    dev AS (
+      SELECT s.event_type, s.event_id, s.v, med.m,
+        ROUND(ABS(s.v - med.m), 6) AS ad
+      FROM s JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.event_id, d.v AS value,
+      ROUND(0.6745 * (d.v - d.m) / mad.mad, 6) AS mad_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND ABS(0.6745 * (d.v - d.m) / mad.mad) > 3.5
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit (operators.dq.mad_outliers):
+    modified z-score over median/MAD — the audit that still works
+    when the outliers corrupt the mean/std. A planted spike group
+    (one 10^6 value among ten) proves detection; a planted constant
+    group (MAD = 0) differentially covers the undefined-score guard,
+    mirroring the zscore probe's sd=0 treatment."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        mad_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    spike = spark.range(10).select(
+        F.lit("_mad_probe").alias("event_type"),
+        (-1 - F.col("id")).cast("long").alias("event_id"),
+        F.when(F.col("id") == 9, F.lit(1000000.0))
+        .otherwise(10.0 + F.col("id"))
+        .alias("value"),
+    )
+    const = spark.range(4).select(
+        F.lit("_mad_const").alias("event_type"),
+        (-100 - F.col("id")).cast("long").alias("event_id"),
+        F.lit(42.0).alias("value"),
+    )
+    return mad_outliers(
+        ev.unionByName(spike).unionByName(const),
+        "value", "event_type", "event_id",
+    )

@@ -2159,3 +2159,62 @@ def test_skew_profile_tie_and_share(spark):
         ("a", 1), ("b", 2)
     ]
     assert abs(got[0]["pct"] - 2 / 6) < 1e-6
+
+
+def test_mad_outliers_robustness_vs_zscore(spark):
+    """The case MAD exists for: multiple spikes inflate sigma enough
+    that the mean/std audit hides them, while the median/MAD audit
+    flags every one. Also: a constant group (MAD=0) yields nothing."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        mad_outliers,
+        zscore_outliers,
+    )
+
+    rows = [("g", i, 100.0 + (i % 7)) for i in range(40)] + [
+        ("g", 100 + j, 1.0e6) for j in range(8)  # 8 spikes of 48 rows
+    ] + [("c", 200 + j, 5.0) for j in range(4)]  # constant group
+    df = spark.createDataFrame(rows, "g string, i long, x double")
+    mad = mad_outliers(df, "x", "g", "i")
+    flagged = {r["i"] for r in mad.collect()}
+    assert flagged == {100 + j for j in range(8)}
+    # sigma inflated by the spikes: classic zscore misses all of them
+    zs = {r["i"] for r in zscore_outliers(df, "x", "g", "i").collect()}
+    assert zs == set()
+    # broadcast gate: identical flag set
+    b = {
+        r["i"]
+        for r in mad_outliers(
+            df, "x", "g", "i", broadcast_stats=False
+        ).collect()
+    }
+    assert b == flagged
+
+
+def test_rolling_stats_frame_and_ties(spark):
+    """rolling_stats: frame shorter than n at the key's start
+    (roll_n grows 1..n), deterministic equal-ts ordering via the
+    tiebreak, exact means."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        rolling_stats,
+    )
+
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    df = spark.createDataFrame(
+        [(1, i, float(10 * (i + 1))) for i in range(4)],
+        "k int, eid int, x double",
+    ).withColumn("ts", ts)  # ALL equal ts: order comes from eid only
+    got = {
+        r["eid"]: r
+        for r in rolling_stats(
+            df, "k", "ts", "x", n=3, tiebreak="eid"
+        ).collect()
+    }
+    assert [got[i]["roll_n"] for i in range(4)] == [1, 2, 3, 3]
+    assert got[0]["roll_mean"] == 10.0
+    assert got[2]["roll_mean"] == 20.0   # (10+20+30)/3
+    assert got[3]["roll_mean"] == 30.0   # (20+30+40)/3
+    assert got[3]["roll_min"] == 20.0 and got[3]["roll_max"] == 40.0
