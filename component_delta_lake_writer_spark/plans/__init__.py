@@ -24,6 +24,24 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 9: keys whose OPERATOR or ORACLE changed this round and
+    # must be re-proven at driver grade — the zscore/dim-stats sd=0
+    # clamps + planted constant group, the scd2 dedup tiebreak and
+    # same-ts close-out rule (batch apply/delta + streaming follower),
+    # the gdpr probe rewired through the distributed erasure_audit
+    # operator, column_profile's new signature. (parquet_scan still
+    # leads the listed order below as the session warm-up absorber;
+    # the five brand-new r9 analytics keys are unlisted → tier-1
+    # front by the standing rule.)
+    # ------------------------------------------------------------------
+    "zscore_outlier_events",
+    "embedding_dim_stats",
+    "scd2_build_events",
+    "scd2_apply_snapshot",
+    "scd2_lookup_events",
+    "column_profile_orders",
+    "gdpr_erasure_audit",
+    # ------------------------------------------------------------------
     # Round 8: (a) §2 core write-surface keys re-fronted — their last
     # driver rows are r1/r2 while the engine underneath gained ~1,500
     # lines in r6-r7 (VERDICT r7 "Next round" #4); (b) the two probes
