@@ -420,3 +420,72 @@ def mad_outliers(
         )
         .select(group_col, id_col, "value", "mad_z")
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column — the distribution-
+    SHAPE audit that completes the profiling trio (column_profile:
+    what's there; numeric_profile: where the quantiles sit; histogram:
+    what the density looks like — bimodality, truncation, and heaping
+    are invisible to both of the others).
+
+    With ``lo``/``hi`` given the bin edges are fixed (the cross-batch
+    comparison shape: same edges every day → drift is bin-count
+    deltas) and the whole thing is ONE map-side-combinable
+    aggregation over ``bins`` groups.  Without them the bounds come
+    from a first min/max pass (two jobs total — still no shuffle
+    wider than ``bins`` rows).  Values at ``hi`` land in the last bin
+    (closed upper edge, NumPy convention); NULLs are dropped and
+    reported via column_profile, not here.
+
+    Returns (bin, lo, hi, n_rows) — bin 0..bins-1, edges rounded 6dp,
+    EVERY bin present (zero-count bins included, via a sequence
+    left-join against the counts: a missing-row histogram reads as a
+    different shape).
+    """
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(v).alias("_lo"), F.max(v).alias("_hi")
+        ).collect()[0]
+        lo = row["_lo"] if lo is None else lo
+        hi = row["_hi"] if hi is None else hi
+    if lo is None:  # all-null column
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo double, hi double, n_rows bigint"
+        )
+    lo_f, hi_f = float(lo), float(hi)
+    width = (hi_f - lo_f) / bins if hi_f > lo_f else 1.0
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.floor((v - F.lit(lo_f)) / F.lit(width)).cast("int"),
+    )
+    counts = (
+        df.filter(v.isNotNull() & (v >= lo_f) & (v <= hi_f))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spark = df.sparkSession
+    edges = spark.range(bins).select(
+        F.col("id").cast("int").alias("bin"),
+        F.round(F.lit(lo_f) + F.col("id") * F.lit(width), 6).alias("lo"),
+        F.round(
+            F.lit(lo_f) + (F.col("id") + 1) * F.lit(width), 6
+        ).alias("hi"),
+    )
+    return (
+        edges.join(counts, "bin", "left")
+        .select(
+            "bin", "lo", "hi",
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_rows"),
+        )
+        .orderBy("bin")
+    )

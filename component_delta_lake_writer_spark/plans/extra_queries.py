@@ -5137,3 +5137,40 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.unionByName(spike).unionByName(const),
         "value", "event_type", "event_id",
     )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(i AS INT) AS bin,
+        ROUND(CAST(i * 60000.0 AS DOUBLE), 6) AS lo,
+        ROUND(CAST((i + 1) * 60000.0 AS DOUBLE), 6) AS hi
+      FROM range(10) AS t(i)
+    ),
+    c AS (
+      SELECT LEAST(9, CAST(FLOOR(
+          CAST(o_totalprice AS DOUBLE) / 60000.0) AS INT)) AS bin,
+        COUNT(*) AS n
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_totalprice >= 0 AND o_totalprice <= 600000
+      GROUP BY 1
+    )
+    SELECT e.bin, e.lo, e.hi,
+      CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rows
+    FROM e LEFT JOIN c USING (bin)
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (operators.dq.histogram) of order totals
+    with FIXED edges (lo=0, hi=600k, 10 bins — the cross-batch drift-
+    comparison shape): one map-side-combinable aggregation over 10
+    groups, zero-count bins materialized via the edge sequence so a
+    shape change is a value diff, never a missing row."""
+    from component_delta_lake_writer_spark.operators.dq import histogram
+
+    return histogram(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice", bins=10, lo=0.0, hi=600000.0,
+    )

@@ -2218,3 +2218,30 @@ def test_rolling_stats_frame_and_ties(spark):
     assert got[2]["roll_mean"] == 20.0   # (10+20+30)/3
     assert got[3]["roll_mean"] == 30.0   # (20+30+40)/3
     assert got[3]["roll_min"] == 20.0 and got[3]["roll_max"] == 40.0
+
+
+def test_histogram_edges_and_autobounds(spark):
+    """histogram: closed upper edge (value == hi lands in the LAST
+    bin), zero-count bins materialized, auto-bounds from a min/max
+    pass, all-null column -> empty frame with the right schema."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (10.0,), (None,)], "x double"
+    )
+    got = {r["bin"]: r for r in histogram(df, "x", bins=4).collect()}
+    assert len(got) == 4
+    # width = 2.5: 0.0->bin0, 2.5->bin1, 5.0->bin2, 10.0->bin3 (== hi)
+    assert [got[i]["n_rows"] for i in range(4)] == [1, 1, 1, 1]
+    assert got[3]["hi"] == 10.0
+
+    # fixed edges: out-of-range rows are excluded, zero bins present
+    got2 = histogram(df, "x", bins=2, lo=0.0, hi=4.0).collect()
+    assert [r["n_rows"] for r in got2] == [1, 1]  # 0.0 and 2.5; 5,10 out
+
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    empty = histogram(allnull, "x", bins=3)
+    assert empty.columns == ["bin", "lo", "hi", "n_rows"]
+    assert empty.count() == 0
