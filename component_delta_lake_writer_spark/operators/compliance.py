@@ -37,12 +37,40 @@ from component_delta_lake_writer_spark.sinks.unit_stats import (
 MAX_LEAK_DETAIL = 1000
 
 
-def _audit_file(path: str, key_col: str, erased: frozenset) -> tuple:
+def _audit_file(
+    path: str, key_col: str, erased: frozenset, base_dir: str = ""
+) -> tuple:
     """(n_rows_checked, leaked_keys) for one parquet file — runs
     driver-side below the threshold and executor-side above it
-    (imports stay inside so the pickled closure is light)."""
+    (imports stay inside so the pickled closure is light).
+
+    A key column that is a PARTITION column never appears in the
+    parquet bytes (hive layout strips it): the key value then lives
+    in the DIRECTORY NAME, so the hive segments of the file's path
+    are decoded and checked too — every file under ``key_col=42/``
+    counts as rows of key 42, and a ``key_col=42`` directory
+    surviving vacuum is exactly the erasure failure a regulator would
+    read off the listing.  Partition values compare as STRINGS
+    (directory encoding), so the erased set carries both raw and
+    string forms.
+    """
     import pyarrow.parquet as _pq
 
+    from component_delta_lake_writer_spark.sinks.hive_layout import (
+        decode_segments,
+    )
+
+    rel = (
+        os.path.relpath(os.path.dirname(path), base_dir)
+        if base_dir
+        else os.path.dirname(path)
+    )
+    pvals = decode_segments(rel)
+    if key_col in pvals:
+        pf = _pq.ParquetFile(path)
+        n = pf.metadata.num_rows
+        v = pvals[key_col]
+        return n, ([v] if v in erased else [])
     pf = _pq.ParquetFile(path)
     if key_col not in pf.schema_arrow.names:
         return 0, []
@@ -90,9 +118,14 @@ def erasure_audit(
     spark = table.spark
     if hasattr(erased_keys, "collect"):  # DataFrame
         col = erased_keys.columns[0]
-        erased = frozenset(r[col] for r in erased_keys.collect())
+        raw = [r[col] for r in erased_keys.collect()]
     else:
-        erased = frozenset(erased_keys)
+        raw = list(erased_keys)
+    # partition-directory values decode as STRINGS — carry both forms
+    # so a hive `key_col=42/` segment matches an integer key 42
+    erased = frozenset(raw) | frozenset(
+        str(k) for k in raw if k is not None
+    )
     files = list_parquet_files(table.path)
     delete_files = [
         f for f in files
@@ -101,10 +134,12 @@ def erasure_audit(
     kc = key_col
     er = erased
 
+    base_dir = table.path
+
     def scan_slice(paths) -> list[tuple]:
         out = []
         for p in paths:
-            n, leaked = _audit_file(p, kc, er)
+            n, leaked = _audit_file(p, kc, er, base_dir)
             out.append((p, n, leaked))
         return out
 

@@ -298,7 +298,19 @@ def funnel(
 
     Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
     one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
+
+    Steps must be DISTINCT event types: a repeated step ("view →
+    view → buy") is ambiguous under the type→index map this fold
+    rides on (and Spark's map-key dedup policy would throw mid-job,
+    not at plan time) — raised here as a clear UserException instead.
     """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    if len(set(steps)) != len(steps):
+        raise UserException(
+            f"funnel steps must be distinct event types, got {steps}; "
+            "model a repeated step as a distinct event_type upstream."
+        )
     step_idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )

@@ -2245,3 +2245,61 @@ def test_histogram_edges_and_autobounds(spark):
     empty = histogram(allnull, "x", bins=3)
     assert empty.columns == ["bin", "lo", "hi", "n_rows"]
     assert empty.count() == 0
+
+
+def test_erasure_audit_partition_column_key(spark, tmp_path):
+    """r9 hardening: when the erasure key IS a partition column the
+    parquet bytes never contain it — the key value lives in the hive
+    DIRECTORY name. The audit must read it from the path: a surviving
+    key_col=<erased>/ directory with rows is a leak, and a clean
+    post-delete table audits clean."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.compliance import (
+        erasure_audit,
+    )
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).selectExpr(
+        "id % 5 AS region", "id AS k", "id * 2 AS v"
+    )
+    t.write(df, mode="overwrite", partition_by=["region"],
+            primary_key=["k"])
+    # erase everything in regions 1 and 3
+    t.delete_where("region IN (1, 3)")
+    t.optimize()
+    t.vacuum(retention_hours=0)
+
+    rep = erasure_audit(t, [1, 3], "region")
+    assert rep["clean"], rep["leaks"][:5]
+    # rows of surviving partitions were attributed via the dir name
+    assert rep["rows_checked"] >= t.read().count()
+
+    # plant a leak: a raw file UNDER an erased partition dir, with no
+    # 'region' column in its bytes — only the path betrays it
+    leak_dir = os.path.join(t.path, "_data", "planted", "region=3")
+    os.makedirs(leak_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        pa.table({"k": [7, 8], "v": [1, 2]}),
+        os.path.join(leak_dir, "leak.parquet"),
+    )
+    rep2 = erasure_audit(t, [1, 3], "region")
+    assert not rep2["clean"] and rep2["leak_count"] == 1
+    assert rep2["leaks"][0][1] == "3"
+
+
+def test_funnel_rejects_duplicate_steps(spark):
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "view", None)], "user_id int, event_type string, ts string"
+    )
+    with pytest.raises(UserException, match="distinct"):
+        funnel(df, ["view", "view", "purchase"])
