@@ -38,7 +38,11 @@ MAX_LEAK_DETAIL = 1000
 
 
 def _audit_file(
-    path: str, key_col: str, erased: frozenset, base_dir: str = ""
+    path: str,
+    key_col: str,
+    erased: frozenset,
+    base_dir: str = "",
+    physical_col: str | None = None,
 ) -> tuple:
     """(n_rows_checked, leaked_keys) for one parquet file — runs
     driver-side below the threshold and executor-side above it
@@ -72,11 +76,24 @@ def _audit_file(
         v = pvals[key_col]
         return n, ([v] if v in erased else [])
     pf = _pq.ParquetFile(path)
-    if key_col not in pf.schema_arrow.names:
+    # a columnMapping RENAME leaves the bytes under the PHYSICAL
+    # parquet name — scanning for the logical name alone would read a
+    # renamed column's table as "no key column anywhere" and report a
+    # FALSE CLEAN; check both
+    names = [
+        c
+        for c in dict.fromkeys((key_col, physical_col))
+        if c is not None and c in pf.schema_arrow.names
+    ]
+    if not names:
         return 0, []
-    tbl = pf.read(columns=[key_col])  # column-pruned: key bytes only
-    vals = tbl.column(key_col).to_pylist()
-    return len(vals), [v for v in set(vals) if v in erased]
+    rows = 0
+    leaked: set = set()
+    for c in names:
+        vals = pf.read(columns=[c]).column(c).to_pylist()
+        rows = max(rows, len(vals))
+        leaked |= {v for v in set(vals) if v in erased}
+    return rows, sorted(leaked, key=repr)
 
 
 def list_parquet_files(table_dir: str) -> list[str]:
@@ -135,11 +152,21 @@ def erasure_audit(
     er = erased
 
     base_dir = table.path
+    # columnMapping-aware: a renamed column's bytes live under the
+    # committed PHYSICAL name, which the scan must also check
+    physical = None
+    try:
+        head = table.latest_commit()
+        if head is not None and head.column_mapping:
+            physical = head.column_mapping.get(key_col)
+    except Exception:
+        physical = None
+    phys = physical
 
     def scan_slice(paths) -> list[tuple]:
         out = []
         for p in paths:
-            n, leaked = _audit_file(p, kc, er, base_dir)
+            n, leaked = _audit_file(p, kc, er, base_dir, phys)
             out.append((p, n, leaked))
         return out
 

@@ -2303,3 +2303,36 @@ def test_funnel_rejects_duplicate_steps(spark):
     )
     with pytest.raises(UserException, match="distinct"):
         funnel(df, ["view", "view", "purchase"])
+
+
+def test_erasure_audit_renamed_column_mapping(spark, tmp_path):
+    """r9 hardening: after a columnMapping RENAME the audited column's
+    bytes live under the PHYSICAL parquet name — an audit checking the
+    logical name alone would report a FALSE CLEAN. The audit resolves
+    the table's mapping and finds keys under either name."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.compliance import (
+        erasure_audit,
+    )
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(50).selectExpr(
+        "id AS k", "concat('u', id) AS email"
+    )
+    t.write(df, mode="overwrite", primary_key=["k"])
+    t.rename_column("email", "contact")  # metadata-only; bytes stay
+
+    # the erased addresses are still ON DISK under the old physical
+    # name — the audit must see them through the logical column
+    rep = erasure_audit(t, ["u7", "u9"], "contact")
+    assert not rep["clean"] and rep["leak_count"] == 2
+    assert {k for _f, k in rep["leaks"]} == {"u7", "u9"}
+
+    # after a real erasure (COW delete rewrites under the mapping),
+    # the audit comes back clean
+    t.delete_where("contact IN ('u7', 'u9')")
+    t.vacuum(retention_hours=0)
+    rep2 = erasure_audit(t, ["u7", "u9"], "contact")
+    assert rep2["clean"], rep2["leaks"][:5]
