@@ -131,6 +131,13 @@ def erasure_audit(
     optimize folds the delete in).  Counts are exact; ``leaks`` detail
     is capped at MAX_LEAK_DETAIL so a failed erasure cannot flood the
     driver.
+
+    Name resolution: ``key_col`` matches both its logical name and
+    its committed columnMapping PHYSICAL name (a renamed column's
+    bytes stay under the old parquet name).  A DROPPED column is
+    outside the mapping, so audit BEFORE dropping — or pass the old
+    physical parquet name as ``key_col`` directly (files are matched
+    by their own schema, so a physical name works verbatim).
     """
     spark = table.spark
     if hasattr(erased_keys, "collect"):  # DataFrame
