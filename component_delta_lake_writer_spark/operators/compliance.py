@@ -33,7 +33,10 @@ from component_delta_lake_writer_spark.sinks.unit_stats import (
 
 # cap on leaked pairs RETURNED (not detected): a catastrophically
 # failed erasure must not collect() the whole table back to the
-# driver; the counts stay exact.
+# driver; the counts stay exact.  The cap is enforced EXECUTOR-side
+# (each scan task samples within its share of the budget before the
+# collect), so the driver payload is bounded even when every file
+# still contains every key.
 MAX_LEAK_DETAIL = 1000
 
 
@@ -113,6 +116,7 @@ def erasure_audit(
     erased_keys,
     key_col: str,
     distribute_threshold: int = DISTRIBUTE_THRESHOLD,
+    max_leak_detail: int = MAX_LEAK_DETAIL,
 ) -> dict:
     """Byte-level erasure audit of ``table`` (a ManagedTable): scan
     every parquet file under the table directory and report any
@@ -126,15 +130,25 @@ def erasure_audit(
 
     Returns ``{"files_scanned", "files_with_key_col", "rows_checked",
     "leak_count", "leaks": [(file, key), ...capped],
-    "delete_set_files", "clean"}`` — ``clean`` also requires that no
-    delete-set key-list files survive (vacuum must reclaim them once
-    optimize folds the delete in).  Counts are exact; ``leaks`` detail
-    is capped at MAX_LEAK_DETAIL so a failed erasure cannot flood the
-    driver.
+    "delete_set_files", "mapping_unresolved", "clean"}`` — ``clean``
+    also requires that no delete-set key-list files survive (vacuum
+    must reclaim them once optimize folds the delete in).  Counts are
+    exact; ``leaks`` detail is a bounded sample, capped at
+    ``max_leak_detail`` EXECUTOR-side (each scan task samples within
+    its share of the budget before the collect), so even a
+    catastrophically failed erasure — every file still holding every
+    key — ships O(max_leak_detail) detail to the driver, never
+    O(files × keys).
 
     Name resolution: ``key_col`` matches both its logical name and
     its committed columnMapping PHYSICAL name (a renamed column's
-    bytes stay under the old parquet name).  A DROPPED column is
+    bytes stay under the old parquet name).  A commit-log read
+    failure PROPAGATES — a compliance audit must fail loudly rather
+    than silently skip mapping resolution and risk a false "clean"
+    on a renamed key column.  Only a table object with no commit log
+    at all (a raw-directory shim) degrades, and then the report
+    carries ``mapping_unresolved=True`` so the caller can see the
+    verdict covers the logical name only.  A DROPPED column is
     outside the mapping, so audit BEFORE dropping — or pass the old
     physical parquet name as ``key_col`` directly (files are matched
     by their own schema, so a physical name works verbatim).
@@ -160,48 +174,66 @@ def erasure_audit(
 
     base_dir = table.path
     # columnMapping-aware: a renamed column's bytes live under the
-    # committed PHYSICAL name, which the scan must also check
+    # committed PHYSICAL name, which the scan must also check.  A
+    # read failure here PROPAGATES — silently degrading to
+    # logical-name-only could report a FALSE CLEAN on a renamed key
+    # column, the one outcome a compliance audit must never produce.
     physical = None
-    try:
+    mapping_unresolved = False
+    if hasattr(table, "latest_commit"):
         head = table.latest_commit()
         if head is not None and head.column_mapping:
             physical = head.column_mapping.get(key_col)
-    except Exception:
-        physical = None
+    else:
+        # raw-directory shim: no commit log exists, so there is no
+        # mapping to resolve — flag it so the caller knows the
+        # verdict covers the logical name only
+        mapping_unresolved = True
     phys = physical
 
-    def scan_slice(paths) -> list[tuple]:
+    def scan_slice(paths, detail_cap: int) -> list[tuple]:
+        # executor-side detail cap: each row is (path, n_rows,
+        # exact_leak_count, bounded_sample) — counts stay exact
+        # while the sample spends a per-slice budget, so the driver
+        # never receives O(files x keys) detail
         out = []
+        budget = detail_cap
         for p in paths:
             n, leaked = _audit_file(p, kc, er, base_dir, phys)
-            out.append((p, n, leaked))
+            sample = leaked[:budget] if budget > 0 else []
+            budget -= len(sample)
+            out.append((p, n, len(leaked), sample))
         return out
 
     if spark is not None and len(files) >= distribute_threshold:
         sc = spark.sparkContext
         n_slices = max(1, min(len(files), sc.defaultParallelism * 2))
+        # split the detail budget across slices so the TOTAL collect
+        # payload stays O(max_leak_detail), not O(slices x cap)
+        slice_cap = max(1, max_leak_detail // n_slices)
 
         def part(it):
-            yield scan_slice(list(it))
+            yield scan_slice(list(it), slice_cap)
 
         slices = (
             sc.parallelize(files, n_slices).mapPartitions(part).collect()
         )
         per_file = [row for sl in slices for row in sl]
     else:
-        per_file = scan_slice(files)
+        per_file = scan_slice(files, max_leak_detail)
 
     leaks: list[tuple] = []
     rows = 0
     with_col = 0
-    for path, n, leaked in per_file:
+    leak_count = 0
+    for path, n, n_leaked, sample in per_file:
         rows += n
         if n:
             with_col += 1
-        for k in leaked:
-            if len(leaks) < MAX_LEAK_DETAIL:
+        leak_count += n_leaked
+        for k in sample:
+            if len(leaks) < max_leak_detail:
                 leaks.append((os.path.relpath(path, table.path), k))
-    leak_count = sum(len(leaked) for _p, _n, leaked in per_file)
     return {
         "files_scanned": len(files),
         "files_with_key_col": with_col,
@@ -209,5 +241,6 @@ def erasure_audit(
         "leak_count": leak_count,
         "leaks": leaks,
         "delete_set_files": len(delete_files),
+        "mapping_unresolved": mapping_unresolved,
         "clean": leak_count == 0 and not delete_files,
     }

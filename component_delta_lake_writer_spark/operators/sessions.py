@@ -277,30 +277,48 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within: float | None = None,
 ) -> DataFrame:
     """Ordered event funnel: how many users completed step 1, then
     step 2 STRICTLY AFTER their step-1 time, then step 3 after that —
     the conversion query behind every product analytics dashboard
     (view → click → purchase), which neither a plain per-step count
     (ignores order) nor sessionization (windows, not sequence)
-    answers.
+    answers.  ``within`` (seconds) optionally time-boxes each hop:
+    step i is credited only at an event in ``(t_{i-1}, t_{i-1} +
+    within]`` of the CREDITED step-(i-1) time — the "converted within
+    an hour of the click" shape.  Crediting stays greedy (first
+    qualifying event), so a later, better-placed step-1 occurrence is
+    never retroactively substituted; that matches the strict-order
+    base semantics and keeps the per-user cost one array pass per
+    step.
 
     ONE corpus scan, ONE keyed shuffle: per user the step-relevant
-    events collect into a ts-sorted array (bounded by per-user event
-    count — the ewma_latest idiom) and a sequential ``F.aggregate``
-    fold advances through the steps, crediting step i's FIRST event
-    strictly after step i-1's credited time (the fold in ascending ts
-    equals the join-cascade's MIN-with-residual spelling, which the
-    SQL oracle replays — but that spelling re-scans the corpus per
-    step, O(steps²) work the fold avoids).  Equal-ts events cannot
-    advance two steps regardless of fold order, so the result is a
-    deterministic function of the data.
+    events collect into an array (bounded by per-user event count —
+    the ewma_latest idiom) and each step's credited time is the MIN
+    event time qualifying against the previous step's credited time
+    (the MIN-with-residual spelling, identical to a greedy ascending
+    fold, and what the SQL oracle's join cascade replays — but that
+    cascade re-scans the corpus per step, O(steps²) work this
+    avoids).  The per-step chain is a FLAT ``array_min(filter(...))``
+    expression rather than a nested fold: the r9 fold spelling spent
+    ~3 s per call in plan construction + whole-stage-codegen of the
+    |steps|-deep transform-in-aggregate lambda; the flat chain
+    analyzes and compiles in milliseconds and grows linearly with
+    |steps|.  Equal-ts events cannot advance two steps under either
+    spelling, so the result is a deterministic function of the data.
+
+    Events with a NULL ``ts_col`` are dropped before crediting (an
+    unordered event cannot participate in an ordered funnel — the
+    contract the SQL oracle mirrors with ``ts IS NOT NULL``).
 
     Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
     one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
+    A zero-user denominator yields NULL pcts (matching SQL's NULL on
+    guarded division), never NaN.
 
     Steps must be DISTINCT event types: a repeated step ("view →
-    view → buy") is ambiguous under the type→index map this fold
+    view → buy") is ambiguous under the type→index map this chain
     rides on (and Spark's map-key dedup policy would throw mid-job,
     not at plan time) — raised here as a clear UserException instead.
     """
@@ -315,7 +333,10 @@ def funnel(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
     per_user = (
-        events.filter(F.col(type_col).isin(list(steps)))
+        events.filter(
+            F.col(type_col).isin(list(steps))
+            & F.col(ts_col).isNotNull()
+        )
         .select(
             F.col(user_col).alias("_u"),
             F.struct(
@@ -324,50 +345,53 @@ def funnel(
             ).alias("_e"),
         )
         .groupBy("_u")
-        .agg(F.sort_array(F.collect_list("_e")).alias("_es"))
-        .select(
-            # fold state: array of credited step times, null = not yet
-            F.aggregate(
-                F.col("_es"),
-                F.array(
-                    *[
-                        F.lit(None).cast(
-                            events.schema[ts_col].dataType
-                        )
-                        for _ in steps
-                    ]
-                ),
-                # element_at is 1-BASED, so element_at(acc, i) with
-                # transform's 0-based i is exactly the PREVIOUS step's
-                # credited time; the i==0 case rides a CaseWhen branch
-                # (runtime-lazy) so element_at(acc, 0) never evaluates
-                lambda acc, e: F.transform(
-                    acc,
-                    lambda t, i: F.when(
-                        t.isNotNull(), t
-                    ).otherwise(
-                        F.when(
-                            (e["s"] == i)
-                            & F.when(
-                                i == F.lit(0), F.lit(True)
-                            ).otherwise(
-                                F.element_at(acc, i).isNotNull()
-                                & (e["t"] > F.element_at(acc, i))
-                            ),
-                            e["t"],
-                        )
-                    ),
-                ),
-            ).alias("_ts_reached")
-        )
+        .agg(F.collect_list("_e").alias("_es"))
     )
+
+    # the horizon bound rides interval arithmetic for timestamp-typed
+    # ts (TIMESTAMP and TIMESTAMP_NTZ both add intervals; neither
+    # casts to double) and plain addition for numeric ts
+    from pyspark.sql import types as T
+
+    _ts_is_time = isinstance(
+        events.schema[ts_col].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
+    )
+
+    def _horizon(prev):
+        if _ts_is_time:
+            return prev + F.make_interval(secs=F.lit(float(within)))
+        return prev + F.lit(float(within))
+
+    # flat per-step chain: _t{i} = MIN t of step-i events strictly
+    # after _t{i-1} (and inside the `within` horizon, if set); each
+    # layer's lambda references the previous layer's column, so the
+    # whole chain stays one Project stack over the single shuffle
+    def _credit(i: int):
+        # single-parameter lambda on purpose: pyspark infers HOF
+        # arity from the signature, so a bound `i=i` default would be
+        # read as filter's (element, index) form
+        def cond(e):
+            c = e["s"] == F.lit(i)
+            if i > 0:  # noqa: B023 — i is fixed per _credit call
+                prev = F.col(f"_t{i - 1}")
+                c = c & prev.isNotNull() & (e["t"] > prev)
+                if within is not None:
+                    c = c & (e["t"] <= _horizon(prev))
+            return c
+
+        return F.array_min(
+            F.transform(F.filter(F.col("_es"), cond), lambda e: e["t"])
+        )
+
+    for i in range(len(steps)):
+        per_user = per_user.withColumn(f"_t{i}", _credit(i))
+
     counts_row = per_user.agg(
         *[
-            F.sum(
-                F.element_at(F.col("_ts_reached"), i + 1)
-                .isNotNull()
-                .cast("long")
-            ).alias(f"__n_{i}")
+            F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(
+                f"__n_{i}"
+            )
             for i in range(len(steps))
         ]
     )
@@ -391,11 +415,18 @@ def funnel(
         Window.unboundedPreceding, Window.currentRow
     )
     first = F.first("n_users").over(w)
-    prev = F.lag("n_users", 1).over(Window.orderBy("step"))
+    prev = F.coalesce(
+        F.lag("n_users", 1).over(Window.orderBy("step")),
+        F.col("n_users"),
+    )
+    # guarded division: a zero-user step yields NULL (as SQL's CASE
+    # spelling does), never the 0/0 double NaN
     return out.select(
         "step", "event_type", "n_users",
-        F.round(F.col("n_users") / first, 6).alias("pct_of_first"),
-        F.round(
-            F.col("n_users") / F.coalesce(prev, F.col("n_users")), 6
+        F.when(
+            first > 0, F.round(F.col("n_users") / first, 6)
+        ).alias("pct_of_first"),
+        F.when(
+            prev > 0, F.round(F.col("n_users") / prev, 6)
         ).alias("pct_of_prev"),
     )

@@ -4995,17 +4995,19 @@ def numeric_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t FROM events e
       JOIN s1 USING (user_id)
-      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+      WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+        AND e.ts > s1.t GROUP BY 1
     ),
     s3 AS (
       SELECT e.user_id, MIN(e.ts) AS t FROM events e
       JOIN s2 USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+      WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+        AND e.ts > s2.t GROUP BY 1
     ),
     c AS (
       SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users
@@ -5015,18 +5017,25 @@ def numeric_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(step AS INT) AS step, event_type,
       CAST(n_users AS BIGINT) AS n_users,
-      ROUND(n_users / FIRST_VALUE(n_users) OVER (ORDER BY step), 6)
-        AS pct_of_first,
-      ROUND(n_users / COALESCE(
-        LAG(n_users) OVER (ORDER BY step), n_users), 6) AS pct_of_prev
+      CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY step) > 0 THEN
+        ROUND(n_users / FIRST_VALUE(n_users) OVER (ORDER BY step), 6)
+      END AS pct_of_first,
+      CASE WHEN COALESCE(
+          LAG(n_users) OVER (ORDER BY step), n_users) > 0 THEN
+        ROUND(n_users / COALESCE(
+          LAG(n_users) OVER (ORDER BY step), n_users), 6)
+      END AS pct_of_prev
     FROM c
     """,
 )
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (operators.sessions.funnel):
     view -> click STRICTLY AFTER the user's first view -> purchase
-    after that. |steps| keyed aggregations with first-qualifying-MIN
-    semantics; the oracle replays the identical CTE cascade."""
+    after that. ONE corpus scan, ONE keyed shuffle: per-user event
+    arrays with a flat per-step array_min(filter(...)) chain
+    (MIN-with-residual crediting); the ORACLE replays the same
+    semantics as a per-step CTE join cascade — O(steps^2) corpus
+    scans the operator avoids."""
     from component_delta_lake_writer_spark.operators.sessions import (
         funnel,
     )
@@ -5034,6 +5043,64 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         load_table(spark, sf_dir, "events"),
         ["view", "click", "purchase"],
+    )
+
+
+@query(
+    "funnel_window_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+        AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 6 HOUR GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+        AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 6 HOUR GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users
+      FROM s1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT CAST(step AS INT) AS step, event_type,
+      CAST(n_users AS BIGINT) AS n_users,
+      CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY step) > 0 THEN
+        ROUND(n_users / FIRST_VALUE(n_users) OVER (ORDER BY step), 6)
+      END AS pct_of_first,
+      CASE WHEN COALESCE(
+          LAG(n_users) OVER (ORDER BY step), n_users) > 0 THEN
+        ROUND(n_users / COALESCE(
+          LAG(n_users) OVER (ORDER BY step), n_users), 6)
+      END AS pct_of_prev
+    FROM c
+    """,
+)
+def funnel_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion funnel (funnel(within=21600)): step i
+    is credited only at an event in (t_{i-1}, t_{i-1} + 6h] of the
+    CREDITED previous-step time — "purchased within six hours of the
+    click". Same one-scan/one-shuffle chain as funnel_events with
+    one extra horizon condition per step; the oracle extends its CTE
+    cascade with the matching `<= t + INTERVAL 6 HOUR` bound."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    return funnel(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within=6 * 3600,
     )
 
 

@@ -2142,6 +2142,82 @@ def test_funnel_strict_ordering(spark):
     assert abs(got[2]["pct_of_first"] - 1 / 3) < 1e-6
 
 
+def test_funnel_within_horizon_and_degenerate(spark):
+    """funnel(within=): step i credits only inside (t_prev,
+    t_prev + within] of the CREDITED previous step (greedy — a later
+    step-1 event never retroactively reopens the window); NULL-ts
+    events are dropped before crediting; a zero-user step-1 yields
+    NULL pcts (never the 0/0 NaN)."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    rows = [
+        # u1: click 30 min after view → within 1h
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:30:00"),
+        # u2: click 2 h after view → outside 1h, not credited
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 12:00:00"),
+        # u2 has a LATER view whose window would contain the click —
+        # greedy crediting must NOT use it
+        (2, "view", "2024-01-01 11:30:00"),
+        # u3: null-ts view only → dropped, never reaches step 1
+        (3, "view", None),
+        (3, "click", "2024-01-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["step"]: r
+        for r in funnel(
+            ev, ["view", "click"], within=3600
+        ).collect()
+    }
+    assert got[1]["n_users"] == 2  # u3's null-ts view dropped
+    assert got[2]["n_users"] == 1  # only u1 inside the hour
+    assert abs(got[2]["pct_of_first"] - 0.5) < 1e-9
+
+    # exact boundary: event AT t_prev + within is credited (<=)
+    ev2 = spark.createDataFrame(
+        [(1, "view", "2024-01-01 10:00:00"),
+         (1, "click", "2024-01-01 11:00:00")],
+        "user_id int, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got2 = {r["step"]: r for r in funnel(
+        ev2, ["view", "click"], within=3600).collect()}
+    assert got2[2]["n_users"] == 1
+
+    # numeric ts: horizon uses plain addition
+    ev3 = spark.createDataFrame(
+        [(1, "view", 100.0), (1, "click", 160.0),
+         (2, "view", 100.0), (2, "click", 161.0)],
+        "user_id int, event_type string, ts double",
+    )
+    got3 = {r["step"]: r for r in funnel(
+        ev3, ["view", "click"], within=60).collect()}
+    assert got3[2]["n_users"] == 1
+
+    # degenerate: zero users reach step 1 → NULL pcts, not NaN
+    import math
+
+    none_reach = spark.createDataFrame(
+        [(1, "other", "2024-01-01 10:00:00")],
+        "user_id int, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got4 = funnel(none_reach, ["view", "click"]).collect()
+    for r in got4:
+        assert r["n_users"] == 0
+        assert r["pct_of_first"] is None or not math.isnan(
+            r["pct_of_first"]
+        )
+        assert r["pct_of_first"] is None
+        assert r["pct_of_prev"] is None
+
+
 def test_skew_profile_tie_and_share(spark):
     """skew_profile: deterministic (count desc, value asc) ranking,
     pct is the value's share of ALL rows (nulls included in the
@@ -2290,6 +2366,53 @@ def test_erasure_audit_partition_column_key(spark, tmp_path):
     rep2 = erasure_audit(t, [1, 3], "region")
     assert not rep2["clean"] and rep2["leak_count"] == 1
     assert rep2["leaks"][0][1] == "3"
+
+
+def test_erasure_audit_flood_bounded(spark, tmp_path):
+    """VERDICT r9 task 2: the catastrophic all-leaked case — every
+    file still contains every erased key — must ship a BOUNDED detail
+    payload to the driver (cap enforced executor-side, split across
+    slices) while the leak COUNT stays exact. An unresolved-mapping
+    raw-dir shim is flagged, never silently 'clean'."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from component_delta_lake_writer_spark.operators.compliance import (
+        erasure_audit,
+    )
+
+    # nothing was ever erased: 12 raw files, each holding ALL 40 keys
+    tdir = tmp_path / "flood"
+    os.makedirs(tdir / "_data")
+    keys = list(range(40))
+    for i in range(12):
+        papq.write_table(
+            pa.table({"k": keys, "v": [i] * len(keys)}),
+            str(tdir / "_data" / f"part-{i:03d}.parquet"),
+        )
+
+    class _RawDir:  # duck-typed shim: no commit log exists
+        path = str(tdir)
+
+    _RawDir.spark = spark
+
+    cap = 16
+    rep = erasure_audit(
+        _RawDir(), keys, "k", distribute_threshold=1,
+        max_leak_detail=cap,
+    )
+    assert rep["leak_count"] == 12 * 40  # exact, despite the cap
+    assert 0 < len(rep["leaks"]) <= cap  # bounded driver payload
+    assert rep["mapping_unresolved"] is True  # no commit log → flagged
+    assert not rep["clean"]
+
+    # driver-side path: same exact count, same bound
+    rep2 = erasure_audit(
+        _RawDir(), keys, "k", distribute_threshold=10_000,
+        max_leak_detail=cap,
+    )
+    assert rep2["leak_count"] == 12 * 40
+    assert len(rep2["leaks"]) == cap
 
 
 def test_funnel_rejects_duplicate_steps(spark):
