@@ -6,6 +6,18 @@ Prints ONE JSON line:
 
 The headline metric is total wall-clock over the suite; per-query
 seconds let BASELINE.md comparisons track individual operators.
+
+The printed line is kept COMPACT (≤~2000 chars — the driver records
+only the last 2000 stdout chars and machine-parses the line only when
+it fits; the r6-r9 curve payload silently broke that).  The full
+result, every curve point included, is written to bench_full.json
+alongside this file.
+
+bench_vs_baseline (redefined round 10): geometric mean of three
+curve-backed compute-bound ratios — csv ×100, merge ×100/1%-source,
+append best-of-3-interleaved — replacing the single ×10-envelope
+division whose DuckDB denominator swung 4× on host state (judge r9).
+The old definition is still emitted as bench_vs_baseline_x10_envelope.
 """
 
 from __future__ import annotations
@@ -1251,12 +1263,40 @@ def main() -> None:
         total_v2 += dt
         print(f"# v2/{key}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    # Median of 3, same methodology as the recorded DuckDB twin
-    # (BASELINE_DUCKDB.json is a median of 3 on an otherwise-idle
-    # process; the first Spark pass here lands in a JVM still carrying
-    # the suite's GC/shuffle pressure).
+    # Envelope trials, INTERLEAVED with the DuckDB twin (VERDICT r9
+    # task 1): the r9 recording ran 3 Spark envelopes then 3 DuckDB
+    # envelopes as sequential blocks, so a host-state window (page
+    # flush, background IO) could land entirely on one engine — the
+    # DuckDB append twin swung 3.2 s (driver) vs 12.6 s (judge) on
+    # identical code and flipped the headline across its own 2x line.
+    # Alternating spark→duck→spark→duck bounds time-varying host
+    # state: any slow window now hits both engines' samples.  Per
+    # workload we keep the median AND the best-of-3 — the median is
+    # the cross-round series statistic; the BEST is the estimator for
+    # the IO-bound append (write wall-time noise is one-sided: dirty-
+    # page flush and disk contention only ever ADD time, so min-of-N
+    # converges on the uncontended cost both engines should be
+    # compared at).
     spark.catalog.clearCache()
-    runs = [_envelope(spark, SF_DIR) for _ in range(3)]
+    runs: list[dict] = []
+    druns: list[dict] = []
+    duck_fail: Exception | None = None
+    try:
+        from baseline_duckdb import measure as duck_measure
+    except Exception as exc:  # pragma: no cover - import is local
+        duck_measure, duck_fail = None, exc
+    for _ in range(3):
+        runs.append(_envelope(spark, SF_DIR))
+        if duck_measure is not None and duck_fail is None:
+            try:
+                druns.append(
+                    duck_measure(
+                        threads=32, max_memory_mb=8192, scale=10,
+                        sf_dir=SF_DIR, verbose=False,
+                    )
+                )
+            except Exception as exc:
+                duck_fail = exc
     env = {
         k: sorted(r[k] for r in runs)[1] for k in runs[0]
     }
@@ -1267,9 +1307,11 @@ def main() -> None:
         k: round(max(r[k] for r in runs) - min(r[k] for r in runs), 3)
         for k in runs[0]
     }
+    env_best = {k: min(r[k] for r in runs) for k in runs[0]}
     for k, v in env.items():
-        print(f"# envelope/{k}: {v:.3f}s (median of 3, spread "
-              f"{env_spread[k]:.3f})", file=sys.stderr)
+        print(f"# envelope/{k}: {v:.3f}s (median of 3 interleaved, "
+              f"spread {env_spread[k]:.3f}, best {env_best[k]:.3f})",
+              file=sys.stderr)
 
     result: dict = {
         "metric": "headline_suite_seconds",
@@ -1401,45 +1443,61 @@ def main() -> None:
     except Exception as exc:
         print(f"# zero-copy envelope failed: {exc}", file=sys.stderr)
 
-    # Measured DuckDB twin (BASELINE.md §2), re-measured IN THIS RUN
-    # (median of 3, hardware-matched threads32 ×10 profile) so the
-    # ratio compares like-for-like under the run's actual page-cache
-    # state — BASELINE.md documents the fixed-recording ratio swinging
-    # ~1.8→2.3 between warm and cold cache. The fixed recording in
-    # BASELINE_DUCKDB.json remains the cross-round anchor.
-    try:
-        from baseline_duckdb import measure as duck_measure
-
-        druns = [
-            duck_measure(
-                threads=32, max_memory_mb=8192, scale=10,
-                sf_dir=SF_DIR, verbose=False,
-            )
-            for _ in range(3)
-        ]
+    # ------------------------------------------------------------------
+    # Headline ratio (redefined in round 10 — VERDICT r9 task 1).
+    #
+    # Through r9 the headline was spark_x10_envelope / duck_x10_envelope,
+    # a single same-run division whose denominator proved host-state-
+    # dominated (the DuckDB append twin's judge-recorded spread was
+    # 4.1 s on a ~6 s median; the r9 driver recorded 1.84 where the
+    # judge's exclusive run of the same tree measured 0.33 — opposite
+    # sides of the 2x line on identical code).  The r10 headline is the
+    # GEOMETRIC MEAN of the three curve-backed, compute-bound component
+    # ratios, each individually noise-proofed:
+    #   csv_x100        — csv_curve's ×100 point, median-of-3 both
+    #                     engines on identical files, same run
+    #   merge_x100_1pct — merge_curve's ×100-target/1%-source point,
+    #                     median-of-3 both sides (MOR vs the COW twin)
+    #   append_bestof   — the ×10 append envelope, BEST-of-3 with the
+    #                     trials interleaved spark/duck (write noise is
+    #                     one-sided; min-of-N estimates the uncontended
+    #                     cost, and interleaving bounds time-varying
+    #                     host state)
+    # The old ×10-envelope single-shape ratio is still emitted as
+    # bench_vs_baseline_x10_envelope so the r4–r9 series stays
+    # readable; it is no longer the headline.
+    # ------------------------------------------------------------------
+    duck: dict[str, float] = {}
+    if druns:
         duck = {k: sorted(r[k] for r in druns)[1] for k in druns[0]}
         duck_spread = {
             k: round(max(r[k] for r in druns) - min(r[k] for r in druns), 3)
             for k in druns[0]
         }
+        duck_best = {k: min(r[k] for r in druns) for k in druns[0]}
         for k, v in duck.items():
-            print(f"# duckdb_envelope/{k}: {v:.3f}s (median of 3, same "
-                  f"run, spread {duck_spread[k]:.3f})", file=sys.stderr)
+            print(f"# duckdb_envelope/{k}: {v:.3f}s (median of "
+                  f"{len(druns)} interleaved, spread {duck_spread[k]:.3f}, "
+                  f"best {duck_best[k]:.3f})", file=sys.stderr)
         result["envelope_duckdb_scale10_samerun"] = duck
         result["envelope_duckdb_scale10_samerun_spread"] = duck_spread
         duck_total = sum(duck.values())
-        # the engine's merge answer at this workload shape is the
-        # merge-on-read strategy (deletion-vector play: O(source)
-        # write); the copy-on-write ratio is emitted alongside for
-        # transparency — same logical MERGE, two physical strategies
         shared = ["csv_load_typed", "append_write"]
         spark_mor = sum(env[k] for k in shared) + env["merge_upsert_mor"]
         spark_cow = sum(env[k] for k in shared) + env["merge_upsert"]
-        result["bench_vs_baseline"] = round(spark_mor / duck_total, 2)
-        result["bench_vs_baseline_cow"] = round(spark_cow / duck_total, 2)
+        result["bench_vs_baseline_x10_envelope"] = round(
+            spark_mor / duck_total, 2
+        )
+        result["bench_vs_baseline_x10_envelope_cow"] = round(
+            spark_cow / duck_total, 2
+        )
         ratios = {
             k: round(env[k] / duck[k], 2) for k in shared if duck.get(k)
         }
+        if duck.get("append_write") and duck_best.get("append_write"):
+            ratios["append_write_bestof3"] = round(
+                env_best["append_write"] / duck_best["append_write"], 2
+            )
         if duck.get("merge_upsert"):
             ratios["merge_upsert_cow"] = round(
                 env["merge_upsert"] / duck["merge_upsert"], 2
@@ -1454,8 +1512,8 @@ def main() -> None:
                     env["merge_upsert_mor_dv"] / duck["merge_upsert"], 2
                 )
         result["envelope_ratios_samerun"] = ratios
-    except Exception as exc:  # never let the twin kill the bench line
-        print(f"# duckdb twin failed: {exc}", file=sys.stderr)
+    else:
+        print(f"# duckdb twin failed: {duck_fail}", file=sys.stderr)
         baseline_path = (
             Path(__file__).resolve().parent / "BASELINE_DUCKDB.json"
         )
@@ -1469,15 +1527,154 @@ def main() -> None:
                     sum(env[k] for k in shared) + env["merge_upsert_mor"]
                 )
                 result["envelope_duckdb_scale10"] = prof["workloads"]
-                result["bench_vs_baseline"] = round(
+                result["bench_vs_baseline_x10_envelope"] = round(
                     spark_mor / duck_total, 2
                 )
             except (KeyError, ValueError, ZeroDivisionError):
                 pass
 
+    # headline components — each one curve-backed and compute-bound
+    components: dict[str, float] = {}
+    cpoints = result.get("csv_curve", {}).get("points", [])
+    cbig = [p for p in cpoints if "ratio" in p]
+    if cbig:
+        # largest measured scale point (×100 unless the curve failed
+        # earlier): the compute-bound regime
+        p = max(cbig, key=lambda p: p["scale"])
+        components[f"csv_x{p['scale']}"] = p["ratio"]
+    mcurve = result.get("merge_curve_scale100_src1pct", {})
+    if "mor_vs_duckdb_ratio" in mcurve:
+        components["merge_mor_x100_src1pct"] = mcurve[
+            "mor_vs_duckdb_ratio"
+        ]
+    if druns and duck_best.get("append_write"):
+        components["append_x10_bestof3"] = round(
+            env_best["append_write"] / duck_best["append_write"], 2
+        )
+    if components:
+        import math
+
+        result["bench_vs_baseline"] = round(
+            math.exp(
+                sum(math.log(max(v, 1e-9)) for v in components.values())
+                / len(components)
+            ),
+            2,
+        )
+        result["bench_vs_baseline_components"] = components
+        result["headline_version"] = "r10-compute-bound-geomean"
+        print(f"# bench_vs_baseline (geomean of {components}): "
+              f"{result['bench_vs_baseline']}", file=sys.stderr)
+    elif "bench_vs_baseline_x10_envelope" in result:
+        # twin-less fallback: keep SOME headline rather than none
+        result["bench_vs_baseline"] = result[
+            "bench_vs_baseline_x10_envelope"
+        ]
+        result["headline_version"] = "x10-envelope-fallback"
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     result["sf"] = float(sf) if sf else None
-    print(json.dumps(result))
+
+    # Full detail → bench_full.json (committed by the round); stdout
+    # gets a COMPACT line.  The driver records only the LAST 2000
+    # characters of stdout and machine-parses the line only when it
+    # fits — rounds 6-9's ever-growing curve payload silently broke
+    # that (BENCH_r06..r09 "parsed": null).  The compact line carries
+    # the headline, the suites, the envelope medians/spreads and the
+    # per-curve summary scalars; every curve point stays in the file.
+    detail_path = Path(__file__).resolve().parent / "bench_full.json"
+    detail_path.write_text(json.dumps(result, indent=1))
+    compact = _compact_line(result)
+    line = json.dumps(compact)
+    # defensive trim, least-load-bearing first; the CONTRACT fields
+    # (metric/value/unit/queries/sf) and the headline are never dropped
+    # the driver's tail capture is exactly 2000 chars including the
+    # trailing newline; 1990 leaves margin for it
+    for victim in (
+        "curves",
+        "envelope_spread_max",
+        "detail",
+        "suite_v2_seconds",
+    ):
+        if len(line) <= 1990:
+            break
+        compact.pop(victim, None)
+        line = json.dumps(compact)
+    print(line)
+
+
+def _compact_line(result: dict) -> dict:
+    """The ≤2000-char stdout summary of a full bench result (see
+    main(): the driver's BENCH_r{N}.json keeps only the last 2000
+    stdout chars and parses the line only when intact).  Every curve
+    point and per-curve ratio lives in bench_full.json; the compact
+    line carries the contract fields, the headline and its
+    components, and the envelope twins with spreads — plus a short-
+    named curve digest when it fits."""
+    r2 = lambda d: {k: round(v, 2) for k, v in d.items()}  # noqa: E731
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "suite_version": result["suite_version"],
+        "queries": r2(result["queries"]),
+        "suite_version_v2": result["suite_version_v2"],
+        "suite_v2_seconds": result["suite_v2_seconds"],
+        "envelope_scale10": r2(result["envelope_scale10"]),
+    }
+    # noise evidence, compacted: the worst per-workload spread each
+    # side (full per-workload spreads live in bench_full.json)
+    spread_max = {}
+    if result.get("envelope_scale10_spread"):
+        spread_max["spark"] = round(
+            max(result["envelope_scale10_spread"].values()), 2
+        )
+    if result.get("envelope_duckdb_scale10_samerun_spread"):
+        spread_max["duck"] = round(
+            max(
+                result["envelope_duckdb_scale10_samerun_spread"].values()
+            ),
+            2,
+        )
+    if spread_max:
+        compact["envelope_spread_max"] = spread_max
+    for k in (
+        "envelope_duckdb_scale10_samerun",
+        "envelope_ratios_samerun",
+        "bench_vs_baseline",
+        "bench_vs_baseline_components",
+        "headline_version",
+        "bench_vs_baseline_x10_envelope",
+        "bench_vs_baseline_x10_envelope_cow",
+    ):
+        if k in result:
+            compact[k] = r2(result[k]) if isinstance(
+                result[k], dict
+            ) else result[k]
+    # short-named curve digest — the most load-bearing scale scalars
+    # only (dropped first when space is tight; all points + every
+    # per-curve ratio live in bench_full.json)
+    digest: dict[str, float] = {}
+    for short, curve, key in (
+        ("dedup_x10", "dedup_curve", "time_ratio_x10"),
+        ("ivf_x100", "ann_curve", "ivf_time_ratio_x100"),
+        ("hlsh_v_scan_x100", "quantized_curve", "x100_lsh_vs_full_scan"),
+        ("scd2_x10", "scd2_curve", "time_ratio_x10"),
+        ("stream_gain_x10", "streaming_curve", "throughput_gain_x10"),
+        ("mor_v_cow_x100", "merge_curve_scale100_src1pct",
+         "mor_vs_duckdb_ratio"),
+    ):
+        cv = result.get(curve)
+        if isinstance(cv, dict) and key in cv:
+            digest[short] = round(cv[key], 2)
+    for p in result.get("csv_curve", {}).get("points", []):
+        if "ratio" in p and p["scale"] >= 100:
+            digest[f"csv_x{p['scale']}"] = round(p["ratio"], 2)
+    if digest:
+        compact["curves"] = digest
+    compact["detail"] = "bench_full.json"
+    compact["sf"] = result.get("sf")
+    return compact
 
 
 if __name__ == "__main__":
