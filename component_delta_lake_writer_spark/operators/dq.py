@@ -350,6 +350,176 @@ def numeric_profile(
     ).select("s.*")
 
 
+def drift_profile(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between a REFERENCE batch and a CURRENT
+    batch over FIXED bin edges — the day-over-day monitor that turns
+    the profiling family from snapshots into a trend: PSI (population
+    stability index, the industry drift score: <0.1 stable, 0.1-0.25
+    shifting, >0.25 broken) plus total-variation distance (the
+    metric-space half-L1, exact arithmetic — PSI's ``ln`` is libm-
+    dependent at the last ulp, TVD is not).
+
+    Edges must be FIXED (lo/hi): auto edges would differ per batch
+    and measure the edges, not the data.  Out-of-range mass lands in
+    the under/overflow sentinel bins (the ``histogram`` contract), so
+    drift PAST an edge reads as drift, not as silent loss.  Empty
+    bins smooth to ``eps`` before the PSI log (the standard guard —
+    PSI is infinite on a bin one side has and the other lacks; TVD
+    needs no smoothing and is reported unsmoothed).
+
+    ONE scan of each input: both sides union under a source tag into
+    a single (source, bin) aggregation — a shuffle of 2·(bins+2)
+    rows — then conditional-sum into per-bin (ref, cur) counts and a
+    final fold to the one summary row.  Returns
+    (n_ref, n_cur, psi, tvd) rounded 6dp.
+    """
+    if hi <= lo:
+        raise ValueError(
+            f"drift_profile needs hi > lo, got [{lo}, {hi}] — fixed "
+            "comparable edges are the whole point; use histogram for "
+            "a single batch's shape."
+        )
+    width = (float(hi) - float(lo)) / bins
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        bin_expr = (
+            F.when(v < float(lo), F.lit(-1))
+            .when(v > float(hi), F.lit(bins))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (v - F.lit(float(lo))) / F.lit(width)
+                    ).cast("int"),
+                )
+            )
+        )
+        return df.filter(v.isNotNull()).select(
+            F.lit(tag).alias("_src"), bin_expr.alias("_bin")
+        )
+
+    counts = (
+        binned(ref, "r")
+        .unionByName(binned(cur, "c"))
+        .groupBy("_bin")
+        .agg(
+            F.sum((F.col("_src") == "r").cast("long")).alias("_nr"),
+            F.sum((F.col("_src") == "c").cast("long")).alias("_nc"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("_nr").alias("_tr"), F.sum("_nc").alias("_tc")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("_nr") / F.col("_tr")
+    q = F.col("_nc") / F.col("_tc")
+    p_s = F.greatest(p, F.lit(float(eps)))
+    q_s = F.greatest(q, F.lit(float(eps)))
+    return j.agg(
+        F.sum("_nr").cast("long").alias("n_ref"),
+        F.sum("_nc").cast("long").alias("n_cur"),
+        F.round(F.sum((q_s - p_s) * F.log(q_s / p_s)), 6).alias("psi"),
+        F.round(F.sum(F.abs(p - q)) / 2, 6).alias("tvd"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over candidate numeric columns —
+    the cross-column completion of the profiling family (VERDICT r9
+    task 6): ``numeric_profile`` prices each column's own moments;
+    feature pipelines also need to know which candidate features are
+    redundant (|corr| → 1) or leaking a label.
+
+    ONE corpus scan, map-side-combinable: every pair's co-moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy over the pair's PAIRWISE-COMPLETE rows —
+    rows where both sides are non-null, the standard pairwise-deletion
+    convention) aggregate into a single row, then the |cols|²
+    pair rows explode out of it (the numeric_profile idiom).  The
+    row-space is never shuffled; the reduced row is O(|cols|²) wide —
+    that quadratic term is the price of the matrix and the reason
+    ``cols`` should be the CANDIDATE set, not every column of a wide
+    table (36 columns = 648 aggregate buffers; fine. 3,000 columns =
+    27 M; pre-prune first).
+
+    Numerics: values round to 6dp and the sums run in DECIMAL.  The
+    co-moment products deliberately mix widths — decimal(19,6) ×
+    decimal(18,6) → decimal(38,12) — because the symmetric spellings
+    break an engine each way: 18×18 stays int64-backed in DuckDB and
+    overflows its internal multiply, 19×19 wants precision 39 and
+    forces Spark to shave scale.  The mixed form is exact in both, so
+    the sums are order-independent and bit-identical to the ANSI-SQL
+    replay; the final Pearson combination runs in double from those
+    identical inputs.  A zero-variance side yields corr = NULL (the
+    sd=0 posture of zscore_outliers/mad_outliers), never NaN.
+
+    Returns (col_x, col_y, n, corr) for each pair with col_x before
+    col_y in ``cols`` order, corr rounded 6dp.
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError(
+            f"corr_matrix needs at least two columns, got {cols}"
+        )
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+
+        def dec(c, p):  # rounded 6dp value under the pair's null mask
+            return F.when(
+                both, F.round(F.col(c).cast("double"), 6)  # noqa: B023
+            ).cast(f"decimal({p},6)")
+
+        x, x19 = dec(a, 18), dec(a, 19)
+        y, y19 = dec(b, 18), dec(b, 19)
+        k = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{k}"),
+            F.sum(x).alias(f"__sx_{k}"),
+            F.sum(y).alias(f"__sy_{k}"),
+            F.sum(x19 * x).alias(f"__sxx_{k}"),
+            F.sum(y19 * y).alias(f"__syy_{k}"),
+            F.sum(x19 * y).alias(f"__sxy_{k}"),
+        ]
+    row = df.agg(*aggs)
+
+    def pair_struct(a: str, b: str):
+        k = f"{a}__{b}"
+        n = F.col(f"__n_{k}").cast("double")
+        sx = F.col(f"__sx_{k}").cast("double")
+        sy = F.col(f"__sy_{k}").cast("double")
+        sxx = F.col(f"__sxx_{k}").cast("double")
+        syy = F.col(f"__syy_{k}").cast("double")
+        sxy = F.col(f"__sxy_{k}").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        den = F.sqrt(vx * vy)
+        return F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col(f"__n_{k}").cast("long").alias("n"),
+            F.when(
+                den > 0, F.round((n * sxy - sx * sy) / den, 6)
+            ).alias("corr"),
+        )
+
+    return row.select(
+        F.explode(
+            F.array(*[pair_struct(a, b) for a, b in pairs])
+        ).alias("s")
+    ).select("s.*")
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,
@@ -438,16 +608,28 @@ def histogram(
     With ``lo``/``hi`` given the bin edges are fixed (the cross-batch
     comparison shape: same edges every day → drift is bin-count
     deltas) and the whole thing is ONE map-side-combinable
-    aggregation over ``bins`` groups.  Without them the bounds come
-    from a first min/max pass (two jobs total — still no shuffle
+    aggregation over ``bins + 2`` groups.  Without them the bounds
+    come from a first min/max pass (two jobs total — still no shuffle
     wider than ``bins`` rows).  Values at ``hi`` land in the last bin
     (closed upper edge, NumPy convention); NULLs are dropped and
     reported via column_profile, not here.
 
-    Returns (bin, lo, hi, n_rows) — bin 0..bins-1, edges rounded 6dp,
-    EVERY bin present (zero-count bins included, via a sequence
-    left-join against the counts: a missing-row histogram reads as a
-    different shape).
+    OUT-OF-RANGE values under fixed edges are COUNTED, not dropped
+    (r9 ADVICE: a silent drop made cross-batch drift past ``hi`` read
+    as shrinkage rather than overflow, and the bins no longer summed
+    to the non-null row count): rows below ``lo`` land in bin -1
+    ``(-inf, lo)`` and rows above ``hi`` in bin ``bins`` ``(hi,
+    +inf)`` — those sentinel rows appear ONLY when non-empty, so a
+    fully-in-range histogram keeps its r9 shape.  ``hi == lo``
+    (constant column / degenerate fixed edges) is a single ``[lo,
+    lo]`` bin holding the exact-match count, not a fabricated
+    ``width=1`` edge beyond ``hi``.
+
+    Returns (bin, lo, hi, n_rows) — bin 0..bins-1 (plus -1/``bins``
+    sentinels when occupied), edges rounded 6dp, every in-range bin
+    present (zero-count bins included, via a sequence left-join
+    against the counts: a missing-row histogram reads as a different
+    shape).
     """
     v = F.col(value_col).cast("double")
     if lo is None or hi is None:
@@ -461,17 +643,50 @@ def histogram(
             [], "bin int, lo double, hi double, n_rows bigint"
         )
     lo_f, hi_f = float(lo), float(hi)
-    width = (hi_f - lo_f) / bins if hi_f > lo_f else 1.0
-    bin_expr = F.least(
-        F.lit(bins - 1),
-        F.floor((v - F.lit(lo_f)) / F.lit(width)).cast("int"),
+    spark = df.sparkSession
+    if hi_f <= lo_f:
+        # degenerate range: ONE [lo, lo] bin (exact matches), plus
+        # the under/overflow sentinels when fixed edges exclude rows
+        counts = (
+            df.filter(v.isNotNull())
+            .groupBy(
+                F.when(v < lo_f, F.lit(-1))
+                .when(v > hi_f, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("_side")
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+        by_side = {r["_side"]: r["n_rows"] for r in counts}
+        rows = [(0, round(lo_f, 6), round(lo_f, 6), by_side.get(0, 0))]
+        if by_side.get(-1):
+            rows.insert(
+                0, (-1, float("-inf"), round(lo_f, 6), by_side[-1])
+            )
+        if by_side.get(1):
+            rows.append(
+                (1, round(lo_f, 6), float("inf"), by_side[1])
+            )
+        return spark.createDataFrame(
+            rows, "bin int, lo double, hi double, n_rows bigint"
+        )
+    width = (hi_f - lo_f) / bins
+    bin_expr = (
+        F.when(v < lo_f, F.lit(-1))
+        .when(v > hi_f, F.lit(bins))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((v - F.lit(lo_f)) / F.lit(width)).cast("int"),
+            )
+        )
     )
     counts = (
-        df.filter(v.isNotNull() & (v >= lo_f) & (v <= hi_f))
+        df.filter(v.isNotNull())
         .groupBy(bin_expr.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    spark = df.sparkSession
     edges = spark.range(bins).select(
         F.col("id").cast("int").alias("bin"),
         F.round(F.lit(lo_f) + F.col("id") * F.lit(width), 6).alias("lo"),
@@ -479,13 +694,22 @@ def histogram(
             F.lit(lo_f) + (F.col("id") + 1) * F.lit(width), 6
         ).alias("hi"),
     )
-    return (
-        edges.join(counts, "bin", "left")
-        .select(
-            "bin", "lo", "hi",
-            F.coalesce(F.col("n_rows"), F.lit(0))
-            .cast("long")
-            .alias("n_rows"),
-        )
-        .orderBy("bin")
+    in_range = edges.join(
+        counts.filter((F.col("bin") >= 0) & (F.col("bin") < bins)),
+        "bin", "left",
+    ).select(
+        "bin", "lo", "hi",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
     )
+    # sentinel rows only when occupied: (-inf, lo) and (hi, +inf)
+    sentinels = counts.filter(
+        (F.col("bin") < 0) | (F.col("bin") >= bins)
+    ).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.when(F.col("bin") < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(round(hi_f, 6))).alias("lo"),
+        F.when(F.col("bin") < 0, F.lit(round(lo_f, 6)))
+        .otherwise(F.lit(float("inf"))).alias("hi"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    return in_range.unionByName(sentinels).orderBy("bin")

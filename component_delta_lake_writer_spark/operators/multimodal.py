@@ -204,6 +204,270 @@ def parse_png_meta(
     )
 
 
+JPEG_META_SCHEMA_FIELDS = [
+    T.StructField("is_jpeg", T.BooleanType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_components", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("has_exif", T.BooleanType()),
+]
+
+# SOF markers that carry dimensions: baseline/extended/progressive/
+# lossless + their arithmetic/differential variants.  C4 (DHT), C8
+# (JPG) and CC (DAC) are NOT frame headers.
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+# RSTn / SOI / EOI / TEM: standalone markers with no length field
+_NO_LENGTH = frozenset(range(0xD0, 0xD8)) | {0xD8, 0x01}
+_MAX_SEGMENTS = 256  # garbage tolerance: never walk unbounded
+
+
+def _walk_jpeg(b: bytes) -> tuple:
+    """(is_jpeg, width, height, n_components, bit_depth, has_exif)
+    from one payload's raw bytes — a bounded marker-segment walk, no
+    codec.  Unlike PNG (fixed IHDR offset), JPEG interleaves
+    variable-length APPn/COM segments before the SOF frame header, so
+    the offsets are data-dependent and must be walked:
+    FF D8 (SOI), then segments [FF marker len_hi len_lo payload...]
+    until a SOF (dimensions: precision u8, height u16be, width u16be,
+    n_components u8) or SOS/EOI.  EXIF is APP1 (FF E1) whose payload
+    leads with 'Exif\\0\\0'.  Garbage-tolerant: any structural
+    violation (bad SOI, missing 0xFF, truncated length, >256
+    segments) degrades to what was parsed so far — a 100 TB crawl
+    always contains garbage and a metadata pass must never throw.
+    """
+    n = len(b)
+    if n < 2 or b[0] != 0xFF or b[1] != 0xD8:
+        return (False, None, None, None, None, None)
+    has_exif = False
+    pos = 2
+    for _ in range(_MAX_SEGMENTS):
+        # fill bytes: any number of 0xFF may pad before a marker
+        while pos < n and b[pos] == 0xFF and pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n or b[pos] != 0xFF:
+            break
+        marker = b[pos + 1]
+        if marker in _NO_LENGTH:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 4 > n:
+            break
+        seg_len = (b[pos + 2] << 8) | b[pos + 3]
+        if seg_len < 2:
+            break
+        if marker in _SOF_MARKERS:
+            if pos + 9 > n:
+                break
+            depth = b[pos + 4]
+            height = (b[pos + 5] << 8) | b[pos + 6]
+            width = (b[pos + 7] << 8) | b[pos + 8]
+            ncomp = b[pos + 9] if pos + 9 < n else None
+            return (True, width, height, ncomp, depth, has_exif)
+        if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            has_exif = True
+        if marker == 0xDA:  # SOS: entropy-coded data, stop walking
+            break
+        pos += 2 + seg_len
+    return (True, None, None, None, None, has_exif)
+
+
+def parse_jpeg_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse JPEG container metadata — SOI validity, SOF
+    width/height/components/bit-depth, EXIF (APP1) presence — from
+    the raw bytes, no codec (VERDICT r9 task 5: JPEG is the dominant
+    format in any scraped multimodal corpus; PNG/WAV-only was the
+    metadata tier's one real hole).
+
+    Unlike its fixed-offset PNG/WAV siblings this cannot be a pure
+    hex-slice Catalyst expression: JPEG prepends a DATA-DEPENDENT
+    number of variable-length APPn/COM segments before the SOF frame
+    header, so the parse is a bounded marker walk.  It runs as
+    ``mapInPandas`` over Arrow batches — the house rule's sanctioned
+    shape for binary payloads (the byte_histogram_features pattern):
+    the payload column never converts to Python rows, the walk
+    touches only the first few hundred header bytes per image, and
+    the narrow output schema means downstream analytics never reread
+    the bytes.
+
+    Non-JPEG payloads yield is_jpeg=false with NULL fields; a valid
+    SOI with garbage after it yields is_jpeg=true with whatever was
+    recoverable — never an error.
+    Returns (id, is_jpeg, width, height, n_components, bit_depth,
+    has_exif).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (None, None, None, None, None, None)
+                if payload is None
+                else _walk_jpeg(bytes(payload))
+                for payload in pdf[bin_col]
+            ]
+            out = pd.DataFrame(
+                rows,
+                columns=["is_jpeg", "width", "height", "n_components",
+                         "bit_depth", "has_exif"],
+            )
+            out["is_jpeg"] = out["is_jpeg"].astype(object).where(
+                pd.notna(out["is_jpeg"]), False
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + JPEG_META_SCHEMA_FIELDS
+    )
+    return df.select(id_col, bin_col).mapInPandas(fn, schema)
+
+
+MP4_META_SCHEMA_FIELDS = [
+    T.StructField("is_mp4", T.BooleanType()),
+    T.StructField("major_brand", T.StringType()),
+    T.StructField("timescale", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+]
+
+_MAX_BOXES = 256  # per container level; same posture as _MAX_SEGMENTS
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF
+    boxes in b[start:end] — bounded, garbage-tolerant (a malformed
+    size stops the walk rather than throwing or spinning)."""
+    pos = start
+    for _ in range(_MAX_BOXES):
+        if pos + 8 > end:
+            return
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to the end of the enclosure
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _walk_mp4(b: bytes) -> tuple:
+    """(is_mp4, major_brand, timescale, duration_ms, width, height,
+    n_tracks) from one payload's raw bytes — a bounded ISO-BMFF box
+    walk, no codec (the video sibling of ``_walk_jpeg``).  MP4 is a
+    tree of size-prefixed boxes: ftyp (brand) at top level, then
+    moov ▸ mvhd (movie timescale + duration) and moov ▸ trak ▸ tkhd
+    (track dims as 16.16 fixed-point).  Box sizes are data-dependent
+    (64-bit largesize, size-0 to-end, free/skip padding boxes), so
+    the offsets must be walked.  Garbage-tolerant throughout: a
+    malformed size or truncation degrades to what was parsed so far.
+    """
+    n = len(b)
+    if n < 12 or b[4:8] != b"ftyp":
+        return (False, None, None, None, None, None, None)
+    brand = b[8:12].decode("ascii", errors="replace")
+    timescale = duration_ms = width = height = None
+    n_tracks = 0
+    for btype, ps, pe in _mp4_boxes(b, 0, n):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(b, ps, pe):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = b[cs]
+                # v0: ver/flags(4) creation(4) mod(4) ts(4) dur(4)
+                # v1: ver/flags(4) creation(8) mod(8) ts(4) dur(8)
+                if ver == 1 and ce - cs >= 32:
+                    timescale = int.from_bytes(
+                        b[cs + 20 : cs + 24], "big"
+                    )
+                    dur = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(
+                        b[cs + 12 : cs + 16], "big"
+                    )
+                    dur = int.from_bytes(b[cs + 16 : cs + 20], "big")
+                if timescale:
+                    duration_ms = round(dur * 1000.0 / timescale, 6)
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, ts_, te in _mp4_boxes(b, cs, ce):
+                    # width/height are the LAST 8 payload bytes of
+                    # tkhd in both versions, 16.16 fixed-point
+                    if ttype == b"tkhd" and te - ts_ >= 84:
+                        w = int.from_bytes(b[te - 8 : te - 4], "big")
+                        h = int.from_bytes(b[te - 4 : te], "big")
+                        if width is None and (w or h):
+                            width, height = w >> 16, h >> 16
+    return (
+        True, brand, timescale, duration_ms, width, height, n_tracks
+    )
+
+
+def parse_mp4_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse MP4/ISO-BMFF container metadata — ftyp brand, movie
+    timescale/duration, first video track's 16.16 dimensions, track
+    count — from the raw bytes, no codec: the VIDEO member of the
+    multimodal metadata tier (PNG/JPEG images, WAV audio, MP4 video).
+    Like JPEG, the offsets are data-dependent (size-prefixed box
+    tree with 64-bit largesize / size-0 / free-box padding), so this
+    is a bounded walk over Arrow batches (``mapInPandas`` on binary
+    payloads — the byte_histogram_features shape), touching only the
+    header boxes; ``mdat`` (the media data, ~all of a real file's
+    bytes) is skipped by its size field without being read into the
+    walk.
+
+    Non-MP4 payloads yield is_mp4=false with NULL fields; a valid
+    ftyp with garbage after it yields is_mp4=true with whatever was
+    recoverable — never an error.
+    Returns (id, is_mp4, major_brand, timescale, duration_ms, width,
+    height, n_tracks).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (None, None, None, None, None, None, None)
+                if payload is None
+                else _walk_mp4(bytes(payload))
+                for payload in pdf[bin_col]
+            ]
+            out = pd.DataFrame(
+                rows,
+                columns=["is_mp4", "major_brand", "timescale",
+                         "duration_ms", "width", "height", "n_tracks"],
+            )
+            out["is_mp4"] = out["is_mp4"].astype(object).where(
+                pd.notna(out["is_mp4"]), False
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + MP4_META_SCHEMA_FIELDS
+    )
+    return df.select(id_col, bin_col).mapInPandas(fn, schema)
+
+
 def parse_wav_meta(
     df: DataFrame,
     bin_col: str = "payload",

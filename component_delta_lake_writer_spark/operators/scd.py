@@ -62,8 +62,14 @@ def scd2_build(
 
     ``tiebreak`` orders same-timestamp changes deterministically
     (e.g. an event id); ties produce zero-length ranges rather than
-    nondeterministic winners.  Output: (key, attrs…, valid_from,
-    valid_to, is_current).
+    nondeterministic winners.  NOTE the intentional divergence from
+    the incremental path: ``scd2_delta`` represents a same-timestamp
+    correction as an in-place REPLACE (no zero-length close-out — its
+    merge source must stay ``(key, valid_from)``-unique), so a
+    rebuild of a dimension that absorbed such a correction via the
+    follower carries one fewer row than this full build; see
+    scd2_delta's effective-time contract.  Output: (key, attrs…,
+    valid_from, valid_to, is_current).
     """
     order = [F.col(ts_col).asc()] + [
         F.col(c).asc() for c in (tiebreak or [])
@@ -139,7 +145,12 @@ def scd2_apply(
     ``ts_col`` (deterministic — a raw multi-row snapshot would
     multiply current rows through the join and corrupt the
     dimension); snapshots are expected to be effective-time monotone
-    per key, the CDC contract.
+    per key, the CDC contract.  Same-timestamp corrections
+    (``_eff == valid_from``) KEEP the zero-length closed row here —
+    the rewrite path can; ``scd2_delta``'s merge source cannot and
+    replaces in place instead, so an incrementally-followed dimension
+    intentionally diverges from this full apply on such corrections
+    (see scd2_delta).
     """
     snap = _dedup_snapshot(snapshot, key, attrs, ts_col)
     cur = dim.filter(F.col("is_current")).alias("c")

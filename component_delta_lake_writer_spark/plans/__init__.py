@@ -24,6 +24,21 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 10: keys whose OPERATOR or ORACLE changed this round —
+    # the funnel rewrite (flat array_min chain + NaN/null-ts guards,
+    # oracle re-spelled), the distributed erasure audit's executor-
+    # side leak cap + mapping_unresolved flag, the histogram's
+    # under/overflow sentinel contract, the LSH index query's
+    # filesystem-abstracted pruning, and the stream_scd2_follow
+    # fixture trim (min_by/max_by).  The three brand-new r10 keys
+    # (funnel_window_events, jpeg_meta_parse, corr_matrix_orders) are
+    # unlisted → tier-1 front by the standing rule.
+    # ------------------------------------------------------------------
+    "funnel_events",
+    "gdpr_erasure_audit",
+    "histogram_order_totals",
+    "hamming_lsh_indexed_topk",
+    # ------------------------------------------------------------------
     # Round 9: keys whose OPERATOR or ORACLE changed this round and
     # must be re-proven at driver grade — the zscore/dim-stats sd=0
     # clamps + planted constant group, the scd2 dedup tiebreak and

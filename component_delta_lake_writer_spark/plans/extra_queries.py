@@ -5241,3 +5241,159 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         "o_totalprice", bins=10, lo=0.0, hi=600000.0,
     )
+
+
+# --------------------------------------------------------------------------
+# corr_matrix probe (VERDICT r9 task 6): the oracle replays the same
+# decimal-exact co-moment arithmetic per pair, generated from the one
+# column list so the two sides cannot drift.
+# --------------------------------------------------------------------------
+_CORR_COLS = ["price", "price_lin", "cust", "maybe_null", "const_c"]
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    # mixed 19x18 widths, mirroring operators.dq.corr_matrix: 18x18
+    # overflows DuckDB's int64-backed multiply, 19x19 overflows
+    # Spark's precision cap; 19x18 is exact in both
+    dec = "CAST(ROUND({c}, 6) AS DECIMAL(18,6))"
+    dec19 = "CAST(ROUND({c}, 6) AS DECIMAL(19,6))"
+    xa, xb = dec.format(c=a), dec.format(c=b)
+    xa19, xb19 = dec19.format(c=a), dec19.format(c=b)
+    return f"""
+      SELECT '{a}' AS col_x, '{b}' AS col_y,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CASE WHEN SQRT(
+            (COUNT(*) * CAST(SUM({xa19} * {xa}) AS DOUBLE)
+             - CAST(SUM({xa}) AS DOUBLE) * CAST(SUM({xa}) AS DOUBLE))
+            * (COUNT(*) * CAST(SUM({xb19} * {xb}) AS DOUBLE)
+               - CAST(SUM({xb}) AS DOUBLE) * CAST(SUM({xb}) AS DOUBLE))
+          ) > 0 THEN
+          ROUND(
+            (COUNT(*) * CAST(SUM({xa19} * {xb}) AS DOUBLE)
+             - CAST(SUM({xa}) AS DOUBLE) * CAST(SUM({xb}) AS DOUBLE))
+            / SQRT(
+              (COUNT(*) * CAST(SUM({xa19} * {xa}) AS DOUBLE)
+               - CAST(SUM({xa}) AS DOUBLE) * CAST(SUM({xa}) AS DOUBLE))
+              * (COUNT(*) * CAST(SUM({xb19} * {xb}) AS DOUBLE)
+                 - CAST(SUM({xb}) AS DOUBLE) * CAST(SUM({xb}) AS DOUBLE))
+            ), 6)
+        END AS corr
+      FROM s WHERE {a} IS NOT NULL AND {b} IS NOT NULL"""
+
+
+_CORR_ORACLE = (
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS price,
+        CAST(o_totalprice AS DOUBLE) * 2 + 1 AS price_lin,
+        CAST(o_custkey AS DOUBLE) AS cust,
+        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             ELSE CAST(o_totalprice AS DOUBLE) / 2 END AS maybe_null,
+        7.0 AS const_c
+      FROM orders
+    )
+    """
+    + "\n    UNION ALL\n".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+)
+
+
+@query("corr_matrix_orders", oracle=_CORR_ORACLE)
+def corr_matrix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation (operators.dq.corr_matrix) over
+    five candidate feature columns of orders — a perfectly linear
+    pair (corr = 1), an uncorrelated key column, a nullable column
+    (pairwise-complete counts differ per pair) and a planted CONSTANT
+    column whose zero variance must yield corr = NULL, never NaN.
+    ONE corpus scan: all 10 pairs' decimal-exact co-moment sums
+    aggregate map-side-combinably into a single row and the pair rows
+    explode out of it; the row-space is never shuffled.  The oracle
+    replays the identical arithmetic per pair (generated from the
+    same column list), so sums match bit-for-bit and the double-space
+    Pearson combination is IEEE-identical."""
+    from component_delta_lake_writer_spark.operators.dq import corr_matrix
+
+    o = load_table(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_totalprice").cast("double") * 2 + 1).alias(
+            "price_lin"
+        ),
+        F.col("o_custkey").cast("double").alias("cust"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.col("o_totalprice").cast("double") / 2,
+        ).alias("maybe_null"),
+        F.lit(7.0).alias("const_c"),
+    )
+    return corr_matrix(df, _CORR_COLS)
+
+
+@query(
+    "drift_psi_orders",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(o_totalprice AS DOUBLE) * 1.15 AS v FROM orders
+      WHERE o_orderkey % 2 = 1
+    ),
+    b AS (
+      SELECT 'r' AS src,
+        CASE WHEN v < 0 THEN -1 WHEN v > 500000 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(v / 50000.0) AS INT)) END AS bin
+      FROM r WHERE v IS NOT NULL
+      UNION ALL
+      SELECT 'c',
+        CASE WHEN v < 0 THEN -1 WHEN v > 500000 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(v / 50000.0) AS INT)) END
+      FROM c WHERE v IS NOT NULL
+    ),
+    g AS (
+      SELECT bin,
+        SUM(CASE WHEN src = 'r' THEN 1 ELSE 0 END) AS nr,
+        SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS nc
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM g)
+    SELECT CAST(SUM(nr) AS BIGINT) AS n_ref,
+      CAST(SUM(nc) AS BIGINT) AS n_cur,
+      ROUND(SUM(
+        (GREATEST(nc / tc, 0.000001) - GREATEST(nr / tr, 0.000001))
+        * LN(GREATEST(nc / tc, 0.000001)
+             / GREATEST(nr / tr, 0.000001))
+      ), 6) AS psi,
+      ROUND(SUM(ABS(nr / tr - nc / tc)) / 2, 6) AS tvd
+    FROM g, t
+    """,
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (operators.dq.drift_profile): order
+    totals split into a reference batch (even keys) and a current
+    batch (odd keys, prices inflated 15% — a real shift), PSI + TVD
+    over 10 fixed bins on [0, 500k].  The inflation pushes current
+    mass past the upper edge, so the probe exercises BOTH the
+    overflow sentinel bin AND the eps smoothing (the reference has no
+    overflow mass — unsmoothed PSI would be infinite).  One scan per
+    side, one 2·(bins+2)-row shuffle; the oracle replays bins,
+    smoothing and the ln identically (the tfidf precedent for
+    cross-engine ln at 6dp)."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice").cast("double") * 1.15).alias("v")
+    )
+    return drift_profile(
+        ref, cur, "v", bins=10, lo=0.0, hi=500000.0
+    )

@@ -2201,42 +2201,45 @@ def stream_scd2_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges, close-outs and current flags all recomputed independently
     by the oracle. (Two commits, not three — probe latency budget;
     the multi-version apply semantics are already exercised.)"""
-    from pyspark.sql import Window
-
     from component_delta_lake_writer_spark.streaming.sink import stream_scd2
 
     base = _scratch("stream_scd2_follow", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = ManagedTable(spark, os.path.join(base, "src"))
     dim = ManagedTable(spark, os.path.join(base, "dim"))
-    # user subset + a persisted single ranked pass: the probe's
-    # semantics are commit-shaped; fixture cost is not the point
+    # user subset; the probe's semantics are commit-shaped, so the
+    # fixture picks each user's first/last state with ONE keyed
+    # min_by/max_by aggregation per commit (the _scd2_stream_curve
+    # idiom) instead of the r9 double row_number window pass — same
+    # selected rows (min/max by (ts, event_id)), same oracle, less
+    # probe latency spent on setup rather than the operator
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     ).filter(F.col("user_id") % 2 == 0)
-    asc = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    desc = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    ranked = ev.withColumn("rka", F.row_number().over(asc)).withColumn(
-        "rkd", F.row_number().over(desc)
-    ).persist()
-    pick = lambda c: (  # noqa: E731
-        ranked.filter(c).select("user_id", "event_type", "ts").coalesce(1)
-    )
-    src.write(pick(F.col("rka") == 1), mode="overwrite",
+
+    def pick(agg_fn):
+        return (
+            ev.groupBy("user_id")
+            .agg(
+                agg_fn(
+                    F.struct("event_type", "ts"),
+                    F.struct("ts", "event_id"),
+                ).alias("s")
+            )
+            .select("user_id", "s.event_type", "s.ts")
+            .coalesce(1)
+        )
+
+    src.write(pick(F.min_by), mode="overwrite",
               primary_key=["user_id"],
               properties={"enableChangeDataFeed": True,
                           "mirror.dvMode": "deferred"})
-    src.upsert(pick(F.col("rkd") == 1), ["user_id"])
+    src.upsert(pick(F.max_by), ["user_id"])
     q = stream_scd2(
         src, dim, "user_id", "ts", ["event_type"],
         checkpoint_dir=os.path.join(base, "ckpt"),
     )
     q.awaitTermination()
-    ranked.unpersist()
     return dim.read().select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )

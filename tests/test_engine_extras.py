@@ -1308,6 +1308,186 @@ def test_timeseries_and_skew_contracts(spark):
     assert (5, 10.0) in vals and (5, None) not in vals
 
 
+def test_jpeg_walk_edge_cases():
+    """_walk_jpeg (pure bytes, no Spark): the bounded marker walk
+    must survive every garbage shape a crawl produces — truncation
+    mid-length, fill bytes, RSTn standalone markers, EXIF-less APP1,
+    EOI before SOF — and recover SOF dims behind variable-length APP
+    segments (progressive SOF2 included)."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        _walk_jpeg,
+    )
+
+    def jpg(*segs: bytes) -> bytes:
+        return b"\xff\xd8" + b"".join(segs)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        ln = len(payload) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + payload
+
+    sof = seg(0xC0, b"\x08\x01\x00\x02\x00\x03" + b"\x01\x22\x00" * 3)
+
+    # plain baseline: SOI + SOF0
+    assert _walk_jpeg(jpg(sof)) == (True, 512, 256, 3, 8, False)
+    # APP1/EXIF of varying length before SOF shifts the offset
+    for pad in (0, 5, 200):
+        exif = seg(0xE1, b"Exif\x00\x00" + b"\x00" * pad)
+        assert _walk_jpeg(jpg(exif, sof)) == (
+            True, 512, 256, 3, 8, True
+        )
+    # APP1 that is XMP, not EXIF
+    xmp = seg(0xE1, b"http://ns.adobe.com/")
+    assert _walk_jpeg(jpg(xmp, sof))[5] is False
+    # progressive SOF2
+    sof2 = seg(0xC2, b"\x0c\x00\x10\x00\x20\x01" + b"\x01\x11\x00")
+    assert _walk_jpeg(jpg(sof2)) == (True, 32, 16, 1, 12, False)
+    # fill bytes + RSTn standalone markers before SOF
+    assert _walk_jpeg(
+        b"\xff\xd8\xff\xff\xff\xd0" + sof
+    ) == (True, 512, 256, 3, 8, False)
+    # garbage shapes: never throw
+    assert _walk_jpeg(b"") == (False, None, None, None, None, None)
+    assert _walk_jpeg(b"PNG garbage")[0] is False
+    assert _walk_jpeg(b"\xff\xd8")[0] is True           # bare SOI
+    assert _walk_jpeg(b"\xff\xd8\xff\xe1\x00")[0] is True  # truncated len
+    assert _walk_jpeg(jpg(seg(0xE0, b"JFIF\x00")[:5]))[0] is True
+    # EOI before any SOF: valid jpeg, no dims
+    assert _walk_jpeg(b"\xff\xd8\xff\xd9") == (
+        True, None, None, None, None, False
+    )
+    # zero length field (structurally invalid): stop, don't loop
+    assert _walk_jpeg(b"\xff\xd8\xff\xe0\x00\x00" * 400)[0] is True
+
+
+def test_mp4_walk_edge_cases():
+    """_walk_mp4 (pure bytes, no Spark): bounded box walk over the
+    ISO-BMFF tree — 64-bit largesize, size-0 to-end, v1 mvhd, free
+    padding, zero-dims audio track skipped, truncation/garbage never
+    throw."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        _walk_mp4,
+    )
+
+    def box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+        if largesize:
+            return (
+                (1).to_bytes(4, "big") + btype
+                + (len(payload) + 16).to_bytes(8, "big") + payload
+            )
+        return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                      # v0 + flags
+        + b"\x00" * 8                             # creation/mod
+        + (600).to_bytes(4, "big")                # timescale
+        + (6000).to_bytes(4, "big")               # duration (10 s)
+        + b"\x00" * 80,
+    )
+    tkhd = lambda w, h: box(  # noqa: E731
+        b"tkhd",
+        b"\x00" * 76 + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big"),
+    )
+    audio = box(b"trak", tkhd(0, 0))
+    video = box(b"trak", tkhd(640, 480))
+    moov = box(b"moov", box(b"free", b"\x00" * 5) + mvhd + audio + video)
+    got = _walk_mp4(ftyp + box(b"free", b"") + moov)
+    assert got == (True, "isom", 600, 10000.0, 640, 480, 2)
+
+    # largesize moov; v1 mvhd (64-bit duration)
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + (1000).to_bytes(4, "big") + (2500).to_bytes(8, "big"),
+    )
+    got2 = _walk_mp4(ftyp + box(b"moov", mvhd1, largesize=True))
+    assert got2[2] == 1000 and got2[3] == 2500.0
+    assert got2[6] == 0  # no tracks
+
+    # size-0 box extends to end of enclosure
+    sz0_moov = (0).to_bytes(4, "big") + b"moov" + mvhd
+    got3 = _walk_mp4(ftyp + sz0_moov)
+    assert got3[3] == 10000.0
+
+    # garbage shapes: never throw
+    assert _walk_mp4(b"")[0] is False
+    assert _walk_mp4(b"\xff\xd8not an mp4")[0] is False
+    assert _walk_mp4(ftyp)[0] is True                  # bare ftyp
+    assert _walk_mp4(ftyp + b"\x00\x00")[0] is True    # trailing junk
+    truncated = (ftyp + moov)[: len(ftyp) + 20]
+    assert _walk_mp4(truncated)[0] is True
+    bad_size = ftyp + (3).to_bytes(4, "big") + b"moov"  # size < header
+    assert _walk_mp4(bad_size) == (
+        True, "isom", None, None, None, None, 0
+    )
+
+
+def test_parse_mp4_meta_spark(spark):
+    """parse_mp4_meta end-to-end through the Arrow batch path."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_mp4_meta,
+    )
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 12 + (600).to_bytes(4, "big")
+        + (1200).to_bytes(4, "big") + b"\x00" * 80,
+    )
+    trak = box(
+        b"trak",
+        box(b"tkhd", b"\x00" * 76 + (320 << 16).to_bytes(4, "big")
+            + (240 << 16).to_bytes(4, "big")),
+    )
+    good = (
+        box(b"ftyp", b"mp42" + b"\x00" * 4) + box(b"moov", mvhd + trak)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"nope")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in parse_mp4_meta(df).collect()}
+    assert got[1]["is_mp4"] and got[1]["major_brand"] == "mp42"
+    assert got[1]["duration_ms"] == 2000.0
+    assert got[1]["width"] == 320 and got[1]["height"] == 240
+    assert got[1]["n_tracks"] == 1
+    assert got[2]["is_mp4"] is False and got[3]["is_mp4"] is False
+
+
+def test_parse_jpeg_meta_spark(spark):
+    """parse_jpeg_meta end-to-end through the Arrow batch path:
+    staged real headers + garbage + NULL payloads in one frame."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_jpeg_meta,
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        ln = len(payload) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + payload
+
+    good = (
+        b"\xff\xd8"
+        + seg(0xE1, b"Exif\x00\x00" + b"\x00" * 9)
+        + seg(0xC0, b"\x08\x00\x64\x00\xc8" + b"\x03"
+              + b"\x01\x22\x00" * 3)
+        + b"tail-bytes"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a jpeg")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in parse_jpeg_meta(df).collect()}
+    assert got[1]["is_jpeg"] and got[1]["width"] == 200
+    assert got[1]["height"] == 100 and got[1]["n_components"] == 3
+    assert got[1]["bit_depth"] == 8 and got[1]["has_exif"]
+    assert got[2]["is_jpeg"] is False and got[2]["width"] is None
+    assert got[3]["is_jpeg"] is False
+
+
 def test_multimodal_null_payload_and_bins_validation(spark):
     """Review findings: NULL payloads killed the mapInPandas task
     (len(None)); a non-divisor bins reshaped into a ValueError; a
@@ -2028,6 +2208,35 @@ def test_erasure_audit_operator(spark, tmp_path):
     assert rep4["leak_count"] == 2
 
 
+def test_fs_exists_path_abstraction(spark, tmp_path):
+    """VERDICT r9 task 7: hamming_lsh_query_index's bucket pruning
+    must route existence checks through a filesystem abstraction
+    (Hadoop FS API) rather than os.path.isdir, so the measured
+    sublinear query path survives object storage. Local paths, fully-
+    qualified file: URIs, and missing buckets all resolve; the
+    no-JVM fallback still answers."""
+    import os
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        _fs_exists,
+    )
+
+    d = tmp_path / "band=0" / "key=3"
+    os.makedirs(d)
+    assert _fs_exists(spark, str(d)) is True
+    assert _fs_exists(spark, f"file://{d}") is True
+    assert _fs_exists(spark, str(tmp_path / "band=0" / "key=9")) is False
+    # scheme the local Hadoop conf cannot resolve → falls back to
+    # os.path.isdir (False here), never raises
+    assert _fs_exists(spark, "s3a://no-such-bucket/x") is False
+
+    class _NoJvm:  # no JVM: the plain-local fallback path
+        _jvm = property(lambda self: (_ for _ in ()).throw(RuntimeError))
+
+    assert _fs_exists(_NoJvm(), str(d)) is True
+    assert _fs_exists(_NoJvm(), str(tmp_path / "nope")) is False
+
+
 def test_hamming_lsh_index_equals_adhoc(spark, tmp_path):
     """VERDICT r8 task 6: the materialized bit-sampling LSH index
     must return the ad-hoc operator's exact answer (same candidates,
@@ -2296,6 +2505,72 @@ def test_rolling_stats_frame_and_ties(spark):
     assert got[3]["roll_min"] == 20.0 and got[3]["roll_max"] == 40.0
 
 
+def test_drift_profile_semantics(spark):
+    """drift_profile: identical batches → psi == tvd == 0; a shifted
+    batch → positive drift; one-sided bins survive via eps smoothing
+    (never inf/NaN); out-of-range mass counts as drift; hi<=lo
+    rejected."""
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(x),) for x in range(100)], "v double"
+    )
+    same = drift_profile(ref, ref, "v", bins=5, lo=0.0,
+                         hi=100.0).collect()[0]
+    assert same["psi"] == 0.0 and same["tvd"] == 0.0
+    assert same["n_ref"] == same["n_cur"] == 100
+
+    # shift: all current mass lands above hi → overflow bin only on
+    # the current side; eps smoothing keeps psi finite and large
+    cur = spark.createDataFrame(
+        [(float(x) + 1000,) for x in range(100)], "v double"
+    )
+    moved = drift_profile(ref, cur, "v", bins=5, lo=0.0,
+                          hi=100.0).collect()[0]
+    assert moved["tvd"] == 1.0  # disjoint supports
+    assert moved["psi"] > 1.0 and math.isfinite(moved["psi"])
+
+    with pytest.raises(ValueError):
+        drift_profile(ref, cur, "v", bins=5, lo=10.0, hi=10.0)
+
+
+def test_corr_matrix_semantics(spark):
+    """corr_matrix: perfect linear pair → 1.0, anti-linear → -1.0,
+    constant column → NULL (zero variance, never NaN), pairwise-
+    complete counts per pair, <2 columns rejected."""
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.dq import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 3.0, -2.0, 5.0, 1.0),
+         (2.0, 5.0, -4.0, 5.0, None),
+         (3.0, 7.0, -6.0, 5.0, 9.0),
+         (4.0, 9.0, -8.0, 5.0, 2.0)],
+        "a double, b double, c double, k double, m double",
+    )
+    got = {(r["col_x"], r["col_y"]): r
+           for r in corr_matrix(df, ["a", "b", "c", "k", "m"]).collect()}
+    assert len(got) == 10
+    assert got[("a", "b")]["corr"] == 1.0      # b = 2a + 1
+    assert got[("a", "c")]["corr"] == -1.0     # c = -2a
+    assert got[("a", "k")]["corr"] is None     # k constant
+    assert got[("a", "m")]["n"] == 3           # pairwise-complete
+    assert got[("a", "b")]["n"] == 4
+    for r in got.values():                     # never NaN
+        assert r["corr"] is None or not math.isnan(r["corr"])
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+
+
 def test_histogram_edges_and_autobounds(spark):
     """histogram: closed upper edge (value == hi lands in the LAST
     bin), zero-count bins materialized, auto-bounds from a min/max
@@ -2313,9 +2588,32 @@ def test_histogram_edges_and_autobounds(spark):
     assert [got[i]["n_rows"] for i in range(4)] == [1, 1, 1, 1]
     assert got[3]["hi"] == 10.0
 
-    # fixed edges: out-of-range rows are excluded, zero bins present
-    got2 = histogram(df, "x", bins=2, lo=0.0, hi=4.0).collect()
-    assert [r["n_rows"] for r in got2] == [1, 1]  # 0.0 and 2.5; 5,10 out
+    # fixed edges (r9 ADVICE): out-of-range rows are COUNTED in
+    # sentinel bins (-1 below lo, `bins` above hi), never dropped —
+    # so the bins sum to the non-null row count and drift past hi
+    # reads as overflow, not shrinkage
+    got2 = {r["bin"]: r for r in
+            histogram(df, "x", bins=2, lo=0.0, hi=4.0).collect()}
+    assert [got2[i]["n_rows"] for i in (0, 1)] == [1, 1]  # 0.0, 2.5
+    assert got2[2]["n_rows"] == 2 and got2[2]["hi"] == float("inf")
+    assert -1 not in got2  # no underflow → no sentinel row
+    assert sum(r["n_rows"] for r in got2.values()) == 4
+
+    got3 = {r["bin"]: r for r in
+            histogram(df, "x", bins=2, lo=3.0, hi=20.0).collect()}
+    assert got3[-1]["n_rows"] == 2 and got3[-1]["lo"] == float("-inf")
+
+    # hi == lo degenerates to a single [lo, lo] exact-match bin (plus
+    # sentinels), not a fabricated width-1 edge beyond hi
+    const = spark.createDataFrame(
+        [(42.0,), (42.0,), (41.0,), (None,)], "x double"
+    )
+    got4 = {r["bin"]: r for r in
+            histogram(const, "x", bins=5, lo=42.0, hi=42.0).collect()}
+    assert got4[0]["n_rows"] == 2
+    assert got4[0]["lo"] == 42.0 and got4[0]["hi"] == 42.0
+    assert got4[-1]["n_rows"] == 1  # the 41.0 underflow
+    assert 1 not in got4  # no overflow side
 
     allnull = spark.createDataFrame([(None,), (None,)], "x double")
     empty = histogram(allnull, "x", bins=3)
