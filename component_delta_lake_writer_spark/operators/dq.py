@@ -416,10 +416,18 @@ def drift_profile(
             F.sum((F.col("_src") == "c").cast("long")).alias("_nc"),
         )
     )
-    tot = counts.agg(
-        F.sum("_nr").alias("_tr"), F.sum("_nc").alias("_tc")
+    # totals via an unpartitioned window over the (bins+2)-row counts
+    # set — NOT a second aggregation branch, which Spark plans as a
+    # re-read of both inputs (4 FileScans); the window costs one
+    # single-partition pass over ~a dozen grouped rows
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = counts.crossJoin(F.broadcast(tot))
+    j = counts.withColumn("_tr", F.sum("_nr").over(whole)).withColumn(
+        "_tc", F.sum("_nc").over(whole)
+    )
     p = F.col("_nr") / F.col("_tr")
     q = F.col("_nc") / F.col("_tc")
     p_s = F.greatest(p, F.lit(float(eps)))

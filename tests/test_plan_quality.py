@@ -706,3 +706,42 @@ def test_skew_profile_reuses_count_shuffle(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """corr_matrix must read the corpus EXACTLY once: every pair's
+    co-moment sums ride one map-side-combinable aggregation into a
+    single reduced row — a per-pair-job or per-pair-scan refactor
+    would multiply the corpus read by |cols|^2."""
+    from component_delta_lake_writer_spark.operators.dq import corr_matrix
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = corr_matrix(
+        load_table(spark, SF_SMALL, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_drift_profile_bounded_shuffle(spark):
+    """drift_profile: one scan per side and the only row-space-wide
+    movement is the union into the (source, bin) aggregation — the
+    exchanges carry at most 2*(bins+2) grouped rows plus the 1-row
+    totals broadcast, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    df = drift_profile(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice", bins=10, lo=0.0, hi=500000.0,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan

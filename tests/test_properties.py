@@ -745,3 +745,68 @@ def test_scd2_delta_stream_model(spark, snaps):
                     o["k"] == r["k"] and o["valid_from"] == r["valid_to"]
                     for o in rows
                 ), f"gap after close-out {r}"
+
+
+# strategy for small event logs: (user, step_idx 0-3 incl. noise, ts)
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # user
+        st.integers(min_value=0, max_value=3),      # event kind
+        st.integers(min_value=0, max_value=20),     # ts (collisions!)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_EVENTS, within=st.one_of(st.none(), st.integers(1, 8)))
+def test_funnel_matches_bruteforce_model(spark, rows, within):
+    """The r10 flat array_min(filter) chain == the greedy sequential
+    model for ANY log, equal timestamps and time-boxed horizons
+    included: per user, step i is credited at the MIN event time
+    strictly after (and, with `within`, not more than `within` past)
+    the credited step i-1 time."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    steps = ["a", "b", "c"]
+    kinds = ["a", "b", "c", "noise"]
+
+    # brute-force greedy model in plain python
+    per_user: dict = {}
+    for u, k, ts in rows:
+        per_user.setdefault(u, []).append((kinds[k], float(ts)))
+    counts = [0, 0, 0]
+    for evs in per_user.values():
+        prev_t = None
+        for i, s in enumerate(steps):
+            cand = [
+                t for e, t in evs
+                if e == s
+                and (i == 0
+                     or (prev_t is not None and t > prev_t
+                         and (within is None or t <= prev_t + within)))
+            ]
+            if i > 0 and prev_t is None:
+                cand = []
+            if not cand:
+                break
+            prev_t = min(cand)
+            counts[i] += 1
+
+    df = spark.createDataFrame(
+        [(u, kinds[k], float(ts)) for u, k, ts in rows]
+        or [(None, None, None)],
+        "user_id long, event_type string, ts double",
+    ).filter("user_id IS NOT NULL")
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, steps, within=within).collect()
+    }
+    assert [got[1], got[2], got[3]] == counts
