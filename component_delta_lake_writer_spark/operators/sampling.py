@@ -54,6 +54,64 @@ def hash_sample(df: DataFrame, id_col: str, percent: int) -> DataFrame:
     return df.filter(_bucket(id_col, salt="sample") < percent)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows: the
+    Efraimidis–Spirakis A-ES scheme ("Weighted random sampling with
+    a reservoir", IPL 2006) — each row draws key = u^(1/w) from a
+    uniform u and the k LARGEST keys win; inclusion probability is
+    then proportional to weight at every prefix.  The quota/Bernoulli
+    samplers above keep *fractions*; this is the exact-k,
+    importance-proportional draw a mixture pipeline needs ("give me
+    100k docs, quality-weighted").
+
+    The uniform is the house HASH idiom, not RNG: u = (md5-prefix32
+    + 1) / 2^32 of '<salt>:<id>' — reproducible across runs, engines,
+    partitionings and task retries, stable under appends (a row's key
+    never changes as other rows arrive, so yesterday's draw is
+    today's prefix), and oracle-replayable in ANSI SQL.  Selection is
+    a single TakeOrdered top-k (no full sort materializes — the same
+    O(k)-per-partition heap every top-k in the engine rides); ties
+    (u = 1, or equal weights with equal hashes) break on id, so the
+    set is a deterministic function of the data.  Rows with NULL or
+    non-positive weight never qualify (a zero weight must have zero
+    inclusion probability; u^(1/0) is undefined).
+
+    Returns (id, weight, sample_key) for the k winners, sample_key
+    rounded 6dp (the key is the audit trail: re-running with a
+    larger k extends, never reshuffles, the selection).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample needs k >= 1, got {k}")
+    src = f"CONCAT('{salt}:', CAST({id_col} AS STRING))"
+    u = (
+        F.expr(
+            f"CAST(conv(substring(md5({src}), 1, 8), 16, 10) AS BIGINT)"
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, 1.0 / w)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col, "weight", F.round("_key", 6).alias("sample_key")
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, percents: dict[str, int], id_col: str
 ) -> DataFrame:

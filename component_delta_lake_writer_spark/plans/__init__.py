@@ -83,6 +83,7 @@ _FRONT = [
     "jpeg_meta_parse",
     "mp4_meta_parse",
     "drift_psi_orders",
+    "weighted_sample_orders",
     "csv_scan_typed",
     "cast_matrix",
     "insert_select_cast",

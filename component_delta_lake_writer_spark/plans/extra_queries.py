@@ -5397,3 +5397,42 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_profile(
         ref, cur, "v", bins=10, lo=0.0, hi=500000.0
     )
+
+
+@query(
+    "weighted_sample_orders",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+        CAST(o_totalprice AS DOUBLE) AS weight,
+        POW(
+          (CAST(('0x' || substr(md5(
+             CONCAT('wsample:', CAST(o_orderkey AS VARCHAR))
+           ), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0,
+          1.0 / CAST(o_totalprice AS DOUBLE)
+        ) AS k
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    )
+    SELECT o_orderkey, weight, ROUND(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators.sampling.weighted_sample): 100 orders drawn with
+    probability proportional to o_totalprice via Efraimidis-Spirakis
+    exponential keys over the house md5 hash — deterministic,
+    retry-stable, append-stable, and replayed key-for-key by the
+    oracle (same hash, same pow, same tie-break).  Selection is one
+    TakeOrdered top-k; no global sort materializes."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey", "o_totalprice", k=100,
+    )

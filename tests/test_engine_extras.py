@@ -2505,6 +2505,38 @@ def test_rolling_stats_frame_and_ties(spark):
     assert got[3]["roll_min"] == 20.0 and got[3]["roll_max"] == 40.0
 
 
+def test_weighted_sample_semantics(spark):
+    """weighted_sample (Efraimidis-Spirakis): deterministic across
+    runs, k=10 is a strict prefix of k=20 (keys never reshuffle),
+    heavy weights dominate the draw, non-positive/NULL weights are
+    excluded, k<1 rejected."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1000.0 if i < 50 else 0.001) for i in range(400)]
+    rows += [(400, 0.0), (401, -5.0), (402, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    got20 = weighted_sample(df, "id", "w", k=20).collect()
+    again = weighted_sample(df, "id", "w", k=20).collect()
+    assert got20 == again                       # deterministic
+    ids20 = [r["id"] for r in got20]
+    assert len(ids20) == 20 == len(set(ids20))  # without replacement
+    assert not {400, 401, 402} & set(ids20)     # guarded weights
+    # 50 heavy rows vs 350 light (weight ratio 10^6): the draw must
+    # be dominated by heavy ids
+    assert sum(1 for i in ids20 if i < 50) >= 18
+    # prefix property: a smaller k is a prefix of a larger one
+    ids10 = [r["id"] for r in
+             weighted_sample(df, "id", "w", k=10).collect()]
+    assert ids10 == ids20[:10]
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", k=0)
+
+
 def test_drift_profile_semantics(spark):
     """drift_profile: identical batches → psi == tvd == 0; a shifted
     batch → positive drift; one-sided bins survive via eps smoothing
