@@ -112,6 +112,59 @@ def weighted_sample(
     )
 
 
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """``weighted_sample`` per group: the k heaviest-keyed rows of
+    EACH group value — "top 1,000 docs per domain, quality-weighted",
+    the shape that keeps a mixture balanced while sampling
+    proportionally within each source.  Same Efraimidis–Spirakis
+    exponential keys over the house hash (identical guarantees:
+    deterministic, retry/append-stable, prefix-extensible per group);
+    selection is ONE shuffle on the group key + a windowed
+    row_number — groups prune in parallel, nothing global
+    materializes.  Returns (group, id, weight, sample_key, rank).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(
+            f"weighted_sample_by_group needs k >= 1, got {k}"
+        )
+    src = f"CONCAT('{salt}:', CAST({id_col} AS STRING))"
+    u = (
+        F.expr(
+            f"CAST(conv(substring(md5({src}), 1, 8), 16, 10) AS BIGINT)"
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            w.alias("weight"),
+            F.pow(u, 1.0 / w).alias("_key"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col, id_col, "weight",
+            F.round("_key", 6).alias("sample_key"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, percents: dict[str, int], id_col: str
 ) -> DataFrame:

@@ -278,6 +278,7 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within: float | None = None,
+    by: str | None = None,
 ) -> DataFrame:
     """Ordered event funnel: how many users completed step 1, then
     step 2 STRICTLY AFTER their step-1 time, then step 3 after that —
@@ -315,7 +316,11 @@ def funnel(
     Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
     one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
     A zero-user denominator yields NULL pcts (matching SQL's NULL on
-    guarded division), never NaN.
+    guarded division), never NaN.  ``by=`` prepends a segment column
+    and computes an independent funnel per segment value (a user's
+    events form one sequence per segment; the keyed shuffle moves to
+    (segment, user) — same single scan); segments with no
+    step-relevant events emit no rows.
 
     Steps must be DISTINCT event types: a repeated step ("view →
     view → buy") is ambiguous under the type→index map this chain
@@ -332,19 +337,26 @@ def funnel(
     step_idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
+    # `by` (segment breakdown): the segment joins the grouping key,
+    # so a user's events form one sequence PER SEGMENT — the standard
+    # product-analytics breakdown ("funnel by country"); still one
+    # scan, one keyed shuffle (now on (segment, user)). A segment
+    # with no step-relevant events has no rows (nothing to report).
+    seg_cols = [F.col(by).alias("_seg")] if by else []
     per_user = (
         events.filter(
             F.col(type_col).isin(list(steps))
             & F.col(ts_col).isNotNull()
         )
         .select(
+            *seg_cols,
             F.col(user_col).alias("_u"),
             F.struct(
                 F.col(ts_col).alias("t"),
                 step_idx[F.col(type_col)].alias("s"),
             ).alias("_e"),
         )
-        .groupBy("_u")
+        .groupBy(*(["_seg"] if by else []), "_u")
         .agg(F.collect_list("_e").alias("_es"))
     )
 
@@ -387,41 +399,48 @@ def funnel(
     for i in range(len(steps)):
         per_user = per_user.withColumn(f"_t{i}", _credit(i))
 
-    counts_row = per_user.agg(
+    count_aggs = [
+        F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(
+            f"__n_{i}"
+        )
+        for i in range(len(steps))
+    ]
+    counts_row = (
+        per_user.groupBy("_seg").agg(*count_aggs)
+        if by
+        else per_user.agg(*count_aggs)
+    )
+    step_structs = F.array(
         *[
-            F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(
-                f"__n_{i}"
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.coalesce(
+                    F.col(f"__n_{i}"), F.lit(0)
+                ).cast("long").alias("n_users"),
             )
-            for i in range(len(steps))
+            for i, s in enumerate(steps)
         ]
     )
+    lead = [F.col("_seg").alias(by)] if by else []
     out = counts_row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i + 1).cast("int").alias("step"),
-                        F.lit(s).alias("event_type"),
-                        F.coalesce(
-                            F.col(f"__n_{i}"), F.lit(0)
-                        ).cast("long").alias("n_users"),
-                    )
-                    for i, s in enumerate(steps)
-                ]
-            )
-        ).alias("s")
-    ).select("s.*")
-    w = Window.orderBy("step").rowsBetween(
+        *lead, F.explode(step_structs).alias("s")
+    ).select(*([by] if by else []), "s.*")
+    wpart = (
+        Window.partitionBy(by) if by else Window.partitionBy()
+    )
+    w = wpart.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     first = F.first("n_users").over(w)
     prev = F.coalesce(
-        F.lag("n_users", 1).over(Window.orderBy("step")),
+        F.lag("n_users", 1).over(wpart.orderBy("step")),
         F.col("n_users"),
     )
     # guarded division: a zero-user step yields NULL (as SQL's CASE
     # spelling does), never the 0/0 double NaN
     return out.select(
+        *([by] if by else []),
         "step", "event_type", "n_users",
         F.when(
             first > 0, F.round(F.col("n_users") / first, 6)

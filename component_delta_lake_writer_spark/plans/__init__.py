@@ -84,6 +84,8 @@ _FRONT = [
     "mp4_meta_parse",
     "drift_psi_orders",
     "weighted_sample_orders",
+    "weighted_sample_by_status",
+    "funnel_by_segment_events",
     "csv_scan_typed",
     "cast_matrix",
     "insert_select_cast",

@@ -5436,3 +5436,112 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         "o_orderkey", "o_totalprice", k=100,
     )
+
+
+@query(
+    "funnel_by_segment_events",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id % 3 AS INT) AS segment, user_id,
+        event_type, ts
+      FROM events WHERE ts IS NOT NULL
+    ),
+    s1 AS (
+      SELECT segment, user_id, MIN(ts) AS t FROM ev
+      WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT e.segment, e.user_id, MIN(e.ts) AS t FROM ev e
+      JOIN s1 ON e.segment = s1.segment AND e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT e.segment, e.user_id, MIN(e.ts) AS t FROM ev e
+      JOIN s2 ON e.segment = s2.segment AND e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT segment, 1 AS step, 'view' AS event_type,
+        COUNT(*) AS n_users FROM s1 GROUP BY 1
+      UNION ALL SELECT segment, 2, 'click', COUNT(*) FROM s2 GROUP BY 1
+      UNION ALL SELECT segment, 3, 'purchase', COUNT(*) FROM s3
+      GROUP BY 1
+    )
+    SELECT segment, CAST(step AS INT) AS step, event_type,
+      CAST(n_users AS BIGINT) AS n_users,
+      CASE WHEN FIRST_VALUE(n_users) OVER w > 0 THEN
+        ROUND(n_users / FIRST_VALUE(n_users) OVER w, 6)
+      END AS pct_of_first,
+      CASE WHEN COALESCE(LAG(n_users) OVER w, n_users) > 0 THEN
+        ROUND(n_users / COALESCE(LAG(n_users) OVER w, n_users), 6)
+      END AS pct_of_prev
+    FROM c
+    WINDOW w AS (PARTITION BY segment ORDER BY step)
+    """,
+)
+def funnel_by_segment_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Segmented conversion funnel (funnel(by=...)): one independent
+    view -> click -> purchase funnel per segment (user_id % 3 — a
+    stable per-user attribute), the standard product-analytics
+    breakdown.  Still ONE corpus scan; the keyed shuffle moves to
+    (segment, user) and the ratio windows partition by segment.  The
+    oracle replays the per-segment CTE cascade."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "segment", (F.col("user_id") % 3).cast("int")
+    )
+    return funnel(
+        ev, ["view", "click", "purchase"], by="segment"
+    )
+
+
+@query(
+    "weighted_sample_by_status",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderstatus, o_orderkey,
+        CAST(o_totalprice AS DOUBLE) AS weight,
+        POW(
+          (CAST(('0x' || substr(md5(
+             CONCAT('wsample:', CAST(o_orderkey AS VARCHAR))
+           ), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0,
+          1.0 / CAST(o_totalprice AS DOUBLE)
+        ) AS kx
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderkey, weight, kx,
+        ROW_NUMBER() OVER (
+          PARTITION BY o_orderstatus ORDER BY kx DESC, o_orderkey ASC
+        ) AS rank
+      FROM keyed
+    )
+    SELECT o_orderstatus, o_orderkey, weight,
+      ROUND(kx, 6) AS sample_key, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 40
+    """,
+)
+def weighted_sample_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped weighted sampling
+    (operators.sampling.weighted_sample_by_group): 40 orders per
+    order status, drawn proportionally to o_totalprice within each
+    group — one shuffle on the group key + a windowed row_number,
+    groups prune in parallel.  Same deterministic
+    Efraimidis-Spirakis keys as weighted_sample_orders; oracle
+    replays hash, pow, partition and tie-break."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        weighted_sample_by_group,
+    )
+
+    return weighted_sample_by_group(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderstatus", "o_orderkey", "o_totalprice", k=40,
+    )

@@ -2427,6 +2427,41 @@ def test_funnel_within_horizon_and_degenerate(spark):
         assert r["pct_of_prev"] is None
 
 
+def test_funnel_by_segment(spark):
+    """funnel(by=): independent funnels per segment — a user's
+    conversion in one segment never leaks into another, a segment
+    with no step events emits no rows, and per-segment pcts window
+    within the segment."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel,
+    )
+
+    rows = [
+        ("A", 1, "view", "2024-01-01 10:00:00"),
+        ("A", 1, "click", "2024-01-01 11:00:00"),   # A/u1 converts
+        ("A", 2, "view", "2024-01-01 10:00:00"),    # A/u2 stalls
+        ("B", 3, "click", "2024-01-01 09:00:00"),   # B: click first
+        ("B", 3, "view", "2024-01-01 10:00:00"),
+        ("C", 4, "other", "2024-01-01 10:00:00"),   # C: no step events
+    ]
+    ev = spark.createDataFrame(
+        rows, "seg string, user_id int, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["seg"], r["step"]): r
+        for r in funnel(ev, ["view", "click"], by="seg").collect()
+    }
+    assert got[("A", 1)]["n_users"] == 2
+    assert got[("A", 2)]["n_users"] == 1
+    assert abs(got[("A", 2)]["pct_of_first"] - 0.5) < 1e-9
+    assert got[("B", 1)]["n_users"] == 1
+    assert got[("B", 2)]["n_users"] == 0   # click BEFORE view
+    assert ("C", 1) not in got             # no step events → no rows
+    assert len(got) == 4
+
+
 def test_skew_profile_tie_and_share(spark):
     """skew_profile: deterministic (count desc, value asc) ranking,
     pct is the value's share of ALL rows (nulls included in the
@@ -2535,6 +2570,39 @@ def test_weighted_sample_semantics(spark):
     assert ids10 == ids20[:10]
     with pytest.raises(ValueError):
         weighted_sample(df, "id", "w", k=0)
+
+
+def test_weighted_sample_by_group(spark):
+    """weighted_sample_by_group: exactly min(k, group size) rows per
+    group, per-group ranks contiguous from 1, keys identical to the
+    ungrouped sampler (same hash+salt), guarded weights excluded."""
+    from component_delta_lake_writer_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_by_group,
+    )
+
+    rows = [("g1", i, float(i + 1)) for i in range(30)]
+    rows += [("g2", 100 + i, 5.0) for i in range(3)]
+    rows += [("g2", 200, 0.0), ("g3", 300, None)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+
+    got = weighted_sample_by_group(df, "g", "id", "w", k=5).collect()
+    by_g: dict = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r)
+    assert len(by_g["g1"]) == 5
+    assert len(by_g["g2"]) == 3          # group smaller than k
+    assert "g3" not in by_g              # only a NULL-weight row
+    for rs in by_g.values():
+        assert sorted(r["rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+    # same key function as the ungrouped sampler: g1's top-5 == the
+    # ungrouped top-5 over g1's rows alone
+    solo = weighted_sample(
+        df.filter("g = 'g1'"), "id", "w", k=5
+    ).collect()
+    assert {r["id"] for r in by_g["g1"]} == {r["id"] for r in solo}
 
 
 def test_drift_profile_semantics(spark):
