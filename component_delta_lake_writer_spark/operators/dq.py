@@ -440,6 +440,115 @@ def drift_profile(
     )
 
 
+def drift_profile_columns(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: dict[str, tuple[float, float]],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """``drift_profile`` across a MONITORED COLUMN SET in the same
+    two scans: ``cols`` maps column → (lo, hi) fixed edges, and the
+    output is one row per column — the whole feature-drift dashboard
+    refresh costs one pass over yesterday's batch and one over
+    today's, regardless of how many columns are watched.
+
+    Mechanics: each side unpivots the monitored columns into
+    (column, value) pairs IN THE PROJECTION (a stack of literals —
+    no join, no extra scan), bins per column against that column's
+    own edges, and aggregates (source, column, bin) groups —
+    2·|cols|·(bins+2) grouped rows of shuffle.  Per-column totals
+    come from a column-partitioned window over those grouped rows
+    (the drift_profile lesson: a second aggregation branch re-reads
+    the inputs).  Same smoothing/sentinel semantics as
+    ``drift_profile``; columns are independent — an out-of-range or
+    NULL value in one column never perturbs another's proportions.
+
+    Returns (column, n_ref, n_cur, psi, tvd), one row per monitored
+    column, rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("drift_profile_columns needs at least one column")
+    for c, (lo, hi) in cols.items():
+        if hi <= lo:
+            raise ValueError(
+                f"drift_profile_columns: column {c!r} needs hi > lo, "
+                f"got [{lo}, {hi}]"
+            )
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        pairs = []
+        for c, (lo, hi) in cols.items():
+            v = F.col(c).cast("double")
+            width = (float(hi) - float(lo)) / bins
+            pairs.append(
+                F.when(
+                    v.isNotNull(),
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.when(v < float(lo), F.lit(-1))
+                        .when(v > float(hi), F.lit(bins))
+                        .otherwise(
+                            F.least(
+                                F.lit(bins - 1),
+                                F.floor(
+                                    (v - F.lit(float(lo)))
+                                    / F.lit(width)
+                                ).cast("int"),
+                            )
+                        )
+                        .alias("b"),
+                    ),
+                )
+            )
+        return (
+            df.select(
+                # array_compact drops the NULL entries (a column's
+                # null value must not become a phantom bin row)
+                F.array_compact(F.array(*pairs)).alias("_ps")
+            )
+            .select(F.explode("_ps").alias("_p"))
+            .select(
+                F.lit(tag).alias("_src"),
+                F.col("_p.c").alias("_col"),
+                F.col("_p.b").alias("_bin"),
+            )
+        )
+
+    counts = (
+        binned(ref, "r")
+        .unionByName(binned(cur, "c"))
+        .groupBy("_col", "_bin")
+        .agg(
+            F.sum((F.col("_src") == "r").cast("long")).alias("_nr"),
+            F.sum((F.col("_src") == "c").cast("long")).alias("_nc"),
+        )
+    )
+    whole = Window.partitionBy("_col").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = counts.withColumn("_tr", F.sum("_nr").over(whole)).withColumn(
+        "_tc", F.sum("_nc").over(whole)
+    )
+    p = F.col("_nr") / F.col("_tr")
+    q = F.col("_nc") / F.col("_tc")
+    p_s = F.greatest(p, F.lit(float(eps)))
+    q_s = F.greatest(q, F.lit(float(eps)))
+    return (
+        j.groupBy(F.col("_col").alias("column"))
+        .agg(
+            F.sum("_nr").cast("long").alias("n_ref"),
+            F.sum("_nc").cast("long").alias("n_cur"),
+            F.round(
+                F.sum((q_s - p_s) * F.log(q_s / p_s)), 6
+            ).alias("psi"),
+            F.round(F.sum(F.abs(p - q)) / 2, 6).alias("tvd"),
+        )
+    )
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlation over candidate numeric columns —
     the cross-column completion of the profiling family (VERDICT r9

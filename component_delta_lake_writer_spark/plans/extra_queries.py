@@ -5545,3 +5545,90 @@ def weighted_sample_by_status(
         load_table(spark, sf_dir, "orders"),
         "o_orderstatus", "o_orderkey", "o_totalprice", k=40,
     )
+
+
+@query(
+    "drift_columns_orders",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(o_totalprice AS DOUBLE) * 1.15 AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    b AS (
+      SELECT 'r' AS src, 'price' AS col,
+        CASE WHEN price < 0 THEN -1 WHEN price > 500000 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(price / 50000.0) AS INT))
+        END AS bin
+      FROM r WHERE price IS NOT NULL
+      UNION ALL
+      SELECT 'r', 'cust',
+        CASE WHEN cust < 0 THEN -1 WHEN cust > 20000 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(cust / 2000.0) AS INT)) END
+      FROM r WHERE cust IS NOT NULL
+      UNION ALL
+      SELECT 'c', 'price',
+        CASE WHEN price < 0 THEN -1 WHEN price > 500000 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(price / 50000.0) AS INT)) END
+      FROM c WHERE price IS NOT NULL
+      UNION ALL
+      SELECT 'c', 'cust',
+        CASE WHEN cust < 0 THEN -1 WHEN cust > 20000 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(cust / 2000.0) AS INT)) END
+      FROM c WHERE cust IS NOT NULL
+    ),
+    g AS (
+      SELECT col, bin,
+        SUM(CASE WHEN src = 'r' THEN 1 ELSE 0 END) AS nr,
+        SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS nc
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT col, bin, nr, nc,
+        SUM(nr) OVER (PARTITION BY col) AS tr,
+        SUM(nc) OVER (PARTITION BY col) AS tc
+      FROM g
+    )
+    SELECT col AS "column",
+      CAST(SUM(nr) AS BIGINT) AS n_ref,
+      CAST(SUM(nc) AS BIGINT) AS n_cur,
+      ROUND(SUM(
+        (GREATEST(nc / tc, 0.000001) - GREATEST(nr / tr, 0.000001))
+        * LN(GREATEST(nc / tc, 0.000001)
+             / GREATEST(nr / tr, 0.000001))
+      ), 6) AS psi,
+      ROUND(SUM(ABS(nr / tr - nc / tc)) / 2, 6) AS tvd
+    FROM t GROUP BY col
+    """,
+)
+def drift_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift dashboard
+    (operators.dq.drift_profile_columns): o_totalprice (inflated 15%
+    in the current batch — real drift plus overflow-edge mass) and
+    o_custkey (same distribution both sides — psi ≈ 0 control)
+    monitored in the SAME two scans via a projection-level unpivot;
+    the shuffle is 2·|cols|·(bins+2) grouped rows.  Oracle replays
+    per-column bins, window totals, smoothing and the ln."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile_columns,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice").cast("double") * 1.15).alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    return drift_profile_columns(
+        ref, cur,
+        {"price": (0.0, 500000.0), "cust": (0.0, 20000.0)},
+        bins=10,
+    )

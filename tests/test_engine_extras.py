@@ -2640,6 +2640,45 @@ def test_drift_profile_semantics(spark):
         drift_profile(ref, cur, "v", bins=5, lo=10.0, hi=10.0)
 
 
+def test_drift_profile_columns(spark):
+    """drift_profile_columns: per-column independence (a drifted
+    column never perturbs a stable one), NULLs in one column don't
+    become phantom bins, per-column (lo,hi) edges respected, bad
+    edges rejected."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile_columns,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(x), float(x % 10), None if x % 2 else float(x))
+         for x in range(100)],
+        "a double, b double, c double",
+    )
+    cur = spark.createDataFrame(
+        [(float(x) + 1000, float(x % 10), float(x))
+         for x in range(100)],
+        "a double, b double, c double",
+    )
+    got = {r["column"]: r for r in drift_profile_columns(
+        ref, cur,
+        {"a": (0.0, 100.0), "b": (0.0, 10.0), "c": (0.0, 100.0)},
+        bins=5,
+    ).collect()}
+    assert got["a"]["tvd"] == 1.0          # fully shifted
+    assert got["b"]["psi"] == 0.0          # identical distribution
+    assert got["b"]["tvd"] == 0.0
+    assert got["c"]["n_ref"] == 50         # nulls dropped per column
+    assert got["c"]["n_cur"] == 100
+    assert got["a"]["n_ref"] == 100
+
+    with pytest.raises(ValueError):
+        drift_profile_columns(ref, cur, {})
+    with pytest.raises(ValueError):
+        drift_profile_columns(ref, cur, {"a": (5.0, 5.0)})
+
+
 def test_corr_matrix_semantics(spark):
     """corr_matrix: perfect linear pair → 1.0, anti-linear → -1.0,
     constant column → NULL (zero variance, never NaN), pairwise-
