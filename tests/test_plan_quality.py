@@ -745,3 +745,26 @@ def test_drift_profile_bounded_shuffle(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 2, plan
+
+
+def test_drift_profile_columns_two_scans(spark):
+    """drift_profile_columns: monitoring MORE columns must not add
+    scans — the unpivot happens in the projection, so the whole
+    multi-column dashboard still reads each side exactly once."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile_columns,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    df = drift_profile_columns(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        {"o_totalprice": (0.0, 500000.0), "o_custkey": (0.0, 20000.0),
+         "o_orderkey": (0.0, 1e9)},
+        bins=10,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan
