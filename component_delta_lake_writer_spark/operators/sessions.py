@@ -271,62 +271,21 @@ def attribution_last_touch(
     )
 
 
-def funnel(
+def _funnel_credits(
     events: DataFrame,
     steps: list[str],
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    within: float | None = None,
-    by: str | None = None,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    within: float | None,
+    by: str | None,
 ) -> DataFrame:
-    """Ordered event funnel: how many users completed step 1, then
-    step 2 STRICTLY AFTER their step-1 time, then step 3 after that —
-    the conversion query behind every product analytics dashboard
-    (view → click → purchase), which neither a plain per-step count
-    (ignores order) nor sessionization (windows, not sequence)
-    answers.  ``within`` (seconds) optionally time-boxes each hop:
-    step i is credited only at an event in ``(t_{i-1}, t_{i-1} +
-    within]`` of the CREDITED step-(i-1) time — the "converted within
-    an hour of the click" shape.  Crediting stays greedy (first
-    qualifying event), so a later, better-placed step-1 occurrence is
-    never retroactively substituted; that matches the strict-order
-    base semantics and keeps the per-user cost one array pass per
-    step.
-
-    ONE corpus scan, ONE keyed shuffle: per user the step-relevant
-    events collect into an array (bounded by per-user event count —
-    the ewma_latest idiom) and each step's credited time is the MIN
-    event time qualifying against the previous step's credited time
-    (the MIN-with-residual spelling, identical to a greedy ascending
-    fold, and what the SQL oracle's join cascade replays — but that
-    cascade re-scans the corpus per step, O(steps²) work this
-    avoids).  The per-step chain is a FLAT ``array_min(filter(...))``
-    expression rather than a nested fold: the r9 fold spelling spent
-    ~3 s per call in plan construction + whole-stage-codegen of the
-    |steps|-deep transform-in-aggregate lambda; the flat chain
-    analyzes and compiles in milliseconds and grows linearly with
-    |steps|.  Equal-ts events cannot advance two steps under either
-    spelling, so the result is a deterministic function of the data.
-
-    Events with a NULL ``ts_col`` are dropped before crediting (an
-    unordered event cannot participate in an ordered funnel — the
-    contract the SQL oracle mirrors with ``ts IS NOT NULL``).
-
-    Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
-    one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
-    A zero-user denominator yields NULL pcts (matching SQL's NULL on
-    guarded division), never NaN.  ``by=`` prepends a segment column
-    and computes an independent funnel per segment value (a user's
-    events form one sequence per segment; the keyed shuffle moves to
-    (segment, user) — same single scan); segments with no
-    step-relevant events emit no rows.
-
-    Steps must be DISTINCT event types: a repeated step ("view →
-    view → buy") is ambiguous under the type→index map this chain
-    rides on (and Spark's map-key dedup policy would throw mid-job,
-    not at plan time) — raised here as a clear UserException instead.
-    """
+    """Shared credit-time builder for the funnel family: one row per
+    (segment?, user) with columns ``_t0.._tk`` = each step's credited
+    time (NULL = never reached), computed by the flat per-step
+    ``array_min(filter(...))`` chain over the user's collected step
+    events — ONE corpus scan, ONE keyed shuffle.  Semantics and
+    validation are documented on :func:`funnel`."""
     from component_delta_lake_writer_spark.errors import UserException
 
     if len(set(steps)) != len(steps):
@@ -398,6 +357,68 @@ def funnel(
 
     for i in range(len(steps)):
         per_user = per_user.withColumn(f"_t{i}", _credit(i))
+    return per_user
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: float | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """Ordered event funnel: how many users completed step 1, then
+    step 2 STRICTLY AFTER their step-1 time, then step 3 after that —
+    the conversion query behind every product analytics dashboard
+    (view → click → purchase), which neither a plain per-step count
+    (ignores order) nor sessionization (windows, not sequence)
+    answers.  ``within`` (seconds) optionally time-boxes each hop:
+    step i is credited only at an event in ``(t_{i-1}, t_{i-1} +
+    within]`` of the CREDITED step-(i-1) time — the "converted within
+    an hour of the click" shape.  Crediting stays greedy (first
+    qualifying event), so a later, better-placed step-1 occurrence is
+    never retroactively substituted; that matches the strict-order
+    base semantics and keeps the per-user cost one array pass per
+    step.
+
+    ONE corpus scan, ONE keyed shuffle: per user the step-relevant
+    events collect into an array (bounded by per-user event count —
+    the ewma_latest idiom) and each step's credited time is the MIN
+    event time qualifying against the previous step's credited time
+    (the MIN-with-residual spelling, identical to a greedy ascending
+    fold, and what the SQL oracle's join cascade replays — but that
+    cascade re-scans the corpus per step, O(steps²) work this
+    avoids).  The per-step chain is a FLAT ``array_min(filter(...))``
+    expression rather than a nested fold: the r9 fold spelling spent
+    ~3 s per call in plan construction + whole-stage-codegen of the
+    |steps|-deep transform-in-aggregate lambda; the flat chain
+    analyzes and compiles in milliseconds and grows linearly with
+    |steps|.  Equal-ts events cannot advance two steps under either
+    spelling, so the result is a deterministic function of the data.
+
+    Events with a NULL ``ts_col`` are dropped before crediting (an
+    unordered event cannot participate in an ordered funnel — the
+    contract the SQL oracle mirrors with ``ts IS NOT NULL``).
+
+    Returns (step, event_type, n_users, pct_of_first, pct_of_prev) —
+    one row per step in order, pcts rounded 6dp, step 1's pcts = 1.
+    A zero-user denominator yields NULL pcts (matching SQL's NULL on
+    guarded division), never NaN.  ``by=`` prepends a segment column
+    and computes an independent funnel per segment value (a user's
+    events form one sequence per segment; the keyed shuffle moves to
+    (segment, user) — same single scan); segments with no
+    step-relevant events emit no rows.
+
+    Steps must be DISTINCT event types: a repeated step ("view →
+    view → buy") is ambiguous under the type→index map this chain
+    rides on (and Spark's map-key dedup policy would throw mid-job,
+    not at plan time) — raised here as a clear UserException instead.
+    """
+    per_user = _funnel_credits(
+        events, steps, user_col, type_col, ts_col, within, by
+    )
 
     count_aggs = [
         F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(
@@ -449,3 +470,106 @@ def funnel(
             prev > 0, F.round(F.col("n_users") / prev, 6)
         ).alias("pct_of_prev"),
     )
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: float | None = None,
+) -> DataFrame:
+    """Time-to-convert per funnel hop: for every step i ≥ 2, the
+    median / mean / min / max SECONDS between the user's credited
+    step-(i-1) time and their credited step-i time, over users who
+    reached step i — the "how long does click → purchase take"
+    companion every funnel dashboard pairs with the counts.  Shares
+    :func:`funnel`'s credit chain verbatim (same one scan, one keyed
+    shuffle, same greedy strict-after + optional ``within``
+    semantics), so the population here is EXACTLY the n_users the
+    funnel reports.
+
+    Seconds are exact: timestamp-typed ``ts_col`` diffs via
+    ``unix_micros`` (NTZ casts through the session's pinned-UTC
+    timestamp losslessly), numeric ``ts_col`` diffs directly; the
+    median is Spark's exact interpolated percentile (== DuckDB
+    quantile_cont at 6dp) and the mean rides the round→DECIMAL
+    idiom, both the numeric_profile pricing (per-hop value buffering
+    in the final aggregate — funnels have bounded step counts, so the
+    buffered population is per-hop converters, not the corpus).
+
+    Returns (step, event_type, n_converted, median_secs, mean_secs,
+    min_secs, max_secs) for steps 2..k, 6dp.
+    """
+    from pyspark.sql import types as T
+
+    if len(steps) < 2:
+        raise ValueError(
+            "funnel_times needs at least two steps (one hop)"
+        )
+    per_user = _funnel_credits(
+        events, steps, user_col, type_col, ts_col, within, by=None
+    )
+    _is_time = isinstance(
+        events.schema[ts_col].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
+    )
+
+    def _diff_secs(hi, lo):
+        if _is_time:
+            # NTZ → timestamp is a wall-clock reinterpretation in the
+            # session tz; the engine pins UTC (session.py), so the
+            # micros are exact.  Subtract in int64 micros FIRST, then
+            # divide: per-operand /1e6 on epoch-scale values carries
+            # ~1e-7 s of float error — enough to flip the 6th decimal
+            # at a rounding boundary; the micros diff is exact and
+            # its /1e6 is error-free at hop magnitudes.  DuckDB's
+            # EXTRACT(EPOCH FROM (t2 - t1)) does the same micros-diff
+            # arithmetic.
+            return (
+                F.unix_micros(hi.cast("timestamp"))
+                - F.unix_micros(lo.cast("timestamp"))
+            ) / F.lit(1e6)
+        return hi.cast("double") - lo.cast("double")
+
+    aggs = []
+    for i in range(1, len(steps)):
+        d = F.when(
+            F.col(f"_t{i}").isNotNull(),
+            F.round(
+                _diff_secs(F.col(f"_t{i}"), F.col(f"_t{i-1}")), 6
+            ),
+        )
+        aggs += [
+            F.count(d).alias(f"__n_{i}"),
+            F.round(F.percentile(d, F.lit(0.5)), 6).alias(f"__med_{i}"),
+            F.round(
+                F.sum(d.cast("decimal(24,6)")).cast("double")
+                / F.count(d),
+                6,
+            ).alias(f"__mean_{i}"),
+            F.round(F.min(d), 6).alias(f"__min_{i}"),
+            F.round(F.max(d), 6).alias(f"__max_{i}"),
+        ]
+    row = per_user.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("int").alias("step"),
+                        F.lit(steps[i]).alias("event_type"),
+                        F.coalesce(F.col(f"__n_{i}"), F.lit(0))
+                        .cast("long")
+                        .alias("n_converted"),
+                        F.col(f"__med_{i}").alias("median_secs"),
+                        F.col(f"__mean_{i}").alias("mean_secs"),
+                        F.col(f"__min_{i}").alias("min_secs"),
+                        F.col(f"__max_{i}").alias("max_secs"),
+                    )
+                    for i in range(1, len(steps))
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -87,6 +87,7 @@ _FRONT = [
     "weighted_sample_by_status",
     "funnel_by_segment_events",
     "drift_columns_orders",
+    "funnel_times_events",
     "csv_scan_typed",
     "cast_matrix",
     "insert_select_cast",

@@ -5632,3 +5632,65 @@ def drift_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"price": (0.0, 500000.0), "cust": (0.0, 20000.0)},
         bins=10,
     )
+
+
+@query(
+    "funnel_times_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+        AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+        AND e.ts > s2.t GROUP BY 1
+    ),
+    h2 AS (
+      SELECT ROUND(EXTRACT(EPOCH FROM (s2.t - s1.t)), 6) AS d
+      FROM s2 JOIN s1 USING (user_id)
+    ),
+    h3 AS (
+      SELECT ROUND(EXTRACT(EPOCH FROM (s3.t - s2.t)), 6) AS d
+      FROM s3 JOIN s2 USING (user_id)
+    )
+    SELECT 2 AS step, 'click' AS event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_converted,
+      ROUND(quantile_cont(d, 0.5), 6) AS median_secs,
+      ROUND(CAST(SUM(CAST(d AS DECIMAL(24,6))) AS DOUBLE)
+            / COUNT(*), 6) AS mean_secs,
+      ROUND(MIN(d), 6) AS min_secs, ROUND(MAX(d), 6) AS max_secs
+    FROM h2
+    UNION ALL
+    SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+      ROUND(quantile_cont(d, 0.5), 6),
+      ROUND(CAST(SUM(CAST(d AS DECIMAL(24,6))) AS DOUBLE)
+            / COUNT(*), 6),
+      ROUND(MIN(d), 6), ROUND(MAX(d), 6)
+    FROM h3
+    """,
+)
+def funnel_times_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel hop
+    (operators.sessions.funnel_times): median/mean/min/max seconds
+    between credited step times for view -> click and click ->
+    purchase, over exactly the converting population funnel_events
+    counts.  Same one-scan/one-shuffle credit chain; seconds diff in
+    exact int64 micros before the single /1e6.  The oracle derives
+    the same credited times via the CTE cascade and aggregates with
+    quantile_cont + the decimal-mean idiom."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel_times,
+    )
+
+    return funnel_times(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+    )

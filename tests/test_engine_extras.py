@@ -2427,6 +2427,53 @@ def test_funnel_within_horizon_and_degenerate(spark):
         assert r["pct_of_prev"] is None
 
 
+def test_funnel_times_hops(spark):
+    """funnel_times: per-hop seconds between CREDITED step times
+    (exactly funnel's population) — the hop measures from the first
+    view even when a later view precedes the click more closely; a
+    hop nobody completes reports n_converted=0 with NULL stats;
+    single-step funnels are rejected."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        funnel_times,
+    )
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 10:59:00"),   # later view: NOT used
+        (1, "click", "2024-01-01 11:00:00"),  # 3600s from FIRST view
+        (2, "view", "2024-01-01 09:00:00"),
+        (2, "click", "2024-01-01 09:00:10"),  # 10s
+        (3, "click", "2024-01-01 08:00:00"),  # never views first
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["step"]: r for r in funnel_times(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert got[2]["n_converted"] == 2
+    assert got[2]["median_secs"] == 1805.0   # interpolated (10, 3600)
+    assert got[2]["mean_secs"] == 1805.0
+    assert got[2]["min_secs"] == 10.0 and got[2]["max_secs"] == 3600.0
+    assert got[3]["n_converted"] == 0
+    assert got[3]["median_secs"] is None
+
+    # numeric ts path
+    evn = spark.createDataFrame(
+        [(1, "view", 100.0), (1, "click", 160.5)],
+        "user_id int, event_type string, ts double",
+    )
+    gotn = {r["step"]: r for r in funnel_times(
+        evn, ["view", "click"]).collect()}
+    assert gotn[2]["median_secs"] == 60.5
+
+    with pytest.raises(ValueError):
+        funnel_times(ev, ["view"])
+
+
 def test_funnel_by_segment(spark):
     """funnel(by=): independent funnels per segment — a user's
     conversion in one segment never leaks into another, a segment
