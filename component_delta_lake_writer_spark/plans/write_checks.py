@@ -2324,3 +2324,85 @@ _O["gdpr_erasure_audit"] = """
     FROM orders
     WHERE o_orderkey % 4 = 0 AND o_custkey % 9 <> 3
 """
+
+
+@query("stream_drift_monitor")
+def stream_drift_monitor_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous drift monitoring (streaming.sink
+    .stream_drift_monitor): a reference batch (even users' event
+    values) watches a streamed feed of odd users' values inflated
+    15% — each micro-batch lands one (batch_id, n_ref, n_cur, psi,
+    tvd) row in an ACID monitor table with per-batch txn idempotence.
+    availableNow drains the staged feed in one batch, so the monitor
+    row equals the batch drift_profile and the ORACLE replays it
+    (bins, eps smoothing, ln) with batch_id 0 — the streaming
+    machinery is exercised while the numbers stay fully oracled."""
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_drift_monitor,
+    )
+
+    base = _scratch("stream_drift_monitor", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("v")
+    )
+    feed_dir = os.path.join(base, "feed")
+    ev.filter(F.col("user_id") % 2 == 1).select(
+        (F.col("value").cast("double") * 1.15).alias("v")
+    ).write.parquet(feed_dir)
+    stream = (
+        spark.readStream.schema("v double").format("parquet")
+        .load(feed_dir)
+    )
+    monitor = ManagedTable(spark, os.path.join(base, "monitor"))
+    q = stream_drift_monitor(
+        stream, ref, "v", monitor, bins=10, lo=0.0, hi=500.0,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return monitor.read().select(
+        "batch_id", "n_ref", "n_cur", "psi", "tvd"
+    )
+
+
+_O["stream_drift_monitor"] = """
+    WITH r AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE user_id % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(value AS DOUBLE) * 1.15 AS v FROM events
+      WHERE user_id % 2 = 1
+    ),
+    b AS (
+      SELECT 'r' AS src,
+        CASE WHEN v < 0 THEN -1 WHEN v > 500 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(v / 50.0) AS INT)) END AS bin
+      FROM r WHERE v IS NOT NULL
+      UNION ALL
+      SELECT 'c',
+        CASE WHEN v < 0 THEN -1 WHEN v > 500 THEN 10
+             ELSE LEAST(9, CAST(FLOOR(v / 50.0) AS INT)) END
+      FROM c WHERE v IS NOT NULL
+    ),
+    g AS (
+      SELECT bin,
+        SUM(CASE WHEN src = 'r' THEN 1 ELSE 0 END) AS nr,
+        SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS nc
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM g)
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+      CAST(SUM(nr) AS BIGINT) AS n_ref,
+      CAST(SUM(nc) AS BIGINT) AS n_cur,
+      ROUND(SUM(
+        (GREATEST(nc / tc, 0.000001) - GREATEST(nr / tr, 0.000001))
+        * LN(GREATEST(nc / tc, 0.000001)
+             / GREATEST(nr / tr, 0.000001))
+      ), 6) AS psi,
+      ROUND(SUM(ABS(nr / tr - nc / tc)) / 2, 6) AS tvd
+    FROM g, t
+"""

@@ -410,3 +410,63 @@ def stream_scd2(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    monitor: ManagedTable,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous distribution-drift monitoring: every micro-batch of
+    the feed is compared against the FIXED reference batch with
+    ``operators.dq.drift_profile`` (PSI + TVD over fixed edges) and
+    one row ``(batch_id, n_ref, n_cur, psi, tvd)`` appends to the
+    monitor table — the streaming spelling of the day-over-day drift
+    dashboard, with the alert history itself an ACID time-travelable
+    table.
+
+    Same exactly-once guard as write_stream_to_table (writer txns
+    keyed by batch_id), so a checkpoint replay never double-writes a
+    monitor row.  ``ref`` is evaluated once per micro-batch — cache()
+    it (or point it at a small profiled slice) for high-frequency
+    triggers; the comparison itself is one scan of each side into a
+    (bins+2)-row shuffle (see drift_profile), so the per-batch cost
+    is dominated by reading the batch, which the stream already paid.
+    """
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        drift_profile,
+    )
+
+    app_id = "stream-drift-monitor"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        row = drift_profile(
+            ref, batch_df, value_col, bins=bins, lo=lo, hi=hi
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_ref", "n_cur", "psi", "tvd",
+        )
+        prev = monitor.latest_commit()
+        if prev is None:
+            monitor.write(
+                row, mode="overwrite", primary_key=["batch_id"],
+                txn=(app_id, batch_id),
+            )
+        else:
+            monitor.write(
+                row, mode="append", txn=(app_id, batch_id)
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
