@@ -830,3 +830,67 @@ def histogram(
         F.col("n_rows").cast("long").alias("n_rows"),
     )
     return in_range.unionByName(sentinels).orderBy("bin")
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit (Benford) audit of a numeric column:
+    observed digit shares vs the Benford expectation log10(1+1/d),
+    with per-digit chi-square contributions — the fabricated-data /
+    corrupted-feed smell test auditors run on amounts (naturally
+    multiplicative quantities follow Benford; uniform or hand-typed
+    ones don't).
+
+    ONE map-side-combinable groupBy to ≤9 rows; the total rides an
+    unbounded window over those rows.  The digit is extracted from
+    the integer part (``floor(abs(x))`` — exact, no rounding-mode
+    dependence between engines) so rows with |x| < 1 are excluded by
+    contract (they have no integer first digit; the audit targets
+    amount-scale columns).  ``expected`` and ``chi2_term`` are
+    deterministic scalar double compositions rounded 6dp, with the
+    chi-square computed FROM the rounded shares so both engines feed
+    identical inputs.
+
+    Returns (digit, n, share, expected, chi2_term), digit 1..9.
+    """
+    from pyspark.sql import Window
+
+    digits = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & (F.abs(F.col(value_col)) >= 1)
+        )
+        .groupBy(
+            F.substring(
+                F.floor(F.abs(F.col(value_col))).cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.round(
+        F.col("n").cast("double") / F.sum("n").over(whole), 6
+    )
+    expected = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+        / F.log(F.lit(10.0)),
+        6,
+    )
+    staged = digits.select(
+        F.col("digit"),
+        F.col("n").cast("long").alias("n"),
+        share.alias("share"),
+        expected.alias("expected"),
+    )
+    return staged.select(
+        "*",
+        F.round(
+            (F.col("share") - F.col("expected"))
+            * (F.col("share") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_term"),
+    )

@@ -65,3 +65,126 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected edge list — the graph-density diagnostic behind
+    community detection and link-spam screens (a crawl graph whose
+    clustering collapses is a link farm; one whose clustering spikes
+    is a mirror cluster the dedup pass missed).
+
+    The scalable formulation is degree orientation (a.k.a.
+    compact-forward): order nodes by (degree, id), orient every
+    undirected edge from the smaller to the larger endpoint, and join
+    oriented adjacency with itself on the source.  Each triangle is
+    then counted exactly once (at its lowest-ordered vertex), and the
+    wedge join is bounded by Σ outdeg² where outdeg ≤ O(√m) — the
+    standard trick that keeps a power-law hub from exploding the
+    self-join (a raw wedge join on an unoriented graph is Σ deg²,
+    quadratic in the hub degree).  Three shuffles total: the degree
+    aggregation, the wedge self-join, and the closing-edge semi-join;
+    the degree table is node-sized and broadcast when small.
+
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering = 3·triangles / wedges, NULL on a wedge-free
+    graph).  n_wedges is the undirected path-of-length-2 count
+    Σ C(deg, 2).
+    """
+    e = (
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("dega")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("degb")
+    )
+    # orient from the (deg, id)-smaller endpoint to the larger; the
+    # comparison key is total, so orientation is deterministic
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | (
+                    (F.col("dega") == F.col("degb"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("degb").alias("degv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("dega").alias("degv"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.u", "o.v", "o.degv")
+    )
+    left = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("degv").alias("dx")
+    )
+    right = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("degv").alias("dy")
+    )
+    wedges_oriented = left.join(right, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges_oriented.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                F.col("deg").cast("long")
+                * (F.col("deg") - 1)
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(n_tri).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.col("n_wedges"),
+                6,
+            ),
+        ).alias("global_clustering"),
+    )

@@ -379,3 +379,142 @@ def rolling_stats(
         F.round(F.max(F.col("value")).over(w), 6).alias("roll_max"),
         F.count(F.lit(1)).over(w).cast("int").alias("roll_n"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Offline CUSUM change-point detection over a bucketed series:
+    the bucket where the cumulative deviation from the global mean
+    peaks — the "when did the level shift" primitive behind ingest
+    regression hunts (a corpus source changes format, a tracker
+    breaks, a price feed re-bases) that a drift profile (which
+    compares two *static* batches) cannot time-localize.
+
+    Shape: ONE corpus scan collapses rows to per-``bucket`` sums;
+    everything after runs on the bucket-level series (metadata-scale,
+    like funnel's final window), so the unpartitioned ordered window
+    is |buckets| rows, never row-space.  Exactness: with prefix_i and
+    total T as decimal sums, S_i = prefix_i − i·T/n is scaled by n to
+    D_i = n·prefix_i − i·T — all-integer/decimal arithmetic, so the
+    argmax is exact and engine-portable (no float accumulation
+    anywhere near the comparison).  argmax |D_i| = argmax |S_i|;
+    ties break to the earliest bucket.
+
+    Returns ONE row: (changepoint_ts, n_buckets, cusum_abs =
+    |S_k| = |D_k|/n, mean_before, mean_after) — means exact-decimal
+    sums with a single rounded division each; mean_after is NULL when
+    the peak lands on the last bucket (empty right side).
+    """
+    series = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("b"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(24,6)")).alias("x")
+        )
+    )
+    w_ord = Window.orderBy("b")
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = series.select(
+        "b",
+        F.sum("x").over(w_pre).cast("decimal(28,6)").alias("pre"),
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("x").over(w_all).cast("decimal(28,6)").alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).select(
+        "*",
+        F.abs(
+            F.col("n").cast("decimal(8,0)") * F.col("pre")
+            - F.col("i").cast("decimal(8,0)") * F.col("t")
+        ).alias("absd"),
+    )
+    w_rank = Window.orderBy(F.col("absd").desc(), F.col("b").asc())
+    return (
+        staged.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("b").alias("changepoint_ts"),
+            F.col("n").cast("long").alias("n_buckets"),
+            F.round(
+                F.col("absd").cast("double") / F.col("n"), 6
+            ).alias("cusum_abs"),
+            F.round(
+                F.col("pre").cast("double") / F.col("i"), 6
+            ).alias("mean_before"),
+            F.when(
+                F.col("n") > F.col("i"),
+                F.round(
+                    (F.col("t") - F.col("pre")).cast("double")
+                    / (F.col("n") - F.col("i")),
+                    6,
+                ),
+            ).alias("mean_after"),
+        )
+    )
+
+
+def seasonal_profile(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Hour-of-week seasonal baseline: mean value and traffic share
+    per (ISO day-of-week, hour-of-day) cell, plus each cell's
+    seasonal index (cell mean ÷ overall mean) — the expected-load
+    surface an anomaly monitor divides by before flagging, and the
+    first artifact a traffic pipeline derives when "is Tuesday 3am
+    always this quiet?" comes up.
+
+    ONE map-side-combinable groupBy to ≤168 cells; the overall
+    totals ride an unbounded window over those 168 rows
+    (metadata-scale, no second scan).  Sums are exact decimal; the
+    mean / index / share are single rounded double divisions with
+    the identical operator tree on both engines.  ISO dow (1=Mon …
+    7=Sun) is derived from Spark's Sunday-based ``dayofweek`` as
+    ((dow+5) mod 7)+1 so it matches DuckDB's ``isodow`` exactly.
+
+    Returns (dow_iso, hour, n_events, mean_value, seasonal_index,
+    share_events).
+    """
+    cells = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            (
+                (F.dayofweek(F.col(ts_col)) + F.lit(5)) % 7 + 1
+            ).alias("dow_iso"),
+            F.hour(F.col(ts_col)).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(24,6)")).alias("s"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot_n = F.sum("n").over(w_all)
+    tot_s = F.sum("s").over(w_all)
+    return cells.select(
+        F.col("dow_iso").cast("int").alias("dow_iso"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "mean_value"
+        ),
+        F.round(
+            (F.col("s").cast("double") / F.col("n"))
+            / (tot_s.cast("double") / tot_n),
+            6,
+        ).alias("seasonal_index"),
+        F.round(F.col("n").cast("double") / tot_n, 6).alias(
+            "share_events"
+        ),
+    )

@@ -78,6 +78,11 @@ _FRONT = [
     "parquet_scan",
     # r10 NEW keys: right behind the warm-up absorber (see the r10
     # block note — an unlisted new key would land in slot 1 cold)
+    "cusum_changepoint_events",
+    "seasonal_profile_events",
+    "benford_audit_orders",
+    "triangle_count_parts",
+    "basket_lift_parts",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

@@ -5694,3 +5694,284 @@ def funnel_times_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         ["view", "click", "purchase"],
     )
+
+
+@query(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS b,
+             SUM(CAST(value AS DECIMAL(24,6))) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT b,
+        CAST(SUM(x) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DECIMAL(28,6)) AS pre,
+        ROW_NUMBER() OVER (ORDER BY b) AS i,
+        CAST(SUM(x) OVER () AS DECIMAL(28,6)) AS t,
+        COUNT(*) OVER () AS n
+      FROM s
+    ),
+    d AS (
+      SELECT b, i, n, pre, t,
+        ABS(CAST(n AS DECIMAL(8,0)) * pre
+            - CAST(i AS DECIMAL(8,0)) * t) AS absd
+      FROM w
+    )
+    SELECT b AS changepoint_ts,
+      CAST(n AS BIGINT) AS n_buckets,
+      ROUND(CAST(absd AS DOUBLE) / n, 6) AS cusum_abs,
+      ROUND(CAST(pre AS DOUBLE) / i, 6) AS mean_before,
+      CASE WHEN n > i
+           THEN ROUND(CAST(t - pre AS DOUBLE) / (n - i), 6)
+      END AS mean_after
+    FROM d
+    ORDER BY absd DESC, b ASC
+    LIMIT 1
+    """,
+)
+def cusum_changepoint_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Offline CUSUM change-point
+    (operators.timeseries.cusum_changepoint): the hour where the
+    cumulative deviation of hourly value-sums from the global mean
+    peaks.  One corpus scan to hourly sums; the CUSUM itself runs on
+    the |hours| bucket series (metadata-scale window, like funnel's
+    final step).  The argmax compares the integer-scaled statistic
+    D_i = n·prefix_i − i·T in exact decimal, so the winning bucket is
+    bit-identical on both engines; the oracle replays the identical
+    scaling and tie-break."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(
+        load_table(spark, sf_dir, "events"), "ts", "value"
+    )
+
+
+@query(
+    "seasonal_profile_events",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(isodow(ts) AS INT) AS dow_iso,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(24,6))) AS s
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT dow_iso, hour, CAST(n AS BIGINT) AS n_events,
+      ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+      ROUND((CAST(s AS DOUBLE) / n)
+            / (CAST(SUM(s) OVER () AS DOUBLE) / SUM(n) OVER ()),
+            6) AS seasonal_index,
+      ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share_events
+    FROM c
+    """,
+)
+def seasonal_profile_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-week seasonal baseline
+    (operators.timeseries.seasonal_profile): mean value, traffic
+    share and seasonal index per (ISO dow, hour) cell — one
+    map-side-combinable groupBy to ≤168 cells, totals via an
+    unbounded window over those cells.  The oracle derives ISO dow
+    with isodow(); the operator converts Spark's Sunday-based
+    dayofweek to the same 1=Mon..7=Sun numbering."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    return seasonal_profile(
+        load_table(spark, sf_dir, "events"), "ts", "value"
+    )
+
+
+@query(
+    "benford_audit_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(ABS(o_totalprice))
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice) >= 1
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT digit, CAST(n AS BIGINT) AS n,
+        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+        ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS expected
+      FROM d
+    )
+    SELECT digit, n, share, expected,
+      ROUND((share - expected) * (share - expected) / expected,
+            6) AS chi2_term
+    FROM s
+    """,
+)
+def benford_audit_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-digit Benford audit (operators.dq.benford_audit) of
+    o_totalprice: observed digit shares vs log10(1+1/d) with
+    per-digit chi-square contributions.  The digit comes from the
+    exact integer part (floor — no cross-engine rounding-mode
+    dependence) and the chi-square is computed FROM the 6dp-rounded
+    shares so both engines feed identical inputs."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        benford_audit,
+    )
+
+    return benford_audit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@query(
+    "triangle_count_parts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) a
+      JOIN (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e
+        UNION ALL SELECT b AS node FROM e
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT
+        CASE WHEN (da.deg < db.deg)
+                  OR (da.deg = db.deg AND e.a < e.b)
+             THEN e.a ELSE e.b END AS u,
+        CASE WHEN (da.deg < db.deg)
+                  OR (da.deg = db.deg AND e.a < e.b)
+             THEN e.b ELSE e.a END AS v,
+        CASE WHEN (da.deg < db.deg)
+                  OR (da.deg = db.deg AND e.a < e.b)
+             THEN db.deg ELSE da.deg END AS degv
+      FROM e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    w AS (
+      SELECT l.v AS x, r.v AS y
+      FROM o l JOIN o r ON l.u = r.u
+      WHERE (l.degv < r.degv)
+         OR (l.degv = r.degv AND l.v < r.v)
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM w JOIN o ON o.u = w.x AND o.v = w.y
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM deg)
+        AS n_wedges,
+      CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+      CASE WHEN (SELECT SUM(deg * (deg - 1) / 2) FROM deg) > 0
+           THEN ROUND(3.0 * tri.n_triangles
+                / (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT)
+                   FROM deg), 6)
+      END AS global_clustering
+    FROM tri
+    """,
+)
+def triangle_count_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact triangle count + global clustering
+    (operators.graph.triangle_count) over the part co-occurrence
+    graph (parts sharing an order are adjacent).  Degree orientation
+    bounds the wedge self-join by Σ outdeg² with outdeg ≤ O(√m);
+    the oracle replays the identical orientation, wedge join and
+    closing-edge join in SQL.  The fixture takes every 4th order —
+    the full sf0.01 co-occurrence graph is pathologically dense
+    (2,000 parts / 116k edges / 13.8M wedges), which prices the
+    PROBE above the sweep ceiling without testing anything the
+    quarter graph doesn't."""
+    from component_delta_lake_writer_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(edges, "a", "b")
+
+
+@query(
+    "basket_lift_parts",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    p AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM bi a JOIN bi b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      ORDER BY n_pair DESC, item_a ASC, item_b ASC
+      LIMIT 20
+    ),
+    c AS (SELECT item, COUNT(*) AS n_item FROM bi GROUP BY 1),
+    t AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM bi)
+    SELECT p.item_a, p.item_b,
+      CAST(p.n_pair AS BIGINT) AS n_pair,
+      CAST(ca.n_item AS BIGINT) AS n_a,
+      CAST(cb.n_item AS BIGINT) AS n_b,
+      CAST(t.n_baskets AS BIGINT) AS n_baskets,
+      ROUND(CAST(p.n_pair AS DOUBLE) / t.n_baskets, 6) AS support,
+      ROUND(CAST(p.n_pair AS DOUBLE) * t.n_baskets
+            / ca.n_item / cb.n_item, 6) AS lift
+    FROM p
+    JOIN c ca ON ca.item = p.item_a
+    JOIN c cb ON cb.item = p.item_b
+    CROSS JOIN t
+    """,
+)
+def basket_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair lift (operators.affinity.basket_lift):
+    top-20 part pairs by co-occurrence across orders, with support
+    and lift = P(a,b)/(P(a)·P(b)).  Pair generation is the one
+    shuffle (self-join on the basket key); item totals join onto the
+    20 survivors only.  The (n_pair desc, item_a, item_b) order is
+    total, so the top-k SET is engine-stable."""
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+
+    return basket_lift(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        k=20,
+    )

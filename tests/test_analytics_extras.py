@@ -1,0 +1,182 @@
+"""Unit tests for the round-10 analytics additions: CUSUM
+change-point, seasonal profile, Benford audit, triangle count, and
+market-basket lift — hand-computed fixtures with exact expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2026, 1, day, hour, minute)
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """10 hours at level 10 then 10 hours at level 50: the CUSUM peak
+    lands on the last bucket of the first regime, with exact means on
+    both sides of the split."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [(_ts(1, h), 10.0) for h in range(10)] + [
+        (_ts(1, h), 50.0) for h in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = cusum_changepoint(df, "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.changepoint_ts == _ts(1, 9)
+    assert r.n_buckets == 20
+    # S_10 = sum of (10 - 30) over 10 buckets = -200
+    assert r.cusum_abs == 200.0
+    assert r.mean_before == 10.0
+    assert r.mean_after == 50.0
+
+
+def test_cusum_constant_series_no_signal(spark):
+    """A constant series has D_i = 0 everywhere; the earliest-bucket
+    tie-break wins and mean_before equals the level."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [(_ts(1, h), 7.0) for h in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = cusum_changepoint(df, "ts", "value").collect()[0]
+    assert r.changepoint_ts == _ts(1, 0)
+    assert r.cusum_abs == 0.0
+    assert r.mean_before == 7.0
+    assert r.mean_after == 7.0
+
+
+def test_cusum_null_rows_excluded(spark):
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [
+        (_ts(1, 0), 1.0),
+        (None, 99.0),
+        (_ts(1, 1), None),
+        (_ts(1, 2), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = cusum_changepoint(df, "ts", "value").collect()[0]
+    assert r.n_buckets == 2  # hour 1's only row had a NULL value
+
+
+def test_seasonal_profile_cells(spark):
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    # 2026-01-05 is a Monday (iso 1); 2026-01-04 a Sunday (iso 7)
+    rows = [
+        (dt.datetime(2026, 1, 5, 0, 30), 1.0),
+        (dt.datetime(2026, 1, 5, 0, 45), 3.0),
+        (dt.datetime(2026, 1, 4, 23, 10), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {
+        (r.dow_iso, r.hour): r
+        for r in seasonal_profile(df, "ts", "value").collect()
+    }
+    assert set(out) == {(1, 0), (7, 23)}
+    mon = out[(1, 0)]
+    assert mon.n_events == 2
+    assert mon.mean_value == 2.0
+    assert mon.seasonal_index == 0.5  # 2 / overall mean 4
+    assert mon.share_events == 0.666667
+    sun = out[(7, 23)]
+    assert sun.mean_value == 8.0
+    assert sun.seasonal_index == 2.0
+
+
+def test_benford_audit_digits_and_exclusions(spark):
+    from component_delta_lake_writer_spark.operators.dq import (
+        benford_audit,
+    )
+
+    vals = [1.2, 19.0, 150.0, 2.5, 0.5, None, -3.7]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_audit(df, "x").collect()}
+    # 0.5 (|x|<1) and NULL excluded; -3.7 counts under digit 3
+    assert {d: out[d].n for d in out} == {1: 3, 2: 1, 3: 1}
+    assert out[1].share == 0.6
+    assert out[1].expected == 0.30103  # log10(2) to 6dp
+    # chi2 from the ROUNDED share/expected
+    exp = out[2].expected
+    assert out[2].chi2_term == round((0.2 - exp) ** 2 / exp, 6)
+
+
+def test_triangle_count_small_graph(spark):
+    from component_delta_lake_writer_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # triangle 1-2-3 plus pendant 3-4; reversed duplicate + self-loop
+    # must canonicalize away
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (4, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert r.n_nodes == 4
+    assert r.n_edges == 4
+    assert r.n_wedges == 5  # C(2,2)+C(2,2)+C(3,2)+C(1,2) = 1+1+3+0
+    assert r.n_triangles == 1
+    assert r.global_clustering == 0.6
+
+
+def test_triangle_count_triangle_free(spark):
+    from component_delta_lake_writer_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # star graph: wedges but no triangles
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == 0
+    assert r.n_wedges == 6  # C(4,2) at the hub
+    assert r.global_clustering == 0.0
+
+
+def test_basket_lift_exact(spark):
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+
+    rows = [
+        ("b1", "A"), ("b1", "B"), ("b1", "C"),
+        ("b2", "A"), ("b2", "B"),
+        ("b3", "A"),
+        ("b3", "A"),  # duplicate (basket, item) must dedup
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = basket_lift(df, "basket", "item", k=10).collect()
+    by_pair = {(r.item_a, r.item_b): r for r in out}
+    assert set(by_pair) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = by_pair[("A", "B")]
+    assert (ab.n_pair, ab.n_a, ab.n_b, ab.n_baskets) == (2, 3, 2, 3)
+    assert ab.support == 0.666667
+    assert ab.lift == 1.0  # 2·3 / (3·2)
+    assert by_pair[("B", "C")].lift == 1.5  # 1·3 / (2·1)
+
+
+def test_basket_lift_topk_tiebreak(spark):
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+
+    rows = [
+        ("b1", "A"), ("b1", "B"), ("b1", "C"),
+        ("b2", "A"), ("b2", "B"),
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = basket_lift(df, "basket", "item", k=2).collect()
+    pairs = {(r.item_a, r.item_b) for r in out}
+    # (A,B) n=2 first; then (A,C) beats (B,C) on the item_a tiebreak
+    assert pairs == {("A", "B"), ("A", "C")}
