@@ -188,3 +188,66 @@ def triangle_count(
             ),
         ).alias("global_clustering"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge
+    list: every node reachable from ``sources`` within ``max_hops``,
+    with its exact hop distance — the blast-radius primitive behind
+    "what else does this corrupted record touch" lineage walks and
+    crawl-frontier expansion.
+
+    Spark-first shape mirrors pagerank: a FIXED number of rounds
+    (``max_hops`` — no convergence polling, no driver round-trips in
+    the loop), each round ONE join of the current frontier against
+    the symmetrized adjacency plus one anti-join against the known
+    set, so a node's distance is assigned the first time it is seen
+    — the textbook level-synchronous BFS.  The frontier and known
+    sets are persisted per round to keep lineage linear.  Distance
+    is deterministic (min over all paths) by construction.
+
+    Returns (node, dist), dist 0..max_hops; sources themselves are
+    dist 0.  ``sources`` is a bounded driver-side list (seed ids),
+    never corpus-scale.
+    """
+    spark = edges.sparkSession
+    e = edges.filter(
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    )
+    # no distinct here: duplicate/multi-edges only produce duplicate
+    # neighbor candidates, which the per-round frontier distinct
+    # collapses anyway — a global edge dedup would be a full shuffle
+    # paid once for what the round-level distinct gets for free
+    sym = (
+        e.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            e.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .persist()
+    )
+    known = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist int"
+    ).persist()
+    frontier = known
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            nbrs.join(known, "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("int"))
+            .persist()
+        )
+        known = known.unionByName(fresh).persist()
+        frontier = fresh
+    return known

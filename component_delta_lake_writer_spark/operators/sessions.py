@@ -573,3 +573,60 @@ def funnel_times(
             )
         ).alias("s")
     ).select("s.*")
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered (from_type → to_type) hop that
+    actually occurs, its count and the conditional probability
+    P(to | from) — the "what do users do next" table behind
+    clickstream path analysis, next-event baselines, and bot
+    screening (a scripted client's transition row is a spike).
+
+    One shuffle on the user key orders each user's events (lag
+    window); a second map-side-combinable groupBy collapses hops to
+    the |types|² transition matrix, whose row totals ride an
+    unbounded window over those metadata-scale rows.  Rows with a
+    NULL user/ts/type are excluded BEFORE the lag so both engines
+    order the identical sequence; ``tiebreak`` (an id column)
+    disambiguates same-timestamp events deterministically.
+
+    Returns (from_type, to_type, n_transitions, p_transition).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    hops = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_row = Window.partitionBy("from_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hops.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row),
+            6,
+        ).alias("p_transition"),
+    )

@@ -518,3 +518,46 @@ def seasonal_profile(
             "share_events"
         ),
     )
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted outlier detection: rows whose value
+    deviates more than ``z`` standard deviations from the mean of
+    THEIR hour-of-week cell — the anomaly screen that doesn't page
+    on "Tuesday 3am is quiet" (a global or per-segment z-score
+    would: nightly lows look like outliers against a 24/7 mean).
+
+    Composition, not re-implementation: the (ISO dow, hour) cell key
+    is derived as one int (dow·100 + hour) and the detection
+    delegates to :func:`~...dq.zscore_outliers` — same exact-decimal
+    group stats, same broadcast-back join (≤168 cells), same sd=0
+    and NaN guards.  One aggregation pass + one broadcast join.
+
+    Returns (dow_iso, hour, id, value, zscore) for flagged rows.
+    """
+    from component_delta_lake_writer_spark.operators.dq import (
+        zscore_outliers,
+    )
+
+    cells = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "_cell",
+        (
+            ((F.dayofweek(F.col(ts_col)) + F.lit(5)) % 7 + 1)
+            * F.lit(100)
+            + F.hour(F.col(ts_col))
+        ).cast("int"),
+    )
+    out = zscore_outliers(cells, value_col, "_cell", id_col, z=z)
+    return out.select(
+        (F.col("_cell") / F.lit(100)).cast("int").alias("dow_iso"),
+        (F.col("_cell") % 100).cast("int").alias("hour"),
+        F.col(id_col),
+        F.col("value"),
+        F.col("zscore"),
+    )

@@ -83,6 +83,9 @@ _FRONT = [
     "benford_audit_orders",
     "triangle_count_parts",
     "basket_lift_parts",
+    "event_transitions_events",
+    "seasonal_outliers_events",
+    "bfs_reachability_parts",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

@@ -5975,3 +5975,162 @@ def basket_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         k=20,
     )
+
+
+@query(
+    "event_transitions_events",
+    oracle="""
+    WITH h AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_type,
+             event_type AS to_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM h WHERE from_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+      ROUND(CAST(n AS DOUBLE)
+            / SUM(n) OVER (PARTITION BY from_type), 6)
+        AS p_transition
+    FROM g
+    """,
+)
+def event_transitions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix
+    (operators.sessions.event_transitions): per-user event sequences
+    ordered by (ts, event_id), hops counted into the |types|² matrix
+    with row-conditional probabilities.  One user-keyed window
+    shuffle + one metadata-scale groupBy; the tiebreak makes
+    same-timestamp ordering engine-identical."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_transitions,
+    )
+
+    return event_transitions(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    )
+
+
+@query(
+    "seasonal_outliers_events",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(isodow(ts) AS INT) * 100
+               + CAST(EXTRACT(hour FROM ts) AS INT) AS cell,
+             event_id, ROUND(value, 6) AS v
+      FROM events WHERE ts IS NOT NULL
+    ),
+    a AS (
+      SELECT cell,
+        CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS m,
+        SQRT(GREATEST(
+          CAST(SUM(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6)))
+               AS DOUBLE) / COUNT(*)
+          - (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))
+            * (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)),
+          0.0
+        )) AS sd
+      FROM s GROUP BY cell
+    )
+    SELECT CAST(s.cell // 100 AS INT) AS dow_iso,
+      CAST(s.cell % 100 AS INT) AS hour,
+      s.event_id, s.v AS value,
+      ROUND((s.v - a.m) / a.sd, 6) AS zscore
+    FROM s JOIN a USING (cell)
+    WHERE a.sd > 0 AND ABS((s.v - a.m) / a.sd) > 2.5
+    """,
+)
+def seasonal_outliers_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted outliers
+    (operators.timeseries.seasonal_outliers): values > 2.5 sd from
+    their hour-of-week cell's mean — the cell key composes into
+    dq.zscore_outliers, so the exact-decimal stats, sd=0 guard and
+    broadcast-back join are the proven zscore path.  The oracle
+    replays the cell derivation with isodow()·100 + hour."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        seasonal_outliers,
+    )
+
+    return seasonal_outliers(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "value",
+        "event_id",
+        z=2.5,
+    )
+
+
+@query(
+    "bfs_reachability_parts",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) a
+      JOIN (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM e
+      UNION
+      SELECT b AS u, a AS v FROM e
+    ),
+    seed AS (SELECT MIN(a) AS node FROM e),
+    r AS (
+      SELECT node, 0 AS dist FROM seed
+      UNION
+      SELECT sym.v AS node, r.dist + 1 AS dist
+      FROM r JOIN sym ON sym.u = r.node
+      WHERE r.dist < 2
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM r GROUP BY node
+    """,
+)
+def bfs_reachability_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source BFS (operators.graph.bfs_distances): exact hop
+    distances within 2 hops of the lowest-id part in the quarter
+    co-occurrence graph (same fixture rationale as
+    triangle_count_parts).  Level-synchronous frontier expansion,
+    fixed rounds, no convergence polling; the oracle is a DuckDB
+    recursive CTE bounded at the same horizon with MIN(dist)
+    collapsing multi-path discoveries — the seed row is a bounded
+    single-value collect (the LSH index probe precedent)."""
+    from component_delta_lake_writer_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()  # the seed collect and the BFS share one build
+    )
+    seed = edges.agg(F.min("a")).collect()[0][0]
+    return bfs_distances(edges, [seed], max_hops=2, src="a", dst="b")

@@ -180,3 +180,109 @@ def test_basket_lift_topk_tiebreak(spark):
     pairs = {(r.item_a, r.item_b) for r in out}
     # (A,B) n=2 first; then (A,C) beats (B,C) on the item_a tiebreak
     assert pairs == {("A", "B"), ("A", "C")}
+
+
+def test_event_transitions_matrix(spark):
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_transitions,
+    )
+
+    rows = [
+        (1, _ts(1, 0), "A", 10),
+        (1, _ts(1, 1), "B", 11),
+        (1, _ts(1, 2), "A", 12),
+        (2, _ts(1, 0), "B", 20),
+        (2, _ts(1, 1), "B", 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        (r.from_type, r.to_type): r
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", tiebreak="event_id"
+        ).collect()
+    }
+    assert set(out) == {("A", "B"), ("B", "A"), ("B", "B")}
+    assert out[("A", "B")].n_transitions == 1
+    assert out[("A", "B")].p_transition == 1.0
+    assert out[("B", "A")].p_transition == 0.5
+    assert out[("B", "B")].p_transition == 0.5
+
+
+def test_event_transitions_tiebreak_and_nulls(spark):
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_transitions,
+    )
+
+    t = _ts(1, 0)
+    rows = [
+        (1, t, "X", 2),
+        (1, t, "Y", 1),  # same ts: id order makes Y -> X
+        (1, None, "Z", 3),  # null ts excluded before the lag
+        (None, t, "W", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        (r.from_type, r.to_type)
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {("Y", "X")}
+
+
+def test_seasonal_outliers_flags_cell_extreme(spark):
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        seasonal_outliers,
+    )
+
+    # Monday hour 0: [0,0,0,0,100] -> mean 20, sd 40, z(100)=2.0;
+    # Sunday hour 23: constant -> sd=0 guard, no flags
+    mon = dt.datetime(2026, 1, 5, 0)
+    sun = dt.datetime(2026, 1, 4, 23)
+    rows = [(mon, 0.0, i) for i in range(4)] + [
+        (mon, 100.0, 4),
+        (sun, 5.0, 5),
+        (sun, 5.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, id long")
+    out = seasonal_outliers(df, "ts", "value", "id", z=1.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.dow_iso, r.hour, r.id, r.value, r.zscore) == (
+        1, 0, 4, 100.0, 2.0,
+    )
+
+
+def test_bfs_distances_path_graph(spark):
+    from component_delta_lake_writer_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {
+        r.node: r.dist
+        for r in bfs_distances(edges, [1], max_hops=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from component_delta_lake_writer_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {
+        r.node: r.dist
+        for r in bfs_distances(edges, [1, 5], max_hops=2).collect()
+    }
+    # node 3 is 2 hops from both seeds; first-seen assigns 2 once
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
