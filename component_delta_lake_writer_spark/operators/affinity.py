@@ -4,16 +4,21 @@ relations. The same primitive prices token/domain co-occurrence in a
 training corpus ("these two sources always arrive together — is one a
 mirror?") and product affinity in an orders table.
 
-Spark-first shape: pair generation is a self-equi-join on the basket
-key — the canonical spelling Catalyst plans as ONE shuffle on the key
-with both sides co-partitioned (a sort-merge self-join reuses the
-single exchange). Output pairs are Σ C(basket_size, 2) — bounded by
-the basket-size cap of the domain, never by corpus size; the docstring
-contract is that callers pre-cap pathological baskets (a basket with
-10⁶ items is a data bug upstream, not a join strategy problem).
-Per-item totals are an item-sized aggregate joined back onto the
-TOP-K pairs only (k rows — Spark broadcasts that side), so no
-row-space join ever carries the lift arithmetic.
+Spark-first shape: ONE corpus shuffle. The naive spelling is a
+self-equi-join of the distinct (basket, item) relation on the basket
+key — correct, but it moves the corpus through an exchange once for
+the distinct and once per join side, and the per-item totals branch
+adds another (the first cut of this operator measured 5 FileScans /
+4 corpus-wide exchanges pre-AQE). Instead the corpus is collapsed to
+per-basket sorted item arrays in a single groupBy (the funnel/EWMA
+collect-and-fold trick); pairs are generated from the array with
+higher-order functions (no join), and the item totals and basket
+count are derived from the SAME aggregated subtree, so the runtime
+exchange is reused across all three consumers. Everything after the
+one shuffle runs on ΣC(basket_size, 2) pair rows — bounded by the
+basket-size cap of the domain, never by corpus size; callers pre-cap
+pathological baskets (a 10⁶-item basket is an upstream data bug, not
+a join-strategy problem).
 """
 
 from __future__ import annotations
@@ -32,30 +37,40 @@ def basket_lift(
     lift = P(a,b) / (P(a)·P(b)) over baskets.  Deterministic total
     order (n_pair desc, item_a, item_b) so the top-k SET is stable.
 
-    Plan: distinct (basket, item) → self-join on basket with
-    item_a < item_b → count pairs → TakeOrdered top-k → join the two
-    item totals onto the k rows (broadcast) → lift as one rounded
-    double expression.  The basket count is a one-row aggregate
-    cross-joined in (broadcast, metadata-scale).
+    Plan: one groupBy(basket) → sorted distinct item array →
+    array-generated pairs → pair counts → TakeOrdered top-k → the
+    item totals (derived from the same arrays, exchange-reused) join
+    onto the k survivors only (broadcast); the basket count is a
+    one-row aggregate cross-joined in.
 
     Returns (item_a, item_b, n_pair, n_a, n_b, n_baskets, support,
     lift) — support/lift rounded 6dp.
     """
-    bi = (
+    baskets = (
         df.filter(
             F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
         )
-        .select(
-            F.col(basket_col).alias("basket"),
-            F.col(item_col).alias("item"),
-        )
-        .distinct()
+        .groupBy(F.col(basket_col).alias("basket"))
+        .agg(F.sort_array(F.collect_set(item_col)).alias("items"))
     )
-    left = bi.select("basket", F.col("item").alias("item_a"))
-    right = bi.select("basket", F.col("item").alias("item_b"))
+    # all (a, b) with a < b from the sorted array — generated, not
+    # joined: for element i, pair it with every later element
+    pair_arr = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"), i + F.lit(2), F.size("items")
+                ),
+                lambda y: F.struct(
+                    x.alias("item_a"), y.alias("item_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .orderBy(
@@ -65,10 +80,12 @@ def basket_lift(
         )
         .limit(k)
     )
-    counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    totals = bi.agg(
-        F.countDistinct("basket").alias("n_baskets")
+    counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     ca = counts.select(
         F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
     )

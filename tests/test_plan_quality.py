@@ -768,3 +768,92 @@ def test_drift_profile_columns_two_scans(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 2, plan
+
+
+def test_cusum_single_scan_metadata_windows(spark):
+    """cusum_changepoint reads the corpus EXACTLY once (the hourly
+    groupBy); every window after runs on the bucket series. Two
+    exchanges: the bucket aggregation and the SinglePartition the
+    metadata-scale ordered windows require."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = cusum_changepoint(
+        load_table(spark, SF_SMALL, "events"), "ts", "value"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_seasonal_profile_single_scan(spark):
+    """seasonal_profile: one corpus scan into ≤168 cells; the totals
+    ride a window over those cells, never a second scan."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = seasonal_profile(
+        load_table(spark, SF_SMALL, "events"), "ts", "value"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_benford_single_scan(spark):
+    """benford_audit: one corpus scan into ≤9 digit rows; expected
+    shares and chi-square are projections over those rows."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        benford_audit,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = benford_audit(
+        load_table(spark, SF_SMALL, "orders"), "o_totalprice"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_event_transitions_single_scan(spark):
+    """event_transitions: one corpus scan; the user-keyed lag window,
+    the pair groupBy, and the row-total window are the only three
+    exchanges — a join-based spelling would re-scan per hop."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_transitions,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = event_transitions(
+        load_table(spark, SF_SMALL, "events"),
+        "user_id", "ts", "event_type", tiebreak="event_id",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_basket_lift_reuses_basket_shuffle(spark):
+    """basket_lift generates pairs from per-basket arrays (no
+    self-join), so at runtime the expensive groupBy(basket) exchange
+    is REUSED by the pair branch and the item-totals branch — the
+    self-join spelling this replaced executed the corpus shuffle
+    once per consumer (4x). The basket-count branch legitimately
+    re-scans: Catalyst prunes it to a single-column count."""
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = basket_lift(
+        load_table(spark, SF_SMALL, "lineitem"),
+        "l_orderkey", "l_partkey", k=5,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
