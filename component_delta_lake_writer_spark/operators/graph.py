@@ -164,10 +164,15 @@ def triangle_count(
     stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.sum(
-                F.col("deg").cast("long")
-                * (F.col("deg") - 1)
-                / F.lit(2)
+            # coalesce: SUM over an empty/edge-free graph is NULL,
+            # but "zero wedges" is a count, not an unknown
+            F.coalesce(
+                F.sum(
+                    F.col("deg").cast("long")
+                    * (F.col("deg") - 1)
+                    / F.lit(2)
+                ),
+                F.lit(0.0),
             )
             .cast("long")
             .alias("n_wedges"),

@@ -810,3 +810,200 @@ def test_funnel_matches_bruteforce_model(spark, rows, within):
         for r in funnel(df, steps, within=within).collect()
     }
     assert [got[1], got[2], got[3]] == counts
+
+
+_GRAPH_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_GRAPH_EDGES)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented triangle counting == naive triple enumeration
+    for ANY multigraph, self-loops and duplicate/reversed edges
+    included."""
+    import itertools
+
+    from component_delta_lake_writer_spark.operators.graph import (
+        triangle_count,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in canon for n in e}
+    deg = {n: sum(1 for e in canon if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in canon and (a, c) in canon and (b, c) in canon
+    )
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    )
+    r = triangle_count(df).collect()[0]
+    assert r.n_nodes == len(nodes)
+    assert r.n_edges == len(canon)
+    assert r.n_wedges == wedges
+    assert r.n_triangles == tri
+    if wedges > 0:
+        assert abs(r.global_clustering - 3.0 * tri / wedges) < 1e-6
+    else:
+        assert r.global_clustering is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=_GRAPH_EDGES,
+    hops=st.integers(min_value=1, max_value=3),
+)
+def test_bfs_matches_bruteforce(spark, edges, hops):
+    """Level-synchronous BFS == plain-python BFS for ANY graph and
+    horizon; the seed holds dist 0 even when isolated."""
+    from component_delta_lake_writer_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    model = {0: 0}
+    frontier = [0]
+    for h in range(1, hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in model:
+                    model[v] = h
+                    nxt.append(v)
+        frontier = nxt
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    )
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(df, [0], max_hops=hops).collect()
+    }
+    assert got == model
+
+
+_SERIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10),   # hour bucket
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_SERIES)
+def test_cusum_matches_bruteforce(spark, rows):
+    """The integer-scaled CUSUM argmax == the exact-arithmetic python
+    model for ANY series (all-integer values keep the model exact)."""
+    import datetime as dt
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    sums: dict = {}
+    for h, v in rows:
+        sums[h] = sums.get(h, 0) + v
+    hours = sorted(sums)
+    n = len(hours)
+    total = sum(sums.values())
+    best = None  # (absd, hour)
+    pre = 0
+    for i, h in enumerate(hours, start=1):
+        pre += sums[h]
+        absd = abs(n * pre - i * total)
+        if best is None or absd > best[0] or (
+            absd == best[0] and h < best[1]
+        ):
+            best = (absd, h, i, pre)
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1, h), float(v)) for h, v in rows],
+        "ts timestamp, value double",
+    )
+    r = cusum_changepoint(df, "ts", "value").collect()[0]
+    assert r.changepoint_ts == dt.datetime(2026, 1, 1, best[1])
+    assert r.n_buckets == n
+    assert abs(r.cusum_abs - best[0] / n) < 1e-6
+
+
+_BASKETS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # basket
+        st.integers(min_value=0, max_value=5),  # item
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_BASKETS)
+def test_basket_lift_matches_bruteforce(spark, rows):
+    """Array-generated pairs == naive per-basket pair enumeration for
+    ANY relation (k large enough to keep every pair in view)."""
+    import itertools
+
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+
+    bi = sorted({(b, i) for b, i in rows})
+    by_basket: dict = {}
+    for b, i in bi:
+        by_basket.setdefault(b, []).append(i)
+    model: dict = {}
+    for items in by_basket.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            model[(a, b)] = model.get((a, b), 0) + 1
+    item_n: dict = {}
+    for _, i in bi:
+        item_n[i] = item_n.get(i, 0) + 1
+    n_baskets = len(by_basket)
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "basket long, item long"
+    )
+    got = {
+        (r.item_a, r.item_b): r
+        for r in basket_lift(df, "basket", "item", k=100).collect()
+    }
+    assert set(got) == set(model)
+    for (a, b), r in got.items():
+        assert r.n_pair == model[(a, b)]
+        assert r.n_a == item_n[a] and r.n_b == item_n[b]
+        assert r.n_baskets == n_baskets
+        want_lift = model[(a, b)] * n_baskets / (item_n[a] * item_n[b])
+        assert abs(r.lift - want_lift) < 1e-6
