@@ -193,6 +193,45 @@ def column_profile(
     )
 
 
+def group_stats(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group (mean, sd) over the round→DECIMAL idiom: exact,
+    order-free sums, one map-side-combined aggregation, |groups| rows
+    out — the shared stats pass behind zscore_outliers and the
+    streaming anomaly monitor.  Returns (group, _m, _sd); the
+    variance is clamped at 0 before the sqrt (on a constant group the
+    exact decimal sums leave only decimal→double conversion noise,
+    which can land a few ulps NEGATIVE — sqrt would then yield NaN,
+    and NaN compares GREATER in Spark, silently defeating every
+    downstream sd > 0 guard)."""
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    return (
+        df.select(F.col(group_col), v6.alias("_v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(24,6)")).alias("_s"),
+            F.sum(
+                F.col("_v").cast("decimal(24,6)")
+                * F.col("_v").cast("decimal(24,6)")
+            ).alias("_s2"),
+        )
+        .select(
+            group_col,
+            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+            F.sqrt(
+                F.greatest(
+                    F.col("_s2").cast("double") / F.col("_n")
+                    - (F.col("_s").cast("double") / F.col("_n"))
+                    * (F.col("_s").cast("double") / F.col("_n")),
+                    F.lit(0.0),
+                )
+            ).alias("_sd"),
+        )
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,
@@ -224,35 +263,7 @@ def zscore_outliers(
     rounded 6dp.
     """
     v6 = F.round(F.col(value_col).cast("double"), 6)
-    stats = (
-        df.select(F.col(group_col), v6.alias("_v"))
-        .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col("_v").cast("decimal(24,6)")).alias("_s"),
-            F.sum(
-                F.col("_v").cast("decimal(24,6)")
-                * F.col("_v").cast("decimal(24,6)")
-            ).alias("_s2"),
-        )
-        .select(
-            group_col,
-            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
-            # clamp the variance at 0: on a constant group the exact
-            # decimal sums leave only decimal→double conversion noise,
-            # which can land a few ulps NEGATIVE — sqrt would then
-            # yield NaN, and NaN compares GREATER in Spark, silently
-            # defeating the _sd > 0 guard below
-            F.sqrt(
-                F.greatest(
-                    F.col("_s2").cast("double") / F.col("_n")
-                    - (F.col("_s").cast("double") / F.col("_n"))
-                    * (F.col("_s").cast("double") / F.col("_n")),
-                    F.lit(0.0),
-                )
-            ).alias("_sd"),
-        )
-    )
+    stats = group_stats(df, value_col, group_col)
     if broadcast_stats:
         stats = F.broadcast(stats)
     return (

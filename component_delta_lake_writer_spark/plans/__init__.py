@@ -125,9 +125,11 @@ _FRONT = [
     "stream_cdf_source",
     "stream_replicate_cdf",
     "streaming_hourly_agg",
-    # r10: the drift monitor sink — after the generic streaming
-    # warmers so its probe measures the monitor, not stream setup
+    # r10: the drift + anomaly monitor sinks — after the generic
+    # streaming warmers so their probes measure the monitors, not
+    # stream setup
     "stream_drift_monitor",
+    "stream_anomaly_monitor",
     # r8 STREAMING keys after their warmers (the relaxed unseen-tier
     # rule keeps them here instead of a cold front slot)
     "stream_countmin_tokens",

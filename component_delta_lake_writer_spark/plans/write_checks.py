@@ -2406,3 +2406,92 @@ _O["stream_drift_monitor"] = """
       ROUND(SUM(ABS(nr / tr - nc / tc)) / 2, 6) AS tvd
     FROM g, t
 """
+
+
+@query("stream_anomaly_monitor")
+def stream_anomaly_monitor_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous anomaly monitoring (streaming.sink
+    .stream_anomaly_monitor): per-event-type (mean, sd) from even
+    users' values score a streamed feed of odd users' values with a
+    planted 25x spike on every 101st event — one (batch_id, n_rows,
+    n_scored, n_flagged, max_abs_z) row lands in the ACID monitor
+    table.  availableNow drains the feed in one batch, so the ORACLE
+    replays the scoring (group_stats decimal idiom, sd>0 guard,
+    rounded |z|) with batch_id 0 — streaming machinery exercised,
+    numbers fully oracled."""
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_anomaly_monitor,
+    )
+
+    base = _scratch("stream_anomaly_monitor", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    feed_dir = os.path.join(base, "feed")
+    ev.filter(F.col("user_id") % 2 == 1).select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 101 == 0,
+            F.col("value").cast("double") * 25,
+        )
+        .otherwise(F.col("value").cast("double"))
+        .alias("value"),
+    ).write.parquet(feed_dir)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .format("parquet")
+        .load(feed_dir)
+    )
+    monitor = ManagedTable(spark, os.path.join(base, "monitor"))
+    q = stream_anomaly_monitor(
+        stream, ref, "value", "event_type", monitor, z=3.0,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return monitor.read().select(
+        "batch_id", "n_rows", "n_scored", "n_flagged", "max_abs_z"
+    )
+
+
+_O["stream_anomaly_monitor"] = """
+    WITH r AS (
+      SELECT event_type AS g, ROUND(CAST(value AS DOUBLE), 6) AS v
+      FROM events WHERE user_id % 2 = 0
+    ),
+    a AS (
+      SELECT g,
+        CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS m,
+        SQRT(GREATEST(
+          CAST(SUM(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6)))
+               AS DOUBLE) / COUNT(*)
+          - (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))
+            * (CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)),
+          0.0
+        )) AS sd
+      FROM r GROUP BY g
+    ),
+    c AS (
+      SELECT event_type AS g,
+        ROUND(CASE WHEN event_id % 101 = 0
+                   THEN CAST(value AS DOUBLE) * 25
+                   ELSE CAST(value AS DOUBLE) END, 6) AS v
+      FROM events WHERE user_id % 2 = 1
+    ),
+    s AS (
+      SELECT c.v,
+        CASE WHEN a.sd > 0
+             THEN ROUND(ABS((c.v - a.m) / a.sd), 6) END AS az
+      FROM c LEFT JOIN a USING (g)
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(az) AS BIGINT) AS n_scored,
+      CAST(COALESCE(SUM(CASE WHEN az > 3 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_flagged,
+      MAX(az) AS max_abs_z
+    FROM s
+"""

@@ -470,3 +470,88 @@ def stream_drift_monitor(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_anomaly_monitor(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    group_col: str,
+    monitor: ManagedTable,
+    z: float = 3.0,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous anomaly monitoring — the z-score sibling of
+    stream_drift_monitor: every micro-batch is scored against the
+    FIXED reference batch's per-group (mean, sd) and one row
+    ``(batch_id, n_rows, n_scored, n_flagged, max_abs_z)`` appends to
+    the monitor table.  Drift answers "has the distribution moved";
+    this answers "did individual records spike" — the pair is the
+    day-two monitoring stack of any feature pipeline.
+
+    The reference stats ride operators.dq.group_stats (exact-decimal
+    sums, variance clamped at 0) and are |groups| rows — computed
+    once per micro-batch from ``ref`` (cache ref, or pre-aggregate it
+    to a stats table, for high-frequency triggers) and broadcast onto
+    the batch, so the per-batch cost is one scan of the batch plus a
+    metadata-scale join.  n_scored counts rows that HAVE a reference
+    group with sd > 0 (a batch row in a never-seen group cannot be
+    scored — it is visible as n_rows − n_scored, not silently
+    dropped).  Same exactly-once guard as the drift monitor: writer
+    txns keyed by batch_id, so checkpoint replays never double-write.
+    """
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        group_stats,
+    )
+
+    app_id = "stream-anomaly-monitor"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stats = F.broadcast(group_stats(ref, value_col, group_col))
+        v6 = F.round(F.col(value_col).cast("double"), 6)
+        scored = (
+            batch_df.select(F.col(group_col), v6.alias("_v"))
+            .join(stats, group_col, "left")
+            .select(
+                "_v",
+                F.when(
+                    F.col("_sd") > 0,
+                    F.round(
+                        F.abs(
+                            (F.col("_v") - F.col("_m")) / F.col("_sd")
+                        ),
+                        6,
+                    ),
+                ).alias("_az"),
+            )
+        )
+        row = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("_az").cast("long").alias("n_scored"),
+            F.coalesce(
+                F.sum((F.col("_az") > z).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.max("_az").alias("max_abs_z"),
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_rows", "n_scored", "n_flagged", "max_abs_z",
+        )
+        prev = monitor.latest_commit()
+        if prev is None:
+            monitor.write(
+                row, mode="overwrite", primary_key=["batch_id"],
+                txn=(app_id, batch_id),
+            )
+        else:
+            monitor.write(row, mode="append", txn=(app_id, batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -286,3 +286,49 @@ def test_bfs_distances_multi_source_min(spark):
     }
     # node 3 is 2 hops from both seeds; first-seen assigns 2 once
     assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_stream_anomaly_monitor_scores_and_replays(spark, tmp_path):
+    """One drained batch must land exactly the hand-computed monitor
+    row: unmatched groups and sd=0 groups count as unscored (visible,
+    not dropped), and re-starting from the same checkpoint appends
+    nothing."""
+    from component_delta_lake_writer_spark.sinks.managed_table import (
+        ManagedTable,
+    )
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_anomaly_monitor,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", 0.0)] * 4 + [("a", 10.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )  # group a: mean 2 sd 4; group b: sd 0
+    feed_rows = [("a", 2.0), ("a", 50.0), ("b", 999.0), ("c", 1.0)]
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(feed_rows, "g string, v double").write.parquet(
+        feed_dir
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("g string, v double")
+            .format("parquet")
+            .load(feed_dir)
+        )
+        q = stream_anomaly_monitor(
+            stream, ref, "v", "g", monitor, z=3.0,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+    monitor = ManagedTable(spark, str(tmp_path / "monitor"))
+    drain()
+    rows = monitor.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # a:2.0 -> z 0; a:50.0 -> z 12 flagged; b sd=0 unscored; c no group
+    assert (r.n_rows, r.n_scored, r.n_flagged) == (4, 2, 1)
+    assert r.max_abs_z == 12.0
+    drain()  # same checkpoint, no new files: nothing may append
+    assert monitor.read().count() == 1
