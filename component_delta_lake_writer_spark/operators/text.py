@@ -368,3 +368,73 @@ def ngram_novelty(
             ).alias("novel_frac"),
         )
     )
+
+
+def zipf_slope(
+    tokens: DataFrame, token_col: str, top_n: int = 200
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: the
+    least-squares slope of ln(frequency) against ln(rank) for the
+    ``top_n`` most frequent tokens — natural language sits near −1;
+    a corpus that drifts toward 0 (flat — templated/boilerplate
+    spam) or steepens far past −1.5 (a few tokens dominating —
+    generator loops, tag soup) fails the naturalness smell test
+    before any model sees it.
+
+    Shape: one map-side-combinable token count, a distributed
+    TakeOrdered for the top-``top_n`` (never a global sort of the
+    vocabulary), then the regression over those ≤top_n rows — the
+    rank re-derivation and the fit are metadata-scale.  Exactness:
+    ln values are rounded to 9dp and summed as DECIMAL (order-free);
+    the closed-form slope/intercept is a fixed double expression over
+    those exact sums, so the fit is bit-identical at any parallelism
+    and engine-portable.  Vocabulary size and total token count ride
+    the same counts relation (one extra reduced aggregation).
+
+    Returns ONE row: (n_ranked, vocab_size, total_tokens, slope,
+    intercept) — slope/intercept rounded 6dp, NULL on a degenerate
+    fit (fewer than 2 ranked tokens).
+    """
+    from pyspark.sql import Window
+
+    counts = tokens.groupBy(
+        F.col(token_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    top = counts.orderBy(
+        F.col("_c").desc(), F.col("_t").asc()
+    ).limit(top_n)
+    w_rank = Window.orderBy(F.col("_c").desc(), F.col("_t").asc())
+    ranked = top.select(
+        F.round(F.log(F.row_number().over(w_rank).cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("_x"),
+        F.round(F.log(F.col("_c").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("_y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("double").alias("sx"),
+        F.sum("_y").cast("double").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("sxx"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("_c").alias("total_tokens"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.crossJoin(F.broadcast(totals)).select(
+        F.col("n").cast("long").alias("n_ranked"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.when(F.col("n") >= 2, F.round(slope, 6)).alias("slope"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            ),
+        ).alias("intercept"),
+    )

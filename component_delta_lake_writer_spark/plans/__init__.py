@@ -86,6 +86,7 @@ _FRONT = [
     "event_transitions_events",
     "seasonal_outliers_events",
     "bfs_reachability_parts",
+    "zipf_slope_docs",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

@@ -6134,3 +6134,72 @@ def bfs_reachability_parts(
     )
     seed = edges.agg(F.min("a")).collect()[0][0]
     return bfs_distances(edges, [seed], max_hops=2, src="a", dst="b")
+
+
+@query(
+    "zipf_slope_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    top AS (
+      SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT 200
+    ),
+    ranked AS (
+      SELECT
+        CAST(ROUND(LN(CAST(ROW_NUMBER() OVER
+          (ORDER BY c DESC, w ASC) AS DOUBLE)), 9)
+          AS DECIMAL(12,9)) AS x,
+        CAST(ROUND(LN(CAST(c AS DOUBLE)), 9)
+          AS DECIMAL(12,9)) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM ranked
+    ),
+    t AS (
+      SELECT COUNT(*) AS vocab_size, SUM(c) AS total_tokens
+      FROM counts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranked,
+      CAST(vocab_size AS BIGINT) AS vocab_size,
+      CAST(total_tokens AS BIGINT) AS total_tokens,
+      CASE WHEN n >= 2 THEN
+        ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      END AS slope,
+      CASE WHEN n >= 2 THEN
+        ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               * sx) / n, 6)
+      END AS intercept
+    FROM s, t
+    """,
+)
+def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law naturalness fit (operators.text.zipf_slope): the
+    ln(freq)~ln(rank) least-squares slope over the top-200 corpus
+    tokens, plus vocab/total counts.  Same whitespace tokenization
+    parity as countmin_heavy_tokens; the fit sums ride 9dp-rounded
+    DECIMAL so the regression is order-free and engine-portable."""
+    from component_delta_lake_writer_spark.operators.text import (
+        zipf_slope,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.col("text")), " ")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return zipf_slope(toks, "token", top_n=200)

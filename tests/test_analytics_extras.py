@@ -332,3 +332,33 @@ def test_stream_anomaly_monitor_scores_and_replays(spark, tmp_path):
     assert r.max_abs_z == 12.0
     drain()  # same checkpoint, no new files: nothing may append
     assert monitor.read().count() == 1
+
+
+def test_zipf_slope_fit_and_degenerate(spark):
+    import math
+
+    from component_delta_lake_writer_spark.operators.text import (
+        zipf_slope,
+    )
+
+    counts = {"a": 16, "b": 8, "c": 4, "d": 2}
+    rows = [(t,) for t, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "token string")
+    r = zipf_slope(df, "token", top_n=200).collect()[0]
+    assert r.n_ranked == 4
+    assert r.vocab_size == 4
+    assert r.total_tokens == 30
+    # closed-form least squares over (ln rank, ln count)
+    xs = [round(math.log(i), 9) for i in (1, 2, 3, 4)]
+    ys = [round(math.log(c), 9) for c in (16, 8, 4, 2)]
+    n, sx, sy = 4, sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r.slope - slope) < 1e-5
+    assert abs(r.intercept - (sy - slope * sx) / n) < 1e-5
+    assert r.slope < -0.8  # geometric counts: steep, Zipf-like
+
+    single = spark.createDataFrame([("a",), ("a",)], "token string")
+    d = zipf_slope(single, "token").collect()[0]
+    assert d.n_ranked == 1 and d.slope is None and d.intercept is None
