@@ -948,6 +948,130 @@ def _row_tracking_overhead(spark, sf_dir: str) -> dict:
     return out
 
 
+
+
+def _analytics_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 4, 10)
+) -> dict:
+    """Measured scaling curve for the round-10 analytics family:
+    cusum_changepoint (one scan -> bucket-series windows),
+    event_transitions (one user-keyed window shuffle), and
+    basket_lift (one groupBy(basket) shuffle, array-generated pairs)
+    over the corpus replicated x1/x4/x10 with key offsets (users and
+    baskets stay distinct, so per-key state does NOT grow -- the
+    honest replication for operators whose cost model is rows, not
+    key depth). The claim under test: each is one corpus shuffle plus
+    metadata-scale work, so throughput in rows/sec must hold as the
+    corpus grows. Median-of-3 with spread."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_transitions,
+    )
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # untimed warm-up: first run pays one-off codegen for the window
+    # lag / aggregate shapes
+    cusum_changepoint(ev.limit(1000), "ts", "value").count()
+    event_transitions(
+        ev.limit(1000), "user_id", "ts", "event_type",
+        tiebreak="event_id",
+    ).count()
+    basket_lift(li.limit(1000), "l_orderkey", "l_partkey", k=5).count()
+    points = []
+    for scale in scales:
+        evs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                ev.select(
+                    (F.col("event_id") + F.lit(i * 10**12)).alias(
+                        "event_id"
+                    ),
+                    # shift each replica by an hour so the bucket
+                    # series grows too (the metadata-scale claim has
+                    # to survive more buckets, not just more rows)
+                    (F.col("ts") + F.expr(f"INTERVAL {i} HOURS")).alias(
+                        "ts"
+                    ),
+                    (F.col("user_id") + F.lit(i * 10**9)).alias(
+                        "user_id"
+                    ),
+                    "event_type",
+                    "value",
+                )
+                for i in range(scale)
+            ],
+        ).persist()
+        lis = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                li.select(
+                    (F.col("l_orderkey") + F.lit(i * 10**12)).alias(
+                        "l_orderkey"
+                    ),
+                    "l_partkey",
+                )
+                for i in range(scale)
+            ],
+        ).persist()
+        ev_rows = evs.count()
+        li_rows = lis.count()
+        point = {"scale": scale, "ev_rows": ev_rows, "li_rows": li_rows}
+        for name, fn in (
+            (
+                "cusum",
+                lambda: cusum_changepoint(evs, "ts", "value"),
+            ),
+            (
+                "transitions",
+                lambda: event_transitions(
+                    evs, "user_id", "ts", "event_type",
+                    tiebreak="event_id",
+                ),
+            ),
+            (
+                "basket",
+                lambda: basket_lift(
+                    lis, "l_orderkey", "l_partkey", k=20
+                ),
+            ),
+        ):
+
+            def trial(fn=fn) -> float:
+                t0 = time.perf_counter()
+                fn().count()
+                return time.perf_counter() - t0
+
+            sec, spread = _med3(trial)
+            point[f"{name}_sec"] = round(sec, 3)
+            point[f"{name}_spread"] = spread
+        evs.unpersist()
+        lis.unpersist()
+        points.append(point)
+    lo, hi = points[0], points[-1]
+    grew = int(hi["ev_rows"] / max(lo["ev_rows"], 1))
+    out = {"points": points}
+    for name in ("cusum", "transitions", "basket"):
+        out[f"{name}_time_ratio_x{grew}"] = round(
+            hi[f"{name}_sec"] / lo[f"{name}_sec"], 2
+        )
+    return out
+
+
 def _retrieval_curve(spark, sf_dir: str) -> dict:
     """Measured scaling of the retrieval family (round 7): BM25 and
     hybrid-RRF latency at x1/x4/x10 corpus replication. The claim
@@ -1439,6 +1563,16 @@ def main() -> None:
     except Exception as exc:
         print(f"# retrieval curve failed: {exc}", file=sys.stderr)
 
+    # Measured analytics-family scaling (round 10): one-shuffle
+    # operators must hold throughput as the corpus replicates
+    try:
+        an_curve = _analytics_curve(spark, SF_DIR)
+        result["analytics_curve"] = an_curve
+        for p in an_curve["points"]:
+            print(f"# analytics_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# analytics curve failed: {exc}", file=sys.stderr)
+
     # Measured streaming throughput scaling (round 7)
     try:
         sc_curve = _streaming_curve(spark, SF_DIR)
@@ -1679,6 +1813,10 @@ def _compact_line(result: dict) -> dict:
         ("stream_gain_x10", "streaming_curve", "throughput_gain_x10"),
         ("mor_v_cow_x100", "merge_curve_scale100_src1pct",
          "mor_vs_duckdb_ratio"),
+        ("cusum_x10", "analytics_curve", "cusum_time_ratio_x10"),
+        ("transitions_x10", "analytics_curve",
+         "transitions_time_ratio_x10"),
+        ("basket_x10", "analytics_curve", "basket_time_ratio_x10"),
     ):
         cv = result.get(curve)
         if isinstance(cv, dict) and key in cv:

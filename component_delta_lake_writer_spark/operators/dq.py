@@ -905,3 +905,82 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 from a (label, prediction) pair
+    relation — the audit a pipeline runs on its own classifiers
+    (language-ID vs editorial labels, quality gate vs human review)
+    before trusting them to route corpus data.
+
+    ONE map-side-combinable groupBy collapses the corpus to the
+    |classes|² confusion matrix; class totals, true positives and the
+    metrics are joins/projections over those metadata-scale rows.
+    The class set is the UNION of observed labels and predictions
+    (a class the model never predicts still gets its recall row —
+    silently dropping it would hide exactly the failure this audit
+    exists to catch).  F1 is computed FROM the 6dp-rounded
+    precision/recall so both engines feed identical inputs; classes
+    with zero predictions (or zero truth) carry NULL precision
+    (recall) rather than a fake 0.
+
+    Returns (class, n_true, n_pred, tp, precision, recall, f1).
+    """
+    pairs = (
+        df.filter(
+            F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .groupBy(
+            F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    n_true = pairs.groupBy(F.col("_l").alias("class")).agg(
+        F.sum("_n").alias("n_true")
+    )
+    n_pred = pairs.groupBy(F.col("_p").alias("class")).agg(
+        F.sum("_n").alias("n_pred")
+    )
+    tp = pairs.filter(F.col("_l") == F.col("_p")).select(
+        F.col("_l").alias("class"), F.col("_n").alias("tp")
+    )
+    base = (
+        n_true.join(n_pred, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("n_true"), F.lit(0))
+            .cast("long")
+            .alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0))
+            .cast("long")
+            .alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_pred"), 6),
+    )
+    rec = F.when(
+        F.col("n_true") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_true"), 6),
+    )
+    staged = base.select(
+        "*", prec.alias("precision"), rec.alias("recall")
+    )
+    return staged.select(
+        "*",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("precision")
+                * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+                6,
+            ),
+        ).alias("f1"),
+    )

@@ -209,3 +209,84 @@ def hybrid_rrf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "rrf", "rk")
     )
+
+
+def rank_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality evaluation: MRR and recall@``k`` of a ranked
+    result list against a relevance-judgment relation — the metric
+    pass that gates every retrieval change (BM25 tweaks, new
+    embeddings, hybrid fusion weights) before it touches production.
+
+    Shape: one equi-join of the rank-bounded results against the
+    distinct judgments (both shuffled on the query key once), then
+    per-query reductions to |queries| rows and a final metadata-scale
+    aggregation.  Per-query reciprocal rank and recall are rounded to
+    9dp and averaged as DECIMAL sums, so the corpus-level means are
+    order-free and engine-portable.  Queries with no judged-relevant
+    documents are excluded (MRR/recall are undefined there — the
+    trec_eval convention); queries whose relevant docs all miss the
+    top-``k`` contribute 0, not NULL.
+
+    Returns ONE row: (n_queries, mrr, recall_at_k) rounded 6dp.
+    """
+    rel = (
+        qrels.filter(
+            F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+        )
+        .select(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        )
+        .distinct()
+    )
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_r"),
+        )
+        .join(rel, ["_q", "_d"])
+        .groupBy("_q")
+        .agg(
+            F.min("_r").alias("_first"),
+            F.count(F.lit(1)).alias("_nhit"),
+        )
+    )
+    per_q = (
+        rel.groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("_nrel"))
+        .join(hits, "_q", "left")
+        .select(
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first"), F.lit(0.0)
+                ),
+                9,
+            )
+            .cast("decimal(12,9)")
+            .alias("_rr"),
+            F.round(
+                F.coalesce(F.col("_nhit"), F.lit(0)).cast("double")
+                / F.col("_nrel"),
+                9,
+            )
+            .cast("decimal(12,9)")
+            .alias("_rec"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("_rr").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mrr"),
+        F.round(
+            F.sum("_rec").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall_at_k"),
+    )

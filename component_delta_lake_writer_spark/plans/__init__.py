@@ -87,6 +87,8 @@ _FRONT = [
     "seasonal_outliers_events",
     "bfs_reachability_parts",
     "zipf_slope_docs",
+    "langid_report_docs",
+    "rank_eval_orders",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

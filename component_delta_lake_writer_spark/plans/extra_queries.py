@@ -6203,3 +6203,163 @@ def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     return zipf_slope(toks, "token", top_n=200)
+
+
+@query(
+    "langid_report_docs",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+        len(regexp_extract_all(lower(text),
+          '\\b(the|and|of|is|with)\\b')) AS s_en,
+        len(regexp_extract_all(lower(text),
+          '\\b(der|und|die|das|nicht)\\b')) AS s_de,
+        len(regexp_extract_all(lower(text),
+          '\\b(le|la|et|les|des)\\b')) AS s_fr,
+        len(regexp_extract_all(lower(text),
+          '\\b(el|los|las|y|que)\\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+      FROM documents
+    ),
+    p AS (
+      SELECT lang AS l,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0
+               THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+               AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh
+               THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh' END AS pr
+      FROM s
+    ),
+    m AS (
+      SELECT l, pr, COUNT(*) AS n FROM p
+      WHERE l IS NOT NULL AND pr IS NOT NULL GROUP BY 1, 2
+    ),
+    t1 AS (SELECT l AS class, SUM(n) AS n_true FROM m GROUP BY 1),
+    t2 AS (SELECT pr AS class, SUM(n) AS n_pred FROM m GROUP BY 1),
+    tpx AS (SELECT l AS class, n AS tp FROM m WHERE l = pr),
+    b AS (
+      SELECT COALESCE(t1.class, t2.class) AS class,
+        CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+        CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred
+      FROM t1 FULL OUTER JOIN t2 ON t1.class = t2.class
+    ),
+    b2 AS (
+      SELECT b.class, b.n_true, b.n_pred,
+        CAST(COALESCE(tpx.tp, 0) AS BIGINT) AS tp
+      FROM b LEFT JOIN tpx ON tpx.class = b.class
+    ),
+    r AS (
+      SELECT class, n_true, n_pred, tp,
+        CASE WHEN n_pred > 0
+             THEN ROUND(CAST(tp AS DOUBLE) / n_pred, 6)
+        END AS "precision",
+        CASE WHEN n_true > 0
+             THEN ROUND(CAST(tp AS DOUBLE) / n_true, 6)
+        END AS recall
+      FROM b2
+    )
+    SELECT class, n_true, n_pred, tp, "precision", recall,
+      CASE WHEN ("precision" + recall) > 0
+           THEN ROUND(2.0 * "precision" * recall
+                / ("precision" + recall), 6)
+      END AS f1
+    FROM r
+    """,
+)
+def langid_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit (operators.dq.classification_report): the
+    language-ID heuristic evaluated against the corpus's editorial
+    lang labels — per-class precision/recall/F1 from the |classes|²
+    confusion matrix, classes unioned across labels AND predictions
+    so a never-predicted language still shows its recall hole.  The
+    oracle replays the lang_id argmax (lang_id_ngram's CASE) and the
+    report arithmetic."""
+    from component_delta_lake_writer_spark.operators import text as TX
+    from component_delta_lake_writer_spark.operators.dq import (
+        classification_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        *[
+            c.alias(f"s_{lang}")
+            for lang, c in TX.lang_scores(F.col("text")).items()
+        ],
+    )
+    pred = TX.lang_id_from_scores(
+        {lang: F.col(f"s_{lang}") for lang in TX.LANG_MARKERS}
+    )
+    pairs = scored.select("lang", pred.alias("lang_pred"))
+    return classification_report(pairs, "lang", "lang_pred")
+
+
+@query(
+    "rank_eval_orders",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS q, l_partkey AS d FROM lineitem
+    ),
+    res AS (
+      SELECT q, d,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY d) AS r
+      FROM bi
+    ),
+    rel AS (
+      SELECT DISTINCT l_orderkey AS q, l_partkey AS d
+      FROM lineitem WHERE l_quantity > 25
+    ),
+    hits AS (
+      SELECT res.q, MIN(res.r) AS first_r, COUNT(*) AS nhit
+      FROM res JOIN rel USING (q, d)
+      WHERE res.r <= 3
+      GROUP BY 1
+    ),
+    perq AS (
+      SELECT
+        CAST(ROUND(COALESCE(1.0 / hits.first_r, 0.0), 9)
+          AS DECIMAL(12,9)) AS rr,
+        CAST(ROUND(COALESCE(CAST(hits.nhit AS DOUBLE), 0.0)
+          / nrel.nrel, 9) AS DECIMAL(12,9)) AS rec
+      FROM (SELECT q, COUNT(*) AS nrel FROM rel GROUP BY 1) nrel
+      LEFT JOIN hits ON hits.q = nrel.q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr,
+      ROUND(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+    FROM perq
+    """,
+)
+def rank_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (operators.retrieval.rank_eval): MRR and
+    recall@3 of a deterministic per-order part ranking (partkey
+    ascending) against 'quantity > 25' relevance judgments — an
+    artificial but fully replayable fixture that exercises the exact
+    join/reduction shape a BM25-vs-embeddings A/B would run.
+    Per-query rr/recall ride 9dp-rounded decimal means."""
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        rank_eval,
+    )
+
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    results = bi.select(
+        "l_orderkey",
+        "l_partkey",
+        F.row_number().over(w).alias("rank"),
+    )
+    qrels = (
+        li.filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return rank_eval(
+        results, qrels, "l_orderkey", "l_partkey", "rank", k=3
+    )

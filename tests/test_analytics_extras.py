@@ -362,3 +362,84 @@ def test_zipf_slope_fit_and_degenerate(spark):
     single = spark.createDataFrame([("a",), ("a",)], "token string")
     d = zipf_slope(single, "token").collect()[0]
     assert d.n_ranked == 1 and d.slope is None and d.intercept is None
+
+
+def test_classification_report_exact(spark):
+    from component_delta_lake_writer_spark.operators.dq import (
+        classification_report,
+    )
+
+    pairs = [
+        ("en", "en"), ("en", "en"), ("en", "de"),
+        ("de", "de"),
+        ("fr", "en"),  # fr never predicted correctly
+        (None, "en"), ("zz", None),  # null rows excluded
+    ]
+    df = spark.createDataFrame(pairs, "label string, pred string")
+    out = {
+        r["class"]: r
+        for r in classification_report(df, "label", "pred").collect()
+    }
+    assert set(out) == {"en", "de", "fr"}
+    en = out["en"]
+    assert (en.n_true, en.n_pred, en.tp) == (3, 3, 2)
+    assert en.precision == round(2 / 3, 6)
+    assert en.recall == round(2 / 3, 6)
+    p = round(2 / 3, 6)
+    assert en.f1 == round(2 * p * p / (p + p), 6)
+    fr = out["fr"]
+    # fr: predicted never -> n_pred 0, precision NULL; recall 0
+    assert (fr.n_true, fr.n_pred, fr.tp) == (1, 0, 0)
+    assert fr.precision is None
+    assert fr.recall == 0.0
+    assert fr.f1 is None  # precision NULL -> sum NULL -> no f1
+    de = out["de"]
+    assert de.precision == 0.5 and de.recall == 1.0  # 1 tp, 2 pred
+
+
+def test_classification_report_never_true_class(spark):
+    """A class that appears only in predictions still gets a row
+    (precision 0-ish, recall NULL)."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "a")], "label string, pred string"
+    )
+    out = {
+        r["class"]: r
+        for r in classification_report(df, "label", "pred").collect()
+    }
+    b = out["b"]
+    assert (b.n_true, b.n_pred, b.tp) == (0, 1, 0)
+    assert b.precision == 0.0
+    assert b.recall is None
+
+
+def test_rank_eval_exact(spark):
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        rank_eval,
+    )
+
+    # q1: relevant {d2, d9}; d2 at rank 2 -> rr 0.5, recall@3 = 1/2
+    # q2: relevant {d1}; d1 at rank 1 -> rr 1, recall 1
+    # q3: relevant {d7}; d7 at rank 5 (> k) -> rr 0, recall 0
+    # q4: no judgments -> excluded entirely
+    results = spark.createDataFrame(
+        [
+            ("q1", "d5", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+            ("q2", "d1", 1), ("q2", "d4", 2),
+            ("q3", "d0", 1), ("q3", "d7", 5),
+            ("q4", "d8", 1),
+        ],
+        "q string, d string, r int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d2"), ("q1", "d9"), ("q2", "d1"), ("q3", "d7")],
+        "q string, d string",
+    )
+    r = rank_eval(results, qrels, "q", "d", "r", k=3).collect()[0]
+    assert r.n_queries == 3
+    assert r.mrr == round((0.5 + 1.0 + 0.0) / 3, 6)
+    assert r.recall_at_k == round((0.5 + 1.0 + 0.0) / 3, 6)
