@@ -256,3 +256,96 @@ def bfs_distances(
         known = known.unionByName(fresh).persist()
         frontier = fresh
     return known
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED edge list — the
+    link-analysis complement to PageRank for curation: an authority
+    is a page many good hubs point AT (citation-worthy content), a
+    hub is a page pointing at many good authorities (index/directory
+    pages a crawler should expand first).  PageRank conflates the
+    two roles; HITS separates them.
+
+    Same execution shape and determinism contract as pagerank: each
+    half-iteration is one edges⋈scores join + one aggregation with
+    per-edge contributions ROUNDED to 12dp and accumulated as DECIMAL
+    (order-free sums), a fixed iteration count, no driver round-trips
+    in the loop.  Scores are max-normalized after every half-step
+    (the standard HITS scaling) — the max is a deterministic scalar
+    over deterministic values, broadcast back as a one-row join, so
+    normalization adds no row-space movement.  Multi-edges count,
+    matching pagerank.
+
+    Returns (node, authority, hub) for every node, both rounded 9dp.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("h", F.lit(1.0))
+    auth = nodes.withColumn("a", F.lit(0.0))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select(
+                "dst",
+                F.round(F.col("h"), 12)
+                .cast("decimal(28,12)")
+                .alias("w"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").cast("double").alias("s"))
+        )
+        a_all = nodes.join(
+            a_raw, nodes["node"] == a_raw["dst"], "left"
+        ).select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+        )
+        a_max = a_all.agg(F.max("s").alias("mx"))
+        auth = a_all.crossJoin(F.broadcast(a_max)).select(
+            "node",
+            F.when(F.col("mx") > 0, F.col("s") / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias("a"),
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(
+                "src",
+                F.round(F.col("a"), 12)
+                .cast("decimal(28,12)")
+                .alias("w"),
+            )
+            .groupBy("src")
+            .agg(F.sum("w").cast("double").alias("s"))
+        )
+        h_all = nodes.join(
+            h_raw, nodes["node"] == h_raw["src"], "left"
+        ).select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+        )
+        h_max = h_all.agg(F.max("s").alias("mx"))
+        hub = h_all.crossJoin(F.broadcast(h_max)).select(
+            "node",
+            F.when(F.col("mx") > 0, F.col("s") / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias("h"),
+        )
+    return (
+        nodes.join(auth, "node")
+        .join(hub, "node")
+        .select(
+            "node",
+            F.round(F.col("a"), 9).alias("authority"),
+            F.round(F.col("h"), 9).alias("hub"),
+        )
+    )

@@ -89,6 +89,7 @@ _FRONT = [
     "zipf_slope_docs",
     "langid_report_docs",
     "rank_eval_orders",
+    "hits_top_authorities",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

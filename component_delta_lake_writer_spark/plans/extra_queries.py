@@ -6363,3 +6363,85 @@ def rank_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_eval(
         results, qrels, "l_orderkey", "l_partkey", "rank", k=3
     )
+
+
+@query(
+    "hits_top_authorities",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    a1r AS (
+      SELECT e.dst,
+        CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE), 12)
+          AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM e GROUP BY e.dst
+    ),
+    a1a AS (
+      SELECT n.node, COALESCE(a1r.s, 0.0) AS s
+      FROM nodes n LEFT JOIN a1r ON a1r.dst = n.node
+    ),
+    a1 AS (
+      SELECT node, CASE WHEN (SELECT MAX(s) FROM a1a) > 0
+        THEN s / (SELECT MAX(s) FROM a1a) ELSE 0.0 END AS a
+      FROM a1a
+    ),
+    h1r AS (
+      SELECT e.src,
+        CAST(SUM(CAST(ROUND(a1.a, 12) AS DECIMAL(28,12)))
+          AS DOUBLE) AS s
+      FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+    ),
+    h1a AS (
+      SELECT n.node, COALESCE(h1r.s, 0.0) AS s
+      FROM nodes n LEFT JOIN h1r ON h1r.src = n.node
+    ),
+    h1 AS (
+      SELECT node, CASE WHEN (SELECT MAX(s) FROM h1a) > 0
+        THEN s / (SELECT MAX(s) FROM h1a) ELSE 0.0 END AS h
+      FROM h1a
+    )
+    SELECT node, ROUND(a, 9) AS authority, h AS hub, rk
+    FROM (
+      -- rank on the ROUNDED hub (the operator's public value): two
+      -- nodes whose unrounded scores differ in the last ulps are a
+      -- TIE at 9dp, and the tie must break on node id identically
+      -- in both engines
+      SELECT a1.node, a1.a, ROUND(h1.h, 9) AS h,
+        ROW_NUMBER() OVER (
+          ORDER BY ROUND(h1.h, 9) DESC, h1.node
+        ) AS rk
+      FROM a1 JOIN h1 ON a1.node = h1.node
+    ) WHERE rk <= 20
+    """,
+)
+def hits_top_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One full HITS iteration (operators.graph.hits) over the same
+    deterministic synthetic graph pagerank uses (custkey →
+    orderkey mod 997, multi-edges counted): per-edge contributions
+    through the round→decimal idiom, max-normalization after every
+    half-step as a broadcast one-row join, the ENTIRE computation
+    unrolled in the oracle CTE chain.  The probe runs ONE iteration
+    (the hub score already propagates through the authority pass —
+    the 2-iteration unit test covers deeper chains; two iterations
+    priced the probe at the sweep ceiling) and ranks the top-20 by
+    hub, the non-trivial score at this depth."""
+    from pyspark.sql.window import Window
+
+    from component_delta_lake_writer_spark.operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 997).alias("dst"),
+    )
+    scores = hits(edges, iterations=1)
+    w = Window.orderBy(F.col("hub").desc(), F.col("node"))
+    return (
+        scores.orderBy(F.col("hub").desc(), F.col("node"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w))
+    )

@@ -443,3 +443,24 @@ def test_rank_eval_exact(spark):
     assert r.n_queries == 3
     assert r.mrr == round((0.5 + 1.0 + 0.0) / 3, 6)
     assert r.recall_at_k == round((0.5 + 1.0 + 0.0) / 3, 6)
+
+
+def test_hits_two_iterations_hand_graph(spark):
+    """1->3, 2->3, 2->4, 3->4: node 2 is the hub (points at both
+    authorities), 3 and 4 tie as authorities; exact max-normalized
+    scores after two full iterations."""
+    from component_delta_lake_writer_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = {
+        r.node: (r.authority, r.hub)
+        for r in hits(edges, iterations=2).collect()
+    }
+    assert out == {
+        1: (0.0, 0.5),
+        2: (0.0, 1.0),
+        3: (1.0, 0.5),
+        4: (1.0, 0.0),
+    }
