@@ -166,3 +166,96 @@ def skew_profile(
             F.round(F.col("n_rows") / F.col("_total"), 6).alias("pct"),
         )
     )
+
+
+def partition_advisor(
+    df: DataFrame,
+    cols: list[str],
+    max_values: int = 10_000,
+    max_top_share: float = 0.5,
+    min_rows_per_value: float = 100_000.0,
+) -> DataFrame:
+    """Partition-key advisor: for each candidate column, the three
+    numbers that decide whether it can be a table's partition column
+    — distinct-value count (each value is a directory: too many
+    explodes the file listing), the heaviest value's row share (one
+    dominant value re-creates the full-scan partition), and average
+    rows per value (too few means a small-files table) — plus a
+    verdict string applying the thresholds.  skew_profile answers
+    "which values are hot"; this answers the upstream question
+    "should this column partition the table at all".
+
+    Same pricing as skew_profile: ONE pass over (column, value)
+    pairs (projection-level unpivot, map-side-combinable count), then
+    per-column reductions over distinct values — shuffle volume is
+    bounded by the distinct-value count, so feed it candidate keys,
+    not every column.  NULLs are reported separately (they land in a
+    __HIVE_DEFAULT_PARTITION__-style bucket, not a value).
+
+    Verdicts, first match wins: ``no_values``, ``single_value``,
+    ``too_many_values``, ``skewed``, ``too_granular``, ``ok``.
+    Returns (column, n_values, n_nulls, n_rows, avg_rows_per_value,
+    top_share, verdict) — ratios rounded 6dp.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    per_col = counts.groupBy("column").agg(
+        F.sum(
+            F.when(F.col("value").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_values"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("n_rows"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.max(
+            F.when(F.col("value").isNotNull(), F.col("n_rows"))
+        ).alias("_top"),
+    )
+    nn = F.col("n_rows") - F.col("n_nulls")
+    avg = F.when(
+        F.col("n_values") > 0,
+        F.round(nn.cast("double") / F.col("n_values"), 6),
+    )
+    top_share = F.when(
+        nn > 0, F.round(F.col("_top").cast("double") / nn, 6)
+    )
+    staged = per_col.select(
+        "column", "n_values", "n_nulls", "n_rows",
+        avg.alias("avg_rows_per_value"),
+        top_share.alias("top_share"),
+    )
+    verdict = (
+        F.when(F.col("n_values") == 0, F.lit("no_values"))
+        .when(F.col("n_values") == 1, F.lit("single_value"))
+        .when(
+            F.col("n_values") > max_values, F.lit("too_many_values")
+        )
+        .when(
+            F.col("top_share") > max_top_share, F.lit("skewed")
+        )
+        .when(
+            F.col("avg_rows_per_value") < min_rows_per_value,
+            F.lit("too_granular"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return staged.select("*", verdict.alias("verdict"))

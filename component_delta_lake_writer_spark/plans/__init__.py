@@ -90,6 +90,7 @@ _FRONT = [
     "langid_report_docs",
     "rank_eval_orders",
     "hits_top_authorities",
+    "partition_advisor_orders",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

@@ -6445,3 +6445,94 @@ def hits_top_authorities(
         .limit(20)
         .withColumn("rk", F.row_number().over(w))
     )
+
+
+@query(
+    "partition_advisor_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        CAST(o_custkey AS VARCHAR) AS custkey, 'x' AS const_col,
+        CASE WHEN o_orderkey % 4 = 0 THEN o_orderpriority
+             ELSE 'BULK' END AS skewed_col,
+        CASE WHEN o_orderkey % 10 <> 0 THEN o_orderstatus
+        END AS nullable_status
+      FROM orders
+    ),
+    p AS (
+      SELECT 'status' AS col, status AS v FROM src
+      UNION ALL SELECT 'priority', priority FROM src
+      UNION ALL SELECT 'custkey', custkey FROM src
+      UNION ALL SELECT 'const_col', const_col FROM src
+      UNION ALL SELECT 'skewed_col', skewed_col FROM src
+      UNION ALL SELECT 'nullable_status', nullable_status FROM src
+    ),
+    c AS (SELECT col, v, COUNT(*) AS n FROM p GROUP BY 1, 2),
+    m AS (
+      SELECT col,
+        CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_values,
+        CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0)
+          AS BIGINT) AS n_nulls,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        MAX(CASE WHEN v IS NOT NULL THEN n END) AS top
+      FROM c GROUP BY 1
+    ),
+    r AS (
+      SELECT col, n_values, n_nulls, n_rows,
+        CASE WHEN n_values > 0 THEN
+          ROUND(CAST(n_rows - n_nulls AS DOUBLE) / n_values, 6)
+        END AS avg_rows_per_value,
+        CASE WHEN (n_rows - n_nulls) > 0 THEN
+          ROUND(CAST(top AS DOUBLE) / (n_rows - n_nulls), 6)
+        END AS top_share
+      FROM m
+    )
+    SELECT col AS "column", n_values, n_nulls, n_rows,
+      avg_rows_per_value, top_share,
+      CASE WHEN n_values = 0 THEN 'no_values'
+           WHEN n_values = 1 THEN 'single_value'
+           WHEN n_values > 1000 THEN 'too_many_values'
+           WHEN top_share > 0.5 THEN 'skewed'
+           WHEN avg_rows_per_value < 100.0 THEN 'too_granular'
+           ELSE 'ok' END AS verdict
+    FROM r
+    """,
+)
+def partition_advisor_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-key advisor (operators.skew.partition_advisor) over
+    six candidate shapes: two healthy low-cardinality keys, an
+    id-like column past the value cap, a planted constant
+    (single_value), a planted 75%-one-value column (skewed), and a
+    10%-null status (NULLs reported separately).  One (column, value)
+    pass, per-column reductions, threshold verdicts — the upstream
+    question skew_profile's per-value report doesn't answer."""
+    from component_delta_lake_writer_spark.operators.skew import (
+        partition_advisor,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    probe = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("custkey"),
+        F.lit("x").alias("const_col"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_orderpriority")
+        )
+        .otherwise(F.lit("BULK"))
+        .alias("skewed_col"),
+        F.when(
+            F.col("o_orderkey") % 10 != 0, F.col("o_orderstatus")
+        ).alias("nullable_status"),
+    )
+    return partition_advisor(
+        probe,
+        ["status", "priority", "custkey", "const_col",
+         "skewed_col", "nullable_status"],
+        max_values=1000,
+        max_top_share=0.5,
+        min_rows_per_value=100.0,
+    )

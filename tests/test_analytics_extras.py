@@ -464,3 +464,41 @@ def test_hits_two_iterations_hand_graph(spark):
         3: (1.0, 0.5),
         4: (1.0, 0.0),
     }
+
+
+def test_partition_advisor_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.skew import (
+        partition_advisor,
+    )
+
+    rows = [(i, "a" if i % 4 else "b", str(i % 3), None if i % 5 == 0
+             else "x") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "id long, skew string, ok string, nullable string"
+    )
+    out = {
+        r["column"]: r
+        for r in partition_advisor(
+            df,
+            ["id", "skew", "ok", "nullable"],
+            max_values=50,
+            max_top_share=0.5,
+            min_rows_per_value=5.0,
+        ).collect()
+    }
+    assert out["id"].verdict == "too_many_values"  # 100 > 50
+    sk = out["skew"]
+    assert sk.verdict == "skewed"  # 'a' holds 75%
+    assert sk.top_share == 0.75
+    assert out["ok"].verdict == "ok"
+    nl = out["nullable"]
+    assert nl.verdict == "single_value"  # only 'x' besides NULLs
+    assert nl.n_nulls == 20
+    const = partition_advisor(
+        df.select(F.lit(None).cast("string").alias("allnull")),
+        ["allnull"],
+    ).collect()[0]
+    assert const.verdict == "no_values"
+    assert const.avg_rows_per_value is None
