@@ -1,0 +1,165 @@
+"""Feature engineering over corpus-scale columns: distribution
+alignment (quantile normalization) built on a DISTRIBUTED global
+value rank.
+
+Quantile normalization maps a column onto a reference column's
+distribution by rank — the batch-effect correction that makes scores
+from different annotators / models / crawl batches comparable before
+thresholding ("this quality model's 0.7 is that one's 0.55").  The
+textbook spelling needs a global sort-rank of both sides; Spark's
+``row_number() OVER (ORDER BY v)`` executes that on ONE partition, so
+the rank here reuses the shard_export idiom
+(operators/sampling.py::shard_export): range-repartition on the sort
+key, local sort + local row_number, one tiny per-partition count
+collect whose cumulative offsets lift local ranks to global ones.
+The reference side then collapses to a BOUNDED anchor set (its exact
+quantile rows at integer-arithmetic anchor ranks), which ships to the
+map side as a literal sorted array — the normalization itself is a
+pure projection, no join, no second shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_value_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """df + ``_rank`` (0-based, dense in input order of
+    (value, id) — a total order, so the rank is a pure function of
+    the data at any parallelism) and the total row count.  NULL
+    values are excluded (a NULL has no quantile).  Distributed: no
+    single-partition window anywhere."""
+    src = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    p = (
+        partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        src.repartitionByRange(p, F.col(value_col), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # localCheckpoint for the same two reasons shard_export documents:
+    # range boundaries are SAMPLED (recompute could re-bucket rows
+    # after the counts below are collected), and checkpoint blocks are
+    # released with the DataFrame instead of pinning an app-lifetime
+    # cache
+    ranged = ranged.localCheckpoint(eager=True)
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return ranged.withColumn("_rank", F.lit(0).cast("long")), 0
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in sorted(offsets)]),
+            F.array(*[F.lit(offsets[k]) for k in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    return (
+        ranged.withColumn(
+            "_rank", (off + F.row_number().over(w) - 1).cast("long")
+        ).drop("__pid"),
+        acc,
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    ref: DataFrame,
+    ref_value_col: str,
+    ref_id_col: str,
+    anchors: int = 101,
+) -> DataFrame:
+    """Map ``df[value_col]`` onto ``ref``'s distribution: each row
+    gets the reference value whose quantile position is the greatest
+    one ≤ the row's own percent-rank (step-function quantile mapping
+    — the backward as-of convention).
+
+    Both sides get a distributed global rank; the reference then
+    keeps only its ``anchors`` exact quantile rows — anchor ranks are
+    chosen with INTEGER arithmetic (i·(n−1) // (anchors−1)) so the
+    set is bit-identical on any engine — and those ≤``anchors`` rows
+    are collected (bounded by construction) into a literal sorted
+    array.  The mapping is then a per-row array filter + last-element
+    pick: a projection, not a join.  percent-rank = rank/(n−1)
+    (0 when n = 1), a single double division of exact integers.
+
+    Returns (id, value, pr, normalized) — pr rounded 9dp, value and
+    normalized carried verbatim (no arithmetic on either).
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    if anchors < 2:
+        raise UserException("quantile_normalize needs anchors >= 2")
+    b_ranked, n_b = global_value_rank(ref, ref_value_col, ref_id_col)
+    if n_b == 0:
+        raise UserException(
+            "quantile_normalize: reference has no non-null values"
+        )
+    anchor_ranks = sorted(
+        {i * (n_b - 1) // (anchors - 1) for i in range(anchors)}
+    )
+    anchor_rows = (
+        b_ranked.filter(F.col("_rank").isin(anchor_ranks))
+        .select(
+            "_rank", F.col(ref_value_col).cast("double").alias("_v")
+        )
+        .collect()
+    )
+    denom_b = max(n_b - 1, 1)
+    lit_anchors = F.array(
+        *[
+            F.struct(
+                F.lit(
+                    (r["_rank"] / denom_b) if n_b > 1 else 0.0
+                ).alias("pr"),
+                F.lit(r["_v"]).alias("v"),
+            )
+            for r in sorted(anchor_rows, key=lambda r: r["_rank"])
+        ]
+    )
+    a_ranked, n_a = global_value_rank(df, value_col, id_col)
+    denom_a = max(n_a - 1, 1)
+    pr = (
+        F.col("_rank").cast("double") / F.lit(float(denom_a))
+        if n_a > 1
+        else F.lit(0.0)
+    )
+    staged = a_ranked.select(
+        F.col(id_col),
+        F.col(value_col).alias("value"),
+        pr.alias("_pr"),
+    )
+    matched = F.element_at(
+        F.filter(
+            lit_anchors, lambda x: x["pr"] <= F.col("_pr")
+        ),
+        -1,
+    )
+    return staged.select(
+        id_col,
+        "value",
+        F.round(F.col("_pr"), 9).alias("pr"),
+        matched["v"].alias("normalized"),
+    )

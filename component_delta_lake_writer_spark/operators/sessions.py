@@ -630,3 +630,65 @@ def event_transitions(
             6,
         ).alias("p_transition"),
     )
+
+
+def event_path_trigrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` three-step paths across per-user event sequences —
+    the second-order extension of :func:`event_transitions`: where
+    the transition matrix answers "what comes next", the trigram
+    table answers "what FLOWS exist" (view→click→purchase vs
+    view→click→view is the difference between a working funnel and a
+    pogo-sticking one, invisible at first order).
+
+    Same shape as transitions: rows with NULL user/ts/type excluded
+    BEFORE the window, ONE user-keyed shuffle computes both lags in
+    the same window pass, one map-side-combinable groupBy collapses
+    to the ≤|types|³ path table, TakeOrdered top-k under the total
+    (n desc, steps asc) order.  Share is of ALL trigram instances
+    (window over the ≤k survivors' join side — totals come from a
+    metadata-scale aggregate, broadcast back).
+
+    Returns (step1, step2, step3, n_paths, share).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    tri = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.lag(F.col(type_col), 2).over(w).alias("step1"),
+            F.lag(F.col(type_col), 1).over(w).alias("step2"),
+            F.col(type_col).alias("step3"),
+        )
+        .filter(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    totals = tri.agg(F.sum("n_paths").alias("_total"))
+    top = tri.orderBy(
+        F.col("n_paths").desc(),
+        F.col("step1").asc(),
+        F.col("step2").asc(),
+        F.col("step3").asc(),
+    ).limit(k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "step1",
+        "step2",
+        "step3",
+        F.col("n_paths").cast("long").alias("n_paths"),
+        F.round(
+            F.col("n_paths").cast("double") / F.col("_total"), 6
+        ).alias("share"),
+    )

@@ -91,6 +91,8 @@ _FRONT = [
     "rank_eval_orders",
     "hits_top_authorities",
     "partition_advisor_orders",
+    "path_trigrams_events",
+    "quantile_normalize_orders",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

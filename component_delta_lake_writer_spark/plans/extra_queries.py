@@ -6536,3 +6536,129 @@ def partition_advisor_orders(
         max_top_share=0.5,
         min_rows_per_value=100.0,
     )
+
+
+@query(
+    "path_trigrams_events",
+    oracle="""
+    WITH h AS (
+      SELECT
+        LAG(event_type, 2) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS step1,
+        LAG(event_type, 1) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS step2,
+        event_type AS step3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT step1, step2, step3, COUNT(*) AS n
+      FROM h WHERE step1 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT SUM(n) AS total FROM g),
+    top AS (
+      SELECT step1, step2, step3, n FROM g
+      ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+      LIMIT 20
+    )
+    SELECT step1, step2, step3, CAST(n AS BIGINT) AS n_paths,
+      ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share
+    FROM top, t
+    """,
+)
+def path_trigrams_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second-order path analysis
+    (operators.sessions.event_path_trigrams): top-20 three-step
+    event flows with corpus share — both lags in ONE user-keyed
+    window pass, metadata-scale trigram table, TakeOrdered under a
+    total order."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_path_trigrams,
+    )
+
+    return event_path_trigrams(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+        k=20,
+    )
+
+
+@query(
+    "quantile_normalize_orders",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS id, o_totalprice AS v,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+          AS r,
+        COUNT(*) OVER () AS n
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    ap AS (
+      SELECT id, v,
+        CASE WHEN n > 1 THEN CAST(r AS DOUBLE) / (n - 1)
+             ELSE 0.0 END AS pr
+      FROM a
+    ),
+    b AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        ROW_NUMBER() OVER (
+          ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber
+        ) - 1 AS r,
+        COUNT(*) OVER () AS n
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    anch AS (
+      SELECT DISTINCT
+        CASE WHEN b.n > 1 THEN CAST(b.r AS DOUBLE) / (b.n - 1)
+             ELSE 0.0 END AS pr,
+        b.v
+      FROM b JOIN generate_series(0, 100) g(i)
+        ON b.r = (g.i * (b.n - 1)) // 100
+    )
+    SELECT ap.id AS o_orderkey, ap.v AS value,
+      ROUND(ap.pr, 9) AS pr, anch.v AS normalized
+    FROM ap ASOF JOIN anch ON ap.pr >= anch.pr
+    """,
+)
+def quantile_normalize_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization
+    (operators.features.quantile_normalize): order totals mapped
+    onto the line-item extended-price distribution — per-side
+    DISTRIBUTED global ranks (shard_export's offset idiom, no
+    single-partition window), the reference collapsed to 101
+    integer-arithmetic anchor quantiles shipped as a literal array,
+    the mapping a pure projection.  The oracle replays the ranks,
+    the anchor-rank integer division, and the backward as-of match
+    with DuckDB's ASOF JOIN."""
+    from component_delta_lake_writer_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+            "ref_id"
+        ),
+    )
+    return quantile_normalize(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+        li,
+        "l_extendedprice",
+        "ref_id",
+        anchors=101,
+    )

@@ -502,3 +502,71 @@ def test_partition_advisor_verdicts(spark):
     ).collect()[0]
     assert const.verdict == "no_values"
     assert const.avg_rows_per_value is None
+
+
+def test_event_path_trigrams_exact(spark):
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_path_trigrams,
+    )
+
+    rows = [
+        (1, _ts(1, 0), "A", 1), (1, _ts(1, 1), "B", 2),
+        (1, _ts(1, 2), "C", 3), (1, _ts(1, 3), "B", 4),
+        (2, _ts(1, 0), "A", 5), (2, _ts(1, 1), "B", 6),
+        (2, _ts(1, 2), "C", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        (r.step1, r.step2, r.step3): r
+        for r in event_path_trigrams(
+            df, "user_id", "ts", "event_type", tiebreak="event_id"
+        ).collect()
+    }
+    # user1: A-B-C, B-C-B; user2: A-B-C -> ABC x2, BCB x1
+    assert set(out) == {("A", "B", "C"), ("B", "C", "B")}
+    abc = out[("A", "B", "C")]
+    assert abc.n_paths == 2
+    assert abc.share == round(2 / 3, 6)
+
+
+def test_quantile_normalize_step_mapping(spark):
+    from component_delta_lake_writer_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    ref = spark.createDataFrame(
+        [(i, 100.0 * i) for i in range(1, 6)], "rid long, rv double"
+    )
+    out = {
+        r.id: r
+        for r in quantile_normalize(
+            a, "v", "id", ref, "rv", "rid", anchors=3
+        ).collect()
+    }
+    # anchor ranks {0,2,4} -> prs {0,0.5,1} -> values {100,300,500}
+    assert out[1].pr == 0.0 and out[1].normalized == 100.0
+    assert out[2].pr == 0.5 and out[2].normalized == 300.0
+    assert out[3].pr == 1.0 and out[3].normalized == 500.0
+
+
+def test_quantile_normalize_single_row_and_nulls(spark):
+    from component_delta_lake_writer_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 42.0), (2, None)], "id long, v double"
+    )
+    ref = spark.createDataFrame(
+        [(1, 7.0), (2, 9.0)], "rid long, rv double"
+    )
+    rows = quantile_normalize(
+        a, "v", "id", ref, "rv", "rid", anchors=2
+    ).collect()
+    assert len(rows) == 1  # the NULL-valued row has no quantile
+    assert rows[0].pr == 0.0 and rows[0].normalized == 7.0
