@@ -2031,15 +2031,15 @@ def stream_replicate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     src = ManagedTable(spark, os.path.join(base, "src"))
     dst = ManagedTable(spark, os.path.join(base, "dst"))
-    # % 5 = 0 row-subset (coprime with the commit moduli below): the
+    # % 10 = 0 row-subset (coprime with the commit moduli below): the
     # probe's semantics — multi-commit replication + fresh-checkpoint
     # idempotent replay — are commit-shaped, not row-count-shaped;
     # the trim keeps it under the driver's contended-host latency
-    # budget (r4: 31 s under load)
+    # budget (r4: 31 s under load; r10: 11.8 s on a slow host at %5)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("price"),
-    ).filter(F.col("o_orderkey") % 5 == 0)
+    ).filter(F.col("o_orderkey") % 10 == 0)
     k = F.col("o_orderkey")
     # source mirror deferred too: inline DV materialization is the
     # tested semantic of delta_dv_external_read/upsert_mor/
@@ -2087,7 +2087,7 @@ _O["stream_replicate_cdf"] = """
       CASE WHEN o_orderkey % 7 = 0 THEN -1.0 ELSE o_totalprice END
         AS price
     FROM orders
-    WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+    WHERE o_orderkey % 10 = 0 AND o_orderkey % 11 <> 0
 """
 
 

@@ -857,3 +857,26 @@ def test_basket_lift_reuses_basket_shuffle(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_path_trigrams_reuses_window_shuffle(spark):
+    """event_path_trigrams computes BOTH lags in one user-keyed
+    window pass (a per-lag window or join spelling would re-shuffle
+    per step); the totals branch builds ON the grouped trigram
+    subtree, so at runtime the window/groupBy exchange is REUSED —
+    the corpus scan executes once even though the pre-AQE plan shows
+    two logical branches."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        event_path_trigrams,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    df = event_path_trigrams(
+        load_table(spark, SF_SMALL, "events"),
+        "user_id", "ts", "event_type", tiebreak="event_id",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, plan  # trigram branch + totals
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
