@@ -1,0 +1,99 @@
+"""Experimentation analytics: the statistics an A/B readout needs
+before a launch decision. The reference writes tables; the teams
+consuming those tables run exactly this readout on day one.
+
+Spark-first shape: one corpus scan to per-unit outcomes, one grouped
+aggregation to the 2-row arm table, and the test statistic as a fixed
+double expression over exact counts — so the z-score is bit-identical
+at any parallelism and engine-portable (the same determinism bar as
+the zscore/corr operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from component_delta_lake_writer_spark.errors import UserException
+
+# two-sided 5% critical value of the standard normal — a literal so
+# both engines compare against the identical constant
+Z_CRIT_5PCT = 1.959964
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z-test over per-unit outcomes: ``df`` is one
+    row per experimental unit with its arm (``group_col``, exactly
+    two distinct non-null values) and binary outcome
+    (``success_col``, 0/1) — the conversion-rate readout.
+
+    The arm table is a 2-row aggregate; arms are ordered by group
+    value so "a"/"b" assignment is deterministic.  z uses the pooled
+    standard error (the classical test); it is NULL when the pooled
+    rate is degenerate (0 or 1 — no variance, the test is undefined)
+    or an arm is empty.  ``significant`` compares |z| against the
+    two-sided 5% critical value as an int (1/0) so the row stays
+    hash-comparable.
+
+    Returns ONE row: (group_a, n_a, conv_a, rate_a, group_b, n_b,
+    conv_b, rate_b, abs_lift, z, significant) — rates/lift/z rounded
+    6dp.
+    """
+    arms = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(success_col).cast("long")).alias("_s"),
+        )
+    )
+    found = [r["_g"] for r in arms.select("_g").limit(3).collect()]
+    if len(found) != 2:
+        raise UserException(
+            f"two_proportion_ztest needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+
+    def _pick(g, col):
+        return F.max(F.when(F.col("_g") == g, F.col(col)))
+
+    row = arms.agg(
+        _pick(ga, "_n").alias("n_a"),
+        _pick(ga, "_s").alias("conv_a"),
+        _pick(gb, "_n").alias("n_b"),
+        _pick(gb, "_s").alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a")
+            + F.lit(1.0) / F.col("n_b")
+        )
+    )
+    z = F.when(
+        (pooled > 0) & (pooled < 1), F.round((rb - ra) / se, 6)
+    )
+    return row.select(
+        F.lit(ga).alias("group_a"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("abs_lift"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -561,3 +561,85 @@ def seasonal_outliers(
         F.col("value"),
         F.col("zscore"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: hourly value-sums after
+    ``split_ts`` are predicted by the mean hourly sum of the SAME
+    hour-of-week cell before it, and scored with MAE/MAPE — the
+    capacity-planning baseline every "should we buy a model" question
+    starts from (a model that can't beat same-hour-last-weeks isn't a
+    model).
+
+    ONE corpus scan collapses rows to hourly sums; the time split,
+    the ≤168-cell training means, the test join (broadcast — the
+    train side is the cell table) and the error aggregation all run
+    on the hourly/metadata scale.  Exactness: hourly sums and error
+    terms ride the round→DECIMAL idiom so MAE/MAPE are order-free;
+    test hours whose cell never occurred in training are counted in
+    ``n_test_hours`` − ``n_scored``, not silently dropped; MAPE
+    skips zero-actual hours (undefined there).
+
+    Returns ONE row: (n_test_hours, n_scored, mae, mape) — rounded
+    6dp.
+    """
+    hours = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(24,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("v")
+        )
+        .select(
+            "h",
+            "v",
+            ((F.dayofweek("h") + F.lit(5)) % 7 + 1).alias("dow"),
+            F.hour("h").alias("hod"),
+        )
+    )
+    split = F.lit(split_ts).cast("timestamp")
+    cells = (
+        hours.filter(F.col("h") < split)
+        .groupBy("dow", "hod")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pred")
+        )
+    )
+    test = hours.filter(F.col("h") >= split)
+    scored = test.join(F.broadcast(cells), ["dow", "hod"], "left")
+    ae = F.round(F.abs(F.col("v") - F.col("pred")), 6)
+    ape = F.when(
+        F.col("v") != 0,
+        F.round(
+            F.abs(F.col("v") - F.col("pred")) / F.abs(F.col("v")), 6
+        ),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_hours"),
+        F.count("pred").cast("long").alias("n_scored"),
+        F.round(
+            F.sum(ae.cast("decimal(24,6)")).cast("double")
+            / F.count("pred"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(ape.cast("decimal(24,6)")).cast("double")
+            / F.count(ape),
+            6,
+        ).alias("mape"),
+    )

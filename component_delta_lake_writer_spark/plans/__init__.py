@@ -93,6 +93,8 @@ _FRONT = [
     "partition_advisor_orders",
     "path_trigrams_events",
     "quantile_normalize_orders",
+    "ab_test_events",
+    "forecast_backtest_events",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

@@ -6662,3 +6662,138 @@ def quantile_normalize_orders(
         "ref_id",
         anchors=101,
     )
+
+
+@query(
+    "ab_test_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS g,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS succ
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    g AS (SELECT g, COUNT(*) AS n, SUM(succ) AS s FROM u GROUP BY 1),
+    p AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN n END) AS n_a,
+        MAX(CASE WHEN g = '0' THEN s END) AS conv_a,
+        MAX(CASE WHEN g = '1' THEN n END) AS n_b,
+        MAX(CASE WHEN g = '1' THEN s END) AS conv_b
+      FROM g
+    ),
+    r AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+        CAST(conv_a AS DOUBLE) / n_a AS ra,
+        CAST(conv_b AS DOUBLE) / n_b AS rb,
+        CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+      FROM p
+    ),
+    zr AS (
+      SELECT *,
+        CASE WHEN pp > 0 AND pp < 1 THEN
+          ROUND((rb - ra)
+            / SQRT(pp * (1.0 - pp)
+                   * (1.0 / n_a + 1.0 / n_b)), 6)
+        END AS z
+      FROM r
+    )
+    SELECT '0' AS group_a, CAST(n_a AS BIGINT) AS n_a,
+      CAST(conv_a AS BIGINT) AS conv_a, ROUND(ra, 6) AS rate_a,
+      '1' AS group_b, CAST(n_b AS BIGINT) AS n_b,
+      CAST(conv_b AS BIGINT) AS conv_b, ROUND(rb, 6) AS rate_b,
+      ROUND(rb - ra, 6) AS abs_lift, z,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zr
+    """,
+)
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test
+    (operators.experiments.two_proportion_ztest): users split by id
+    parity, outcome = did-purchase — per-unit outcomes in one scan,
+    the 2-row arm table pivoted into a single readout row, z as a
+    fixed double expression over exact counts (pooled SE, NULL on a
+    degenerate pooled rate), significance vs the literal two-sided
+    5% critical value."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    units = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+            ).alias("succ")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("grp"),
+            "succ",
+        )
+    )
+    return two_proportion_ztest(units, "grp", "succ")
+
+
+@query(
+    "forecast_backtest_events",
+    oracle="""
+    WITH hrs AS (
+      SELECT date_trunc('hour', ts) AS h,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6)
+          AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    hx AS (
+      SELECT h, v, CAST(isodow(h) AS INT) AS dow,
+        CAST(EXTRACT(hour FROM h) AS INT) AS hod
+      FROM hrs
+    ),
+    c AS (
+      SELECT dow, hod,
+        ROUND(CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE)
+              / COUNT(*), 6) AS pred
+      FROM hx WHERE h < TIMESTAMP '2024-01-24 00:00:00'
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT hx.v, c.pred
+      FROM hx LEFT JOIN c USING (dow, hod)
+      WHERE hx.h >= TIMESTAMP '2024-01-24 00:00:00'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_hours,
+      CAST(COUNT(pred) AS BIGINT) AS n_scored,
+      ROUND(CAST(SUM(CAST(ROUND(ABS(v - pred), 6)
+            AS DECIMAL(24,6))) AS DOUBLE) / COUNT(pred), 6) AS mae,
+      ROUND(CAST(SUM(CAST(CASE WHEN v <> 0
+              THEN ROUND(ABS(v - pred) / ABS(v), 6) END
+            AS DECIMAL(24,6))) AS DOUBLE)
+        / COUNT(CASE WHEN v <> 0
+              THEN ROUND(ABS(v - pred) / ABS(v), 6) END), 6)
+        AS mape
+    FROM t
+    """,
+)
+def forecast_backtest_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest
+    (operators.timeseries.forecast_backtest): the last week of
+    hourly value-sums predicted by the hour-of-week training means,
+    scored with decimal-exact MAE/MAPE.  One corpus scan; split,
+    cells, join and errors all run on the hourly/metadata scale."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        forecast_backtest,
+    )
+
+    return forecast_backtest(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "value",
+        "2024-01-24 00:00:00",
+    )

@@ -570,3 +570,74 @@ def test_quantile_normalize_single_row_and_nulls(spark):
     ).collect()
     assert len(rows) == 1  # the NULL-valued row has no quantile
     assert rows[0].pr == 0.0 and rows[0].normalized == 7.0
+
+
+def test_two_proportion_ztest_exact(spark):
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    # arm a: 2/4 convert; arm b: 4/5 convert
+    rows = [("a", 1), ("a", 1), ("a", 0), ("a", 0),
+            ("b", 1), ("b", 1), ("b", 1), ("b", 1), ("b", 0)]
+    df = spark.createDataFrame(rows, "grp string, succ int")
+    r = two_proportion_ztest(df, "grp", "succ").collect()[0]
+    assert (r.group_a, r.n_a, r.conv_a) == ("a", 4, 2)
+    assert (r.group_b, r.n_b, r.conv_b) == ("b", 5, 4)
+    ra, rb = 0.5, 0.8
+    pp = 6 / 9
+    z = (rb - ra) / math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 5))
+    assert abs(r.z - z) < 1e-5
+    assert r.abs_lift == round(rb - ra, 6)
+    assert r.significant == 0  # |z| ~ 0.95 < 1.96
+
+
+def test_two_proportion_ztest_guards(spark):
+    import pytest
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    # degenerate pooled rate (all failures): z undefined, not NaN
+    rows = [("a", 0), ("a", 0), ("b", 0)]
+    df = spark.createDataFrame(rows, "grp string, succ int")
+    r = two_proportion_ztest(df, "grp", "succ").collect()[0]
+    assert r.z is None and r.significant == 0
+
+    three = spark.createDataFrame(
+        [("a", 1), ("b", 0), ("c", 1)], "grp string, succ int"
+    )
+    with pytest.raises(UserException):
+        two_proportion_ztest(three, "grp", "succ")
+
+
+def test_forecast_backtest_perfect_seasonality(spark):
+    """A perfectly weekly-periodic series backtests to MAE 0; an
+    unseen test cell shows up in n_test_hours - n_scored."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        forecast_backtest,
+    )
+
+    rows = []
+    # 2026-01-05 is a Monday; hours 0 and 1, value = 10*(hod+1),
+    # repeated for 3 Mondays (train) + a 4th Monday (test)
+    for week in range(4):
+        day = 5 + 7 * week
+        for hod in (0, 1):
+            rows.append(
+                (dt.datetime(2026, 1, day, hod), 10.0 * (hod + 1))
+            )
+    # test-only cell: a Tuesday hour that never occurs in training
+    rows.append((dt.datetime(2026, 1, 27, 3), 99.0))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = forecast_backtest(
+        df, "ts", "value", "2026-01-26 00:00:00"
+    ).collect()[0]
+    assert r.n_test_hours == 3
+    assert r.n_scored == 2
+    assert r.mae == 0.0
+    assert r.mape == 0.0
