@@ -97,3 +97,86 @@ def two_proportion_ztest(
             (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns: the "are these actually related" screen behind feature
+    selection and segment analysis (does order priority depend on
+    status, does document language depend on source).
+
+    ONE map-side-combinable groupBy collapses the corpus to the
+    observed |a|×|b| contingency cells; marginals ride two
+    metadata-scale aggregations broadcast back.  Zero-observed cells
+    are NOT enumerated: their total contribution is Σ_unobserved e =
+    N − Σ_observed e (each contributes (0−e)²/e = e), so the
+    statistic is exact without materializing the full cross product
+    — the detail that keeps a 10⁴×10⁴ sparse table from exploding.
+    Per-cell terms are rounded to 9dp and summed as DECIMAL
+    (order-free); dof = (|a|−1)(|b|−1).
+
+    Returns ONE row: (n_rows, n_levels_a, n_levels_b, dof, chi2) —
+    chi2 rounded 6dp, NULL when dof = 0 (a single-level column has
+    no independence to test).
+    """
+    cells = (
+        df.filter(
+            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        )
+        .groupBy(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    from pyspark.sql import Window
+
+    # marginals via windows over the METADATA-SCALE cell table (a
+    # join-back spelling self-joins the cells subtree and trips
+    # Spark's ambiguous-lineage analysis; windows need no second
+    # reference)
+    w_a = Window.partitionBy("_a")
+    w_b = Window.partitionBy("_b")
+    w_all = Window.partitionBy()
+    staged = cells.select(
+        "_a",
+        "_b",
+        "_n",
+        F.sum("_n").over(w_a).alias("_ra"),
+        F.sum("_n").over(w_b).alias("_cb"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb")
+        / F.col("_tot")
+    )
+    terms = staged.select(
+        "_a",
+        "_b",
+        "_n",
+        F.round((F.col("_n") - e) * (F.col("_n") - e) / e, 9)
+        .cast("decimal(24,9)")
+        .alias("_t"),
+        F.round(e, 9).cast("decimal(24,9)").alias("_e"),
+    )
+    agg = terms.agg(
+        F.sum("_n").alias("_rows"),
+        F.countDistinct("_a").alias("_ka"),
+        F.countDistinct("_b").alias("_kb"),
+        F.sum("_t").alias("_st"),
+        F.sum("_e").alias("_se"),
+    )
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    chi2 = F.col("_st").cast("double") + (
+        F.col("_rows") - F.col("_se").cast("double")
+    )
+    return agg.select(
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.col("_ka").cast("long").alias("n_levels_a"),
+        F.col("_kb").cast("long").alias("n_levels_b"),
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0, F.round(chi2, 6)).alias("chi2"),
+    )

@@ -692,3 +692,103 @@ def event_path_trigrams(
             F.col("n_paths").cast("double") / F.col("_total"), 6
         ).alias("share"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier user-lifetime survival curve: P(a user is still
+    active after t days) with right-censoring — the churn analysis
+    that cohort retention approximates but gets wrong near the
+    observation edge (a user last seen yesterday hasn't churned;
+    counting them as dead biases every retention number down).
+
+    Lifetime = whole days between a user's first and last event.
+    Users whose last event falls within ``censor_days`` of the
+    corpus's last day are CENSORED at their observed lifetime (still
+    alive as far as the data can say); everyone else's last event is
+    their churn.  One corpus scan to per-user (first, last); the
+    curve itself runs over |distinct lifetimes| rows (metadata-scale
+    ordered windows, like CUSUM).  At-risk counts are suffix sums;
+    the survival product folds as exp(Σ ln(1 − d/n)) with the log
+    terms rounded 9dp and summed as DECIMAL, so the curve is
+    order-free and engine-portable.
+
+    Returns one row per distinct event time with deaths:
+    (t_days, n_at_risk, n_deaths, n_censored, survival 6dp).
+    """
+    users = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.min(F.to_date(ts_col)).alias("_first"),
+            F.max(F.to_date(ts_col)).alias("_last"),
+        )
+    )
+    horizon = users.agg(F.max("_last").alias("_end"))
+    staged = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("_last", "_first").alias("t"),
+        (
+            F.datediff("_end", "_last") < F.lit(censor_days)
+        ).alias("_censored"),
+    )
+    by_t = staged.groupBy("t").agg(
+        F.sum(F.when(~F.col("_censored"), 1).otherwise(0)).alias(
+            "d"
+        ),
+        F.sum(F.when(F.col("_censored"), 1).otherwise(0)).alias(
+            "c"
+        ),
+    )
+    w_ord = Window.orderBy("t")
+    w_suffix = w_ord.rowsBetween(0, Window.unboundedFollowing)
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    curve = by_t.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_suffix).alias("n"),
+    ).select(
+        "*",
+        # guard d = n EXPLICITLY (ln(0) = -inf; Spark's decimal cast
+        # nulls it but DuckDB's raises — both sides get NULL by
+        # construction, and the survival short-circuit below owns
+        # that row)
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n")
+                ),
+                9,
+            ),
+        )
+        .cast("decimal(18,9)")
+        .alias("_lnterm"),
+    )
+    # d = n only at the final time with no censored survivors:
+    # ln(0) -> -inf; survival is exactly 0 there — short-circuit
+    # instead of feeding -inf into the decimal sum
+    surv = F.when(
+        F.col("d") == F.col("n"), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.exp(F.sum("_lnterm").over(w_prefix).cast("double")), 6
+        )
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("int").alias("t_days"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_deaths"),
+            F.col("c").cast("long").alias("n_censored"),
+            surv.alias("survival"),
+        )
+    )

@@ -95,6 +95,8 @@ _FRONT = [
     "quantile_normalize_orders",
     "ab_test_events",
     "forecast_backtest_events",
+    "chi2_independence_orders",
+    "km_survival_events",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

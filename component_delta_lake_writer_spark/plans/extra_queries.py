@@ -6797,3 +6797,136 @@ def forecast_backtest_events(
         "value",
         "2024-01-24 00:00:00",
     )
+
+
+@query(
+    "chi2_independence_orders",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+        COUNT(*) AS n
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(n) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT b, SUM(n) AS cb FROM cells GROUP BY 1),
+    tot AS (
+      SELECT SUM(n) AS N, COUNT(DISTINCT a) AS ka,
+        COUNT(DISTINCT b) AS kb
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND((cells.n - CAST(ra.ra AS DOUBLE) * cb.cb / tot.N)
+          * (cells.n - CAST(ra.ra AS DOUBLE) * cb.cb / tot.N)
+          / (CAST(ra.ra AS DOUBLE) * cb.cb / tot.N), 9)
+          AS DECIMAL(24,9)) AS t,
+        CAST(ROUND(CAST(ra.ra AS DOUBLE) * cb.cb / tot.N, 9)
+          AS DECIMAL(24,9)) AS e,
+        tot.N, tot.ka, tot.kb
+      FROM cells
+      JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    )
+    SELECT CAST(N AS BIGINT) AS n_rows,
+      CAST(ka AS BIGINT) AS n_levels_a,
+      CAST(kb AS BIGINT) AS n_levels_b,
+      CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+      CASE WHEN (ka - 1) * (kb - 1) > 0 THEN
+        ROUND(CAST(SUM(t) AS DOUBLE)
+              + (N - CAST(SUM(e) AS DOUBLE)), 6)
+      END AS chi2
+    FROM terms GROUP BY N, ka, kb
+    """,
+)
+def chi2_independence_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square independence test
+    (operators.experiments.chi2_independence): order status ×
+    priority — observed cells in one groupBy, zero-observed cells
+    folded in analytically as N − Σ observed expectations (never a
+    materialized cross product), 9dp-decimal term sums."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        chi2_independence,
+    )
+
+    return chi2_independence(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+@query(
+    "km_survival_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+        MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 7) AS cen
+      FROM u, hz
+    ),
+    g AS (
+      SELECT t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1
+    ),
+    k AS (
+      SELECT t, d, c,
+        SUM(d + c) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM g
+    ),
+    k2 AS (
+      SELECT t, d, c, n,
+        CASE WHEN d < n THEN
+          CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n), 9)
+            AS DECIMAL(18,9))
+        END AS lt
+      FROM k
+    ),
+    k3 AS (
+      SELECT t, d, c, n,
+        CASE WHEN d = n THEN 0.0
+             ELSE ROUND(EXP(CAST(SUM(lt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE)), 6)
+        END AS survival
+      FROM k2
+    )
+    SELECT CAST(t AS INT) AS t_days,
+      CAST(n AS BIGINT) AS n_at_risk,
+      CAST(d AS BIGINT) AS n_deaths,
+      CAST(c AS BIGINT) AS n_censored,
+      survival
+    FROM k3 WHERE d > 0
+    """,
+)
+def km_survival_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan–Meier survival (operators.sessions.km_survival): user
+    lifetimes in days with right-censoring inside the final 7 days
+    of the corpus — at-risk suffix sums, survival as
+    exp(Σ 9dp-rounded ln terms) with the d=n final row
+    short-circuited to exactly 0 on both engines."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        km_survival,
+    )
+
+    return km_survival(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        censor_days=7,
+    )

@@ -641,3 +641,59 @@ def test_forecast_backtest_perfect_seasonality(spark):
     assert r.n_scored == 2
     assert r.mae == 0.0
     assert r.mape == 0.0
+
+
+def test_chi2_independence_folds_zero_cells(spark):
+    from component_delta_lake_writer_spark.operators.experiments import (
+        chi2_independence,
+    )
+
+    # 2x2 with the (b, y) cell EMPTY: the analytic fold must still
+    # price it (chi2 = 25/15 + 5 + 25/15 + 5 = 13.333333)
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 10 + [("b", "x")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert (r.n_rows, r.n_levels_a, r.n_levels_b, r.dof) == (
+        40, 2, 2, 1,
+    )
+    assert r.chi2 == round(25 / 15 + 5 + 25 / 15 + 5, 6)
+
+    single = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "a string, b string"
+    )
+    d = chi2_independence(single, "a", "b").collect()[0]
+    assert d.dof == 0 and d.chi2 is None
+
+
+def test_km_survival_hand_curve(spark):
+    from component_delta_lake_writer_spark.operators.sessions import (
+        km_survival,
+    )
+
+    def ev(uid, day):
+        return (uid, dt.datetime(2026, 1, day, 12))
+
+    rows = [
+        ev(1, 10), ev(1, 11),   # t=1, dead
+        ev(2, 10), ev(2, 12),   # t=2, dead
+        ev(3, 28), ev(3, 30),   # t=2, censored (last = corpus end)
+        ev(4, 5), ev(4, 10),    # t=5, dead
+        ev(5, 29),              # t=0, censored (within 2d of end)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.t_days: r
+        for r in km_survival(df, "user_id", "ts", censor_days=2)
+        .collect()
+    }
+    assert set(out) == {1, 2, 5}  # t=0 is censor-only, no row
+    assert (out[1].n_at_risk, out[1].n_deaths, out[1].n_censored) == (
+        4, 1, 0,
+    )
+    assert out[1].survival == 0.75
+    assert (out[2].n_at_risk, out[2].n_censored) == (3, 1)
+    assert out[2].survival == 0.5
+    # final time: everyone remaining dies -> exactly 0, not exp(-inf)
+    assert (out[5].n_at_risk, out[5].survival) == (1, 0.0)
