@@ -180,3 +180,98 @@ def chi2_independence(
         dof.cast("long").alias("dof"),
         F.when(dof > 0, F.round(chi2, 6)).alias("chi2"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test over a continuous
+    metric: the nonparametric A/B readout for skewed metrics where
+    the t/z machinery's normality assumption is junk (latency,
+    revenue-per-user, tokens-per-document — all heavy-tailed).
+
+    Scale shape: the corpus collapses to ONE row per distinct metric
+    value (tie count + per-arm tie count); midranks come from a
+    DISTRIBUTED exclusive cumsum over those distinct values
+    (features.global_weighted_cumsum — the shard_export offset
+    idiom, never a single-partition window), and the rank sums are
+    INTEGER-exact: midrank·2 = 2·(#strictly-smaller) + t + 1 is an
+    integer, so 2·R_a and 2·U_a accumulate as exact longs and the
+    test statistic is bit-identical at any parallelism.  The normal
+    approximation carries the standard tie correction
+    Σ(t³−t)/(N(N−1)) — summed as DECIMAL so a heavy tie can't
+    overflow; z is NULL when the variance degenerates (all values
+    tied).
+
+    Returns ONE row: (group_a, n_a, group_b, n_b, u_a, u_b, z,
+    significant) — z rounded 6dp, significance vs the two-sided 5%
+    critical value as int.
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    found = [
+        r["_g"]
+        for r in src.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"mann_whitney_u needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, _gb = sorted(found)
+    per_value = src.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(
+            F.when(F.col("_g") == ga, 1).otherwise(0)
+        ).alias("_ta"),
+    )
+    cum = global_weighted_cumsum(per_value, "_v", "_t")
+    # 2·midrank is integer: 2·cum + t + 1
+    mr2 = F.lit(2) * F.col("_cum") + F.col("_t") + F.lit(1)
+    agg = cum.agg(
+        F.sum("_t").alias("_N"),
+        F.sum("_ta").alias("_na"),
+        F.sum(F.col("_ta") * mr2).alias("_r2a"),
+        F.sum(
+            (
+                F.col("_t").cast("decimal(20,0)")
+                * F.col("_t")
+                * F.col("_t")
+                - F.col("_t")
+            ).cast("decimal(38,0)")
+        ).alias("_ties"),
+    )
+    n_a = F.col("_na")
+    n_b = F.col("_N") - F.col("_na")
+    u_a = (
+        F.col("_r2a").cast("double") - n_a * (n_a + 1)
+    ) / F.lit(2.0)
+    mu = n_a.cast("double") * n_b / F.lit(2.0)
+    var = (
+        n_a.cast("double") * n_b / F.lit(12.0)
+    ) * (
+        (F.col("_N") + 1)
+        - F.col("_ties").cast("double")
+        / (F.col("_N").cast("double") * (F.col("_N") - 1))
+    )
+    z = F.when(var > 0, F.round((u_a - mu) / F.sqrt(var), 6))
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        n_a.cast("long").alias("n_a"),
+        F.lit(_gb).alias("group_b"),
+        n_b.cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        (n_a.cast("double") * n_b - u_a).alias("u_b"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

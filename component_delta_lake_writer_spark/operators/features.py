@@ -163,3 +163,64 @@ def quantile_normalize(
         F.round(F.col("_pr"), 9).alias("pr"),
         matched["v"].alias("normalized"),
     )
+
+
+def global_weighted_cumsum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """df + ``_cum``: the EXCLUSIVE prefix sum of ``weight_col`` in
+    ``order_col`` order (how much weight lies strictly before this
+    row) — the weighted generalization of :func:`global_value_rank`,
+    computed the same distributed way: range-repartition on the
+    order key, local window cumsum per partition, one tiny
+    per-partition weight-total collect whose cumulative offsets lift
+    local sums to global ones.  ``order_col`` must be unique per row
+    (the caller passes DISTINCT values — e.g. one row per distinct
+    metric value with its tie count as the weight, which is exactly
+    the midrank computation's input).  Weights accumulate as long."""
+    p = (
+        partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        df.repartitionByRange(p, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r["w"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if not offsets:
+        return ranged.withColumn("_cum", F.lit(0).cast("long"))
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in sorted(offsets)]),
+            F.array(*[F.lit(offsets[k]) for k in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ranged.withColumn(
+        "_cum",
+        (
+            off
+            + F.coalesce(
+                F.sum(F.col(weight_col).cast("long")).over(w),
+                F.lit(0),
+            )
+        ).cast("long"),
+    ).drop("__pid")

@@ -97,6 +97,7 @@ _FRONT = [
     "forecast_backtest_events",
     "chi2_independence_orders",
     "km_survival_events",
+    "mann_whitney_orders",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

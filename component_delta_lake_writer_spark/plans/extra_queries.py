@@ -6930,3 +6930,83 @@ def km_survival_events(
         "ts",
         censor_days=7,
     )
+
+
+@query(
+    "mann_whitney_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        FLOOR(o_totalprice / 1000) AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, COUNT(*) AS t,
+        SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS ta
+      FROM src GROUP BY 1
+    ),
+    c AS (
+      SELECT v, t, ta,
+        COALESCE(SUM(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum
+      FROM pv
+    ),
+    a AS (
+      SELECT SUM(t) AS N, SUM(ta) AS na,
+        SUM(ta * (2 * cum + t + 1)) AS r2a,
+        SUM(CAST(CAST(t AS DECIMAL(20,0)) * t * t - t
+          AS DECIMAL(38,0))) AS ties
+      FROM c
+    ),
+    f AS (
+      SELECT N, na, N - na AS nb,
+        (CAST(r2a AS DOUBLE) - na * (na + 1)) / 2.0 AS ua,
+        ties
+      FROM a
+    ),
+    v2 AS (
+      SELECT *,
+        (CAST(na AS DOUBLE) * nb / 12.0)
+          * ((N + 1) - CAST(ties AS DOUBLE)
+             / (CAST(N AS DOUBLE) * (N - 1))) AS var
+      FROM f
+    ),
+    z2 AS (
+      SELECT *,
+        CASE WHEN var > 0 THEN
+          ROUND((ua - CAST(na AS DOUBLE) * nb / 2.0)
+                / SQRT(var), 6)
+        END AS z
+      FROM v2
+    )
+    SELECT '0' AS group_a, CAST(na AS BIGINT) AS n_a,
+      '1' AS group_b, CAST(nb AS BIGINT) AS n_b,
+      ua AS u_a,
+      CAST(na AS DOUBLE) * nb - ua AS u_b,
+      z,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM z2
+    """,
+)
+def mann_whitney_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann–Whitney U test
+    (operators.experiments.mann_whitney_u): order totals bucketed to
+    1000s (real ties) split by orderkey parity — distinct-value tie
+    counts, DISTRIBUTED exclusive cumsum midranks (integer-exact
+    2·midrank), tie-corrected normal approximation.  The oracle
+    replays the cumsum with a window over the distinct values and
+    the identical statistic tree."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_u,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
+    )
+    return mann_whitney_u(o, "grp", "bucket")

@@ -697,3 +697,35 @@ def test_km_survival_hand_curve(spark):
     assert out[2].survival == 0.5
     # final time: everyone remaining dies -> exactly 0, not exp(-inf)
     assert (out[5].n_at_risk, out[5].survival) == (1, 0.0)
+
+
+def test_mann_whitney_exact_with_ties(spark):
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_u,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney_u(df, "grp", "v").collect()[0]
+    assert (r.group_a, r.n_a, r.group_b, r.n_b) == ("a", 3, "b", 2)
+    # midranks: 1 -> 1; 2 -> 3 (ranks 2,3,4); 3 -> 5
+    # R_a = 1 + 2*3 = 7 ; U_a = 7 - 3*4/2 = 1 ; U_b = 6 - 1 = 5
+    assert r.u_a == 1.0 and r.u_b == 5.0
+    ties = 3**3 - 3
+    var = (3 * 2 / 12) * ((5 + 1) - ties / (5 * 4))
+    z = (1.0 - 3.0) / math.sqrt(var)
+    assert abs(r.z - z) < 1e-5
+    assert r.significant == 0
+
+
+def test_mann_whitney_all_tied_degenerate(spark):
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_u,
+    )
+
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney_u(df, "grp", "v").collect()[0]
+    assert r.z is None and r.significant == 0
