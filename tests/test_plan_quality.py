@@ -880,3 +880,34 @@ def test_path_trigrams_reuses_window_shuffle(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_mann_whitney_uses_distributed_cumsum(spark):
+    """mann_whitney_u's midranks must come from the range-partitioned
+    offset cumsum — NOT a `row_number() OVER (ORDER BY v)` global
+    window, which Spark executes on one partition. The plan therefore
+    contains a rangepartitioning exchange and NO unpartitioned
+    running window over the distinct-value rows."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_u,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).alias("v"),
+    )
+    df = mann_whitney_u(o, "grp", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the range-partitioned checkpoint truncates lineage (Scan
+    # ExistingRDD), so the rangepartitioning exchange itself is not
+    # in THIS plan — the lock-worthy signal is the cumsum window
+    # being PARTITIONED BY the checkpointed pid, never unpartitioned
+    assert "Scan ExistingRDD" in plan, plan
+    assert "windowspecdefinition(__pid" in plan, plan
+    # exactly the one pid-partitioned cumsum window (the final 1-row
+    # aggregate legitimately lands on a SinglePartition exchange; a
+    # SECOND window would be the global-sort regression)
+    assert plan.count("Window") <= 1, plan

@@ -1007,3 +1007,111 @@ def test_basket_lift_matches_bruteforce(spark, rows):
         assert r.n_baskets == n_baskets
         want_lift = model[(a, b)] * n_baskets / (item_n[a] * item_n[b])
         assert abs(r.lift - want_lift) < 1e-6
+
+
+_MW_ROWS = st.lists(
+    st.tuples(
+        st.booleans(),                            # arm
+        st.integers(min_value=0, max_value=6),    # value (ties!)
+    ),
+    min_size=4,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_MW_ROWS)
+def test_mann_whitney_matches_bruteforce(spark, rows):
+    """Distributed midrank U == the textbook midrank model for ANY
+    two-arm sample with ties."""
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_u,
+    )
+
+    arms = {a for a, _ in rows}
+    assume(len(arms) == 2)
+    vals = sorted(v for _, v in rows)
+    # textbook midranks: 1-based average rank per tied value
+    midrank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        midrank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    a_vals = [v for a, v in rows if not a]   # arm "false" sorts first
+    n_a, n_b = len(a_vals), len(rows) - len(a_vals)
+    r_a = sum(midrank[v] for v in a_vals)
+    u_a = r_a - n_a * (n_a + 1) / 2
+
+    df = spark.createDataFrame(
+        [(str(a).lower(), float(v)) for a, v in rows],
+        "grp string, v double",
+    )
+    r = mann_whitney_u(df, "grp", "v").collect()[0]
+    assert (r.group_a, r.n_a, r.n_b) == ("false", n_a, n_b)
+    assert r.u_a == u_a
+    assert r.u_b == n_a * n_b - u_a
+
+
+_QN_ROWS = st.lists(
+    st.integers(min_value=-20, max_value=20), min_size=1, max_size=25
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a_vals=_QN_ROWS, b_vals=_QN_ROWS)
+def test_quantile_normalize_matches_bruteforce(spark, a_vals, b_vals):
+    """Distributed-rank + anchor-array mapping == the plain-python
+    step-function model for ANY pair of samples (anchors ≥ |B| so no
+    anchor subsampling hides a rank bug)."""
+    from component_delta_lake_writer_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    n_a, n_b = len(a_vals), len(b_vals)
+    a_sorted = sorted(enumerate(a_vals), key=lambda t: (t[1], t[0]))
+    b_sorted = sorted(b_vals)
+    anchors = max(n_b, 2)
+    anchor_ranks = sorted(
+        {i * (n_b - 1) // (anchors - 1) for i in range(anchors)}
+    )
+    anchor_prs = [
+        (r / (n_b - 1) if n_b > 1 else 0.0, float(b_sorted[r]))
+        for r in anchor_ranks
+    ]
+    model = {}
+    for rank, (idx, v) in enumerate(a_sorted):
+        pr = rank / (n_a - 1) if n_a > 1 else 0.0
+        best = max(
+            (p for p in anchor_prs if p[0] <= pr),
+            key=lambda p: p[0],
+        )
+        model[idx] = best[1]
+
+    a_df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(a_vals)],
+        "id long, v double",
+    )
+    b_df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(b_vals)],
+        "rid long, rv double",
+    )
+    got = {
+        r.id: r.normalized
+        for r in quantile_normalize(
+            a_df, "v", "id", b_df, "rv", "rid", anchors=anchors
+        ).collect()
+    }
+    assert got == model
