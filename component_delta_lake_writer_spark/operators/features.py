@@ -224,3 +224,51 @@ def global_weighted_cumsum(
             )
         ).cast("long"),
     ).drop("__pid")
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str, id_col: str
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative column: 0 =
+    perfectly even, →1 = one unit holds everything — the
+    concentration diagnostic behind "is this corpus dominated by a
+    handful of sources" and "does 1% of customers carry the revenue"
+    (domain concentration is a training-data risk the mixture quotas
+    exist to fix; this measures it).
+
+    Uses the sorted-rank identity G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n
+    (rank 1-based ascending) over the DISTRIBUTED global rank — the
+    same no-single-partition-sort machinery as quantile_normalize.
+    Σ(rank·x) accumulates as DECIMAL (exact, order-free), so G is a
+    fixed double expression over exact sums.  Values must be
+    non-negative (the identity's precondition — the caller owns the
+    filter); NULL values/ids are excluded by the rank.
+
+    Returns ONE row: (n_rows, total, gini) — total 6dp, gini 6dp,
+    NULL gini when n < 2 or Σx = 0.
+    """
+    ranked, n = global_value_rank(df, value_col, id_col)
+    agg = ranked.agg(
+        F.sum(
+            (F.col("_rank") + 1).cast("decimal(18,0)")
+            * F.col(value_col).cast("decimal(18,6)")
+        ).alias("_sxr"),
+        F.sum(F.col(value_col).cast("decimal(24,6)")).alias("_sx"),
+    )
+    g = (
+        F.lit(2.0)
+        * F.col("_sxr").cast("double")
+        / (F.lit(n) * F.col("_sx").cast("double"))
+        - (F.lit(n) + 1.0) / F.lit(n)
+    ) if n > 0 else F.lit(None)
+    return agg.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.round(F.col("_sx").cast("double"), 6).alias("total"),
+        (
+            F.when(
+                (F.lit(n) >= 2) & (F.col("_sx") > 0), F.round(g, 6)
+            )
+            if n > 0
+            else F.lit(None).cast("double")
+        ).alias("gini"),
+    )

@@ -98,6 +98,7 @@ _FRONT = [
     "chi2_independence_orders",
     "km_survival_events",
     "mann_whitney_orders",
+    "gini_orders",
     "corr_matrix_orders",
     "funnel_window_events",
     "jpeg_meta_parse",

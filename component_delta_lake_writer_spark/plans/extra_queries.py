@@ -7010,3 +7010,47 @@ def mann_whitney_orders(
         F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
     )
     return mann_whitney_u(o, "grp", "bucket")
+
+
+@query(
+    "gini_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS x,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+        COUNT(*) OVER () AS n
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    a AS (
+      SELECT MAX(n) AS n,
+        SUM(CAST(rk AS DECIMAL(18,0))
+            * CAST(x AS DECIMAL(18,6))) AS sxr,
+        SUM(CAST(x AS DECIMAL(24,6))) AS sx
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      ROUND(CAST(sx AS DOUBLE), 6) AS total,
+      CASE WHEN n >= 2 AND sx > 0 THEN
+        ROUND(2.0 * CAST(sxr AS DOUBLE)
+              / (n * CAST(sx AS DOUBLE))
+              - (n + 1.0) / n, 6)
+      END AS gini
+    FROM a
+    """,
+)
+def gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration (operators.features.gini_coefficient) of
+    order totals: the sorted-rank identity over the DISTRIBUTED
+    global rank (the 1-based SQL ROW_NUMBER equals the operator's
+    0-based rank + 1 under the same (value, id) total order) with
+    Σ(rank·x) as an exact decimal."""
+    from component_delta_lake_writer_spark.operators.features import (
+        gini_coefficient,
+    )
+
+    return gini_coefficient(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+    )

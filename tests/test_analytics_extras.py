@@ -729,3 +729,32 @@ def test_mann_whitney_all_tied_degenerate(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     r = mann_whitney_u(df, "grp", "v").collect()[0]
     assert r.z is None and r.significant == 0
+
+
+def test_gini_known_values(spark):
+    from component_delta_lake_writer_spark.operators.features import (
+        gini_coefficient,
+    )
+
+    # perfectly even: G = 0
+    even = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)], "id long, v double"
+    )
+    r = gini_coefficient(even, "v", "id").collect()[0]
+    assert (r.n_rows, r.total, r.gini) == (4, 20.0, 0.0)
+
+    # one unit holds everything: G = (n-1)/n = 0.75
+    conc = spark.createDataFrame(
+        [(0, 0.0), (1, 0.0), (2, 0.0), (3, 100.0)],
+        "id long, v double",
+    )
+    r = gini_coefficient(conc, "v", "id").collect()[0]
+    assert r.gini == 0.75
+
+    # degenerate: single row / zero total -> NULL
+    one = spark.createDataFrame([(0, 9.0)], "id long, v double")
+    assert gini_coefficient(one, "v", "id").collect()[0].gini is None
+    zero = spark.createDataFrame(
+        [(0, 0.0), (1, 0.0)], "id long, v double"
+    )
+    assert gini_coefficient(zero, "v", "id").collect()[0].gini is None
