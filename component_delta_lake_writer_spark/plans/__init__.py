@@ -1,4 +1,5 @@
 from component_delta_lake_writer_spark.plans.query_registry import (
+    EMPTY_OK,
     ORACLES,
     QUERIES,
     query,

@@ -92,7 +92,17 @@ def assert_oracle_hashable_types(rel, key: str = "?") -> None:
         )
 
 
-def compare(spark_df, con, oracle_sql: str, key: str = "?") -> None:
+def _empty_ok(key: str) -> bool:
+    try:
+        from component_delta_lake_writer_spark.plans import EMPTY_OK
+    except Exception:  # registry not importable in a unit harness
+        return False
+    return key in EMPTY_OK
+
+
+def compare(
+    spark_df, con, oracle_sql: str, key: str = "?", empty_ok: bool | None = None
+) -> None:
     assert_no_decimal_output(spark_df, key)
     scols = spark_df.columns
     srows = spark_df.collect()
@@ -100,6 +110,21 @@ def compare(spark_df, con, oracle_sql: str, key: str = "?") -> None:
     assert_oracle_hashable_types(rel, key)
     ocols = rel.columns
     orows = rel.fetchall()
+
+    # Vacuity guard (r10 judge finding): a 0-row oracle turns the
+    # rows/schema/hash gate into "empty equals empty" — a broken
+    # operator that also returns empty would pass.  Refuse unless the
+    # key is explicitly registered empty_ok (emptiness-as-invariant,
+    # documented at the probe).
+    if empty_ok is None:
+        empty_ok = _empty_ok(key)
+    assert orows or empty_ok, (
+        f"[{key}] VACUOUS probe: the oracle returned 0 rows at this "
+        "scale, so the differential check certifies nothing. Adjust "
+        "the fixture/params until the oracle is non-empty, or mark "
+        "the key empty_ok=True with a docstring stating why "
+        "emptiness is the invariant."
+    )
 
     assert sorted(c.lower() for c in scols) == sorted(
         c.lower() for c in ocols

@@ -34,3 +34,40 @@ def test_all_oracles_bind_with_hashable_types(con):
         except AssertionError as e:
             bad.append(str(e))
     assert not bad, "\n".join(bad)
+
+
+def test_vacuity_guard_rejects_planted_empty_probe(spark, con):
+    """The r10 judge found four probes whose oracle returned 0 rows at
+    probe scale — green rows that certified only empty == empty.  The
+    guard in oracle.compare must FAIL such a probe unless the key is
+    explicitly registered empty_ok."""
+    from tests.oracle import compare
+
+    df = spark.range(0).selectExpr("CAST(id AS BIGINT) AS c_custkey")
+    empty_sql = "SELECT c_custkey FROM customer WHERE FALSE"
+    with pytest.raises(AssertionError, match="VACUOUS"):
+        compare(df, con, empty_sql, "planted_empty_probe")
+    # the escape hatch: an explicit empty_ok marker admits emptiness
+    compare(df, con, empty_sql, "planted_empty_probe", empty_ok=True)
+
+
+def test_no_oracle_is_vacuous_at_probe_scale(con):
+    """Registry-wide vacuity sweep: every oracle must return at least
+    one row at sf0.001 (the pytest probe scale) unless registered
+    empty_ok.  Skips oracles that reference scratch tables the probe
+    builds at run time (they cannot bind against the bare views)."""
+    from component_delta_lake_writer_spark.plans import EMPTY_OK
+
+    vacuous = []
+    for key, sql in ORACLES.items():
+        if key in EMPTY_OK:
+            continue
+        try:
+            n = len(con.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall())
+        except Exception:
+            continue  # binds only against probe-built scratch state
+        if n == 0:
+            vacuous.append(key)
+    assert not vacuous, (
+        f"oracles returning 0 rows at sf0.001 (vacuous probes): {vacuous}"
+    )
