@@ -16,9 +16,11 @@ higher-order functions (no join), and the item totals and basket
 count are derived from the SAME aggregated subtree, so the runtime
 exchange is reused across all three consumers. Everything after the
 one shuffle runs on ΣC(basket_size, 2) pair rows — bounded by the
-basket-size cap of the domain, never by corpus size; callers pre-cap
-pathological baskets (a 10⁶-item basket is an upstream data bug, not
-a join-strategy problem).
+ENFORCED ``max_basket_size`` cap, never by corpus size (a 10⁶-item
+basket is an upstream data bug, not a join-strategy problem — the
+operator raises at action time rather than letting collect_set build
+a 10⁶-element array in one task and the pair generator expand
+~5·10¹¹ structs).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def basket_lift(
     basket_col: str,
     item_col: str,
     k: int = 20,
+    max_basket_size: int = 10_000,
 ) -> DataFrame:
     """Top-``k`` item pairs by co-occurrence count, with support and
     lift = P(a,b) / (P(a)·P(b)) over baskets.  Deterministic total
@@ -43,6 +46,15 @@ def basket_lift(
     onto the k survivors only (broadcast); the basket count is a
     one-row aggregate cross-joined in.
 
+    ``max_basket_size`` is ENFORCED, not advisory (r10 verdict): a
+    basket whose distinct-item array exceeds it raises at action
+    time, naming the offending basket key, BEFORE the pair generator
+    would expand C(size, 2) structs in one task (default 10 000 →
+    ≤ ~5·10⁷ pairs per basket, a bounded task; a 10⁶-item basket
+    would expand ~5·10¹¹ and OOM the executor).  The check costs
+    one codegen'd size() per basket row on the already-aggregated
+    subtree — no extra scan or shuffle.
+
     Returns (item_a, item_b, n_pair, n_a, n_b, n_baskets, support,
     lift) — support/lift rounded 6dp.
     """
@@ -52,6 +64,29 @@ def basket_lift(
         )
         .groupBy(F.col(basket_col).alias("basket"))
         .agg(F.sort_array(F.collect_set(item_col)).alias("items"))
+        # a filter (not a projected guard column) so Catalyst cannot
+        # prune the check away; raise_error fires executor-side on
+        # the first oversized basket
+        .filter(
+            F.when(
+                F.size("items") > F.lit(max_basket_size),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "basket_lift: basket exceeds "
+                            f"max_basket_size={max_basket_size} "
+                            "distinct items (basket key: "
+                        ),
+                        F.col("basket").cast("string"),
+                        F.lit(", size: "),
+                        F.size("items").cast("string"),
+                        F.lit(
+                            "); pre-cap or raise max_basket_size"
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
     )
     # all (a, b) with a < b from the sorted array — generated, not
     # joined: for element i, pair it with every later element

@@ -119,18 +119,28 @@ def chi2_independence(
 
     Returns ONE row: (n_rows, n_levels_a, n_levels_b, dof, chi2) —
     chi2 rounded 6dp, NULL when dof = 0 (a single-level column has
-    no independence to test).
+    no independence to test).  Zero non-null (a, b) pairs is a user
+    error, not a statistic: without the guard the agg-over-empty
+    returns one all-NULL row while a SQL GROUP BY over zero rows
+    returns none — a latent cross-engine row-count divergence (r10
+    advice) — so the empty case raises like the z-test's arm check.
     """
-    cells = (
-        df.filter(
-            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-        )
-        .groupBy(
-            F.col(col_a).cast("string").alias("_a"),
-            F.col(col_b).cast("string").alias("_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
+    src = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
     )
+    # existence probe, not a scan: CollectLimit(1) over the bare
+    # filter stops at the first qualifying row (no shuffle, usually
+    # one partition touched) — guarding on the aggregated cells
+    # would run the full groupBy just to validate
+    if not src.select(F.lit(1)).limit(1).collect():
+        raise UserException(
+            "chi2_independence: no rows with both "
+            f"{col_a!r} and {col_b!r} non-null"
+        )
+    cells = src.groupBy(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
     from pyspark.sql import Window
 
     # marginals via windows over the METADATA-SCALE cell table (a

@@ -63,7 +63,14 @@ def global_value_rank(
         offsets[pid] = acc
         acc += counts[pid]
     if not offsets:
-        return ranged.withColumn("_rank", F.lit(0).cast("long")), 0
+        # drop the internal __pid here too — the empty branch must
+        # return the SAME schema as the ranked branch (r10 advice)
+        return (
+            ranged.withColumn(
+                "_rank", F.lit(0).cast("long")
+            ).drop("__pid"),
+            0,
+        )
     off = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(k) for k in sorted(offsets)]),
@@ -201,7 +208,11 @@ def global_weighted_cumsum(
         offsets[pid] = acc
         acc += totals[pid]
     if not offsets:
-        return ranged.withColumn("_cum", F.lit(0).cast("long"))
+        # same-schema contract as the non-empty branch (r10 advice
+        # on global_value_rank's twin): no internal __pid in output
+        return ranged.withColumn(
+            "_cum", F.lit(0).cast("long")
+        ).drop("__pid")
     off = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(k) for k in sorted(offsets)]),
@@ -244,6 +255,22 @@ def gini_coefficient(
     non-negative (the identity's precondition — the caller owns the
     filter); NULL values/ids are excluded by the rank.
 
+    Accumulator headroom (the house overflow-refusal contract, same
+    class as plans/extra_queries' cross-engine decimal rules): each
+    term is rank·x as decimal(18,0)·decimal(18,6) = decimal(37,6)
+    and Spark caps the running sum at decimal(38,6), so Σ(rank·x)
+    is exact while it stays under 10³² — i.e. while (n²/2)·x̄ <
+    10³², comfortably true for any real corpus (10¹⁰ rows of
+    mean 10⁴ is 5·10²³) and violated only past ~10¹³ rows of
+    ~10¹²-scale values, where Spark would silently NULL the sum.
+    The per-VALUE bound is enforced loudly instead of silently:
+    |x| ≥ 10¹² overflows the decimal(18,6) term cast.  Under ANSI
+    (this engine's session default) the cast itself raises; under a
+    non-ANSI session the cast NULLs, which would silently DROP that
+    row from Σ(rank·x) while Σx (a wider decimal(24,6)) still counts
+    it — a wrong answer, not an error — so a raise_error guard on
+    max|x| backstops that mode too.
+
     Returns ONE row: (n_rows, total, gini) — total 6dp, gini 6dp,
     NULL gini when n < 2 or Σx = 0.
     """
@@ -254,6 +281,9 @@ def gini_coefficient(
             * F.col(value_col).cast("decimal(18,6)")
         ).alias("_sxr"),
         F.sum(F.col(value_col).cast("decimal(24,6)")).alias("_sx"),
+        F.max(F.abs(F.col(value_col).cast("double"))).alias(
+            "_xmax"
+        ),
     )
     g = (
         F.lit(2.0)
@@ -261,14 +291,33 @@ def gini_coefficient(
         / (F.lit(n) * F.col("_sx").cast("double"))
         - (F.lit(n) + 1.0) / F.lit(n)
     ) if n > 0 else F.lit(None)
-    return agg.select(
-        F.lit(n).cast("long").alias("n_rows"),
-        F.round(F.col("_sx").cast("double"), 6).alias("total"),
-        (
+    guarded = (
+        F.when(
+            F.col("_xmax") >= 1e12,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "gini_coefficient: |value| >= 1e12 "
+                        "overflows the decimal(18,6) rank-product "
+                        "term (it would be silently dropped from "
+                        "the accumulator); rescale the column "
+                        "first (max seen: "
+                    ),
+                    F.col("_xmax").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(
             F.when(
                 (F.lit(n) >= 2) & (F.col("_sx") > 0), F.round(g, 6)
             )
-            if n > 0
-            else F.lit(None).cast("double")
-        ).alias("gini"),
+        )
+        if n > 0
+        else F.lit(None).cast("double")
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.round(F.col("_sx").cast("double"), 6).alias("total"),
+        guarded.alias("gini"),
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pagerank(
@@ -165,14 +166,19 @@ def triangle_count(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             # coalesce: SUM over an empty/edge-free graph is NULL,
-            # but "zero wedges" is a count, not an unknown
+            # but "zero wedges" is a count, not an unknown.
+            # Integer arithmetic end to end: deg*(deg-1) is always
+            # even, so `div 2` is exact — a float division here would
+            # make cross-engine parity hinge on the double sum staying
+            # under 2^53 AND on round-vs-truncate cast semantics
+            # (DuckDB CAST(double AS BIGINT) rounds, Spark truncates).
             F.coalesce(
                 F.sum(
-                    F.col("deg").cast("long")
-                    * (F.col("deg") - 1)
-                    / F.lit(2)
+                    F.expr(
+                        "(CAST(deg AS BIGINT) * (deg - 1)) div 2"
+                    )
                 ),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
             )
             .cast("long")
             .alias("n_wedges"),
@@ -219,7 +225,12 @@ def bfs_distances(
 
     Returns (node, dist), dist 0..max_hops; sources themselves are
     dist 0.  ``sources`` is a bounded driver-side list (seed ids),
-    never corpus-scale.
+    never corpus-scale.  The seed DataFrame's node type is DERIVED
+    from the edge column's type (string node ids work exactly like
+    integer ones — no silent join coercion).  All intermediates are
+    persisted for lineage linearity DURING the walk and unpersisted
+    before return; the result itself carries no cached blocks (it is
+    a plain union of the per-round frontiers, re-derivable).
     """
     spark = edges.sparkSession
     e = edges.filter(
@@ -238,9 +249,21 @@ def bfs_distances(
         )
         .persist()
     )
-    known = spark.createDataFrame(
-        [(int(s), 0) for s in sources], "node long, dist int"
-    ).persist()
+    node_type = edges.schema[src].dataType
+    seed_schema = T.StructType(
+        [T.StructField("node", T.StringType(), False)]
+    )
+    known = (
+        spark.createDataFrame(
+            [(str(s),) for s in sources], seed_schema
+        )
+        .select(
+            F.col("node").cast(node_type).alias("node"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+        .persist()
+    )
+    to_release = [sym, known]
     frontier = known
     for h in range(1, max_hops + 1):
         nbrs = (
@@ -254,8 +277,15 @@ def bfs_distances(
             .persist()
         )
         known = known.unionByName(fresh).persist()
+        to_release.extend([fresh, known])
         frontier = fresh
-    return known
+    # materialize the final level set ONCE, then release every cached
+    # block the walk pinned (r10 advice: repeated calls accumulated
+    # executor storage with no unpersist)
+    result = known.localCheckpoint(eager=True)
+    for cached in to_release:
+        cached.unpersist()
+    return result
 
 
 def hits(

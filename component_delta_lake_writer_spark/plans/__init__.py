@@ -149,11 +149,9 @@ _FRONT = [
     "stream_cdf_source",
     "stream_replicate_cdf",
     "streaming_hourly_agg",
-    # r10: the drift + anomaly monitor sinks — after the generic
-    # streaming warmers so their probes measure the monitors, not
-    # stream setup
-    "stream_drift_monitor",
-    "stream_anomaly_monitor",
+    # (the r10 drift/anomaly monitor sinks are listed ONCE, inside
+    # the budget window above — first occurrence wins, so a second
+    # listing here would be dead; r10 advice)
     # r8 STREAMING keys after their warmers (the relaxed unseen-tier
     # rule keeps them here instead of a cold front slot)
     "stream_countmin_tokens",

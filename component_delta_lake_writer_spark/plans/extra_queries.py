@@ -5909,12 +5909,12 @@ def benford_audit_orders(
     SELECT
       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
-      (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM deg)
+      (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
         AS n_wedges,
       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
-      CASE WHEN (SELECT SUM(deg * (deg - 1) / 2) FROM deg) > 0
+      CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) > 0
            THEN ROUND(3.0 * tri.n_triangles
-                / (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT)
+                / (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
                    FROM deg), 6)
       END AS global_clustering
     FROM tri

@@ -758,3 +758,148 @@ def test_gini_known_values(spark):
         [(0, 0.0), (1, 0.0)], "id long, v double"
     )
     assert gini_coefficient(zero, "v", "id").collect()[0].gini is None
+
+
+def test_basket_lift_refuses_pathological_basket(spark):
+    """max_basket_size is enforced, not advisory (r10 verdict): an
+    oversized basket raises at action time naming the basket key,
+    before the pair generator would expand C(size, 2) structs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.affinity import (
+        basket_lift,
+    )
+
+    df = spark.range(50).select(
+        F.lit("big").alias("basket"), F.col("id").alias("item")
+    )
+    with pytest.raises(Exception, match="max_basket_size.*big"):
+        basket_lift(
+            df, "basket", "item", k=5, max_basket_size=10
+        ).collect()
+    # at the boundary (size == cap) it runs
+    out = basket_lift(
+        df, "basket", "item", k=5, max_basket_size=50
+    ).collect()
+    assert len(out) == 5 and out[0].n_pair == 1
+
+
+def test_gini_refuses_term_cast_overflow_values(spark):
+    """|x| >= 1e12 overflows the decimal(18,6) rank-product term
+    cast.  Under ANSI (the engine session default) the cast itself
+    raises; under non-ANSI the raise_error guard on max|x| fires —
+    either way the refusal is LOUD, never a silently-dropped term
+    (documented headroom contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.features import (
+        gini_coefficient,
+    )
+
+    bad = spark.range(3).select(
+        F.col("id"), (F.col("id") + 1).cast("double") * 1e12
+    ).toDF("id", "x")
+    with pytest.raises(Exception, match=r"1e12|Decimal\(18"):
+        gini_coefficient(bad, "x", "id").collect()
+    # just inside the documented bound it computes normally
+    ok = spark.range(3).select(
+        F.col("id"), ((F.col("id") + 1) * 1e11).cast("double")
+    ).toDF("id", "x")
+    r = gini_coefficient(ok, "x", "id").collect()[0]
+    # x = (1e11, 2e11, 3e11): G = 2*(1+4+9)*1e11/(3*6e11) - 4/3
+    assert r.gini == round(2 * 14 / 18 - 4 / 3, 6)
+
+
+def test_chi2_independence_empty_input_raises(spark):
+    """Zero non-null (a, b) pairs raises like the z-test's arm check
+    instead of returning one all-NULL row (r10 advice: the SQL twin
+    returns zero rows — a latent cross-engine divergence)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.experiments import (
+        chi2_independence,
+    )
+
+    empty = spark.range(5).select(
+        F.lit(None).cast("string").alias("a"),
+        F.lit("x").alias("b"),
+    )
+    with pytest.raises(UserException, match="non-null"):
+        chi2_independence(empty, "a", "b")
+
+
+def test_bfs_distances_string_node_ids(spark):
+    """Seed schema derives from the edge column type (r10 advice:
+    int(s) hardcoding broke string node ids)."""
+    from component_delta_lake_writer_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, ["a"], max_hops=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_distances_releases_cached_blocks(spark):
+    """The walk unpersists every block it pinned (r10 advice:
+    repeated calls accumulated executor storage)."""
+    from component_delta_lake_writer_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    before = len(
+        [
+            r
+            for r in spark.sparkContext._jsc.sc()
+            .getRDDStorageInfo()
+        ]
+    )
+    bfs_distances(edges, [1], max_hops=2).collect()
+    after = len(
+        [
+            r
+            for r in spark.sparkContext._jsc.sc()
+            .getRDDStorageInfo()
+        ]
+    )
+    assert after <= before + 1  # only the localCheckpoint result may remain
+
+
+def test_global_value_rank_empty_input_schema(spark):
+    """Empty-input branch returns the SAME schema as the ranked
+    branch — no internal __pid column (r10 advice)."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.features import (
+        global_value_rank,
+        global_weighted_cumsum,
+    )
+
+    base = spark.range(3).select(
+        F.col("id"), F.col("id").cast("double").alias("x")
+    )
+    empty = base.filter(F.lit(False))
+    ranked_full, n_full = global_value_rank(base, "x", "id")
+    ranked_empty, n_empty = global_value_rank(empty, "x", "id")
+    assert n_full == 3 and n_empty == 0
+    assert ranked_empty.columns == ranked_full.columns
+    assert "__pid" not in ranked_empty.columns
+    w_full = global_weighted_cumsum(
+        base.select(F.col("x").alias("v"), F.lit(1).alias("w")), "v", "w"
+    )
+    w_empty = global_weighted_cumsum(
+        empty.select(F.col("x").alias("v"), F.lit(1).alias("w")), "v", "w"
+    )
+    assert w_empty.columns == w_full.columns
