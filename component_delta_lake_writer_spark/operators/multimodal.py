@@ -512,3 +512,167 @@ def parse_wav_meta(
         F.when(ok, le(25, 4)).alias("sample_rate"),
         F.when(ok, le(35, 2)).alias("bits_per_sample"),
     )
+
+
+def parse_webp_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse WebP container metadata — variant (lossy VP8 / lossless
+    VP8L / extended VP8X), canvas width/height, alpha and animation
+    flags — from the raw bytes, Catalyst-only.  WebP is RIFF, so
+    like WAV every field sits at a FIXED offset once the first
+    chunk's fourCC is known: no byte walk, no Python — pure
+    hex-slice expressions (the r10 verdict's missing image tier,
+    alongside PNG's big-endian and WAV's little-endian siblings).
+    Anything malformed yields is_webp=false with NULL fields — a
+    scraped corpus always contains truncated/garbage payloads.
+
+    Layouts parsed ('RIFF' + size + 'WEBP' + first chunk):
+    - VP8  (lossy):   sync 9D 01 2A at 24-26, then LE u14 width at
+      27-28 and height at 29-30 (top 2 bits are scaling hints).
+    - VP8L (lossless): signature 2F at 21, then a LE u32 bitfield at
+      22-25: width-1 in bits 0-13, height-1 in bits 14-27, alpha in
+      bit 28.
+    - VP8X (extended): flag byte at 21 (alpha 0x10, animation 0x02),
+      canvas width-1 as LE u24 at 25-27, height-1 at 28-30.
+
+    Returns (id, is_webp, format, width, height, has_alpha,
+    has_anim).
+    """
+    b = F.col(bin_col)
+
+    def le(pos: int, nbytes: int):
+        return F.conv(
+            F.concat(
+                *[
+                    F.hex(F.substring(b, pos + i, 1))
+                    for i in range(nbytes - 1, -1, -1)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    riff = (
+        (F.substring(b, 1, 4).cast("string") == F.lit("RIFF"))
+        & (F.substring(b, 9, 4).cast("string") == F.lit("WEBP"))
+        & (F.length(b) >= 16)
+    )
+    four = F.substring(b, 13, 4).cast("string")
+    # per-variant length floors: the last byte each layout reads is
+    # 30 (lossy dims / extended canvas) or 25 (lossless bitfield) —
+    # a blanket >= 30 would reject a minimal 25-byte VP8L header
+    lossy = (
+        riff
+        & (four == F.lit("VP8 "))
+        & (F.length(b) >= 30)
+        & (F.hex(F.substring(b, 24, 3)) == F.lit("9D012A"))
+    )
+    lossless = (
+        riff
+        & (four == F.lit("VP8L"))
+        & (F.length(b) >= 25)
+        & (F.hex(F.substring(b, 21, 1)) == F.lit("2F"))
+    )
+    extended = riff & (four == F.lit("VP8X")) & (F.length(b) >= 30)
+    ok = lossy | lossless | extended
+    vp8l_bits = le(22, 4)
+    flags = le(21, 1)
+    width = (
+        F.when(lossy, (le(27, 2) % 16384).cast("int"))
+        .when(
+            lossless, ((vp8l_bits % 16384) + 1).cast("int")
+        )
+        .when(extended, (le(25, 3) + 1).cast("int"))
+    )
+    height = (
+        F.when(lossy, (le(29, 2) % 16384).cast("int"))
+        .when(
+            lossless,
+            (
+                ((vp8l_bits / 16384).cast("long") % 16384) + 1
+            ).cast("int"),
+        )
+        .when(extended, (le(28, 3) + 1).cast("int"))
+    )
+    fmt = (
+        F.when(lossy, F.lit("lossy"))
+        .when(lossless, F.lit("lossless"))
+        .when(extended, F.lit("extended"))
+    )
+    has_alpha = (
+        F.when(lossy, F.lit(False))
+        .when(
+            lossless,
+            ((vp8l_bits / 268435456).cast("long") % 2) == 1,
+        )
+        .when(extended, ((flags / 16).cast("long") % 2) == 1)
+    )
+    has_anim = (
+        F.when(extended, ((flags / 2).cast("long") % 2) == 1)
+        .when(ok, F.lit(False))
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_webp"),
+        fmt.alias("format"),
+        F.when(ok, width).alias("width"),
+        F.when(ok, height).alias("height"),
+        F.when(ok, has_alpha).alias("has_alpha"),
+        F.when(ok, has_anim).alias("has_anim"),
+    )
+
+
+def parse_gif_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse GIF container metadata — version, logical-screen
+    width/height, global color table presence and size — from the
+    raw bytes, Catalyst-only.  GIF87a/89a's logical screen
+    descriptor sits at FIXED offsets right after the 6-byte
+    signature (the simplest container in the image tier): LE u16
+    width at 7-8, height at 9-10, packed byte at 11 (GCT flag in
+    bit 7, GCT size n in bits 0-2 → 2^(n+1) entries).  Garbage or
+    truncated payloads yield is_gif=false with NULL fields.
+
+    Returns (id, is_gif, version, width, height, has_gct,
+    gct_entries).
+    """
+    b = F.col(bin_col)
+
+    def le16(pos: int):
+        return F.conv(
+            F.concat(
+                F.hex(F.substring(b, pos + 1, 1)),
+                F.hex(F.substring(b, pos, 1)),
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    sig = F.substring(b, 1, 3).cast("string") == F.lit("GIF")
+    version = F.substring(b, 4, 3).cast("string")
+    ok = (
+        sig
+        & version.isin("87a", "89a")
+        & (F.length(b) >= 13)
+    )
+    packed = F.conv(F.hex(F.substring(b, 11, 1)), 16, 10).cast("int")
+    has_gct = (packed / 128).cast("int") % 2 == 1
+    gct_entries = F.when(
+        has_gct,
+        F.pow(F.lit(2.0), (packed % 8) + 1).cast("int"),
+    ).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_gif"),
+        F.when(ok, version).alias("version"),
+        F.when(ok, le16(7)).alias("width"),
+        F.when(ok, le16(9)).alias("height"),
+        F.when(ok, has_gct).alias("has_gct"),
+        F.when(ok, gct_entries).alias("gct_entries"),
+    )

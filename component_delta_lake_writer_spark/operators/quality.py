@@ -403,3 +403,125 @@ def bigram_lift(
         .orderBy(F.col("n_xy").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality score (Wenzek et al. 2020 §3.3,
+    the perplexity filter virtually every public LLM-data pipeline
+    runs): train an add-α-smoothed bigram LM on a reference corpus
+    (``train``; defaults to ``docs`` itself), then score every
+    document's mean negative log-probability and perplexity under
+    it.  Low perplexity ⇒ reference-like text; high ⇒ boilerplate,
+    noise, or another language — CCNet keeps the low-ppl head.
+
+    Model = ONE training-corpus scan: lowercase whitespace bigrams →
+    counts c(w1 w2); context totals c(w1·) = Σ_w2 c(w1 w2) re-derived
+    from that SAME |bigram| relation (no second scan), vocabulary V =
+    distinct tokens of the bigram relation (1-row broadcast).
+    Score = ONE target-corpus scan: per-doc bigrams left-join the
+    model, p(w2|w1) = (c12+α)/(c(w1·)+α·V) with both counts
+    coalesced to 0 — an unseen context degrades smoothly to 1/V with
+    NO special-case branch.  Per-token −ln p is a deterministic
+    scalar composition rounded 4dp (the unigram_model rule: Spark's
+    Math.log and DuckDB's C log differ in the last ulp, which
+    round-4 hides), summed as DECIMAL (order-free),
+    so the score is engine-portable; perplexity = exp(mean), a fixed
+    scalar over the exact sum.
+
+    Model-size crossover: ``broadcast_model=True`` (default) hash-
+    broadcasts the bigram + context relations to every executor —
+    right while the model stays ≤ ~10⁷ distinct bigrams (~500 MB
+    serialized; a Wikipedia-scale CCNet reference LM fits).  Past
+    that — e.g. training on the 100 TB corpus itself, where distinct
+    bigrams reach billions — set False: both probes become shuffle
+    hash joins keyed on the bigram/context strings, pricing one
+    extra shuffle of the EXPLODED target corpus each, which is the
+    only plan that doesn't OOM the executors on the model.
+
+    Docs with < 2 tokens have no bigram and are not scored (CCNet
+    skips empties too).  Returns (doc_id, n_bigrams, avg_neg_logp,
+    perplexity) — both scores rounded 6dp.
+    """
+    ref = train if train is not None else docs
+    big_tr = ref.select(
+        F.explode(
+            _ngrams(_tokens(F.lower(F.col(text_col))), 2)
+        ).alias("big")
+    )
+    bigrams = big_tr.groupBy("big").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    # the model relation feeds FOUR consumers (bigram join, context
+    # re-agg, both vocab projections); without pinning, each one
+    # re-scans the TRAINING CORPUS — 4 extra corpus scans at 100 TB.
+    # localCheckpoint collapses them to one materialization of the
+    # |distinct bigrams| relation (the shard_export idiom: blocks are
+    # released with the DataFrame, no app-lifetime cache pin).
+    bigrams = bigrams.localCheckpoint(eager=True)
+    contexts = (
+        bigrams.groupBy(
+            F.substring_index(F.col("big"), " ", 1).alias("w1")
+        )
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = F.broadcast(
+        bigrams.select(
+            F.substring_index(F.col("big"), " ", 1).alias("t")
+        )
+        .union(
+            bigrams.select(
+                F.substring_index(F.col("big"), " ", -1).alias("t")
+            )
+        )
+        .agg(F.countDistinct("t").alias("__v"))
+    )
+    if broadcast_model:
+        bigrams = F.broadcast(bigrams)
+        contexts = F.broadcast(contexts)
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                _ngrams(_tokens(F.lower(F.col(text_col))), 2)
+            ).alias("big"),
+        )
+        .join(bigrams, "big", "left")
+        .withColumn(
+            "w1", F.substring_index(F.col("big"), " ", 1)
+        )
+        .join(contexts, "w1", "left")
+        .crossJoin(vocab)
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(alpha) * F.col("__v")
+                    )
+                ),
+                4,
+            )
+            .cast("decimal(24,4)")
+            .alias("_nlp"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_nlp").alias("_s"),
+    )
+    avg = F.col("_s").cast("double") / F.col("n_bigrams")
+    return per.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_neg_logp"),
+        F.round(F.exp(F.round(avg, 6)), 6).alias("perplexity"),
+    )

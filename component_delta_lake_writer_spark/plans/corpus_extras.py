@@ -1843,3 +1843,171 @@ def mp4_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_mp4_meta(staged)
+
+
+@query(
+    "webp_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_webp,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE doc_id % 3 WHEN 0 THEN 'lossy'
+          WHEN 1 THEN 'lossless' ELSE 'extended' END END AS format,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(16 + doc_id % 1000 AS INT) END AS width,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(16 + doc_id % 600 AS INT) END AS height,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE doc_id % 3 WHEN 0 THEN FALSE
+          ELSE (doc_id % 2 = 1) END END AS has_alpha,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE doc_id % 3 WHEN 2 THEN (doc_id % 4 = 0)
+          ELSE FALSE END END AS has_anim
+    FROM documents
+    """,
+)
+def webp_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container-metadata parse
+    (operators.multimodal.parse_webp_meta): payloads staged as real
+    RIFF/WEBP headers rotating through all THREE variants by doc_id
+    (lossy VP8 sync-coded u14 dims, lossless VP8L packed LE u32
+    bitfield, extended VP8X u24 canvas + flag byte); every 7th doc
+    gets garbage bytes, proving the never-throws contract.  Pure
+    Catalyst hex-slices — RIFF's fixed offsets need no byte walk
+    (unlike JPEG/MP4's mapInPandas).  The oracle predicts the parsed
+    fields from the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_webp_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 1000).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % 600).cast("int")
+    alpha = (F.col("doc_id") % 2 == 1).cast("int")
+    anim = (F.col("doc_id") % 4 == 0).cast("int")
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    (
+                        (v / F.lit(256 ** i)).cast("long") % 256
+                    ).cast("int"),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    # VP8 lossy: frame tag (3 arbitrary bytes) + sync + u14 dims
+    lossy = F.concat(
+        F.lit("56503820"),                       # 'VP8 '
+        le_hex(F.lit(20), 4),                    # chunk size
+        F.lit("000000"), F.lit("9D012A"),        # tag + sync
+        le_hex(w, 2), le_hex(h, 2),
+    )
+    # VP8L lossless: 0x2F + LE u32 bitfield (w-1 | h-1<<14 | a<<28)
+    vp8l_bits = (
+        (w - 1) + (h - 1) * F.lit(16384) + alpha * F.lit(268435456)
+    )
+    lossless = F.concat(
+        F.lit("5650384C"),                       # 'VP8L'
+        le_hex(F.lit(9), 4),
+        F.lit("2F"), le_hex(vp8l_bits, 4), F.lit("00"),
+    )
+    # VP8X extended: flag byte + 3 reserved + u24 canvas-1 dims
+    extended = F.concat(
+        F.lit("56503858"),                       # 'VP8X'
+        le_hex(F.lit(10), 4),
+        le_hex(alpha * F.lit(16) + anim * F.lit(2), 1),
+        F.lit("000000"),
+        le_hex(w - 1, 3), le_hex(h - 1, 3),
+    )
+    chunk = (
+        F.when(F.col("doc_id") % 3 == 0, lossy)
+        .when(F.col("doc_id") % 3 == 1, lossless)
+        .otherwise(extended)
+    )
+    hdr_hex = F.concat(
+        F.lit("52494646"),                       # 'RIFF'
+        le_hex(F.lit(1000), 4),                  # file size (unused)
+        F.lit("57454250"),                       # 'WEBP'
+        chunk,
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_webp_meta(staged)
+
+
+@query(
+    "gif_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 9 <> 0) AS is_gif,
+      CASE WHEN doc_id % 9 <> 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END
+      END AS version,
+      CASE WHEN doc_id % 9 <> 0
+           THEN CAST(1 + doc_id % 800 AS INT) END AS width,
+      CASE WHEN doc_id % 9 <> 0
+           THEN CAST(1 + doc_id % 640 AS INT) END AS height,
+      CASE WHEN doc_id % 9 <> 0
+           THEN (doc_id % 3 <> 0) END AS has_gct,
+      CASE WHEN doc_id % 9 <> 0 THEN
+        CASE WHEN doc_id % 3 <> 0
+          THEN CAST(POWER(2, doc_id % 8 + 1) AS INT)
+          ELSE 0 END END AS gct_entries
+    FROM documents
+    """,
+)
+def gif_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF container-metadata parse
+    (operators.multimodal.parse_gif_meta): payloads staged as real
+    GIF87a/89a logical-screen descriptors (LE u16 dims + packed GCT
+    byte derived from doc_id; every 9th doc gets garbage).  The
+    fixed-offset sibling completing the image container tier
+    (PNG big-endian, WebP RIFF, GIF LE) — all pure Catalyst
+    hex-slices.  The oracle predicts the parsed fields from the
+    same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_gif_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 800).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 640).cast("int")
+    gct = (F.col("doc_id") % 3 != 0).cast("int")
+    packed = gct * F.lit(128) + (F.col("doc_id") % 8).cast("int")
+
+    def le16(v):
+        return F.format_string(
+            "%02x%02x",
+            (v % 256).cast("int"),
+            (v / 256).cast("int") % 256,
+        )
+
+    hdr_hex = F.concat(
+        F.lit("474946"),                         # 'GIF'
+        F.when(F.col("doc_id") % 2 == 0, F.lit("383761"))  # '87a'
+        .otherwise(F.lit("383961")),             # '89a'
+        le16(w), le16(h),
+        F.format_string("%02x", packed),
+        F.lit("0000"),                           # bg index + aspect
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_gif_meta(staged)

@@ -7091,3 +7091,80 @@ def gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderkey",
     )
+
+
+_NGRAM_LM_ORACLE = r"""
+WITH tr AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE doc_id % 5 <> 0
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+    list_transform(generate_series(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1])
+    ELSE []::VARCHAR[] END) AS big
+  FROM tr
+),
+m AS (SELECT big, COUNT(*) AS c12 FROM bg GROUP BY 1),
+cx AS (
+  SELECT split_part(big, ' ', 1) AS w1, SUM(c12) AS c1
+  FROM m GROUP BY 1
+),
+v AS (
+  SELECT COUNT(DISTINCT t) AS vv FROM (
+    SELECT split_part(big, ' ', 1) AS t FROM m
+    UNION
+    SELECT split_part(big, ' ', -1) FROM m
+  )
+),
+sc AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+    list_transform(generate_series(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1])
+    ELSE []::VARCHAR[] END) AS big
+  FROM (
+    SELECT doc_id,
+      string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents WHERE doc_id % 5 = 0
+  )
+),
+t AS (
+  SELECT sc.doc_id,
+    CAST(ROUND(-LN(
+      (COALESCE(m.c12, 0) + 0.1)
+      / (COALESCE(cx.c1, 0) + 0.1 * v.vv)
+    ), 4) AS DECIMAL(24,4)) AS nlp
+  FROM sc
+  LEFT JOIN m USING (big)
+  LEFT JOIN cx ON cx.w1 = split_part(sc.big, ' ', 1), v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp,
+  ROUND(EXP(ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6)), 6)
+    AS perplexity
+FROM t GROUP BY 1
+"""
+
+
+@query("ngram_lm_perplexity_docs", oracle=_NGRAM_LM_ORACLE)
+def ngram_lm_perplexity_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter
+    (operators.quality.bigram_lm_perplexity): every 5th document is
+    the held-out target scored under an add-0.1 bigram model trained
+    on the other 80% — the reference-LM-scores-the-crawl shape of
+    Wenzek et al. 2020.  ONE training scan (contexts and vocabulary
+    re-derived from the bigram relation, plan-locked), ONE scoring
+    scan, broadcast model joins at probe scale; −ln p terms rounded
+    4dp (the unigram_model log-ulp rule) and summed as DECIMAL so
+    both engines hash identically."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        bigram_lm_perplexity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        train=docs.filter(F.col("doc_id") % 5 != 0),
+    )

@@ -2943,3 +2943,96 @@ def test_erasure_audit_renamed_column_mapping(spark, tmp_path):
     t.vacuum(retention_hours=0)
     rep2 = erasure_audit(t, ["u7", "u9"], "contact")
     assert rep2["clean"], rep2["leaks"][:5]
+
+
+def test_webp_gif_parsers_truncation_tolerant(spark):
+    """parse_webp_meta / parse_gif_meta: valid headers parse exactly;
+    truncated, garbage, and wrong-fourCC payloads yield is_*=false
+    with NULL fields — never an error (the crawl-garbage contract)."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_gif_meta,
+        parse_webp_meta,
+    )
+
+    def riff(four, body):
+        p = four + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(p)) + b"WEBP" + p
+
+    lossy = riff(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<H", 320) + struct.pack("<H", 240),
+    )
+    bits = (640 - 1) | ((480 - 1) << 14) | (1 << 28)
+    lossless = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    ext = riff(
+        b"VP8X",
+        bytes([0x10 | 0x02]) + b"\x00\x00\x00"
+        + struct.pack("<I", 799)[:3] + struct.pack("<I", 599)[:3],
+    )
+    rows = {
+        r.doc_id: r
+        for r in parse_webp_meta(
+            spark.createDataFrame(
+                [
+                    (1, lossy),
+                    (2, lossless),
+                    (3, ext),
+                    (4, lossy[:15]),          # truncated mid-fourCC
+                    (5, b"RIFF\x00\x00\x00\x00WAVE" + b"x" * 40),
+                    (6, b"not a webp at all"),
+                    (7, None),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert (rows[1].format, rows[1].width, rows[1].height) == (
+        "lossy", 320, 240,
+    )
+    assert rows[1].has_alpha is False and rows[1].has_anim is False
+    assert (rows[2].format, rows[2].width, rows[2].height) == (
+        "lossless", 640, 480,
+    )
+    assert rows[2].has_alpha is True
+    assert (rows[3].format, rows[3].width, rows[3].height) == (
+        "extended", 800, 600,
+    )
+    assert rows[3].has_alpha is True and rows[3].has_anim is True
+    for bad in (4, 5, 6, 7):
+        assert rows[bad].is_webp is False
+        assert rows[bad].width is None and rows[bad].format is None
+
+    gif = (
+        b"GIF89a" + struct.pack("<H", 100) + struct.pack("<H", 50)
+        + bytes([0x80 | 0x03]) + b"\x00\x00"
+    )
+    plain = (
+        b"GIF87a" + struct.pack("<H", 7) + struct.pack("<H", 9)
+        + bytes([0x05]) + b"\x00\x00"
+    )
+    rows = {
+        r.doc_id: r
+        for r in parse_gif_meta(
+            spark.createDataFrame(
+                [
+                    (1, gif),
+                    (2, plain),
+                    (3, gif[:8]),             # truncated descriptor
+                    (4, b"GIF99z" + b"\x00" * 10),
+                    (5, b""),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert (rows[1].version, rows[1].width, rows[1].height) == (
+        "89a", 100, 50,
+    )
+    assert rows[1].has_gct is True and rows[1].gct_entries == 16
+    assert rows[2].has_gct is False and rows[2].gct_entries == 0
+    assert (rows[2].width, rows[2].height) == (7, 9)
+    for bad in (3, 4, 5):
+        assert rows[bad].is_gif is False and rows[bad].width is None

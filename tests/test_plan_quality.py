@@ -911,3 +911,14 @@ def test_mann_whitney_uses_distributed_cumsum(spark):
     # aggregate legitimately lands on a SinglePartition exchange; a
     # SECOND window would be the global-sort regression)
     assert plan.count("Window") <= 1, plan
+
+
+def test_ngram_lm_perplexity_single_score_scan(spark):
+    """bigram_lm_perplexity: the returned plan reads the TARGET corpus
+    exactly once; the training corpus is materialized once inside the
+    model's localCheckpoint (its four consumers — bigram join, context
+    re-agg, two vocab projections — would otherwise each re-scan it),
+    and the model joins broadcast at probe scale."""
+    p = _plan(spark, "ngram_lm_perplexity_docs")
+    assert p.count("FileScan") == 1, p
+    assert p.count("BroadcastHashJoin") >= 2, p

@@ -226,3 +226,56 @@ def test_punct_ratio_unicode_text(spark):
            ).collect()}
     assert got[1] == 0.0
     assert got[2] == 0.0
+
+
+def test_bigram_lm_perplexity_hand_values(spark):
+    """Add-0.1 bigram LM on a hand corpus: train 'a b a b c'
+    (c12: ab=2, ba=1, bc=1; contexts a=2 b=2; V=3), score 'a b z' —
+    seen bigram + unseen continuation degrade smoothly, no
+    special-case branch."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.quality import (
+        bigram_lm_perplexity,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(2, "a b z"), (3, "q")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in bigram_lm_perplexity(target, train=train).collect()
+    }
+    assert 3 not in rows  # single-token doc has no bigram: unscored
+    r = rows[2]
+    t_ab = round(-math.log((2 + 0.1) / (2 + 0.3)), 4)
+    t_bz = round(-math.log((0 + 0.1) / (2 + 0.3)), 4)
+    avg = round((t_ab + t_bz) / 2, 6)
+    assert r.n_bigrams == 2
+    assert r.avg_neg_logp == avg
+    assert r.perplexity == round(math.exp(avg), 6)
+
+
+def test_bigram_lm_perplexity_join_distributed_mode(spark):
+    """broadcast_model=False (the >1e7-bigram scale path) produces
+    identical scores through shuffle joins."""
+    from component_delta_lake_writer_spark.operators.quality import (
+        bigram_lm_perplexity,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(2, "a b z")], "doc_id long, text string"
+    )
+    a = bigram_lm_perplexity(target, train=train).collect()
+    b = bigram_lm_perplexity(
+        target, train=train, broadcast_model=False
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
