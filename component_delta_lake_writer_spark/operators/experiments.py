@@ -11,7 +11,7 @@ the zscore/corr operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from component_delta_lake_writer_spark.errors import UserException
@@ -284,4 +284,183 @@ def mann_whitney_u(
         F.coalesce(
             (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
         ).alias("significant"),
+    )
+
+
+#: Poisson(1) inverse-CDF ladder (P(X <= k), 10dp): the bootstrap
+#: weight for a uniform u is the first k whose CDF exceeds u.  Fixed
+#: literals so Spark and the SQL oracle compare u against IDENTICAL
+#: doubles — the ladder is the determinism boundary.
+_POISSON1_CDF = (
+    (0, 0.3678794412),
+    (1, 0.7357588823),
+    (2, 0.9196986029),
+    (3, 0.9810118431),
+    (4, 0.9963401532),
+    (5, 0.9994058151),
+    (6, 0.9999167589),
+    (7, 0.9999897508),
+    (8, 0.9999988885),
+)
+
+
+def _poisson_case(u_sql: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_sql} < {c!r} THEN {k}" for k, c in _POISSON1_CDF
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+def ab_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    id_col: str,
+    b_replicates: int = 200,
+    tail_den: int = 40,
+    salt: str = "abci",
+) -> DataFrame:
+    """Hash-deterministic bootstrap confidence interval for the
+    two-proportion lift — the decision-grade readout the point
+    z-test lacks ("the lift is +1.4pp, 95% CI [+0.2, +2.6]" instead
+    of a bare significant/not).  B Poisson(1) bootstrap replicates
+    (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams" — the resampling scheme that works on a STREAM of rows,
+    no global n needed): each (row, replicate) draws its multiplicity
+    from the fixed Poisson inverse-CDF ladder on the house md5 hash
+    u = (prefix32('salt:b:id') + 1)/2³², so every replicate is
+    reproducible across runs, engines, partitionings and retries,
+    and the oracle replays it verbatim in SQL.
+
+    Scale shape: the per-row replicate array is generated by ONE
+    higher-order transform (no B-way self-join); the explode that
+    follows fans out corpus×B rows but feeds a map-side-combinable
+    groupBy, so the SHUFFLE carries only |arms|·B partial sums per
+    map task.  Everything after runs on 2B rows; the percentile
+    ranks come from a single-partition window over B rows —
+    metadata-scale by construction (the temperature_quota rule).
+    The percentile is rank-based, no interpolation: sorted diffs
+    d₍₁₎..d₍ᵦ₎, lower = d₍ᵣ₎ at r = ceil(B_eff / tail_den), upper =
+    d₍ᵦ₊₁₋ᵣ₎ — tail_den = 40 is the 2.5% tail, i.e. a 95% two-sided
+    CI.  The tail is a RATIO OF INTEGERS, not a float level: ceil of
+    B·0.025 in doubles rounds differently per engine ((1.0−0.95)/2
+    is 0.025000000000000022 in IEEE, exactly 0.025 in decimal SQL —
+    a rank-off-by-one landmine), while (B + 39) div 40 is exact
+    everywhere.  Replicates where either arm's resampled size is 0
+    are dropped from B_eff (both engines, same rule).
+
+    Returns ONE row: (group_a, n_a, rate_a, group_b, n_b, rate_b,
+    lift, ci_lo, ci_hi, n_replicates, significant) — rates/lift/CI
+    rounded 6dp, significant = the CI excludes 0, as int.
+    """
+    if b_replicates < 4:
+        raise ValueError(
+            f"ab_bootstrap_ci needs b_replicates >= 4, got "
+            f"{b_replicates}"
+        )
+    src = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(success_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(success_col).cast("int").alias("_x"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+    found = [
+        r["_g"]
+        for r in src.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"ab_bootstrap_ci needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+    u_sql = (
+        "((CAST(conv(substring(md5(concat("
+        f"'{salt}:', CAST(b AS STRING), ':', _id"
+        ")), 1, 8), 16, 10) AS BIGINT) + 1.0) / 4294967296.0)"
+    )
+    reps = F.expr(
+        f"transform(sequence(0, {b_replicates - 1}), b -> "
+        f"named_struct('b', b, 'w', {_poisson_case(u_sql)}))"
+    )
+    per_arm = (
+        src.select("_g", "_x", F.explode(reps).alias("r"))
+        .groupBy("_g", F.col("r.b").alias("_b"))
+        .agg(
+            F.sum("r.w").alias("_n"),
+            F.sum(F.col("r.w") * F.col("_x")).alias("_s"),
+        )
+    )
+    per_rep = per_arm.groupBy("_b").agg(
+        F.max(F.when(F.col("_g") == ga, F.col("_n"))).alias("_na"),
+        F.max(F.when(F.col("_g") == ga, F.col("_s"))).alias("_sa"),
+        F.max(F.when(F.col("_g") == gb, F.col("_n"))).alias("_nb"),
+        F.max(F.when(F.col("_g") == gb, F.col("_s"))).alias("_sb"),
+    )
+    diffs = per_rep.filter(
+        (F.col("_na") > 0) & (F.col("_nb") > 0)
+    ).select(
+        "_b",
+        F.round(
+            F.col("_sb").cast("double") / F.col("_nb")
+            - F.col("_sa").cast("double") / F.col("_na"),
+            6,
+        ).alias("_d"),
+    )
+    w_rank = Window.orderBy("_d", "_b")
+    w_all = Window.partitionBy()
+    ranked = diffs.select(
+        "_d",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(w_all).alias("_beff"),
+    )
+    r_lo = F.greatest(
+        F.expr(f"CAST((_beff + {tail_den - 1}) div {tail_den} AS INT)"),
+        F.lit(1),
+    )
+    ci = ranked.select(
+        "_d", "_r", "_beff", r_lo.alias("_rlo")
+    ).agg(
+        F.max(
+            F.when(F.col("_r") == F.col("_rlo"), F.col("_d"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("_r")
+                == F.col("_beff") + 1 - F.col("_rlo"),
+                F.col("_d"),
+            )
+        ).alias("ci_hi"),
+        F.max("_beff").alias("n_replicates"),
+    )
+    observed = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+    )
+    obs = observed.agg(
+        F.max(F.when(F.col("_g") == ga, F.col("_n"))).alias("n_a"),
+        F.max(F.when(F.col("_g") == ga, F.col("_s"))).alias("s_a"),
+        F.max(F.when(F.col("_g") == gb, F.col("_n"))).alias("n_b"),
+        F.max(F.when(F.col("_g") == gb, F.col("_s"))).alias("s_b"),
+    )
+    out = obs.crossJoin(F.broadcast(ci))
+    rate_a = F.col("s_a").cast("double") / F.col("n_a")
+    rate_b = F.col("s_b").cast("double") / F.col("n_b")
+    return out.select(
+        F.lit(ga).alias("group_a"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round(rate_a, 6).alias("rate_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("lift"),
+        F.col("ci_lo"),
+        F.col("ci_hi"),
+        F.col("n_replicates").cast("long").alias("n_replicates"),
+        (
+            (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)
+        ).cast("int").alias("significant"),
     )

@@ -7168,3 +7168,127 @@ def ngram_lm_perplexity_docs(
         docs.filter(F.col("doc_id") % 5 == 0),
         train=docs.filter(F.col("doc_id") % 5 != 0),
     )
+
+
+def _abci_oracle() -> str:
+    """Build the bootstrap-CI oracle with the Poisson ladder taken
+    FROM the operator's own constants, so ladder and oracle can never
+    drift."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        _POISSON1_CDF,
+    )
+
+    u = (
+        "((('0x' || substr(md5('abci:' || b::VARCHAR || ':' "
+        "|| user_id::VARCHAR), 1, 8))::BIGINT + 1.0) "
+        "/ 4294967296.0)"
+    )
+    ladder = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in _POISSON1_CDF
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS g,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) >= 14
+             THEN 1 ELSE 0 END AS x
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    rep AS (
+      SELECT g, x,
+        unnest(list_transform(range(0, 200),
+          b -> struct_pack(b := b,
+            w := CASE {ladder} ELSE 9 END))) AS r
+      FROM u
+    ),
+    pa AS (
+      SELECT g, r.b AS b, SUM(r.w) AS n, SUM(r.w * x) AS s
+      FROM rep GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT b,
+        MAX(CASE WHEN g = '0' THEN n END) AS na,
+        MAX(CASE WHEN g = '0' THEN s END) AS sa,
+        MAX(CASE WHEN g = '1' THEN n END) AS nb,
+        MAX(CASE WHEN g = '1' THEN s END) AS sb
+      FROM pa GROUP BY 1
+    ),
+    d AS (
+      SELECT b,
+        ROUND(CAST(sb AS DOUBLE) / nb
+              - CAST(sa AS DOUBLE) / na, 6) AS d
+      FROM pr WHERE na > 0 AND nb > 0
+    ),
+    rk AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d, b) AS r,
+        COUNT(*) OVER () AS beff
+      FROM d
+    ),
+    ci AS (
+      SELECT
+        MAX(CASE WHEN r = GREATEST((beff + 39) // 40, 1)
+            THEN d END) AS ci_lo,
+        MAX(CASE WHEN r = beff + 1 - GREATEST((beff + 39) // 40, 1)
+            THEN d END) AS ci_hi,
+        MAX(beff) AS beff
+      FROM rk
+    ),
+    ob AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN n END) AS n_a,
+        MAX(CASE WHEN g = '0' THEN s END) AS s_a,
+        MAX(CASE WHEN g = '1' THEN n END) AS n_b,
+        MAX(CASE WHEN g = '1' THEN s END) AS s_b
+      FROM (SELECT g, COUNT(*) AS n, SUM(x) AS s FROM u GROUP BY 1)
+    )
+    SELECT '0' AS group_a, CAST(n_a AS BIGINT) AS n_a,
+      ROUND(CAST(s_a AS DOUBLE) / n_a, 6) AS rate_a,
+      '1' AS group_b, CAST(n_b AS BIGINT) AS n_b,
+      ROUND(CAST(s_b AS DOUBLE) / n_b, 6) AS rate_b,
+      ROUND(CAST(s_b AS DOUBLE) / n_b
+            - CAST(s_a AS DOUBLE) / n_a, 6) AS lift,
+      ci_lo, ci_hi, CAST(beff AS BIGINT) AS n_replicates,
+      CAST(ci_lo > 0 OR ci_hi < 0 AS INT) AS significant
+    FROM ob, ci
+    """
+
+
+@query("ab_test_ci_events", oracle=_abci_oracle())
+def ab_test_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the A/B heavy-buyer lift
+    (operators.experiments.ab_bootstrap_ci): users split by id
+    parity, success = >= 14 purchases (every fixture user purchases
+    at least once, so "any purchase" is rate-1.0 degenerate on both
+    arms; the count threshold leaves mid-range rates at both probe
+    scales), 200 hash-deterministic Poisson(1)
+    replicates — the md5 idiom makes every replicate reproducible
+    and oracle-replayable; the percentile ranks are integer-exact
+    (ceil(B_eff/40), never a float level).  The shuffle carries only
+    |arms|·B partial sums despite the corpus×B generated fan-out."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ab_bootstrap_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    (F.col("event_type") == "purchase").cast("int")
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("succ")
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("string").alias("grp"),
+            "succ",
+        )
+    )
+    return ab_bootstrap_ci(
+        users, "grp", "succ", "user_id", b_replicates=200
+    )

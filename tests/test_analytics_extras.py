@@ -903,3 +903,49 @@ def test_global_value_rank_empty_input_schema(spark):
         empty.select(F.col("x").alias("v"), F.lit(1).alias("w")), "v", "w"
     )
     assert w_empty.columns == w_full.columns
+
+
+def test_ab_bootstrap_ci_properties(spark):
+    """Hash-deterministic bootstrap CI: reproducible across calls,
+    brackets the observed lift on a clearly-separated fixture, and
+    declares significance exactly when the CI excludes 0."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ab_bootstrap_ci,
+    )
+
+    # arm 0: 10% conversion, arm 1: 90% — 200 users
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 10 == 0))
+        .otherwise(F.col("id") % 10 != 1)
+        .cast("int")
+        .alias("x"),
+    )
+    a = ab_bootstrap_ci(df, "g", "x", "id").collect()[0]
+    b = ab_bootstrap_ci(df, "g", "x", "id").collect()[0]
+    assert tuple(a) == tuple(b)  # same hash draws, same CI
+    assert a.n_replicates == 200
+    assert a.ci_lo <= a.lift <= a.ci_hi
+    assert a.ci_lo > 0 and a.significant == 1
+    assert a.lift == 0.6  # 20/100 even-arm vs 80/100 odd-arm
+
+
+def test_ab_bootstrap_ci_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.errors import UserException
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ab_bootstrap_ci,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit("only").alias("g"), F.lit(1).alias("x")
+    )
+    with pytest.raises(UserException, match="exactly 2 arms"):
+        ab_bootstrap_ci(df, "g", "x", "id")
+    with pytest.raises(ValueError, match="b_replicates"):
+        ab_bootstrap_ci(df, "g", "x", "id", b_replicates=2)
