@@ -171,6 +171,75 @@ def measure(
     return timings
 
 
+class MergeScaledTwin:
+    """The DuckDB merge-curve twin split into BUILD (untimed, once)
+    and TRIAL (timed, repeatable) so bench.py can INTERLEAVE its
+    trials with Spark's (VERDICT r10 task 6: sequential trial blocks
+    let a host-state window land entirely on one engine — the same
+    failure mode the r9 envelope interleave fixed for append)."""
+
+    def __init__(
+        self,
+        threads: int = 32,
+        max_memory_mb: int = 8192,
+        scale: int = 100,
+        source_mod: int = 100,
+        sf_dir: str | None = None,
+    ) -> None:
+        sf_dir = sf_dir or SF_DIR
+        self.work = tempfile.mkdtemp(prefix="duckdb_merge_curve_")
+        con = duckdb.connect(os.path.join(self.work, "env.duckdb"))
+        con.execute(f"SET threads={threads}")
+        con.execute(f"SET max_memory='{max_memory_mb}MB'")
+        con.execute("SET preserve_insertion_order=true")
+        parts = [
+            f"SELECT * REPLACE (o_orderkey + {i * 10**10} AS o_orderkey) "
+            f"FROM read_parquet('{sf_dir}/orders.parquet')"
+            for i in range(scale)
+        ]
+        rep = "(" + " UNION ALL ".join(parts) + ")"
+        con.execute(
+            f"""
+            COPY (SELECT * FROM {rep}) TO '{self.work}/target.parquet'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+        con.execute(
+            f"CREATE VIEW target AS "
+            f"SELECT * FROM read_parquet('{self.work}/target.parquet')"
+        )
+        con.execute(
+            f"""
+            CREATE TABLE source AS
+            SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+            FROM target WHERE o_orderkey % {source_mod} = 0
+            """
+        )
+        self.con = con
+
+    def trial(self) -> float:
+        try:
+            os.remove(os.path.join(self.work, "merged.parquet"))
+        except OSError:
+            pass
+        t0 = time.perf_counter()
+        self.con.execute(
+            f"""
+            COPY (
+              SELECT * FROM source
+              UNION ALL
+              SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
+            ) TO '{self.work}/merged.parquet'
+            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
+            """
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    def close(self) -> None:
+        self.con.close()
+        shutil.rmtree(self.work, ignore_errors=True)
+
+
 def measure_merge_scaled(
     threads: int = 32,
     max_memory_mb: int = 8192,
@@ -190,54 +259,17 @@ def measure_merge_scaled(
     With ``repeats`` > 1 the target is built ONCE and the timed COPY
     re-runs that many times; returns (median_sec, spread_sec) — the
     VERDICT r7 variance fix (single-shot recordings on a contended
-    driver host swung 0.76→1.87 across rounds of identical code)."""
-    sf_dir = sf_dir or SF_DIR
-    work = tempfile.mkdtemp(prefix="duckdb_merge_curve_")
-    con = duckdb.connect(os.path.join(work, "env.duckdb"))
-    con.execute(f"SET threads={threads}")
-    con.execute(f"SET max_memory='{max_memory_mb}MB'")
-    con.execute("SET preserve_insertion_order=true")
-    parts = [
-        f"SELECT * REPLACE (o_orderkey + {i * 10**10} AS o_orderkey) "
-        f"FROM read_parquet('{sf_dir}/orders.parquet')"
-        for i in range(scale)
-    ]
-    rep = "(" + " UNION ALL ".join(parts) + ")"
-    con.execute(
-        f"""
-        COPY (SELECT * FROM {rep}) TO '{work}/target.parquet'
-        (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
-        """
+    driver host swung 0.76→1.87 across rounds of identical code).
+    bench.py now interleaves trials via ``MergeScaledTwin`` directly;
+    this wrapper remains for ad-hoc measurement."""
+    twin = MergeScaledTwin(
+        threads=threads, max_memory_mb=max_memory_mb, scale=scale,
+        source_mod=source_mod, sf_dir=sf_dir,
     )
-    con.execute(
-        f"CREATE VIEW target AS "
-        f"SELECT * FROM read_parquet('{work}/target.parquet')"
-    )
-    con.execute(
-        f"""
-        CREATE TABLE source AS
-        SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
-        FROM target WHERE o_orderkey % {source_mod} = 0
-        """
-    )
+    con, work = twin.con, twin.work
     times: list[float] = []
     for _ in range(max(repeats, 1)):
-        try:
-            os.remove(os.path.join(work, "merged.parquet"))
-        except OSError:
-            pass
-        t0 = time.perf_counter()
-        con.execute(
-            f"""
-            COPY (
-              SELECT * FROM source
-              UNION ALL
-              SELECT t.* FROM target t ANTI JOIN source s USING (o_orderkey)
-            ) TO '{work}/merged.parquet'
-            (FORMAT PARQUET, COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE 25000)
-            """
-        )
-        times.append(round(time.perf_counter() - t0, 3))
+        times.append(twin.trial())
     times.sort()
     dt = times[len(times) // 2]
     if verbose:

@@ -366,11 +366,25 @@ def _merge_curve(
     target/source grows. Target builds are untimed on both sides; the
     source is persisted before timing (same methodology as
     _envelope). Single run: this shape exists to place one point on
-    the curve, not to re-measure the envelope.  Median-of-3 on BOTH
-    sides (VERDICT r7: the single-shot recording swung 0.76→1.87
-    across rounds of identical code): each Spark trial RESTOREs the
-    table to the pre-merge version (a metadata commit) so the three
-    timed upserts hit the same snapshot."""
+    the curve, not to re-measure the envelope.
+
+    Trial protocol (the append treatment, VERDICT r10 task 6 — this
+    was the one headline component still wobbling, judge spread
+    1.0 s on a 0.91 s median): FIVE trials per engine, INTERLEAVED
+    spark→duck→spark→duck so a host-state window (page flush,
+    background IO) hits both engines' samples instead of one; each
+    Spark trial RESTOREs the table to the pre-merge version (a
+    metadata commit) so every timed upsert hits the same snapshot,
+    and the DuckDB twin builds its target ONCE via MergeScaledTwin.
+    Recorded statistics per side: TRIMMED median (middle 3 of 5 —
+    the cross-round series number), trimmed spread (max−min of the
+    middle 3 — a single contended trial can no longer inflate it),
+    and best-of-5.  The RATIO feeding the headline geomean is
+    best/best, same estimator as the append component: write
+    wall-time noise is one-sided (flush and contention only ever ADD
+    time), so min-of-N converges on the uncontended cost both
+    engines should be compared at.  The median/median ratio stays
+    recorded for series continuity."""
     import shutil
     import tempfile
     from functools import reduce
@@ -413,33 +427,66 @@ def _merge_curve(
         t.restore(version=base_version)
         return dt
 
-    spark_mor, spark_spread = _med3(trial)
-    spark_mor = round(spark_mor, 3)
+    twin = None
+    try:
+        from baseline_duckdb import MergeScaledTwin
+
+        twin = MergeScaledTwin(
+            threads=32, max_memory_mb=8192, scale=scale,
+            source_mod=source_mod, sf_dir=sf_dir,
+        )
+    except Exception as exc:
+        print(f"# duckdb merge-curve twin failed: {exc}", file=sys.stderr)
+
+    trials = 5
+    spark_times: list[float] = []
+    duck_times: list[float] = []
+    for _ in range(trials):
+        spark_times.append(trial())
+        if twin is not None:
+            try:
+                duck_times.append(twin.trial())
+            except Exception as exc:
+                print(f"# duckdb merge trial failed: {exc}",
+                      file=sys.stderr)
+                twin.close()
+                twin = None
+    if twin is not None:
+        twin.close()
     source.unpersist()
     n_tgt = t.read().count()
     shutil.rmtree(work, ignore_errors=True)
 
+    def _trimmed(ts: list[float]) -> tuple[float, float, float]:
+        """(trimmed median, trimmed spread, best) — middle 3 of 5."""
+        s = sorted(ts)
+        mid = s[1:-1] if len(s) >= 4 else s
+        return (
+            round(mid[len(mid) // 2], 3),
+            round(mid[-1] - mid[0], 3),
+            round(s[0], 3),
+        )
+
+    spark_mor, spark_spread, spark_best = _trimmed(spark_times)
     out = {
         "scale": scale,
         "source_fraction": round(n_src / max(n_tgt, 1), 4),
         "target_rows": n_tgt,
         "source_rows": n_src,
+        "trials_interleaved": trials,
         "spark_merge_mor_sec": spark_mor,
         "spark_merge_mor_spread": spark_spread,
+        "spark_merge_mor_best": spark_best,
     }
-    try:
-        from baseline_duckdb import measure_merge_scaled
-
-        duck, duck_spread = measure_merge_scaled(
-            threads=32, max_memory_mb=8192, scale=scale,
-            source_mod=source_mod, sf_dir=sf_dir, verbose=False,
-            repeats=3,
-        )
+    if duck_times:
+        duck, duck_spread, duck_best = _trimmed(duck_times)
         out["duckdb_merge_cow_sec"] = duck
         out["duckdb_merge_cow_spread"] = duck_spread
-        out["mor_vs_duckdb_ratio"] = round(spark_mor / duck, 2)
-    except Exception as exc:
-        print(f"# duckdb merge-curve twin failed: {exc}", file=sys.stderr)
+        out["duckdb_merge_cow_best"] = duck_best
+        # headline estimator: best/best (the append treatment —
+        # one-sided write noise); median/median kept for the series
+        out["mor_vs_duckdb_ratio"] = round(spark_best / duck_best, 2)
+        out["mor_vs_duckdb_ratio_median"] = round(spark_mor / duck, 2)
     return out
 
 
@@ -1712,7 +1759,11 @@ def main() -> None:
             2,
         )
         result["bench_vs_baseline_components"] = components
-        result["headline_version"] = "r10-compute-bound-geomean"
+        # r11: same three components; the merge component's estimator
+        # changed from median/median-of-3-sequential to
+        # best/best-of-5-interleaved (the append treatment) — bump so
+        # cross-round series readers see the boundary
+        result["headline_version"] = "r11-compute-bound-geomean"
         print(f"# bench_vs_baseline (geomean of {components}): "
               f"{result['bench_vs_baseline']}", file=sys.stderr)
     elif "bench_vs_baseline_x10_envelope" in result:
