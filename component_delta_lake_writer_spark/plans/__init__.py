@@ -25,6 +25,86 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 11 budget window (first occurrence wins — every listing
+    # of these keys in the older round blocks below is superseded).
+    # Composition, in priority order:
+    #   (a) parquet_scan — the session warm-up absorber, always slot 1;
+    #   (b) the 4 brand-new r11 keys (LM perplexity, WebP/GIF, the
+    #       bootstrap CI) — explicit slots so they don't land in the
+    #       cold tier-1 front (see the r10 block note);
+    #   (c) every key whose OPERATOR or ORACLE changed this round:
+    #       the six de-vacuated probes (km/set_except/url_dedup/q22/
+    #       q7/range_join), the integer-wedge triangle count, the
+    #       string-seed+unpersist BFS, the guarded gini/chi2, the
+    #       capped basket_lift, and the __pid-fix rank/cumsum
+    #       consumers (quantile_normalize, mann_whitney);
+    #   (d) the r1-era keys the r10 verdict named for evidence
+    #       refresh, then the REST of the r1 cohort (all driver rows
+    #       from round 1, engine rewritten nine times since);
+    #   (e) stream_dedup_events as the generic streaming warmer
+    #       immediately before stateful_sessionize_stream (the one
+    #       streaming key in the window);
+    #   (f) r2-era fill to 50.  The remaining r2-r6 stale-evidence
+    #       keys rotate in over r12+ (153 stale keys > one 50-key
+    #       window).
+    # ------------------------------------------------------------------
+    "parquet_scan",
+    # (b) new r11 keys
+    "ngram_lm_perplexity_docs",
+    "webp_meta_parse",
+    "gif_meta_parse",
+    "ab_test_ci_events",
+    # (c) operator/oracle changed in r11
+    "km_survival_events",
+    "set_except",
+    "url_dedup_canonical",
+    "tpch_q22_dormant_customers",
+    "tpch_q7_volume_shipping",
+    "range_join_busy_windows",
+    "triangle_count_parts",
+    "bfs_reachability_parts",
+    "gini_orders",
+    "chi2_independence_orders",
+    "basket_lift_parts",
+    "quantile_normalize_orders",
+    "mann_whitney_orders",
+    # (d) r1-era evidence refresh — the seven the verdict named...
+    "agg_returnflag",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "union_all_dedup",
+    "text_tokenize_stats",
+    "cosine_topk",
+    "minhash_dedup",
+    # ...and the rest of the r1 cohort
+    "agg_rollup",
+    "date_dims",
+    "embedding_norms",
+    "events_hourly_agg",
+    "exact_dedup_docs",
+    "join_left_outer",
+    "join_semi",
+    "json_extract_props",
+    "lang_id_ngram",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "sessionize_events",
+    "set_intersect",
+    "simhash_dedup",
+    "text_quality_score",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "upsert_write",
+    "window_running_sum",
+    # (e) generic streaming warmer, then the r1 streaming key
+    "stream_dedup_events",
+    "stateful_sessionize_stream",
+    # (f) r2-era fill to the 50-key budget
+    "ann_batch_topk",
+    "bigram_collocations",
+    "domain_cap_docs",
+    "funnel_abc_events",
+    # ------------------------------------------------------------------
     # Round 10: keys whose OPERATOR or ORACLE changed this round —
     # the funnel rewrite (flat array_min chain + NaN/null-ts guards,
     # oracle re-spelled), the distributed erasure audit's executor-
