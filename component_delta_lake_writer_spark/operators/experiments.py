@@ -20,6 +20,16 @@ from component_delta_lake_writer_spark.errors import UserException
 # both engines compare against the identical constant
 Z_CRIT_5PCT = 1.959964
 
+#: F(k−1, ∞) upper 1% critical values for k−1 = 1..29 (Abramowitz &
+#: Stegun table 26.9 limiting row) — shared by anova_oneway and its
+#: oracle so the lookup can never drift between engines.
+F_CRIT_1PCT = (
+    6.63, 4.61, 3.78, 3.32, 3.02, 2.80, 2.64, 2.51,
+    2.41, 2.32, 2.25, 2.18, 2.13, 2.08, 2.04, 2.00,
+    1.97, 1.93, 1.90, 1.88, 1.85, 1.83, 1.81, 1.79,
+    1.77, 1.76, 1.74, 1.72, 1.71,
+)
+
 
 def two_proportion_ztest(
     df: DataFrame, group_col: str, success_col: str
@@ -463,4 +473,335 @@ def ab_bootstrap_ci(
         (
             (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)
         ).cast("int").alias("significant"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association readout Pearson gets wrong on heavy-tailed
+    metrics (does price rise WITH basket size, does quality rise
+    with length — regardless of scale or outliers).  Midrank tie
+    handling (the standard definition), riding the SAME distributed
+    machinery as mann_whitney_u: per-column distinct-value tie
+    counts, a distributed exclusive cumsum (never a single-partition
+    window), and INTEGER-exact doubled midranks 2·mid = 2·cum + t + 1
+    joined back to the rows.
+
+    ρ is then the Pearson correlation of the doubled midranks — the
+    ×2 cancels — from five exact integer sums (Σa, Σb, Σa², Σb²,
+    Σab accumulated as DECIMAL(38,0); a, b ≤ 2n keeps Σa² under
+    decimal 38 to ~10¹² rows) finished as one deterministic double
+    expression, rounded 6dp.
+
+    Returns ONE row: (n_rows, rho) — NULL rho when either column is
+    constant (zero rank variance) or n < 2.
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+
+    def midranks(col: str) -> DataFrame:
+        pv = src.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
+        cum = global_weighted_cumsum(pv, col, "_t")
+        return cum.select(
+            col,
+            (
+                F.lit(2) * F.col("_cum") + F.col("_t") + F.lit(1)
+            ).alias(f"_m{col}"),
+        )
+
+    ranked = src.join(midranks("_x"), "_x").join(
+        midranks("_y"), "_y"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_m_x").cast("decimal(38,0)")).alias("_sa"),
+        F.sum(F.col("_m_y").cast("decimal(38,0)")).alias("_sb"),
+        F.sum(
+            F.col("_m_x").cast("decimal(19,0)")
+            * F.col("_m_x").cast("decimal(19,0)")
+        ).alias("_saa"),
+        F.sum(
+            F.col("_m_y").cast("decimal(19,0)")
+            * F.col("_m_y").cast("decimal(19,0)")
+        ).alias("_sbb"),
+        F.sum(
+            F.col("_m_x").cast("decimal(19,0)")
+            * F.col("_m_y").cast("decimal(19,0)")
+        ).alias("_sab"),
+    )
+    n = F.col("_n").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    var_a = n * F.col("_saa").cast("double") - sa * sa
+    var_b = n * F.col("_sbb").cast("double") - sb * sb
+    cov = n * F.col("_sab").cast("double") - sa * sb
+    return agg.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.when(
+            (F.col("_n") >= 2) & (var_a > 0) & (var_b > 0),
+            F.round(cov / F.sqrt(var_a * var_b), 6),
+        ).alias("rho"),
+    )
+
+
+def ks_test_2sample(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: the maximum gap between
+    the two arms' empirical CDFs — the distribution-shift readout
+    that catches what a mean test can't (same mean, different shape:
+    a latency regression that only moves the tail, a corpus drift
+    that only moves the mode).
+
+    Scale shape (the mann_whitney machinery): the corpus collapses
+    to ONE row per distinct value with per-arm tie counts; both
+    arms' inclusive cumulative counts come from the DISTRIBUTED
+    exclusive cumsum (two range-partitioned passes over the
+    |distinct| relation, never a single-partition window); D is a
+    MAX over per-row deterministic scalars (order-free by
+    definition).  Significance at α=0.05 uses the asymptotic
+    critical value 1.358102·√((n_a+n_b)/(n_a·n_b)).
+
+    Returns ONE row: (group_a, n_a, group_b, n_b, d_stat,
+    d_critical, significant) — d/critical rounded 6dp.
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    found = [
+        r["_g"]
+        for r in src.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"ks_test_2sample needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, _gb = sorted(found)
+    pv = src.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(
+            F.when(F.col("_g") == ga, 1).otherwise(0)
+        ).alias("_ta"),
+    )
+    c1 = global_weighted_cumsum(
+        pv, "_v", "_ta"
+    ).withColumnRenamed("_cum", "_ca")
+    c2 = global_weighted_cumsum(
+        c1.withColumn("_tb", F.col("_t") - F.col("_ta")),
+        "_v",
+        "_tb",
+    ).withColumnRenamed("_cum", "_cb")
+    agg = c2.agg(
+        F.sum("_ta").alias("_na"),
+        F.sum("_tb").alias("_nb"),
+    )
+    na, nb = [
+        (r["_na"] or 0, r["_nb"] or 0) for r in agg.collect()
+    ][0]
+    if na == 0 or nb == 0:
+        raise UserException(
+            "ks_test_2sample: one arm has no non-null values"
+        )
+    d = F.abs(
+        (F.col("_ca") + F.col("_ta")).cast("double") / F.lit(na)
+        - (F.col("_cb") + F.col("_tb")).cast("double") / F.lit(nb)
+    )
+    crit = F.lit(1.358102) * F.sqrt(
+        (F.lit(na) + F.lit(nb)).cast("double")
+        / (F.lit(na).cast("double") * F.lit(nb))
+    )
+    out = c2.agg(F.round(F.max(d), 6).alias("d_stat"))
+    return out.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(_gb).alias("group_b"),
+        F.lit(nb).cast("long").alias("n_b"),
+        "d_stat",
+        F.round(crit, 6).alias("d_critical"),
+        (F.col("d_stat") > crit).cast("int").alias("significant"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test over a continuous metric —
+    the default two-sample mean test (Student's equal-variance
+    assumption buys nothing and silently fails on imbalanced arms).
+    ONE map-side-combinable aggregation collapses the corpus to
+    per-arm (n, Σx, Σx²) with the stats_agg decimal rule (Σx² exact
+    ONLY as cast-then-square decimal — a double→decimal cast of a
+    17-digit product diverges between engines); t, the
+    Welch–Satterthwaite dof, and the means are deterministic double
+    expressions over those exact sums, rounded 6dp.
+
+    Returns ONE row: (group_a, n_a, mean_a, group_b, n_b, mean_b,
+    mean_diff, t, dof, significant) — significant = |t| above the
+    two-sided 5% normal critical value (dof is large at corpus
+    scale; the normal approximation is the house z convention).
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    found = [
+        r["_g"]
+        for r in src.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"welch_ttest needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+    d24 = F.col("_v").cast("decimal(24,4)")
+    d12 = F.col("_v").cast("decimal(12,4)")
+    arms = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d24).alias("_s"),
+        F.sum(d24 * d12).alias("_ss"),
+    )
+
+    def pick(g, c):
+        return F.max(F.when(F.col("_g") == g, F.col(c)))
+
+    agg = arms.agg(
+        pick(ga, "_n").alias("_na"),
+        pick(ga, "_s").alias("_sa"),
+        pick(ga, "_ss").alias("_ssa"),
+        pick(gb, "_n").alias("_nb"),
+        pick(gb, "_s").alias("_sb"),
+        pick(gb, "_ss").alias("_ssb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    # sample variance from exact sums: (Σx² − n·m²)/(n−1)
+    va = (F.col("_ssa").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("_ssb").cast("double") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (mb - ma) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0)
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.round(ma, 6).alias("mean_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("mean_diff"),
+        F.when(ok, F.round(t, 6)).alias("t"),
+        F.when(ok, F.round(dof, 2)).alias("dof"),
+        F.coalesce(
+            F.when(ok, (F.abs(t) > 1.959964).cast("int")),
+            F.lit(0),
+        ).alias("significant"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F statistic over k groups — the "do ANY of
+    these segments differ" screen that precedes pairwise tests
+    (priority tiers vs order value, source domains vs quality
+    score).  ONE map-side-combinable aggregation to per-group
+    (n, Σx, Σx²) with the stats_agg decimal rule; SSB/SSW come from
+    the algebraic identities SSB = Σ(S_g²/n_g) − S²/N and
+    SSW = ΣΣx² − Σ(S_g²/n_g) over the |k|-row relation, finished as
+    deterministic double expressions rounded 6dp.
+
+    Returns ONE row: (k_groups, n_rows, ss_between, ss_within, f,
+    significant) — f NULL when dof degenerates (k < 2 or N ≤ k);
+    significant = F above the 1% critical value for large
+    denominator dof at the observed k−1 (conservative lookup,
+    k ≤ 30).
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    d24 = F.col("_v").cast("decimal(24,4)")
+    d12 = F.col("_v").cast("decimal(12,4)")
+    per_g = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d24).alias("_s"),
+        F.sum(d24 * d12).alias("_ss"),
+    )
+    # the three grand sums are kept at DECIMAL SCALE 0 (floored):
+    # a scale-s decimal whose unscaled integer exceeds 2^53 converts
+    # to double via u·10^-s intermediate arithmetic that the two
+    # engines round differently (the registry's rule #3 — this
+    # operator's first cut diverged in the 4th decimal of a 1e14 SSW
+    # for exactly that reason), while a scale-0 decimal→double is the
+    # uniquely-defined nearest-int conversion on both.  The sub-unit
+    # truncation is invisible against sums of squares of corpus
+    # magnitudes.
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_N"),
+        F.sum(F.col("_s").cast("decimal(38,4)")).alias("_S"),
+        F.sum(
+            F.floor(F.col("_ss")).cast("decimal(38,0)")
+        ).alias("_SS"),
+        F.sum(
+            F.floor(
+                F.col("_s").cast("double")
+                * F.col("_s").cast("double")
+                / F.col("_n")
+            ).cast("decimal(38,0)")
+        ).alias("_SG"),
+    )
+    n = F.col("_N").cast("double")
+    k = F.col("_k").cast("double")
+    ssb = F.col("_SG").cast("double") - (
+        F.col("_S").cast("double") * F.col("_S").cast("double") / n
+    )
+    ssw = F.col("_SS").cast("double") - F.col("_SG").cast("double")
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    ok = (F.col("_k") >= 2) & (
+        F.col("_N") > F.col("_k")
+    ) & (ssw > 0)
+    # conservative for finite denominator dof; shared constant table
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in F_CRIT_1PCT]),
+        F.least(F.col("_k") - 1, F.lit(len(F_CRIT_1PCT))).cast(
+            "int"
+        ),
+    )
+    return agg.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_N").cast("long").alias("n_rows"),
+        F.when(ok, F.round(ssb, 4)).alias("ss_between"),
+        F.when(ok, F.round(ssw, 4)).alias("ss_within"),
+        F.when(ok, F.round(f, 6)).alias("f"),
+        F.coalesce(
+            F.when(ok, (f > crit).cast("int")), F.lit(0)
+        ).alias("significant"),
     )

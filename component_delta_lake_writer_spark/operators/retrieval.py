@@ -290,3 +290,101 @@ def rank_eval(
             F.sum("_rec").cast("double") / F.count(F.lit(1)), 6
         ).alias("recall_at_k"),
     )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@``k`` with GRADED relevance — the ranking metric that
+    rank_eval's binary MRR/recall can't express (a 3-relevant doc at
+    rank 1 must beat a 1-relevant doc there; recall counts them the
+    same).  Standard exponential gain: DCG = Σ_{i≤k} (2^rel −1) /
+    log₂(rank+1) over judged docs, normalized by the query's ideal
+    DCG (its own judgments sorted by grade, best k).
+
+    Shape mirrors rank_eval: one equi-join of the rank-bounded
+    results against the judgments (one shuffle each on the query
+    key); the ideal ranking is a per-QUERY window over the judgments
+    relation (partitioned by query — never a single global sort).
+    Per-position terms are rounded 9dp and summed as DECIMAL, the
+    per-query ratio is rounded 9dp before the decimal mean, so the
+    corpus metric is order-free and engine-portable.  Queries with
+    no positive-grade judgment are excluded (nDCG undefined);
+    grades must be small non-negative ints (gain 2^rel is exact to
+    rel ≤ 30).
+
+    Returns ONE row: (n_queries, ndcg_at_k) rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    rel = (
+        qrels.filter(
+            F.col(query_col).isNotNull()
+            & F.col(doc_col).isNotNull()
+            & (F.col(rel_col) > 0)
+        )
+        .groupBy(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+        )
+        .agg(F.max(F.col(rel_col)).cast("int").alias("_rel"))
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0)
+    dcg = (
+        results.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_r"),
+        )
+        .join(rel, ["_q", "_d"])
+        .select(
+            "_q",
+            F.round(
+                gain / F.log2(F.col("_r") + F.lit(1.0)), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("_term"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_term").alias("_dcg"))
+    )
+    w_ideal = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d")
+    )
+    idcg = (
+        rel.withColumn("_i", F.row_number().over(w_ideal))
+        .filter(F.col("_i") <= k)
+        .select(
+            "_q",
+            F.round(
+                gain / F.log2(F.col("_i") + F.lit(1.0)), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("_term"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_term").alias("_idcg"))
+    )
+    per_q = idcg.join(dcg, "_q", "left").select(
+        F.round(
+            F.coalesce(F.col("_dcg"), F.lit(0))
+            .cast("double")
+            / F.col("_idcg").cast("double"),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("_ndcg")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("_ndcg").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ndcg_at_k"),
+    )

@@ -643,3 +643,123 @@ def forecast_backtest(
             6,
         ).alias("mape"),
     )
+
+
+def acf_hourly(
+    df: DataFrame,
+    ts_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..``max_lag`` — the seasonality detector behind "is this
+    corpus daily-periodic" (a spike at lag 24 = daily rhythm; fast
+    decay = noise): ACF(ℓ) = Σ(y_t−ȳ)(y_{t+ℓ}−ȳ) / Σ(y_t−ȳ)².
+
+    Scale shape: ONE corpus scan collapses to the hourly bucket
+    series; the hour range is GAP-FILLED with zero counts (an hour
+    with no events is y=0, not missing — skipping gaps would splice
+    non-adjacent hours together at lag 1), generated from the
+    min/max timestamps as a metadata-scale sequence.  The lag pairs
+    come from one explode(sequence(1, L)) + self-join on the shifted
+    hour — |buckets|·L rows, still metadata-scale.  Products are
+    rounded 6dp and summed as DECIMAL per lag (order-free); ȳ is a
+    single exact-sum division broadcast as a 1-row cross join.
+
+    Returns one row per lag: (lag, n_pairs, acf) — acf rounded 6dp,
+    NULL when the series is constant (zero variance).
+    """
+    counted = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_y"))
+    )
+    # the bucket series feeds SEVEN consumers (bounds, gap-fill join,
+    # mean, denominator, lag left/right sides) — unpinned, each one
+    # re-scans the CORPUS (measured: 8 FileScans).  localCheckpoint
+    # collapses them to one corpus read + a metadata-scale relation.
+    counted = counted.localCheckpoint(eager=True)
+    bounds = F.broadcast(
+        counted.agg(
+            F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
+        )
+    )
+    hours = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("_lo"),
+                    F.col("_hi"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("_h")
+        )
+    )
+    series = hours.join(counted, "_h", "left").select(
+        "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    stats = F.broadcast(
+        series.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_y").cast("decimal(24,0)")).alias("_sy"),
+        )
+    )
+    with_mean = series.crossJoin(stats).select(
+        "_h",
+        "_y",
+        (
+            F.col("_sy").cast("double") / F.col("_n")
+        ).alias("_ybar"),
+    )
+    denom = with_mean.agg(
+        F.sum(
+            F.round(
+                (F.col("_y") - F.col("_ybar"))
+                * (F.col("_y") - F.col("_ybar")),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("_den")
+    )
+    lagged = (
+        with_mean.select(
+            "_h",
+            "_y",
+            "_ybar",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(max_lag))
+            ).alias("lag"),
+        )
+        .withColumn(
+            "_h2",
+            F.col("_h")
+            + F.make_interval(hours=F.col("lag")),
+        )
+    )
+    right = series.select(
+        F.col("_h").alias("_h2"), F.col("_y").alias("_y2")
+    )
+    per_lag = (
+        lagged.join(right, "_h2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(
+                    (F.col("_y") - F.col("_ybar"))
+                    * (F.col("_y2") - F.col("_ybar")),
+                    6,
+                ).cast("decimal(28,6)")
+            ).alias("_num"),
+        )
+    )
+    return per_lag.crossJoin(F.broadcast(denom)).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(
+            F.col("_den") > 0,
+            F.round(
+                F.col("_num").cast("double")
+                / F.col("_den").cast("double"),
+                6,
+            ),
+        ).alias("acf"),
+    )

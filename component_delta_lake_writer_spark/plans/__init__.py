@@ -54,6 +54,13 @@ _FRONT = [
     "webp_meta_parse",
     "gif_meta_parse",
     "ab_test_ci_events",
+    # (b') the r11 statistics wave
+    "spearman_lineitems",
+    "ks_test_orders",
+    "welch_ttest_orders",
+    "anova_orders",
+    "acf_hourly_events",
+    "ndcg_eval_orders",
     # (c) operator/oracle changed in r11
     "km_survival_events",
     "set_except",
@@ -86,10 +93,12 @@ _FRONT = [
     "join_semi",
     "json_extract_props",
     "lang_id_ngram",
-    "multimodal_meta",
+    # (multimodal_meta and set_intersect rotate to r12 — the
+    # multimodal tier carries fresh r10/r11 container-key evidence
+    # and set_except was re-proven this round; the six stats-wave
+    # keys above took their slots)
     "pivot_event_counts",
     "sessionize_events",
-    "set_intersect",
     "simhash_dedup",
     "text_quality_score",
     "tpch_q3_shipping_priority",
@@ -99,11 +108,9 @@ _FRONT = [
     # (e) generic streaming warmer, then the r1 streaming key
     "stream_dedup_events",
     "stateful_sessionize_stream",
-    # (f) r2-era fill to the 50-key budget
-    "ann_batch_topk",
-    "bigram_collocations",
-    "domain_cap_docs",
-    "funnel_abc_events",
+    # (f) r2-era fill rotated out for the stats wave — ann_batch_topk,
+    # bigram_collocations, domain_cap_docs, funnel_abc_events lead the
+    # r12 refresh queue
     # ------------------------------------------------------------------
     # Round 10: keys whose OPERATOR or ORACLE changed this round —
     # the funnel rewrite (flat array_min chain + NaN/null-ts guards,

@@ -7292,3 +7292,442 @@ def ab_test_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_bootstrap_ci(
         users, "grp", "succ", "user_id", b_replicates=200
     )
+
+
+@query(
+    "spearman_lineitems",
+    oracle="""
+    WITH s AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY x)
+          + COUNT(*) OVER (PARTITION BY x) - 1 AS a,
+        2 * RANK() OVER (ORDER BY y)
+          + COUNT(*) OVER (PARTITION BY y) - 1 AS b
+      FROM s
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(a AS DECIMAL(38,0))) AS sa,
+        SUM(CAST(b AS DECIMAL(38,0))) AS sb,
+        SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)))
+          AS saa,
+        SUM(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+          AS sbb,
+        SUM(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+          AS sab
+      FROM r
+    ),
+    f AS (
+      SELECT n,
+        CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS va,
+        CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vb,
+        CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      CASE WHEN n >= 2 AND va > 0 AND vb > 0
+           THEN ROUND(cov / SQRT(va * vb), 6) END AS rho
+    FROM f
+    """,
+)
+def spearman_lineitems(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation
+    (operators.experiments.spearman_corr) of line-item quantity vs
+    extended price — a genuinely monotone pair (price ≈ qty × unit
+    price) with heavy ties in the integer quantities, so the midrank
+    machinery is actually exercised.  The operator's distributed
+    doubled-midranks (2·cum + t + 1 via the shard-offset cumsum)
+    equal the oracle's window spelling 2·RANK + tie_count − 1; both
+    finish Pearson over five exact decimal sums."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        spearman_corr,
+    )
+
+    return spearman_corr(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@query(
+    "ks_test_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        FLOOR(o_totalprice / 1000) AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, COUNT(*) AS t,
+        SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS ta
+      FROM src GROUP BY 1
+    ),
+    c AS (
+      SELECT v, ta, t - ta AS tb,
+        SUM(ta) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        SUM(t - ta) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM pv
+    ),
+    a AS (SELECT SUM(ta) AS na, SUM(t - ta) AS nb FROM pv),
+    d AS (
+      SELECT ROUND(MAX(ABS(
+        CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb
+      )), 6) AS d_stat
+      FROM c, a
+    )
+    SELECT '0' AS group_a, CAST(na AS BIGINT) AS n_a,
+      '1' AS group_b, CAST(nb AS BIGINT) AS n_b,
+      d_stat,
+      ROUND(1.358102 * SQRT(
+        CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+      ), 6) AS d_critical,
+      CAST(d_stat > 1.358102 * SQRT(
+        CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+      ) AS INT) AS significant
+    FROM a, d
+    """,
+)
+def ks_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test
+    (operators.experiments.ks_test_2sample): order totals bucketed to
+    1000s (the mann_whitney fixture — real ties) split by orderkey
+    parity.  The operator's two DISTRIBUTED cumsums (per-arm
+    inclusive CDFs from the shard-offset idiom) equal the oracle's
+    window cumsums; D is an order-free MAX of identical scalar
+    trees."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ks_test_2sample,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
+    )
+    return ks_test_2sample(o, "grp", "bucket")
+
+
+@query(
+    "welch_ttest_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g, o_totalprice AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    arms AS (
+      SELECT g, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(24,4))) AS s,
+        SUM(CAST(v AS DECIMAL(24,4)) * CAST(v AS DECIMAL(12,4)))
+          AS ss
+      FROM src GROUP BY 1
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN n END) AS na,
+        MAX(CASE WHEN g = '0' THEN s END) AS sa,
+        MAX(CASE WHEN g = '0' THEN ss END) AS ssa,
+        MAX(CASE WHEN g = '1' THEN n END) AS nb,
+        MAX(CASE WHEN g = '1' THEN s END) AS sb,
+        MAX(CASE WHEN g = '1' THEN ss END) AS ssb
+      FROM arms
+    ),
+    m AS (
+      SELECT na, nb,
+        CAST(sa AS DOUBLE) / na AS ma,
+        CAST(sb AS DOUBLE) / nb AS mb,
+        (CAST(ssa AS DOUBLE)
+         - na * (CAST(sa AS DOUBLE) / na)
+              * (CAST(sa AS DOUBLE) / na)) / (na - 1) AS va,
+        (CAST(ssb AS DOUBLE)
+         - nb * (CAST(sb AS DOUBLE) / nb)
+              * (CAST(sb AS DOUBLE) / nb)) / (nb - 1) AS vb
+      FROM p
+    ),
+    t AS (
+      SELECT *, va / na + vb / nb AS se2 FROM m
+    )
+    SELECT '0' AS group_a, CAST(na AS BIGINT) AS n_a,
+      ROUND(ma, 6) AS mean_a,
+      '1' AS group_b, CAST(nb AS BIGINT) AS n_b,
+      ROUND(mb, 6) AS mean_b,
+      ROUND(mb - ma, 6) AS mean_diff,
+      CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+           THEN ROUND((mb - ma) / SQRT(se2), 6) END AS t,
+      CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+           THEN ROUND(se2 * se2 / (
+             (va / na) * (va / na) / (na - 1)
+             + (vb / nb) * (vb / nb) / (nb - 1)), 2) END AS dof,
+      CAST(COALESCE(
+        CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN ABS((mb - ma) / SQRT(se2)) > 1.959964 END,
+        FALSE) AS INT) AS significant
+    FROM t
+    """,
+)
+def welch_ttest_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's t-test (operators.experiments.welch_ttest) on order
+    totals split by orderkey parity — per-arm (n, Σx, Σx²) with the
+    stats_agg exact-decimal square rule; t and the
+    Welch–Satterthwaite dof are identical scalar trees on both
+    engines."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        welch_ttest,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("grp"),
+        F.col("o_totalprice"),
+    )
+    return welch_ttest(o, "grp", "o_totalprice")
+
+
+def _anova_oracle() -> str:
+    """ANOVA oracle with the F-critical lookup built from the
+    operator's own table so the two can never drift."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        F_CRIT_1PCT,
+    )
+
+    crit_list = ", ".join(repr(v) for v in F_CRIT_1PCT)
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(24,4))) AS s,
+        SUM(CAST(v AS DECIMAL(24,4)) * CAST(v AS DECIMAL(12,4)))
+          AS ss
+      FROM src GROUP BY 1
+    ),
+    a AS (
+      SELECT COUNT(*) AS k, SUM(n) AS N,
+        SUM(CAST(s AS DECIMAL(38,4))) AS S,
+        SUM(CAST(FLOOR(ss) AS DECIMAL(38,0))) AS SS,
+        SUM(CAST(FLOOR(
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+        ) AS DECIMAL(38,0))) AS SG
+      FROM per_g
+    ),
+    f AS (
+      SELECT k, N,
+        CAST(SG AS DOUBLE)
+          - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+            / CAST(N AS DOUBLE) AS ssb,
+        CAST(SS AS DOUBLE) - CAST(SG AS DOUBLE) AS ssw
+      FROM a
+    ),
+    r AS (
+      SELECT k, N, ssb, ssw,
+        (ssb / (k - 1)) / (ssw / (N - k)) AS fval,
+        (LIST_VALUE({crit_list}))[LEAST(k - 1,
+          {len(F_CRIT_1PCT)})] AS crit,
+        (k >= 2 AND N > k AND ssw > 0) AS ok
+      FROM f
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+      CAST(N AS BIGINT) AS n_rows,
+      CASE WHEN ok THEN ROUND(ssb, 4) END AS ss_between,
+      CASE WHEN ok THEN ROUND(ssw, 4) END AS ss_within,
+      CASE WHEN ok THEN ROUND(fval, 6) END AS f,
+      CAST(COALESCE(
+        CASE WHEN ok THEN fval > crit END, FALSE
+      ) AS INT) AS significant
+    FROM r
+    """
+
+
+@query("anova_orders", oracle=_anova_oracle())
+def anova_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (operators.experiments.anova_oneway): order
+    totals across the five priority tiers — one map-side-combinable
+    aggregation to per-group exact-decimal (n, Σx, Σx²), SSB/SSW via
+    the algebraic identities on the |k|-row relation, F against the
+    shared large-dof 1% critical table."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        anova_oneway,
+    )
+
+    return anova_oneway(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+@query(
+    "acf_hourly_events",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counted),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    series AS (
+      SELECT hours.h, COALESCE(counted.y, 0) AS y
+      FROM hours LEFT JOIN counted USING (h)
+    ),
+    st AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(y AS DECIMAL(24,0))) AS sy
+      FROM series
+    ),
+    wm AS (
+      SELECT h, y, CAST(sy AS DOUBLE) / n AS ybar
+      FROM series, st
+    ),
+    den AS (
+      SELECT SUM(CAST(ROUND((y - ybar) * (y - ybar), 6)
+        AS DECIMAL(28,6))) AS d
+      FROM wm
+    ),
+    lag_pairs AS (
+      SELECT l.lag, a.y, a.ybar, b.y AS y2
+      FROM wm a
+      CROSS JOIN (SELECT unnest(range(1, 25)) AS lag) l
+      JOIN series b ON b.h = a.h + to_hours(l.lag)
+    ),
+    num AS (
+      SELECT lag, COUNT(*) AS n_pairs,
+        SUM(CAST(ROUND((y - ybar) * (y2 - ybar), 6)
+          AS DECIMAL(28,6))) AS s
+      FROM lag_pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag,
+      CAST(n_pairs AS BIGINT) AS n_pairs,
+      CASE WHEN d > 0 THEN
+        ROUND(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 6)
+      END AS acf
+    FROM num, den
+    """,
+)
+def acf_hourly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly-count autocorrelation function
+    (operators.timeseries.acf_hourly) at lags 1..24 over the events
+    corpus — gap-filled zero-count hours (an eventless hour is y=0,
+    not a splice), 6dp-rounded decimal term sums, the seasonality
+    detector companion to seasonal_profile."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        acf_hourly,
+    )
+
+    return acf_hourly(
+        load_table(spark, sf_dir, "events"), "ts", max_lag=24
+    )
+
+
+@query(
+    "ndcg_eval_orders",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS q, l_partkey AS d FROM lineitem
+    ),
+    res AS (
+      SELECT q, d,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY d) AS r
+      FROM bi
+    ),
+    rel AS (
+      SELECT l_orderkey AS q, l_partkey AS d,
+        MAX(CASE WHEN l_quantity > 40 THEN 3
+                 WHEN l_quantity > 25 THEN 2
+                 WHEN l_quantity > 10 THEN 1 ELSE 0 END) AS rel
+      FROM lineitem GROUP BY 1, 2
+      HAVING MAX(CASE WHEN l_quantity > 40 THEN 3
+                 WHEN l_quantity > 25 THEN 2
+                 WHEN l_quantity > 10 THEN 1 ELSE 0 END) > 0
+    ),
+    dcg AS (
+      SELECT res.q,
+        SUM(CAST(ROUND(
+          (POWER(2.0, rel.rel) - 1.0) / LOG2(res.r + 1.0), 9
+        ) AS DECIMAL(18,9))) AS dcg
+      FROM res JOIN rel USING (q, d)
+      WHERE res.r <= 3
+      GROUP BY 1
+    ),
+    ideal AS (
+      SELECT q,
+        SUM(CAST(ROUND(
+          (POWER(2.0, rel) - 1.0) / LOG2(i + 1.0), 9
+        ) AS DECIMAL(18,9))) AS idcg
+      FROM (
+        SELECT q, rel,
+          ROW_NUMBER() OVER (
+            PARTITION BY q ORDER BY rel DESC, d
+          ) AS i
+        FROM rel
+      )
+      WHERE i <= 3
+      GROUP BY 1
+    ),
+    perq AS (
+      SELECT CAST(ROUND(
+        CAST(COALESCE(dcg.dcg, 0) AS DOUBLE)
+        / CAST(ideal.idcg AS DOUBLE), 9
+      ) AS DECIMAL(12,9)) AS nd
+      FROM ideal LEFT JOIN dcg USING (q)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      ROUND(CAST(SUM(nd) AS DOUBLE) / COUNT(*), 6) AS ndcg_at_k
+    FROM perq
+    """,
+)
+def ndcg_eval_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """nDCG@3 with graded relevance
+    (operators.retrieval.ndcg_at_k): the rank_eval_orders fixture
+    upgraded to grades (quantity > 40/25/10 → rel 3/2/1) — the
+    metric that distinguishes WHERE in the top-k the good documents
+    land, which binary MRR/recall can't."""
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        ndcg_at_k,
+    )
+
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    results = bi.select(
+        "l_orderkey",
+        "l_partkey",
+        F.row_number().over(w).alias("rank"),
+    )
+    qrels = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.when(F.col("l_quantity") > 40, 3)
+        .when(F.col("l_quantity") > 25, 2)
+        .when(F.col("l_quantity") > 10, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(
+        results, qrels, "l_orderkey", "l_partkey", "rank", "rel",
+        k=3,
+    )

@@ -949,3 +949,130 @@ def test_ab_bootstrap_ci_validation(spark):
         ab_bootstrap_ci(df, "g", "x", "id")
     with pytest.raises(ValueError, match="b_replicates"):
         ab_bootstrap_ci(df, "g", "x", "id", b_replicates=2)
+
+
+def test_spearman_hand_values(spark):
+    """Perfect monotone with ties -> rho 1; reversed -> -1; constant
+    column -> NULL (zero rank variance)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        spearman_corr,
+    )
+
+    up = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(up, "x", "y").collect()[0].rho == 1.0
+    down = spark.createDataFrame(
+        [(1.0, 40.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(down, "x", "y").collect()[0].rho == -1.0
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    r = spearman_corr(const, "x", "y").collect()[0]
+    assert r.n_rows == 2 and r.rho is None
+
+
+def test_ks_test_hand_values(spark):
+    """a=[1,2,3,4] vs b=[3,4,5,6]: max CDF gap 0.5 at v=2 (and v=4)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ks_test_2sample,
+    )
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [
+        ("b", v) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_test_2sample(df, "g", "v").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.d_stat == 0.5
+    # critical at n=4,4: 1.358102*sqrt(8/16) = 0.960322 > 0.5
+    assert r.significant == 0
+
+
+def test_welch_ttest_hand_values(spark):
+    """a=[1,2,3], b=[2,4,6]: t = 2/sqrt(5/3), Welch dof ~2.94."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        welch_ttest,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+            ("b", 4.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "g", "v").collect()[0]
+    assert (r.mean_a, r.mean_b, r.mean_diff) == (1.0, 4.0, 3.0) or True
+    assert r.mean_a == 2.0 and r.mean_b == 4.0 and r.mean_diff == 2.0
+    se2 = 1 / 3 + 4 / 3
+    assert r.t == round(2 / math.sqrt(se2), 6)
+    dof = se2 * se2 / ((1 / 3) ** 2 / 2 + (4 / 3) ** 2 / 2)
+    assert r.dof == round(dof, 2)
+    assert r.significant == 0  # |t| 1.549 < 1.96
+
+
+def test_anova_hand_values(spark):
+    """g1=[1,2,3], g2=[4,5,6]: SSB 13.5, SSW 4, F 13.5 — exact with
+    the floored scale-0 grand sums (all inputs integral)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        anova_oneway,
+    )
+
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 4.0), ("g2", 5.0), ("g2", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert (r.k_groups, r.n_rows) == (2, 6)
+    assert r.ss_between == 13.5
+    assert r.ss_within == 4.0
+    assert r.f == 13.5
+    assert r.significant == 1  # 13.5 > F(1, inf) 1% = 6.63
+
+
+def test_acf_hand_values(spark):
+    """Alternating hourly counts 1,0,1,0,1,0: acf(1) = -5/6,
+    acf(2) = +4/6 — gap hours count as zero (rows exist only for the
+    1-count hours)."""
+    import datetime as dtm
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        acf_hourly,
+    )
+
+    # events only at hours 0, 2, 4 — hours 1, 3 must gap-fill to 0
+    rows = [(dtm.datetime(2026, 1, 1, h, 30),) for h in (0, 2, 4)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.lag: r for r in acf_hourly(df, "ts", max_lag=2).collect()}
+    # series over hours 0..4: [1,0,1,0,1]; ybar=0.6
+    # den = 3*(0.4)^2 + 2*(0.6)^2 = 0.48+0.72 = 1.2
+    # lag1: 4 pairs, each 0.4*-0.6 or -0.6*0.4 = -0.24 -> -0.96
+    # lag2: 3 pairs, 0.4*0.4=0.16 or ... [1,0,1],[0,1]: pairs
+    #   (1,1),(0,0),(1,1) -> 0.16+0.36+0.16 = 0.68
+    assert out[1].n_pairs == 4 and out[2].n_pairs == 3
+    assert out[1].acf == round(-0.96 / 1.2, 6)
+    assert out[2].acf == round(0.68 / 1.2, 6)
+
+
+def test_ndcg_hand_values(spark):
+    """One query, graded rels d1=3 d2=1, result order d2 then d1:
+    nDCG@2 = (1 + 7/log2(3)) / (7 + 1/log2(3))."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        ndcg_at_k,
+    )
+
+    results = spark.createDataFrame(
+        [(1, "d2", 1), (1, "d1", 2)], "q long, d string, r long"
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d1", 3), (1, "d2", 1), (1, "d3", 0)],
+        "q long, d string, rel long",
+    )
+    r = ndcg_at_k(results, qrels, "q", "d", "r", "rel", k=2).collect()[0]
+    dcg = round(1 / math.log2(2), 9) + round(7 / math.log2(3), 9)
+    idcg = round(7 / math.log2(2), 9) + round(1 / math.log2(3), 9)
+    assert r.n_queries == 1
+    assert r.ndcg_at_k == round(round(dcg / idcg, 9), 6)

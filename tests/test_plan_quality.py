@@ -922,3 +922,41 @@ def test_ngram_lm_perplexity_single_score_scan(spark):
     p = _plan(spark, "ngram_lm_perplexity_docs")
     assert p.count("FileScan") == 1, p
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_spearman_uses_distributed_cumsum(spark):
+    """spearman_corr's midranks (both columns) ride the
+    range-partitioned offset cumsum — the plan shows the checkpointed
+    relations (Scan ExistingRDD) and every running window partitioned
+    by the checkpoint pid, never an unpartitioned global rank."""
+    p = _plan(spark, "spearman_lineitems")
+    assert "Scan ExistingRDD" in p, p
+    assert "windowspecdefinition(__pid" in p, p
+
+
+def test_ks_test_uses_distributed_cumsum(spark):
+    """ks_test_2sample's two per-arm CDFs ride the distributed
+    cumsum; no unpartitioned running window anywhere in the plan."""
+    p = _plan(spark, "ks_test_orders")
+    assert "Scan ExistingRDD" in p, p
+    assert "windowspecdefinition(__pid" in p, p
+
+
+def test_welch_anova_single_scan(spark):
+    """welch_ttest / anova_oneway: ONE corpus FileScan each — the
+    sufficient statistics collapse map-side (the returned plan's
+    extra existence/arm probes are separate bounded actions)."""
+    for key in ("welch_ttest_orders", "anova_orders"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 1, (key, p)
+
+
+def test_acf_single_scan_metadata_lags(spark):
+    """acf_hourly reads the corpus exactly once — the hourly bucket
+    relation is checkpoint-pinned (its seven consumers each re-scanned
+    the corpus before the pin: 8 FileScans measured); the gap-fill,
+    lag explode and per-lag sums all run on the metadata-scale bucket
+    series (Scan ExistingRDD in the returned plan)."""
+    p = _plan(spark, "acf_hourly_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
