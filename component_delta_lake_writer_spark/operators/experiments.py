@@ -392,16 +392,30 @@ def ab_bootstrap_ci(
         f"'{salt}:', CAST(b AS STRING), ':', _id"
         ")), 1, 8), 16, 10) AS BIGINT) + 1.0) / 4294967296.0)"
     )
-    reps = F.expr(
-        f"transform(sequence(0, {b_replicates - 1}), b -> "
-        f"named_struct('b', b, 'w', {_poisson_case(u_sql)}))"
-    )
+    # explode a plain int sequence, then compute the weight as a
+    # TOP-LEVEL column expression: a lambda inside transform() runs
+    # on Spark's interpreted higher-order-function path (no
+    # whole-stage codegen), which measured ~6x slower than the
+    # codegen'd md5+CASE projection this spelling gets
     per_arm = (
-        src.select("_g", "_x", F.explode(reps).alias("r"))
-        .groupBy("_g", F.col("r.b").alias("_b"))
+        src.select(
+            "_g",
+            "_x",
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(b_replicates - 1))
+            ).alias("b"),
+        )
+        .select(
+            "_g",
+            "_x",
+            F.col("b").alias("_b"),
+            F.expr(_poisson_case(u_sql)).alias("_w"),
+        )
+        .groupBy("_g", "_b")
         .agg(
-            F.sum("r.w").alias("_n"),
-            F.sum(F.col("r.w") * F.col("_x")).alias("_s"),
+            F.sum("_w").alias("_n"),
+            F.sum(F.col("_w") * F.col("_x")).alias("_s"),
         )
     )
     per_rep = per_arm.groupBy("_b").agg(
@@ -804,4 +818,191 @@ def anova_oneway(
         F.coalesce(
             F.when(ok, (f > crit).cast("int")), F.lit(0)
         ).alias("significant"),
+    )
+
+
+def mann_whitney_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    b_replicates: int = 200,
+    tail_den: int = 40,
+    salt: str = "mwci",
+) -> DataFrame:
+    """Bootstrap confidence interval for the Mann–Whitney
+    rank-biserial effect size r = 1 − 2U_a/(n_a·n_b) — the
+    decision-grade companion to mann_whitney_u's point z (same
+    motivation as ab_bootstrap_ci: "arm B stochastically dominates
+    by r = 0.18, 95% CI [0.11, 0.25]" instead of a bare
+    significant flag).  Identical determinism machinery: Poisson(1)
+    replicate weights from the house md5 hash (the shared
+    _POISSON1_CDF ladder), integer-exact tail ranks
+    ceil(B_eff/tail_den).
+
+    Scale shape: the corpus×B weight fan-out collapses MAP-SIDE to
+    one row per (distinct value, replicate) — the shuffle carries
+    |distinct|·B partial sums; each replicate's midrank cumsum is a
+    window PARTITIONED BY replicate (parallel across B, each
+    partition |distinct| rows — bounded when values are bucketed,
+    the same post-agg-window contract as temperature_quota; for
+    unbucketed high-cardinality metrics bucket first, exactly as
+    mann_whitney_u's fixture does).  2·R_a stays integer-exact per
+    replicate, accumulated as DECIMAL(38,0).  The observed point
+    statistics come from mann_whitney_u itself (the distributed
+    shard-offset cumsum), cross-joined in.
+
+    Returns ONE row: (group_a, n_a, group_b, n_b, u_a, z, r_obs,
+    ci_lo, ci_hi, n_replicates, significant) — r/CI rounded 6dp,
+    significant = the CI excludes 0, as int.
+    """
+    if b_replicates < 4:
+        raise ValueError(
+            f"mann_whitney_ci needs b_replicates >= 4, got "
+            f"{b_replicates}"
+        )
+    src = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+    found = [
+        r["_g"]
+        for r in src.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"mann_whitney_ci needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+    u_sql = (
+        "((CAST(conv(substring(md5(concat("
+        f"'{salt}:', CAST(b AS STRING), ':', _id"
+        ")), 1, 8), 16, 10) AS BIGINT) + 1.0) / 4294967296.0)"
+    )
+    # explode + codegen'd column weight (see ab_bootstrap_ci: the
+    # transform() lambda path is interpreted and ~6x slower)
+    per_vb = (
+        src.select(
+            "_g",
+            "_v",
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(b_replicates - 1))
+            ).alias("b"),
+        )
+        .select(
+            "_g",
+            "_v",
+            F.col("b").alias("_b"),
+            F.expr(_poisson_case(u_sql)).alias("_w"),
+        )
+        .groupBy("_v", "_b")
+        .agg(
+            F.sum("_w").alias("_t"),
+            F.sum(
+                F.when(F.col("_g") == ga, F.col("_w")).otherwise(0)
+            ).alias("_ta"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = per_vb.select(
+        "_b",
+        "_t",
+        "_ta",
+        F.coalesce(F.sum("_t").over(w_cum), F.lit(0)).alias("_cum"),
+    )
+    per_b = staged.groupBy("_b").agg(
+        F.sum("_ta").alias("_na"),
+        F.sum(F.col("_t") - F.col("_ta")).alias("_nb"),
+        F.sum(
+            (
+                F.col("_ta")
+                * (
+                    F.lit(2) * F.col("_cum")
+                    + F.col("_t")
+                    + F.lit(1)
+                )
+            ).cast("decimal(38,0)")
+        ).alias("_s2"),
+    )
+    # 2·U_a = 2·R_a − n_a(n_a+1);  r = 1 − 2·U_a/(n_a·n_b)
+    r_expr = F.round(
+        F.lit(1.0)
+        - (
+            F.col("_s2").cast("double")
+            - F.col("_na").cast("double") * (F.col("_na") + 1)
+        )
+        / (F.col("_na").cast("double") * F.col("_nb")),
+        6,
+    )
+    diffs = per_b.filter(
+        (F.col("_na") > 0) & (F.col("_nb") > 0)
+    ).select("_b", r_expr.alias("_r"))
+    w_rank = Window.orderBy("_r", "_b")
+    w_all = Window.partitionBy()
+    ranked = diffs.select(
+        "_r",
+        F.row_number().over(w_rank).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_beff"),
+    )
+    r_lo = F.greatest(
+        F.expr(
+            f"CAST((_beff + {tail_den - 1}) div {tail_den} AS INT)"
+        ),
+        F.lit(1),
+    )
+    ci = ranked.select(
+        "_r", "_rk", "_beff", r_lo.alias("_rlo")
+    ).agg(
+        F.max(
+            F.when(F.col("_rk") == F.col("_rlo"), F.col("_r"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("_rk")
+                == F.col("_beff") + 1 - F.col("_rlo"),
+                F.col("_r"),
+            )
+        ).alias("ci_hi"),
+        F.max("_beff").alias("n_replicates"),
+    )
+    obs = mann_whitney_u(
+        src.select(
+            F.col("_g").alias("g"), F.col("_v").alias("v")
+        ),
+        "g",
+        "v",
+    )
+    out = obs.crossJoin(F.broadcast(ci))
+    r_obs = F.round(
+        F.lit(1.0)
+        - F.lit(2.0)
+        * F.col("u_a")
+        / (F.col("n_a").cast("double") * F.col("n_b")),
+        6,
+    )
+    return out.select(
+        "group_a",
+        "n_a",
+        "group_b",
+        "n_b",
+        "u_a",
+        "z",
+        r_obs.alias("r_obs"),
+        "ci_lo",
+        "ci_hi",
+        F.col("n_replicates").cast("long").alias("n_replicates"),
+        (
+            (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)
+        ).cast("int").alias("significant"),
     )

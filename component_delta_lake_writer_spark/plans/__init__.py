@@ -61,6 +61,7 @@ _FRONT = [
     "anova_orders",
     "acf_hourly_events",
     "ndcg_eval_orders",
+    "mann_whitney_ci_orders",
     # (c) operator/oracle changed in r11
     "km_survival_events",
     "set_except",
@@ -93,11 +94,10 @@ _FRONT = [
     "join_semi",
     "json_extract_props",
     "lang_id_ngram",
-    # (multimodal_meta and set_intersect rotate to r12 — the
-    # multimodal tier carries fresh r10/r11 container-key evidence
-    # and set_except was re-proven this round; the six stats-wave
-    # keys above took their slots)
-    "pivot_event_counts",
+    # (multimodal_meta, set_intersect and pivot_event_counts rotate
+    # to r12 — the multimodal tier carries fresh r10/r11
+    # container-key evidence and set_except was re-proven this
+    # round; the seven stats-wave keys above took their slots)
     "sessionize_events",
     "simhash_dedup",
     "text_quality_score",

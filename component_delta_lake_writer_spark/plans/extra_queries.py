@@ -7731,3 +7731,128 @@ def ndcg_eval_orders(
         results, qrels, "l_orderkey", "l_partkey", "rank", "rel",
         k=3,
     )
+
+
+def _mwci_oracle() -> str:
+    """Mann–Whitney bootstrap-CI oracle: the OBSERVED statistics are
+    the registered mann_whitney_orders oracle verbatim (imported, so
+    the two can never drift), the replicate draws share the
+    operator's Poisson ladder, and the per-replicate midrank cumsum
+    is a b-partitioned window."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        _POISSON1_CDF,
+    )
+    from component_delta_lake_writer_spark.plans.query_registry import (
+        ORACLES,
+    )
+
+    u = (
+        "((('0x' || substr(md5('mwci:' || b::VARCHAR || ':' "
+        "|| o_orderkey::VARCHAR), 1, 8))::BIGINT + 1.0) "
+        "/ 4294967296.0)"
+    )
+    ladder = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in _POISSON1_CDF
+    )
+    mw = ORACLES["mann_whitney_orders"].replace(
+        "FROM orders\n      WHERE o_orderkey IS NOT NULL",
+        "FROM orders\n      WHERE o_orderkey % 3 = 0"
+        " AND o_orderkey IS NOT NULL",
+    )
+    return f"""
+    WITH obs AS ({mw}),
+    src AS (
+      SELECT o_orderkey, CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        FLOOR(o_totalprice / 1000) AS v
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+        AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    rep AS (
+      SELECT g, v,
+        unnest(list_transform(range(0, 100),
+          b -> struct_pack(b := b,
+            w := CASE {ladder} ELSE 9 END))) AS r
+      FROM src
+    ),
+    pvb AS (
+      SELECT v, r.b AS b, SUM(r.w) AS t,
+        SUM(CASE WHEN g = '0' THEN r.w ELSE 0 END) AS ta
+      FROM rep GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT b, t, ta,
+        COALESCE(SUM(t) OVER (PARTITION BY b ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum
+      FROM pvb
+    ),
+    pb AS (
+      SELECT b, SUM(ta) AS na, SUM(t - ta) AS nb,
+        SUM(CAST(ta * (2 * cum + t + 1) AS DECIMAL(38,0))) AS s2
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT b, ROUND(1.0
+        - (CAST(s2 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1))
+          / (CAST(na AS DOUBLE) * nb), 6) AS r
+      FROM pb WHERE na > 0 AND nb > 0
+    ),
+    rk AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, b) AS rk,
+        COUNT(*) OVER () AS beff
+      FROM d
+    ),
+    ci AS (
+      SELECT
+        MAX(CASE WHEN rk = GREATEST((beff + 39) // 40, 1)
+            THEN r END) AS ci_lo,
+        MAX(CASE WHEN rk = beff + 1 - GREATEST((beff + 39) // 40, 1)
+            THEN r END) AS ci_hi,
+        MAX(beff) AS beff
+      FROM rk
+    )
+    SELECT obs.group_a, obs.n_a, obs.group_b, obs.n_b, obs.u_a,
+      obs.z,
+      ROUND(1.0 - 2.0 * obs.u_a
+            / (CAST(obs.n_a AS DOUBLE) * obs.n_b), 6) AS r_obs,
+      ci.ci_lo, ci.ci_hi,
+      CAST(ci.beff AS BIGINT) AS n_replicates,
+      CAST(ci.ci_lo > 0 OR ci.ci_hi < 0 AS INT) AS significant
+    FROM obs, ci
+    """
+
+
+@query("mann_whitney_ci_orders", oracle=_mwci_oracle())
+def mann_whitney_ci_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bootstrap 95% CI for the Mann–Whitney rank-biserial effect
+    (operators.experiments.mann_whitney_ci) on the
+    mann_whitney_orders fixture (1000-bucketed totals, parity arms):
+    200 hash-deterministic Poisson(1) replicates, per-replicate
+    midrank cumsums in b-partitioned windows, integer-exact tail
+    ranks.  The observed point statistics ride mann_whitney_u's
+    distributed cumsum and the registered oracle (retargeted at the
+    same 1-in-3 slice).  Probe budget: every 3rd order and B=100
+    (200 replicates over the full 15k-row fixture price ~3M hash
+    draws per engine and sat at 14s against the 10s probe ceiling;
+    the 5k slice x 100 replicates keeps the CI meaningful at a
+    sixth of the cost — tail rank ceil(100/40)=3, so the interval
+    is still rank-based at the documented 95%)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_ci,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 2).cast("string").alias("grp"),
+            F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
+        )
+    )
+    return mann_whitney_ci(
+        o, "grp", "bucket", "o_orderkey", b_replicates=100
+    )

@@ -1076,3 +1076,28 @@ def test_ndcg_hand_values(spark):
     idcg = round(7 / math.log2(2), 9) + round(1 / math.log2(3), 9)
     assert r.n_queries == 1
     assert r.ndcg_at_k == round(round(dcg / idcg, 9), 6)
+
+
+def test_mann_whitney_ci_properties(spark):
+    """Reproducible; CI brackets the observed rank-biserial effect on
+    a clearly-separated fixture and excludes 0."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mann_whitney_ci,
+    )
+
+    # arm 1's values sit ~10 above arm 0's: near-total dominance
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") % 5) + F.when(F.col("id") % 2 == 1, 10)
+         .otherwise(0)).cast("double").alias("v"),
+    )
+    a = mann_whitney_ci(df, "g", "v", "id", b_replicates=50).collect()[0]
+    b = mann_whitney_ci(df, "g", "v", "id", b_replicates=50).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.n_replicates == 50
+    assert a.ci_lo <= a.r_obs <= a.ci_hi
+    assert a.r_obs == 1.0  # total dominance: U_a = 0
+    assert a.ci_lo > 0 and a.significant == 1
