@@ -984,3 +984,89 @@ def classification_report(
             ),
         ).alias("f1"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration audit of a scorer against binary
+    ground truth: the reliability curve (per score-bin: how often
+    was the event actually positive) plus the Brier score — the
+    check a quality/toxicity classifier gets before its scores gate
+    a corpus ("0.9 means 90%" is a testable claim, not a hope).
+
+    ONE map-side-combinable groupBy on the arithmetic bin
+    floor(score·bins) (scores at exactly 1.0 fold into the top
+    bin); per-bin mean score and positive rate are exact-decimal
+    sums over 6dp-rounded scores; the corpus Brier score
+    mean((score−label)²) rides the same pass as a 9dp-rounded
+    decimal sum, attached to every row as a broadcast constant.
+    Scores outside [0, 1] raise at action time — a miscalibrated
+    INPUT domain is a pipeline bug, not a curve point.
+
+    Returns one row per non-empty bin: (bin, n, mean_score,
+    frac_positive, brier) — all rates 6dp.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    src = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.when(
+            (s < 0) | (s > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "calibration_report: score outside "
+                        "[0, 1]: "
+                    ),
+                    s.cast("string"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(s)
+        .alias("_s"),
+        y.alias("_y"),
+    )
+    binned = src.select(
+        F.least(
+            F.floor(F.col("_s") * bins).cast("int"),
+            F.lit(bins - 1),
+        ).alias("bin"),
+        "_s",
+        "_y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("_s"), 6).cast("decimal(18,6)")
+        ).alias("_ss"),
+        F.sum("_y").alias("_sy"),
+    )
+    brier = F.broadcast(
+        src.agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("_s") - F.col("_y"))
+                        * (F.col("_s") - F.col("_y")),
+                        9,
+                    ).cast("decimal(24,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("brier")
+        )
+    )
+    return per_bin.crossJoin(brier).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("_ss").cast("double") / F.col("n"), 6
+        ).alias("mean_score"),
+        F.round(
+            F.col("_sy").cast("double") / F.col("n"), 6
+        ).alias("frac_positive"),
+        F.col("brier"),
+    )

@@ -1006,3 +1006,160 @@ def mann_whitney_ci(
             (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)
         ).cast("int").alias("significant"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings of the same rows: the inter-annotator (or
+    model-vs-editorial) agreement readout every labeling pipeline
+    reports before trusting its labels (raw percent-agreement is
+    inflated by class imbalance; kappa subtracts the agreement two
+    independent raters with these marginals would get for free).
+
+    ONE map-side-combinable groupBy collapses the corpus to the
+    |a|×|b| confusion cells; marginals ride windows over that
+    metadata-scale relation (the chi2_independence spelling).
+    p_o = Σ diagonal / N and p_e = Σ_k row_k·col_k / N² come from
+    exact integer counts — kappa is one deterministic double
+    expression, rounded 6dp.
+
+    Returns ONE row: (n_rows, n_classes_a, n_classes_b, po, pe,
+    kappa) — kappa NULL when p_e = 1 (a single shared class: no
+    chance correction possible).
+    """
+    src = df.filter(
+        F.col(rater_a_col).isNotNull()
+        & F.col(rater_b_col).isNotNull()
+    )
+    if not src.select(F.lit(1)).limit(1).collect():
+        raise UserException(
+            "cohen_kappa: no rows with both "
+            f"{rater_a_col!r} and {rater_b_col!r} non-null"
+        )
+    cells = src.groupBy(
+        F.col(rater_a_col).cast("string").alias("_a"),
+        F.col(rater_b_col).cast("string").alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w_a = Window.partitionBy("_a")
+    w_b = Window.partitionBy("_b")
+    staged = cells.select(
+        "_a",
+        "_b",
+        "_n",
+        F.sum("_n").over(w_a).alias("_ra"),
+        F.sum("_n").over(w_b).alias("_cb"),
+    )
+    agg = staged.agg(
+        F.sum("_n").alias("_N"),
+        F.countDistinct("_a").alias("_ka"),
+        F.countDistinct("_b").alias("_kb"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))).alias(
+            "_diag"
+        ),
+        # Σ_k row_k·col_k: every (a=k, b=k) pairing contributes once —
+        # sum row·col over the DIAGONAL cells only... but a class can
+        # be present in one rater's marginal and absent as a diagonal
+        # cell, so the product must come from the marginal relation
+        # itself (see _pe below), not from cells.
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_n").alias("_r")).select(
+        F.col("_a").alias("_k"), F.col("_r")
+    )
+    cb = cells.groupBy("_b").agg(F.sum("_n").alias("_c")).select(
+        F.col("_b").alias("_k"), F.col("_c")
+    )
+    pe_rel = ra.join(cb, "_k").agg(
+        F.sum(
+            F.col("_r").cast("decimal(19,0)")
+            * F.col("_c").cast("decimal(19,0)")
+        ).alias("_sumrc")
+    )
+    out = agg.crossJoin(F.broadcast(pe_rel))
+    n = F.col("_N").cast("double")
+    po = F.coalesce(F.col("_diag"), F.lit(0)).cast("double") / n
+    pe = F.col("_sumrc").cast("double") / (n * n)
+    return out.select(
+        F.col("_N").cast("long").alias("n_rows"),
+        F.col("_ka").cast("long").alias("n_classes_a"),
+        F.col("_kb").cast("long").alias("n_classes_b"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(
+            pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)
+        ).alias("kappa"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame, score_col: str, success_col: str
+) -> DataFrame:
+    """Cochran–Armitage trend test: is a binary outcome's rate
+    MONOTONE in an ordered factor (does conversion rise with plan
+    tier, does dup-rate rise with crawl depth) — the chi-square
+    can't see order; this one-dof test can.
+
+    ONE map-side-combinable groupBy collapses the corpus to one row
+    per ordered score with (n_i, s_i); the statistic
+    T = Σ x_i s_i − p̂ Σ x_i n_i with Var = p̂(1−p̂)·
+    [Σ n_i x_i² − (Σ x_i n_i)²/N] finishes on that metadata-scale
+    relation from exact integer/decimal sums.  ``score_col`` must be
+    numeric (the caller maps ordinal labels to ranks — explicitly,
+    because the spacing IS part of the hypothesis).
+
+    Returns ONE row: (n_rows, n_levels, z, significant) — z rounded
+    6dp, NULL when the variance degenerates (all-success,
+    all-failure, or a single level).
+    """
+    src = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(success_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("_x"),
+        F.col(success_col).cast("long").alias("_y"),
+    )
+    per = src.groupBy("_x").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_s"),
+    )
+    agg = per.agg(
+        F.sum("_n").alias("_N"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_s").alias("_S"),
+        F.sum(
+            (F.col("_x") * F.col("_s")).cast("decimal(38,0)")
+        ).alias("_xs"),
+        F.sum(
+            (F.col("_x") * F.col("_n")).cast("decimal(38,0)")
+        ).alias("_xn"),
+        F.sum(
+            (F.col("_x") * F.col("_x") * F.col("_n")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_xxn"),
+    )
+    n = F.col("_N").cast("double")
+    p = F.col("_S").cast("double") / n
+    t = F.col("_xs").cast("double") - p * F.col("_xn").cast(
+        "double"
+    )
+    var = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("_xxn").cast("double")
+            - F.col("_xn").cast("double")
+            * F.col("_xn").cast("double")
+            / n
+        )
+    )
+    z = F.when(var > 0, F.round(t / F.sqrt(var), 6))
+    return agg.select(
+        F.col("_N").cast("long").alias("n_rows"),
+        F.col("_k").cast("long").alias("n_levels"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

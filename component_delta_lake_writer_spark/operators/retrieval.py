@@ -388,3 +388,88 @@ def ndcg_at_k(
             F.sum("_ndcg").cast("double") / F.count(F.lit(1)), 6
         ).alias("ndcg_at_k"),
     )
+
+
+def map_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Mean Average Precision@``k`` — the order-sensitive binary
+    companion to rank_eval's MRR/recall (MRR sees only the FIRST
+    hit; MAP rewards packing every relevant doc early):
+    AP = (1/min(R, k)) Σ_{hits i≤k} precision@rank_i.
+
+    Same join shape as rank_eval; precision@rank of each hit needs
+    the count of relevant docs at-or-above it, which is a window
+    over the per-query HIT rows only (partitioned by query, ≤k rows
+    each — never corpus-wide).  Per-hit precisions are rounded 9dp
+    and summed as DECIMAL; per-query AP likewise before the corpus
+    mean.  Queries with no judged-relevant docs are excluded; ones
+    whose relevant docs all miss the top-k contribute 0.
+
+    Returns ONE row: (n_queries, map_at_k) rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    rel = (
+        qrels.filter(
+            F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+        )
+        .select(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        )
+        .distinct()
+    )
+    w_hits = (
+        Window.partitionBy("_q")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit_ap = (
+        results.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_r"),
+        )
+        .join(rel, ["_q", "_d"])
+        .select(
+            "_q",
+            "_r",
+            F.count(F.lit(1)).over(w_hits).alias("_nrel_above"),
+        )
+        .select(
+            "_q",
+            F.round(
+                F.col("_nrel_above").cast("double") / F.col("_r"), 9
+            )
+            .cast("decimal(12,9)")
+            .alias("_p"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_p").alias("_sp"))
+    )
+    per_q = (
+        rel.groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("_nrel"))
+        .join(hit_ap, "_q", "left")
+        .select(
+            F.round(
+                F.coalesce(F.col("_sp"), F.lit(0)).cast("double")
+                / F.least(F.col("_nrel"), F.lit(k)),
+                9,
+            )
+            .cast("decimal(12,9)")
+            .alias("_ap")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("_ap").cast("double") / F.count(F.lit(1)), 6
+        ).alias("map_at_k"),
+    )

@@ -62,6 +62,10 @@ _FRONT = [
     "acf_hourly_events",
     "ndcg_eval_orders",
     "mann_whitney_ci_orders",
+    "map_eval_orders",
+    "cohen_kappa_orders",
+    "cochran_armitage_orders",
+    "calibration_orders",
     # (c) operator/oracle changed in r11
     "km_survival_events",
     "set_except",
@@ -87,17 +91,14 @@ _FRONT = [
     # ...and the rest of the r1 cohort
     "agg_rollup",
     "date_dims",
-    "embedding_norms",
-    "events_hourly_agg",
     "exact_dedup_docs",
     "join_left_outer",
     "join_semi",
-    "json_extract_props",
-    "lang_id_ngram",
-    # (multimodal_meta, set_intersect and pivot_event_counts rotate
-    # to r12 — the multimodal tier carries fresh r10/r11
-    # container-key evidence and set_except was re-proven this
-    # round; the seven stats-wave keys above took their slots)
+    # (multimodal_meta, set_intersect, pivot_event_counts,
+    # json_extract_props, lang_id_ngram, events_hourly_agg and
+    # embedding_norms rotate to r12 — the eleven r11 wave keys above
+    # took their slots; the write-surface and dedup r1 keys keep
+    # priority)
     "sessionize_events",
     "simhash_dedup",
     "text_quality_score",

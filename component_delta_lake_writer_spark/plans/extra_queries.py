@@ -7856,3 +7856,255 @@ def mann_whitney_ci_orders(
     return mann_whitney_ci(
         o, "grp", "bucket", "o_orderkey", b_replicates=100
     )
+
+
+@query(
+    "map_eval_orders",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS q, l_partkey AS d FROM lineitem
+    ),
+    res AS (
+      SELECT q, d,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY d) AS r
+      FROM bi
+    ),
+    rel AS (
+      SELECT DISTINCT l_orderkey AS q, l_partkey AS d
+      FROM lineitem WHERE l_quantity > 25
+    ),
+    hits AS (
+      SELECT res.q, res.r,
+        COUNT(*) OVER (PARTITION BY res.q ORDER BY res.r
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS nrel_above
+      FROM res JOIN rel USING (q, d)
+      WHERE res.r <= 3
+    ),
+    sp AS (
+      SELECT q, SUM(CAST(ROUND(
+        CAST(nrel_above AS DOUBLE) / r, 9) AS DECIMAL(12,9)))
+        AS sp
+      FROM hits GROUP BY 1
+    ),
+    perq AS (
+      SELECT CAST(ROUND(
+        CAST(COALESCE(sp.sp, 0) AS DOUBLE)
+        / LEAST(nrel.nrel, 3), 9) AS DECIMAL(12,9)) AS ap
+      FROM (SELECT q, COUNT(*) AS nrel FROM rel GROUP BY 1) nrel
+      LEFT JOIN sp ON sp.q = nrel.q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      ROUND(CAST(SUM(ap) AS DOUBLE) / COUNT(*), 6) AS map_at_k
+    FROM perq
+    """,
+)
+def map_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision@3 (operators.retrieval.map_at_k) on
+    the rank_eval_orders fixture — the order-sensitive binary metric
+    MRR/recall can't express; per-hit precision@rank from a
+    query-partitioned window over ≤k hit rows."""
+    from pyspark.sql import Window
+
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        map_at_k,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    results = bi.select(
+        "l_orderkey",
+        "l_partkey",
+        F.row_number().over(w).alias("rank"),
+    )
+    qrels = (
+        li.filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return map_at_k(
+        results, qrels, "l_orderkey", "l_partkey", "rank", k=3
+    )
+
+
+@query(
+    "cohen_kappa_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderstatus AS a,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 'O'
+             WHEN o_orderpriority = '3-MEDIUM' THEN 'P'
+             ELSE 'F' END AS b
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS n FROM src GROUP BY 1, 2),
+    agg AS (
+      SELECT SUM(n) AS N,
+        COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+        SUM(CASE WHEN a = b THEN n END) AS diag
+      FROM cells
+    ),
+    ra AS (SELECT a AS k, SUM(n) AS r FROM cells GROUP BY 1),
+    cb AS (SELECT b AS k, SUM(n) AS c FROM cells GROUP BY 1),
+    pe AS (
+      SELECT SUM(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+        AS sumrc
+      FROM ra JOIN cb USING (k)
+    ),
+    f AS (
+      SELECT N, ka, kb,
+        CAST(COALESCE(diag, 0) AS DOUBLE) / N AS po,
+        CAST(sumrc AS DOUBLE)
+          / (CAST(N AS DOUBLE) * N) AS pe
+      FROM agg, pe
+    )
+    SELECT CAST(N AS BIGINT) AS n_rows,
+      CAST(ka AS BIGINT) AS n_classes_a,
+      CAST(kb AS BIGINT) AS n_classes_b,
+      ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+      CASE WHEN pe < 1.0
+           THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+    FROM f
+    """,
+)
+def cohen_kappa_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa (operators.experiments.cohen_kappa): order
+    status vs a deterministic priority-derived pseudo-labeling —
+    near-chance agreement by construction, which is exactly what
+    kappa should report (≈0) where raw percent-agreement reads
+    ~33%.  The inter-annotator readout of the labeling tier."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cohen_kappa,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("rater_a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            "O",
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "P")
+        .otherwise("F")
+        .alias("rater_b"),
+    )
+    return cohen_kappa(o, "rater_a", "rater_b")
+
+
+@query(
+    "cochran_armitage_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+        CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    per AS (
+      SELECT x, COUNT(*) AS n, SUM(y) AS s FROM src GROUP BY 1
+    ),
+    a AS (
+      SELECT SUM(n) AS N, COUNT(*) AS k, SUM(s) AS S,
+        SUM(CAST(x * s AS DECIMAL(38,0))) AS xs,
+        SUM(CAST(x * n AS DECIMAL(38,0))) AS xn,
+        SUM(CAST(x * x * n AS DECIMAL(38,0))) AS xxn
+      FROM per
+    ),
+    f AS (
+      SELECT N, k,
+        CAST(S AS DOUBLE) / N AS p,
+        CAST(xs AS DOUBLE) AS xs, CAST(xn AS DOUBLE) AS xn,
+        CAST(xxn AS DOUBLE) AS xxn
+      FROM a
+    ),
+    z AS (
+      SELECT N, k,
+        p * (1.0 - p) * (xxn - xn * xn / N) AS var,
+        xs - p * xn AS t
+      FROM f
+    )
+    SELECT CAST(N AS BIGINT) AS n_rows,
+      CAST(k AS BIGINT) AS n_levels,
+      CASE WHEN var > 0 THEN ROUND(t / SQRT(var), 6) END AS z,
+      CAST(COALESCE(CASE WHEN var > 0
+        THEN ABS(t / SQRT(var)) > 1.959964 END, FALSE) AS INT)
+        AS significant
+    FROM z
+    """,
+)
+def cochran_armitage_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Armitage trend test
+    (operators.experiments.cochran_armitage_trend): does the
+    high-value-order rate trend with the priority tier (rank 1..5
+    from the priority's leading digit)?  The one-dof ordered
+    alternative chi-square can't see."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cochran_armitage_trend,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_orderpriority"), 1, 1)
+        .cast("long")
+        .alias("tier"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    return cochran_armitage_trend(o, "tier", "big")
+
+
+@query(
+    "calibration_orders",
+    oracle="""
+    WITH src AS (
+      SELECT LEAST(o_totalprice / 400000.0, 1.0) AS s,
+        CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin, s, y
+      FROM src
+    ),
+    per_bin AS (
+      SELECT bin, COUNT(*) AS n,
+        SUM(CAST(ROUND(s, 6) AS DECIMAL(18,6))) AS ss,
+        SUM(y) AS sy
+      FROM binned GROUP BY 1
+    ),
+    brier AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND((s - y) * (s - y), 9)
+        AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*), 6) AS brier
+      FROM src
+    )
+    SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+      ROUND(CAST(ss AS DOUBLE) / n, 6) AS mean_score,
+      ROUND(CAST(sy AS DOUBLE) / n, 6) AS frac_positive,
+      brier
+    FROM per_bin, brier
+    """,
+)
+def calibration_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration/reliability audit (operators.dq.
+    calibration_report): a synthetic price-derived score
+    (totalprice/400k clipped to 1) against the >200k label — a
+    deliberately OVER-confident scorer in the low bins, visible as
+    frac_positive = 0 there, plus the corpus Brier score."""
+    from component_delta_lake_writer_spark.operators.dq import (
+        calibration_report,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.col("o_totalprice") / 400000.0, F.lit(1.0)
+        ).alias("score"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("label"),
+    )
+    return calibration_report(o, "score", "label")

@@ -1101,3 +1101,102 @@ def test_mann_whitney_ci_properties(spark):
     assert a.ci_lo <= a.r_obs <= a.ci_hi
     assert a.r_obs == 1.0  # total dominance: U_a = 0
     assert a.ci_lo > 0 and a.significant == 1
+
+
+def test_cohen_kappa_hand_values(spark):
+    """Perfect agreement -> kappa 1; hand-computed mixed case."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cohen_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    assert cohen_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+    # 2x2: cells xx=3, xy=1, yx=1, yy=5 (N=10)
+    rows = [("x", "x")] * 3 + [("x", "y")] + [("y", "x")] + [
+        ("y", "y")
+    ] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    po = 8 / 10
+    pe = (4 * 4 + 6 * 6) / 100
+    assert r.po == po and r.pe == pe
+    assert r.kappa == round((po - pe) / (1 - pe), 6)
+    # degenerate: one shared class -> pe = 1 -> NULL kappa
+    one = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohen_kappa(one, "a", "b").collect()[0].kappa is None
+
+
+def test_cochran_armitage_hand_values(spark):
+    """Perfect positive trend across 3 levels: z matches the closed
+    form; a flat rate gives z ~ 0."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cochran_armitage_trend,
+    )
+
+    # level 1: 0/10, level 2: 5/10, level 3: 10/10
+    rows = (
+        [(1, 0)] * 10 + [(2, 1)] * 5 + [(2, 0)] * 5 + [(3, 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = cochran_armitage_trend(df, "x", "y").collect()[0]
+    n_tot, p = 30, 0.5
+    xs = 2 * 5 + 3 * 10          # Σ x·s = 40
+    xn = 10 + 20 + 30            # Σ x·n = 60
+    xxn = 10 + 40 + 90           # Σ x²·n = 140
+    t = xs - p * xn
+    var = p * (1 - p) * (xxn - xn * xn / n_tot)
+    assert r.n_levels == 3
+    assert r.z == round(t / math.sqrt(var), 6)
+    assert r.significant == 1
+    flat = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (2, 0), (3, 1), (3, 0)],
+        "x long, y long",
+    )
+    assert cochran_armitage_trend(flat, "x", "y").collect()[0].z == 0.0
+
+
+def test_calibration_report_hand_values(spark):
+    """Scores land in the right bins, rates are exact, the 1.0 score
+    folds into the top bin, out-of-range scores raise."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.dq import (
+        calibration_report,
+    )
+
+    rows = [(0.05, 0), (0.05, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r.bin: r for r in calibration_report(df, "s", "y").collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n == 2 and out[0].frac_positive == 0.5
+    assert out[9].n == 2 and out[9].mean_score == 0.975
+    brier = round(
+        (0.05**2 + 0.95**2 + 0.05**2 + 0.0) / 4, 6
+    )
+    assert out[0].brier == brier
+    bad = spark.createDataFrame([(1.5, 1)], "s double, y int")
+    with pytest.raises(Exception, match="outside"):
+        calibration_report(bad, "s", "y").collect()
+
+
+def test_map_at_k_hand_values(spark):
+    """One query, rels {d1, d3}, ranking d1(1) d2(2) d3(3), k=3:
+    AP = (1/2)(1/1 + 2/3)."""
+    from component_delta_lake_writer_spark.operators.retrieval import (
+        map_at_k,
+    )
+
+    results = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3)],
+        "q long, d string, r long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d1"), (1, "d3")], "q long, d string"
+    )
+    r = map_at_k(results, qrels, "q", "d", "r", k=3).collect()[0]
+    ap = round((round(1 / 1, 9) + round(2 / 3, 9)) / 2, 9)
+    assert r.n_queries == 1 and r.map_at_k == round(ap, 6)
