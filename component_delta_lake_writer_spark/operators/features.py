@@ -321,3 +321,66 @@ def gini_coefficient(
         F.round(F.col("_sx").cast("double"), 6).alias("total"),
         guarded.alias("gini"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    lo_num: int = 1,
+    lo_den: int = 100,
+    hi_num: int = 99,
+    hi_den: int = 100,
+) -> DataFrame:
+    """Winsorize a numeric column at exact rank-based percentiles —
+    the outlier-taming step before any mean/variance-based feature
+    ("clip at p1/p99") that approximate quantiles silently get
+    wrong at the tails, which is exactly where winsorizing operates.
+
+    Percentile ranks are INTEGER ratios (the bootstrap-CI tail
+    rule): k_lo = ((n−1)·lo_num) div lo_den and k_hi likewise over
+    the 0-based DISTRIBUTED global rank (shard-offset idiom, no
+    single-partition sort), so both bounds are exact order
+    statistics — engine-portable with no interpolation or float
+    level.  The two bound rows are a 2-row aggregate broadcast back;
+    clipping is a projection.
+
+    Returns (id, value, winsorized) — value verbatim, winsorized =
+    clip(value, v[k_lo], v[k_hi]), both carried without arithmetic.
+    """
+    if not (0 <= lo_num * hi_den <= hi_num * lo_den):
+        raise ValueError(
+            "winsorize needs lo fraction <= hi fraction, got "
+            f"{lo_num}/{lo_den} > {hi_num}/{hi_den}"
+        )
+    ranked, n = global_value_rank(df, value_col, id_col)
+    if n == 0:
+        return ranked.select(
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+            F.col(value_col).alias("winsorized"),
+        )
+    k_lo = ((n - 1) * lo_num) // lo_den
+    k_hi = ((n - 1) * hi_num) // hi_den
+    bounds = F.broadcast(
+        ranked.filter(F.col("_rank").isin(k_lo, k_hi)).agg(
+            F.min(
+                F.when(
+                    F.col("_rank") == k_lo, F.col(value_col)
+                )
+            ).alias("_vlo"),
+            F.min(
+                F.when(
+                    F.col("_rank") == k_hi, F.col(value_col)
+                )
+            ).alias("_vhi"),
+        )
+    )
+    return ranked.crossJoin(bounds).select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+        F.least(
+            F.greatest(F.col(value_col), F.col("_vlo")),
+            F.col("_vhi"),
+        ).alias("winsorized"),
+    )

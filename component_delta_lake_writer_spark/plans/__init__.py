@@ -66,6 +66,7 @@ _FRONT = [
     "cohen_kappa_orders",
     "cochran_armitage_orders",
     "calibration_orders",
+    "winsorize_orders",
     # (c) operator/oracle changed in r11
     "km_survival_events",
     "set_except",
@@ -90,7 +91,6 @@ _FRONT = [
     "minhash_dedup",
     # ...and the rest of the r1 cohort
     "agg_rollup",
-    "date_dims",
     "exact_dedup_docs",
     "join_left_outer",
     "join_semi",

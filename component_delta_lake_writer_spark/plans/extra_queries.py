@@ -8108,3 +8108,45 @@ def calibration_orders(
         (F.col("o_totalprice") > 200000).cast("int").alias("label"),
     )
     return calibration_report(o, "score", "label")
+
+
+@query(
+    "winsorize_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS id, o_totalprice AS value,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+          AS rk,
+        COUNT(*) OVER () AS n
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    b AS (
+      SELECT
+        MIN(CASE WHEN rk = ((n - 1) * 1) // 100 THEN value END)
+          AS vlo,
+        MIN(CASE WHEN rk = ((n - 1) * 99) // 100 THEN value END)
+          AS vhi
+      FROM r
+    )
+    SELECT id, value,
+      LEAST(GREATEST(value, vlo), vhi) AS winsorized
+    FROM r, b
+    """,
+)
+def winsorize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p1/p99 winsorization (operators.features.winsorize) of
+    order totals: rank-exact order-statistic bounds over the
+    DISTRIBUTED global rank (integer-ratio percentile ranks — no
+    float level, no interpolation), clipping as a broadcast
+    projection.  The oracle replays the identical 0-based
+    (value, id) total order."""
+    from component_delta_lake_writer_spark.operators.features import (
+        winsorize,
+    )
+
+    return winsorize(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+    )

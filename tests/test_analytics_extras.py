@@ -1200,3 +1200,33 @@ def test_map_at_k_hand_values(spark):
     r = map_at_k(results, qrels, "q", "d", "r", k=3).collect()[0]
     ap = round((round(1 / 1, 9) + round(2 / 3, 9)) / 2, 9)
     assert r.n_queries == 1 and r.map_at_k == round(ap, 6)
+
+
+def test_winsorize_hand_values(spark):
+    """10 values 0..9 at p10/p90: bounds are the rank-exact order
+    statistics v[((9*10)//100)=0]... use 20 rows for non-trivial
+    clipping at lo=10/100 hi=90/100: k_lo=(19*10)//100=1, k_hi=17."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.features import (
+        winsorize,
+    )
+
+    df = spark.range(20).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    out = {
+        r.id: r.winsorized
+        for r in winsorize(
+            df, "v", "id", lo_num=10, lo_den=100,
+            hi_num=90, hi_den=100,
+        ).collect()
+    }
+    # k_lo = 1 -> bound 1.0; k_hi = 17 -> bound 17.0
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert out[19] == 17.0 and out[18] == 17.0
+    assert out[10] == 10.0  # interior untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="lo fraction"):
+        winsorize(df, "v", "id", lo_num=95, hi_num=90)
