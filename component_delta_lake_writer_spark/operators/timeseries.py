@@ -763,3 +763,114 @@ def acf_hourly(
             ),
         ).alias("acf"),
     )
+
+
+def theil_sen_hourly(
+    df: DataFrame,
+    ts_col: str,
+    max_buckets: int = 2000,
+) -> DataFrame:
+    """Theil–Sen robust trend of the hourly event-count series: the
+    median of all pairwise slopes — the trend readout that one
+    outage spike or backfill burst can't drag the way least squares
+    drags (the companion to CUSUM's "did the level jump" and the
+    forecast backtest's "is it seasonal": "is volume actually
+    drifting").
+
+    Scale shape: ONE corpus scan collapses to the gap-filled hourly
+    bucket series (shared spelling with acf_hourly, checkpoint-
+    pinned); the pairwise expansion is C(b, 2) over BUCKETS, not
+    rows — metadata-scale, but quadratic in the window length, so
+    ``max_buckets`` refuses series past ~2M pairs instead of
+    silently exploding (hour-bucket a year = 8.8k buckets ≈ 38M
+    pairs — rebucket to days first; the refusal names the count).
+    Slopes are exact-integer Δy/Δhours rounded 9dp; the median is
+    the LOWER median under a (slope, i, j) total order — rank-based,
+    no interpolation, engine-exact (the single-partition rank window
+    runs over pair rows, documented metadata-scale).
+
+    Returns ONE row: (n_buckets, n_pairs, slope_per_hour, trending)
+    — slope 6dp; trending = sign(slope) as int.
+    """
+    counted = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_y"))
+    )
+    counted = counted.localCheckpoint(eager=True)
+    bounds_row = counted.agg(
+        F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
+    ).collect()[0]
+    if bounds_row["_lo"] is None:
+        raise ValueError("theil_sen_hourly: no non-null timestamps")
+    # guard on the GAP-FILLED span, not the observed-bucket count —
+    # two observed buckets a year apart still expand to the full
+    # 8.8k-hour series and its ~38M pairs
+    n_b = (
+        int(
+            (
+                bounds_row["_hi"] - bounds_row["_lo"]
+            ).total_seconds()
+            // 3600
+        )
+        + 1
+    )
+    if n_b > max_buckets:
+        raise ValueError(
+            f"theil_sen_hourly: the gap-filled series spans {n_b} "
+            f"hourly buckets, over max_buckets={max_buckets} "
+            f"(~{n_b * (n_b - 1) // 2} pairwise slopes); rebucket "
+            "to a coarser grain first"
+        )
+    bounds = F.broadcast(
+        counted.agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("_h")
+    )
+    series = (
+        hours.join(counted, "_h", "left")
+        .select(
+            (
+                F.unix_timestamp("_h") / F.lit(3600)
+            ).cast("long").alias("_t"),
+            F.coalesce(F.col("_y"), F.lit(0)).alias("_y"),
+        )
+    )
+    a = series.select(
+        F.col("_t").alias("_ta"), F.col("_y").alias("_ya")
+    )
+    b = series.select(
+        F.col("_t").alias("_tb"), F.col("_y").alias("_yb")
+    )
+    pairs = a.join(b, F.col("_ta") < F.col("_tb")).select(
+        "_ta",
+        "_tb",
+        F.round(
+            (F.col("_yb") - F.col("_ya")).cast("double")
+            / (F.col("_tb") - F.col("_ta")),
+            9,
+        ).alias("_s"),
+    )
+    w_rank = Window.orderBy("_s", "_ta", "_tb")
+    w_all = Window.partitionBy()
+    ranked = pairs.select(
+        "_s",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(w_all).alias("_m"),
+    )
+    # lower median: rank (m+1) div 2 under the (slope, i, j) total
+    # order — integer arithmetic, no interpolation
+    med = ranked.filter(
+        F.col("_r") == F.expr("CAST((_m + 1) div 2 AS BIGINT)")
+    )
+    return med.select(
+        F.lit(n_b).cast("long").alias("n_buckets"),
+        F.col("_m").cast("long").alias("n_pairs"),
+        F.round(F.col("_s"), 6).alias("slope_per_hour"),
+        F.signum(F.col("_s")).cast("int").alias("trending"),
+    )

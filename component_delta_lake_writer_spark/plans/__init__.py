@@ -67,6 +67,7 @@ _FRONT = [
     "cochran_armitage_orders",
     "calibration_orders",
     "winsorize_orders",
+    "theil_sen_events",
     # (c) operator/oracle changed in r11
     "km_survival_events",
     "set_except",
@@ -90,7 +91,6 @@ _FRONT = [
     "cosine_topk",
     "minhash_dedup",
     # ...and the rest of the r1 cohort
-    "agg_rollup",
     "exact_dedup_docs",
     "join_left_outer",
     "join_semi",

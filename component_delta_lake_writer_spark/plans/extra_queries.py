@@ -8150,3 +8150,54 @@ def winsorize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderkey",
     )
+
+
+@query(
+    "theil_sen_events",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counted),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    series AS (
+      SELECT CAST(epoch(hours.h) / 3600 AS BIGINT) AS t,
+        COALESCE(counted.y, 0) AS y
+      FROM hours LEFT JOIN counted USING (h)
+    ),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb,
+        ROUND(CAST(b.y - a.y AS DOUBLE) / (b.t - a.t), 9) AS s
+      FROM series a JOIN series b ON a.t < b.t
+    ),
+    rk AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, ta, tb) AS r,
+        COUNT(*) OVER () AS m
+      FROM pairs
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM series) AS BIGINT) AS n_buckets,
+      CAST(m AS BIGINT) AS n_pairs,
+      ROUND(s, 6) AS slope_per_hour,
+      CAST(SIGN(s) AS INT) AS trending
+    FROM rk WHERE r = (m + 1) // 2
+    """,
+)
+def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust hourly trend
+    (operators.timeseries.theil_sen_hourly) of the events corpus:
+    median of all C(720, 2) pairwise bucket slopes (gap-filled
+    series, exact integer Δy/Δh rounded 9dp, LOWER median under a
+    total order) — the outlier-proof drift readout next to CUSUM's
+    level-shift detector."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        theil_sen_hourly,
+    )
+
+    return theil_sen_hourly(
+        load_table(spark, sf_dir, "events"), "ts"
+    )

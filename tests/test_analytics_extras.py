@@ -1230,3 +1230,37 @@ def test_winsorize_hand_values(spark):
 
     with pytest.raises(ValueError, match="lo fraction"):
         winsorize(df, "v", "id", lo_num=95, hi_num=90)
+
+
+def test_theil_sen_hand_values(spark):
+    """Counts 1,2,3,4 over four hours: every pairwise slope is 1 ->
+    slope 1, trending +1; an outlier spike can't drag the median."""
+    import datetime as dtm
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        theil_sen_hourly,
+    )
+
+    rows = []
+    for h, y in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        rows += [(dtm.datetime(2026, 1, 1, h, 5),)] * y
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = theil_sen_hourly(df, "ts").collect()[0]
+    assert (r.n_buckets, r.n_pairs) == (4, 6)
+    assert r.slope_per_hour == 1.0 and r.trending == 1
+    # outlier: hour 1 spikes to 100 events; median slope stays small
+    rows2 = []
+    for h, y in [(0, 2), (1, 100), (2, 3), (3, 4)]:
+        rows2 += [(dtm.datetime(2026, 1, 1, h, 5),)] * y
+    df2 = spark.createDataFrame(rows2, "ts timestamp")
+    r2 = theil_sen_hourly(df2, "ts").collect()[0]
+    assert abs(r2.slope_per_hour) < 2  # LS slope would be ~ -13
+    # span guard: two buckets a year apart refuse loudly
+    sparse = spark.createDataFrame(
+        [(dtm.datetime(2026, 1, 1, 0),), (dtm.datetime(2026, 12, 1, 0),)],
+        "ts timestamp",
+    )
+    with pytest.raises(ValueError, match="gap-filled series spans"):
+        theil_sen_hourly(sparse, "ts")
