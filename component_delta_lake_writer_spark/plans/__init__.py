@@ -101,14 +101,17 @@ _FRONT = [
     # priority)
     "sessionize_events",
     "simhash_dedup",
-    "text_quality_score",
+    # (text_quality_score rotates to r12 with the others — the
+    # quality tier gained fresh r11 evidence via the perplexity key)
     "tpch_q3_shipping_priority",
     "tpch_q5_region_volume",
     "upsert_write",
     "window_running_sum",
-    # (e) generic streaming warmer, then the r1 streaming key
+    # (e) generic streaming warmer, then the streaming keys (the
+    # r1 stateful sessionizer and the new r11 sequential A/B monitor)
     "stream_dedup_events",
     "stateful_sessionize_stream",
+    "stream_ab_monitor",
     # (f) r2-era fill rotated out for the stats wave — ann_batch_topk,
     # bigram_collocations, domain_cap_docs, funnel_abc_events lead the
     # r12 refresh queue

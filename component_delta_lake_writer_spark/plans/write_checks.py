@@ -2495,3 +2495,123 @@ _O["stream_anomaly_monitor"] = """
       MAX(az) AS max_abs_z
     FROM s
 """
+
+
+@query("stream_ab_monitor")
+def stream_ab_monitor_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential A/B monitoring (streaming.sink.stream_ab_monitor):
+    per-user heavy-buyer outcomes (>= 14 purchases, arms by user-id
+    parity) staged as TWO feed files; maxFilesPerTrigger=1 makes two
+    micro-batches, so the FINAL monitor row's cumulative totals are
+    correct only if batch 1 folded batch 0's stored totals — the
+    cumulation is what the probe proves.  The returned row is the
+    final look (full-data pooled z, Haybittle-Peto decision at the
+    3.0 interim boundary — the sf0.01 fixture lands z~2.79, so the
+    peeking dashboard correctly says 'continue' where a naive 1.96
+    dashboard would have declared); the ORACLE replays it from the
+    full data with n_batches = 2."""
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_ab_monitor,
+    )
+
+    base = _scratch("stream_ab_monitor", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    (F.col("event_type") == "purchase").cast("int")
+                )
+                >= 14
+            )
+            .cast("long")
+            .alias("succ")
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("string").alias("grp"),
+            "succ",
+        )
+    )
+    feed_dir = os.path.join(base, "feed")
+    users.filter(F.col("user_id") % 4 < 2).coalesce(1).write.parquet(
+        feed_dir
+    )
+    users.filter(F.col("user_id") % 4 >= 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, grp string, succ long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(feed_dir)
+    )
+    monitor = ManagedTable(spark, os.path.join(base, "monitor"))
+    q = stream_ab_monitor(
+        stream, "grp", "succ", ("0", "1"), monitor,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    looks = monitor.read()
+    n_batches = F.broadcast(
+        looks.agg(F.count(F.lit(1)).alias("n_batches"))
+    )
+    return (
+        looks.orderBy(F.col("batch_id").desc())
+        .limit(1)
+        .crossJoin(n_batches)
+        .select(
+            "batch_id", "n_a", "conv_a", "n_b", "conv_b", "z",
+            "decision",
+            F.col("n_batches").cast("long").alias("n_batches"),
+        )
+    )
+
+
+_O["stream_ab_monitor"] = """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS g,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) >= 14
+             THEN 1 ELSE 0 END AS x
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT
+        SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN g = '0' THEN x ELSE 0 END) AS conv_a,
+        SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN g = '1' THEN x ELSE 0 END) AS conv_b
+      FROM u
+    ),
+    zz AS (
+      SELECT *,
+        CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+      FROM p
+    ),
+    f AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+        CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1 THEN
+          ROUND((CAST(conv_b AS DOUBLE) / n_b
+                 - CAST(conv_a AS DOUBLE) / n_a)
+                / SQRT(pp * (1.0 - pp)
+                       * (1.0 / n_a + 1.0 / n_b)), 6)
+        END AS z
+      FROM zz
+    )
+    SELECT CAST(1 AS BIGINT) AS batch_id,
+      CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+      CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+      z,
+      CASE WHEN ABS(z) > 3.0 THEN 'reject_null'
+           ELSE 'continue' END AS decision,
+      CAST(2 AS BIGINT) AS n_batches
+    FROM f
+"""

@@ -555,3 +555,124 @@ def stream_anomaly_monitor(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_ab_monitor(
+    stream_df: DataFrame,
+    group_col: str,
+    success_col: str,
+    arms: tuple,
+    monitor: ManagedTable,
+    z_boundary: float = 3.0,
+    checkpoint_dir: str | None = None,
+):
+    """Sequential A/B monitoring — the streaming spelling of the
+    experimentation tier: every micro-batch of per-unit outcomes
+    folds into CUMULATIVE per-arm totals and appends one row
+    ``(batch_id, n_a, conv_a, n_b, conv_b, z, decision)`` to an ACID
+    monitor table.  The interim ``decision`` uses the
+    Haybittle–Peto rule (declare only past |z| > ``z_boundary``,
+    default 3.0, at any interim look; the final analysis keeps its
+    nominal 1.96) — the one sequential boundary simple enough to be
+    exactly replayable, and the reason a peeking dashboard doesn't
+    inflate its false-positive rate.
+
+    Cumulation reads the PREVIOUS totals from the monitor table
+    itself (a ≤1-row tail read of a metadata-scale table), so the
+    monitor is its own state store; the same exactly-once writer
+    txns as the drift monitor (keyed by batch_id) make checkpoint
+    replays no-op, which is precisely what keeps the running totals
+    correct across restarts.  ``arms`` is the explicit (a, b) pair —
+    a batch may contain one arm or neither and still folds
+    correctly.
+    """
+    from pyspark.sql import functions as F
+
+    app_id = "stream-ab-monitor"
+    ga, gb = str(arms[0]), str(arms[1])
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.col(success_col).cast("long").alias("_x"),
+        ).agg(
+            F.sum(F.when(F.col("_g") == ga, 1).otherwise(0)).alias(
+                "bn_a"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("_g") == ga, F.col("_x"))),
+                F.lit(0),
+            ).alias("bs_a"),
+            F.sum(F.when(F.col("_g") == gb, 1).otherwise(0)).alias(
+                "bn_b"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("_g") == gb, F.col("_x"))),
+                F.lit(0),
+            ).alias("bs_b"),
+        )
+        prev_commit = monitor.latest_commit()
+        if prev_commit is not None:
+            prev = (
+                monitor.read()
+                .orderBy(F.col("batch_id").desc())
+                .limit(1)
+                .select("n_a", "conv_a", "n_b", "conv_b")
+            )
+            agg = agg.crossJoin(F.broadcast(prev))
+        else:
+            for c in ("n_a", "conv_a", "n_b", "conv_b"):
+                agg = agg.withColumn(c, F.lit(0).cast("long"))
+        cum = agg.select(
+            (F.col("bn_a") + F.col("n_a")).alias("n_a"),
+            (F.col("bs_a") + F.col("conv_a")).alias("conv_a"),
+            (F.col("bn_b") + F.col("n_b")).alias("n_b"),
+            (F.col("bs_b") + F.col("conv_b")).alias("conv_b"),
+        )
+        ra = F.col("conv_a").cast("double") / F.col("n_a")
+        rb = F.col("conv_b").cast("double") / F.col("n_b")
+        pooled = (
+            F.col("conv_a") + F.col("conv_b")
+        ).cast("double") / (F.col("n_a") + F.col("n_b"))
+        se = F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (
+                F.lit(1.0) / F.col("n_a")
+                + F.lit(1.0) / F.col("n_b")
+            )
+        )
+        z = F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (pooled > 0)
+            & (pooled < 1),
+            F.round((rb - ra) / se, 6),
+        )
+        row = cum.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("n_a").cast("long"),
+            F.col("conv_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.col("conv_b").cast("long"),
+            z.alias("z"),
+            F.when(
+                F.abs(z) > F.lit(z_boundary), F.lit("reject_null")
+            )
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+        if prev_commit is None:
+            monitor.write(
+                row, mode="overwrite", primary_key=["batch_id"],
+                txn=(app_id, batch_id),
+            )
+        else:
+            monitor.write(row, mode="append", txn=(app_id, batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -3036,3 +3036,58 @@ def test_webp_gif_parsers_truncation_tolerant(spark):
     assert (rows[2].width, rows[2].height) == (7, 9)
     for bad in (3, 4, 5):
         assert rows[bad].is_gif is False and rows[bad].width is None
+
+
+def test_stream_ab_monitor_cumulates_and_is_idempotent(spark, tmp_path):
+    """Two micro-batches: the second look's totals fold the first's
+    stored totals (the monitor is its own state store); restarting
+    the drained stream with the same checkpoint adds no rows (writer
+    txn exactly-once)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        stream_ab_monitor,
+    )
+
+    base = str(tmp_path)
+    feed = os.path.join(base, "feed")
+    users = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 3 == 0).cast("long").alias("x"),
+    )
+    users.filter(F.col("id") < 50).coalesce(1).write.parquet(feed)
+    users.filter(F.col("id") >= 50).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    monitor = ManagedTable(spark, os.path.join(base, "mon"))
+    stream = (
+        spark.readStream.schema("id long, g string, x long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(feed)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    stream_ab_monitor(
+        stream, "g", "x", ("0", "1"), monitor, checkpoint_dir=ckpt
+    ).awaitTermination()
+    rows = {r.batch_id: r for r in monitor.read().collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1].n_a == 50 and rows[1].n_b == 50
+    assert rows[0].n_a + rows[0].n_b == 50  # first look: half the feed
+    assert rows[1].conv_a + rows[1].conv_b == 34  # ids % 3 == 0 of 100
+    assert rows[1].decision in ("continue", "reject_null")
+    # drained restart: same checkpoint, no new rows
+    stream2 = (
+        spark.readStream.schema("id long, g string, x long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(feed)
+    )
+    stream_ab_monitor(
+        stream2, "g", "x", ("0", "1"), monitor, checkpoint_dir=ckpt
+    ).awaitTermination()
+    assert monitor.read().count() == 2
