@@ -398,3 +398,91 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def measure_lm_scaled(
+    threads: int = 32,
+    max_memory_mb: int = 8192,
+    scale: int = 10,
+    sf_dir: str | None = None,
+    verbose: bool = True,
+    repeats: int = 3,
+) -> tuple[float, float]:
+    """DuckDB twin of the bigram-LM perplexity pipeline at corpus
+    scale ``scale``× (documents replicated with offset ids and a
+    per-replica prefix token, exactly as the Spark side replicates):
+    train an add-0.1 bigram model on the 80% slice, score the 20%
+    holdout — the same shape as the ngram_lm_perplexity_docs oracle.
+    Returns (median_sec, spread_sec) over ``repeats`` runs."""
+    sf_dir = sf_dir or SF_DIR
+    con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
+    con.execute(f"SET max_memory='{max_memory_mb}MB'")
+    parts = [
+        f"SELECT doc_id + {i * 10**7} AS doc_id, "
+        f"'rep{i} ' || text AS text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        for i in range(scale)
+    ]
+    con.execute(
+        "CREATE VIEW documents AS " + " UNION ALL ".join(parts)
+    )
+    q = r"""
+    WITH tr AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    bg AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        list_transform(generate_series(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1])
+        ELSE []::VARCHAR[] END) AS big
+      FROM tr
+    ),
+    m AS (SELECT big, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    cx AS (
+      SELECT split_part(big, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM m GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS vv FROM (
+        SELECT split_part(big, ' ', 1) AS t FROM m
+        UNION SELECT split_part(big, ' ', -1) FROM m
+      )
+    ),
+    sc AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        list_transform(generate_series(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1])
+        ELSE []::VARCHAR[] END) AS big
+      FROM (
+        SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE doc_id % 5 = 0
+      )
+    ),
+    t AS (
+      SELECT sc.doc_id,
+        CAST(ROUND(-LN(
+          (COALESCE(m.c12, 0) + 0.1)
+          / (COALESCE(cx.c1, 0) + 0.1 * v.vv)
+        ), 4) AS DECIMAL(24,4)) AS nlp
+      FROM sc
+      LEFT JOIN m USING (big)
+      LEFT JOIN cx ON cx.w1 = split_part(sc.big, ' ', 1), v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+    FROM t GROUP BY 1
+    """
+    times: list[float] = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        times.append(round(time.perf_counter() - t0, 3))
+    con.close()
+    times.sort()
+    dt = times[len(times) // 2]
+    if verbose:
+        print(f"# lm_scaled x{scale}: {dt:.3f}s", file=sys.stderr)
+    return dt, round(times[-1] - times[0], 3)

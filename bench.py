@@ -490,6 +490,90 @@ def _merge_curve(
     return out
 
 
+def _lm_curve(
+    spark, sf_dir: str, scales: tuple[int, ...] = (1, 10, 80)
+) -> dict:
+    """Measured scaling curve for the r11 bigram-LM perplexity
+    pipeline (quality.bigram_lm_perplexity — the CCNet-style filter):
+    documents replicated ×1/×10/×80 with offset ids and a per-replica
+    prefix token (same replication as the DuckDB twin), train on the
+    80% slice, score the 20% holdout.  The claim under test: ONE
+    training scan + ONE scoring scan with the model relation
+    checkpoint-pinned keeps throughput linear-ish in corpus size —
+    the crossover story the operator's docstring prices.  Median-of-3
+    per point with spreads, twin measured in the same run."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.quality import (
+        bigram_lm_perplexity,
+    )
+    from component_delta_lake_writer_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    points = []
+    for scale in scales:
+        docs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10**7)).alias(
+                        "doc_id"
+                    ),
+                    F.concat(
+                        F.lit(f"rep{i} "), F.col("text")
+                    ).alias("text"),
+                )
+                for i in range(scale)
+            ],
+        ).persist()
+        n_docs = docs.count()
+
+        def trial() -> float:
+            t0 = time.perf_counter()
+            out = bigram_lm_perplexity(
+                docs.filter(F.col("doc_id") % 5 == 0),
+                train=docs.filter(F.col("doc_id") % 5 != 0),
+            )
+            # force the full score computation (a bare count would
+            # let Catalyst prune the logp aggregation)
+            out.agg(
+                F.sum(F.col("avg_neg_logp").cast("double"))
+            ).collect()
+            return time.perf_counter() - t0
+
+        sec, spread = _med3(trial)
+        point = {
+            "scale": scale,
+            "n_docs": n_docs,
+            "spark_sec": round(sec, 3),
+            "spark_spread": spread,
+        }
+        try:
+            from baseline_duckdb import measure_lm_scaled
+
+            duck, dspread = measure_lm_scaled(
+                threads=32, max_memory_mb=8192, scale=scale,
+                sf_dir=sf_dir, verbose=False, repeats=3,
+            )
+            point["duckdb_sec"] = duck
+            point["duckdb_spread"] = dspread
+            point["ratio"] = round(sec / duck, 2)
+        except Exception as exc:
+            print(f"# duckdb lm twin x{scale} failed: {exc}",
+                  file=sys.stderr)
+        docs.unpersist()
+        points.append(point)
+    out = {"points": points}
+    big = points[-1]
+    if "ratio" in big:
+        out[f"time_ratio_x{big['scale']}"] = big["ratio"]
+    return out
+
+
 def _dedup_curve(
     spark, sf_dir: str, scales: tuple[int, ...] = (1, 4, 10)
 ) -> dict:
@@ -1535,6 +1619,16 @@ def main() -> None:
     except Exception as exc:
         print(f"# merge curve failed: {exc}", file=sys.stderr)
 
+    # measured LM-perplexity scaling curve (×1/×10/×80): the r11
+    # quality filter's one-train-scan + one-score-scan linearity
+    try:
+        lcurve = _lm_curve(spark, SF_DIR)
+        result["lm_curve"] = lcurve
+        for p in lcurve["points"]:
+            print(f"# lm_curve/x{p['scale']}: {p}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# lm curve failed: {exc}", file=sys.stderr)
+
     # measured dedup scaling curve (×1/×4/×10 corpus replication):
     # the "bucket-capped LSH is sub-quadratic" claim as numbers
     try:
@@ -1858,6 +1952,7 @@ def _compact_line(result: dict) -> dict:
     digest: dict[str, float] = {}
     for short, curve, key in (
         ("dedup_x10", "dedup_curve", "time_ratio_x10"),
+        ("lm_x80", "lm_curve", "time_ratio_x80"),
         ("ivf_x100", "ann_curve", "ivf_time_ratio_x100"),
         ("hlsh_v_scan_x100", "quantized_curve", "x100_lsh_vs_full_scan"),
         ("scd2_x10", "scd2_curve", "time_ratio_x10"),

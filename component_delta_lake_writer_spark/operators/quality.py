@@ -46,6 +46,30 @@ def _ngrams(tokens: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bigram_array_fast(text: Column) -> Column:
+    """Word-bigram array WITHOUT a higher-order lambda: Spark runs
+    transform()/zip_with() lambdas on the interpreted expression path
+    (no whole-stage codegen), which profiled ~35x slower than the
+    surrounding explode on a 200k-doc corpus (r11 lm_curve).  Two
+    interleaved non-overlapping regexp_extract_all passes — pairs
+    starting at tokens 1,3,5,... plus pairs starting at 2,4,6,...
+    after dropping the first token — enumerate exactly the k-1
+    bigrams of a k-token text, fully codegen'd.  Token semantics
+    match _tokens (split on \\s+ of the trimmed text): the space
+    normalization only collapses separators, never token content."""
+    n = F.regexp_replace(F.trim(text), r"\s+", " ")
+    pat = F.lit("[^ ]+ [^ ]+")
+    odd = F.regexp_extract_all(n, pat, 0)
+    even = F.regexp_extract_all(
+        F.regexp_replace(n, "^[^ ]+ ", ""), pat, 0
+    )
+    # NULL text -> empty array (the _ngrams(_tokens(...)) contract;
+    # explode treats both the same, but keep the helper faithful)
+    return F.coalesce(
+        F.concat(odd, even), F.array().cast("array<string>")
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -452,7 +476,7 @@ def bigram_lm_perplexity(
     ref = train if train is not None else docs
     big_tr = ref.select(
         F.explode(
-            _ngrams(_tokens(F.lower(F.col(text_col))), 2)
+            _bigram_array_fast(F.lower(F.col(text_col)))
         ).alias("big")
     )
     bigrams = big_tr.groupBy("big").agg(
@@ -489,7 +513,7 @@ def bigram_lm_perplexity(
         docs.select(
             F.col(id_col),
             F.explode(
-                _ngrams(_tokens(F.lower(F.col(text_col))), 2)
+                _bigram_array_fast(F.lower(F.col(text_col)))
             ).alias("big"),
         )
         .join(bigrams, "big", "left")
