@@ -429,7 +429,8 @@ def measure_lm_scaled(
     )
     q = r"""
     WITH tr AS (
-      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      SELECT string_split_regex(trim(regexp_replace(lower(text),
+        '\s+', ' ', 'g')), ' ') AS toks
       FROM documents WHERE doc_id % 5 <> 0
     ),
     bg AS (
@@ -457,7 +458,8 @@ def measure_lm_scaled(
         ELSE []::VARCHAR[] END) AS big
       FROM (
         SELECT doc_id,
-          string_split_regex(trim(lower(text)), '\s+') AS toks
+          string_split_regex(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' ') AS toks
         FROM documents WHERE doc_id % 5 = 0
       )
     ),

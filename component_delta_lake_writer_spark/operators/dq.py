@@ -998,12 +998,15 @@ def calibration_report(
     check a quality/toxicity classifier gets before its scores gate
     a corpus ("0.9 means 90%" is a testable claim, not a hope).
 
-    ONE map-side-combinable groupBy on the arithmetic bin
-    floor(score·bins) (scores at exactly 1.0 fold into the top
-    bin); per-bin mean score and positive rate are exact-decimal
-    sums over 6dp-rounded scores; the corpus Brier score
-    mean((score−label)²) rides the same pass as a 9dp-rounded
-    decimal sum, attached to every row as a broadcast constant.
+    ONE corpus scan, ONE map-side-combinable groupBy on the
+    arithmetic bin floor(score·bins) (scores at exactly 1.0 fold
+    into the top bin); per-bin mean score and positive rate are
+    exact-decimal sums over 6dp-rounded scores; the corpus Brier
+    score mean((score−label)²) accumulates as 9dp-rounded decimal
+    PARTIAL sums in the same per-bin aggregation (decimal addition
+    is associative, so the bin rollup equals the direct corpus sum
+    — the first cut scanned the corpus twice; r11 review) and
+    attaches as a broadcast constant.
     Scores outside [0, 1] raise at action time — a miscalibrated
     INPUT domain is a pipeline bug, not a curve point.
 
@@ -1043,19 +1046,18 @@ def calibration_report(
             F.round(F.col("_s"), 6).cast("decimal(18,6)")
         ).alias("_ss"),
         F.sum("_y").alias("_sy"),
+        F.sum(
+            F.round(
+                (F.col("_s") - F.col("_y"))
+                * (F.col("_s") - F.col("_y")),
+                9,
+            ).cast("decimal(24,9)")
+        ).alias("_se"),
     )
     brier = F.broadcast(
-        src.agg(
+        per_bin.agg(
             F.round(
-                F.sum(
-                    F.round(
-                        (F.col("_s") - F.col("_y"))
-                        * (F.col("_s") - F.col("_y")),
-                        9,
-                    ).cast("decimal(24,9)")
-                ).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                F.sum("_se").cast("double") / F.sum("n"), 6
             ).alias("brier")
         )
     )

@@ -1019,11 +1019,12 @@ def cohen_kappa(
     independent raters with these marginals would get for free).
 
     ONE map-side-combinable groupBy collapses the corpus to the
-    |a|×|b| confusion cells; marginals ride windows over that
-    metadata-scale relation (the chi2_independence spelling).
-    p_o = Σ diagonal / N and p_e = Σ_k row_k·col_k / N² come from
-    exact integer counts — kappa is one deterministic double
-    expression, rounded 6dp.
+    |a|×|b| confusion cells; p_o = Σ diagonal / N comes straight
+    from the cells and p_e = Σ_k row_k·col_k / N² from a join of
+    the two metadata-scale marginal relations (a class present in
+    only one rater's marginal still contributes) — kappa is one
+    deterministic double expression over exact integer counts,
+    rounded 6dp.
 
     Returns ONE row: (n_rows, n_classes_a, n_classes_b, po, pe,
     kappa) — kappa NULL when p_e = 1 (a single shared class: no
@@ -1042,27 +1043,16 @@ def cohen_kappa(
         F.col(rater_a_col).cast("string").alias("_a"),
         F.col(rater_b_col).cast("string").alias("_b"),
     ).agg(F.count(F.lit(1)).alias("_n"))
-    w_a = Window.partitionBy("_a")
-    w_b = Window.partitionBy("_b")
-    staged = cells.select(
-        "_a",
-        "_b",
-        "_n",
-        F.sum("_n").over(w_a).alias("_ra"),
-        F.sum("_n").over(w_b).alias("_cb"),
-    )
-    agg = staged.agg(
+    # p_e comes from the MARGINAL relation join below (a class can
+    # appear in one rater's marginal with no diagonal cell); the agg
+    # itself needs only the raw cells — no window marginals
+    agg = cells.agg(
         F.sum("_n").alias("_N"),
         F.countDistinct("_a").alias("_ka"),
         F.countDistinct("_b").alias("_kb"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))).alias(
             "_diag"
         ),
-        # Σ_k row_k·col_k: every (a=k, b=k) pairing contributes once —
-        # sum row·col over the DIAGONAL cells only... but a class can
-        # be present in one rater's marginal and absent as a diagonal
-        # cell, so the product must come from the marginal relation
-        # itself (see _pe below), not from cells.
     )
     ra = cells.groupBy("_a").agg(F.sum("_n").alias("_r")).select(
         F.col("_a").alias("_k"), F.col("_r")

@@ -353,6 +353,15 @@ def winsorize(
             "winsorize needs lo fraction <= hi fraction, got "
             f"{lo_num}/{lo_den} > {hi_num}/{hi_den}"
         )
+    if hi_num > hi_den or lo_num > lo_den:
+        # a fraction > 1 maps to a rank past n-1: the bound row would
+        # not exist, the aggregate would be NULL, and least/greatest
+        # SKIP nulls — clipping silently disabled instead of refused
+        # (r11 review)
+        raise ValueError(
+            "winsorize percentile fractions must be <= 1, got "
+            f"lo {lo_num}/{lo_den}, hi {hi_num}/{hi_den}"
+        )
     ranked, n = global_value_rank(df, value_col, id_col)
     if n == 0:
         return ranked.select(

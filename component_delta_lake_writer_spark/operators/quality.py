@@ -45,8 +45,18 @@ def _ngrams(tokens: Column, n: int) -> Column:
     enumerate exactly the k-n+1 grams.  Gram MULTISET is identical
     to the lambda spelling; array ORDER is interleaved, which every
     consumer (distinct-fraction, explode) is insensitive to.  See
-    _bigram_array_fast for the n=2 straight-from-text variant."""
-    s = F.array_join(tokens, " ")
+    _bigram_array_fast for the n=2 straight-from-text variant.
+
+    Edge-whitespace contract (r11 review): split(trim(text)) can
+    yield an EMPTY edge token when the text starts/ends with
+    non-space whitespace (trim strips only spaces); re-joining would
+    then carry a leading/trailing space that breaks the token-drop
+    regex (duplicated first gram).  The re-joined string is
+    therefore TRIMMED — grams are built from the artifact-free
+    token sequence (the bigram_lift normalize-then-trim idiom); the
+    matching oracles tokenize their gram construction the same
+    way."""
+    s = F.trim(F.array_join(tokens, " "))
     pat = F.lit("[^ ]+" + " [^ ]+" * (n - 1))
     parts = []
     for j in range(n):
@@ -70,9 +80,12 @@ def _bigram_array_fast(text: Column) -> Column:
     starting at tokens 1,3,5,... plus pairs starting at 2,4,6,...
     after dropping the first token — enumerate exactly the k-1
     bigrams of a k-token text, fully codegen'd.  Token semantics
-    match _tokens (split on \\s+ of the trimmed text): the space
-    normalization only collapses separators, never token content."""
-    n = F.regexp_replace(F.trim(text), r"\s+", " ")
+    match _tokens (split on \\s+ of the trimmed text) for all
+    space-separated inputs; leading/trailing NON-space whitespace is
+    normalized away (normalize-THEN-trim — trim alone strips only
+    spaces, and a leading separator would break the token-drop
+    regex; r11 review)."""
+    n = F.trim(F.regexp_replace(text, r"\s+", " "))
     pat = F.lit("[^ ]+ [^ ]+")
     odd = F.regexp_extract_all(n, pat, 0)
     even = F.regexp_extract_all(

@@ -317,7 +317,8 @@ def ndcg_at_k(
     corpus metric is order-free and engine-portable.  Queries with
     no positive-grade judgment are excluded (nDCG undefined);
     grades must be small non-negative ints (gain 2^rel is exact to
-    rel ≤ 30).
+    rel ≤ 30, and decimal(28,9) terms hold it — 18,9 overflowed at
+    rel 30 / rank 1; r11 review).
 
     Returns ONE row: (n_queries, ndcg_at_k) rounded 6dp.
     """
@@ -349,7 +350,7 @@ def ndcg_at_k(
             F.round(
                 gain / F.log2(F.col("_r") + F.lit(1.0)), 9
             )
-            .cast("decimal(18,9)")
+            .cast("decimal(28,9)")
             .alias("_term"),
         )
         .groupBy("_q")
@@ -366,7 +367,7 @@ def ndcg_at_k(
             F.round(
                 gain / F.log2(F.col("_i") + F.lit(1.0)), 9
             )
-            .cast("decimal(18,9)")
+            .cast("decimal(28,9)")
             .alias("_term"),
         )
         .groupBy("_q")

@@ -645,6 +645,47 @@ def forecast_backtest(
     )
 
 
+def _gap_filled_hourly(
+    df: DataFrame, ts_col: str
+) -> tuple[DataFrame, int]:
+    """(series, span): the GAP-FILLED hourly count series (_h, _y —
+    an eventless hour is y=0, not missing) and its bucket span.
+    Shared by acf_hourly and theil_sen_hourly (r11 review: the two
+    first shipped duplicate constructions).  ONE corpus scan: the
+    bucket relation is checkpoint-pinned (its consumers would each
+    re-scan the corpus otherwise — 8 FileScans measured on the ACF
+    before the pin), the min/max bounds are collected once (2
+    scalars) and the hour range ships back as LITERALS.  Raises on
+    an all-null timestamp column."""
+    counted = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_y"))
+    )
+    counted = counted.localCheckpoint(eager=True)
+    b = counted.agg(
+        F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
+    ).collect()[0]
+    if b["_lo"] is None:
+        raise ValueError("no non-null timestamps in the series")
+    span = (
+        int((b["_hi"] - b["_lo"]).total_seconds() // 3600) + 1
+    )
+    hours = counted.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(b["_lo"]),
+                F.lit(b["_hi"]),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("_h")
+    )
+    series = hours.join(counted, "_h", "left").select(
+        "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    return series, span
+
+
 def acf_hourly(
     df: DataFrame,
     ts_col: str,
@@ -668,35 +709,7 @@ def acf_hourly(
     Returns one row per lag: (lag, n_pairs, acf) — acf rounded 6dp,
     NULL when the series is constant (zero variance).
     """
-    counted = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_h"))
-        .agg(F.count(F.lit(1)).alias("_y"))
-    )
-    # the bucket series feeds SEVEN consumers (bounds, gap-fill join,
-    # mean, denominator, lag left/right sides) — unpinned, each one
-    # re-scans the CORPUS (measured: 8 FileScans).  localCheckpoint
-    # collapses them to one corpus read + a metadata-scale relation.
-    counted = counted.localCheckpoint(eager=True)
-    bounds = F.broadcast(
-        counted.agg(
-            F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
-        )
-    )
-    hours = (
-        bounds.select(
-            F.explode(
-                F.sequence(
-                    F.col("_lo"),
-                    F.col("_hi"),
-                    F.expr("INTERVAL 1 HOUR"),
-                )
-            ).alias("_h")
-        )
-    )
-    series = hours.join(counted, "_h", "left").select(
-        "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
-    )
+    series, _span = _gap_filled_hourly(df, ts_col)
     stats = F.broadcast(
         series.agg(
             F.count(F.lit(1)).alias("_n"),
@@ -792,29 +805,7 @@ def theil_sen_hourly(
     Returns ONE row: (n_buckets, n_pairs, slope_per_hour, trending)
     — slope 6dp; trending = sign(slope) as int.
     """
-    counted = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_h"))
-        .agg(F.count(F.lit(1)).alias("_y"))
-    )
-    counted = counted.localCheckpoint(eager=True)
-    bounds_row = counted.agg(
-        F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
-    ).collect()[0]
-    if bounds_row["_lo"] is None:
-        raise ValueError("theil_sen_hourly: no non-null timestamps")
-    # guard on the GAP-FILLED span, not the observed-bucket count —
-    # two observed buckets a year apart still expand to the full
-    # 8.8k-hour series and its ~38M pairs
-    n_b = (
-        int(
-            (
-                bounds_row["_hi"] - bounds_row["_lo"]
-            ).total_seconds()
-            // 3600
-        )
-        + 1
-    )
+    full, n_b = _gap_filled_hourly(df, ts_col)
     if n_b > max_buckets:
         raise ValueError(
             f"theil_sen_hourly: the gap-filled series spans {n_b} "
@@ -822,24 +813,19 @@ def theil_sen_hourly(
             f"(~{n_b * (n_b - 1) // 2} pairwise slopes); rebucket "
             "to a coarser grain first"
         )
-    bounds = F.broadcast(
-        counted.agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
-    )
-    hours = bounds.select(
-        F.explode(
-            F.sequence(
-                F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR")
-            )
-        ).alias("_h")
-    )
-    series = (
-        hours.join(counted, "_h", "left")
-        .select(
-            (
-                F.unix_timestamp("_h") / F.lit(3600)
-            ).cast("long").alias("_t"),
-            F.coalesce(F.col("_y"), F.lit(0)).alias("_y"),
+    if n_b < 2:
+        # a single bucket has zero pairwise slopes: the documented
+        # ONE-row contract cannot be met — refuse loudly instead of
+        # returning an empty frame (r11 review)
+        raise ValueError(
+            "theil_sen_hourly: the series spans a single hourly "
+            "bucket — no pairwise slope exists"
         )
+    series = full.select(
+        (
+            F.unix_timestamp("_h") / F.lit(3600)
+        ).cast("long").alias("_t"),
+        "_y",
     )
     a = series.select(
         F.col("_t").alias("_ta"), F.col("_y").alias("_ya")

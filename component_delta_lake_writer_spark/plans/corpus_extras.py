@@ -342,7 +342,9 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repeated_ngram_spans",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      SELECT doc_id,
+        string_split_regex(trim(regexp_replace(text, '\s+', ' ',
+          'g')), ' ') AS toks
       FROM documents
     ),
     sp AS (

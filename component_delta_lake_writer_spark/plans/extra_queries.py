@@ -3152,17 +3152,19 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+    string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks2
+  FROM documents
 ),
 g AS (
   SELECT doc_id, len(toks) AS n_words, toks,
-    CASE WHEN len(toks) >= 2 THEN
-      list_transform(generate_series(1, len(toks)-1),
-                     i -> toks[i] || ' ' || toks[i+1])
+    CASE WHEN len(toks2) >= 2 THEN
+      list_transform(generate_series(1, len(toks2)-1),
+                     i -> toks2[i] || ' ' || toks2[i+1])
     ELSE []::VARCHAR[] END AS g2,
-    CASE WHEN len(toks) >= 3 THEN
-      list_transform(generate_series(1, len(toks)-2),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    CASE WHEN len(toks2) >= 3 THEN
+      list_transform(generate_series(1, len(toks2)-2),
+                     i -> toks2[i] || ' ' || toks2[i+1] || ' ' || toks2[i+2])
     ELSE []::VARCHAR[] END AS g3
   FROM t
 ),
@@ -3208,7 +3210,8 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAMINATION_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
 ),
 g AS (
   SELECT doc_id,
@@ -7095,7 +7098,8 @@ def gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_LM_ORACLE = r"""
 WITH tr AS (
-  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+  SELECT string_split_regex(trim(regexp_replace(lower(text),
+    '\s+', ' ', 'g')), ' ') AS toks
   FROM documents WHERE doc_id % 5 <> 0
 ),
 bg AS (
@@ -7124,7 +7128,8 @@ sc AS (
     ELSE []::VARCHAR[] END) AS big
   FROM (
     SELECT doc_id,
-      string_split_regex(trim(lower(text)), '\s+') AS toks
+      string_split_regex(trim(regexp_replace(lower(text),
+        '\s+', ' ', 'g')), ' ') AS toks
     FROM documents WHERE doc_id % 5 = 0
   )
 ),
@@ -7664,7 +7669,7 @@ def acf_hourly_events(
       SELECT res.q,
         SUM(CAST(ROUND(
           (POWER(2.0, rel.rel) - 1.0) / LOG2(res.r + 1.0), 9
-        ) AS DECIMAL(18,9))) AS dcg
+        ) AS DECIMAL(28,9))) AS dcg
       FROM res JOIN rel USING (q, d)
       WHERE res.r <= 3
       GROUP BY 1
@@ -7673,7 +7678,7 @@ def acf_hourly_events(
       SELECT q,
         SUM(CAST(ROUND(
           (POWER(2.0, rel) - 1.0) / LOG2(i + 1.0), 9
-        ) AS DECIMAL(18,9))) AS idcg
+        ) AS DECIMAL(28,9))) AS idcg
       FROM (
         SELECT q, rel,
           ROW_NUMBER() OVER (

@@ -596,16 +596,21 @@ def stream_ab_monitor(
             F.col(group_col).cast("string").alias("_g"),
             F.col(success_col).cast("long").alias("_x"),
         ).agg(
-            F.sum(F.when(F.col("_g") == ga, 1).otherwise(0)).alias(
-                "bn_a"
-            ),
+            # EVERY batch aggregate coalesced: sum() over a zero-row
+            # micro-batch is NULL, and one NULL look poisons every
+            # later cumulative total (r11 review)
+            F.coalesce(
+                F.sum(F.when(F.col("_g") == ga, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("bn_a"),
             F.coalesce(
                 F.sum(F.when(F.col("_g") == ga, F.col("_x"))),
                 F.lit(0),
             ).alias("bs_a"),
-            F.sum(F.when(F.col("_g") == gb, 1).otherwise(0)).alias(
-                "bn_b"
-            ),
+            F.coalesce(
+                F.sum(F.when(F.col("_g") == gb, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("bn_b"),
             F.coalesce(
                 F.sum(F.when(F.col("_g") == gb, F.col("_x"))),
                 F.lit(0),

@@ -1004,7 +1004,6 @@ def test_welch_ttest_hand_values(spark):
             ("b", 4.0), ("b", 6.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     r = welch_ttest(df, "g", "v").collect()[0]
-    assert (r.mean_a, r.mean_b, r.mean_diff) == (1.0, 4.0, 3.0) or True
     assert r.mean_a == 2.0 and r.mean_b == 4.0 and r.mean_diff == 2.0
     se2 = 1 / 3 + 4 / 3
     assert r.t == round(2 / math.sqrt(se2), 6)

@@ -279,3 +279,35 @@ def test_bigram_lm_perplexity_join_distributed_mode(spark):
         target, train=train, broadcast_model=False
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ngram_helpers_edge_whitespace(spark):
+    """r11 review: leading/trailing NON-space whitespace (trim strips
+    only spaces) must not duplicate or drop grams — both helpers
+    tokenize artifact-free, matching the updated oracles."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.quality import (
+        _bigram_array_fast,
+        _ngrams,
+        _tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("\tfoo bar baz",), ("foo bar baz\n",), ("\nx\t",)],
+        "t string",
+    )
+    got2 = [
+        sorted(r.g)
+        for r in df.select(
+            F.sort_array(_bigram_array_fast(F.col("t"))).alias("g")
+        ).collect()
+    ]
+    assert got2 == [["bar baz", "foo bar"], ["bar baz", "foo bar"], []]
+    got_n = [
+        sorted(r.g)
+        for r in df.select(
+            F.sort_array(_ngrams(_tokens(F.col("t")), 2)).alias("g")
+        ).collect()
+    ]
+    assert got_n == [["bar baz", "foo bar"], ["bar baz", "foo bar"], []]
