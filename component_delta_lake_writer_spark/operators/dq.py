@@ -1054,14 +1054,23 @@ def calibration_report(
             ).cast("decimal(24,9)")
         ).alias("_se"),
     )
-    brier = F.broadcast(
-        per_bin.agg(
-            F.round(
-                F.sum("_se").cast("double") / F.sum("n"), 6
-            ).alias("brier")
-        )
+    # brier as a WINDOW over the <=bins-row relation: a separate
+    # aggregate consumer re-planned the corpus scan a second time
+    # (AQE did not reuse it; measured 2 FileScans) — the
+    # unpartitioned window runs post-agg over bin rows, the
+    # temperature_quota metadata-scale rule
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    per_bin = per_bin.withColumn(
+        "brier",
+        F.round(
+            F.sum("_se").over(w_all).cast("double")
+            / F.sum("n").over(w_all),
+            6,
+        ),
     )
-    return per_bin.crossJoin(brier).select(
+    return per_bin.select(
         F.col("bin").cast("int").alias("bin"),
         F.col("n").cast("long").alias("n"),
         F.round(

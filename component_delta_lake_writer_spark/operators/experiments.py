@@ -396,21 +396,27 @@ def ab_bootstrap_ci(
     # TOP-LEVEL column expression: a lambda inside transform() runs
     # on Spark's interpreted higher-order-function path (no
     # whole-stage codegen), which measured ~6x slower than the
-    # codegen'd md5+CASE projection this spelling gets
+    # codegen'd md5+CASE projection this spelling gets.  Replicate
+    # b = -1 carries WEIGHT 1: its per-arm sums ARE the observed
+    # (unresampled) statistics, so point estimate and replicates
+    # ride ONE corpus scan (a separate observed aggregation
+    # re-scanned the corpus; r11 review follow-up)
     per_arm = (
         src.select(
             "_g",
             "_x",
             "_id",
             F.explode(
-                F.sequence(F.lit(0), F.lit(b_replicates - 1))
+                F.sequence(F.lit(-1), F.lit(b_replicates - 1))
             ).alias("b"),
         )
         .select(
             "_g",
             "_x",
             F.col("b").alias("_b"),
-            F.expr(_poisson_case(u_sql)).alias("_w"),
+            F.when(F.col("b") == -1, F.lit(1))
+            .otherwise(F.expr(_poisson_case(u_sql)))
+            .alias("_w"),
         )
         .groupBy("_g", "_b")
         .agg(
@@ -424,8 +430,14 @@ def ab_bootstrap_ci(
         F.max(F.when(F.col("_g") == gb, F.col("_n"))).alias("_nb"),
         F.max(F.when(F.col("_g") == gb, F.col("_s"))).alias("_sb"),
     )
+    # per_rep is B+1 rows and feeds TWO consumers (the CI ranks and
+    # the b=-1 observed row); unpinned, each consumer re-plans the
+    # corpus scan underneath — localCheckpoint collapses them to one
+    per_rep = per_rep.localCheckpoint(eager=True)
     diffs = per_rep.filter(
-        (F.col("_na") > 0) & (F.col("_nb") > 0)
+        (F.col("_b") >= 0)
+        & (F.col("_na") > 0)
+        & (F.col("_nb") > 0)
     ).select(
         "_b",
         F.round(
@@ -460,15 +472,11 @@ def ab_bootstrap_ci(
         ).alias("ci_hi"),
         F.max("_beff").alias("n_replicates"),
     )
-    observed = src.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_x").alias("_s"),
-    )
-    obs = observed.agg(
-        F.max(F.when(F.col("_g") == ga, F.col("_n"))).alias("n_a"),
-        F.max(F.when(F.col("_g") == ga, F.col("_s"))).alias("s_a"),
-        F.max(F.when(F.col("_g") == gb, F.col("_n"))).alias("n_b"),
-        F.max(F.when(F.col("_g") == gb, F.col("_s"))).alias("s_b"),
+    obs = per_rep.filter(F.col("_b") == -1).select(
+        F.col("_na").alias("n_a"),
+        F.col("_sa").alias("s_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_sb").alias("s_b"),
     )
     out = obs.crossJoin(F.broadcast(ci))
     rate_a = F.col("s_a").cast("double") / F.col("n_a")

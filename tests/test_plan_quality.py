@@ -960,3 +960,32 @@ def test_acf_single_scan_metadata_lags(spark):
     p = _plan(spark, "acf_hourly_events")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_calibration_single_scan(spark):
+    """calibration_report: reliability curve AND Brier ride ONE
+    corpus scan — the Brier is a window over the <=bins relation
+    (a second aggregate consumer re-planned the scan; r11 review)."""
+    p = _plan(spark, "calibration_orders")
+    assert p.count("FileScan") == 1, p
+
+
+def test_ab_bootstrap_ci_single_scan(spark):
+    """ab_bootstrap_ci: replicates AND observed stats ride one corpus
+    scan — observed = the weight-1 b=-1 replicate, and the B+1-row
+    per-replicate relation is checkpoint-pinned (its two consumers
+    each re-planned the corpus scan): the returned plan reads NO
+    files, only the pinned relation."""
+    p = _plan(spark, "ab_test_ci_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_winsorize_theil_ride_distributed_rank(spark):
+    """winsorize and theil_sen run on checkpoint-pinned relations:
+    zero FileScans in the returned plan (the corpus was read exactly
+    once inside the pin), ExistingRDD scans in its place."""
+    for key in ("winsorize_orders", "theil_sen_events"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 0, (key, p)
+        assert "Scan ExistingRDD" in p, (key, p)
