@@ -1115,3 +1115,92 @@ def test_quantile_normalize_matches_bruteforce(spark, a_vals, b_vals):
         ).collect()
     }
     assert got == model
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.tuples(KEYS, VALS, VALS), min_size=2, max_size=30))
+def test_spearman_bounds_and_monotone_invariance(spark, rows):
+    """Spearman laws for ANY input: rho ∈ [−1, 1] (or NULL on a
+    constant column); applying a strictly monotone transform to y
+    leaves rho unchanged (it only sees ranks)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        spearman_corr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (_, x, y) in enumerate(rows)],
+        "id long, x double, y double",
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r.n_rows == len(rows)
+    if r.rho is not None:
+        assert -1.0 <= r.rho <= 1.0
+    # strictly monotone transform of y: ranks identical -> same rho
+    df2 = df.withColumn("y", F.col("y") * 3 + 7)
+    r2 = spearman_corr(df2, "x", "y").collect()[0]
+    assert r2.rho == r.rho
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(VALS, min_size=1, max_size=25),
+    b=st.lists(VALS, min_size=1, max_size=25),
+)
+def test_ks_bounds_and_identity(spark, a, b):
+    """KS laws: D ∈ [0, 1] for any two samples; D = 0 when both arms
+    are the identical sample."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ks_test_2sample,
+    )
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test_2sample(df, "g", "v").collect()[0]
+    assert 0.0 <= r.d_stat <= 1.0
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in a],
+        "g string, v double",
+    )
+    assert ks_test_2sample(same, "g", "v").collect()[0].d_stat == 0.0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(VALS, min_size=1, max_size=30))
+def test_winsorize_bounds_and_interior_identity(spark, rows):
+    """Winsorize laws: output is within [v_lo, v_hi] ⊆ [min, max] of
+    the input; values already inside the bounds pass through
+    unchanged; row count preserved."""
+    from component_delta_lake_writer_spark.operators.features import (
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rows)],
+        "id long, v double",
+    )
+    out = winsorize(df, "v", "id", 10, 100, 90, 100).collect()
+    assert len(out) == len(rows)
+    lo, hi = min(float(v) for v in rows), max(float(v) for v in rows)
+    by_id = {r.id: r for r in out}
+    for i, v in enumerate(rows):
+        w = by_id[i].winsorized
+        assert lo <= w <= hi
+        assert by_id[i].value == float(v)
+    s = sorted(float(v) for v in rows)
+    k_lo = ((len(s) - 1) * 10) // 100
+    k_hi = ((len(s) - 1) * 90) // 100
+    for i, v in enumerate(rows):
+        if s[k_lo] <= float(v) <= s[k_hi]:
+            assert by_id[i].winsorized == float(v)
