@@ -1161,3 +1161,153 @@ def cochran_armitage_trend(
             (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Bradley–Terry preference strengths from pairwise outcomes —
+    the batch model behind preference-data curation (which responses
+    does the rater pool actually prefer, with intransitive noise
+    averaged out): P(i beats j) = p_i/(p_i + p_j), fit by the
+    classical MM iteration p_i ← W_i / Σ_j n_ij/(p_i + p_j)
+    (Hunter 2004).  ELO is this model fit sequentially and
+    order-dependently; BT is the order-free spelling a distributed
+    engine can own.
+
+    Scale shape (the pagerank/HITS discipline): comparisons collapse
+    to ONE row per unordered pair (n games, wins) — the corpus
+    shuffle; each MM iteration is a broadcast join of the
+    metadata-scale pair relation with the current |items| scores on
+    BOTH endpoints plus one per-item aggregation with the
+    denominators' per-pair terms ROUNDED 9dp and summed as DECIMAL
+    (order-free), a FIXED iteration count, no driver round-trips in
+    the loop.  Scores renormalize to mean 1 each iteration (a
+    deterministic scalar broadcast) and round 9dp, so the fit is
+    bit-identical at any parallelism.
+
+    Returns the ``top_k`` items by strength: (item, n_games, n_wins,
+    strength, rank) — strength 6dp, ranked on the ROUNDED strength
+    with the item id as tiebreak (the hash-rule total order).
+    """
+    src = comparisons.filter(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col) != F.col(loser_col))
+    ).select(
+        F.col(winner_col).cast("string").alias("_w"),
+        F.col(loser_col).cast("string").alias("_l"),
+    )
+    # bidirectional per-(item, opponent) relation: n games, wins
+    d = (
+        src.select(
+            F.col("_w").alias("_i"),
+            F.col("_l").alias("_j"),
+            F.lit(1).alias("_win"),
+        )
+        .unionByName(
+            src.select(
+                F.col("_l").alias("_i"),
+                F.col("_w").alias("_j"),
+                F.lit(0).alias("_win"),
+            )
+        )
+        .groupBy("_i", "_j")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_win").alias("_wn"),
+        )
+    )
+    # pinned: the pair relation feeds every iteration twice (both
+    # endpoints) plus the W/G totals — without the pin each consumer
+    # re-scans the comparison corpus
+    d = d.localCheckpoint(eager=True)
+    totals = d.groupBy("_i").agg(
+        F.sum("_n").alias("_g"), F.sum("_wn").alias("_W")
+    )
+    scores = totals.select(
+        "_i", F.lit(1.0).alias("_p"), "_g", "_W"
+    )
+    n_items = F.broadcast(
+        totals.agg(F.count(F.lit(1)).alias("_k"))
+    )
+    for _ in range(iterations):
+        pj = scores.select(
+            F.col("_i").alias("_j"), F.col("_p").alias("_pj")
+        )
+        denom = (
+            d.join(
+                F.broadcast(
+                    scores.select("_i", F.col("_p").alias("_pi"))
+                ),
+                "_i",
+            )
+            .join(F.broadcast(pj), "_j")
+            .select(
+                "_i",
+                F.round(
+                    F.col("_n")
+                    / (F.col("_pi") + F.col("_pj")),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("_t"),
+            )
+            .groupBy("_i")
+            .agg(F.sum("_t").alias("_den"))
+        )
+        raw = totals.join(denom, "_i").select(
+            "_i",
+            "_g",
+            "_W",
+            F.when(
+                F.col("_den") > 0,
+                F.col("_W").cast("double")
+                / F.col("_den").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_praw"),
+        )
+        # renormalize to mean 1 (deterministic scalar over a 9dp
+        # decimal sum), round 9dp so the next iteration's inputs are
+        # order-free on both engines
+        tot = F.broadcast(
+            raw.agg(
+                F.sum(
+                    F.round(F.col("_praw"), 9).cast("decimal(28,9)")
+                ).alias("_sp"),
+                F.count(F.lit(1)).alias("_k"),
+            )
+        )
+        scores = raw.crossJoin(tot).select(
+            "_i",
+            F.round(
+                F.when(
+                    F.col("_sp") > 0,
+                    F.col("_praw")
+                    * F.col("_k")
+                    / F.col("_sp").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("_p"),
+            "_g",
+            "_W",
+        )
+        scores = scores.localCheckpoint(eager=True)
+    w_rank = Window.orderBy(
+        F.round(F.col("_p"), 6).desc(), F.col("_i")
+    )
+    return (
+        scores.select(
+            F.col("_i").alias("item"),
+            F.col("_g").cast("long").alias("n_games"),
+            F.col("_W").cast("long").alias("n_wins"),
+            F.round(F.col("_p"), 6).alias("strength"),
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )

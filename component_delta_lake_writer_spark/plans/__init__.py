@@ -68,6 +68,7 @@ _FRONT = [
     "calibration_orders",
     "winsorize_orders",
     "theil_sen_events",
+    "bradley_terry_parts",
     # (c) operator/oracle changed in r11
     "km_survival_events",
     "set_except",
@@ -93,7 +94,6 @@ _FRONT = [
     # ...and the rest of the r1 cohort
     "exact_dedup_docs",
     "join_left_outer",
-    "join_semi",
     # (multimodal_meta, set_intersect, pivot_event_counts,
     # json_extract_props, lang_id_ngram, events_hourly_agg and
     # embedding_norms rotate to r12 — the eleven r11 wave keys above

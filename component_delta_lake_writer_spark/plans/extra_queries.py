@@ -8206,3 +8206,120 @@ def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_hourly(
         load_table(spark, sf_dir, "events"), "ts"
     )
+
+
+@query(
+    "bradley_terry_parts",
+    oracle="""
+    WITH rk AS (
+      SELECT l_orderkey, l_partkey,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY l_quantity DESC, l_partkey DESC) AS rw,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY l_quantity ASC, l_partkey ASC) AS rl
+      FROM lineitem
+    ),
+    cmp AS (
+      SELECT CAST(wmax.l_partkey AS VARCHAR) AS w,
+        CAST(wmin.l_partkey AS VARCHAR) AS l
+      FROM (SELECT l_orderkey, l_partkey FROM rk WHERE rw = 1) wmax
+      JOIN (SELECT l_orderkey, l_partkey FROM rk WHERE rl = 1) wmin
+        USING (l_orderkey)
+      WHERE wmax.l_partkey <> wmin.l_partkey
+    ),
+    d AS (
+      SELECT i, j, COUNT(*) AS n, SUM(win) AS wn FROM (
+        SELECT w AS i, l AS j, 1 AS win FROM cmp
+        UNION ALL SELECT l, w, 0 FROM cmp
+      ) GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT i, SUM(n) AS g, SUM(wn) AS W FROM d GROUP BY 1
+    ),
+    kk AS (SELECT COUNT(*) AS k FROM t),
+    de1 AS (
+      SELECT i, SUM(CAST(ROUND(n / 2.0, 9) AS DECIMAL(28,9)))
+        AS den
+      FROM d GROUP BY 1
+    ),
+    r1 AS (
+      SELECT t.i, t.g, t.W,
+        CASE WHEN de1.den > 0
+          THEN CAST(t.W AS DOUBLE) / CAST(de1.den AS DOUBLE)
+          ELSE 0.0 END AS praw
+      FROM t JOIN de1 ON de1.i = t.i
+    ),
+    s1 AS (
+      SELECT SUM(CAST(ROUND(praw, 9) AS DECIMAL(28,9))) AS sp
+      FROM r1
+    ),
+    p1 AS (
+      SELECT i, g, W,
+        ROUND(CASE WHEN s1.sp > 0
+          THEN praw * kk.k / CAST(s1.sp AS DOUBLE)
+          ELSE 0.0 END, 9) AS p
+      FROM r1, s1, kk
+    ),
+    de2 AS (
+      SELECT d.i, SUM(CAST(ROUND(
+        d.n / (pi.p + pj.p), 9) AS DECIMAL(28,9))) AS den
+      FROM d
+      JOIN p1 pi ON pi.i = d.i
+      JOIN p1 pj ON pj.i = d.j
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT p1.i, p1.g, p1.W,
+        CASE WHEN de2.den > 0
+          THEN CAST(p1.W AS DOUBLE) / CAST(de2.den AS DOUBLE)
+          ELSE 0.0 END AS praw
+      FROM p1 JOIN de2 ON de2.i = p1.i
+    ),
+    s2 AS (
+      SELECT SUM(CAST(ROUND(praw, 9) AS DECIMAL(28,9))) AS sp
+      FROM r2
+    ),
+    p2 AS (
+      SELECT i, g, W,
+        ROUND(CASE WHEN s2.sp > 0
+          THEN praw * kk.k / CAST(s2.sp AS DOUBLE)
+          ELSE 0.0 END, 9) AS p
+      FROM r2, s2, kk
+    )
+    SELECT i AS item, CAST(g AS BIGINT) AS n_games,
+      CAST(W AS BIGINT) AS n_wins,
+      ROUND(p, 6) AS strength, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY ROUND(p, 6) DESC, i) AS rank
+      FROM p2
+    ) WHERE rank <= 20
+    """,
+)
+def bradley_terry_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley–Terry preference fit
+    (operators.experiments.bradley_terry): each order stages one
+    pairwise comparison — its highest-(quantity, partkey) part
+    "beats" its lowest — and two MM iterations fit part strengths
+    (the preference-dataset model; ELO is this fit made
+    order-dependent).  The ENTIRE computation — pair collapse,
+    per-iteration 9dp-decimal denominators, mean-1 renormalization —
+    unrolls in the oracle CTE chain (the HITS precedent); top-20 on
+    the rounded strength with the item tiebreak."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        bradley_terry,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.max_by(
+            "l_partkey", F.struct("l_quantity", "l_partkey")
+        ).alias("w"),
+        F.min_by(
+            "l_partkey", F.struct("l_quantity", "l_partkey")
+        ).alias("l"),
+    )
+    cmp = per.filter(F.col("w") != F.col("l"))
+    return bradley_terry(cmp, "w", "l", iterations=2, top_k=20)

@@ -1263,3 +1263,28 @@ def test_theil_sen_hand_values(spark):
     )
     with pytest.raises(ValueError, match="gap-filled series spans"):
         theil_sen_hourly(sparse, "ts")
+
+
+def test_bradley_terry_orders_and_symmetry(spark):
+    """A beats B twice, B beats C once -> strict strength order
+    A > B > C; a perfectly symmetric rivalry fits equal strengths
+    with the id tiebreak ranking."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        bradley_terry,
+    )
+
+    cmp = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("B", "C")], "w string, l string"
+    )
+    rows = {r.item: r for r in bradley_terry(cmp, "w", "l").collect()}
+    assert rows["A"].strength > rows["B"].strength > rows["C"].strength
+    assert (rows["A"].rank, rows["B"].rank, rows["C"].rank) == (1, 2, 3)
+    assert rows["A"].n_games == 2 and rows["A"].n_wins == 2
+    assert rows["C"].n_wins == 0
+
+    sym = spark.createDataFrame(
+        [("A", "B"), ("B", "A")], "w string, l string"
+    )
+    r = {x.item: x for x in bradley_terry(sym, "w", "l").collect()}
+    assert r["A"].strength == r["B"].strength == 1.0
+    assert r["A"].rank == 1 and r["B"].rank == 2  # id tiebreak
