@@ -400,34 +400,46 @@ if __name__ == "__main__":
     main()
 
 
-def measure_lm_scaled(
-    threads: int = 32,
-    max_memory_mb: int = 8192,
-    scale: int = 10,
-    sf_dir: str | None = None,
-    verbose: bool = True,
-    repeats: int = 3,
-) -> tuple[float, float]:
-    """DuckDB twin of the bigram-LM perplexity pipeline at corpus
-    scale ``scale``× (documents replicated with offset ids and a
-    per-replica prefix token, exactly as the Spark side replicates):
-    train an add-0.1 bigram model on the 80% slice, score the 20%
-    holdout — the same shape as the ngram_lm_perplexity_docs oracle.
-    Returns (median_sec, spread_sec) over ``repeats`` runs."""
-    sf_dir = sf_dir or SF_DIR
-    con = duckdb.connect()
-    con.execute(f"SET threads={threads}")
-    con.execute(f"SET max_memory='{max_memory_mb}MB'")
-    parts = [
-        f"SELECT doc_id + {i * 10**7} AS doc_id, "
-        f"'rep{i} ' || text AS text "
-        f"FROM read_parquet('{sf_dir}/documents.parquet')"
-        for i in range(scale)
-    ]
-    con.execute(
-        "CREATE VIEW documents AS " + " UNION ALL ".join(parts)
-    )
-    q = r"""
+class LmScaledTwin:
+    """The DuckDB bigram-LM twin split into BUILD (untimed, once) and
+    TRIAL (timed, repeatable) so bench.py can INTERLEAVE its lm_curve
+    trials with Spark's — the MergeScaledTwin treatment (VERDICT r11
+    task: the ×80 point's spread was ~2× its median as a cold
+    single-shot; interleaved trials let a host-state window hit both
+    engines' samples instead of one)."""
+
+    def __init__(
+        self,
+        threads: int = 32,
+        max_memory_mb: int = 8192,
+        scale: int = 10,
+        sf_dir: str | None = None,
+    ) -> None:
+        sf_dir = sf_dir or SF_DIR
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        con.execute(f"SET max_memory='{max_memory_mb}MB'")
+        parts = [
+            f"SELECT doc_id + {i * 10**7} AS doc_id, "
+            f"'rep{i} ' || text AS text "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+            for i in range(scale)
+        ]
+        con.execute(
+            "CREATE VIEW documents AS " + " UNION ALL ".join(parts)
+        )
+        self.con = con
+
+    def trial(self) -> float:
+        t0 = time.perf_counter()
+        self.con.execute(_LM_QUERY).fetchall()
+        return round(time.perf_counter() - t0, 3)
+
+    def close(self) -> None:
+        self.con.close()
+
+
+_LM_QUERY = r"""
     WITH tr AS (
       SELECT string_split_regex(trim(regexp_replace(lower(text),
         '\s+', ' ', 'g')), ' ') AS toks
@@ -477,12 +489,32 @@ def measure_lm_scaled(
       ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
     FROM t GROUP BY 1
     """
+
+
+def measure_lm_scaled(
+    threads: int = 32,
+    max_memory_mb: int = 8192,
+    scale: int = 10,
+    sf_dir: str | None = None,
+    verbose: bool = True,
+    repeats: int = 3,
+) -> tuple[float, float]:
+    """DuckDB twin of the bigram-LM perplexity pipeline at corpus
+    scale ``scale``× (documents replicated with offset ids and a
+    per-replica prefix token, exactly as the Spark side replicates):
+    train an add-0.1 bigram model on the 80% slice, score the 20%
+    holdout — the same shape as the ngram_lm_perplexity_docs oracle.
+    Returns (median_sec, spread_sec) over ``repeats`` runs.
+    bench.py now interleaves trials via ``LmScaledTwin`` directly;
+    this wrapper remains for ad-hoc measurement."""
+    twin = LmScaledTwin(
+        threads=threads, max_memory_mb=max_memory_mb, scale=scale,
+        sf_dir=sf_dir,
+    )
     times: list[float] = []
     for _ in range(max(repeats, 1)):
-        t0 = time.perf_counter()
-        con.execute(q).fetchall()
-        times.append(round(time.perf_counter() - t0, 3))
-    con.close()
+        times.append(twin.trial())
+    twin.close()
     times.sort()
     dt = times[len(times) // 2]
     if verbose:

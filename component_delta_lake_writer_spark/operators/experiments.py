@@ -1232,9 +1232,6 @@ def bradley_terry(
     scores = totals.select(
         "_i", F.lit(1.0).alias("_p"), "_g", "_W"
     )
-    n_items = F.broadcast(
-        totals.agg(F.count(F.lit(1)).alias("_k"))
-    )
     for _ in range(iterations):
         pj = scores.select(
             F.col("_i").alias("_j"), F.col("_p").alias("_pj")

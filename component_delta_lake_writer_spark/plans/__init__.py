@@ -201,13 +201,10 @@ _FRONT = [
     "funnel_by_segment_events",
     "drift_columns_orders",
     "funnel_times_events",
-    # the two r10 monitor sinks must land INSIDE the driver's 50-key
-    # budget window (test_registry_order_tracks_driver_evidence) —
-    # their original slots behind the CDF warmers sat at 60/61 and
-    # would have collected no driver row this round.  They only need
-    # the cheap GENERIC streaming warmer (foreachBatch + parquet
-    # readStream), not the Python-DataSource CDF runner, so
-    # stream_dedup_events moves up with them.
+    # the monitor sinks collected their r10 rows; these entries are
+    # historical order only (first-occurrence-wins, header note) —
+    # stream_dedup_events stays adjacent as their generic streaming
+    # warmer whenever this block rotates forward.
     "stream_dedup_events",
     "stream_drift_monitor",
     "stream_anomaly_monitor",

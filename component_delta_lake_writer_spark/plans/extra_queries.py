@@ -7759,8 +7759,20 @@ def _mwci_oracle() -> str:
     ladder = " ".join(
         f"WHEN {u} < {c!r} THEN {k}" for k, c in _POISSON1_CDF
     )
-    mw = ORACLES["mann_whitney_orders"].replace(
-        "FROM orders\n      WHERE o_orderkey IS NOT NULL",
+    marker = "FROM orders\n      WHERE o_orderkey IS NOT NULL"
+    base = ORACLES["mann_whitney_orders"]
+    if marker not in base:
+        # the retarget is exact-whitespace surgery on the registered
+        # oracle; a reformat over there must fail HERE, loudly, not
+        # leave the observed stats on the full table while the Spark
+        # side probes the 1-in-3 slice (r11 advice)
+        raise RuntimeError(
+            "_mwci_oracle: mann_whitney_orders oracle no longer "
+            "contains the retarget marker; update _mwci_oracle's "
+            "slice surgery to match its current text"
+        )
+    mw = base.replace(
+        marker,
         "FROM orders\n      WHERE o_orderkey % 3 = 0"
         " AND o_orderkey IS NOT NULL",
     )
@@ -8037,9 +8049,13 @@ def cohen_kappa_orders(
     SELECT CAST(N AS BIGINT) AS n_rows,
       CAST(k AS BIGINT) AS n_levels,
       CASE WHEN var > 0 THEN ROUND(t / SQRT(var), 6) END AS z,
+      -- |z| compared on the 6dp-ROUNDED statistic, matching the
+      -- operator (the ztest/MW convention: BOTH sides round before
+      -- the threshold, so a z within 5e-7 of the critical value
+      -- cannot flip the flag on one engine only — r11 advice)
       CAST(COALESCE(CASE WHEN var > 0
-        THEN ABS(t / SQRT(var)) > 1.959964 END, FALSE) AS INT)
-        AS significant
+        THEN ABS(ROUND(t / SQRT(var), 6)) > 1.959964 END, FALSE)
+        AS INT) AS significant
     FROM z
     """,
 )

@@ -58,16 +58,31 @@ def test_no_oracle_is_vacuous_at_probe_scale(con):
     builds at run time (they cannot bind against the bare views)."""
     from component_delta_lake_writer_spark.plans import EMPTY_OK
 
+    import duckdb
+
     vacuous = []
+    broken = []
     for key, sql in ORACLES.items():
         if key in EMPTY_OK:
             continue
         try:
             n = len(con.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall())
-        except Exception:
-            continue  # binds only against probe-built scratch state
+        except duckdb.CatalogException:
+            # binds only against probe-built scratch state (missing
+            # TABLE) — the one legitimate skip class.  Anything else
+            # (BinderException from a renamed column, a parse error
+            # from a typo) is a BROKEN oracle and must fail the sweep,
+            # not silently read as green (r11 advice).
+            continue
+        except Exception as exc:  # noqa: BLE001 — collected, asserted
+            broken.append(f"{key}: {type(exc).__name__}: {exc}")
+            continue
         if n == 0:
             vacuous.append(key)
+    assert not broken, (
+        "oracles raising non-catalog errors at sf0.001 "
+        f"(broken, not scratch-bound): {broken}"
+    )
     assert not vacuous, (
         f"oracles returning 0 rows at sf0.001 (vacuous probes): {vacuous}"
     )
