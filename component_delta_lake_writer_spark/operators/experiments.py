@@ -1169,6 +1169,7 @@ def bradley_terry(
     loser_col: str,
     iterations: int = 2,
     top_k: int = 20,
+    broadcast_scores: bool = True,
 ) -> DataFrame:
     """Bradley–Terry preference strengths from pairwise outcomes —
     the batch model behind preference-data curation (which responses
@@ -1193,7 +1194,26 @@ def bradley_terry(
     Returns the ``top_k`` items by strength: (item, n_games, n_wins,
     strength, rank) — strength 6dp, ranked on the ROUNDED strength
     with the item id as tiebreak (the hash-rule total order).
+
+    ``broadcast_scores`` prices the same crossover the LM scorer's
+    ``broadcast_model`` does: each MM iteration joins the pair
+    relation against the |items| score relation on BOTH endpoints.
+    The default hints a broadcast — right for the universes this
+    operator targets (raters, models, document clusters: |items|
+    ~10³–10⁷, ≈50 B/row → ≤ a few hundred MB, well under executor
+    memory, and the pair relation never shuffles inside the loop).
+    Past ~10⁸ items the score relation no longer fits an executor
+    broadcast: pass ``False`` and the iteration joins become
+    shuffle hash/sort-merge joins on the endpoint keys — |pairs| +
+    |items| shuffled per iteration, the right trade at
+    billion-item scale.  The flag changes ONLY the join strategy
+    hint; the fit is bit-identical either way (9dp-rounded
+    order-free decimal sums, fixed iterations).
     """
+
+    def _maybe_broadcast(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if broadcast_scores else rel
+
     src = comparisons.filter(
         F.col(winner_col).isNotNull()
         & F.col(loser_col).isNotNull()
@@ -1238,12 +1258,12 @@ def bradley_terry(
         )
         denom = (
             d.join(
-                F.broadcast(
+                _maybe_broadcast(
                     scores.select("_i", F.col("_p").alias("_pi"))
                 ),
                 "_i",
             )
-            .join(F.broadcast(pj), "_j")
+            .join(_maybe_broadcast(pj), "_j")
             .select(
                 "_i",
                 F.round(
@@ -1307,4 +1327,139 @@ def bradley_terry(
             F.row_number().over(w_rank).alias("rank"),
         )
         .filter(F.col("rank") <= top_k)
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction: one row per test
+    with its q-value and reject-at-``alpha`` flag — the missing piece
+    once the stats tier runs ~25 hypothesis tests per metric×segment
+    grid cell (at 1,000 cells and α=0.05, ~50 'significant' results
+    are expected under the GLOBAL null; BH bounds the expected
+    false-discovery FRACTION instead).
+
+    Distributed shape (no unpartitioned corpus window anywhere): the
+    p-values get a global 1-based rank i via
+    :func:`features.global_value_rank` (total order (p, test_id), so
+    ties are contiguous and deterministic); the per-test statistic
+    s_i = m·p_i/i is a fixed double expression; q_i = min(1,
+    min_{j≥i} s_j) is a SUFFIX-min computed the
+    ``global_weighted_cumsum`` way reversed — range-repartition on
+    the rank, one tiny per-partition-min collect whose suffix-folded
+    offsets lift each partition's local running min (a
+    partition-local window) to the global one.  Tied p-values share
+    a q automatically: the suffix min propagates the last tie's
+    (smallest) s back across the contiguous tie run.
+
+    Engine-portable by construction: s_i is the identical
+    left-to-right double expression on both engines (exact m, i; one
+    multiply, one divide), min over doubles is exact (no
+    accumulation-order term), the reject flag compares the
+    9dp-ROUNDED q on both sides (the ztest/MW convention — a q
+    within 5e-10 of α cannot flip on one engine only), and the
+    reported q rounds 6dp.
+
+    Returns (test_id, p_value, p_rank, q_value, reject) — the
+    reject set is exactly the BH step-up set: q_i ≤ α ⟺ ∃ j ≥ i
+    with p_j ≤ α·j/m ⟺ i ≤ k* (the largest boundary-crossing rank).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_value_rank,
+    )
+
+    if not (0.0 < alpha < 1.0):
+        raise UserException(
+            f"benjamini_hochberg: alpha must be in (0, 1), got {alpha}"
+        )
+    src = df.select(
+        F.col(test_col).cast("string").alias("_t"),
+        F.col(p_col).cast("double").alias("_p"),
+    )
+    bad = src.filter(
+        F.col("_p").isNotNull()
+        & ((F.col("_p") < 0) | (F.col("_p") > 1))
+    ).limit(1).collect()
+    if bad:
+        raise UserException(
+            "benjamini_hochberg: p-values must lie in [0, 1]; got "
+            f"{bad[0]['_p']!r} for test {bad[0]['_t']!r}"
+        )
+    ranked, m = global_value_rank(src, "_p", "_t")
+    if m == 0:
+        return ranked.select(
+            F.col("_t").alias("test_id"),
+            F.col("_p").alias("p_value"),
+            F.col("_rank").alias("p_rank"),
+            F.lit(None).cast("double").alias("q_value"),
+            F.lit(None).cast("int").alias("reject"),
+        )
+    staged = ranked.select(
+        "_t",
+        "_p",
+        (F.col("_rank") + 1).alias("_i"),
+        # the BH statistic: exact integers m and i, ONE multiply and
+        # ONE divide left-to-right — the identical IEEE expression on
+        # both engines, so the suffix MIN below is bit-deterministic
+        (
+            F.lit(float(m)) * F.col("_p") / F.col("_i")
+        ).alias("_s"),
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        staged.repartitionByRange(p, F.col("_i"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # pinned for the same two reasons global_value_rank documents:
+    # range boundaries are sampled (a recompute could re-bucket rows
+    # after the per-partition mins are collected), and checkpoint
+    # blocks release with the DataFrame
+    ranged = ranged.localCheckpoint(eager=True)
+    mins = {
+        r["__pid"]: r["mn"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.min("_s").alias("mn"))
+        .collect()
+    }
+    # suffix-fold the per-partition mins: offs[pid] = min of every
+    # LATER partition's min (None for the last — nothing after it)
+    offs: dict = {}
+    acc = None
+    for pid in sorted(mins, reverse=True):
+        offs[pid] = acc
+        acc = mins[pid] if acc is None else min(acc, mins[pid])
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in sorted(offs)]),
+            F.array(
+                *[
+                    F.lit(offs[k]).cast("double")
+                    for k in sorted(offs)
+                ]
+            ),
+        ),
+        F.col("__pid"),
+    )
+    w_suf = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc("_i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # F.least skips NULLs, so the last partition (no later offset)
+    # keeps its local running min
+    q_raw = F.least(
+        F.lit(1.0), F.min("_s").over(w_suf), off
+    )
+    return ranged.select(
+        F.col("_t").alias("test_id"),
+        F.col("_p").alias("p_value"),
+        F.col("_i").cast("long").alias("p_rank"),
+        F.round(q_raw, 6).alias("q_value"),
+        (F.round(q_raw, 9) <= F.lit(alpha))
+        .cast("int")
+        .alias("reject"),
     )

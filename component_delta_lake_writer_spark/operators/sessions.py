@@ -792,3 +792,212 @@ def km_survival(
             surv.alias("survival"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Two-arm log-rank test over Kaplan–Meier lifetimes — the reason
+    teams compute KM curves at all: "is arm B's retention actually
+    different", answered with censoring handled correctly instead of
+    eyeballing two survival lines (:func:`km_survival` draws them;
+    this tests them).
+
+    Same lifetime staging as km_survival (one corpus scan to per-user
+    (arm, first, last); lifetime = whole days between; users whose
+    last event falls within ``censor_days`` of the corpus's last day
+    are censored).  The test itself runs over the |distinct
+    lifetimes| × 2 grid (metadata-scale ordered windows, the KM/CUSUM
+    discipline): per-arm at-risk counts are suffix sums over the
+    SHARED time grid (a broadcast of the 2-row arm relation onto the
+    distinct-times relation, so both arms have an at-risk count at
+    every death time), and at each time with d_t total deaths the
+    hypergeometric moments accrue:
+
+        E_a(t)  = d_t · n_a(t) / n_t
+        Var(t)  = d_t · n_a/n_t · (n_t−n_a)/n_t · (n_t−d_t)/(n_t−1)
+
+    Each per-time term is the identical left-to-right double
+    expression on both engines, ROUNDED 9dp and summed as DECIMAL
+    (order-free, engine-portable — the km ln-term rule); Var terms at
+    n_t = 1 are 0 by definition (the guard is explicit, not a NULL
+    cast).  z = (O_a − E_a)/√V compares arm_a = the lexicographically
+    SMALLER arm label (a deterministic orientation); the significance
+    flag compares the 6dp-ROUNDED |z| on both sides (the ztest/MW
+    convention).  chi² = z² is the classic one-dof statistic.
+
+    Exactly two arms are required — a k-sample log-rank is a
+    different statistic (a vector quadratic form), and silently
+    collapsing arms would test something the caller didn't ask;
+    refused loudly in the house style.
+
+    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, n_times,
+    o_a, e_a, z, chi2, significant) — e_a/z/chi2 rounded 6dp, NULL
+    z/chi2 when the variance degenerates (no deaths, or every death
+    time has a single at-risk user).
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    users = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(arm_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            # an arm is a property of the user; min() makes a user
+            # that somehow carries two labels deterministic instead
+            # of nondeterministic-first
+            F.min(F.col(arm_col).cast("string")).alias("_arm"),
+            F.min(F.to_date(ts_col)).alias("_first"),
+            F.max(F.to_date(ts_col)).alias("_last"),
+        )
+    )
+    arms = [
+        r["_arm"]
+        for r in users.select("_arm").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            "logrank_test needs exactly 2 arms, got "
+            f"{sorted(arms)!r}"
+        )
+    arm_a, arm_b = sorted(arms)
+    horizon = users.agg(F.max("_last").alias("_end"))
+    staged = users.crossJoin(F.broadcast(horizon)).select(
+        "_arm",
+        F.datediff("_last", "_first").alias("t"),
+        (
+            F.datediff("_end", "_last") < F.lit(censor_days)
+        ).alias("_censored"),
+    )
+    # per (arm, t): deaths and censorings — the corpus collapse
+    by_at = staged.groupBy("_arm", "t").agg(
+        F.sum(F.when(~F.col("_censored"), 1).otherwise(0)).alias(
+            "d"
+        ),
+        F.sum(F.when(F.col("_censored"), 1).otherwise(0)).alias(
+            "c"
+        ),
+    )
+    by_at = by_at.localCheckpoint(eager=True)
+    # shared grid: every distinct lifetime × both arms, so each arm
+    # has an at-risk suffix sum at every OTHER arm's death times too
+    grid = (
+        by_at.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                by_at.select("_arm").distinct()
+            )
+        )
+        .join(by_at, ["_arm", "t"], "left")
+        .select(
+            "_arm",
+            "t",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_suffix = (
+        Window.partitionBy("_arm")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    per_arm = grid.select(
+        "_arm",
+        "t",
+        "d",
+        F.sum(F.col("d") + F.col("c")).over(w_suffix).alias("n"),
+    )
+    # fold the 2 arms back to one row per time with arm-a splits
+    is_a = F.col("_arm") == F.lit(arm_a)
+    by_t = per_arm.groupBy("t").agg(
+        F.sum("d").alias("dt"),
+        F.sum("n").alias("nt"),
+        F.sum(F.when(is_a, F.col("d")).otherwise(0)).alias("da"),
+        F.sum(F.when(is_a, F.col("n")).otherwise(0)).alias("na"),
+    )
+    dt = F.col("dt").cast("double")
+    nt = F.col("nt").cast("double")
+    na = F.col("na").cast("double")
+    terms = by_t.filter(F.col("dt") > 0).select(
+        "dt",
+        "da",
+        # identical left-to-right double expressions on both engines;
+        # 9dp-round + DECIMAL sum makes the accumulation order-free
+        F.round(dt * na / nt, 9)
+        .cast("decimal(28,9)")
+        .alias("_e"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                dt
+                * na
+                / nt
+                * (nt - na)
+                / nt
+                * (nt - dt)
+                / (nt - F.lit(1.0)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,9)")
+        .alias("_v"),
+    )
+    # per-arm user counts from the PINNED (arm, t) relation — every
+    # user lands in exactly one cell, so Σ(d+c) per arm is the user
+    # count and the corpus is not re-scanned for it
+    n_users = by_at.groupBy("_arm").agg(
+        F.sum(F.col("d") + F.col("c")).alias("nu")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("da").alias("_oa"),
+        F.sum("_e").alias("_ea"),
+        F.sum("_v").alias("_va"),
+    ).crossJoin(
+        F.broadcast(
+            n_users.agg(
+                F.sum(F.when(is_a, F.col("nu")).otherwise(0)).alias(
+                    "_nua"
+                ),
+                F.sum(
+                    F.when(~is_a, F.col("nu")).otherwise(0)
+                ).alias("_nub"),
+            )
+        )
+    )
+    z = F.when(
+        F.col("_va") > 0,
+        F.round(
+            (
+                F.col("_oa").cast("double")
+                - F.col("_ea").cast("double")
+            )
+            / F.sqrt(F.col("_va").cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_nua").cast("long").alias("n_users_a"),
+        F.col("_nub").cast("long").alias("n_users_b"),
+        F.col("n_times").cast("long").alias("n_times"),
+        F.coalesce(F.col("_oa"), F.lit(0))
+        .cast("long")
+        .alias("o_a"),
+        F.round(F.col("_ea").cast("double"), 6).alias("e_a"),
+        z.alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

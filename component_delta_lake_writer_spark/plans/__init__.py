@@ -25,6 +25,88 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 12 budget window (first occurrence wins — every listing
+    # of these keys in the older round blocks below is superseded).
+    # Composition, per the r11 verdict's brief:
+    #   (a) parquet_scan — the session warm-up absorber, always
+    #       slot 1;
+    #   (b) the 2 brand-new r12 keys (Benjamini-Hochberg FDR, the
+    #       two-arm log-rank test) — explicit slots so they don't
+    #       land in the cold tier-1 front;
+    #   (c) the keys whose OPERATOR or ORACLE changed this round:
+    #       cochran_armitage_orders (oracle now compares |z| on the
+    #       6dp-ROUNDED statistic, the r11 ADVICE medium) and
+    #       bradley_terry_parts (broadcast_scores crossover flag).
+    #       mann_whitney_ci_orders is NOT re-fronted: its oracle
+    #       BUILDER gained a marker assert but the emitted SQL is
+    #       byte-identical (the marker matched before and after);
+    #   (d) the stale-evidence backlog, OLDEST FIRST (r11 verdict
+    #       task 1: 133 keys' newest driver row predates r7): the
+    #       full r1 cohort (11 keys), then 34 of the 35 r2 keys —
+    #       ann_batch_lsh_topk defers to r13 (its sibling
+    #       ann_batch_topk was judge-verified at sf0.01 in r11, the
+    #       lowest-risk deferral).  The two r2 streaming keys sit at
+    #       the window's end, adjacent, cheapest first, so the warm
+    #       engine absorbs the streaming cold-start (the r8 warmers
+    #       rule).  Backlog after this window: 88 (1 r2 + 9 r3 +
+    #       44 r4 + 17 r5 + 17 r6), rotating through r13-r14.
+    # ------------------------------------------------------------------
+    "parquet_scan",
+    # (b) new r12 keys
+    "fdr_bh_orders",
+    "logrank_km_events",
+    # (c) operator/oracle changed in r12
+    "cochran_armitage_orders",
+    "bradley_terry_parts",
+    # (d) the r1 cohort — newest driver rows all from round 1
+    "agg_rollup",
+    "date_dims",
+    "embedding_norms",
+    "events_hourly_agg",
+    "join_semi",
+    "json_extract_props",
+    "lang_id_ngram",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "set_intersect",
+    "text_quality_score",
+    # (d) the r2 cohort — newest driver rows all from round 2
+    "ann_batch_topk",
+    "bigram_collocations",
+    "check_constraint_write",
+    "contamination_ngram_check",
+    "domain_cap_docs",
+    "funnel_abc_events",
+    "gap_fill_hourly",
+    "gopher_repetition_filter",
+    "grouping_sets_revenue",
+    "incremental_dedup_batch",
+    "job_run_datadir",
+    "job_run_external",
+    "jsonl_scan_typed",
+    "merge_with_delete",
+    "orc_scan",
+    "paragraph_dedup_docs",
+    "quantile_bucket_sample",
+    "repeated_ngram_spans",
+    "restore_table",
+    "session_window_agg",
+    "skew_salted_agg",
+    "stats_skip_read",
+    "table_history",
+    "temperature_mix_quota",
+    "token_budget_mix",
+    "tpch_q13_customer_distribution",
+    "tpch_q8_market_share",
+    "unigram_logprob_quality",
+    "unpivot_hourly_metrics",
+    "upsert_cdc_ordered",
+    "window_distinct_users",
+    "zorder_multidim_skip",
+    # (d) the r2 streaming pair last — warm-engine cold-start rule
+    "stream_ingest_dedup",
+    "stream_static_enrich",
+    # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).
     # Composition, in priority order:

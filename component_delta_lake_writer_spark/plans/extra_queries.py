@@ -8339,3 +8339,173 @@ def bradley_terry_parts(
     )
     cmp = per.filter(F.col("w") != F.col("l"))
     return bradley_terry(cmp, "w", "l", iterations=2, top_k=20)
+
+
+@query(
+    "fdr_bh_orders",
+    oracle="""
+    WITH t0 AS (SELECT DISTINCT o_orderkey % 499 AS tid FROM orders),
+    tt AS (
+      SELECT CAST(tid AS VARCHAR) AS test_id,
+        ROUND(CASE WHEN tid % 7 = 0
+          THEN ((('0x' || substr(md5('fdr:' || tid::VARCHAR), 1, 8))
+                 ::BIGINT + 1.0) / 4294967296.0) / 500
+          ELSE ((('0x' || substr(md5('fdr:' || tid::VARCHAR), 1, 8))
+                 ::BIGINT + 1.0) / 4294967296.0)
+        END, 9) AS p
+      FROM t0
+    ),
+    rk AS (
+      SELECT test_id, p,
+        ROW_NUMBER() OVER (ORDER BY p, test_id) AS i,
+        COUNT(*) OVER () AS m
+      FROM tt WHERE p IS NOT NULL
+    ),
+    s AS (
+      SELECT test_id, p, i,
+        CAST(m AS DOUBLE) * p / i AS s
+      FROM rk
+    ),
+    q AS (
+      SELECT test_id, p, i,
+        LEAST(CAST(1.0 AS DOUBLE), MIN(s) OVER (ORDER BY i DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qraw
+      FROM s
+    )
+    SELECT test_id, p AS p_value, CAST(i AS BIGINT) AS p_rank,
+      ROUND(qraw, 6) AS q_value,
+      CAST(ROUND(qraw, 9) <= CAST(0.05 AS DOUBLE) AS INT) AS reject
+    FROM q
+    """,
+)
+def fdr_bh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction
+    (operators.experiments.benjamini_hochberg) over a 499-test
+    grid: test ids from o_orderkey mod 499, p-values from the house
+    md5 ladder (uniform under the null) with every 7th test planted
+    at p/500 so the step-up boundary actually fires — q-values via
+    the distributed suffix-min, reject flags on the 9dp-rounded q
+    (both engines)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        benjamini_hochberg,
+    )
+
+    t0 = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 499).alias("tid"))
+        .distinct()
+    )
+    u = (
+        "((CAST(conv(substring(md5(concat('fdr:', "
+        "CAST(tid AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1.0) "
+        "/ 4294967296.0)"
+    )
+    tests = t0.select(
+        F.col("tid").cast("string").alias("test_id"),
+        F.round(
+            F.when(
+                F.col("tid") % 7 == 0, F.expr(u) / F.lit(500)
+            ).otherwise(F.expr(u)),
+            9,
+        ).alias("p"),
+    )
+    return benjamini_hochberg(tests, "test_id", "p", alpha=0.05)
+
+
+@query(
+    "logrank_km_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.arm = a.arm AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT arm, t, d,
+        SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS (
+      SELECT t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1
+    ),
+    terms AS (
+      SELECT dt, da,
+        CAST(ROUND(CAST(dt AS DOUBLE) * na / nt, 9)
+          AS DECIMAL(28,9)) AS e,
+        CAST(CASE WHEN nt > 1 THEN
+          ROUND(CAST(dt AS DOUBLE) * na / nt * (nt - na) / nt
+            * (nt - dt) / (nt - 1.0), 9)
+          ELSE 0.0 END AS DECIMAL(28,9)) AS v
+      FROM bt WHERE dt > 0
+    ),
+    nu AS (
+      SELECT SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS nua,
+        SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS nub
+      FROM u
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n_times, SUM(da) AS oa,
+        SUM(e) AS ea, SUM(v) AS va
+      FROM terms
+    ),
+    zz AS (
+      SELECT
+        CAST(nua AS BIGINT) AS n_users_a,
+        CAST(nub AS BIGINT) AS n_users_b,
+        CAST(n_times AS BIGINT) AS n_times,
+        CAST(COALESCE(oa, 0) AS BIGINT) AS o_a,
+        ROUND(CAST(ea AS DOUBLE), 6) AS e_a,
+        CASE WHEN va > 0 THEN
+          ROUND((CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+            / SQRT(CAST(va AS DOUBLE)), 6)
+        END AS z
+      FROM ag, nu
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b, n_users_a, n_users_b,
+      n_times, o_a, e_a, z, ROUND(z * z, 6) AS chi2,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def logrank_km_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-arm log-rank test (operators.sessions.logrank_test) on
+    the km_survival_events fixture split by user-id parity:
+    hypergeometric E/Var terms per death time, 9dp-rounded and
+    decimal-summed (order-free), censor_days=1 so real deaths
+    exist at both probe scales (the km de-vacuation rule)."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        logrank_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return logrank_test(ev, "user_id", "ts", "arm", censor_days=1)

@@ -1288,3 +1288,131 @@ def test_bradley_terry_orders_and_symmetry(spark):
     r = {x.item: x for x in bradley_terry(sym, "w", "l").collect()}
     assert r["A"].strength == r["B"].strength == 1.0
     assert r["A"].rank == 1 and r["B"].rank == 2  # id tiebreak
+
+
+def test_benjamini_hochberg_hand_values(spark):
+    """The textbook 6-test grid: q-values are the capped suffix-min
+    of m*p/i and the reject set is exactly the step-up set; tied
+    p-values share one q; out-of-range inputs refuse loudly."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        benjamini_hochberg,
+    )
+
+    rows = [
+        ("t1", 0.01), ("t2", 0.04), ("t3", 0.03),
+        ("t4", 0.005), ("t5", 0.8), ("t6", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "t string, p double")
+    out = {r.test_id: r for r in
+           benjamini_hochberg(df, "t", "p").collect()}
+    # sorted p: .005 .01 .03 .04 .5 .8 -> s = m*p/i:
+    # .03 .03 .06 .06 .6 .8 -> suffix-min q: .03 .03 .06 .06 .6 .8
+    assert out["t4"].p_rank == 1 and out["t4"].q_value == 0.03
+    assert out["t1"].p_rank == 2 and out["t1"].q_value == 0.03
+    assert out["t3"].q_value == 0.06 and out["t2"].q_value == 0.06
+    assert out["t6"].q_value == 0.6 and out["t5"].q_value == 0.8
+    assert [k for k in out if out[k].reject == 1] == ["t1", "t4"] or {
+        k for k in out if out[k].reject == 1
+    } == {"t1", "t4"}
+    # tied p-values share the q the suffix-min propagates back
+    ties = spark.createDataFrame(
+        [("a", 0.02), ("b", 0.02), ("c", 0.9)], "t string, p double"
+    )
+    tq = {r.test_id: r.q_value for r in
+          benjamini_hochberg(ties, "t", "p").collect()}
+    assert tq["a"] == tq["b"] == 0.03  # min(3*.02/1, 3*.02/2) = .03
+    # near-1 p-values: the suffix-min always includes rank m where
+    # s_m = m*p_m/m = p_m <= 1, so q can never exceed 1 (the LEAST
+    # cap is belt-and-braces, not load-bearing) — here q = p_max
+    # propagates back over the smaller rank's larger s = 2*.98
+    high = spark.createDataFrame(
+        [("a", 0.99), ("b", 0.98)], "t string, p double"
+    )
+    hq = {r.test_id: r.q_value for r in
+          benjamini_hochberg(high, "t", "p").collect()}
+    assert hq["a"] == 0.99 and hq["b"] == 0.99
+    with pytest.raises(Exception, match="alpha"):
+        benjamini_hochberg(df, "t", "p", alpha=1.5)
+    bad = spark.createDataFrame([("x", 1.2)], "t string, p double")
+    with pytest.raises(Exception, match="p-values"):
+        benjamini_hochberg(bad, "t", "p")
+    # empty input: schema stable, zero rows
+    empty = spark.createDataFrame([], "t string, p double")
+    e = benjamini_hochberg(empty, "t", "p")
+    assert e.count() == 0
+    assert e.columns == [
+        "test_id", "p_value", "p_rank", "q_value", "reject"
+    ]
+
+
+def test_logrank_hand_values(spark):
+    """Six users, two arms, deaths at t=1,2 (arm 0) and t=1,3
+    (arm 1), one censored user per arm at the horizon: O/E/Var match
+    the hand-folded hypergeometric terms; !=2 arms refuse."""
+    import datetime as dtm
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        logrank_test,
+    )
+
+    d0 = dtm.datetime(2026, 1, 1, 12, 0)
+
+    def user(uid, arm, last_day):
+        return [
+            (uid, arm, d0),
+            (uid, arm, d0 + dtm.timedelta(days=last_day)),
+        ]
+
+    rows = (
+        user("u1", "0", 1) + user("u2", "0", 2) + user("u3", "0", 5)
+        + user("v1", "1", 1) + user("v2", "1", 3)
+        + user("v3", "1", 5)
+    )
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = logrank_test(df, "u", "ts", "arm", censor_days=1).collect()[0]
+    assert (r.arm_a, r.arm_b) == ("0", "1")
+    assert (r.n_users_a, r.n_users_b) == (3, 3)
+    # death times 1, 2, 3 (u3/v3 censored at the day-5 horizon)
+    assert r.n_times == 3 and r.o_a == 2
+    # t=1: d=2 n=6 na=3 -> E=1.0   V=2*.5*.5*(4/5)=0.4
+    # t=2: d=1 n=4 na=2 -> E=0.5   V=1*.5*.5*(3/3)=0.25
+    # t=3: d=1 n=3 na=1 -> E=1/3   V=1*(1/3)*(2/3)*(2/2)=2/9
+    e = 1.0 + 0.5 + round(1.0 * 1 / 3, 9)
+    v = 0.4 + 0.25 + round(1.0 * 1 / 3 * 2 / 3, 9)
+    assert r.e_a == round(e, 6)
+    assert r.z == round((2 - e) / math.sqrt(v), 6)
+    assert r.chi2 == round(r.z * r.z, 6)
+    assert r.significant == 0
+    one_arm = df.filter(F.col("arm") == "0")
+    with pytest.raises(Exception, match="exactly 2 arms"):
+        logrank_test(one_arm, "u", "ts", "arm", censor_days=1)
+
+
+def test_bradley_terry_broadcast_crossover(spark):
+    """broadcast_scores=False (the billion-item shuffle-join
+    spelling) fits bit-identical strengths to the broadcast default
+    — the flag changes only the join strategy hint."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        bradley_terry,
+    )
+
+    cmp = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"), ("B", "C")],
+        "w string, l string",
+    )
+    a = sorted(
+        bradley_terry(cmp, "w", "l").collect(),
+        key=lambda r: r.item,
+    )
+    b = sorted(
+        bradley_terry(
+            cmp, "w", "l", broadcast_scores=False
+        ).collect(),
+        key=lambda r: r.item,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

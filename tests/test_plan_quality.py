@@ -989,3 +989,28 @@ def test_winsorize_theil_ride_distributed_rank(spark):
         p = _plan(spark, key)
         assert p.count("FileScan") == 0, (key, p)
         assert "Scan ExistingRDD" in p, (key, p)
+
+
+def test_fdr_bh_rides_distributed_rank_and_suffix_min(spark):
+    """benjamini_hochberg: the p-value rank rides global_value_rank
+    and the q-value suffix-min rides the same range-partitioned
+    machinery reversed — the returned plan reads NO files (the test
+    relation was materialized inside the two pins), shows the
+    checkpointed relations, and the ONLY running window is
+    partitioned by the checkpoint pid (an unpartitioned `ORDER BY i
+    DESC` window over all tests would be the single-partition
+    regression)."""
+    p = _plan(spark, "fdr_bh_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+    assert "windowspecdefinition(__pid" in p, p
+
+
+def test_logrank_single_scan_metadata_windows(spark):
+    """logrank_test: ONE corpus scan into the pinned (arm, t)
+    relation; the shared time grid, per-arm at-risk suffix sums,
+    per-arm user counts and the E/Var fold all run on that
+    metadata-scale pin (zero FileScans in the returned plan)."""
+    p = _plan(spark, "logrank_km_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
