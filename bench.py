@@ -99,6 +99,51 @@ HEADLINE_V2 = [
 ]
 SUITE_VERSION_V2 = "v2-12q-r9"
 
+# Host-speed canary (round 12).  The frozen v1 suite crept 33.8 s
+# (r10) → 42.0 s (r11) with no code cause; the r12 A/B settled it:
+# the UNCHANGED r10 tree, re-run on the r12 driver host minutes apart
+# from the r12 tree, measured 45.26 s vs 45.48 s — identical within
+# noise, i.e. the creep is the HOST (slower VM/neighbors round over
+# round), not the tree.  To keep that distinction measurable without
+# re-running old trees every round, each bench run times a fixed
+# NATIVE workload (DuckDB scan+agg over the sf lineitem parquet,
+# best-of-3 — engine-independent, tracks CPU+memory+page-cache speed)
+# and records suite_v1_per_canary = v1_total / canary.  The RATIO is
+# the regression guard: host drift moves numerator and denominator
+# together, a tree regression moves only the numerator.  Reference
+# ratio measured r12: ~[see BENCH_r12]; a future round where the
+# ratio (not the total) jumps >20% is a real engine regression.
+CANARY_REF_RATIO_KEY = "suite_v1_per_canary"
+
+
+def _host_canary(sf_dir: str) -> float:
+    """Best-of-3 of a fixed DuckDB scan+agg over lineitem — the
+    native host-speed yardstick the v1 suite is normalized by."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    # parquet decode ×64 + per-row string hashing + high-cardinality
+    # hash agg — roughly the suite's work mix, sized to ~1-2 s so the
+    # ratio's denominator isn't noise-dominated
+    rep = " UNION ALL ".join(
+        f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        for _ in range(64)
+    )
+    q = (
+        "SELECT l_partkey % 100000 AS g, COUNT(*), "
+        "SUM(l_extendedprice * (1 - l_discount)), "
+        "MAX(md5(CAST(l_orderkey AS VARCHAR) || l_returnflag)) "
+        f"FROM ({rep}) GROUP BY 1 ORDER BY 2 DESC LIMIT 5"
+    )
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        ts.append(time.perf_counter() - t0)
+    con.close()
+    return round(min(ts), 3)
+
 
 def _med3(fn, trials: int = 3) -> tuple[float, float]:
     """Median-of-``trials`` for a timed thunk (returns seconds).
@@ -1652,6 +1697,17 @@ def main() -> None:
               f"spread {env_spread[k]:.3f}, best {env_best[k]:.3f})",
               file=sys.stderr)
 
+    # host-speed canary: a fixed native workload measured in the same
+    # run — v1/canary separates host drift (moves both) from a tree
+    # regression (moves only v1); see the r12 note at _host_canary
+    try:
+        canary = _host_canary(SF_DIR)
+        print(f"# host_canary: {canary:.3f}s — "
+              f"v1/canary {total / canary:.1f}", file=sys.stderr)
+    except Exception as exc:
+        canary = None
+        print(f"# host canary failed: {exc}", file=sys.stderr)
+
     result: dict = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -1664,6 +1720,9 @@ def main() -> None:
         "envelope_scale10": env,
         "envelope_scale10_spread": env_spread,
     }
+    if canary:
+        result["host_canary_sec"] = canary
+        result[CANARY_REF_RATIO_KEY] = round(total / canary, 1)
 
     # csv_load_typed scale curve (VERDICT r8 task 1): the ×10
     # envelope ratio is dispatch-bound; this measures the ratio
@@ -2009,6 +2068,8 @@ def _compact_line(result: dict) -> dict:
         "headline_version",
         "bench_vs_baseline_x10_envelope",
         "bench_vs_baseline_x10_envelope_cow",
+        "host_canary_sec",
+        CANARY_REF_RATIO_KEY,
     ):
         if k in result:
             compact[k] = r2(result[k]) if isinstance(
