@@ -676,3 +676,275 @@ def parse_gif_meta(
         F.when(ok, has_gct).alias("has_gct"),
         F.when(ok, gct_entries).alias("gct_entries"),
     )
+
+
+#: IFD entries examined — bounded garbage tolerance (the
+#: _MAX_SEGMENTS posture): the dimension/depth/compression tags
+#: (256-277) must sort into the leading entries of any valid IFD
+#: (TIFF requires ascending tags), so a tag-256 match past this
+#: bound would mean thousands of sub-256 tags — not a real file.
+_TIFF_MAX_ENTRIES = 64
+
+TIFF_META_SCHEMA_FIELDS = [
+    T.StructField("is_tiff", T.BooleanType()),
+    T.StructField("byte_order", T.StringType()),
+    T.StructField("n_entries", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("compression", T.IntegerType()),
+    T.StructField("samples_per_pixel", T.IntegerType()),
+]
+
+
+def _walk_tiff(b: bytes) -> tuple:
+    """(is_tiff, byte_order, n_entries, width, height,
+    bits_per_sample, compression, samples_per_pixel) from one
+    payload's raw bytes — a bounded endian-aware IFD walk, no codec.
+
+    TIFF is ENDIAN-TAGGED ('II' little / 'MM' big, magic 42, u32
+    offset to the first IFD), then a flat table of fixed-width
+    12-byte entries (tag u16, type u16, count u32, value-or-offset
+    u32).  SHORT(3) values read inline from the left-justified value
+    field; LONG(4) reads the full field; BitsPerSample with count>2
+    (RGB's 3 shorts) follows the value field AS AN OFFSET and reads
+    the first short there (per-channel depths are uniform in
+    practice).  Bounds-guarded throughout: truncation or a lying
+    offset degrades to NULL fields with is_tiff still true when the
+    header matched (the JPEG degrade-to-recovered contract).
+
+    A first cut unrolled this walk as pure Catalyst expressions off
+    a column-position substring base (the WebP/GIF discipline) —
+    correct, but 12 entries x 5 coalesced tags x endian-conditional
+    reads overflowed janino's generated-method limit, and the
+    interpreted fallback measured ~60 ms/row.  The IFD base offset
+    is DATA-DEPENDENT, which is exactly the JPEG/MP4 class: the
+    sanctioned shape is the Arrow-batched byte walk below (~us/row).
+    """
+    n = len(b)
+    if n < 8:
+        return (False, None, None, None, None, None, None, None)
+    if b[0:4] == b"\x49\x49\x2a\x00":
+        order, little = "II", True
+    elif b[0:4] == b"\x4d\x4d\x00\x2a":
+        order, little = "MM", False
+    else:
+        return (False, None, None, None, None, None, None, None)
+    endian = "little" if little else "big"
+
+    def u(pos: int, nbytes: int):
+        if pos < 0 or pos + nbytes > n:
+            return None
+        return int.from_bytes(b[pos : pos + nbytes], endian)
+
+    ifd = u(4, 4)
+    nent = u(ifd, 2) if ifd is not None else None
+    if nent is None:
+        return (True, order, None, None, None, None, None, None)
+    fields = {256: None, 257: None, 258: None, 259: None, 277: None}
+    for i in range(min(nent, _TIFF_MAX_ENTRIES)):
+        epos = ifd + 2 + 12 * i
+        tag, typ, cnt = u(epos, 2), u(epos + 2, 2), u(epos + 4, 4)
+        if tag is None or tag not in fields or fields[tag] is not None:
+            continue
+        if typ == 3:
+            if cnt is not None and cnt > 2:
+                off = u(epos + 8, 4)
+                val = u(off, 2) if off is not None else None
+            else:
+                val = u(epos + 8, 2)
+        elif typ == 4:
+            val = u(epos + 8, 4)
+        else:
+            continue
+        fields[tag] = val
+    return (True, order, nent, fields[256], fields[257],
+            fields[258], fields[259], fields[277])
+
+
+def parse_tiff_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse TIFF container metadata — byte order, ImageWidth(256),
+    ImageLength(257), BitsPerSample(258), Compression(259),
+    SamplesPerPixel(277) — from the raw bytes, no codec (the r11
+    verdict's remaining image-tier gap; TIFF is also the container
+    EXIF blocks live in).
+
+    The IFD sits at a data-dependent u32 offset, so like JPEG/MP4
+    this is a bounded byte walk over ``mapInPandas`` Arrow batches
+    (see ``_walk_tiff`` for why the pure-Catalyst unroll was
+    rejected).  Non-TIFF payloads yield is_tiff=false with NULL
+    fields; a valid header with garbage after it yields is_tiff=true
+    with whatever was recoverable — never an error.
+    Returns (id, is_tiff, byte_order, n_entries, width, height,
+    bits_per_sample, compression, samples_per_pixel).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (None,) * 8
+                if payload is None
+                else _walk_tiff(bytes(payload))
+                for payload in pdf[bin_col]
+            ]
+            out = pd.DataFrame(
+                rows,
+                columns=["is_tiff", "byte_order", "n_entries",
+                         "width", "height", "bits_per_sample",
+                         "compression", "samples_per_pixel"],
+            )
+            out["is_tiff"] = out["is_tiff"].astype(object).where(
+                pd.notna(out["is_tiff"]), False
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + TIFF_META_SCHEMA_FIELDS
+    )
+    return df.select(id_col, bin_col).mapInPandas(fn, schema)
+
+
+MP3_META_SCHEMA_FIELDS = [
+    T.StructField("is_mp3", T.BooleanType()),
+    T.StructField("has_id3", T.BooleanType()),
+    T.StructField("mpeg_version", T.StringType()),
+    T.StructField("layer", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("sample_rate_hz", T.IntegerType()),
+    T.StructField("channel_mode", T.StringType()),
+]
+
+# public ISO/IEC 11172-3 / 13818-3 header tables
+_MP3_BITRATE = {
+    # (version_group, layer) -> kbps by index 1..14 (0 = free, 15 bad)
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256,
+               288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112,
+               128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128,
+               144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64,
+               80, 96, 112, 128, 144, 160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64,
+               80, 96, 112, 128, 144, 160),
+}
+_MP3_SAMPLE_RATE = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+_MP3_CHANNEL = ("stereo", "joint_stereo", "dual_channel", "mono")
+_MP3_SYNC_WINDOW = 2048  # bytes scanned for the first frame sync
+
+
+def _walk_mp3(b: bytes) -> tuple:
+    """(is_mp3, has_id3, mpeg_version, layer, bitrate_kbps,
+    sample_rate_hz, channel_mode) from one payload's raw bytes — a
+    bounded header walk, no codec (the audio sibling of
+    ``_walk_jpeg``; WAV's fixed RIFF offsets don't transfer: MP3
+    frames float behind an optional VARIABLE-length ID3v2 tag, so
+    the first sync offset is data-dependent).
+
+    ID3v2: 'ID3' + version(2) + flags(1) + syncsafe-u28 size → the
+    audio starts 10+size bytes in.  Frame sync: 11 set bits
+    (FF Ex/Fx); the 4-byte header then packs version, layer, bitrate
+    index, sample-rate index and channel mode, decoded against the
+    public ISO tables above.  The sync search is bounded to
+    ``_MP3_SYNC_WINDOW`` bytes past the tag — garbage degrades to
+    (False, has_id3, NULLs...), a truncated-after-sync header to
+    (True, ..., NULLs) — never an error.
+    """
+    n = len(b)
+    has_id3 = False
+    pos = 0
+    if n >= 10 and b[0:3] == b"ID3":
+        size = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        has_id3 = True
+        pos = 10 + size
+    end = min(n - 1, pos + _MP3_SYNC_WINDOW)
+    sync = -1
+    for i in range(pos, end):
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            sync = i
+            break
+    if sync < 0:
+        return (False, has_id3, None, None, None, None, None)
+    if sync + 3 >= n:
+        return (True, has_id3, None, None, None, None, None)
+    h1, h2, h3 = b[sync + 1], b[sync + 2], b[sync + 3]
+    ver_bits = (h1 >> 3) & 0x3
+    layer_bits = (h1 >> 1) & 0x3
+    if ver_bits == 1 or layer_bits == 0:
+        return (True, has_id3, None, None, None, None, None)
+    version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+    layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+    vgroup = "1" if version == "1" else "2"
+    br_idx = h2 >> 4
+    sr_idx = (h2 >> 2) & 0x3
+    bitrate = (
+        _MP3_BITRATE[(vgroup, layer)][br_idx - 1]
+        if 1 <= br_idx <= 14
+        else None
+    )
+    sample_rate = (
+        _MP3_SAMPLE_RATE[version][sr_idx] if sr_idx < 3 else None
+    )
+    channel = _MP3_CHANNEL[(h3 >> 6) & 0x3]
+    return (True, has_id3, version, layer, bitrate, sample_rate,
+            channel)
+
+
+def parse_mp3_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse MP3 frame-header metadata — ID3v2 presence, MPEG
+    version, layer, bitrate, sample rate, channel mode — from the
+    raw bytes, no codec (the r11 verdict's audio-tier gap: a scraped
+    corpus's audio is MP3 long before it is WAV).
+
+    The first frame header floats behind an optional variable-length
+    ID3v2 tag, so like JPEG/MP4 this is a bounded byte walk, not a
+    fixed hex-slice: it runs as ``mapInPandas`` over Arrow batches
+    (the sanctioned shape for variable-offset binary payloads),
+    touching only the tag header + a bounded sync window per file.
+    Returns (id, is_mp3, has_id3, mpeg_version, layer, bitrate_kbps,
+    sample_rate_hz, channel_mode).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (None, None, None, None, None, None, None)
+                if payload is None
+                else _walk_mp3(bytes(payload))
+                for payload in pdf[bin_col]
+            ]
+            out = pd.DataFrame(
+                rows,
+                columns=["is_mp3", "has_id3", "mpeg_version",
+                         "layer", "bitrate_kbps", "sample_rate_hz",
+                         "channel_mode"],
+            )
+            for c in ("is_mp3", "has_id3"):
+                out[c] = out[c].astype(object).where(
+                    pd.notna(out[c]), False
+                )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + MP3_META_SCHEMA_FIELDS
+    )
+    return df.select(id_col, bin_col).mapInPandas(fn, schema)

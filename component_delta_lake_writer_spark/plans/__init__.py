@@ -107,6 +107,21 @@ _FRONT = [
     "stream_ingest_dedup",
     "stream_static_enrich",
     # ------------------------------------------------------------------
+    # Positions 51+: the TIFF/MP3 container keys are NEW in r12 but
+    # listed PAST the budget window ON PURPOSE (the explicit-slot
+    # rule that normally puts new keys up front is overridden): the
+    # r11 verdict ranked the stale-evidence burn-down #1 and the
+    # audio/image-tier gap #8, so these two keep their sf0.001
+    # differential coverage from every pytest run this round and
+    # LEAD the r13 refresh queue (an unseen key listed here keeps
+    # its listed position — the _reorder safety net only front-runs
+    # unseen keys with NO explicit slot).  After them: the r13+
+    # rotation backlog, oldest first (1 r2 + 9 r3 + 44 r4 + ...).
+    # ------------------------------------------------------------------
+    "tiff_meta_parse",
+    "mp3_meta_parse",
+    "ann_batch_lsh_topk",
+    # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).
     # Composition, in priority order:

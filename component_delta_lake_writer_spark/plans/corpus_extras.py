@@ -2013,3 +2013,211 @@ def gif_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_gif_meta(staged)
+
+
+@query(
+    "tiff_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_tiff,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+      END AS byte_order,
+      CASE WHEN doc_id % 7 <> 0 THEN 5 END AS n_entries,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(16 + doc_id % 2000 AS INT) END AS width,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(16 + doc_id % 1200 AS INT) END AS height,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(8 * (1 + doc_id % 2) AS INT)
+      END AS bits_per_sample,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1 + doc_id % 8 AS INT) END AS compression,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1 + doc_id % 4 AS INT) END AS samples_per_pixel
+    FROM documents
+    """,
+)
+def tiff_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF container-metadata parse
+    (operators.multimodal.parse_tiff_meta): payloads staged as REAL
+    TIFF streams exercising every branch the parser owns — endianness
+    alternates II/MM by doc parity, a VARIABLE pre-IFD pad (doc_id %
+    29) moves the IFD per row so the column-position substring
+    arithmetic is actually load-bearing, ImageWidth alternates
+    LONG/SHORT storage (doc_id % 5), and BitsPerSample alternates
+    inline count-1 with the count-3 OFFSET spelling (doc_id % 3 = 0:
+    three shorts parked after the IFD, the RGB layout) — every 7th
+    doc gets garbage, proving the never-throws contract.  Pure
+    Catalyst hex-slices on both the staging and parsing side; the
+    oracle predicts the fields from the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_tiff_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    le = F.col("doc_id") % 2 == 0
+    pad = (F.col("doc_id") % 29).cast("int")
+    ifd_off = pad + 8
+    w = (F.lit(16) + F.col("doc_id") % 2000).cast("long")
+    h = (F.lit(16) + F.col("doc_id") % 1200).cast("long")
+    bits = (8 * (1 + F.col("doc_id") % 2)).cast("long")
+    comp = (1 + F.col("doc_id") % 8).cast("long")
+    spp = (1 + F.col("doc_id") % 4).cast("long")
+    # IFD = count(2) + 5 entries x 12 + next-IFD(4) = 66 bytes
+    extra_off = (ifd_off + 66).cast("long")
+
+    def be_hex(v, nbytes):
+        return F.format_string(f"%0{2 * nbytes}x", v)
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    def u16(v):
+        return F.when(le, le_hex(v, 2)).otherwise(be_hex(v, 2))
+
+    def u32(v):
+        return F.when(le, le_hex(v, 4)).otherwise(be_hex(v, 4))
+
+    def entry(tag, typ, cnt, val_hex):
+        return F.concat(u16(F.lit(tag)), u16(typ), u32(cnt), val_hex)
+
+    short_val = lambda v: F.concat(u16(v), F.lit("0000"))  # noqa: E731
+    wide = F.col("doc_id") % 5 != 0      # width stored as LONG
+    rgbish = F.col("doc_id") % 3 == 0    # bits via count-3 offset
+    entries = F.concat(
+        F.when(
+            wide, entry(256, F.lit(4), F.lit(1), u32(w))
+        ).otherwise(entry(256, F.lit(3), F.lit(1), short_val(w))),
+        entry(257, F.lit(3), F.lit(1), short_val(h)),
+        F.when(
+            rgbish, entry(258, F.lit(3), F.lit(3), u32(extra_off))
+        ).otherwise(entry(258, F.lit(3), F.lit(1), short_val(bits))),
+        entry(259, F.lit(3), F.lit(1), short_val(comp)),
+        entry(277, F.lit(3), F.lit(1), short_val(spp)),
+    )
+    hdr_hex = F.concat(
+        F.when(le, F.lit("49492a00")).otherwise(F.lit("4d4d002a")),
+        u32(ifd_off.cast("long")),
+        F.expr("repeat('00', CAST(doc_id % 29 AS INT))"),
+        u16(F.lit(5)),
+        entries,
+        F.lit("00000000"),                       # next IFD: none
+        F.when(
+            rgbish, F.concat(u16(bits), u16(bits), u16(bits))
+        ).otherwise(F.lit("")),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_tiff_meta(staged)
+
+
+@query(
+    "mp3_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_mp3,
+      CASE WHEN doc_id % 7 <> 0 THEN (doc_id % 3 <> 0)
+           ELSE FALSE END AS has_id3,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN '1' ELSE '2' END
+      END AS mpeg_version,
+      CASE WHEN doc_id % 7 <> 0 THEN 3 END AS layer,
+      CASE WHEN doc_id % 7 <> 0 THEN CAST(
+        CASE WHEN doc_id % 2 = 0 THEN
+          CASE 1 + doc_id % 14
+            WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+            WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+            WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+            WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+            WHEN 13 THEN 256 WHEN 14 THEN 320 END
+        ELSE
+          CASE 1 + doc_id % 14
+            WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24
+            WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48
+            WHEN 7 THEN 56 WHEN 8 THEN 64 WHEN 9 THEN 80
+            WHEN 10 THEN 96 WHEN 11 THEN 112 WHEN 12 THEN 128
+            WHEN 13 THEN 144 WHEN 14 THEN 160 END
+        END AS INT) END AS bitrate_kbps,
+      CASE WHEN doc_id % 7 <> 0 THEN CAST(
+        CASE WHEN doc_id % 2 = 0 THEN
+          CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END
+        ELSE
+          CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000
+            ELSE 16000 END
+        END AS INT) END AS sample_rate_hz,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE doc_id % 4 WHEN 0 THEN 'stereo'
+          WHEN 1 THEN 'joint_stereo' WHEN 2 THEN 'dual_channel'
+          ELSE 'mono' END
+      END AS channel_mode
+    FROM documents
+    """,
+)
+def mp3_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header parse (operators.multimodal.parse_mp3_meta):
+    payloads staged as real streams — an ID3v2 tag with a VARIABLE
+    syncsafe size (doc_id % 100 pad bytes, absent for every 3rd doc)
+    floats the first frame sync per row, then a valid 4-byte frame
+    header cycling MPEG1/MPEG2 Layer III through all 14 bitrate
+    indices, 3 sample-rate indices and 4 channel modes — every 7th
+    doc gets text-only garbage (UTF-8 can never contain the 0xFF
+    sync byte, so the bounded sync scan proves the never-throws
+    contract).  The oracle replays the ISO bitrate/sample-rate
+    tables as CASE ladders over the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_mp3_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    id3 = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit("494433" + "0400" + "00"),     # 'ID3' v2.4 flags 0
+            F.format_string(
+                "000000%02x", (F.col("doc_id") % 100).cast("int")
+            ),                                    # syncsafe size <128
+            F.expr("repeat('00', CAST(doc_id % 100 AS INT))"),
+        ),
+    ).otherwise(F.lit(""))
+    b1 = F.when(F.col("doc_id") % 2 == 0, F.lit("fb")).otherwise(
+        F.lit("f3")
+    )  # sync low bits + version + layer III + protection
+    b2 = F.format_string(
+        "%02x",
+        (
+            (1 + F.col("doc_id") % 14) * 16 + (F.col("doc_id") % 3) * 4
+        ).cast("int"),
+    )
+    b3 = F.format_string(
+        "%02x", ((F.col("doc_id") % 4) * 64).cast("int")
+    )
+    hdr_hex = F.concat(id3, F.lit("ff"), b1, b2, b3)
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_mp3_meta(staged)

@@ -3091,3 +3091,118 @@ def test_stream_ab_monitor_cumulates_and_is_idempotent(spark, tmp_path):
         stream2, "g", "x", ("0", "1"), monitor, checkpoint_dir=ckpt
     ).awaitTermination()
     assert monitor.read().count() == 2
+
+
+def test_tiff_walk_edge_cases():
+    """_walk_tiff (pure bytes, no Spark): endian-aware IFD walk —
+    both byte orders, SHORT inline vs LONG vs count-3 offset
+    dereference, unknown tags skipped, lying offsets and truncation
+    degrade to NULLs, garbage never throws."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        _walk_tiff,
+    )
+
+    def tiff(little, entries, extra=b"", ifd_off=8, pad=b""):
+        e = "<" if little else ">"
+        hdr = (b"II*\x00" if little else b"MM\x00*") + struct.pack(
+            e + "I", ifd_off
+        )
+        ifd = struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack(e + "HHI", tag, typ, cnt)
+            if typ == 3 and cnt <= 2:
+                ifd += struct.pack(e + "HH", val, 0)
+            else:
+                ifd += struct.pack(e + "I", val)
+        return hdr + pad + ifd + struct.pack(e + "I", 0) + extra
+
+    # little-endian: width LONG, height SHORT, inline bits
+    t = tiff(True, [(256, 4, 1, 800), (257, 3, 1, 600),
+                    (258, 3, 1, 8), (259, 3, 1, 1), (277, 3, 1, 3)])
+    assert _walk_tiff(t) == (True, "II", 5, 800, 600, 8, 1, 3)
+    # big-endian, variable pre-IFD pad moves the IFD
+    t = tiff(False, [(256, 3, 1, 64), (257, 3, 1, 32)],
+             ifd_off=8 + 11, pad=b"\x00" * 11)
+    assert _walk_tiff(t)[:6] == (True, "MM", 2, 64, 32, None)
+    # count-3 BitsPerSample: value field is an OFFSET to 3 shorts
+    base = tiff(True, [(258, 3, 3, 0)])
+    off = len(base)
+    t = tiff(True, [(258, 3, 3, off)],
+             extra=struct.pack("<HHH", 16, 16, 16))
+    assert _walk_tiff(t)[5] == 16
+    # lying offset: dereference past the end -> NULL, no throw
+    t = tiff(True, [(258, 3, 3, 10_000)])
+    assert _walk_tiff(t)[5] is None and _walk_tiff(t)[0] is True
+    # unknown tags/types skipped; first match wins
+    t = tiff(True, [(255, 3, 1, 9), (256, 5, 1, 7), (256, 3, 1, 40),
+                    (256, 4, 1, 41)])
+    assert _walk_tiff(t)[3] == 40
+    # garbage shapes: never throw
+    assert _walk_tiff(b"") == (
+        False, None, None, None, None, None, None, None
+    )
+    assert _walk_tiff(b"II*\x00")[0] is False      # truncated header
+    assert _walk_tiff(b"II*\x00\xff\xff\xff\xff")[:3] == (
+        True, "II", None
+    )  # IFD offset past the end
+    assert _walk_tiff(b"not a tiff at all")[0] is False
+
+
+def test_mp3_walk_edge_cases():
+    """_walk_mp3 (pure bytes, no Spark): ID3v2 syncsafe skip, sync
+    scan bounded, both version groups' Layer III tables, free/bad
+    bitrate and reserved sample-rate indices -> NULL, channel modes,
+    truncation/garbage never throw."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        _walk_mp3,
+    )
+
+    def id3(size: int) -> bytes:
+        return (b"ID3\x04\x00\x00"
+                + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                         (size >> 7) & 0x7F, size & 0x7F])
+                + b"\x00" * size)
+
+    def frame(ver=3, layer=1, br=9, sr=0, ch=0) -> bytes:
+        return bytes([0xFF, 0xE0 | (ver << 3) | (layer << 1) | 1,
+                      (br << 4) | (sr << 2), ch << 6])
+
+    # bare MPEG1 Layer III 128 kbps 44.1 kHz stereo
+    assert _walk_mp3(frame()) == (
+        True, False, "1", 3, 128, 44100, "stereo"
+    )
+    # ID3 of varying size floats the sync
+    for size in (0, 1, 300):
+        assert _walk_mp3(id3(size) + frame(br=14, sr=1, ch=3)) == (
+            True, True, "1", 3, 320, 48000, "mono"
+        )
+    # MPEG2 Layer III table differs
+    assert _walk_mp3(frame(ver=2, br=2, sr=2, ch=1)) == (
+        True, False, "2", 3, 16, 16000, "joint_stereo"
+    )
+    # MPEG2.5 sample rates
+    assert _walk_mp3(frame(ver=0, br=1, sr=0))[5] == 11025
+    # free bitrate (0) and bad index (15) -> NULL bitrate
+    assert _walk_mp3(frame(br=0))[4] is None
+    assert _walk_mp3(frame(br=15))[4] is None
+    # reserved sample-rate index -> NULL rate
+    assert _walk_mp3(frame(sr=3))[5] is None
+    # reserved version bits / layer 0: sync seen, fields NULL
+    assert _walk_mp3(bytes([0xFF, 0xE8 | 0x02, 0x90, 0])) == (
+        True, False, None, None, None, None, None
+    )
+    # garbage: UTF-8 text can never contain 0xFF -> no sync
+    assert _walk_mp3("just text, no sync".encode()) == (
+        False, False, None, None, None, None, None
+    )
+    # ID3 but nothing after it
+    assert _walk_mp3(id3(4)) == (
+        False, True, None, None, None, None, None
+    )
+    # sync at the very end, header truncated
+    assert _walk_mp3(b"\x00\x00\xff\xe0")[:2] == (True, False)
+    assert _walk_mp3(b"") == (
+        False, False, None, None, None, None, None
+    )
