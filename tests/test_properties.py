@@ -1204,3 +1204,137 @@ def test_winsorize_bounds_and_interior_identity(spark, rows):
     for i, v in enumerate(rows):
         if s[k_lo] <= float(v) <= s[k_hi]:
             assert by_id[i].winsorized == float(v)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ps=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=25,
+    ),
+    alpha_pct=st.sampled_from([1, 5, 10]),
+)
+def test_benjamini_hochberg_matches_bruteforce(spark, ps, alpha_pct):
+    """benjamini_hochberg == the textbook step-up model on ANY
+    p-value multiset: q_i = min(1, min_{j>=i} m*p_j/j) computed by a
+    brute double loop, and the reject set is exactly {p_i <= alpha *
+    i / m for the largest crossing i} — plus the two standing
+    invariants: q is monotone non-decreasing in p-rank, and tied
+    p-values share a q."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        benjamini_hochberg,
+    )
+
+    alpha = alpha_pct / 100.0
+    rows = [(f"t{i}", p / 1000.0) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "t string, p double")
+    got = {
+        r.test_id: r
+        for r in benjamini_hochberg(df, "t", "p", alpha=alpha).collect()
+    }
+    # brute-force model over the same total order (p, test_id)
+    m = len(rows)
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    s = [m * p / (i + 1) for i, (_, p) in enumerate(order)]
+    q = [min(1.0, min(s[i:])) for i in range(m)]
+    # the classic step-up boundary
+    k_star = max(
+        (i + 1 for i, (_, p) in enumerate(order)
+         if p <= alpha * (i + 1) / m),
+        default=0,
+    )
+    prev_q = None
+    for i, (tid, p) in enumerate(order):
+        r = got[tid]
+        assert r.p_rank == i + 1
+        assert r.q_value == round(q[i], 6)
+        assert r.reject == (1 if i + 1 <= k_star else 0)
+        if prev_q is not None:
+            assert r.q_value >= prev_q  # q monotone in rank
+        prev_q = r.q_value
+    # ties share a q
+    by_p: dict = {}
+    for tid, p in rows:
+        by_p.setdefault(p, set()).add(got[tid].q_value)
+    assert all(len(v) == 1 for v in by_p.values())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),                      # arm
+            st.integers(min_value=0, max_value=9),   # lifetime days
+        ),
+        min_size=4,
+        max_size=25,
+    ),
+)
+def test_logrank_matches_bruteforce(spark, users):
+    """logrank_test == the textbook hypergeometric fold on ANY
+    two-arm lifetime multiset (every user censored or dead exactly
+    as the operator's horizon rule dictates): O, E, V and z match a
+    brute per-time loop computed straight from the definition."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        logrank_test,
+    )
+
+    assume(len({a for a, _ in users}) == 2)
+    d0 = dtm.datetime(2026, 3, 1, 9, 0)
+    horizon = max(t for _, t in users)
+    rows = []
+    for i, (arm, t) in enumerate(users):
+        uid = f"u{i}"
+        a = "A" if arm else "B"
+        rows += [(uid, a, d0), (uid, a, d0 + dtm.timedelta(days=t))]
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = logrank_test(df, "u", "ts", "arm", censor_days=1).collect()[0]
+
+    # brute model: censored iff lifetime == horizon (censor_days=1)
+    lifetimes = [("A" if a else "B", t, t == horizon) for a, t in users]
+    death_times = sorted({t for _, t, cen in lifetimes if not cen})
+    o = e = v = 0.0
+    for t in death_times:
+        na = sum(1 for a, lt, _ in lifetimes if a == "A" and lt >= t)
+        nb = sum(1 for a, lt, _ in lifetimes if a == "B" and lt >= t)
+        nt = na + nb
+        dt_ = sum(1 for _, lt, cen in lifetimes if lt == t and not cen)
+        da = sum(
+            1 for a, lt, cen in lifetimes
+            if a == "A" and lt == t and not cen
+        )
+        o += da
+        e += round(dt_ * na / nt, 9)
+        if nt > 1:
+            v += round(
+                dt_ * na / nt * (nt - na) / nt * (nt - dt_) / (nt - 1),
+                9,
+            )
+    assert (r.arm_a, r.arm_b) == ("A", "B")
+    assert r.o_a == int(o)
+    if death_times:
+        assert r.e_a == round(e, 6)
+    else:
+        # no deaths at all: the E/Var decimal sums are over an empty
+        # relation -> NULL by the documented degenerate contract
+        assert r.e_a is None
+    assert r.n_times == len(death_times)
+    if v > 0:
+        assert r.z == round((o - e) / math.sqrt(v), 6)
+        assert r.chi2 == round(r.z * r.z, 6)
+    else:
+        assert r.z is None
