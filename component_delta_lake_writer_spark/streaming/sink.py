@@ -585,6 +585,15 @@ def stream_ab_monitor(
     correct across restarts.  ``arms`` is the explicit (a, b) pair —
     a batch may contain one arm or neither and still folds
     correctly.
+
+    Housekeeping for long-lived monitors: the tail read scans the
+    whole monitor table for ``max(batch_id)`` — one row per look, so
+    a monitor that fires every minute for a year holds ~0.5M tiny
+    rows across as many commit units.  Run the table's OPTIMIZE
+    (``monitor.optimize()``) on whatever cadence the serving side
+    already compacts, or retire decided experiments by recreating
+    the monitor; the read cost is metadata-scale either way, the
+    unit COUNT is what compaction bounds.
     """
     from pyspark.sql import functions as F
 
