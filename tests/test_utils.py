@@ -69,9 +69,11 @@ def test_registry_order_tracks_driver_evidence():
     """The registry self-rotates on the driver's CORRECTNESS files:
     red keys first; never-checked keys WITHOUT a curated _FRONT slot
     precede everything green (the safety net); never-checked keys
-    WITH a slot keep it — but every unseen key must still land inside
-    the driver's 50-key budget window so it gets evidence this
-    round."""
+    WITH a slot keep it — INCLUDING a slot deliberately past the
+    50-key budget window (r12: the TIFF/MP3 keys defer to the r13
+    refresh queue so the stale-evidence rotation keeps its slots —
+    an unseen key is only guaranteed same-round evidence when it is
+    UNCURATED, the safety-net case)."""
     from component_delta_lake_writer_spark.plans import QUERIES, _FRONT
     from component_delta_lake_writer_spark.plans import _driver_evidence
 
@@ -95,8 +97,12 @@ def test_registry_order_tracks_driver_evidence():
     # neither red nor explicitly placed
     if unseen_uncurated and greens:
         assert max(unseen_uncurated) < min(greens)
-    # budget guarantee: every unseen key is inside the first 50
-    assert all(p < 50 for p in unseen_all), sorted(unseen_all)
+    # budget guarantee: every UNCURATED unseen key is inside the
+    # first 50 (a curated unseen key sits wherever its _FRONT slot
+    # says — placement past the window is a deliberate deferral)
+    assert all(p < 50 for p in unseen_uncurated), sorted(
+        unseen_uncurated
+    )
 
 
 def test_redaction_covers_hadoop_secret_keys():
