@@ -948,3 +948,66 @@ def parse_mp3_meta(
         + MP3_META_SCHEMA_FIELDS
     )
     return df.select(id_col, bin_col).mapInPandas(fn, schema)
+
+
+def parse_flac_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse FLAC container metadata — STREAMINFO block sizes,
+    sample rate, channels, bit depth, total samples — straight from
+    the bytes as Catalyst expressions (completing the audio
+    container tier: WAV's RIFF fields, MP3's floated frame headers,
+    and FLAC's spec-pinned STREAMINFO).
+
+    Unlike MP3 (data-dependent sync offset → byte walk), FLAC is a
+    TRUE fixed-offset format for this purpose: the spec REQUIRES
+    STREAMINFO to be the first metadata block, so every field sits
+    at a known offset behind the 'fLaC' marker + 4-byte block
+    header — the WebP/GIF pure hex-slice discipline applies, no
+    Python anywhere.  The packed bitfield (20-bit sample rate,
+    3-bit channels-1, 5-bit bits-1, 36-bit total samples) unpacks
+    with integer div/mod arithmetic on two bounded u32 reads — no
+    u64 read, so no BIGINT overflow on a hostile high bit.
+
+    Non-FLAC payloads yield is_flac=false with NULL fields; a
+    matched marker with a truncated STREAMINFO yields NULLs past
+    the truncation, never an error.
+    Returns (id, is_flac, min_block, max_block, sample_rate,
+    channels, bits_per_sample, total_samples).
+    """
+    b = F.col(bin_col)
+
+    def be(pos: int, nbytes: int):
+        return F.when(
+            F.length(b) >= pos + nbytes - 1,
+            F.conv(
+                F.hex(F.substring(b, pos, nbytes)), 16, 10
+            ).cast("long"),
+        )
+
+    # 'fLaC' + block header: type bits 0-6 must be 0 (STREAMINFO),
+    # the last-block flag (bit 7) is legitimately either value
+    ok = (
+        (F.substring(b, 1, 4).cast("string") == F.lit("fLaC"))
+        & ((be(5, 1) % 128) == 0)
+        & (be(6, 3) >= 34)
+    )
+    # packed bitfield: u32 at 19 = sr(20) | ch-1(3) | bps-1(5) |
+    # total(36)'s top 4 bits; u32 at 23 = total's low 32
+    packed = be(19, 4)
+    sr = (packed / F.lit(4096)).cast("long")             # >> 12
+    ch = ((packed / F.lit(512)).cast("long") % 8) + 1    # >> 9 & 7
+    bps = ((packed / F.lit(16)).cast("long") % 32) + 1   # >> 4 & 31
+    total = (packed % 16) * F.lit(4294967296) + be(23, 4)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_flac"),
+        F.when(ok, be(9, 2)).cast("int").alias("min_block"),
+        F.when(ok, be(11, 2)).cast("int").alias("max_block"),
+        F.when(ok, sr).cast("int").alias("sample_rate"),
+        F.when(ok, ch).cast("int").alias("channels"),
+        F.when(ok, bps).cast("int").alias("bits_per_sample"),
+        F.when(ok, total).cast("long").alias("total_samples"),
+    )

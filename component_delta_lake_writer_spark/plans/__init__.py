@@ -120,6 +120,7 @@ _FRONT = [
     # ------------------------------------------------------------------
     "tiff_meta_parse",
     "mp3_meta_parse",
+    "flac_meta_parse",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

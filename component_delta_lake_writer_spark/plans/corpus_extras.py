@@ -2221,3 +2221,78 @@ def mp3_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_mp3_meta(staged)
+
+
+@query(
+    "flac_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_flac,
+      CASE WHEN doc_id % 7 <> 0 THEN 4096 END AS min_block,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(4096 + doc_id % 1000 AS INT) END AS max_block,
+      CASE WHEN doc_id % 7 <> 0 THEN CAST(
+        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+          ELSE 96000 END AS INT) END AS sample_rate,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1 + doc_id % 8 AS INT) END AS channels,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(16 + 8 * (doc_id % 2) AS INT)
+      END AS bits_per_sample,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST((doc_id % 16) * 4294967296 + doc_id * 1000
+                     AS BIGINT)
+      END AS total_samples
+    FROM documents
+    """,
+)
+def flac_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO parse (operators.multimodal.parse_flac_meta):
+    payloads staged as real fLaC streams — marker, a STREAMINFO
+    block header (last-block flag set, length 34), block sizes,
+    zeroed frame-size bounds, the PACKED 64-bit bitfield (20-bit
+    sample rate, 3-bit channels-1, 5-bit bits-1, 36-bit total
+    samples — the high nibble of the sample count exercised via
+    doc_id % 16 x 2^32) and a zero MD5 — every 7th doc gets garbage.
+    Pure Catalyst hex-slices both sides (FLAC pins STREAMINFO first,
+    so offsets are fixed — the WAV/WebP/GIF class, not the MP3
+    class); the oracle predicts the unpacked fields from the same
+    doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_flac_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sr = (
+        F.when(F.col("doc_id") % 3 == 0, 44100)
+        .when(F.col("doc_id") % 3 == 1, 48000)
+        .otherwise(96000)
+        .cast("long")
+    )
+    ch = (1 + F.col("doc_id") % 8).cast("long")
+    bps = (16 + 8 * (F.col("doc_id") % 2)).cast("long")
+    total_hi = (F.col("doc_id") % 16).cast("long")
+    total_lo = (F.col("doc_id") * 1000).cast("long")
+    u32a = sr * 4096 + (ch - 1) * 512 + (bps - 1) * 16 + total_hi
+    hdr_hex = F.concat(
+        F.lit("664c6143"),                        # 'fLaC'
+        F.lit("80000022"),                        # last, type 0, 34
+        F.format_string("%04x", F.lit(4096)),
+        F.format_string(
+            "%04x", (4096 + F.col("doc_id") % 1000).cast("int")
+        ),
+        F.lit("000000000000"),                    # frame-size bounds
+        F.format_string("%08x", u32a),
+        F.format_string("%08x", total_lo),
+        F.lit("00" * 16),                         # MD5 signature
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_flac_meta(staged)

@@ -3206,3 +3206,62 @@ def test_mp3_walk_edge_cases():
     assert _walk_mp3(b"") == (
         False, False, None, None, None, None, None
     )
+
+
+def test_flac_parser_bitfield_and_truncation(spark):
+    """parse_flac_meta: the packed STREAMINFO bitfield unpacks
+    exactly (including a >2^32 total-sample count through the high
+    nibble), the last-block flag is accepted either way, and
+    truncated/garbage/non-first-STREAMINFO payloads yield
+    is_flac=false or NULL fields — never an error."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_flac_meta,
+    )
+
+    def flac(sr, ch, bps, total, last=True, block_type=0):
+        hdr = bytes([(0x80 if last else 0) | block_type])
+        hdr += struct.pack(">I", 34)[1:]          # u24 length
+        info = struct.pack(">HH", 4096, 4608)
+        info += b"\x00" * 6                        # frame-size bounds
+        packed = (
+            (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        )
+        info += struct.pack(">Q", packed) + b"\x00" * 16
+        return b"fLaC" + hdr + info
+
+    big_total = (5 << 32) + 123456                 # needs 36 bits
+    rows = {
+        r.doc_id: r
+        for r in parse_flac_meta(
+            spark.createDataFrame(
+                [
+                    (1, flac(44100, 2, 16, 1_000_000)),
+                    (2, flac(96000, 8, 24, big_total, last=False)),
+                    (3, flac(44100, 1, 4, 0)[:20]),   # truncated
+                    (4, flac(44100, 2, 16, 1, block_type=4)),
+                    (5, b"fLaC"),                      # bare marker
+                    (6, b"not flac"),
+                    (7, None),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    r1 = rows[1]
+    assert (r1.is_flac, r1.min_block, r1.max_block) == (True, 4096, 4608)
+    assert (r1.sample_rate, r1.channels, r1.bits_per_sample) == (
+        44100, 2, 16
+    )
+    assert r1.total_samples == 1_000_000
+    r2 = rows[2]
+    assert r2.is_flac and r2.sample_rate == 96000 and r2.channels == 8
+    assert r2.bits_per_sample == 24 and r2.total_samples == big_total
+    # truncated: header matched, packed reads fall off the end
+    assert rows[3].is_flac is True and rows[3].sample_rate is None
+    # first block not STREAMINFO: spec violation -> not parsed
+    assert rows[4].is_flac is False
+    assert rows[5].is_flac is False
+    assert rows[6].is_flac is False and rows[6].sample_rate is None
+    assert rows[7].is_flac is False
