@@ -794,51 +794,32 @@ def km_survival(
     )
 
 
-def logrank_test(
+def _two_arm_risk_grid(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     arm_col: str,
-    censor_days: int = 7,
-) -> DataFrame:
-    """Two-arm log-rank test over Kaplan–Meier lifetimes — the reason
-    teams compute KM curves at all: "is arm B's retention actually
-    different", answered with censoring handled correctly instead of
-    eyeballing two survival lines (:func:`km_survival` draws them;
-    this tests them).
+    censor_days: int,
+    caller: str,
+) -> tuple:
+    """Shared staging for the two-arm survival statistics (log-rank,
+    Cox PH): ONE corpus scan to per-user (arm, lifetime, censored),
+    collapsed to the pinned (arm, t) relation, expanded onto the
+    shared time grid with per-arm at-risk suffix sums, folded to one
+    row per time.  Returns (arm_a, arm_b, by_t, counts):
 
-    Same lifetime staging as km_survival (one corpus scan to per-user
-    (arm, first, last); lifetime = whole days between; users whose
-    last event falls within ``censor_days`` of the corpus's last day
-    are censored).  The test itself runs over the |distinct
-    lifetimes| × 2 grid (metadata-scale ordered windows, the KM/CUSUM
-    discipline): per-arm at-risk counts are suffix sums over the
-    SHARED time grid (a broadcast of the 2-row arm relation onto the
-    distinct-times relation, so both arms have an at-risk count at
-    every death time), and at each time with d_t total deaths the
-    hypergeometric moments accrue:
+    - arm_a/arm_b — the lexicographically smaller/larger arm label
+      (the deterministic orientation every consumer documents);
+    - by_t — (t, dt, nt, da, na): total deaths / total at-risk /
+      arm-a deaths / arm-a at-risk per distinct lifetime
+      (metadata-scale: |distinct lifetimes| rows);
+    - counts — a broadcastable 1-row (_nua, _nub) per-arm user-count
+      aggregate folded from the pinned relation (every user lands in
+      exactly one (arm, t) cell, so Σ(d+c) per arm is the user count
+      and the corpus is never re-scanned for it).
 
-        E_a(t)  = d_t · n_a(t) / n_t
-        Var(t)  = d_t · n_a/n_t · (n_t−n_a)/n_t · (n_t−d_t)/(n_t−1)
-
-    Each per-time term is the identical left-to-right double
-    expression on both engines, ROUNDED 9dp and summed as DECIMAL
-    (order-free, engine-portable — the km ln-term rule); Var terms at
-    n_t = 1 are 0 by definition (the guard is explicit, not a NULL
-    cast).  z = (O_a − E_a)/√V compares arm_a = the lexicographically
-    SMALLER arm label (a deterministic orientation); the significance
-    flag compares the 6dp-ROUNDED |z| on both sides (the ztest/MW
-    convention).  chi² = z² is the classic one-dof statistic.
-
-    Exactly two arms are required — a k-sample log-rank is a
-    different statistic (a vector quadratic form), and silently
-    collapsing arms would test something the caller didn't ask;
-    refused loudly in the house style.
-
-    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, n_times,
-    o_a, e_a, z, chi2, significant) — e_a/z/chi2 rounded 6dp, NULL
-    z/chi2 when the variance degenerates (no deaths, or every death
-    time has a single at-risk user).
+    Exactly two arms required — refused loudly in the house style
+    (a k-sample spelling of either statistic is a different test).
     """
     from component_delta_lake_writer_spark.errors import UserException
 
@@ -864,8 +845,7 @@ def logrank_test(
     ]
     if len(arms) != 2:
         raise UserException(
-            "logrank_test needs exactly 2 arms, got "
-            f"{sorted(arms)!r}"
+            f"{caller} needs exactly 2 arms, got {sorted(arms)!r}"
         )
     arm_a, arm_b = sorted(arms)
     horizon = users.agg(F.max("_last").alias("_end"))
@@ -923,6 +903,70 @@ def logrank_test(
         F.sum(F.when(is_a, F.col("d")).otherwise(0)).alias("da"),
         F.sum(F.when(is_a, F.col("n")).otherwise(0)).alias("na"),
     )
+    counts = (
+        by_at.groupBy("_arm")
+        .agg(F.sum(F.col("d") + F.col("c")).alias("nu"))
+        .agg(
+            F.sum(F.when(is_a, F.col("nu")).otherwise(0)).alias(
+                "_nua"
+            ),
+            F.sum(
+                F.when(~is_a, F.col("nu")).otherwise(0)
+            ).alias("_nub"),
+        )
+    )
+    return arm_a, arm_b, by_t, counts
+
+
+def logrank_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Two-arm log-rank test over Kaplan–Meier lifetimes — the reason
+    teams compute KM curves at all: "is arm B's retention actually
+    different", answered with censoring handled correctly instead of
+    eyeballing two survival lines (:func:`km_survival` draws them;
+    this tests them).
+
+    Same lifetime staging as km_survival (one corpus scan to per-user
+    (arm, first, last); lifetime = whole days between; users whose
+    last event falls within ``censor_days`` of the corpus's last day
+    are censored).  The test itself runs over the |distinct
+    lifetimes| × 2 grid (metadata-scale ordered windows, the KM/CUSUM
+    discipline): per-arm at-risk counts are suffix sums over the
+    SHARED time grid (a broadcast of the 2-row arm relation onto the
+    distinct-times relation, so both arms have an at-risk count at
+    every death time), and at each time with d_t total deaths the
+    hypergeometric moments accrue:
+
+        E_a(t)  = d_t · n_a(t) / n_t
+        Var(t)  = d_t · n_a/n_t · (n_t−n_a)/n_t · (n_t−d_t)/(n_t−1)
+
+    Each per-time term is the identical left-to-right double
+    expression on both engines, ROUNDED 9dp and summed as DECIMAL
+    (order-free, engine-portable — the km ln-term rule); Var terms at
+    n_t = 1 are 0 by definition (the guard is explicit, not a NULL
+    cast).  z = (O_a − E_a)/√V compares arm_a = the lexicographically
+    SMALLER arm label (a deterministic orientation); the significance
+    flag compares the 6dp-ROUNDED |z| on both sides (the ztest/MW
+    convention).  chi² = z² is the classic one-dof statistic.
+
+    Exactly two arms are required — a k-sample log-rank is a
+    different statistic (a vector quadratic form), and silently
+    collapsing arms would test something the caller didn't ask;
+    refused loudly in the house style.
+
+    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, n_times,
+    o_a, e_a, z, chi2, significant) — e_a/z/chi2 rounded 6dp, NULL
+    z/chi2 when the variance degenerates (no deaths, or every death
+    time has a single at-risk user).
+    """
+    arm_a, arm_b, by_t, counts = _two_arm_risk_grid(
+        df, user_col, ts_col, arm_col, censor_days, "logrank_test"
+    )
     dt = F.col("dt").cast("double")
     nt = F.col("nt").cast("double")
     na = F.col("na").cast("double")
@@ -951,29 +995,12 @@ def logrank_test(
         .cast("decimal(28,9)")
         .alias("_v"),
     )
-    # per-arm user counts from the PINNED (arm, t) relation — every
-    # user lands in exactly one cell, so Σ(d+c) per arm is the user
-    # count and the corpus is not re-scanned for it
-    n_users = by_at.groupBy("_arm").agg(
-        F.sum(F.col("d") + F.col("c")).alias("nu")
-    )
     agg = terms.agg(
         F.count(F.lit(1)).alias("n_times"),
         F.sum("da").alias("_oa"),
         F.sum("_e").alias("_ea"),
         F.sum("_v").alias("_va"),
-    ).crossJoin(
-        F.broadcast(
-            n_users.agg(
-                F.sum(F.when(is_a, F.col("nu")).otherwise(0)).alias(
-                    "_nua"
-                ),
-                F.sum(
-                    F.when(~is_a, F.col("nu")).otherwise(0)
-                ).alias("_nub"),
-            )
-        )
-    )
+    ).crossJoin(F.broadcast(counts))
     z = F.when(
         F.col("_va") > 0,
         F.round(
@@ -997,6 +1024,153 @@ def logrank_test(
         F.round(F.col("_ea").cast("double"), 6).alias("e_a"),
         z.alias("z"),
         F.round(z * z, 6).alias("chi2"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
+def cox_ph_two_arm(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    censor_days: int = 7,
+    iterations: int = 3,
+) -> DataFrame:
+    """Two-arm Cox proportional-hazards fit over Kaplan–Meier
+    lifetimes — the survival regression the log-rank test is the
+    score test OF: where log-rank answers "are the curves
+    different", Cox answers "by HOW MUCH" — a hazard ratio with a
+    confidence interval, the number a retention experiment actually
+    ships.
+
+    Model: hazard_b(t) = hazard_a(t)·e^β for the indicator covariate
+    x = 1 on ``arm_b`` (the lexicographically LARGER label, so
+    hazard_ratio > 1 reads "arm_b churns faster").  Fit by
+    Newton-Raphson on the Breslow partial likelihood — with one
+    binary covariate the risk-set sums collapse onto the same
+    metadata-scale (t, dt, nt, da, na) grid the log-rank test folds
+    (shared staging, :func:`_two_arm_risk_grid`):
+
+        r(β)  = n1·e^β / (n0 + n1·e^β)        per death time
+        U(β)  = Σ d1 − Σ d·r                   score
+        I(β)  = Σ d·r·(1−r)                    information
+        β'    = β + U/I                        Newton step
+
+    A FIXED ``iterations`` count of steps from β₀ = 0 (the
+    Bradley-Terry discipline: no driver-side convergence loop, no
+    data-dependent iteration count), each per-time term the
+    identical left-to-right double expression on both engines with
+    r and the step ROUNDED 9dp and the sums accumulated as DECIMAL
+    — the fit is bit-identical at any parallelism and
+    engine-portable even though e^β itself can differ in the last
+    ulp between libm implementations (the 9dp round absorbs it, the
+    km ln-term rule).  β₀ = 0 makes step 1 EXACTLY the log-rank
+    score direction: U(0) = O_b − E_b.
+
+    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, n_times,
+    o_b, beta, hazard_ratio, se, ci_lo, ci_hi, significant) — beta/
+    HR/se/CI rounded 6dp, the CI on the HAZARD-RATIO scale
+    (exp(β ± 1.96·se)), NULLs when the fit degenerates (no deaths,
+    or an information sum of 0), and the significance flag compared
+    on the 6dp-ROUNDED z = β/se (the house convention).
+    """
+    arm_a, arm_b, by_t, counts = _two_arm_risk_grid(
+        df, user_col, ts_col, arm_col, censor_days, "cox_ph_two_arm"
+    )
+    terms = by_t.filter(F.col("dt") > 0).select(
+        "dt",
+        (F.col("dt") - F.col("da")).alias("d1"),
+        F.col("na").alias("n0"),
+        (F.col("nt") - F.col("na")).alias("n1"),
+    )
+    # pinned: the risk table feeds iterations+1 evaluations — and
+    # COALESCED to one partition first: it is |distinct death
+    # times| rows (metadata-scale by construction), and every Newton
+    # step is a full aggregate over it, so 32-partition shuffles
+    # would pay ~32x task overhead per step for nothing
+    terms = terms.coalesce(1).localCheckpoint(eager=True)
+    beta = counts.select(F.lit(0.0).alias("_b"))
+
+    def _r():
+        eb = F.exp(F.col("_b"))
+        n0 = F.col("n0").cast("double")
+        n1 = F.col("n1").cast("double")
+        return F.round(n1 * eb / (n0 + n1 * eb), 9)
+
+    d = F.col("dt").cast("double")
+    for _ in range(iterations):
+        j = terms.crossJoin(F.broadcast(beta))
+        r = _r()
+        ag = j.select(
+            "_b",
+            "d1",
+            F.round(d * r, 9).cast("decimal(28,9)").alias("_u"),
+            F.round(d * r * (F.lit(1.0) - r), 9)
+            .cast("decimal(28,9)")
+            .alias("_i"),
+        ).agg(
+            F.min("_b").alias("_b"),
+            F.sum("d1").alias("_o"),
+            F.sum("_u").alias("_su"),
+            F.sum("_i").alias("_si"),
+        )
+        beta = ag.select(
+            F.when(
+                F.col("_si") > 0,
+                F.round(
+                    F.col("_b")
+                    + (
+                        F.col("_o").cast("double")
+                        - F.col("_su").cast("double")
+                    )
+                    / F.col("_si").cast("double"),
+                    9,
+                ),
+            ).alias("_b")
+        )
+        # no per-iteration checkpoint (unlike Bradley-Terry's |items|
+        # score relation): beta is ONE row over the pinned risk table,
+        # so letting the iterations nest as subqueries of one action
+        # is cheaper than an eager job per Newton step — the nesting
+        # depth is the FIXED iteration count, never data-dependent
+    # final information evaluation at the fitted beta -> se, CI
+    j = terms.crossJoin(F.broadcast(beta))
+    r = _r()
+    fin = j.select(
+        "_b",
+        "d1",
+        F.round(d * r * (F.lit(1.0) - r), 9)
+        .cast("decimal(28,9)")
+        .alias("_i"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.min("_b").alias("_b"),
+        F.sum("d1").alias("_o"),
+        F.sum("_i").alias("_si"),
+    )
+    out = fin.crossJoin(F.broadcast(counts))
+    b = F.col("_b")
+    se = F.when(
+        F.col("_si") > 0,
+        F.round(
+            F.lit(1.0) / F.sqrt(F.col("_si").cast("double")), 9
+        ),
+    )
+    z = F.round(b / se, 6)
+    return out.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_nua").cast("long").alias("n_users_a"),
+        F.col("_nub").cast("long").alias("n_users_b"),
+        F.col("n_times").cast("long").alias("n_times"),
+        F.coalesce(F.col("_o"), F.lit(0)).cast("long").alias("o_b"),
+        F.round(b, 6).alias("beta"),
+        F.round(F.exp(b), 6).alias("hazard_ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(F.exp(b - F.lit(1.959964) * se), 6).alias("ci_lo"),
+        F.round(F.exp(b + F.lit(1.959964) * se), 6).alias("ci_hi"),
         F.coalesce(
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),

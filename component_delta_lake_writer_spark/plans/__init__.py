@@ -121,6 +121,7 @@ _FRONT = [
     "tiff_meta_parse",
     "mp3_meta_parse",
     "flac_meta_parse",
+    "cox_ph_events",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

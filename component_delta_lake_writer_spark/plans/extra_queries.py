@@ -8509,3 +8509,147 @@ def logrank_km_events(
         "arm", (F.col("user_id") % 2).cast("string")
     )
     return logrank_test(ev, "user_id", "ts", "arm", censor_days=1)
+
+
+@query(
+    "cox_ph_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.arm = a.arm AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT arm, t, d,
+        SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS (
+      SELECT t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1
+    ),
+    tm AS (
+      SELECT dt, dt - da AS d1, na AS n0, nt - na AS n1
+      FROM bt WHERE dt > 0
+    ),
+    nu AS (
+      SELECT SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS nua,
+        SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS nub
+      FROM u
+    ),
+    it1 AS (
+      SELECT MIN(b) AS b, SUM(d1) AS o,
+        SUM(CAST(ROUND(CAST(dt AS DOUBLE) * r, 9)
+          AS DECIMAL(28,9))) AS su,
+        SUM(CAST(ROUND(CAST(dt AS DOUBLE) * r
+          * (CAST(1.0 AS DOUBLE) - r), 9) AS DECIMAL(28,9))) AS si
+      FROM (
+        SELECT b, dt, d1,
+          ROUND(CAST(n1 AS DOUBLE) * EXP(b)
+            / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * EXP(b)),
+            9) AS r
+        FROM tm CROSS JOIN (SELECT CAST(0.0 AS DOUBLE) AS b)
+      )
+    ),
+    b1 AS (
+      SELECT CASE WHEN si > 0 THEN
+        ROUND(b + (CAST(o AS DOUBLE) - CAST(su AS DOUBLE))
+          / CAST(si AS DOUBLE), 9) END AS b
+      FROM it1
+    ),
+    it2 AS (
+      SELECT MIN(b) AS b, SUM(d1) AS o,
+        SUM(CAST(ROUND(CAST(dt AS DOUBLE) * r, 9)
+          AS DECIMAL(28,9))) AS su,
+        SUM(CAST(ROUND(CAST(dt AS DOUBLE) * r
+          * (CAST(1.0 AS DOUBLE) - r), 9) AS DECIMAL(28,9))) AS si
+      FROM (
+        SELECT b, dt, d1,
+          ROUND(CAST(n1 AS DOUBLE) * EXP(b)
+            / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * EXP(b)),
+            9) AS r
+        FROM tm CROSS JOIN b1
+      )
+    ),
+    b2 AS (
+      SELECT CASE WHEN si > 0 THEN
+        ROUND(b + (CAST(o AS DOUBLE) - CAST(su AS DOUBLE))
+          / CAST(si AS DOUBLE), 9) END AS b
+      FROM it2
+    ),
+    fin AS (
+      SELECT COUNT(*) AS n_times, MIN(b) AS b, SUM(d1) AS o,
+        SUM(CAST(ROUND(CAST(dt AS DOUBLE) * r
+          * (CAST(1.0 AS DOUBLE) - r), 9) AS DECIMAL(28,9))) AS si
+      FROM (
+        SELECT b, dt, d1,
+          ROUND(CAST(n1 AS DOUBLE) * EXP(b)
+            / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * EXP(b)),
+            9) AS r
+        FROM tm CROSS JOIN b2
+      )
+    ),
+    fx AS (
+      SELECT *, CASE WHEN si > 0 THEN
+        ROUND(CAST(1.0 AS DOUBLE) / SQRT(CAST(si AS DOUBLE)), 9)
+      END AS se
+      FROM fin
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(nua AS BIGINT) AS n_users_a,
+      CAST(nub AS BIGINT) AS n_users_b,
+      CAST(n_times AS BIGINT) AS n_times,
+      CAST(COALESCE(o, 0) AS BIGINT) AS o_b,
+      ROUND(b, 6) AS beta,
+      ROUND(EXP(b), 6) AS hazard_ratio,
+      ROUND(se, 6) AS se,
+      ROUND(EXP(b - 1.959964 * se), 6) AS ci_lo,
+      ROUND(EXP(b + 1.959964 * se), 6) AS ci_hi,
+      CAST(COALESCE(ABS(ROUND(b / se, 6)) > 1.959964, FALSE)
+        AS INT) AS significant
+    FROM fx, nu
+    """,
+)
+def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm Cox proportional hazards
+    (operators.sessions.cox_ph_two_arm) on the parity-split survival
+    fixture: hazard ratio of arm '1' vs arm '0' with Wald CI, TWO
+    fixed Newton steps from beta=0 unrolled in the oracle as a CTE
+    cascade (the Bradley-Terry precedent) plus a final information
+    evaluation for the se — every r and step rounded 9dp so the
+    libm EXP last-ulp never crosses the hash.  censor_days=1 (the
+    km de-vacuation rule: real deaths at both probe scales)."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        cox_ph_two_arm,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return cox_ph_two_arm(
+        ev, "user_id", "ts", "arm", censor_days=1, iterations=2
+    )

@@ -1416,3 +1416,102 @@ def test_bradley_terry_broadcast_crossover(spark):
         key=lambda r: r.item,
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _brute_cox(lifetimes, iterations):
+    """Reference two-arm Cox fit mirroring the operator's rounding:
+    lifetimes = [(arm, t, censored)], x=1 on the larger arm label.
+    Returns (n_times, o_b, beta, se) with beta/se at 9dp."""
+    import math
+    from decimal import Decimal
+
+    arm_a, arm_b = sorted({a for a, _, _ in lifetimes})
+    death_times = sorted({t for _, t, cen in lifetimes if not cen})
+    rows = []
+    for t in death_times:
+        n0 = sum(1 for a, lt, _ in lifetimes if a == arm_a and lt >= t)
+        n1 = sum(1 for a, lt, _ in lifetimes if a == arm_b and lt >= t)
+        d = sum(1 for _, lt, cen in lifetimes if lt == t and not cen)
+        d1 = sum(
+            1 for a, lt, cen in lifetimes
+            if a == arm_b and lt == t and not cen
+        )
+        rows.append((d, d1, n0, n1))
+    o = sum(d1 for _, d1, _, _ in rows)
+
+    def step(b):
+        su = si = Decimal(0)
+        for d, d1, n0, n1 in rows:
+            r = round(n1 * math.exp(b) / (n0 + n1 * math.exp(b)), 9)
+            su += Decimal(repr(round(d * r, 9)))
+            si += Decimal(repr(round(d * r * (1.0 - r), 9)))
+        return float(su), float(si)
+
+    b = 0.0
+    for _ in range(iterations):
+        su, si = step(b)
+        if not si > 0:
+            return len(rows), o, None, None
+        b = round(b + (o - su) / si, 9)
+    _, si = step(b)
+    se = round(1.0 / math.sqrt(si), 9) if si > 0 else None
+    return len(rows), o, b, se
+
+
+def test_cox_ph_hand_values(spark):
+    """The logrank hand fixture through Cox: beta/HR/se/CI match the
+    brute Newton fold with identical rounding; beta=0 input (equal
+    arms) fits HR=1; !=2 arms refuse."""
+    import datetime as dtm
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        cox_ph_two_arm,
+    )
+
+    d0 = dtm.datetime(2026, 1, 1, 12, 0)
+
+    def user(uid, arm, last_day):
+        return [
+            (uid, arm, d0),
+            (uid, arm, d0 + dtm.timedelta(days=last_day)),
+        ]
+
+    rows = (
+        user("u1", "0", 1) + user("u2", "0", 2) + user("u3", "0", 5)
+        + user("v1", "1", 1) + user("v2", "1", 3)
+        + user("v3", "1", 5)
+    )
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = cox_ph_two_arm(
+        df, "u", "ts", "arm", censor_days=1, iterations=2
+    ).collect()[0]
+    lifetimes = [
+        ("0", 1, False), ("0", 2, False), ("0", 5, True),
+        ("1", 1, False), ("1", 3, False), ("1", 5, True),
+    ]
+    n_times, o, b, se = _brute_cox(lifetimes, iterations=2)
+    assert (r.n_times, r.o_b) == (n_times, o)
+    assert r.beta == round(b, 6)
+    assert r.hazard_ratio == round(math.exp(b), 6)
+    assert r.se == round(se, 6)
+    assert r.ci_lo == round(math.exp(b - 1.959964 * se), 6)
+    assert r.ci_hi == round(math.exp(b + 1.959964 * se), 6)
+    # perfectly symmetric arms: beta = 0, HR = 1
+    sym = (
+        user("a1", "0", 1) + user("a2", "0", 3)
+        + user("b1", "1", 1) + user("b2", "1", 3)
+        + user("c1", "0", 5) + user("c2", "1", 5)
+    )
+    sdf = spark.createDataFrame(sym, "u string, arm string, ts timestamp")
+    s = cox_ph_two_arm(
+        sdf, "u", "ts", "arm", censor_days=1, iterations=2
+    ).collect()[0]
+    assert s.beta == 0.0 and s.hazard_ratio == 1.0
+    assert s.significant == 0
+    with pytest.raises(Exception, match="exactly 2 arms"):
+        cox_ph_two_arm(
+            sdf.filter(F.col("arm") == "0"), "u", "ts", "arm"
+        )

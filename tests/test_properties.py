@@ -1338,3 +1338,57 @@ def test_logrank_matches_bruteforce(spark, users):
         assert r.chi2 == round(r.z * r.z, 6)
     else:
         assert r.z is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+)
+def test_cox_ph_matches_bruteforce(spark, users):
+    """cox_ph_two_arm == the brute fixed-step Newton fold (identical
+    9dp rounding at every stage) on ANY two-arm lifetime multiset —
+    including the degenerate no-deaths / zero-information cases,
+    which must yield NULLs on both sides."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        cox_ph_two_arm,
+    )
+    from tests.test_analytics_extras import _brute_cox
+
+    assume(len({a for a, _ in users}) == 2)
+    d0 = dtm.datetime(2026, 4, 1, 8, 0)
+    horizon = max(t for _, t in users)
+    rows = []
+    for i, (arm, t) in enumerate(users):
+        uid, a = f"u{i}", ("B" if arm else "A")
+        rows += [(uid, a, d0), (uid, a, d0 + dtm.timedelta(days=t))]
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = cox_ph_two_arm(
+        df, "u", "ts", "arm", censor_days=1, iterations=2
+    ).collect()[0]
+    lifetimes = [
+        ("B" if a else "A", t, t == horizon) for a, t in users
+    ]
+    n_times, o, b, se = _brute_cox(lifetimes, iterations=2)
+    assert (r.n_times, r.o_b) == (n_times, o)
+    if b is None or se is None:
+        assert r.beta is None or r.se is None
+    else:
+        assert r.beta == round(b, 6)
+        assert r.hazard_ratio == round(math.exp(b), 6)
+        assert r.se == round(se, 6)
