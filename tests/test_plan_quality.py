@@ -1014,3 +1014,14 @@ def test_logrank_single_scan_metadata_windows(spark):
     p = _plan(spark, "logrank_km_events")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_cox_ph_zero_filescan_fixed_nesting(spark):
+    """cox_ph_two_arm: the returned plan reads NO files — the corpus
+    was scanned exactly once inside the shared risk-grid pin, and
+    every Newton step is a 1-row aggregate nested over that
+    ExistingRDD (fixed nesting depth = the iteration count, never
+    data-dependent)."""
+    p = _plan(spark, "cox_ph_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
