@@ -1376,19 +1376,28 @@ def benjamini_hochberg(
         raise UserException(
             f"benjamini_hochberg: alpha must be in (0, 1), got {alpha}"
         )
+    p_in = F.col(p_col).cast("double")
     src = df.select(
         F.col(test_col).cast("string").alias("_t"),
-        F.col(p_col).cast("double").alias("_p"),
-    )
-    bad = src.filter(
-        F.col("_p").isNotNull()
-        & ((F.col("_p") < 0) | (F.col("_p") > 1))
-    ).limit(1).collect()
-    if bad:
-        raise UserException(
-            "benjamini_hochberg: p-values must lie in [0, 1]; got "
-            f"{bad[0]['_p']!r} for test {bad[0]['_t']!r}"
+        # out-of-[0,1] p-values raise AT ACTION TIME inside the one
+        # ranking pass (the calibration_report spelling) — a driver-
+        # side pre-check would cost a second full corpus scan just
+        # to prove the absence of bad rows
+        F.when(
+            (p_in < 0) | (p_in > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "benjamini_hochberg: p-value outside "
+                        "[0, 1]: "
+                    ),
+                    p_in.cast("string"),
+                )
+            ).cast("double"),
         )
+        .otherwise(p_in)
+        .alias("_p"),
+    )
     ranked, m = global_value_rank(src, "_p", "_t")
     if m == 0:
         return ranked.select(

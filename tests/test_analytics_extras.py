@@ -1336,7 +1336,9 @@ def test_benjamini_hochberg_hand_values(spark):
     with pytest.raises(Exception, match="alpha"):
         benjamini_hochberg(df, "t", "p", alpha=1.5)
     bad = spark.createDataFrame([("x", 1.2)], "t string, p double")
-    with pytest.raises(Exception, match="p-values"):
+    # raises at action time inside the ranking pass (the eager pin
+    # is the first action) - no second validation scan
+    with pytest.raises(Exception, match="p-value outside"):
         benjamini_hochberg(bad, "t", "p")
     # empty input: schema stable, zero rows
     empty = spark.createDataFrame([], "t string, p double")
