@@ -1175,3 +1175,96 @@ def cox_ph_two_arm(
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def gehan_wilcoxon_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Gehan–Wilcoxon (Breslow) weighted log-rank over KM lifetimes —
+    the EARLY-difference spelling of the two-arm comparison: each
+    death time's (O−E) contribution is weighted by the total number
+    still at risk, so a treatment whose effect decays (onboarding
+    nudges, promo campaigns) shows up here when the plain log-rank —
+    which weights every death time equally and so favors sustained,
+    late-separating effects — stays flat.  Same staging, same grid,
+    same censoring as :func:`logrank_test` (shared
+    :func:`_two_arm_risk_grid`); only the weights differ:
+
+        U = Σ n_t·(d_a − d_t·n_a/n_t)     V = Σ n_t²·Var_t
+        z = U / √V
+
+    Weighted terms round 9dp and accumulate as DECIMAL (order-free);
+    the n_t·d_a product stays inside the 9dp-rounded double term —
+    at 10¹⁰ users n_t·d_a overflows a BIGINT, and the decimal-sum
+    rule already owns exactness.  Orientation and the significance
+    convention match logrank_test (arm_a = smaller label, flag on
+    the 6dp-ROUNDED |z|).
+
+    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, n_times,
+    w_diff, z, chi2, significant) — w_diff = U rounded 6dp (a
+    weighted score, not a count), NULL z/chi2 on a degenerate
+    variance.
+    """
+    arm_a, arm_b, by_t, counts = _two_arm_risk_grid(
+        df, user_col, ts_col, arm_col, censor_days,
+        "gehan_wilcoxon_test",
+    )
+    dt = F.col("dt").cast("double")
+    nt = F.col("nt").cast("double")
+    na = F.col("na").cast("double")
+    da = F.col("da").cast("double")
+    terms = by_t.filter(F.col("dt") > 0).select(
+        F.round(nt * (da - dt * na / nt), 9)
+        .cast("decimal(38,9)")
+        .alias("_u"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                nt
+                * nt
+                * (
+                    dt
+                    * na
+                    / nt
+                    * (nt - na)
+                    / nt
+                    * (nt - dt)
+                    / (nt - F.lit(1.0))
+                ),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,9)")
+        .alias("_v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("_u").alias("_uw"),
+        F.sum("_v").alias("_vw"),
+    ).crossJoin(F.broadcast(counts))
+    z = F.when(
+        F.col("_vw") > 0,
+        F.round(
+            F.col("_uw").cast("double")
+            / F.sqrt(F.col("_vw").cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_nua").cast("long").alias("n_users_a"),
+        F.col("_nub").cast("long").alias("n_users_b"),
+        F.col("n_times").cast("long").alias("n_times"),
+        F.round(F.col("_uw").cast("double"), 6).alias("w_diff"),
+        z.alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

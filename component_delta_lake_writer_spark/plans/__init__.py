@@ -122,6 +122,7 @@ _FRONT = [
     "mp3_meta_parse",
     "flac_meta_parse",
     "cox_ph_events",
+    "gehan_wilcoxon_events",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

@@ -8653,3 +8653,104 @@ def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cox_ph_two_arm(
         ev, "user_id", "ts", "arm", censor_days=1, iterations=2
     )
+
+
+@query(
+    "gehan_wilcoxon_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.arm = a.arm AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT arm, t, d,
+        SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS (
+      SELECT t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(CAST(nt AS DOUBLE)
+          * (CAST(da AS DOUBLE) - CAST(dt AS DOUBLE) * na / nt),
+          9) AS DECIMAL(38,9)) AS uw,
+        CAST(CASE WHEN nt > 1 THEN
+          ROUND(CAST(nt AS DOUBLE) * nt
+            * (CAST(dt AS DOUBLE) * na / nt * (nt - na) / nt
+               * (nt - dt) / (nt - 1.0)), 9)
+          ELSE 0.0 END AS DECIMAL(38,9)) AS vw
+      FROM bt WHERE dt > 0
+    ),
+    nu AS (
+      SELECT SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS nua,
+        SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS nub
+      FROM u
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n_times, SUM(uw) AS uw, SUM(vw) AS vw
+      FROM terms
+    ),
+    zz AS (
+      SELECT
+        CAST(nua AS BIGINT) AS n_users_a,
+        CAST(nub AS BIGINT) AS n_users_b,
+        CAST(n_times AS BIGINT) AS n_times,
+        ROUND(CAST(uw AS DOUBLE), 6) AS w_diff,
+        CASE WHEN vw > 0 THEN
+          ROUND(CAST(uw AS DOUBLE) / SQRT(CAST(vw AS DOUBLE)), 6)
+        END AS z
+      FROM ag, nu
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b, n_users_a, n_users_b,
+      n_times, w_diff, z, ROUND(z * z, 6) AS chi2,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def gehan_wilcoxon_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gehan-Wilcoxon weighted log-rank
+    (operators.sessions.gehan_wilcoxon_test) on the parity-split
+    survival fixture: n_t-weighted (O-E) per death time over the
+    shared risk grid — the early-difference companion to
+    logrank_km_events (same staging, different weights).
+    censor_days=1 per the km de-vacuation rule."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        gehan_wilcoxon_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return gehan_wilcoxon_test(
+        ev, "user_id", "ts", "arm", censor_days=1
+    )

@@ -1517,3 +1517,58 @@ def test_cox_ph_hand_values(spark):
         cox_ph_two_arm(
             sdf.filter(F.col("arm") == "0"), "u", "ts", "arm"
         )
+
+
+def test_gehan_wilcoxon_hand_values(spark):
+    """The logrank hand fixture through the Gehan-Wilcoxon weights:
+    U = Σ n_t(d_a − E_t) and V = Σ n_t²·Var_t match the brute fold
+    with identical per-term rounding; equal arms give z = 0."""
+    import datetime as dtm
+    import math
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        gehan_wilcoxon_test,
+    )
+
+    d0 = dtm.datetime(2026, 1, 1, 12, 0)
+
+    def user(uid, arm, last_day):
+        return [
+            (uid, arm, d0),
+            (uid, arm, d0 + dtm.timedelta(days=last_day)),
+        ]
+
+    rows = (
+        user("u1", "0", 1) + user("u2", "0", 2) + user("u3", "0", 5)
+        + user("v1", "1", 1) + user("v2", "1", 3)
+        + user("v3", "1", 5)
+    )
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = gehan_wilcoxon_test(
+        df, "u", "ts", "arm", censor_days=1
+    ).collect()[0]
+    # grid: t=1 (d=2 n=6 na=3 da=1), t=2 (1,4,2,1), t=3 (1,3,1,0)
+    u = v = 0.0
+    for dt_, nt_, na_, da_ in [(2, 6, 3, 1), (1, 4, 2, 1), (1, 3, 1, 0)]:
+        u += round(nt_ * (da_ - dt_ * na_ / nt_), 9)
+        v += round(
+            nt_ * nt_
+            * (dt_ * na_ / nt_ * (nt_ - na_) / nt_
+               * (nt_ - dt_) / (nt_ - 1.0)),
+            9,
+        )
+    assert (r.n_times, r.n_users_a, r.n_users_b) == (3, 3, 3)
+    assert r.w_diff == round(u, 6)
+    assert r.z == round(u / math.sqrt(v), 6)
+    assert r.chi2 == round(r.z * r.z, 6)
+    # symmetric arms: every per-time (O-E) is 0 -> U = 0, z = 0
+    sym = (
+        user("a1", "0", 1) + user("a2", "0", 3)
+        + user("b1", "1", 1) + user("b2", "1", 3)
+        + user("c1", "0", 5) + user("c2", "1", 5)
+    )
+    sdf = spark.createDataFrame(sym, "u string, arm string, ts timestamp")
+    s = gehan_wilcoxon_test(
+        sdf, "u", "ts", "arm", censor_days=1
+    ).collect()[0]
+    assert s.w_diff == 0.0 and s.z == 0.0 and s.significant == 0
