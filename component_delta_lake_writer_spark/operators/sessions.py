@@ -839,15 +839,6 @@ def _two_arm_risk_grid(
             F.max(F.to_date(ts_col)).alias("_last"),
         )
     )
-    arms = [
-        r["_arm"]
-        for r in users.select("_arm").distinct().limit(3).collect()
-    ]
-    if len(arms) != 2:
-        raise UserException(
-            f"{caller} needs exactly 2 arms, got {sorted(arms)!r}"
-        )
-    arm_a, arm_b = sorted(arms)
     horizon = users.agg(F.max("_last").alias("_end"))
     staged = users.crossJoin(F.broadcast(horizon)).select(
         "_arm",
@@ -866,6 +857,19 @@ def _two_arm_risk_grid(
         ),
     )
     by_at = by_at.localCheckpoint(eager=True)
+    # arms validated from the PINNED relation — checking on `users`
+    # cost a full corpus aggregation action BEFORE the pin ran the
+    # same scan again (two corpus passes for one); the refusal
+    # contract is unchanged, it just fires after the single pass
+    arms = [
+        r["_arm"]
+        for r in by_at.select("_arm").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"{caller} needs exactly 2 arms, got {sorted(arms)!r}"
+        )
+    arm_a, arm_b = sorted(arms)
     # shared grid: every distinct lifetime × both arms, so each arm
     # has an at-risk suffix sum at every OTHER arm's death times too
     grid = (
@@ -1262,6 +1266,202 @@ def gehan_wilcoxon_test(
         F.col("_nub").cast("long").alias("n_users_b"),
         F.col("n_times").cast("long").alias("n_times"),
         F.round(F.col("_uw").cast("double"), 6).alias("w_diff"),
+        z.alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
+def stratified_logrank_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    stratum_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Stratified two-arm log-rank test — the segment-adjusted
+    spelling: compare the arms WITHIN each stratum (acquisition
+    channel, country, plan tier) and pool the evidence, so a
+    confounder that shifts both lifetime AND arm mix (the classic
+    "mobile users churn faster and skew to arm B") can't
+    manufacture or mask a difference the plain
+    :func:`logrank_test` would report.
+
+    Mechanics: the per-stratum risk tables are built exactly like
+    the unstratified grid but keyed by (stratum, t) — per-(stratum,
+    arm) at-risk suffix sums over each stratum's OWN time grid, one
+    corpus scan into the pinned (stratum, arm, t) relation — and
+    the hypergeometric O−E and Var terms (identical formulas,
+    identical 9dp-round + DECIMAL accumulation) sum across ALL
+    strata: z = Σ_s Σ_t (O−E) / √(Σ_s Σ_t Var).  The grid is
+    |strata| × |distinct lifetimes| × 2 — still metadata-scale (a
+    stratification column with corpus-scale cardinality is a
+    user-id, not a stratum; that analysis is the Cox fit).
+
+    An arm is a user property; the STRATUM is too (min() makes a
+    drifting label deterministic).  Arms are validated globally
+    (exactly 2, across all strata — a stratum may legitimately hold
+    one arm only; its times then contribute 0 to O−E and Var, which
+    is the correct stratified behavior, not an error).  Orientation
+    and the significance convention match logrank_test.
+
+    Returns ONE row: (arm_a, arm_b, n_strata, n_users_a, n_users_b,
+    n_times, o_a, e_a, z, chi2, significant) — n_times counts
+    (stratum, death-time) cells.
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    users = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(arm_col).isNotNull()
+            & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.min(F.col(arm_col).cast("string")).alias("_arm"),
+            F.min(F.col(stratum_col).cast("string")).alias("_st"),
+            F.min(F.to_date(ts_col)).alias("_first"),
+            F.max(F.to_date(ts_col)).alias("_last"),
+        )
+    )
+    horizon = users.agg(F.max("_last").alias("_end"))
+    staged = users.crossJoin(F.broadcast(horizon)).select(
+        "_st",
+        "_arm",
+        F.datediff("_last", "_first").alias("t"),
+        (
+            F.datediff("_end", "_last") < F.lit(censor_days)
+        ).alias("_censored"),
+    )
+    by_sat = staged.groupBy("_st", "_arm", "t").agg(
+        F.sum(F.when(~F.col("_censored"), 1).otherwise(0)).alias(
+            "d"
+        ),
+        F.sum(F.when(F.col("_censored"), 1).otherwise(0)).alias(
+            "c"
+        ),
+    )
+    by_sat = by_sat.localCheckpoint(eager=True)
+    # arms validated from the PINNED relation (the risk-grid rule:
+    # one corpus pass, the refusal fires after it)
+    arms = [
+        r["_arm"]
+        for r in by_sat.select("_arm").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            "stratified_logrank_test needs exactly 2 arms, got "
+            f"{sorted(arms)!r}"
+        )
+    arm_a, arm_b = sorted(arms)
+    # per-stratum grid: each stratum's own distinct times × the
+    # GLOBAL 2-arm relation (broadcast), so both arms get an at-risk
+    # suffix at every death time of their stratum
+    grid = (
+        by_sat.select("_st", "t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(by_sat.select("_arm").distinct())
+        )
+        .join(by_sat, ["_st", "_arm", "t"], "left")
+        .select(
+            "_st",
+            "_arm",
+            "t",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_suffix = (
+        Window.partitionBy("_st", "_arm")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    per_arm = grid.select(
+        "_st",
+        "_arm",
+        "t",
+        "d",
+        F.sum(F.col("d") + F.col("c")).over(w_suffix).alias("n"),
+    )
+    is_a = F.col("_arm") == F.lit(arm_a)
+    by_st = per_arm.groupBy("_st", "t").agg(
+        F.sum("d").alias("dt"),
+        F.sum("n").alias("nt"),
+        F.sum(F.when(is_a, F.col("d")).otherwise(0)).alias("da"),
+        F.sum(F.when(is_a, F.col("n")).otherwise(0)).alias("na"),
+    )
+    dt = F.col("dt").cast("double")
+    nt = F.col("nt").cast("double")
+    na = F.col("na").cast("double")
+    terms = by_st.filter(F.col("dt") > 0).select(
+        "_st",
+        "dt",
+        "da",
+        F.round(dt * na / nt, 9)
+        .cast("decimal(28,9)")
+        .alias("_e"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                dt
+                * na
+                / nt
+                * (nt - na)
+                / nt
+                * (nt - dt)
+                / (nt - F.lit(1.0)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,9)")
+        .alias("_v"),
+    )
+    # ONE aggregate over the pinned relation carries the per-arm
+    # user counts AND the stratum count — no extra driver action
+    counts = by_sat.agg(
+        F.sum(
+            F.when(is_a, F.col("d") + F.col("c")).otherwise(0)
+        ).alias("_nua"),
+        F.sum(
+            F.when(~is_a, F.col("d") + F.col("c")).otherwise(0)
+        ).alias("_nub"),
+        F.countDistinct("_st").alias("_ns"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("da").alias("_oa"),
+        F.sum("_e").alias("_ea"),
+        F.sum("_v").alias("_va"),
+    ).crossJoin(F.broadcast(counts))
+    z = F.when(
+        F.col("_va") > 0,
+        F.round(
+            (
+                F.col("_oa").cast("double")
+                - F.col("_ea").cast("double")
+            )
+            / F.sqrt(F.col("_va").cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_ns").cast("long").alias("n_strata"),
+        F.col("_nua").cast("long").alias("n_users_a"),
+        F.col("_nub").cast("long").alias("n_users_b"),
+        F.col("n_times").cast("long").alias("n_times"),
+        F.coalesce(F.col("_oa"), F.lit(0))
+        .cast("long")
+        .alias("o_a"),
+        F.round(F.col("_ea").cast("double"), 6).alias("e_a"),
         z.alias("z"),
         F.round(z * z, 6).alias("chi2"),
         F.coalesce(

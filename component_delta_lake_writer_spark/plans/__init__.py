@@ -123,6 +123,7 @@ _FRONT = [
     "flac_meta_parse",
     "cox_ph_events",
     "gehan_wilcoxon_events",
+    "stratified_logrank_events",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

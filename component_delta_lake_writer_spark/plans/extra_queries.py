@@ -8754,3 +8754,111 @@ def gehan_wilcoxon_events(
     return gehan_wilcoxon_test(
         ev, "user_id", "ts", "arm", censor_days=1
     )
+
+
+@query(
+    "stratified_logrank_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        CAST(user_id % 3 AS VARCHAR) AS st,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT st, arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT st, arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT g.st, g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT st, t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.st = g.st AND ba.arm = a.arm
+        AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT st, arm, t, d,
+        SUM(d + c) OVER (PARTITION BY st, arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS (
+      SELECT st, t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT dt, da,
+        CAST(ROUND(CAST(dt AS DOUBLE) * na / nt, 9)
+          AS DECIMAL(28,9)) AS e,
+        CAST(CASE WHEN nt > 1 THEN
+          ROUND(CAST(dt AS DOUBLE) * na / nt * (nt - na) / nt
+            * (nt - dt) / (nt - 1.0), 9)
+          ELSE 0.0 END AS DECIMAL(28,9)) AS v
+      FROM bt WHERE dt > 0
+    ),
+    nu AS (
+      SELECT SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS nua,
+        SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS nub,
+        COUNT(DISTINCT st) AS ns
+      FROM u
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n_times, SUM(da) AS oa,
+        SUM(e) AS ea, SUM(v) AS va
+      FROM terms
+    ),
+    zz AS (
+      SELECT
+        CAST(ns AS BIGINT) AS n_strata,
+        CAST(nua AS BIGINT) AS n_users_a,
+        CAST(nub AS BIGINT) AS n_users_b,
+        CAST(n_times AS BIGINT) AS n_times,
+        CAST(COALESCE(oa, 0) AS BIGINT) AS o_a,
+        ROUND(CAST(ea AS DOUBLE), 6) AS e_a,
+        CASE WHEN va > 0 THEN
+          ROUND((CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+            / SQRT(CAST(va AS DOUBLE)), 6)
+        END AS z
+      FROM ag, nu
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b, n_strata, n_users_a,
+      n_users_b, n_times, o_a, e_a, z, ROUND(z * z, 6) AS chi2,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def stratified_logrank_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified log-rank (operators.sessions.
+    stratified_logrank_test) on the parity-split survival fixture
+    with user_id%3 strata: per-stratum risk tables pooled into one
+    segment-adjusted z — the confounder-proof spelling of
+    logrank_km_events.  censor_days=1 per the km de-vacuation
+    rule."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        stratified_logrank_test,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("arm", (F.col("user_id") % 2).cast("string"))
+        .withColumn("st", (F.col("user_id") % 3).cast("string"))
+    )
+    return stratified_logrank_test(
+        ev, "user_id", "ts", "arm", "st", censor_days=1
+    )

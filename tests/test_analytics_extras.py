@@ -1572,3 +1572,59 @@ def test_gehan_wilcoxon_hand_values(spark):
         sdf, "u", "ts", "arm", censor_days=1
     ).collect()[0]
     assert s.w_diff == 0.0 and s.z == 0.0 and s.significant == 0
+
+
+def test_stratified_logrank_hand_values(spark):
+    """Two identical strata of the logrank hand fixture: the pooled
+    O/E/V are exactly 2x the single-stratum values, so z scales by
+    sqrt(2) — and a confounded layout (arms swapped per stratum)
+    pools to 0."""
+    import datetime as dtm
+    import math
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        stratified_logrank_test,
+    )
+
+    d0 = dtm.datetime(2026, 1, 1, 12, 0)
+
+    def user(uid, arm, st, last_day):
+        return [
+            (uid, arm, st, d0),
+            (uid, arm, st, d0 + dtm.timedelta(days=last_day)),
+        ]
+
+    base = [
+        ("0", 1), ("0", 2), ("0", 5), ("1", 1), ("1", 3), ("1", 5)
+    ]
+    rows = []
+    for st in ("s1", "s2"):
+        for i, (arm, t) in enumerate(base):
+            rows += user(f"{st}_u{i}", arm, st, t)
+    df = spark.createDataFrame(
+        rows, "u string, arm string, st string, ts timestamp"
+    )
+    r = stratified_logrank_test(
+        df, "u", "ts", "arm", "st", censor_days=1
+    ).collect()[0]
+    # single-stratum hand fold (the logrank test's fixture):
+    e1 = 1.0 + 0.5 + round(1.0 * 1 / 3, 9)
+    v1 = 0.4 + 0.25 + round(1.0 * 1 / 3 * 2 / 3, 9)
+    assert (r.n_strata, r.n_times) == (2, 6)
+    assert (r.n_users_a, r.n_users_b) == (6, 6)
+    assert r.o_a == 4 and r.e_a == round(2 * e1, 6)
+    assert r.z == round((4 - 2 * e1) / math.sqrt(2 * v1), 6)
+    # confounding check: swap the arms in stratum 2 -> the pooled
+    # per-stratum (O-E) cancel exactly
+    rows2 = []
+    for st, flip in (("s1", False), ("s2", True)):
+        for i, (arm, t) in enumerate(base):
+            a = arm if not flip else ("1" if arm == "0" else "0")
+            rows2 += user(f"{st}_u{i}", a, st, t)
+    df2 = spark.createDataFrame(
+        rows2, "u string, arm string, st string, ts timestamp"
+    )
+    r2 = stratified_logrank_test(
+        df2, "u", "ts", "arm", "st", censor_days=1
+    ).collect()[0]
+    assert r2.z == 0.0 and r2.significant == 0
