@@ -1472,3 +1472,172 @@ def benjamini_hochberg(
         .cast("int")
         .alias("reject"),
     )
+
+
+def cuped_ztest(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    value_col: str,
+    pre_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 —
+    the industry-standard sensitivity boost): adjust each unit's
+    experiment-period metric Y by its PRE-period covariate X,
+    Y* = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), and z-test the
+    adjusted means.  Pre-period behavior explains the unit-level
+    variance the treatment never touched, so the adjusted test
+    reaches the same power at (1 − ρ²)× the sample — the difference
+    between a two-week and a two-month experiment.
+
+    ONE corpus scan: rows split by ``pre_col`` (true = pre-period)
+    into per-unit (X, Y) sums accumulating as DECIMAL(20,4) (the
+    hourly_rollup convention — per-unit double sums would be
+    partition-order-dependent), then one per-arm aggregation of the
+    sufficient moments (n, Σx, Σy, Σxy, Σx², Σy²) with each product
+    term 6dp-rounded into DECIMAL(38,6) (order-free).  θ is POOLED
+    across arms (the standard estimator — a per-arm θ would leak
+    treatment effect into the adjustment), rounded 9dp.  A unit
+    with no pre-period rows carries X = 0 — the convention that
+    keeps new users in the experiment rather than silently dropping
+    them (CUPED simply explains none of their variance).
+
+    Per-unit sums convert DECIMAL→DOUBLE once; a unit whose 4dp
+    unscaled sum exceeds 2⁵³ (a single unit accumulating >10¹¹ in
+    metric value) would hit the decimal→double parity edge — refused
+    implicitly by the moments staying NULL-free only below that
+    (documented headroom, the Gini contract).
+
+    Returns ONE row: (arm_a, arm_b, n_a, n_b, theta, rho,
+    mean_adj_a, mean_adj_b, lift_adj, z_raw, z_adj, significant) —
+    theta 9dp→6dp reported, rho/means/lift/z 6dp; z_adj NULL when
+    an arm has <2 units or a variance degenerates; ``significant``
+    compares the 6dp-ROUNDED |z_adj| (house convention).  var(X)=0
+    (no usable covariate) falls back to θ = 0: z_adj == z_raw,
+    never an error.
+    """
+    units = (
+        df.filter(
+            F.col(unit_col).isNotNull()
+            & F.col(arm_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(pre_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("_u"))
+        .agg(
+            F.min(F.col(arm_col).cast("string")).alias("_g"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(pre_col).cast("boolean"),
+                        F.col(value_col).cast("decimal(20,4)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(20,4)"),
+            ).alias("_xd"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.col(pre_col).cast("boolean"),
+                        F.col(value_col).cast("decimal(20,4)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(20,4)"),
+            ).alias("_yd"),
+        )
+    )
+    x = F.col("_xd").cast("double")
+    y = F.col("_yd").cast("double")
+    arms = units.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(x, 6).cast("decimal(38,6)")).alias("_sx"),
+        F.sum(F.round(y, 6).cast("decimal(38,6)")).alias("_sy"),
+        F.sum(F.round(x * y, 6).cast("decimal(38,6)")).alias(
+            "_sxy"
+        ),
+        F.sum(F.round(x * x, 6).cast("decimal(38,6)")).alias(
+            "_sxx"
+        ),
+        F.sum(F.round(y * y, 6).cast("decimal(38,6)")).alias(
+            "_syy"
+        ),
+    )
+    arms = arms.localCheckpoint(eager=True)
+    found = [r["_g"] for r in arms.select("_g").limit(3).collect()]
+    if len(found) != 2:
+        raise UserException(
+            f"cuped_ztest needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+
+    def _pick(g, col):
+        return F.max(F.when(F.col("_g") == g, F.col(col)))
+
+    row = arms.agg(
+        *[
+            _pick(g, c).alias(f"{c}_{s}")
+            for g, s in ((ga, "a"), (gb, "b"))
+            for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+        ]
+    )
+    na = F.col("_n_a").cast("double")
+    nb = F.col("_n_b").cast("double")
+    nn = (F.col("_n_a") + F.col("_n_b")).cast("double")
+    sx = (F.col("_sx_a") + F.col("_sx_b")).cast("double")
+    sy = (F.col("_sy_a") + F.col("_sy_b")).cast("double")
+    sxy = (F.col("_sxy_a") + F.col("_sxy_b")).cast("double")
+    sxx = (F.col("_sxx_a") + F.col("_sxx_b")).cast("double")
+    syy = (F.col("_syy_a") + F.col("_syy_b")).cast("double")
+    var_x = sxx - sx * sx / nn
+    var_y = syy - sy * sy / nn
+    cov = sxy - sx * sy / nn
+    theta = F.when(var_x > 0, F.round(cov / var_x, 9)).otherwise(
+        F.lit(0.0)
+    )
+    rho = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(cov / F.sqrt(var_x * var_y), 6),
+    )
+
+    def arm_stats(s):
+        n = F.col(f"_n_{s}").cast("double")
+        sxa = F.col(f"_sx_{s}").cast("double")
+        sya = F.col(f"_sy_{s}").cast("double")
+        sxya = F.col(f"_sxy_{s}").cast("double")
+        sxxa = F.col(f"_sxx_{s}").cast("double")
+        syya = F.col(f"_syy_{s}").cast("double")
+        mean_adj = sya / n - theta * (sxa / n - sx / nn)
+        ss_adj = (
+            (syya - sya * sya / n)
+            - F.lit(2.0) * theta * (sxya - sxa * sya / n)
+            + theta * theta * (sxxa - sxa * sxa / n)
+        )
+        ss_raw = syya - sya * sya / n
+        v_adj = F.when(n > 1, ss_adj / (n - F.lit(1.0)))
+        v_raw = F.when(n > 1, ss_raw / (n - F.lit(1.0)))
+        return mean_adj, v_adj, v_raw, sya / n
+
+    m_a, va_a, vr_a, my_a = arm_stats("a")
+    m_b, va_b, vr_b, my_b = arm_stats("b")
+    se_adj = F.sqrt(va_a / na + va_b / nb)
+    se_raw = F.sqrt(vr_a / na + vr_b / nb)
+    z_adj = F.when(se_adj > 0, F.round((m_b - m_a) / se_adj, 6))
+    z_raw = F.when(se_raw > 0, F.round((my_b - my_a) / se_raw, 6))
+    return row.select(
+        F.lit(ga).alias("arm_a"),
+        F.lit(gb).alias("arm_b"),
+        F.col("_n_a").cast("long").alias("n_a"),
+        F.col("_n_b").cast("long").alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        rho.alias("rho"),
+        F.round(m_a, 6).alias("mean_adj_a"),
+        F.round(m_b, 6).alias("mean_adj_b"),
+        F.round(m_b - m_a, 6).alias("lift_adj"),
+        z_raw.alias("z_raw"),
+        z_adj.alias("z_adj"),
+        F.coalesce(
+            (F.abs(z_adj) > F.lit(Z_CRIT_5PCT)).cast("int"),
+            F.lit(0),
+        ).alias("significant"),
+    )

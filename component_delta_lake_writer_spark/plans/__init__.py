@@ -124,6 +124,7 @@ _FRONT = [
     "cox_ph_events",
     "gehan_wilcoxon_events",
     "stratified_logrank_events",
+    "cuped_ztest_events",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

@@ -8862,3 +8862,159 @@ def stratified_logrank_events(
     return stratified_logrank_test(
         ev, "user_id", "ts", "arm", "st", censor_days=1
     )
+
+
+@query(
+    "cuped_ztest_events",
+    oracle="""
+    WITH un AS (
+      SELECT user_id AS u,
+        MIN(CAST(user_id % 2 AS VARCHAR)) AS g,
+        CAST(COALESCE(SUM(CASE WHEN hour(ts) < 12
+          THEN CAST(value AS DECIMAL(20,4)) END), 0)
+          AS DECIMAL(20,4)) AS xd,
+        CAST(COALESCE(SUM(CASE WHEN NOT (hour(ts) < 12)
+          THEN CAST(value AS DECIMAL(20,4)) END), 0)
+          AS DECIMAL(20,4)) AS yd
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    mo AS (
+      SELECT g, COUNT(*) AS n,
+        SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS sx,
+        SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS sy,
+        SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy,
+        SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS sxx,
+        SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS syy
+      FROM (
+        SELECT g, CAST(xd AS DOUBLE) AS x, CAST(yd AS DOUBLE) AS y
+        FROM un
+      ) GROUP BY 1
+    ),
+    pv AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN n END) AS n_a,
+        MAX(CASE WHEN g = '0' THEN sx END) AS sx_a,
+        MAX(CASE WHEN g = '0' THEN sy END) AS sy_a,
+        MAX(CASE WHEN g = '0' THEN sxy END) AS sxy_a,
+        MAX(CASE WHEN g = '0' THEN sxx END) AS sxx_a,
+        MAX(CASE WHEN g = '0' THEN syy END) AS syy_a,
+        MAX(CASE WHEN g = '1' THEN n END) AS n_b,
+        MAX(CASE WHEN g = '1' THEN sx END) AS sx_b,
+        MAX(CASE WHEN g = '1' THEN sy END) AS sy_b,
+        MAX(CASE WHEN g = '1' THEN sxy END) AS sxy_b,
+        MAX(CASE WHEN g = '1' THEN sxx END) AS sxx_b,
+        MAX(CASE WHEN g = '1' THEN syy END) AS syy_b
+      FROM mo
+    ),
+    c AS (
+      SELECT *,
+        CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        CAST(n_a + n_b AS DOUBLE) AS nn,
+        CAST(sx_a + sx_b AS DOUBLE) AS psx,
+        CAST(sy_a + sy_b AS DOUBLE) AS psy,
+        CAST(sxy_a + sxy_b AS DOUBLE) AS psxy,
+        CAST(sxx_a + sxx_b AS DOUBLE) AS psxx,
+        CAST(syy_a + syy_b AS DOUBLE) AS psyy
+      FROM pv
+    ),
+    t AS (
+      SELECT *,
+        psxx - psx * psx / nn AS varx,
+        psyy - psy * psy / nn AS vary,
+        psxy - psx * psy / nn AS cov
+      FROM c
+    ),
+    th AS (
+      SELECT *,
+        CASE WHEN varx > 0 THEN ROUND(cov / varx, 9)
+          ELSE CAST(0.0 AS DOUBLE) END AS theta,
+        CASE WHEN varx > 0 AND vary > 0
+          THEN ROUND(cov / SQRT(varx * vary), 6) END AS rho
+      FROM t
+    ),
+    st AS (
+      SELECT *,
+        CAST(sy_a AS DOUBLE) / nad
+          - theta * (CAST(sx_a AS DOUBLE) / nad - psx / nn)
+          AS m_a,
+        CAST(sy_b AS DOUBLE) / nbd
+          - theta * (CAST(sx_b AS DOUBLE) / nbd - psx / nn)
+          AS m_b,
+        CASE WHEN nad > 1 THEN (
+          (CAST(syy_a AS DOUBLE)
+             - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / nad)
+          - CAST(2.0 AS DOUBLE) * theta
+            * (CAST(sxy_a AS DOUBLE)
+               - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / nad)
+          + theta * theta
+            * (CAST(sxx_a AS DOUBLE)
+               - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / nad)
+        ) / (nad - 1.0) END AS va_a,
+        CASE WHEN nbd > 1 THEN (
+          (CAST(syy_b AS DOUBLE)
+             - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / nbd)
+          - CAST(2.0 AS DOUBLE) * theta
+            * (CAST(sxy_b AS DOUBLE)
+               - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / nbd)
+          + theta * theta
+            * (CAST(sxx_b AS DOUBLE)
+               - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / nbd)
+        ) / (nbd - 1.0) END AS va_b,
+        CASE WHEN nad > 1 THEN
+          (CAST(syy_a AS DOUBLE)
+             - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / nad)
+          / (nad - 1.0) END AS vr_a,
+        CASE WHEN nbd > 1 THEN
+          (CAST(syy_b AS DOUBLE)
+             - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / nbd)
+          / (nbd - 1.0) END AS vr_b
+      FROM th
+    ),
+    zz AS (
+      SELECT *,
+        SQRT(va_a / nad + va_b / nbd) AS se_adj,
+        SQRT(vr_a / nad + vr_b / nbd) AS se_raw
+      FROM st
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      ROUND(theta, 6) AS theta, rho,
+      ROUND(m_a, 6) AS mean_adj_a,
+      ROUND(m_b, 6) AS mean_adj_b,
+      ROUND(m_b - m_a, 6) AS lift_adj,
+      CASE WHEN se_raw > 0 THEN
+        ROUND((CAST(sy_b AS DOUBLE) / nbd
+               - CAST(sy_a AS DOUBLE) / nad) / se_raw, 6)
+      END AS z_raw,
+      CASE WHEN se_adj > 0 THEN
+        ROUND((m_b - m_a) / se_adj, 6) END AS z_adj,
+      CAST(COALESCE(ABS(CASE WHEN se_adj > 0 THEN
+        ROUND((m_b - m_a) / se_adj, 6) END) > 1.959964, FALSE)
+        AS INT) AS significant
+    FROM zz
+    """,
+)
+def cuped_ztest_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout
+    (operators.experiments.cuped_ztest): morning activity (hour <
+    12) is each user's pre-period covariate for their afternoon
+    metric — correlated through per-user activity level, so the
+    adjustment genuinely bites (rho > 0) — arms by user parity.
+    The full moment algebra (pooled theta, per-arm adjusted
+    means/variances, raw AND adjusted z) mirrors in the oracle
+    expression-for-expression."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cuped_ztest,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("arm", (F.col("user_id") % 2).cast("string"))
+        .withColumn("pre", F.hour("ts") < 12)
+    )
+    return cuped_ztest(ev, "user_id", "arm", "value", "pre")

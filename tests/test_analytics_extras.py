@@ -1628,3 +1628,77 @@ def test_stratified_logrank_hand_values(spark):
         df2, "u", "ts", "arm", "st", censor_days=1
     ).collect()[0]
     assert r2.z == 0.0 and r2.significant == 0
+
+
+def test_cuped_hand_values(spark):
+    """Perfectly linear covariate: theta recovers the slope exactly,
+    the adjusted variance collapses to 0 (z_adj NULL by the se>0
+    guard while z_raw stands), and a noisy variant matches the
+    python mirror of the full moment algebra."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cuped_ztest,
+    )
+
+    def stage(units):
+        rows = []
+        for i, (arm, x, y) in enumerate(units):
+            rows.append((f"u{i}", arm, float(x), True))
+            rows.append((f"u{i}", arm, float(y), False))
+        return spark.createDataFrame(
+            rows, "u string, arm string, value double, pre boolean"
+        )
+
+    # y = 2x (+1 on arm b): theta = 2, adjusted values constant
+    perfect = [
+        ("0", 1, 2), ("0", 2, 4), ("0", 3, 6),
+        ("1", 1, 3), ("1", 2, 5), ("1", 3, 7),
+    ]
+    r = cuped_ztest(
+        stage(perfect), "u", "arm", "value", "pre"
+    ).collect()[0]
+    assert r.theta == 2.0
+    assert (r.mean_adj_a, r.mean_adj_b, r.lift_adj) == (4.0, 5.0, 1.0)
+    assert r.rho == round(8 / math.sqrt(4 * 17.5), 6)
+    assert r.z_adj is None and r.significant == 0
+    assert r.z_raw is not None
+
+    def mirror(units):
+        import statistics as _s
+
+        xs = [x for _, x, _ in units]
+        ys = [y for _, _, y in units]
+        n = len(units)
+        cov = sum(x * y for _, x, y in units) - sum(xs) * sum(ys) / n
+        varx = sum(x * x for x in xs) - sum(xs) ** 2 / n
+        theta = round(cov / varx, 9)
+        out = {}
+        for arm in ("0", "1"):
+            sub = [(x, y) for a, x, y in units if a == arm]
+            xbar_all = sum(xs) / n
+            adj = [y - theta * (x - xbar_all) for x, y in sub]
+            out[arm] = (
+                sum(adj) / len(adj),
+                _s.variance(adj),
+                len(adj),
+            )
+        (ma, va, na), (mb, vb, nb) = out["0"], out["1"]
+        z = (mb - ma) / math.sqrt(va / na + vb / nb)
+        return theta, ma, mb, z
+
+    noisy = [
+        ("0", 1, 2.0), ("0", 2, 4.5), ("0", 3, 5.5),
+        ("1", 1, 3.5), ("1", 2, 4.5), ("1", 3, 7.5),
+        ("0", 4, 8.5), ("1", 4, 9.0),
+    ]
+    r2 = cuped_ztest(
+        stage(noisy), "u", "arm", "value", "pre"
+    ).collect()[0]
+    theta, ma, mb, z = mirror(noisy)
+    assert r2.theta == round(theta, 6)
+    assert abs(r2.mean_adj_a - ma) < 1e-6
+    assert abs(r2.mean_adj_b - mb) < 1e-6
+    assert abs(r2.z_adj - z) < 1e-5
+    # the point of CUPED on correlated data: tighter test
+    assert abs(r2.z_adj) >= abs(r2.z_raw)
