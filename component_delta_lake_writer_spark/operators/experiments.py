@@ -1641,3 +1641,129 @@ def cuped_ztest(
             F.lit(0),
         ).alias("significant"),
     )
+
+
+#: chi-square upper 5% critical values for df = 1..29 (Abramowitz &
+#: Stegun table 26.8) — shared by srm_check and its oracle so the
+#: lookup can never drift between engines (the F_CRIT_1PCT pattern).
+CHI2_CRIT_5PCT = (
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507,
+    16.919, 18.307, 19.675, 21.026, 22.362, 23.685, 24.996,
+    26.296, 27.587, 28.869, 30.144, 31.410, 32.671, 33.924,
+    35.172, 36.415, 37.652, 38.885, 40.113, 41.337, 42.557,
+)
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the A/B trust gate that runs
+    BEFORE any metric readout: a chi-square goodness-of-fit of the
+    observed per-arm UNIT counts against the declared traffic split.
+    A significant mismatch means the randomization itself is broken
+    (bot filtering, redirect loss, logging gaps biased by arm) and
+    every downstream test on the experiment is invalid — the
+    industry convention is to gate on p < 0.05 here and refuse to
+    read metrics at all.
+
+    One corpus scan to distinct units per arm (a unit is counted
+    once however many events it emits), one k-row aggregate;
+    χ² = Σ (o−e)²/e over exact counts with each term the identical
+    left-to-right double expression 9dp-rounded into a DECIMAL sum
+    (order-free), compared against the A&S df = k−1 critical value
+    shared with the oracle.  ``expected`` maps EVERY arm label to
+    its weight (weights normalize internally); an observed arm
+    missing from ``expected`` is refused loudly — an undeclared arm
+    IS a sample-ratio bug, not a default.
+
+    Returns ONE row: (n_units, n_arms, chi2, critical,
+    srm_detected) — chi2 6dp; srm_detected compares the 6dp-ROUNDED
+    χ² (house convention).  More than 30 arms refuses (the critical
+    table is df ≤ 29; a 30-way split is a config error, not an
+    experiment).
+    """
+    if not expected or len(expected) < 2:
+        raise UserException(
+            "srm_check needs >= 2 declared arms with weights"
+        )
+    if len(expected) > 30:
+        raise UserException(
+            "srm_check supports <= 30 arms (critical table df <= 29)"
+        )
+    total_w = float(sum(expected.values()))
+    if not total_w > 0:
+        raise UserException("srm_check: weights must sum > 0")
+    arms = (
+        df.filter(
+            F.col(unit_col).isNotNull() & F.col(arm_col).isNotNull()
+        )
+        .select(
+            F.col(unit_col).alias("_u"),
+            F.col(arm_col).cast("string").alias("_g"),
+        )
+        .groupBy("_u")
+        .agg(F.min("_g").alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    arms = arms.localCheckpoint(eager=True)
+    observed = [r["_g"] for r in arms.select("_g").collect()]
+    undeclared = sorted(set(observed) - {str(k) for k in expected})
+    if undeclared:
+        raise UserException(
+            f"srm_check: observed arm(s) {undeclared!r} not in the "
+            "declared split — an undeclared arm IS a sample-ratio "
+            "bug"
+        )
+    k = len(expected)
+    crit = CHI2_CRIT_5PCT[k - 2]
+    # the terms relation is built from the DECLARED split (2..k
+    # literal rows) left-joined with the observed counts: an arm
+    # that received ZERO units still contributes its full (0−e)²/e
+    # term — the most extreme mismatch there is, and exactly the one
+    # an observed-arms-only spelling would silently halve
+    declared = df.sparkSession.createDataFrame(
+        [
+            (str(a), float(expected[a]) / total_w)
+            for a in sorted(expected)
+        ],
+        "_g string, _w double",
+    )
+    tot = F.broadcast(arms.agg(F.sum("_n").alias("_N")))
+    # rename the observed count before joining: `tot` derives from
+    # the same pinned relation, and the self-join lineage makes a
+    # bare `_n` ambiguous after the crossJoin
+    obs = arms.withColumnRenamed("_n", "_obs_n")
+    terms = (
+        declared.join(obs, "_g", "left")
+        .crossJoin(tot)
+        .select(
+            F.coalesce(F.col("_obs_n"), F.lit(0)).alias("_o"),
+            (F.col("_N").cast("double") * F.col("_w")).alias("_e"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("_o").alias("n_units"),
+        F.count(F.lit(1)).alias("n_arms"),
+        F.sum(
+            F.round(
+                (F.col("_o").cast("double") - F.col("_e"))
+                * (F.col("_o").cast("double") - F.col("_e"))
+                / F.col("_e"),
+                9,
+            ).cast("decimal(28,9)")
+        ).alias("_chi2"),
+    )
+    chi2 = F.round(F.col("_chi2").cast("double"), 6)
+    return agg.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_arms").cast("long").alias("n_arms"),
+        chi2.alias("chi2"),
+        F.lit(crit).alias("critical"),
+        F.coalesce(
+            (chi2 > F.lit(crit)).cast("int"), F.lit(0)
+        ).alias("srm_detected"),
+    )

@@ -125,6 +125,7 @@ _FRONT = [
     "gehan_wilcoxon_events",
     "stratified_logrank_events",
     "cuped_ztest_events",
+    "srm_check_events",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

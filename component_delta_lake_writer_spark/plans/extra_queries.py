@@ -9018,3 +9018,57 @@ def cuped_ztest_events(
         .withColumn("pre", F.hour("ts") < 12)
     )
     return cuped_ztest(ev, "user_id", "arm", "value", "pre")
+
+
+@query(
+    "srm_check_events",
+    oracle="""
+    WITH un AS (
+      SELECT user_id,
+        MIN(CASE WHEN user_id % 10 < 3 THEN 'a' ELSE 'b' END) AS g
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    ob AS (SELECT g, COUNT(*) AS n FROM un GROUP BY 1),
+    d AS (
+      SELECT 'a' AS g, CAST(0.5 AS DOUBLE) AS w
+      UNION ALL SELECT 'b', CAST(0.5 AS DOUBLE)
+    ),
+    tt AS (SELECT SUM(n) AS ntot FROM ob),
+    terms AS (
+      SELECT COALESCE(ob.n, 0) AS o,
+        CAST(ntot AS DOUBLE) * w AS e
+      FROM d LEFT JOIN ob ON ob.g = d.g CROSS JOIN tt
+    ),
+    ag AS (
+      SELECT SUM(o) AS n_units, COUNT(*) AS n_arms,
+        SUM(CAST(ROUND((CAST(o AS DOUBLE) - e)
+          * (CAST(o AS DOUBLE) - e) / e, 9)
+          AS DECIMAL(28,9))) AS c2
+      FROM terms
+    )
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+      CAST(n_arms AS BIGINT) AS n_arms,
+      ROUND(CAST(c2 AS DOUBLE), 6) AS chi2,
+      CAST(3.841 AS DOUBLE) AS critical,
+      CAST(ROUND(CAST(c2 AS DOUBLE), 6) > 3.841 AS INT)
+        AS srm_detected
+    FROM ag
+    """,
+)
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators.experiments.srm_check):
+    units split 30/70 by construction but DECLARED 50/50 — the gate
+    must fire (srm_detected = 1 at both probe scales), proving the
+    chi-square goodness-of-fit actually detects a broken
+    randomization rather than rubber-stamping the declared split."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        srm_check,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(F.col("user_id") % 10 < 3, "a").otherwise("b"),
+    )
+    return srm_check(
+        ev, "user_id", "arm", expected={"a": 0.5, "b": 0.5}
+    )

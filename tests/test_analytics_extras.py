@@ -1702,3 +1702,52 @@ def test_cuped_hand_values(spark):
     assert abs(r2.z_adj - z) < 1e-5
     # the point of CUPED on correlated data: tighter test
     assert abs(r2.z_adj) >= abs(r2.z_raw)
+
+
+def test_srm_check_hand_values(spark):
+    """Matched split passes, a 30/70-vs-50/50 mismatch fires, a
+    declared-but-empty arm contributes its full (0-e)^2/e term,
+    undeclared observed arms and bad declarations refuse."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        srm_check,
+    )
+
+    def units(counts):
+        rows = []
+        i = 0
+        for arm, n in counts.items():
+            for _ in range(n):
+                rows.append((f"u{i}", arm))
+                i += 1
+        return spark.createDataFrame(rows, "u string, g string")
+
+    ok = srm_check(
+        units({"a": 50, "b": 50}), "u", "g", {"a": 1, "b": 1}
+    ).collect()[0]
+    assert (ok.n_units, ok.n_arms) == (100, 2)
+    assert ok.chi2 == 0.0 and ok.srm_detected == 0
+    assert ok.critical == 3.841
+
+    bad = srm_check(
+        units({"a": 30, "b": 70}), "u", "g", {"a": 0.5, "b": 0.5}
+    ).collect()[0]
+    # chi2 = (30-50)^2/50 + (70-50)^2/50 = 16
+    assert bad.chi2 == 16.0 and bad.srm_detected == 1
+
+    # declared arm with zero units: its (0-e)^2/e term counts
+    empty = srm_check(
+        units({"a": 60, "b": 60}), "u", "g",
+        {"a": 1, "b": 1, "c": 1},
+    ).collect()[0]
+    # e = 40 each: (60-40)^2/40 * 2 + (0-40)^2/40 = 20+40 = 60
+    assert empty.n_arms == 3 and empty.chi2 == 60.0
+    assert empty.critical == 5.991 and empty.srm_detected == 1
+
+    with pytest.raises(Exception, match="undeclared|not in the"):
+        srm_check(units({"a": 5, "x": 5}), "u", "g", {"a": 1, "b": 1})
+    with pytest.raises(Exception, match=">= 2 declared"):
+        srm_check(units({"a": 5}), "u", "g", {"a": 1})
+    with pytest.raises(Exception, match="sum > 0"):
+        srm_check(units({"a": 5, "b": 5}), "u", "g", {"a": 0, "b": 0})
