@@ -1710,8 +1710,20 @@ def srm_check(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     arms = arms.localCheckpoint(eager=True)
-    observed = [r["_g"] for r in arms.select("_g").collect()]
-    undeclared = sorted(set(observed) - {str(k) for k in expected})
+    # BOUNDED undeclared-arm probe: filtering the pinned per-arm
+    # relation against the declared labels and taking a handful of
+    # offenders stays O(1) even when the "arm" column is
+    # high-cardinality garbage — collecting ALL observed arms would
+    # be an unbounded driver fetch on exactly that failure mode
+    undeclared = sorted(
+        r["_g"]
+        for r in arms.filter(
+            ~F.col("_g").isin([str(k) for k in expected])
+        )
+        .select("_g")
+        .limit(5)
+        .collect()
+    )
     if undeclared:
         raise UserException(
             f"srm_check: observed arm(s) {undeclared!r} not in the "
