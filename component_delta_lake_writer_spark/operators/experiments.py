@@ -1779,3 +1779,152 @@ def srm_check(
             (chi2 > F.lit(crit)).cast("int"), F.lit(0)
         ).alias("srm_detected"),
     )
+
+
+def _erfc_two_sided_p(z):
+    """Two-sided normal p-value from a z column via the
+    Abramowitz & Stegun 7.1.26 rational approximation of erfc
+    (|error| < 1.5e-7 — far below the 9dp round both engines apply):
+    p = erfc(|z|/√2) = (Σ aᵢtⁱ)·e^(−x²), t = 1/(1+0.3275911x).
+    Pure fixed double arithmetic, the identical left-to-right
+    expression on both engines — the portable spelling of Φ that
+    needs no erf built-in (Spark has none)."""
+    x = F.abs(z) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        + F.lit(-0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        + F.lit(-1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+def ab_grid_fdr(
+    df: DataFrame,
+    segment_col: str,
+    arm_col: str,
+    success_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """The metric×segment experiment readout the FDR machinery
+    exists for: one two-proportion z-test PER SEGMENT (set-based —
+    a groupBy over (segment, arm) cells, never a driver loop over
+    segments), two-sided p-values via the A&S erfc approximation,
+    and Benjamini–Hochberg correction ACROSS the grid — so 40
+    segment readouts at α=0.05 stop yielding two false "winning
+    segments" per experiment by construction.
+
+    Shape: one corpus scan to the (segment, arm) cell counts
+    (pinned — consumed by the arms probe and the per-segment
+    pivot), the per-segment z exactly as
+    :func:`two_proportion_ztest` spells it, p = 9dp-rounded erfc of
+    the 6dp-rounded z, then :func:`benjamini_hochberg` over the
+    metadata-scale (segment, p) relation and a broadcast join back
+    onto the per-segment stats.  Segments whose test degenerates
+    (one arm empty, pooled rate 0 or 1) carry NULL z/p and take no
+    part in the correction — they surface with NULL q/reject
+    rather than silently vanishing.
+
+    Returns one row per segment: (segment, n_a, conv_a, rate_a,
+    n_b, conv_b, rate_b, z, p_value, p_rank, q_value, reject).
+    """
+    cells = (
+        df.filter(
+            F.col(segment_col).isNotNull()
+            & F.col(arm_col).isNotNull()
+            & F.col(success_col).isNotNull()
+        )
+        .groupBy(
+            F.col(segment_col).cast("string").alias("_seg"),
+            F.col(arm_col).cast("string").alias("_g"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(success_col).cast("long")).alias("_s"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=True)
+    found = [
+        r["_g"]
+        for r in cells.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"ab_grid_fdr needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+
+    def _pick(g, col):
+        return F.max(F.when(F.col("_g") == g, F.col(col)))
+
+    per_seg = cells.groupBy("_seg").agg(
+        _pick(ga, "_n").alias("n_a"),
+        _pick(ga, "_s").alias("conv_a"),
+        _pick(gb, "_n").alias("n_b"),
+        _pick(gb, "_s").alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a")
+            + F.lit(1.0) / F.col("n_b")
+        )
+    )
+    z = F.when(
+        F.col("n_a").isNotNull()
+        & F.col("n_b").isNotNull()
+        & (pooled > 0)
+        & (pooled < 1),
+        F.round((rb - ra) / se, 6),
+    )
+    stats = per_seg.select(
+        "_seg",
+        "n_a",
+        "conv_a",
+        F.round(ra, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("_z"),
+        F.round(_erfc_two_sided_p(z), 9).alias("_p"),
+    )
+    # pinned: consumed by the BH pass AND the join back
+    stats = stats.localCheckpoint(eager=True)
+    bh = benjamini_hochberg(
+        stats.filter(F.col("_p").isNotNull()).select("_seg", "_p"),
+        "_seg",
+        "_p",
+        alpha=alpha,
+    ).select(
+        F.col("test_id").alias("_seg"),
+        "p_value",
+        "p_rank",
+        "q_value",
+        "reject",
+    )
+    return (
+        stats.join(F.broadcast(bh), "_seg", "left")
+        .select(
+            F.col("_seg").alias("segment"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("conv_a").cast("long").alias("conv_a"),
+            "rate_a",
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("conv_b").cast("long").alias("conv_b"),
+            "rate_b",
+            F.col("_z").alias("z"),
+            "p_value",
+            "p_rank",
+            "q_value",
+            "reject",
+        )
+    )

@@ -126,6 +126,7 @@ _FRONT = [
     "stratified_logrank_events",
     "cuped_ztest_events",
     "srm_check_events",
+    "ab_grid_fdr_events",
     "ann_batch_lsh_topk",
     # ------------------------------------------------------------------
     # Round 11 budget window (first occurrence wins — every listing

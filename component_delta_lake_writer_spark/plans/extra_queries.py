@@ -9072,3 +9072,106 @@ def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_check(
         ev, "user_id", "arm", expected={"a": 0.5, "b": 0.5}
     )
+
+
+@query(
+    "ab_grid_fdr_events",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS seg, CAST(event_id % 2 AS VARCHAR) AS g,
+        COUNT(*) AS n,
+        SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END) AS s
+      FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT seg,
+        MAX(CASE WHEN g = '0' THEN n END) AS n_a,
+        MAX(CASE WHEN g = '0' THEN s END) AS conv_a,
+        MAX(CASE WHEN g = '1' THEN n END) AS n_b,
+        MAX(CASE WHEN g = '1' THEN s END) AS conv_b
+      FROM cells GROUP BY 1
+    ),
+    zz AS (
+      SELECT *,
+        CAST(conv_a AS DOUBLE) / n_a AS ra,
+        CAST(conv_b AS DOUBLE) / n_b AS rb,
+        CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pooled
+      FROM pv
+    ),
+    z1 AS (
+      SELECT *,
+        CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+          AND pooled > 0 AND pooled < 1
+        THEN ROUND((rb - ra) / SQRT(pooled * (1.0 - pooled)
+          * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+      FROM zz
+    ),
+    pp AS (
+      SELECT *, CASE WHEN z IS NOT NULL THEN ROUND(
+        (0.254829592 * t + (-0.284496736) * t * t
+         + 1.421413741 * t * t * t
+         + (-1.453152027) * t * t * t * t
+         + 1.061405429 * t * t * t * t * t) * EXP(-x * x), 9)
+      END AS p
+      FROM (
+        SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t
+        FROM (
+          SELECT *, ABS(z) / 1.4142135623730951 AS x FROM z1
+        )
+      )
+    ),
+    rk AS (
+      SELECT seg, p, ROW_NUMBER() OVER (ORDER BY p, seg) AS i,
+        COUNT(*) OVER () AS m
+      FROM pp WHERE p IS NOT NULL
+    ),
+    s2 AS (
+      SELECT seg, p, i, CAST(m AS DOUBLE) * p / i AS sv FROM rk
+    ),
+    qq AS (
+      SELECT seg, p, i,
+        LEAST(CAST(1.0 AS DOUBLE), MIN(sv) OVER (ORDER BY i DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          AS qraw
+      FROM s2
+    )
+    SELECT pp.seg AS segment,
+      CAST(pp.n_a AS BIGINT) AS n_a,
+      CAST(pp.conv_a AS BIGINT) AS conv_a,
+      ROUND(pp.ra, 6) AS rate_a,
+      CAST(pp.n_b AS BIGINT) AS n_b,
+      CAST(pp.conv_b AS BIGINT) AS conv_b,
+      ROUND(pp.rb, 6) AS rate_b,
+      pp.z AS z,
+      qq.p AS p_value,
+      CAST(qq.i AS BIGINT) AS p_rank,
+      ROUND(qq.qraw, 6) AS q_value,
+      CAST(ROUND(qq.qraw, 9) <= CAST(0.05 AS DOUBLE) AS INT)
+        AS reject
+    FROM pp LEFT JOIN qq ON qq.seg = pp.seg
+    """,
+)
+def ab_grid_fdr_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metric×segment readout with FDR control
+    (operators.experiments.ab_grid_fdr): a two-proportion z per
+    event_type segment (arms by event parity, success = value > 35),
+    two-sided p via the A&S erfc approximation (the portable Φ —
+    identical fixed arithmetic both engines), Benjamini-Hochberg
+    across the 5-segment grid, q-values joined back onto the
+    per-segment stats — the composition fdr_bh_orders exists to
+    serve, exercised end-to-end."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ab_grid_fdr,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("arm", (F.col("event_id") % 2).cast("string"))
+        .withColumn("hit", (F.col("value") > 35).cast("int"))
+    )
+    return ab_grid_fdr(ev, "event_type", "arm", "hit", alpha=0.05)

@@ -1751,3 +1751,61 @@ def test_srm_check_hand_values(spark):
         srm_check(units({"a": 5}), "u", "g", {"a": 1})
     with pytest.raises(Exception, match="sum > 0"):
         srm_check(units({"a": 5, "b": 5}), "u", "g", {"a": 0, "b": 0})
+
+
+def test_ab_grid_fdr_hand_values(spark):
+    """The erfc p-approximation tracks math.erfc to <1.5e-7; a
+    planted winning segment is the ONLY BH rejection across the
+    grid; degenerate segments surface with NULL q instead of
+    vanishing."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        _erfc_two_sided_p,
+        ab_grid_fdr,
+    )
+
+    zs = [0.0, 0.5, 1.0, 1.959964, 2.5, 4.0, -3.2]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r.z: r.p for r in df.select(
+            "z", _erfc_two_sided_p(F.col("z")).alias("p")
+        ).collect()
+    }
+    for z in zs:
+        want = math.erfc(abs(z) / math.sqrt(2))
+        assert abs(got[z] - want) < 1.5e-7, (z, got[z], want)
+
+    def seg_rows(seg, ca, cb, n=200):
+        rows = []
+        for i in range(n):
+            rows.append((seg, "a", 1 if i < ca else 0))
+            rows.append((seg, "b", 1 if i < cb else 0))
+        return rows
+
+    rows = (
+        seg_rows("s1", 100, 180)       # the real winner
+        + seg_rows("s2", 100, 105)
+        + seg_rows("s3", 100, 95)
+        + seg_rows("s4", 100, 108)
+        # a degenerate segment: all successes in both arms
+        + seg_rows("s5", 200, 200)
+    )
+    out = {
+        r.segment: r
+        for r in ab_grid_fdr(
+            spark.createDataFrame(rows, "seg string, g string, y int"),
+            "seg", "g", "y",
+        ).collect()
+    }
+    assert out["s1"].reject == 1 and out["s1"].p_rank == 1
+    assert all(out[s].reject == 0 for s in ("s2", "s3", "s4"))
+    # degenerate: pooled rate 1 -> NULL z/p, excluded from BH
+    assert out["s5"].z is None and out["s5"].q_value is None
+    # q monotone in p-rank over the tested segments
+    ranked = sorted(
+        (out[s] for s in ("s1", "s2", "s3", "s4")),
+        key=lambda r: r.p_rank,
+    )
+    qs = [r.q_value for r in ranked]
+    assert qs == sorted(qs)
