@@ -107,16 +107,20 @@ _FRONT = [
     "stream_ingest_dedup",
     "stream_static_enrich",
     # ------------------------------------------------------------------
-    # Positions 51+: the TIFF/MP3 container keys are NEW in r12 but
-    # listed PAST the budget window ON PURPOSE (the explicit-slot
-    # rule that normally puts new keys up front is overridden): the
-    # r11 verdict ranked the stale-evidence burn-down #1 and the
-    # audio/image-tier gap #8, so these two keep their sf0.001
-    # differential coverage from every pytest run this round and
-    # LEAD the r13 refresh queue (an unseen key listed here keeps
-    # its listed position — the _reorder safety net only front-runs
-    # unseen keys with NO explicit slot).  After them: the r13+
-    # rotation backlog, oldest first (1 r2 + 9 r3 + 44 r4 + ...).
+    # Positions 51+: the NINE keys registered mid-r12 (the TIFF/MP3/
+    # FLAC container parsers, the survival wave — Cox PH, Gehan-
+    # Wilcoxon, stratified log-rank — and the experimentation wave —
+    # CUPED, the SRM gate, the metric×segment FDR grid) are listed
+    # PAST the budget window ON PURPOSE (overriding the explicit-
+    # slot rule that normally puts new keys up front): the r11
+    # verdict ranked the stale-evidence burn-down #1, so these keep
+    # their sf0.001 differential coverage from every pytest run this
+    # round and LEAD the r13 refresh queue (an unseen key listed
+    # here keeps its listed position — the _reorder safety net only
+    # front-runs unseen keys with NO explicit slot).  After them:
+    # the r13+ rotation backlog, oldest first (ann_batch_lsh_topk,
+    # then 9 r3 + 44 r4 + 17 r5 + 17 r6) — 10 new + 40 stale fills
+    # one r13 window exactly.
     # ------------------------------------------------------------------
     "tiff_meta_parse",
     "mp3_meta_parse",
