@@ -1392,3 +1392,72 @@ def test_cox_ph_matches_bruteforce(spark, users):
         assert r.beta == round(b, 6)
         assert r.hazard_ratio == round(math.exp(b), 6)
         assert r.se == round(se, 6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    units=st.lists(
+        st.tuples(
+            st.booleans(),                       # arm
+            st.integers(min_value=0, max_value=50),   # x (pre)
+            st.integers(min_value=0, max_value=50),   # y (post)
+        ),
+        min_size=4,
+        max_size=25,
+    ),
+)
+def test_cuped_matches_bruteforce(spark, units):
+    """cuped_ztest == the textbook estimator on ANY two-arm
+    (pre, post) multiset: pooled theta = cov/var, adjusted means,
+    and the z from per-arm sample variances — including the
+    var(X)=0 fallback (theta = 0, z_adj == z_raw)."""
+    import math
+    import statistics as _s
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cuped_ztest,
+    )
+
+    assume(len({a for a, _, _ in units}) == 2)
+    rows = []
+    for i, (arm, x, y) in enumerate(units):
+        g = "B" if arm else "A"
+        rows.append((f"u{i}", g, float(x), True))
+        rows.append((f"u{i}", g, float(y), False))
+    df = spark.createDataFrame(
+        rows, "u string, arm string, value double, pre boolean"
+    )
+    r = cuped_ztest(df, "u", "arm", "value", "pre").collect()[0]
+
+    xs = [x for _, x, _ in units]
+    ys = [y for _, _, y in units]
+    n = len(units)
+    varx = sum(x * x for x in xs) - sum(xs) ** 2 / n
+    cov = sum(x * y for _, x, y in units) - sum(xs) * sum(ys) / n
+    theta = round(cov / varx, 9) if varx > 0 else 0.0
+    assert r.theta == round(theta, 6)
+    xbar = sum(xs) / n
+    out = {}
+    for g in ("A", "B"):
+        sub = [(x, y) for a, x, y in units if (a and g == "B")
+               or (not a and g == "A")]
+        adj = [y - theta * (x - xbar) for x, y in sub]
+        out[g] = (sum(adj) / len(adj),
+                  _s.variance(adj) if len(adj) > 1 else None,
+                  len(adj))
+    (ma, va, na), (mb, vb, nb) = out["A"], out["B"]
+    assert abs(r.mean_adj_a - ma) < 1e-6
+    assert abs(r.mean_adj_b - mb) < 1e-6
+    if va is None or vb is None or va / na + vb / nb <= 0:
+        assert r.z_adj is None
+    else:
+        z = (mb - ma) / math.sqrt(va / na + vb / nb)
+        assert abs(r.z_adj - z) < 1e-4
+    if varx == 0:
+        assert r.theta == 0.0 and r.z_adj == r.z_raw
