@@ -620,6 +620,7 @@ def _lm_curve(
             return time.perf_counter() - t0
 
         twin = None
+        twin_constructed = False
         try:
             from baseline_duckdb import LmScaledTwin
 
@@ -627,6 +628,7 @@ def _lm_curve(
                 threads=32, max_memory_mb=8192, scale=scale,
                 sf_dir=sf_dir,
             )
+            twin_constructed = True
         except Exception as exc:
             print(f"# duckdb lm twin x{scale} failed: {exc}",
                   file=sys.stderr)
@@ -674,9 +676,13 @@ def _lm_curve(
             point["duckdb_best"] = dbest
             point["ratio"] = round(best / dbest, 2)
             point["ratio_median"] = round(sec / duck, 2)
-        elif duck_times:
-            # twin died mid-loop: short sample, ratio withheld
-            # (the merge-curve degraded-sample rule)
+        elif twin_constructed:
+            # twin died mid-loop — INCLUDING on trial 1, leaving
+            # zero completed trials (r12 ADVICE: an empty
+            # duck_times must still carry the degraded marker, or a
+            # twin that died immediately is indistinguishable from
+            # one that never constructed): short sample, ratio
+            # withheld (the merge-curve degraded-sample rule)
             point["duckdb_trials"] = len(duck_times)
             point["duckdb_degraded"] = True
         points.append(point)

@@ -1683,7 +1683,8 @@ def srm_check(
     srm_detected) — chi2 6dp; srm_detected compares the 6dp-ROUNDED
     χ² (house convention).  More than 30 arms refuses (the critical
     table is df ≤ 29; a 30-way split is a config error, not an
-    experiment).
+    experiment).  ZERO observed units refuses too — a gate with no
+    data is inconclusive, not clean.
     """
     if not expected or len(expected) < 2:
         raise UserException(
@@ -1710,6 +1711,16 @@ def srm_check(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     arms = arms.localCheckpoint(eager=True)
+    # Refuse loudly on ZERO observed units (r12 ADVICE): a trust
+    # gate that answers "no mismatch" for an experiment with no data
+    # is the opposite of a gate.  limit(1) on the pinned per-arm
+    # relation is a bounded metadata-scale action.
+    if not arms.limit(1).collect():
+        raise UserException(
+            "srm_check: no units observed (all rows null or the "
+            "input is empty) — the gate is inconclusive, refusing "
+            "to report 'no mismatch'"
+        )
     # BOUNDED undeclared-arm probe: filtering the pinned per-arm
     # relation against the declared labels and taking a handful of
     # offenders stays O(1) even when the "arm" column is

@@ -25,6 +25,101 @@ from component_delta_lake_writer_spark.plans import corpus_extras  # noqa: F401 
 
 _FRONT = [
     # ------------------------------------------------------------------
+    # Round 13 budget window (first occurrence wins — every listing
+    # of these keys in any older round block below is superseded).
+    # Composition, per the r12 verdict's brief (task #1, executed
+    # verbatim):
+    #   (a) parquet_scan — the session warm-up absorber, always
+    #       slot 1;
+    #   (b) the NINE keys registered mid-r12 that have never received
+    #       a driver row (TIFF/MP3/FLAC container parsers, the
+    #       survival wave — Cox PH, Gehan-Wilcoxon, stratified
+    #       log-rank — and the experimentation wave — CUPED, the SRM
+    #       gate, the metric×segment FDR grid).  Three of these also
+    #       carry r13 code changes (the FLAC fixture's 32-bit
+    #       total-samples mask, the MP3 garbage-payload prefix, the
+    #       srm_check empty-input refusal — this round's ADVICE), so
+    #       the changed-key re-front rule lands on the same slots;
+    #   (c) ann_batch_lsh_topk — the single r2-era key, the oldest
+    #       driver row in the registry;
+    #   (d) the full r3 cohort (9 TPC-H keys), then the OLDEST 30 of
+    #       the 44-key r4 cohort in first-seen order, with the three
+    #       streaming keys among them moved to the window's end,
+    #       cheapest first (the r8 warm-engine cold-start rule).
+    # Backlog after this window: 48 (14 r4 + 17 r5 + 17 r6) — one
+    # r14 window finishes the burn-down.  The keys NEW in r13
+    # (EXIF, BPE training, and any stretch parsers) are listed PAST
+    # slot 50, r12-style, so they keep their per-pytest sf0.001
+    # differential coverage and lead the r14 refresh queue.
+    # ------------------------------------------------------------------
+    "parquet_scan",
+    # (b) the nine never-driver-checked r12 keys
+    "tiff_meta_parse",
+    "mp3_meta_parse",
+    "flac_meta_parse",
+    "cox_ph_events",
+    "gehan_wilcoxon_events",
+    "stratified_logrank_events",
+    "cuped_ztest_events",
+    "srm_check_events",
+    "ab_grid_fdr_events",
+    # (c) the oldest driver row in the registry (r2)
+    "ann_batch_lsh_topk",
+    # (d) the r3 cohort — newest driver rows all from round 3
+    "tpch_q11_value_share",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_volume_suppliers",
+    # (d) the oldest 30 of the r4 cohort, first-seen order,
+    #     streaming keys deferred to the window's end
+    "tpch_q21_sole_late_supplier",
+    "corpus_mix_report",
+    "frame_sample_plan",
+    "csv_quoted_edge",
+    "parquet_scan_multifile",
+    "distinct_users_hourly",
+    "csv_gzip_scan",
+    "multimodal_byte_features",
+    "generated_columns_write",
+    "bloom_point_lookup",
+    "shard_export_balanced",
+    "identity_column_write",
+    "incremental_mv_refresh",
+    "approx_distinct_sketch",
+    "ann_pq_adc_topk",
+    "ohlc_resample_15m",
+    "nested_struct_prune",
+    "referential_integrity_audit",
+    "pk_uniqueness_audit",
+    "export_jsonl_roundtrip",
+    "describe_detail",
+    "set_except_all",
+    "explode_outer_nulls",
+    "pagerank_top_nodes",
+    "show_partitions",
+    "pipeline_curated_retrieval",
+    "sql_over_managed_view",
+    # (d) the r4 streaming trio last — warm-engine cold-start rule
+    "stream_watermark_emission",
+    "stream_table_source",
+    "stream_mv_rollup",
+    # ------------------------------------------------------------------
+    # Positions 51+: keys registered NEW in r13 (EXIF via the JPEG
+    # APP1 → TIFF IFD composition, distributed BPE merge training,
+    # stretch parsers) — listed past the budget window on purpose,
+    # exactly as the r12 nine were: the r12 verdict ranked stamping
+    # those nine plus the stale burn-down #1, so the window is spent
+    # there; these keep sf0.001 differential coverage from every
+    # pytest run and lead the r14 refresh queue.
+    # ------------------------------------------------------------------
+    "exif_meta_parse",
+    "bpe_train_merges",
+    # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).
     # Composition, per the r11 verdict's brief:
@@ -139,7 +234,9 @@ _FRONT = [
     #   (a) parquet_scan — the session warm-up absorber, always slot 1;
     #   (b) the 4 brand-new r11 keys (LM perplexity, WebP/GIF, the
     #       bootstrap CI) — explicit slots so they don't land in the
-    #       cold tier-1 front (see the r10 block note);
+    #       cold tier-1 front (see the header note: unseen+unlisted
+    #       keys jump to the tier-1 front; listed keys keep their
+    #       listed position);
     #   (c) every key whose OPERATOR or ORACLE changed this round:
     #       the six de-vacuated probes (km/set_except/url_dedup/q22/
     #       q7/range_join), the integer-wedge triangle count, the

@@ -2179,10 +2179,12 @@ def mp3_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats the first frame sync per row, then a valid 4-byte frame
     header cycling MPEG1/MPEG2 Layer III through all 14 bitrate
     indices, 3 sample-rate indices and 4 channel modes — every 7th
-    doc gets text-only garbage (UTF-8 can never contain the 0xFF
-    sync byte, so the bounded sync scan proves the never-throws
-    contract).  The oracle replays the ISO bitrate/sample-rate
-    tables as CASE ladders over the same doc_id arithmetic."""
+    doc gets a NUL byte + text garbage (UTF-8 can never contain the
+    0xFF sync byte, so the bounded sync scan proves the never-throws
+    contract; the NUL prefix pins has_id3 = false even for a text
+    that happens to start with the ASCII bytes 'ID3' — r12 ADVICE).
+    The oracle replays the ISO bitrate/sample-rate tables as CASE
+    ladders over the same doc_id arithmetic."""
     from component_delta_lake_writer_spark.operators.multimodal import (
         parse_mp3_meta,
     )
@@ -2217,7 +2219,9 @@ def mp3_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 7 != 0,
             F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
         )
-        .otherwise(F.encode("text", "utf-8"))
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
         .alias("payload"),
     )
     return parse_mp3_meta(staged)
@@ -2240,7 +2244,8 @@ def mp3_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            THEN CAST(16 + 8 * (doc_id % 2) AS INT)
       END AS bits_per_sample,
       CASE WHEN doc_id % 7 <> 0
-           THEN CAST((doc_id % 16) * 4294967296 + doc_id * 1000
+           THEN CAST((doc_id % 16) * 4294967296
+                     + (doc_id * 1000) % 4294967296
                      AS BIGINT)
       END AS total_samples
     FROM documents
@@ -2272,7 +2277,12 @@ def flac_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = (1 + F.col("doc_id") % 8).cast("long")
     bps = (16 + 8 * (F.col("doc_id") % 2)).cast("long")
     total_hi = (F.col("doc_id") % 16).cast("long")
-    total_lo = (F.col("doc_id") * 1000).cast("long")
+    # Mask to 32 bits: %08x would otherwise grow past 8 hex chars
+    # once doc_id >= 4294968 (large SFs) and shift every later byte
+    # (r12 ADVICE).  The oracle applies the same mask.
+    total_lo = ((F.col("doc_id") * 1000) % F.lit(4294967296)).cast(
+        "long"
+    )
     u32a = sr * 4096 + (ch - 1) * 512 + (bps - 1) * 16 + total_hi
     hdr_hex = F.concat(
         F.lit("664c6143"),                        # 'fLaC'

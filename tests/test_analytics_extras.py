@@ -1751,6 +1751,15 @@ def test_srm_check_hand_values(spark):
         srm_check(units({"a": 5}), "u", "g", {"a": 1})
     with pytest.raises(Exception, match="sum > 0"):
         srm_check(units({"a": 5, "b": 5}), "u", "g", {"a": 0, "b": 0})
+    # zero observed units: the gate refuses instead of reporting
+    # "no mismatch" for an experiment with no data (r12 ADVICE)
+    with pytest.raises(Exception, match="no units observed"):
+        srm_check(
+            spark.createDataFrame(
+                [(None, None)], "u string, g string"
+            ),
+            "u", "g", {"a": 1, "b": 1},
+        )
 
 
 def test_ab_grid_fdr_hand_values(spark):
