@@ -115,6 +115,75 @@ SUITE_VERSION_V2 = "v2-12q-r9"
 # ratio (not the total) jumps >20% is a real engine regression.
 CANARY_REF_RATIO_KEY = "suite_v1_per_canary"
 
+#: 1-min loadavg ceiling for sealing the timed suite (round 13).
+#: The r12 seal ran concurrently with the 312-key sweep + pytest and
+#: recorded v1 = 60.4 s where the judge's idle re-run of the SAME
+#: tree measured 32.5 s — and the r12 canary (one threads=32 DuckDB
+#: query) normalized host *speed*, not 32-core *contention*: it read
+#: FASTER sealed (0.57 s) than idle (0.686 s).  Two fixes: (a) this
+#: gate — refuse to start the timed suite until the 1-min loadavg is
+#: below the ceiling, waiting up to IDLE_WAIT_MAX_S and stamping the
+#: record ``host_load_degraded`` if the host never went idle; (b) a
+#: concurrency-MATCHED canary (``_host_canary_mt``: 32 concurrent
+#: single-thread DuckDB CPU workloads) whose wall-clock dilates with
+#: whatever else is eating the cores, so suite_v1_per_canary_mt
+#: stays flat under contention where the r12 ratio swung 2.2×.
+LOADAVG_CEILING = 4.0
+IDLE_WAIT_MAX_S = 300.0
+
+
+def _await_idle_host(
+    ceiling: float = LOADAVG_CEILING,
+    max_wait_s: float = IDLE_WAIT_MAX_S,
+    poll_s: float = 15.0,
+) -> tuple[float, float]:
+    """Block until the 1-min loadavg drops below ``ceiling`` (or the
+    wait budget runs out).  Returns (final_loadavg, waited_sec).
+    Must run BEFORE the Spark session spins up — our own warm-up
+    scans would spike the very average being gated on."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > ceiling and time.time() - t0 < max_wait_s:
+        print(
+            f"# host busy: 1-min loadavg {load:.2f} > {ceiling} — "
+            f"waiting for idle ({time.time() - t0:.0f}s elapsed)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        load = os.getloadavg()[0]
+    return round(load, 2), round(time.time() - t0, 1)
+
+
+def _host_canary_mt(threads: int = 32) -> float:
+    """Concurrency-matched host canary: wall-clock for ``threads``
+    CONCURRENT single-thread DuckDB CPU workloads (md5 chain over a
+    generated range — no IO, so page-cache state can't move it).  On
+    an idle 32-core host all 32 run in parallel and the wall-time ≈
+    one workload's time; under external 32-thread load the kernel
+    time-slices and the wall-time dilates roughly with the
+    contention factor — exactly the signal the r12 single-query
+    canary missed.  duckdb releases the GIL inside execute, so a
+    thread pool gets true parallelism."""
+    import duckdb
+    from concurrent.futures import ThreadPoolExecutor
+
+    q = (
+        "SELECT max(md5(CAST(i AS VARCHAR))) "
+        "FROM range(1500000) t(i)"
+    )
+
+    def one(_=None) -> None:
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        con.execute(q).fetchall()
+        con.close()
+
+    one()  # untimed: first-call codegen/catalog setup
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(one, range(threads)))
+    return round(time.perf_counter() - t0, 3)
+
 
 def _host_canary(sf_dir: str) -> float:
     """Best-of-3 of a fixed DuckDB scan+agg over lineitem — the
@@ -1568,6 +1637,24 @@ def main() -> None:
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
 
+    # Idle-host gate (r12 What's-wrong #1) — BEFORE the Spark session
+    # exists, so the loadavg reflects only external contention.
+    loadavg_start, idle_waited = _await_idle_host()
+    host_load_degraded = loadavg_start > LOADAVG_CEILING
+    if host_load_degraded:
+        print(
+            f"# SEAL DEGRADED: loadavg {loadavg_start} still > "
+            f"{LOADAVG_CEILING} after {idle_waited}s — timed numbers "
+            "below are load-contaminated; compare ratios, not totals",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"# idle-host gate: loadavg {loadavg_start} "
+            f"(waited {idle_waited}s)",
+            file=sys.stderr,
+        )
+
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -1713,6 +1800,15 @@ def main() -> None:
     except Exception as exc:
         canary = None
         print(f"# host canary failed: {exc}", file=sys.stderr)
+    # concurrency-matched canary (r13): dilates with core contention,
+    # which the single-query canary above measurably does not
+    try:
+        canary_mt = _host_canary_mt()
+        print(f"# host_canary_mt: {canary_mt:.3f}s — "
+              f"v1/canary_mt {total / canary_mt:.1f}", file=sys.stderr)
+    except Exception as exc:
+        canary_mt = None
+        print(f"# host canary_mt failed: {exc}", file=sys.stderr)
 
     result: dict = {
         "metric": "headline_suite_seconds",
@@ -1726,9 +1822,15 @@ def main() -> None:
         "envelope_scale10": env,
         "envelope_scale10_spread": env_spread,
     }
+    result["loadavg_at_seal"] = loadavg_start
+    result["idle_wait_sec"] = idle_waited
+    result["host_load_degraded"] = host_load_degraded
     if canary:
         result["host_canary_sec"] = canary
         result[CANARY_REF_RATIO_KEY] = round(total / canary, 1)
+    if canary_mt:
+        result["host_canary_mt_sec"] = canary_mt
+        result["suite_v1_per_canary_mt"] = round(total / canary_mt, 1)
 
     # csv_load_typed scale curve (VERDICT r8 task 1): the ×10
     # envelope ratio is dispatch-bound; this measures the ratio
@@ -2076,6 +2178,11 @@ def _compact_line(result: dict) -> dict:
         "bench_vs_baseline_x10_envelope_cow",
         "host_canary_sec",
         CANARY_REF_RATIO_KEY,
+        "host_canary_mt_sec",
+        "suite_v1_per_canary_mt",
+        "loadavg_at_seal",
+        "idle_wait_sec",
+        "host_load_degraded",
     ):
         if k in result:
             compact[k] = r2(result[k]) if isinstance(
