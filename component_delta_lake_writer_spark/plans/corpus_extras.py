@@ -2306,3 +2306,159 @@ def flac_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_flac_meta(staged)
+
+
+@query(
+    "exif_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0 AND doc_id % 5 <> 0) AS has_exif,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+      END AS byte_order,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN CAST(1 + doc_id % 8 AS INT) END AS orientation,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0 THEN
+        CASE doc_id % 3 WHEN 0 THEN 'LG' WHEN 1 THEN 'CANON'
+          ELSE 'NIKON' END
+      END AS make,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN 'MDL' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+      END AS model,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN '2023:'
+             || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' '
+             || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+      END AS datetime_original
+    FROM documents
+    """,
+)
+def exif_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction (operators.multimodal.parse_exif_meta):
+    payloads staged as REAL streams covering every branch the
+    composition owns — endianness alternates II/MM by doc parity;
+    Make alternates the INLINE count<=4 ASCII spelling (doc_id % 3 =
+    0, 'LG') with the offset-from-TIFF-header spelling ('CANON' /
+    'NIKON' parked behind the IFD); Model and DateTimeOriginal
+    always ride offsets, the latter one hop away in the private
+    Exif IFD behind pointer tag 34665; every 11th EXIF doc ships as
+    a BARE TIFF stream (no JPEG wrapper — the second carrier the
+    operator accepts), the rest as full JPEGs (SOI + APP1 + EOI +
+    the doc text as trailing garbage); every 5th doc is a JPEG with
+    an APP0/JFIF segment but NO EXIF (the missing-EXIF leg the r12
+    verdict demanded); every 7th doc is text garbage, proving the
+    never-throws contract.  The oracle predicts every field from
+    the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_exif_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    le = F.col("doc_id") % 2 == 0
+
+    def be_hex(v, nbytes):
+        return F.format_string(f"%0{2 * nbytes}x", v)
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    def u16(v):
+        return F.when(le, le_hex(v, 2)).otherwise(be_hex(v, 2))
+
+    def u32(v):
+        return F.when(le, le_hex(v, 4)).otherwise(be_hex(v, 4))
+
+    def entry(tag, typ, cnt, val_hex):
+        return F.concat(
+            u16(F.lit(tag)), u16(typ), u32(cnt), val_hex
+        )
+
+    def ascii_hex(col):
+        return F.lower(F.hex(F.encode(col, "utf-8")))
+
+    inline_make = F.col("doc_id") % 3 == 0
+    orient = (1 + F.col("doc_id") % 8).cast("long")
+    make_str = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("CANON"))
+        .otherwise(F.lit("NIKON"))
+    )
+    model_str = F.format_string(
+        "MDL%04d", (F.col("doc_id") % 1000).cast("int")
+    )
+    dto_str = F.format_string(
+        "2023:%02d:%02d %02d:%02d:%02d",
+        (1 + F.col("doc_id") % 12).cast("int"),
+        (1 + F.col("doc_id") % 28).cast("int"),
+        (F.col("doc_id") % 24).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        ((F.col("doc_id") * 7) % 60).cast("int"),
+    )
+    # fixed TIFF-block layout (offsets from the TIFF header): IFD0 at
+    # 8 with 4 ascending entries + next-IFD 0 -> 62; make area 62(6),
+    # model 68(8), Exif IFD 76 (count + 1 entry + next-IFD -> 94),
+    # DateTimeOriginal string 94(20); total 114 bytes
+    make_entry = F.when(
+        inline_make,
+        entry(271, F.lit(2), F.lit(3), F.lit("4c470000")),  # 'LG\0'+pad
+    ).otherwise(entry(271, F.lit(2), F.lit(6), u32(F.lit(62))))
+    ifd0 = F.concat(
+        u16(F.lit(4)),
+        make_entry,
+        entry(272, F.lit(2), F.lit(8), u32(F.lit(68))),
+        entry(274, F.lit(3), F.lit(1), F.concat(u16(orient), F.lit("0000"))),
+        entry(34665, F.lit(4), F.lit(1), u32(F.lit(76))),
+        F.lit("00000000"),                        # next IFD: none
+    )
+    make_area = F.when(inline_make, F.lit("00" * 6)).otherwise(
+        F.concat(ascii_hex(make_str), F.lit("00"))
+    )
+    exif_ifd = F.concat(
+        u16(F.lit(1)),
+        entry(36867, F.lit(2), F.lit(20), u32(F.lit(94))),
+        F.lit("00000000"),
+    )
+    tiff_hex = F.concat(
+        F.when(le, F.lit("49492a00")).otherwise(F.lit("4d4d002a")),
+        u32(F.lit(8)),
+        ifd0,
+        make_area,
+        F.concat(ascii_hex(model_str), F.lit("00")),
+        exif_ifd,
+        F.concat(ascii_hex(dto_str), F.lit("00")),
+    )
+    # JPEG wrapper: SOI + APP1(len 122 = 2 + 'Exif\0\0' + 114) + EOI
+    jpeg_hex = F.concat(
+        F.lit("ffd8ffe1007a457869660000"), tiff_hex, F.lit("ffd9")
+    )
+    # JPEG with APP0/JFIF but no EXIF — the missing-EXIF leg
+    no_exif_hex = F.lit(
+        "ffd8ffe000104a46494600010100000100010000ffd9"
+    )
+    doc = F.col("doc_id")
+    staged = d.select(
+        "doc_id",
+        F.when(doc % 7 == 0, F.encode("text", "utf-8"))
+        .when(
+            doc % 5 == 0,
+            F.concat(F.unhex(no_exif_hex), F.encode("text", "utf-8")),
+        )
+        .when(doc % 11 == 0, F.unhex(tiff_hex))
+        .otherwise(
+            F.concat(F.unhex(jpeg_hex), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_exif_meta(staged)

@@ -3265,3 +3265,125 @@ def test_flac_parser_bitfield_and_truncation(spark):
     assert rows[5].is_flac is False
     assert rows[6].is_flac is False and rows[6].sample_rate is None
     assert rows[7].is_flac is False
+
+
+def test_exif_walk_edge_cases():
+    """_walk_exif (pure bytes, no Spark): the JPEG-APP1 -> TIFF-IFD
+    composition — both byte orders, inline vs offset ASCII, the
+    ExifIFD pointer hop for DateTimeOriginal, bare-TIFF carrier,
+    missing-EXIF JPEG, lying offsets / non-ASCII / truncation
+    degrade field-by-field, garbage never throws."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        _walk_exif,
+    )
+
+    def tiff(little, make_inline=False, orientation=6, dto=True):
+        e = "<" if little else ">"
+
+        def u16(v):
+            return struct.pack(e + "H", v)
+
+        def u32(v):
+            return struct.pack(e + "I", v)
+
+        hdr = (b"II*\x00" if little else b"MM\x00*") + u32(8)
+        if make_inline:
+            e1 = u16(271) + u16(2) + u32(3) + b"LG\x00\x00"
+            make_area = b"\x00" * 6
+        else:
+            e1 = u16(271) + u16(2) + u32(6) + u32(62)
+            make_area = b"CANON\x00"
+        e2 = u16(272) + u16(2) + u32(8) + u32(68)
+        e3 = u16(274) + u16(3) + u32(1) + u16(orientation) + b"\x00\x00"
+        e4 = u16(34665) + u16(4) + u32(1) + u32(76)
+        ifd0 = u16(4) + e1 + e2 + e3 + e4 + u32(0)
+        exif_ifd = (
+            u16(1) + u16(36867) + u16(2) + u32(20)
+            + u32(94 if dto else 60000) + u32(0)
+        )
+        return (
+            hdr + ifd0 + make_area + b"MDL0042\x00" + exif_ifd
+            + b"2023:05:09 12:34:56\x00"
+        )
+
+    def jpeg(t):
+        app1 = b"Exif\x00\x00" + t
+        return (
+            b"\xff\xd8\xff\xe1"
+            + (len(app1) + 2).to_bytes(2, "big")
+            + app1 + b"\xff\xd9"
+        )
+
+    full = (True, "II", 6, "CANON", "MDL0042", "2023:05:09 12:34:56")
+    assert _walk_exif(jpeg(tiff(True))) == full
+    assert _walk_exif(tiff(True)) == full              # bare TIFF
+    assert _walk_exif(jpeg(tiff(True)) + b"tail junk") == full
+    assert _walk_exif(jpeg(tiff(False)))[:2] == (True, "MM")
+    assert _walk_exif(jpeg(tiff(False)))[3:] == full[3:]
+    # inline count<=4 ASCII value (no offset dereference)
+    assert _walk_exif(jpeg(tiff(True, make_inline=True)))[3] == "LG"
+    # lying DateTimeOriginal offset: that field NULL, rest intact
+    r = _walk_exif(jpeg(tiff(True, dto=False)))
+    assert r[:5] == full[:5] and r[5] is None
+    # JPEG with APP0/JFIF but no APP1 Exif
+    no_exif = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+        b"\x00\x01\x00\x01\x00\x00\xff\xd9"
+    )
+    assert _walk_exif(no_exif) == (
+        False, None, None, None, None, None
+    )
+    # garbage shapes: never throw
+    assert _walk_exif(b"")[0] is False
+    assert _walk_exif(b"not an image")[0] is False
+    assert _walk_exif(b"\xff\xd8\xff")[0] is False     # truncated seg
+    assert _walk_exif(b"II*\x00\x08\x00\x00\x00")[:2] == (True, "II")
+    # non-ASCII bytes inside a declared-ASCII value -> NULL field
+    t = bytearray(tiff(True))
+    t[62:68] = b"\xc3\x28\xff\xfe\x00\x00"
+    assert _walk_exif(bytes(t))[3] is None
+
+
+def test_parse_exif_meta_spark(spark):
+    """parse_exif_meta over a staged DataFrame: schema, null
+    payload row, and the mapInPandas plumbing end-to-end."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_exif_meta,
+    )
+
+    def u32(v):
+        return struct.pack("<I", v)
+
+    def u16(v):
+        return struct.pack("<H", v)
+
+    t = (
+        b"II*\x00" + u32(8)
+        + u16(2)
+        + u16(271) + u16(2) + u32(6) + u32(38)
+        + u16(274) + u16(3) + u32(1) + u16(3) + b"\x00\x00"
+        + u32(0)
+        + b"CANON\x00"
+    )
+    app1 = b"Exif\x00\x00" + t
+    j = (
+        b"\xff\xd8\xff\xe1" + (len(app1) + 2).to_bytes(2, "big")
+        + app1 + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(j)), (2, bytearray(b"junk")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in parse_exif_meta(df).collect()
+    }
+    assert rows[1].has_exif is True and rows[1].byte_order == "II"
+    assert rows[1].orientation == 3 and rows[1].make == "CANON"
+    assert rows[1].model is None and rows[1].datetime_original is None
+    assert rows[2].has_exif is False and rows[2].make is None
+    assert rows[3].has_exif is False
