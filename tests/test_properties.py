@@ -1461,3 +1461,74 @@ def test_cuped_matches_bruteforce(spark, units):
         assert abs(r.z_adj - z) < 1e-4
     if varx == 0:
         assert r.theta == 0.0 and r.z_adj == r.z_raw
+
+
+_BPE_WORDS = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _ref_bpe(texts, n):
+    """Textbook greedy BPE (Sennrich et al. 2016) on a word-count
+    dict: per round, count adjacent symbol pairs weighted by word
+    frequency, take the (count desc, pair lexicographic asc) argmax,
+    and apply the merge left-to-right greedily in every word."""
+    import collections
+    import re
+
+    wc: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if w:
+                wc[w[:16]] += 1
+    words = {w: list(w) for w in wc}
+    out = []
+    for r in range(n):
+        pc: collections.Counter = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((r + 1, left, right, c))
+        for w, syms in words.items():
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(s)
+            words[w] = acc
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_BPE_WORDS)
+def test_bpe_train_matches_textbook_model(spark, words):
+    """bpe_train_merges == the textbook greedy-BPE model for ANY
+    word multiset: same merges, same order, same weighted pair
+    counts — including the all-identical-symbol runs where greedy
+    left-to-right pairing and the total-order tiebreak are the
+    entire semantics."""
+    from component_delta_lake_writer_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = [
+        tuple(r)
+        for r in bpe_train_merges(df, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _ref_bpe([text], 4)

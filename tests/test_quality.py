@@ -311,3 +311,36 @@ def test_ngram_helpers_edge_whitespace(spark):
         ).collect()
     ]
     assert got_n == [["bar baz", "foo bar"], ["bar baz", "foo bar"], []]
+
+
+def test_bpe_train_merges_hand_values(spark):
+    """Known corpus: merges come out in the textbook order with
+    frequency-weighted counts aggregated ACROSS documents, ties
+    broken by (left, right) lexicographic order, and punctuation /
+    case folded away by the word tokenizer."""
+    from component_delta_lake_writer_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat",
+        "that cat, that hat!",
+        "low lower lowest newer newest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        tuple(r)
+        for r in bpe_train_merges(df, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # hand-derived: 'at' appears in cat/sat/mat/hat/bat/that(x2 docs)
+    assert got == [
+        (1, "a", "t", 9),
+        (2, "t", "h", 6),
+        (3, "th", "e", 4),
+        (4, "w", "e", 4),
+        (5, "l", "o", 3),
+        (6, "c", "at", 2),
+    ]
