@@ -1532,3 +1532,174 @@ def test_bpe_train_matches_textbook_model(spark, words):
         .collect()
     ]
     assert got == _ref_bpe([text], 4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),                      # arm
+            st.integers(min_value=0, max_value=9),   # lifetime days
+        ),
+        min_size=4,
+        max_size=25,
+    ),
+)
+def test_gehan_wilcoxon_matches_bruteforce(spark, users):
+    """gehan_wilcoxon_test == the Breslow-weighted brute fold on ANY
+    two-arm lifetime multiset: U = Σ n_t(d_a − d_t·n_a/n_t),
+    V = Σ n_t²·Var_t with the operator's exact 9dp-round-then-sum
+    staging — the early-death n_t weights are the entire difference
+    from the plain log-rank and the thing this pins down."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        gehan_wilcoxon_test,
+    )
+
+    assume(len({a for a, _ in users}) == 2)
+    d0 = dtm.datetime(2026, 3, 1, 9, 0)
+    horizon = max(t for _, t in users)
+    rows = []
+    for i, (arm, t) in enumerate(users):
+        uid = f"u{i}"
+        a = "A" if arm else "B"
+        rows += [(uid, a, d0), (uid, a, d0 + dtm.timedelta(days=t))]
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = gehan_wilcoxon_test(
+        df, "u", "ts", "arm", censor_days=1
+    ).collect()[0]
+
+    lifetimes = [("A" if a else "B", t, t == horizon) for a, t in users]
+    death_times = sorted({t for _, t, cen in lifetimes if not cen})
+    u = v = 0.0
+    for t in death_times:
+        na = sum(1 for a, lt, _ in lifetimes if a == "A" and lt >= t)
+        nb = sum(1 for a, lt, _ in lifetimes if a == "B" and lt >= t)
+        nt = na + nb
+        dt_ = sum(1 for _, lt, cen in lifetimes if lt == t and not cen)
+        da = sum(
+            1 for a, lt, cen in lifetimes
+            if a == "A" and lt == t and not cen
+        )
+        u += round(nt * (da - dt_ * na / nt), 9)
+        if nt > 1:
+            v += round(
+                nt * nt * (
+                    dt_ * na / nt * (nt - na) / nt
+                    * (nt - dt_) / (nt - 1)
+                ),
+                9,
+            )
+    assert (r.arm_a, r.arm_b) == ("A", "B")
+    assert r.n_times == len(death_times)
+    if death_times:
+        assert r.w_diff == round(u, 6)
+    else:
+        assert r.w_diff is None
+    if v > 0:
+        assert r.z == round(u / math.sqrt(v), 6)
+        assert r.chi2 == round(r.z * r.z, 6)
+        assert r.significant == (1 if abs(r.z) > 1.959964 else 0)
+    else:
+        assert r.z is None and r.significant == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),                      # arm
+            st.integers(min_value=0, max_value=2),   # stratum
+            st.integers(min_value=0, max_value=7),   # lifetime days
+        ),
+        min_size=4,
+        max_size=25,
+    ),
+)
+def test_stratified_logrank_matches_bruteforce(spark, users):
+    """stratified_logrank_test == the per-stratum hypergeometric
+    fold pooled across strata on ANY (arm, stratum, lifetime)
+    multiset: each stratum contributes O−E and Var over its OWN
+    time grid and at-risk sets (the global horizon censors), and
+    one-arm strata contribute zero — the confounder-cancelling
+    behavior this operator exists for."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        stratified_logrank_test,
+    )
+
+    assume(len({a for a, _, _ in users}) == 2)
+    d0 = dtm.datetime(2026, 3, 1, 9, 0)
+    horizon = max(t for _, _, t in users)
+    rows = []
+    for i, (arm, s, t) in enumerate(users):
+        uid = f"u{i}"
+        a = "A" if arm else "B"
+        rows += [
+            (uid, a, f"s{s}", d0),
+            (uid, a, f"s{s}", d0 + dtm.timedelta(days=t)),
+        ]
+    df = spark.createDataFrame(
+        rows, "u string, arm string, st string, ts timestamp"
+    )
+    r = stratified_logrank_test(
+        df, "u", "ts", "arm", "st", censor_days=1
+    ).collect()[0]
+
+    lifetimes = [
+        ("A" if a else "B", f"s{s}", t, t == horizon)
+        for a, s, t in users
+    ]
+    strata = sorted({s for _, s, _, _ in lifetimes})
+    o = e = v = 0.0
+    n_cells = 0
+    for stx in strata:
+        in_s = [x for x in lifetimes if x[1] == stx]
+        death_times = sorted({t for _, _, t, cen in in_s if not cen})
+        for t in death_times:
+            na = sum(1 for a, _, lt, _ in in_s if a == "A" and lt >= t)
+            nb = sum(1 for a, _, lt, _ in in_s if a == "B" and lt >= t)
+            nt = na + nb
+            dt_ = sum(1 for _, _, lt, cen in in_s if lt == t and not cen)
+            da = sum(
+                1 for a, _, lt, cen in in_s
+                if a == "A" and lt == t and not cen
+            )
+            n_cells += 1
+            o += da
+            e += round(dt_ * na / nt, 9)
+            if nt > 1:
+                v += round(
+                    dt_ * na / nt * (nt - na) / nt
+                    * (nt - dt_) / (nt - 1),
+                    9,
+                )
+    assert (r.arm_a, r.arm_b) == ("A", "B")
+    assert r.n_strata == len(strata)
+    assert r.n_times == n_cells
+    assert r.o_a == int(o)
+    if n_cells:
+        assert r.e_a == round(e, 6)
+    else:
+        assert r.e_a is None
+    if v > 0:
+        assert r.z == round((o - e) / math.sqrt(v), 6)
+        assert r.chi2 == round(r.z * r.z, 6)
+    else:
+        assert r.z is None
