@@ -690,3 +690,66 @@ def stream_ab_monitor(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def compact_monitor_table(
+    monitor: ManagedTable,
+    keep_batches: int | None = None,
+    retention_hours: float = 0.0,
+) -> dict:
+    """One-call housekeeping for long-lived sequential monitors
+    (VERDICT r12 stretch #7 — the operational story the
+    ``stream_ab_monitor`` docstring describes, as a single call):
+    a monitor that fires every minute for months accretes one tiny
+    commit unit per look, and while the tail read stays
+    metadata-scale, the unit COUNT is what this bounds.
+
+    Keyed on the monitor's own batch_id watermark: reads
+    ``max(batch_id)`` (the 1-row tail aggregate), optionally prunes
+    looks older than the newest ``keep_batches`` (an overwrite of
+    the filtered tail — the cumulative state lives entirely in the
+    newest row, so pruning audit history can never corrupt the
+    running totals; ``keep_batches`` must keep at least the
+    watermark row itself), otherwise compacts in place with
+    OPTIMIZE, then VACUUMs versions past ``retention_hours``.  Safe
+    to run between micro-batches: both paths commit through the
+    same ACID log the monitor appends to.
+
+    Returns {"watermark", "n_units", "n_rows", "deleted_units"} —
+    n_units is the post-compaction unit count (1 for any healthy
+    monitor), deleted_units the reclaimed on-disk units.
+    """
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.errors import UserException
+
+    if keep_batches is not None and keep_batches < 1:
+        raise UserException(
+            "compact_monitor_table: keep_batches must be >= 1 (the "
+            "tail read needs the watermark row)"
+        )
+    cur = monitor.read()
+    wm = cur.agg(F.max("batch_id").alias("_wm")).collect()[0]["_wm"]
+    if wm is None:
+        return {
+            "watermark": None,
+            "n_units": 0,
+            "n_rows": 0,
+            "deleted_units": 0,
+        }
+    if keep_batches is not None:
+        monitor.write(
+            cur.filter(F.col("batch_id") > wm - keep_batches)
+            .coalesce(1),
+            mode="overwrite",
+        )
+    else:
+        monitor.optimize()
+    deleted = monitor.vacuum(retention_hours=retention_hours)
+    det = monitor.detail()
+    return {
+        "watermark": int(wm),
+        "n_units": det["num_units"],
+        "n_rows": det["num_rows_from_stats"],
+        "deleted_units": deleted,
+    }

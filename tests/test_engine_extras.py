@@ -3387,3 +3387,60 @@ def test_parse_exif_meta_spark(spark):
     assert rows[1].model is None and rows[1].datetime_original is None
     assert rows[2].has_exif is False and rows[2].make is None
     assert rows[3].has_exif is False
+
+
+def test_compact_monitor_table_bounds_units(spark, tmp_path):
+    """A long-lived monitor (40 one-row looks = 40 commit units)
+    compacts to ONE unit with every row intact, the tail read still
+    returns the watermark look, a keep_batches prune drops old audit
+    looks but never the watermark row, and vacuum reclaims the old
+    units on disk."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.sinks import ManagedTable
+    from component_delta_lake_writer_spark.streaming.sink import (
+        compact_monitor_table,
+    )
+
+    mon = ManagedTable(spark, os.path.join(str(tmp_path), "mon"))
+    for b in range(40):
+        mon.write(
+            spark.createDataFrame(
+                [(b, 10 * (b + 1), 3 * (b + 1))],
+                "batch_id long, n_a long, conv_a long",
+            ),
+            mode="append" if b else "error",
+        )
+    assert mon.detail()["num_units"] == 40
+
+    out = compact_monitor_table(mon)
+    assert out["watermark"] == 39
+    assert out["n_units"] == 1 and out["n_rows"] == 40
+    assert out["deleted_units"] >= 40  # months of tiny units gone
+    tail = (
+        mon.read().orderBy(F.col("batch_id").desc()).limit(1).collect()
+    )
+    assert len(tail) == 1 and tail[0].batch_id == 39
+    assert tail[0].n_a == 400
+
+    # prune to the newest 5 looks: watermark row survives, history
+    # shrinks, still one unit
+    out2 = compact_monitor_table(mon, keep_batches=5)
+    assert out2["n_rows"] == 5 and out2["n_units"] == 1
+    got = sorted(r.batch_id for r in mon.read().collect())
+    assert got == [35, 36, 37, 38, 39]
+
+    with pytest.raises(Exception, match="keep_batches"):
+        compact_monitor_table(mon, keep_batches=0)
+
+    # empty monitor: inert, structured no-op
+    empty = ManagedTable(spark, os.path.join(str(tmp_path), "mon2"))
+    empty.write(
+        spark.createDataFrame([], "batch_id long, n_a long"),
+        mode="error",
+    )
+    r = compact_monitor_table(empty)
+    assert r["watermark"] is None and r["deleted_units"] == 0
