@@ -1201,3 +1201,79 @@ def parse_exif_meta(
         + EXIF_META_SCHEMA_FIELDS
     )
     return df.select(id_col, bin_col).mapInPandas(fn, schema)
+
+
+def parse_ogg_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse OGG container metadata — codec identification plus the
+    Opus/Vorbis identification-header fields — straight from the
+    bytes as Catalyst expressions (VERDICT r12 stretch #8, closing
+    the audio tier's long tail after WAV/MP3/FLAC).
+
+    OGG is page-structured (RFC 3533): 'OggS', version 0, a
+    header-type flag (0x02 = stream start), 8-byte granule, serial,
+    sequence, CRC, then a 1-byte segment count + segment table.
+    The FIRST page of any Opus or Vorbis stream is REQUIRED to
+    carry exactly the one identification packet in one segment
+    (RFC 7845 §3; Vorbis I §4.2.1), so n_segments = 1 and every
+    field sits at a fixed offset behind the 28-byte prefix — the
+    WAV/WebP/GIF/FLAC pure hex-slice class, no Python anywhere:
+    OpusHead → version, channels u8@37, pre-skip u16le@38,
+    input sample rate u32le@40; \\x01vorbis → version u32le@35,
+    channels u8@39, sample rate u32le@40.
+
+    Non-OGG payloads yield is_ogg=false with NULL fields; an OggS
+    page whose first packet is neither codec yields is_ogg=true
+    with codec NULL; truncation yields NULLs past the end — never
+    an error.  Returns (id, is_ogg, codec, channels, sample_rate,
+    pre_skip) — pre_skip is Opus-only (NULL for Vorbis).
+    """
+    b = F.col(bin_col)
+
+    def u8(pos: int):
+        # pos is 0-based; substring is 1-based
+        return F.when(
+            F.length(b) >= pos + 1,
+            F.conv(
+                F.hex(F.substring(b, pos + 1, 1)), 16, 10
+            ).cast("long"),
+        )
+
+    def le(pos: int, nbytes: int):
+        out = None
+        for i in range(nbytes):
+            term = u8(pos + i) * F.lit(256 ** i)
+            out = term if out is None else out + term
+        return out
+
+    is_ogg = (
+        (F.substring(b, 1, 4) == F.lit(b"OggS"))
+        & (u8(4) == 0)
+    )
+    one_seg = u8(26) == 1
+    is_opus = one_seg & (
+        F.substring(b, 29, 8) == F.lit(b"OpusHead")
+    )
+    is_vorbis = one_seg & (
+        F.substring(b, 29, 7) == F.lit(b"\x01vorbis")
+    )
+    codec = F.when(is_opus, F.lit("opus")).when(
+        is_vorbis, F.lit("vorbis")
+    )
+    channels = F.when(is_opus, u8(37)).when(is_vorbis, u8(39))
+    sample_rate = F.when(is_opus, le(40, 4)).when(
+        is_vorbis, le(40, 4)
+    )
+    pre_skip = F.when(is_opus, le(38, 2))
+    ok = F.coalesce(is_ogg, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        ok.alias("is_ogg"),
+        F.when(ok, codec).alias("codec"),
+        F.when(ok, channels).cast("int").alias("channels"),
+        F.when(ok, sample_rate).cast("long").alias("sample_rate"),
+        F.when(ok, pre_skip).cast("int").alias("pre_skip"),
+    )

@@ -119,6 +119,7 @@ _FRONT = [
     # ------------------------------------------------------------------
     "exif_meta_parse",
     "bpe_train_merges",
+    "ogg_meta_parse",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

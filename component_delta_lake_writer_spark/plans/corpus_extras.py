@@ -2540,3 +2540,112 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return _train(d, n_merges=6)
+
+
+@query(
+    "ogg_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_ogg,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+      END AS codec,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0
+           THEN CAST(1 + doc_id % 8 AS INT) END AS channels,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0 THEN CAST(
+        CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+          ELSE 16000 END AS BIGINT) END AS sample_rate,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0
+                AND doc_id % 2 = 0
+           THEN CAST(doc_id % 1000 AS INT) END AS pre_skip
+    FROM documents
+    """,
+)
+def ogg_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG/Opus/Vorbis identification-header parse
+    (operators.multimodal.parse_ogg_meta): payloads staged as real
+    first pages — 'OggS' + BOS flag + a 1-segment table, then an
+    OpusHead packet (even docs: version 1, channels, pre-skip,
+    input rate, gain, mapping) or a \\x01vorbis packet (odd docs:
+    version 0, channels, rate, bitrate triple, blocksizes,
+    framing); every 11th doc gets a VALID OggS page carrying an
+    unknown codec packet (codec NULL with is_ogg true — the
+    degrade-to-recovered contract), every 7th doc text garbage.
+    Pure Catalyst hex-slices both sides; the oracle predicts the
+    fields from the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_ogg_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    doc = F.col("doc_id")
+    ch = (1 + doc % 8).cast("long")
+    rate = (
+        F.when(doc % 3 == 0, 48000)
+        .when(doc % 3 == 1, 44100)
+        .otherwise(16000)
+        .cast("long")
+    )
+    pre_skip = (doc % 1000).cast("long")
+    page27 = F.lit(
+        "4f676753"            # 'OggS'
+        + "00"                # version 0
+        + "02"                # header type: beginning-of-stream
+        + "0000000000000000"  # granule position
+        + "01000000"          # serial
+        + "00000000"          # page sequence
+        + "00000000"          # CRC (not validated by the parser)
+        + "01"                # ONE segment (spec-required for the
+                              # id packet, what pins the offsets)
+    )
+    opus_pkt = F.concat(
+        F.lit("13"),                        # segment length 19
+        F.lit("4f70757348656164"),          # 'OpusHead'
+        F.lit("01"),                        # version 1
+        F.format_string("%02x", ch.cast("int")),
+        le_hex(pre_skip, 2),
+        le_hex(rate, 4),
+        F.lit("0000"),                      # output gain
+        F.lit("00"),                        # mapping family
+    )
+    vorbis_pkt = F.concat(
+        F.lit("1e"),                        # segment length 30
+        F.lit("01766f72626973"),            # \\x01 'vorbis'
+        F.lit("00000000"),                  # version 0
+        F.format_string("%02x", ch.cast("int")),
+        le_hex(rate, 4),
+        F.lit("00" * 12),                   # bitrate max/nom/min
+        F.lit("b8"),                        # blocksizes
+        F.lit("01"),                        # framing bit
+    )
+    unknown_pkt = F.lit("09" + "6e6f74206120696400")  # 'not a id\\0'
+    hdr_hex = F.concat(
+        page27,
+        F.when(doc % 11 == 0, unknown_pkt)
+        .when(doc % 2 == 0, opus_pkt)
+        .otherwise(vorbis_pkt),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    return parse_ogg_meta(staged)

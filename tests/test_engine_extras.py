@@ -3444,3 +3444,54 @@ def test_compact_monitor_table_bounds_units(spark, tmp_path):
     )
     r = compact_monitor_table(empty)
     assert r["watermark"] is None and r["deleted_units"] == 0
+
+
+def test_parse_ogg_meta_edge_cases(spark):
+    """parse_ogg_meta: Opus and Vorbis id headers unpack at their
+    spec-pinned offsets, a multi-segment or unknown first packet
+    degrades to codec NULL with is_ogg true, truncation yields
+    NULLs, garbage never throws."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_ogg_meta,
+    )
+
+    def page(pkt, nseg=1):
+        return (
+            b"OggS" + b"\x00" + b"\x02"
+            + b"\x00" * 8 + b"\x01\x00\x00\x00"
+            + b"\x00" * 8
+            + bytes([nseg]) + bytes([len(pkt)]) * nseg + pkt
+        )
+
+    opus = (
+        b"OpusHead" + b"\x01" + b"\x02"
+        + struct.pack("<H", 312) + struct.pack("<I", 48000)
+        + b"\x00\x00" + b"\x00"
+    )
+    vorbis = (
+        b"\x01vorbis" + struct.pack("<I", 0) + b"\x06"
+        + struct.pack("<I", 44100) + b"\x00" * 12 + b"\xb8\x01"
+    )
+    rows = [
+        (1, bytearray(page(opus))),
+        (2, bytearray(page(vorbis))),
+        (3, bytearray(page(b"junk packet"))),      # unknown codec
+        (4, bytearray(page(opus, nseg=2))),        # not 1 segment
+        (5, bytearray(b"OggS\x00\x02")),           # truncated
+        (6, bytearray(b"RIFF not ogg")),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_ogg_meta(df).collect()}
+    assert got[1].is_ogg is True and got[1].codec == "opus"
+    assert got[1].channels == 2 and got[1].sample_rate == 48000
+    assert got[1].pre_skip == 312
+    assert got[2].codec == "vorbis" and got[2].channels == 6
+    assert got[2].sample_rate == 44100 and got[2].pre_skip is None
+    assert got[3].is_ogg is True and got[3].codec is None
+    assert got[4].is_ogg is True and got[4].codec is None
+    assert got[5].is_ogg is True and got[5].codec is None
+    assert got[6].is_ogg is False and got[6].sample_rate is None
+    assert got[7].is_ogg is False
