@@ -1939,3 +1939,195 @@ def ab_grid_fdr(
             "reject",
         )
     )
+
+
+def auc_roc(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """ROC AUC of a score against a binary label — the
+    threshold-free ranking quality of a classifier or quality
+    scorer (does the model score positives above negatives), the
+    readout that complements calibration_report's "are the
+    probabilities honest" with "is the ORDERING right".  The two
+    disagree exactly when a model is miscalibrated but still ranks
+    well — the common state of an LLM-based quality filter.
+
+    Computed via the rank (Mann–Whitney) identity
+    AUC = U⁺ / (n⁺ · n⁻) with midranks, which IS the trapezoidal
+    area under the ROC curve with ties handled exactly — no curve
+    materialization, no threshold sweep.  Scale shape: the corpus
+    collapses to ONE row per distinct score (tie count + positive
+    tie count); midranks ride the same distributed exclusive cumsum
+    as mann_whitney_u (features.global_weighted_cumsum — never a
+    single-partition window), and 2·R⁺ accumulates as an exact
+    long, so AUC is a ratio of exact integers: bit-identical at any
+    parallelism.  Degenerate inputs (a single class) return NULL
+    auc/gini with the class counts visible — the caller can see WHY.
+
+    Returns ONE row: (n_pos, n_neg, auc 9dp, gini 9dp).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(score_col).alias("_s"),
+    )
+    per_value = src.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(
+            # fold the label check into the collapse: a non-0/1
+            # label is a caller bug surfaced loudly, not a silent
+            # sum contribution (the calibration_report spelling)
+            F.when(F.col("_y").isin(0, 1), F.col("_y")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("auc_roc: label must be 0/1, got "),
+                        F.col("_y").cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_tp"),
+    )
+    cum = global_weighted_cumsum(per_value, "_s", "_t")
+    # 2·midrank = 2·(#strictly smaller) + t + 1 — integer-exact
+    mr2 = F.lit(2) * F.col("_cum") + F.col("_t") + F.lit(1)
+    agg = cum.agg(
+        F.sum("_t").alias("_N"),
+        F.sum("_tp").alias("_np"),
+        F.sum(F.col("_tp") * mr2).alias("_r2p"),
+    )
+    n_pos = F.col("_np")
+    n_neg = F.col("_N") - F.col("_np")
+    # U⁺ = R⁺ − n⁺(n⁺+1)/2, doubled to stay integer until the final
+    # division of exact longs (IEEE-unique on both engines)
+    u2 = F.col("_r2p").cast("double") - n_pos.cast(
+        "double"
+    ) * (n_pos + 1)
+    auc = F.when(
+        (n_pos > 0) & (n_neg > 0),
+        F.round(
+            u2
+            / (F.lit(2.0) * n_pos.cast("double") * n_neg),
+            9,
+        ),
+    )
+    return agg.select(
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        auc.alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 9).alias("gini"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H test over k groups — the rank analog of
+    anova_oneway for the same "do ANY of these segments differ"
+    screen when the metric is heavy-tailed (latency, spend,
+    tokens-per-doc) and ANOVA's normality assumption is junk: the
+    k-sample generalization of mann_whitney_u.
+
+    Scale shape: ONE corpus scan to the (group, value) tie table
+    (pinned — it feeds both the global tie cumsum and the per-group
+    rank sums, and an unpinned relation would re-scan the corpus
+    for each); midranks ride the distributed exclusive cumsum over
+    distinct values; per-group doubled rank sums 2·R_j are exact
+    longs (< 2⁵³, so their double image is exact), and
+    Σ R_j²/n_j accumulates floored at DECIMAL(38,0) — the
+    anova_oneway grand-sum rule, order-free where a k-row double
+    sum is not.  H carries the standard tie correction
+    1 − Σ(t³−t)/(N³−N); significance is the rounded statistic vs
+    the A&S chi-square 5% critical value at df = k−1 (shared
+    CHI2_CRIT_5PCT table, conservative cap at df 29).
+
+    Returns ONE row: (k_groups, n_rows, h 6dp, significant).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    per_gv = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).alias("_tg")
+    )
+    # pinned: consumed by the tie cumsum AND the rank-sum join
+    per_gv = per_gv.localCheckpoint(eager=True)
+    per_value = per_gv.groupBy("_v").agg(
+        F.sum("_tg").alias("_t")
+    )
+    cum = global_weighted_cumsum(per_value, "_v", "_t")
+    mr2 = F.lit(2) * F.col("_cum") + F.col("_t") + F.lit(1)
+    totals = cum.agg(
+        F.sum("_t").alias("_N"),
+        F.sum(
+            (
+                F.col("_t").cast("decimal(20,0)")
+                * F.col("_t")
+                * F.col("_t")
+                - F.col("_t")
+            ).cast("decimal(38,0)")
+        ).alias("_ties"),
+    )
+    group_sums = (
+        per_gv.join(
+            cum.select("_v", mr2.alias("_mr2")), "_v"
+        )
+        .groupBy("_g")
+        .agg(
+            F.sum("_tg").alias("_n"),
+            F.sum(F.col("_tg") * F.col("_mr2")).alias("_r2"),
+        )
+    )
+    # Σ R_j²/n_j = Σ (2R_j)²/(4n_j): 2R_j exact as double (< 2⁵³),
+    # each term floored into the DECIMAL(38,0) sum (order-free; the
+    # sub-unit truncation is invisible against rank-sum magnitudes)
+    agg = group_sums.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(
+            F.floor(
+                F.col("_r2").cast("double")
+                * F.col("_r2").cast("double")
+                / (F.lit(4.0) * F.col("_n"))
+            ).cast("decimal(38,0)")
+        ).alias("_sg"),
+    ).crossJoin(F.broadcast(totals))
+    n = F.col("_N").cast("double")
+    h_raw = (
+        F.lit(12.0)
+        / (n * (n + 1))
+        * F.col("_sg").cast("double")
+        - F.lit(3.0) * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("_ties").cast("double") / (
+        n * n * n - n
+    )
+    ok = (
+        (F.col("_k") >= 2)
+        & (F.col("_N") > F.col("_k"))
+        & (corr > 0)
+    )
+    h = F.when(ok, F.round(h_raw / corr, 6))
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in CHI2_CRIT_5PCT]),
+        F.least(
+            F.col("_k") - 1, F.lit(len(CHI2_CRIT_5PCT))
+        ).cast("int"),
+    )
+    return agg.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_N").cast("long").alias("n_rows"),
+        h.alias("h"),
+        F.coalesce(
+            (h > crit).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -730,6 +730,12 @@ def km_survival(
             F.max(F.to_date(ts_col)).alias("_last"),
         )
     )
+    # pin the per-user collapse: it feeds BOTH the horizon aggregate
+    # and the lifetime staging, and unpinned each consumer re-ran the
+    # full corpus scan (r13 plan audit: 2 FileScans for one logical
+    # pass) — the pin is |users| rows, the relation every consumer
+    # needs anyway
+    users = users.localCheckpoint(eager=True)
     horizon = users.agg(F.max("_last").alias("_end"))
     staged = users.crossJoin(F.broadcast(horizon)).select(
         F.datediff("_last", "_first").alias("t"),
@@ -839,6 +845,9 @@ def _two_arm_risk_grid(
             F.max(F.to_date(ts_col)).alias("_last"),
         )
     )
+    # pin the per-user collapse (the km_survival rule): horizon and
+    # staging both consume it — unpinned, each re-ran the corpus scan
+    users = users.localCheckpoint(eager=True)
     horizon = users.agg(F.max("_last").alias("_end"))
     staged = users.crossJoin(F.broadcast(horizon)).select(
         "_arm",
@@ -1329,6 +1338,8 @@ def stratified_logrank_test(
             F.max(F.to_date(ts_col)).alias("_last"),
         )
     )
+    # pin the per-user collapse (the km_survival rule)
+    users = users.localCheckpoint(eager=True)
     horizon = users.agg(F.max("_last").alias("_end"))
     staged = users.crossJoin(F.broadcast(horizon)).select(
         "_st",
@@ -1467,4 +1478,181 @@ def stratified_logrank_test(
         F.coalesce(
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — the
+    estimator survival texts pair with Kaplan–Meier: where KM answers
+    "what fraction survives past t", the cumulative hazard answers
+    "how much churn FORCE has accumulated by t", is additive (arm
+    differences and slope changes read directly off it), and is the
+    quantity Cox regression models the log of.  Same censoring
+    contract as :func:`km_survival` (lifetime = whole days between a
+    user's first and last event; users last seen within
+    ``censor_days`` of the corpus edge are censored).
+
+    Scale shape: identical to km_survival — ONE corpus scan to
+    per-user (first, last), the estimator over |distinct lifetimes|
+    rows (metadata-scale ordered windows); each increment d/n is a
+    division of exact longs rounded 9dp into a DECIMAL prefix sum,
+    so the curve is order-free and engine-portable.
+
+    Returns one row per distinct event time with deaths:
+    (t_days, n_at_risk, n_deaths, n_censored, cum_hazard 9dp).
+    """
+    users = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.min(F.to_date(ts_col)).alias("_first"),
+            F.max(F.to_date(ts_col)).alias("_last"),
+        )
+    )
+    # pin the per-user collapse (the km_survival rule)
+    users = users.localCheckpoint(eager=True)
+    horizon = users.agg(F.max("_last").alias("_end"))
+    staged = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("_last", "_first").alias("t"),
+        (
+            F.datediff("_end", "_last") < F.lit(censor_days)
+        ).alias("_censored"),
+    )
+    by_t = staged.groupBy("t").agg(
+        F.sum(F.when(~F.col("_censored"), 1).otherwise(0)).alias(
+            "d"
+        ),
+        F.sum(F.when(F.col("_censored"), 1).otherwise(0)).alias(
+            "c"
+        ),
+    )
+    w_ord = Window.orderBy("t")
+    w_suffix = w_ord.rowsBetween(0, Window.unboundedFollowing)
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    curve = by_t.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_suffix).alias("n"),
+    ).select(
+        "*",
+        F.round(F.col("d").cast("double") / F.col("n"), 9)
+        .cast("decimal(18,9)")
+        .alias("_hterm"),
+    )
+    return (
+        curve.select(
+            "*",
+            F.sum("_hterm").over(w_prefix).alias("_H"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("int").alias("t_days"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_deaths"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.col("_H").cast("double").alias("cum_hazard"),
+        )
+    )
+
+
+def rmst_two_arm(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    tau_days: int,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Two-arm restricted mean survival time to horizon τ —
+    RMST(τ) = ∫₀^τ S(u) du, "expected active days within the first
+    τ", the effect-size companion to :func:`logrank_test`: the
+    log-rank z says WHETHER retention differs, the RMST difference
+    says BY HOW MANY DAYS, stays meaningful when hazards cross (the
+    case where the Cox hazard ratio is a lie), and is the estimand
+    regulators ask for precisely because it needs no
+    proportional-hazards assumption.
+
+    Rides the shared :func:`_two_arm_risk_grid` staging (ONE corpus
+    scan, same pin as log-rank/Gehan/Cox); each arm's KM step curve
+    folds as exp(Σ 9dp-rounded ln terms) on the metadata-scale grid,
+    and the integral is exact step-function geometry: the segment
+    [tᵢ, min(tᵢ₊₁, τ)) contributes S(tᵢ)·width with the 6dp survival
+    as DECIMAL(9,6) × integer width — a decimal sum, order-free
+    where a float accumulation is not — plus the head segment
+    [0, min(t₁, τ)) at S = 1.  An arm whose last subject dies
+    (d = n) contributes 0 beyond that time; beyond an arm's last
+    OBSERVATION the curve carries its last value (the standard KM
+    convention — τ should sit inside follow-up for both arms).
+
+    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, tau_days,
+    rmst_a, rmst_b, rmst_diff) — rmst_diff = arm_a − arm_b in days.
+    """
+    arm_a, arm_b, by_t, counts = _two_arm_risk_grid(
+        df, user_col, ts_col, arm_col, censor_days, "rmst_two_arm"
+    )
+    w_ord = Window.orderBy("t")
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+
+    def _arm_cols(d, n, tag: str):
+        """Per-arm survival + integral segment over the shared grid."""
+        lnterm = F.when(
+            (n > 0) & (d < n),
+            F.round(
+                F.log(F.lit(1.0) - d.cast("double") / n), 9
+            ),
+        ).cast("decimal(18,9)")
+        dead = F.max(
+            F.when((n > 0) & (d == n), 1).otherwise(0)
+        ).over(w_prefix)
+        surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.round(
+                F.exp(
+                    F.coalesce(
+                        F.sum(lnterm).over(w_prefix), F.lit(0)
+                    ).cast("double")
+                ),
+                6,
+            )
+        )
+        return surv.cast("decimal(9,6)").alias(f"_s{tag}")
+
+    tau = F.lit(int(tau_days))
+    db = F.col("dt") - F.col("da")
+    nb = F.col("nt") - F.col("na")
+    staged = by_t.select(
+        "t",
+        _arm_cols(F.col("da"), F.col("na"), "a"),
+        _arm_cols(db, nb, "b"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.coalesce(F.lead("t").over(w_ord), tau), tau
+            )
+            - F.least(F.col("t"), tau),
+        ).alias("_w"),
+    )
+    agg = staged.agg(
+        F.least(F.min("t"), tau).alias("_head"),
+        F.sum(F.col("_sa") * F.col("_w")).alias("_ia"),
+        F.sum(F.col("_sb") * F.col("_w")).alias("_ib"),
+    )
+    rmst_a = F.col("_head") + F.col("_ia")
+    rmst_b = F.col("_head") + F.col("_ib")
+    return agg.crossJoin(F.broadcast(counts)).select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_nua").cast("long").alias("n_users_a"),
+        F.col("_nub").cast("long").alias("n_users_b"),
+        F.lit(int(tau_days)).alias("tau_days"),
+        rmst_a.cast("double").alias("rmst_a"),
+        rmst_b.cast("double").alias("rmst_b"),
+        (rmst_a - rmst_b).cast("double").alias("rmst_diff"),
     )

@@ -120,6 +120,13 @@ _FRONT = [
     "exif_meta_parse",
     "bpe_train_merges",
     "ogg_meta_parse",
+    # r13 second wave (same PAST-slot-50 rule): ranking quality and
+    # the survival-tier effect sizes — r14 refresh queue with the
+    # three above
+    "auc_roc_orders",
+    "kruskal_wallis_orders",
+    "nelson_aalen_events",
+    "rmst_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

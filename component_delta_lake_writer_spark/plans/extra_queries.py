@@ -9175,3 +9175,346 @@ def ab_grid_fdr_events(
         .withColumn("hit", (F.col("value") > 35).cast("int"))
     )
     return ab_grid_fdr(ev, "event_type", "arm", "hit", alpha=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 second wave: ranking quality (AUC), k-sample rank test
+# (Kruskal-Wallis), and the survival-tier effect sizes (Nelson-Aalen
+# cumulative hazard, two-arm RMST)
+# ---------------------------------------------------------------------------
+
+from component_delta_lake_writer_spark.operators.experiments import (
+    CHI2_CRIT_5PCT as _CHI2_TABLE,
+)
+
+#: the A&S chi-square 5% table as a DuckDB list literal — built from
+#: the SAME Python tuple the operator embeds, so the lookup cannot
+#: drift between engines (the F_CRIT_1PCT / Z_CRIT sharing pattern)
+_CHI2_SQL_LIST = "[" + ", ".join(str(v) for v in _CHI2_TABLE) + "]"
+
+
+@query(
+    "auc_roc_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        FLOOR(o_totalprice / 1000) AS s
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+      SELECT s, COUNT(*) AS t, SUM(y) AS tp FROM src GROUP BY 1
+    ),
+    c AS (
+      SELECT s, t, tp,
+        COALESCE(SUM(t) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum
+      FROM pv
+    ),
+    a AS (
+      SELECT SUM(t) AS N, SUM(tp) AS np,
+        SUM(tp * (2 * cum + t + 1)) AS r2p
+      FROM c
+    ),
+    f AS (
+      SELECT np, N - np AS nn,
+        CASE WHEN np > 0 AND N - np > 0 THEN
+          ROUND((CAST(r2p AS DOUBLE)
+                 - CAST(np AS DOUBLE) * (np + 1))
+                / (2.0 * CAST(np AS DOUBLE) * (N - np)), 9)
+        END AS auc
+      FROM a
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+      CAST(nn AS BIGINT) AS n_neg,
+      auc,
+      ROUND(2.0 * auc - 1.0, 9) AS gini
+    FROM f
+    """,
+)
+def auc_roc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the midrank Mann-Whitney identity
+    (operators.experiments.auc_roc): label = order finished
+    (o_orderstatus = 'F'), score = total price bucketed to 1000s so
+    real ties exercise the midrank path.  Distributed exclusive
+    cumsum midranks, exact-integer 2*R+, AUC as a ratio of exact
+    longs rounded 9dp."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        auc_roc,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        # NULL status/price propagate to NULL label/score, which the
+        # operator's own nonnull filter drops — the oracle's WHERE
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        F.floor(F.col("o_totalprice") / 1000).alias("score"),
+    )
+    return auc_roc(o, "label", "score")
+
+
+@query(
+    "kruskal_wallis_orders",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, FLOOR(o_totalprice / 1000) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    gv AS (
+      SELECT g, v, COUNT(*) AS tg FROM src GROUP BY 1, 2
+    ),
+    pv AS (SELECT v, SUM(tg) AS t FROM gv GROUP BY 1),
+    c AS (
+      SELECT v, t,
+        COALESCE(SUM(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum
+      FROM pv
+    ),
+    tot AS (
+      SELECT SUM(t) AS N,
+        SUM(CAST(CAST(t AS DECIMAL(20,0)) * t * t - t
+          AS DECIMAL(38,0))) AS ties
+      FROM c
+    ),
+    gs AS (
+      SELECT gv.g, SUM(gv.tg) AS n,
+        SUM(gv.tg * (2 * c.cum + c.t + 1)) AS r2
+      FROM gv JOIN c ON gv.v = c.v GROUP BY 1
+    ),
+    ag AS (
+      SELECT COUNT(*) AS k,
+        SUM(CAST(FLOOR(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+          / (4.0 * n)) AS DECIMAL(38,0))) AS sg
+      FROM gs
+    ),
+    hh AS (
+      SELECT k, N,
+        12.0 / (CAST(N AS DOUBLE) * (N + 1))
+          * CAST(sg AS DOUBLE)
+          - 3.0 * (CAST(N AS DOUBLE) + 1) AS hraw,
+        1.0 - CAST(ties AS DOUBLE)
+          / (CAST(N AS DOUBLE) * N * N - N) AS corr
+      FROM ag, tot
+    ),
+    hz AS (
+      SELECT k, N,
+        CASE WHEN k >= 2 AND N > k AND corr > 0
+          THEN ROUND(hraw / corr, 6) END AS h
+      FROM hh
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+      CAST(N AS BIGINT) AS n_rows,
+      h,
+      CAST(COALESCE(
+        h > ({_CHI2_SQL_LIST})[LEAST(k - 1, {len(_CHI2_TABLE)})],
+        FALSE) AS INT) AS significant
+    FROM hz
+    """,
+)
+def kruskal_wallis_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H (operators.experiments.kruskal_wallis):
+    order totals bucketed to 1000s (real ties) across the five
+    priority tiers — pinned (group, value) tie table, distributed
+    cumsum midranks, per-group exact 2*R_j, the anova-rule floored
+    DECIMAL(38,0) sum of R_j^2/n_j, tie-corrected H vs the shared
+    A&S chi-square table at df = k-1."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        kruskal_wallis,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
+    )
+    return kruskal_wallis(o, "grp", "bucket")
+
+
+@query(
+    "nelson_aalen_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+        MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    g AS (
+      SELECT t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1
+    ),
+    k AS (
+      SELECT t, d, c,
+        SUM(d + c) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM g
+    ),
+    k2 AS (
+      SELECT t, d, c, n,
+        CAST(ROUND(CAST(d AS DOUBLE) / n, 9) AS DECIMAL(18,9))
+          AS ht
+      FROM k
+    ),
+    k3 AS (
+      SELECT t, d, c, n,
+        SUM(ht) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS H
+      FROM k2
+    )
+    SELECT CAST(t AS INT) AS t_days,
+      CAST(n AS BIGINT) AS n_at_risk,
+      CAST(d AS BIGINT) AS n_deaths,
+      CAST(c AS BIGINT) AS n_censored,
+      CAST(H AS DOUBLE) AS cum_hazard
+    FROM k3 WHERE d > 0
+    """,
+)
+def nelson_aalen_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard
+    (operators.sessions.nelson_aalen) on the km_survival_events
+    fixture: at-risk suffix sums, hazard increments d/n rounded 9dp
+    into a DECIMAL prefix sum (order-free).  censor_days=1 — the km
+    de-vacuation rule, real deaths at both probe scales."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        nelson_aalen,
+    )
+
+    return nelson_aalen(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        censor_days=1,
+    )
+
+
+@query(
+    "rmst_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.arm = a.arm AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT arm, t, d,
+        SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS (
+      SELECT t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1
+    ),
+    st AS (
+      SELECT t, da, na, dt - da AS db, nt - na AS nb,
+        LEAD(t) OVER (ORDER BY t) AS tn
+      FROM bt
+    ),
+    sv AS (
+      SELECT t, tn,
+        CASE WHEN na > 0 AND da < na THEN
+          CAST(ROUND(LN(1.0 - CAST(da AS DOUBLE) / na), 9)
+            AS DECIMAL(18,9)) END AS la,
+        CASE WHEN nb > 0 AND db < nb THEN
+          CAST(ROUND(LN(1.0 - CAST(db AS DOUBLE) / nb), 9)
+            AS DECIMAL(18,9)) END AS lb,
+        CASE WHEN na > 0 AND da = na THEN 1 ELSE 0 END AS dda,
+        CASE WHEN nb > 0 AND db = nb THEN 1 ELSE 0 END AS ddb
+      FROM st
+    ),
+    s2 AS (
+      SELECT t, tn,
+        CASE WHEN MAX(dda) OVER w = 1 THEN 0.0
+          ELSE ROUND(EXP(CAST(COALESCE(SUM(la) OVER w, 0)
+            AS DOUBLE)), 6) END AS sa,
+        CASE WHEN MAX(ddb) OVER w = 1 THEN 0.0
+          ELSE ROUND(EXP(CAST(COALESCE(SUM(lb) OVER w, 0)
+            AS DOUBLE)), 6) END AS sb
+      FROM sv
+      WINDOW w AS (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    seg AS (
+      SELECT t,
+        CAST(sa AS DECIMAL(9,6)) AS sa6,
+        CAST(sb AS DECIMAL(9,6)) AS sb6,
+        GREATEST(0, LEAST(COALESCE(tn, 14), 14)
+          - LEAST(t, 14)) AS w
+      FROM s2
+    ),
+    ag AS (
+      SELECT LEAST(MIN(t), 14) AS head,
+        SUM(sa6 * w) AS ia, SUM(sb6 * w) AS ib
+      FROM seg
+    ),
+    nu AS (
+      SELECT SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS nua,
+        SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS nub
+      FROM u
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(nua AS BIGINT) AS n_users_a,
+      CAST(nub AS BIGINT) AS n_users_b,
+      14 AS tau_days,
+      CAST(head + ia AS DOUBLE) AS rmst_a,
+      CAST(head + ib AS DOUBLE) AS rmst_b,
+      CAST((head + ia) - (head + ib) AS DOUBLE) AS rmst_diff
+    FROM ag, nu
+    """,
+)
+def rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm restricted mean survival time to tau = 14 days
+    (operators.sessions.rmst_two_arm) on the logrank_km_events
+    fixture (arms by user-id parity, censor_days=1): per-arm KM
+    curves on the shared one-scan risk grid, the integral as exact
+    step-function geometry — DECIMAL(9,6) survival x integer
+    segment width summed as DECIMAL (order-free), head segment at
+    S = 1."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        rmst_two_arm,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return rmst_two_arm(
+        ev, "user_id", "ts", "arm", tau_days=14, censor_days=1
+    )

@@ -1818,3 +1818,149 @@ def test_ab_grid_fdr_hand_values(spark):
     )
     qs = [r.q_value for r in ranked]
     assert qs == sorted(qs)
+
+
+def test_auc_roc_hand_values(spark):
+    """Perfect separation -> 1.0; random interleave -> 0.75 on the
+    hand-counted pair fractions; full ties -> 0.5; one class ->
+    NULL auc with the counts still visible; non-0/1 label refuses."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        auc_roc,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "y int, s double")
+        return auc_roc(df, "y", "s").collect()[0]
+
+    r = run([(0, 1.0), (0, 2.0), (1, 3.0), (1, 4.0)])
+    assert (r.n_pos, r.n_neg, r.auc, r.gini) == (2, 2, 1.0, 1.0)
+    # pos {2, 4} vs neg {1, 3}: 3 of 4 pairs ordered correctly
+    r = run([(0, 1.0), (1, 2.0), (0, 3.0), (1, 4.0)])
+    assert (r.auc, r.gini) == (0.75, 0.5)
+    # every score tied -> midranks flatten to AUC exactly 0.5
+    r = run([(0, 7.0), (1, 7.0), (0, 7.0), (1, 7.0)])
+    assert (r.auc, r.gini) == (0.5, 0.0)
+    r = run([(1, 1.0), (1, 2.0)])
+    assert (r.n_pos, r.n_neg) == (2, 0)
+    assert r.auc is None and r.gini is None
+    bad = spark.createDataFrame([(2, 1.0)], "y int, s double")
+    with pytest.raises(Exception, match="label must be 0/1"):
+        auc_roc(bad, "y", "s").collect()
+
+
+def test_kruskal_wallis_hand_values(spark):
+    """Textbook no-tie example H = 7.2 (df = 2, significant at the
+    5% 5.991 critical value); tied example matches the FLOORED
+    decimal-sum model the operator and oracle share; k = 1
+    degenerates to NULL."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        kruskal_wallis,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        return kruskal_wallis(df, "g", "v").collect()[0]
+
+    # groups {1,2,3} {4,5,6} {7,8,9}: R = 6, 15, 24 ->
+    # H = 12/90 * (12 + 75 + 192) - 30 = 7.2, no ties, all terms
+    # exact under the floor
+    r = run(
+        [("a", float(x)) for x in (1, 2, 3)]
+        + [("b", float(x)) for x in (4, 5, 6)]
+        + [("c", float(x)) for x in (7, 8, 9)]
+    )
+    assert (r.k_groups, r.n_rows) == (3, 9)
+    assert r.h == 7.2 and r.significant == 1
+    # values [1,1,2] groups [a,a,b]: exact H' = 2.0, but the shared
+    # floored model truncates SG 13.5 -> 13, giving
+    # H = 12/12*13 - 12 = 1 and H' = 1/0.75 = 1.333333 — assert the
+    # MODEL both engines compute, not the textbook real
+    r = run([("a", 1.0), ("a", 1.0), ("b", 2.0)])
+    assert r.h == round(1.0 / 0.75, 6)
+    assert r.significant == 0
+    r = run([("a", 1.0), ("a", 2.0)])
+    assert r.h is None and r.significant == 0
+
+
+def test_nelson_aalen_hand_curve(spark):
+    """Four users, lifetimes 0/1/2/2 with the last censored at the
+    horizon: cumulative hazard is the hand-folded 1/4, 1/4+1/3,
+    1/4+1/3+1/2 ladder over the 9dp decimal prefix sum."""
+    import datetime as dtm
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        nelson_aalen,
+    )
+
+    d0 = dtm.datetime(2026, 1, 1, 12, 0)
+
+    def user(uid, first_day, last_day):
+        return [
+            (uid, d0 + dtm.timedelta(days=first_day)),
+            (uid, d0 + dtm.timedelta(days=last_day)),
+        ]
+
+    rows = (
+        user("u1", 0, 0) + user("u2", 0, 1) + user("u3", 0, 2)
+        + user("u4", 1, 3)  # lifetime 2, ends on the horizon day
+    )
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    out = {
+        r.t_days: r
+        for r in nelson_aalen(df, "u", "ts", censor_days=1).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    assert (out[0].n_at_risk, out[0].n_deaths) == (4, 1)
+    assert out[0].cum_hazard == 0.25
+    assert (out[1].n_at_risk, out[1].n_deaths) == (3, 1)
+    # the engine sums 9dp DECIMALS exactly, then converts once to
+    # double — compare against the nearest float of the 9dp total,
+    # not a float accumulation of the terms (last-ulp drift)
+    assert out[1].cum_hazard == round(0.25 + 1 / 3, 9)
+    assert (out[2].n_at_risk, out[2].n_deaths, out[2].n_censored) == (
+        2,
+        1,
+        1,
+    )
+    assert out[2].cum_hazard == round(0.25 + 1 / 3 + 0.5, 9)
+
+
+def test_rmst_hand_values(spark):
+    """Two arms with hand-drawn KM step curves: RMST is the exact
+    step-function area to tau = 10 including the S = 1 head segment
+    and the carried last value; the arm whose last subject dies
+    contributes 0 beyond that time."""
+    import datetime as dtm
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        rmst_two_arm,
+    )
+
+    d0 = dtm.datetime(2026, 1, 1, 12, 0)
+
+    def user(uid, arm, lifetime):
+        return [
+            (uid, arm, d0),
+            (uid, arm, d0 + dtm.timedelta(days=lifetime)),
+        ]
+
+    # arm 0: deaths at t=1 and t=3 -> S: 1 on [0,1), .5 on [1,3), 0 after
+    # arm 1: deaths at t=2 and t=3 -> S: 1 on [0,2), .5 on [2,3), 0 after
+    rows = (
+        user("u1", "0", 1) + user("u2", "0", 3)
+        + user("v1", "1", 2) + user("v2", "1", 3)
+    )
+    df = spark.createDataFrame(
+        rows, "u string, arm string, ts timestamp"
+    )
+    row = rmst_two_arm(
+        df, "u", "ts", "arm", tau_days=10, censor_days=0
+    ).collect()[0]
+    assert (row.arm_a, row.arm_b) == ("0", "1")
+    assert (row.n_users_a, row.n_users_b) == (2, 2)
+    assert row.tau_days == 10
+    assert row.rmst_a == 1.0 + 0.5 * 2  # 1 + [1,3) at 0.5
+    assert row.rmst_b == 2.0 + 0.5 * 1  # 2 + [2,3) at 0.5
+    assert row.rmst_diff == row.rmst_a - row.rmst_b

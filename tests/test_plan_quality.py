@@ -1039,3 +1039,40 @@ def test_bpe_train_output_is_metadata_scale_local(spark):
     p = _plan(spark, "bpe_train_merges")
     assert p.count("FileScan") == 0, p
     assert "Exchange" not in p, p
+
+
+def test_auc_kruskal_ride_distributed_cumsum(spark):
+    """auc_roc and kruskal_wallis ride the global_weighted_cumsum
+    pin (and kruskal's (group, value) tie table is itself pinned for
+    its two consumers): the returned plan reads NO files and the
+    only running windows are partitioned by the checkpoint pid —
+    an unpartitioned midrank window over distinct values would be
+    the single-partition regression."""
+    for key in ("auc_roc_orders", "kruskal_wallis_orders"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 0, (key, p)
+        assert "Scan ExistingRDD" in p, (key, p)
+        assert "windowspecdefinition(__pid" in p, (key, p)
+
+
+def test_survival_curves_single_scan(spark):
+    """km_survival and nelson_aalen pin the per-user collapse: the
+    horizon aggregate and the lifetime staging both consume it, and
+    unpinned each re-ran the corpus scan (2 FileScans for one
+    logical pass — r13 plan audit).  The returned plan reads no
+    files; the curve windows run over the metadata-scale lifetime
+    relation."""
+    for key in ("km_survival_events", "nelson_aalen_events"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 0, (key, p)
+        assert "Scan ExistingRDD" in p, (key, p)
+
+
+def test_rmst_zero_filescan_on_shared_grid(spark):
+    """rmst_two_arm rides the shared two-arm risk-grid pin exactly
+    like log-rank/Gehan/Cox: zero FileScans in the returned plan —
+    the per-arm survival folds and the step-integral segments are
+    windows over the pinned metadata-scale grid."""
+    p = _plan(spark, "rmst_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p

@@ -1703,3 +1703,177 @@ def test_stratified_logrank_matches_bruteforce(spark, users):
         assert r.chi2 == round(r.z * r.z, 6)
     else:
         assert r.z is None
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.booleans(),                          # label
+            st.integers(min_value=0, max_value=6),  # score (ties!)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_auc_matches_bruteforce(spark, pts):
+    """auc_roc == brute pair counting on ANY labeled multiset:
+    (#correctly ordered pairs + half the ties) / (n+ · n−), NULL
+    when a class is empty."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        auc_roc,
+    )
+
+    df = spark.createDataFrame(
+        [(int(y), float(s)) for y, s in pts], "y int, s double"
+    )
+    r = auc_roc(df, "y", "s").collect()[0]
+    pos = [s for y, s in pts if y]
+    neg = [s for y, s in pts if not y]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert r.auc is None and r.gini is None
+        return
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert r.auc == round(expected, 9)
+    assert r.gini == round(2.0 * r.auc - 1.0, 9)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.integers(min_value=0, max_value=5),  # value (ties!)
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_kruskal_wallis_matches_bruteforce(spark, pts):
+    """kruskal_wallis == the shared floored-decimal model on ANY
+    grouped multiset: exact-integer doubled rank sums, SG floored
+    per group, tie-corrected H rounded 6dp — NULL on degenerate
+    k/N/correction exactly as documented."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [(str(g), float(v)) for g, v in pts], "g string, v double"
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    n_total = len(pts)
+    groups = sorted({g for g, _ in pts})
+    k = len(groups)
+    assert (r.k_groups, r.n_rows) == (k, n_total)
+    # brute midranks: 2·mr(v) = 2·(#strictly smaller) + t_v + 1
+    from collections import Counter
+
+    tie = Counter(v for _, v in pts)
+    smaller = {
+        v: sum(c for w, c in tie.items() if w < v) for v in tie
+    }
+    mr2 = {v: 2 * smaller[v] + tie[v] + 1 for v in tie}
+    sg = 0
+    for g in groups:
+        vals = [v for gg, v in pts if gg == g]
+        r2 = sum(mr2[v] for v in vals)          # = 2·R_g, exact int
+        sg += (r2 * r2) // (4 * len(vals))      # floored term
+    ties_sum = sum(c**3 - c for c in tie.values())
+    corr = 1.0 - ties_sum / (
+        float(n_total) * n_total * n_total - n_total
+    )
+    if k < 2 or n_total <= k or corr <= 0:
+        assert r.h is None and r.significant == 0
+        return
+    h_raw = 12.0 / (float(n_total) * (n_total + 1)) * sg - 3.0 * (
+        float(n_total) + 1
+    )
+    assert r.h == round(h_raw / corr, 6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),                           # arm
+            st.integers(min_value=0, max_value=9),   # lifetime days
+        ),
+        min_size=4,
+        max_size=25,
+    ),
+    tau=st.integers(min_value=1, max_value=12),
+)
+def test_rmst_matches_bruteforce(spark, users, tau):
+    """rmst_two_arm == the brute step-function integral of each
+    arm's KM curve (the operator's exact recipe: 9dp ln terms, 6dp
+    survival, carried last value, dead-arm zero) on ANY two-arm
+    lifetime multiset."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        rmst_two_arm,
+    )
+
+    assume(len({a for a, _ in users}) == 2)
+    d0 = dtm.datetime(2026, 3, 1, 9, 0)
+    horizon = max(t for _, t in users)
+    rows = []
+    for i, (arm, t) in enumerate(users):
+        uid = f"u{i}"
+        a = "A" if arm else "B"
+        rows += [(uid, a, d0), (uid, a, d0 + dtm.timedelta(days=t))]
+    df = spark.createDataFrame(
+        rows, "u string, arm string, ts timestamp"
+    )
+    r = rmst_two_arm(
+        df, "u", "ts", "arm", tau_days=tau, censor_days=1
+    ).collect()[0]
+
+    lifetimes = [("A" if a else "B", t, t == horizon) for a, t in users]
+    times = sorted({t for _, t, _ in lifetimes})
+
+    def brute(arm):
+        lnsum, dead, surv = 0.0, False, []
+        for t in times:
+            n = sum(1 for a, lt, _ in lifetimes if a == arm and lt >= t)
+            d = sum(
+                1 for a, lt, cen in lifetimes
+                if a == arm and lt == t and not cen
+            )
+            if n > 0 and d == n:
+                dead = True
+            if n > 0 and d < n:
+                lnsum += round(math.log(1.0 - d / n), 9)
+            surv.append(0.0 if dead else round(math.exp(lnsum), 6))
+        total = float(min(times[0], tau))
+        for i, t in enumerate(times):
+            nxt = times[i + 1] if i + 1 < len(times) else tau
+            total += surv[i] * max(0, min(nxt, tau) - min(t, tau))
+        return total
+
+    assert (r.arm_a, r.arm_b) == ("A", "B")
+    assert r.tau_days == tau
+    assert r.rmst_a == pytest.approx(brute("A"), abs=1e-5)
+    assert r.rmst_b == pytest.approx(brute("B"), abs=1e-5)
+    assert r.rmst_diff == pytest.approx(
+        r.rmst_a - r.rmst_b, abs=1e-9
+    )
