@@ -1277,3 +1277,134 @@ def parse_ogg_meta(
         F.when(ok, sample_rate).cast("long").alias("sample_rate"),
         F.when(ok, pre_skip).cast("int").alias("pre_skip"),
     )
+
+
+def parse_bmp_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse BMP (Windows bitmap) header metadata — dimensions,
+    bit depth, compression, pixel-data offset — from the raw bytes,
+    Catalyst-only (the last image format a scraped corpus carries in
+    volume that the tier didn't already cover: PNG/GIF/WebP/JPEG/
+    TIFF are done; BMP is the uncompressed screenshot/scan class).
+
+    BMP is a TRUE fixed-offset format: 'BM' + file header (14
+    bytes) + DIB header, every field little-endian at a known
+    position — the WAV/WebP class, pure hex-slice, no Python.
+    Height is SIGNED: a negative height is the spec's top-down
+    row-order flag, surfaced as ``top_down`` with the magnitude in
+    ``height`` (two's-complement unfold on the u32 read — the TIFF
+    walker's endian discipline, not a cast that differs between
+    engines).  Non-BMP payloads yield is_bmp=false with NULL
+    fields; short payloads NULL the fields past the truncation.
+
+    Returns (id, is_bmp, width, height, top_down, bits_per_pixel,
+    compression, data_offset).
+    """
+    b = F.col(bin_col)
+
+    def le(pos: int, nbytes: int):
+        return F.when(
+            F.length(b) >= pos + nbytes - 1,
+            F.conv(
+                F.concat(
+                    *[
+                        F.hex(F.substring(b, pos + i, 1))
+                        for i in range(nbytes - 1, -1, -1)
+                    ]
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    def signed32(col):
+        return F.when(
+            col >= F.lit(2147483648), col - F.lit(4294967296)
+        ).otherwise(col)
+
+    ok = (
+        (F.substring(b, 1, 2).cast("string") == F.lit("BM"))
+        # DIB header size pins the layout: 40 (BITMAPINFOHEADER)
+        # and its V4/V5 extensions share the first 40 bytes
+        & le(15, 4).isin(40, 52, 56, 108, 124)
+    )
+    w = signed32(le(19, 4))
+    h = signed32(le(23, 4))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_bmp"),
+        F.when(ok, w).cast("int").alias("width"),
+        F.when(ok, F.abs(h)).cast("int").alias("height"),
+        F.when(ok, h < 0).alias("top_down"),
+        F.when(ok, le(29, 2)).cast("int").alias("bits_per_pixel"),
+        F.when(ok, le(31, 4)).cast("int").alias("compression"),
+        F.when(ok, le(11, 4)).cast("long").alias("data_offset"),
+    )
+
+
+def parse_avi_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse AVI container metadata — frame duration, total frames,
+    stream count, dimensions — from the raw bytes, Catalyst-only
+    (the video tier's RIFF sibling: MP4 owns the byte-walk class,
+    AVI the fixed-offset class).
+
+    AVI pins the layout this parse needs: the spec REQUIRES the
+    'hdrl' LIST as the first chunk of the RIFF body and 'avih' (the
+    main AVI header) as its first child, so every field sits at a
+    known little-endian offset — the FLAC/WAV discipline, no byte
+    walk.  A file with a nonstandard leading chunk yields
+    is_avi=false (the conservative read: every mainstream muxer
+    writes the canonical order).  fps is derived from
+    dwMicroSecPerFrame as an exact integer-over-integer double
+    rounded 3dp — engine-portable.
+
+    Returns (id, is_avi, micro_sec_per_frame, fps, total_frames,
+    n_streams, width, height).
+    """
+    b = F.col(bin_col)
+
+    def le(pos: int, nbytes: int):
+        return F.when(
+            F.length(b) >= pos + nbytes - 1,
+            F.conv(
+                F.concat(
+                    *[
+                        F.hex(F.substring(b, pos + i, 1))
+                        for i in range(nbytes - 1, -1, -1)
+                    ]
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    ok = (
+        (F.substring(b, 1, 4).cast("string") == F.lit("RIFF"))
+        & (F.substring(b, 9, 4).cast("string") == F.lit("AVI "))
+        & (F.substring(b, 13, 4).cast("string") == F.lit("LIST"))
+        & (F.substring(b, 21, 4).cast("string") == F.lit("hdrl"))
+        & (F.substring(b, 25, 4).cast("string") == F.lit("avih"))
+        & (le(29, 4) >= 40)
+    )
+    mspf = le(33, 4)
+    fps = F.when(
+        mspf > 0,
+        F.round(F.lit(1000000.0) / mspf.cast("double"), 3),
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(ok, F.lit(False)).alias("is_avi"),
+        F.when(ok, mspf).cast("long").alias("micro_sec_per_frame"),
+        F.when(ok, fps).alias("fps"),
+        F.when(ok, le(49, 4)).cast("long").alias("total_frames"),
+        F.when(ok, le(57, 4)).cast("int").alias("n_streams"),
+        F.when(ok, le(65, 4)).cast("int").alias("width"),
+        F.when(ok, le(69, 4)).cast("int").alias("height"),
+    )

@@ -127,6 +127,8 @@ _FRONT = [
     "kruskal_wallis_orders",
     "nelson_aalen_events",
     "rmst_events",
+    "bmp_meta_parse",
+    "avi_meta_parse",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -2649,3 +2649,188 @@ def ogg_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_ogg_meta(staged)
+
+
+@query(
+    "bmp_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_bmp,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1 + doc_id % 4000 AS INT) END AS width,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1 + doc_id % 3000 AS INT) END AS height,
+      CASE WHEN doc_id % 7 <> 0 THEN (doc_id % 4 = 0) END
+        AS top_down,
+      CASE WHEN doc_id % 7 <> 0 THEN CAST(
+        CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
+          WHEN 3 THEN 16 WHEN 4 THEN 24 ELSE 32 END AS INT)
+      END AS bits_per_pixel,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(doc_id % 3 AS INT) END AS compression,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(54 + (doc_id % 1024) * 4 AS BIGINT)
+      END AS data_offset
+    FROM documents
+    """,
+)
+def bmp_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP header parse (operators.multimodal.parse_bmp_meta):
+    payloads staged as real 'BM' + BITMAPINFOHEADER streams with
+    every field little-endian from doc_id arithmetic — the SIGNED
+    height exercised both ways (every 4th doc stores the
+    two's-complement negative = the spec's top-down flag), bit
+    depth rotating through all six legal values, compression
+    through BI_RGB/RLE8/RLE4.  Garbage docs (doc_id % 7 = 0) are
+    prefixed with a 0x00 byte so corpus text can never alias the
+    'BM' magic (the mp3 ID3 fixture rule).  Pure Catalyst
+    hex-slices both sides; the oracle predicts the fields from the
+    same arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_bmp_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def le16(v):
+        return F.format_string(
+            "%02x%02x", (v % 256).cast("int"),
+            (v / 256).cast("int") % 256,
+        )
+
+    def le32(v):
+        return F.format_string(
+            "%02x%02x%02x%02x",
+            (v % 256).cast("int"),
+            ((v / 256).cast("int") % 256),
+            ((v / 65536).cast("int") % 256),
+            ((v / 16777216).cast("int") % 256),
+        )
+
+    w = (1 + F.col("doc_id") % 4000).cast("long")
+    hmag = (1 + F.col("doc_id") % 3000).cast("long")
+    # two's-complement i32: top-down rows store -height
+    h_stored = F.when(
+        F.col("doc_id") % 4 == 0, F.lit(4294967296) - hmag
+    ).otherwise(hmag)
+    bpp = (
+        F.when(F.col("doc_id") % 6 == 0, 1)
+        .when(F.col("doc_id") % 6 == 1, 4)
+        .when(F.col("doc_id") % 6 == 2, 8)
+        .when(F.col("doc_id") % 6 == 3, 16)
+        .when(F.col("doc_id") % 6 == 4, 24)
+        .otherwise(32)
+        .cast("long")
+    )
+    comp = (F.col("doc_id") % 3).cast("long")
+    data_off = (54 + (F.col("doc_id") % 1024) * 4).cast("long")
+    hdr_hex = F.concat(
+        F.lit("424d"),                      # 'BM'
+        F.lit("00000000"),                  # file size (unused)
+        F.lit("00000000"),                  # reserved
+        le32(data_off),
+        F.lit("28000000"),                  # DIB size 40 LE
+        le32(w),
+        le32(h_stored),
+        F.lit("0100"),                      # planes = 1
+        le16(bpp),
+        le32(comp),
+        F.lit("00" * 20),                   # rest of the 40-byte DIB
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_bmp_meta(staged)
+
+
+@query(
+    "avi_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_avi,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(33333 + (doc_id % 5) * 8333 AS BIGINT)
+      END AS micro_sec_per_frame,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        ROUND(1000000.0
+          / CAST(33333 + (doc_id % 5) * 8333 AS DOUBLE), 3)
+      END AS fps,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(doc_id % 100000 AS BIGINT) END AS total_frames,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1 + doc_id % 3 AS INT) END AS n_streams,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(320 + (doc_id % 5) * 16 AS INT) END AS width,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(240 + (doc_id % 3) * 16 AS INT) END AS height
+    FROM documents
+    """,
+)
+def avi_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI main-header parse (operators.multimodal.parse_avi_meta):
+    payloads staged as real RIFF/'AVI '/LIST-hdrl/avih streams —
+    the spec-required canonical chunk order, every field
+    little-endian from doc_id arithmetic, fps derived from
+    dwMicroSecPerFrame as the identical rounded double expression
+    on both engines.  Garbage docs carry the 0x00-prefix guard.
+    Pure Catalyst hex-slices (the FLAC/WAV fixed-offset class —
+    MP4 owns the video byte-walk class)."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_avi_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def le32(v):
+        return F.format_string(
+            "%02x%02x%02x%02x",
+            (v % 256).cast("int"),
+            ((v / 256).cast("int") % 256),
+            ((v / 65536).cast("int") % 256),
+            ((v / 16777216).cast("int") % 256),
+        )
+
+    mspf = (33333 + (F.col("doc_id") % 5) * 8333).cast("long")
+    frames = (F.col("doc_id") % 100000).cast("long")
+    streams = (1 + F.col("doc_id") % 3).cast("long")
+    w = (320 + (F.col("doc_id") % 5) * 16).cast("long")
+    h = (240 + (F.col("doc_id") % 3) * 16).cast("long")
+    hdr_hex = F.concat(
+        F.lit("52494646"),                  # 'RIFF'
+        F.lit("00000000"),                  # riff size (unused)
+        F.lit("41564920"),                  # 'AVI '
+        F.lit("4c495354"),                  # 'LIST'
+        F.lit("44000000"),                  # list size 68 LE
+        F.lit("6864726c"),                  # 'hdrl'
+        F.lit("61766968"),                  # 'avih'
+        F.lit("38000000"),                  # cb = 56 LE
+        le32(mspf),
+        F.lit("00000000" * 3),              # maxbps, padding, flags
+        le32(frames),
+        F.lit("00000000"),                  # initial frames
+        le32(streams),
+        F.lit("00000000"),                  # suggested buffer
+        le32(w),
+        le32(h),
+        F.lit("00" * 16),                   # 4 reserved u32
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_avi_meta(staged)

@@ -3495,3 +3495,111 @@ def test_parse_ogg_meta_edge_cases(spark):
     assert got[5].is_ogg is True and got[5].codec is None
     assert got[6].is_ogg is False and got[6].sample_rate is None
     assert got[7].is_ogg is False
+
+
+def test_bmp_parser_signed_height_and_edges(spark):
+    """parse_bmp_meta: LE fields unpack exactly, a negative
+    (two's-complement) height surfaces as top_down with the
+    magnitude, V4/V5 DIB sizes are accepted, and truncated /
+    garbage / wrong-DIB payloads yield is_bmp=false or NULL
+    fields — never an error."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_bmp_meta,
+    )
+
+    def bmp(w, h, bpp, comp=0, data_off=54, dib=40):
+        hdr = b"BM" + struct.pack("<IHHI", 0, 0, 0, data_off)
+        hdr += struct.pack("<IiiHHI", dib, w, h, 1, bpp, comp)
+        return hdr + b"\x00" * 20
+
+    rows = {
+        r.doc_id: r
+        for r in parse_bmp_meta(
+            spark.createDataFrame(
+                [
+                    (1, bmp(800, 600, 24)),
+                    (2, bmp(1920, -1080, 32, comp=3)),   # top-down
+                    (3, bmp(64, 64, 8, dib=124)),        # V5 header
+                    (4, bmp(64, 64, 8, dib=12)),         # OS/2 core
+                    (5, bmp(800, 600, 24)[:20]),         # truncated
+                    (6, b"BM"),                          # bare magic
+                    (7, b"not a bitmap"),
+                    (8, None),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    r = rows[1]
+    assert (r.is_bmp, r.width, r.height, r.top_down) == (
+        True, 800, 600, False,
+    )
+    assert (r.bits_per_pixel, r.compression, r.data_offset) == (
+        24, 0, 54,
+    )
+    r = rows[2]
+    assert (r.is_bmp, r.width, r.height, r.top_down) == (
+        True, 1920, 1080, True,
+    )
+    assert r.compression == 3
+    assert rows[3].is_bmp and rows[3].bits_per_pixel == 8
+    # 12-byte OS/2 core header: different field layout — refused
+    assert rows[4].is_bmp is False
+    # truncated inside the DIB: magic+dib readable, fields NULL
+    assert rows[5].is_bmp is False or rows[5].width is None
+    for i in (6, 7, 8):
+        assert rows[i].is_bmp is False and rows[i].width is None
+
+
+def test_avi_parser_fields_and_edges(spark):
+    """parse_avi_meta: canonical RIFF/hdrl/avih layout unpacks
+    exactly with fps the rounded inverse of dwMicroSecPerFrame;
+    zero-mspf yields NULL fps; nonstandard leading chunks and
+    garbage yield is_avi=false — never an error."""
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_avi_meta,
+    )
+
+    def avi(mspf, frames, streams, w, h, list4cc=b"hdrl"):
+        avih = struct.pack(
+            "<IIIIIIIIII",
+            mspf, 0, 0, 0, frames, 0, streams, 0, w, h,
+        ) + b"\x00" * 16
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"AVI "
+            + b"LIST" + struct.pack("<I", 68) + list4cc
+            + b"avih" + struct.pack("<I", 56) + avih
+        )
+
+    rows = {
+        r.doc_id: r
+        for r in parse_avi_meta(
+            spark.createDataFrame(
+                [
+                    (1, avi(33333, 900, 2, 1920, 1080)),
+                    (2, avi(0, 1, 1, 320, 240)),        # zero mspf
+                    (3, avi(40000, 1, 1, 640, 480, list4cc=b"INFO")),
+                    (4, avi(33333, 900, 2, 1920, 1080)[:30]),
+                    (5, b"RIFF\x00\x00\x00\x00AVI "),
+                    (6, b"plain text"),
+                    (7, None),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    r = rows[1]
+    assert (r.is_avi, r.micro_sec_per_frame, r.total_frames) == (
+        True, 33333, 900,
+    )
+    assert (r.n_streams, r.width, r.height) == (2, 1920, 1080)
+    assert r.fps == round(1000000.0 / 33333, 3)
+    assert rows[2].is_avi and rows[2].fps is None
+    # hdrl must lead — an INFO list first is the nonstandard case
+    assert rows[3].is_avi is False
+    for i in (4, 5, 6, 7):
+        assert rows[i].is_avi is False and rows[i].width is None
