@@ -2131,3 +2131,166 @@ def kruskal_wallis(
             (h > crit).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 readout — the common odds
+    ratio across segments and the CMH test of association, the
+    classic guard against Simpson's paradox: when traffic is
+    unevenly split across segments (country, device, cohort), the
+    POOLED conversion table can show the opposite effect of every
+    segment; MH combines the per-segment tables with
+    precision-proportional weights instead of pooling.  Pairs with
+    :func:`ab_grid_fdr` (which answers "which segments moved") by
+    answering "what is the one overall effect, segment-adjusted".
+
+    Scale shape: ONE corpus scan to the per-(stratum, arm) count
+    table, pivoted to the |strata|-row (a, b, c, d) relation
+    (pinned — it feeds the arm validation and the folds); every MH
+    term (R, S, P·R, …, the CMH E/V) is a fixed double expression
+    over exact longs rounded 9dp into DECIMAL sums, so the
+    statistic is order-free and engine-portable.  Exactly two arms
+    refused loudly otherwise; strata where an arm is absent (n=0
+    rows) contribute 0 to every sum — the standard MH convention.
+    The ln-OR variance is Robins–Breslow–Greenland; the CMH χ²
+    carries no continuity correction (documented; both engines
+    agree by construction).
+
+    Returns ONE row: (arm_a, arm_b, n_strata, n_rows, or_mh 6dp,
+    ci_lo 6dp, ci_hi 6dp, cmh_chi2 6dp, significant) — OR oriented
+    as arm_a's success odds over arm_b's; NULL OR/CI when a
+    marginal degenerates (no successes or no failures anywhere).
+    """
+    src = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+        & F.col(success_col).isNotNull()
+    ).select(
+        F.col(stratum_col).cast("string").alias("_st"),
+        F.col(arm_col).cast("string").alias("_g"),
+        F.col(success_col).cast("int").alias("_y"),
+    )
+    per_sa = src.groupBy("_st", "_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("_y").isin(0, 1), F.col("_y")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mantel_haenszel: success must be "
+                            "0/1, got "
+                        ),
+                        F.col("_y").cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_s"),
+    )
+    per_sa = per_sa.localCheckpoint(eager=True)
+    arms = [
+        r["_g"]
+        for r in per_sa.select("_g").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"mantel_haenszel needs exactly 2 arms, got "
+            f"{sorted(arms)!r}"
+        )
+    arm_a, arm_b = sorted(arms)
+    is_a = F.col("_g") == F.lit(arm_a)
+    # fold to the per-stratum 2×2: a/b = arm-a successes/failures,
+    # c/d = arm-b successes/failures
+    t22 = per_sa.groupBy("_st").agg(
+        F.sum(F.when(is_a, F.col("_s")).otherwise(0)).alias("a"),
+        F.sum(
+            F.when(is_a, F.col("_n") - F.col("_s")).otherwise(0)
+        ).alias("b"),
+        F.sum(F.when(~is_a, F.col("_s")).otherwise(0)).alias("c"),
+        F.sum(
+            F.when(~is_a, F.col("_n") - F.col("_s")).otherwise(0)
+        ).alias("d"),
+    )
+    n = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+
+    def dec9(col):
+        return F.round(col, 9).cast("decimal(28,9)")
+
+    r_i = a * d / n
+    s_i = b * c / n
+    p_i = (a + d) / n
+    q_i = (b + c) / n
+    e_i = (a + b) * (a + c) / n
+    v_i = F.when(
+        n > 1,
+        (a + b)
+        * (c + d)
+        * (a + c)
+        * (b + d)
+        / (n * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = t22.filter(n > 0).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias(
+            "_N"
+        ),
+        F.sum("a").alias("_oa"),
+        F.sum(dec9(r_i)).alias("_R"),
+        F.sum(dec9(s_i)).alias("_S"),
+        F.sum(dec9(p_i * r_i)).alias("_PR"),
+        F.sum(dec9(p_i * s_i + q_i * r_i)).alias("_PSQR"),
+        F.sum(dec9(q_i * s_i)).alias("_QS"),
+        F.sum(dec9(e_i)).alias("_E"),
+        F.sum(dec9(v_i)).alias("_V"),
+    )
+    R = F.col("_R").cast("double")
+    S = F.col("_S").cast("double")
+    ok = (R > 0) & (S > 0)
+    or_mh = R / S
+    # Robins–Breslow–Greenland variance of ln(OR_MH); ln and se are
+    # 9dp-rounded BEFORE the exp recombination (ln is the one libm
+    # call whose last ulp differs between engines — the km/Cox rule)
+    se = F.round(
+        F.sqrt(
+            F.col("_PR").cast("double") / (F.lit(2.0) * R * R)
+            + F.col("_PSQR").cast("double") / (F.lit(2.0) * R * S)
+            + F.col("_QS").cast("double") / (F.lit(2.0) * S * S)
+        ),
+        9,
+    )
+    ln_or = F.round(F.log(or_mh), 9)
+    ci_lo = F.exp(ln_or - F.lit(Z_CRIT_5PCT) * se)
+    ci_hi = F.exp(ln_or + F.lit(Z_CRIT_5PCT) * se)
+    vv = F.col("_V").cast("double")
+    chi2 = F.when(
+        vv > 0,
+        F.round(
+            (F.col("_oa").cast("double") - F.col("_E").cast("double"))
+            * (
+                F.col("_oa").cast("double")
+                - F.col("_E").cast("double")
+            )
+            / vv,
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_k").cast("long").alias("n_strata"),
+        F.col("_N").cast("long").alias("n_rows"),
+        F.when(ok, F.round(or_mh, 6)).alias("or_mh"),
+        F.when(ok, F.round(ci_lo, 6)).alias("ci_lo"),
+        F.when(ok, F.round(ci_hi, 6)).alias("ci_hi"),
+        chi2.alias("cmh_chi2"),
+        F.coalesce(
+            (chi2 > F.lit(3.841)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

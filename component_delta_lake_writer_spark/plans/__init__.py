@@ -129,6 +129,7 @@ _FRONT = [
     "rmst_events",
     "bmp_meta_parse",
     "avi_meta_parse",
+    "mantel_haenszel_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -9518,3 +9518,119 @@ def rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rmst_two_arm(
         ev, "user_id", "ts", "arm", tau_days=14, censor_days=1
     )
+
+
+@query(
+    "mantel_haenszel_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS st,
+        CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_orderkey IS NOT NULL
+        AND o_orderstatus IS NOT NULL
+    ),
+    sa AS (
+      SELECT st, g, COUNT(*) AS n, SUM(y) AS s
+      FROM src GROUP BY 1, 2
+    ),
+    t22 AS (
+      SELECT st,
+        SUM(CASE WHEN g = '0' THEN s ELSE 0 END) AS a,
+        SUM(CASE WHEN g = '0' THEN n - s ELSE 0 END) AS b,
+        SUM(CASE WHEN g = '1' THEN s ELSE 0 END) AS c,
+        SUM(CASE WHEN g = '1' THEN n - s ELSE 0 END) AS d
+      FROM sa GROUP BY 1
+    ),
+    tm AS (
+      SELECT a, b, c, d,
+        CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+        CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+        CAST(a + b + c + d AS DOUBLE) AS n
+      FROM t22 WHERE a + b + c + d > 0
+    ),
+    terms AS (
+      SELECT a, b, c, d, n,
+        ad * dd / n AS r_i,
+        bd * cd / n AS s_i,
+        (ad + dd) / n AS p_i,
+        (bd + cd) / n AS q_i,
+        (ad + bd) * (ad + cd) / n AS e_i,
+        CASE WHEN n > 1 THEN
+          (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+            / (n * n * (n - 1))
+        ELSE 0.0 END AS v_i
+      FROM tm
+    ),
+    ag AS (
+      SELECT COUNT(*) AS k, SUM(a + b + c + d) AS N, SUM(a) AS oa,
+        SUM(CAST(ROUND(r_i, 9) AS DECIMAL(28,9))) AS R,
+        SUM(CAST(ROUND(s_i, 9) AS DECIMAL(28,9))) AS S,
+        SUM(CAST(ROUND(p_i * r_i, 9) AS DECIMAL(28,9))) AS PR,
+        SUM(CAST(ROUND(p_i * s_i + q_i * r_i, 9)
+          AS DECIMAL(28,9))) AS PSQR,
+        SUM(CAST(ROUND(q_i * s_i, 9) AS DECIMAL(28,9))) AS QS,
+        SUM(CAST(ROUND(e_i, 9) AS DECIMAL(28,9))) AS E,
+        SUM(CAST(ROUND(v_i, 9) AS DECIMAL(28,9))) AS V
+      FROM terms
+    ),
+    fin AS (
+      SELECT k, N, oa,
+        CAST(R AS DOUBLE) AS R, CAST(S AS DOUBLE) AS S,
+        CAST(PR AS DOUBLE) AS PR, CAST(PSQR AS DOUBLE) AS PSQR,
+        CAST(QS AS DOUBLE) AS QS,
+        CAST(E AS DOUBLE) AS E, CAST(V AS DOUBLE) AS V
+      FROM ag
+    ),
+    st2 AS (
+      SELECT k, N, oa, R, S, E, V,
+        ROUND(SQRT(PR / (2.0 * R * R) + PSQR / (2.0 * R * S)
+          + QS / (2.0 * S * S)), 9) AS se,
+        ROUND(LN(R / S), 9) AS lnor
+      FROM fin
+    ),
+    z2 AS (
+      SELECT k, N, R, S,
+        CASE WHEN V > 0 THEN
+          ROUND((CAST(oa AS DOUBLE) - E)
+            * (CAST(oa AS DOUBLE) - E) / V, 6)
+        END AS chi2,
+        se, lnor
+      FROM st2
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(k AS BIGINT) AS n_strata,
+      CAST(N AS BIGINT) AS n_rows,
+      CASE WHEN R > 0 AND S > 0
+        THEN ROUND(R / S, 6) END AS or_mh,
+      CASE WHEN R > 0 AND S > 0
+        THEN ROUND(EXP(lnor - 1.959964 * se), 6) END AS ci_lo,
+      CASE WHEN R > 0 AND S > 0
+        THEN ROUND(EXP(lnor + 1.959964 * se), 6) END AS ci_hi,
+      chi2 AS cmh_chi2,
+      CAST(COALESCE(chi2 > 3.841, FALSE) AS INT) AS significant
+    FROM z2
+    """,
+)
+def mantel_haenszel_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mantel-Haenszel stratified 2x2 readout
+    (operators.experiments.mantel_haenszel): arms by orderkey
+    parity, success = order finished, stratified by the five
+    priority tiers — per-stratum R/S/P/Q and CMH E/V terms as fixed
+    double expressions rounded 9dp into DECIMAL sums, the RBG
+    ln-OR variance, ln and se 9dp-rounded before the exp
+    recombination (the libm rule)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mantel_haenszel,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        (F.col("o_orderkey") % 2).cast("string").alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return mantel_haenszel(o, "seg", "arm", "ok")

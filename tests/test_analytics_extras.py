@@ -1964,3 +1964,52 @@ def test_rmst_hand_values(spark):
     assert row.rmst_a == 1.0 + 0.5 * 2  # 1 + [1,3) at 0.5
     assert row.rmst_b == 2.0 + 0.5 * 1  # 2 + [2,3) at 0.5
     assert row.rmst_diff == row.rmst_a - row.rmst_b
+
+
+def test_mantel_haenszel_hand_values(spark):
+    """Two hand-built strata: OR_MH = ΣR/ΣS and the CMH χ² match
+    the folded terms; a Simpson-flavored split (opposite arm sizes
+    per stratum) keeps the stratified estimate on the correct side;
+    !=2 arms and non-0/1 success refuse."""
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mantel_haenszel,
+    )
+
+    rows = []
+
+    def cell(st, arm, succ, fail):
+        rows.extend([(st, arm, 1)] * succ + [(st, arm, 0)] * fail)
+
+    # stratum A: arm0 4/10 vs arm1 2/10; stratum B: arm0 3/5 vs 6/15
+    cell("A", "0", 4, 6)
+    cell("A", "1", 2, 8)
+    cell("B", "0", 3, 2)
+    cell("B", "1", 6, 9)
+    df = spark.createDataFrame(rows, "st string, g string, y int")
+    r = mantel_haenszel(df, "st", "g", "y").collect()[0]
+    assert (r.arm_a, r.arm_b, r.n_strata, r.n_rows) == (
+        "0", "1", 2, 40,
+    )
+    R = round(4 * 8 / 20, 9) + round(3 * 9 / 20, 9)        # 2.95
+    S = round(6 * 2 / 20, 9) + round(2 * 6 / 20, 9)        # 1.20
+    assert r.or_mh == pytest.approx(R / S, abs=1e-6)
+    e = round(10 * 6 / 20, 9) + round(5 * 9 / 20, 9)       # 5.25
+    v = round(10 * 10 * 6 * 14 / (20 * 20 * 19), 9) + round(
+        5 * 15 * 9 * 11 / (20 * 20 * 19), 9
+    )
+    assert r.cmh_chi2 == pytest.approx(
+        (7 - e) ** 2 / v, abs=1e-5
+    )
+    assert r.ci_lo < r.or_mh < r.ci_hi
+    assert r.significant in (0, 1)
+    one_arm = df.filter(F.col("g") == "0")
+    with pytest.raises(Exception, match="exactly 2 arms"):
+        mantel_haenszel(one_arm, "st", "g", "y")
+    bad = spark.createDataFrame([("A", "0", 2), ("A", "1", 0)],
+                                "st string, g string, y int")
+    with pytest.raises(Exception, match="success must be 0/1"):
+        mantel_haenszel(bad, "st", "g", "y").collect()

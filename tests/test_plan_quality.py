@@ -1076,3 +1076,13 @@ def test_rmst_zero_filescan_on_shared_grid(spark):
     p = _plan(spark, "rmst_events")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_mantel_haenszel_single_scan(spark):
+    """mantel_haenszel pins the per-(stratum, arm) count table: the
+    arm validation and the 2x2 fold both consume it, so the
+    returned plan reads NO files — one corpus scan total, every MH
+    term a metadata-scale aggregate over the pin."""
+    p = _plan(spark, "mantel_haenszel_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p

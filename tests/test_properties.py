@@ -1877,3 +1877,97 @@ def test_rmst_matches_bruteforce(spark, users, tau):
     assert r.rmst_diff == pytest.approx(
         r.rmst_a - r.rmst_b, abs=1e-9
     )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # stratum
+            st.booleans(),                           # arm
+            st.integers(min_value=0, max_value=6),   # successes
+            st.integers(min_value=0, max_value=6),   # failures
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_mantel_haenszel_matches_bruteforce(spark, cells):
+    """mantel_haenszel == the textbook stratified fold on ANY
+    per-(stratum, arm) count table: OR_MH, the RBG interval and the
+    CMH chi-square match a brute per-stratum loop (9dp term
+    rounding replicated)."""
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mantel_haenszel,
+    )
+
+    # a (succ=0, fail=0) cell expands to no rows — require both arms
+    # present AFTER expansion, or the operator rightly refuses
+    present = {
+        "A" if arm else "B"
+        for _, arm, s_, f_ in cells
+        if s_ + f_ > 0
+    }
+    assume(present == {"A", "B"})
+    rows = []
+    for st_, arm, succ, fail in cells:
+        g = "A" if arm else "B"
+        rows += [(str(st_), g, 1)] * succ + [(str(st_), g, 0)] * fail
+    df = spark.createDataFrame(rows, "st string, g string, y int")
+    r = mantel_haenszel(df, "st", "g", "y").collect()[0]
+
+    # brute per-stratum 2x2 (orientation: arm 'A' on top)
+    from collections import defaultdict
+
+    t = defaultdict(lambda: [0, 0, 0, 0])
+    for st_, g, y in rows:
+        i = (0 if g == "A" else 2) + (0 if y else 1)
+        t[st_][i] += 1
+    R = S = PR = PSQR = QS = E = V = 0.0
+    oa = N = 0
+    k = 0
+    for a, b, c, d in t.values():
+        n = a + b + c + d
+        if n == 0:
+            continue
+        k += 1
+        N += n
+        oa += a
+        R += round(a * d / n, 9)
+        S += round(b * c / n, 9)
+        p, q = (a + d) / n, (b + c) / n
+        PR += round(p * (a * d / n), 9)
+        PSQR += round(p * (b * c / n) + q * (a * d / n), 9)
+        QS += round(q * (b * c / n), 9)
+        E += round((a + b) * (a + c) / n, 9)
+        V += round(
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / (n * n * (n - 1)),
+            9,
+        ) if n > 1 else 0.0
+    assert (r.n_strata, r.n_rows) == (k, N)
+    if R > 0 and S > 0:
+        assert r.or_mh == pytest.approx(R / S, abs=1e-5)
+        se = math.sqrt(
+            PR / (2 * R * R) + PSQR / (2 * R * S) + QS / (2 * S * S)
+        )
+        lo = math.exp(math.log(R / S) - 1.959964 * se)
+        hi = math.exp(math.log(R / S) + 1.959964 * se)
+        assert r.ci_lo == pytest.approx(lo, abs=1e-4)
+        assert r.ci_hi == pytest.approx(hi, abs=1e-4)
+    else:
+        assert r.or_mh is None
+    if V > 0:
+        assert r.cmh_chi2 == pytest.approx(
+            (oa - E) ** 2 / V, abs=1e-4
+        )
+    else:
+        assert r.cmh_chi2 is None and r.significant == 0
