@@ -548,3 +548,134 @@ def bpe_train_merges(
         "merge_rank int, left_sym string, right_sym string, "
         "pair_count long",
     )
+
+
+def vocab_js_divergence(
+    df: DataFrame,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus slices' unigram
+    distributions — the text analog of the PSI drift monitor: "has
+    the VOCABULARY of what we're ingesting moved", the comparison
+    teams run between a new crawl snapshot and the training mix,
+    between two domains before blending, or between train and eval
+    to quantify contamination pressure.  JS (unlike KL) is finite
+    when either side holds tokens the other lacks — exactly the
+    out-of-vocabulary case corpus comparison is FOR — symmetric,
+    and bounded by ln 2.
+
+    ``side_a`` / ``side_b`` DECLARE the two slices (the srm_check
+    posture: the comparison's arms are part of its contract, and
+    resolving them from the data would cost a pre-pass corpus
+    scan).  A row whose side is neither declared label refuses at
+    action time inside the one counting pass, and a declared side
+    with zero tokens refuses at the readout — an undeclared or
+    empty slice IS a comparison bug, not a default.
+
+    Scale shape: ONE corpus scan exploding normalized tokens,
+    collapsed to the vocabulary-scale per-token (count_a, count_b)
+    relation (pinned — it feeds the 1-row totals AND the term
+    fold); each JS term 0.5·(p·ln(p/m) + q·ln(q/m)) is a fixed
+    double expression rounded 9dp into a DECIMAL sum — order-free,
+    engine-portable.
+
+    Returns ONE row: (side_a, side_b, tokens_a, tokens_b, vocab_a,
+    vocab_b, vocab_shared, js_divergence 6dp, js_distance 6dp).
+    """
+    src = df.filter(
+        F.col(side_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(side_col).cast("string").alias("_side"),
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    is_a = F.col("_side") == F.lit(side_a)
+    is_b = F.col("_side") == F.lit(side_b)
+    per_tok = src.groupBy("_tok").agg(
+        # the otherwise IS the refusal: a row matching neither
+        # declared side fires executor-side inside this one pass (a
+        # when(...)-guarded raise in a side branch would never be
+        # evaluated for the offending rows)
+        F.sum(
+            F.when(is_a, F.lit(1))
+            .when(is_b, F.lit(0))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "vocab_js_divergence: undeclared side "
+                        ),
+                        F.col("_side"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_ca"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("_cb"),
+    )
+    per_tok = per_tok.localCheckpoint(eager=True)
+    totals = per_tok.agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    staged = per_tok.crossJoin(F.broadcast(totals))
+    # guarded divisions: with an empty declared side the ANSI
+    # divide-by-zero would fire before the readout's own refusal —
+    # NULL here, the zero-tokens raise below owns the error message
+    p = F.when(
+        F.col("_ta") > 0, F.col("_ca").cast("double") / F.col("_ta")
+    )
+    q = F.when(
+        F.col("_tb") > 0, F.col("_cb").cast("double") / F.col("_tb")
+    )
+    m = F.lit(0.5) * (p + q)
+    term = F.lit(0.5) * (
+        F.coalesce(
+            F.when(F.col("_ca") > 0, p * F.log(p / m)), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.when(F.col("_cb") > 0, q * F.log(q / m)), F.lit(0.0)
+        )
+    )
+    agg = staged.agg(
+        F.sum("_ca").alias("tokens_a"),
+        F.sum("_cb").alias("tokens_b"),
+        F.sum(F.when(F.col("_ca") > 0, 1).otherwise(0)).alias(
+            "vocab_a"
+        ),
+        F.sum(F.when(F.col("_cb") > 0, 1).otherwise(0)).alias(
+            "vocab_b"
+        ),
+        F.sum(
+            F.when(
+                (F.col("_ca") > 0) & (F.col("_cb") > 0), 1
+            ).otherwise(0)
+        ).alias("vocab_shared"),
+        F.sum(F.round(term, 9).cast("decimal(28,9)")).alias("_js"),
+    )
+    js = F.when(
+        (F.col("tokens_a") > 0) & (F.col("tokens_b") > 0),
+        F.col("_js").cast("double"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "vocab_js_divergence: a declared side has zero "
+                "tokens — comparison inconclusive"
+            )
+        ).cast("double")
+    )
+    return agg.select(
+        F.lit(side_a).alias("side_a"),
+        F.lit(side_b).alias("side_b"),
+        F.col("tokens_a").cast("long").alias("tokens_a"),
+        F.col("tokens_b").cast("long").alias("tokens_b"),
+        F.col("vocab_a").cast("long").alias("vocab_a"),
+        F.col("vocab_b").cast("long").alias("vocab_b"),
+        F.col("vocab_shared").cast("long").alias("vocab_shared"),
+        F.round(js, 6).alias("js_divergence"),
+        F.round(F.sqrt(F.greatest(js, F.lit(0.0))), 6).alias(
+            "js_distance"
+        ),
+    )

@@ -130,6 +130,7 @@ _FRONT = [
     "bmp_meta_parse",
     "avi_meta_parse",
     "mantel_haenszel_orders",
+    "vocab_js_divergence_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

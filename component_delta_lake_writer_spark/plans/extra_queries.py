@@ -9634,3 +9634,103 @@ def mantel_haenszel_orders(
         (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
     )
     return mantel_haenszel(o, "seg", "arm", "ok")
+
+
+@query(
+    "vocab_js_divergence_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+        AS side, t.tok
+      FROM (SELECT doc_id,
+              trim(regexp_replace(lower(
+                CASE WHEN doc_id % 7 = 0 THEN
+                  text || CASE WHEN doc_id % 2 = 0
+                    THEN ' evenonly' ELSE ' oddonly' END
+                ELSE text END), '\\s+', ' ', 'g'))
+                AS norm
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL) d,
+      LATERAL (SELECT unnest(string_split(d.norm, ' ')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    pt AS (
+      SELECT tok,
+        SUM(CASE WHEN side = 'even' THEN 1 ELSE 0 END) AS ca,
+        SUM(CASE WHEN side = 'odd' THEN 1 ELSE 0 END) AS cb
+      FROM tok GROUP BY 1
+    ),
+    tt AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM pt),
+    pq AS (
+      SELECT ca, cb,
+        CAST(ca AS DOUBLE) / ta AS p,
+        CAST(cb AS DOUBLE) / tb AS q
+      FROM pt CROSS JOIN tt
+    ),
+    t2 AS (
+      SELECT ca, cb,
+        0.5 * (
+          COALESCE(CASE WHEN ca > 0
+            THEN p * LN(p / (0.5 * (p + q))) END, 0.0)
+          + COALESCE(CASE WHEN cb > 0
+            THEN q * LN(q / (0.5 * (p + q))) END, 0.0)
+        ) AS term
+      FROM pq
+    ),
+    ag AS (
+      SELECT SUM(ca) AS tokens_a, SUM(cb) AS tokens_b,
+        SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a,
+        SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b,
+        SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+          AS vocab_shared,
+        SUM(CAST(ROUND(term, 9) AS DECIMAL(28,9))) AS js
+      FROM t2
+    )
+    SELECT 'even' AS side_a, 'odd' AS side_b,
+      CAST(tokens_a AS BIGINT) AS tokens_a,
+      CAST(tokens_b AS BIGINT) AS tokens_b,
+      CAST(vocab_a AS BIGINT) AS vocab_a,
+      CAST(vocab_b AS BIGINT) AS vocab_b,
+      CAST(vocab_shared AS BIGINT) AS vocab_shared,
+      ROUND(CAST(js AS DOUBLE), 6) AS js_divergence,
+      ROUND(SQRT(GREATEST(CAST(js AS DOUBLE), 0.0)), 6)
+        AS js_distance
+    FROM ag
+    """,
+)
+def vocab_js_divergence_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon vocabulary divergence
+    (operators.text.vocab_js_divergence) between the even and odd
+    halves of the documents corpus: one token-explode scan to the
+    pinned per-token (count_a, count_b) relation, JS terms as fixed
+    double expressions rounded 9dp into a DECIMAL sum.  The halves
+    share the generator so JS is near 0 — the probe pins the exact
+    small value, the out-of-vocabulary branches (each half holds
+    tokens the other lacks) and the count/vocab columns."""
+    from component_delta_lake_writer_spark.operators.text import (
+        vocab_js_divergence,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("side"),
+        # every 7th doc carries a side-specific sentinel token so
+        # the out-of-vocabulary branches (a token one side lacks)
+        # are exercised DIFFERENTIALLY, not only in the hand test —
+        # the synthetic halves otherwise share the full vocabulary
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit(" evenonly")
+                ).otherwise(F.lit(" oddonly")),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return vocab_js_divergence(d, "side", "even", "odd")

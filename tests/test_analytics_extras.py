@@ -2013,3 +2013,50 @@ def test_mantel_haenszel_hand_values(spark):
                                 "st string, g string, y int")
     with pytest.raises(Exception, match="success must be 0/1"):
         mantel_haenszel(bad, "st", "g", "y").collect()
+
+
+def test_vocab_js_divergence_hand_values(spark):
+    """Two tiny corpora with hand-folded JS: the shared token's
+    mixture term plus the two one-sided ln2 terms; identical sides
+    give exactly 0; an undeclared side and an empty declared side
+    both refuse."""
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.text import (
+        vocab_js_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "a a b"), ("B", "a c")], "side string, text string"
+    )
+    r = vocab_js_divergence(df, "side", "A", "B").collect()[0]
+    assert (r.tokens_a, r.tokens_b) == (3, 2)
+    assert (r.vocab_a, r.vocab_b, r.vocab_shared) == (2, 2, 1)
+    p_a, q_a = 2 / 3, 1 / 2
+    m_a = 0.5 * (p_a + q_a)
+    term_a = 0.5 * (
+        p_a * math.log(p_a / m_a) + q_a * math.log(q_a / m_a)
+    )
+    term_b = 0.5 * ((1 / 3) * math.log(2.0))   # b: q = 0
+    term_c = 0.5 * ((1 / 2) * math.log(2.0))   # c: p = 0
+    js = round(term_a, 9) + round(term_b, 9) + round(term_c, 9)
+    assert r.js_divergence == round(js, 6)
+    assert r.js_distance == round(math.sqrt(r.js_divergence), 6)
+    same = spark.createDataFrame(
+        [("A", "x y"), ("B", "x y")], "side string, text string"
+    )
+    r = vocab_js_divergence(same, "side", "A", "B").collect()[0]
+    assert r.js_divergence == 0.0
+    third = spark.createDataFrame(
+        [("A", "x"), ("B", "x"), ("C", "x")],
+        "side string, text string",
+    )
+    with pytest.raises(Exception, match="undeclared side"):
+        vocab_js_divergence(third, "side", "A", "B").collect()
+    empty = spark.createDataFrame(
+        [("A", "x y")], "side string, text string"
+    )
+    with pytest.raises(Exception, match="zero tokens"):
+        vocab_js_divergence(empty, "side", "A", "B").collect()

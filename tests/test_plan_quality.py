@@ -1086,3 +1086,13 @@ def test_mantel_haenszel_single_scan(spark):
     p = _plan(spark, "mantel_haenszel_orders")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_vocab_js_single_scan(spark):
+    """vocab_js_divergence pins the vocabulary-scale per-token
+    (count_a, count_b) relation: the totals and the JS term fold
+    both consume it, so the returned plan reads NO files — one
+    token-explode corpus scan total, the totals broadcast back."""
+    p = _plan(spark, "vocab_js_divergence_docs")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
