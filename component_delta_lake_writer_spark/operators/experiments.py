@@ -2294,3 +2294,192 @@ def mantel_haenszel(
             (chi2 > F.lit(3.841)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: list,
+) -> DataFrame:
+    """Jonckheere–Terpstra trend test — "does the metric INCREASE
+    across these ordered groups", the k-sample rank test that uses
+    the ordering kruskal_wallis throws away (dose tiers, price
+    bands, model-size ladders: when the alternative is monotone, JT
+    has the power KW leaves on the table).  Completes the rank
+    family: mann_whitney_u (k = 2), kruskal_wallis (unordered k),
+    cochran_armitage (binary outcome trend), JT (continuous outcome
+    trend).
+
+    ``group_order`` DECLARES the hypothesized order (the srm_check
+    posture — the ordering is the hypothesis, not a data property);
+    an observed group missing from it refuses at action time inside
+    the one counting pass.
+
+    J = Σ_{i<j} U_ij counts cross-group pairs ordered the declared
+    way (ties half-weighted).  Scale shape: ONE corpus scan to the
+    pinned (group, value) tie table, expanded onto the
+    groups × distinct-values grid (the survival-grid trick — a
+    group's running count must be readable at every OTHER group's
+    values); 2J folds as Σ t·(2A + B) over two nested exclusive
+    window sums, BOTH partitioned (by group over values, then by
+    value over groups — never an unpartitioned corpus window; the
+    value axis should be discrete or pre-bucketed, the same
+    contract as the mann_whitney fixture).  The null moments use
+    the Hollander–Wolfe tie-corrected variance with every Σ kept
+    at DECIMAL(38,0) (the anova scale-0 rule).
+
+    Returns ONE row: (k_groups, n_rows, j_stat, e_j, z 6dp,
+    significant) — z NULL when the variance degenerates.
+    """
+    order = [str(g) for g in group_order]
+    if len(order) != len(set(order)) or len(order) < 2:
+        raise UserException(
+            "jonckheere_terpstra: group_order must hold >= 2 "
+            f"distinct labels, got {order!r}"
+        )
+    pos = F.array_position(
+        F.array(*[F.lit(g) for g in order]),
+        F.col("_g"),
+    )
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    per_gv = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).alias("_t")
+    ).select(
+        # the otherwise IS the refusal (the vocab_js rule): a group
+        # outside the declared order fires executor-side here
+        F.when(pos > 0, pos).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "jonckheere_terpstra: group outside the "
+                        "declared order: "
+                    ),
+                    F.col("_g"),
+                )
+            ).cast("long")
+        ).alias("_gi"),
+        "_v",
+        "_t",
+    )
+    per_gv = per_gv.localCheckpoint(eager=True)
+    # full grid: every distinct value × every declared group index,
+    # so each group's running count is readable at every value
+    grid = (
+        per_gv.select("_v")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                per_gv.sparkSession.createDataFrame(
+                    [(i + 1,) for i in range(len(order))],
+                    "_gi long",
+                )
+            )
+        )
+        .join(per_gv, ["_gi", "_v"], "left")
+        .select(
+            "_gi", "_v", F.coalesce("_t", F.lit(0)).alias("_t")
+        )
+    )
+    w_vals = (
+        Window.partitionBy("_gi")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = grid.select(
+        "_gi",
+        "_v",
+        "_t",
+        F.coalesce(F.sum("_t").over(w_vals), F.lit(0)).alias(
+            "_cumlt"
+        ),
+    )
+    w_grps = (
+        Window.partitionBy("_v")
+        .orderBy("_gi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = staged.select(
+        "_v",
+        "_t",
+        F.coalesce(F.sum("_cumlt").over(w_grps), F.lit(0)).alias(
+            "_A"
+        ),
+        F.coalesce(F.sum("_t").over(w_grps), F.lit(0)).alias("_B"),
+    )
+    # 2J = Σ t·(2A + B): A = earlier-group strictly-smaller counts,
+    # B = earlier-group same-value counts (half-weighted ties).
+    # The per-cell product goes through DECIMAL(38,0) — t and A are
+    # both O(N), so a long product would overflow around N ≈ 2³¹
+    j2 = cells.agg(
+        F.sum(
+            (
+                F.col("_t").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("_A") + F.col("_B"))
+            ).cast("decimal(38,0)")
+        ).alias("_j2")
+    )
+    d38 = "decimal(38,0)"
+    n_c = F.col("_n")
+    grp = per_gv.groupBy("_gi").agg(F.sum("_t").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_N"),
+        F.sum((n_c.cast(d38) * n_c).cast(d38)).alias("_n2"),
+        F.sum(
+            (n_c.cast(d38) * (n_c - 1) * (2 * n_c + 5)).cast(d38)
+        ).alias("_na"),
+        F.sum(
+            (n_c.cast(d38) * (n_c - 1) * (n_c - 2)).cast(d38)
+        ).alias("_nb"),
+        F.sum((n_c.cast(d38) * (n_c - 1)).cast(d38)).alias("_nc"),
+    )
+    t_c = F.col("_t2")
+    ties = per_gv.groupBy("_v").agg(F.sum("_t").alias("_t2")).agg(
+        F.sum(
+            (t_c.cast(d38) * (t_c - 1) * (2 * t_c + 5)).cast(d38)
+        ).alias("_ta"),
+        F.sum(
+            (t_c.cast(d38) * (t_c - 1) * (t_c - 2)).cast(d38)
+        ).alias("_tb"),
+        F.sum((t_c.cast(d38) * (t_c - 1)).cast(d38)).alias("_tc"),
+    )
+    agg = j2.crossJoin(F.broadcast(grp)).crossJoin(
+        F.broadcast(ties)
+    )
+    n = F.col("_N").cast("double")
+    j = F.col("_j2").cast("double") / F.lit(2.0)
+    e_j = (n * n - F.col("_n2").cast("double")) / F.lit(4.0)
+    term1 = (
+        n * (n - 1) * (2 * n + 5)
+        - F.col("_na").cast("double")
+        - F.col("_ta").cast("double")
+    ) / F.lit(72.0)
+    term2 = F.when(
+        F.col("_N") > 2,
+        F.col("_nb").cast("double")
+        * F.col("_tb").cast("double")
+        / (F.lit(36.0) * n * (n - 1) * (n - 2)),
+    ).otherwise(F.lit(0.0))
+    term3 = F.when(
+        F.col("_N") > 1,
+        F.col("_nc").cast("double")
+        * F.col("_tc").cast("double")
+        / (F.lit(8.0) * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    var = term1 + term2 + term3
+    z = F.when(var > 0, F.round((j - e_j) / F.sqrt(var), 6))
+    return agg.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_N").cast("long").alias("n_rows"),
+        j.alias("j_stat"),
+        e_j.alias("e_j"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

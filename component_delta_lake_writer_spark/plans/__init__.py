@@ -131,6 +131,7 @@ _FRONT = [
     "avi_meta_parse",
     "mantel_haenszel_orders",
     "vocab_js_divergence_docs",
+    "jonckheere_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -9734,3 +9734,128 @@ def vocab_js_divergence_docs(
         .alias("text"),
     )
     return vocab_js_divergence(d, "side", "even", "odd")
+
+
+@query(
+    "jonckheere_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS g, FLOOR(o_totalprice / 1000) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    gv AS (
+      SELECT CASE g WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+        ELSE 5 END AS gi, v, COUNT(*) AS t
+      FROM src GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT gg.gi, vv.v, COALESCE(gv.t, 0) AS t
+      FROM (SELECT DISTINCT v FROM gv) vv
+      CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS gi) gg
+      LEFT JOIN gv ON gv.gi = gg.gi AND gv.v = vv.v
+    ),
+    st AS (
+      SELECT gi, v, t,
+        COALESCE(SUM(t) OVER (PARTITION BY gi ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cumlt
+      FROM grid
+    ),
+    cells AS (
+      SELECT v, t,
+        COALESCE(SUM(cumlt) OVER (PARTITION BY v ORDER BY gi
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS A,
+        COALESCE(SUM(t) OVER (PARTITION BY v ORDER BY gi
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS B
+      FROM st
+    ),
+    jj AS (
+      SELECT SUM(CAST(CAST(t AS DECIMAL(38,0)) * (2 * A + B)
+        AS DECIMAL(38,0))) AS j2
+      FROM cells
+    ),
+    gstat AS (
+      SELECT COUNT(*) AS k, SUM(n) AS N,
+        SUM(CAST(CAST(n AS DECIMAL(38,0)) * n
+          AS DECIMAL(38,0))) AS n2,
+        SUM(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
+          AS DECIMAL(38,0))) AS na,
+        SUM(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2)
+          AS DECIMAL(38,0))) AS nb,
+        SUM(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1)
+          AS DECIMAL(38,0))) AS nc
+      FROM (SELECT gi, SUM(t) AS n FROM gv GROUP BY 1)
+    ),
+    tstat AS (
+      SELECT
+        SUM(CAST(CAST(t2 AS DECIMAL(38,0)) * (t2 - 1)
+          * (2 * t2 + 5) AS DECIMAL(38,0))) AS ta,
+        SUM(CAST(CAST(t2 AS DECIMAL(38,0)) * (t2 - 1) * (t2 - 2)
+          AS DECIMAL(38,0))) AS tb,
+        SUM(CAST(CAST(t2 AS DECIMAL(38,0)) * (t2 - 1)
+          AS DECIMAL(38,0))) AS tc
+      FROM (SELECT v, SUM(t) AS t2 FROM gv GROUP BY 1)
+    ),
+    fin AS (
+      SELECT k, N,
+        CAST(j2 AS DOUBLE) / 2.0 AS j,
+        (CAST(N AS DOUBLE) * N - CAST(n2 AS DOUBLE)) / 4.0 AS ej,
+        (CAST(N AS DOUBLE) * (N - 1) * (2 * CAST(N AS DOUBLE) + 5)
+          - CAST(na AS DOUBLE) - CAST(ta AS DOUBLE)) / 72.0
+        + CASE WHEN N > 2 THEN
+            CAST(nb AS DOUBLE) * CAST(tb AS DOUBLE)
+            / (36.0 * CAST(N AS DOUBLE) * (N - 1) * (N - 2))
+          ELSE 0.0 END
+        + CASE WHEN N > 1 THEN
+            CAST(nc AS DOUBLE) * CAST(tc AS DOUBLE)
+            / (8.0 * CAST(N AS DOUBLE) * (N - 1))
+          ELSE 0.0 END AS var
+      FROM jj, gstat, tstat
+    ),
+    zz AS (
+      SELECT k, N, j, ej,
+        CASE WHEN var > 0
+          THEN ROUND((j - ej) / SQRT(var), 6) END AS z
+      FROM fin
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+      CAST(N AS BIGINT) AS n_rows,
+      j AS j_stat, ej AS e_j, z,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def jonckheere_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend
+    (operators.experiments.jonckheere_terpstra): does order value
+    drift across the five priority tiers in their DECLARED order —
+    bucketed totals (real ties), the groups x values grid with two
+    nested PARTITIONED exclusive window sums (2J = sum t(2A+B),
+    integer-exact through DECIMAL(38,0)), the Hollander-Wolfe
+    tie-corrected null moments at scale-0 decimals."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        jonckheere_terpstra,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
+    )
+    return jonckheere_terpstra(
+        o,
+        "grp",
+        "bucket",
+        [
+            "1-URGENT",
+            "2-HIGH",
+            "3-MEDIUM",
+            "4-NOT SPECIFIED",
+            "5-LOW",
+        ],
+    )

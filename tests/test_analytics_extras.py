@@ -2060,3 +2060,36 @@ def test_vocab_js_divergence_hand_values(spark):
     )
     with pytest.raises(Exception, match="zero tokens"):
         vocab_js_divergence(empty, "side", "A", "B").collect()
+
+
+def test_jonckheere_hand_values(spark):
+    """Two perfectly separated ordered groups: J = every cross pair,
+    E and the no-tie variance from the textbook formula; an
+    observed group outside the declared order refuses, as does a
+    degenerate order list."""
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, v double",
+    )
+    r = jonckheere_terpstra(df, "g", "v", ["A", "B"]).collect()[0]
+    assert (r.k_groups, r.n_rows) == (2, 4)
+    assert r.j_stat == 4.0 and r.e_j == 2.0
+    # no ties: Var = [N²(2N+3) − Σn²(2n+3)]/72 = 120/72
+    var = 120 / 72
+    assert r.z == round(2.0 / math.sqrt(var), 6)
+    assert r.significant == 0
+    # reversed declared order flips the trend: J = 0, z negative
+    r = jonckheere_terpstra(df, "g", "v", ["B", "A"]).collect()[0]
+    assert r.j_stat == 0.0 and r.z == round(-2.0 / math.sqrt(var), 6)
+    with pytest.raises(Exception, match="outside the declared"):
+        jonckheere_terpstra(df, "g", "v", ["A", "C"]).collect()
+    with pytest.raises(Exception, match=">= 2 distinct"):
+        jonckheere_terpstra(df, "g", "v", ["A", "A"])

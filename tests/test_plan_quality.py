@@ -1096,3 +1096,16 @@ def test_vocab_js_single_scan(spark):
     p = _plan(spark, "vocab_js_divergence_docs")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_jonckheere_partitioned_windows_single_scan(spark):
+    """jonckheere_terpstra pins the (group, value) tie table and
+    runs BOTH cumulative folds as PARTITIONED windows over the
+    groups x values grid: the returned plan reads NO files and
+    carries no unpartitioned window (the 2D dominance count must
+    never collapse to a single partition)."""
+    p = _plan(spark, "jonckheere_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+    assert "windowspecdefinition(_gi" in p, p
+    assert "windowspecdefinition(_v" in p, p

@@ -1971,3 +1971,70 @@ def test_mantel_haenszel_matches_bruteforce(spark, cells):
         )
     else:
         assert r.cmh_chi2 is None and r.significant == 0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # ordered group
+            st.integers(min_value=0, max_value=4),  # value (ties!)
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_jonckheere_matches_bruteforce(spark, pts):
+    """jonckheere_terpstra == brute cross-group pair counting with
+    half-weighted ties, and the Hollander-Wolfe tie-corrected null
+    moments, on ANY ordered grouped multiset."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(
+        [(str(g), float(v)) for g, v in pts], "g string, v double"
+    )
+    r = jonckheere_terpstra(
+        df, "g", "v", ["0", "1", "2"]
+    ).collect()[0]
+    n_total = len(pts)
+    j = 0.0
+    for gi, vi in pts:
+        for gj, vj in pts:
+            if gi < gj:
+                j += 1.0 if vi < vj else (0.5 if vi == vj else 0.0)
+    assert r.j_stat == j
+    from collections import Counter
+
+    gn = Counter(g for g, _ in pts)
+    tv = Counter(v for _, v in pts)
+    e = (n_total**2 - sum(n * n for n in gn.values())) / 4.0
+    assert r.e_j == e
+    na = sum(n * (n - 1) * (2 * n + 5) for n in gn.values())
+    ta = sum(t * (t - 1) * (2 * t + 5) for t in tv.values())
+    var = (n_total * (n_total - 1) * (2 * n_total + 5) - na - ta) / 72.0
+    if n_total > 2:
+        var += (
+            sum(n * (n - 1) * (n - 2) for n in gn.values())
+            * sum(t * (t - 1) * (t - 2) for t in tv.values())
+            / (36.0 * n_total * (n_total - 1) * (n_total - 2))
+        )
+    if n_total > 1:
+        var += (
+            sum(n * (n - 1) for n in gn.values())
+            * sum(t * (t - 1) for t in tv.values())
+            / (8.0 * n_total * (n_total - 1))
+        )
+    if var > 0:
+        assert r.z == pytest.approx(
+            (j - e) / math.sqrt(var), abs=1e-5
+        )
+    else:
+        assert r.z is None and r.significant == 0
