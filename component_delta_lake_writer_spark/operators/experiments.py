@@ -2483,3 +2483,172 @@ def jonckheere_terpstra(
             (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def fisher_exact(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    max_support: int = 10_000_000,
+) -> DataFrame:
+    """Fisher's exact test on the two-arm × binary-outcome table —
+    the small-count companion to :func:`two_proportion_ztest` /
+    chi²: when the outcome is RARE (fraud flags, crash events, a
+    guardrail metric), the normal approximation's assumptions fail
+    exactly where the decision matters, and the conditional
+    hypergeometric distribution is the honest answer.  Two-sided
+    p by the standard "sum every table as-or-more-extreme"
+    criterion (pmf(k) ≤ pmf(observed)·(1+1e−7), the convention
+    scipy documents); one-sided tails alongside.
+
+    Scale shape: ONE corpus scan collapses to the 2×2 (a bounded
+    4-int collect — the sanctioned class); the hypergeometric
+    support has at most min(margin) + 1 tables, which for a rare
+    outcome stays small NO MATTER how large N is — and the support
+    grid is a distributed ``spark.range``, its log-pmf built
+    RECURSIVELY from exact integer ratios (no lgamma needed:
+    pmf(k)/pmf(k−1) is rational), each ln rounded to integer
+    NANOS so the running log-weights are exact-integer prefix sums
+    through the range-partitioned cumsum machinery — the
+    extremeness criterion is an INTEGER comparison, engine-exact.
+    Only the final normalized weights touch exp (12dp-rounded into
+    DECIMAL sums).  A support wider than ``max_support`` refuses
+    loudly: at that size the χ²/z approximations are exact to more
+    digits than anyone reads, and the caller should use them.
+
+    Returns ONE row: (arm_a, arm_b, a, b, c, d, odds_ratio 6dp,
+    p_two 9dp, p_less 9dp, p_greater 9dp, significant) — a/b =
+    arm_a successes/failures, c/d = arm_b's; odds_ratio NULL when
+    b·c = 0.
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    spark = df.sparkSession
+    counts = (
+        df.filter(
+            F.col(arm_col).isNotNull()
+            & F.col(success_col).isNotNull()
+        )
+        .groupBy(F.col(arm_col).cast("string").alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(
+                    F.col(success_col).cast("int").isin(0, 1),
+                    F.col(success_col).cast("int"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "fisher_exact: success must be "
+                                "0/1, got "
+                            ),
+                            F.col(success_col).cast("string"),
+                        )
+                    ).cast("int")
+                )
+            ).alias("_s"),
+        )
+        .collect()
+    )
+    if len(counts) != 2:
+        raise UserException(
+            f"fisher_exact needs exactly 2 arms, got "
+            f"{sorted(r['_g'] for r in counts)!r}"
+        )
+    counts = sorted(counts, key=lambda r: r["_g"])
+    arm_a, arm_b = counts[0]["_g"], counts[1]["_g"]
+    a = int(counts[0]["_s"])
+    b = int(counts[0]["_n"]) - a
+    c = int(counts[1]["_s"])
+    d = int(counts[1]["_n"]) - c
+    r1, r2, c1 = a + b, c + d, a + c
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    if hi - lo > max_support:
+        raise UserException(
+            f"fisher_exact: hypergeometric support {hi - lo + 1} "
+            f"exceeds {max_support} — at this size the chi2/z "
+            "approximations are exact; use two_proportion_ztest"
+        )
+    grid = spark.range(lo, hi + 1).select(
+        F.col("id").alias("_k"),
+        # ln(pmf(k)/pmf(k−1)) from the exact integer ratio, scaled
+        # to integer nanos (0 at the support's first table)
+        F.when(F.col("id") == lo, F.lit(0)).otherwise(
+            F.round(
+                F.log(
+                    (
+                        (F.lit(r1) - F.col("id") + 1)
+                        * (F.lit(c1) - F.col("id") + 1)
+                    ).cast("double")
+                    / (
+                        F.col("id")
+                        * (F.lit(r2 - c1) + F.col("id"))
+                    )
+                )
+                * F.lit(1000000000.0),
+                0,
+            )
+        ).cast("long").alias("_w"),
+    )
+    cum = global_weighted_cumsum(grid, "_k", "_w")
+    rel = cum.select(
+        "_k", (F.col("_cum") + F.col("_w")).alias("_ln")
+    )
+    anchors = rel.agg(
+        F.max("_ln").alias("_mx"),
+        F.max(F.when(F.col("_k") == a, F.col("_ln"))).alias(
+            "_la"
+        ),
+    )
+    staged = rel.crossJoin(F.broadcast(anchors)).select(
+        "_k",
+        "_ln",
+        "_la",
+        F.round(
+            F.exp(
+                (F.col("_ln") - F.col("_mx")).cast("double")
+                / F.lit(1000000000.0)
+            ),
+            12,
+        )
+        .cast("decimal(16,12)")
+        .alias("_wt"),
+    )
+    # extremeness in integer nanos: 100 ≈ ln(1 + 1e−7)·1e9
+    sel = F.col("_ln") <= F.col("_la") + F.lit(100)
+    agg = staged.agg(
+        F.sum("_wt").alias("_tot"),
+        F.sum(F.when(sel, F.col("_wt"))).alias("_ext"),
+        F.sum(
+            F.when(F.col("_k") <= a, F.col("_wt"))
+        ).alias("_le"),
+        F.sum(
+            F.when(F.col("_k") >= a, F.col("_wt"))
+        ).alias("_ge"),
+    )
+    tot = F.col("_tot").cast("double")
+    p_two = F.round(F.col("_ext").cast("double") / tot, 9)
+    odds = F.when(
+        F.lit(b * c) > 0,
+        F.round(F.lit(float(a * d)) / F.lit(float(b * c)), 6),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.lit(a).cast("long").alias("a"),
+        F.lit(b).cast("long").alias("b"),
+        F.lit(c).cast("long").alias("c"),
+        F.lit(d).cast("long").alias("d"),
+        odds.alias("odds_ratio"),
+        p_two.alias("p_two"),
+        F.round(F.col("_le").cast("double") / tot, 9).alias(
+            "p_less"
+        ),
+        F.round(F.col("_ge").cast("double") / tot, 9).alias(
+            "p_greater"
+        ),
+        (p_two < F.lit(0.05)).cast("int").alias("significant"),
+    )

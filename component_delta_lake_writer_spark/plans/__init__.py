@@ -132,6 +132,7 @@ _FRONT = [
     "mantel_haenszel_orders",
     "vocab_js_divergence_docs",
     "jonckheere_orders",
+    "fisher_exact_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -9859,3 +9859,107 @@ def jonckheere_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "5-LOW",
         ],
     )
+
+
+@query(
+    "fisher_exact_orders",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g, COUNT(*) AS n,
+        SUM(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS s
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN s END) AS a,
+        MAX(CASE WHEN g = '0' THEN n - s END) AS b,
+        MAX(CASE WHEN g = '1' THEN s END) AS c,
+        MAX(CASE WHEN g = '1' THEN n - s END) AS d
+      FROM cnt
+    ),
+    m AS (
+      SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+        GREATEST(0, a + c - (c + d)) AS lo,
+        LEAST(a + b, a + c) AS hi
+      FROM t
+    ),
+    grid AS (
+      SELECT m.*, UNNEST(range(CAST(lo AS BIGINT),
+        CAST(hi + 1 AS BIGINT))) AS k
+      FROM m
+    ),
+    wts AS (
+      SELECT k, a, b, c, d, lo,
+        CASE WHEN k = lo THEN 0 ELSE
+          CAST(ROUND(LN(
+            CAST((r1 - k + 1) * (c1 - k + 1) AS DOUBLE)
+            / (k * (r2 - c1 + k))) * 1000000000.0, 0) AS BIGINT)
+        END AS w
+      FROM grid
+    ),
+    rel AS (
+      SELECT k, a, b, c, d,
+        SUM(w) OVER (ORDER BY k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS lnr
+      FROM wts
+    ),
+    an AS (
+      SELECT MAX(lnr) AS mx,
+        MAX(CASE WHEN k = a THEN lnr END) AS la
+      FROM rel
+    ),
+    stg AS (
+      SELECT k, a, b, c, d, lnr, la,
+        CAST(ROUND(EXP(CAST(lnr - mx AS DOUBLE)
+          / 1000000000.0), 12) AS DECIMAL(16,12)) AS wt
+      FROM rel, an
+    ),
+    ag AS (
+      SELECT MAX(a) AS a, MAX(b) AS b, MAX(c) AS c, MAX(d) AS d,
+        SUM(wt) AS tot,
+        SUM(CASE WHEN lnr <= la + 100 THEN wt END) AS ext,
+        SUM(CASE WHEN k <= a THEN wt END) AS le,
+        SUM(CASE WHEN k >= a THEN wt END) AS ge
+      FROM stg
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+      CASE WHEN b * c > 0 THEN
+        ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+      END AS odds_ratio,
+      ROUND(CAST(ext AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        AS p_two,
+      ROUND(CAST(le AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        AS p_less,
+      ROUND(CAST(ge AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        AS p_greater,
+      CAST(ROUND(CAST(ext AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        < 0.05 AS INT) AS significant
+    FROM ag
+    """,
+)
+def fisher_exact_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fisher's exact test (operators.experiments.fisher_exact):
+    arms by orderkey parity, success = a rare high-value order
+    (o_totalprice > 450000, ~10% — the small-margin regime the test
+    exists for).  The hypergeometric support rides a distributed
+    range with the log-pmf built recursively from exact integer
+    ratios in integer NANOS (no lgamma; the extremeness criterion
+    is an integer comparison), only the final normalized weights
+    touch exp (12dp-rounded DECIMAL sums).  The oracle replays the
+    identical nano/exp/decimal pipeline."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        fisher_exact,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("arm"),
+        (F.col("o_totalprice") > 450000).cast("int").alias("big"),
+    )
+    return fisher_exact(o, "arm", "big")

@@ -2093,3 +2093,41 @@ def test_jonckheere_hand_values(spark):
         jonckheere_terpstra(df, "g", "v", ["A", "C"]).collect()
     with pytest.raises(Exception, match=">= 2 distinct"):
         jonckheere_terpstra(df, "g", "v", ["A", "A"])
+
+
+def test_fisher_exact_hand_values(spark):
+    """The tea-tasting 2x2 [[3,1],[1,3]]: p_two = 34/70 exactly,
+    one-sided tails 69/70 and 17/70, OR = 9; a zero-success table
+    degenerates to p = 1 with NULL OR; != 2 arms and non-0/1
+    success refuse; an absurd support refuses toward the z-test."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        fisher_exact,
+    )
+
+    rows = (
+        [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = fisher_exact(df, "g", "y").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (3, 1, 1, 3)
+    assert r.odds_ratio == 9.0
+    assert r.p_two == round(34 / 70, 9)
+    assert r.p_less == round(69 / 70, 9)
+    assert r.p_greater == round(17 / 70, 9)
+    assert r.significant == 0
+    empty = spark.createDataFrame(
+        [("A", 0)] * 3 + [("B", 0)] * 2, "g string, y int"
+    )
+    r = fisher_exact(empty, "g", "y").collect()[0]
+    assert (r.p_two, r.odds_ratio) == (1.0, None)
+    with pytest.raises(Exception, match="exactly 2 arms"):
+        fisher_exact(df.filter(F.col("g") == "A"), "g", "y")
+    bad = spark.createDataFrame(
+        [("A", 2), ("B", 0)], "g string, y int"
+    )
+    with pytest.raises(Exception, match="success must be 0/1"):
+        fisher_exact(bad, "g", "y")
+    with pytest.raises(Exception, match="exceeds"):
+        fisher_exact(df, "g", "y", max_support=1)

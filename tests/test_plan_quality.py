@@ -1109,3 +1109,14 @@ def test_jonckheere_partitioned_windows_single_scan(spark):
     assert "Scan ExistingRDD" in p, p
     assert "windowspecdefinition(_gi" in p, p
     assert "windowspecdefinition(_v" in p, p
+
+
+def test_fisher_exact_support_grid_no_corpus(spark):
+    """fisher_exact: the corpus collapses to a 4-int collect (the
+    sanctioned bounded class); the RETURNED plan runs entirely on
+    the distributed support Range and the cumsum pin — zero
+    FileScans, with the range-partitioned prefix machinery's
+    ExistingRDD in their place."""
+    p = _plan(spark, "fisher_exact_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
