@@ -2652,3 +2652,97 @@ def fisher_exact(
         ),
         (p_two < F.lit(0.05)).cast("int").alias("significant"),
     )
+
+
+def pr_auc(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """Precision-recall AUC (average precision, the step-function
+    convention sklearn's ``average_precision_score`` computes) —
+    the ranking metric that matters when positives are RARE:
+    ROC AUC stays near 1 on a 0.1%-positive corpus however many
+    false positives flood the top of the ranking, because FPR's
+    denominator is the huge negative class; precision sees exactly
+    that flood.  The pair (auc_roc, pr_auc) is the standard readout
+    for an LLM quality/safety classifier on imbalanced data.
+
+    AP = Σ_blocks (ΔRecall)·Precision over distinct-score blocks in
+    DESCENDING score order (a tie block is ONE step — the sklearn
+    tie convention).  Scale shape: the corpus collapses to one row
+    per distinct score (tie count + positive tie count); the
+    descending cumulative TP/predicted counts ride the distributed
+    exclusive cumsum (on the negated score — never a
+    single-partition window); each block term
+    tp_i · TP_i / PRED_i is a division of exact longs rounded 9dp
+    into a DECIMAL sum, normalized once by the positive count.
+    Non-0/1 labels refuse at action time inside the one collapse
+    pass; a corpus with no positives returns NULL with the counts
+    visible.
+
+    Returns ONE row: (n_pos, n_neg, pr_auc 9dp, prevalence 9dp) —
+    prevalence = P/N, the no-skill baseline AP.
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    per_value = src.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(
+            F.when(F.col("_y").isin(0, 1), F.col("_y")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pr_auc: label must be 0/1, got "),
+                        F.col("_y").cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_tp"),
+    ).select(
+        (-F.col("_s")).alias("_ns"), "_t", "_tp"
+    )
+    cum = global_weighted_cumsum(per_value, "_ns", "_t")
+    # a second cumsum for the positive counts would re-shuffle; the
+    # tp prefix lifts off the SAME pinned relation via the identical
+    # per-partition offset trick — but the helper is weight-generic,
+    # so simply run it on the pinned output with the tp weight (the
+    # input is already range-partitioned and checkpointed; the
+    # second pass is metadata-scale)
+    cum = global_weighted_cumsum(
+        cum.withColumnRenamed("_cum", "_cumt"), "_ns", "_tp"
+    ).withColumnRenamed("_cum", "_cumtp")
+    tp_i = F.col("_cumtp") + F.col("_tp")
+    pred_i = F.col("_cumt") + F.col("_t")
+    term = F.round(
+        F.col("_tp").cast("double") * tp_i / pred_i, 9
+    ).cast("decimal(28,9)")
+    agg = cum.agg(
+        F.sum("_t").alias("_N"),
+        F.sum("_tp").alias("_P"),
+        F.sum(term).alias("_ap"),
+    )
+    p_cnt = F.col("_P")
+    ap = F.when(
+        p_cnt > 0,
+        F.round(
+            F.col("_ap").cast("double") / p_cnt, 9
+        ),
+    )
+    prev = F.when(
+        F.col("_N") > 0,
+        F.round(
+            p_cnt.cast("double") / F.col("_N"), 9
+        ),
+    )
+    return agg.select(
+        p_cnt.cast("long").alias("n_pos"),
+        (F.col("_N") - p_cnt).cast("long").alias("n_neg"),
+        ap.alias("pr_auc"),
+        prev.alias("prevalence"),
+    )

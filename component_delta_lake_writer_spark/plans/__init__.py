@@ -133,6 +133,7 @@ _FRONT = [
     "vocab_js_divergence_docs",
     "jonckheere_orders",
     "fisher_exact_orders",
+    "pr_auc_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

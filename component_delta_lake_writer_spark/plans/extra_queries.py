@@ -9963,3 +9963,61 @@ def fisher_exact_orders(
         (F.col("o_totalprice") > 450000).cast("int").alias("big"),
     )
     return fisher_exact(o, "arm", "big")
+
+
+@query(
+    "pr_auc_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS s
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+      SELECT -s AS ns, COUNT(*) AS t, SUM(y) AS tp
+      FROM src GROUP BY 1
+    ),
+    c AS (
+      SELECT ns, t, tp,
+        COALESCE(SUM(t) OVER w, 0) AS cumt,
+        COALESCE(SUM(tp) OVER w, 0) AS cumtp
+      FROM pv
+      WINDOW w AS (ORDER BY ns
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+      SELECT t, tp,
+        CAST(ROUND(CAST(tp AS DOUBLE) * (cumtp + tp)
+          / (cumt + t), 9) AS DECIMAL(28,9)) AS term
+      FROM c
+    ),
+    ag AS (
+      SELECT SUM(t) AS N, SUM(tp) AS P, SUM(term) AS ap
+      FROM terms
+    )
+    SELECT CAST(P AS BIGINT) AS n_pos,
+      CAST(N - P AS BIGINT) AS n_neg,
+      CASE WHEN P > 0 THEN
+        ROUND(CAST(ap AS DOUBLE) / P, 9) END AS pr_auc,
+      CASE WHEN N > 0 THEN
+        ROUND(CAST(P AS DOUBLE) / N, 9) END AS prevalence
+    FROM ag
+    """,
+)
+def pr_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC / average precision (operators.experiments.pr_auc) on
+    the auc_roc_orders fixture — descending-score tie blocks as
+    single steps (the sklearn convention), cumulative TP/predicted
+    via the distributed exclusive cumsum on the negated score, each
+    block term an exact-long division rounded 9dp into the DECIMAL
+    sum, normalized once by the positive count."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        pr_auc,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        F.floor(F.col("o_totalprice") / 1000).alias("score"),
+    )
+    return pr_auc(o, "label", "score")

@@ -2131,3 +2131,33 @@ def test_fisher_exact_hand_values(spark):
         fisher_exact(bad, "g", "y")
     with pytest.raises(Exception, match="exceeds"):
         fisher_exact(df, "g", "y", max_support=1)
+
+
+def test_pr_auc_hand_values(spark):
+    """sklearn's average-precision on [1,0,1,0] x [4,3,2,1] is
+    (1 + 2/3)/2 — under the shared 9dp-term model that lands at
+    0.833333334; a full tie block is one step (0.5); no positives
+    -> NULL with counts visible; non-0/1 labels refuse."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        pr_auc,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "y int, s double")
+        return pr_auc(df, "y", "s").collect()[0]
+
+    r = run([(1, 4.0), (0, 3.0), (1, 2.0), (0, 1.0)])
+    # terms 1.0 and round(2/3, 9) = 0.666666667 sum exactly in the
+    # DECIMAL; /2 = 0.8333333335 rounds HALF-UP on the engine (a
+    # Python float round would land half-even on an inexact binary)
+    assert r.pr_auc == 0.833333334
+    assert (r.n_pos, r.n_neg, r.prevalence) == (2, 2, 0.5)
+    r = run([(1, 7.0), (0, 7.0)])
+    assert r.pr_auc == 0.5        # one tie block: 1·(1/2)
+    r = run([(0, 1.0), (0, 2.0)])
+    assert r.pr_auc is None and r.prevalence == 0.0
+    bad = spark.createDataFrame([(3, 1.0)], "y int, s double")
+    with pytest.raises(Exception, match="label must be 0/1"):
+        pr_auc(bad, "y", "s").collect()

@@ -1120,3 +1120,13 @@ def test_fisher_exact_support_grid_no_corpus(spark):
     p = _plan(spark, "fisher_exact_orders")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_pr_auc_rides_distributed_cumsum(spark):
+    """pr_auc: both descending cumulative counts (predicted, TP)
+    ride the range-partitioned cumsum pins — zero FileScans in the
+    returned plan, only __pid-partitioned windows."""
+    p = _plan(spark, "pr_auc_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+    assert "windowspecdefinition(__pid" in p, p

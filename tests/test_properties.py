@@ -2038,3 +2038,48 @@ def test_jonckheere_matches_bruteforce(spark, pts):
         )
     else:
         assert r.z is None and r.significant == 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_pr_auc_matches_bruteforce(spark, pts):
+    """pr_auc == the brute descending-block average precision (the
+    sklearn tie convention) with the shared 9dp term rounding, on
+    ANY labeled multiset."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        pr_auc,
+    )
+
+    df = spark.createDataFrame(
+        [(int(y), float(s)) for y, s in pts], "y int, s double"
+    )
+    r = pr_auc(df, "y", "s").collect()[0]
+    pos = sum(1 for y, _ in pts if y)
+    if pos == 0:
+        assert r.pr_auc is None
+        return
+    from collections import Counter
+
+    t = Counter(s for _, s in pts)
+    tp = Counter(s for y, s in pts if y)
+    cum_t = cum_tp = 0
+    total = 0.0
+    for s in sorted(t, reverse=True):
+        cum_t += t[s]
+        cum_tp += tp.get(s, 0)
+        total += round(tp.get(s, 0) * cum_tp / cum_t, 9)
+    assert r.pr_auc == pytest.approx(total / pos, abs=2e-9)
+    assert (r.n_pos, r.n_neg) == (pos, len(pts) - pos)
