@@ -2746,3 +2746,143 @@ def pr_auc(
         ap.alias("pr_auc"),
         prev.alias("prevalence"),
     )
+
+
+def binom_exact_test(
+    df: DataFrame,
+    success_col: str,
+    p0: float,
+    max_support: int = 10_000_000,
+) -> DataFrame:
+    """Exact binomial test of an observed success count against a
+    DECLARED rate p₀ — the one-arm guardrail readout ("is the crash
+    rate above the 0.1% SLO", "is the judge's win rate really
+    50/50"), exact where the normal approximation is shakiest:
+    small n or p₀ near the edges.  The two-sample Poisson-rate
+    comparison reduces to this test (condition on the total:
+    k₁ ~ Binomial(k₁+k₂, t₁/(t₁+t₂))), so it doubles as the exact
+    event-RATE comparison.
+
+    Same machinery as :func:`fisher_exact`: ONE corpus scan
+    collapses to (n, k); the support 0..n rides a distributed
+    range with ln pmf built recursively from the exact ratio
+    pmf(k)/pmf(k−1) = (n−k+1)/k · p₀/(1−p₀) in integer NANOS
+    (exact-integer prefix sums; the two-sided "as-or-more-extreme"
+    criterion is an integer comparison), only the final normalized
+    weights touch exp.  p₀ must be strictly inside (0, 1); a
+    support wider than ``max_support`` refuses toward the z-test.
+
+    Returns ONE row: (n, k, p0, observed_rate 9dp, p_two 9dp,
+    p_less 9dp, p_greater 9dp, significant).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    if not (0.0 < p0 < 1.0):
+        raise UserException(
+            f"binom_exact_test: p0 must be inside (0, 1), got {p0}"
+        )
+    spark = df.sparkSession
+    row = (
+        df.filter(F.col(success_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(
+                    F.col(success_col).cast("int").isin(0, 1),
+                    F.col(success_col).cast("int"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "binom_exact_test: success must "
+                                "be 0/1, got "
+                            ),
+                            F.col(success_col).cast("string"),
+                        )
+                    ).cast("int")
+                )
+            ).alias("_k"),
+        )
+        .collect()[0]
+    )
+    n, k = int(row["_n"] or 0), int(row["_k"] or 0)
+    if n == 0:
+        raise UserException(
+            "binom_exact_test: no rows — test inconclusive"
+        )
+    if n > max_support:
+        raise UserException(
+            f"binom_exact_test: support {n + 1} exceeds "
+            f"{max_support} — use two_proportion_ztest / a normal "
+            "interval at this size"
+        )
+    odds = p0 / (1.0 - p0)
+    grid = spark.range(0, n + 1).select(
+        F.col("id").alias("_k"),
+        F.when(F.col("id") == 0, F.lit(0)).otherwise(
+            F.round(
+                F.log(
+                    (F.lit(n) - F.col("id") + 1).cast("double")
+                    * F.lit(odds)
+                    / F.col("id")
+                )
+                * F.lit(1000000000.0),
+                0,
+            )
+        ).cast("long").alias("_w"),
+    )
+    cum = global_weighted_cumsum(grid, "_k", "_w")
+    rel = cum.select(
+        "_k", (F.col("_cum") + F.col("_w")).alias("_ln")
+    )
+    anchors = rel.agg(
+        F.max("_ln").alias("_mx"),
+        F.max(F.when(F.col("_k") == k, F.col("_ln"))).alias(
+            "_lk"
+        ),
+    )
+    staged = rel.crossJoin(F.broadcast(anchors)).select(
+        "_k",
+        "_ln",
+        "_lk",
+        F.round(
+            F.exp(
+                (F.col("_ln") - F.col("_mx")).cast("double")
+                / F.lit(1000000000.0)
+            ),
+            12,
+        )
+        .cast("decimal(16,12)")
+        .alias("_wt"),
+    )
+    sel = F.col("_ln") <= F.col("_lk") + F.lit(100)
+    agg = staged.agg(
+        F.sum("_wt").alias("_tot"),
+        F.sum(F.when(sel, F.col("_wt"))).alias("_ext"),
+        F.sum(
+            F.when(F.col("_k") <= k, F.col("_wt"))
+        ).alias("_le"),
+        F.sum(
+            F.when(F.col("_k") >= k, F.col("_wt"))
+        ).alias("_ge"),
+    )
+    tot = F.col("_tot").cast("double")
+    p_two = F.round(F.col("_ext").cast("double") / tot, 9)
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(float(p0)).alias("p0"),
+        F.round(F.lit(float(k)) / F.lit(float(n)), 9).alias(
+            "observed_rate"
+        ),
+        p_two.alias("p_two"),
+        F.round(F.col("_le").cast("double") / tot, 9).alias(
+            "p_less"
+        ),
+        F.round(F.col("_ge").cast("double") / tot, 9).alias(
+            "p_greater"
+        ),
+        (p_two < F.lit(0.05)).cast("int").alias("significant"),
+    )

@@ -10021,3 +10021,94 @@ def pr_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000).alias("score"),
     )
     return pr_auc(o, "label", "score")
+
+
+@query(
+    "binom_exact_orders",
+    oracle="""
+    WITH cnt AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0
+        AND o_orderstatus IS NOT NULL
+    ),
+    grid AS (
+      SELECT cnt.n, cnt.k,
+        UNNEST(range(CAST(0 AS BIGINT), CAST(n + 1 AS BIGINT)))
+          AS i
+      FROM cnt
+    ),
+    wts AS (
+      SELECT n, k, i,
+        CASE WHEN i = 0 THEN 0 ELSE
+          CAST(ROUND(LN(CAST(n - i + 1 AS DOUBLE) * 1.0 / i)
+            * 1000000000.0, 0) AS BIGINT)
+        END AS w
+      FROM grid
+    ),
+    rel AS (
+      SELECT n, k, i,
+        SUM(w) OVER (ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS lnr
+      FROM wts
+    ),
+    an AS (
+      SELECT MAX(lnr) AS mx,
+        MAX(CASE WHEN i = k THEN lnr END) AS lk
+      FROM rel
+    ),
+    stg AS (
+      SELECT n, k, i, lnr, lk,
+        CAST(ROUND(EXP(CAST(lnr - mx AS DOUBLE)
+          / 1000000000.0), 12) AS DECIMAL(16,12)) AS wt
+      FROM rel, an
+    ),
+    ag AS (
+      SELECT MAX(n) AS n, MAX(k) AS k,
+        SUM(wt) AS tot,
+        SUM(CASE WHEN lnr <= lk + 100 THEN wt END) AS ext,
+        SUM(CASE WHEN i <= k THEN wt END) AS le,
+        SUM(CASE WHEN i >= k THEN wt END) AS ge
+      FROM stg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      CAST(0.5 AS DOUBLE) AS p0,
+      ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        AS observed_rate,
+      ROUND(CAST(ext AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        AS p_two,
+      ROUND(CAST(le AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        AS p_less,
+      ROUND(CAST(ge AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        AS p_greater,
+      CAST(ROUND(CAST(ext AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        < 0.05 AS INT) AS significant
+    FROM ag
+    """,
+)
+def binom_exact_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact binomial test (operators.experiments.binom_exact_test)
+    on a deliberately small slice (urgent orders, every 97th key —
+    the small-n regime the exact test exists for) against a
+    declared 50% finish rate: recursive ln-pmf in integer nanos
+    over the distributed support range, integer extremeness
+    criterion, 12dp exp weights into DECIMAL sums."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        binom_exact_test,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 97 == 0)
+        )
+        .select(
+            (F.col("o_orderstatus") == "F").cast("int").alias("ok")
+        )
+    )
+    return binom_exact_test(o, "ok", 0.5)

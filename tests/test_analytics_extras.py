@@ -2161,3 +2161,34 @@ def test_pr_auc_hand_values(spark):
     bad = spark.createDataFrame([(3, 1.0)], "y int, s double")
     with pytest.raises(Exception, match="label must be 0/1"):
         pr_auc(bad, "y", "s").collect()
+
+
+def test_binom_exact_hand_values(spark):
+    """scipy's binomtest(7, 10, 0.5) = 0.34375 exactly and the
+    all-failure table 2/32; p0 outside (0,1), empty input and
+    non-0/1 success refuse; absurd support refuses toward z."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        binom_exact_test,
+    )
+
+    df = spark.createDataFrame([(1,)] * 7 + [(0,)] * 3, "y int")
+    r = binom_exact_test(df, "y", 0.5).collect()[0]
+    assert (r.n, r.k, r.observed_rate) == (10, 7, 0.7)
+    assert r.p_two == 0.34375
+    assert r.p_less == 0.9453125 and r.p_greater == 0.171875
+    assert r.significant == 0
+    r = binom_exact_test(
+        spark.createDataFrame([(0,)] * 5, "y int"), "y", 0.5
+    ).collect()[0]
+    assert r.p_two == 0.0625 and r.p_less == 0.03125
+    with pytest.raises(Exception, match="inside"):
+        binom_exact_test(df, "y", 1.0)
+    with pytest.raises(Exception, match="no rows"):
+        binom_exact_test(df.filter(F.col("y") > 5), "y", 0.5)
+    bad = spark.createDataFrame([(2,)], "y int")
+    with pytest.raises(Exception, match="success must be 0/1"):
+        binom_exact_test(bad, "y", 0.5)
+    with pytest.raises(Exception, match="exceeds"):
+        binom_exact_test(df, "y", 0.5, max_support=3)
