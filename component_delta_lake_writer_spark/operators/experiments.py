@@ -2133,6 +2133,65 @@ def kruskal_wallis(
     )
 
 
+def _stratified_2x2(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    success_col: str,
+    caller: str,
+):
+    """Shared staging for the stratified 2×2 family (Mantel–Haenszel,
+    Breslow–Day): ONE corpus scan to the pinned per-(stratum, arm)
+    count table (non-0/1 success refused executor-side inside the
+    pass), arms validated from the pin, folded to the |strata|-row
+    (a, b, c, d) relation oriented a/b = arm_a.  Returns
+    (arm_a, arm_b, t22)."""
+    src = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+        & F.col(success_col).isNotNull()
+    ).select(
+        F.col(stratum_col).cast("string").alias("_st"),
+        F.col(arm_col).cast("string").alias("_g"),
+        F.col(success_col).cast("int").alias("_y"),
+    )
+    per_sa = src.groupBy("_st", "_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("_y").isin(0, 1), F.col("_y")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{caller}: success must be 0/1, got "),
+                        F.col("_y").cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_s"),
+    )
+    per_sa = per_sa.localCheckpoint(eager=True)
+    arms = [
+        r["_g"]
+        for r in per_sa.select("_g").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"{caller} needs exactly 2 arms, got {sorted(arms)!r}"
+        )
+    arm_a, arm_b = sorted(arms)
+    is_a = F.col("_g") == F.lit(arm_a)
+    t22 = per_sa.groupBy("_st").agg(
+        F.sum(F.when(is_a, F.col("_s")).otherwise(0)).alias("a"),
+        F.sum(
+            F.when(is_a, F.col("_n") - F.col("_s")).otherwise(0)
+        ).alias("b"),
+        F.sum(F.when(~is_a, F.col("_s")).otherwise(0)).alias("c"),
+        F.sum(
+            F.when(~is_a, F.col("_n") - F.col("_s")).otherwise(0)
+        ).alias("d"),
+    )
+    return arm_a, arm_b, t22
+
+
 def mantel_haenszel(
     df: DataFrame,
     stratum_col: str,
@@ -2166,54 +2225,8 @@ def mantel_haenszel(
     as arm_a's success odds over arm_b's; NULL OR/CI when a
     marginal degenerates (no successes or no failures anywhere).
     """
-    src = df.filter(
-        F.col(stratum_col).isNotNull()
-        & F.col(arm_col).isNotNull()
-        & F.col(success_col).isNotNull()
-    ).select(
-        F.col(stratum_col).cast("string").alias("_st"),
-        F.col(arm_col).cast("string").alias("_g"),
-        F.col(success_col).cast("int").alias("_y"),
-    )
-    per_sa = src.groupBy("_st", "_g").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            F.when(F.col("_y").isin(0, 1), F.col("_y")).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "mantel_haenszel: success must be "
-                            "0/1, got "
-                        ),
-                        F.col("_y").cast("string"),
-                    )
-                ).cast("int")
-            )
-        ).alias("_s"),
-    )
-    per_sa = per_sa.localCheckpoint(eager=True)
-    arms = [
-        r["_g"]
-        for r in per_sa.select("_g").distinct().limit(3).collect()
-    ]
-    if len(arms) != 2:
-        raise UserException(
-            f"mantel_haenszel needs exactly 2 arms, got "
-            f"{sorted(arms)!r}"
-        )
-    arm_a, arm_b = sorted(arms)
-    is_a = F.col("_g") == F.lit(arm_a)
-    # fold to the per-stratum 2×2: a/b = arm-a successes/failures,
-    # c/d = arm-b successes/failures
-    t22 = per_sa.groupBy("_st").agg(
-        F.sum(F.when(is_a, F.col("_s")).otherwise(0)).alias("a"),
-        F.sum(
-            F.when(is_a, F.col("_n") - F.col("_s")).otherwise(0)
-        ).alias("b"),
-        F.sum(F.when(~is_a, F.col("_s")).otherwise(0)).alias("c"),
-        F.sum(
-            F.when(~is_a, F.col("_n") - F.col("_s")).otherwise(0)
-        ).alias("d"),
+    arm_a, arm_b, t22 = _stratified_2x2(
+        df, stratum_col, arm_col, success_col, "mantel_haenszel"
     )
     n = (
         F.col("a") + F.col("b") + F.col("c") + F.col("d")
@@ -2885,4 +2898,127 @@ def binom_exact_test(
             "p_greater"
         ),
         (p_two < F.lit(0.05)).cast("int").alias("significant"),
+    )
+
+
+def breslow_day(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    success_col: str,
+    tarone: bool = True,
+) -> DataFrame:
+    """Breslow–Day homogeneity test (with Tarone's correction by
+    default) — the check that must pass BEFORE anyone quotes
+    :func:`mantel_haenszel`'s common odds ratio: MH assumes the
+    per-stratum ORs are one number, and when the effect genuinely
+    DIFFERS by segment (the interesting finding!) the pooled OR is
+    an average of things that shouldn't be averaged.  BD tests
+    exactly that assumption; a significant BD means "report
+    per-segment effects (ab_grid_fdr), don't pool".
+
+    Same one-scan staging as MH (shared :func:`_stratified_2x2`
+    pin).  Under the common OR ψ̂ = ΣR/ΣS, each stratum's expected
+    arm-a success count ã solves the quadratic
+    (ψ̂−1)ã² − [ψ̂(r₁+c₁) + (n−r₁−c₁)]ã + ψ̂r₁c₁ = 0 (the root
+    inside the support; the ψ̂ = 1 degenerate takes the exact
+    linear branch — both engines branch on the identical
+    decimal-derived ψ̂), with asymptotic variance
+    1/(1/ã + 1/(r₁−ã) + 1/(c₁−ã) + 1/(n−r₁−c₁+ã)).
+    χ²_BD = Σ(a−ã)²/Ṽ − [Tarone] (Σ(a−ã))²/ΣṼ, df = k−1.  Every
+    per-stratum term is a fixed double expression rounded 9dp into
+    DECIMAL sums; the ψ̂ inputs are the SAME 9dp-rounded R/S sums
+    MH uses, so the two operators quote literally the same ψ̂.
+
+    Returns ONE row: (arm_a, arm_b, n_strata, or_mh 6dp, chi2 6dp,
+    df, significant) — chi2 NULL when no stratum has an informative
+    table (k_informative = 0 → df ≤ 0).
+    """
+    arm_a, arm_b, t22 = _stratified_2x2(
+        df, stratum_col, arm_col, success_col, "breslow_day"
+    )
+    n = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+
+    def dec9(col):
+        return F.round(col, 9).cast("decimal(28,9)")
+
+    # ψ̂ from the same 9dp-rounded MH sums
+    psi_agg = t22.filter(n > 0).agg(
+        F.sum(dec9(a * d / n)).alias("_R"),
+        F.sum(dec9(b * c / n)).alias("_S"),
+    )
+    psi = (
+        F.col("_R").cast("double") / F.col("_S").cast("double")
+    )
+    staged = t22.crossJoin(F.broadcast(psi_agg)).filter(n > 0)
+    r1 = a + b
+    c1 = a + c
+    # informative stratum: both margins non-degenerate (otherwise
+    # ã = a exactly and the stratum contributes nothing)
+    informative = (
+        (r1 > 0) & (c1 > 0) & (r1 < n) & (c1 < n)
+    ) & (F.col("_S") > 0) & (F.col("_R") > 0)
+    tt = psi * (r1 + c1) + (n - r1 - c1)
+    disc = tt * tt - F.lit(4.0) * (psi - 1) * psi * r1 * c1
+    a_quad = (tt - F.sqrt(F.greatest(disc, F.lit(0.0)))) / (
+        F.lit(2.0) * (psi - 1)
+    )
+    a_lin = psi * r1 * c1 / tt
+    a_fit = F.when(
+        F.abs(psi - 1) < F.lit(1e-12), a_lin
+    ).otherwise(a_quad)
+    v_inv = (
+        F.lit(1.0) / a_fit
+        + F.lit(1.0) / (r1 - a_fit)
+        + F.lit(1.0) / (c1 - a_fit)
+        + F.lit(1.0) / (n - r1 - c1 + a_fit)
+    )
+    v_fit = F.lit(1.0) / v_inv
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("_kall"),
+        F.sum(F.when(informative, 1).otherwise(0)).alias("_k"),
+        F.sum(
+            F.when(
+                informative,
+                dec9((a - a_fit) * (a - a_fit) / v_fit),
+            )
+        ).alias("_chi"),
+        F.sum(F.when(informative, dec9(a - a_fit))).alias("_dev"),
+        F.sum(F.when(informative, dec9(v_fit))).alias("_vs"),
+        F.min(F.col("_R").cast("double")).alias("_Rd"),
+        F.min(F.col("_S").cast("double")).alias("_Sd"),
+    )
+    chi_raw = F.col("_chi").cast("double")
+    if tarone:
+        chi_raw = chi_raw - F.when(
+            F.col("_vs").cast("double") > 0,
+            F.col("_dev").cast("double")
+            * F.col("_dev").cast("double")
+            / F.col("_vs").cast("double"),
+        ).otherwise(F.lit(0.0))
+    dof = F.col("_k") - 1
+    ok = dof >= 1
+    chi2 = F.when(ok, F.round(chi_raw, 6))
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in CHI2_CRIT_5PCT]),
+        F.greatest(
+            F.least(dof, F.lit(len(CHI2_CRIT_5PCT))), F.lit(1)
+        ).cast("int"),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_kall").cast("long").alias("n_strata"),
+        F.when(
+            (F.col("_Sd") > 0) & (F.col("_Rd") > 0),
+            F.round(F.col("_Rd") / F.col("_Sd"), 6),
+        ).alias("or_mh"),
+        chi2.alias("chi2"),
+        F.greatest(dof, F.lit(0)).cast("long").alias("df"),
+        F.coalesce(
+            (chi2 > crit).cast("int"), F.lit(0)
+        ).alias("significant"),
     )

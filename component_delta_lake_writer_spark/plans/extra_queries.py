@@ -10112,3 +10112,131 @@ def binom_exact_orders(
         )
     )
     return binom_exact_test(o, "ok", 0.5)
+
+
+@query(
+    "breslow_day_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS st,
+        CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_orderkey IS NOT NULL
+        AND o_orderstatus IS NOT NULL
+    ),
+    sa AS (
+      SELECT st, g, COUNT(*) AS n, SUM(y) AS s
+      FROM src GROUP BY 1, 2
+    ),
+    t22 AS (
+      SELECT st,
+        SUM(CASE WHEN g = '0' THEN s ELSE 0 END) AS a,
+        SUM(CASE WHEN g = '0' THEN n - s ELSE 0 END) AS b,
+        SUM(CASE WHEN g = '1' THEN s ELSE 0 END) AS c,
+        SUM(CASE WHEN g = '1' THEN n - s ELSE 0 END) AS d
+      FROM sa GROUP BY 1
+    ),
+    tm AS (
+      SELECT a, b, c, d,
+        CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+        CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+        CAST(a + b + c + d AS DOUBLE) AS n
+      FROM t22 WHERE a + b + c + d > 0
+    ),
+    ps AS (
+      SELECT
+        SUM(CAST(ROUND(ad * dd / n, 9) AS DECIMAL(28,9))) AS R,
+        SUM(CAST(ROUND(bd * cd / n, 9) AS DECIMAL(28,9))) AS S
+      FROM tm
+    ),
+    fits AS (
+      SELECT ad, n,
+        ad + bd AS r1, ad + cd AS c1,
+        CAST(R AS DOUBLE) / CAST(S AS DOUBLE) AS psi,
+        R, S
+      FROM tm, ps
+    ),
+    f2 AS (
+      SELECT ad, n, r1, c1, psi, R, S,
+        psi * (r1 + c1) + (n - r1 - c1) AS tt
+      FROM fits
+    ),
+    f3 AS (
+      SELECT ad, n, r1, c1, psi, R, S, tt,
+        CASE WHEN ABS(psi - 1) < 1e-12
+          THEN psi * r1 * c1 / tt
+          ELSE (tt - SQRT(GREATEST(
+            tt * tt - 4.0 * (psi - 1) * psi * r1 * c1, 0.0)))
+            / (2.0 * (psi - 1))
+        END AS af,
+        ((r1 > 0) AND (c1 > 0) AND (r1 < n) AND (c1 < n)
+          AND (S > 0) AND (R > 0)) AS informative
+      FROM f2
+    ),
+    f4 AS (
+      SELECT ad, af, informative, R, S,
+        1.0 / (1.0 / af + 1.0 / (r1 - af) + 1.0 / (c1 - af)
+          + 1.0 / (n - r1 - c1 + af)) AS vf
+      FROM f3
+    ),
+    ag AS (
+      SELECT COUNT(*) AS kall,
+        SUM(CASE WHEN informative THEN 1 ELSE 0 END) AS k,
+        SUM(CASE WHEN informative THEN
+          CAST(ROUND((ad - af) * (ad - af) / vf, 9)
+            AS DECIMAL(28,9)) END) AS chi,
+        SUM(CASE WHEN informative THEN
+          CAST(ROUND(ad - af, 9) AS DECIMAL(28,9)) END) AS dev,
+        SUM(CASE WHEN informative THEN
+          CAST(ROUND(vf, 9) AS DECIMAL(28,9)) END) AS vs,
+        MIN(CAST(R AS DOUBLE)) AS Rd, MIN(CAST(S AS DOUBLE)) AS Sd
+      FROM f4
+    ),
+    fin AS (
+      SELECT kall, k, Rd, Sd,
+        CAST(chi AS DOUBLE)
+          - CASE WHEN CAST(vs AS DOUBLE) > 0 THEN
+              CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+                / CAST(vs AS DOUBLE)
+            ELSE 0.0 END AS chi_raw,
+        k - 1 AS dof
+      FROM ag
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(kall AS BIGINT) AS n_strata,
+      CASE WHEN Sd > 0 AND Rd > 0
+        THEN ROUND(Rd / Sd, 6) END AS or_mh,
+      CASE WHEN dof >= 1 THEN ROUND(chi_raw, 6) END AS chi2,
+      CAST(GREATEST(dof, 0) AS BIGINT) AS df,
+      CAST(COALESCE(
+        CASE WHEN dof >= 1 THEN ROUND(chi_raw, 6) END
+        > ({chi2_list})[CAST(GREATEST(LEAST(dof, {chi2_len}), 1)
+            AS BIGINT)],
+        FALSE) AS INT) AS significant
+    FROM fin
+    """.format(
+        chi2_list=_CHI2_SQL_LIST, chi2_len=len(_CHI2_TABLE)
+    ),
+)
+def breslow_day_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breslow-Day homogeneity with Tarone's correction
+    (operators.experiments.breslow_day) on the mantel_haenszel
+    fixture — the pre-check that the per-priority odds ratios are
+    ONE number before the pooled OR is quoted.  Shared stratified
+    2x2 pin; the fitted per-stratum expected counts solve the
+    closed-form quadratic under the SAME 9dp-decimal psi-hat MH
+    computes; every term 9dp-decimal-summed."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        breslow_day,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        (F.col("o_orderkey") % 2).cast("string").alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return breslow_day(o, "seg", "arm", "ok")

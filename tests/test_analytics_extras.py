@@ -2192,3 +2192,49 @@ def test_binom_exact_hand_values(spark):
         binom_exact_test(bad, "y", 0.5)
     with pytest.raises(Exception, match="exceeds"):
         binom_exact_test(df, "y", 0.5, max_support=3)
+
+
+def test_breslow_day_hand_values(spark):
+    """Identical per-stratum ORs give chi2 exactly 0 (the fitted
+    counts ARE the observed); opposite per-stratum effects light
+    up; the quoted or_mh is bit-identical to mantel_haenszel's;
+    one stratum -> df 0, chi2 NULL."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        breslow_day,
+        mantel_haenszel,
+    )
+
+    rows = []
+
+    def cell(st, arm, succ, fail):
+        rows.extend([(st, arm, 1)] * succ + [(st, arm, 0)] * fail)
+
+    cell("A", "0", 4, 6)
+    cell("A", "1", 2, 8)     # OR = 8/3
+    cell("B", "0", 8, 12)
+    cell("B", "1", 4, 16)    # OR = 8/3 too
+    df = spark.createDataFrame(rows, "st string, g string, y int")
+    r = breslow_day(df, "st", "g", "y").collect()[0]
+    assert (r.n_strata, r.df) == (2, 1)
+    assert r.chi2 == 0.0 and r.significant == 0
+    mh = mantel_haenszel(df, "st", "g", "y").collect()[0]
+    assert r.or_mh == mh.or_mh
+    rows2 = []
+
+    def cell2(st, arm, s_, f_):
+        rows2.extend(
+            [(st, arm, 1)] * s_ + [(st, arm, 0)] * f_
+        )
+
+    cell2("A", "0", 18, 2)
+    cell2("A", "1", 2, 18)
+    cell2("B", "0", 2, 18)
+    cell2("B", "1", 18, 2)
+    df2 = spark.createDataFrame(
+        rows2, "st string, g string, y int"
+    )
+    r = breslow_day(df2, "st", "g", "y").collect()[0]
+    assert r.significant == 1 and r.chi2 > 40
+    one = df.filter(F.col("st") == "A")
+    r = breslow_day(one, "st", "g", "y").collect()[0]
+    assert r.df == 0 and r.chi2 is None and r.significant == 0

@@ -1130,3 +1130,12 @@ def test_pr_auc_rides_distributed_cumsum(spark):
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
     assert "windowspecdefinition(__pid" in p, p
+
+
+def test_breslow_day_single_scan(spark):
+    """breslow_day rides the shared stratified-2x2 pin exactly like
+    mantel_haenszel: zero FileScans in the returned plan — one
+    corpus scan total, the quadratic fits metadata-scale."""
+    p = _plan(spark, "breslow_day_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p

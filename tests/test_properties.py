@@ -2083,3 +2083,92 @@ def test_pr_auc_matches_bruteforce(spark, pts):
         total += round(tp.get(s, 0) * cum_tp / cum_t, 9)
     assert r.pr_auc == pytest.approx(total / pos, abs=2e-9)
     assert (r.n_pos, r.n_neg) == (pos, len(pts) - pos)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # stratum
+            st.booleans(),                           # arm
+            st.integers(min_value=1, max_value=6),   # successes
+            st.integers(min_value=1, max_value=6),   # failures
+        ),
+        min_size=4,
+        max_size=10,
+    ),
+)
+def test_breslow_day_matches_bruteforce(spark, cells):
+    """breslow_day == the closed-form quadratic fit replicated in
+    Python on ANY stratified table — AND the fitted counts satisfy
+    the defining invariant ã·d̃/(b̃·c̃) = ψ̂ (the root-selection
+    check no shared-formula replay can fake)."""
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        breslow_day,
+    )
+
+    present = {
+        "A" if arm else "B" for _, arm, _, _ in cells
+    }
+    assume(present == {"A", "B"})
+    rows = []
+    for st_, arm, succ, fail in cells:
+        g = "A" if arm else "B"
+        rows += [(str(st_), g, 1)] * succ + [(str(st_), g, 0)] * fail
+    df = spark.createDataFrame(rows, "st string, g string, y int")
+    r = breslow_day(df, "st", "g", "y").collect()[0]
+
+    from collections import defaultdict
+
+    t = defaultdict(lambda: [0, 0, 0, 0])
+    for st_, g, y in rows:
+        t[st_][(0 if g == "A" else 2) + (0 if y else 1)] += 1
+    R = S = 0.0
+    for a, b, c, d in t.values():
+        n = a + b + c + d
+        R += round(a * d / n, 9)
+        S += round(b * c / n, 9)
+    if S == 0 or R == 0:
+        assert r.chi2 is None or r.df == 0
+        return
+    psi = R / S
+    chi = dev = vs = 0.0
+    k_inf = 0
+    for a, b, c, d in t.values():
+        n = a + b + c + d
+        r1, c1 = a + b, a + c
+        if not (0 < r1 < n and 0 < c1 < n):
+            continue
+        k_inf += 1
+        tt = psi * (r1 + c1) + (n - r1 - c1)
+        if abs(psi - 1) < 1e-12:
+            af = psi * r1 * c1 / tt
+        else:
+            af = (
+                tt
+                - math.sqrt(
+                    max(tt * tt - 4.0 * (psi - 1) * psi * r1 * c1, 0)
+                )
+            ) / (2.0 * (psi - 1))
+        # root-selection invariant: the fitted table reproduces psi
+        bf, cf, df_ = r1 - af, c1 - af, n - r1 - c1 + af
+        assert 0 < af < min(r1, c1) + 1e-9
+        assert abs(af * df_ / (bf * cf) - psi) < 1e-6 * max(psi, 1)
+        vf = 1.0 / (1 / af + 1 / bf + 1 / cf + 1 / df_)
+        chi += round((a - af) ** 2 / vf, 9)
+        dev += round(a - af, 9)
+        vs += round(vf, 9)
+    if k_inf < 2:
+        assert r.chi2 is None and r.significant == 0
+        return
+    expected = chi - (dev * dev / vs if vs > 0 else 0.0)
+    assert r.chi2 == pytest.approx(expected, abs=1e-4)
+    assert r.df == k_inf - 1
