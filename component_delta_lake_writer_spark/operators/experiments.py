@@ -2831,6 +2831,18 @@ def binom_exact_test(
             f"{max_support} — use two_proportion_ztest / a normal "
             "interval at this size"
         )
+    return _binom_exact_tails(spark, n, k, p0)
+
+
+def _binom_exact_tails(spark, n: int, k: int, p0: float):
+    """Shared exact-binomial tail machinery (binom_exact_test,
+    mcnemar_test): the distributed nano-ln support grid and the
+    (n, k, p0, observed_rate, p_two, p_less, p_greater,
+    significant) readout for ALREADY-collected (n, k)."""
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
     odds = p0 / (1.0 - p0)
     grid = spark.range(0, n + 1).select(
         F.col("id").alias("_k"),
@@ -3021,4 +3033,94 @@ def breslow_day(
         F.coalesce(
             (chi2 > crit).cast("int"), F.lit(0)
         ).alias("significant"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    first_col: str,
+    second_col: str,
+    max_support: int = 10_000_000,
+) -> DataFrame:
+    """McNemar's exact test on PAIRED binary outcomes — the readout
+    for "model B vs model A judged on the SAME items" (two judges
+    over one eval set, before/after a fine-tune on one benchmark,
+    two retrieval systems on one query log).  Unpaired tests throw
+    away the pairing and with it most of the power; McNemar
+    conditions on the CONCORDANT pairs (which carry no information
+    about the difference) and asks whether the discordant pairs
+    split 50/50 — i.e. an exact Binomial(n₀₁+n₁₀, ½) test on one
+    discordant count, riding the shared
+    :func:`_binom_exact_tails` machinery (integer-nano recursive
+    ln-pmf over a distributed support, integer extremeness
+    criterion).
+
+    ONE corpus scan to the four pair counts (bounded collect);
+    non-0/1 outcomes refuse executor-side inside that pass.  Zero
+    discordant pairs is the degenerate "the two systems never
+    disagree": p = 1 by convention, flagged via n_discordant = 0.
+
+    Returns ONE row: (n_pairs, n_both, n_neither, n_first_only,
+    n_second_only, p_two 9dp, significant).
+    """
+
+    def bit(col_name: str) -> "F.Column":
+        col = F.col(col_name).cast("int")
+        return F.when(col.isin(0, 1), col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "mcnemar_test: outcomes must be 0/1, got "
+                    ),
+                    col.cast("string"),
+                )
+            ).cast("int")
+        )
+
+    spark = df.sparkSession
+    row = (
+        df.filter(
+            F.col(first_col).isNotNull()
+            & F.col(second_col).isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(bit(first_col) * bit(second_col)).alias("_b11"),
+            F.sum(
+                bit(first_col) * (1 - bit(second_col))
+            ).alias("_b10"),
+            F.sum(
+                (1 - bit(first_col)) * bit(second_col)
+            ).alias("_b01"),
+        )
+        .collect()[0]
+    )
+    n_pairs = int(row["_n"] or 0)
+    b11 = int(row["_b11"] or 0)
+    b10 = int(row["_b10"] or 0)
+    b01 = int(row["_b01"] or 0)
+    b00 = n_pairs - b11 - b10 - b01
+    m = b10 + b01
+    if m > max_support:
+        raise UserException(
+            f"mcnemar_test: {m} discordant pairs exceed "
+            f"{max_support} — use the chi-square form at this size"
+        )
+    if m == 0:
+        out = spark.range(1).select(
+            F.lit(1.0).alias("p_two"),
+        )
+    else:
+        out = _binom_exact_tails(spark, m, b10, 0.5).select(
+            "p_two"
+        )
+    p_two = F.col("p_two")
+    return out.select(
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.lit(b11).cast("long").alias("n_both"),
+        F.lit(b00).cast("long").alias("n_neither"),
+        F.lit(b10).cast("long").alias("n_first_only"),
+        F.lit(b01).cast("long").alias("n_second_only"),
+        p_two.alias("p_two"),
+        (p_two < F.lit(0.05)).cast("int").alias("significant"),
     )

@@ -136,6 +136,7 @@ _FRONT = [
     "pr_auc_orders",
     "binom_exact_orders",
     "breslow_day_orders",
+    "mcnemar_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -10240,3 +10240,99 @@ def breslow_day_orders(
         (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
     )
     return breslow_day(o, "seg", "arm", "ok")
+
+
+@query(
+    "mcnemar_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END AS b
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+    ),
+    cnt AS (
+      SELECT COUNT(*) AS np, SUM(a * b) AS b11,
+        SUM(a * (1 - b)) AS b10, SUM((1 - a) * b) AS b01
+      FROM src
+    ),
+    m AS (
+      SELECT np, b11, b10, b01,
+        np - b11 - b10 - b01 AS b00, b10 + b01 AS mm
+      FROM cnt
+    ),
+    grid AS (
+      SELECT m.*, UNNEST(range(CAST(0 AS BIGINT),
+        CAST(mm + 1 AS BIGINT))) AS i
+      FROM m
+    ),
+    wts AS (
+      SELECT np, b11, b10, b01, b00, mm, i,
+        CASE WHEN i = 0 THEN 0 ELSE
+          CAST(ROUND(LN(CAST(mm - i + 1 AS DOUBLE) * 1.0 / i)
+            * 1000000000.0, 0) AS BIGINT)
+        END AS w
+      FROM grid
+    ),
+    rel AS (
+      SELECT np, b11, b10, b01, b00, i,
+        SUM(w) OVER (ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS lnr
+      FROM wts
+    ),
+    an AS (
+      SELECT MAX(lnr) AS mx,
+        MAX(CASE WHEN i = b10 THEN lnr END) AS lk
+      FROM rel
+    ),
+    stg AS (
+      SELECT np, b11, b10, b01, b00, lnr, lk,
+        CAST(ROUND(EXP(CAST(lnr - mx AS DOUBLE)
+          / 1000000000.0), 12) AS DECIMAL(16,12)) AS wt
+      FROM rel, an
+    ),
+    ag AS (
+      SELECT MAX(np) AS np, MAX(b11) AS b11, MAX(b10) AS b10,
+        MAX(b01) AS b01, MAX(b00) AS b00,
+        SUM(wt) AS tot,
+        SUM(CASE WHEN lnr <= lk + 100 THEN wt END) AS ext
+      FROM stg
+    ),
+    fin AS (
+      SELECT np, b11, b10, b01, b00,
+        ROUND(CAST(ext AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+          AS p_two
+      FROM ag
+    )
+    SELECT CAST(np AS BIGINT) AS n_pairs,
+      CAST(b11 AS BIGINT) AS n_both,
+      CAST(b00 AS BIGINT) AS n_neither,
+      CAST(b10 AS BIGINT) AS n_first_only,
+      CAST(b01 AS BIGINT) AS n_second_only,
+      p_two,
+      CAST(p_two < 0.05 AS INT) AS significant
+    FROM fin
+    """,
+)
+def mcnemar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's exact test (operators.experiments.mcnemar_test) on
+    paired binary judgments over the SAME orders — finished vs
+    high-priority as the two 'judges'.  One scan to the four pair
+    counts; the discordant split rides the shared exact-binomial
+    tail machinery (integer-nano ln-pmf over a distributed
+    support, p0 = 1/2)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        mcnemar_test,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("f"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("hi"),
+    )
+    return mcnemar_test(o, "f", "hi")

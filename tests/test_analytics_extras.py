@@ -2238,3 +2238,39 @@ def test_breslow_day_hand_values(spark):
     one = df.filter(F.col("st") == "A")
     r = breslow_day(one, "st", "g", "y").collect()[0]
     assert r.df == 0 and r.chi2 is None and r.significant == 0
+
+
+def test_mcnemar_hand_values(spark):
+    """9-vs-1 discordant pairs: exact two-sided p = 22/1024 (the
+    concordant pairs don't move it); zero discordance degenerates
+    to p = 1; the binomial equivalence holds against
+    binom_exact_test on the discordant slice; non-0/1 refuses."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        binom_exact_test,
+        mcnemar_test,
+    )
+
+    rows = (
+        [(1, 0)] * 9 + [(0, 1)] + [(1, 1)] * 20 + [(0, 0)] * 10
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n_pairs, r.n_both, r.n_neither) == (40, 20, 10)
+    assert (r.n_first_only, r.n_second_only) == (9, 1)
+    assert r.p_two == 0.021484375 and r.significant == 1
+    # conditioning identity: == exact Binomial(10, 1/2) at k = 9
+    disc = spark.createDataFrame(
+        [(1,)] * 9 + [(0,)], "y int"
+    )
+    eq = binom_exact_test(disc, "y", 0.5).collect()[0]
+    assert eq.p_two == r.p_two
+    same = spark.createDataFrame(
+        [(1, 1)] * 5 + [(0, 0)] * 5, "a int, b int"
+    )
+    r = mcnemar_test(same, "a", "b").collect()[0]
+    assert r.p_two == 1.0 and r.significant == 0
+    bad = spark.createDataFrame([(2, 1)], "a int, b int")
+    with pytest.raises(Exception, match="outcomes must be 0/1"):
+        mcnemar_test(bad, "a", "b")
