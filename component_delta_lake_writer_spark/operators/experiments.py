@@ -3124,3 +3124,88 @@ def mcnemar_test(
         p_two.alias("p_two"),
         (p_two < F.lit(0.05)).cast("int").alias("significant"),
     )
+
+
+def cochran_q(df: DataFrame, outcome_cols: list) -> DataFrame:
+    """Cochran's Q — the k-system generalization of
+    :func:`mcnemar_test`: k models/judges scored 0/1 on the SAME
+    items ("do ANY of these k systems differ on this eval set"),
+    the screen that precedes pairwise McNemars exactly as
+    kruskal_wallis precedes pairwise Mann-Whitneys.  Significant Q
+    → run the pairwise McNemars (with :func:`benjamini_hochberg`
+    over them).
+
+    Q = k(k−1)·Σ_j(G_j − T/k)² / (k·T − Σ_i L_i²) where G_j is
+    system j's success total, L_i the per-item success count and
+    T = ΣL.  ONE map-side-combinable corpus scan accumulates every
+    term as exact integers (k·Σ G² and Σ L² stay DECIMAL(38,0) —
+    the anova scale-0 rule), so Q is exact-integer-derived; items
+    where all k agree contribute nothing, matching the McNemar
+    conditioning.  χ² at df = k−1 vs the shared A&S table; non-0/1
+    outcomes refuse executor-side.
+
+    Returns ONE row: (k_systems, n_items, q 6dp, significant) — q
+    NULL when the denominator degenerates (every item unanimous).
+    """
+    k = len(outcome_cols)
+    if k < 2 or len(set(outcome_cols)) != k:
+        raise UserException(
+            "cochran_q needs >= 2 distinct outcome columns, got "
+            f"{outcome_cols!r}"
+        )
+
+    def bit(name: str):
+        col = F.col(name).cast("int")
+        return F.when(col.isin(0, 1), col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cochran_q: outcomes must be 0/1, got "),
+                    col.cast("string"),
+                )
+            ).cast("int")
+        )
+
+    src = df.filter(
+        F.expr(
+            " AND ".join(
+                f"{c} IS NOT NULL" for c in outcome_cols
+            )
+        )
+    )
+    li = sum((bit(c) for c in outcome_cols[1:]), bit(outcome_cols[0]))
+    d38 = "decimal(38,0)"
+    agg = src.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(li).alias("_T"),
+        F.sum((li.cast(d38) * li).cast(d38)).alias("_L2"),
+        *[
+            F.sum(bit(c)).alias(f"_g{i}")
+            for i, c in enumerate(outcome_cols)
+        ],
+    )
+    g2 = sum(
+        (
+            F.col(f"_g{i}").cast(d38) * F.col(f"_g{i}")
+        ).cast(d38)
+        for i in range(k)
+    )
+    t = F.col("_T").cast("double")
+    num = F.lit(float(k - 1)) * (
+        F.lit(float(k)) * g2.cast("double") - t * t
+    )
+    den = F.lit(float(k)) * t - F.col("_L2").cast("double")
+    q = F.when(den > 0, F.round(num / den, 6))
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in CHI2_CRIT_5PCT]),
+        F.least(F.lit(k - 1), F.lit(len(CHI2_CRIT_5PCT))).cast(
+            "int"
+        ),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k_systems"),
+        F.col("_n").cast("long").alias("n_items"),
+        q.alias("q"),
+        F.coalesce(
+            (q > crit).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

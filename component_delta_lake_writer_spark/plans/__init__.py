@@ -137,6 +137,7 @@ _FRONT = [
     "binom_exact_orders",
     "breslow_day_orders",
     "mcnemar_orders",
+    "cochran_q_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

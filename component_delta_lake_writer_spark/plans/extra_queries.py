@@ -10336,3 +10336,67 @@ def mcnemar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hi"),
     )
     return mcnemar_test(o, "f", "hi")
+
+
+@query(
+    "cochran_q_orders",
+    oracle=f"""
+    WITH src AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END AS hi,
+        CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS big
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n, SUM(f + hi + big) AS T,
+        SUM(CAST(CAST(f + hi + big AS DECIMAL(38,0))
+          * (f + hi + big) AS DECIMAL(38,0))) AS L2,
+        SUM(f) AS g0, SUM(hi) AS g1, SUM(big) AS g2
+      FROM src
+    ),
+    fin AS (
+      SELECT n,
+        CASE WHEN 3.0 * CAST(T AS DOUBLE)
+               - CAST(L2 AS DOUBLE) > 0 THEN
+          ROUND(2.0 * (3.0 * CAST(
+            CAST(CAST(g0 AS DECIMAL(38,0)) * g0 AS DECIMAL(38,0))
+            + CAST(CAST(g1 AS DECIMAL(38,0)) * g1
+                AS DECIMAL(38,0))
+            + CAST(CAST(g2 AS DECIMAL(38,0)) * g2
+                AS DECIMAL(38,0)) AS DOUBLE)
+            - CAST(T AS DOUBLE) * CAST(T AS DOUBLE))
+            / (3.0 * CAST(T AS DOUBLE) - CAST(L2 AS DOUBLE)), 6)
+        END AS q
+      FROM ag
+    )
+    SELECT CAST(3 AS BIGINT) AS k_systems,
+      CAST(n AS BIGINT) AS n_items, q,
+      CAST(COALESCE(
+        q > ({_CHI2_SQL_LIST})[CAST(LEAST(2, {len(_CHI2_TABLE)})
+          AS BIGINT)], FALSE) AS INT) AS significant
+    FROM fin
+    """,
+)
+def cochran_q_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (operators.experiments.cochran_q): three binary
+    'systems' scored on the SAME orders (finished, high-priority,
+    high-value) — one map-side-combinable scan, exact-integer G/L
+    sums at DECIMAL(38,0), chi-square at df = k-1 from the shared
+    table.  The k-system screen before pairwise McNemars."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cochran_q,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("f"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("hi"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    return cochran_q(o, ["f", "hi", "big"])

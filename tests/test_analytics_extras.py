@@ -2274,3 +2274,38 @@ def test_mcnemar_hand_values(spark):
     bad = spark.createDataFrame([(2, 1)], "a int, b int")
     with pytest.raises(Exception, match="outcomes must be 0/1"):
         mcnemar_test(bad, "a", "b")
+
+
+def test_cochran_q_hand_values(spark):
+    """Six items x three systems: Q matches the textbook fold
+    (brute 4.5); unanimous items alone degenerate the denominator
+    to NULL; duplicate/short column lists and non-0/1 refuse."""
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cochran_q,
+    )
+
+    rows = [
+        (1, 1, 0), (1, 1, 1), (0, 1, 0),
+        (1, 1, 0), (1, 0, 0), (1, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    r = cochran_q(df, ["a", "b", "c"]).collect()[0]
+    assert (r.k_systems, r.n_items) == (3, 6)
+    assert r.q == 4.5 and r.significant == 0
+    # strong disagreement: system a always wins, c never
+    rows2 = [(1, 0, 0)] * 12 + [(1, 1, 0)] * 4
+    df2 = spark.createDataFrame(rows2, "a int, b int, c int")
+    r = cochran_q(df2, ["a", "b", "c"]).collect()[0]
+    assert r.significant == 1
+    unanimous = spark.createDataFrame(
+        [(1, 1, 1), (0, 0, 0)], "a int, b int, c int"
+    )
+    r = cochran_q(unanimous, ["a", "b", "c"]).collect()[0]
+    assert r.q is None and r.significant == 0
+    with pytest.raises(Exception, match=">= 2 distinct"):
+        cochran_q(df, ["a", "a"])
+    bad = spark.createDataFrame([(5, 1, 0)], "a int, b int, c int")
+    with pytest.raises(Exception, match="outcomes must be 0/1"):
+        cochran_q(bad, ["a", "b", "c"]).collect()
