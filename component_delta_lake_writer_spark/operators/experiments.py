@@ -3209,3 +3209,87 @@ def cochran_q(df: DataFrame, outcome_cols: list) -> DataFrame:
             (q > crit).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, first_col: str, second_col: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED continuous outcomes —
+    the paired family's continuous member (mcnemar_test: paired
+    binary; cochran_q: k paired binary; this: "did latency /
+    quality score / tokens-per-doc CHANGE for the same items",
+    before-vs-after on one corpus, model A vs B scored on the same
+    prompts).  The unpaired mann_whitney_u throws the pairing away;
+    the signed-rank statistic ranks |differences| and asks whether
+    the positive ones dominate.
+
+    Zero differences are dropped (the standard convention — they
+    carry no sign information); midranks of |d| ride the
+    distributed exclusive cumsum (one corpus scan to the pinned
+    per-|d| tie table, which also yields the pair/zero counts —
+    never a second pass), 2·W⁺ accumulates as an exact long, and
+    the normal approximation carries the tie correction
+    Σ(t³−t)/48 summed as DECIMAL.  z is NULL when the variance
+    degenerates (every pair tied).
+
+    Returns ONE row: (n_pairs, n_nonzero, w_plus, z 6dp,
+    significant).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    d = F.col(first_col) - F.col(second_col)
+    src = df.filter(
+        F.col(first_col).isNotNull()
+        & F.col(second_col).isNotNull()
+    ).select(
+        F.abs(d).alias("_ad"),
+        F.when(d > 0, 1).otherwise(0).alias("_pos"),
+    )
+    per_value = src.groupBy("_ad").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum("_pos").alias("_tp"),
+    )
+    # pinned: the pair/zero counts AND the rank cumsum both consume it
+    per_value = per_value.localCheckpoint(eager=True)
+    totals = per_value.agg(
+        F.sum("_t").alias("_np"),
+        F.sum(F.when(F.col("_ad") == 0, F.col("_t")).otherwise(0)).alias(
+            "_nz"
+        ),
+    )
+    cum = global_weighted_cumsum(
+        per_value.filter(F.col("_ad") != 0), "_ad", "_t"
+    )
+    mr2 = F.lit(2) * F.col("_cum") + F.col("_t") + F.lit(1)
+    agg = cum.agg(
+        F.sum("_t").alias("_m"),
+        F.sum(F.col("_tp") * mr2).alias("_r2p"),
+        F.sum(
+            (
+                F.col("_t").cast("decimal(20,0)")
+                * F.col("_t")
+                * F.col("_t")
+                - F.col("_t")
+            ).cast("decimal(38,0)")
+        ).alias("_ties"),
+    ).crossJoin(F.broadcast(totals))
+    m = F.col("_m").cast("double")
+    wp = F.col("_r2p").cast("double") / F.lit(2.0)
+    mu = m * (m + 1) / F.lit(4.0)
+    var = m * (m + 1) * (F.lit(2.0) * m + 1) / F.lit(24.0) - F.col(
+        "_ties"
+    ).cast("double") / F.lit(48.0)
+    z = F.when(var > 0, F.round((wp - mu) / F.sqrt(var), 6))
+    return agg.select(
+        F.col("_np").cast("long").alias("n_pairs"),
+        F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias(
+            "n_nonzero"
+        ),
+        wp.alias("w_plus"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -138,6 +138,7 @@ _FRONT = [
     "breslow_day_orders",
     "mcnemar_orders",
     "cochran_q_orders",
+    "wilcoxon_signed_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

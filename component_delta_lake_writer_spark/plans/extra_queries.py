@@ -10400,3 +10400,82 @@ def cochran_q_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > 150000).cast("int").alias("big"),
     )
     return cochran_q(o, ["f", "hi", "big"])
+
+
+@query(
+    "wilcoxon_signed_orders",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20
+        - o_orderkey % 20 AS d
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    src AS (
+      SELECT ABS(d) AS ad,
+        CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      FROM base
+    ),
+    pv AS (
+      SELECT ad, COUNT(*) AS t, SUM(pos) AS tp
+      FROM src GROUP BY 1
+    ),
+    tt AS (
+      SELECT SUM(t) AS np,
+        SUM(CASE WHEN ad = 0 THEN t ELSE 0 END) AS nz
+      FROM pv
+    ),
+    c AS (
+      SELECT ad, t, tp,
+        COALESCE(SUM(t) OVER (ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum
+      FROM pv WHERE ad <> 0
+    ),
+    a AS (
+      SELECT SUM(t) AS m, SUM(tp * (2 * cum + t + 1)) AS r2p,
+        SUM(CAST(CAST(t AS DECIMAL(20,0)) * t * t - t
+          AS DECIMAL(38,0))) AS ties
+      FROM c
+    ),
+    fin AS (
+      SELECT np, m,
+        CAST(r2p AS DOUBLE) / 2.0 AS wp,
+        CAST(m AS DOUBLE) * (m + 1) / 4.0 AS mu,
+        CAST(m AS DOUBLE) * (m + 1) * (2.0 * CAST(m AS DOUBLE) + 1)
+          / 24.0 - CAST(ties AS DOUBLE) / 48.0 AS var
+      FROM a, tt
+    ),
+    zz AS (
+      SELECT np, m, wp,
+        CASE WHEN var > 0
+          THEN ROUND((wp - mu) / SQRT(var), 6) END AS z
+      FROM fin
+    )
+    SELECT CAST(np AS BIGINT) AS n_pairs,
+      CAST(COALESCE(m, 0) AS BIGINT) AS n_nonzero,
+      wp AS w_plus, z,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def wilcoxon_signed_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank
+    (operators.experiments.wilcoxon_signed_rank) on paired bucketed
+    scores over the SAME orders (price-derived vs key-derived, both
+    mod 20 — real zeros and heavy ties): one scan to the pinned
+    per-|d| tie table (pair/zero counts AND the rank cumsum both
+    ride it), integer-exact 2W+, tie-corrected normal
+    approximation."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        wilcoxon_signed_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("s1"),
+        (F.col("o_orderkey") % 20).alias("s2"),
+    )
+    return wilcoxon_signed_rank(o, "s1", "s2")

@@ -2309,3 +2309,30 @@ def test_cochran_q_hand_values(spark):
     bad = spark.createDataFrame([(5, 1, 0)], "a int, b int, c int")
     with pytest.raises(Exception, match="outcomes must be 0/1"):
         cochran_q(bad, ["a", "b", "c"]).collect()
+
+
+def test_wilcoxon_signed_rank_hand_values(spark):
+    """Diffs {+1, +2, +3, −1, 0}: the zero drops, |d| midranks give
+    W+ = 8.5 and the tie-corrected z matches the hand fold; an
+    all-tied input degenerates to NULL z."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        wilcoxon_signed_rank,
+    )
+
+    rows = [
+        (2.0, 1.0), (3.0, 1.0), (4.0, 1.0), (1.0, 2.0), (5.0, 5.0)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert (r.n_pairs, r.n_nonzero, r.w_plus) == (5, 4, 8.5)
+    # mu = 5, var = 4·5·9/24 − (2³−2)/48 = 7.375
+    assert r.z == round((8.5 - 5) / math.sqrt(7.375), 6)
+    assert r.significant == 0
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0)], "x double, y double"
+    )
+    r = wilcoxon_signed_rank(tied, "x", "y").collect()[0]
+    assert (r.n_pairs, r.n_nonzero) == (2, 0)
+    assert r.z is None and r.significant == 0

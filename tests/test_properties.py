@@ -2172,3 +2172,59 @@ def test_breslow_day_matches_bruteforce(spark, cells):
     expected = chi - (dev * dev / vs if vs > 0 else 0.0)
     assert r.chi2 == pytest.approx(expected, abs=1e-4)
     assert r.df == k_inf - 1
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    diffs=st.lists(
+        st.integers(min_value=-4, max_value=4),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_wilcoxon_signed_matches_bruteforce(spark, diffs):
+    """wilcoxon_signed_rank == the brute |d|-midrank fold with the
+    standard zero-drop and tie correction, on ANY paired diff
+    multiset."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        wilcoxon_signed_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(float(d), 0.0) for d in diffs], "x double, y double"
+    )
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    nz = [d for d in diffs if d != 0]
+    assert (r.n_pairs, r.n_nonzero) == (len(diffs), len(nz))
+    if not nz:
+        assert r.z is None and r.w_plus is None
+        return
+    from collections import Counter
+
+    tie = Counter(abs(d) for d in nz)
+    smaller = {
+        v: sum(c for w, c in tie.items() if w < v) for v in tie
+    }
+    wp = sum(
+        (2 * smaller[abs(d)] + tie[abs(d)] + 1) / 2.0
+        for d in nz
+        if d > 0
+    )
+    assert r.w_plus == wp
+    m = len(nz)
+    var = m * (m + 1) * (2 * m + 1) / 24.0 - sum(
+        c**3 - c for c in tie.values()
+    ) / 48.0
+    if var > 0:
+        mu = m * (m + 1) / 4.0
+        assert r.z == pytest.approx(
+            (wp - mu) / math.sqrt(var), abs=1e-5
+        )
+    else:
+        assert r.z is None
