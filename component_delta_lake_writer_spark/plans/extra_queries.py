@@ -10030,7 +10030,7 @@ def pr_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n,
         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
       FROM orders
-      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 37 = 0
         AND o_orderstatus IS NOT NULL
     ),
     grid AS (
@@ -10092,7 +10092,7 @@ def binom_exact_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Exact binomial test (operators.experiments.binom_exact_test)
-    on a deliberately small slice (urgent orders, every 97th key —
+    on a deliberately small slice (urgent orders, every 37th key —
     the small-n regime the exact test exists for) against a
     declared 50% finish rate: recursive ln-pmf in integer nanos
     over the distributed support range, integer extremeness
@@ -10105,7 +10105,7 @@ def binom_exact_orders(
         load_table(spark, sf_dir, "orders")
         .filter(
             (F.col("o_orderpriority") == "1-URGENT")
-            & (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderkey") % 37 == 0)
         )
         .select(
             (F.col("o_orderstatus") == "F").cast("int").alias("ok")
