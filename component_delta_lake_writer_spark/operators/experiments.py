@@ -3293,3 +3293,123 @@ def wilcoxon_signed_rank(
             (F.abs(z) > F.lit(Z_CRIT_5PCT)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+#: Φ⁻¹ at the standard power targets — fixed literals shared with
+#: the oracle (no inverse-normal built-in on either engine; the
+#: table IS the determinism boundary, the CHI2_CRIT pattern)
+Z_POWER = {80: 0.8416212, 90: 1.2815516, 95: 1.6448536}
+
+
+def ab_power_mde(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    power_pct: int = 80,
+) -> DataFrame:
+    """Minimum detectable effect at the CURRENT traffic — the
+    planning readout that belongs next to every "not significant"
+    result: a flat z-test answers "did we see an effect", this
+    answers "what effect COULD we have seen" — without it, "no
+    significant difference" on an underpowered experiment gets read
+    as "no difference", the most common A/B misread there is.
+
+    MDE(two-sided 5%, ``power_pct``) = (z_{α/2} + z_pow) ·
+    √(2·p̄(1−p̄)/n̄) with p̄ the pooled rate and n̄ the harmonic
+    mean arm size — the standard two-proportion approximation,
+    evaluated AT the observed allocation (so an imbalanced split's
+    power cost is visible in the number).  ONE corpus scan to the
+    pinned per-arm counts (the srm/MH staging); both z constants
+    are fixed literals shared with the oracle.
+
+    Returns ONE row: (arm_a, arm_b, n_a, n_b, rate_a 6dp, rate_b
+    6dp, pooled_rate 6dp, power_pct, mde_abs 9dp, mde_rel 6dp) —
+    mde_rel = mde_abs / pooled rate, NULL when the pooled rate
+    degenerates (0 or 1 — nothing to detect against).
+    """
+    if power_pct not in Z_POWER:
+        raise UserException(
+            f"ab_power_mde: power_pct must be one of "
+            f"{sorted(Z_POWER)}, got {power_pct}"
+        )
+    src = df.filter(
+        F.col(arm_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(
+        F.col(arm_col).cast("string").alias("_g"),
+        F.col(success_col).cast("int").alias("_y"),
+    )
+    per_arm = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("_y").isin(0, 1), F.col("_y")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ab_power_mde: success must be 0/1, "
+                            "got "
+                        ),
+                        F.col("_y").cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_s"),
+    )
+    per_arm = per_arm.localCheckpoint(eager=True)
+    arms = [
+        r["_g"]
+        for r in per_arm.select("_g").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"ab_power_mde needs exactly 2 arms, got "
+            f"{sorted(arms)!r}"
+        )
+    arm_a, arm_b = sorted(arms)
+    is_a = F.col("_g") == F.lit(arm_a)
+    agg = per_arm.agg(
+        F.sum(F.when(is_a, F.col("_n")).otherwise(0)).alias("_na"),
+        F.sum(F.when(is_a, F.col("_s")).otherwise(0)).alias("_sa"),
+        F.sum(F.when(~is_a, F.col("_n")).otherwise(0)).alias(
+            "_nb"
+        ),
+        F.sum(F.when(~is_a, F.col("_s")).otherwise(0)).alias(
+            "_sb"
+        ),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pbar = (F.col("_sa") + F.col("_sb")).cast("double") / (
+        F.col("_na") + F.col("_nb")
+    )
+    ok = (
+        (F.col("_na") > 0)
+        & (F.col("_nb") > 0)
+        & (pbar > 0)
+        & (pbar < 1)
+    )
+    zsum = F.lit(Z_CRIT_5PCT) + F.lit(Z_POWER[power_pct])
+    mde = zsum * F.sqrt(
+        pbar * (F.lit(1.0) - pbar) * (
+            F.lit(1.0) / na + F.lit(1.0) / nb
+        )
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.when(
+            F.col("_na") > 0,
+            F.round(F.col("_sa").cast("double") / na, 6),
+        ).alias("rate_a"),
+        F.when(
+            F.col("_nb") > 0,
+            F.round(F.col("_sb").cast("double") / nb, 6),
+        ).alias("rate_b"),
+        F.when(
+            (F.col("_na") + F.col("_nb")) > 0, F.round(pbar, 6)
+        ).alias("pooled_rate"),
+        F.lit(power_pct).alias("power_pct"),
+        F.when(ok, F.round(mde, 9)).alias("mde_abs"),
+        F.when(ok, F.round(mde / pbar, 6)).alias("mde_rel"),
+    )

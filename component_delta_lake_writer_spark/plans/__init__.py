@@ -109,13 +109,16 @@ _FRONT = [
     "stream_table_source",
     "stream_mv_rollup",
     # ------------------------------------------------------------------
-    # Positions 51+: keys registered NEW in r13 (EXIF via the JPEG
-    # APP1 → TIFF IFD composition, distributed BPE merge training,
-    # stretch parsers) — listed past the budget window on purpose,
-    # exactly as the r12 nine were: the r12 verdict ranked stamping
-    # those nine plus the stale burn-down #1, so the window is spent
-    # there; these keep sf0.001 differential coverage from every
-    # pytest run and lead the r14 refresh queue.
+    # Positions 51+: keys registered NEW in r13 — listed past the
+    # budget window on purpose, exactly as the r12 nine were: the
+    # r12 verdict ranked stamping those nine plus the stale
+    # burn-down #1, so the r13 window is spent there; these keep
+    # sf0.001 differential coverage from every pytest run and lead
+    # the r14 refresh queue.  r14 WINDOW RECIPE (the never-checked
+    # set grew to 20 with the second wave): parquet_scan + the 20
+    # keys below + the oldest 29 of the 48-key backlog (14 r4 +
+    # 15 of the 17 r5) → backlog after r14: 19 (2 r5 + 17 r6),
+    # finished in r15.
     # ------------------------------------------------------------------
     "exif_meta_parse",
     "bpe_train_merges",
@@ -139,6 +142,7 @@ _FRONT = [
     "mcnemar_orders",
     "cochran_q_orders",
     "wilcoxon_signed_orders",
+    "ab_power_mde_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

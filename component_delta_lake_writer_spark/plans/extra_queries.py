@@ -10479,3 +10479,72 @@ def wilcoxon_signed_orders(
         (F.col("o_orderkey") % 20).alias("s2"),
     )
     return wilcoxon_signed_rank(o, "s1", "s2")
+
+
+@query(
+    "ab_power_mde_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    pa AS (
+      SELECT g, COUNT(*) AS n, SUM(y) AS s FROM src GROUP BY 1
+    ),
+    ag AS (
+      SELECT
+        SUM(CASE WHEN g = '0' THEN n ELSE 0 END) AS na,
+        SUM(CASE WHEN g = '0' THEN s ELSE 0 END) AS sa,
+        SUM(CASE WHEN g = '1' THEN n ELSE 0 END) AS nb,
+        SUM(CASE WHEN g = '1' THEN s ELSE 0 END) AS sb
+      FROM pa
+    ),
+    fin AS (
+      SELECT na, sa, nb, sb,
+        CAST(sa + sb AS DOUBLE) / (na + nb) AS pbar
+      FROM ag
+    ),
+    mm AS (
+      SELECT na, sa, nb, sb, pbar,
+        (1.959964 + 0.8416212)
+          * SQRT(pbar * (1.0 - pbar)
+            * (1.0 / CAST(na AS DOUBLE)
+               + 1.0 / CAST(nb AS DOUBLE))) AS mde,
+        (na > 0 AND nb > 0 AND pbar > 0 AND pbar < 1) AS ok
+      FROM fin
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CASE WHEN na > 0 THEN
+        ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6)
+      END AS rate_a,
+      CASE WHEN nb > 0 THEN
+        ROUND(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+      END AS rate_b,
+      CASE WHEN na + nb > 0 THEN ROUND(pbar, 6) END
+        AS pooled_rate,
+      80 AS power_pct,
+      CASE WHEN ok THEN ROUND(mde, 9) END AS mde_abs,
+      CASE WHEN ok THEN ROUND(mde / pbar, 6) END AS mde_rel
+    FROM mm
+    """,
+)
+def ab_power_mde_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Minimum detectable effect at current traffic
+    (operators.experiments.ab_power_mde): the planning readout next
+    to every 'not significant' — orderkey-parity arms, finish rate,
+    80% power, both z constants fixed literals shared with the
+    oracle."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ab_power_mde,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return ab_power_mde(o, "arm", "ok")

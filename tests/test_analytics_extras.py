@@ -2336,3 +2336,40 @@ def test_wilcoxon_signed_rank_hand_values(spark):
     r = wilcoxon_signed_rank(tied, "x", "y").collect()[0]
     assert (r.n_pairs, r.n_nonzero) == (2, 0)
     assert r.z is None and r.significant == 0
+
+
+def test_ab_power_mde_hand_values(spark):
+    """1000-per-arm at pooled 10.5%: MDE matches the two-proportion
+    closed form with the shared z literals; degenerate pooled rate
+    NULLs the MDE with the counts visible; bad power and != 2 arms
+    refuse."""
+    import math
+
+    import pytest
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        ab_power_mde,
+    )
+
+    rows = (
+        [("A", 1)] * 100 + [("A", 0)] * 900
+        + [("B", 1)] * 110 + [("B", 0)] * 890
+    )
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = ab_power_mde(df, "g", "y").collect()[0]
+    p = 210 / 2000
+    exp = (1.959964 + 0.8416212) * math.sqrt(
+        p * (1 - p) * (1 / 1000 + 1 / 1000)
+    )
+    assert r.mde_abs == round(exp, 9)
+    assert r.mde_rel == round(exp / p, 6)
+    assert (r.n_a, r.n_b, r.pooled_rate) == (1000, 1000, 0.105)
+    allzero = spark.createDataFrame(
+        [("A", 0), ("B", 0)], "g string, y int"
+    )
+    r = ab_power_mde(allzero, "g", "y").collect()[0]
+    assert r.mde_abs is None and r.mde_rel is None
+    with pytest.raises(Exception, match="power_pct"):
+        ab_power_mde(df, "g", "y", power_pct=75)
+    with pytest.raises(Exception, match="exactly 2 arms"):
+        ab_power_mde(df.filter(F.col("g") == "A"), "g", "y")
