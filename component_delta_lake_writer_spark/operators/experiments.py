@@ -3413,3 +3413,135 @@ def ab_power_mde(
         F.when(ok, F.round(mde, 9)).alias("mde_abs"),
         F.when(ok, F.round(mde / pbar, 6)).alias("mde_rel"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across k groups
+    — the robust Levene variant (deviations from the MEDIAN, not
+    the mean) and the precondition check the ANOVA story was
+    missing: anova_oneway assumes equal variances, and when spread
+    itself differs by segment (the common case for latency or
+    spend) that's usually the finding.  BF = one-way ANOVA on
+    z = |x − median_g|.
+
+    Scale shape: ONE corpus scan to the pinned (group, value) tie
+    table; per-group INTERPOLATED medians come from a cumulative
+    count window PARTITIONED by group over the distinct values (the
+    jonckheere contract: the value axis is discrete or pre-bucketed)
+    — the lower/upper middle ranks are integer expressions, so the
+    median is exact.  The deviations z are then exact multiples of
+    0.5 (bucket ints vs half-int medians): the weighted ANOVA sums
+    accumulate at DECIMAL scale 1/2 EXACTLY, and the grand sums
+    follow the anova_oneway scale-0 floor rule.  F vs the shared
+    1% critical table at df₁ = k−1.
+
+    Returns ONE row: (k_groups, n_rows, f 6dp, significant) — f
+    NULL when the dof or the within-spread degenerates.
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    per_gv = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    per_gv = per_gv.localCheckpoint(eager=True)
+    w_grp = Window.partitionBy("_g")
+    w_cum = (
+        w_grp.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    cum = per_gv.select(
+        "_g",
+        "_v",
+        "_t",
+        F.sum("_t").over(w_cum).alias("_c"),
+        F.sum("_t").over(w_grp).alias("_n"),
+    )
+    # interpolated median: the values at the integer middle ranks
+    # (n+1) div 2 and (n+2) div 2 — exact, never a float quantile
+    r_lo = (F.col("_n") + 1) / 2
+    r_hi = (F.col("_n") + 2) / 2
+    med = cum.groupBy("_g").agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("_c") >= F.floor(r_lo), F.col("_v")
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("_c") >= F.floor(r_hi), F.col("_v")
+                    )
+                )
+            ).cast("double")
+            / F.lit(2.0)
+        ).alias("_med"),
+    )
+    z = F.abs(F.col("_v").cast("double") - F.col("_med"))
+    staged = per_gv.join(F.broadcast(med), "_g").select(
+        "_g",
+        "_t",
+        z.alias("_z"),
+    )
+    # weighted per-group sums: z is an exact multiple of 0.5 for
+    # integer-bucketed values, z² of 0.25 — DECIMAL scales 1 and 2
+    # hold them exactly (the anova_oneway decimal rule)
+    d1 = F.col("_z").cast("decimal(24,1)")
+    per_g = staged.groupBy("_g").agg(
+        F.sum("_t").alias("_n"),
+        F.sum(d1 * F.col("_t")).alias("_s"),
+        F.sum(
+            (F.col("_z") * F.col("_z"))
+            .cast("decimal(24,2)")
+            * F.col("_t")
+        ).alias("_ss"),
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_N"),
+        F.sum(F.col("_s").cast("decimal(38,1)")).alias("_S"),
+        F.sum(
+            F.floor(F.col("_ss")).cast("decimal(38,0)")
+        ).alias("_SS"),
+        F.sum(
+            F.floor(
+                F.col("_s").cast("double")
+                * F.col("_s").cast("double")
+                / F.col("_n")
+            ).cast("decimal(38,0)")
+        ).alias("_SG"),
+    )
+    n = F.col("_N").cast("double")
+    k = F.col("_k").cast("double")
+    ssb = F.col("_SG").cast("double") - (
+        F.col("_S").cast("double") * F.col("_S").cast("double") / n
+    )
+    ssw = F.col("_SS").cast("double") - F.col("_SG").cast("double")
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    ok = (
+        (F.col("_k") >= 2)
+        & (F.col("_N") > F.col("_k"))
+        & (ssw > 0)
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in F_CRIT_1PCT]),
+        F.least(
+            F.col("_k") - 1, F.lit(len(F_CRIT_1PCT))
+        ).cast("int"),
+    )
+    ff = F.when(ok, F.round(f, 6))
+    return agg.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_N").cast("long").alias("n_rows"),
+        ff.alias("f"),
+        F.coalesce(
+            (ff > crit).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

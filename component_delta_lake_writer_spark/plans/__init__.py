@@ -115,9 +115,9 @@ _FRONT = [
     # burn-down #1, so the r13 window is spent there; these keep
     # sf0.001 differential coverage from every pytest run and lead
     # the r14 refresh queue.  r14 WINDOW RECIPE (the never-checked
-    # set grew to 20 with the second wave): parquet_scan + the 20
-    # keys below + the oldest 29 of the 48-key backlog (14 r4 +
-    # 15 of the 17 r5) → backlog after r14: 19 (2 r5 + 17 r6),
+    # set grew to 21 with the second wave): parquet_scan + the 21
+    # keys below + the oldest 28 of the 48-key backlog (14 r4 +
+    # 14 of the 17 r5) → backlog after r14: 20 (3 r5 + 17 r6),
     # finished in r15.
     # ------------------------------------------------------------------
     "exif_meta_parse",
@@ -143,6 +143,7 @@ _FRONT = [
     "cochran_q_orders",
     "wilcoxon_signed_orders",
     "ab_power_mde_orders",
+    "brown_forsythe_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -10548,3 +10548,100 @@ def ab_power_mde_orders(
         (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
     )
     return ab_power_mde(o, "arm", "ok")
+
+
+def _brown_forsythe_oracle() -> str:
+    """Brown-Forsythe oracle with the F-critical lookup built from
+    the operator's own table (the _anova_oracle sharing pattern)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        F_CRIT_1PCT,
+    )
+
+    crit_list = ", ".join(repr(v) for v in F_CRIT_1PCT)
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, FLOOR(o_totalprice / 1000) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    gv AS (SELECT g, v, COUNT(*) AS t FROM src GROUP BY 1, 2),
+    c AS (
+      SELECT g, v, t,
+        SUM(t) OVER (PARTITION BY g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        SUM(t) OVER (PARTITION BY g) AS n
+      FROM gv
+    ),
+    med AS (
+      SELECT g,
+        CAST(MIN(CASE WHEN c >= FLOOR((n + 1) / 2) THEN v END)
+          + MIN(CASE WHEN c >= FLOOR((n + 2) / 2) THEN v END)
+          AS DOUBLE) / 2.0 AS med
+      FROM c GROUP BY 1
+    ),
+    st AS (
+      SELECT gv.g, gv.t,
+        ABS(CAST(gv.v AS DOUBLE) - med.med) AS z
+      FROM gv JOIN med ON gv.g = med.g
+    ),
+    pg AS (
+      SELECT g, SUM(t) AS n,
+        SUM(CAST(z AS DECIMAL(24,1)) * t) AS s,
+        SUM(CAST(z * z AS DECIMAL(24,2)) * t) AS ss
+      FROM st GROUP BY 1
+    ),
+    a AS (
+      SELECT COUNT(*) AS k, SUM(n) AS N,
+        SUM(CAST(s AS DECIMAL(38,1))) AS S,
+        SUM(CAST(FLOOR(ss) AS DECIMAL(38,0))) AS SS,
+        SUM(CAST(FLOOR(
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+        ) AS DECIMAL(38,0))) AS SG
+      FROM pg
+    ),
+    f AS (
+      SELECT k, N,
+        CAST(SG AS DOUBLE)
+          - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+            / CAST(N AS DOUBLE) AS ssb,
+        CAST(SS AS DOUBLE) - CAST(SG AS DOUBLE) AS ssw
+      FROM a
+    ),
+    r AS (
+      SELECT k, N,
+        CASE WHEN k >= 2 AND N > k AND ssw > 0 THEN
+          ROUND((ssb / (k - 1)) / (ssw / (N - k)), 6)
+        END AS fval,
+        (LIST_VALUE({crit_list}))[LEAST(k - 1,
+          {len(F_CRIT_1PCT)})] AS crit
+      FROM f
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+      CAST(N AS BIGINT) AS n_rows,
+      fval AS f,
+      CAST(COALESCE(fval > crit, FALSE) AS INT) AS significant
+    FROM r
+    """
+
+
+@query("brown_forsythe_orders", oracle=_brown_forsythe_oracle())
+def brown_forsythe_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test
+    (operators.experiments.brown_forsythe) on the anova/kruskal
+    fixture (bucketed totals across the five priority tiers): exact
+    per-group interpolated medians from the partitioned cumulative
+    count window, deviations as exact 0.5-multiples through DECIMAL
+    scale-1/2 weighted ANOVA sums, F vs the shared 1% table —
+    the precondition check before trusting anova_orders."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        brown_forsythe,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
+    )
+    return brown_forsythe(o, "grp", "bucket")

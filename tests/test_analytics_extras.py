@@ -2373,3 +2373,33 @@ def test_ab_power_mde_hand_values(spark):
         ab_power_mde(df, "g", "y", power_pct=75)
     with pytest.raises(Exception, match="exactly 2 arms"):
         ab_power_mde(df.filter(F.col("g") == "A"), "g", "y")
+
+
+def test_brown_forsythe_hand_values(spark):
+    """Spread-vs-constant groups: F matches the hand-folded ANOVA
+    on |x − median| exactly (z multiples of 0.5 keep every decimal
+    sum exact); equal-spread groups stay non-significant; k = 1
+    degenerates to NULL."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        brown_forsythe,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+    ] + [("b", 10.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brown_forsythe(df, "g", "v").collect()[0]
+    # med_a = 2.5, z_a = {1.5, .5, .5, 1.5}; z_b all 0 →
+    # SG = floor(16/4) = 4, S = 4, SS = 5 → ssb 2, ssw 1 → F = 12
+    assert (r.k_groups, r.n_rows, r.f) == (2, 8, 12.0)
+    assert r.significant == 1
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0)],
+        "g string, v double",
+    )
+    r = brown_forsythe(same, "g", "v").collect()[0]
+    # both groups have z = {1, 1}: zero between AND within spread
+    assert r.f is None and r.significant == 0
+    one = df.filter(F.col("g") == "a")
+    r = brown_forsythe(one, "g", "v").collect()[0]
+    assert r.f is None and r.significant == 0

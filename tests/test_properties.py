@@ -2246,3 +2246,58 @@ def test_wilcoxon_signed_matches_bruteforce(spark, diffs):
         )
     else:
         assert r.z is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=0, max_value=6),  # value (ties!)
+        ),
+        min_size=3,
+        max_size=30,
+    ),
+)
+def test_brown_forsythe_matches_bruteforce(spark, pts):
+    """brown_forsythe == the shared floored-decimal model on ANY
+    grouped multiset: exact interpolated per-group medians, |z|
+    deviations, the anova grand-sum floor rule."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        brown_forsythe,
+    )
+
+    df = spark.createDataFrame(
+        [(str(g), float(v)) for g, v in pts], "g string, v double"
+    )
+    r = brown_forsythe(df, "g", "v").collect()[0]
+    groups = sorted({g for g, _ in pts})
+    k = len(groups)
+    n_total = len(pts)
+    assert (r.k_groups, r.n_rows) == (k, n_total)
+    S = SS = SG = 0.0
+    for g in groups:
+        vals = sorted(v for gg, v in pts if gg == g)
+        n = len(vals)
+        med = (
+            vals[(n + 1) // 2 - 1] + vals[(n + 2) // 2 - 1]
+        ) / 2.0
+        zs = [abs(v - med) for v in vals]
+        s_g = sum(zs)                      # multiples of 0.5: exact
+        ss_g = sum(z * z for z in zs)      # multiples of 0.25
+        S += s_g
+        SS += math.floor(ss_g)
+        SG += math.floor(s_g * s_g / n)
+    ssb = SG - S * S / n_total
+    ssw = SS - SG
+    if k < 2 or n_total <= k or ssw <= 0:
+        assert r.f is None and r.significant == 0
+        return
+    expected = (ssb / (k - 1)) / (ssw / (n_total - k))
+    assert r.f == pytest.approx(expected, abs=1e-4)
