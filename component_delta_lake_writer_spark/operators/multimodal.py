@@ -1408,3 +1408,161 @@ def parse_avi_meta(
         F.when(ok, le(65, 4)).cast("int").alias("width"),
         F.when(ok, le(69, 4)).cast("int").alias("height"),
     )
+
+
+def parse_gzip_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse gzip member metadata (RFC 1952) from the raw bytes,
+    Catalyst-only — the archive wrapper a scraped corpus carries in
+    volume (WET/WAT dumps, log shippers, API exports all arrive
+    ``.gz``): magic 1f8b, method, the FTEXT flag, MTIME, the OS
+    byte, the embedded original FILENAME, and — from the 8-byte
+    trailer — ISIZE, the uncompressed length mod 2^32 that lets a
+    pipeline size its decompression partitions WITHOUT inflating
+    anything.
+
+    Every header field is a fixed offset (the WAV/BMP hex-slice
+    class).  FNAME is the one variable-length field: NUL-terminated
+    at offset 10 (+2+XLEN when FEXTRA is set).  The NUL is located
+    in HEX space — ``regexp_extract(hex(slice), '^((?:..)*?)00')``
+    finds the first byte-aligned 0x00 — so the arbitrary deflate
+    bytes after the name are never fed to a UTF-8 decode (ANSI mode
+    would refuse them); only the name bytes themselves are decoded.
+    Non-gzip payloads yield is_gzip=false with NULL fields; short
+    payloads NULL the fields past the truncation; a missing FNAME
+    flag yields fname NULL.
+
+    Returns (id, is_gzip, ftext, mtime, os_byte, fname, isize).
+    """
+    b = F.col(bin_col)
+
+    def u8(pos: int):
+        # pos is 0-based; substring is 1-based
+        return F.when(
+            F.length(b) >= pos + 1,
+            F.conv(
+                F.hex(F.substring(b, pos + 1, 1)), 16, 10
+            ).cast("long"),
+        )
+
+    def le(pos: int, nbytes: int):
+        return F.when(
+            F.length(b) >= pos + nbytes,
+            F.conv(
+                F.concat(
+                    *[
+                        F.hex(F.substring(b, pos + i + 1, 1))
+                        for i in range(nbytes - 1, -1, -1)
+                    ]
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    is_gzip = (
+        (F.substring(b, 1, 2) == F.lit(b"\x1f\x8b"))
+        & (u8(2) == 8)  # CM 8 = deflate, the only defined method
+    )
+    flg = u8(3)
+    ftext = (flg.bitwiseAND(1) != 0)
+    has_fextra = flg.bitwiseAND(4) != 0
+    has_fname = flg.bitwiseAND(8) != 0
+    # name start: 10, +2+XLEN when FEXTRA precedes it (1-based col)
+    name_pos = (
+        F.lit(11) + F.when(has_fextra, le(10, 2) + 2).otherwise(0)
+    ).cast("int")
+    name_hex = F.regexp_extract(
+        F.hex(F.substring(b, name_pos, F.lit(96))),
+        "^((?:..)*?)00",
+        1,
+    )
+    fname = F.when(
+        has_fname & (name_hex != ""),
+        F.decode(F.unhex(name_hex), "utf-8"),
+    )
+    # trailer: CRC32 LE32 then ISIZE LE32 — the LAST 4 bytes
+    isize = F.when(
+        F.length(b) >= 18,  # header 10 + trailer 8 minimum
+        F.conv(
+            F.concat(
+                *[
+                    F.hex(F.substring(b, F.length(b) - i, F.lit(1)))
+                    for i in range(4)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    ok = F.coalesce(is_gzip, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        ok.alias("is_gzip"),
+        F.when(ok, ftext).alias("ftext"),
+        F.when(ok, le(4, 4)).cast("long").alias("mtime"),
+        F.when(ok, u8(9)).cast("int").alias("os_byte"),
+        F.when(ok, fname).alias("fname"),
+        F.when(ok, isize).cast("long").alias("isize"),
+    )
+
+
+def parse_warc_header(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse WARC record headers (ISO 28500 — the Common Crawl
+    container, THE bulk source format of LLM pretraining corpora)
+    from the raw record bytes, Catalyst-only: version, WARC-Type,
+    WARC-Target-URI, WARC-Date, WARC-Record-ID, Content-Length.
+
+    A WARC record is 'WARC/<version>\\r\\n' + named-field lines +
+    '\\r\\n\\r\\n' + the (often binary) block.  The header itself is
+    spec-limited to ASCII, but the block directly behind it is NOT —
+    so the header is cut out in HEX space first (the gzip-FNAME
+    discipline): ``regexp_extract(hex(prefix), '^((?:..)*?)
+    0d0a0d0a')`` stops at the first byte-aligned CRLFCRLF and only
+    those bytes are UTF-8-decoded, keeping ANSI mode away from the
+    payload.  Field extraction is case-insensitive multiline regexp
+    over the decoded header.  Non-WARC payloads yield
+    is_warc=false with NULL fields; a record whose terminator sits
+    past the 1 KiB prefix (spec headers are far smaller) or that
+    lacks a field yields NULL for what's missing — never an error.
+
+    Returns (id, is_warc, warc_version, warc_type, target_uri,
+    warc_date, record_id, content_length).
+    """
+    b = F.col(bin_col)
+    is_warc = F.substring(b, 1, 5) == F.lit(b"WARC/")
+    hdr_hex = F.regexp_extract(
+        F.hex(F.substring(b, 1, 1024)), "^((?:..)*?)0D0A0D0A", 1
+    )
+    hdr = F.when(
+        is_warc & (hdr_hex != ""),
+        F.decode(F.unhex(hdr_hex), "utf-8"),
+    )
+
+    def field(name: str):
+        v = F.regexp_extract(
+            hdr, r"(?mi)^" + name + r":[ \t]*([^\r\n]+)", 1
+        )
+        return F.when(v != "", v)
+
+    version = F.regexp_extract(hdr, r"^WARC/([0-9.]+)", 1)
+    ok = F.coalesce(is_warc, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        ok.alias("is_warc"),
+        F.when(ok & (version != ""), version).alias("warc_version"),
+        F.when(ok, field("WARC-Type")).alias("warc_type"),
+        F.when(ok, field("WARC-Target-URI")).alias("target_uri"),
+        F.when(ok, field("WARC-Date")).alias("warc_date"),
+        F.when(ok, field("WARC-Record-ID")).alias("record_id"),
+        F.when(ok, field("Content-Length"))
+        .cast("long")
+        .alias("content_length"),
+    )

@@ -144,6 +144,10 @@ _FRONT = [
     "wilcoxon_signed_orders",
     "ab_power_mde_orders",
     "brown_forsythe_orders",
+    # r13 third wave (same PAST-slot-50 rule): the archive/crawl
+    # containers and the remaining stats tier
+    "gzip_meta_parse",
+    "warc_header_parse",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

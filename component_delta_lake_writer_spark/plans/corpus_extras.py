@@ -2834,3 +2834,204 @@ def avi_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_avi_meta(staged)
+
+
+@query(
+    "gzip_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_gzip,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE WHEN doc_id % 5 = 0 THEN TRUE
+             WHEN doc_id % 11 = 0 THEN FALSE
+             ELSE doc_id % 2 = 0 END END AS ftext,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1700000000 + doc_id % 100000 AS BIGINT)
+      END AS mtime,
+      CASE WHEN doc_id % 7 <> 0 THEN CAST(
+        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 255 END AS INT)
+      END AS os_byte,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN 'doc_' || doc_id || '.txt' END AS fname,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST((doc_id % 1000000) * 3 + 42 AS BIGINT)
+      END AS isize
+    FROM documents
+    """,
+)
+def gzip_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip member-header parse (operators.multimodal.
+    parse_gzip_meta): payloads staged as real RFC 1952 members —
+    magic+deflate, a flag byte cycling FTEXT-only (every 5th doc:
+    no FNAME), FEXTRA+FNAME (every 11th: a 4-byte extra field
+    shifts the name), and FNAME[+FTEXT] (the rest), a 32-bit-safe
+    MTIME, the OS byte, the NUL-terminated original filename, then
+    deflate-stand-in text bytes and the 8-byte trailer whose last
+    4 bytes are ISIZE (LE).  Every 7th doc is NUL-prefixed text
+    garbage (the NUL pins is_gzip false even for a text starting
+    with the magic's ASCII — the mp3 r12-ADVICE discipline).  All
+    staged values are bounded (< 2^32) so the arithmetic prediction
+    never overflows the field width (FLAC r12-ADVICE discipline).
+    Pure Catalyst hex-slices both sides."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_gzip_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    mtime = (F.lit(1700000000) + doc % 100000).cast("long")
+    isize = ((doc % 1000000) * 3 + 42).cast("long")
+    flg = (
+        F.when(doc % 5 == 0, F.lit("01"))
+        .when(doc % 11 == 0, F.lit("0c"))
+        .when(doc % 2 == 0, F.lit("09"))
+        .otherwise(F.lit("08"))
+    )
+    os_hex = F.when(doc % 2 == 0, F.lit("03")).otherwise(F.lit("ff"))
+    fname_hex = F.concat(
+        F.hex(
+            F.encode(
+                F.format_string("doc_%d.txt", doc), "utf-8"
+            )
+        ),
+        F.lit("00"),
+    )
+    after_fixed = (
+        F.when(doc % 5 == 0, F.lit(""))                  # no FNAME
+        .when(
+            doc % 11 == 0,
+            # XLEN=4 LE + 4 extra bytes, then the name
+            F.concat(F.lit("0400" + "61623132"), fname_hex),
+        )
+        .otherwise(fname_hex)
+    )
+    hdr_hex = F.concat(
+        F.lit("1f8b08"), flg, le_hex(mtime, 4), F.lit("00"), os_hex,
+        after_fixed,
+    )
+    trailer_hex = F.concat(F.lit("00000000"), le_hex(isize, 4))
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 7 != 0,
+            F.concat(
+                F.unhex(hdr_hex),
+                F.encode("text", "utf-8"),
+                F.unhex(trailer_hex),
+            ),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_gzip_meta(staged)
+
+
+@query(
+    "warc_header_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_warc,
+      CASE WHEN doc_id % 7 <> 0 THEN '1.0' END AS warc_version,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE WHEN doc_id % 5 = 0 THEN 'warcinfo'
+             ELSE CASE doc_id % 3 WHEN 0 THEN 'response'
+                  WHEN 1 THEN 'request' ELSE 'metadata' END
+        END END AS warc_type,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN 'https://example.com/doc/' || doc_id
+      END AS target_uri,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(2014 + doc_id % 10 AS VARCHAR)
+                || '-01-15T10:30:00Z'
+      END AS warc_date,
+      CASE WHEN doc_id % 7 <> 0
+           THEN '<urn:uuid:' || doc_id || '>' END AS record_id,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(doc_id % 100000 + 100 AS BIGINT)
+      END AS content_length
+    FROM documents
+    """,
+)
+def warc_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record-header parse (operators.multimodal.
+    parse_warc_header) — the Common Crawl container, the bulk
+    source format of LLM pretraining corpora.  Payloads staged as
+    real records: 'WARC/1.0' + named fields + CRLFCRLF + the text
+    block; every 5th doc a warcinfo record WITHOUT a Target-URI
+    (NULL-field leg), every 11th doc spells the field names in
+    lowercase (the case-insensitivity contract), every 7th doc is
+    NUL-prefixed text garbage (a text that happens to start with
+    'WARC/' cannot fake a record — the mp3 r12-ADVICE discipline).
+    The parser cuts the header at the first byte-aligned CRLFCRLF
+    in hex space before decoding, so the binary block never reaches
+    the UTF-8 decode; the oracle predicts every field from the same
+    doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_warc_header,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    wtype = F.when(doc % 5 == 0, F.lit("warcinfo")).otherwise(
+        F.when(doc % 3 == 0, F.lit("response"))
+        .when(doc % 3 == 1, F.lit("request"))
+        .otherwise(F.lit("metadata"))
+    )
+    wdate = F.format_string(
+        "%d-01-15T10:30:00Z", (F.lit(2014) + doc % 10).cast("int")
+    )
+    rid = F.format_string("<urn:uuid:%d>", doc)
+    clen = (doc % 100000 + 100).cast("long")
+    lower = doc % 11 == 0
+
+    def fld(name, value):
+        nm = F.when(lower, F.lit(name.lower())).otherwise(
+            F.lit(name)
+        )
+        return F.concat(nm, F.lit(": "), value, F.lit("\r\n"))
+
+    hdr = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        fld("WARC-Type", wtype),
+        fld("WARC-Record-ID", rid),
+        F.when(
+            doc % 5 != 0,
+            fld(
+                "WARC-Target-URI",
+                F.format_string("https://example.com/doc/%d", doc),
+            ),
+        ).otherwise(F.lit("")),
+        fld("WARC-Date", wdate),
+        fld("Content-Length", clen.cast("string")),
+        F.lit("\r\n"),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 7 != 0,
+            F.concat(
+                F.encode(hdr, "utf-8"), F.encode("text", "utf-8")
+            ),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_warc_header(staged)

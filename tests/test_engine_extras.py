@@ -3603,3 +3603,107 @@ def test_avi_parser_fields_and_edges(spark):
     assert rows[3].is_avi is False
     for i in (4, 5, 6, 7):
         assert rows[i].is_avi is False and rows[i].width is None
+
+
+def test_parse_gzip_meta_real_member_and_edges(spark):
+    """parse_gzip_meta: a GENUINE stdlib-written gzip member (real
+    deflate body, real CRC/ISIZE trailer) unpacks exactly; FEXTRA
+    shifts the name; a member without FNAME yields fname NULL;
+    NUL-prefixed garbage and truncation never throw."""
+    import gzip as _gz
+    import io
+    import struct
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_gzip_meta,
+    )
+
+    body = b"hello gzip world " * 10
+    buf = io.BytesIO()
+    with _gz.GzipFile(
+        fileobj=buf, mode="wb", filename="corpus.txt",
+        mtime=1710000000,
+    ) as g:
+        g.write(body)
+    real = buf.getvalue()
+
+    def member(flg, after_fixed, isize):
+        return (
+            b"\x1f\x8b\x08" + bytes([flg])
+            + struct.pack("<I", 1700000123) + b"\x00\x03"
+            + after_fixed + b"deflate-ish"
+            + b"\x00" * 4 + struct.pack("<I", isize)
+        )
+
+    rows = [
+        (1, bytearray(real)),
+        # FEXTRA(4) + FNAME
+        (2, bytearray(member(
+            0x0C, struct.pack("<H", 4) + b"ab12" + b"n.bin\x00", 77))),
+        # FTEXT only, no FNAME
+        (3, bytearray(member(0x01, b"", 1234))),
+        (4, bytearray(b"\x00not gzip at all")),
+        (5, bytearray(b"\x1f\x8b")),                    # truncated
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_gzip_meta(df).collect()}
+    assert got[1].is_gzip is True and got[1].fname == "corpus.txt"
+    assert got[1].mtime == 1710000000
+    assert got[1].isize == len(body) and got[1].ftext is False
+    assert got[2].fname == "n.bin" and got[2].isize == 77
+    assert got[3].fname is None and got[3].ftext is True
+    assert got[3].isize == 1234 and got[3].os_byte == 3
+    assert got[4].is_gzip is False and got[4].isize is None
+    assert got[5].is_gzip is False or got[5].mtime is None
+    assert got[6].is_gzip is False
+
+
+def test_parse_warc_header_binary_block_and_edges(spark):
+    """parse_warc_header: fields unpack from a real record whose
+    block is INVALID UTF-8 (the hex-space header cut keeps the
+    decode away from it), lowercase field names match, a missing
+    field / missing terminator yields NULLs, garbage never
+    throws."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_warc_header,
+    )
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:abc-123>\r\n"
+        b"WARC-Target-URI: https://example.org/a\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"Content-Length: 1048576\r\n"
+        b"\r\n"
+        + bytes(range(256)) * 4          # binary block, bad UTF-8
+    )
+    lower = (
+        b"WARC/1.1\r\n"
+        b"warc-type: request\r\n"
+        b"content-length: 42\r\n"
+        b"\r\n body"
+    )
+    no_term = b"WARC/1.0\r\nWARC-Type: response\r\n" + b"x" * 2000
+    rows = [
+        (1, bytearray(rec)),
+        (2, bytearray(lower)),
+        (3, bytearray(no_term)),
+        (4, bytearray(b"\x00WARC/1.0\r\n\r\n")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_warc_header(df).collect()}
+    assert got[1].is_warc is True and got[1].warc_type == "response"
+    assert got[1].target_uri == "https://example.org/a"
+    assert got[1].record_id == "<urn:uuid:abc-123>"
+    assert got[1].warc_date == "2024-03-01T00:00:00Z"
+    assert got[1].content_length == 1048576
+    assert got[1].warc_version == "1.0"
+    assert got[2].warc_version == "1.1"
+    assert got[2].warc_type == "request"
+    assert got[2].content_length == 42 and got[2].target_uri is None
+    assert got[3].is_warc is True and got[3].warc_type is None
+    assert got[4].is_warc is False
+    assert got[5].is_warc is False
