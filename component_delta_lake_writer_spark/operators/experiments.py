@@ -3545,3 +3545,97 @@ def brown_forsythe(
             (ff > crit).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def friedman_test(df: DataFrame, measure_cols: list) -> DataFrame:
+    """Friedman test — the paired family's k-sample continuous
+    member, completing the grid: mcnemar (2 paired binary) →
+    cochran_q (k paired binary) → wilcoxon_signed_rank (2 paired
+    continuous) → THIS (k paired continuous): k models/configs
+    scored on the SAME items ("do ANY of these k systems' scores
+    differ on this eval set"), the screen that precedes pairwise
+    signed-rank tests exactly as cochran_q precedes pairwise
+    McNemars.
+
+    Each item ranks its own k scores (midranks for ties — with k
+    columns per ROW the rank is a closed-form expression,
+    2·r_i = 2 + 2·#{j: s_j<s_i} + #{j≠i: s_j=s_i}, so NO window
+    anywhere); the tie-corrected statistic is
+    Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C) with A = Σ r²,
+    C = nk(k+1)²/4.  Everything accumulates in DOUBLED-rank
+    integer space in ONE map-side-combinable corpus scan (R2_j as
+    longs, Σ(2r)² as DECIMAL(38,0) — the anova scale-0 rule), so Q
+    is exact-integer-derived and both engines agree bit-for-bit
+    before the final rounded division.  χ² at df = k−1 vs the
+    shared A&S table.
+
+    Returns ONE row: (k_treatments, n_blocks, chi2, significant) —
+    chi2 NULL when the denominator degenerates (every block fully
+    tied).
+    """
+    k = len(measure_cols)
+    if k < 2 or len(set(measure_cols)) != k:
+        raise UserException(
+            "friedman_test needs >= 2 distinct measure columns, "
+            f"got {measure_cols!r}"
+        )
+
+    def r2(i: int):
+        s_i = F.col(measure_cols[i])
+        less = sum(
+            (F.col(c) < s_i).cast("int")
+            for j, c in enumerate(measure_cols)
+            if j != i
+        )
+        eq = sum(
+            (F.col(c) == s_i).cast("int")
+            for j, c in enumerate(measure_cols)
+            if j != i
+        )
+        return (F.lit(2) + F.lit(2) * less + eq).cast("long")
+
+    src = df.filter(
+        F.expr(
+            " AND ".join(f"{c} IS NOT NULL" for c in measure_cols)
+        )
+    )
+    d38 = "decimal(38,0)"
+    a4_term = sum(
+        (r2(i).cast(d38) * r2(i)).cast(d38) for i in range(k)
+    )
+    agg = src.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(a4_term).alias("_a4"),
+        *[F.sum(r2(i)).alias(f"_r{i}") for i in range(k)],
+    )
+    n = F.col("_n")
+    # D_j = R2_j − n(k+1) = 2(R_j − n(k+1)/2); Σ D² needs DECIMAL
+    dsq = sum(
+        (
+            (F.col(f"_r{i}") - n * (k + 1)).cast(d38)
+            * (F.col(f"_r{i}") - n * (k + 1))
+        ).cast(d38)
+        for i in range(k)
+    )
+    # A − C = (Σ(2r)² − nk(k+1)²)/4 — same /4 as ΣD²/4: cancels
+    den = (
+        F.col("_a4") - (n * k * (k + 1) * (k + 1)).cast(d38)
+    ).cast("double")
+    q = F.when(
+        den > 0,
+        F.round(F.lit(float(k - 1)) * dsq.cast("double") / den, 6),
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in CHI2_CRIT_5PCT]),
+        F.least(F.lit(k - 1), F.lit(len(CHI2_CRIT_5PCT))).cast(
+            "int"
+        ),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k_treatments"),
+        n.cast("long").alias("n_blocks"),
+        q.alias("chi2"),
+        F.coalesce((q > crit).cast("int"), F.lit(0)).alias(
+            "significant"
+        ),
+    )

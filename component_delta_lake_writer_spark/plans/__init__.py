@@ -148,6 +148,7 @@ _FRONT = [
     # containers and the remaining stats tier
     "gzip_meta_parse",
     "warc_header_parse",
+    "friedman_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

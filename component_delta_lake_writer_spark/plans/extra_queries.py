@@ -10645,3 +10645,72 @@ def brown_forsythe_orders(
         F.floor(F.col("o_totalprice") / 1000).alias("bucket"),
     )
     return brown_forsythe(o, "grp", "bucket")
+
+
+@query(
+    "friedman_orders",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS s1,
+        o_orderkey % 20 AS s2, o_custkey % 20 AS s3
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        AND o_custkey IS NOT NULL
+    ),
+    rk AS (
+      SELECT
+        2 + 2 * (CAST(s2 < s1 AS INT) + CAST(s3 < s1 AS INT))
+          + CAST(s2 = s1 AS INT) + CAST(s3 = s1 AS INT) AS r1,
+        2 + 2 * (CAST(s1 < s2 AS INT) + CAST(s3 < s2 AS INT))
+          + CAST(s1 = s2 AS INT) + CAST(s3 = s2 AS INT) AS r2,
+        2 + 2 * (CAST(s1 < s3 AS INT) + CAST(s2 < s3 AS INT))
+          + CAST(s1 = s3 AS INT) + CAST(s2 = s3 AS INT) AS r3
+      FROM src
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n,
+        SUM(r1) AS t1, SUM(r2) AS t2, SUM(r3) AS t3,
+        SUM(CAST(CAST(r1 AS DECIMAL(38,0)) * r1
+          + CAST(r2 AS DECIMAL(38,0)) * r2
+          + CAST(r3 AS DECIMAL(38,0)) * r3
+          AS DECIMAL(38,0))) AS a4
+      FROM rk
+    ),
+    fin AS (
+      SELECT n,
+        CASE WHEN CAST(a4 - 48 * n AS DOUBLE) > 0 THEN
+          ROUND(2.0 * CAST(
+            CAST(CAST(t1 - 4 * n AS DECIMAL(38,0)) * (t1 - 4 * n)
+              + CAST(t2 - 4 * n AS DECIMAL(38,0)) * (t2 - 4 * n)
+              + CAST(t3 - 4 * n AS DECIMAL(38,0)) * (t3 - 4 * n)
+              AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(a4 - 48 * n AS DOUBLE), 6)
+        END AS chi2
+      FROM ag
+    )
+    SELECT CAST(3 AS BIGINT) AS k_treatments,
+      CAST(n AS BIGINT) AS n_blocks, chi2,
+      CAST(COALESCE(
+        chi2 > ({_CHI2_SQL_LIST})[CAST(LEAST(2, {len(_CHI2_TABLE)})
+          AS BIGINT)], FALSE) AS INT) AS significant
+    FROM fin
+    """,
+)
+def friedman_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (operators.experiments.friedman_test): three
+    bucketed scores on the SAME orders (price-, key- and
+    customer-derived, all mod 20 — heavy within-block ties), ranked
+    PER ROW by closed-form midrank expressions (no window), doubled
+    ranks summed exact-integer in one map-side-combinable scan,
+    tie-corrected chi-square at df = k-1.  The k-sample paired
+    screen before pairwise signed-rank tests."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        friedman_test,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("s1"),
+        (F.col("o_orderkey") % 20).alias("s2"),
+        (F.col("o_custkey") % 20).alias("s3"),
+    )
+    return friedman_test(o, ["s1", "s2", "s3"])

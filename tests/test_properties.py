@@ -2301,3 +2301,57 @@ def test_brown_forsythe_matches_bruteforce(spark, pts):
         return
     expected = (ssb / (k - 1)) / (ssw / (n_total - k))
     assert r.f == pytest.approx(expected, abs=1e-4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_friedman_matches_bruteforce(spark, blocks):
+    """friedman_test == the textbook tie-corrected statistic
+    computed with sorted-midrank ranks in plain Python on ANY
+    k=3 score multiset (heavy ties by construction):
+    Q = (k−1)·Σ(R_j − n(k+1)/2)² / (Σr² − nk(k+1)²/4)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        friedman_test,
+    )
+
+    df = spark.createDataFrame(
+        blocks, "s1 long, s2 long, s3 long"
+    )
+    r = friedman_test(df, ["s1", "s2", "s3"]).collect()[0]
+
+    k, n = 3, len(blocks)
+    col_sums = [0.0, 0.0, 0.0]
+    a = 0.0
+    for row in blocks:
+        ranks = []
+        for i, v in enumerate(row):
+            less = sum(1 for w in row if w < v)
+            eq = sum(1 for w in row if w == v)
+            ranks.append(less + (eq + 1) / 2.0)
+        for j, rk in enumerate(ranks):
+            col_sums[j] += rk
+            a += rk * rk
+    c = n * k * (k + 1) ** 2 / 4.0
+    den = a - c
+    assert r.k_treatments == k and r.n_blocks == n
+    if den <= 0:
+        assert r.chi2 is None and r.significant == 0
+    else:
+        num = sum((rj - n * (k + 1) / 2.0) ** 2 for rj in col_sums)
+        expect = (k - 1) * num / den
+        assert r.chi2 == pytest.approx(expect, abs=2e-6)
+        assert r.significant == int(r.chi2 > 5.991464547)
