@@ -3639,3 +3639,119 @@ def friedman_test(df: DataFrame, measure_cols: list) -> DataFrame:
             "significant"
         ),
     )
+
+
+def g_test_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """G-test (likelihood-ratio) of independence plus Cramér's V —
+    the chi2_independence siblings a readout needs together: G is
+    the additive statistic (partitions sum across sub-tables, the
+    property chi-square lacks — the reason corpus-mix audits prefer
+    it), V is the [0,1] effect size that says whether a
+    'significant at n=10⁷' association is actually tiny.
+
+    Same scale shape as :func:`chi2_independence`: ONE map-side
+    groupBy to the observed |a|×|b| cells, marginals as windows
+    over that metadata-scale table.  G = 2·Σ n·ln(n/e) needs only
+    OBSERVED cells (0·ln0 = 0 — zero cells contribute nothing, so
+    the sparse table never explodes); chi-square folds unobserved
+    cells in analytically (N − Σe) and feeds V =
+    √(χ²/(N·min(ka−1,kb−1))).  ln is the one libm call whose last
+    ulp differs between engines: each ln is rounded 9dp BEFORE the
+    multiply (the MH-CI discipline), per-cell terms rounded 4dp and
+    summed as DECIMAL (order-free); √ is IEEE-exact and safe
+    unrounded.  χ² at df vs the shared A&S table (conservative cap
+    past df 29).
+
+    Returns ONE row: (n_rows, n_levels_a, n_levels_b, dof, g,
+    chi2, cramers_v, significant) — g/chi2/v NULL when dof = 0.
+    Zero non-null pairs raises (the chi2_independence contract).
+    """
+    src = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    if not src.select(F.lit(1)).limit(1).collect():
+        raise UserException(
+            "g_test_independence: no rows with both "
+            f"{col_a!r} and {col_b!r} non-null"
+        )
+    cells = src.groupBy(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window
+
+    staged = cells.select(
+        "_n",
+        "_a",
+        "_b",
+        F.sum("_n").over(Window.partitionBy("_a")).alias("_ra"),
+        F.sum("_n").over(Window.partitionBy("_b")).alias("_cb"),
+        F.sum("_n").over(Window.partitionBy()).alias("_tot"),
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb")
+        / F.col("_tot")
+    )
+    n_d = F.col("_n").cast("double")
+    terms = staged.select(
+        "_a",
+        "_b",
+        "_n",
+        F.round(
+            n_d * F.round(F.log(n_d / e), 9), 4
+        ).cast("decimal(28,4)").alias("_g"),
+        F.round((F.col("_n") - e) * (F.col("_n") - e) / e, 9)
+        .cast("decimal(24,9)")
+        .alias("_t"),
+        F.round(e, 9).cast("decimal(24,9)").alias("_e"),
+    )
+    agg = terms.agg(
+        F.sum("_n").alias("_rows"),
+        F.countDistinct("_a").alias("_ka"),
+        F.countDistinct("_b").alias("_kb"),
+        F.sum("_g").alias("_sg"),
+        F.sum("_t").alias("_st"),
+        F.sum("_e").alias("_se"),
+    )
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    g = F.when(
+        dof > 0, F.round(F.lit(2.0) * F.col("_sg").cast("double"), 6)
+    )
+    chi2 = F.when(
+        dof > 0,
+        F.round(
+            F.col("_st").cast("double")
+            + (F.col("_rows") - F.col("_se").cast("double")),
+            6,
+        ),
+    )
+    mindim = F.least(F.col("_ka") - 1, F.col("_kb") - 1)
+    v = F.when(
+        dof > 0,
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.col("_rows") * mindim).cast("double")
+            ),
+            6,
+        ),
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(c) for c in CHI2_CRIT_5PCT]),
+        F.least(dof, F.lit(len(CHI2_CRIT_5PCT))).cast("int"),
+    )
+    return agg.select(
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.col("_ka").cast("long").alias("n_levels_a"),
+        F.col("_kb").cast("long").alias("n_levels_b"),
+        dof.cast("long").alias("dof"),
+        g.alias("g"),
+        chi2.alias("chi2"),
+        v.alias("cramers_v"),
+        F.coalesce((g > crit).cast("int"), F.lit(0)).alias(
+            "significant"
+        ),
+    )

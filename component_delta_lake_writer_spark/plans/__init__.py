@@ -149,6 +149,7 @@ _FRONT = [
     "gzip_meta_parse",
     "warc_header_parse",
     "friedman_orders",
+    "g_test_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

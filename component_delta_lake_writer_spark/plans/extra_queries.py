@@ -10714,3 +10714,78 @@ def friedman_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 20).alias("s3"),
     )
     return friedman_test(o, ["s1", "s2", "s3"])
+
+
+@query(
+    "g_test_orders",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderstatus AS a,
+        CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS b,
+        COUNT(*) AS n
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(n) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT b, SUM(n) AS cb FROM cells GROUP BY 1),
+    tot AS (
+      SELECT SUM(n) AS N, COUNT(DISTINCT a) AS ka,
+        COUNT(DISTINCT b) AS kb
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(CAST(cells.n AS DOUBLE)
+          * ROUND(ln(CAST(cells.n AS DOUBLE)
+              / (CAST(ra.ra AS DOUBLE) * cb.cb / tot.N)), 9), 4)
+          AS DECIMAL(28,4)) AS g,
+        CAST(ROUND((cells.n - CAST(ra.ra AS DOUBLE) * cb.cb / tot.N)
+          * (cells.n - CAST(ra.ra AS DOUBLE) * cb.cb / tot.N)
+          / (CAST(ra.ra AS DOUBLE) * cb.cb / tot.N), 9)
+          AS DECIMAL(24,9)) AS t,
+        CAST(ROUND(CAST(ra.ra AS DOUBLE) * cb.cb / tot.N, 9)
+          AS DECIMAL(24,9)) AS e,
+        tot.N, tot.ka, tot.kb
+      FROM cells
+      JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    ),
+    fin AS (
+      SELECT N, ka, kb, (ka - 1) * (kb - 1) AS dof,
+        CASE WHEN (ka - 1) * (kb - 1) > 0 THEN
+          ROUND(2.0 * CAST(SUM(g) AS DOUBLE), 6) END AS g,
+        CASE WHEN (ka - 1) * (kb - 1) > 0 THEN
+          ROUND(CAST(SUM(t) AS DOUBLE)
+                + (N - CAST(SUM(e) AS DOUBLE)), 6) END AS chi2
+      FROM terms GROUP BY N, ka, kb
+    )
+    SELECT CAST(N AS BIGINT) AS n_rows,
+      CAST(ka AS BIGINT) AS n_levels_a,
+      CAST(kb AS BIGINT) AS n_levels_b,
+      CAST(dof AS BIGINT) AS dof, g, chi2,
+      CASE WHEN dof > 0 THEN
+        ROUND(SQRT(chi2 / (CAST(N AS DOUBLE)
+          * LEAST(ka - 1, kb - 1))), 6) END AS cramers_v,
+      CAST(COALESCE(
+        g > ({_CHI2_SQL_LIST})[CAST(LEAST(dof,
+          {len(_CHI2_TABLE)}) AS BIGINT)], FALSE) AS INT)
+        AS significant
+    FROM fin
+    """,
+)
+def g_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test + Cramér's V (operators.experiments.
+    g_test_independence): order status × 50k-price-band — the
+    likelihood-ratio statistic over observed cells only (0·ln0 = 0,
+    sparse-safe), chi-square with the analytic unobserved fold
+    feeding the effect size, 9dp-rounded ln terms (the MH-CI
+    discipline) summed as DECIMAL."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        g_test_independence,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 50000).alias("band"),
+    )
+    return g_test_independence(o, "o_orderstatus", "band")

@@ -3707,3 +3707,49 @@ def test_parse_warc_header_binary_block_and_edges(spark):
     assert got[3].is_warc is True and got[3].warc_type is None
     assert got[4].is_warc is False
     assert got[5].is_warc is False
+
+
+def test_g_test_independence_hand_values(spark):
+    """g_test_independence: textbook 2x2 check — G, chi-square and
+    Cramér's V against hand-computed values; dof=0 single-level NULLs
+    the statistics; empty input refuses loudly."""
+    import math
+
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        UserException,
+        g_test_independence,
+    )
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test_independence(df, "a", "b").collect()[0]
+    assert r.n_rows == 100 and r.dof == 1
+    e = {(10, 12.0), (20, 18.0), (30, 28.0), (40, 42.0)}
+    g_hand = round(
+        2.0 * sum(
+            round(n * round(math.log(n / ex), 9), 4) for n, ex in e
+        ),
+        6,
+    )
+    chi_hand = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert r.g == _pt.approx(g_hand, abs=1e-9)
+    assert r.chi2 == _pt.approx(chi_hand, abs=1e-6)
+    assert r.cramers_v == _pt.approx(
+        math.sqrt(round(chi_hand, 6) / 100), abs=1e-6
+    )
+    assert r.significant == 0   # chi2 ~0.79 < 3.84
+
+    one = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string"
+    )
+    r1 = g_test_independence(one, "a", "b").collect()[0]
+    assert r1.dof == 0 and r1.g is None and r1.cramers_v is None
+
+    empty = spark.createDataFrame([], "a string, b string")
+    with _pt.raises(UserException):
+        g_test_independence(empty, "a", "b")
