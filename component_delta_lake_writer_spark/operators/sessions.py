@@ -1656,3 +1656,133 @@ def rmst_two_arm(
         rmst_b.cast("double").alias("rmst_b"),
         (rmst_a - rmst_b).cast("double").alias("rmst_diff"),
     )
+
+
+def concordance_index(
+    subjects: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Harrell's concordance index (C-index) — the rank-based
+    accuracy of a risk score against observed survival: of all
+    usable pairs (the subject with the shorter lifetime had an
+    observed event), what fraction did the score order correctly
+    (shorter-lived ⇒ HIGHER risk score)?  The readout that turns
+    a fitted :func:`cox_ph_two_arm` (or any churn model) into one
+    number; C = 0.5 is coin-flip, 1.0 is perfect ranking.
+
+    Input is a per-subject relation (time, event 0/1, score) — the
+    caller owns the corpus→subject collapse (the km_survival
+    spelling).  Pair counting is O(pairs) nowhere: ONE groupBy
+    pins the (t, score) cell table, expanded onto the full
+    t × score grid (the Jonckheere 2D-dominance trick) so each
+    score's longer-lived count is readable at every event time;
+    n_gt rides an EXCLUSIVE suffix window per score, concordant /
+    tied / usable counts ride two more windows partitioned by t —
+    never an unpartitioned corpus window; the score axis should be
+    discrete or pre-bucketed (the JT/mann_whitney contract).
+    Doubled-count integers throughout (ties half-weighted as
+    2·conc + tied); per-cell products go through DECIMAL(38,0)
+    (d·n_gt ~ N² overflows long at N ≈ 2³¹).
+
+    Pairs with equal times are not usable (the strict Harrell
+    convention); censored subjects count only as the longer-lived
+    side.  Returns ONE row: (n_subjects, n_events, n_pairs,
+    c_index 6dp) — c_index NULL when no usable pair exists.
+    """
+    src = subjects.filter(
+        F.col(time_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(time_col).alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+        F.col(score_col).alias("_s"),
+    )
+    cells = src.groupBy("_t", "_s").agg(
+        F.sum(
+            F.when(F.col("_e").isin(0, 1), F.col("_e")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "concordance_index: event must be 0/1, "
+                            "got "
+                        ),
+                        F.col("_e").cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_d"),
+        F.count(F.lit(1)).alias("_a"),
+    )
+    # the cell table feeds the two distinct-axis builds AND the
+    # grid join — pin it (the JT per_gv discipline)
+    cells = cells.localCheckpoint(eager=True)
+    grid = (
+        cells.select("_t")
+        .distinct()
+        .crossJoin(cells.select("_s").distinct())
+        .join(cells, ["_t", "_s"], "left")
+        .select(
+            "_t",
+            "_s",
+            F.coalesce("_d", F.lit(0)).alias("_d"),
+            F.coalesce("_a", F.lit(0)).alias("_a"),
+        )
+    )
+    w_gt = (
+        Window.partitionBy("_s")
+        .orderBy("_t")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    g1 = grid.select(
+        "_t",
+        "_s",
+        "_d",
+        F.coalesce(F.sum("_a").over(w_gt), F.lit(0)).alias("_ngt"),
+    )
+    w_lt = (
+        Window.partitionBy("_t")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_t")
+    g2 = g1.select(
+        "_t",
+        "_d",
+        "_ngt",
+        F.coalesce(F.sum("_ngt").over(w_lt), F.lit(0)).alias(
+            "_glt"
+        ),
+        F.sum("_ngt").over(w_all).alias("_gall"),
+    )
+    d38 = "decimal(38,0)"
+    agg = g2.agg(
+        F.sum(
+            (
+                F.col("_d").cast(d38)
+                * (F.lit(2) * F.col("_glt") + F.col("_ngt"))
+            ).cast(d38)
+        ).alias("_c2"),
+        F.sum(
+            (F.col("_d").cast(d38) * F.col("_gall")).cast(d38)
+        ).alias("_p"),
+    )
+    totals = cells.agg(
+        F.sum("_a").alias("_n"), F.sum("_d").alias("_ne")
+    )
+    c = F.when(
+        F.col("_p") > 0,
+        F.round(
+            F.col("_c2").cast("double")
+            / (F.lit(2.0) * F.col("_p").cast("double")),
+            6,
+        ),
+    )
+    return totals.crossJoin(F.broadcast(agg)).select(
+        F.col("_n").cast("long").alias("n_subjects"),
+        F.col("_ne").cast("long").alias("n_events"),
+        F.col("_p").cast("long").alias("n_pairs"),
+        c.alias("c_index"),
+    )

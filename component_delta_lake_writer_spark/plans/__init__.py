@@ -150,6 +150,7 @@ _FRONT = [
     "warc_header_parse",
     "friedman_orders",
     "g_test_orders",
+    "concordance_index_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

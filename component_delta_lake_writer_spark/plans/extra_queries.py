@@ -10789,3 +10789,96 @@ def g_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 50000).alias("band"),
     )
     return g_test_independence(o, "o_orderstatus", "band")
+
+
+@query(
+    "concordance_index_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+        MAX(CAST(ts AS DATE)) AS l, COUNT(*) AS n_ev
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    subj AS (
+      SELECT datediff('day', f, l) AS t,
+        CASE WHEN datediff('day', l, e) >= 7 THEN 1 ELSE 0 END
+          AS ev,
+        n_ev AS s
+      FROM u, hz
+    ),
+    cells AS (
+      SELECT t, s, SUM(ev) AS d, COUNT(*) AS a
+      FROM subj GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, ss.s, COALESCE(c.d, 0) AS d,
+        COALESCE(c.a, 0) AS a
+      FROM (SELECT DISTINCT t FROM cells) tt
+      CROSS JOIN (SELECT DISTINCT s FROM cells) ss
+      LEFT JOIN cells c ON c.t = tt.t AND c.s = ss.s
+    ),
+    g1 AS (
+      SELECT t, s, d,
+        COALESCE(SUM(a) OVER (PARTITION BY s ORDER BY t
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+          AS ngt
+      FROM grid
+    ),
+    g2 AS (
+      SELECT t, d, ngt,
+        COALESCE(SUM(ngt) OVER (PARTITION BY t ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS glt,
+        SUM(ngt) OVER (PARTITION BY t) AS gall
+      FROM g1
+    ),
+    ag AS (
+      SELECT SUM(CAST(CAST(d AS DECIMAL(38,0)) * (2 * glt + ngt)
+          AS DECIMAL(38,0))) AS c2,
+        SUM(CAST(CAST(d AS DECIMAL(38,0)) * gall
+          AS DECIMAL(38,0))) AS p
+      FROM g2
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(ev) AS ne FROM subj)
+    SELECT CAST(n AS BIGINT) AS n_subjects,
+      CAST(ne AS BIGINT) AS n_events,
+      CAST(p AS BIGINT) AS n_pairs,
+      CASE WHEN p > 0 THEN ROUND(CAST(c2 AS DOUBLE)
+        / (2.0 * CAST(p AS DOUBLE)), 6) END AS c_index
+    FROM tot, ag
+    """,
+)
+def concordance_index_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harrell's C-index (operators.sessions.concordance_index):
+    per-user activity count as the risk score against user-lifetime
+    survival (censor window 7 days) — the km_survival per-user
+    collapse feeds the JT-grid pair counter; doubled-count
+    integers, DECIMAL(38,0) products, three partitioned windows
+    over the metadata-scale (t, score) grid."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        concordance_index,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_f"),
+        F.max(F.to_date("ts")).alias("_l"),
+        F.count(F.lit(1)).alias("_nev"),
+    )
+    # pinned: the horizon aggregate AND the subject staging both
+    # consume it (the km_survival discipline)
+    users = users.localCheckpoint(eager=True)
+    horizon = users.agg(F.max("_l").alias("_end"))
+    subjects = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("_l", "_f").alias("t"),
+        (F.datediff("_end", "_l") >= 7).cast("int").alias("e"),
+        F.col("_nev").alias("s"),
+    )
+    return concordance_index(subjects, "t", "e", "s")

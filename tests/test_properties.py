@@ -2355,3 +2355,54 @@ def test_friedman_matches_bruteforce(spark, blocks):
         expect = (k - 1) * num / den
         assert r.chi2 == pytest.approx(expect, abs=2e-6)
         assert r.significant == int(r.chi2 > 5.991464547)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # time
+            st.booleans(),                           # event
+            st.integers(min_value=0, max_value=4),   # risk score
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_concordance_index_matches_bruteforce(spark, subjects):
+    """concordance_index == the O(n²) pair walk on ANY small
+    (time, event, score) multiset: usable = t_i<t_j with i's event
+    observed; concordant = shorter-lived scored higher; score ties
+    half-weighted."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        concordance_index,
+    )
+
+    rows = [(t, int(e), s) for t, e, s in subjects]
+    df = spark.createDataFrame(rows, "t long, e long, s long")
+    r = concordance_index(df, "t", "e", "s").collect()[0]
+
+    pairs = conc2 = 0
+    for i, (ti, ei, si) in enumerate(rows):
+        if not ei:
+            continue
+        for j, (tj, _ej, sj) in enumerate(rows):
+            if tj > ti:
+                pairs += 1
+                if si > sj:
+                    conc2 += 2
+                elif si == sj:
+                    conc2 += 1
+    assert r.n_subjects == len(rows)
+    assert r.n_events == sum(e for _, e, _ in rows)
+    assert r.n_pairs == pairs
+    if pairs == 0:
+        assert r.c_index is None
+    else:
+        assert r.c_index == pytest.approx(
+            conc2 / (2.0 * pairs), abs=1e-6
+        )
