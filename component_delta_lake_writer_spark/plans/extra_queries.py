@@ -10804,7 +10804,7 @@ def g_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     hz AS (SELECT MAX(l) AS e FROM u),
     subj AS (
       SELECT datediff('day', f, l) AS t,
-        CASE WHEN datediff('day', l, e) >= 7 THEN 1 ELSE 0 END
+        CASE WHEN datediff('day', l, e) >= 1 THEN 1 ELSE 0 END
           AS ev,
         n_ev AS s
       FROM u, hz
@@ -10856,7 +10856,9 @@ def concordance_index_events(
 ) -> DataFrame:
     """Harrell's C-index (operators.sessions.concordance_index):
     per-user activity count as the risk score against user-lifetime
-    survival (censor window 7 days) — the km_survival per-user
+    survival (1-day censor horizon - the km_survival fixture rule:
+    a 7-day window swallows every user of the hyperactive synthetic
+    corpus and leaves a vacuous zero-event probe) — the km_survival per-user
     collapse feeds the JT-grid pair counter; doubled-count
     integers, DECIMAL(38,0) products, three partitioned windows
     over the metadata-scale (t, score) grid."""
@@ -10878,7 +10880,7 @@ def concordance_index_events(
     horizon = users.agg(F.max("_l").alias("_end"))
     subjects = users.crossJoin(F.broadcast(horizon)).select(
         F.datediff("_l", "_f").alias("t"),
-        (F.datediff("_end", "_l") >= 7).cast("int").alias("e"),
+        (F.datediff("_end", "_l") >= 1).cast("int").alias("e"),
         F.col("_nev").alias("s"),
     )
     return concordance_index(subjects, "t", "e", "s")
