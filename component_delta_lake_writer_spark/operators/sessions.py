@@ -1786,3 +1786,123 @@ def concordance_index(
         F.col("_p").cast("long").alias("n_pairs"),
         c.alias("c_index"),
     )
+
+
+def cumulative_incidence(
+    subjects: DataFrame,
+    time_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence — competing-risks
+    survival, the analysis :func:`km_survival` gets WRONG when
+    subjects can exit for more than one reason (churn-to-competitor
+    vs churn-to-inactivity; doc removed-for-quality vs
+    removed-as-duplicate): naively running KM per cause treats the
+    other causes as censoring and overstates every curve (the
+    textbook 1−KM bias).  CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s)
+    uses the ALL-cause survival S as the at-risk discount, so the
+    per-cause curves sum to 1−S — probabilities that actually
+    partition.
+
+    Input is a per-subject relation (time, cause) with cause NULL
+    meaning right-censored (the caller owns the corpus→subject
+    collapse, the concordance_index contract).  ONE pass collapses
+    subjects to the (t, cause) cell table (pinned — the all-cause
+    grid aggregate and the per-cause join both ride it); the time
+    grid is metadata-scale: at-risk suffix sums, S(s−) as
+    exp(EXCLUSIVE prefix Σ of 9dp-rounded ln(1−d/n)) — the
+    km_survival number discipline — and per-cause CIF as an
+    inclusive prefix sum of 9dp-rounded increments partitioned by
+    cause.  Every window is over the distinct-time grid, never the
+    corpus.
+
+    Returns one row per (cause, event time with that cause):
+    (cause, t_days, n_at_risk, n_deaths, cif 6dp).
+    """
+    src = subjects.filter(F.col(time_col).isNotNull()).select(
+        F.col(time_col).alias("_t"),
+        F.col(cause_col).cast("string").alias("_k"),
+    )
+    cells = src.groupBy("_t", "_k").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # pinned: the all-cause time grid AND the per-cause rows both
+    # consume it (the JT per_gv discipline)
+    cells = cells.localCheckpoint(eager=True)
+    by_t = cells.groupBy("_t").agg(
+        F.sum(
+            F.when(F.col("_k").isNotNull(), F.col("_cnt")).otherwise(
+                0
+            )
+        ).alias("_d"),
+        F.sum(
+            F.when(F.col("_k").isNull(), F.col("_cnt")).otherwise(0)
+        ).alias("_c"),
+    )
+    w_ord = Window.orderBy("_t")
+    w_suffix = w_ord.rowsBetween(0, Window.unboundedFollowing)
+    w_excl = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    grid = by_t.select(
+        "_t",
+        "_d",
+        F.sum(F.col("_d") + F.col("_c")).over(w_suffix).alias("_n"),
+    ).select(
+        "*",
+        # d = n only at the final time with no censored survivors
+        # (the km_survival guard): NULL here, and S(s−) never reads
+        # a row at or past its own time anyway
+        F.when(
+            F.col("_d") < F.col("_n"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("_d").cast("double") / F.col("_n")
+                ),
+                9,
+            ),
+        )
+        .cast("decimal(18,9)")
+        .alias("_lnterm"),
+    )
+    grid = grid.select(
+        "_t",
+        "_n",
+        F.exp(
+            F.coalesce(
+                F.sum("_lnterm").over(w_excl).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("_s_minus"),
+    )
+    ck = (
+        cells.filter(F.col("_k").isNotNull())
+        .join(F.broadcast(grid), "_t")
+        .select(
+            "_k",
+            "_t",
+            "_n",
+            F.col("_cnt").alias("_dk"),
+            F.round(
+                F.col("_s_minus")
+                * F.col("_cnt").cast("double")
+                / F.col("_n"),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("_inc"),
+        )
+    )
+    w_cif = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ck.select(
+        F.col("_k").alias("cause"),
+        F.col("_t").cast("int").alias("t_days"),
+        F.col("_n").cast("long").alias("n_at_risk"),
+        F.col("_dk").cast("long").alias("n_deaths"),
+        F.round(
+            F.sum("_inc").over(w_cif).cast("double"), 6
+        ).alias("cif"),
+    )

@@ -151,6 +151,7 @@ _FRONT = [
     "friedman_orders",
     "g_test_orders",
     "concordance_index_events",
+    "cumulative_incidence_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

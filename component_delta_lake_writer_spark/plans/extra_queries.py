@@ -10884,3 +10884,112 @@ def concordance_index_events(
         F.col("_nev").alias("s"),
     )
     return concordance_index(subjects, "t", "e", "s")
+
+
+@query(
+    "cumulative_incidence_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+        (max(struct_pack(d := CAST(ts AS DATE),
+                         s := event_type))).d AS l,
+        (max(struct_pack(d := CAST(ts AS DATE),
+                         s := event_type))).s AS lt
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    subj AS (
+      SELECT datediff('day', f, l) AS t,
+        CASE WHEN datediff('day', l, e) >= 1 THEN lt END AS k
+      FROM u, hz
+    ),
+    cells AS (
+      SELECT t, k, COUNT(*) AS cnt FROM subj GROUP BY 1, 2
+    ),
+    bt AS (
+      SELECT t,
+        SUM(CASE WHEN k IS NOT NULL THEN cnt ELSE 0 END) AS d,
+        SUM(CASE WHEN k IS NULL THEN cnt ELSE 0 END) AS c
+      FROM cells GROUP BY 1
+    ),
+    g1 AS (
+      SELECT t, d,
+        SUM(d + c) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM bt
+    ),
+    g2 AS (
+      SELECT t, n,
+        CASE WHEN d < n THEN
+          CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n), 9)
+            AS DECIMAL(18,9))
+        END AS lnt
+      FROM g1
+    ),
+    g3 AS (
+      SELECT t, n,
+        EXP(CAST(COALESCE(SUM(lnt) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS DOUBLE)) AS sm
+      FROM g2
+    ),
+    ck AS (
+      SELECT cells.k, cells.t, g3.n, cells.cnt AS dk,
+        CAST(ROUND(g3.sm * CAST(cells.cnt AS DOUBLE) / g3.n, 9)
+          AS DECIMAL(18,9)) AS inc
+      FROM cells JOIN g3 ON cells.t = g3.t
+      WHERE cells.k IS NOT NULL
+    )
+    SELECT k AS cause, CAST(t AS INT) AS t_days,
+      CAST(n AS BIGINT) AS n_at_risk,
+      CAST(dk AS BIGINT) AS n_deaths,
+      ROUND(CAST(SUM(inc) OVER (PARTITION BY k ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE), 6) AS cif
+    FROM ck
+    """,
+)
+def cumulative_incidence_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aalen–Johansen competing-risks curves
+    (operators.sessions.cumulative_incidence): cause of exit = the
+    event_type of each user's lexicographically-last (day, type)
+    event — deterministic on both engines via struct max — with the
+    1-day censor horizon (the km fixture rule).  One corpus scan to
+    the (t, cause) cell table; all-cause S(s−) discounts each
+    cause's hazard so the per-cause curves partition 1−S."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        cumulative_incidence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    m = F.max(
+        F.struct(
+            F.to_date("ts").alias("d"),
+            F.col("event_type").alias("et"),
+        )
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_f"), m.alias("_m")
+    )
+    users = users.select(
+        "_f",
+        F.col("_m.d").alias("_l"),
+        F.col("_m.et").alias("_lt"),
+    ).localCheckpoint(eager=True)
+    horizon = users.agg(F.max("_l").alias("_end"))
+    subjects = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("_l", "_f").alias("t"),
+        F.when(
+            F.datediff("_end", "_l") >= 1, F.col("_lt")
+        ).alias("cause"),
+    )
+    return cumulative_incidence(subjects, "t", "cause")

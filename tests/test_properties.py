@@ -2406,3 +2406,71 @@ def test_concordance_index_matches_bruteforce(spark, subjects):
         assert r.c_index == pytest.approx(
             conc2 / (2.0 * pairs), abs=1e-6
         )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),        # time
+            st.sampled_from([None, "a", "b"]),            # cause
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_cumulative_incidence_matches_bruteforce(spark, subjects):
+    """cumulative_incidence == the textbook Aalen–Johansen fold in
+    plain Python on ANY (time, cause) multiset: all-cause KM as the
+    discount, CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) — and the
+    curves partition: Σ_k CIF_k at the horizon ≈ 1 − S."""
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        cumulative_incidence,
+    )
+
+    assume(any(c is not None for _, c in subjects))
+    df = spark.createDataFrame(
+        [(t, c) for t, c in subjects], "t long, cause string"
+    )
+    got = {
+        (r.cause, r.t_days): r
+        for r in cumulative_incidence(df, "t", "cause").collect()
+    }
+
+    times = sorted({t for t, _ in subjects})
+    cif = {}
+    s_run = 0.0   # Σ rounded ln terms, the operator's staging
+    for t in times:
+        n = sum(1 for tt, _ in subjects if tt >= t)
+        d = sum(1 for tt, c in subjects if tt == t and c is not None)
+        s_minus = math.exp(s_run)
+        for k in ("a", "b"):
+            dk = sum(
+                1 for tt, c in subjects if tt == t and c == k
+            )
+            if dk:
+                inc = round(s_minus * dk / n, 9)
+                cif[k] = cif.get(k, 0.0) + inc
+                r = got[(k, t)]
+                assert r.n_at_risk == n and r.n_deaths == dk
+                assert r.cif == pytest.approx(cif[k], abs=2e-6)
+        if d < n:
+            s_run += round(math.log(1.0 - d / n), 9)
+        else:
+            s_run = float("-inf")
+    expect_rows = {
+        (c, t) for t, c in subjects if c is not None
+    }
+    assert set(got) == expect_rows
+    # partition property at the horizon
+    total = sum(cif.values())
+    s_end = 0.0 if s_run == float("-inf") else math.exp(s_run)
+    assert total + s_end == pytest.approx(1.0, abs=1e-5)
