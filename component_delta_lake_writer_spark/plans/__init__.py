@@ -152,6 +152,7 @@ _FRONT = [
     "g_test_orders",
     "concordance_index_events",
     "cumulative_incidence_events",
+    "zstd_meta_parse",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

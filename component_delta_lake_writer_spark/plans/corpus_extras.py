@@ -3035,3 +3035,121 @@ def warc_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_warc_header(staged)
+
+
+@query(
+    "zstd_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_zstd,
+      CASE WHEN doc_id % 7 <> 0 THEN doc_id % 3 = 0
+      END AS single_segment,
+      CASE WHEN doc_id % 7 <> 0 THEN doc_id % 2 = 0
+      END AS has_checksum,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 <> 0
+           THEN CAST(10 + doc_id % 8 AS INT) END AS window_log,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 200 AS BIGINT)
+             WHEN doc_id % 11 = 0
+               THEN CAST(doc_id % 100000 + 70000 AS BIGINT)
+        END END AS dict_id,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE doc_id % 4
+          WHEN 0 THEN CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 256 AS BIGINT) END
+          WHEN 1 THEN CAST(256 + doc_id % 65536 AS BIGINT)
+          WHEN 2 THEN CAST(doc_id % 1000000 AS BIGINT)
+          ELSE CAST((doc_id % 1000000) * 5 AS BIGINT)
+        END END AS content_size
+    FROM documents
+    """,
+)
+def zstd_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd frame-header parse (operators.multimodal.
+    parse_zstd_meta): payloads staged as real RFC 8878 frame
+    prefixes cycling every descriptor combination — Single_Segment
+    (every 3rd doc: no window descriptor, FCS width 1 legal),
+    all four FCS widths (doc %4, with the +256 bias on width 2),
+    1- and 4-byte dictionary ids (every 5th / 11th doc), the
+    checksum bit (every 2nd) — then text bytes standing in for the
+    compressed blocks.  Every 7th doc is NUL-prefixed garbage (the
+    mp3 r12-ADVICE discipline); all staged values bounded (the
+    FLAC r12-ADVICE discipline).  Pure Catalyst hex-slices with
+    COLUMN positions both sides; the oracle predicts every field
+    from the same doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_zstd_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    ss = doc % 3 == 0
+    fcs_flag = (doc % 4).cast("int")
+    did_flag = (
+        F.when(doc % 5 == 0, 1).when(doc % 11 == 0, 3).otherwise(0)
+    )
+    fhd = (
+        fcs_flag * 64
+        + F.when(ss, 32).otherwise(0)
+        + F.when(doc % 2 == 0, 4).otherwise(0)
+        + did_flag
+    ).cast("int")
+    wd = F.when(ss, F.lit("")).otherwise(
+        F.format_string("%02x", ((doc % 8) * 8).cast("int"))
+    )
+    did = (
+        F.when(doc % 5 == 0, le_hex((doc % 200).cast("long"), 1))
+        .when(
+            doc % 11 == 0,
+            le_hex((doc % 100000 + 70000).cast("long"), 4),
+        )
+        .otherwise(F.lit(""))
+    )
+    fcs = (
+        F.when(
+            fcs_flag == 0,
+            F.when(
+                ss, le_hex((doc % 256).cast("long"), 1)
+            ).otherwise(F.lit("")),
+        )
+        .when(fcs_flag == 1, le_hex((doc % 65536).cast("long"), 2))
+        .when(
+            fcs_flag == 2, le_hex((doc % 1000000).cast("long"), 4)
+        )
+        .otherwise(
+            le_hex(((doc % 1000000) * 5).cast("long"), 8)
+        )
+    )
+    hdr_hex = F.concat(
+        F.lit("28b52ffd"),
+        F.format_string("%02x", fhd),
+        wd,
+        did,
+        fcs,
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_zstd_meta(staged)

@@ -3753,3 +3753,56 @@ def test_g_test_independence_hand_values(spark):
     empty = spark.createDataFrame([], "a string, b string")
     with _pt.raises(UserException):
         g_test_independence(empty, "a", "b")
+
+
+def test_parse_zstd_meta_real_frame_and_edges(spark):
+    """parse_zstd_meta: a GENUINE zstd frame (pyarrow codec)
+    unpacks exactly (single-segment 1-byte FCS); hand-built frames
+    cover the 2-byte +256 bias, 4/8-byte FCS, window descriptor and
+    dict ids; garbage/truncation never throw."""
+    import struct
+
+    import pyarrow as pa
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_zstd_meta,
+    )
+
+    body = b"hello world " * 20          # 240 bytes
+    real = pa.compress(body, codec="zstd", asbytes=True)
+    magic = b"\x28\xb5\x2f\xfd"
+    rows = [
+        (1, bytearray(real)),
+        # fcs=1 (2-byte, +256), window_log 10+5, no dict, checksum
+        (2, bytearray(
+            magic + bytes([0x44]) + bytes([5 << 3])
+            + struct.pack("<H", 1000) + b"block")),
+        # fcs=2 (4-byte), 1-byte dict id 99
+        (3, bytearray(
+            magic + bytes([0x81]) + bytes([0]) + bytes([99])
+            + struct.pack("<I", 123456) + b"x")),
+        # fcs=3 (8-byte), 4-byte dict id, single-segment
+        (4, bytearray(
+            magic + bytes([0xE3]) + struct.pack("<I", 70007)
+            + struct.pack("<Q", 5000000) + b"x")),
+        # fcs=0 without single-segment: size undeclared
+        (5, bytearray(magic + bytes([0x00]) + bytes([7 << 3]))),
+        (6, bytearray(b"\x00not zstd")),
+        (7, bytearray(magic)),           # truncated at descriptor
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_zstd_meta(df).collect()}
+    assert got[1].is_zstd is True and got[1].single_segment is True
+    assert got[1].content_size == 240 and got[1].window_log is None
+    assert got[1].dict_id is None and got[1].has_checksum is False
+    assert got[2].content_size == 1256 and got[2].window_log == 15
+    assert got[2].has_checksum is True and got[2].dict_id is None
+    assert got[3].dict_id == 99 and got[3].content_size == 123456
+    assert got[4].dict_id == 70007
+    assert got[4].content_size == 5000000
+    assert got[4].single_segment is True and got[4].window_log is None
+    assert got[5].content_size is None and got[5].window_log == 17
+    assert got[6].is_zstd is False and got[6].content_size is None
+    assert got[7].is_zstd is True and got[7].content_size is None
+    assert got[8].is_zstd is False
