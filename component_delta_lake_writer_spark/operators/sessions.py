@@ -1906,3 +1906,146 @@ def cumulative_incidence(
             F.sum("_inc").over(w_cif).cast("double"), 6
         ).alias("cif"),
     )
+
+
+def fleming_harrington_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    rho: int = 1,
+    gamma: int = 1,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Fleming–Harrington FH(ρ,γ) weighted log-rank — the member of
+    the two-arm survival family that lets the analyst SAY where the
+    difference should live: weight w(t) = S(t−)^ρ·(1−S(t−))^γ with
+    S the POOLED Kaplan–Meier just before t.  FH(0,0) is the plain
+    log-rank, FH(1,0) Peto–Peto (early differences, the Gehan
+    posture without its censoring sensitivity), FH(0,1) late
+    differences — the delayed-effect shape every retention
+    intervention with a ramp-up shows and the plain log-rank is
+    weakest against.
+
+    Same ONE-scan staging as logrank/Gehan/Cox
+    (:func:`_two_arm_risk_grid`); the pooled S(t−) rides an
+    EXCLUSIVE prefix sum of 9dp-rounded ln(1−d/n) terms over the
+    metadata-scale time grid (the km_survival spelling), and
+    ρ/γ are INTEGERS (0–4) so the weight is a chained
+    multiplication — never a pow() whose libm rounding could
+    differ between engines.  U = Σ w·(d_a−E_a), V = Σ w²·Var with
+    each per-time term the identical left-to-right double chain on
+    both engines, 9dp-rounded and DECIMAL-summed.
+
+    Returns ONE row: (arm_a, arm_b, n_users_a, n_users_b, n_times,
+    rho, gamma, u_stat, z, chi2, significant) — z NULL when the
+    variance degenerates.
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    if (
+        not isinstance(rho, int)
+        or not isinstance(gamma, int)
+        or not (0 <= rho <= 4)
+        or not (0 <= gamma <= 4)
+    ):
+        raise UserException(
+            "fleming_harrington_test: rho and gamma must be "
+            f"integers in [0, 4], got rho={rho!r} gamma={gamma!r}"
+        )
+    arm_a, arm_b, by_t, counts = _two_arm_risk_grid(
+        df,
+        user_col,
+        ts_col,
+        arm_col,
+        censor_days,
+        "fleming_harrington_test",
+    )
+    dt = F.col("dt").cast("double")
+    nt = F.col("nt").cast("double")
+    na = F.col("na").cast("double")
+    w_ord = Window.orderBy("t")
+    w_excl = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    staged = by_t.select(
+        "t",
+        "dt",
+        "nt",
+        "da",
+        "na",
+        F.when(
+            F.col("dt") < F.col("nt"),
+            F.round(F.log(F.lit(1.0) - dt / nt), 9),
+        )
+        .cast("decimal(18,9)")
+        .alias("_lnt"),
+    )
+    sm = F.exp(
+        F.coalesce(
+            F.sum("_lnt").over(w_excl).cast("double"), F.lit(0.0)
+        )
+    )
+    w_raw = F.lit(1.0)
+    for _ in range(rho):
+        w_raw = w_raw * sm
+    for _ in range(gamma):
+        w_raw = w_raw * (F.lit(1.0) - sm)
+    staged = staged.select(
+        "dt",
+        "nt",
+        "da",
+        "na",
+        F.round(w_raw, 9).alias("_wt"),
+    )
+    wt = F.col("_wt")
+    terms = staged.filter(F.col("dt") > 0).select(
+        "da",
+        F.round(wt * (F.col("da").cast("double") - dt * na / nt), 9)
+        .cast("decimal(28,9)")
+        .alias("_u"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                wt
+                * wt
+                * dt
+                * na
+                / nt
+                * (nt - na)
+                / nt
+                * (nt - dt)
+                / (nt - F.lit(1.0)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,9)")
+        .alias("_v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("_u").alias("_us"),
+        F.sum("_v").alias("_va"),
+    ).crossJoin(F.broadcast(counts))
+    z = F.when(
+        F.col("_va") > 0,
+        F.round(
+            F.col("_us").cast("double")
+            / F.sqrt(F.col("_va").cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.col("_nua").cast("long").alias("n_users_a"),
+        F.col("_nub").cast("long").alias("n_users_b"),
+        F.col("n_times").cast("long").alias("n_times"),
+        F.lit(rho).cast("long").alias("rho"),
+        F.lit(gamma).cast("long").alias("gamma"),
+        F.round(F.col("_us").cast("double"), 6).alias("u_stat"),
+        z.alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

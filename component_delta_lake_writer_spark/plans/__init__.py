@@ -153,6 +153,7 @@ _FRONT = [
     "concordance_index_events",
     "cumulative_incidence_events",
     "zstd_meta_parse",
+    "fleming_harrington_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -10993,3 +10993,124 @@ def cumulative_incidence_events(
         ).alias("cause"),
     )
     return cumulative_incidence(subjects, "t", "cause")
+
+
+@query(
+    "fleming_harrington_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.arm = a.arm AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT arm, t, d,
+        SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS (
+      SELECT t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1
+    ),
+    k2 AS (
+      SELECT t, dt, nt, da, na,
+        CASE WHEN dt < nt THEN
+          CAST(ROUND(LN(1.0 - CAST(dt AS DOUBLE) / nt), 9)
+            AS DECIMAL(18,9))
+        END AS lnt
+      FROM bt
+    ),
+    k3 AS (
+      SELECT dt, nt, da, na,
+        EXP(CAST(COALESCE(SUM(lnt) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS DOUBLE)) AS sm
+      FROM k2
+    ),
+    wts AS (
+      SELECT dt, nt, da, na,
+        ROUND(1.0 * sm * (1.0 - sm), 9) AS wt
+      FROM k3
+    ),
+    terms AS (
+      SELECT da,
+        CAST(ROUND(wt * (CAST(da AS DOUBLE)
+          - CAST(dt AS DOUBLE) * na / nt), 9)
+          AS DECIMAL(28,9)) AS eu,
+        CAST(CASE WHEN nt > 1 THEN
+          ROUND(wt * wt * CAST(dt AS DOUBLE) * na / nt
+            * (nt - na) / nt * (nt - dt) / (nt - 1.0), 9)
+          ELSE 0.0 END AS DECIMAL(28,9)) AS v
+      FROM wts WHERE dt > 0
+    ),
+    nu AS (
+      SELECT SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS nua,
+        SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS nub
+      FROM u
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n_times, SUM(eu) AS us, SUM(v) AS va
+      FROM terms
+    ),
+    zz AS (
+      SELECT
+        CAST(nua AS BIGINT) AS n_users_a,
+        CAST(nub AS BIGINT) AS n_users_b,
+        CAST(n_times AS BIGINT) AS n_times,
+        ROUND(CAST(us AS DOUBLE), 6) AS u_stat,
+        CASE WHEN va > 0 THEN
+          ROUND(CAST(us AS DOUBLE) / SQRT(CAST(va AS DOUBLE)), 6)
+        END AS z
+      FROM ag, nu
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b, n_users_a, n_users_b,
+      n_times, CAST(1 AS BIGINT) AS rho, CAST(1 AS BIGINT) AS gamma,
+      u_stat, z, ROUND(z * z, 6) AS chi2,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def fleming_harrington_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleming–Harrington FH(1,1) weighted log-rank
+    (operators.sessions.fleming_harrington_test) on the
+    logrank_km_events fixture (user-id-parity arms, censor_days=1):
+    the pooled-KM S(t−) weight as an exclusive prefix over the
+    shared risk grid, integer exponents as chained multiplications,
+    9dp-rounded left-to-right term chains on both engines."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        fleming_harrington_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return fleming_harrington_test(
+        ev, "user_id", "ts", "arm", rho=1, gamma=1, censor_days=1
+    )

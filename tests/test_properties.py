@@ -2474,3 +2474,85 @@ def test_cumulative_incidence_matches_bruteforce(spark, subjects):
     total = sum(cif.values())
     s_end = 0.0 if s_run == float("-inf") else math.exp(s_run)
     assert total + s_end == pytest.approx(1.0, abs=1e-5)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),                           # arm
+            st.integers(min_value=0, max_value=9),   # lifetime days
+        ),
+        min_size=4,
+        max_size=25,
+    ),
+)
+def test_fleming_harrington_matches_bruteforce(spark, users):
+    """fleming_harrington_test(1,1) == the FH-weighted brute fold
+    on ANY two-arm lifetime multiset with the operator's exact
+    staging: pooled-KM S(t−) from 9dp-rounded ln terms, w =
+    S(1−S) rounded 9dp, per-time U/V terms rounded then summed."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        fleming_harrington_test,
+    )
+
+    assume(len({a for a, _ in users}) == 2)
+    d0 = dtm.datetime(2026, 3, 1, 9, 0)
+    horizon = max(t for _, t in users)
+    rows = []
+    for i, (arm, t) in enumerate(users):
+        uid = f"u{i}"
+        a = "A" if arm else "B"
+        rows += [(uid, a, d0), (uid, a, d0 + dtm.timedelta(days=t))]
+    df = spark.createDataFrame(rows, "u string, arm string, ts timestamp")
+    r = fleming_harrington_test(
+        df, "u", "ts", "arm", rho=1, gamma=1, censor_days=1
+    ).collect()[0]
+
+    lifetimes = [("A" if a else "B", t, t == horizon) for a, t in users]
+    all_times = sorted({t for _, t, _ in lifetimes})
+    u = v = 0.0
+    lnsum = 0.0
+    n_times = 0
+    for t in all_times:
+        na = sum(1 for a, lt, _ in lifetimes if a == "A" and lt >= t)
+        nb = sum(1 for a, lt, _ in lifetimes if a == "B" and lt >= t)
+        nt = na + nb
+        dt_ = sum(1 for _, lt, cen in lifetimes if lt == t and not cen)
+        da = sum(
+            1 for a, lt, cen in lifetimes
+            if a == "A" and lt == t and not cen
+        )
+        sm = math.exp(lnsum)
+        wt = round(1.0 * sm * (1.0 - sm), 9)
+        if dt_ > 0:
+            n_times += 1
+            u += round(wt * (da - dt_ * na / nt), 9)
+            if nt > 1:
+                v += round(
+                    wt * wt * dt_ * na / nt * (nt - na) / nt
+                    * (nt - dt_) / (nt - 1.0),
+                    9,
+                )
+        if dt_ < nt:
+            lnsum += round(math.log(1.0 - dt_ / nt), 9)
+    assert r.n_times == n_times
+    if n_times == 0:
+        # no death time at all: U is an empty sum — NULL on both
+        # engines (the logrank e_a convention), not 0
+        assert r.u_stat is None
+    else:
+        assert r.u_stat == pytest.approx(round(u, 6), abs=2e-6)
+    if v > 0:
+        assert r.z == pytest.approx(u / math.sqrt(v), abs=2e-6)
+    else:
+        assert r.z is None
