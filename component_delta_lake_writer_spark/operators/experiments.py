@@ -3755,3 +3755,87 @@ def g_test_independence(
             "significant"
         ),
     )
+
+
+def page_trend_test(df: DataFrame, measure_cols: list) -> DataFrame:
+    """Page's trend test — the ordered-alternative member of the
+    paired family: k scores on the SAME items where the COLUMN
+    ORDER of ``measure_cols`` declares the hypothesized increasing
+    trend (model-size ladders, dose tiers, checkpoint sequences —
+    the JT declared-order posture for repeated measures).  Where
+    :func:`friedman_test` asks "do ANY differ", Page asks "do they
+    INCREASE left to right", with the power Friedman leaves on the
+    table when the alternative is monotone.
+
+    L = Σ_j j·R_j over within-block midranks.  The tie-EXACT null
+    moments come from the permutation form of the linear rank
+    statistic: E = nk(k+1)²/4 always, and Var = k(k+1)/12·(A−C)
+    with A−C exactly Friedman's tie denominator — so the whole
+    readout rides the same ONE map-side-combinable scan of
+    closed-form per-row midrank expressions (no window), in
+    doubled-rank integer space (L2/A4 exact longs & DECIMAL), and
+    heavy ties are handled exactly rather than by the textbook
+    no-tie variance.  z two-sided vs 1.959964 on the 6dp-rounded
+    statistic (the house boundary convention).
+
+    Returns ONE row: (k_treatments, n_blocks, l_stat, z,
+    significant) — z NULL when every block is fully tied.
+    """
+    k = len(measure_cols)
+    if k < 3 or len(set(measure_cols)) != k:
+        raise UserException(
+            "page_trend_test needs >= 3 distinct ordered measure "
+            f"columns, got {measure_cols!r}"
+        )
+
+    def r2(i: int):
+        s_i = F.col(measure_cols[i])
+        less = sum(
+            (F.col(c) < s_i).cast("int")
+            for j, c in enumerate(measure_cols)
+            if j != i
+        )
+        eq = sum(
+            (F.col(c) == s_i).cast("int")
+            for j, c in enumerate(measure_cols)
+            if j != i
+        )
+        return (F.lit(2) + F.lit(2) * less + eq).cast("long")
+
+    src = df.filter(
+        F.expr(
+            " AND ".join(f"{c} IS NOT NULL" for c in measure_cols)
+        )
+    )
+    d38 = "decimal(38,0)"
+    a4_term = sum(
+        (r2(i).cast(d38) * r2(i)).cast(d38) for i in range(k)
+    )
+    l2_term = sum(r2(i) * F.lit(i + 1) for i in range(k))
+    agg = src.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(a4_term).alias("_a4"),
+        F.sum(l2_term).alias("_l2"),
+    )
+    n = F.col("_n")
+    # A−C in doubled² space: A4 − nk(k+1)²; E(L2) = nk(k+1)²/2
+    denint = (
+        F.col("_a4") - (n * k * (k + 1) * (k + 1)).cast(d38)
+    ).cast("double")
+    var2 = F.lit(k * (k + 1) / 12.0) * denint
+    e2 = (n * k * (k + 1) * (k + 1)).cast("double") / F.lit(2.0)
+    z = F.when(
+        denint > 0,
+        F.round(
+            (F.col("_l2").cast("double") - e2) / F.sqrt(var2), 6
+        ),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k_treatments"),
+        n.cast("long").alias("n_blocks"),
+        (F.col("_l2").cast("double") / F.lit(2.0)).alias("l_stat"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -154,6 +154,7 @@ _FRONT = [
     "cumulative_incidence_events",
     "zstd_meta_parse",
     "fleming_harrington_events",
+    "page_trend_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11114,3 +11114,67 @@ def fleming_harrington_events(
     return fleming_harrington_test(
         ev, "user_id", "ts", "arm", rho=1, gamma=1, censor_days=1
     )
+
+
+@query(
+    "page_trend_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS s1,
+        o_orderkey % 20 AS s2, o_custkey % 20 AS s3
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        AND o_custkey IS NOT NULL
+    ),
+    rk AS (
+      SELECT
+        2 + 2 * (CAST(s2 < s1 AS INT) + CAST(s3 < s1 AS INT))
+          + CAST(s2 = s1 AS INT) + CAST(s3 = s1 AS INT) AS r1,
+        2 + 2 * (CAST(s1 < s2 AS INT) + CAST(s3 < s2 AS INT))
+          + CAST(s1 = s2 AS INT) + CAST(s3 = s2 AS INT) AS r2,
+        2 + 2 * (CAST(s1 < s3 AS INT) + CAST(s2 < s3 AS INT))
+          + CAST(s1 = s3 AS INT) + CAST(s2 = s3 AS INT) AS r3
+      FROM src
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n,
+        SUM(r1 * 1 + r2 * 2 + r3 * 3) AS l2,
+        SUM(CAST(CAST(r1 AS DECIMAL(38,0)) * r1
+          + CAST(r2 AS DECIMAL(38,0)) * r2
+          + CAST(r3 AS DECIMAL(38,0)) * r3
+          AS DECIMAL(38,0))) AS a4
+      FROM rk
+    ),
+    fin AS (
+      SELECT n, l2,
+        CASE WHEN CAST(a4 - 48 * n AS DOUBLE) > 0 THEN
+          ROUND((CAST(l2 AS DOUBLE) - CAST(n * 48 AS DOUBLE) / 2.0)
+            / SQRT(1.0 * CAST(a4 - 48 * n AS DOUBLE)), 6)
+        END AS z
+      FROM ag
+    )
+    SELECT CAST(3 AS BIGINT) AS k_treatments,
+      CAST(n AS BIGINT) AS n_blocks,
+      CAST(l2 AS DOUBLE) / 2.0 AS l_stat, z,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM fin
+    """,
+)
+def page_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (operators.experiments.page_trend_test):
+    the friedman_orders fixture with the column order declared as
+    the hypothesized trend — L = Σ j·R_j over the same closed-form
+    per-row midranks, tie-EXACT permutation variance
+    k(k+1)/12·(A−C) sharing Friedman's doubled-rank integer
+    staging."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        page_trend_test,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("s1"),
+        (F.col("o_orderkey") % 20).alias("s2"),
+        (F.col("o_custkey") % 20).alias("s3"),
+    )
+    return page_trend_test(o, ["s1", "s2", "s3"])

@@ -2556,3 +2556,61 @@ def test_fleming_harrington_matches_bruteforce(spark, users):
         assert r.z == pytest.approx(u / math.sqrt(v), abs=2e-6)
     else:
         assert r.z is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_page_trend_matches_bruteforce(spark, blocks):
+    """page_trend_test == the permutation-form linear rank
+    statistic in plain Python on ANY k=3 multiset: L = Σ j·R_j
+    over sorted midranks, E = nk(k+1)²/4, tie-exact
+    Var = k(k+1)/12·(A−C) — which reduces to the textbook
+    n·k²(k+1)(k²−1)/144 when no block has ties."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        page_trend_test,
+    )
+
+    df = spark.createDataFrame(blocks, "s1 long, s2 long, s3 long")
+    r = page_trend_test(df, ["s1", "s2", "s3"]).collect()[0]
+
+    k, n = 3, len(blocks)
+    l_stat = a = 0.0
+    for row in blocks:
+        for j, v in enumerate(row):
+            less = sum(1 for w in row if w < v)
+            eq = sum(1 for w in row if w == v)
+            rk = less + (eq + 1) / 2.0
+            l_stat += (j + 1) * rk
+            a += rk * rk
+    c = n * k * (k + 1) ** 2 / 4.0
+    den = a - c
+    assert r.k_treatments == k and r.n_blocks == n
+    assert r.l_stat == pytest.approx(l_stat, abs=1e-9)
+    if den <= 0:
+        assert r.z is None and r.significant == 0
+    else:
+        e = n * k * (k + 1) ** 2 / 4.0
+        var = k * (k + 1) / 12.0 * den
+        assert r.z == pytest.approx(
+            (l_stat - e) / math.sqrt(var), abs=2e-6
+        )
+        if all(len({*row}) == 3 for row in blocks):
+            assert var == pytest.approx(
+                n * k * k * (k + 1) * (k * k - 1) / 144.0
+            )
