@@ -3839,3 +3839,94 @@ def page_trend_test(df: DataFrame, measure_cols: list) -> DataFrame:
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def cohens_d(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Cohen's d / Hedges' g — the standardized two-arm effect size
+    the significance tests in this module deliberately don't give
+    you: welch_ttest says WHETHER the means differ, this says BY
+    HOW MUCH in pooled-SD units (the number meta-analyses,
+    power planning and 'is this lift worth shipping' reviews
+    actually consume, next to ab_power_mde's forward planning).
+
+    Same staging discipline as :func:`welch_ttest`: exactly two
+    arms (refused loudly otherwise), ONE map-side-combinable scan
+    accumulating per-arm n/Σv/Σv² with values at DECIMAL(24,4)
+    (order-free exact sums), then pooled-SD d = (m_b−m_a)/s_p,
+    the Hedges small-sample correction g = d·(1−3/(4n−9)), and
+    the Hedges–Olkin large-sample CI d ± z·√((n_a+n_b)/(n_a·n_b)
+    + d²/(2(n_a+n_b))).
+
+    Returns ONE row: (group_a, group_b, n_a, n_b, mean_a, mean_b,
+    cohens_d, hedges_g, ci_lo, ci_hi) — effect fields NULL when
+    either arm has < 2 rows or the pooled variance degenerates.
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    found = [
+        r["_g"]
+        for r in src.select("_g").distinct().limit(3).collect()
+    ]
+    if len(found) != 2:
+        raise UserException(
+            f"cohens_d needs exactly 2 arms, found "
+            f"{sorted(found)!r}"
+        )
+    ga, gb = sorted(found)
+    d24 = F.col("_v").cast("decimal(24,4)")
+    d12 = F.col("_v").cast("decimal(12,4)")
+    arms = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d24).alias("_s"),
+        F.sum(d24 * d12).alias("_ss"),
+    )
+
+    def pick(g, c):
+        return F.max(F.when(F.col("_g") == g, F.col(c)))
+
+    agg = arms.agg(
+        pick(ga, "_n").alias("_na"),
+        pick(ga, "_s").alias("_sa"),
+        pick(ga, "_ss").alias("_ssa"),
+        pick(gb, "_n").alias("_nb"),
+        pick(gb, "_s").alias("_sb"),
+        pick(gb, "_ss").alias("_ssb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    sp2 = (
+        (F.col("_ssa").cast("double") - na * ma * ma)
+        + (F.col("_ssb").cast("double") - nb * mb * mb)
+    ) / (na + nb - 2)
+    d = (mb - ma) / F.sqrt(sp2)
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - 9)
+    )
+    se = F.sqrt(
+        (na + nb) / (na * nb) + d * d / (F.lit(2.0) * (na + nb))
+    )
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (sp2 > 0)
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(d, 6)).alias("cohens_d"),
+        F.when(ok, F.round(g, 6)).alias("hedges_g"),
+        F.when(ok, F.round(d - F.lit(1.959964) * se, 6)).alias(
+            "ci_lo"
+        ),
+        F.when(ok, F.round(d + F.lit(1.959964) * se, 6)).alias(
+            "ci_hi"
+        ),
+    )

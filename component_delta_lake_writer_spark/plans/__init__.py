@@ -155,6 +155,7 @@ _FRONT = [
     "zstd_meta_parse",
     "fleming_harrington_events",
     "page_trend_orders",
+    "cohens_d_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11178,3 +11178,79 @@ def page_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 20).alias("s3"),
     )
     return page_trend_test(o, ["s1", "s2", "s3"])
+
+
+@query(
+    "cohens_d_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g, o_totalprice AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    arms AS (
+      SELECT g, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(24,4))) AS s,
+        SUM(CAST(v AS DECIMAL(24,4)) * CAST(v AS DECIMAL(12,4)))
+          AS ss
+      FROM src GROUP BY 1
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN n END) AS na,
+        MAX(CASE WHEN g = '0' THEN s END) AS sa,
+        MAX(CASE WHEN g = '0' THEN ss END) AS ssa,
+        MAX(CASE WHEN g = '1' THEN n END) AS nb,
+        MAX(CASE WHEN g = '1' THEN s END) AS sb,
+        MAX(CASE WHEN g = '1' THEN ss END) AS ssb
+      FROM arms
+    ),
+    m AS (
+      SELECT na, nb,
+        CAST(sa AS DOUBLE) / na AS ma,
+        CAST(sb AS DOUBLE) / nb AS mb,
+        ((CAST(ssa AS DOUBLE)
+          - na * (CAST(sa AS DOUBLE) / na)
+               * (CAST(sa AS DOUBLE) / na))
+         + (CAST(ssb AS DOUBLE)
+          - nb * (CAST(sb AS DOUBLE) / nb)
+               * (CAST(sb AS DOUBLE) / nb)))
+        / (na + nb - 2) AS sp2
+      FROM p
+    ),
+    dd AS (
+      SELECT na, nb, ma, mb, sp2,
+        (mb - ma) / SQRT(sp2) AS d
+      FROM m
+    ),
+    fin AS (
+      SELECT na, nb, ma, mb, sp2, d,
+        d * (1.0 - 3.0 / (4.0 * (na + nb) - 9)) AS g,
+        SQRT((na + nb) / (CAST(na AS DOUBLE) * nb)
+          + d * d / (2.0 * (na + nb))) AS se,
+        (na >= 2 AND nb >= 2 AND sp2 > 0) AS ok
+      FROM dd
+    )
+    SELECT '0' AS group_a, '1' AS group_b,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+      CASE WHEN ok THEN ROUND(d, 6) END AS cohens_d,
+      CASE WHEN ok THEN ROUND(g, 6) END AS hedges_g,
+      CASE WHEN ok THEN ROUND(d - 1.959964 * se, 6) END AS ci_lo,
+      CASE WHEN ok THEN ROUND(d + 1.959964 * se, 6) END AS ci_hi
+    FROM fin
+    """,
+)
+def cohens_d_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g (operators.experiments.cohens_d) on
+    the welch fixture (orderkey-parity arms, total price): exact
+    DECIMAL(24,4) sums, pooled-SD effect size, small-sample
+    correction and the Hedges–Olkin CI."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cohens_d,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("g"), "o_totalprice"
+    )
+    return cohens_d(o, "g", "o_totalprice")

@@ -3806,3 +3806,47 @@ def test_parse_zstd_meta_real_frame_and_edges(spark):
     assert got[6].is_zstd is False and got[6].content_size is None
     assert got[7].is_zstd is True and got[7].content_size is None
     assert got[8].is_zstd is False
+
+
+def test_cohens_d_hand_values(spark):
+    """cohens_d: textbook two-sample check against hand-computed
+    pooled-SD d, Hedges' g and the Hedges-Olkin CI; degenerate
+    zero-variance arms NULL the effect; a third arm refuses."""
+    import math
+
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        UserException,
+        cohens_d,
+    )
+
+    a = [2.0, 4.0, 6.0, 8.0]           # mean 5, var 20/3
+    b = [1.0, 2.0, 3.0]                # mean 2, var 1
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    r = cohens_d(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    sp2 = (3 * (20 / 3) + 2 * 1.0) / 5
+    d = (2.0 - 5.0) / math.sqrt(sp2)
+    g = d * (1 - 3 / (4 * 7 - 9))
+    se = math.sqrt(7 / 12 + d * d / 14)
+    assert r.n_a == 4 and r.n_b == 3
+    assert r.mean_a == 5.0 and r.mean_b == 2.0
+    assert r.cohens_d == _pt.approx(d, abs=1e-6)
+    assert r.hedges_g == _pt.approx(g, abs=1e-6)
+    assert r.ci_lo == _pt.approx(d - 1.959964 * se, abs=1e-6)
+    assert r.ci_hi == _pt.approx(d + 1.959964 * se, abs=1e-6)
+
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "g string, v double",
+    )
+    rf = cohens_d(flat, "g", "v").collect()[0]
+    assert rf.cohens_d is None and rf.ci_hi is None
+
+    three = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0)], "g string, v double"
+    )
+    with _pt.raises(UserException):
+        cohens_d(three, "g", "v")
