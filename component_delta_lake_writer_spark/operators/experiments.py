@@ -3930,3 +3930,133 @@ def cohens_d(
             "ci_hi"
         ),
     )
+
+
+def cliffs_delta(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Cliff's delta — the ORDINAL two-arm effect size:
+    δ = (#{a>b} − #{a<b}) / (n_a·n_b), the probability a random
+    arm-a observation exceeds a random arm-b one minus the reverse.
+    The magnitude readout next to mann_whitney_u's significance
+    (what :func:`cohens_d` is to welch_ttest, this is to the rank
+    test): robust to heavy tails and monotone transforms, which is
+    exactly when teams reach for the rank test in the first place.
+
+    Scale shape: the corpus collapses to the (arm, value) tie
+    table; cross-arm pair counts ride the Jonckheere grid — every
+    distinct value × both arms, an EXCLUSIVE per-arm prefix window
+    over values, then per-value products of arm-b counts against
+    arm-a running counts (never an O(n²) pair walk, never an
+    unpartitioned corpus window; discrete or pre-bucketed values,
+    the MW/JT contract).  #{a>b} falls out as
+    n_a·n_b − #{a<b} − ties, all exact integers through
+    DECIMAL(38,0); δ is one rounded division at the end.  The
+    magnitude label uses the conventional |δ| cuts
+    0.147/0.33/0.474 on the 6dp-ROUNDED δ (the house boundary
+    rule).
+
+    Returns ONE row: (group_a, group_b, n_a, n_b, n_tied_pairs,
+    delta 6dp, magnitude) — arms oriented lexicographically;
+    refuses unless exactly two arms.
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    per_gv = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    per_gv = per_gv.localCheckpoint(eager=True)
+    arms = [
+        r["_g"]
+        for r in per_gv.select("_g").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"cliffs_delta needs exactly 2 arms, found "
+            f"{sorted(arms)!r}"
+        )
+    ga, gb = sorted(arms)
+    grid = (
+        per_gv.select("_v")
+        .distinct()
+        .crossJoin(F.broadcast(per_gv.select("_g").distinct()))
+        .join(per_gv, ["_g", "_v"], "left")
+        .select(
+            "_g", "_v", F.coalesce("_t", F.lit(0)).alias("_t")
+        )
+    )
+    w_vals = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = grid.select(
+        "_g",
+        "_v",
+        "_t",
+        F.coalesce(F.sum("_t").over(w_vals), F.lit(0)).alias(
+            "_cumlt"
+        ),
+    )
+    w_grps = (
+        Window.partitionBy("_v")
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = staged.select(
+        "_g",
+        "_t",
+        F.coalesce(F.sum("_cumlt").over(w_grps), F.lit(0)).alias(
+            "_A"
+        ),
+        F.coalesce(F.sum("_t").over(w_grps), F.lit(0)).alias("_B"),
+    )
+    d38 = "decimal(38,0)"
+    is_b = F.col("_g") == F.lit(gb)
+    agg = cells.agg(
+        F.sum(
+            F.when(
+                is_b,
+                (F.col("_t").cast(d38) * F.col("_A")).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("_lt"),            # pairs with a < b
+        F.sum(
+            F.when(
+                is_b,
+                (F.col("_t").cast(d38) * F.col("_B")).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("_tie"),
+        F.sum(F.when(~is_b, F.col("_t")).otherwise(0)).alias(
+            "_na"
+        ),
+        F.sum(F.when(is_b, F.col("_t")).otherwise(0)).alias("_nb"),
+    )
+    pairs = (F.col("_na").cast(d38) * F.col("_nb")).cast(d38)
+    delta = F.when(
+        pairs > 0,
+        F.round(
+            (
+                pairs - 2 * F.col("_lt") - F.col("_tie")
+            ).cast("double")
+            / pairs.cast("double"),
+            6,
+        ),
+    )
+    mag = F.when(
+        F.abs(delta) < 0.147, F.lit("negligible")
+    ).when(F.abs(delta) < 0.33, F.lit("small")).when(
+        F.abs(delta) < 0.474, F.lit("medium")
+    ).otherwise(F.lit("large"))
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_tie").cast("long").alias("n_tied_pairs"),
+        delta.alias("delta"),
+        F.when(delta.isNotNull(), mag).alias("magnitude"),
+    )

@@ -156,6 +156,7 @@ _FRONT = [
     "fleming_harrington_events",
     "page_trend_orders",
     "cohens_d_orders",
+    "cliffs_delta_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

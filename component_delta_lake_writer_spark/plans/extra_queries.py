@@ -11254,3 +11254,92 @@ def cohens_d_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("g"), "o_totalprice"
     )
     return cohens_d(o, "g", "o_totalprice")
+
+
+@query(
+    "cliffs_delta_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pgv AS (
+      SELECT g, v, COUNT(*) AS t FROM src GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT vv.v, gg.g, COALESCE(p.t, 0) AS t
+      FROM (SELECT DISTINCT v FROM pgv) vv
+      CROSS JOIN (SELECT DISTINCT g FROM pgv) gg
+      LEFT JOIN pgv p ON p.g = gg.g AND p.v = vv.v
+    ),
+    st AS (
+      SELECT g, v, t,
+        COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cumlt
+      FROM grid
+    ),
+    cells AS (
+      SELECT g, t,
+        COALESCE(SUM(cumlt) OVER (PARTITION BY v ORDER BY g
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS a,
+        COALESCE(SUM(t) OVER (PARTITION BY v ORDER BY g
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS b
+      FROM st
+    ),
+    ag AS (
+      SELECT
+        SUM(CASE WHEN g = '1' THEN
+          CAST(CAST(t AS DECIMAL(38,0)) * a AS DECIMAL(38,0))
+          ELSE 0 END) AS lt,
+        SUM(CASE WHEN g = '1' THEN
+          CAST(CAST(t AS DECIMAL(38,0)) * b AS DECIMAL(38,0))
+          ELSE 0 END) AS tie,
+        SUM(CASE WHEN g = '0' THEN t ELSE 0 END) AS na,
+        SUM(CASE WHEN g = '1' THEN t ELSE 0 END) AS nb
+      FROM cells
+    ),
+    fin AS (
+      SELECT na, nb, tie,
+        CASE WHEN CAST(CAST(na AS DECIMAL(38,0)) * nb
+            AS DECIMAL(38,0)) > 0 THEN
+          ROUND(CAST(CAST(CAST(na AS DECIMAL(38,0)) * nb
+              AS DECIMAL(38,0)) - 2 * lt - tie AS DOUBLE)
+            / CAST(CAST(CAST(na AS DECIMAL(38,0)) * nb
+              AS DECIMAL(38,0)) AS DOUBLE), 6)
+        END AS delta
+      FROM ag
+    )
+    SELECT '0' AS group_a, '1' AS group_b,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CAST(tie AS BIGINT) AS n_tied_pairs, delta,
+      CASE WHEN delta IS NULL THEN NULL
+        WHEN ABS(delta) < 0.147 THEN 'negligible'
+        WHEN ABS(delta) < 0.33 THEN 'small'
+        WHEN ABS(delta) < 0.474 THEN 'medium'
+        ELSE 'large' END AS magnitude
+    FROM fin
+    """,
+)
+def cliffs_delta_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta (operators.experiments.cliffs_delta) on the
+    mann_whitney fixture shape (orderkey-parity arms, 1k-price
+    buckets mod 20 — heavy ties): cross-arm pair counts off the JT
+    grid with exclusive windows, exact-integer #{a<b}/ties through
+    DECIMAL(38,0), one rounded division, conventional magnitude
+    cuts on the rounded statistic."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cliffs_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("g"),
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v"),
+    )
+    return cliffs_delta(o, "g", "v")

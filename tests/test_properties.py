@@ -2614,3 +2614,49 @@ def test_page_trend_matches_bruteforce(spark, blocks):
             assert var == pytest.approx(
                 n * k * k * (k + 1) * (k * k - 1) / 144.0
             )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),                           # arm
+            st.integers(min_value=0, max_value=5),   # value
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_cliffs_delta_matches_bruteforce(spark, rows):
+    """cliffs_delta == the O(n²) pair walk on ANY two-arm value
+    multiset: δ = (#{a>b} − #{a<b})/(n_a·n_b), ties counted."""
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        cliffs_delta,
+    )
+
+    assume(len({a for a, _ in rows}) == 2)
+    data = [("0" if not a else "1", v) for a, v in rows]
+    df = spark.createDataFrame(data, "g string, v long")
+    r = cliffs_delta(df, "g", "v").collect()[0]
+
+    avals = [v for g, v in data if g == "0"]
+    bvals = [v for g, v in data if g == "1"]
+    gt = sum(1 for x in avals for y in bvals if x > y)
+    lt = sum(1 for x in avals for y in bvals if x < y)
+    tie = sum(1 for x in avals for y in bvals if x == y)
+    assert r.n_a == len(avals) and r.n_b == len(bvals)
+    assert r.n_tied_pairs == tie
+    expect = (gt - lt) / (len(avals) * len(bvals))
+    assert r.delta == pytest.approx(expect, abs=1e-6)
+    cuts = [(0.147, "negligible"), (0.33, "small"),
+            (0.474, "medium")]
+    mag = next(
+        (m for c, m in cuts if abs(r.delta) < c), "large"
+    )
+    assert r.magnitude == mag
