@@ -157,6 +157,7 @@ _FRONT = [
     "page_trend_orders",
     "cohens_d_orders",
     "cliffs_delta_orders",
+    "lins_ccc_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

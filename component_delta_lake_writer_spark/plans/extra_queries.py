@@ -11343,3 +11343,71 @@ def cliffs_delta_orders(
         (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v"),
     )
     return cliffs_delta(o, "g", "v")
+
+
+@query(
+    "lins_ccc_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS x,
+        o_orderkey % 20 AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(x AS DECIMAL(24,4))) AS sx,
+        SUM(CAST(y AS DECIMAL(24,4))) AS sy,
+        SUM(CAST(x AS DECIMAL(24,4)) * CAST(x AS DECIMAL(12,4)))
+          AS sxx,
+        SUM(CAST(y AS DECIMAL(24,4)) * CAST(y AS DECIMAL(12,4)))
+          AS syy,
+        SUM(CAST(x AS DECIMAL(24,4)) * CAST(y AS DECIMAL(12,4)))
+          AS sxy
+      FROM src
+    ),
+    m AS (
+      SELECT n,
+        CAST(sx AS DOUBLE) / n AS mx,
+        CAST(sy AS DOUBLE) / n AS my,
+        CAST(sxx AS DOUBLE) / n
+          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+          AS vx,
+        CAST(syy AS DOUBLE) / n
+          - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+          AS vy,
+        CAST(sxy AS DOUBLE) / n
+          - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+          AS cxy
+      FROM ag
+    ),
+    fin AS (
+      SELECT n, mx, my, cxy,
+        cxy / SQRT(vx * vy) AS r,
+        2.0 * cxy / (vx + vy + (mx - my) * (mx - my)) AS ccc,
+        (n >= 2 AND vx > 0 AND vy > 0) AS ok
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+      ROUND(mx, 6) AS mean_a, ROUND(my, 6) AS mean_b,
+      CASE WHEN ok AND cxy <> 0 THEN ROUND(r, 6) END AS pearson_r,
+      CASE WHEN ok AND cxy <> 0 THEN ROUND(ccc / r, 6) END AS c_b,
+      CASE WHEN ok THEN ROUND(ccc, 6) END AS ccc
+    FROM fin
+    """,
+)
+def lins_ccc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation
+    (operators.experiments.lins_ccc) on the wilcoxon fixture pair
+    (price-derived vs key-derived scores on the SAME orders):
+    exact DECIMAL(24,4) moment sums, population covariance,
+    CCC = r·C_b with both factors surfaced."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        lins_ccc,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("x"),
+        (F.col("o_orderkey") % 20).alias("y"),
+    )
+    return lins_ccc(o, "x", "y")

@@ -3850,3 +3850,36 @@ def test_cohens_d_hand_values(spark):
     )
     with _pt.raises(UserException):
         cohens_d(three, "g", "v")
+
+
+def test_lins_ccc_hand_values(spark):
+    """lins_ccc: perfect agreement → 1; scale-shifted copy → high r
+    but CCC < r (the bias correction is the point); hand values
+    against the textbook formula; constant column → NULL."""
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        lins_ccc,
+    )
+
+    ident = [(float(v), float(v)) for v in (1, 2, 3, 4, 5)]
+    r1 = lins_ccc(
+        spark.createDataFrame(ident, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert r1.ccc == _pt.approx(1.0) and r1.pearson_r == 1.0
+
+    scaled = [(float(v), 2.0 * v) for v in (1, 2, 3, 4, 5)]
+    r2 = lins_ccc(
+        spark.createDataFrame(scaled, "x double, y double"), "x", "y"
+    ).collect()[0]
+    # x: mean 3 var 2; y: mean 6 var 8; cov 4
+    expect = 2 * 4 / (2 + 8 + 9)
+    assert r2.pearson_r == _pt.approx(1.0)
+    assert r2.ccc == _pt.approx(expect, abs=1e-6)
+    assert r2.c_b == _pt.approx(expect, abs=1e-6)
+
+    flat = [(1.0, float(v)) for v in (1, 2, 3)]
+    r3 = lins_ccc(
+        spark.createDataFrame(flat, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert r3.ccc is None and r3.pearson_r is None
