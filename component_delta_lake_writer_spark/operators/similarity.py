@@ -1704,3 +1704,185 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select("anchor_id", id_col, "cosine")
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding corpus — the
+    whitening/diagnostics primitive of the similarity tier: the
+    dominant direction is what anisotropy audits remove (embedding
+    models concentrate mass on a few directions; retrieval quality
+    audits check the top-PC explained share), the first step of
+    PCA-based reduction next to the existing JL/Matryoshka/PQ
+    reducers.
+
+    Scale shape: ONE corpus pass — a posexplode over the UPPER
+    TRIANGLE (the inner explode runs on ``slice(x⃗, i, d−i+1)``,
+    so N·d(d+1)/2 product rows, not N·d²) streams 12dp-rounded
+    float products (exact in double) into a map-side-combined
+    DECIMAL groupBy over the triangular metadata-scale cells;
+    the mirror half is recovered EXACTLY after aggregation
+    (round(x_i·x_j) = round(x_j·x_i), so M_ji = M_ij by
+    construction — a metadata-scale union, never a second pass).
+    The mean vector rides the j=i diagonal slice of the same
+    aggregate.  Everything downstream is expressions on ONE row
+    holding the d×d matrix: covariance C = M/n − μμᵀ via indexed
+    transforms, then ``n_iter`` FIXED power-iteration rounds as
+    array folds — w = C·v via zip_with + a SEQUENTIAL left fold
+    (deterministic summation order on both engines — a groupBy sum
+    of doubles is not), v ← round(w/‖w‖, 9) with the norm's
+    square-fold equally sequential — the chained-lambda lineage
+    truncated every TWO rounds by localCheckpoint(eager=False)
+    (the BPE lesson, halved: one tiny single-row job per pair of
+    rounds, no joins, no broadcasts, no per-round corpus actions).
+    Uniform start 1/√d — exact when d is a power of four (0.125
+    at 64).
+
+    Rows whose vector is NULL or not exactly ``dim`` long are
+    dropped (fixed-dimension contract); an empty corpus refuses
+    loudly.  Returns d rows: (dim_idx 1-based, loading 6dp,
+    eigenvalue 6dp — the final ‖C·v‖, the Rayleigh estimate).
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    src = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(_as_double(F.col(vec_col)).alias("_e"))
+    if not src.select(F.lit(1)).limit(1).collect():
+        raise UserException(
+            f"pca_top_component: no rows with a {dim}-dim vector "
+            f"in {vec_col!r}"
+        )
+    lvl1 = src.select(
+        "_e", F.posexplode("_e").alias("_p", "_xi")
+    ).select((F.col("_p") + 1).alias("_i"), F.col("_xi"), "_e")
+    upper = lvl1.select(
+        "_i",
+        "_xi",
+        F.posexplode(
+            F.slice(
+                F.col("_e"), F.col("_i"), F.lit(dim) - F.col("_i") + 1
+            )
+        ).alias("_q", "_xj"),
+    ).select(
+        "_i", (F.col("_i") + F.col("_q")).alias("_j"), "_xi", "_xj"
+    )
+    tri = upper.groupBy("_i", "_j").agg(
+        F.sum(
+            F.round(F.col("_xi") * F.col("_xj"), 12).cast(
+                "decimal(30,12)"
+            )
+        ).alias("_m"),
+        F.sum(
+            F.when(
+                F.col("_i") == F.col("_j"),
+                F.round(F.col("_xi"), 9).cast("decimal(20,9)"),
+            )
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # mirror the strict upper half: round(x_i·x_j) == round(x_j·x_i)
+    # makes this EXACT, not approximate
+    cells = tri.select("_i", "_j", "_m").unionAll(
+        tri.filter(F.col("_i") < F.col("_j")).select(
+            F.col("_j").alias("_i"),
+            F.col("_i").alias("_j"),
+            "_m",
+        )
+    )
+    diag = tri.filter(F.col("_i") == F.col("_j")).select(
+        "_i", "_s", "_n"
+    )
+    flat = cells.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_i", "_j", "_m"))
+        ).alias("_f")
+    )
+    meta = diag.agg(
+        F.array_sort(F.collect_list(F.struct("_i", "_s"))).alias(
+            "_d"
+        ),
+        F.max("_n").alias("_n"),
+    )
+    one = flat.crossJoin(meta)
+    n_d = F.col("_n").cast("double")
+    one = one.select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.transform(
+                F.slice(F.col("_f"), (i - 1) * dim + 1, dim),
+                lambda s: s["_m"],
+            ),
+        ).alias("_M"),
+        F.transform(
+            F.col("_d"), lambda s: s["_s"].cast("double") / n_d
+        ).alias("_mu"),
+        "_n",
+    )
+    state = one.select(
+        F.transform(
+            F.col("_M"),
+            lambda mrow, i: F.transform(
+                mrow,
+                lambda m, j: m.cast("double") / n_d
+                - F.element_at(F.col("_mu"), i + 1)
+                * F.element_at(F.col("_mu"), j + 1),
+            ),
+        ).alias("_C"),
+        F.array(*[F.lit(0.125)] * dim).alias("_v"),
+        F.lit(0.0).alias("_nrm"),
+    )
+    # the corpus aggregate feeds only this one-row plan — pin it so
+    # the per-round checkpoints below never re-run the scan
+    state = state.localCheckpoint(eager=True)
+    for it in range(n_iter):
+        state = state.select(
+            "_C",
+            F.transform(
+                F.col("_C"),
+                lambda crow: F.aggregate(
+                    F.zip_with(
+                        crow, F.col("_v"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias("_w"),
+        ).select(
+            "_C",
+            "_w",
+            F.sqrt(
+                F.aggregate(
+                    F.col("_w"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ).alias("_nrm"),
+        ).select(
+            "_C",
+            F.transform(
+                F.col("_w"),
+                lambda x: F.round(
+                    F.when(
+                        F.col("_nrm") > 0, x / F.col("_nrm")
+                    ).otherwise(0.0),
+                    9,
+                ),
+            ).alias("_v"),
+            "_nrm",
+        )
+        if it % 2 == 1 or it == n_iter - 1:
+            # truncate the chained-lambda lineage every two rounds
+            # (the BPE eager=False lesson, halved job count)
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        F.posexplode("_v").alias("_p", "_l"), "_nrm"
+    ).select(
+        (F.col("_p") + 1).cast("int").alias("dim_idx"),
+        F.round(F.col("_l"), 6).alias("loading"),
+        F.round(F.col("_nrm"), 6).alias("eigenvalue"),
+    )

@@ -158,6 +158,7 @@ _FRONT = [
     "cohens_d_orders",
     "cliffs_delta_orders",
     "lins_ccc_orders",
+    "pca_top_component_embeddings",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11411,3 +11411,86 @@ def lins_ccc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 20).alias("y"),
     )
     return lins_ccc(o, "x", "y")
+
+
+def _pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
+    """Unroll the fixed power-iteration rounds as the house CTE
+    cascade (the BPE/Bradley-Terry/Cox precedent): the one-pass
+    second-moment/mean aggregate, the covariance cells, then per
+    round a C·v matvec as a list comprehension + SEQUENTIAL
+    list_reduce (the exact summation order of the operator's
+    zip_with/aggregate folds), the norm, and the 9dp-rounded
+    normalized vector."""
+    d1 = dim + 1
+    parts = [
+        f"""src AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+  ),
+  m AS (
+    SELECT r1.i AS i, r2.j AS j,
+      SUM(CAST(ROUND(emb[r1.i] * emb[r2.j], 12)
+        AS DECIMAL(30,12))) AS m,
+      SUM(CASE WHEN r2.j = 1 THEN
+        CAST(ROUND(emb[r1.i], 9) AS DECIMAL(20,9)) END) AS s,
+      COUNT(*) AS n
+    FROM src, range(1, {d1}) r1(i), range(1, {d1}) r2(j)
+    GROUP BY 1, 2
+  ),
+  mu AS (SELECT i, CAST(s AS DOUBLE) / n AS mu FROM m WHERE j = 1),
+  cells AS (
+    SELECT m.i, m.j, CAST(m.m AS DOUBLE) / m.n
+      - mi.mu * mj.mu AS c
+    FROM m JOIN mu mi ON mi.i = m.i JOIN mu mj ON mj.i = m.j
+  ),
+  cv AS (SELECT i, list(c ORDER BY j) AS carr FROM cells
+    GROUP BY 1),
+  v0 AS (SELECT [0.125 for k in range(1, {d1})] AS v)"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"""w{r} AS (
+    SELECT i, list_reduce(
+      [carr[k] * v[k] for k in range(1, {d1})],
+      (a, b) -> a + b) AS w
+    FROM cv, v{r - 1}
+  ),
+  a{r} AS (SELECT list(w ORDER BY i) AS warr FROM w{r}),
+  n{r} AS (
+    SELECT warr, SQRT(list_reduce([x * x for x in warr],
+      (a, b) -> a + b)) AS nrm
+    FROM a{r}
+  ),
+  v{r} AS (
+    SELECT [ROUND(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 9)
+      for x in warr] AS v, nrm
+    FROM n{r}
+  )"""
+        )
+    return (
+        "WITH " + ",\n  ".join(parts) + f"""
+  SELECT CAST(r.k AS INT) AS dim_idx,
+    ROUND(v[r.k], 6) AS loading,
+    ROUND(nrm, 6) AS eigenvalue
+  FROM v{n_iter}, range(1, {d1}) r(k)"""
+    )
+
+
+@query("pca_top_component_embeddings", oracle=_pca_oracle(64, 8))
+def pca_top_component_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (operators.similarity.pca_top_component): one double-posexplode
+    corpus pass to the engine-exact 64×64 second-moment/mean
+    aggregate (12dp-rounded float-product DECIMAL sums), covariance
+    on the metadata grid, 8 fixed power-iteration rounds as
+    sequential array folds.  The oracle unrolls the identical
+    rounds with list comprehensions + list_reduce in the same
+    summation order."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(e, "embedding", dim=64, n_iter=8)

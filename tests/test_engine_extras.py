@@ -3883,3 +3883,47 @@ def test_lins_ccc_hand_values(spark):
         spark.createDataFrame(flat, "x double, y double"), "x", "y"
     ).collect()[0]
     assert r3.ccc is None and r3.pearson_r is None
+
+
+def test_pca_top_component_against_numpy(spark):
+    """pca_top_component: on a corpus with a planted dominant
+    direction the 8-round power iteration matches numpy's exact
+    top eigenpair (sign-aligned); wrong-length vectors are
+    dropped; an empty corpus refuses."""
+    import numpy as np
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.errors import (
+        UserException,
+    )
+    from component_delta_lake_writer_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 200
+    direction = np.ones(d) / np.sqrt(d)
+    data = (
+        rng.normal(0, 0.1, (n, d))
+        + np.outer(rng.normal(0, 2.0, n), direction)
+    )
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    rows.append((n, [1.0, 2.0]))          # wrong dim: dropped
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    got = pca_top_component(df, "v", dim=d, n_iter=8).collect()
+    assert len(got) == d
+    v = np.array([r.loading for r in sorted(got, key=lambda r: r.dim_idx)])
+    lam = got[0].eigenvalue
+
+    x = data.astype(np.float32).astype(np.float64)
+    c = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    if np.dot(top, v) < 0:
+        top = -top
+    assert np.allclose(v, top, atol=1e-3)
+    assert lam == _pt.approx(evals[-1], rel=1e-3)
+
+    empty = spark.createDataFrame([], "id long, v array<float>")
+    with _pt.raises(UserException):
+        pca_top_component(empty, "v", dim=d)
