@@ -1139,3 +1139,83 @@ def test_breslow_day_single_scan(spark):
     p = _plan(spark, "breslow_day_orders")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_concordance_grid_windows_partitioned(spark):
+    """concordance_index: the pair counter runs over the pinned
+    (t, score) cell table — the returned plan reads NO files (the
+    corpus collapse happened inside the pin) and every running
+    window is PARTITIONED (by score for the suffix, by time for
+    the prefix/total) — an unpartitioned window over the grid
+    would be the single-partition regression."""
+    p = _plan(spark, "concordance_index_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        # every window spec must carry a partition column before
+        # the ordering spec (unpartitioned specs start with the
+        # order column directly followed by ASC/DESC markers)
+        assert spec.split(",")[1].strip().startswith(
+            ("_t#", "_s#")
+        ) or spec.split(",")[0].strip().startswith(
+            ("_t#", "_s#")
+        ), spec
+
+
+def test_cliffs_delta_zero_filescan_partitioned_windows(spark):
+    """cliffs_delta: pair counts ride the pinned (arm, value) tie
+    table — zero FileScans in the returned plan; the JT-grid
+    windows are partitioned by arm / by value."""
+    p = _plan(spark, "cliffs_delta_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_fleming_harrington_zero_filescan(spark):
+    """fleming_harrington_test: rides the shared two-arm risk-grid
+    pin exactly like logrank/gehan/cox — the returned plan reads
+    NO files; the pooled-KM weight is a window over the
+    metadata-scale time grid."""
+    p = _plan(spark, "fleming_harrington_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_pca_returned_plan_is_metadata_scale(spark):
+    """pca_top_component: the returned plan explodes the final
+    one-row state (the corpus pass and the covariance build
+    happened inside the eager pin; the iteration chain was
+    truncated by lazy checkpoints) — zero FileScans and zero
+    Exchanges, the bpe_train posture."""
+    p = _plan(spark, "pca_top_component_embeddings")
+    assert p.count("FileScan") == 0, p
+    assert "Exchange" not in p, p
+
+
+def test_friedman_page_single_scan_no_window(spark):
+    """friedman_test / page_trend_test: per-row closed-form
+    midranks need NO window anywhere and exactly ONE corpus scan —
+    a rank-by-window spelling would shuffle the corpus k times."""
+    for key in ("friedman_orders", "page_trend_orders"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 1, (key, p)
+        assert "windowspecdefinition" not in p, (key, p)
+
+
+def test_g_test_single_scan_cell_windows(spark):
+    """g_test_independence: ONE corpus scan to the cell table;
+    marginals are windows over the metadata-scale cells (the
+    chi2_independence spelling) — exactly one FileScan."""
+    p = _plan(spark, "g_test_orders")
+    assert p.count("FileScan") == 1, p
+
+
+def test_cumulative_incidence_zero_filescan(spark):
+    """cumulative_incidence: all-cause grid, S(s−) and per-cause
+    prefix all ride the pinned (t, cause) cell table — zero
+    FileScans in the returned plan."""
+    p = _plan(spark, "cumulative_incidence_events")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
