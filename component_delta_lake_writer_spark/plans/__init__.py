@@ -115,10 +115,12 @@ _FRONT = [
     # burn-down #1, so the r13 window is spent there; these keep
     # sf0.001 differential coverage from every pytest run and lead
     # the r14 refresh queue.  r14 WINDOW RECIPE (the never-checked
-    # set grew to 21 with the second wave): parquet_scan + the 21
-    # keys below + the oldest 28 of the 48-key backlog (14 r4 +
-    # 14 of the 17 r5) → backlog after r14: 20 (3 r5 + 17 r6),
-    # finished in r15.
+    # set grew to 34: the 21 of the second wave plus the 13 of the
+    # third — archive/crawl containers, the paired/effect-size
+    # tier, the survival extensions and the PCA primitive):
+    # parquet_scan + the 34 keys below + the oldest 15 of the
+    # 48-key backlog (r4 cohort first) → backlog after r14: 33,
+    # finished across r15/r16.
     # ------------------------------------------------------------------
     "exif_meta_parse",
     "bpe_train_merges",
