@@ -860,3 +860,100 @@ def theil_sen_hourly(
         F.round(F.col("_s"), 6).alias("slope_per_hour"),
         F.signum(F.col("_s")).cast("int").alias("trending"),
     )
+
+
+def mann_kendall_hourly(
+    df: DataFrame,
+    ts_col: str,
+    max_buckets: int = 2000,
+) -> DataFrame:
+    """Mann–Kendall trend test of the hourly event-count series —
+    the SIGNIFICANCE companion to :func:`theil_sen_hourly`:
+    Theil–Sen says how steep the drift is, MK says whether a
+    monotone trend exists at all (S = Σ_{i<j} sgn(y_j − y_i), the
+    nonparametric test every ops/monitoring methodology pairs with
+    the Sen slope).  Robust to the same spikes and distribution
+    weirdness that motivate the rank machinery elsewhere.
+
+    Scale shape: ONE corpus scan collapses to the gap-filled
+    hourly series (the shared pinned spelling); the pairwise sign
+    count is C(b, 2) over BUCKETS, not rows — metadata-scale with
+    the same ``max_buckets`` refusal as Theil–Sen (quadratic in
+    the window length; rebucket first past ~2M pairs).  S and the
+    tie counts are exact integers (DECIMAL(38,0) for the cubic tie
+    terms — the anova scale-0 rule); the normal approximation
+    carries the tie-corrected variance
+    [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 and the ±1 continuity
+    correction.  Significance compares the 6dp-ROUNDED |z| (the
+    house boundary rule).
+
+    Returns ONE row: (n_buckets, s_stat, z, trending,
+    significant) — z NULL when the variance degenerates (all
+    buckets tied); trending = sign(S).
+    """
+    full, n_b = _gap_filled_hourly(df, ts_col)
+    if n_b > max_buckets:
+        raise ValueError(
+            f"mann_kendall_hourly: the gap-filled series spans "
+            f"{n_b} hourly buckets, over max_buckets={max_buckets} "
+            f"(~{n_b * (n_b - 1) // 2} pairs); rebucket to a "
+            "coarser grain first"
+        )
+    if n_b < 2:
+        raise ValueError(
+            "mann_kendall_hourly: the series spans a single "
+            "hourly bucket — no pair exists"
+        )
+    series = full.select(
+        (F.unix_timestamp("_h") / F.lit(3600))
+        .cast("long")
+        .alias("_t"),
+        "_y",
+    )
+    a = series.select(
+        F.col("_t").alias("_ta"), F.col("_y").alias("_ya")
+    )
+    b = series.select(
+        F.col("_t").alias("_tb"), F.col("_y").alias("_yb")
+    )
+    sgn = (
+        F.when(F.col("_yb") > F.col("_ya"), 1)
+        .when(F.col("_yb") < F.col("_ya"), -1)
+        .otherwise(0)
+    )
+    s_agg = a.join(b, F.col("_ta") < F.col("_tb")).agg(
+        F.sum(sgn).alias("_s")
+    )
+    d38 = "decimal(38,0)"
+    t_c = F.col("_t2")
+    ties = series.groupBy("_y").agg(
+        F.count(F.lit(1)).alias("_t2")
+    ).agg(
+        F.sum(
+            (t_c.cast(d38) * (t_c - 1) * (2 * t_c + 5)).cast(d38)
+        ).alias("_tt")
+    )
+    n = n_b
+    var = (
+        F.lit(float(n * (n - 1) * (2 * n + 5)))
+        - F.col("_tt").cast("double")
+    ) / F.lit(18.0)
+    s_d = F.col("_s").cast("double")
+    z = F.when(
+        var > 0,
+        F.round(
+            F.when(F.col("_s") > 0, (s_d - 1) / F.sqrt(var))
+            .when(F.col("_s") < 0, (s_d + 1) / F.sqrt(var))
+            .otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    return s_agg.crossJoin(F.broadcast(ties)).select(
+        F.lit(n).cast("long").alias("n_buckets"),
+        F.col("_s").cast("long").alias("s_stat"),
+        z.alias("z"),
+        F.signum(s_d).cast("int").alias("trending"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

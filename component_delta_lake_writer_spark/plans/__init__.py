@@ -161,6 +161,7 @@ _FRONT = [
     "cliffs_delta_orders",
     "lins_ccc_orders",
     "pca_top_component_embeddings",
+    "mann_kendall_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

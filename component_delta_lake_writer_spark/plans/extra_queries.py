@@ -11494,3 +11494,74 @@ def pca_top_component_embeddings(
 
     e = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(e, "embedding", dim=64, n_iter=8)
+
+
+@query(
+    "mann_kendall_events",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counted),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    series AS (
+      SELECT CAST(epoch(hours.h) / 3600 AS BIGINT) AS t,
+        COALESCE(counted.y, 0) AS y
+      FROM hours LEFT JOIN counted USING (h)
+    ),
+    sg AS (
+      SELECT SUM(CASE WHEN b.y > a.y THEN 1
+        WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+      FROM series a JOIN series b ON a.t < b.t
+    ),
+    tt AS (
+      SELECT SUM(CAST(CAST(c AS DECIMAL(38,0)) * (c - 1)
+        * (2 * c + 5) AS DECIMAL(38,0))) AS tt
+      FROM (SELECT COUNT(*) AS c FROM series GROUP BY y)
+    ),
+    nb AS (SELECT COUNT(*) AS n FROM series),
+    fin AS (
+      SELECT n, s,
+        (CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
+         - CAST(tt AS DOUBLE)) / 18.0 AS var
+      FROM sg, tt, nb
+    ),
+    zz AS (
+      SELECT n, s,
+        CASE WHEN var > 0 THEN
+          ROUND(CASE WHEN s > 0
+            THEN (CAST(s AS DOUBLE) - 1) / SQRT(var)
+            WHEN s < 0
+            THEN (CAST(s AS DOUBLE) + 1) / SQRT(var)
+            ELSE 0.0 END, 6)
+        END AS z
+      FROM fin
+    )
+    SELECT CAST(n AS BIGINT) AS n_buckets,
+      CAST(s AS BIGINT) AS s_stat, z,
+      CAST(SIGN(CAST(s AS DOUBLE)) AS INT) AS trending,
+      CAST(COALESCE(ABS(z) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def mann_kendall_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann–Kendall trend test
+    (operators.timeseries.mann_kendall_hourly) on the theil_sen
+    hourly series: exact-integer pairwise sign count over the
+    gap-filled buckets, tie-corrected variance with DECIMAL cubic
+    terms, continuity-corrected z — the significance companion to
+    the Sen slope."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        mann_kendall_hourly,
+    )
+
+    return mann_kendall_hourly(
+        load_table(spark, sf_dir, "events"), "ts"
+    )

@@ -2660,3 +2660,63 @@ def test_cliffs_delta_matches_bruteforce(spark, rows):
         (m for c, m in cuts if abs(r.delta) < c), "large"
     )
     assert r.magnitude == mag
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=4),
+        min_size=2,
+        max_size=12,
+    ),
+)
+def test_mann_kendall_matches_bruteforce(spark, counts):
+    """mann_kendall_hourly == the textbook statistic in plain
+    Python on ANY small hourly series: S = Σ sgn pairs, tie-
+    corrected variance, ±1 continuity correction."""
+    import datetime as dtm
+    import math
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        mann_kendall_hourly,
+    )
+
+    t0 = dtm.datetime(2026, 4, 1, 0, 0)
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        # one sentinel event pins every bucket; c extra on top
+        for _ in range(c + 1):
+            rows.append((eid, t0 + dtm.timedelta(hours=h)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    r = mann_kendall_hourly(df, "ts").collect()[0]
+
+    ys = [c + 1 for c in counts]
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    assert r.n_buckets == n and r.s_stat == s
+    assert r.trending == (s > 0) - (s < 0)
+    if var <= 0:
+        assert r.z is None
+    else:
+        zz = (
+            (s - 1) / math.sqrt(var)
+            if s > 0
+            else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+        )
+        assert r.z == pytest.approx(zz, abs=2e-6)
