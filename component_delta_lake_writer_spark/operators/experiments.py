@@ -4125,3 +4125,80 @@ def lins_ccc(
         F.when(ok & (cxy != 0), F.round(c_b, 6)).alias("c_b"),
         F.when(ok, F.round(ccc, 6)).alias("ccc"),
     )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque–Bera normality test — the precondition gate for the
+    parametric tier (z/t/ANOVA assume roughly normal metrics;
+    :func:`brown_forsythe` checks their variance assumption, this
+    checks the shape one): skewness and excess kurtosis from exact
+    moment sums, JB = n/6·(S² + K²/4) vs χ²(2).  A fat-tailed or
+    skewed metric failing this gate is the signal to route to the
+    rank machinery (mann_whitney/kruskal/cliffs_delta) instead.
+
+    ONE map-side-combinable scan accumulates n and Σv^k (k=1..4):
+    each power is computed in double (deterministic — identical
+    inputs, identical IEEE ops on both engines), rounded 4dp and
+    summed as DECIMAL(38,4), so the accumulation is order-free.
+    The moment recombination is the identical left-to-right double
+    chain both sides; m2^1.5 is spelled m2·√m2 (√ is IEEE-exact;
+    a libm pow could diverge in the last ulp).  Values are
+    expected bounded/bucketed (|v| ≲ 1e3 — the mann_whitney
+    fixture contract): the 4th-power DECIMAL unscaled sums must
+    stay under 2^53 for the decimal→double conversion to be
+    engine-exact (the anova scale-0 lesson).
+
+    Returns ONE row: (n_rows, mean, skewness, excess_kurtosis,
+    jb, significant) — NULL statistics when the variance
+    degenerates or n < 4.
+    """
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    v = F.col("_v")
+
+    def psum(k: int):
+        p = v
+        for _ in range(k - 1):
+            p = p * v
+        return F.sum(F.round(p, 4).cast("decimal(38,4)")).alias(
+            f"_s{k}"
+        )
+
+    agg = src.agg(
+        F.count(F.lit(1)).alias("_n"),
+        psum(1),
+        psum(2),
+        psum(3),
+        psum(4),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+    m4 = (
+        s4 / n
+        - 4 * m * (s3 / n)
+        + 6 * m * m * (s2 / n)
+        - 3 * m * m * m * m
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3
+    jb = n / 6 * (skew * skew + kurt * kurt / 4)
+    ok = (F.col("_n") >= 4) & (m2 > 0)
+    jb_r = F.when(ok, F.round(jb, 6))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.round(m, 6).alias("mean"),
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6)).alias("excess_kurtosis"),
+        jb_r.alias("jb"),
+        F.coalesce(
+            (jb_r > F.lit(CHI2_CRIT_5PCT[1])).cast("int"),
+            F.lit(0),
+        ).alias("significant"),
+    )

@@ -162,6 +162,7 @@ _FRONT = [
     "lins_ccc_orders",
     "pca_top_component_embeddings",
     "mann_kendall_events",
+    "jarque_bera_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11565,3 +11565,79 @@ def mann_kendall_events(
     return mann_kendall_hourly(
         load_table(spark, sf_dir, "events"), "ts"
     )
+
+
+@query(
+    "jarque_bera_orders",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20
+        AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(ROUND(v, 4) AS DECIMAL(38,4))) AS s1,
+        SUM(CAST(ROUND(v * v, 4) AS DECIMAL(38,4))) AS s2,
+        SUM(CAST(ROUND(v * v * v, 4) AS DECIMAL(38,4))) AS s3,
+        SUM(CAST(ROUND(v * v * v * v, 4) AS DECIMAL(38,4))) AS s4
+      FROM src
+    ),
+    m AS (
+      SELECT n,
+        CAST(s1 AS DOUBLE) / n AS m1,
+        CAST(s2 AS DOUBLE) / n AS r2,
+        CAST(s3 AS DOUBLE) / n AS r3,
+        CAST(s4 AS DOUBLE) / n AS r4
+      FROM ag
+    ),
+    c AS (
+      SELECT n, m1,
+        r2 - m1 * m1 AS m2,
+        r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+        r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+          - 3 * m1 * m1 * m1 * m1 AS m4
+      FROM m
+    ),
+    fin AS (
+      SELECT n, m1, m2,
+        m3 / (m2 * SQRT(m2)) AS skew,
+        m4 / (m2 * m2) - 3 AS kurt
+      FROM c
+    ),
+    jj AS (
+      SELECT n, m1, m2, skew, kurt,
+        CASE WHEN n >= 4 AND m2 > 0 THEN
+          ROUND(CAST(n AS DOUBLE) / 6
+            * (skew * skew + kurt * kurt / 4), 6)
+        END AS jb
+      FROM fin
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, ROUND(m1, 6) AS mean,
+      CASE WHEN n >= 4 AND m2 > 0 THEN ROUND(skew, 6)
+      END AS skewness,
+      CASE WHEN n >= 4 AND m2 > 0 THEN ROUND(kurt, 6)
+      END AS excess_kurtosis,
+      jb,
+      CAST(COALESCE(jb > ({_CHI2_SQL_LIST})[2], FALSE) AS INT)
+        AS significant
+    FROM jj
+    """,
+)
+def jarque_bera_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque–Bera normality gate
+    (operators.experiments.jarque_bera) on the bucketed price score
+    (mod 20 — the bounded-values contract that keeps the 4th-power
+    DECIMAL sums inside the exact decimal→double window): one scan
+    of 4dp-rounded power sums, skewness/kurtosis recombination as
+    identical double chains, χ²(2) flag."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        jarque_bera,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v")
+    )
+    return jarque_bera(o, "v")

@@ -3927,3 +3927,39 @@ def test_pca_top_component_against_numpy(spark):
     empty = spark.createDataFrame([], "id long, v array<float>")
     with _pt.raises(UserException):
         pca_top_component(empty, "v", dim=d)
+
+
+def test_jarque_bera_hand_values(spark):
+    """jarque_bera: hand check against numpy moments on a skewed
+    sample (flagged non-normal) and a symmetric light-tailed one;
+    degenerate constant column NULLs the statistics."""
+    import numpy as np
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        jarque_bera,
+    )
+
+    vals = [float(v) for v in
+            [0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 4, 8, 15, 30]]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v double"
+    )
+    r = jarque_bera(df, "v").collect()[0]
+    x = np.array(vals)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    skew = ((x - m) ** 3).mean() / m2 ** 1.5
+    kurt = ((x - m) ** 4).mean() / m2 ** 2 - 3
+    jb = len(x) / 6 * (skew ** 2 + kurt ** 2 / 4)
+    assert r.n_rows == len(vals)
+    assert r.skewness == _pt.approx(skew, abs=1e-5)
+    assert r.excess_kurtosis == _pt.approx(kurt, abs=1e-5)
+    assert r.jb == _pt.approx(jb, abs=1e-4)
+    assert r.significant == 1      # heavily right-skewed
+
+    flat = spark.createDataFrame(
+        [(2.0,)] * 10, "v double"
+    )
+    rf = jarque_bera(flat, "v").collect()[0]
+    assert rf.jb is None and rf.significant == 0
