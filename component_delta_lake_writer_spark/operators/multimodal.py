@@ -1654,3 +1654,68 @@ def parse_zstd_meta(
         F.when(ok, dict_id).cast("long").alias("dict_id"),
         F.when(ok, content_size).cast("long").alias("content_size"),
     )
+
+
+def parse_tar_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse the leading USTAR header of a tar stream (POSIX
+    1003.1) — the bundle format scraped dumps and dataset drops
+    arrive in (often stacked under the gzip member
+    :func:`parse_gzip_meta` already opens): member name, size,
+    mtime and type, read straight off the 512-byte header block as
+    Catalyst expressions.
+
+    Tar is ASCII-armored fixed-offset: name NUL-terminated in
+    bytes 0–99, size/mtime as OCTAL ASCII in 12-byte fields at
+    124/136 (terminated by NUL or space), typeflag at 156, the
+    'ustar' magic at 257.  The textual fields are cut at their
+    terminator in HEX space before decoding (the gzip-FNAME
+    discipline — bytes past the name can be anything) and the
+    octal numerals go through ``conv(_, 8, 10)``.  Non-tar
+    payloads yield is_tar=false with NULL fields; short payloads
+    NULL what's missing — never an error.
+
+    Returns (id, is_tar, name, size, mtime, typeflag) — typeflag
+    decoded to file/dir/symlink/hardlink/other.
+    """
+    b = F.col(bin_col)
+    is_tar = F.substring(b, 258, 5) == F.lit(b"ustar")
+
+    def cut_text(pos: int, nbytes: int):
+        # NUL- or space-terminated ASCII field → decode only the
+        # bytes before the terminator (hex-space cut)
+        h = F.regexp_extract(
+            F.hex(F.substring(b, pos, nbytes)),
+            "^((?:..)*?)(?:00|20)",
+            1,
+        )
+        whole = F.hex(F.substring(b, pos, nbytes))
+        # an unterminated full-width field is the field itself
+        picked = F.when(h != "", h).otherwise(whole)
+        return F.when(
+            F.length(b) >= pos, F.decode(F.unhex(picked), "utf-8")
+        )
+
+    name = cut_text(1, 100)
+    size = F.conv(F.trim(cut_text(125, 12)), 8, 10).cast("long")
+    mtime = F.conv(F.trim(cut_text(137, 12)), 8, 10).cast("long")
+    tf = F.substring(b, 157, 1).cast("string")
+    typeflag = (
+        F.when(tf.isin("0", "\x00", ""), F.lit("file"))
+        .when(tf == "5", F.lit("dir"))
+        .when(tf == "2", F.lit("symlink"))
+        .when(tf == "1", F.lit("hardlink"))
+        .otherwise(F.lit("other"))
+    )
+    ok = F.coalesce(is_tar, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        ok.alias("is_tar"),
+        F.when(ok & (name != ""), name).alias("name"),
+        F.when(ok, size).alias("size"),
+        F.when(ok, mtime).alias("mtime"),
+        F.when(ok, typeflag).alias("typeflag"),
+    )

@@ -163,6 +163,7 @@ _FRONT = [
     "pca_top_component_embeddings",
     "mann_kendall_events",
     "jarque_bera_orders",
+    "tar_meta_parse",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3153,3 +3153,91 @@ def zstd_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_zstd_meta(staged)
+
+
+@query(
+    "tar_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_tar,
+      CASE WHEN doc_id % 7 <> 0
+           THEN 'data/doc_' || doc_id || '.txt' END AS name,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST((doc_id % 1000000) * 2 + 17 AS BIGINT)
+      END AS size,
+      CASE WHEN doc_id % 7 <> 0
+           THEN CAST(1700000000 + doc_id % 100000 AS BIGINT)
+      END AS mtime,
+      CASE WHEN doc_id % 7 <> 0 THEN
+        CASE WHEN doc_id % 5 = 0 THEN 'dir'
+             WHEN doc_id % 11 = 0 THEN 'symlink'
+             ELSE 'file' END END AS typeflag
+    FROM documents
+    """,
+)
+def tar_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USTAR header parse (operators.multimodal.parse_tar_meta):
+    payloads staged as real 262+ byte tar headers — NUL-padded
+    name field, zero-padded OCTAL size/mtime numerals with NUL
+    terminators, dir/symlink/file typeflag legs, the 'ustar'
+    magic — followed by text bytes.  Every 7th doc NUL-prefixed
+    garbage (the mp3 r12-ADVICE discipline); values bounded (the
+    FLAC discipline).  Pure Catalyst: octal via conv(_, 8, 10),
+    text fields hex-cut at their terminator before decoding."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_tar_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    size = ((doc % 1000000) * 2 + 17).cast("long")
+    mtime = (F.lit(1700000000) + doc % 100000).cast("long")
+
+    def oct11_hex(v):
+        return F.concat(
+            F.hex(
+                F.encode(
+                    F.lpad(F.conv(v.cast("string"), 10, 8), 11, "0"),
+                    "utf-8",
+                )
+            ),
+            F.lit("00"),
+        )
+
+    name_hex = F.rpad(
+        F.hex(
+            F.encode(
+                F.format_string("data/doc_%d.txt", doc), "utf-8"
+            )
+        ),
+        200,
+        "0",
+    )
+    tf_hex = (
+        F.when(doc % 5 == 0, F.lit("35"))       # '5' dir
+        .when(doc % 11 == 0, F.lit("32"))       # '2' symlink
+        .otherwise(F.lit("30"))                  # '0' file
+    )
+    hdr_hex = F.concat(
+        name_hex,
+        F.lit("00" * 24),                        # mode/uid/gid
+        oct11_hex(size),
+        oct11_hex(mtime),
+        F.lit("20" * 8),                         # checksum blanks
+        tf_hex,
+        F.lit("00" * 100),                       # linkname
+        F.lit("757374617200"),                   # 'ustar\\0'
+        F.lit("3030"),                           # version '00'
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 7 != 0,
+            F.concat(F.unhex(hdr_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_tar_meta(staged)

@@ -3963,3 +3963,52 @@ def test_jarque_bera_hand_values(spark):
     )
     rf = jarque_bera(flat, "v").collect()[0]
     assert rf.jb is None and rf.significant == 0
+
+
+def test_parse_tar_meta_real_archive_and_edges(spark):
+    """parse_tar_meta: the leading header of a GENUINE
+    stdlib-written tar unpacks exactly (name, octal size/mtime,
+    typeflag); dir members, unterminated numeral fields, garbage
+    and truncation never throw."""
+    import io
+    import tarfile
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_tar_meta,
+    )
+
+    body = b"x" * 1234
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        info = tarfile.TarInfo("corpus/shard-0001.jsonl")
+        info.size = len(body)
+        info.mtime = 1710001234
+        t.addfile(info, io.BytesIO(body))
+    real = buf.getvalue()
+
+    dirbuf = io.BytesIO()
+    with tarfile.open(fileobj=dirbuf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        d = tarfile.TarInfo("corpus/")
+        d.type = tarfile.DIRTYPE
+        d.mtime = 1700000000
+        t.addfile(d)
+    real_dir = dirbuf.getvalue()
+
+    rows = [
+        (1, bytearray(real)),
+        (2, bytearray(real_dir)),
+        (3, bytearray(b"\x00not a tar")),
+        (4, bytearray(real[:100])),          # truncated pre-magic
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_tar_meta(df).collect()}
+    assert got[1].is_tar is True
+    assert got[1].name == "corpus/shard-0001.jsonl"
+    assert got[1].size == 1234 and got[1].mtime == 1710001234
+    assert got[1].typeflag == "file"
+    assert got[2].typeflag == "dir" and got[2].name == "corpus/"
+    assert got[2].size == 0
+    assert got[3].is_tar is False and got[3].size is None
+    assert got[4].is_tar is False
+    assert got[5].is_tar is False
