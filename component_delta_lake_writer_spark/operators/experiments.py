@@ -4202,3 +4202,135 @@ def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
             F.lit(0),
         ).alias("significant"),
     )
+
+
+def kendall_tau(
+    df: DataFrame, first_col: str, second_col: str
+) -> DataFrame:
+    """Kendall's τ-b rank correlation — the pair-concordance
+    companion to :func:`spearman_corr`: of all pairs of items, do
+    the two metrics order them the same way?  τ-b carries the
+    tie corrections both axes (the reason it's the default for
+    bucketed/ordinal data where Spearman's midranks blur), and its
+    interpretation — P(concordant) − P(discordant) — is the one
+    analysts actually quote.
+
+    Scale shape: ONE corpus scan to the (x, y) cell table,
+    expanded onto the |X|×|Y| grid (the JT/concordance
+    2D-dominance machinery; discrete or pre-bucketed axes, the
+    same contract): S1(x,y) = Σ_{x'>x} t rides an exclusive
+    suffix window per y, then the joint dominance
+    D = Σ_{y'>y} S1 / E = Σ_{y'<y} S1 ride exclusive suffix /
+    prefix windows per x — never an O(n²) pair walk, never an
+    unpartitioned corpus window.  P/Q and the tie pair counts
+    accumulate as exact integers through DECIMAL(38,0);
+    τ-b = (P−Q)/√((n₀−n₁)(n₀−n₂)) is one rounded expression at
+    the end (√ IEEE-exact).  The z approximation uses the
+    no-3rd-moment variance 2(2n+5)/(9n(n−1)) on τ-a's scale —
+    surfaced for the trend-flag only, the house two-sided 6dp
+    boundary.
+
+    Returns ONE row: (n_rows, n_concordant, n_discordant, tau_b,
+    z, significant) — NULL τ/z when either axis is constant.
+    """
+    src = df.filter(
+        F.col(first_col).isNotNull() & F.col(second_col).isNotNull()
+    ).select(
+        F.col(first_col).alias("_x"), F.col(second_col).alias("_y")
+    )
+    cells = src.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    cells = cells.localCheckpoint(eager=True)
+    grid = (
+        cells.select("_x")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("_y").distinct()))
+        .join(cells, ["_x", "_y"], "left")
+        .select(
+            "_x", "_y", F.coalesce("_t", F.lit(0)).alias("_t")
+        )
+    )
+    w_s1 = (
+        Window.partitionBy("_y")
+        .orderBy("_x")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    g1 = grid.select(
+        "_x",
+        "_y",
+        "_t",
+        F.coalesce(F.sum("_t").over(w_s1), F.lit(0)).alias("_s1"),
+    )
+    w_d = (
+        Window.partitionBy("_x")
+        .orderBy("_y")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_e = (
+        Window.partitionBy("_x")
+        .orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g1.select(
+        "_t",
+        F.coalesce(F.sum("_s1").over(w_d), F.lit(0)).alias("_D"),
+        F.coalesce(F.sum("_s1").over(w_e), F.lit(0)).alias("_E"),
+    )
+    d38 = "decimal(38,0)"
+    pq = g2.agg(
+        F.sum(
+            (F.col("_t").cast(d38) * F.col("_D")).cast(d38)
+        ).alias("_P"),
+        F.sum(
+            (F.col("_t").cast(d38) * F.col("_E")).cast(d38)
+        ).alias("_Q"),
+    )
+    tx = cells.groupBy("_x").agg(F.sum("_t").alias("_tx")).agg(
+        F.sum(
+            (
+                F.col("_tx").cast(d38) * (F.col("_tx") - 1)
+            ).cast(d38)
+        ).alias("_n1x2"),
+        F.sum("_tx").alias("_n"),
+    )
+    ty = cells.groupBy("_y").agg(F.sum("_t").alias("_ty")).agg(
+        F.sum(
+            (
+                F.col("_ty").cast(d38) * (F.col("_ty") - 1)
+            ).cast(d38)
+        ).alias("_n2x2"),
+    )
+    agg = pq.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("_n").cast("double")
+    # doubled pair counts: 2n0 = n(n−1), 2n1 = Σtx(tx−1), 2n2 = …
+    n0x2 = n * (n - 1)
+    den = (n0x2 - F.col("_n1x2").cast("double")) * (
+        n0x2 - F.col("_n2x2").cast("double")
+    )
+    diff = (F.col("_P") - F.col("_Q")).cast("double")
+    tau = F.when(
+        den > 0, F.round(F.lit(2.0) * diff / F.sqrt(den), 6)
+    )
+    z = F.when(
+        den > 0,
+        F.round(
+            (F.lit(2.0) * diff / F.sqrt(den))
+            / F.sqrt(
+                F.lit(2.0)
+                * (2 * n + 5)
+                / (F.lit(9.0) * n * (n - 1))
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_P").cast("long").alias("n_concordant"),
+        F.col("_Q").cast("long").alias("n_discordant"),
+        tau.alias("tau_b"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -164,6 +164,7 @@ _FRONT = [
     "mann_kendall_events",
     "jarque_bera_orders",
     "tar_meta_parse",
+    "kendall_tau_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

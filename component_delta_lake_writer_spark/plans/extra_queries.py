@@ -11641,3 +11641,101 @@ def jarque_bera_orders(
         (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v")
     )
     return jarque_bera(o, "v")
+
+
+@query(
+    "kendall_tau_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS x,
+        o_orderkey % 20 AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    cells AS (
+      SELECT x, y, COUNT(*) AS t FROM src GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT xx.x, yy.y, COALESCE(c.t, 0) AS t
+      FROM (SELECT DISTINCT x FROM cells) xx
+      CROSS JOIN (SELECT DISTINCT y FROM cells) yy
+      LEFT JOIN cells c ON c.x = xx.x AND c.y = yy.y
+    ),
+    g1 AS (
+      SELECT x, y, t,
+        COALESCE(SUM(t) OVER (PARTITION BY y ORDER BY x
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+          AS s1
+      FROM grid
+    ),
+    g2 AS (
+      SELECT t,
+        COALESCE(SUM(s1) OVER (PARTITION BY x ORDER BY y
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+          AS d,
+        COALESCE(SUM(s1) OVER (PARTITION BY x ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS e
+      FROM g1
+    ),
+    pq AS (
+      SELECT
+        SUM(CAST(CAST(t AS DECIMAL(38,0)) * d AS DECIMAL(38,0)))
+          AS p,
+        SUM(CAST(CAST(t AS DECIMAL(38,0)) * e AS DECIMAL(38,0)))
+          AS q
+      FROM g2
+    ),
+    tx AS (
+      SELECT SUM(CAST(CAST(tx AS DECIMAL(38,0)) * (tx - 1)
+          AS DECIMAL(38,0))) AS n1x2,
+        SUM(tx) AS n
+      FROM (SELECT SUM(t) AS tx FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT SUM(CAST(CAST(ty AS DECIMAL(38,0)) * (ty - 1)
+          AS DECIMAL(38,0))) AS n2x2
+      FROM (SELECT SUM(t) AS ty FROM cells GROUP BY y)
+    ),
+    fin AS (
+      SELECT p, q, n, CAST(n AS DOUBLE) AS nd,
+        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+          - CAST(n1x2 AS DOUBLE))
+        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+          - CAST(n2x2 AS DOUBLE)) AS den,
+        CAST(p - q AS DOUBLE) AS diff
+      FROM pq, tx, ty
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      CAST(p AS BIGINT) AS n_concordant,
+      CAST(q AS BIGINT) AS n_discordant,
+      CASE WHEN den > 0
+        THEN ROUND(2.0 * diff / SQRT(den), 6) END AS tau_b,
+      CASE WHEN den > 0 THEN
+        ROUND((2.0 * diff / SQRT(den))
+          / SQRT(2.0 * (2 * nd + 5) / (9.0 * nd * (nd - 1))), 6)
+      END AS z,
+      CAST(COALESCE(ABS(CASE WHEN den > 0 THEN
+        ROUND((2.0 * diff / SQRT(den))
+          / SQRT(2.0 * (2 * nd + 5) / (9.0 * nd * (nd - 1))), 6)
+        END) > 1.959964, FALSE) AS INT) AS significant
+    FROM fin
+    """,
+)
+def kendall_tau_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's τ-b (operators.experiments.kendall_tau) on the
+    spearman fixture shape (1k-price buckets vs key buckets, heavy
+    ties both axes): P/Q off the 2D-dominance grid with three
+    exclusive partitioned windows, exact-integer tie pair counts,
+    one rounded τ expression."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        kendall_tau,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("x"),
+        (F.col("o_orderkey") % 20).alias("y"),
+    )
+    return kendall_tau(o, "x", "y")

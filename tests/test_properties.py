@@ -2720,3 +2720,67 @@ def test_mann_kendall_matches_bruteforce(spark, counts):
             else (s + 1) / math.sqrt(var) if s < 0 else 0.0
         )
         assert r.z == pytest.approx(zz, abs=2e-6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_kendall_tau_matches_bruteforce(spark, rows):
+    """kendall_tau == the O(n²) pair walk on ANY bucketed (x, y)
+    multiset: P/Q concordant-discordant counts, tie-corrected
+    τ-b denominator."""
+    import math
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        kendall_tau,
+    )
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = kendall_tau(df, "x", "y").collect()[0]
+
+    n = len(rows)
+    p = q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = rows[j][0] - rows[i][0]
+            dy = rows[j][1] - rows[i][1]
+            s = dx * dy
+            if s > 0:
+                p += 1
+            elif s < 0:
+                q += 1
+    from collections import Counter
+
+    n0 = n * (n - 1) / 2
+    n1 = sum(
+        t * (t - 1) / 2
+        for t in Counter(x for x, _ in rows).values()
+    )
+    n2 = sum(
+        t * (t - 1) / 2
+        for t in Counter(y for _, y in rows).values()
+    )
+    assert r.n_rows == n
+    assert r.n_concordant == p and r.n_discordant == q
+    den = (n0 - n1) * (n0 - n2)
+    if den <= 0:
+        assert r.tau_b is None and r.significant == 0
+    else:
+        tau = (p - q) / math.sqrt(den)
+        assert r.tau_b == pytest.approx(tau, abs=2e-6)
+        var_a = 2 * (2 * n + 5) / (9 * n * (n - 1))
+        assert r.z == pytest.approx(
+            tau / math.sqrt(var_a), abs=2e-5
+        )
