@@ -1719,3 +1719,64 @@ def parse_tar_meta(
         F.when(ok, mtime).alias("mtime"),
         F.when(ok, typeflag).alias("typeflag"),
     )
+
+
+def sniff_container_format(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Magic-byte container sniffer — the TRIAGE step in front of
+    the parser tier: a scraped corpus is a mixed bag, and the first
+    thing a pipeline does is route each payload to the right
+    parser (or to quarantine).  One pass, one CASE ladder over
+    byte prefixes, first match wins; returns the format tag the
+    dedicated parse_*_meta operators key on.
+
+    Detects: png gif webp bmp tiff jpeg / wav mp3 flac ogg /
+    mp4 avi / gzip zstd xz zip tar warc pdf.  RIFF containers
+    disambiguate on the form type at offset 8; tar on the 'ustar'
+    magic at 257; MP4 on the ftyp box at 4; MP3 on ID3 or a frame
+    sync.  NULL payloads and unmatched prefixes yield format NULL
+    — the quarantine signal, never an error.
+
+    Returns (id, format).
+    """
+    b = F.col(bin_col)
+
+    def pfx(h: str, pos: int = 1):
+        return F.substring(b, pos, len(h) // 2) == F.lit(
+            bytes.fromhex(h)
+        )
+
+    riff = pfx("52494646")
+    fmt = (
+        F.when(pfx("89504e470d0a1a0a"), "png")
+        .when(pfx("474946383761") | pfx("474946383961"), "gif")
+        .when(riff & pfx("57454250", 9), "webp")
+        .when(riff & pfx("57415645", 9), "wav")
+        .when(riff & pfx("41564920", 9), "avi")
+        .when(pfx("49492a00") | pfx("4d4d002a"), "tiff")
+        .when(pfx("ffd8ff"), "jpeg")
+        .when(pfx("664c6143"), "flac")
+        .when(pfx("4f676753"), "ogg")
+        .when(pfx("494433"), "mp3")
+        .when(
+            (F.hex(F.substring(b, 1, 2)).startswith("FFF"))
+            & (F.length(b) >= 4),
+            "mp3",
+        )
+        .when(pfx("66747970", 5), "mp4")
+        .when(pfx("1f8b"), "gzip")
+        .when(pfx("28b52ffd"), "zstd")
+        .when(pfx("fd377a585a00"), "xz")
+        .when(pfx("504b0304") | pfx("504b0506"), "zip")
+        .when(pfx("25504446"), "pdf")
+        .when(pfx("574152432f", 1), "warc")     # 'WARC/'
+        .when(pfx("7573746172", 258), "tar")
+        .when(pfx("424d"), "bmp")
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(b.isNotNull(), fmt).alias("format"),
+    )

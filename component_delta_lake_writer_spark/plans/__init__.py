@@ -165,6 +165,7 @@ _FRONT = [
     "jarque_bera_orders",
     "tar_meta_parse",
     "kendall_tau_orders",
+    "container_sniff_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3241,3 +3241,60 @@ def tar_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_tar_meta(staged)
+
+
+@query(
+    "container_sniff_docs",
+    oracle="""
+    SELECT fmt AS format, COUNT(*) AS n_docs
+    FROM (
+      SELECT CASE doc_id % 10
+        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gzip'
+        WHEN 3 THEN 'zstd' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
+        WHEN 6 THEN 'warc' WHEN 8 THEN 'mp4' WHEN 9 THEN 'tar'
+      END AS fmt
+      FROM documents
+    ) GROUP BY 1
+    """,
+)
+def container_sniff_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Magic-byte triage report (operators.multimodal.
+    sniff_container_format): a mixed corpus staged across nine
+    container formats plus a NUL-prefixed garbage leg, sniffed in
+    one CASE-ladder pass and rolled up to per-format counts — the
+    routing step in front of the parse_*_meta tier.  The garbage
+    leg groups under format NULL (the quarantine signal)."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        sniff_container_format,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    hdr = (
+        F.when(doc % 10 == 0, F.lit("89504e470d0a1a0a"))
+        .when(doc % 10 == 1, F.lit("ffd8ffe0"))
+        .when(doc % 10 == 2, F.lit("1f8b08"))
+        .when(doc % 10 == 3, F.lit("28b52ffd"))
+        .when(
+            doc % 10 == 4,
+            F.lit("52494646" + "10000000" + "57415645"),
+        )
+        .when(doc % 10 == 5, F.lit("494433"))
+        .when(doc % 10 == 6, F.lit("574152432f312e30"))
+        .when(doc % 10 == 8, F.lit("00000018" + "66747970"))
+        .when(doc % 10 == 9, F.lit("00" * 257 + "7573746172"))
+        .otherwise(F.lit("00"))                  # garbage leg
+    )
+    staged = d.select(
+        "doc_id",
+        F.concat(F.unhex(hdr), F.encode("text", "utf-8")).alias(
+            "payload"
+        ),
+    )
+    return (
+        sniff_container_format(staged)
+        .groupBy("format")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

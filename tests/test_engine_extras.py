@@ -4012,3 +4012,50 @@ def test_parse_tar_meta_real_archive_and_edges(spark):
     assert got[3].is_tar is False and got[3].size is None
     assert got[4].is_tar is False
     assert got[5].is_tar is False
+
+
+def test_sniff_container_format_real_payloads(spark):
+    """sniff_container_format: genuine gzip/zstd/tar bytes route
+    correctly; RIFF disambiguates wav/webp/avi; a tar whose member
+    name starts with 'BM' must NOT sniff as bmp (the 2-byte magic
+    is checked last); unknown and NULL yield format NULL."""
+    import gzip as _gz
+    import io
+    import tarfile
+
+    import pyarrow as pa
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        sniff_container_format,
+    )
+
+    gz = io.BytesIO()
+    with _gz.GzipFile(fileobj=gz, mode="wb") as g:
+        g.write(b"x")
+    tb = io.BytesIO()
+    with tarfile.open(fileobj=tb, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        info = tarfile.TarInfo("BMfile.bin")   # 'BM' prefix trap
+        info.size = 0
+        t.addfile(info)
+    rows = [
+        (1, bytearray(gz.getvalue())),
+        (2, bytearray(pa.compress(b"y" * 50, codec="zstd", asbytes=True))),
+        (3, bytearray(tb.getvalue())),
+        (4, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt ")),
+        (5, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 ")),
+        (6, bytearray(b"RIFF\x10\x00\x00\x00AVI LIST")),
+        (7, bytearray(b"WARC/1.0\r\n")),
+        (8, bytearray(b"\x89PNG\r\n\x1a\n....")),
+        (9, bytearray(b"II*\x00rest")),
+        (10, bytearray(b"plain text")),
+        (11, None),
+        (12, bytearray(b"BM\x00\x00")),        # actual bmp
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.format for r in sniff_container_format(df).collect()}
+    assert got[1] == "gzip" and got[2] == "zstd"
+    assert got[3] == "tar"                     # not 'bmp'
+    assert got[4] == "wav" and got[5] == "webp" and got[6] == "avi"
+    assert got[7] == "warc" and got[8] == "png" and got[9] == "tiff"
+    assert got[10] is None and got[11] is None
+    assert got[12] == "bmp"
