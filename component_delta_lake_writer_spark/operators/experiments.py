@@ -1335,6 +1335,7 @@ def benjamini_hochberg(
     test_col: str,
     p_col: str,
     alpha: float = 0.05,
+    harmonic_scale: bool = False,
 ) -> DataFrame:
     """Benjamini–Hochberg step-up FDR correction: one row per test
     with its q-value and reject-at-``alpha`` flag — the missing piece
@@ -1407,6 +1408,17 @@ def benjamini_hochberg(
             F.lit(None).cast("double").alias("q_value"),
             F.lit(None).cast("int").alias("reject"),
         )
+    # Benjamini–Yekutieli: scale the statistic by the harmonic sum
+    # c(m) = Σ 1/j — computed as the LEFT FOLD from j=1 (the order
+    # the oracle's list_reduce replays), folded into m as ONE
+    # driver-side double product so the per-row expression stays
+    # one multiply + one divide
+    mc = float(m)
+    if harmonic_scale:
+        c = 0.0
+        for j in range(1, m + 1):
+            c += 1.0 / j
+        mc = float(m) * c
     staged = ranked.select(
         "_t",
         "_p",
@@ -1415,7 +1427,7 @@ def benjamini_hochberg(
         # ONE divide left-to-right — the identical IEEE expression on
         # both engines, so the suffix MIN below is bit-deterministic
         (
-            F.lit(float(m)) * F.col("_p") / F.col("_i")
+            F.lit(mc) * F.col("_p") / F.col("_i")
         ).alias("_s"),
     )
     p = df.sparkSession.sparkContext.defaultParallelism
@@ -4333,4 +4345,32 @@ def kendall_tau(
         F.coalesce(
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
+    )
+
+
+def benjamini_yekutieli(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR correction — BH's
+    arbitrary-dependence-safe sibling: the same step-up machinery
+    with the statistic scaled by the harmonic sum c(m) = Σ 1/j,
+    which makes the FDR bound hold under ANY dependence between
+    the tests (BH's bound assumes positive dependence — a
+    metric×segment grid whose metrics are ratios of shared
+    denominators violates it).  More conservative by ~ln(m); the
+    readout teams run when they can't argue the dependence
+    structure.
+
+    Rides :func:`benjamini_hochberg` with ``harmonic_scale=True``
+    verbatim: the distributed global rank, the range-partitioned
+    suffix-min, the 9dp-rounded reject boundary — c(m) folds into
+    the one driver-side constant, so the distributed shape is
+    unchanged.  Returns (test_id, p_value, p_rank, q_value,
+    reject).
+    """
+    return benjamini_hochberg(
+        df, test_col, p_col, alpha=alpha, harmonic_scale=True
     )

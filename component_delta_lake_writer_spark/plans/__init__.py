@@ -166,6 +166,7 @@ _FRONT = [
     "tar_meta_parse",
     "kendall_tau_orders",
     "container_sniff_docs",
+    "fdr_by_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

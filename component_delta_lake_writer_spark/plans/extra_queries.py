@@ -11739,3 +11739,79 @@ def kendall_tau_orders(
         (F.col("o_orderkey") % 20).alias("y"),
     )
     return kendall_tau(o, "x", "y")
+
+
+@query(
+    "fdr_by_orders",
+    oracle="""
+    WITH t0 AS (SELECT DISTINCT o_orderkey % 499 AS tid FROM orders),
+    tt AS (
+      SELECT CAST(tid AS VARCHAR) AS test_id,
+        ROUND(CASE WHEN tid % 7 = 0
+          THEN ((('0x' || substr(md5('fdr:' || tid::VARCHAR), 1, 8))
+                 ::BIGINT + 1.0) / 4294967296.0) / 500
+          ELSE ((('0x' || substr(md5('fdr:' || tid::VARCHAR), 1, 8))
+                 ::BIGINT + 1.0) / 4294967296.0)
+        END, 9) AS p
+      FROM t0
+    ),
+    hc AS (
+      SELECT m,
+        list_reduce([1.0 / j for j in range(1, CAST(m AS INT) + 1)],
+          (a, b) -> a + b) AS c
+      FROM (SELECT COUNT(*) AS m FROM tt WHERE p IS NOT NULL)
+    ),
+    rk AS (
+      SELECT test_id, p,
+        ROW_NUMBER() OVER (ORDER BY p, test_id) AS i
+      FROM tt WHERE p IS NOT NULL
+    ),
+    s AS (
+      SELECT test_id, p, i,
+        (CAST(m AS DOUBLE) * c) * p / i AS s
+      FROM rk, hc
+    ),
+    q AS (
+      SELECT test_id, p, i,
+        LEAST(CAST(1.0 AS DOUBLE), MIN(s) OVER (ORDER BY i DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qraw
+      FROM s
+    )
+    SELECT test_id, p AS p_value, CAST(i AS BIGINT) AS p_rank,
+      ROUND(qraw, 6) AS q_value,
+      CAST(ROUND(qraw, 9) <= CAST(0.05 AS DOUBLE) AS INT) AS reject
+    FROM q
+    """,
+)
+def fdr_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Yekutieli FDR correction
+    (operators.experiments.benjamini_yekutieli) on the fdr_bh
+    fixture: the harmonic factor c(m) folds into the one
+    driver-side constant (left-fold order mirrored by the oracle's
+    list_reduce), everything else rides the BH distributed
+    suffix-min verbatim — the dependence-robust readout next to
+    BH's."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        benjamini_yekutieli,
+    )
+
+    t0 = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 499).alias("tid"))
+        .distinct()
+    )
+    u = (
+        "((CAST(conv(substring(md5(concat('fdr:', "
+        "CAST(tid AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1.0) "
+        "/ 4294967296.0)"
+    )
+    tests = t0.select(
+        F.col("tid").cast("string").alias("test_id"),
+        F.round(
+            F.when(
+                F.col("tid") % 7 == 0, F.expr(u) / F.lit(500)
+            ).otherwise(F.expr(u)),
+            9,
+        ).alias("p"),
+    )
+    return benjamini_yekutieli(tests, "test_id", "p", alpha=0.05)

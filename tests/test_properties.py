@@ -2784,3 +2784,59 @@ def test_kendall_tau_matches_bruteforce(spark, rows):
         assert r.z == pytest.approx(
             tau / math.sqrt(var_a), abs=2e-5
         )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ps=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_benjamini_yekutieli_matches_bruteforce(spark, ps):
+    """benjamini_yekutieli == the textbook step-up with the
+    harmonic factor on ANY p-multiset — and it is uniformly at
+    least as conservative as BH on the same inputs."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        benjamini_hochberg,
+        benjamini_yekutieli,
+    )
+
+    rows = [(str(i), p / 1000.0) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "t string, p double")
+    got = {
+        r.test_id: r
+        for r in benjamini_yekutieli(df, "t", "p").collect()
+    }
+    bh = {
+        r.test_id: r
+        for r in benjamini_hochberg(df, "t", "p").collect()
+    }
+
+    m = len(rows)
+    c = 0.0
+    for j in range(1, m + 1):
+        c += 1.0 / j
+    mc = float(m) * c
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    s = [mc * p / (i + 1) for i, (_, p) in enumerate(order)]
+    suffix = [0.0] * m
+    run = None
+    for i in range(m - 1, -1, -1):
+        run = s[i] if run is None else min(run, s[i])
+        suffix[i] = min(1.0, run)
+    for i, (tid, _p) in enumerate(order):
+        assert got[tid].p_rank == i + 1
+        assert got[tid].q_value == pytest.approx(
+            round(suffix[i], 6), abs=1e-9
+        )
+        assert got[tid].q_value >= bh[tid].q_value - 1e-9
+        assert got[tid].reject == int(round(suffix[i], 9) <= 0.05)
+        # BY rejecting implies BH rejecting (monotone conservatism)
+        if got[tid].reject:
+            assert bh[tid].reject == 1
