@@ -1836,12 +1836,31 @@ def pca_top_component(
         F.array(*[F.lit(0.125)] * dim).alias("_v"),
         F.lit(0.0).alias("_nrm"),
     )
+    # trace of C = total variance — the denominator of the
+    # anisotropy readout; a sequential left fold over the diagonal
+    # (the same order the oracle's list_reduce replays)
+    state = state.select(
+        "_C",
+        "_v",
+        "_nrm",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.element_at(
+                    F.element_at(F.col("_C"), i), i
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tr"),
+    )
     # the corpus aggregate feeds only this one-row plan — pin it so
     # the per-round checkpoints below never re-run the scan
     state = state.localCheckpoint(eager=True)
     for it in range(n_iter):
         state = state.select(
             "_C",
+            "_tr",
             F.transform(
                 F.col("_C"),
                 lambda crow: F.aggregate(
@@ -1854,6 +1873,7 @@ def pca_top_component(
             ).alias("_w"),
         ).select(
             "_C",
+            "_tr",
             "_w",
             F.sqrt(
                 F.aggregate(
@@ -1864,6 +1884,7 @@ def pca_top_component(
             ).alias("_nrm"),
         ).select(
             "_C",
+            "_tr",
             F.transform(
                 F.col("_w"),
                 lambda x: F.round(
@@ -1880,9 +1901,13 @@ def pca_top_component(
             # (the BPE eager=False lesson, halved job count)
             state = state.localCheckpoint(eager=False)
     return state.select(
-        F.posexplode("_v").alias("_p", "_l"), "_nrm"
+        F.posexplode("_v").alias("_p", "_l"), "_nrm", "_tr"
     ).select(
         (F.col("_p") + 1).cast("int").alias("dim_idx"),
         F.round(F.col("_l"), 6).alias("loading"),
         F.round(F.col("_nrm"), 6).alias("eigenvalue"),
+        F.when(
+            F.col("_tr") > 0,
+            F.round(F.col("_nrm") / F.col("_tr"), 6),
+        ).alias("explained_share"),
     )

@@ -11445,6 +11445,11 @@ def _pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
   ),
   cv AS (SELECT i, list(c ORDER BY j) AS carr FROM cells
     GROUP BY 1),
+  tr AS (
+    SELECT list_reduce(list(d ORDER BY i), (a, b) -> a + b)
+      AS trace
+    FROM (SELECT i, carr[i] AS d FROM cv)
+  ),
   v0 AS (SELECT [0.125 for k in range(1, {d1})] AS v)"""
     ]
     for r in range(1, n_iter + 1):
@@ -11471,8 +11476,10 @@ def _pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
         "WITH " + ",\n  ".join(parts) + f"""
   SELECT CAST(r.k AS INT) AS dim_idx,
     ROUND(v[r.k], 6) AS loading,
-    ROUND(nrm, 6) AS eigenvalue
-  FROM v{n_iter}, range(1, {d1}) r(k)"""
+    ROUND(nrm, 6) AS eigenvalue,
+    CASE WHEN trace > 0 THEN ROUND(nrm / trace, 6)
+    END AS explained_share
+  FROM v{n_iter}, tr, range(1, {d1}) r(k)"""
     )
 
 
