@@ -957,3 +957,72 @@ def mann_kendall_hourly(
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def durbin_watson_hourly(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation diagnostic of the
+    hourly event-count series — the residual check next to
+    :func:`mann_kendall_hourly`'s trend and CUSUM's level shift:
+    DW ≈ 2 means the hourly counts are serially independent, DW
+    near 0 strong positive autocorrelation (bursts/backfills), DW
+    near 4 alternation.  The number every forecasting-residual
+    review quotes.
+
+    ONE corpus scan to the gap-filled hourly series (the shared
+    pinned spelling); the lag difference is a window over the
+    METADATA-scale bucket grid (the KM/CUSUM discipline), and the
+    whole statistic is the EXACT integer ratio
+    n·Σ(Δy)² / (n·Σy² − (Σy)²) — counts are integers, so both
+    engines agree bit-for-bit before the single rounded division
+    (sums through DECIMAL(38,0); Σy² · n ~ N³ overflows long).
+
+    Returns ONE row: (n_buckets, dw, rho1) — dw 6dp, rho1 =
+    1 − dw/2 (the implied lag-1 coefficient); NULL when the
+    series is constant.
+    """
+    full, n_b = _gap_filled_hourly(df, ts_col)
+    if n_b < 2:
+        raise ValueError(
+            "durbin_watson_hourly: the series spans a single "
+            "hourly bucket — no lag exists"
+        )
+    w = Window.orderBy("_h")
+    lagged = full.select(
+        "_y", F.lag("_y").over(w).alias("_yp")
+    )
+    d38 = "decimal(38,0)"
+    agg = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("_yp").isNotNull(),
+                (
+                    (F.col("_y") - F.col("_yp")).cast(d38)
+                    * (F.col("_y") - F.col("_yp"))
+                ).cast(d38),
+            )
+        ).alias("_sd2"),
+        F.sum(
+            (F.col("_y").cast(d38) * F.col("_y")).cast(d38)
+        ).alias("_sy2"),
+        F.sum("_y").alias("_sy"),
+    )
+    n = F.lit(n_b).cast("decimal(38,0)")
+    den = (n * F.col("_sy2")).cast(d38) - (
+        F.col("_sy").cast(d38) * F.col("_sy")
+    ).cast(d38)
+    dw = F.when(
+        den > 0,
+        F.round(
+            (n * F.col("_sd2")).cast(d38).cast("double")
+            / den.cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(n_b).cast("long").alias("n_buckets"),
+        dw.alias("dw"),
+        F.round(F.lit(1.0) - dw / 2, 6).alias("rho1"),
+    )

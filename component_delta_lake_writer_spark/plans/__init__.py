@@ -167,6 +167,7 @@ _FRONT = [
     "kendall_tau_orders",
     "container_sniff_docs",
     "fdr_by_orders",
+    "durbin_watson_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11822,3 +11822,69 @@ def fdr_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     return benjamini_yekutieli(tests, "test_id", "p", alpha=0.05)
+
+
+@query(
+    "durbin_watson_events",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counted),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    series AS (
+      SELECT hours.h, COALESCE(counted.y, 0) AS y
+      FROM hours LEFT JOIN counted USING (h)
+    ),
+    lagged AS (
+      SELECT y, LAG(y) OVER (ORDER BY h) AS yp FROM series
+    ),
+    ag AS (
+      SELECT
+        SUM(CASE WHEN yp IS NOT NULL THEN
+          CAST(CAST(y - yp AS DECIMAL(38,0)) * (y - yp)
+            AS DECIMAL(38,0)) END) AS sd2,
+        SUM(CAST(CAST(y AS DECIMAL(38,0)) * y
+          AS DECIMAL(38,0))) AS sy2,
+        SUM(y) AS sy, COUNT(*) AS n
+      FROM lagged
+    ),
+    fin AS (
+      SELECT n,
+        CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * sy2
+            AS DECIMAL(38,0))
+          - CAST(CAST(sy AS DECIMAL(38,0)) * sy
+            AS DECIMAL(38,0)) > 0 THEN
+          ROUND(CAST(CAST(CAST(n AS DECIMAL(38,0)) * sd2
+              AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(CAST(n AS DECIMAL(38,0)) * sy2
+              AS DECIMAL(38,0))
+              - CAST(CAST(sy AS DECIMAL(38,0)) * sy
+                AS DECIMAL(38,0)) AS DOUBLE), 6)
+        END AS dw
+      FROM ag
+    )
+    SELECT CAST(n AS BIGINT) AS n_buckets, dw,
+      ROUND(1.0 - dw / 2, 6) AS rho1
+    FROM fin
+    """,
+)
+def durbin_watson_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin–Watson lag-1 autocorrelation
+    (operators.timeseries.durbin_watson_hourly) of the hourly
+    event counts: exact integer ratio n·Σ(Δy)²/(n·Σy² − (Σy)²)
+    over the gap-filled bucket grid — serial-independence check
+    next to the trend/level detectors."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        durbin_watson_hourly,
+    )
+
+    return durbin_watson_hourly(
+        load_table(spark, sf_dir, "events"), "ts"
+    )

@@ -4059,3 +4059,43 @@ def test_sniff_container_format_real_payloads(spark):
     assert got[7] == "warc" and got[8] == "png" and got[9] == "tiff"
     assert got[10] is None and got[11] is None
     assert got[12] == "bmp"
+
+
+def test_durbin_watson_hand_values(spark):
+    """durbin_watson_hourly: exact integer ratio against a hand
+    series (alternating counts → DW near 4; constant series →
+    NULL)."""
+    import datetime as dtm
+
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        durbin_watson_hourly,
+    )
+
+    t0 = dtm.datetime(2026, 4, 1, 0, 0)
+
+    def mk(counts):
+        rows, eid = [], 0
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, t0 + dtm.timedelta(hours=h)))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp"
+        )
+
+    ys = [1, 3, 1, 3, 1, 3]
+    r = durbin_watson_hourly(mk(ys), "ts").collect()[0]
+    n = len(ys)
+    sd2 = sum(
+        (ys[i] - ys[i - 1]) ** 2 for i in range(1, n)
+    )
+    den = n * sum(y * y for y in ys) - sum(ys) ** 2
+    assert r.n_buckets == n
+    assert r.dw == _pt.approx(round(n * sd2 / den, 6))
+    assert r.dw > 3           # alternation
+    assert r.rho1 == _pt.approx(round(1 - r.dw / 2, 6))
+
+    rc = durbin_watson_hourly(mk([2, 2, 2, 2]), "ts").collect()[0]
+    assert rc.dw is None and rc.rho1 is None
