@@ -679,3 +679,70 @@ def vocab_js_divergence(
             "js_distance"
         ),
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Cross-document boilerplate inventory — word n-grams that
+    recur across MANY documents (cookie banners, license headers,
+    nav text, 'terms of service apply'): the corpus-cleaning
+    signal that is NOT deduplication (the host documents are all
+    distinct; it's the SPAN that repeats).  Pretraining pipelines
+    strip these spans after dedup — this operator finds what to
+    strip.
+
+    Scale shape: word n-gram shingles explode map-side from the
+    lowercased letter-token split (the BPE tokenization spelling);
+    a per-doc ``array_distinct`` bounds the fan-out before the
+    explode, so a doc repeating its own banner counts ONCE; one
+    hash aggregation counts distinct host docs per shingle, the
+    ``min_docs`` filter drops the long unique tail BEFORE the
+    top-k (the overwhelming majority of shingles — the filter is
+    the scale valve), and the final ranking is a
+    TakeOrderedAndProject under the total order
+    (n_docs DESC, ngram ASC) — deterministic at the cut.
+
+    Returns ≤ ``top_k`` rows: (ngram, n_docs).
+    """
+    words = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), ""
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(
+                F.slice(words, i, n), " "
+            ),
+        )
+    )
+    exploded = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.size(words) >= n)
+        )
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(shingles).alias("_g"),
+        )
+    )
+    # per-doc array_distinct already guarantees one (doc, shingle)
+    # row — a plain count IS the distinct-doc count, and unlike
+    # countDistinct it map-side combines
+    counts = exploded.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    return (
+        counts.filter(F.col("_nd") >= min_docs)
+        .orderBy(F.desc("_nd"), F.asc("_g"))
+        .limit(top_k)
+        .select(
+            F.col("_g").alias("ngram"),
+            F.col("_nd").cast("long").alias("n_docs"),
+        )
+    )

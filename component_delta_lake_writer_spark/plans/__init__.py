@@ -168,6 +168,7 @@ _FRONT = [
     "container_sniff_docs",
     "fdr_by_orders",
     "durbin_watson_events",
+    "boilerplate_ngrams_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3298,3 +3298,83 @@ def container_sniff_docs(
         .groupBy("format")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "boilerplate_ngrams_docs",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+          'terms of service apply to this content all rights '
+          || 'reserved ' || text
+        WHEN doc_id % 6 = 0 THEN
+          'click here to subscribe to our newsletter for daily '
+          || 'updates ' || text
+        ELSE text END AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    words AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(t), '[^a-z]+'),
+          w -> w <> '') AS ws
+      FROM staged
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(ws[i:i+7], ' ')
+          for i in range(1, len(ws) - 6)]) AS gs
+      FROM words WHERE len(ws) >= 8
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+    counts AS (SELECT g, COUNT(*) AS nd FROM ex GROUP BY 1)
+    SELECT g AS ngram, CAST(nd AS BIGINT) AS n_docs
+    FROM counts WHERE nd >= 3
+    ORDER BY nd DESC, g LIMIT 50
+    """,
+)
+def boilerplate_ngrams_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-document boilerplate inventory
+    (operators.text.boilerplate_ngrams): two boilerplate sentences
+    planted on the %4 / %6 residue classes of the corpus (the
+    cookie-banner shape — distinct documents sharing a SPAN), word
+    8-gram shingles with per-doc distinct, one hash count, top-50
+    under the (n_docs DESC, ngram) total order."""
+    from component_delta_lake_writer_spark.operators.text import (
+        boilerplate_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    doc = F.col("doc_id")
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 4 == 0,
+            F.concat(
+                F.lit(
+                    "terms of service apply to this content all "
+                    "rights reserved "
+                ),
+                F.col("text"),
+            ),
+        )
+        .when(
+            doc % 6 == 0,
+            F.concat(
+                F.lit(
+                    "click here to subscribe to our newsletter "
+                    "for daily updates "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return boilerplate_ngrams(
+        staged, "text", "doc_id", n=8, min_docs=3, top_k=50
+    )

@@ -4099,3 +4099,30 @@ def test_durbin_watson_hand_values(spark):
 
     rc = durbin_watson_hourly(mk([2, 2, 2, 2]), "ts").collect()[0]
     assert rc.dw is None and rc.rho1 is None
+
+
+def test_boilerplate_ngrams_hand_values(spark):
+    """boilerplate_ngrams: a span shared by 3 docs surfaces with
+    n_docs=3; a doc repeating its own banner twice still counts
+    once (per-doc distinct); unique text and sub-n docs drop."""
+    from component_delta_lake_writer_spark.operators.text import (
+        boilerplate_ngrams,
+    )
+
+    banner = "all rights reserved by the example content company"
+    rows = [
+        (1, banner + " alpha beta gamma"),
+        (2, "intro words here " + banner),
+        (3, banner + " and " + banner),       # self-repeat
+        (4, "totally unrelated text with enough words to shingle"),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = boilerplate_ngrams(
+        df, "text", "doc_id", n=8, min_docs=3, top_k=10
+    ).collect()
+    by_gram = {r.ngram: r.n_docs for r in got}
+    first8 = " ".join(banner.split()[:8])
+    assert by_gram.get(first8) == 3
+    assert all(r.n_docs >= 3 for r in got)
+    assert all("unrelated" not in r.ngram for r in got)
