@@ -4374,3 +4374,124 @@ def benjamini_yekutieli(
     return benjamini_hochberg(
         df, test_col, p_col, alpha=alpha, harmonic_scale=True
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm–Bonferroni step-down correction — the FWER member of
+    the multiple-testing tier next to BH/BY's FDR: when the family
+    is small and ANY false positive is unacceptable (ship/no-ship
+    gates, safety metrics), you control the familywise error, not
+    the discovery fraction.  Uniformly more powerful than plain
+    Bonferroni at the same guarantee, no dependence assumptions.
+
+    Mirror image of :func:`benjamini_hochberg`'s machinery: the
+    same distributed global rank (total order (p, test_id)), the
+    statistic s_i = (m−i+1)·p_i, and adjusted
+    p̃_i = min(1, max_{j≤i} s_j) as a PREFIX-max computed the
+    range-partitioned way — one tiny per-partition-max collect,
+    prefix-folded offsets, a __pid-partitioned running-max window
+    (never an unpartitioned corpus window).  The reject flag
+    compares the 9dp-ROUNDED p̃ (the house boundary rule); the
+    step-down set is exactly Holm's: reject while p_(i) ≤
+    α/(m−i+1).
+
+    Returns (test_id, p_value, p_rank, p_adjusted, reject).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_value_rank,
+    )
+
+    if not (0.0 < alpha < 1.0):
+        raise UserException(
+            f"holm_bonferroni: alpha must be in (0, 1), got {alpha}"
+        )
+    p_in = F.col(p_col).cast("double")
+    src = df.select(
+        F.col(test_col).cast("string").alias("_t"),
+        F.when(
+            (p_in < 0) | (p_in > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "holm_bonferroni: p-value outside [0, 1]: "
+                    ),
+                    p_in.cast("string"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(p_in)
+        .alias("_p"),
+    )
+    ranked, m = global_value_rank(src, "_p", "_t")
+    if m == 0:
+        return ranked.select(
+            F.col("_t").alias("test_id"),
+            F.col("_p").alias("p_value"),
+            F.col("_rank").alias("p_rank"),
+            F.lit(None).cast("double").alias("p_adjusted"),
+            F.lit(None).cast("int").alias("reject"),
+        )
+    staged = ranked.select(
+        "_t",
+        "_p",
+        (F.col("_rank") + 1).alias("_i"),
+        # (m−i+1)·p: one subtract, one multiply — the identical
+        # IEEE expression on both engines (the BH discipline)
+        (
+            (F.lit(float(m + 1)) - F.col("_i")) * F.col("_p")
+        ).alias("_s"),
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        staged.repartitionByRange(p, F.col("_i"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+    maxs = {
+        r["__pid"]: r["mx"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.max("_s").alias("mx"))
+        .collect()
+    }
+    # prefix-fold: offs[pid] = max of every EARLIER partition's max
+    offs: dict = {}
+    acc = None
+    for pid in sorted(maxs):
+        offs[pid] = acc
+        acc = maxs[pid] if acc is None else max(acc, maxs[pid])
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in sorted(offs)]),
+            F.array(
+                *[
+                    F.lit(offs[k]).cast("double")
+                    for k in sorted(offs)
+                ]
+            ),
+        ),
+        F.col("__pid"),
+    )
+    w_pre = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc("_i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # F.greatest skips NULLs: the first partition (no earlier
+    # offset) keeps its local running max
+    adj_raw = F.least(
+        F.lit(1.0), F.greatest(F.max("_s").over(w_pre), off)
+    )
+    return ranged.select(
+        F.col("_t").alias("test_id"),
+        F.col("_p").alias("p_value"),
+        F.col("_i").cast("long").alias("p_rank"),
+        F.round(adj_raw, 6).alias("p_adjusted"),
+        (F.round(adj_raw, 9) <= F.lit(alpha))
+        .cast("int")
+        .alias("reject"),
+    )

@@ -169,6 +169,7 @@ _FRONT = [
     "fdr_by_orders",
     "durbin_watson_events",
     "boilerplate_ngrams_docs",
+    "holm_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11888,3 +11888,73 @@ def durbin_watson_events(
     return durbin_watson_hourly(
         load_table(spark, sf_dir, "events"), "ts"
     )
+
+
+@query(
+    "holm_orders",
+    oracle="""
+    WITH t0 AS (SELECT DISTINCT o_orderkey % 499 AS tid FROM orders),
+    tt AS (
+      SELECT CAST(tid AS VARCHAR) AS test_id,
+        ROUND(CASE WHEN tid % 7 = 0
+          THEN ((('0x' || substr(md5('fdr:' || tid::VARCHAR), 1, 8))
+                 ::BIGINT + 1.0) / 4294967296.0) / 500
+          ELSE ((('0x' || substr(md5('fdr:' || tid::VARCHAR), 1, 8))
+                 ::BIGINT + 1.0) / 4294967296.0)
+        END, 9) AS p
+      FROM t0
+    ),
+    rk AS (
+      SELECT test_id, p,
+        ROW_NUMBER() OVER (ORDER BY p, test_id) AS i,
+        COUNT(*) OVER () AS m
+      FROM tt WHERE p IS NOT NULL
+    ),
+    s AS (
+      SELECT test_id, p, i,
+        (CAST(m + 1 AS DOUBLE) - i) * p AS s
+      FROM rk
+    ),
+    q AS (
+      SELECT test_id, p, i,
+        LEAST(CAST(1.0 AS DOUBLE), MAX(s) OVER (ORDER BY i ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adj
+      FROM s
+    )
+    SELECT test_id, p AS p_value, CAST(i AS BIGINT) AS p_rank,
+      ROUND(adj, 6) AS p_adjusted,
+      CAST(ROUND(adj, 9) <= CAST(0.05 AS DOUBLE) AS INT) AS reject
+    FROM q
+    """,
+)
+def holm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm–Bonferroni step-down FWER correction
+    (operators.experiments.holm_bonferroni) on the fdr fixture:
+    (m−i+1)·p with a range-partitioned PREFIX-max (the BH
+    suffix-min machinery mirrored), reject on the 9dp-rounded
+    adjusted p — the any-false-positive-is-fatal gate next to
+    BH/BY's discovery-fraction control."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        holm_bonferroni,
+    )
+
+    t0 = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 499).alias("tid"))
+        .distinct()
+    )
+    u = (
+        "((CAST(conv(substring(md5(concat('fdr:', "
+        "CAST(tid AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1.0) "
+        "/ 4294967296.0)"
+    )
+    tests = t0.select(
+        F.col("tid").cast("string").alias("test_id"),
+        F.round(
+            F.when(
+                F.col("tid") % 7 == 0, F.expr(u) / F.lit(500)
+            ).otherwise(F.expr(u)),
+            9,
+        ).alias("p"),
+    )
+    return holm_bonferroni(tests, "test_id", "p", alpha=0.05)

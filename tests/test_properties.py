@@ -2840,3 +2840,50 @@ def test_benjamini_yekutieli_matches_bruteforce(spark, ps):
         # BY rejecting implies BH rejecting (monotone conservatism)
         if got[tid].reject:
             assert bh[tid].reject == 1
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ps=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_holm_bonferroni_matches_bruteforce(spark, ps):
+    """holm_bonferroni == the textbook step-down adjusted p on ANY
+    p-multiset — and FWER control is at least as strict as BH's
+    FDR on the same inputs (holm rejections ⊆ BH rejections)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        benjamini_hochberg,
+        holm_bonferroni,
+    )
+
+    rows = [(str(i), p / 1000.0) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "t string, p double")
+    got = {
+        r.test_id: r for r in holm_bonferroni(df, "t", "p").collect()
+    }
+    bh = {
+        r.test_id: r
+        for r in benjamini_hochberg(df, "t", "p").collect()
+    }
+
+    m = len(rows)
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    s = [(m - i) * p for i, (_, p) in enumerate(order)]
+    run = 0.0
+    for i, (tid, p) in enumerate(order):
+        run = max(run, s[i])
+        adj = min(1.0, run)
+        assert got[tid].p_rank == i + 1
+        assert got[tid].p_adjusted == pytest.approx(
+            round(adj, 6), abs=1e-9
+        )
+        assert got[tid].reject == int(round(adj, 9) <= 0.05)
+        if got[tid].reject:
+            assert bh[tid].reject == 1
