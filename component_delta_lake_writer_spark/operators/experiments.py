@@ -4495,3 +4495,97 @@ def holm_bonferroni(
         .cast("int")
         .alias("reject"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame, segment_col: str, success_col: str
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-segment success rates —
+    the noise-proof segment leaderboard: a 3-user segment at 100%
+    should NOT outrank a 10k-user segment at 60%, and ranking raw
+    rates does exactly that.  A beta prior fitted to the observed
+    between-segment spread (method of moments) pulls small
+    segments toward the global mean in proportion to their sample
+    size — the standard remedy before any per-segment readout is
+    sorted, plotted or shipped.
+
+    ONE map-side-combinable scan collapses the corpus to the
+    per-segment (n, successes) relation (metadata-scale); the
+    prior moments are decimal sums of 12dp-rounded segment rates
+    (order-free — a plain double sum over segments would be
+    partition-order-dependent), K = μ(1−μ)/σ² − 1 and
+    shrunk_i = (s_i + μK)/(n_i + K).  When the observed spread
+    carries no usable prior (σ² = 0, μ at a boundary, or K ≤ 0 —
+    between-segment variance at or above the binomial maximum),
+    the shrunk rate IS the raw rate and prior_strength is NULL:
+    refusing to invent a prior is the contract.
+
+    Returns one row per segment: (segment, n, successes,
+    raw_rate, shrunk_rate, prior_strength) — rates 6dp.
+    """
+    seg = df.filter(
+        F.col(segment_col).isNotNull()
+        & F.col(success_col).isNotNull()
+    ).groupBy(
+        F.col(segment_col).cast("string").alias("_g")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(
+                F.col(success_col).cast("int").isin(0, 1),
+                F.col(success_col).cast("int"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "eb_shrunk_rates: success must be "
+                            "0/1, got "
+                        ),
+                        F.col(success_col).cast("string"),
+                    )
+                ).cast("int")
+            )
+        ).alias("_s"),
+    )
+    # pinned: the prior moments and the per-segment readout both
+    # consume it
+    seg = seg.localCheckpoint(eager=True)
+    r = F.col("_s").cast("double") / F.col("_n")
+    mm = seg.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(
+            F.round(r, 12).cast("decimal(28,12)")
+        ).alias("_sr"),
+        F.sum(
+            F.round(r * r, 12).cast("decimal(28,12)")
+        ).alias("_sr2"),
+    )
+    mu = F.col("_sr").cast("double") / F.col("_k")
+    v2 = F.col("_sr2").cast("double") / F.col("_k") - mu * mu
+    k_raw = mu * (F.lit(1.0) - mu) / v2 - 1
+    prior = mm.select(
+        F.when(
+            (v2 > 0) & (mu > 0) & (mu < 1) & (k_raw > 0),
+            k_raw,
+        ).alias("_K"),
+        F.when(
+            (v2 > 0) & (mu > 0) & (mu < 1) & (k_raw > 0), mu
+        ).alias("_mu"),
+    )
+    out = seg.crossJoin(F.broadcast(prior))
+    shrunk = F.when(
+        F.col("_K").isNotNull(),
+        (
+            F.col("_s").cast("double")
+            + F.col("_mu") * F.col("_K")
+        )
+        / (F.col("_n").cast("double") + F.col("_K")),
+    ).otherwise(r)
+    return out.select(
+        F.col("_g").alias("segment"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_s").cast("long").alias("successes"),
+        F.round(r, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(F.col("_K"), 6).alias("prior_strength"),
+    )

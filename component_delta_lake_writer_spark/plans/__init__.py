@@ -170,6 +170,7 @@ _FRONT = [
     "durbin_watson_events",
     "boilerplate_ngrams_docs",
     "holm_orders",
+    "eb_shrunk_rates_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

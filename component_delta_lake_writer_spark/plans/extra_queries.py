@@ -11958,3 +11958,71 @@ def holm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     return holm_bonferroni(tests, "test_id", "p", alpha=0.05)
+
+
+@query(
+    "eb_shrunk_rates_orders",
+    oracle="""
+    WITH seg AS (
+      SELECT CAST(o_custkey % 97 AS VARCHAR) AS g, COUNT(*) AS n,
+        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    mm AS (
+      SELECT COUNT(*) AS k,
+        SUM(CAST(ROUND(CAST(s AS DOUBLE) / n, 12)
+          AS DECIMAL(28,12))) AS sr,
+        SUM(CAST(ROUND((CAST(s AS DOUBLE) / n)
+          * (CAST(s AS DOUBLE) / n), 12)
+          AS DECIMAL(28,12))) AS sr2
+      FROM seg
+    ),
+    pri AS (
+      SELECT
+        CAST(sr AS DOUBLE) / k AS mu,
+        CAST(sr2 AS DOUBLE) / k
+          - (CAST(sr AS DOUBLE) / k) * (CAST(sr AS DOUBLE) / k)
+          AS v2
+      FROM mm
+    ),
+    kk AS (
+      SELECT
+        CASE WHEN v2 > 0 AND mu > 0 AND mu < 1
+          AND mu * (1.0 - mu) / v2 - 1 > 0
+          THEN mu * (1.0 - mu) / v2 - 1 END AS bigk,
+        CASE WHEN v2 > 0 AND mu > 0 AND mu < 1
+          AND mu * (1.0 - mu) / v2 - 1 > 0
+          THEN mu END AS mu
+      FROM pri
+    )
+    SELECT g AS segment, CAST(n AS BIGINT) AS n,
+      CAST(s AS BIGINT) AS successes,
+      ROUND(CAST(s AS DOUBLE) / n, 6) AS raw_rate,
+      ROUND(CASE WHEN bigk IS NOT NULL THEN
+        (CAST(s AS DOUBLE) + mu * bigk)
+        / (CAST(n AS DOUBLE) + bigk)
+      ELSE CAST(s AS DOUBLE) / n END, 6) AS shrunk_rate,
+      ROUND(bigk, 6) AS prior_strength
+    FROM seg, kk
+    """,
+)
+def eb_shrunk_rates_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes segment-rate shrinkage
+    (operators.experiments.eb_shrunk_rates): 97 customer segments'
+    finish rates pulled toward the global mean by the
+    method-of-moments beta prior — decimal-summed segment moments,
+    per-segment (s + μK)/(n + K), raw rate kept when the spread
+    carries no usable prior."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        eb_shrunk_rates,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 97).alias("seg"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return eb_shrunk_rates(o, "seg", "y")

@@ -4126,3 +4126,53 @@ def test_boilerplate_ngrams_hand_values(spark):
     assert by_gram.get(first8) == 3
     assert all(r.n_docs >= 3 for r in got)
     assert all("unrelated" not in r.ngram for r in got)
+
+
+def test_eb_shrunk_rates_hand_values(spark):
+    """eb_shrunk_rates: a tiny 100%-rate segment lands BELOW a
+    large high-rate segment after shrinkage; hand MoM prior; a
+    spread with no usable prior falls back to raw rates."""
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        eb_shrunk_rates,
+    )
+
+    rows = (
+        [("big", 1)] * 60 + [("big", 0)] * 40      # 0.60 at n=100
+        + [("tiny", 1)] * 2                         # 1.00 at n=2
+        + [("mid", 1)] * 10 + [("mid", 0)] * 40    # 0.20 at n=50
+    )
+    df = spark.createDataFrame(rows, "seg string, y int")
+    got = {
+        r.segment: r for r in eb_shrunk_rates(df, "seg", "y").collect()
+    }
+    rates = [0.6, 1.0, 0.2]
+    mu = sum(round(r, 12) for r in rates) / 3
+    v2 = sum(round(r * r, 12) for r in rates) / 3 - mu * mu
+    k = mu * (1 - mu) / v2 - 1
+    assert got["tiny"].raw_rate == 1.0
+    exp_tiny = (2 + mu * k) / (2 + k)
+    assert got["tiny"].shrunk_rate == _pt.approx(
+        round(exp_tiny, 6), abs=1e-9
+    )
+    # direction: every segment pulls TOWARD the prior mean, and
+    # the small segment moves much further than the large one
+    assert got["tiny"].shrunk_rate < got["tiny"].raw_rate
+    assert got["mid"].shrunk_rate > got["mid"].raw_rate
+    assert abs(got["tiny"].shrunk_rate - got["tiny"].raw_rate) > (
+        50 * abs(got["big"].shrunk_rate - got["big"].raw_rate)
+    )
+    assert got["big"].prior_strength == _pt.approx(
+        round(k, 6), abs=1e-6
+    )
+
+    flat = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "seg string, y int"
+    )
+    gf = {
+        r.segment: r
+        for r in eb_shrunk_rates(flat, "seg", "y").collect()
+    }
+    assert gf["a"].prior_strength is None
+    assert gf["a"].shrunk_rate == gf["a"].raw_rate == 0.5
