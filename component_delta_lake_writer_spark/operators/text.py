@@ -746,3 +746,74 @@ def boilerplate_ngrams(
             F.col("_nd").cast("long").alias("n_docs"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary richness and unseen-mass estimation — the corpus
+    coverage readout: how much vocabulary does this corpus carry,
+    how much is it still missing, and what fraction of the NEXT
+    token stream will be types never seen here?  Chao1
+    (V + F₁²/(2F₂)) lower-bounds the true vocabulary size from the
+    singleton/doubleton counts; Good–Turing F₁/N estimates the
+    probability mass of unseen types — the two numbers a
+    tokenizer-training or domain-transfer plan starts from.
+
+    ONE corpus scan: token explode (the BPE word split) →
+    per-token counts → a frequency-of-frequencies collapse (the
+    second groupBy runs on |vocab| rows, metadata-scale).  All
+    statistics are exact-integer-derived (F₁²/(2F₂) and F₁/N are
+    single rounded divisions); the bias-corrected Chao1 variant
+    (F₁(F₁−1)/(2(F₂+1))) is used when F₂ = 0, per the standard
+    recommendation.
+
+    Returns ONE row: (n_tokens, vocab_size, f1_singletons,
+    f2_doubletons, chao1, unseen_mass 6dp).
+    """
+    words = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), ""
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(words).alias("_w")
+    )
+    per_word = toks.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    fof = per_word.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    agg = fof.agg(
+        F.sum(
+            (F.col("_c").cast("decimal(38,0)") * F.col("_f")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_n"),
+        F.sum("_f").alias("_v"),
+        F.sum(
+            F.when(F.col("_c") == 1, F.col("_f")).otherwise(0)
+        ).alias("_f1"),
+        F.sum(
+            F.when(F.col("_c") == 2, F.col("_f")).otherwise(0)
+        ).alias("_f2"),
+    )
+    f1 = F.col("_f1").cast("double")
+    f2 = F.col("_f2").cast("double")
+    v = F.col("_v").cast("double")
+    chao1 = F.when(
+        F.col("_f2") > 0, v + f1 * f1 / (F.lit(2.0) * f2)
+    ).otherwise(
+        v + f1 * (f1 - 1) / (F.lit(2.0) * (f2 + 1))
+    )
+    unseen = F.when(
+        F.col("_n") > 0, f1 / F.col("_n").cast("double")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_v").cast("long").alias("vocab_size"),
+        F.col("_f1").cast("long").alias("f1_singletons"),
+        F.col("_f2").cast("long").alias("f2_doubletons"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(unseen, 6).alias("unseen_mass"),
+    )

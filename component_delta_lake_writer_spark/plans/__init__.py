@@ -171,6 +171,7 @@ _FRONT = [
     "boilerplate_ngrams_docs",
     "holm_orders",
     "eb_shrunk_rates_orders",
+    "vocab_coverage_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3378,3 +3378,57 @@ def boilerplate_ngrams_docs(
     return boilerplate_ngrams(
         staged, "text", "doc_id", n=8, min_docs=3, top_k=50
     )
+
+
+@query(
+    "vocab_coverage_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z]+'),
+        w -> w <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pw AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    fof AS (SELECT c, COUNT(*) AS f FROM pw GROUP BY 1),
+    ag AS (
+      SELECT
+        SUM(CAST(CAST(c AS DECIMAL(38,0)) * f AS DECIMAL(38,0)))
+          AS n,
+        SUM(f) AS v,
+        SUM(CASE WHEN c = 1 THEN f ELSE 0 END) AS f1,
+        SUM(CASE WHEN c = 2 THEN f ELSE 0 END) AS f2
+      FROM fof
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+      CAST(v AS BIGINT) AS vocab_size,
+      CAST(f1 AS BIGINT) AS f1_singletons,
+      CAST(f2 AS BIGINT) AS f2_doubletons,
+      ROUND(CASE WHEN f2 > 0 THEN
+        CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * f1
+          / (2.0 * CAST(f2 AS DOUBLE))
+      ELSE
+        CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * (f1 - 1)
+          / (2.0 * (CAST(f2 AS DOUBLE) + 1))
+      END, 6) AS chao1,
+      CASE WHEN n > 0 THEN
+        ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      END AS unseen_mass
+    FROM ag
+    """,
+)
+def vocab_coverage_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary richness readout (operators.text.vocab_coverage):
+    Chao1 richness lower bound and Good-Turing unseen mass from the
+    frequency-of-frequencies collapse — one token explode, two
+    metadata-scale aggregations, exact-integer singleton/doubleton
+    counts."""
+    from component_delta_lake_writer_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), "text"
+    )

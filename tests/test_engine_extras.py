@@ -4176,3 +4176,32 @@ def test_eb_shrunk_rates_hand_values(spark):
     }
     assert gf["a"].prior_strength is None
     assert gf["a"].shrunk_rate == gf["a"].raw_rate == 0.5
+
+
+def test_vocab_coverage_hand_values(spark):
+    """vocab_coverage: hand frequency-of-frequencies check — Chao1
+    with and without doubletons, Good-Turing unseen mass."""
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    # counts: cat=3 dog=2 bird=1 fish=1 → N=7 V=4 F1=2 F2=1
+    df = spark.createDataFrame(
+        [(1, "cat cat dog bird"), (2, "cat dog fish")],
+        "doc_id long, text string",
+    )
+    r = vocab_coverage(df, "text").collect()[0]
+    assert r.n_tokens == 7 and r.vocab_size == 4
+    assert r.f1_singletons == 2 and r.f2_doubletons == 1
+    assert r.chao1 == _pt.approx(4 + 4 / 2.0)
+    assert r.unseen_mass == _pt.approx(round(2 / 7, 6))
+
+    # no doubletons → bias-corrected variant
+    df2 = spark.createDataFrame(
+        [(1, "aa bb cc aa aa")], "doc_id long, text string"
+    )
+    r2 = vocab_coverage(df2, "text").collect()[0]
+    # counts: aa=3 bb=1 cc=1 → V=3 F1=2 F2=0
+    assert r2.chao1 == _pt.approx(3 + 2 * 1 / 2.0)
