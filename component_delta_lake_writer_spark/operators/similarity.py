@@ -1706,55 +1706,59 @@ def hard_negatives(
     )
 
 
-def pca_top_component(
+def pca_top_components(
     df: DataFrame,
     vec_col: str,
     dim: int,
+    n_components: int = 2,
     n_iter: int = 8,
 ) -> DataFrame:
-    """Top principal component of an embedding corpus — the
-    whitening/diagnostics primitive of the similarity tier: the
-    dominant direction is what anisotropy audits remove (embedding
-    models concentrate mass on a few directions; retrieval quality
-    audits check the top-PC explained share), the first step of
-    PCA-based reduction next to the existing JL/Matryoshka/PQ
-    reducers.
+    """Top-k principal components of an embedding corpus by power
+    iteration with deflation — the whitening/diagnostics primitive
+    of the similarity tier (anisotropy audits remove the dominant
+    directions; 2-D PCA projections plot the first two; PCA-based
+    reduction keeps the top handful next to the existing
+    JL/Matryoshka/PQ reducers).
 
     Scale shape: ONE corpus pass — a posexplode over the UPPER
     TRIANGLE (the inner explode runs on ``slice(x⃗, i, d−i+1)``,
     so N·d(d+1)/2 product rows, not N·d²) streams 12dp-rounded
     float products (exact in double) into a map-side-combined
-    DECIMAL groupBy over the triangular metadata-scale cells;
-    the mirror half is recovered EXACTLY after aggregation
-    (round(x_i·x_j) = round(x_j·x_i), so M_ji = M_ij by
-    construction — a metadata-scale union, never a second pass).
-    The mean vector rides the j=i diagonal slice of the same
-    aggregate.  Everything downstream is expressions on ONE row
-    holding the d×d matrix: covariance C = M/n − μμᵀ via indexed
-    transforms, then ``n_iter`` FIXED power-iteration rounds as
-    array folds — w = C·v via zip_with + a SEQUENTIAL left fold
-    (deterministic summation order on both engines — a groupBy sum
-    of doubles is not), v ← round(w/‖w‖, 9) with the norm's
-    square-fold equally sequential — the chained-lambda lineage
-    truncated every TWO rounds by localCheckpoint(eager=False)
-    (the BPE lesson, halved: one tiny single-row job per pair of
-    rounds, no joins, no broadcasts, no per-round corpus actions).
-    Uniform start 1/√d — exact when d is a power of four (0.125
-    at 64).
+    DECIMAL groupBy over the triangular metadata-scale cells; the
+    mirror half is recovered EXACTLY after aggregation
+    (round(x_i·x_j) = round(x_j·x_i)).  The mean vector rides the
+    diagonal slice of the same aggregate.  Everything downstream
+    is expressions on ONE row holding the d×d matrix: covariance
+    C = M/n − μμᵀ via indexed transforms; per component,
+    ``n_iter`` FIXED power-iteration rounds as array folds —
+    w = C·v via zip_with + a SEQUENTIAL left fold (deterministic
+    summation order on both engines), v ← round(w/‖w‖, 9) — then
+    Hotelling deflation C ← C − λ·vvᵀ before the next component;
+    the chained-lambda lineage is truncated every two rounds by
+    localCheckpoint(eager=False) (the BPE lesson — no joins, no
+    broadcasts, no per-round corpus actions).  Uniform start
+    1/√d, exact when d is a power of four (0.125 at 64).
 
     Rows whose vector is NULL or not exactly ``dim`` long are
     dropped (fixed-dimension contract); an empty corpus refuses
-    loudly.  Returns d rows: (dim_idx 1-based, loading 6dp,
-    eigenvalue 6dp — the final ‖C·v‖, the Rayleigh estimate).
+    loudly.  Returns n_components·d rows: (component 1-based,
+    dim_idx 1-based, loading 6dp, eigenvalue 6dp — ‖C_k·v‖, the
+    Rayleigh estimate — and explained_share = eigenvalue over
+    trace(C₁)).
     """
     from component_delta_lake_writer_spark.errors import UserException
 
+    if not (1 <= n_components <= 8):
+        raise UserException(
+            "pca_top_components: n_components must be in [1, 8], "
+            f"got {n_components!r}"
+        )
     src = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(_as_double(F.col(vec_col)).alias("_e"))
     if not src.select(F.lit(1)).limit(1).collect():
         raise UserException(
-            f"pca_top_component: no rows with a {dim}-dim vector "
+            f"pca_top_components: no rows with a {dim}-dim vector "
             f"in {vec_col!r}"
         )
     lvl1 = src.select(
@@ -1836,9 +1840,9 @@ def pca_top_component(
         F.array(*[F.lit(0.125)] * dim).alias("_v"),
         F.lit(0.0).alias("_nrm"),
     )
-    # trace of C = total variance — the denominator of the
-    # anisotropy readout; a sequential left fold over the diagonal
-    # (the same order the oracle's list_reduce replays)
+    # trace of C₁ = total variance — the explained-share denominator;
+    # a sequential left fold over the diagonal (the order the
+    # oracle's list_reduce replays)
     state = state.select(
         "_C",
         "_v",
@@ -1857,57 +1861,121 @@ def pca_top_component(
     # the corpus aggregate feeds only this one-row plan — pin it so
     # the per-round checkpoints below never re-run the scan
     state = state.localCheckpoint(eager=True)
-    for it in range(n_iter):
-        state = state.select(
-            "_C",
-            "_tr",
-            F.transform(
-                F.col("_C"),
-                lambda crow: F.aggregate(
-                    F.zip_with(
-                        crow, F.col("_v"), lambda a, b: a * b
+    done_cols: list = []
+    for comp in range(1, n_components + 1):
+        for it in range(n_iter):
+            state = state.select(
+                "_C",
+                "_tr",
+                *done_cols,
+                F.transform(
+                    F.col("_C"),
+                    lambda crow: F.aggregate(
+                        F.zip_with(
+                            crow, F.col("_v"), lambda a, b: a * b
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            ).alias("_w"),
-        ).select(
-            "_C",
-            "_tr",
-            "_w",
-            F.sqrt(
-                F.aggregate(
+                ).alias("_w"),
+            ).select(
+                "_C",
+                "_tr",
+                *done_cols,
+                "_w",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("_w"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    )
+                ).alias("_nrm"),
+            ).select(
+                "_C",
+                "_tr",
+                *done_cols,
+                F.transform(
                     F.col("_w"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x * x,
-                )
-            ).alias("_nrm"),
-        ).select(
-            "_C",
-            "_tr",
-            F.transform(
-                F.col("_w"),
-                lambda x: F.round(
-                    F.when(
-                        F.col("_nrm") > 0, x / F.col("_nrm")
-                    ).otherwise(0.0),
-                    9,
-                ),
-            ).alias("_v"),
-            "_nrm",
+                    lambda x: F.round(
+                        F.when(
+                            F.col("_nrm") > 0, x / F.col("_nrm")
+                        ).otherwise(0.0),
+                        9,
+                    ),
+                ).alias("_v"),
+                "_nrm",
+            )
+            if it % 2 == 1 or it == n_iter - 1:
+                # truncate the chained-lambda lineage every two
+                # rounds (the BPE eager=False lesson)
+                state = state.localCheckpoint(eager=False)
+        vk, nk = f"_v{comp}", f"_nrm{comp}"
+        keep = [
+            F.col("_v").alias(vk),
+            F.col("_nrm").alias(nk),
+        ]
+        if comp < n_components:
+            # Hotelling deflation: C ← C − λ·vvᵀ, then restart from
+            # the uniform vector for the next component
+            state = state.select(
+                F.transform(
+                    F.col("_C"),
+                    lambda crow, i: F.zip_with(
+                        crow,
+                        F.col("_v"),
+                        lambda c, vj: c
+                        - F.col("_nrm")
+                        * F.element_at(F.col("_v"), i + 1)
+                        * vj,
+                    ),
+                ).alias("_C"),
+                "_tr",
+                *done_cols,
+                *keep,
+                F.array(*[F.lit(0.125)] * dim).alias("_v"),
+                F.lit(0.0).alias("_nrm"),
+            )
+        else:
+            state = state.select(
+                "_C", "_tr", *done_cols, *keep
+            )
+        done_cols = done_cols + [F.col(vk), F.col(nk)]
+        state = state.localCheckpoint(eager=False)
+    parts = []
+    for comp in range(1, n_components + 1):
+        vk, nk = f"_v{comp}", f"_nrm{comp}"
+        parts.append(
+            state.select(
+                F.lit(comp).cast("int").alias("component"),
+                F.posexplode(vk).alias("_p", "_l"),
+                F.col(nk).alias("_nrm"),
+                "_tr",
+            ).select(
+                "component",
+                (F.col("_p") + 1).cast("int").alias("dim_idx"),
+                F.round(F.col("_l"), 6).alias("loading"),
+                F.round(F.col("_nrm"), 6).alias("eigenvalue"),
+                F.when(
+                    F.col("_tr") > 0,
+                    F.round(F.col("_nrm") / F.col("_tr"), 6),
+                ).alias("explained_share"),
+            )
         )
-        if it % 2 == 1 or it == n_iter - 1:
-            # truncate the chained-lambda lineage every two rounds
-            # (the BPE eager=False lesson, halved job count)
-            state = state.localCheckpoint(eager=False)
-    return state.select(
-        F.posexplode("_v").alias("_p", "_l"), "_nrm", "_tr"
-    ).select(
-        (F.col("_p") + 1).cast("int").alias("dim_idx"),
-        F.round(F.col("_l"), 6).alias("loading"),
-        F.round(F.col("_nrm"), 6).alias("eigenvalue"),
-        F.when(
-            F.col("_tr") > 0,
-            F.round(F.col("_nrm") / F.col("_tr"), 6),
-        ).alias("explained_share"),
-    )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Top principal component — :func:`pca_top_components` with
+    n_components=1, keeping the original single-component schema
+    (dim_idx, loading, eigenvalue, explained_share)."""
+    return pca_top_components(
+        df, vec_col, dim, n_components=1, n_iter=n_iter
+    ).drop("component")

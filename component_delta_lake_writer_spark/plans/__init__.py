@@ -172,6 +172,7 @@ _FRONT = [
     "holm_orders",
     "eb_shrunk_rates_orders",
     "vocab_coverage_docs",
+    "pca_top2_embeddings",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -11413,21 +11413,24 @@ def lins_ccc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lins_ccc(o, "x", "y")
 
 
-def _pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
-    """Unroll the fixed power-iteration rounds as the house CTE
-    cascade (the BPE/Bradley-Terry/Cox precedent): the one-pass
-    second-moment/mean aggregate, the covariance cells, then per
-    round a C·v matvec as a list comprehension + SEQUENTIAL
+def _pca_oracle(
+    dim: int = 64, n_iter: int = 8, n_components: int = 1
+) -> str:
+    """Unroll the fixed power-iteration rounds (and the Hotelling
+    deflation between components) as the house CTE cascade (the
+    BPE/Bradley-Terry/Cox precedent): the one-pass second-moment/
+    mean aggregate, the covariance cells, then per component a
+    matvec per round as a list comprehension + SEQUENTIAL
     list_reduce (the exact summation order of the operator's
     zip_with/aggregate folds), the norm, and the 9dp-rounded
     normalized vector."""
     d1 = dim + 1
     parts = [
-        f"""src AS (
+        f"""src AS MATERIALIZED (
     SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) = {dim}
   ),
-  m AS (
+  m AS MATERIALIZED (
     SELECT r1.i AS i, r2.j AS j,
       SUM(CAST(ROUND(emb[r1.i] * emb[r2.j], 12)
         AS DECIMAL(30,12))) AS m,
@@ -11437,50 +11440,72 @@ def _pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
     FROM src, range(1, {d1}) r1(i), range(1, {d1}) r2(j)
     GROUP BY 1, 2
   ),
-  mu AS (SELECT i, CAST(s AS DOUBLE) / n AS mu FROM m WHERE j = 1),
-  cells AS (
+  mu AS MATERIALIZED (SELECT i, CAST(s AS DOUBLE) / n AS mu FROM m WHERE j = 1),
+  cells AS MATERIALIZED (
     SELECT m.i, m.j, CAST(m.m AS DOUBLE) / m.n
       - mi.mu * mj.mu AS c
     FROM m JOIN mu mi ON mi.i = m.i JOIN mu mj ON mj.i = m.j
   ),
-  cv AS (SELECT i, list(c ORDER BY j) AS carr FROM cells
+  cv1 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS carr FROM cells
     GROUP BY 1),
-  tr AS (
+  tr AS MATERIALIZED (
     SELECT list_reduce(list(d ORDER BY i), (a, b) -> a + b)
       AS trace
-    FROM (SELECT i, carr[i] AS d FROM cv)
-  ),
-  v0 AS (SELECT [0.125 for k in range(1, {d1})] AS v)"""
+    FROM (SELECT i, carr[i] AS d FROM cv1)
+  )"""
     ]
-    for r in range(1, n_iter + 1):
+    for comp in range(1, n_components + 1):
         parts.append(
-            f"""w{r} AS (
+            f"""c{comp}v0 AS MATERIALIZED (SELECT [0.125 for k in range(1, {d1})] AS v)"""
+        )
+        for r in range(1, n_iter + 1):
+            parts.append(
+                f"""c{comp}w{r} AS MATERIALIZED (
     SELECT i, list_reduce(
       [carr[k] * v[k] for k in range(1, {d1})],
       (a, b) -> a + b) AS w
-    FROM cv, v{r - 1}
+    FROM cv{comp}, c{comp}v{r - 1}
   ),
-  a{r} AS (SELECT list(w ORDER BY i) AS warr FROM w{r}),
-  n{r} AS (
+  c{comp}a{r} AS MATERIALIZED (SELECT list(w ORDER BY i) AS warr
+    FROM c{comp}w{r}),
+  c{comp}n{r} AS MATERIALIZED (
     SELECT warr, SQRT(list_reduce([x * x for x in warr],
       (a, b) -> a + b)) AS nrm
-    FROM a{r}
+    FROM c{comp}a{r}
   ),
-  v{r} AS (
+  c{comp}v{r} AS MATERIALIZED (
     SELECT [ROUND(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 9)
       for x in warr] AS v, nrm
-    FROM n{r}
+    FROM c{comp}n{r}
   )"""
-        )
-    return (
-        "WITH " + ",\n  ".join(parts) + f"""
-  SELECT CAST(r.k AS INT) AS dim_idx,
+            )
+        if comp < n_components:
+            parts.append(
+                f"""cv{comp + 1} AS MATERIALIZED (
+    SELECT cv.i,
+      [cv.carr[j] - f.nrm * f.v[cv.i] * f.v[j]
+        for j in range(1, {d1})] AS carr
+    FROM cv{comp} cv, c{comp}v{n_iter} f
+  )"""
+            )
+    selects = []
+    for comp in range(1, n_components + 1):
+        selects.append(
+            f"""SELECT CAST({comp} AS INT) AS component,
+    CAST(r.k AS INT) AS dim_idx,
     ROUND(v[r.k], 6) AS loading,
     ROUND(nrm, 6) AS eigenvalue,
     CASE WHEN trace > 0 THEN ROUND(nrm / trace, 6)
     END AS explained_share
-  FROM v{n_iter}, tr, range(1, {d1}) r(k)"""
-    )
+  FROM c{comp}v{n_iter}, tr, range(1, {d1}) r(k)"""
+        )
+    body = "WITH " + ",\n  ".join(parts) + "\n  "
+    if n_components == 1:
+        # the single-component key keeps its original schema
+        return body + f"""SELECT dim_idx, loading, eigenvalue,
+    explained_share
+  FROM ({selects[0]})"""
+    return body + " UNION ALL ".join(selects)
 
 
 @query("pca_top_component_embeddings", oracle=_pca_oracle(64, 8))
@@ -12026,3 +12051,24 @@ def eb_shrunk_rates_orders(
         (F.col("o_orderstatus") == "F").cast("int").alias("y"),
     )
     return eb_shrunk_rates(o, "seg", "y")
+
+
+@query("pca_top2_embeddings", oracle=_pca_oracle(64, 8, 2))
+def pca_top2_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 principal components
+    (operators.similarity.pca_top_components): the one-pass
+    covariance and 8 power-iteration rounds per component with
+    Hotelling deflation (C − λ·vvᵀ) between them — the 2-D PCA
+    projection/anisotropy readout.  The oracle unrolls both
+    cascades plus the deflation as list comprehensions in the
+    identical summation order."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        pca_top_components,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_top_components(
+        e, "embedding", dim=64, n_components=2, n_iter=8
+    )

@@ -4205,3 +4205,54 @@ def test_vocab_coverage_hand_values(spark):
     r2 = vocab_coverage(df2, "text").collect()[0]
     # counts: aa=3 bb=1 cc=1 → V=3 F1=2 F2=0
     assert r2.chao1 == _pt.approx(3 + 2 * 1 / 2.0)
+
+
+def test_pca_top_components_deflation_against_numpy(spark):
+    """pca_top_components(2): with two planted orthogonal
+    directions of different strengths, both components match
+    numpy's top-2 eigenpairs (sign-aligned), the second is
+    orthogonal to the first, and the eigenvalues order."""
+    import numpy as np
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        pca_top_components,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 300
+    d1 = np.zeros(d); d1[0:4] = 0.5
+    d2 = np.zeros(d); d2[4:8] = 0.5
+    data = (
+        rng.normal(0, 0.05, (n, d))
+        + np.outer(rng.normal(0, 3.0, n), d1)
+        + np.outer(rng.normal(0, 1.5, n), d2)
+    )
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    got = pca_top_components(
+        df, "v", dim=d, n_components=2, n_iter=8
+    ).collect()
+    assert len(got) == 2 * d
+    vs = {}
+    for comp in (1, 2):
+        rowsc = sorted(
+            (r for r in got if r.component == comp),
+            key=lambda r: r.dim_idx,
+        )
+        vs[comp] = (
+            np.array([r.loading for r in rowsc]),
+            rowsc[0].eigenvalue,
+        )
+    x = data.astype(np.float32).astype(np.float64)
+    c = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    for comp, idx in ((1, -1), (2, -2)):
+        v, lam = vs[comp]
+        top = evecs[:, idx]
+        if np.dot(top, v) < 0:
+            top = -top
+        assert np.allclose(v, top, atol=2e-3), comp
+        assert lam == _pt.approx(evals[idx], rel=2e-3)
+    assert abs(np.dot(vs[1][0], vs[2][0])) < 1e-3
+    assert vs[1][1] > vs[2][1]
