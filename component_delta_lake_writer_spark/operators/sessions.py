@@ -2049,3 +2049,127 @@ def fleming_harrington_test(
             (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def poisson_rate_ratio(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    type_col: str,
+    target_type: str,
+) -> DataFrame:
+    """Two-arm incidence-rate ratio over person-time — the ops/
+    reliability companion to the survival tier: "does arm B hit
+    ``target_type`` events (errors, crashes, refunds) at a higher
+    RATE per user-day", with exposure measured correctly from each
+    user's observed lifetime instead of pretending every user was
+    watched equally long (the raw-count comparison's lie).
+
+    ONE corpus scan collapses to per-user (arm, exposure = observed
+    days + 1, occurrences of the target type); per-arm totals are
+    exact longs.  The ratio inference is the standard log-linear
+    Poisson spelling: ln(RR) ± z·√(1/O_a + 1/O_b), with ln and the
+    SE each rounded 9dp BEFORE exp (the MH-CI discipline — ln/exp
+    are the libm calls whose last ulp differs between engines;
+    √ is IEEE-exact).  Arms orient lexicographically; exactly two
+    arms required (the risk-grid contract); zero occurrences on
+    either side yields NULL ratio/CI (no finite log estimate) —
+    the counts still report.
+
+    Returns ONE row: (arm_a, arm_b, events_a, events_b,
+    exposure_days_a, exposure_days_b, rate_a, rate_b — per 1000
+    user-days, 6dp — rate_ratio, ci_lo, ci_hi, significant).
+    """
+    from component_delta_lake_writer_spark.errors import UserException
+
+    users = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(arm_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.min(F.col(arm_col).cast("string")).alias("_arm"),
+            (
+                F.datediff(
+                    F.max(F.to_date(ts_col)),
+                    F.min(F.to_date(ts_col)),
+                )
+                + 1
+            ).alias("_exp"),
+            F.sum(
+                F.when(
+                    F.col(type_col) == target_type, 1
+                ).otherwise(0)
+            ).alias("_occ"),
+        )
+    )
+    per_arm = users.groupBy("_arm").agg(
+        F.sum("_exp").alias("_e"), F.sum("_occ").alias("_o")
+    )
+    per_arm = per_arm.localCheckpoint(eager=True)
+    arms = [
+        r["_arm"]
+        for r in per_arm.select("_arm").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            "poisson_rate_ratio needs exactly 2 arms, got "
+            f"{sorted(arms)!r}"
+        )
+    a, b = sorted(arms)
+
+    def pick(g, c):
+        return F.max(F.when(F.col("_arm") == g, F.col(c)))
+
+    agg = per_arm.agg(
+        pick(a, "_o").alias("_oa"),
+        pick(a, "_e").alias("_ea"),
+        pick(b, "_o").alias("_ob"),
+        pick(b, "_e").alias("_eb"),
+    )
+    oa = F.col("_oa").cast("double")
+    ob = F.col("_ob").cast("double")
+    ea = F.col("_ea").cast("double")
+    eb = F.col("_eb").cast("double")
+    ok = (
+        (F.col("_oa") > 0)
+        & (F.col("_ob") > 0)
+        & (F.col("_ea") > 0)
+        & (F.col("_eb") > 0)
+    )
+    lnrr = F.round(F.log(oa / ea / (ob / eb)), 9)
+    se = F.round(F.sqrt(F.lit(1.0) / oa + F.lit(1.0) / ob), 9)
+    lo = F.exp(lnrr - F.lit(1.959964) * se)
+    hi = F.exp(lnrr + F.lit(1.959964) * se)
+    return agg.select(
+        F.lit(a).alias("arm_a"),
+        F.lit(b).alias("arm_b"),
+        F.col("_oa").cast("long").alias("events_a"),
+        F.col("_ob").cast("long").alias("events_b"),
+        F.col("_ea").cast("long").alias("exposure_days_a"),
+        F.col("_eb").cast("long").alias("exposure_days_b"),
+        F.when(
+            F.col("_ea") > 0,
+            F.round(oa / ea * 1000, 6),
+        ).alias("rate_a"),
+        F.when(
+            F.col("_eb") > 0,
+            F.round(ob / eb * 1000, 6),
+        ).alias("rate_b"),
+        F.when(ok, F.round(F.exp(lnrr), 6)).alias("rate_ratio"),
+        F.when(ok, F.round(lo, 6)).alias("ci_lo"),
+        F.when(ok, F.round(hi, 6)).alias("ci_hi"),
+        F.coalesce(
+            F.when(
+                ok,
+                (
+                    (F.round(lo, 9) > 1.0)
+                    | (F.round(hi, 9) < 1.0)
+                ).cast("int"),
+            ),
+            F.lit(0),
+        ).alias("significant"),
+    )

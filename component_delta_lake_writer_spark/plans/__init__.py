@@ -173,6 +173,7 @@ _FRONT = [
     "eb_shrunk_rates_orders",
     "vocab_coverage_docs",
     "pca_top2_embeddings",
+    "poisson_rate_ratio_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

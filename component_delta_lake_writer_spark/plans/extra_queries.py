@@ -12072,3 +12072,77 @@ def pca_top2_embeddings(
     return pca_top_components(
         e, "embedding", dim=64, n_components=2, n_iter=8
     )
+
+
+@query(
+    "poisson_rate_ratio_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        datediff('day', MIN(CAST(ts AS DATE)),
+          MAX(CAST(ts AS DATE))) + 1 AS ex,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS occ
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pa AS (
+      SELECT arm, SUM(ex) AS e, SUM(occ) AS o FROM u GROUP BY 1
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN arm = '0' THEN o END) AS oa,
+        MAX(CASE WHEN arm = '0' THEN e END) AS ea,
+        MAX(CASE WHEN arm = '1' THEN o END) AS ob,
+        MAX(CASE WHEN arm = '1' THEN e END) AS eb
+      FROM pa
+    ),
+    c AS (
+      SELECT oa, ea, ob, eb,
+        (oa > 0 AND ob > 0 AND ea > 0 AND eb > 0) AS ok,
+        ROUND(LN(CAST(oa AS DOUBLE) / ea
+          / (CAST(ob AS DOUBLE) / eb)), 9) AS lnrr,
+        ROUND(SQRT(1.0 / CAST(oa AS DOUBLE)
+          + 1.0 / CAST(ob AS DOUBLE)), 9) AS se
+      FROM p
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(oa AS BIGINT) AS events_a,
+      CAST(ob AS BIGINT) AS events_b,
+      CAST(ea AS BIGINT) AS exposure_days_a,
+      CAST(eb AS BIGINT) AS exposure_days_b,
+      CASE WHEN ea > 0 THEN
+        ROUND(CAST(oa AS DOUBLE) / ea * 1000, 6) END AS rate_a,
+      CASE WHEN eb > 0 THEN
+        ROUND(CAST(ob AS DOUBLE) / eb * 1000, 6) END AS rate_b,
+      CASE WHEN ok THEN ROUND(EXP(lnrr), 6) END AS rate_ratio,
+      CASE WHEN ok THEN
+        ROUND(EXP(lnrr - 1.959964 * se), 6) END AS ci_lo,
+      CASE WHEN ok THEN
+        ROUND(EXP(lnrr + 1.959964 * se), 6) END AS ci_hi,
+      CAST(COALESCE(CASE WHEN ok THEN
+        (ROUND(EXP(lnrr - 1.959964 * se), 9) > 1.0
+         OR ROUND(EXP(lnrr + 1.959964 * se), 9) < 1.0)
+      END, FALSE) AS INT) AS significant
+    FROM c
+    """,
+)
+def poisson_rate_ratio_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-arm incidence-rate ratio
+    (operators.sessions.poisson_rate_ratio): error-event rate per
+    1000 user-days with exposure from observed lifetimes,
+    user-parity arms, log-linear CI with the 9dp ln/se rounding
+    discipline."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        poisson_rate_ratio,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return poisson_rate_ratio(
+        ev, "user_id", "ts", "arm", "event_type", "error"
+    )

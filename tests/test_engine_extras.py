@@ -4256,3 +4256,69 @@ def test_pca_top_components_deflation_against_numpy(spark):
         assert lam == _pt.approx(evals[idx], rel=2e-3)
     assert abs(np.dot(vs[1][0], vs[2][0])) < 1e-3
     assert vs[1][1] > vs[2][1]
+
+
+def test_poisson_rate_ratio_hand_values(spark):
+    """poisson_rate_ratio: hand check of per-arm exposure/counts
+    and the log-linear CI; zero occurrences on one side NULL the
+    ratio but keep the counts; a third arm refuses."""
+    import datetime as dtm
+    import math
+
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.errors import (
+        UserException,
+    )
+    from component_delta_lake_writer_spark.operators.sessions import (
+        poisson_rate_ratio,
+    )
+
+    t0 = dtm.datetime(2026, 5, 1, 12, 0)
+    rows = []
+    # arm A (uid 0): 10 observed days, 4 errors; arm B (uid 1):
+    # 5 observed days, 1 error; extra non-error events pad both
+    for day in range(10):
+        rows.append((0, t0 + dtm.timedelta(days=day), "view"))
+    for _ in range(4):
+        rows.append((0, t0 + dtm.timedelta(days=3), "error"))
+    for day in range(5):
+        rows.append((1, t0 + dtm.timedelta(days=day), "view"))
+    rows.append((1, t0 + dtm.timedelta(days=2), "error"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).withColumn("arm", (F.col("user_id") % 2).cast("string"))
+    r = poisson_rate_ratio(
+        df, "user_id", "ts", "arm", "event_type", "error"
+    ).collect()[0]
+    assert r.events_a == 4 and r.events_b == 1
+    assert r.exposure_days_a == 10 and r.exposure_days_b == 5
+    rr = (4 / 10) / (1 / 5)
+    lnrr = round(math.log(rr), 9)
+    se = round(math.sqrt(1 / 4 + 1 / 1), 9)
+    assert r.rate_ratio == _pt.approx(round(math.exp(lnrr), 6))
+    assert r.ci_lo == _pt.approx(
+        round(math.exp(lnrr - 1.959964 * se), 6)
+    )
+    assert r.significant == 0      # wide CI spans 1
+
+    no_err = df.filter(
+        (F.col("event_type") != "error") | (F.col("user_id") == 0)
+    )
+    r2 = poisson_rate_ratio(
+        no_err, "user_id", "ts", "arm", "event_type", "error"
+    ).collect()[0]
+    assert r2.events_b == 0 and r2.rate_ratio is None
+
+    three = df.withColumn(
+        "arm", (F.col("user_id") % 3).cast("string")
+    ).unionAll(
+        spark.createDataFrame(
+            [(2, t0, "view")],
+            "user_id long, ts timestamp, event_type string",
+        ).withColumn("arm", F.lit("2"))
+    )
+    with _pt.raises(UserException):
+        poisson_rate_ratio(
+            three, "user_id", "ts", "arm", "event_type", "error"
+        )
