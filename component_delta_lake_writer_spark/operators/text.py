@@ -817,3 +817,41 @@ def vocab_coverage(
         F.round(chao1, 6).alias("chao1"),
         F.round(unseen, 6).alias("unseen_mass"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    spans,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove known boilerplate spans from every document — the
+    action half of :func:`boilerplate_ngrams`' inventory: once the
+    recurring spans (cookie banners, license headers) are known,
+    every occurrence is stripped before tokenization/training.
+
+    ``spans`` is a bounded list of literal strings (the inventory's
+    top-k — pass ``[r.ngram for r in inventory.collect()]``; the
+    bounded collect is the sanctioned metadata class).  Removal is
+    a CHAIN of literal (non-regex) replaces applied in the
+    DETERMINISTIC order longest-span-first then lexicographic —
+    the order is part of the contract, because overlapping spans
+    make removal order observable; whitespace is re-collapsed once
+    at the end so butted neighbors don't fuse.  Pure Catalyst
+    (``replace``), no regex engine in the hot path, one
+    projection — no shuffle at all.
+
+    Returns (id, text_clean, n_chars_removed).
+    """
+    ordered = sorted(set(spans), key=lambda s: (-len(s), s))
+    cleaned = F.col(text_col)
+    for s in ordered:
+        cleaned = F.replace(cleaned, F.lit(s), F.lit(""))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        (F.length(text_col) - F.length(cleaned))
+        .cast("long")
+        .alias("n_chars_removed"),
+    )

@@ -174,6 +174,7 @@ _FRONT = [
     "vocab_coverage_docs",
     "pca_top2_embeddings",
     "poisson_rate_ratio_events",
+    "strip_boilerplate_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3432,3 +3432,71 @@ def vocab_coverage_docs(
     return vocab_coverage(
         load_table(spark, sf_dir, "documents"), "text"
     )
+
+
+@query(
+    "strip_boilerplate_docs",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+          'terms of service apply to this content all rights '
+          || 'reserved ' || text
+        WHEN doc_id % 6 = 0 THEN
+          'click here to subscribe to our newsletter for daily '
+          || 'updates ' || text
+        ELSE text END AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(
+          replace(t,
+            'click here to subscribe to our newsletter for '
+            || 'daily updates ', ''),
+          'terms of service apply to this content all rights '
+          || 'reserved ', ''),
+        '\\s+', ' ', 'g')) AS text_clean,
+      CAST(length(t) - length(trim(regexp_replace(
+        replace(
+          replace(t,
+            'click here to subscribe to our newsletter for '
+            || 'daily updates ', ''),
+          'terms of service apply to this content all rights '
+          || 'reserved ', ''),
+        '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+    FROM staged
+    """,
+)
+def strip_boilerplate_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate span removal (operators.text.strip_boilerplate)
+    on the planted fixture: the two known banners stripped from
+    every document by the deterministic longest-first literal
+    replace chain, whitespace re-collapsed, removed-char counts
+    per doc."""
+    from component_delta_lake_writer_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    doc = F.col("doc_id")
+    span_a = (
+        "terms of service apply to this content all rights "
+        "reserved "
+    )
+    span_b = (
+        "click here to subscribe to our newsletter for daily "
+        "updates "
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(doc % 4 == 0, F.concat(F.lit(span_a), F.col("text")))
+        .when(doc % 6 == 0, F.concat(F.lit(span_b), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_boilerplate(staged, [span_a, span_b])

@@ -4322,3 +4322,34 @@ def test_poisson_rate_ratio_hand_values(spark):
         poisson_rate_ratio(
             three, "user_id", "ts", "arm", "event_type", "error"
         )
+
+
+def test_strip_boilerplate_hand_values(spark):
+    """strip_boilerplate: every occurrence removed (including
+    mid-text repeats), longest-first order observable on nested
+    spans, whitespace re-collapsed, counts exact."""
+    from component_delta_lake_writer_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    rows = [
+        (1, "keep all rights reserved keep all rights reserved end"),
+        (2, "rights reserved alone"),
+        (3, "untouched text stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in strip_boilerplate(
+            df, ["rights reserved", "all rights reserved"]
+        ).collect()
+    }
+    # longest-first: 'all rights reserved' removed before the
+    # shorter 'rights reserved' can split it
+    assert got[1].text_clean == "keep keep end"
+    assert got[1].n_chars_removed == len(rows[0][1]) - len(
+        "keep keep end"
+    )
+    assert got[2].text_clean == "alone"
+    assert got[3].text_clean == "untouched text stays"
+    assert got[3].n_chars_removed == 0
