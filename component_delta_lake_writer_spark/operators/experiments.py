@@ -4589,3 +4589,110 @@ def eb_shrunk_rates(
         F.round(shrunk, 6).alias("shrunk_rate"),
         F.round(F.col("_K"), 6).alias("prior_strength"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between two arms'
+    value distributions — the drift metric PSI and TVD can't be:
+    bin-permutation-invariant metrics score "everyone moved one
+    bucket up" the same as "everyone jumped to the top"; W₁
+    = ∫|F_a − F_b| dx weights shift by HOW FAR the mass moved, in
+    the value's own units (dollars, tokens, latency ms).
+
+    Scale shape: ONE corpus scan to the per-(arm, value) tie
+    table; the CDF difference rides ordered windows over the
+    DISTINCT-value relation (discrete or pre-bucketed values — the
+    MW/JT contract); W₁ = Σ gap·|cum_a·n_b − cum_b·n_a|/(n_a·n_b)
+    accumulates as EXACT integers through DECIMAL(38,0)
+    (cum·n ~ N² overflows long at N≈2³¹; the value gaps are exact
+    longs on bucketed data), so both engines agree bit-for-bit
+    before the single rounded division.
+
+    Returns ONE row: (group_a, group_b, n_a, n_b, n_values,
+    wasserstein 6dp) — arms oriented lexicographically; exactly
+    two arms required.
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    cells = src.groupBy("_v", "_g").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    cells = cells.localCheckpoint(eager=True)
+    arms = [
+        r["_g"]
+        for r in cells.select("_g").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"wasserstein_1d needs exactly 2 arms, found "
+            f"{sorted(arms)!r}"
+        )
+    ga, gb = sorted(arms)
+    per_v = cells.groupBy("_v").agg(
+        F.sum(
+            F.when(F.col("_g") == ga, F.col("_t")).otherwise(0)
+        ).alias("_ca"),
+        F.sum(
+            F.when(F.col("_g") == gb, F.col("_t")).otherwise(0)
+        ).alias("_cb"),
+    )
+    w_ord = Window.orderBy("_v")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    staged = per_v.select(
+        "_v",
+        F.sum("_ca").over(w_cum).alias("_fa"),
+        F.sum("_cb").over(w_cum).alias("_fb"),
+        (F.lead("_v").over(w_ord) - F.col("_v")).alias("_gap"),
+    )
+    totals = per_v.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    d38 = "decimal(38,0)"
+    agg = staged.crossJoin(F.broadcast(totals)).agg(
+        F.sum(
+            F.when(
+                F.col("_gap").isNotNull(),
+                (
+                    F.col("_gap").cast(d38)
+                    * F.abs(
+                        (
+                            F.col("_fa").cast(d38) * F.col("_nb")
+                        ).cast(d38)
+                        - (
+                            F.col("_fb").cast(d38) * F.col("_na")
+                        ).cast(d38)
+                    )
+                ).cast(d38),
+            )
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_nv"),
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+    )
+    w1 = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.round(
+            # a single distinct value has no gaps: the empty sum is
+            # NULL, but the distance is genuinely 0
+            F.coalesce(F.col("_s"), F.lit(0).cast("decimal(38,0)"))
+            .cast("double")
+            / (
+                F.col("_na").cast(d38) * F.col("_nb")
+            ).cast(d38).cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_nv").cast("long").alias("n_values"),
+        w1.alias("wasserstein"),
+    )

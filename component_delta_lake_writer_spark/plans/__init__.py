@@ -175,6 +175,7 @@ _FRONT = [
     "pca_top2_embeddings",
     "poisson_rate_ratio_events",
     "strip_boilerplate_docs",
+    "wasserstein_drift_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -12146,3 +12146,69 @@ def poisson_rate_ratio_events(
     return poisson_rate_ratio(
         ev, "user_id", "ts", "arm", "event_type", "error"
     )
+
+
+@query(
+    "wasserstein_drift_orders",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+      SELECT v,
+        SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS ca,
+        SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS cb
+      FROM src GROUP BY 1
+    ),
+    st AS (
+      SELECT v,
+        SUM(ca) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        SUM(cb) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+        LEAD(v) OVER (ORDER BY v) - v AS gap
+      FROM pv
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pv),
+    ag AS (
+      SELECT
+        SUM(CASE WHEN gap IS NOT NULL THEN
+          CAST(CAST(gap AS DECIMAL(38,0)) * ABS(
+            CAST(CAST(fa AS DECIMAL(38,0)) * nb AS DECIMAL(38,0))
+            - CAST(CAST(fb AS DECIMAL(38,0)) * na
+                AS DECIMAL(38,0)))
+          AS DECIMAL(38,0)) END) AS s,
+        COUNT(*) AS nv
+      FROM st, tot
+    )
+    SELECT '0' AS group_a, '1' AS group_b,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CAST(nv AS BIGINT) AS n_values,
+      CASE WHEN na > 0 AND nb > 0 THEN
+        ROUND(CAST(COALESCE(s, 0) AS DOUBLE)
+          / CAST(CAST(CAST(na AS DECIMAL(38,0)) * nb
+            AS DECIMAL(38,0)) AS DOUBLE), 6)
+      END AS wasserstein
+    FROM ag, tot
+    """,
+)
+def wasserstein_drift_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Wasserstein drift distance
+    (operators.experiments.wasserstein_1d): orderkey-parity arms
+    over 1k-price buckets — the CDF-area metric that weights drift
+    by HOW FAR mass moved, exact-integer |F_a·n_b − F_b·n_a| sums
+    through DECIMAL(38,0) with value gaps as exact longs."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        wasserstein_1d,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("g"),
+        F.floor(F.col("o_totalprice") / 1000).alias("v"),
+    )
+    return wasserstein_1d(o, "g", "v")

@@ -2887,3 +2887,56 @@ def test_holm_bonferroni_matches_bruteforce(spark, ps):
         assert got[tid].reject == int(round(adj, 9) <= 0.05)
         if got[tid].reject:
             assert bh[tid].reject == 1
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),                            # arm
+            st.integers(min_value=0, max_value=10),   # value
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+def test_wasserstein_matches_bruteforce(spark, rows):
+    """wasserstein_1d == the CDF-area integral computed in plain
+    Python on ANY two-arm value multiset — and it equals the mean
+    absolute difference of sorted quantile functions when the
+    arms are equal-sized (the transport identity)."""
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        wasserstein_1d,
+    )
+
+    assume(len({a for a, _ in rows}) == 2)
+    data = [("0" if not a else "1", v) for a, v in rows]
+    df = spark.createDataFrame(data, "g string, v long")
+    r = wasserstein_1d(df, "g", "v").collect()[0]
+
+    avals = sorted(v for g, v in data if g == "0")
+    bvals = sorted(v for g, v in data if g == "1")
+    na, nb = len(avals), len(bvals)
+    vals = sorted({v for _, v in data})
+    w = 0.0
+    for k in range(len(vals) - 1):
+        gap = vals[k + 1] - vals[k]
+        fa = sum(1 for x in avals if x <= vals[k])
+        fb = sum(1 for x in bvals if x <= vals[k])
+        w += gap * abs(fa * nb - fb * na)
+    w /= na * nb
+    assert r.n_a == na and r.n_b == nb
+    assert r.wasserstein == pytest.approx(round(w, 6), abs=1e-9)
+    if na == nb:
+        transport = sum(
+            abs(x - y) for x, y in zip(avals, bvals)
+        ) / na
+        assert r.wasserstein == pytest.approx(
+            transport, abs=1e-6
+        )
