@@ -1979,3 +1979,121 @@ def pca_top_component(
     return pca_top_components(
         df, vec_col, dim, n_components=1, n_iter=n_iter
     ).drop("component")
+
+
+def class_separation(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-class-pair separation readout over a labeled embedding
+    corpus — the eval that says whether the embedding SPACE
+    actually separates the labels a downstream classifier or
+    retrieval filter will lean on: for every label pair, the
+    centroid distance against the classes' internal spread (the
+    Fisher-discriminant shape).  Low ratios flag label pairs the
+    space confuses — where retrieval hard-negatives and training
+    mixes need attention.
+
+    ONE corpus pass: a posexplode streams (label, i, x_i) into a
+    map-side-combined groupBy over the |labels|·d metadata cells,
+    accumulating Σx and Σx² as 9/12dp-rounded DECIMAL sums
+    (order-free).  Everything downstream is metadata-scale: per
+    label, the centroid μ and the mean intra-class spread
+    E‖x−μ‖² = Σᵢ(Σx²ᵢ/n − μᵢ²) (the one-pass variance identity —
+    no second corpus scan to measure distances); per pair, the
+    squared centroid distance via a SEQUENTIAL fold over sorted
+    dims (deterministic summation order both engines), and
+    separation = ‖μ_a−μ_b‖² / (intra_a + intra_b).
+
+    Rows with NULL label or a vector not exactly ``dim`` long are
+    dropped.  Returns one row per unordered label pair (a < b):
+    (label_a, label_b, n_a, n_b, centroid_dist, intra_a, intra_b,
+    separation) — 6dp.
+    """
+    src = df.filter(
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & (F.size(vec_col) == dim)
+    ).select(
+        F.col(label_col).cast("string").alias("_l"),
+        _as_double(F.col(vec_col)).alias("_e"),
+    )
+    cells = src.select(
+        "_l", F.posexplode("_e").alias("_p", "_x")
+    ).groupBy("_l", "_p").agg(
+        F.sum(F.round(F.col("_x"), 9).cast("decimal(20,9)")).alias(
+            "_s"
+        ),
+        F.sum(
+            F.round(F.col("_x") * F.col("_x"), 12).cast(
+                "decimal(30,12)"
+            )
+        ).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    per_label = cells.groupBy("_l").agg(
+        F.max("_n").alias("_n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_s"))),
+            lambda s: s["_s"].cast("double"),
+        ).alias("_sv"),
+        # intra = Σᵢ (Σx²ᵢ/n − μᵢ²): fold the per-dim terms in
+        # sorted-dim order (sequential, engine-portable)
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_s2"))),
+            lambda s: s["_s2"].cast("double"),
+        ).alias("_s2v"),
+    )
+    n_d = F.col("_n").cast("double")
+    per_label = per_label.select(
+        "_l",
+        "_n",
+        F.transform(F.col("_sv"), lambda s: s / n_d).alias("_mu"),
+        F.aggregate(
+            F.zip_with(
+                F.col("_s2v"),
+                F.col("_sv"),
+                lambda s2, s: s2 / n_d - (s / n_d) * (s / n_d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_intra"),
+    )
+    per_label = per_label.localCheckpoint(eager=True)
+    a = per_label.select(
+        F.col("_l").alias("_la"),
+        F.col("_n").alias("_na"),
+        F.col("_mu").alias("_mua"),
+        F.col("_intra").alias("_ia"),
+    )
+    b = per_label.select(
+        F.col("_l").alias("_lb"),
+        F.col("_n").alias("_nb"),
+        F.col("_mu").alias("_mub"),
+        F.col("_intra").alias("_ib"),
+    )
+    pairs = a.join(b, F.col("_la") < F.col("_lb"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_mua"),
+            F.col("_mub"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        F.col("_la").alias("label_a"),
+        F.col("_lb").alias("label_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(F.sqrt(d2), 6).alias("centroid_dist"),
+        F.round(F.col("_ia"), 6).alias("intra_a"),
+        F.round(F.col("_ib"), 6).alias("intra_b"),
+        F.when(
+            F.col("_ia") + F.col("_ib") > 0,
+            F.round(d2 / (F.col("_ia") + F.col("_ib")), 6),
+        ).alias("separation"),
+    )

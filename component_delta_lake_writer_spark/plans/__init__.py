@@ -176,6 +176,7 @@ _FRONT = [
     "poisson_rate_ratio_events",
     "strip_boilerplate_docs",
     "wasserstein_drift_orders",
+    "class_separation_embeddings",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

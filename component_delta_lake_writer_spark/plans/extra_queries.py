@@ -12212,3 +12212,70 @@ def wasserstein_drift_orders(
         F.floor(F.col("o_totalprice") / 1000).alias("v"),
     )
     return wasserstein_1d(o, "g", "v")
+
+
+@query(
+    "class_separation_embeddings",
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT CAST(label AS VARCHAR) AS l,
+        CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    cells AS MATERIALIZED (
+      SELECT l, r.i AS i,
+        SUM(CAST(ROUND(emb[r.i], 9) AS DECIMAL(20,9))) AS s,
+        SUM(CAST(ROUND(emb[r.i] * emb[r.i], 12)
+          AS DECIMAL(30,12))) AS s2,
+        COUNT(*) AS n
+      FROM src, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    pl AS MATERIALIZED (
+      SELECT l, MAX(n) AS n,
+        list(CAST(s AS DOUBLE) ORDER BY i) AS sv,
+        list(CAST(s2 AS DOUBLE) ORDER BY i) AS s2v
+      FROM cells GROUP BY 1
+    ),
+    pl2 AS MATERIALIZED (
+      SELECT l, n,
+        [x / n for x in sv] AS mu,
+        list_reduce(
+          [s2v[k] / n - (sv[k] / n) * (sv[k] / n)
+            for k in range(1, 65)],
+          (a, b) -> a + b) AS intra
+      FROM pl
+    )
+    SELECT a.l AS label_a, b.l AS label_b,
+      CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      ROUND(SQRT(list_reduce(
+        [(a.mu[k] - b.mu[k]) * (a.mu[k] - b.mu[k])
+          for k in range(1, 65)],
+        (x, y) -> x + y)), 6) AS centroid_dist,
+      ROUND(a.intra, 6) AS intra_a,
+      ROUND(b.intra, 6) AS intra_b,
+      CASE WHEN a.intra + b.intra > 0 THEN
+        ROUND(list_reduce(
+          [(a.mu[k] - b.mu[k]) * (a.mu[k] - b.mu[k])
+            for k in range(1, 65)],
+          (x, y) -> x + y) / (a.intra + b.intra), 6)
+      END AS separation
+    FROM pl2 a JOIN pl2 b ON a.l < b.l
+    """,
+)
+def class_separation_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-pair separation readout
+    (operators.similarity.class_separation): per-label centroids
+    and one-pass intra-class spread (E‖x−μ‖² = ΣΣx²/n − ‖μ‖²)
+    from a single exploded scan, Fisher-style pair ratios over the
+    metadata-scale label relation."""
+    from component_delta_lake_writer_spark.operators.similarity import (
+        class_separation,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return class_separation(e, "embedding", "label", dim=64)

@@ -4353,3 +4353,41 @@ def test_strip_boilerplate_hand_values(spark):
     assert got[2].text_clean == "alone"
     assert got[3].text_clean == "untouched text stays"
     assert got[3].n_chars_removed == 0
+
+
+def test_class_separation_against_numpy(spark):
+    """class_separation: two tight planted clusters far apart have
+    high separation; an overlapping third is low; values match
+    numpy's centroid/variance computation."""
+    import numpy as np
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.similarity import (
+        class_separation,
+    )
+
+    rng = np.random.default_rng(3)
+    d = 8
+    a = rng.normal(0, 0.1, (50, d)) + 0.0
+    b = rng.normal(0, 0.1, (60, d)) + 5.0
+    c = rng.normal(0, 0.1, (40, d)) + 0.05   # overlaps a
+    rows = []
+    for lab, arr in (("a", a), ("b", b), ("c", c)):
+        for v in arr:
+            rows.append((lab, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "label string, v array<float>")
+    got = {
+        (r.label_a, r.label_b): r
+        for r in class_separation(df, "v", "label", dim=d).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    af = a.astype(np.float32).astype(np.float64)
+    bf = b.astype(np.float32).astype(np.float64)
+    dist_ab = float(
+        np.linalg.norm(af.mean(0) - bf.mean(0))
+    )
+    intra_a = float(((af - af.mean(0)) ** 2).sum(1).mean())
+    r_ab = got[("a", "b")]
+    assert r_ab.centroid_dist == _pt.approx(dist_ab, rel=1e-4)
+    assert r_ab.intra_a == _pt.approx(intra_a, rel=1e-3)
+    assert r_ab.separation > 100 * got[("a", "c")].separation
