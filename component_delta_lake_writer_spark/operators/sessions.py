@@ -2173,3 +2173,72 @@ def poisson_rate_ratio(
             F.lit(0),
         ).alias("significant"),
     )
+
+
+def overdispersion_check(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    target_type: str,
+) -> DataFrame:
+    """Overdispersion check for per-user event counts — the
+    assumption gate in front of :func:`poisson_rate_ratio` (and any
+    Poisson-model readout): the Poisson model demands
+    variance ≈ mean, and real user behavior is almost always
+    burstier (a few users generate most errors).  The dispersion
+    index D = s²/x̄ with the χ² index-of-dispersion test
+    ((n−1)·D against χ²(n−1), normal approximation
+    z = √(2χ²) − √(2·df−1)) says whether a negative-binomial /
+    robust spelling is needed instead.
+
+    ONE map-side-combinable scan: per-user target-type counts,
+    then exact integer Σc and Σc² (DECIMAL(38,0) — c²·n ~ N³).
+    Every downstream expression is the identical left-to-right
+    double chain both engines; √ is IEEE-exact so the normal
+    approximation needs no libm rounding guard.
+
+    Returns ONE row: (n_users, mean_count, dispersion, z,
+    overdispersed) — NULL dispersion/z when the mean degenerates
+    to 0 or n < 2; the flag compares the 6dp-rounded z one-sided
+    at 1.644854 (dispersion only ever inflates).
+    """
+    users = (
+        df.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == target_type, 1).otherwise(
+                    0
+                )
+            ).alias("_c")
+        )
+    )
+    d38 = "decimal(38,0)"
+    agg = users.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_c").alias("_s"),
+        F.sum(
+            (F.col("_c").cast(d38) * F.col("_c")).cast(d38)
+        ).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (
+        F.col("_s2").cast("double") - n * mean * mean
+    ) / (n - 1)
+    disp = var / mean
+    chi2 = (n - 1) * disp
+    z = F.sqrt(F.lit(2.0) * chi2) - F.sqrt(
+        F.lit(2.0) * (n - 1) - 1
+    )
+    ok = (F.col("_n") >= 2) & (F.col("_s") > 0)
+    z_r = F.when(ok, F.round(z, 6))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_users"),
+        F.round(mean, 6).alias("mean_count"),
+        F.when(ok, F.round(disp, 6)).alias("dispersion"),
+        z_r.alias("z"),
+        F.coalesce(
+            (z_r > F.lit(1.644854)).cast("int"), F.lit(0)
+        ).alias("overdispersed"),
+    )

@@ -177,6 +177,7 @@ _FRONT = [
     "strip_boilerplate_docs",
     "wasserstein_drift_orders",
     "class_separation_embeddings",
+    "overdispersion_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -12279,3 +12279,62 @@ def class_separation_embeddings(
 
     e = load_table(spark, sf_dir, "embeddings")
     return class_separation(e, "embedding", "label", dim=64)
+
+
+@query(
+    "overdispersion_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n, SUM(c) AS s,
+        SUM(CAST(CAST(c AS DECIMAL(38,0)) * c
+          AS DECIMAL(38,0))) AS s2
+      FROM u
+    ),
+    m AS (
+      SELECT n, s,
+        CAST(s AS DOUBLE) / n AS mean,
+        (CAST(s2 AS DOUBLE)
+         - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        / (n - 1) AS var
+      FROM ag
+    ),
+    fin AS (
+      SELECT n, s, mean, var / mean AS disp,
+        SQRT(2.0 * ((n - 1) * (var / mean)))
+          - SQRT(2.0 * (n - 1) - 1) AS z,
+        (n >= 2 AND s > 0) AS ok
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users, ROUND(mean, 6)
+      AS mean_count,
+      CASE WHEN ok THEN ROUND(disp, 6) END AS dispersion,
+      CASE WHEN ok THEN ROUND(z, 6) END AS z,
+      CAST(COALESCE(CASE WHEN ok THEN ROUND(z, 6) END
+        > 1.644854, FALSE) AS INT) AS overdispersed
+    FROM fin
+    """,
+)
+def overdispersion_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-of-dispersion check
+    (operators.sessions.overdispersion_check) on per-user error
+    counts: exact integer count moments, chi-square dispersion via
+    the sqrt normal approximation, the Poisson-assumption gate in
+    front of the rate-ratio readout."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        overdispersion_check,
+    )
+
+    return overdispersion_check(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "error",
+    )

@@ -4391,3 +4391,52 @@ def test_class_separation_against_numpy(spark):
     assert r_ab.centroid_dist == _pt.approx(dist_ab, rel=1e-4)
     assert r_ab.intra_a == _pt.approx(intra_a, rel=1e-3)
     assert r_ab.separation > 100 * got[("a", "c")].separation
+
+
+def test_overdispersion_check_hand_values(spark):
+    """overdispersion_check: bursty counts flag, near-Poisson
+    counts don't; exact moment arithmetic; zero-count corpus
+    NULLs the statistics."""
+    import math
+
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        overdispersion_check,
+    )
+
+    def mk(counts):
+        rows = []
+        eid = 0
+        for uid, c in enumerate(counts):
+            rows.append((uid, "view"))
+            for _ in range(c):
+                rows.append((uid, "error"))
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string"
+        )
+
+    bursty = [0] * 20 + [0, 0, 0, 30]          # one whale
+    r = overdispersion_check(
+        mk(bursty), "user_id", "event_type", "error"
+    ).collect()[0]
+    n = len(bursty)
+    mean = sum(bursty) / n
+    var = sum((c - mean) ** 2 for c in bursty) / (n - 1)
+    disp = var / mean
+    z = math.sqrt(2 * (n - 1) * disp) - math.sqrt(2 * (n - 1) - 1)
+    assert r.n_users == n
+    assert r.dispersion == _pt.approx(round(disp, 6), abs=1e-5)
+    assert r.z == _pt.approx(z, abs=1e-5)
+    assert r.overdispersed == 1
+
+    calm = [1, 0, 1, 2, 1, 0, 1, 1, 2, 1]
+    rc = overdispersion_check(
+        mk(calm), "user_id", "event_type", "error"
+    ).collect()[0]
+    assert rc.overdispersed == 0
+
+    none = overdispersion_check(
+        mk([0, 0, 0]), "user_id", "event_type", "error"
+    ).collect()[0]
+    assert none.dispersion is None and none.overdispersed == 0
