@@ -855,3 +855,107 @@ def strip_boilerplate(
         .cast("long")
         .alias("n_chars_removed"),
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    min_count: int = 1,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Tokenizer fertility of a freshly-trained BPE table on its
+    own corpus — the compression readout tokenizer work actually
+    optimizes: tokens-per-word and characters-per-token after
+    ``n_merges`` learned merges.  Teams run this curve (fertility
+    vs merge count) to size a vocabulary before committing to a
+    full training run; a corpus whose fertility stays high is the
+    signal the word distribution doesn't compress (code, IDs,
+    non-target languages).
+
+    Trains via :func:`bpe_train_merges` (one corpus scan to the
+    word-frequency dict, fixed dict-scale rounds), then applies
+    the learned table — ALL ranks, in learning order — as the same
+    literal-embedded greedy fold projections with lazy
+    checkpoints, and folds the dict to exact-integer totals
+    (Σcnt, Σcnt·chars, Σcnt·tokens — DECIMAL(38,0) products).
+
+    Returns ONE row: (n_merges_learned, n_distinct_words,
+    total_words, total_chars, total_tokens, fertility 6dp,
+    chars_per_token 6dp).
+    """
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(
+            df,
+            text_col=text_col,
+            n_merges=n_merges,
+            min_count=min_count,
+            max_word_len=max_word_len,
+        ).collect()
+    ]
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .select(F.substring("_w", 1, max_word_len).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select(F.split("_w", "").alias("_syms"), "_cnt")
+        .localCheckpoint(eager=True)
+    )
+    for left, right in merges:
+        lq = left.replace("'", "''")
+        rq = right.replace("'", "''")
+        fold = (
+            "aggregate(_syms, cast(array() as array<string>), "
+            "(acc, s) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{lq}' AND s = '{rq}' "
+            "THEN concat(slice(acc, 1, size(acc)-1), "
+            f"array('{lq}{rq}')) "
+            "ELSE concat(acc, array(s)) END)"
+        )
+        words = words.select(
+            F.expr(fold).alias("_syms"), "_cnt"
+        ).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    agg = words.agg(
+        F.count(F.lit(1)).alias("_nw"),
+        F.sum("_cnt").alias("_tw"),
+        F.sum(
+            (
+                F.col("_cnt").cast(d38)
+                * F.length(F.concat_ws("", F.col("_syms")))
+            ).cast(d38)
+        ).alias("_tc"),
+        F.sum(
+            (F.col("_cnt").cast(d38) * F.size("_syms")).cast(d38)
+        ).alias("_tt"),
+    )
+    return agg.select(
+        F.lit(len(merges)).cast("int").alias("n_merges_learned"),
+        F.col("_nw").cast("long").alias("n_distinct_words"),
+        F.col("_tw").cast("long").alias("total_words"),
+        F.col("_tc").cast("long").alias("total_chars"),
+        F.col("_tt").cast("long").alias("total_tokens"),
+        F.when(
+            F.col("_tw") > 0,
+            F.round(
+                F.col("_tt").cast("double")
+                / F.col("_tw").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
+        F.when(
+            F.col("_tt") > 0,
+            F.round(
+                F.col("_tc").cast("double")
+                / F.col("_tt").cast("double"),
+                6,
+            ),
+        ).alias("chars_per_token"),
+    )

@@ -178,6 +178,7 @@ _FRONT = [
     "wasserstein_drift_orders",
     "class_separation_embeddings",
     "overdispersion_events",
+    "bpe_fertility_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3500,3 +3500,87 @@ def strip_boilerplate_docs(
         .alias("text"),
     )
     return strip_boilerplate(staged, [span_a, span_b])
+
+
+def _bpe_fertility_oracle(n_merges: int = 4) -> str:
+    """The _bpe_oracle cascade extended through the LAST merge's
+    application, folded to the dict's exact-integer fertility
+    totals.  CTEs are MATERIALIZED: each round's dict is consumed
+    by both the next pair count and the next fold, and DuckDB
+    inlines multiply-referenced CTEs (the PCA-oracle lesson —
+    un-materialized, the cascade re-evaluates exponentially)."""
+    parts = [
+        """w0 AS MATERIALIZED (
+    SELECT [substr(w, i, 1) for i in range(1, 1 + length(w))] AS syms,
+           cnt
+    FROM (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT substr(raw_w, 1, 16) AS w
+        FROM (
+          SELECT unnest(
+            regexp_split_to_array(lower(text), '[^a-z]+')
+          ) AS raw_w FROM documents
+        ) WHERE raw_w <> ''
+      ) GROUP BY w
+    )
+  )"""
+    ]
+    prev = "w0"
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+    SELECT p[1] AS l, p[2] AS r, SUM(cnt) AS c
+    FROM (SELECT cnt,
+          unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS p
+          FROM {prev})
+    GROUP BY 1, 2
+  ),
+  b{r} AS MATERIALIZED (SELECT l, r, c FROM p{r}
+    ORDER BY c DESC, l, r LIMIT 1),
+  w{r} AS MATERIALIZED (
+    SELECT list_reduce([[s] for s in {prev}.syms], (acc, x) ->
+      CASE WHEN acc[-1] = b.l AND x[1] = b.r
+      THEN acc[:len(acc)-1] || [b.l || b.r]
+      ELSE acc || x END) AS syms, cnt
+    FROM {prev}, b{r} b
+  )"""
+        )
+        prev = f"w{r}"
+    return (
+        "WITH " + ",\n  ".join(parts) + f"""
+  SELECT CAST({n_merges} AS INT) AS n_merges_learned,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+    CAST(SUM(cnt) AS BIGINT) AS total_words,
+    CAST(SUM(CAST(CAST(cnt AS DECIMAL(38,0))
+      * length(array_to_string(syms, '')) AS DECIMAL(38,0)))
+      AS BIGINT) AS total_chars,
+    CAST(SUM(CAST(CAST(cnt AS DECIMAL(38,0)) * len(syms)
+      AS DECIMAL(38,0))) AS BIGINT) AS total_tokens,
+    ROUND(CAST(SUM(CAST(CAST(cnt AS DECIMAL(38,0)) * len(syms)
+        AS DECIMAL(38,0))) AS DOUBLE)
+      / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility,
+    ROUND(CAST(SUM(CAST(CAST(cnt AS DECIMAL(38,0))
+        * length(array_to_string(syms, '')) AS DECIMAL(38,0)))
+        AS DOUBLE)
+      / CAST(SUM(CAST(CAST(cnt AS DECIMAL(38,0)) * len(syms)
+        AS DECIMAL(38,0))) AS DOUBLE), 6) AS chars_per_token
+  FROM {prev}"""
+    )
+
+
+@query("bpe_fertility_docs", oracle=_bpe_fertility_oracle(4))
+def bpe_fertility_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE fertility curve point (operators.text.bpe_fertility):
+    4 merges trained on the documents corpus, applied through the
+    LAST rank, dict folded to exact-integer token/char totals —
+    the tokenizer-compression readout."""
+    from component_delta_lake_writer_spark.operators.text import (
+        bpe_fertility,
+    )
+
+    return bpe_fertility(
+        load_table(spark, sf_dir, "documents"), n_merges=4
+    )

@@ -4440,3 +4440,32 @@ def test_overdispersion_check_hand_values(spark):
         mk([0, 0, 0]), "user_id", "event_type", "error"
     ).collect()[0]
     assert none.dispersion is None and none.overdispersed == 0
+
+
+def test_bpe_fertility_hand_values(spark):
+    """bpe_fertility: on a tiny corpus the totals match the hand
+    simulation of train-then-apply; fertility decreases vs the
+    0-merge character baseline and chars_per_token inverts it."""
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.text import (
+        bpe_fertility,
+    )
+
+    # 'aaab' x3, 'ab' x2: merges learn 'aa' then... deterministic
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")],
+        "doc_id long, text string",
+    )
+    r = bpe_fertility(df, n_merges=2).collect()[0]
+    assert r.n_merges_learned == 2
+    assert r.n_distinct_words == 2
+    assert r.total_words == 5       # distinct-weighted: 3 + 2
+    assert r.total_chars == 3 * 4 + 2 * 2
+    # merge 1: ('a','a') c=3; merge 2 among {'aa','a','b'} pairs:
+    # aaab -> [aa,a,b]: pairs (aa,a)=3,(a,b)=3+2 -> ('a','b') wins
+    # tiebreak? counts: (aa,a):3, (a,b):5 -> merge2 = (a,b)
+    # aaab -> [aa, ab]; ab -> [ab]
+    assert r.total_tokens == 3 * 2 + 2 * 1
+    assert r.fertility == _pt.approx(round(8 / 5, 6))
+    assert r.chars_per_token == _pt.approx(round(16 / 8, 6))
