@@ -4696,3 +4696,181 @@ def wasserstein_1d(
         F.col("_nv").cast("long").alias("n_values"),
         w1.alias("wasserstein"),
     )
+
+
+def inv_normal_upper(p: float) -> float:
+    """Φ⁻¹(1−p): the upper-tail standard-normal quantile, computed
+    ONCE driver-side with Acklam's rational approximation
+    (|ε| < 1.15e−9 — far below the 6dp boundary convention) —
+    the Bonferroni-adjusted thresholds Dunn-style post-hoc tests
+    need at arbitrary α/m where the fixed Z_CRIT literals can't
+    reach.  Both the operator and its oracle embed the SAME
+    Python-computed literal, so no engine evaluates an inverse
+    normal at run time.
+    """
+    if not (0.0 < p < 0.5):
+        raise UserException(
+            f"inv_normal_upper: p must be in (0, 0.5), got {p}"
+        )
+    q = 1.0 - p
+    a = (
+        -3.969683028665376e01, 2.209460984245205e02,
+        -2.759285104469687e02, 1.383577518672690e02,
+        -3.066479806614716e01, 2.506628277459239e00,
+    )
+    b = (
+        -5.447609879822406e01, 1.615858368580409e02,
+        -1.556989798598866e02, 6.680131188771972e01,
+        -1.328068155288572e01,
+    )
+    c = (
+        -7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e00, -2.549732539343734e00,
+        4.374664141464968e00, 2.938163982698783e00,
+    )
+    d = (
+        7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e00, 3.754408661907416e00,
+    )
+    plow = 0.02425
+    if q > 1 - plow:
+        import math
+
+        qq = math.sqrt(-2 * math.log(1 - q))
+        return (
+            ((((c[0] * qq + c[1]) * qq + c[2]) * qq + c[3]) * qq
+             + c[4]) * qq + c[5]
+        ) / ((((d[0] * qq + d[1]) * qq + d[2]) * qq + d[3]) * qq + 1)
+    r = q - 0.5
+    rr = r * r
+    return (
+        (((((a[0] * rr + a[1]) * rr + a[2]) * rr + a[3]) * rr
+          + a[4]) * rr + a[5]) * r
+    ) / (
+        ((((b[0] * rr + b[1]) * rr + b[2]) * rr + b[3]) * rr
+         + b[4]) * rr + 1
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Dunn's post-hoc test — the step AFTER a significant
+    :func:`kruskal_wallis`: WHICH group pairs actually differ,
+    on the same pooled midranks the omnibus test used (re-ranking
+    per pair, what naive pairwise Mann-Whitneys do, is the
+    textbook mistake Dunn exists to avoid), with the Bonferroni
+    familywise adjustment across the k(k−1)/2 comparisons.
+
+    Scale shape: ONE corpus scan to the (group, value) tie table;
+    pooled midranks ride the distributed exclusive cumsum
+    (features.global_weighted_cumsum — doubled-rank integers);
+    per-group rank sums are exact DECIMAL(38,0) products; the
+    pairwise readout is a self-join of the k-row group summary
+    (metadata-scale).  The tie-corrected variance
+    N(N+1)/12 − Σ(t³−t)/(12(N−1)) folds tie cubes as DECIMAL; the
+    significance threshold Φ⁻¹(1−α/(2m)) is computed ONCE
+    driver-side (:func:`inv_normal_upper`) and compared against
+    the 6dp-ROUNDED |z| (the house boundary rule).  Discrete or
+    pre-bucketed values — the MW/JT contract.
+
+    Returns one row per unordered pair (a < b): (group_a,
+    group_b, n_a, n_b, mean_rank_a, mean_rank_b, z, significant).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    per_gv = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    per_gv = per_gv.localCheckpoint(eager=True)
+    per_v = per_gv.groupBy("_v").agg(F.sum("_t").alias("_tv"))
+    ranked = global_weighted_cumsum(per_v, "_v", "_tv")
+    # doubled midrank: 2r = 2·cum + t + 1 (exact integers)
+    ranked = ranked.select(
+        "_v",
+        "_tv",
+        (2 * F.col("_cum") + F.col("_tv") + 1).alias("_r2"),
+    )
+    d38 = "decimal(38,0)"
+    joined = per_gv.join(F.broadcast(ranked), "_v")
+    grp = joined.groupBy("_g").agg(
+        F.sum("_t").alias("_n"),
+        F.sum(
+            (F.col("_t").cast(d38) * F.col("_r2")).cast(d38)
+        ).alias("_s2"),
+    )
+    grp = grp.localCheckpoint(eager=True)
+    k = grp.count()
+    m = k * (k - 1) // 2
+    if m == 0:
+        raise UserException(
+            "dunn_posthoc needs >= 2 groups with data"
+        )
+    zcrit = inv_normal_upper(alpha / 2.0 / m)
+    ties = ranked.agg(
+        F.sum(
+            (
+                F.col("_tv").cast(d38)
+                * (F.col("_tv") - 1)
+                * (F.col("_tv") + 1)
+            ).cast(d38)
+        ).alias("_tt"),
+        F.sum("_tv").alias("_N"),
+    )
+    a = grp.select(
+        F.col("_g").alias("_ga"),
+        F.col("_n").alias("_na"),
+        F.col("_s2").alias("_sa"),
+    )
+    b = grp.select(
+        F.col("_g").alias("_gb"),
+        F.col("_n").alias("_nb"),
+        F.col("_s2").alias("_sb"),
+    )
+    pairs = a.join(b, F.col("_ga") < F.col("_gb")).crossJoin(
+        F.broadcast(ties)
+    )
+    n_d = F.col("_N").cast("double")
+    ra = F.col("_sa").cast("double") / (
+        F.lit(2.0) * F.col("_na").cast("double")
+    )
+    rb = F.col("_sb").cast("double") / (
+        F.lit(2.0) * F.col("_nb").cast("double")
+    )
+    var_core = n_d * (n_d + 1) / 12 - F.col("_tt").cast(
+        "double"
+    ) / (F.lit(12.0) * (n_d - 1))
+    se = F.sqrt(
+        var_core
+        * (
+            F.lit(1.0) / F.col("_na").cast("double")
+            + F.lit(1.0) / F.col("_nb").cast("double")
+        )
+    )
+    z = F.when(
+        (var_core > 0) & (F.col("_N") > 1),
+        F.round((ra - rb) / se, 6),
+    )
+    return pairs.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(ra, 6).alias("mean_rank_a"),
+        F.round(rb, 6).alias("mean_rank_b"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(zcrit)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -179,6 +179,7 @@ _FRONT = [
     "class_separation_embeddings",
     "overdispersion_events",
     "bpe_fertility_docs",
+    "dunn_posthoc_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -12338,3 +12338,91 @@ def overdispersion_events(
         "event_type",
         "error",
     )
+
+
+def _dunn_oracle() -> str:
+    from component_delta_lake_writer_spark.operators.experiments import (
+        inv_normal_upper,
+    )
+
+    # 5 priority groups → m = 10 pairwise comparisons; the SAME
+    # Python-computed literal the operator derives at run time
+    zc = inv_normal_upper(0.05 / 2.0 / 10)
+    return f"""
+    WITH pgv AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS v,
+        COUNT(*) AS t
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pv AS (SELECT v, SUM(t) AS tv FROM pgv GROUP BY 1),
+    rk AS MATERIALIZED (
+      SELECT v, tv,
+        2 * COALESCE(SUM(tv) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + tv + 1 AS r2
+      FROM pv
+    ),
+    grp AS MATERIALIZED (
+      SELECT g, SUM(t) AS n,
+        SUM(CAST(CAST(t AS DECIMAL(38,0)) * r2
+          AS DECIMAL(38,0))) AS s2
+      FROM pgv JOIN rk USING (v) GROUP BY 1
+    ),
+    tt AS (
+      SELECT SUM(CAST(CAST(tv AS DECIMAL(38,0)) * (tv - 1)
+          * (tv + 1) AS DECIMAL(38,0))) AS tt,
+        SUM(tv) AS nn
+      FROM rk
+    ),
+    pr AS (
+      SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+        CAST(a.s2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE)) AS ra,
+        CAST(b.s2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)) AS rb,
+        CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1) / 12
+          - CAST(tt AS DOUBLE)
+            / (12.0 * (CAST(nn AS DOUBLE) - 1)) AS vc,
+        nn
+      FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN tt
+    ),
+    zz AS (
+      SELECT ga, gb, na, nb, ra, rb,
+        CASE WHEN vc > 0 AND nn > 1 THEN
+          ROUND((ra - rb) / SQRT(vc
+            * (1.0 / CAST(na AS DOUBLE)
+               + 1.0 / CAST(nb AS DOUBLE))), 6)
+        END AS z
+      FROM pr
+    )
+    SELECT ga AS group_a, gb AS group_b,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      ROUND(ra, 6) AS mean_rank_a, ROUND(rb, 6) AS mean_rank_b,
+      z,
+      CAST(COALESCE(ABS(z) > {zc!r}, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """
+
+
+@query("dunn_posthoc_orders", oracle=_dunn_oracle())
+def dunn_posthoc_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunn's post-hoc pairwise test
+    (operators.experiments.dunn_posthoc) on the kruskal fixture
+    (order priority × 1k-price buckets): pooled midranks off the
+    distributed cumsum — never re-ranked per pair — tie-corrected
+    variance, Bonferroni threshold Φ⁻¹(1−α/20) computed once
+    driver-side and shared verbatim with the oracle."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        dunn_posthoc,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v"),
+    )
+    return dunn_posthoc(o, "o_orderpriority", "v")

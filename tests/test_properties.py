@@ -2940,3 +2940,74 @@ def test_wasserstein_matches_bruteforce(spark, rows):
         assert r.wasserstein == pytest.approx(
             transport, abs=1e-6
         )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=4),   # value
+        ),
+        min_size=6,
+        max_size=30,
+    ),
+)
+def test_dunn_posthoc_matches_bruteforce(spark, rows):
+    """dunn_posthoc == the textbook pooled-midrank pairwise z on
+    ANY small k-group multiset (ties everywhere), with the
+    tie-corrected variance."""
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        dunn_posthoc,
+        inv_normal_upper,
+    )
+
+    groups = sorted({g for g, _ in rows})
+    assume(len(groups) >= 2)
+    data = [(str(g), v) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, v long")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in dunn_posthoc(df, "g", "v").collect()
+    }
+
+    n = len(data)
+    pooled = sorted(v for _, v in data)
+    rk = {}
+    for v in set(pooled):
+        lo = sum(1 for x in pooled if x < v)
+        t = sum(1 for x in pooled if x == v)
+        rk[v] = lo + (t + 1) / 2.0
+    from collections import Counter
+
+    tcnt = Counter(pooled)
+    tt = sum(t ** 3 - t for t in tcnt.values())
+    vc = n * (n + 1) / 12.0 - tt / (12.0 * (n - 1))
+    k = len(groups)
+    m = k * (k - 1) // 2
+    zc = inv_normal_upper(0.05 / 2.0 / m)
+    for i, gi in enumerate(groups):
+        for gj in groups[i + 1:]:
+            vi = [v for g, v in data if g == str(gi)]
+            vj = [v for g, v in data if g == str(gj)]
+            r = got[(str(gi), str(gj))]
+            ri = sum(rk[v] for v in vi) / len(vi)
+            rj = sum(rk[v] for v in vj) / len(vj)
+            assert r.mean_rank_a == pytest.approx(ri, abs=1e-6)
+            assert r.mean_rank_b == pytest.approx(rj, abs=1e-6)
+            if vc <= 0:
+                assert r.z is None
+            else:
+                z = (ri - rj) / math.sqrt(
+                    vc * (1 / len(vi) + 1 / len(vj))
+                )
+                assert r.z == pytest.approx(z, abs=2e-6)
+                assert r.significant == int(abs(r.z) > zc)
