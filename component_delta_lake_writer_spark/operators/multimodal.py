@@ -1780,3 +1780,95 @@ def sniff_container_format(
         F.col(id_col),
         F.when(b.isNotNull(), fmt).alias("format"),
     )
+
+
+def parse_zip_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse ZIP end-of-central-directory metadata — the LAST
+    member of the archive tier (gzip/zstd/tar are done): how many
+    entries a dataset drop contains and where its central
+    directory sits, read WITHOUT walking any local headers.  The
+    EOCD record lives at the END of the file (PK\x05\x06 +
+    counts + central-directory size/offset + a variable-length
+    comment), so a pipeline can size and validate an archive from
+    its tail bytes alone.
+
+    Locating the record is the subtle part: the magic can ALSO
+    occur inside the comment (after the true record) or inside
+    file data (before it).  The parser extracts both the FIRST
+    and LAST byte-aligned occurrences in the 100-byte tail window
+    (non-greedy / greedy hex prefix matches) and keeps the one
+    whose comment-length field exactly reaches the end of the
+    payload — the same end-alignment validation unzip tools
+    apply; fakes can't satisfy it.  All field reads are
+    hex-slices at COLUMN positions (the zstd discipline).
+    is_zip checks the leading local-header magic PK\x03\x04; no
+    validating record in the window (truncated, or a > 78-byte
+    comment) yields NULL fields — never an error.
+
+    Returns (id, is_zip, n_entries, cd_size, cd_offset,
+    comment_len).
+    """
+    b = F.col(bin_col)
+    is_zip = F.substring(b, 1, 4) == F.lit(b"PK\x03\x04")
+    tail_start = F.greatest(
+        F.length(b) - F.lit(99), F.lit(1)
+    )
+    tail_hex = F.hex(F.substring(b, tail_start, F.lit(100)))
+
+    def pos_of(pattern):
+        before = F.regexp_extract(tail_hex, pattern, 1)
+        hit = (before != "") | tail_hex.startswith("504B0506")
+        return F.when(
+            hit, tail_start + F.length(before) / 2
+        )
+
+    def le_at(base, off: int, nbytes: int):
+        out = None
+        for i in range(nbytes):
+            pos = base + off + i
+            term = F.conv(
+                F.hex(F.substring(b, pos.cast("int"), F.lit(1))),
+                16,
+                10,
+            ).cast("long") * F.lit(256 ** i)
+            out = term if out is None else out + term
+        return F.when(
+            F.length(b) >= (base + off + nbytes - 1), out
+        )
+
+    def validated(base):
+        # true EOCD: comment runs exactly to the payload's end
+        return F.when(
+            base.isNotNull()
+            & (
+                le_at(base, 20, 2)
+                == F.length(b) - (base + 21)
+            ),
+            base,
+        )
+
+    first = validated(pos_of("^((?:..)*?)504B0506"))
+    last = validated(pos_of("^((?:..)*)504B0506"))
+    eocd = F.coalesce(first, last)
+    ok = F.coalesce(is_zip, F.lit(False))
+    has = ok & eocd.isNotNull()
+    return df.select(
+        F.col(id_col),
+        ok.alias("is_zip"),
+        F.when(has, le_at(eocd, 10, 2)).cast("int").alias(
+            "n_entries"
+        ),
+        F.when(has, le_at(eocd, 12, 4)).cast("long").alias(
+            "cd_size"
+        ),
+        F.when(has, le_at(eocd, 16, 4)).cast("long").alias(
+            "cd_offset"
+        ),
+        F.when(has, le_at(eocd, 20, 2)).cast("int").alias(
+            "comment_len"
+        ),
+    )

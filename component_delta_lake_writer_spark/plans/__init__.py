@@ -180,6 +180,7 @@ _FRONT = [
     "overdispersion_events",
     "bpe_fertility_docs",
     "dunn_posthoc_orders",
+    "zip_meta_parse",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3584,3 +3584,84 @@ def bpe_fertility_docs(
     return bpe_fertility(
         load_table(spark, sf_dir, "documents"), n_merges=4
     )
+
+
+@query(
+    "zip_meta_parse",
+    oracle="""
+    SELECT doc_id,
+      (doc_id % 7 <> 0) AS is_zip,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN CAST(1 + doc_id % 100 AS INT) END AS n_entries,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN CAST(doc_id % 100000 + 22 AS BIGINT)
+      END AS cd_size,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN CAST(doc_id % 1000000 AS BIGINT) END AS cd_offset,
+      CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           THEN CAST(doc_id % 5 AS INT) END AS comment_len
+    FROM documents
+    """,
+)
+def zip_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP EOCD parse (operators.multimodal.parse_zip_meta):
+    payloads staged as local-header magic + text bytes + a real
+    end-of-central-directory record with a variable-length comment
+    (doc %5 leg: header but NO EOCD — truncated-archive NULLs;
+    %7 NUL-prefixed garbage).  The tail-window greedy hex match
+    pins the record behind the text; the oracle predicts the
+    fields from the doc_id arithmetic."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_zip_meta,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    clen = (doc % 5).cast("long")
+    eocd_hex = F.concat(
+        F.lit("504b0506" + "0000" + "0000"),
+        le_hex((1 + doc % 100).cast("long"), 2),
+        le_hex((1 + doc % 100).cast("long"), 2),
+        le_hex((doc % 100000 + 22).cast("long"), 4),
+        le_hex((doc % 1000000).cast("long"), 4),
+        le_hex(clen, 2),
+        F.expr("repeat('63', CAST(doc_id % 5 AS INT))"),  # 'c'*n
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 7 != 0,
+            F.when(
+                doc % 5 == 0,
+                F.concat(
+                    F.unhex(F.lit("504b0304")),
+                    F.encode("text", "utf-8"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.unhex(F.lit("504b0304")),
+                    F.encode("text", "utf-8"),
+                    F.unhex(eocd_hex),
+                )
+            ),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    return parse_zip_meta(staged)

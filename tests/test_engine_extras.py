@@ -4469,3 +4469,48 @@ def test_bpe_fertility_hand_values(spark):
     assert r.total_tokens == 3 * 2 + 2 * 1
     assert r.fertility == _pt.approx(round(8 / 5, 6))
     assert r.chars_per_token == _pt.approx(round(16 / 8, 6))
+
+
+def test_parse_zip_meta_real_archive_and_edges(spark):
+    """parse_zip_meta: a GENUINE stdlib-written zip unpacks its
+    EOCD exactly (entry count, comment length); a comment that
+    CONTAINS the magic bytes can't fake an earlier record (greedy
+    last-match); no-EOCD and garbage payloads never throw."""
+    import io
+    import struct
+    import zipfile
+
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_zip_meta,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "alpha")
+        z.writestr("b.txt", "beta")
+        z.comment = b"hi"
+    real = buf.getvalue()
+
+    # hand EOCD whose comment embeds the magic bytes
+    magic = b"PK\x05\x06"
+    tricky = (
+        b"PK\x03\x04" + b"x" * 30
+        + magic + struct.pack("<HHHHIIH", 0, 0, 3, 3, 99, 7, 10)
+        + b"ab" + magic + b"tail"          # 10-byte comment w/ magic
+    )
+    rows = [
+        (1, bytearray(real)),
+        (2, bytearray(tricky)),
+        (3, bytearray(b"PK\x03\x04no eocd here at all")),
+        (4, bytearray(b"\x00garbage")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_zip_meta(df).collect()}
+    assert got[1].is_zip is True and got[1].n_entries == 2
+    assert got[1].comment_len == 2
+    assert got[2].n_entries == 3 and got[2].cd_size == 99
+    assert got[2].cd_offset == 7 and got[2].comment_len == 10
+    assert got[3].is_zip is True and got[3].n_entries is None
+    assert got[4].is_zip is False
+    assert got[5].is_zip is False
