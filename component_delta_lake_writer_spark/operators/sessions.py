@@ -2242,3 +2242,53 @@ def overdispersion_check(
             (z_r > F.lit(1.644854)).cast("int"), F.lit(0)
         ).alias("overdispersed"),
     )
+
+
+def km_survival_quantiles(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Survival quantiles off the Kaplan–Meier curve — the summary
+    numbers a retention review actually quotes (median lifetime;
+    the quartiles around it), defined the standard way: the
+    FIRST event time where the curve reaches 1−q
+    (t_q = min{t : S(t) ≤ 1−q}).  A naive median-of-lifetimes
+    ignores censoring and biases low; the KM quantile doesn't.
+
+    Rides :func:`km_survival` verbatim (one corpus scan, the
+    metadata-scale curve with the exp-of-rounded-ln survival
+    discipline), then one aggregate over the curve rows: the
+    min-t-where-S≤level fold per quantile, NULL when the curve
+    never reaches the level inside the observation window (heavy
+    censoring — the honest answer, not an extrapolation).
+    Levels compare on the curve's 6dp-ROUNDED survival (the house
+    boundary rule — both engines see the same rounded curve).
+
+    Returns ONE row: (n_times, q25_days, median_days, q75_days)
+    — q25 is the time by which 25% have churned.
+    """
+    curve = km_survival(
+        df, user_col, ts_col, censor_days=censor_days
+    )
+
+    def t_at(level: float):
+        return F.min(
+            F.when(
+                F.col("survival") <= F.lit(level),
+                F.col("t_days"),
+            )
+        )
+
+    return curve.agg(
+        F.count(F.lit(1)).alias("_nt"),
+        t_at(0.75).alias("_q25"),
+        t_at(0.50).alias("_med"),
+        t_at(0.25).alias("_q75"),
+    ).select(
+        F.col("_nt").cast("long").alias("n_times"),
+        F.col("_q25").cast("int").alias("q25_days"),
+        F.col("_med").cast("int").alias("median_days"),
+        F.col("_q75").cast("int").alias("q75_days"),
+    )

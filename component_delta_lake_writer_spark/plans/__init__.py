@@ -181,6 +181,7 @@ _FRONT = [
     "bpe_fertility_docs",
     "dunn_posthoc_orders",
     "zip_meta_parse",
+    "km_quantiles_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -12426,3 +12426,79 @@ def dunn_posthoc_orders(
         (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v"),
     )
     return dunn_posthoc(o, "o_orderpriority", "v")
+
+
+@query(
+    "km_quantiles_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+        MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    g AS (
+      SELECT t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1
+    ),
+    k AS (
+      SELECT t, d, c,
+        SUM(d + c) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM g
+    ),
+    k2 AS (
+      SELECT t, d, c, n,
+        CASE WHEN d < n THEN
+          CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n), 9)
+            AS DECIMAL(18,9))
+        END AS lt
+      FROM k
+    ),
+    k3 AS (
+      SELECT t, d, n,
+        CASE WHEN d = n THEN 0.0
+             ELSE ROUND(EXP(CAST(SUM(lt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE)), 6)
+        END AS survival
+      FROM k2
+    ),
+    curve AS (SELECT t, survival FROM k3 WHERE d > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+      CAST(MIN(CASE WHEN survival <= 0.75 THEN t END) AS INT)
+        AS q25_days,
+      CAST(MIN(CASE WHEN survival <= 0.50 THEN t END) AS INT)
+        AS median_days,
+      CAST(MIN(CASE WHEN survival <= 0.25 THEN t END) AS INT)
+        AS q75_days
+    FROM curve
+    """,
+)
+def km_quantiles_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KM survival quantiles
+    (operators.sessions.km_survival_quantiles) on the km fixture
+    (censor_days=1): min-t-where-S≤level folds over the curve's
+    6dp-rounded survival — the censoring-honest median lifetime
+    and quartiles; NULL when the curve never reaches the level."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        km_survival_quantiles,
+    )
+
+    return km_survival_quantiles(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        censor_days=1,
+    )

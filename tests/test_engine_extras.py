@@ -4514,3 +4514,51 @@ def test_parse_zip_meta_real_archive_and_edges(spark):
     assert got[3].is_zip is True and got[3].n_entries is None
     assert got[4].is_zip is False
     assert got[5].is_zip is False
+
+
+def test_km_survival_quantiles_hand_values(spark):
+    """km_survival_quantiles: on an uncensored toy cohort the KM
+    quantiles equal the empirical first-crossing times; a heavily
+    censored cohort leaves unreached levels NULL."""
+    import datetime as dtm
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        km_survival_quantiles,
+    )
+
+    d0 = dtm.datetime(2026, 6, 1, 9, 0)
+
+    def mk(lifetimes, horizon):
+        rows = []
+        for i, t in enumerate(lifetimes):
+            rows += [
+                (f"u{i}", d0),
+                (f"u{i}", d0 + dtm.timedelta(days=t)),
+            ]
+        rows += [
+            ("hz", d0),
+            ("hz", d0 + dtm.timedelta(days=horizon)),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id string, ts timestamp"
+        )
+
+    # 10 users dying at days 1..10; horizon user at 30 keeps them
+    # all uncensored (censor window 1 day)
+    df = mk(list(range(1, 11)), 30)
+    r = km_survival_quantiles(
+        df, "user_id", "ts", censor_days=1
+    ).collect()[0]
+    # survival after t=k deaths ≈ (11-k)/11 (the horizon user adds
+    # one at-risk): S<=0.75 first at t=3 (8/11=0.727), S<=0.5 at
+    # t=6 (5/11), S<=0.25 at t=9 (2/11)
+    assert r.q25_days == 3
+    assert r.median_days == 6
+    assert r.q75_days == 9
+
+    # all users censored at the horizon: curve never drops
+    flat = mk([], 5)
+    rf = km_survival_quantiles(
+        flat, "user_id", "ts", censor_days=7
+    ).collect()[0]
+    assert rf.median_days is None
