@@ -4874,3 +4874,159 @@ def dunn_posthoc(
             (F.abs(z) > F.lit(zcrit)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brunner–Munzel test — the modern replacement for
+    Mann–Whitney when the two arms' distributions can differ in
+    SHAPE, not just location (the Behrens–Fisher situation for
+    ranks): MW's variance assumes exchangeability under the null,
+    and unequal spreads inflate its false-positive rate; BM
+    estimates each arm's rank variance separately (the Welch idea
+    applied to ranks) and tests P(X<Y)+½P(X=Y) = ½ directly —
+    the relative effect p̂ it also reports.
+
+    Scale shape: ONE corpus scan to the (arm, value) tie table;
+    POOLED midranks ride the distributed exclusive cumsum
+    (doubled-rank integers), WITHIN-arm midranks ride a window
+    partitioned by arm over the same tie table (metadata-scale
+    under the MW/JT discrete-values contract).  Every observation
+    in a cell shares its (pooled − within) rank difference, so the
+    per-arm moments Σt·D, Σt·D² are exact DECIMAL(38,0) integer
+    sums in doubled-rank space — the variance recombination and
+    the Satterthwaite df are identical double chains both
+    engines.  Exactly two arms (refused loudly); the flag
+    compares the 6dp-ROUNDED |W| vs 1.959964 (large-sample normal
+    — at corpus n the t(df) refinement is sub-ulp).
+
+    Returns ONE row: (group_a, group_b, n_a, n_b, p_hat, w, df,
+    significant) — p̂ = P(a<b)+½P(=); W/df NULL when both rank
+    variances degenerate (all values tied).
+    """
+    from component_delta_lake_writer_spark.operators.features import (
+        global_weighted_cumsum,
+    )
+
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    per_gv = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    per_gv = per_gv.localCheckpoint(eager=True)
+    arms = [
+        r["_g"]
+        for r in per_gv.select("_g").distinct().limit(3).collect()
+    ]
+    if len(arms) != 2:
+        raise UserException(
+            f"brunner_munzel needs exactly 2 arms, found "
+            f"{sorted(arms)!r}"
+        )
+    ga, gb = sorted(arms)
+    per_v = per_gv.groupBy("_v").agg(F.sum("_t").alias("_tv"))
+    pooled = global_weighted_cumsum(per_v, "_v", "_tv").select(
+        "_v",
+        (2 * F.col("_cum") + F.col("_tv") + 1).alias("_p2"),
+    )
+    w_grp = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = per_gv.select(
+        "_g",
+        "_v",
+        "_t",
+        (
+            2 * F.coalesce(F.sum("_t").over(w_grp), F.lit(0))
+            + F.col("_t")
+            + 1
+        ).alias("_w2"),
+    ).join(F.broadcast(pooled), "_v")
+    d38 = "decimal(38,0)"
+    d2 = F.col("_p2") - F.col("_w2")
+    grp = staged.groupBy("_g").agg(
+        F.sum("_t").alias("_n"),
+        F.sum(
+            (F.col("_t").cast(d38) * F.col("_p2")).cast(d38)
+        ).alias("_B"),
+        F.sum((F.col("_t").cast(d38) * d2).cast(d38)).alias("_A"),
+        F.sum(
+            (F.col("_t").cast(d38) * d2 * d2).cast(d38)
+        ).alias("_Q"),
+    )
+
+    def pick(g, c):
+        return F.max(F.when(F.col("_g") == g, F.col(c)))
+
+    agg = grp.agg(
+        pick(ga, "_n").alias("_na"),
+        pick(ga, "_B").alias("_ba"),
+        pick(ga, "_A").alias("_aa"),
+        pick(ga, "_Q").alias("_qa"),
+        pick(gb, "_n").alias("_nb"),
+        pick(gb, "_B").alias("_bb"),
+        pick(gb, "_A").alias("_ab"),
+        pick(gb, "_Q").alias("_qb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    n_tot = na + nb
+    # 4·S² per arm from the doubled-rank moments
+    s4a = (
+        F.col("_qa").cast("double")
+        - F.col("_aa").cast("double")
+        * F.col("_aa").cast("double")
+        / na
+    ) / (na - 1)
+    s4b = (
+        F.col("_qb").cast("double")
+        - F.col("_ab").cast("double")
+        * F.col("_ab").cast("double")
+        / nb
+    ) / (nb - 1)
+    ta = na * s4a
+    tb = nb * s4b
+    p_hat = (
+        F.col("_bb").cast("double") / nb - (nb + 1)
+    ) / (F.lit(2.0) * na)
+    w = (
+        na
+        * nb
+        * (
+            F.col("_bb").cast("double") / nb
+            - F.col("_ba").cast("double") / na
+        )
+        / (n_tot * F.sqrt(ta + tb))
+    )
+    dof = (
+        (ta + tb)
+        * (ta + tb)
+        / (ta * ta / (na - 1) + tb * tb / (nb - 1))
+    )
+    ok = (
+        (F.col("_na") >= 2)
+        & (F.col("_nb") >= 2)
+        & (ta + tb > 0)
+    )
+    w_r = F.when(ok, F.round(w, 6))
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(p_hat, 6).alias("p_hat"),
+        w_r.alias("w"),
+        F.when(ok & (ta * ta + tb * tb > 0), F.round(dof, 2)).alias(
+            "df"
+        ),
+        F.coalesce(
+            (F.abs(w_r) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

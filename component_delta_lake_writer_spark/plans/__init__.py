@@ -182,6 +182,7 @@ _FRONT = [
     "dunn_posthoc_orders",
     "zip_meta_parse",
     "km_quantiles_events",
+    "brunner_munzel_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -12502,3 +12502,109 @@ def km_quantiles_events(
         "ts",
         censor_days=1,
     )
+
+
+@query(
+    "brunner_munzel_orders",
+    oracle="""
+    WITH pgv AS MATERIALIZED (
+      SELECT CAST(o_orderkey % 2 AS VARCHAR) AS g,
+        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) % 20 AS v,
+        COUNT(*) AS t
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pv AS (SELECT v, SUM(t) AS tv FROM pgv GROUP BY 1),
+    rk AS MATERIALIZED (
+      SELECT v,
+        2 * COALESCE(SUM(tv) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + tv + 1 AS p2
+      FROM pv
+    ),
+    st AS MATERIALIZED (
+      SELECT pgv.g, pgv.t, rk.p2,
+        2 * COALESCE(SUM(pgv.t) OVER (PARTITION BY pgv.g
+          ORDER BY pgv.v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + pgv.t + 1 AS w2
+      FROM pgv JOIN rk ON pgv.v = rk.v
+    ),
+    grp AS (
+      SELECT g, SUM(t) AS n,
+        SUM(CAST(CAST(t AS DECIMAL(38,0)) * p2
+          AS DECIMAL(38,0))) AS b,
+        SUM(CAST(CAST(t AS DECIMAL(38,0)) * (p2 - w2)
+          AS DECIMAL(38,0))) AS a,
+        SUM(CAST(CAST(t AS DECIMAL(38,0)) * (p2 - w2)
+          * (p2 - w2) AS DECIMAL(38,0))) AS q
+      FROM st GROUP BY 1
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN g = '0' THEN n END) AS na,
+        MAX(CASE WHEN g = '0' THEN b END) AS ba,
+        MAX(CASE WHEN g = '0' THEN a END) AS aa,
+        MAX(CASE WHEN g = '0' THEN q END) AS qa,
+        MAX(CASE WHEN g = '1' THEN n END) AS nb,
+        MAX(CASE WHEN g = '1' THEN b END) AS bb,
+        MAX(CASE WHEN g = '1' THEN a END) AS ab,
+        MAX(CASE WHEN g = '1' THEN q END) AS qb
+      FROM grp
+    ),
+    c AS (
+      SELECT na, nb, ba, bb,
+        CAST(na AS DOUBLE) * ((CAST(qa AS DOUBLE)
+          - CAST(aa AS DOUBLE) * CAST(aa AS DOUBLE)
+            / CAST(na AS DOUBLE))
+          / (CAST(na AS DOUBLE) - 1)) AS ta,
+        CAST(nb AS DOUBLE) * ((CAST(qb AS DOUBLE)
+          - CAST(ab AS DOUBLE) * CAST(ab AS DOUBLE)
+            / CAST(nb AS DOUBLE))
+          / (CAST(nb AS DOUBLE) - 1)) AS tb
+      FROM p
+    ),
+    zz AS (
+      SELECT na, nb,
+        (CAST(bb AS DOUBLE) / nb - (CAST(nb AS DOUBLE) + 1))
+          / (2.0 * CAST(na AS DOUBLE)) AS p_hat,
+        CASE WHEN na >= 2 AND nb >= 2 AND ta + tb > 0 THEN
+          ROUND(CAST(na AS DOUBLE) * nb
+            * (CAST(bb AS DOUBLE) / nb - CAST(ba AS DOUBLE) / na)
+            / ((CAST(na AS DOUBLE) + nb) * SQRT(ta + tb)), 6)
+        END AS w,
+        CASE WHEN na >= 2 AND nb >= 2 AND ta + tb > 0
+          AND ta * ta + tb * tb > 0 THEN
+          ROUND((ta + tb) * (ta + tb)
+            / (ta * ta / (CAST(na AS DOUBLE) - 1)
+               + tb * tb / (CAST(nb AS DOUBLE) - 1)), 2)
+        END AS df
+      FROM c
+    )
+    SELECT '0' AS group_a, '1' AS group_b,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      ROUND(p_hat, 6) AS p_hat, w, df,
+      CAST(COALESCE(ABS(w) > 1.959964, FALSE) AS INT)
+        AS significant
+    FROM zz
+    """,
+)
+def brunner_munzel_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brunner–Munzel test
+    (operators.experiments.brunner_munzel) on the MW fixture
+    (orderkey-parity arms, 1k-price buckets mod 20): pooled and
+    within-arm doubled midranks off the tie table, per-arm exact
+    DECIMAL rank moments, Welch-style separate variances and
+    Satterthwaite df — the shape-robust rank test."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        brunner_munzel,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("g"),
+        (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v"),
+    )
+    return brunner_munzel(o, "g", "v")

@@ -3011,3 +3011,82 @@ def test_dunn_posthoc_matches_bruteforce(spark, rows):
                 )
                 assert r.z == pytest.approx(z, abs=2e-6)
                 assert r.significant == int(abs(r.z) > zc)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),                           # arm
+            st.integers(min_value=0, max_value=5),   # value
+        ),
+        min_size=6,
+        max_size=30,
+    ),
+)
+def test_brunner_munzel_matches_bruteforce(spark, rows):
+    """brunner_munzel == the lawstat-style direct computation on
+    ANY two-arm multiset: pooled/within midranks per observation,
+    per-arm rank variances, Satterthwaite df."""
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        brunner_munzel,
+    )
+
+    assume(len({a for a, _ in rows}) == 2)
+    assume(sum(1 for a, _ in rows if not a) >= 2)
+    assume(sum(1 for a, _ in rows if a) >= 2)
+    data = [("0" if not a else "1", v) for a, v in rows]
+    df = spark.createDataFrame(data, "g string, v long")
+    r = brunner_munzel(df, "g", "v").collect()[0]
+
+    x = [v for g, v in data if g == "0"]
+    y = [v for g, v in data if g == "1"]
+    n1, n2 = len(x), len(y)
+    pooled = x + y
+
+    def midranks(vals, within):
+        return [
+            sum(1 for u in within if u < v)
+            + (sum(1 for u in within if u == v) + 1) / 2.0
+            for v in vals
+        ]
+
+    rx = midranks(x, pooled)
+    ry = midranks(y, pooled)
+    rxx = midranks(x, x)
+    ryy = midranks(y, y)
+    rbar1 = sum(rx) / n1
+    rbar2 = sum(ry) / n2
+    s1 = sum(
+        (rx[k] - rxx[k] - rbar1 + (n1 + 1) / 2.0) ** 2
+        for k in range(n1)
+    ) / (n1 - 1)
+    s2 = sum(
+        (ry[k] - ryy[k] - rbar2 + (n2 + 1) / 2.0) ** 2
+        for k in range(n2)
+    ) / (n2 - 1)
+    assert r.n_a == n1 and r.n_b == n2
+    assert r.p_hat == pytest.approx(
+        (rbar2 - (n2 + 1) / 2.0) / n1, abs=1e-6
+    )
+    den = n1 * s1 + n2 * s2
+    if den <= 0:
+        assert r.w is None
+    else:
+        w = (
+            n1 * n2 * (rbar2 - rbar1)
+            / ((n1 + n2) * math.sqrt(den))
+        )
+        assert r.w == pytest.approx(w, abs=2e-6)
+        dof = den ** 2 / (
+            (n1 * s1) ** 2 / (n1 - 1) + (n2 * s2) ** 2 / (n2 - 1)
+        )
+        assert r.df == pytest.approx(dof, abs=0.02)
