@@ -115,12 +115,14 @@ _FRONT = [
     # burn-down #1, so the r13 window is spent there; these keep
     # sf0.001 differential coverage from every pytest run and lead
     # the r14 refresh queue.  r14 WINDOW RECIPE (the never-checked
-    # set grew to 34: the 21 of the second wave plus the 13 of the
-    # third — archive/crawl containers, the paired/effect-size
-    # tier, the survival extensions and the PCA primitive):
-    # parquet_scan + the 34 keys below + the oldest 15 of the
-    # 48-key backlog (r4 cohort first) → backlog after r14: 33,
-    # finished across r15/r16.
+    # set is 56: exif/bpe/ogg + the 18-key second wave + the
+    # 35-key third wave — archive/crawl containers, the paired/
+    # effect-size/agreement/multiple-testing tiers, the survival
+    # and drift extensions, PCA, and the corpus-pipeline ops):
+    # parquet_scan + the first 49 never-checked in listed order →
+    # the 7 newest third-wave keys plus the 48-key stale backlog
+    # roll to r15/r16 (each key stays differentially covered at
+    # sf0.001 by every pytest run in the meantime).
     # ------------------------------------------------------------------
     "exif_meta_parse",
     "bpe_train_merges",
