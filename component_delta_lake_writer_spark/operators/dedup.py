@@ -636,3 +636,118 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def domain_similarity(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary similarity between corpus DOMAINS — the
+    mix-planning readout: before blending sources (or deciding two
+    crawls are redundant), teams ask how much of the domains' token
+    sets overlap.  Reports BOTH the exact Jaccard and the MinHash
+    estimate from the house 16-permutation family — the same
+    sketch the doc-level dedup tier uses — so the sketch's quality
+    is visible next to the truth it approximates (at 100 TB the
+    exact intersection join is the expensive path and the
+    signature comparison is free; at audit scale you run both).
+
+    ONE corpus pass tokenizes (lowercase letter runs → the house
+    md5-prefix hash) and collapses to the DISTINCT (domain, token
+    hash) relation (vocab-scale, pinned — min over a set equals
+    min over the multiset, so the signatures read the same
+    relation the exact join does): per-domain signatures are 16
+    min-aggregates; exact intersections ride one self-join keyed
+    on the token hash (heavy-hitter keys, metadata output);
+    |A∪B| = |A|+|B|−|A∩B|.  Returns one row per unordered domain
+    pair: (domain_a, domain_b, n_tokens_a, n_tokens_b,
+    intersection, exact_jaccard, minhash_jaccard, k_hashes).
+    """
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & F.col(domain_col).isNotNull()
+        )
+        .select(
+            F.col(domain_col).cast("string").alias("_d"),
+            F.explode(
+                F.array_remove(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    "",
+                )
+            ).alias("_tok"),
+        )
+        .select(
+            "_d",
+            F.expr(
+                "CAST(conv(substring(md5(_tok), 1, 8), 16, 10) "
+                "AS BIGINT)"
+            ).alias("_h"),
+        )
+        .groupBy("_d", "_h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    toks = toks.localCheckpoint(eager=True)
+    sigs = toks.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_nt"),
+        *[
+            F.min(
+                (F.lit(a) * F.col("_h") + F.lit(b))
+                % F.lit(MERSENNE_P)
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(HASH_FAMILY)
+        ],
+    )
+    inter = (
+        toks.select(F.col("_d").alias("_da"), "_h")
+        .join(
+            toks.select(F.col("_d").alias("_db"), "_h"),
+            "_h",
+        )
+        .filter(F.col("_da") < F.col("_db"))
+        .groupBy("_da", "_db")
+        .agg(F.count(F.lit(1)).alias("_ix"))
+    )
+    a = sigs.select(
+        F.col("_d").alias("_da"),
+        F.col("_nt").alias("_na"),
+        *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(len(HASH_FAMILY))],
+    )
+    b = sigs.select(
+        F.col("_d").alias("_db"),
+        F.col("_nt").alias("_nb"),
+        *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(len(HASH_FAMILY))],
+    )
+    pairs = (
+        a.join(b, F.col("_da") < F.col("_db"))
+        .join(F.broadcast(inter), ["_da", "_db"], "left")
+        .select(
+            "*",
+            F.coalesce(F.col("_ix"), F.lit(0)).alias("_ixc"),
+        )
+    )
+    k = len(HASH_FAMILY)
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        for i in range(k)
+    )
+    union = F.col("_na") + F.col("_nb") - F.col("_ixc")
+    return pairs.select(
+        F.col("_da").alias("domain_a"),
+        F.col("_db").alias("domain_b"),
+        F.col("_na").cast("long").alias("n_tokens_a"),
+        F.col("_nb").cast("long").alias("n_tokens_b"),
+        F.col("_ixc").cast("long").alias("intersection"),
+        F.when(
+            union > 0,
+            F.round(
+                F.col("_ixc").cast("double") / union.cast("double"),
+                6,
+            ),
+        ).alias("exact_jaccard"),
+        F.round(
+            matches.cast("double") / F.lit(float(k)), 6
+        ).alias("minhash_jaccard"),
+        F.lit(k).cast("int").alias("k_hashes"),
+    )

@@ -185,6 +185,7 @@ _FRONT = [
     "zip_meta_parse",
     "km_quantiles_events",
     "brunner_munzel_orders",
+    "domain_similarity_docs",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3665,3 +3665,75 @@ def zip_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return parse_zip_meta(staged)
+
+
+def _domain_sim_oracle() -> str:
+    from component_delta_lake_writer_spark.operators.dedup import (
+        HASH_FAMILY,
+        MERSENNE_P,
+    )
+
+    mins = ",\n        ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(HASH_FAMILY)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(len(HASH_FAMILY))
+    )
+    k = len(HASH_FAMILY)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT CAST(doc_id % 5 AS VARCHAR) AS d,
+        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      FROM (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^a-z]+'),
+          w -> w <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      )
+    ),
+    sigs AS MATERIALIZED (
+      SELECT d, COUNT(*) AS nt,
+        {mins}
+      FROM toks GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.d AS da, b.d AS db, COUNT(*) AS ix
+      FROM toks a JOIN toks b ON a.h = b.h AND a.d < b.d
+      GROUP BY 1, 2
+    )
+    SELECT a.d AS domain_a, b.d AS domain_b,
+      CAST(a.nt AS BIGINT) AS n_tokens_a,
+      CAST(b.nt AS BIGINT) AS n_tokens_b,
+      CAST(COALESCE(ix, 0) AS BIGINT) AS intersection,
+      CASE WHEN a.nt + b.nt - COALESCE(ix, 0) > 0 THEN
+        ROUND(CAST(COALESCE(ix, 0) AS DOUBLE)
+          / CAST(a.nt + b.nt - COALESCE(ix, 0) AS DOUBLE), 6)
+      END AS exact_jaccard,
+      ROUND(CAST(({match_sum}) AS DOUBLE) / {float(k)!r}, 6)
+        AS minhash_jaccard,
+      CAST({k} AS INT) AS k_hashes
+    FROM sigs a JOIN sigs b ON a.d < b.d
+    LEFT JOIN inter ON inter.da = a.d AND inter.db = b.d
+    """
+
+
+@query("domain_similarity_docs", oracle=_domain_sim_oracle())
+def domain_similarity_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise domain vocabulary similarity
+    (operators.dedup.domain_similarity): five doc_id-residue
+    domains — exact Jaccard off the distinct-token self-join next
+    to the 16-permutation MinHash estimate from the SAME pinned
+    relation, the sketch-vs-truth audit of the dedup tier's
+    machinery at corpus-mix scale."""
+    from component_delta_lake_writer_spark.operators.dedup import (
+        domain_similarity,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "domain", (F.col("doc_id") % 5).cast("string")
+    )
+    return domain_similarity(d, "domain", "text")

@@ -4562,3 +4562,37 @@ def test_km_survival_quantiles_hand_values(spark):
         flat, "user_id", "ts", censor_days=7
     ).collect()[0]
     assert rf.median_days is None
+
+
+def test_domain_similarity_hand_values(spark):
+    """domain_similarity: exact Jaccard matches hand sets;
+    identical domains sketch to minhash 1.0; disjoint domains to
+    exact 0."""
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.dedup import (
+        domain_similarity,
+    )
+
+    rows = [
+        ("a", "cat dog bird"),
+        ("a", "dog fish"),
+        ("b", "cat dog fish whale"),
+        ("c", "cat dog bird fish"),     # same set as domain a
+        ("d", "zebra yak"),             # disjoint from a
+    ]
+    df = spark.createDataFrame(rows, "domain string, text string")
+    got = {
+        (r.domain_a, r.domain_b): r
+        for r in domain_similarity(df, "domain", "text").collect()
+    }
+    # a = {cat,dog,bird,fish}, b = {cat,dog,fish,whale}
+    r_ab = got[("a", "b")]
+    assert r_ab.n_tokens_a == 4 and r_ab.n_tokens_b == 4
+    assert r_ab.intersection == 3
+    assert r_ab.exact_jaccard == _pt.approx(3 / 5)
+    r_ac = got[("a", "c")]
+    assert r_ac.exact_jaccard == 1.0
+    assert r_ac.minhash_jaccard == 1.0   # identical sets, any k
+    r_ad = got[("a", "d")]
+    assert r_ad.exact_jaccard == 0.0 and r_ad.intersection == 0
