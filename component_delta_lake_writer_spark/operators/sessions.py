@@ -2292,3 +2292,138 @@ def km_survival_quantiles(
         F.col("_med").cast("int").alias("median_days"),
         F.col("_q75").cast("int").alias("q75_days"),
     )
+
+
+def ph_assumption_check(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    arm_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Proportional-hazards assumption check for the two-arm Cox
+    model — the diagnostic that must run next to
+    :func:`cox_ph_two_arm`: Cox's single hazard ratio is only
+    meaningful if the ratio is CONSTANT over time, and delayed
+    treatment effects (the Fleming–Harrington motivation) violate
+    exactly that.  The time axis splits at the MEDIAN event time;
+    each half gets its own score-based log-hazard-ratio estimate
+    β̂_h = (O_h−E_h)/V_h, and the interaction statistic
+    z = (β̂₁−β̂₂)/√(1/V₁+1/V₂) tests early-vs-late homogeneity —
+    significant means report the FH/stratified readouts instead of
+    one Cox number.
+
+    Rides :func:`_two_arm_risk_grid` verbatim (one corpus scan);
+    the per-time hypergeometric E/V terms are the logrank spelling
+    (9dp-rounded, DECIMAL-summed) split by a median-time literal
+    computed from the metadata-scale death-time relation (one
+    bounded 1-row collect); everything downstream is two 1-row
+    folds.  Returns ONE row: (arm_a, arm_b, split_t_days,
+    lnhr_early, lnhr_late, z, nonproportional) — NULL z when
+    either half's variance degenerates.
+    """
+    arm_a, arm_b, by_t, counts = _two_arm_risk_grid(
+        df, user_col, ts_col, arm_col, censor_days,
+        "ph_assumption_check",
+    )
+    by_t = by_t.localCheckpoint(eager=True)
+    deaths = by_t.filter(F.col("dt") > 0)
+    # median event time from the metadata-scale grid: the smallest
+    # t with at least half the death mass at or below it — ONE
+    # bounded 1-row collect (the sanctioned class)
+    row = (
+        deaths.select("t", "dt")
+        .withColumn(
+            "_cum",
+            F.sum("dt").over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .crossJoin(
+            F.broadcast(deaths.agg(F.sum("dt").alias("_tot")))
+        )
+        .filter(2 * F.col("_cum") >= F.col("_tot"))
+        .orderBy("t")
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        from component_delta_lake_writer_spark.errors import (
+            UserException,
+        )
+
+        raise UserException(
+            "ph_assumption_check: no death times — nothing to test"
+        )
+    split_t = int(row[0]["t"])
+    dt = F.col("dt").cast("double")
+    nt = F.col("nt").cast("double")
+    na = F.col("na").cast("double")
+    terms = deaths.select(
+        "t",
+        "da",
+        F.round(dt * na / nt, 9)
+        .cast("decimal(28,9)")
+        .alias("_e"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                dt * na / nt * (nt - na) / nt * (nt - dt)
+                / (nt - F.lit(1.0)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,9)")
+        .alias("_v"),
+    )
+    early = F.col("t") <= F.lit(split_t)
+
+    def half(cond, tag):
+        return [
+            F.sum(F.when(cond, F.col("da")).otherwise(0)).alias(
+                f"_o{tag}"
+            ),
+            F.sum(
+                F.when(cond, F.col("_e")).otherwise(
+                    F.lit(0).cast("decimal(28,9)")
+                )
+            ).alias(f"_e{tag}"),
+            F.sum(
+                F.when(cond, F.col("_v")).otherwise(
+                    F.lit(0).cast("decimal(28,9)")
+                )
+            ).alias(f"_v{tag}"),
+        ]
+
+    agg = terms.agg(*half(early, "1"), *half(~early, "2"))
+    v1 = F.col("_v1").cast("double")
+    v2 = F.col("_v2").cast("double")
+    b1 = (
+        F.col("_o1").cast("double") - F.col("_e1").cast("double")
+    ) / v1
+    b2 = (
+        F.col("_o2").cast("double") - F.col("_e2").cast("double")
+    ) / v2
+    ok = (v1 > 0) & (v2 > 0)
+    z = F.when(
+        ok,
+        F.round(
+            (b1 - b2)
+            / F.sqrt(F.lit(1.0) / v1 + F.lit(1.0) / v2),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(arm_a).alias("arm_a"),
+        F.lit(arm_b).alias("arm_b"),
+        F.lit(split_t).cast("int").alias("split_t_days"),
+        F.when(ok, F.round(b1, 6)).alias("lnhr_early"),
+        F.when(ok, F.round(b2, 6)).alias("lnhr_late"),
+        z.alias("z"),
+        F.coalesce(
+            (F.abs(z) > F.lit(1.959964)).cast("int"), F.lit(0)
+        ).alias("nonproportional"),
+    )

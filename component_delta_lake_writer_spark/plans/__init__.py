@@ -186,6 +186,7 @@ _FRONT = [
     "km_quantiles_events",
     "brunner_munzel_orders",
     "domain_similarity_docs",
+    "ph_assumption_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

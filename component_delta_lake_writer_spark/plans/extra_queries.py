@@ -12608,3 +12608,122 @@ def brunner_munzel_orders(
         (F.floor(F.col("o_totalprice") / 1000) % 20).alias("v"),
     )
     return brunner_munzel(o, "g", "v")
+
+
+@query(
+    "ph_assumption_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS arm,
+        MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(l) AS e FROM u),
+    s AS (
+      SELECT arm, datediff('day', f, l) AS t,
+        (datediff('day', l, e) < 1) AS cen
+      FROM u, hz
+    ),
+    ba AS (
+      SELECT arm, t,
+        SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.t, a.arm, COALESCE(ba.d, 0) AS d,
+        COALESCE(ba.c, 0) AS c
+      FROM (SELECT DISTINCT t FROM ba) g
+      CROSS JOIN (SELECT DISTINCT arm FROM ba) a
+      LEFT JOIN ba ON ba.arm = a.arm AND ba.t = g.t
+    ),
+    pa AS (
+      SELECT arm, t, d,
+        SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ),
+    bt AS MATERIALIZED (
+      SELECT t, SUM(d) AS dt, SUM(n) AS nt,
+        SUM(CASE WHEN arm = '0' THEN d ELSE 0 END) AS da,
+        SUM(CASE WHEN arm = '0' THEN n ELSE 0 END) AS na
+      FROM pa GROUP BY 1
+    ),
+    med AS (
+      SELECT MIN(t) AS st FROM (
+        SELECT t,
+          SUM(dt) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum,
+          SUM(dt) OVER () AS tot
+        FROM bt WHERE dt > 0
+      ) WHERE 2 * cum >= tot
+    ),
+    terms AS (
+      SELECT t, da,
+        CAST(ROUND(CAST(dt AS DOUBLE) * na / nt, 9)
+          AS DECIMAL(28,9)) AS e,
+        CAST(CASE WHEN nt > 1 THEN
+          ROUND(CAST(dt AS DOUBLE) * na / nt * (nt - na) / nt
+            * (nt - dt) / (nt - 1.0), 9)
+          ELSE 0.0 END AS DECIMAL(28,9)) AS v
+      FROM bt WHERE dt > 0
+    ),
+    ag AS (
+      SELECT
+        SUM(CASE WHEN t <= st THEN da ELSE 0 END) AS o1,
+        SUM(CASE WHEN t <= st THEN e
+          ELSE CAST(0 AS DECIMAL(28,9)) END) AS e1,
+        SUM(CASE WHEN t <= st THEN v
+          ELSE CAST(0 AS DECIMAL(28,9)) END) AS v1,
+        SUM(CASE WHEN t > st THEN da ELSE 0 END) AS o2,
+        SUM(CASE WHEN t > st THEN e
+          ELSE CAST(0 AS DECIMAL(28,9)) END) AS e2,
+        SUM(CASE WHEN t > st THEN v
+          ELSE CAST(0 AS DECIMAL(28,9)) END) AS v2,
+        MAX(st) AS st
+      FROM terms CROSS JOIN med
+    ),
+    zz AS (
+      SELECT st,
+        (CAST(v1 AS DOUBLE) > 0 AND CAST(v2 AS DOUBLE) > 0) AS ok,
+        (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+          / CAST(v1 AS DOUBLE) AS b1,
+        (CAST(o2 AS DOUBLE) - CAST(e2 AS DOUBLE))
+          / CAST(v2 AS DOUBLE) AS b2,
+        CAST(v1 AS DOUBLE) AS v1d, CAST(v2 AS DOUBLE) AS v2d
+      FROM ag
+    )
+    SELECT '0' AS arm_a, '1' AS arm_b,
+      CAST(st AS INT) AS split_t_days,
+      CASE WHEN ok THEN ROUND(b1, 6) END AS lnhr_early,
+      CASE WHEN ok THEN ROUND(b2, 6) END AS lnhr_late,
+      CASE WHEN ok THEN
+        ROUND((b1 - b2) / SQRT(1.0 / v1d + 1.0 / v2d), 6)
+      END AS z,
+      CAST(COALESCE(ABS(CASE WHEN ok THEN
+        ROUND((b1 - b2) / SQRT(1.0 / v1d + 1.0 / v2d), 6)
+      END) > 1.959964, FALSE) AS INT) AS nonproportional
+    FROM zz
+    """,
+)
+def ph_assumption_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Proportional-hazards diagnostic
+    (operators.sessions.ph_assumption_check) on the logrank
+    fixture: score-based ln-HR per time half around the median
+    event time, interaction z — significant means the single Cox
+    number misleads and the FH/stratified readouts apply."""
+    from component_delta_lake_writer_spark.operators.sessions import (
+        ph_assumption_check,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return ph_assumption_check(
+        ev, "user_id", "ts", "arm", censor_days=1
+    )

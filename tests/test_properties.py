@@ -3090,3 +3090,95 @@ def test_brunner_munzel_matches_bruteforce(spark, rows):
             (n1 * s1) ** 2 / (n1 - 1) + (n2 * s2) ** 2 / (n2 - 1)
         )
         assert r.df == pytest.approx(dof, abs=0.02)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=6,
+        max_size=25,
+    ),
+)
+def test_ph_assumption_matches_bruteforce(spark, users):
+    """ph_assumption_check == the brute two-half score fold on ANY
+    two-arm lifetime multiset: median-split, per-half
+    (O−E)/V ln-HR estimates, interaction z."""
+    import datetime as dtm
+    import math
+
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.sessions import (
+        ph_assumption_check,
+    )
+
+    assume(len({a for a, _ in users}) == 2)
+    horizon = max(t for _, t in users)
+    assume(any(t < horizon for _, t in users))
+    d0 = dtm.datetime(2026, 3, 1, 9, 0)
+    rows = []
+    for i, (arm, t) in enumerate(users):
+        uid = f"u{i}"
+        a = "A" if arm else "B"
+        rows += [(uid, a, d0), (uid, a, d0 + dtm.timedelta(days=t))]
+    df = spark.createDataFrame(
+        rows, "u string, arm string, ts timestamp"
+    )
+    r = ph_assumption_check(
+        df, "u", "ts", "arm", censor_days=1
+    ).collect()[0]
+
+    lifetimes = [("A" if a else "B", t, t == horizon) for a, t in users]
+    death_times = sorted({t for _, t, c in lifetimes if not c})
+    dmass = {
+        t: sum(
+            1 for _, lt, c in lifetimes if lt == t and not c
+        )
+        for t in death_times
+    }
+    tot = sum(dmass.values())
+    cum = 0
+    st = None
+    for t in death_times:
+        cum += dmass[t]
+        if 2 * cum >= tot:
+            st = t
+            break
+    assert r.split_t_days == st
+    halves = {1: [0, 0.0, 0.0], 2: [0, 0.0, 0.0]}
+    for t in death_times:
+        na = sum(1 for a, lt, _ in lifetimes if a == "A" and lt >= t)
+        nb = sum(1 for a, lt, _ in lifetimes if a == "B" and lt >= t)
+        nt = na + nb
+        dt_ = dmass[t]
+        da = sum(
+            1 for a, lt, c in lifetimes
+            if a == "A" and lt == t and not c
+        )
+        h = 1 if t <= st else 2
+        halves[h][0] += da
+        halves[h][1] += round(dt_ * na / nt, 9)
+        if nt > 1:
+            halves[h][2] += round(
+                dt_ * na / nt * (nt - na) / nt * (nt - dt_)
+                / (nt - 1.0),
+                9,
+            )
+    v1, v2 = halves[1][2], halves[2][2]
+    if v1 <= 0 or v2 <= 0:
+        assert r.z is None
+    else:
+        b1 = (halves[1][0] - halves[1][1]) / v1
+        b2 = (halves[2][0] - halves[2][1]) / v2
+        z = (b1 - b2) / math.sqrt(1 / v1 + 1 / v2)
+        assert r.lnhr_early == pytest.approx(b1, abs=2e-6)
+        assert r.lnhr_late == pytest.approx(b2, abs=2e-6)
+        assert r.z == pytest.approx(z, abs=2e-6)
