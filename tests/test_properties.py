@@ -2823,6 +2823,19 @@ def test_benjamini_yekutieli_matches_bruteforce(spark, ps):
     for j in range(1, m + 1):
         c += 1.0 / j
     mc = float(m) * c
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(x, nd):
+        # the engines' ROUND on doubles: HALF_UP on the shortest
+        # decimal repr — Python's round() is half-even and differs
+        # at exact .5 boundaries (the harmonic factor makes them
+        # reachable here)
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(f"1e-{nd}"), ROUND_HALF_UP
+            )
+        )
+
     order = sorted(rows, key=lambda r: (r[1], r[0]))
     s = [mc * p / (i + 1) for i, (_, p) in enumerate(order)]
     suffix = [0.0] * m
@@ -2833,7 +2846,7 @@ def test_benjamini_yekutieli_matches_bruteforce(spark, ps):
     for i, (tid, _p) in enumerate(order):
         assert got[tid].p_rank == i + 1
         assert got[tid].q_value == pytest.approx(
-            round(suffix[i], 6), abs=1e-9
+            round_half_up(suffix[i], 6), abs=1e-9
         )
         assert got[tid].q_value >= bh[tid].q_value - 1e-9
         assert got[tid].reject == int(round(suffix[i], 9) <= 0.05)
