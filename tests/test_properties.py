@@ -2849,7 +2849,9 @@ def test_benjamini_yekutieli_matches_bruteforce(spark, ps):
             round_half_up(suffix[i], 6), abs=1e-9
         )
         assert got[tid].q_value >= bh[tid].q_value - 1e-9
-        assert got[tid].reject == int(round(suffix[i], 9) <= 0.05)
+        assert got[tid].reject == int(
+            round_half_up(suffix[i], 9) <= 0.05
+        )
         # BY rejecting implies BH rejecting (monotone conservatism)
         if got[tid].reject:
             assert bh[tid].reject == 1
