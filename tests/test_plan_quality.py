@@ -1219,3 +1219,58 @@ def test_cumulative_incidence_zero_filescan(spark):
     p = _plan(spark, "cumulative_incidence_events")
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_kendall_brunner_cliffs_ride_pinned_tie_tables(spark):
+    """kendall_tau / brunner_munzel: the 2D grid / doubled-rank
+    machinery runs over the pinned (x, y)/(arm, value) tie tables
+    — zero FileScans in the returned plan."""
+    for key in ("kendall_tau_orders", "brunner_munzel_orders"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 0, (key, p)
+        assert "Scan ExistingRDD" in p, (key, p)
+
+
+def test_wasserstein_single_scan_metadata_windows(spark):
+    """wasserstein_1d: the corpus scan happened inside the pinned
+    (arm, value) tie table — zero FileScans in the returned plan;
+    the CDF windows run over the distinct-value relation."""
+    p = _plan(spark, "wasserstein_drift_orders")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_dunn_eb_zero_filescan(spark):
+    """dunn_posthoc / eb_shrunk_rates: pairwise readout and prior
+    both ride pinned metadata relations — zero FileScans in the
+    returned plan."""
+    for key in ("dunn_posthoc_orders", "eb_shrunk_rates_orders"):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == 0, (key, p)
+        assert "Scan ExistingRDD" in p, (key, p)
+
+
+def test_domain_similarity_zero_filescan(spark):
+    """domain_similarity: signatures AND the exact-intersection
+    join both consume the pinned distinct-token relation — zero
+    FileScans, no re-tokenization of the corpus."""
+    p = _plan(spark, "domain_similarity_docs")
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_single_scan_aggregate_family(spark):
+    """jarque_bera / overdispersion / vocab_coverage /
+    poisson_rate_ratio: one corpus FileScan each (poisson's
+    per-arm relation is pinned → zero), no windows over corpus
+    rows."""
+    for key, scans in (
+        ("jarque_bera_orders", 1),
+        ("overdispersion_events", 1),
+        ("vocab_coverage_docs", 1),
+        ("poisson_rate_ratio_events", 0),
+        ("km_quantiles_events", 0),
+        ("ph_assumption_events", 0),
+    ):
+        p = _plan(spark, key)
+        assert p.count("FileScan") == scans, (key, p)
