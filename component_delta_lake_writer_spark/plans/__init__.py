@@ -187,6 +187,7 @@ _FRONT = [
     "brunner_munzel_orders",
     "domain_similarity_docs",
     "ph_assumption_events",
+    "pipeline_container_triage",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

@@ -3737,3 +3737,163 @@ def domain_similarity_docs(
         "domain", (F.col("doc_id") % 5).cast("string")
     )
     return domain_similarity(d, "domain", "text")
+
+
+@query(
+    "pipeline_container_triage",
+    oracle="""
+    SELECT fmt AS format,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_parsed,
+      CAST(1.0 AS DOUBLE) AS parse_rate
+    FROM (
+      SELECT CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+        WHEN 2 THEN 'tar' END AS fmt
+      FROM documents
+    ) WHERE fmt IS NOT NULL GROUP BY 1
+    UNION ALL
+    SELECT NULL AS format,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(0 AS BIGINT) AS n_parsed,
+      CAST(0.0 AS DOUBLE) AS parse_rate
+    FROM documents WHERE doc_id % 4 = 3
+    """,
+)
+def pipeline_container_triage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end container triage pipeline — the composition the
+    archive tier exists for: a mixed corpus (real gzip members,
+    zstd frames, tar headers, garbage) is sniffed, parsed by all
+    three format parsers, and rolled up to per-format parse
+    success.  The sniffer and every parser are pure Catalyst
+    PROJECTIONS of the same staged relation, combined here through
+    narrow doc_id equi-joins (the operators' public shapes — a
+    production pipeline at 100 TB would fold the parser
+    expressions into one projection and skip the joins entirely;
+    the parsers being column-expression-only is what makes that
+    fold possible).  The oracle predicts every row from the
+    residue arithmetic: the staged payloads are all valid, so
+    parse_rate is exactly 1 per format and the garbage leg lands
+    in the NULL quarantine row with 0 parsed."""
+    from component_delta_lake_writer_spark.operators.multimodal import (
+        parse_gzip_meta,
+        parse_tar_meta,
+        parse_zstd_meta,
+        sniff_container_format,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+
+    def le_hex(v, nbytes):
+        return F.concat(
+            *[
+                F.format_string(
+                    "%02x",
+                    ((v / F.lit(256 ** i)).cast("long") % 256).cast(
+                        "int"
+                    ),
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    gzip_hex = F.concat(
+        F.lit("1f8b08" + "08"),
+        le_hex((F.lit(1700000000) + doc % 1000).cast("long"), 4),
+        F.lit("0003"),
+        F.hex(F.encode(F.lit("f.txt"), "utf-8")),
+        F.lit("00"),
+    )
+    gzip_tail = F.concat(
+        F.lit("00000000"), le_hex((doc % 1000 + 1).cast("long"), 4)
+    )
+    zstd_hex = F.concat(
+        F.lit("28b52ffd" + "84"),                  # fcs=2, checksum
+        F.format_string("%02x", ((doc % 8) * 8).cast("int")),
+        le_hex((doc % 100000).cast("long"), 4),
+    )
+    tar_hex = F.concat(
+        F.rpad(
+            F.hex(F.encode(F.lit("member.bin"), "utf-8")), 200, "0"
+        ),
+        F.lit("00" * 24),
+        F.hex(
+            F.encode(
+                F.lpad(
+                    F.conv((doc % 1000).cast("string"), 10, 8),
+                    11,
+                    "0",
+                ),
+                "utf-8",
+            )
+        ),
+        F.lit("00"),
+        F.hex(F.encode(F.lit("00000000000"), "utf-8")),
+        F.lit("00"),
+        F.lit("20" * 8 + "30" + "00" * 100),
+        F.lit("757374617200" + "3030"),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            doc % 4 == 0,
+            F.concat(
+                F.unhex(gzip_hex),
+                F.encode("text", "utf-8"),
+                F.unhex(gzip_tail),
+            ),
+        )
+        .when(
+            doc % 4 == 1,
+            F.concat(F.unhex(zstd_hex), F.encode("text", "utf-8")),
+        )
+        .when(
+            doc % 4 == 2,
+            F.concat(F.unhex(tar_hex), F.encode("text", "utf-8")),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("00")), F.encode("text", "utf-8"))
+        )
+        .alias("payload"),
+    )
+    sniffed = sniff_container_format(staged).withColumnRenamed(
+        "format", "fmt"
+    )
+    gz = parse_gzip_meta(staged).select("doc_id", "isize")
+    zs = parse_zstd_meta(staged).select("doc_id", "content_size")
+    tr = parse_tar_meta(staged).select("doc_id", "size")
+    one = (
+        staged.select("doc_id")
+        .join(sniffed, "doc_id")
+        .join(gz, "doc_id")
+        .join(zs, "doc_id")
+        .join(tr, "doc_id")
+    )
+    parsed = (
+        F.when(F.col("fmt") == "gzip", F.col("isize").isNotNull())
+        .when(
+            F.col("fmt") == "zstd",
+            F.col("content_size").isNotNull(),
+        )
+        .when(F.col("fmt") == "tar", F.col("size").isNotNull())
+        .otherwise(F.lit(False))
+    )
+    return (
+        one.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(parsed.cast("int")).alias("n_parsed"),
+        )
+        .select(
+            F.col("fmt").alias("format"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_parsed").cast("long").alias("n_parsed"),
+            F.round(
+                F.col("n_parsed").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("parse_rate"),
+        )
+    )
