@@ -5030,3 +5030,151 @@ def brunner_munzel(
             (F.abs(w_r) > F.lit(1.959964)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def welch_anova(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's ANOVA — the k-group mean comparison that does NOT
+    assume equal variances: classic :func:`anova_oneway` pools the
+    within-group variance, and when :func:`brown_forsythe` rejects
+    homogeneity that pooling is exactly the invalid step.  The
+    triangle closes: BF gates, classic ANOVA for homogeneous
+    spreads, Welch for the rest (the welch_ttest idea at k
+    groups), with the Welch–Satterthwaite denominator df.
+
+    ONE map-side-combinable scan accumulates per-group n/Σv/Σv²
+    at DECIMAL(24,4) (the welch exact-sum discipline); the k-row
+    group relation collapses to ONE row of group-sorted arrays,
+    and every cross-group reduction (ΣW, the weighted grand mean,
+    the F* numerator, the df term) is a SEQUENTIAL left fold in
+    group order — a groupBy sum of doubles would be
+    partition-order-dependent; the fold is the deterministic
+    spelling both engines share.  The significance flag compares
+    F* against the conservative limiting-df F table at df1 = k−1
+    (the anova_oneway convention).
+
+    Returns ONE row: (k_groups, n_rows, f_star, df1, df2,
+    significant) — NULL statistics when any group has n < 2 or a
+    degenerate variance.
+    """
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    d24 = F.col("_v").cast("decimal(24,4)")
+    d12 = F.col("_v").cast("decimal(12,4)")
+    grp = src.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d24).alias("_s"),
+        F.sum(d24 * d12).alias("_ss"),
+    )
+    one = grp.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_g", "_n", "_s", "_ss"))
+        ).alias("_r")
+    )
+    m_of = lambda r: r["_s"].cast("double") / r["_n"]
+    one = one.select(
+        F.size("_r").alias("_k"),
+        F.transform(F.col("_r"), lambda r: r["_n"]).alias("_ns"),
+        F.transform(F.col("_r"), m_of).alias("_ms"),
+        F.transform(
+            F.col("_r"),
+            lambda r: (
+                r["_ss"].cast("double")
+                - r["_n"].cast("double") * m_of(r) * m_of(r)
+            )
+            / (r["_n"] - 1),
+        ).alias("_vs"),
+    )
+
+    def fold(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    one = one.select(
+        "_k",
+        "_ns",
+        "_ms",
+        "_vs",
+        F.aggregate(
+            F.col("_ns"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("_N"),
+        F.transform(
+            F.sequence(F.lit(1), F.col("_k")),
+            lambda i: F.element_at(F.col("_ns"), i).cast("double")
+            / F.element_at(F.col("_vs"), i),
+        ).alias("_ws"),
+        F.array_min("_vs").alias("_vmin"),
+        F.array_min("_ns").alias("_nmin"),
+    )
+    one = one.select(
+        "*", fold(F.col("_ws")).alias("_W")
+    ).select(
+        "*",
+        (
+            fold(
+                F.zip_with(
+                    F.col("_ws"),
+                    F.col("_ms"),
+                    lambda w, m: w * m,
+                )
+            )
+            / F.col("_W")
+        ).alias("_xw"),
+    )
+    k_d = F.col("_k").cast("double")
+    a_num = fold(
+        F.zip_with(
+            F.col("_ws"),
+            F.col("_ms"),
+            lambda w, m: w
+            * (m - F.col("_xw"))
+            * (m - F.col("_xw")),
+        )
+    ) / (k_d - 1)
+    c_term = fold(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_k")),
+            lambda i: (
+                F.lit(1.0)
+                - F.element_at(F.col("_ws"), i) / F.col("_W")
+            )
+            * (
+                F.lit(1.0)
+                - F.element_at(F.col("_ws"), i) / F.col("_W")
+            )
+            / (F.element_at(F.col("_ns"), i) - 1),
+        )
+    )
+    b_term = (
+        F.lit(2.0) * (k_d - 2) / (k_d * k_d - 1) * c_term
+    )
+    f_star = a_num / (F.lit(1.0) + b_term)
+    df2 = (k_d * k_d - 1) / (F.lit(3.0) * c_term)
+    ok = (
+        (F.col("_k") >= 2)
+        & (F.col("_nmin") >= 2)
+        & (F.col("_vmin") > 0)
+    )
+    f_r = F.when(ok, F.round(f_star, 6))
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in F_CRIT_1PCT]),
+        F.least(
+            F.col("_k") - 1, F.lit(len(F_CRIT_1PCT))
+        ).cast("int"),
+    )
+    return one.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_N").cast("long").alias("n_rows"),
+        f_r.alias("f_star"),
+        (F.col("_k") - 1).cast("long").alias("df1"),
+        F.when(ok & (c_term > 0), F.round(df2, 2)).alias("df2"),
+        F.coalesce(
+            (f_r > crit).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

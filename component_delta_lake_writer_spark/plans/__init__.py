@@ -188,6 +188,7 @@ _FRONT = [
     "domain_similarity_docs",
     "ph_assumption_events",
     "pipeline_container_triage",
+    "welch_anova_orders",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

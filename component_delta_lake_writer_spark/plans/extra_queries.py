@@ -12727,3 +12727,113 @@ def ph_assumption_events(
     return ph_assumption_check(
         ev, "user_id", "ts", "arm", censor_days=1
     )
+
+
+def _welch_anova_oracle() -> str:
+    from component_delta_lake_writer_spark.operators.experiments import (
+        F_CRIT_1PCT,
+    )
+
+    crit_list = ", ".join(repr(v) for v in F_CRIT_1PCT)
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    grp AS MATERIALIZED (
+      SELECT g, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(24,4))) AS s,
+        SUM(CAST(v AS DECIMAL(24,4)) * CAST(v AS DECIMAL(12,4)))
+          AS ss
+      FROM src GROUP BY 1
+    ),
+    one AS MATERIALIZED (
+      SELECT COUNT(*) AS k, SUM(n) AS nn,
+        list(n ORDER BY g) AS ns,
+        list(CAST(s AS DOUBLE) ORDER BY g) AS sd,
+        list(CAST(ss AS DOUBLE) ORDER BY g) AS ssd
+      FROM grp
+    ),
+    lists AS MATERIALIZED (
+      SELECT k, nn, ns,
+        [sd[i] / ns[i] for i in range(1, CAST(k AS INT) + 1)]
+          AS ms,
+        [(ssd[i] - CAST(ns[i] AS DOUBLE) * (sd[i] / ns[i])
+            * (sd[i] / ns[i])) / (ns[i] - 1)
+          for i in range(1, CAST(k AS INT) + 1)] AS vs
+      FROM one
+    ),
+    wsx AS MATERIALIZED (
+      SELECT k, nn, ns, ms, vs,
+        [CAST(ns[i] AS DOUBLE) / vs[i]
+          for i in range(1, CAST(k AS INT) + 1)] AS ws,
+        list_reduce(vs, (a, b) -> least(a, b)) AS vmin,
+        list_reduce(ns, (a, b) -> least(a, b)) AS nmin
+      FROM lists
+    ),
+    ww AS MATERIALIZED (
+      SELECT *, list_reduce(ws, (a, b) -> a + b) AS w
+      FROM wsx
+    ),
+    xx AS MATERIALIZED (
+      SELECT *,
+        list_reduce([ws[i] * ms[i]
+          for i in range(1, CAST(k AS INT) + 1)],
+          (a, b) -> a + b) / w AS xw
+      FROM ww
+    ),
+    fin AS (
+      SELECT k, nn, vmin, nmin,
+        list_reduce([ws[i] * (ms[i] - xw) * (ms[i] - xw)
+          for i in range(1, CAST(k AS INT) + 1)],
+          (a, b) -> a + b) / (CAST(k AS DOUBLE) - 1) AS a,
+        list_reduce([(1.0 - ws[i] / w) * (1.0 - ws[i] / w)
+            / (ns[i] - 1)
+          for i in range(1, CAST(k AS INT) + 1)],
+          (a, b) -> a + b) AS c
+      FROM xx
+    ),
+    zz AS (
+      SELECT k, nn, vmin, nmin, c,
+        a / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2)
+          / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) * c)
+          AS f_star,
+        (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+          / (3.0 * c) AS df2,
+        (k >= 2 AND nmin >= 2 AND vmin > 0) AS ok
+      FROM fin
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+      CAST(nn AS BIGINT) AS n_rows,
+      CASE WHEN ok THEN ROUND(f_star, 6) END AS f_star,
+      CAST(k - 1 AS BIGINT) AS df1,
+      CASE WHEN ok AND c > 0 THEN ROUND(df2, 2) END AS df2,
+      CAST(COALESCE(CASE WHEN ok THEN ROUND(f_star, 6) END
+        > ([{crit_list}])[CAST(LEAST(k - 1,
+          {len(F_CRIT_1PCT)}) AS BIGINT)], FALSE) AS INT)
+        AS significant
+    FROM zz
+    """
+
+
+@query("welch_anova_orders", oracle=_welch_anova_oracle())
+def welch_anova_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's ANOVA (operators.experiments.welch_anova) on the
+    anova fixture (order priority × total price): per-group exact
+    DECIMAL moments collapsed to group-sorted arrays, every
+    cross-group reduction a sequential fold shared verbatim with
+    the oracle's list_reduce, conservative limiting-df F flag —
+    the unequal-variance answer the brown_forsythe gate points
+    to."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        welch_anova,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return welch_anova(o, "o_orderpriority", "o_totalprice")

@@ -3197,3 +3197,65 @@ def test_ph_assumption_matches_bruteforce(spark, users):
         assert r.lnhr_early == pytest.approx(b1, abs=2e-6)
         assert r.lnhr_late == pytest.approx(b2, abs=2e-6)
         assert r.z == pytest.approx(z, abs=2e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # group
+            st.integers(min_value=0, max_value=50),   # value
+        ),
+        min_size=6,
+        max_size=30,
+    ),
+)
+def test_welch_anova_matches_bruteforce(spark, rows):
+    """welch_anova == the textbook Welch F* and Satterthwaite df
+    computed in plain Python on ANY small k-group multiset."""
+    from hypothesis import assume
+
+    from component_delta_lake_writer_spark.operators.experiments import (
+        welch_anova,
+    )
+
+    groups = sorted({g for g, _ in rows})
+    assume(len(groups) >= 2)
+    by_g = {
+        str(g): [float(v) for gg, v in rows if gg == g]
+        for g in groups
+    }
+    assume(all(len(v) >= 2 for v in by_g.values()))
+    data = [(str(g), float(v)) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, v double")
+    r = welch_anova(df, "g", "v").collect()[0]
+
+    k = len(by_g)
+    assert r.k_groups == k and r.n_rows == len(data)
+    means = {g: sum(v) / len(v) for g, v in by_g.items()}
+    varis = {
+        g: sum((x - means[g]) ** 2 for x in v) / (len(v) - 1)
+        for g, v in by_g.items()
+    }
+    if min(varis.values()) <= 0:
+        assert r.f_star is None
+        return
+    ws = {g: len(by_g[g]) / varis[g] for g in by_g}
+    w_tot = sum(ws[g] for g in sorted(ws))
+    xw = sum(ws[g] * means[g] for g in sorted(ws)) / w_tot
+    a = sum(
+        ws[g] * (means[g] - xw) ** 2 for g in sorted(ws)
+    ) / (k - 1)
+    c = sum(
+        (1 - ws[g] / w_tot) ** 2 / (len(by_g[g]) - 1)
+        for g in sorted(ws)
+    )
+    f = a / (1 + 2 * (k - 2) / (k * k - 1) * c)
+    df2 = (k * k - 1) / (3 * c)
+    assert r.f_star == pytest.approx(f, rel=1e-5)
+    assert r.df1 == k - 1
+    assert r.df2 == pytest.approx(df2, abs=0.02)
