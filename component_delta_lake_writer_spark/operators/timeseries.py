@@ -1026,3 +1026,139 @@ def durbin_watson_hourly(
         dw.alias("dw"),
         F.round(F.lit(1.0) - dw / 2, 6).alias("rho1"),
     )
+
+
+def xcorr_hourly(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between two event types' hourly
+    series — the ops question the single-series tier can't answer:
+    does type A LEAD type B (errors spike, then purchases drop N
+    hours later)?  One row per lag in [−max_lag, +max_lag] with
+    the Pearson correlation of (A_t, B_{t+lag}); the argmax lag is
+    the lead/lag estimate monitoring playbooks act on.
+
+    ONE corpus scan builds the shared gap-filled hour spine with
+    BOTH series as columns (missing hours are real zeros — the
+    gap-fill discipline); per-lag alignment is ``lead`` windows
+    over the metadata-scale spine exploded into (lag, a, b) rows,
+    and each lag's five Pearson moments accumulate as exact
+    integers through DECIMAL(38,0) (hourly-count products overflow
+    long at web scale).  The correlation is one rounded expression
+    per lag; NULL when either side of a lag window is constant.
+
+    Returns 2·max_lag+1 rows: (lag_hours, n_hours, corr 6dp).
+    """
+    counted = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(type_col).isin(type_a, type_b)
+        )
+        .groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("_h")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == type_a, 1).otherwise(0)
+            ).alias("_a"),
+            F.sum(
+                F.when(F.col(type_col) == type_b, 1).otherwise(0)
+            ).alias("_b"),
+        )
+    )
+    counted = counted.localCheckpoint(eager=True)
+    bounds = counted.agg(
+        F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("_lo"),
+                    F.col("_hi"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("_h")
+        )
+        .join(counted, "_h", "left")
+        .select(
+            "_h",
+            F.coalesce("_a", F.lit(0)).alias("_a"),
+            F.coalesce("_b", F.lit(0)).alias("_b"),
+        )
+    )
+    w = Window.orderBy("_h")
+    # window functions can't live inside a generator: materialize
+    # the shifted columns first, THEN explode the (lag, b) structs
+    shifted = spine.select(
+        "_a",
+        *[
+            (
+                F.lead("_b", lag).over(w)
+                if lag >= 0
+                else F.lag("_b", -lag).over(w)
+            ).alias(f"_bl_{lag + max_lag}")
+            for lag in range(-max_lag, max_lag + 1)
+        ],
+    )
+    lag_cols = [
+        F.struct(
+            F.lit(lag).alias("_lag"),
+            F.col(f"_bl_{lag + max_lag}").alias("_bl"),
+        )
+        for lag in range(-max_lag, max_lag + 1)
+    ]
+    pairs = (
+        shifted.select(
+            "_a", F.explode(F.array(*lag_cols)).alias("_p")
+        )
+        .select(
+            F.col("_p._lag").alias("_lag"),
+            "_a",
+            F.col("_p._bl").alias("_bl"),
+        )
+        .filter(F.col("_bl").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("_lag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_a").alias("_sa"),
+        F.sum("_bl").alias("_sb"),
+        F.sum(
+            (F.col("_a").cast(d38) * F.col("_bl")).cast(d38)
+        ).alias("_sab"),
+        F.sum(
+            (F.col("_a").cast(d38) * F.col("_a")).cast(d38)
+        ).alias("_saa"),
+        F.sum(
+            (F.col("_bl").cast(d38) * F.col("_bl")).cast(d38)
+        ).alias("_sbb"),
+    )
+    n = F.col("_n").cast(d38)
+    cov = (n * F.col("_sab")).cast(d38) - (
+        F.col("_sa").cast(d38) * F.col("_sb")
+    ).cast(d38)
+    va = (n * F.col("_saa")).cast(d38) - (
+        F.col("_sa").cast(d38) * F.col("_sa")
+    ).cast(d38)
+    vb = (n * F.col("_sbb")).cast(d38) - (
+        F.col("_sb").cast(d38) * F.col("_sb")
+    ).cast(d38)
+    corr = F.when(
+        (va > 0) & (vb > 0),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(va.cast("double") * vb.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("_lag").cast("int").alias("lag_hours"),
+        F.col("_n").cast("long").alias("n_hours"),
+        corr.alias("corr"),
+    )

@@ -189,6 +189,7 @@ _FRONT = [
     "ph_assumption_events",
     "pipeline_container_triage",
     "welch_anova_orders",
+    "xcorr_hourly_events",
     # ------------------------------------------------------------------
     # Round 12 budget window (first occurrence wins — every listing
     # of these keys in the older round blocks below is superseded).

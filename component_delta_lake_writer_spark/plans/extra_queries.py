@@ -12837,3 +12837,87 @@ def welch_anova_orders(
         "o_orderpriority", "o_totalprice"
     )
     return welch_anova(o, "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "xcorr_hourly_events",
+    oracle="""
+    WITH counted AS MATERIALIZED (
+      SELECT date_trunc('hour', ts) AS h,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS a,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS b
+      FROM events
+      WHERE ts IS NOT NULL
+        AND event_type IN ('error', 'purchase')
+      GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counted),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    sp AS MATERIALIZED (
+      SELECT hours.h, COALESCE(counted.a, 0) AS a,
+        COALESCE(counted.b, 0) AS b
+      FROM hours LEFT JOIN counted USING (h)
+    ),
+    pairs AS (
+      SELECT l.l AS lag, s1.a, s2.b AS bl
+      FROM sp s1
+      CROSS JOIN range(-3, 4) l(l)
+      JOIN sp s2 ON s2.h = s1.h + to_hours(l.l)
+    ),
+    ag AS (
+      SELECT lag, COUNT(*) AS n, SUM(a) AS sa, SUM(bl) AS sb,
+        SUM(CAST(CAST(a AS DECIMAL(38,0)) * bl
+          AS DECIMAL(38,0))) AS sab,
+        SUM(CAST(CAST(a AS DECIMAL(38,0)) * a
+          AS DECIMAL(38,0))) AS saa,
+        SUM(CAST(CAST(bl AS DECIMAL(38,0)) * bl
+          AS DECIMAL(38,0))) AS sbb
+      FROM pairs GROUP BY 1
+    ),
+    fin AS (
+      SELECT lag, n,
+        CAST(CAST(n AS DECIMAL(38,0)) * sab AS DECIMAL(38,0))
+          - CAST(CAST(sa AS DECIMAL(38,0)) * sb
+            AS DECIMAL(38,0)) AS cov,
+        CAST(CAST(n AS DECIMAL(38,0)) * saa AS DECIMAL(38,0))
+          - CAST(CAST(sa AS DECIMAL(38,0)) * sa
+            AS DECIMAL(38,0)) AS va,
+        CAST(CAST(n AS DECIMAL(38,0)) * sbb AS DECIMAL(38,0))
+          - CAST(CAST(sb AS DECIMAL(38,0)) * sb
+            AS DECIMAL(38,0)) AS vb
+      FROM ag
+    )
+    SELECT CAST(lag AS INT) AS lag_hours,
+      CAST(n AS BIGINT) AS n_hours,
+      CASE WHEN va > 0 AND vb > 0 THEN
+        ROUND(CAST(cov AS DOUBLE)
+          / SQRT(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)), 6)
+      END AS corr
+    FROM fin
+    """,
+)
+def xcorr_hourly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lagged cross-correlation
+    (operators.timeseries.xcorr_hourly) between the error and
+    purchase hourly series: shared gap-filled spine, per-lag
+    alignment by lead/lag windows (== the oracle's self-join on
+    the complete spine), exact-integer Pearson moments through
+    DECIMAL(38,0)."""
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        xcorr_hourly,
+    )
+
+    return xcorr_hourly(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "event_type",
+        "error",
+        "purchase",
+    )

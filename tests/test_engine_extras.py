@@ -4596,3 +4596,62 @@ def test_domain_similarity_hand_values(spark):
     assert r_ac.minhash_jaccard == 1.0   # identical sets, any k
     r_ad = got[("a", "d")]
     assert r_ad.exact_jaccard == 0.0 and r_ad.intersection == 0
+
+
+def test_xcorr_hourly_hand_values(spark):
+    """xcorr_hourly: a planted series where B copies A shifted by
+    +2 hours peaks at lag +2 with corr 1; lag 0 correlation
+    matches the hand Pearson."""
+    import datetime as dtm
+
+    import pytest as _pt
+
+    from component_delta_lake_writer_spark.operators.timeseries import (
+        xcorr_hourly,
+    )
+
+    t0 = dtm.datetime(2026, 7, 1, 0, 0)
+    a = [1, 5, 2, 7, 3, 6, 2, 8, 1, 4]
+    rows = []
+    eid = 0
+    for h, c in enumerate(a):
+        for _ in range(c):
+            rows.append((eid, t0 + dtm.timedelta(hours=h), "error"))
+            eid += 1
+        # B at h = A at h-2 (shifted copy)
+        if h >= 2:
+            for _ in range(a[h - 2]):
+                rows.append(
+                    (eid, t0 + dtm.timedelta(hours=h), "purchase")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.lag_hours: r
+        for r in xcorr_hourly(
+            df, "ts", "event_type", "error", "purchase"
+        ).collect()
+    }
+    assert set(got) == set(range(-3, 4))
+    # at lag +2, B_{t+2} == A_t on the overlap → corr exactly 1
+    assert got[2].corr == _pt.approx(1.0)
+    assert all(
+        got[k].corr is None or got[k].corr < 1.0
+        for k in got
+        if k != 2
+    )
+    # hand lag-0 Pearson on the aligned 10-hour window
+    b = [0, 0] + a[:-2]
+    n = 10
+    sa, sb = sum(a), sum(b)
+    sab = sum(x * y for x, y in zip(a, b))
+    saa = sum(x * x for x in a)
+    sbb = sum(y * y for y in b)
+    import math
+
+    expect = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    assert got[0].corr == _pt.approx(round(expect, 6), abs=1e-6)
