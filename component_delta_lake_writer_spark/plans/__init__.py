@@ -115,12 +115,12 @@ _FRONT = [
     # burn-down #1, so the r13 window is spent there; these keep
     # sf0.001 differential coverage from every pytest run and lead
     # the r14 refresh queue.  r14 WINDOW RECIPE (the never-checked
-    # set is 60: exif/bpe/ogg + the 18-key second wave + the
-    # 39-key third wave — archive/crawl containers, the paired/
+    # set is 61: exif/bpe/ogg + the 18-key second wave + the
+    # 40-key third wave — archive/crawl containers, the paired/
     # effect-size/agreement/multiple-testing tiers, the survival
     # and drift extensions, PCA, and the corpus-pipeline ops):
     # parquet_scan + the first 49 never-checked in listed order →
-    # the 11 newest third-wave keys plus the 48-key stale backlog
+    # the 12 newest third-wave keys plus the 48-key stale backlog
     # roll to r15/r16 (each key stays differentially covered at
     # sf0.001 by every pytest run in the meantime).
     # ------------------------------------------------------------------
