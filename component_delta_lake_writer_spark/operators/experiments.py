@@ -5106,8 +5106,14 @@ def welch_anova(
         ).alias("_N"),
         F.transform(
             F.sequence(F.lit(1), F.col("_k")),
-            lambda i: F.element_at(F.col("_ns"), i).cast("double")
-            / F.element_at(F.col("_vs"), i),
+            # try_divide: a zero-variance group would otherwise throw
+            # DIVIDE_BY_ZERO under ANSI before the `ok` gate below can
+            # NULL the statistics — the weight is only consumed when
+            # _vmin > 0, where try_divide ≡ divide bit-for-bit.
+            lambda i: F.try_divide(
+                F.element_at(F.col("_ns"), i).cast("double"),
+                F.element_at(F.col("_vs"), i),
+            ),
         ).alias("_ws"),
         F.array_min("_vs").alias("_vmin"),
         F.array_min("_ns").alias("_nmin"),

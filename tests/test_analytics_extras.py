@@ -1030,6 +1030,23 @@ def test_anova_hand_values(spark):
     assert r.significant == 1  # 13.5 > F(1, inf) 1% = 6.63
 
 
+def test_welch_anova_zero_variance_group_is_null(spark):
+    """A group with zero variance must yield NULL statistics per the
+    operator contract — not an ANSI DIVIDE_BY_ZERO: the n/s² weight is
+    evaluated eagerly, before the `ok` gate, so it must be spelled
+    try_divide (r13 regression pin for the hypothesis-found failure)."""
+    from component_delta_lake_writer_spark.operators.experiments import (
+        welch_anova,
+    )
+
+    rows = [("g1", 1.0), ("g1", 1.0), ("g2", 2.0), ("g2", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_anova(df, "g", "v").collect()[0]
+    assert (r.k_groups, r.n_rows) == (2, 4)
+    assert r.f_star is None and r.df2 is None
+    assert r.significant == 0
+
+
 def test_acf_hand_values(spark):
     """Alternating hourly counts 1,0,1,0,1,0: acf(1) = -5/6,
     acf(2) = +4/6 — gap hours count as zero (rows exist only for the
