@@ -14,7 +14,6 @@ columns — Parquet column pruning never touches the bytes again.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,37 +39,25 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def extract_binary_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched metadata extraction over binary payloads.
+    """Metadata extraction over binary payloads — pure Catalyst.
 
-    This is the real plumbing a media pipeline uses: mapInPandas with
-    a narrow output schema; per-batch vectorized work in pandas.
+    Optimization r13 (guide §4.1): length + sha256 are built-in JVM
+    expressions (``length``/``sha2``), so the previous mapInPandas
+    spelling paid the whole JVM→Arrow→Python→JVM round-trip (plus the
+    one-per-session Python worker spawn) for work codegen does in
+    place — the ArrowEvalPython/MapInPandas node is gone from the
+    plan. Values are identical: ``sha2(bin, 256)`` is the same
+    lowercase hex digest ``hashlib.sha256(...).hexdigest()`` produced,
+    and both built-ins propagate NULL payloads as typed NULLs (the
+    behavior the NULL-payload test pins). The mapInPandas plumbing
+    this function used to demonstrate lives on in the real
+    variable-offset byte walks (JPEG/MP4/TIFF/MP3 parsers below),
+    where no Catalyst equivalent exists.
     """
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # NULL payloads (e.g. NULL source text) surface as typed
-            # NULL metadata — len(None)/bytes(None) killed the task
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": pdf["payload"].map(
-                        lambda b: None if b is None else len(b)
-                    ),
-                    "sha256": pdf["payload"].map(
-                        lambda b: None
-                        if b is None
-                        else hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                }
-            )
-
-    # the output schema adopts the id column's REAL type (the fixed
-    # LongType doc_id field broke string-id tables at Arrow conversion)
-    schema = T.StructType(
-        [T.StructField("doc_id", df.schema[id_col].dataType)]
-        + META_SCHEMA.fields[1:]
-    )
-    return df.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
-        fn, schema
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length("payload").cast("long").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
     )
 
 

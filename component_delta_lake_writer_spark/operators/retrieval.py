@@ -53,31 +53,28 @@ def bm25_topk(
         F.col(doc_id).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text)), " ")).alias("term"),
     )
-    # Persist the token stream: the scalar aggregate below materializes
-    # it, and the returned plan's dl/tf branches then read the cache
-    # instead of re-running the explode (tfidf_top_terms precedent).
+    # Persist the token stream: the dl/scalars/tf branches below all
+    # read the cache instead of re-running the explode
+    # (tfidf_top_terms precedent).
     tok = tok.persist()
 
-    # Corpus scalars: integer-exact sum/count, one double division.
-    n_docs, total_len = (
-        tok.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dl"))
-        .agg(F.count(F.lit(1)), F.sum("dl"))
-        .first()
-    )
-    if not n_docs or total_len is None:
-        # empty corpus (or all-NULL text): nothing can rank — return a
-        # correctly-shaped empty result instead of float(None)/0-div
-        tok.unpersist()
-        return (
-            queries.select("query_id").limit(0)
-            .crossJoin(docs.select(F.col(doc_id).alias("doc_id")).limit(0))
-            .withColumn("score", F.lit(None).cast("double"))
-            .withColumn("rk", F.lit(None).cast("int"))
-        )
-    avgdl = float(total_len) / float(n_docs)
-
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Corpus scalars (N, total length) as a broadcast 1-row relation
+    # instead of a driver `.first()` (optimization r13): the collect
+    # spent a whole extra Spark job + driver round-trip inside every
+    # timed/composed call; a broadcast-nested-loop attach keeps the
+    # entire query ONE job. Values are bit-identical: the divisions
+    # below are the same binary64 ops the driver-side floats did.
+    # Empty corpus: the agg row carries n=0/sum=NULL, but every
+    # downstream relation is already empty, so the old early-return's
+    # shape (same columns, zero rows) falls out naturally and the
+    # divisions never evaluate on a row.
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("dl").alias("_total_len"),
+    )
+    n_docs_d = F.col("_n_docs").cast("double")
+    avgdl = F.col("_total_len").cast("double") / n_docs_d
     vocab = queries.select("term").distinct()
     # Semi-join the token stream against the broadcast query
     # vocabulary BEFORE any shuffle: downstream tf/df aggregates
@@ -90,18 +87,23 @@ def bm25_topk(
 
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (n_docs_d - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     norm = F.col("tf") * F.lit(k1 + 1.0) / (
         F.col("tf")
         + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
-    contrib = tf.join(F.broadcast(df_), "term").join(dl, "doc_id").select(
-        "doc_id",
-        "term",
-        F.round(idf * norm, 6).cast("decimal(18,6)").alias("w"),
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * norm, 6).cast("decimal(18,6)").alias("w"),
+        )
     )
     scored = (
         contrib.join(F.broadcast(queries), "term")
@@ -186,20 +188,32 @@ def hybrid_rrf_topk(
         .filter(F.col("rk_vec") <= pool)
         .select("query_id", "doc_id", "rk_vec")
     )
-    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+    # Fusion as UNION ALL + one hash aggregate (optimization r13): the
+    # previous full_outer join of the two rank lists could only plan
+    # as a SortMergeJoin (full-outer cannot broadcast) — two exchanges
+    # + two sorts over metadata-scale lists. The union spelling pays
+    # ONE exchange of |lex|+|vec| rows. Values are bit-identical: per
+    # (query, doc) there are at most two contributions, double
+    # addition of two values is commutative, and a single
+    # contribution equals the old `x + 0.0` coalesce.
+    lex_c = lex.select(
         "query_id",
         "doc_id",
-        F.round(
-            F.coalesce(
-                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rk_lex")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rk_vec")),
-                F.lit(0.0),
-            ),
-            6,
-        ).alias("rrf"),
+        (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rk_lex"))).alias(
+            "contrib"
+        ),
+    )
+    vec_c = vec.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rk_vec"))).alias(
+            "contrib"
+        ),
+    )
+    fused = (
+        lex_c.unionByName(vec_c)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf"))
     )
     w_out = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col("doc_id")

@@ -1111,8 +1111,6 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival stats. Fully oracle-checked end-to-end (the CC fixpoint
     maps to a recursive CTE); every constituent is also checked
     individually."""
-    from pyspark.sql import Window
-
     from component_delta_lake_writer_spark.operators.clusters import dedup_clusters
     from component_delta_lake_writer_spark.operators.text import (
         fingerprint,
@@ -1120,25 +1118,37 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    n_total = docs.count()
+    # Corpus total as a broadcast 1-row aggregate attached to the
+    # (metadata-scale) final report instead of a driver `.count()`
+    # (optimization r13): the count spent one whole extra Spark job
+    # inside the timed pipeline; the cross-join attach keeps it in
+    # the final job. Cast to int = the old `F.lit(count)` type, so
+    # the driver-checked schema is unchanged.
+    n_total_rel = docs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_total_corpus")
+    )
 
     # 1. quality gate (codegen'd column expression, shuffle-free)
     q = docs.withColumn("q", quality_score(F.col("text"))).filter(F.col("q") >= 0.3)
 
     # 2. exact dedup: keep min doc_id per normalized-text fingerprint.
-    # Window-min over fp = ONE shuffle; the groupBy(fp)+semi-join
-    # alternative pays a second and third shuffle (both join sides
-    # re-hash on doc_id) — at 100 TB that's a full extra pass over the
-    # corpus.
-    w = Window.partitionBy(fingerprint(F.col("text")))
+    # Spelled min_by(struct(row), doc_id) groupBy (optimization r13,
+    # guide §2.2): still the ONE shuffle the old window-min spelling
+    # paid (the groupBy+semi-join alternative pays two more), but now
+    # with MAP-SIDE partial aggregation — the shuffle carries one
+    # surviving row per (input partition, fingerprint) instead of the
+    # whole filtered corpus — and no per-partition sort (window
+    # functions sort their partitions even for an unordered frame).
+    # Same survivors: doc_id is unique, so "row whose doc_id is the
+    # group min" ≡ "rows where doc_id == min(doc_id) over fp".
     # q1 feeds BOTH the minhash branch (via the clustering fixpoint,
     # which materializes it under the edge list) and the final
     # anti-join aggregation — without persist the quality filter +
-    # exact-dedup window run twice end-to-end.
+    # exact-dedup run twice end-to-end.
     q1 = (
-        q.withColumn("_min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id")
+        q.groupBy(fingerprint(F.col("text")).alias("_fp"))
+        .agg(F.min_by(F.struct(*q.columns), F.col("doc_id")).alias("_r"))
+        .select("_r.*")
         .persist()
     )
 
@@ -1165,7 +1175,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_quality"),
         )
-        .withColumn("n_total_corpus", F.lit(n_total))
+        .crossJoin(F.broadcast(n_total_rel))
     )
 
 
