@@ -68,30 +68,39 @@ def connected_components(
     distributed min-label-propagation fixpoint (unbounded, one
     shuffle per round). Both produce identical (id, component) rows.
     """
-    # Single-materialization gate: pull at most threshold+1 edges. If
-    # that returns ≤ threshold rows we already hold the WHOLE edge
-    # list (limit only truncates past it) and resolve locally without
-    # a second pass over the (often expensive — post-LSH) lineage;
-    # only the rare above-threshold case recomputes distributed.
-    rows = (
-        edges.select(F.col(src).cast("long"), F.col(dst).cast("long"))
-        .limit(local_threshold + 1)
-        .collect()
-    )
-    if len(rows) <= local_threshold:
-        labels = _local_union_find([(r[0], r[1]) for r in rows])
+    # Single-materialization gate (respelled r13, guide §1.4/§5.3):
+    # the old `limit(threshold+1).collect()` looked bounded but
+    # executed as CollectLimit — the driver pulls partition waves
+    # incrementally (1, then scaleUpFactor more, ...), so an
+    # under-threshold edge list still re-dispatched the whole
+    # (expensive — post-LSH) final stage 4-5 times, and the
+    # above-threshold case then recomputed the full lineage AGAIN for
+    # the distributed path. Now: persist the cast edge projection,
+    # materialize it with ONE full-parallelism count (the upstream
+    # LSH shuffles run exactly once), and serve BOTH the local
+    # union-find collect and the distributed fixpoint from the cache.
+    # The driver still never holds more than threshold rows: the
+    # bounded `limit().count()` gate decides before any collect.
+    edges = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    n_gate = edges.limit(local_threshold + 1).count()
+    if n_gate <= local_threshold:
+        rows = edges.collect()
         spark = edges.sparkSession
+        edges.unpersist()
+        labels = _local_union_find([(r[0], r[1]) for r in rows])
         if not labels:  # no edges — empty component table
             return spark.createDataFrame([], "id long, component long")
         return spark.createDataFrame(
             list(labels.items()), "id long, component long"
         )
-    edges = edges.persist()
-    # Distributed path: edges is already persisted by the gating
-    # count above, so the symmetrized union's two reads hit the cache.
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Distributed path: edges is already persisted and materialized by
+    # the gating count above, so the symmetrized union's two reads hit
+    # the cache.
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     sym = sym.persist()
     # Round 0 fused into initialization: the same groupBy that
     # discovers the vertex set already sees every neighbor, so start

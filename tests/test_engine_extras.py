@@ -120,6 +120,28 @@ def test_connected_components_matches_union_find(spark):
     assert dist == want
 
 
+def test_connected_components_gate_unpersists_edge_cache(spark):
+    """r13 gate respelling: the adaptive gate persists the cast edge
+    projection so the LSH lineage materializes exactly once; the
+    under-threshold (local union-find) path must release that cache
+    before returning — a leak here pins post-LSH edge lists in
+    executor memory for the life of the session."""
+    from component_delta_lake_writer_spark.operators.clusters import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_salted_join_equals_plain_join(spark):
     from component_delta_lake_writer_spark.operators.skew import salted_join
     from component_delta_lake_writer_spark.tables import load_table
