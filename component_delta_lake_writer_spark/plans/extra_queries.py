@@ -1137,8 +1137,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paid (the groupBy+semi-join alternative pays two more), but now
     # with MAP-SIDE partial aggregation — the shuffle carries one
     # surviving row per (input partition, fingerprint) instead of the
-    # whole filtered corpus — and no per-partition sort (window
-    # functions sort their partitions even for an unordered frame).
+    # whole filtered corpus. Cost shape (plans/r13/..._after.txt): the
+    # struct-valued buffer is not hash-aggregable, so this plans as
+    # SortAggregate (a map-side sort by fingerprint) — trading local
+    # sort CPU for shuffled BYTES, the right direction at corpus
+    # scale where the wire, not the comparator, is the bottleneck;
+    # the window spelling sorted the full corpus post-shuffle anyway.
     # Same survivors: doc_id is unique, so "row whose doc_id is the
     # group min" ≡ "rows where doc_id == min(doc_id) over fp".
     # q1 feeds BOTH the minhash branch (via the clustering fixpoint,
