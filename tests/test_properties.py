@@ -3256,6 +3256,9 @@ def test_welch_anova_matches_bruteforce(spark, rows):
     )
     f = a / (1 + 2 * (k - 2) / (k * k - 1) * c)
     df2 = (k * k - 1) / (3 * c)
-    assert r.f_star == pytest.approx(f, rel=1e-5)
+    # abs=5.1e-7: the engine rounds f_star to 6 decimals, so for tiny
+    # F values the quantization step (±5e-7) exceeds any pure-relative
+    # band — approx takes the larger of rel/abs, covering both regimes
+    assert r.f_star == pytest.approx(f, rel=1e-5, abs=5.1e-7)
     assert r.df1 == k - 1
     assert r.df2 == pytest.approx(df2, abs=0.02)
