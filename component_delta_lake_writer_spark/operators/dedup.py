@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from component_delta_lake_writer_spark.operators.text import fingerprint, normalize_text
+from component_delta_lake_writer_spark.operators.text import (
+    fingerprint,
+    normalize_text,
+    spread_for_fanout,
+)
 
 # (a, b) pairs for the universal hash family (a*h + b) mod P.
 # a < 2^31, h < 2^32 → a*h < 2^63: no int64 overflow.
@@ -95,9 +99,9 @@ def shingles(
     """
     # Shingling amplifies each row ~|tokens| times; a small file count
     # would otherwise pin the whole fan-out (and its md5 per shingle)
-    # on few cores. Repartition to the session's parallelism first —
-    # sizing to the exploded output, not the input splits.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # on few cores. Spread to the session's parallelism first — but
+    # only when the scan is under-split (see spread_for_fanout).
+    df = spread_for_fanout(df)
     # Tokenization is projected to a materialized column FIRST: inlining
     # it into the transform lambda would re-evaluate the full-document
     # regex normalize + split once per shingle position (~|tokens|× per
@@ -316,7 +320,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """32-bit SimHash over whitespace tokens: for each bit, sign of the
     sum of ±1 token votes. Explode + conditional sums — one shuffle."""
-    tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    tok = spread_for_fanout(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(

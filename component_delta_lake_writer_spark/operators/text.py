@@ -111,6 +111,27 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), _WS, " "))
 
 
+def spread_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism — but ONLY when
+    the input has fewer partitions than cores.
+
+    The shingle/token fan-outs amplify each row ~|tokens| times, so a
+    small split count (locally: one ~10 MB parquet file = one task)
+    would pin the whole md5-per-shingle pass on few cores. At corpus
+    scale the scan already yields far more splits than cores and an
+    unconditional ``repartition(n)`` becomes a full shuffle of the
+    text payload for nothing — the classic accidental exchange. The
+    guard keeps the local crutch and removes the at-scale shuffle;
+    round-robin placement never changes results (every consumer
+    aggregates by key).
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text. Used for
     exact dedup; cheap, shuffle-free until the groupBy."""
@@ -175,7 +196,7 @@ def winnow_fingerprints(
         f"j -> array_min(slice(_hs, j, {w}))))"
     )
     return (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread_for_fanout(df)
         .select(F.col(id_col), hs.alias("_hs"))
         .select(F.col(id_col), F.explode(fps).alias("fp"))
     )

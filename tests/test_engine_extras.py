@@ -4677,3 +4677,25 @@ def test_xcorr_hourly_hand_values(spark):
         (n * saa - sa * sa) * (n * sbb - sb * sb)
     )
     assert got[0].corr == _pt.approx(round(expect, 6), abs=1e-6)
+
+
+def test_spread_for_fanout_guard(spark):
+    """The fan-out spread repartitions ONLY under-split inputs: a
+    single-partition corpus is spread to session parallelism (the
+    local crutch), while an input already at >= parallelism partitions
+    passes through with its partitioning — and plan — untouched (at
+    scale the scan provides the parallelism and the repartition would
+    be a full shuffle of the text payload)."""
+    from component_delta_lake_writer_spark.operators.text import (
+        spread_for_fanout,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert spread_for_fanout(narrow).rdd.getNumPartitions() == p
+
+    wide = spark.range(100).repartition(p + 3)
+    spread = spread_for_fanout(wide)
+    # untouched: same object, no extra exchange appended
+    assert spread is wide
+    assert spread.rdd.getNumPartitions() == p + 3
