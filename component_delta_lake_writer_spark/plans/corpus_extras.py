@@ -1201,9 +1201,19 @@ def pipeline_curated_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept_ids = repetition_stats(docs).filter(F.col("keep")).select("doc_id")
     kept = docs.join(kept_ids, "doc_id").select("doc_id", "text")
-    fp = kept.withColumn("fp", fingerprint(F.col("text")))
-    keep_one = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    curated = kept.join(keep_one.select("doc_id"), "doc_id")
+    # Exact keep-one dedup as ONE keyed aggregate (min_by over the
+    # row struct — the pipeline_clean_corpus respelling): the old
+    # groupBy(fp).min(doc_id) + join-back re-derived the whole
+    # gate+join lineage a second time (two more corpus scans in the
+    # plan) to re-attach text the aggregate already saw. Identical
+    # survivors: doc_id is unique, so the min_by row IS the row whose
+    # doc_id the old join selected.
+    curated = (
+        kept.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("__r"))
+        .select(F.col("__r.doc_id").alias("doc_id"), F.col("__r.text").alias("text"))
+    )
     queries = spark.createDataFrame(
         _BM25_QUERIES, "query_id int, term string"
     )
