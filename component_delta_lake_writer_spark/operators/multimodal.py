@@ -1602,8 +1602,17 @@ def parse_zstd_meta(
             out = term if out is None else out + term
         return out
 
+    # STAGED projections (optimization r13, the parse_zip_meta fix):
+    # the flag-driven offsets (fhd → did_pos → fcs_pos) fanned out
+    # into every le_at byte term when inlined — ~1 MB of generated
+    # Java for one stage.  Materializing the multiply-referenced
+    # descriptor byte and the two computed positions as columns
+    # keeps every subexpression evaluated once and the stage small.
     is_zstd = F.substring(b, 1, 4) == F.lit(b"\x28\xb5\x2f\xfd")
-    fhd = u8_at(F.lit(4))
+    s1 = df.select(
+        F.col(id_col), b, u8_at(F.lit(4)).alias("_fhd")
+    )
+    fhd = F.col("_fhd")
     fcs_flag = (fhd / 64).cast("long")           # bits 7-6
     single_seg = fhd.bitwiseAND(32) != 0         # bit 5
     checksum = fhd.bitwiseAND(4) != 0            # bit 2
@@ -1612,19 +1621,32 @@ def parse_zstd_meta(
     window_log = F.when(
         ~single_seg, F.lit(10) + (u8_at(wd_pos) / 8).cast("long")
     )
-    did_pos = wd_pos + F.when(single_seg, 0).otherwise(1)
     did_bytes = (
         F.when(did_flag == 0, 0)
         .when(did_flag == 1, 1)
         .when(did_flag == 2, 2)
         .otherwise(4)
     )
+    s2 = s1.select(
+        F.col(id_col),
+        b,
+        F.col("_fhd"),
+        (wd_pos + F.when(single_seg, 0).otherwise(1)).alias("_did_pos"),
+    )
+    did_pos = F.col("_did_pos")
+    s3 = s2.select(
+        F.col(id_col),
+        b,
+        F.col("_fhd"),
+        did_pos,
+        (did_pos + did_bytes).alias("_fcs_pos"),
+    )
+    fcs_pos = F.col("_fcs_pos")
     dict_id = (
         F.when(did_flag == 1, le_at(did_pos, 1))
         .when(did_flag == 2, le_at(did_pos, 2))
         .when(did_flag == 3, le_at(did_pos, 4))
     )
-    fcs_pos = did_pos + did_bytes
     content_size = (
         F.when(fcs_flag == 0, F.when(single_seg, le_at(fcs_pos, 1)))
         .when(fcs_flag == 1, le_at(fcs_pos, 2) + 256)
@@ -1632,7 +1654,7 @@ def parse_zstd_meta(
         .otherwise(le_at(fcs_pos, 8))
     )
     ok = F.coalesce(is_zstd, F.lit(False))
-    return df.select(
+    return s3.select(
         F.col(id_col),
         ok.alias("is_zstd"),
         F.when(ok, single_seg).alias("single_segment"),
@@ -1799,19 +1821,23 @@ def parse_zip_meta(
     Returns (id, is_zip, n_entries, cd_size, cd_offset,
     comment_len).
     """
+    # STAGED projections, not one giant select (optimization r13):
+    # inlining the EOCD-locating subtree into every field read
+    # multiplied the expression tree combinatorially — the single
+    # WholeStageCodegen stage reached 2.5 MB of generated Java,
+    # janino refused to compile it, and the whole projection ran
+    # INTERPRETED, re-evaluating the duplicated regexp/hex subtrees
+    # once per field per row.  Each stage below materializes the
+    # multiply-referenced intermediate as a named column; downstream
+    # references are then cheap attributes, CollapseProject keeps the
+    # factoring (it only re-inlines cheap or singly-referenced
+    # expressions), the generated stage compiles, and every
+    # subexpression evaluates once per row.
     b = F.col(bin_col)
     is_zip = F.substring(b, 1, 4) == F.lit(b"PK\x03\x04")
     tail_start = F.greatest(
         F.length(b) - F.lit(99), F.lit(1)
     )
-    tail_hex = F.hex(F.substring(b, tail_start, F.lit(100)))
-
-    def pos_of(pattern):
-        before = F.regexp_extract(tail_hex, pattern, 1)
-        hit = (before != "") | tail_hex.startswith("504B0506")
-        return F.when(
-            hit, tail_start + F.length(before) / 2
-        )
 
     def le_at(base, off: int, nbytes: int):
         out = None
@@ -1838,12 +1864,45 @@ def parse_zip_meta(
             base,
         )
 
-    first = validated(pos_of("^((?:..)*?)504B0506"))
-    last = validated(pos_of("^((?:..)*)504B0506"))
-    eocd = F.coalesce(first, last)
+    s1 = df.select(
+        F.col(id_col),
+        b,
+        tail_start.alias("_ts"),
+        F.hex(F.substring(b, tail_start, F.lit(100))).alias("_th"),
+    )
+    th = F.col("_th")
+
+    def pos_of(before_col):
+        hit = (before_col != "") | th.startswith("504B0506")
+        return F.when(
+            hit, F.col("_ts") + F.length(before_col) / 2
+        )
+
+    s2 = s1.select(
+        F.col(id_col),
+        b,
+        F.col("_ts"),
+        th,
+        F.regexp_extract(th, "^((?:..)*?)504B0506", 1).alias("_fb"),
+        F.regexp_extract(th, "^((?:..)*)504B0506", 1).alias("_lb"),
+    )
+    s3 = s2.select(
+        F.col(id_col),
+        b,
+        pos_of(F.col("_fb")).alias("_fpos"),
+        pos_of(F.col("_lb")).alias("_lpos"),
+    )
+    s4 = s3.select(
+        F.col(id_col),
+        b,
+        F.coalesce(
+            validated(F.col("_fpos")), validated(F.col("_lpos"))
+        ).alias("_eocd"),
+    )
+    eocd = F.col("_eocd")
     ok = F.coalesce(is_zip, F.lit(False))
     has = ok & eocd.isNotNull()
-    return df.select(
+    return s4.select(
         F.col(id_col),
         ok.alias("is_zip"),
         F.when(has, le_at(eocd, 10, 2)).cast("int").alias(
