@@ -1761,7 +1761,12 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_interval_join,
     )
 
-    return stream_interval_join(spark, sf_dir, state_partitions=8)
+    # state_partitions sized to the probe's state (~4k buffered rows;
+    # the knob's own doc: single digits for a local drain, hundreds+
+    # on a cluster). r13 durationMs profiling: per-batch cost is
+    # dominated by state-store open/commit x partitions x 4 stores —
+    # 8 partitions measured ~2x the wall of 4 at identical results.
+    return stream_interval_join(spark, sf_dir, state_partitions=4)
 
 
 @query(
@@ -1798,7 +1803,10 @@ def stream_interval_join_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_interval_join_outer,
     )
 
-    return stream_interval_join_outer(spark, sf_dir, state_partitions=8)
+    # same state-partition sizing rationale as stream_interval_join:
+    # the outer join holds 4 state stores per partition, and every
+    # micro-batch opens+commits all of them.
+    return stream_interval_join_outer(spark, sf_dir, state_partitions=4)
 
 
 @query(
