@@ -765,6 +765,17 @@ def pq_topk(
     seeded/deterministic, so the whole path has a full SQL
     differential oracle (same bar as kmeans_embedding_clusters).
 
+    r13 (guide §1.2/§2.1): all m subspaces train/encode as ONE
+    j-keyed relation (posexplode of the per-row slice array) instead
+    of m independent pipelines — per Lloyd round the corpus is
+    scanned once, not m times, and the round's centroid collect is
+    one job instead of m. The per-(j, pid) arithmetic is unchanged
+    (same slices, same seeds — the k lowest-id vectors sliced, which
+    IS each subspace's k lowest-id points — same argmin struct, same
+    round→decimal means), so codes, lookup table and ADC ranks are
+    bit-identical; the differential oracle still unrolls per
+    subspace.
+
     Returns the top-k (pid, adc, rk), probe excluded.
     """
     from pyspark.sql.window import Window
@@ -781,38 +792,80 @@ def pq_topk(
         raise UserException(
             f"pq_topk probe_id {probe_id!r} not present in the corpus."
         )
-    codes_parts = []
-    qd_parts = []
-    for j in range(m):
+
+    def _slices(col):
         # the LAST subspace absorbs the dim % m remainder — silently
         # dropping trailing coordinates would diverge the ranking from
         # the documented PQ of the full vector
-        w_j = width + (dim - m * width if j == m - 1 else 0)
-        sub = base.select(
-            "pid", F.slice(F.col("full"), j * width + 1, w_j).alias("x")
-        )
-        cents = _lloyd_centroids(sub, sub_k, lloyd_iterations)
-        codes_parts.append(
-            _assign_centroids(sub, cents).select(
-                "pid", F.lit(j).alias("j"), "cid"
-            )
-        )
-        probe_sub = sub.filter(F.col("pid") == probe_id).select(
-            F.col("x").alias("q")
-        )
-        qd_parts.append(
-            cents.crossJoin(F.broadcast(probe_sub)).select(
+        return F.array(*[
+            F.struct(
                 F.lit(j).alias("j"),
-                "cid",
-                _sqdist(F.col("q"), F.col("c")).alias("qd2"),
+                F.slice(
+                    col,
+                    j * width + 1,
+                    width + (dim - m * width if j == m - 1 else 0),
+                ).alias("x"),
+            )
+            for j in range(m)
+        ])
+
+    subs = base.select(
+        "pid", F.explode(_slices(F.col("full"))).alias("s")
+    ).select("pid", F.col("s.j").alias("j"), F.col("s.x").alias("x"))
+
+    def assign(cents):
+        """Per-(j, pid) argmin against the broadcast (j, cid, c)
+        codebook relation — _assign_centroids keyed by subspace."""
+        scored = subs.join(F.broadcast(cents), "j").select(
+            "pid", "j", "x", "cid",
+            _sqdist(F.col("x"), F.col("c")).alias("dist2"),
+        )
+        return (
+            scored.groupBy("j", "pid")
+            .agg(
+                F.min(F.struct("dist2", "cid")).alias("mn"),
+                F.first("x").alias("x"),
+            )
+            .select("pid", "j", "x", F.col("mn.cid").alias("cid"))
+        )
+
+    # seeds: the sub_k lowest-id vectors, sliced — identical to each
+    # subspace's sub_k lowest-id points (every pid carries all m rows)
+    cents = base.orderBy(F.col("pid")).limit(sub_k).select(
+        F.explode(_slices(F.col("full"))).alias("s"),
+        F.col("pid").alias("cid"),
+    ).select(F.col("s.j").alias("j"), "cid", F.col("s.x").alias("c"))
+    for _ in range(max(lloyd_iterations - 1, 0)):
+        asg = assign(cents)
+        comps = (
+            asg.select("j", "cid", F.posexplode("x").alias("pos", "xj"))
+            .groupBy("j", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("xj"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cm")
             )
         )
-    codes = codes_parts[0]
-    for p_ in codes_parts[1:]:
-        codes = codes.unionByName(p_)
-    qd = qd_parts[0]
-    for p_ in qd_parts[1:]:
-        qd = qd.unionByName(p_)
+        cents = comps.groupBy("j", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cm"))),
+                lambda t: t["cm"],
+            ).alias("c")
+        )
+        # m×sub_k×width — METADATA-scale; materialize to cut the
+        # iterative lineage (same rationale as _lloyd_centroids)
+        rows = cents.collect()
+        if rows:
+            cents = df.sparkSession.createDataFrame(rows, cents.schema)
+    codes = assign(cents).select("pid", "j", "cid")
+    probe_subs = subs.filter(F.col("pid") == probe_id).select(
+        "j", F.col("x").alias("q")
+    )
+    qd = cents.join(F.broadcast(probe_subs), "j").select(
+        "j", "cid", _sqdist(F.col("q"), F.col("c")).alias("qd2")
+    )
     adc = (
         codes.join(F.broadcast(qd), ["j", "cid"])
         .groupBy("pid")

@@ -240,7 +240,14 @@ def zorder_multidim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fresh_table(spark, "zorder_multidim_skip", sf_dir)
     o = load_table(spark, sf_dir, "orders")
     t.write(o, mode="overwrite")
-    t.optimize(target_file_rows=100, zorder_by=["o_orderkey", "o_custkey"])
+    # target_file_rows=500 (was 100): the probe's semantics are
+    # file-count-shaped, not rows-per-file-shaped — a 5% trailing-dim
+    # band prunes ~90% of files at either size, and the pruning
+    # assertion plus the oracled row set are unchanged. At 100 the
+    # fixture wrote 150 tiny files whose per-file commit/stats cost
+    # dominated the probe (~2x the whole rewrite job; r13 phase
+    # profile: write 3.8 s + footer stats 0.6-2.0 s for 15k rows).
+    t.optimize(target_file_rows=500, zorder_by=["o_orderkey", "o_custkey"])
     c = t.latest_commit()
     det = c.stats[c.data_units[0]]["_files"]
     cmax = o.agg(F.max("o_custkey")).first()[0]

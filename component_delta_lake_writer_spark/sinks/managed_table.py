@@ -4062,9 +4062,16 @@ class ManagedTable:
                 )
         n = 1 << bits
         z = F.lit(0).cast("long")
+        # ONE approxQuantile pass for ALL dimensions (the list form
+        # sketches every column in the same job) — one scan of the
+        # compaction input instead of one per z-order column; the
+        # per-column sketches and cut points are identical to the
+        # one-column calls (r13, guide §1.2: remove whole passes
+        # before per-task work).
+        qs = [i / n for i in range(1, n)]
+        all_cuts = df.approxQuantile(list(cols), qs, 0.001)
         for d, c in enumerate(cols):
-            qs = [i / n for i in range(1, n)]
-            cuts = df.approxQuantile(c, qs, 0.001)
+            cuts = all_cuts[d]
             arr = F.array(*[F.lit(float(x)) for x in cuts])
             x = F.col(c).cast("double")
             bucket = F.aggregate(
