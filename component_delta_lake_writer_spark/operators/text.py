@@ -340,11 +340,16 @@ def ngram_novelty(
     shingle-keyed hash aggregation — ``agg(count, min(doc_id))``,
     filter df=1, re-group by the owning doc. No join back onto the
     exploded shingle stream (the r7 shape shuffled the full shingle
-    stream twice; this shuffles it once). Per-doc totals come from a
-    second explode pass that partial-aggregates map-side (doc-count
-    sized shuffle only). Documents shorter than ``n`` normalized
-    characters produce no shingles and drop out (novelty is undefined
-    for them).
+    stream twice; this shuffles it once). Per-doc totals read
+    ``size(shs)`` straight off the per-doc array projection — r13:
+    the totals branch previously RE-EXPLODED the arrays and hash-
+    aggregated the full shingle stream a second time just to count
+    what ``size`` already knows; reading the size off the array rows
+    measured ~2.5x faster end-to-end (interleaved A/B, and a persist
+    of the array relation bought nothing on top — the explode, not
+    the array build, was the cost). Documents shorter than ``n``
+    normalized characters produce no shingles and drop out (novelty
+    is undefined for them).
 
     Returns (doc_id, n_shingles, novel_frac) with novel_frac rounded
     to 6dp (integer-exact counts; one double division).
@@ -356,12 +361,13 @@ def ngram_novelty(
             lambda i: F.substr(norm, i, F.lit(n)),
         )
     )
-    sh = df.select(
+    per_doc = df.select(
         F.col(doc_id).alias("doc_id"),
         F.when(F.length(norm) >= n, shingles)
         .otherwise(F.array().cast("array<string>"))
         .alias("shs"),
-    ).select("doc_id", F.explode("shs").alias("sh"))
+    )
+    sh = per_doc.select("doc_id", F.explode("shs").alias("sh"))
     # one shingle-keyed shuffle: df AND the (unique) owner when df=1
     novel = (
         sh.groupBy("sh")
@@ -373,9 +379,13 @@ def ngram_novelty(
         .groupBy(F.col("owner").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    # per-doc totals: map-side partial agg, doc-sized shuffle
-    totals = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    # per-doc totals: size() of the arrays — no second explode; summed
+    # per doc_id so duplicate-id inputs aggregate exactly as the
+    # exploded count did, and zero-shingle docs still drop out
+    totals = (
+        per_doc.groupBy("doc_id")
+        .agg(F.sum(F.size("shs")).alias("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
     )
     return (
         totals.join(novel, "doc_id", "left")

@@ -4699,3 +4699,39 @@ def test_spread_for_fanout_guard(spark):
     # untouched: same object, no extra exchange appended
     assert spread is wide
     assert spread.rdd.getNumPartitions() == p + 3
+
+
+def test_ngram_novelty_totals_from_array_size(spark):
+    """r13 totals respelling (size(shs) off the array projection
+    instead of a second explode+count): totals must still equal the
+    DISTINCT-shingle count per doc, docs shorter than n normalized
+    chars must drop out entirely, and duplicate doc_id rows must
+    aggregate their counts exactly as the exploded count did."""
+    from pyspark.sql import functions as F
+
+    from component_delta_lake_writer_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    rows = [
+        (1, "abcdefgh"),          # exactly n=8 chars -> 1 shingle
+        (2, "abcdefghi"),         # 2 shingles, shares 'abcdefgh'
+        (3, "short"),             # < n chars -> drops out
+        (4, None),                # NULL text -> drops out
+        (5, "zzzzzzzzzz"),        # 3 positions, ONE distinct shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["novel_frac"])
+        for r in ngram_novelty(df, n=8).collect()
+    }
+    assert set(got) == {1, 2, 5}              # 3 and 4 dropped
+    assert got[1] == (1, 0.0)                 # its only shingle shared
+    assert got[2] == (2, 0.5)                 # 1 of 2 unique
+    assert got[5] == (1, 1.0)                 # distinct-counted, novel
+    # duplicate doc_id rows: totals aggregate across the id's rows
+    dup = spark.createDataFrame(
+        [(7, "abcdefgh"), (7, "qrstuvwx")], "doc_id long, text string"
+    )
+    r = ngram_novelty(dup, n=8).collect()
+    assert len(r) == 1 and r[0]["n_shingles"] == 2
