@@ -128,7 +128,13 @@ CANARY_REF_RATIO_KEY = "suite_v1_per_canary"
 #: single-thread DuckDB CPU workloads) whose wall-clock dilates with
 #: whatever else is eating the cores, so suite_v1_per_canary_mt
 #: stays flat under contention where the r12 ratio swung 2.2×.
-LOADAVG_CEILING = 4.0
+#: r14 (VERDICT r13 what's-wrong #4): the r13 driver seal started at
+#: loadavg 2.87 and still passed the 4.0 gate — its canary ran 28%
+#: slower than r12's and the whole raw round-over-round table was
+#: host-contaminated. 1.5 refuses that start (an idle 32-core host
+#: sits well under 1; a stale sibling process shows up as >2) while
+#: still tolerating the bench's own just-finished warm-up decay.
+LOADAVG_CEILING = 1.5
 IDLE_WAIT_MAX_S = 300.0
 
 

@@ -53,12 +53,31 @@ def bm25_topk(
         F.col(doc_id).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text)), " ")).alias("term"),
     )
-    # Persist the token stream: the dl/scalars/tf branches below all
-    # read the cache instead of re-running the explode
-    # (tfidf_top_terms precedent).
-    tok = tok.persist()
-
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    vocab = queries.select("term").distinct()
+    # ONE doc-keyed aggregation computes BOTH the document length and
+    # the matched-term occurrence lists (r14, guide §2.4): the old
+    # shape aggregated dl and tf as SEPARATE groupBys over a persisted
+    # token stream and re-joined them on doc_id — a join of two
+    # corpus-scale relations that planned as the suite's one remaining
+    # static SortMergeJoin (tf re-shuffled by doc_id just to re-attach
+    # a count the same scan had already seen). Now: flag each token
+    # against the broadcast query vocabulary (left join preserves the
+    # row count — vocab is distinct), then a single groupBy(doc_id)
+    # carries dl plus the (sparse) matched occurrences; per-(doc,term)
+    # tf is counted IN-ARRAY. Exchanges over corpus-scale data: 3 → 1,
+    # SortMergeJoin: 1 → 0, and the persisted relation shrinks from
+    # the token stream to one bounded row per doc (guide §5.3).
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_hit", F.lit(True))), "term", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.collect_list(F.when(F.col("_hit"), F.col("term"))).alias("_mts"),
+    )
+    # Persist: scalars, tf/df and the contribution scan below all read
+    # this one-row-per-doc cache (the old code persisted the full
+    # token stream for the same sharing).
+    per_doc = per_doc.persist()
     # Corpus scalars (N, total length) as a broadcast 1-row relation
     # instead of a driver `.first()` (optimization r13): the collect
     # spent a whole extra Spark job + driver round-trip inside every
@@ -69,19 +88,28 @@ def bm25_topk(
     # downstream relation is already empty, so the old early-return's
     # shape (same columns, zero rows) falls out naturally and the
     # divisions never evaluate on a row.
-    scalars = dl.agg(
+    scalars = per_doc.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("dl").alias("_total_len"),
     )
     n_docs_d = F.col("_n_docs").cast("double")
     avgdl = F.col("_total_len").cast("double") / n_docs_d
-    vocab = queries.select("term").distinct()
-    # Semi-join the token stream against the broadcast query
-    # vocabulary BEFORE any shuffle: downstream tf/df aggregates
-    # only ever see matching terms.
-    matched = tok.join(F.broadcast(vocab), "term")
-    tf = matched.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # (doc_id, dl, term, tf) for matched terms only — tf counted
+    # in-array (bounded by the doc's matched occurrences; docs with no
+    # match explode to zero rows, exactly the old semi-join behavior).
+    mts = F.col("_mts")
+    tf_structs = F.transform(
+        F.array_distinct(mts),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(mts, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    tf = per_doc.select(
+        "doc_id", "dl", F.explode(tf_structs).alias("_s")
+    ).select(
+        "doc_id", "dl", F.col("_s.term").alias("term"),
+        F.col("_s.tf").alias("tf"),
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -97,7 +125,6 @@ def bm25_topk(
     )
     contrib = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",

@@ -813,21 +813,24 @@ def pq_topk(
         "pid", F.explode(_slices(F.col("full"))).alias("s")
     ).select("pid", F.col("s.j").alias("j"), F.col("s.x").alias("x"))
 
-    def assign(cents):
+    def assign(cents, with_x: bool = True):
         """Per-(j, pid) argmin against the broadcast (j, cid, c)
-        codebook relation — _assign_centroids keyed by subspace."""
+        codebook relation — _assign_centroids keyed by subspace.
+        ``with_x`` carries the slice through the aggregate only when
+        the caller (the Lloyd mean update) needs it — ``first`` is
+        deterministic because x is constant per (j, pid) group; the
+        final encode drops it, so its agg buffer stays code-width
+        (r14, ADVICE r13)."""
         scored = subs.join(F.broadcast(cents), "j").select(
             "pid", "j", "x", "cid",
             _sqdist(F.col("x"), F.col("c")).alias("dist2"),
         )
-        return (
-            scored.groupBy("j", "pid")
-            .agg(
-                F.min(F.struct("dist2", "cid")).alias("mn"),
-                F.first("x").alias("x"),
-            )
-            .select("pid", "j", "x", F.col("mn.cid").alias("cid"))
-        )
+        aggs = [F.min(F.struct("dist2", "cid")).alias("mn")]
+        if with_x:
+            aggs.append(F.first("x").alias("x"))
+        out = scored.groupBy("j", "pid").agg(*aggs)
+        cols = ["pid", "j"] + (["x"] if with_x else [])
+        return out.select(*cols, F.col("mn.cid").alias("cid"))
 
     # seeds: the sub_k lowest-id vectors, sliced — identical to each
     # subspace's sub_k lowest-id points (every pid carries all m rows)
@@ -859,7 +862,7 @@ def pq_topk(
         rows = cents.collect()
         if rows:
             cents = df.sparkSession.createDataFrame(rows, cents.schema)
-    codes = assign(cents).select("pid", "j", "cid")
+    codes = assign(cents, with_x=False).select("pid", "j", "cid")
     probe_subs = subs.filter(F.col("pid") == probe_id).select(
         "j", F.col("x").alias("q")
     )

@@ -13,6 +13,8 @@ an aggregation asks for one.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,23 +113,101 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), _WS, " "))
 
 
+def _parse_bytes(s: str) -> int:
+    """Spark size-string → bytes ('134217728b', '128m', '1g', '4MB')."""
+    t = s.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("b", 1), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40),
+    ):
+        if t.endswith(suffix):
+            return int(float(t[: -len(suffix)]) * mult)
+    return int(t)
+
+
+# Logical-plan nodes a SCAN-ROOTED input may consist of: narrow
+# row-level ops over a file relation. Anything else (aggregate, join,
+# window, repartition, union, generator, ...) means the input is
+# derived — its partitioning was already sized by an upstream shuffle
+# (and AQE), so the local-crutch repartition must not fire.
+_SCAN_ROOTED_NODES = frozenset({"Project", "Filter", "Relation", "SubqueryAlias", "View"})
+
+
+def _scan_split_estimate(df: DataFrame) -> int | None:
+    """Estimated scan-task count for a scan-rooted DataFrame, computed
+    from FILE METADATA only — no job, no physical planning (the old
+    ``df.rdd.getNumPartitions()`` probe forced full physical planning
+    and, under AQE on a derived input, could execute upstream query
+    stages just to answer the gate). Mirrors Spark's own
+    FilePartition.maxSplitBytes sizing: splits of
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)).
+    Returns None when the input is derived or the file sizes are not
+    locally statable — callers then leave partitioning alone (an
+    upstream exchange / AQE already sized it)."""
+    import math
+    from urllib.parse import unquote, urlparse
+
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:
+        return None
+    for line in tree.splitlines():
+        name = line.lstrip(" :+-").split(" ", 1)[0].split("(", 1)[0]
+        if name and name not in _SCAN_ROOTED_NODES:
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes: list[int] = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif "://" not in uri:
+            path = uri
+        else:  # remote storage: no cheap size probe, AQE owns it
+            return None
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    max_pb = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    open_cost = _parse_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4m")
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_pb, max(open_cost, total // max(p, 1) + 1))
+    return sum(max(1, math.ceil(sz / max_split)) for sz in sizes)
+
+
 def spread_for_fanout(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to session parallelism — but ONLY when
-    the input has fewer partitions than cores.
+    """Round-robin repartition to session parallelism — but ONLY for a
+    scan-rooted input whose estimated split count is below the core
+    count.
 
     The shingle/token fan-outs amplify each row ~|tokens| times, so a
-    small split count (locally: one ~10 MB parquet file = one task)
-    would pin the whole md5-per-shingle pass on few cores. At corpus
-    scale the scan already yields far more splits than cores and an
-    unconditional ``repartition(n)`` becomes a full shuffle of the
-    text payload for nothing — the classic accidental exchange. The
-    guard keeps the local crutch and removes the at-scale shuffle;
-    round-robin placement never changes results (every consumer
-    aggregates by key).
+    small split count (locally: one ~10 MB parquet file = a couple of
+    tasks) would pin the whole md5-per-shingle pass on few cores. At
+    corpus scale the scan already yields far more splits than cores
+    and an unconditional ``repartition(n)`` becomes a full shuffle of
+    the text payload for nothing — the classic accidental exchange.
+    The split count comes from scan FILE METADATA (no job — see
+    ``_scan_split_estimate``); derived inputs pass through untouched
+    because their partitioning was already sized by the upstream
+    exchange and AQE. Round-robin placement never changes results
+    (every consumer aggregates by key).
     """
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    est = _scan_split_estimate(df)
+    if est is not None and est < p:
         df = df.repartition(p)
     return df
 

@@ -92,22 +92,37 @@ def _drain_to_memory(
 ) -> DataFrame:
     """The shared availableNow → memory-sink drain protocol (one
     place for all streaming probes, so a change to the drain — e.g. a
-    stop-on-exception — can't drift across call sites)."""
-    with scoped_state_partitions(spark, state_partitions):
-        writer = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
+    stop-on-exception — can't drift across call sites).
+
+    Pins ``noDataMicroBatches`` ON for the drain (r14, ADVICE r13):
+    final-window eviction in the watermarking probes relies on the
+    engine's no-data micro-batch (the r13 sentinel cut made that
+    reliance load-bearing); a session that disabled the conf would
+    silently withhold the last window's rows."""
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with scoped_state_partitions(spark, state_partitions):
+            writer = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+            )
+            if checkpoint:
+                writer = writer.option("checkpointLocation", checkpoint)
+            q = writer.start()
+            try:
+                q.awaitTermination()
+            except Exception:
+                q.stop()
+                raise
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
         )
-        if checkpoint:
-            writer = writer.option("checkpointLocation", checkpoint)
-        q = writer.start()
-        try:
-            q.awaitTermination()
-        except Exception:
-            q.stop()
-            raise
     return spark.table(name)
 
 

@@ -1,9 +1,14 @@
 """Profile streaming probes: per-micro-batch durationMs breakdown.
 
-Monkeypatches the shared drain to capture StreamingQuery.recentProgress
-so the fixed micro-batch machinery (planning, state commit, sink add)
-is attributed per phase — guide §1 (measure first) for the streaming
-keys whose probe time is dominated by per-batch cost.
+Captures StreamingQueryProgress via a StreamingQueryListener so the
+fixed micro-batch machinery (planning, state commit, sink add) is
+attributed per phase — guide §1 (measure first) for the streaming keys
+whose probe time is dominated by per-batch cost.
+
+r14 (ADVICE r13): the listener replaces the old monkeypatch that
+duplicated the whole ``_drain_to_memory`` body — the real drain now
+runs UNMODIFIED, so the profile can never diverge from the protocol
+it measures.
 
 Usage: python scripts/profile_stream.py key1,key2 [--sf DIR] [--repeat N]
 """
@@ -28,62 +33,57 @@ def main() -> None:
     if "--sf" in sys.argv:
         SF_DIR = sys.argv[sys.argv.index("--sf") + 1]
 
+    from pyspark.sql.streaming import StreamingQueryListener
+
     from component_delta_lake_writer_spark import get_spark
     from component_delta_lake_writer_spark.plans import QUERIES
-    from component_delta_lake_writer_spark.streaming import structured
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
 
-    orig = structured._drain_to_memory
+    class _ProgressCapture(StreamingQueryListener):
+        """Collects every micro-batch progress event; drained and
+        printed after each probe run."""
 
-    def instrumented(spark, df, name, output_mode, state_partitions,
-                     checkpoint=None):
-        t0 = time.perf_counter()
-        with structured.scoped_state_partitions(spark, state_partitions):
-            writer = (
-                df.writeStream.outputMode(output_mode)
-                .format("memory")
-                .queryName(name)
-                .trigger(availableNow=True)
-            )
-            if checkpoint:
-                writer = writer.option("checkpointLocation", checkpoint)
-            t1 = time.perf_counter()
-            q = writer.start()
-            t2 = time.perf_counter()
-            try:
-                q.awaitTermination()
-            except Exception:
-                q.stop()
-                raise
-            t3 = time.perf_counter()
-            prog = [json.loads(p.json) for p in q.recentProgress]
-        print(f"  drain[{name}]: build={t1-t0:.3f} start={t2-t1:.3f} "
-              f"await={t3-t2:.3f} batches={len(prog)}")
-        for p in prog:
-            dur = p.get("durationMs", {})
-            so = p.get("stateOperators", [])
-            st = "; ".join(
-                f"op{i}: commit={s.get('commitTimeMs')}ms rows={s.get('numRowsTotal')}"
-                for i, s in enumerate(so))
-            print(f"    batch {p.get('batchId')}: rows={p.get('numInputRows')} "
-                  f"dur={dur} {st}")
-        return spark.table(name)
+        def __init__(self) -> None:
+            self.progress: list[dict] = []
 
-    structured._drain_to_memory = instrumented
-    # also patch call sites that imported the symbol directly
-    for mod_name, mod in list(sys.modules.items()):
-        if mod_name.startswith("component_delta_lake_writer_spark") and \
-                getattr(mod, "_drain_to_memory", None) is orig:
-            mod._drain_to_memory = instrumented
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            self.progress.append(json.loads(event.progress.json))
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+    cap = _ProgressCapture()
+    spark.streams.addListener(cap)
 
     for key in keys:
         for i in range(repeat):
+            cap.progress.clear()
             t0 = time.perf_counter()
             n = QUERIES[key](spark, SF_DIR).count()
-            print(f"{key} run{i}: {time.perf_counter()-t0:.3f}s ({n} rows)")
+            dt = time.perf_counter() - t0
+            # listener events are delivered asynchronously — give the
+            # bus a beat to flush the final batch
+            time.sleep(0.5)
+            print(f"{key} run{i}: {dt:.3f}s ({n} rows, "
+                  f"{len(cap.progress)} batches)")
+            for p in cap.progress:
+                dur = p.get("durationMs", {})
+                so = p.get("stateOperators", [])
+                st = "; ".join(
+                    f"op{j}: commit={s.get('commitTimeMs')}ms "
+                    f"rows={s.get('numRowsTotal')}"
+                    for j, s in enumerate(so))
+                print(f"    [{p.get('name')}] batch {p.get('batchId')}: "
+                      f"rows={p.get('numInputRows')} dur={dur} {st}")
 
 
 if __name__ == "__main__":

@@ -4679,26 +4679,44 @@ def test_xcorr_hourly_hand_values(spark):
     assert got[0].corr == _pt.approx(round(expect, 6), abs=1e-6)
 
 
-def test_spread_for_fanout_guard(spark):
-    """The fan-out spread repartitions ONLY under-split inputs: a
-    single-partition corpus is spread to session parallelism (the
-    local crutch), while an input already at >= parallelism partitions
-    passes through with its partitioning — and plan — untouched (at
-    scale the scan provides the parallelism and the repartition would
-    be a full shuffle of the text payload)."""
+def test_spread_for_fanout_guard(spark, tmp_path):
+    """The fan-out spread repartitions ONLY under-split SCAN-ROOTED
+    inputs, decided from file metadata alone (r14: the old
+    ``df.rdd.getNumPartitions()`` probe forced physical planning and,
+    under AQE on a derived input, could execute upstream stages just
+    to answer the gate). A one-small-file scan is spread to session
+    parallelism (the local crutch); a scan with >= parallelism
+    estimated splits passes through untouched; a DERIVED input (any
+    upstream shuffle) passes through untouched — its partitioning is
+    AQE's to size."""
     from component_delta_lake_writer_spark.operators.text import (
+        _scan_split_estimate,
         spread_for_fanout,
     )
 
     p = spark.sparkContext.defaultParallelism
-    narrow = spark.range(100).coalesce(1)
-    assert spread_for_fanout(narrow).rdd.getNumPartitions() == p
 
-    wide = spark.range(100).repartition(p + 3)
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    narrow = spark.read.parquet(one)
+    est = _scan_split_estimate(narrow)
+    assert est is not None and est < p
+    assert spread_for_fanout(narrow).rdd.getNumPartitions() == p
+    # narrow ops over the scan stay probeable
+    assert _scan_split_estimate(narrow.select("id")) == est
+
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(p + 3).write.parquet(many)
+    wide = spark.read.parquet(many)
+    est_wide = _scan_split_estimate(wide)
+    assert est_wide is not None and est_wide >= p
     spread = spread_for_fanout(wide)
     # untouched: same object, no extra exchange appended
     assert spread is wide
-    assert spread.rdd.getNumPartitions() == p + 3
+
+    derived = spark.range(100).repartition(2)
+    assert _scan_split_estimate(derived) is None
+    assert spread_for_fanout(derived) is derived
 
 
 def test_ngram_novelty_totals_from_array_size(spark):
