@@ -12,6 +12,19 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+
+# r14 two-tier suite (see tests/conftest.py): the default (driver
+# budget) tier runs every property with a REDUCED example budget; the
+# full sample runs with SPARK_GRAFT_FULL_TESTS=1. Floor of 4 keeps
+# shrinking and edge examples meaningful.
+import os as _os
+
+_FULL = _os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
+def _ex(n: int) -> int:
+    return n if _FULL else max(4, n // 5)
+
 KEYS = st.integers(min_value=0, max_value=30)
 VALS = st.integers(min_value=-1000, max_value=1000)
 
@@ -19,7 +32,7 @@ rows_strategy = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=40)
 
 
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -47,7 +60,7 @@ def test_merge_upsert_model(spark, target, source):
 
 
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -71,7 +84,7 @@ def test_cast_matrix_roundtrip(spark, vals):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -94,7 +107,7 @@ def test_append_commits_accumulate(spark, batches):
         assert t.read(version=0).count() == len(batches[0])
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_ex(200), deadline=None)
 @given(
     values=st.lists(
         st.one_of(
@@ -137,7 +150,7 @@ def test_bloom_never_false_negative(values, probes, m_exp):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -179,7 +192,7 @@ _asof_right = st.lists(
 
 
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -241,7 +254,7 @@ def test_merge_asof_matches_pandas(spark, left, right, direction, tolerance):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -276,7 +289,7 @@ def test_replace_where_model(spark, base, batch, cut):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -322,7 +335,7 @@ def test_txn_watermarks_model(spark, ops):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -366,7 +379,7 @@ def test_copy_into_idempotence_model(spark, waves):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -426,7 +439,7 @@ _LIFECYCLE_OP = st.one_of(
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -518,7 +531,7 @@ def test_table_lifecycle_model(spark, ops):
             assert tv == snap, f"version {v} diverged after {ops}"
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_ex(200), deadline=None)
 @given(
     values=st.lists(
         st.one_of(
@@ -543,7 +556,7 @@ def test_dv_bitmap_roundtrip_property(values):
     )
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 @given(
     sets=st.dictionaries(
         st.sampled_from(["a.parquet", "b.parquet", "c/d.parquet"]),
@@ -586,7 +599,7 @@ _OPS = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -654,7 +667,7 @@ def test_row_id_invariants_random_sequences(spark, ops, seed):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -760,7 +773,7 @@ _EVENTS = st.lists(
 
 
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -823,7 +836,7 @@ _GRAPH_EDGES = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -863,7 +876,7 @@ def test_triangle_count_matches_bruteforce(spark, edges):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -915,7 +928,7 @@ _SERIES = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -966,7 +979,7 @@ _BASKETS = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1020,7 +1033,7 @@ _MW_ROWS = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1067,7 +1080,7 @@ _QN_ROWS = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1118,7 +1131,7 @@ def test_quantile_normalize_matches_bruteforce(spark, a_vals, b_vals):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1146,7 +1159,7 @@ def test_spearman_bounds_and_monotone_invariance(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1173,7 +1186,7 @@ def test_ks_bounds_and_identity(spark, a, b):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1207,7 +1220,7 @@ def test_winsorize_bounds_and_interior_identity(spark, rows):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1283,7 +1296,7 @@ def test_benjamini_hochberg_matches_bruteforce(spark, ps, alpha_pct):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1359,7 +1372,7 @@ def test_logrank_matches_bruteforce(spark, users):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1413,7 +1426,7 @@ def test_cox_ph_matches_bruteforce(spark, users):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1526,7 +1539,7 @@ def _ref_bpe(texts, n):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1553,7 +1566,7 @@ def test_bpe_train_matches_textbook_model(spark, words):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1631,7 +1644,7 @@ def test_gehan_wilcoxon_matches_bruteforce(spark, users):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1724,7 +1737,7 @@ def test_stratified_logrank_matches_bruteforce(spark, users):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1764,7 +1777,7 @@ def test_auc_matches_bruteforce(spark, pts):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1822,7 +1835,7 @@ def test_kruskal_wallis_matches_bruteforce(spark, pts):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1898,7 +1911,7 @@ def test_rmst_matches_bruteforce(spark, users, tau):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1992,7 +2005,7 @@ def test_mantel_haenszel_matches_bruteforce(spark, cells):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2059,7 +2072,7 @@ def test_jonckheere_matches_bruteforce(spark, pts):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2104,7 +2117,7 @@ def test_pr_auc_matches_bruteforce(spark, pts):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2193,7 +2206,7 @@ def test_breslow_day_matches_bruteforce(spark, cells):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2249,7 +2262,7 @@ def test_wilcoxon_signed_matches_bruteforce(spark, diffs):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2304,7 +2317,7 @@ def test_brown_forsythe_matches_bruteforce(spark, pts):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2358,7 +2371,7 @@ def test_friedman_matches_bruteforce(spark, blocks):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2409,7 +2422,7 @@ def test_concordance_index_matches_bruteforce(spark, subjects):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2477,7 +2490,7 @@ def test_cumulative_incidence_matches_bruteforce(spark, subjects):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2559,7 +2572,7 @@ def test_fleming_harrington_matches_bruteforce(spark, users):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2617,7 +2630,7 @@ def test_page_trend_matches_bruteforce(spark, blocks):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2663,7 +2676,7 @@ def test_cliffs_delta_matches_bruteforce(spark, rows):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2723,7 +2736,7 @@ def test_mann_kendall_matches_bruteforce(spark, counts):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2787,7 +2800,7 @@ def test_kendall_tau_matches_bruteforce(spark, rows):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2858,7 +2871,7 @@ def test_benjamini_yekutieli_matches_bruteforce(spark, ps):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2905,7 +2918,7 @@ def test_holm_bonferroni_matches_bruteforce(spark, ps):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2958,7 +2971,7 @@ def test_wasserstein_matches_bruteforce(spark, rows):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3029,7 +3042,7 @@ def test_dunn_posthoc_matches_bruteforce(spark, rows):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3108,7 +3121,7 @@ def test_brunner_munzel_matches_bruteforce(spark, rows):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3200,7 +3213,7 @@ def test_ph_assumption_matches_bruteforce(spark, users):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

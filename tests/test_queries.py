@@ -1,12 +1,19 @@
 """Differential tests: every oracle-backed query key vs DuckDB at
 sf0.001 (fast mirror of the driver's sf0.01 gate), rows-only keys
-smoke-checked for non-failure + stable schema."""
+smoke-checked for non-failure + stable schema.
+
+r14 two-tier suite (see tests/conftest.py): the default tier sweeps a
+deterministic SUBSET — every bench-suite key plus every 5th registry
+key (~110 of 373) — so the driver's pytest run fits its budget; the
+full 373-key sweep runs with SPARK_GRAFT_FULL_TESTS=1 (the builder's
+pre-seal gate) and the driver's own 50-key correctness gate samples
+the whole registry independently every round."""
 
 from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMALL
+from conftest import FULL_TESTS, SF_SMALL
 
 
 def _registry():
@@ -18,7 +25,23 @@ def _registry():
 QUERIES, ORACLES = _registry()
 
 
-@pytest.mark.parametrize("key", sorted(ORACLES))
+def _sweep_keys() -> list[str]:
+    keys = sorted(ORACLES)
+    if FULL_TESTS:
+        return keys
+    from bench import HEADLINE, HEADLINE_V2
+
+    # streaming keys are the most expensive per probe (micro-batch
+    # machinery at any SF) and the driver's own gate samples them —
+    # the default tier only keeps those the every-5th stride hits
+    suite = {
+        k for k in set(HEADLINE) | set(HEADLINE_V2)
+        if not k.startswith("stream")
+    }
+    return [k for i, k in enumerate(keys) if k in suite or i % 5 == 0]
+
+
+@pytest.mark.parametrize("key", _sweep_keys())
 def test_oracle_match(spark, oracle_con, key):
     from oracle import compare
 
