@@ -263,6 +263,27 @@ def shingle_sets(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def sets_with_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, hs, n, m0..m{k-1}) — the per-doc shingle SET and its full
+    MinHash signature from ONE groupBy over the shingle stream.
+
+    The k min-aggregates ride the same (map-side-combinable) aggregate
+    that builds the set: min over the shingle MULTISET equals min over
+    the set (duplicates never change a min), so the signature columns
+    are bit-identical to ``signatures_from_sets(shingle_sets(sh))`` —
+    but the k LCG probes are evaluated by the aggregate's codegen'd
+    update projection as the shingle stream flows by, instead of k
+    INTERPRETED higher-order ``transform``+``array_min`` traversals
+    (each allocating a k-mapped copy of the array) over the cached
+    set relation afterwards (r14, guide §4.2/§5.4). The shuffle grows
+    by k bigints per partial — noise next to the set payload."""
+    aggs = [F.collect_set("h").alias("hs")] + [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(HASH_FAMILY)
+    ]
+    return sh.groupBy(id_col).agg(*aggs).withColumn("n", F.size("hs"))
+
+
 def verify_from_sets(
     candidates: DataFrame, sets: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
@@ -301,18 +322,22 @@ def minhash_dedup(
     Returns (id_a, id_b, jaccard) pairs above the threshold.
 
     The pipeline makes exactly ONE pass over the corpus: the shingle
-    stream aggregates into the per-doc SET relation (one row per doc,
-    persisted), and BOTH downstream needs derive from it — signatures
-    via ``signatures_from_sets`` (array_min over the cached arrays,
-    zero extra shuffle) and the exact-Jaccard verify via
-    ``verify_from_sets``. The exploded shingle stream itself is never
-    cached (its serialized fan-out measured ~3× the recompute cost)
-    and never recomputed either."""
+    stream aggregates into the per-doc SET+SIGNATURE relation (one row
+    per doc, persisted — ``sets_with_signatures``: the 16 minhash
+    mins ride the same groupBy that builds the set, so the signature
+    costs zero extra passes AND zero interpreted array traversals),
+    and BOTH downstream needs read it — banding straight off the
+    cached m0..m15 columns, the exact-Jaccard verify off the cached
+    arrays via ``verify_from_sets``. The exploded shingle stream
+    itself is never cached (its serialized fan-out measured ~3× the
+    recompute cost) and never recomputed either."""
     sh = shingles(df, text_col, id_col, k_shingle)
-    sets = shingle_sets(sh, id_col).persist()
-    sig = signatures_from_sets(sets, id_col)
+    sets = sets_with_signatures(sh, id_col).persist()
+    sig = sets.select(
+        F.col(id_col), *[f"m{i}" for i in range(len(HASH_FAMILY))]
+    )
     cand = lsh_candidates(sig, id_col)
-    return verify_from_sets(cand, sets, threshold)
+    return verify_from_sets(cand, sets.select(id_col, "hs", "n"), threshold)
 
 
 def simhash_signatures(

@@ -1,4 +1,4 @@
-"""Capture explain('formatted') for bench-suite queries → plans/r13/.
+"""Capture explain("formatted") for bench-suite queries → $SPARK_GRAFT_PLANS_OUT (default plans/r14/).
 
 Usage: python scripts/capture_plans.py before|after [key1,key2,...]
 
@@ -17,7 +17,7 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = Path("/root/repo/plans/r13")
+OUT = Path(os.environ.get("SPARK_GRAFT_PLANS_OUT", "/root/repo/plans/r14"))
 
 
 def main() -> None:
